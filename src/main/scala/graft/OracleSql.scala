@@ -1,0 +1,123 @@
+package graft
+
+/** DuckDB oracle SQL, one per SparkEntry.queries key (where expressible).
+  *
+  * Determinism contract with the Spark side (see util/Det.scala):
+  * money aggregates accumulate integer cents; thresholds and orderings
+  * apply to values rounded to a fixed scale; every query ends in a
+  * total-order ORDER BY; event timestamps reduce to epoch-seconds BIGINTs.
+  */
+object OracleSql {
+
+  private val eventsSec =
+    "SELECT event_id, user_id, event_type, value, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_s FROM events"
+
+  private val docWords =
+    "list_distinct(string_split(lower(trim(text)), ' '))"
+
+  private val cents = (c: String) => s"SUM(CAST(ROUND(($c)*100, 0) AS BIGINT))/100.0"
+
+  private val revenue = cents("l_extendedprice*(1-l_discount)")
+
+  val all: Map[String, String] = Map(
+
+    "stg_orders" ->
+      """SELECT o_orderkey AS order_key, o_custkey AS customer_key, o_orderstatus AS order_status, o_totalprice AS total_price, CAST(o_orderdate AS DATE) AS order_date, o_orderpriority AS order_priority FROM orders ORDER BY order_key""",
+
+    "stg_lineitem" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, ROUND(l_extendedprice*(1-l_discount)*100, 0)/100.0 AS net_price, ROUND(l_extendedprice*(1-l_discount)*(1+l_tax)*100, 0)/100.0 AS gross_price, l_returnflag, CAST(l_shipdate AS DATE) AS ship_date FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+
+    "fct_bucket" ->
+      """SELECT o_orderkey AS id, o_totalprice AS value, o_orderdate AS created_at_ts, CASE WHEN o_totalprice > 100 THEN 'high' ELSE 'regular' END AS bucket FROM orders ORDER BY id""",
+
+    "seed_load" ->
+      """SELECT CAST(id AS BIGINT) AS id, name FROM (VALUES (1, 'Alice'), (2, 'Bob')) AS t(id, name) ORDER BY id""",
+
+    "snapshot_scd2" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS valid_from, LEAD(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS valid_to, LEAD(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) IS NULL AS is_current FROM orders ORDER BY o_custkey, valid_from, o_orderkey""",
+
+    "incremental_merge" ->
+      """WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 0 AS src FROM orders), delta AS (SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus, o_totalprice + 1 AS o_totalprice, 1 AS src FROM orders WHERE o_orderkey % 10 = 0), u AS (SELECT * FROM base UNION ALL SELECT * FROM delta), r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY src DESC) AS rn FROM u) SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM r WHERE rn = 1 ORDER BY o_orderkey""",
+
+    "schema_evolution" ->
+      """SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01' UNION ALL SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01' ORDER BY o_orderkey""",
+
+    "test_suite" ->
+      """SELECT * FROM (SELECT 'accepted_values_o_orderstatus' AS test_name, (SELECT COUNT(*) FROM orders WHERE o_orderstatus NOT IN ('O','F','P')) AS violations UNION ALL SELECT 'not_null_o_custkey', (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL) UNION ALL SELECT 'relationships_o_custkey', (SELECT COUNT(*) FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL) UNION ALL SELECT 'unique_o_orderkey', (SELECT COUNT(*) FROM (SELECT o_orderkey FROM orders GROUP BY 1 HAVING COUNT(*) > 1) v)) ORDER BY test_name""",
+
+    "dev_prod_diff" ->
+      """WITH dev AS (SELECT o_orderkey AS id, CASE WHEN o_totalprice > 200000 THEN 'high' ELSE 'regular' END AS bucket FROM orders), prod AS (SELECT o_orderkey AS id, CASE WHEN o_totalprice > 300000 THEN 'high' ELSE 'regular' END AS bucket FROM orders) SELECT 'in_dev_not_in_prod' AS diff_type, id, bucket FROM (SELECT * FROM dev EXCEPT SELECT * FROM prod) UNION ALL SELECT 'in_prod_not_in_dev' AS diff_type, id, bucket FROM (SELECT * FROM prod EXCEPT SELECT * FROM dev) ORDER BY diff_type, id""",
+
+    "source_freshness" ->
+      """WITH e AS (SELECT event_type, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_s FROM events), m AS (SELECT event_type, MAX(ts_s) AS max_ts_s FROM e GROUP BY event_type) SELECT event_type, max_ts_s, CAST(FLOOR((1706745600 - max_ts_s) / 3600.0) AS BIGINT) AS age_hours, CASE WHEN FLOOR((1706745600 - max_ts_s) / 3600.0) > 72 THEN 'error' WHEN FLOOR((1706745600 - max_ts_s) / 3600.0) > 24 THEN 'warn' ELSE 'ok' END AS status FROM m ORDER BY event_type""",
+
+    "q1_agg" ->
+      s"""SELECT l_returnflag, l_linestatus, SUM(CAST(l_quantity AS BIGINT)) AS sum_qty, ${cents("l_extendedprice")} AS sum_base_price, $revenue AS sum_disc_price, $revenue/COUNT(*) AS avg_disc_price, COUNT(*) AS count_order FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+
+    "q3_topk" ->
+      s"""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_date, o_orderpriority, $revenue AS revenue FROM customer, orders, lineitem WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey AND o_orderdate < TIMESTAMP '1998-01-01' AND l_shipdate > TIMESTAMP '1998-01-01' GROUP BY l_orderkey, order_date, o_orderpriority ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+
+    "q5_multijoin" ->
+      s"""SELECT n_name, $revenue AS revenue FROM lineitem, orders, customer, supplier, nation, region WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey AND r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01' GROUP BY n_name ORDER BY revenue DESC, n_name""",
+
+    "window_running" ->
+      """SELECT o_custkey, o_orderkey, SUM(CAST(ROUND(o_totalprice*100, 0) AS BIGINT)) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)/100.0 AS running_spend, ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS order_seq FROM orders ORDER BY o_custkey, o_orderkey""",
+
+    "agg_stats" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n_orders, COUNT(DISTINCT o_custkey) AS n_customers, MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price, ${cents("o_totalprice")}/COUNT(*) AS avg_price, ROUND(STDDEV_SAMP(o_totalprice)*100, 0)/100.0 AS stddev_price FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "semi_anti_join" ->
+      """SELECT c_custkey, c_name, EXISTS(SELECT 1 FROM orders WHERE o_custkey = c_custkey) AS has_orders FROM customer ORDER BY c_custkey""",
+
+    "rollup_agg" ->
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders, ${cents("o_totalprice")} AS total_price FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority) ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+
+    "pivot_wide" -> {
+      val cell = (t: String) =>
+        s"COALESCE(SUM(CASE WHEN event_type = '$t' THEN CAST(ROUND(value*100, 0) AS BIGINT) END), 0)/100.0 AS ${t}_value"
+      s"""SELECT user_id, ${Seq("click", "error", "purchase", "signup", "view").map(cell).mkString(", ")} FROM events GROUP BY user_id ORDER BY user_id"""
+    },
+
+    "dedup_distinct" ->
+      """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders ORDER BY o_orderstatus, o_orderpriority""",
+
+    "asof_join" ->
+      s"""WITH e AS ($eventsSec) SELECT e.event_id, e.user_id, e.ts_s AS purchase_ts, (SELECT MAX(s.ts_s) FROM e s WHERE s.user_id = e.user_id AND s.event_type = 'signup' AND s.ts_s <= e.ts_s) AS last_signup_ts, e.ts_s - (SELECT MAX(s.ts_s) FROM e s WHERE s.user_id = e.user_id AND s.event_type = 'signup' AND s.ts_s <= e.ts_s) AS seconds_since_signup FROM e WHERE e.event_type = 'purchase' ORDER BY e.event_id""",
+
+    "sessionize" ->
+      s"""WITH e AS ($eventsSec), l AS (SELECT *, LAG(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS prev_ts FROM e), m AS (SELECT *, CASE WHEN prev_ts IS NULL OR ts_s - prev_ts > 1800 THEN 1 ELSE 0 END AS is_new FROM l), s AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_s, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_seq FROM m) SELECT user_id, CAST(sess_seq AS BIGINT) AS sess_seq, MIN(ts_s) AS session_start, MAX(ts_s) AS session_end, COUNT(*) AS n_events, ${cents("value")} AS total_value FROM s GROUP BY user_id, sess_seq ORDER BY user_id, sess_seq""",
+
+    "tumbling_window" ->
+      s"""WITH e AS ($eventsSec) SELECT event_type, ts_s - ts_s % 3600 AS window_start, COUNT(*) AS n_events, ${cents("value")} AS total_value FROM e GROUP BY event_type, window_start ORDER BY event_type, window_start""",
+
+    "funnel" ->
+      s"""WITH e AS ($eventsSec), su AS (SELECT user_id, MIN(ts_s) AS signup_ts FROM e WHERE event_type = 'signup' GROUP BY user_id), pu AS (SELECT e.user_id, MIN(e.ts_s) AS first_purchase_ts FROM e JOIN su ON e.user_id = su.user_id WHERE e.event_type = 'purchase' AND e.ts_s >= su.signup_ts GROUP BY e.user_id) SELECT su.user_id, su.signup_ts, pu.first_purchase_ts, pu.first_purchase_ts IS NOT NULL AS converted, pu.first_purchase_ts - su.signup_ts AS seconds_to_convert FROM su LEFT JOIN pu ON su.user_id = pu.user_id ORDER BY su.user_id""",
+
+    "dedup_exact" ->
+      """WITH h AS (SELECT doc_id, md5(lower(trim(text))) AS digest FROM documents) SELECT digest, MIN(doc_id) AS survivor_id, COUNT(*) AS dup_count FROM h GROUP BY digest ORDER BY digest""",
+
+    "dedup_jaccard" ->
+      s"""WITH d AS (SELECT doc_id, lang, n_chars, $docWords AS w FROM documents) SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, ROUND(CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) / len(list_distinct(list_concat(a.w, b.w))) * 10000, 0)/10000.0 AS jaccard FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 50 WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) / len(list_distinct(list_concat(a.w, b.w))) >= 0.5 ORDER BY doc_a, doc_b""",
+
+    "ann_cosine" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), s AS (SELECT e.vec_id, e.label, ROUND((SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest(e.embedding) AS x, unnest(q.qv) AS y)) / (sqrt((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FROM (SELECT unnest(e.embedding) AS x))) * sqrt((SELECT SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest(q.qv) AS y)))) * 10000, 0)/10000.0 AS cos_sim FROM embeddings e, q WHERE e.vec_id <> 0) SELECT vec_id, label, cos_sim FROM s WHERE cos_sim >= 0.2 ORDER BY vec_id""",
+
+    "ann_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id IN (0, 1, 2)), s AS (SELECT q.query_id, e.vec_id, ROUND((SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest(e.embedding) AS x, unnest(q.qv) AS y)) / (sqrt((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FROM (SELECT unnest(e.embedding) AS x))) * sqrt((SELECT SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest(q.qv) AS y)))) * 10000, 0)/10000.0 AS cos_sim FROM embeddings e, q WHERE e.vec_id <> q.query_id), r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank FROM s) SELECT query_id, vec_id, cos_sim, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
+
+    "lang_id" ->
+      s"""WITH d AS (SELECT doc_id, $docWords AS w FROM documents), h AS (SELECT doc_id, len(list_intersect(w, ['der','die','das','und','ist','nicht','mit','ein'])) AS hits_de, len(list_intersect(w, ['the','a','of','and','is','not','with','to'])) AS hits_en, len(list_intersect(w, ['el','la','de','y','es','no','con','un'])) AS hits_es, len(list_intersect(w, ['le','la','de','et','est','pas','avec','un'])) AS hits_fr FROM d) SELECT doc_id, hits_de, hits_en, hits_es, hits_fr, CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'und' WHEN hits_de = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'de' WHEN hits_en = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'en' WHEN hits_es = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'es' ELSE 'fr' END AS predicted_lang FROM h ORDER BY doc_id""",
+
+    "quality_score" -> {
+      val nWords = "len(string_split(lower(trim(text)), ' '))"
+      val stopwords = "['der','die','das','und','ist','nicht','mit','ein','the','a','of','and','is','not','with','to','el','la','de','y','es','no','con','un','le','et','est','pas','avec']"
+      s"""SELECT doc_id, length(text) AS n_chars_actual, $nWords AS n_words, ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE) / $nWords * 10000, 0)/10000.0 AS avg_word_len, ROUND(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text) * 10000, 0)/10000.0 AS punct_ratio, ROUND(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / length(text) * 10000, 0)/10000.0 AS digit_ratio, ROUND(CAST(len(list_intersect($docWords, $stopwords)) AS DOUBLE) / $nWords * 10000, 0)/10000.0 AS stopword_ratio, CASE WHEN length(text) >= 100 AND $nWords >= 20 THEN 'ok' ELSE 'low' END AS quality_flag FROM documents ORDER BY doc_id"""
+    },
+
+    "token_count" ->
+      """SELECT doc_id, len(string_split(lower(trim(text)), ' ')) AS ws_tokens, len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS bpe_tokens, CAST(CEIL(length(text)/4.0) AS BIGINT) AS est_llm_tokens FROM documents ORDER BY doc_id""",
+
+    "doc_fingerprint" ->
+      s"""SELECT doc_id, md5(text) AS digest, substr(md5(text), 1, 8) AS prefix8, list_sort(list_transform($docWords, x -> md5(x)))[1] AS min_word_md5 FROM documents ORDER BY doc_id""",
+  )
+}

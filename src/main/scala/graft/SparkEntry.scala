@@ -1,13 +1,67 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.sources.Tables
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Analytics.pricingSummary(Tables.lineitem(spark, "/root/testdata/sf0.001"))
+
+  type Q = (SparkSession, String) => DataFrame
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, Q] = Map[String, Q](
+    // A. dbt-surface transformations
+    "stg_orders"        -> ((s, d) => Relational.stgOrders(Tables.orders(s, d))),
+    "stg_lineitem"      -> ((s, d) => Relational.stgLineitem(Tables.lineitem(s, d))),
+    "fct_bucket"        -> ((s, d) => Relational.fctBucket(Tables.orders(s, d))),
+    "seed_load"         -> ((s, _) => Seeds.exampleSeed(s)),
+    "snapshot_scd2"     -> ((s, d) => Snapshot.scd2(Tables.orders(s, d))),
+    "incremental_merge" -> ((s, d) => Incremental.mergeLatest(Tables.orders(s, d))),
+    "schema_evolution"  -> ((s, d) => Incremental.schemaEvolution(Tables.orders(s, d))),
+    "test_suite"        -> ((s, d) => Checks.testSuite(Tables.orders(s, d), Tables.customer(s, d))),
+    "dev_prod_diff"     -> ((s, d) => Diff.devProdDiff(Tables.orders(s, d))),
+    "source_freshness"  -> ((s, d) => Freshness.sourceFreshness(Tables.events(s, d))),
+    // B. analytic core
+    "q1_agg"          -> ((s, d) => Analytics.pricingSummary(Tables.lineitem(s, d))),
+    "q3_topk"         -> ((s, d) => Analytics.topRevenueOrders(
+                            Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
+    "q5_multijoin"    -> ((s, d) => Analytics.revenueByNation(
+                            Tables.region(s, d), Tables.nation(s, d), Tables.customer(s, d),
+                            Tables.supplier(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
+    "window_running"  -> ((s, d) => Analytics.runningSpend(Tables.orders(s, d))),
+    "agg_stats"       -> ((s, d) => Analytics.aggStats(Tables.orders(s, d))),
+    "semi_anti_join"  -> ((s, d) => Analytics.customerHasOrders(Tables.customer(s, d), Tables.orders(s, d))),
+    "rollup_agg"      -> ((s, d) => Analytics.rollupAgg(Tables.orders(s, d))),
+    "pivot_wide"      -> ((s, d) => Analytics.pivotEventValues(Tables.events(s, d))),
+    "dedup_distinct"  -> ((s, d) => Analytics.distinctStatusPriority(Tables.orders(s, d))),
+    "asof_join"       -> ((s, d) => AsOf.lastSignupBeforePurchase(Tables.events(s, d))),
+    // C. events
+    "sessionize"      -> ((s, d) => Sessions.sessionize(Tables.events(s, d))),
+    "tumbling_window" -> ((s, d) => Sessions.tumbling(Tables.events(s, d))),
+    "funnel"          -> ((s, d) => Sessions.funnel(Tables.events(s, d))),
+    // D. LLM training-data pipeline
+    "dedup_exact"     -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
+    "dedup_jaccard"   -> ((s, d) => Dedup.jaccardPairs(Tables.documents(s, d))),
+    "dedup_minhash"   -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
+    "dedup_simhash"   -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
+    "ann_cosine"      -> ((s, d) => Similarity.cosineToQuery(Tables.embeddings(s, d))),
+    "ann_topk"        -> ((s, d) => Similarity.topK(Tables.embeddings(s, d))),
+    "ann_lsh"         -> ((s, d) => Similarity.lshCandidates(Tables.embeddings(s, d))),
+    "lang_id"         -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
+    "quality_score"   -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
+    "token_count"     -> ((s, d) => TextAnalysis.tokenCount(Tables.documents(s, d))),
+    "doc_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
+    "multimodal_features" -> ((s, d) => Multimodal.extractFeatures(Tables.documents(s, d))),
+  )
+
+  /** DuckDB oracle SQL per queries key (driver hash-compares at sf0.01).
+    * Keys absent here (minhash/simhash/lsh/multimodal) are approximate or
+    * non-SQL-expressible → driver records rows-only checks; their semantics
+    * are spec-tested against exact counterparts instead. */
+  def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.util.Det._
+
+/** The analytic core: grouped aggregation, star joins, windows, rollup,
+  * pivot — the day-to-day SQL a warehouse-dbt user runs, expressed
+  * Spark-first so Catalyst handles pushdown/pruning and AQE the shuffles.
+  *
+  * Scale notes per operator are on each method; the common rules:
+  *  - dims (region/nation/supplier/part) are broadcast — no shuffle;
+  *  - fact aggregates rely on partial (map-side) aggregation;
+  *  - every output has a total-order sort only as the final, small step.
+  */
+object Analytics {
+
+  private def revenueCents: Column =
+    round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0).cast("long")
+
+  /** TPC-H Q1-shaped pricing summary: one shuffle (partial agg → 6 groups). */
+  def pricingSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        intSum(col("l_quantity")).as("sum_qty"),
+        centsSum(col("l_extendedprice")).as("sum_base_price"),
+        (sum(revenueCents) / 100.0).as("sum_disc_price"),
+        (sum(revenueCents) / 100.0 / count(lit(1))).as("avg_disc_price"),
+        count(lit(1)).as("count_order"),
+      )
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** TPC-H Q3-shaped: selective dim filter → join → agg → total-order top-K.
+    * customer is the small side (1/10 of orders) → broadcast at this SF; at
+    * 100 TB it exceeds the broadcast threshold and AQE picks a shuffle join
+    * on the same plan. Revenue ordering is on exact integer cents, so the
+    * top-K frontier can't flip with partitioning. */
+  def topRevenueOrders(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                       segment: String = "BUILDING", k: Int = 10): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") > lit("1998-01-01"))
+      .join(orders.filter(col("o_orderdate") < lit("1998-01-01")),
+            col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer.filter(col("c_mktsegment") === segment)),
+            col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("order_date"),
+               col("o_orderpriority"))
+      .agg((sum(revenueCents) / 100.0).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(k)
+
+  /** TPC-H Q5-shaped 6-table star join: region/nation/supplier broadcast
+    * (tiny dims), single shuffle for the final group-by. */
+  def revenueByNation(region: DataFrame, nation: DataFrame, customer: DataFrame,
+                      supplier: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                      regionName: String = "ASIA"): DataFrame =
+    lineitem
+      .join(orders.filter(col("o_orderdate") >= lit("1996-01-01") &&
+                          col("o_orderdate") < lit("1998-01-01")),
+            col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.filter(col("r_name") === regionName)),
+            col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg((sum(revenueCents) / 100.0).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+
+  /** Running spend + sequence per customer. The window partitions by
+    * customer — one shuffle, then linear per-partition work; the running sum
+    * accumulates integer cents so it is exact at any scale. */
+  def runningSpend(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders.select(
+      col("o_custkey"), col("o_orderkey"),
+      centsSumOver(col("o_totalprice"), w).as("running_spend"),
+      row_number().over(Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")).as("order_seq"),
+    ).orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Multi-aggregate stats per group: exact counts/min/max/avg; stddev is
+    * rounded (float accumulation) — documented tolerance. */
+  def aggStats(orders: DataFrame): DataFrame =
+    orders.groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_customers"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        centsAvg(col("o_totalprice")).as("avg_price"),
+        round2(stddev_samp(col("o_totalprice"))).as("stddev_price"),
+      )
+      .orderBy("o_orderpriority")
+
+  /** Semi/anti join expressed as existence flag: customers with/without
+    * orders. The distinct-keys side is aggregated before the join (map-side
+    * combine), so the join input is |customers-with-orders|, not |orders|. */
+  def customerHasOrders(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val buyers = orders.select(col("o_custkey")).distinct()
+    customer
+      .join(buyers, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), col("c_name"),
+              col("o_custkey").isNotNull.as("has_orders"))
+      .orderBy("c_custkey")
+  }
+
+  /** GROUP BY ROLLUP hierarchy totals; null grouping rows sorted explicitly
+    * NULLS FIRST to pin cross-engine order. */
+  def rollupAgg(orders: DataFrame): DataFrame =
+    orders.rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+           centsSum(col("o_totalprice")).as("total_price"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+               col("o_orderpriority").asc_nulls_first)
+
+  /** Long→wide pivot on event_type with exact cent sums per cell. */
+  def pivotEventValues(events: DataFrame): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val agged = events.groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .agg(coalesce(sum(round(col("value") * 100, 0).cast("long")), lit(0L)))
+    types.foldLeft(agged) { (df, t) =>
+      df.withColumn(s"${t}_value", col(t) / 100.0).drop(t)
+    }.orderBy("user_id")
+  }
+
+  /** Exact dedup via DISTINCT (one shuffle, map-side partial distinct). */
+  def distinctStatusPriority(orders: DataFrame): DataFrame =
+    orders.select(col("o_orderstatus"), col("o_orderpriority"))
+      .distinct()
+      .orderBy("o_orderstatus", "o_orderpriority")
+}

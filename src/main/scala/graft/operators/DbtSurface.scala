@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.util.Det._
+
+/** Seed loading — reference: seeds/example_seed.csv (id,name: Alice/Bob).
+  * Seeds are tiny static tables; in production they'd be broadcast. */
+object Seeds {
+  def exampleSeed(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq((1L, "Alice"), (2L, "Bob")).toDF("id", "name").orderBy("id")
+  }
+}
+
+/** SCD-2 snapshot, dbt `strategy='timestamp'` — reference:
+  * snapshots/example_snapshot.sql (unique_key, updated_at → history rows).
+  *
+  * Each source row version becomes [valid_from, valid_to) with the open
+  * version flagged current. One shuffle (window by key); at scale the
+  * window per key is tiny so this is embarrassingly parallel.
+  */
+object Snapshot {
+  def scd2(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    orders.select(
+      col("o_custkey"), col("o_orderkey"),
+      col("o_orderdate").cast("date").as("valid_from"),
+      lead(col("o_orderdate").cast("date"), 1).over(w).as("valid_to"),
+      lead(col("o_orderkey"), 1).over(w).isNull.as("is_current"),
+    ).orderBy("o_custkey", "valid_from", "o_orderkey")
+  }
+}
+
+/** Incremental materialization semantics — reference: dbt_project.yml
+  * `on_schema_change: append_new_columns` + incremental merge behavior.
+  */
+object Incremental {
+  /** Upsert merge: delta rows win over base rows on the unique key.
+    * Implemented as union + row_number (one shuffle on the key). At 100 TB
+    * the delta is small relative to base → prefer partition-overwrite of
+    * only touched partitions; semantics identical. */
+  def mergeLatest(orders: DataFrame): DataFrame = {
+    val base = orders.select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice"), lit(0).as("src"))
+    val delta = orders.filter(col("o_orderkey") % 10 === 0).select(
+      col("o_orderkey"), col("o_custkey"),
+      lit("U").as("o_orderstatus"),
+      (col("o_totalprice") + 1).as("o_totalprice"), lit(1).as("src"))
+    val w = Window.partitionBy("o_orderkey").orderBy(col("src").desc)
+    base.unionAll(delta)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  /** `append_new_columns`: a new batch arrives with an extra column; old
+    * rows get NULL. Spark-first: unionByName(allowMissingColumns). */
+  def schemaEvolution(orders: DataFrame): DataFrame = {
+    val cutoff = lit("1998-01-01")
+    val base = orders.filter(col("o_orderdate") < cutoff)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val delta = orders.filter(col("o_orderdate") >= cutoff)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    base.unionByName(delta, allowMissingColumns = true).orderBy("o_orderkey")
+  }
+}
+
+/** dbt data tests — reference: the models' yml (`unique`, `not_null`) plus the
+  * other two dbt built-ins. Each test is a distributed aggregate returning a
+  * violation count; the suite unions the one-row summaries.
+  */
+object Checks {
+  def testSuite(orders: DataFrame, customer: DataFrame): DataFrame = {
+    def row(name: String, violations: DataFrame): DataFrame =
+      violations.select(lit(name).as("test_name"), col("violations"))
+
+    val acceptedValues = row("accepted_values_o_orderstatus",
+      orders.filter(!col("o_orderstatus").isin("O", "F", "P"))
+        .agg(count(lit(1)).as("violations")))
+    val notNull = row("not_null_o_custkey",
+      orders.filter(col("o_custkey").isNull).agg(count(lit(1)).as("violations")))
+    val relationships = row("relationships_o_custkey",
+      orders.join(customer, col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("violations")))
+    val unique = row("unique_o_orderkey",
+      orders.groupBy("o_orderkey").count().filter(col("count") > 1)
+        .agg(count(lit(1)).as("violations")))
+
+    acceptedValues.unionAll(notNull).unionAll(relationships).unionAll(unique)
+      .orderBy("test_name")
+  }
+}
+
+/** Dataset diff — reference: macros/compare_dev_prod.sql (EXCEPT DISTINCT in
+  * both directions, tagged with diff_type). Dev/prod simulated as the same
+  * mart built with two bucket thresholds. */
+object Diff {
+  def devProdDiff(orders: DataFrame): DataFrame = {
+    val dev  = Relational.fctBucket(orders, 200000.0).select("id", "bucket")
+    val prod = Relational.fctBucket(orders, 300000.0).select("id", "bucket")
+    dev.except(prod).select(lit("in_dev_not_in_prod").as("diff_type"), col("id"), col("bucket"))
+      .unionAll(
+        prod.except(dev).select(lit("in_prod_not_in_dev").as("diff_type"), col("id"), col("bucket")))
+      .orderBy("diff_type", "id")
+  }
+}
+
+/** Source freshness — reference: models/staging/src_example.yml
+  * (loaded_at_field + warn_after 24h / error_after 72h). Anchor "now" is a
+  * fixed literal so results are reproducible. */
+object Freshness {
+  def sourceFreshness(events: DataFrame,
+                      anchorEpoch: Long = 1706745600L /* 2024-02-01 UTC */,
+                      warnH: Long = 24, errorH: Long = 72): DataFrame = {
+    val age = (lit(anchorEpoch) - col("max_ts_s")) / lit(3600L)
+    events.groupBy(col("event_type"))
+      .agg(max(col("ts_s")).as("max_ts_s"))
+      .select(
+        col("event_type"), col("max_ts_s"),
+        floor(age).cast("long").as("age_hours"),
+        when(floor(age) > errorH, "error")
+          .when(floor(age) > warnH, "warn").otherwise("ok").as("status"))
+      .orderBy("event_type")
+  }
+}
+
+/** As-of join: for each purchase event, the most recent signup at-or-before
+  * it for the same user. Spark-first: instead of a per-row correlated lookup
+  * (O(n·m)), a RANGE-framed running max over the union — one shuffle by
+  * user, linear scan per partition; the classic union+window as-of that
+  * scales to billions of rows.
+  */
+object AsOf {
+  def lastSignupBeforePurchase(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_s")
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("last_signup_ts",
+        max(when(col("event_type") === "signup", col("ts_s"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_s").as("purchase_ts"),
+              col("last_signup_ts"),
+              (col("ts_s") - col("last_signup_ts")).as("seconds_since_signup"))
+      .orderBy("event_id")
+  }
+}

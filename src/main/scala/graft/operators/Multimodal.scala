@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** One input media item: opaque payload bytes + typed metadata. */
+case class MediaRow(doc_id: Long, modality: String, payload: Array[Byte], source: String)
+
+/** Extracted features for one media item. */
+case class MediaFeatures(doc_id: Long, modality: String, source: String,
+                         byte_len: Int, header_hex: String,
+                         width: Int, height: Int, feat: Array[Float])
+
+/** Multimodal column handling: image/audio/video as opaque `binary` columns
+  * with typed metadata, decoded/feature-extracted per partition.
+  *
+  * The Spark-side plumbing is real — schema, encoders, partition-wise batch
+  * processing via `mapPartitions` (the Scala analogue of `mapInPandas`:
+  * per-partition batch iteration, decoder state initialized once per
+  * partition, never per row). The decode itself is STUBBED with a
+  * deterministic fake because no image/audio codec libraries exist in this
+  * container — swap `decodeStub` for a real JPEG/PNG/audio decoder in
+  * production; nothing else changes.
+  */
+object Multimodal {
+
+  /** STUB decoder: deterministic pseudo-features from the raw bytes.
+    * Replace with a real codec (e.g. ImageIO / ffmpeg binding). */
+  private def decodeStub(payload: Array[Byte]): (Int, Int, Array[Float]) = {
+    val width = 64 + (payload.length % 512)
+    val height = 64 + (payload.map(_.toInt & 0xff).sum % 512)
+    // 8-bin byte histogram, L1-normalized — a stand-in embedding.
+    val hist = new Array[Float](8)
+    payload.foreach(b => hist((b & 0xff) / 32) += 1f)
+    val n = math.max(payload.length, 1).toFloat
+    (width, height, hist.map(_ / n))
+  }
+
+  /** Binary-column feature extraction pipeline. The `documents` text is cast
+    * to binary as the stand-in payload (container has no media files); the
+    * pipeline — typed rows in, batch decode per partition, typed features
+    * out — is exactly what a real image/audio corpus needs. */
+  def extractFeatures(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents
+      .select(col("doc_id"), lit("image").as("modality"),
+              col("text").cast("binary").as("payload"), col("source"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        // Per-partition init point for a real decoder/codec context.
+        rows.map { m =>
+          val (w, h, feat) = decodeStub(m.payload)
+          val header = m.payload.take(4).map(b => f"${b & 0xff}%02x").mkString
+          MediaFeatures(m.doc_id, m.modality, m.source,
+            m.payload.length, header, w, h, feat)
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+}

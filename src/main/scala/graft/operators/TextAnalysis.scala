@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.util.Det.round4
+
+/** Text analysis for training-data curation: language ID, quality scoring,
+  * token counting, fingerprinting. All pure per-row `functions._`
+  * expressions — fully codegen'd, zero shuffles (the scan is the only
+  * stage), so throughput is scan-bound at any scale.
+  */
+object TextAnalysis {
+
+  private val words = split(lower(trim(col("text"))), " ")
+  private val distinctWords = array_distinct(words)
+
+  /** Tiny per-language function-word lexicons for the n-gram/stopword
+    * heuristic. Classifier = argmax of distinct-word overlap, ties broken
+    * by language-name order. */
+  val lexicons: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "en" -> Seq("the", "a", "of", "and", "is", "not", "with", "to"),
+    "es" -> Seq("el", "la", "de", "y", "es", "no", "con", "un"),
+    "fr" -> Seq("le", "la", "de", "et", "est", "pas", "avec", "un"),
+  )
+
+  def langId(documents: DataFrame): DataFrame = {
+    val hitCols = lexicons.map { case (l, lex) =>
+      size(array_intersect(distinctWords, array(lex.map(lit): _*))).as(s"hits_$l")
+    }
+    val best = greatest(lexicons.map { case (l, _) => col(s"hits_$l") }: _*)
+    // when-chain in lexicon order: the first language hitting the max wins.
+    val chain = lexicons.reverse.foldLeft(lit("und"): Column) { case (e, (l, _)) =>
+      when(col(s"hits_$l") === best && best > 0, l).otherwise(e)
+    }
+    documents.select((col("doc_id") +: hitCols): _*)
+      .withColumn("predicted_lang", chain)
+      .orderBy("doc_id")
+  }
+
+  /** Quality scoring: structural ratios + a low-quality flag. */
+  def qualityScore(documents: DataFrame): DataFrame = {
+    val len = length(col("text"))
+    val nWords = size(words)
+    val punct = len - length(regexp_replace(col("text"), "[.,!?;:]", ""))
+    val digits = len - length(regexp_replace(col("text"), "[0-9]", ""))
+    val stop = size(array_intersect(distinctWords,
+      array(lexicons.flatMap(_._2).distinct.map(lit): _*)))
+    documents.select(
+      col("doc_id"),
+      len.as("n_chars_actual"),
+      nWords.as("n_words"),
+      round4(length(regexp_replace(col("text"), " ", "")).cast("double") / nWords)
+        .as("avg_word_len"),
+      round4(punct.cast("double") / len).as("punct_ratio"),
+      round4(digits.cast("double") / len).as("digit_ratio"),
+      round4(stop.cast("double") / nWords).as("stopword_ratio"),
+      when(len >= 100 && nWords >= 20, "ok").otherwise("low").as("quality_flag"),
+    ).orderBy("doc_id")
+  }
+
+  /** Token counting: whitespace tokens, a BPE-ish regex segmentation, and
+    * the chars/4 heuristic LLM-token estimate. */
+  def tokenCount(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      size(words).as("ws_tokens"),
+      size(regexp_extract_all(col("text"),
+        lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0))).as("bpe_tokens"),
+      ceil(length(col("text")) / 4.0).cast("long").as("est_llm_tokens"),
+    ).orderBy("doc_id")
+
+  /** Document fingerprinting: full md5 digest, 8-hex prefix bucket, and a
+    * 1-permutation minhash (lexicographic-min word md5). */
+  def fingerprint(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      md5(col("text")).as("digest"),
+      substring(md5(col("text")), 1, 8).as("prefix8"),
+      array_min(transform(distinctWords, w => md5(w))).as("min_word_md5"),
+    ).orderBy("doc_id")
+}
