@@ -57,11 +57,17 @@ object SparkEntry {
     "token_count"     -> ((s, d) => TextAnalysis.tokenCount(Tables.documents(s, d))),
     "doc_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
     "multimodal_features" -> ((s, d) => Multimodal.extractFeatures(Tables.documents(s, d))),
+    // Structured Streaming twins (driven with Trigger.AvailableNow)
+    "stream_tumbling"   -> ((s, d) => graft.streaming.StreamOps.runTumbling(s, d)),
+    "stream_sessionize" -> ((s, d) => graft.streaming.StreamOps.runSessionize(s, d)),
   )
 
   /** DuckDB oracle SQL per queries key (driver hash-compares at sf0.01).
     * Keys absent here (minhash/simhash/lsh/multimodal) are approximate or
     * non-SQL-expressible → driver records rows-only checks; their semantics
     * are spec-tested against exact counterparts instead. */
-  def oracleSql: Map[String, String] = OracleSql.all
+  def oracleSql: Map[String, String] =
+    // The streaming tumbling agg reproduces the batch result exactly when
+    // run to completion, so it shares the batch oracle.
+    OracleSql.all + ("stream_tumbling" -> OracleSql.all("tumbling_window"))
 }

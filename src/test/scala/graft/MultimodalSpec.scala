@@ -1,0 +1,51 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.operators.{Materialize, Multimodal, Relational}
+
+class MultimodalSpec extends SparkSpec {
+
+  test("multimodal features: deterministic, schema-typed, byte-accurate") {
+    val docs = Tables.documents(spark, sf)
+    val feats = Multimodal.extractFeatures(docs)
+    assert(feats.columns.toSeq == Seq("doc_id", "modality", "source",
+      "byte_len", "header_hex", "width", "height", "feat"))
+    val joined = feats.join(docs, "doc_id")
+      .select(col("byte_len"), length(col("text")).as("text_len"),
+              col("header_hex"), col("text"), col("feat"))
+    joined.collect().foreach { r =>
+      assert(r.getInt(0) == r.getInt(1), "byte_len != text length (ascii corpus)")
+      val expectHeader = r.getString(3).getBytes(StandardCharsets.UTF_8).take(4)
+        .map(b => f"${b & 0xff}%02x").mkString
+      assert(r.getString(2) == expectHeader)
+      val feat = r.getSeq[Float](4)
+      assert(feat.length == 8 && math.abs(feat.sum - 1.0f) < 1e-3,
+        "feature histogram should be L1-normalized")
+    }
+    // determinism: two runs produce identical frames
+    assert(rows(feats) == rows(Multimodal.extractFeatures(docs)))
+  }
+
+  test("materialize: partition_by layout + cluster_by sort + dynamic overwrite") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mat").toString
+    val fct = Relational.fctBucket(Tables.orders(spark, sf), 200000.0)
+    Materialize.table(fct, dir, "bucket", Seq("id"))
+    val files = new java.io.File(dir).listFiles().map(_.getName).filter(_.startsWith("bucket="))
+    assert(files.toSet == Set("bucket=high", "bucket=regular"))
+    val back = spark.read.parquet(dir)
+    assert(back.count() == fct.count())
+    // partition pruning: reading one bucket scans one directory
+    val pruned = back.filter(col("bucket") === "high")
+    assert(pruned.count() == fct.filter(col("bucket") === "high").count())
+    // dynamic partition overwrite rewrites only the touched partition
+    val highOnly = fct.filter(col("bucket") === "high")
+      .withColumn("value", col("value") * 2)
+    Materialize.incremental(highOnly, dir, "bucket", dynamicOverwrite = true)
+    val after = spark.read.parquet(dir)
+    assert(after.filter(col("bucket") === "regular").count() ==
+      fct.filter(col("bucket") === "regular").count(), "untouched partition changed")
+    assert(after.filter(col("bucket") === "high").count() == highOnly.count())
+  }
+}
