@@ -97,7 +97,7 @@ object OracleSql {
       """WITH h AS (SELECT doc_id, md5(lower(trim(text))) AS digest FROM documents) SELECT digest, MIN(doc_id) AS survivor_id, COUNT(*) AS dup_count FROM h GROUP BY digest ORDER BY digest""",
 
     "dedup_jaccard" ->
-      s"""WITH d AS (SELECT doc_id, lang, n_chars, $docWords AS w FROM documents) SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, ROUND(CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) / len(list_distinct(list_concat(a.w, b.w))) * 10000, 0)/10000.0 AS jaccard FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 50 WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) / len(list_distinct(list_concat(a.w, b.w))) >= 0.5 ORDER BY doc_a, doc_b""",
+      s"""WITH d AS (SELECT doc_id, lang, n_chars, $docWords AS w FROM documents) SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, ROUND(CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) / len(list_distinct(list_concat(a.w, b.w))) * 10000, 0)/10000.0 AS jaccard FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id AND (a.n_chars // 100) = (b.n_chars // 100) WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) / len(list_distinct(list_concat(a.w, b.w))) >= 0.5 ORDER BY doc_a, doc_b""",
 
     "ann_cosine" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), s AS (SELECT e.vec_id, e.label, ROUND((SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest(e.embedding) AS x, unnest(q.qv) AS y)) / (sqrt((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FROM (SELECT unnest(e.embedding) AS x))) * sqrt((SELECT SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest(q.qv) AS y)))) * 10000, 0)/10000.0 AS cos_sim FROM embeddings e, q WHERE e.vec_id <> 0) SELECT vec_id, label, cos_sim FROM s WHERE cos_sim >= 0.2 ORDER BY vec_id""",

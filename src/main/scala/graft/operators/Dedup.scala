@@ -25,17 +25,21 @@ object Dedup {
       .orderBy("digest")
 
   /** Word-set Jaccard near-dup pairs with (lang, length-band) blocking.
-    * The blocked self-join is the *semantic* spec; [[minhashLsh]] is the
-    * scale path that approximates the same pair set without n² pairs. */
+    * Blocking keys are pure equi-join keys — (lang, n_chars div 100) — so
+    * candidate generation is a hash join partitioned on the block, never a
+    * nested loop; the jaccard is computed inline and the arrays dropped
+    * before any further shuffle. [[minhashLsh]] is the scale path that
+    * approximates the same pair set without enumerating blocks. */
   def jaccardPairs(documents: DataFrame, threshold: Double = 0.5): DataFrame = {
     val docs = documents.select(
-      col("doc_id"), col("lang"), col("n_chars"), words.as("w"))
-    val a = docs.select(col("doc_id").as("doc_a"), col("lang"),
-      col("n_chars").as("ca"), col("w").as("wa"))
+      col("doc_id"), col("lang"),
+      floor(col("n_chars") / 100).cast("long").as("band"), words.as("w"))
+    val a = docs.select(col("doc_id").as("doc_a"), col("lang"), col("band"),
+      col("w").as("wa"))
     val b = docs.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
-      col("n_chars").as("cb"), col("w").as("wb"))
-    a.join(b, col("lang") === col("lang_b") &&
-        col("doc_a") < col("doc_b") && abs(col("ca") - col("cb")) <= 50)
+      col("band").as("band_b"), col("w").as("wb"))
+    a.join(b, col("lang") === col("lang_b") && col("band") === col("band_b") &&
+        col("doc_a") < col("doc_b"))
       .withColumn("jaccard",
         size(array_intersect(col("wa"), col("wb"))).cast("double") /
           size(array_union(col("wa"), col("wb"))))
@@ -55,19 +59,23 @@ object Dedup {
       // min over tokens of a seeded 64-bit hash = one minhash coordinate
       array_min(transform(words, t => xxhash64(concat(t, lit(s"#$i")))))
     }: _*)
-    val sigs = documents.select(col("doc_id"), words.as("w"), sig.as("sig"))
-    val banded = sigs.select(col("doc_id"), col("w"),
-      posexplode(array((0 until bands).map(bi =>
-        xxhash64(concat_ws(",", (0 until r).map(j => col("sig")(bi * r + j)): _*))): _*))
-        .as(Seq("band_idx", "band_hash")))
+    // Bands carry ONLY (doc_id, band) — candidate generation shuffles ids,
+    // never the token arrays; arrays re-attach after pair dedup.
+    val banded = documents.select(col("doc_id"), sig.as("sig"))
+      .select(col("doc_id"),
+        posexplode(array((0 until bands).map(bi =>
+          xxhash64(concat_ws(",", (0 until r).map(j => col("sig")(bi * r + j)): _*))): _*))
+          .as(Seq("band_idx", "band_hash")))
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
         col("x.band_hash") === col("y.band_hash") &&
         col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-              col("x.w").as("wa"), col("y.w").as("wb"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
+    val docsW = documents.select(col("doc_id"), words.as("w"))
     cand
+      .join(docsW.select(col("doc_id").as("doc_a"), col("w").as("wa")), "doc_a")
+      .join(docsW.select(col("doc_id").as("doc_b"), col("w").as("wb")), "doc_b")
       .withColumn("jaccard",
         size(array_intersect(col("wa"), col("wb"))).cast("double") /
           size(array_union(col("wa"), col("wb"))))

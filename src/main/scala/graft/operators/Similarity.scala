@@ -77,15 +77,22 @@ object Similarity {
           shiftleft(lit(1L), i)).otherwise(0L)
       }.reduce(_.bitwiseOR(_))
     }
-    val hashed = embeddings.select(col("vec_id"), col("embedding"),
+    // Candidate generation on (vec_id, table, bucket) only — embeddings
+    // re-attach after pair dedup so each cosine is computed exactly once.
+    val hashed = embeddings.select(col("vec_id"),
       posexplode(array(buckets: _*)).as(Seq("table_idx", "bucket")))
-    hashed.as("x").join(hashed.as("y"),
+    val cand = hashed.as("x").join(hashed.as("y"),
         col("x.table_idx") === col("y.table_idx") &&
         col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
-        round4(dot(col("x.embedding"), col("y.embedding")) /
-          (norm(col("x.embedding")) * norm(col("y.embedding")))).as("cos_sim"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
       .dropDuplicates("vec_a", "vec_b")
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+    cand
+      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        round4(dot(col("ea"), col("eb")) /
+          (norm(col("ea")) * norm(col("eb")))).as("cos_sim"))
       .filter(col("cos_sim") >= minCos)
       .orderBy("vec_a", "vec_b")
   }
