@@ -51,6 +51,9 @@ object OracleSql {
     "source_freshness" ->
       """WITH e AS (SELECT event_type, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_s FROM events), m AS (SELECT event_type, MAX(ts_s) AS max_ts_s FROM e GROUP BY event_type) SELECT event_type, max_ts_s, CAST(FLOOR((1706745600 - max_ts_s) / 3600.0) AS BIGINT) AS age_hours, CASE WHEN FLOOR((1706745600 - max_ts_s) / 3600.0) > 72 THEN 'error' WHEN FLOOR((1706745600 - max_ts_s) / 3600.0) > 24 THEN 'warn' ELSE 'ok' END AS status FROM m ORDER BY event_type""",
 
+    "json_extract" ->
+      """SELECT event_id, user_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events ORDER BY event_id""",
+
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus, SUM(CAST(l_quantity AS BIGINT)) AS sum_qty, ${cents("l_extendedprice")} AS sum_base_price, $revenue AS sum_disc_price, $revenue/COUNT(*) AS avg_disc_price, COUNT(*) AS count_order FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
 

@@ -26,6 +26,7 @@ object SparkEntry {
     "test_suite"        -> ((s, d) => Checks.testSuite(Tables.orders(s, d), Tables.customer(s, d))),
     "dev_prod_diff"     -> ((s, d) => Diff.devProdDiff(Tables.orders(s, d))),
     "source_freshness"  -> ((s, d) => Freshness.sourceFreshness(Tables.events(s, d))),
+    "json_extract"      -> ((s, d) => Json.extractProps(Tables.events(s, d))),
     // B. analytic core
     "q1_agg"          -> ((s, d) => Analytics.pricingSummary(Tables.lineitem(s, d))),
     "q3_topk"         -> ((s, d) => Analytics.topRevenueOrders(

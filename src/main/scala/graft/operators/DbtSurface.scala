@@ -3,15 +3,33 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import graft.util.Det._
 
 /** Seed loading — reference: seeds/example_seed.csv (id,name: Alice/Bob).
-  * Seeds are tiny static tables; in production they'd be broadcast. */
+  * Seeds are tiny static CSVs loaded with an explicit schema (never
+  * inferSchema — schema inference is a full extra pass and nondeterministic
+  * across files); in production pipelines they'd be broadcast. */
 object Seeds {
-  def exampleSeed(spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    Seq((1L, "Alice"), (2L, "Bob")).toDF("id", "name").orderBy("id")
-  }
+  def exampleSeed(spark: SparkSession): DataFrame =
+    spark.read
+      .schema("id BIGINT, name STRING")
+      .option("header", "true")
+      .csv("/root/repo/seeds/example_seed.csv")
+      .orderBy("id")
+}
+
+/** Semi-structured column handling: typed extraction from a JSON string
+  * column with `from_json` (schema-on-read — the Spark-native version of
+  * BigQuery's JSON_EXTRACT over a raw column). */
+object Json {
+  def extractProps(events: DataFrame): DataFrame =
+    events
+      .withColumn("j", from_json(col("props"), StructType(
+        Seq(StructField("k", LongType)))))
+      .select(col("event_id"), col("user_id"),
+              col("j").getField("k").as("k"))
+      .orderBy("event_id")
 }
 
 /** SCD-2 snapshot, dbt `strategy='timestamp'` — reference:

