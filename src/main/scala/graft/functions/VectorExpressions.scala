@@ -62,10 +62,66 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Word-set Jaccard similarity |A∩B| / |A∪B| over two string arrays.
+  *
+  * The composable form — `size(array_intersect(a,b)) /
+  * size(array_union(a,b))` — walks both arrays twice and materializes two
+  * intermediate arrays per row just to take their sizes. This expression
+  * builds one hash set of the left side and counts membership in a single
+  * pass: |∪| = |A|+|B|-|A∩B|. Inputs are assumed distinct-element arrays
+  * (callers normalize with array_distinct). */
+case class JaccardSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_jaccard"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val set = new java.util.HashSet[Any](x.numElements() * 2)
+    var i = 0
+    while (i < x.numElements()) { set.add(x.getUTF8String(i)); i += 1 }
+    var inter = 0
+    i = 0
+    while (i < y.numElements()) {
+      if (set.contains(y.getUTF8String(i))) inter += 1
+      i += 1
+    }
+    val union = x.numElements() + y.numElements() - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val set = ctx.freshName("set"); val i = ctx.freshName("i")
+      val inter = ctx.freshName("inter"); val union = ctx.freshName("union")
+      s"""
+        java.util.HashSet<Object> $set = new java.util.HashSet<Object>($a.numElements() * 2);
+        for (int $i = 0; $i < $a.numElements(); $i++) {
+          $set.add($a.getUTF8String($i));
+        }
+        int $inter = 0;
+        for (int $i = 0; $i < $b.numElements(); $i++) {
+          if ($set.contains($b.getUTF8String($i))) $inter++;
+        }
+        int $union = $a.numElements() + $b.numElements() - $inter;
+        ${ev.value} = ($union == 0) ? 0.0 : ((double) $inter) / $union;
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-API entry points for the graft native expressions. */
 object VectorFunctions {
   def cosine(a: Column, b: Column): Column =
     Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
+
+  def jaccard(a: Column, b: Column): Column =
+    Bridge.column(JaccardSimilarity(Bridge.expression(a), Bridge.expression(b)))
 }
 
 /** Session extension registering the native functions for SQL users:
@@ -77,5 +133,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
       (children: Seq[Expression]) => CosineSimilarity(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_jaccard"),
+      new ExpressionInfo(classOf[JaccardSimilarity].getName, "graft_jaccard"),
+      (children: Seq[Expression]) => JaccardSimilarity(children.head, children(1))))
   }
 }

@@ -87,8 +87,8 @@ object Similarity {
       .dropDuplicates("vec_a", "vec_b")
     val e = embeddings.select(col("vec_id"), col("embedding"))
     cand
-      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
-      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), "vec_b")
+      .join(broadcast(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))), "vec_a")
+      .join(broadcast(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))), "vec_b")
       .select(col("vec_a"), col("vec_b"),
         round4(cosine(col("ea"), col("eb"))).as("cos_sim"))
       .filter(col("cos_sim") >= minCos)

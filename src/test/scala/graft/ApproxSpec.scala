@@ -9,13 +9,16 @@ class ApproxSpec extends SparkSpec {
 
   test("minhash-LSH: perfect precision (verified), recall >= 0.7 vs exact jaccard") {
     val docs = Tables.documents(spark, sf)
-    val exact = Dedup.jaccardPairs(docs, 0.5)
+    // exact universe at the minhash operating point (J >= 0.8), unblocked
+    val exact = Dedup.jaccardPairs(docs, 0.8)
       .select("doc_a", "doc_b").collect().map(_.toSeq).toSet
-    val approx = Dedup.minhashLsh(docs, 32, 8, 0.5)
-      .select("doc_a", "doc_b").collect().map(_.toSeq).toSet
-    // verify step makes every reported pair truly >= threshold, but the
-    // exact set is blocked by (lang, length band) while LSH is not — so
-    // check containment on the blocked universe via intersection recall.
+    val approxRows = Dedup.minhashLsh(docs, 64, 8, 0.8).collect()
+    val approx: Set[Seq[Any]] =
+      approxRows.map(r => Seq[Any](r.getLong(0), r.getLong(1))).toSet
+    // the verify step makes precision exact by construction
+    assert(approxRows.forall(_.getDouble(2) >= 0.8))
+    // exact set is blocked by (lang, length band), LSH is not → recall on
+    // the blocked universe
     val found = exact.intersect(approx).size.toDouble
     assert(exact.isEmpty || found / exact.size >= 0.7,
       s"recall ${found / exact.size} (${approx.size} approx vs ${exact.size} exact)")
