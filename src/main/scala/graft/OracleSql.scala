@@ -36,6 +36,12 @@ object OracleSql {
     "snapshot_scd2" ->
       """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS valid_from, LEAD(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS valid_to, LEAD(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) IS NULL AS is_current FROM orders ORDER BY o_custkey, valid_from, o_orderkey""",
 
+    "snapshot_check" ->
+      """WITH x AS (SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate, md5(o_orderstatus) AS chk, LAG(md5(o_orderstatus)) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_chk FROM orders), f AS (SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate FROM x WHERE prev_chk IS NULL OR chk <> prev_chk), v AS (SELECT o_custkey, o_orderkey, o_orderstatus, CAST(o_orderdate AS DATE) AS valid_from, LEAD(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS valid_to FROM f) SELECT o_custkey, o_orderkey, o_orderstatus, valid_from, valid_to, valid_to IS NULL AS is_current FROM v ORDER BY o_custkey, valid_from, o_orderkey""",
+
+    "pipeline_run" ->
+      """WITH stg AS (SELECT o_orderkey AS order_key, o_totalprice AS total_price FROM orders) SELECT order_key AS id, total_price AS value, CASE WHEN total_price > 200000 THEN 'high' ELSE 'regular' END AS bucket FROM stg ORDER BY id""",
+
     "incremental_merge" ->
       """WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 0 AS src FROM orders), delta AS (SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus, o_totalprice + 1 AS o_totalprice, 1 AS src FROM orders WHERE o_orderkey % 10 = 0), u AS (SELECT * FROM base UNION ALL SELECT * FROM delta), r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY src DESC) AS rn FROM u) SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM r WHERE rn = 1 ORDER BY o_orderkey""",
 

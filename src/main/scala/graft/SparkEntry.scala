@@ -21,6 +21,21 @@ object SparkEntry {
     "fct_bucket"        -> ((s, d) => Relational.fctBucket(Tables.orders(s, d))),
     "seed_load"         -> ((s, _) => Seeds.exampleSeed(s)),
     "snapshot_scd2"     -> ((s, d) => Snapshot.scd2(Tables.orders(s, d))),
+    "snapshot_check"    -> ((s, d) => Snapshot.scd2Check(Tables.orders(s, d))),
+    "pipeline_run"      -> ((s, d) => {
+      import graft.pipeline._
+      import org.apache.spark.sql.functions._
+      val dir = java.nio.file.Files.createTempDirectory("graft_pipe").toString
+      val dag = new Pipeline(Seq(
+        Model("stg_orders", Seq("orders"), ViewMat,
+          in => Relational.stgOrders(in("orders"))),
+        Model("fct_bucket", Seq("stg_orders"), TableMat(Some("bucket"), Seq("id")),
+          in => in("stg_orders").select(
+            col("order_key").as("id"), col("total_price").as("value"),
+            when(col("total_price") > 200000, "high").otherwise("regular").as("bucket")))))
+      dag.run(s, Map("orders" -> Tables.orders(s, d)), dir)("fct_bucket")
+        .orderBy("id")
+    }),
     "incremental_merge" -> ((s, d) => Incremental.mergeLatest(Tables.orders(s, d))),
     "schema_evolution"  -> ((s, d) => Incremental.schemaEvolution(Tables.orders(s, d))),
     "test_suite"        -> ((s, d) => Checks.testSuite(Tables.orders(s, d), Tables.customer(s, d))),

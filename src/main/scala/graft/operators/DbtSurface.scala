@@ -40,6 +40,26 @@ object Json {
   * window per key is tiny so this is embarrassingly parallel.
   */
 object Snapshot {
+  /** dbt `strategy='check'`: a new version opens whenever any tracked
+    * column changes (detected via md5 over the tracked tuple), regardless
+    * of timestamps. Consecutive same-value rows collapse into one version.
+    * Here: orders per customer, tracking o_orderstatus. */
+  def scd2Check(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    orders
+      .withColumn("chk", md5(concat_ws("|", col("o_orderstatus"))))
+      .withColumn("prev_chk", lag(col("chk"), 1).over(w))
+      .filter(col("prev_chk").isNull || col("chk") =!= col("prev_chk"))
+      .withColumn("valid_from", col("o_orderdate").cast("date"))
+      .withColumn("valid_to",
+        lead(col("o_orderdate").cast("date"), 1).over(
+          Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),
+              col("valid_from"), col("valid_to"), col("is_current"))
+      .orderBy("o_custkey", "valid_from", "o_orderkey")
+  }
+
   def scd2(orders: DataFrame): DataFrame = {
     val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     orders.select(

@@ -1,0 +1,111 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** How a model persists — the Spark re-expression of dbt materializations
+  * (dbt_project.yml: staging=view, marts=table; plus ephemeral and
+  * incremental from dbt-core).
+  */
+sealed trait Materialization
+/** Registered as a temp view — computed on demand, never persisted. */
+case object ViewMat extends Materialization
+/** Written to parquet (optionally partitioned+clustered) and read back. */
+final case class TableMat(partitionBy: Option[String] = None,
+                          clusterBy: Seq[String] = Nil) extends Materialization
+/** Inlined into downstream plans (pure logical-plan composition). */
+case object EphemeralMat extends Materialization
+/** Merged into the existing table by unique key: delta rows win. */
+final case class IncrementalMat(uniqueKey: String) extends Materialization
+
+/** One model: name, upstream refs, materialization, and the transformation
+  * from resolved upstream frames to this model's frame — `build` is the
+  * model's SELECT; `deps` are its `ref()`/`source()` calls. */
+final case class Model(name: String, deps: Seq[String],
+                       materialization: Materialization,
+                       build: Map[String, DataFrame] => DataFrame)
+
+/** A dbt-core-style DAG runner on Spark.
+  *
+  * Resolves models in topological order (cycle/missing-ref detection),
+  * applies each materialization, and returns every model's frame. Sources
+  * are the input tables (dbt `source()`); `ref()` is just a deps entry.
+  * Everything stays a logical plan until a TableMat forces persistence, so
+  * Catalyst optimizes across view/ephemeral boundaries exactly as dbt
+  * compiles CTEs into one query.
+  */
+final class Pipeline(models: Seq[Model]) {
+  require(models.map(_.name).distinct.size == models.size, "duplicate model names")
+
+  /** Topological order with cycle detection (DFS, deterministic by
+    * declaration order). */
+  def topoOrder(sources: Set[String]): Seq[Model] = {
+    val byName = models.map(m => m.name -> m).toMap
+    val visiting = scala.collection.mutable.LinkedHashSet[String]()
+    val done = scala.collection.mutable.LinkedHashSet[String]()
+    val order = Seq.newBuilder[Model]
+    def visit(name: String): Unit = {
+      if (done.contains(name) || sources.contains(name)) return
+      val m = byName.getOrElse(name,
+        throw new IllegalArgumentException(s"unresolved ref '$name'"))
+      if (!visiting.add(name))
+        throw new IllegalArgumentException(
+          s"cycle: ${visiting.mkString(" -> ")} -> $name")
+      m.deps.foreach(visit)
+      visiting.remove(name)
+      done.add(name)
+      order += m
+    }
+    models.foreach(m => visit(m.name))
+    order.result()
+  }
+
+  /** Runs the DAG. `targetDir` holds table/incremental materializations. */
+  def run(spark: SparkSession, sources: Map[String, DataFrame],
+          targetDir: String): Map[String, DataFrame] = {
+    val resolved = scala.collection.mutable.Map[String, DataFrame]() ++ sources
+    topoOrder(sources.keySet).foreach { m =>
+      val inputs = (m.deps ++ sources.keys).distinct
+        .map(d => d -> resolved(d)).toMap
+      val df = m.build(inputs)
+      val out = m.materialization match {
+        case ViewMat =>
+          df.createOrReplaceTempView(m.name); df
+        case EphemeralMat => df
+        case TableMat(part, cluster) =>
+          val path = s"$targetDir/${m.name}"
+          val writer = part match {
+            case Some(p) =>
+              val sorted = if (cluster.nonEmpty)
+                df.repartition(col(p)).sortWithinPartitions(cluster.head, cluster.tail: _*)
+              else df
+              sorted.write.mode("overwrite").partitionBy(p)
+            case None => df.write.mode("overwrite")
+          }
+          writer.parquet(path)
+          spark.read.parquet(path)
+        case IncrementalMat(key) =>
+          val path = s"$targetDir/${m.name}"
+          val exists = new java.io.File(path).exists()
+          val merged = if (!exists) df else {
+            val base = spark.read.parquet(path).withColumn("_src", lit(0))
+            val delta = df.withColumn("_src", lit(1))
+            val w = Window.partitionBy(key).orderBy(col("_src").desc)
+            base.unionByName(delta, allowMissingColumns = true)
+              .withColumn("_rn", row_number().over(w))
+              .filter(col("_rn") === 1).drop("_src", "_rn")
+          }
+          // write via temp dir: the merge reads the current table
+          val tmp = s"$path._staging"
+          merged.write.mode("overwrite").parquet(tmp)
+          val dir = new java.io.File(path)
+          if (exists) { dir.listFiles().foreach(_.delete()); dir.delete() }
+          new java.io.File(tmp).renameTo(dir)
+          spark.read.parquet(path)
+      }
+      resolved(m.name) = out
+    }
+    resolved.toMap
+  }
+}

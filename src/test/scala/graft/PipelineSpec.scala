@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline._
+import graft.sources.Tables
+import graft.util.Skew
+
+class PipelineSpec extends SparkSpec {
+
+  private def tmp() = java.nio.file.Files.createTempDirectory("graft_p").toString
+
+  test("pipeline resolves refs in topological order and detects cycles") {
+    val dag = new Pipeline(Seq(
+      Model("c", Seq("b"), EphemeralMat, in => in("b")),
+      Model("a", Seq("src"), EphemeralMat, in => in("src")),
+      Model("b", Seq("a"), EphemeralMat, in => in("a"))))
+    assert(dag.topoOrder(Set("src")).map(_.name) == Seq("b", "a", "c").sorted
+      .sortBy(Seq("a", "b", "c").indexOf(_)))
+    val cyclic = new Pipeline(Seq(
+      Model("x", Seq("y"), EphemeralMat, in => in("y")),
+      Model("y", Seq("x"), EphemeralMat, in => in("x"))))
+    val e = intercept[IllegalArgumentException](cyclic.topoOrder(Set()))
+    assert(e.getMessage.contains("cycle"))
+    val missing = new Pipeline(Seq(Model("z", Seq("nope"), EphemeralMat, in => in("nope"))))
+    assert(intercept[IllegalArgumentException](missing.topoOrder(Set()))
+      .getMessage.contains("unresolved"))
+  }
+
+  test("view materialization registers a queryable temp view") {
+    val dag = new Pipeline(Seq(
+      Model("stg_orders_v", Seq("orders"), ViewMat,
+        in => in("orders").select(col("o_orderkey"), col("o_totalprice")))))
+    dag.run(spark, Map("orders" -> Tables.orders(spark, sf)), tmp())
+    assert(spark.sql("SELECT count(*) FROM stg_orders_v").head.getLong(0) ==
+      Tables.orders(spark, sf).count())
+  }
+
+  test("incremental materialization: rerun is idempotent, delta wins") {
+    val dir = tmp()
+    val orders = Tables.orders(spark, sf)
+    def dag(price: Double) = new Pipeline(Seq(
+      Model("inc", Seq("orders"), IncrementalMat("o_orderkey"),
+        in => in("orders").select(col("o_orderkey"), lit(price).as("p")))))
+    val first = dag(1.0).run(spark, Map("orders" -> orders), dir)("inc")
+    assert(first.count() == orders.count())
+    val second = dag(2.0).run(spark, Map("orders" -> orders), dir)("inc")
+    assert(second.count() == orders.count(), "incremental rerun duplicated rows")
+    assert(second.agg(min("p")).head.getDouble(0) == 2.0, "delta did not win")
+  }
+
+  test("table materialization writes partitioned layout") {
+    val dir = tmp()
+    val dag = new Pipeline(Seq(
+      Model("t", Seq("orders"), TableMat(Some("o_orderstatus"), Seq("o_orderkey")),
+        in => in("orders").select(col("o_orderkey"), col("o_orderstatus")))))
+    dag.run(spark, Map("orders" -> Tables.orders(spark, sf)), dir)
+    val parts = new java.io.File(s"$dir/t").listFiles()
+      .map(_.getName).filter(_.startsWith("o_orderstatus=")).toSet
+    assert(parts == Set("o_orderstatus=F", "o_orderstatus=O", "o_orderstatus=P"))
+  }
+
+  test("salted join returns exactly the plain join's rows") {
+    val orders = Tables.orders(spark, sf)
+    val customer = Tables.customer(spark, sf)
+      .withColumnRenamed("c_custkey", "o_custkey")
+    val plain = orders.join(customer, "o_custkey")
+      .select("o_orderkey", "c_name").collect().map(_.toSeq).toSet
+    val salted = Skew.saltedJoin(orders, customer, "o_custkey", 8,
+        col("o_orderkey"))
+      .select("o_orderkey", "c_name").collect().map(_.toSeq).toSet
+    assert(salted == plain)
+  }
+}
