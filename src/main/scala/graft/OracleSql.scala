@@ -90,6 +90,15 @@ object OracleSql {
     "dedup_distinct" ->
       """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders ORDER BY o_orderstatus, o_orderpriority""",
 
+    "quantiles" ->
+      """SELECT o_orderpriority, ROUND(quantile_cont(o_totalprice, 0.5)*100, 0)/100.0 AS p50, ROUND(quantile_cont(o_totalprice, 0.9)*100, 0)/100.0 AS p90, ROUND(quantile_cont(o_totalprice, 0.99)*100, 0)/100.0 AS p99 FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "date_parts" ->
+      """SELECT o_orderkey, EXTRACT(year FROM o_orderdate) AS y, EXTRACT(quarter FROM o_orderdate) AS q, EXTRACT(month FROM o_orderdate) AS m, EXTRACT(day FROM o_orderdate) AS d, EXTRACT(dow FROM o_orderdate) AS dow, EXTRACT(week FROM o_orderdate) AS week FROM orders ORDER BY o_orderkey""",
+
+    "dedup_ngram" ->
+      s"""WITH d AS (SELECT doc_id, lang, n_chars, list_distinct(list_transform(range(1, len(string_split(lower(trim(text)), ' '))-1), i -> string_split(lower(trim(text)), ' ')[i] || ' ' || string_split(lower(trim(text)), ' ')[i+1] || ' ' || string_split(lower(trim(text)), ' ')[i+2])) AS s FROM documents) SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) * 10000, 0)/10000.0 AS jaccard FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id AND (a.n_chars // 100) = (b.n_chars // 100) WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.3 ORDER BY doc_a, doc_b""",
+
     "asof_join" ->
       s"""WITH e AS ($eventsSec) SELECT e.event_id, e.user_id, e.ts_s AS purchase_ts, (SELECT MAX(s.ts_s) FROM e s WHERE s.user_id = e.user_id AND s.event_type = 'signup' AND s.ts_s <= e.ts_s) AS last_signup_ts, e.ts_s - (SELECT MAX(s.ts_s) FROM e s WHERE s.user_id = e.user_id AND s.event_type = 'signup' AND s.ts_s <= e.ts_s) AS seconds_since_signup FROM e WHERE e.event_type = 'purchase' ORDER BY e.event_id""",
 

@@ -55,6 +55,9 @@ object SparkEntry {
     "rollup_agg"      -> ((s, d) => Analytics.rollupAgg(Tables.orders(s, d))),
     "pivot_wide"      -> ((s, d) => Analytics.pivotEventValues(Tables.events(s, d))),
     "dedup_distinct"  -> ((s, d) => Analytics.distinctStatusPriority(Tables.orders(s, d))),
+    "quantiles"       -> ((s, d) => Analytics.quantiles(Tables.orders(s, d))),
+    "approx_distinct" -> ((s, d) => Analytics.approxDistinct(Tables.orders(s, d))),
+    "date_parts"      -> ((s, d) => Analytics.dateParts(Tables.orders(s, d))),
     "asof_join"       -> ((s, d) => AsOf.lastSignupBeforePurchase(Tables.events(s, d))),
     // C. events
     "sessionize"      -> ((s, d) => Sessions.sessionize(Tables.events(s, d))),
@@ -63,6 +66,7 @@ object SparkEntry {
     // D. LLM training-data pipeline
     "dedup_exact"     -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "dedup_jaccard"   -> ((s, d) => Dedup.jaccardPairs(Tables.documents(s, d))),
+    "dedup_ngram"     -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
     "dedup_minhash"   -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
     "dedup_simhash"   -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
     "ann_cosine"      -> ((s, d) => Similarity.cosineToQuery(Tables.embeddings(s, d))),
@@ -76,6 +80,7 @@ object SparkEntry {
     // Structured Streaming twins (driven with Trigger.AvailableNow)
     "stream_tumbling"   -> ((s, d) => graft.streaming.StreamOps.runTumbling(s, d)),
     "stream_sessionize" -> ((s, d) => graft.streaming.StreamOps.runSessionize(s, d)),
+    "stream_dedup"      -> ((s, d) => graft.streaming.StreamOps.runDedup(s, d)),
   )
 
   /** DuckDB oracle SQL per queries key (driver hash-compares at sf0.01).
@@ -83,7 +88,10 @@ object SparkEntry {
     * non-SQL-expressible → driver records rows-only checks; their semantics
     * are spec-tested against exact counterparts instead. */
   def oracleSql: Map[String, String] =
-    // The streaming tumbling agg reproduces the batch result exactly when
-    // run to completion, so it shares the batch oracle.
-    OracleSql.all + ("stream_tumbling" -> OracleSql.all("tumbling_window"))
+    // Streaming ops that reproduce a batch result exactly when run to
+    // completion share (or restate) the batch oracle.
+    OracleSql.all +
+      ("stream_tumbling" -> OracleSql.all("tumbling_window")) +
+      ("stream_dedup" ->
+        "SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY event_type ORDER BY event_type")
 }

@@ -131,6 +131,39 @@ object Analytics {
     }.orderBy("user_id")
   }
 
+  /** Exact interpolated quantiles per group (percentile = sort + linear
+    * interpolation at p*(n-1), the same definition as SQL PERCENTILE_CONT).
+    * For 100 TB dashboards swap in approx_percentile (t-digest sketch) —
+    * see [[approxDistinct]] for the sketch-aggregate pattern. */
+  def quantiles(orders: DataFrame): DataFrame =
+    orders.groupBy(col("o_orderpriority"))
+      .agg(
+        round2(expr("percentile(o_totalprice, 0.5)")).as("p50"),
+        round2(expr("percentile(o_totalprice, 0.9)")).as("p90"),
+        round2(expr("percentile(o_totalprice, 0.99)")).as("p99"),
+      )
+      .orderBy("o_orderpriority")
+
+  /** HLL++ sketch count-distinct — constant memory per group at any scale,
+    * spec-bounded within 5% of exact. */
+  def approxDistinct(orders: DataFrame): DataFrame =
+    orders.groupBy(col("o_orderpriority"))
+      .agg(approx_count_distinct(col("o_custkey"), rsd = 0.02).as("approx_customers"))
+      .orderBy("o_orderpriority")
+
+  /** Calendar dimension extraction (the BigQuery EXTRACT() family).
+    * dow normalized to 0=Sunday to match ANSI/DuckDB. */
+  def dateParts(orders: DataFrame): DataFrame = {
+    val d = col("o_orderdate")
+    orders.select(
+      col("o_orderkey"),
+      year(d).as("y"), quarter(d).as("q"), month(d).as("m"),
+      dayofmonth(d).as("d"),
+      (dayofweek(d) - 1).as("dow"),
+      weekofyear(d).as("week"),
+    ).orderBy("o_orderkey")
+  }
+
   /** Exact dedup via DISTINCT (one shuffle, map-side partial distinct). */
   def distinctStatusPriority(orders: DataFrame): DataFrame =
     orders.select(col("o_orderstatus"), col("o_orderpriority"))

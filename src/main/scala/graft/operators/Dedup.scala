@@ -92,6 +92,31 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Word n-gram (shingle) Jaccard near-dup pairs: contiguous 3-word
+    * shingles instead of the word *set*, so word ORDER matters — two docs
+    * sharing vocabulary but not phrasing stop matching. Same equi-key
+    * blocking and native-jaccard verify as [[jaccardPairs]]. */
+  def ngramJaccard(documents: DataFrame, threshold: Double = 0.3): DataFrame = {
+    val w = split(lower(trim(col("text"))), " ")
+    val sh = when(size(w) >= 3,
+      array_distinct(transform(sequence(lit(0), size(w) - 3), i =>
+        concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3)))))
+      .otherwise(array().cast("array<string>"))
+    val docs = documents.select(
+      col("doc_id"), col("lang"),
+      floor(col("n_chars") / 100).cast("long").as("band"), sh.as("s"))
+    val a = docs.select(col("doc_id").as("doc_a"), col("lang"), col("band"),
+      col("s").as("sa"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
+      col("band").as("band_b"), col("s").as("sb"))
+    a.join(b, col("lang") === col("lang_b") && col("band") === col("band_b") &&
+        col("doc_a") < col("doc_b"))
+      .withColumn("jaccard", jaccard(col("sa"), col("sb")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round4(col("jaccard")).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** SimHash near-dup: 64-bit signature (sign of per-bit vote over token
     * hashes), candidates via 16-bit chunk bands (hamming ≤ 3 ⇒ ≥1 equal
     * chunk by pigeonhole over 4 chunks), verified with bit_count(xor). */

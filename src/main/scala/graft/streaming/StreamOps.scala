@@ -66,6 +66,26 @@ object StreamOps {
     spark.table(name).orderBy("event_type", "window_start")
   }
 
+  /** Streaming exact dedup: two sources over the same events (a simulated
+    * at-least-once replay) unioned, deduplicated by key in state, then
+    * aggregated — run to completion the counts equal the batch counts
+    * (shares the batch oracle). */
+  def runDedup(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"stream_dedup_${System.identityHashCode(spark)}"
+    val once = eventsStream(spark, dir)
+    val twice = once.unionByName(eventsStream(spark, dir))
+    val q = twice
+      .dropDuplicates("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy("event_type")
+  }
+
   /** Stateful gap sessionization via flatMapGroupsWithState: per user, an
     * open session is carried in GroupState; events extend it or close it
     * (30-min gap). Closed sessions are emitted append-mode; the open tail

@@ -53,6 +53,19 @@ class ApproxSpec extends SparkSpec {
     assert(approx.subsetOf(exactPairs), "lsh reported a pair below threshold")
   }
 
+  test("approx_count_distinct within 5% of exact per group") {
+    val orders = Tables.orders(spark, sf)
+    val approx = Analytics.approxDistinct(orders).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = orders.groupBy("o_orderpriority")
+      .agg(countDistinct("o_custkey").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(approx(k) - n).toDouble / n <= 0.05,
+        s"$k: approx ${approx(k)} vs exact $n")
+    }
+  }
+
   test("ann_topk ranks are dense 1..k per query") {
     val out = Similarity.topK(Tables.embeddings(spark, sf), Seq(0L, 1L, 2L), 10)
     val byQuery = out.collect().groupBy(_.getLong(0))
