@@ -25,27 +25,39 @@ object Dedup {
       .agg(min(col("doc_id")).as("survivor_id"), count(lit(1)).as("dup_count"))
       .orderBy("digest")
 
-  /** Word-set Jaccard near-dup pairs with (lang, length-band) blocking.
-    * Blocking keys are pure equi-join keys — (lang, n_chars div 100) — so
-    * candidate generation is a hash join partitioned on the block, never a
-    * nested loop; the jaccard is computed inline and the arrays dropped
-    * before any further shuffle. [[minhashLsh]] is the scale path that
-    * approximates the same pair set without enumerating blocks. */
-  def jaccardPairs(documents: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val docs = documents.select(
-      col("doc_id"), col("lang"),
-      floor(col("n_chars") / 100).cast("long").as("band"), words.as("w"))
-    val a = docs.select(col("doc_id").as("doc_a"), col("lang"), col("band"),
-      col("w").as("wa"))
-    val b = docs.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
-      col("band").as("band_b"), col("w").as("wb"))
-    a.join(b, col("lang") === col("lang_b") && col("band") === col("band_b") &&
-        col("doc_a") < col("doc_b"))
-      .withColumn("jaccard", jaccard(col("wa"), col("wb")))
+  /** Blocked pair enumeration + set-jaccard verify, shared by the exact
+    * near-dup operators. The block self-join runs on (doc_id, lang, band)
+    * rows ONLY — token payloads never ride the pair shuffle; they re-attach
+    * per side afterwards (broadcast at bench scale; at 100 TB drop the hint
+    * for a shuffle join keyed on doc id). */
+  private def blockedJaccard(documents: DataFrame,
+                             payload: org.apache.spark.sql.Column,
+                             threshold: Double): DataFrame = {
+    val ids = documents.select(col("doc_id"), col("lang"),
+      floor(col("n_chars") / 100).cast("long").as("band"))
+    val pairs = ids.select(col("doc_id").as("doc_a"), col("lang"), col("band"))
+      .join(ids.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
+        col("band").as("band_b")),
+        col("lang") === col("lang_b") && col("band") === col("band_b") &&
+          col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+    val pay = documents.select(col("doc_id"), payload.as("p"))
+    pairs
+      .join(broadcast(pay.select(col("doc_id").as("doc_a"), col("p").as("pa"))), "doc_a")
+      .join(broadcast(pay.select(col("doc_id").as("doc_b"), col("p").as("pb"))), "doc_b")
+      .withColumn("jaccard", jaccard(col("pa"), col("pb")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round4(col("jaccard")).as("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
+
+  /** Word-set Jaccard near-dup pairs with (lang, length-band) blocking.
+    * Blocking keys are pure equi-join keys — (lang, n_chars div 100) — so
+    * pair generation is a hash join partitioned on the block, never a
+    * nested loop. [[minhashLsh]] is the scale path that approximates the
+    * same pair set without enumerating blocks. */
+  def jaccardPairs(documents: DataFrame, threshold: Double = 0.5): DataFrame =
+    blockedJaccard(documents, words, threshold)
 
   /** MinHash + LSH near-dup: k hash functions over the word set via seeded
     * xxhash64; signatures cut into b bands of r rows; docs sharing a band
@@ -102,19 +114,7 @@ object Dedup {
       array_distinct(transform(sequence(lit(0), size(w) - 3), i =>
         concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3)))))
       .otherwise(array().cast("array<string>"))
-    val docs = documents.select(
-      col("doc_id"), col("lang"),
-      floor(col("n_chars") / 100).cast("long").as("band"), sh.as("s"))
-    val a = docs.select(col("doc_id").as("doc_a"), col("lang"), col("band"),
-      col("s").as("sa"))
-    val b = docs.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
-      col("band").as("band_b"), col("s").as("sb"))
-    a.join(b, col("lang") === col("lang_b") && col("band") === col("band_b") &&
-        col("doc_a") < col("doc_b"))
-      .withColumn("jaccard", jaccard(col("sa"), col("sb")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round4(col("jaccard")).as("jaccard"))
-      .orderBy("doc_a", "doc_b")
+    blockedJaccard(documents, sh, threshold)
   }
 
   /** SimHash near-dup: 64-bit signature (sign of per-bit vote over token
