@@ -123,6 +123,12 @@ object OracleSql {
     "ann_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id IN (0, 1, 2)), s AS (SELECT q.query_id, e.vec_id, ROUND((SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest(e.embedding) AS x, unnest(q.qv) AS y)) / (sqrt((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FROM (SELECT unnest(e.embedding) AS x))) * sqrt((SELECT SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest(q.qv) AS y)))) * 10000, 0)/10000.0 AS cos_sim FROM embeddings e, q WHERE e.vec_id <> q.query_id), r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank FROM s) SELECT query_id, vec_id, cos_sim, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
 
+    "dedup_semantic" ->
+      """WITH p AS (SELECT x.vec_id AS a, y.vec_id AS b, (SELECT SUM(CAST(xe AS DOUBLE) * CAST(ye AS DOUBLE)) FROM (SELECT unnest(x.embedding) AS xe, unnest(y.embedding) AS ye)) / (sqrt((SELECT SUM(CAST(xe AS DOUBLE) * CAST(xe AS DOUBLE)) FROM (SELECT unnest(x.embedding) AS xe))) * sqrt((SELECT SUM(CAST(ye AS DOUBLE) * CAST(ye AS DOUBLE)) FROM (SELECT unnest(y.embedding) AS ye)))) AS cos FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id), removed AS (SELECT DISTINCT b FROM p WHERE ROUND(cos * 10000, 0)/10000.0 >= 0.35) SELECT vec_id, label FROM embeddings WHERE vec_id NOT IN (SELECT b FROM removed) ORDER BY vec_id""",
+
+    "multimodal_frames" ->
+      """WITH d AS (SELECT doc_id, text, least(CAST(floor((length(text) - 64.0) / 128) AS BIGINT) + 1, 8) AS n FROM documents), r AS (SELECT doc_id, text, unnest(range(0, n)) AS i FROM d WHERE n > 0) SELECT doc_id, i AS frame_idx, length(substr(text, CAST(i*128+1 AS INT), 64)) AS frame_len, md5(substr(text, CAST(i*128+1 AS INT), 64)) AS frame_md5 FROM r ORDER BY doc_id, frame_idx""",
+
     "lang_id" ->
       s"""WITH d AS (SELECT doc_id, $docWords AS w FROM documents), h AS (SELECT doc_id, len(list_intersect(w, ['der','die','das','und','ist','nicht','mit','ein'])) AS hits_de, len(list_intersect(w, ['the','a','of','and','is','not','with','to'])) AS hits_en, len(list_intersect(w, ['el','la','de','y','es','no','con','un'])) AS hits_es, len(list_intersect(w, ['le','la','de','et','est','pas','avec','un'])) AS hits_fr FROM d) SELECT doc_id, hits_de, hits_en, hits_es, hits_fr, CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'und' WHEN hits_de = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'de' WHEN hits_en = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'en' WHEN hits_es = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'es' ELSE 'fr' END AS predicted_lang FROM h ORDER BY doc_id""",
 

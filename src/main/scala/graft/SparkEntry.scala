@@ -72,6 +72,9 @@ object SparkEntry {
     "ann_cosine"      -> ((s, d) => Similarity.cosineToQuery(Tables.embeddings(s, d))),
     "ann_topk"        -> ((s, d) => Similarity.topK(Tables.embeddings(s, d))),
     "ann_lsh"         -> ((s, d) => Similarity.lshCandidates(Tables.embeddings(s, d))),
+    "ann_ivf"         -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d))),
+    "dedup_semantic"  -> ((s, d) => Similarity.semanticDedup(Tables.embeddings(s, d))),
+    "multimodal_frames" -> ((s, d) => Multimodal.sampleFrames(Tables.documents(s, d))),
     "lang_id"         -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     "quality_score"   -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
     "token_count"     -> ((s, d) => TextAnalysis.tokenCount(Tables.documents(s, d))),

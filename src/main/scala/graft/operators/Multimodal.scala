@@ -36,6 +36,30 @@ object Multimodal {
     (width, height, hist.map(_ / n))
   }
 
+  /** Frame sampling over a binary payload (the video/audio pattern: take
+    * every `stride`-th fixed-size block). Pure declarative plumbing —
+    * sequence + transform + binary substring, so it stays in codegen and
+    * needs no decoder; a real codec would replace the block slicing inside
+    * the same schema. */
+  def sampleFrames(documents: DataFrame, frameLen: Int = 64,
+                   stride: Int = 128, maxFrames: Int = 8): DataFrame = {
+    val payload = col("text").cast("binary")
+    val nFrames = least(
+      floor((length(payload) - frameLen).cast("double") / stride).cast("long") + 1L,
+      lit(maxFrames.toLong))
+    documents
+      .select(col("doc_id"), payload.as("payload"), nFrames.as("n"))
+      .filter(col("n") > 0)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0L), col("n") - 1L), i =>
+          col("payload").substr(i.cast("int") * stride + 1, lit(frameLen))))
+          .as(Seq("frame_idx", "frame")))
+      .select(col("doc_id"), col("frame_idx"),
+              length(col("frame")).as("frame_len"),
+              md5(col("frame")).as("frame_md5"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
   /** Binary-column feature extraction pipeline. The `documents` text is cast
     * to binary as the stand-in payload (container has no media files); the
     * pipeline — typed rows in, batch decode per partition, typed features

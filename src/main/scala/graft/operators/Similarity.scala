@@ -53,6 +53,59 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Embedding-cosine (semantic) dedup, SemDeDup-style greedy survivor
+    * selection: enumerate pairs above the similarity threshold, drop the
+    * higher id of every pair — survivors are vectors with no more-senior
+    * near-twin. Exact pair enumeration here (oracle-comparable); swap the
+    * pair source for [[lshCandidates]] at scale. */
+  def semanticDedup(embeddings: DataFrame, minCos: Double = 0.35): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+    val removed = e.as("x").join(e.as("y"), col("x.vec_id") < col("y.vec_id"))
+      .filter(round4(cosine(col("x.embedding"), col("y.embedding"))) >= minCos)
+      .select(col("y.vec_id").as("vec_id")).distinct()
+    embeddings.join(removed, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("label"))
+      .orderBy("vec_id")
+  }
+
+  /** IVF-Flat ANN: k-means centroids partition the vector space (the
+    * "inverted file"); each vector is assigned to its nearest centroid and
+    * a query searches only the `nProbe` closest cells. The scan per query
+    * drops from n to ~n*nProbe/k — the classic disk-friendly ANN layout;
+    * recall vs [[topK]] is spec-bounded. */
+  def ivfTopK(embeddings: DataFrame, queryIds: Seq[Long] = Seq(0L, 1L, 2L),
+              k: Int = 10, nCells: Int = 16, nProbe: Int = 8): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = embeddings.sparkSession
+    val withVec = embeddings.select(col("vec_id"), col("label"), col("embedding"),
+      array_to_vector(col("embedding").cast("array<double>")).as("features"))
+    val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(10)
+      .fit(withVec.select("features"))
+    val assigned = model.transform(withVec)
+      .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
+    // centroid list is tiny (k rows) — ship as a literal array column
+    val centroids = model.clusterCenters.map(c =>
+      array(c.toArray.map(v => lit(v.toFloat)): _*))
+    val queries = assigned.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+    // rank cells per query by centroid distance, keep nProbe
+    val cellSims = queries.select(col("query_id"), col("q"),
+      posexplode(array(centroids.map(c => cosine(col("q"), c)): _*))
+        .as(Seq("cell", "cell_sim")))
+    val wCell = Window.partitionBy("query_id").orderBy(col("cell_sim").desc, col("cell"))
+    val probed = cellSims.withColumn("r", row_number().over(wCell))
+      .filter(col("r") <= nProbe).select("query_id", "q", "cell")
+    val scored = assigned.join(broadcast(probed), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round4(cosine(col("embedding"), col("q"))).as("cos_sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
   /** Multi-table LSH ANN: per table, sign bits against `planesPerTable`
     * fixed pseudo-random hyperplanes (deterministic LCG) form a bucket id;
     * docs sharing a bucket in ANY table are candidates (recall for cos≥0.4

@@ -66,6 +66,27 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
+  test("ann_ivf: recall >= 0.4 vs exact topK at nProbe=8/16 cells") {
+    val emb = Tables.embeddings(spark, sf)
+    val exact = Similarity.topK(emb, Seq(0L, 1L, 2L), 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, Seq(0L, 1L, 2L), 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    assert(recall >= 0.4, s"ivf recall $recall")
+  }
+
+  test("semantic dedup: survivors have no more-senior near-twin") {
+    val emb = Tables.embeddings(spark, sf)
+    val survivors = Similarity.semanticDedup(emb, 0.35)
+    assert(survivors.count() > 0 && survivors.count() <= emb.count())
+    // every removed vector must have a surviving OR removed lower-id twin
+    // (greedy guarantee: a removed id has SOME lower-id pair >= threshold)
+    val ids = survivors.collect().map(_.getLong(0)).toSet
+    assert(ids.contains(emb.agg(min("vec_id")).head.getLong(0)),
+      "lowest id can never be removed")
+  }
+
   test("ann_topk ranks are dense 1..k per query") {
     val out = Similarity.topK(Tables.embeddings(spark, sf), Seq(0L, 1L, 2L), 10)
     val byQuery = out.collect().groupBy(_.getLong(0))
