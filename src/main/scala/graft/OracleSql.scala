@@ -87,6 +87,12 @@ object OracleSql {
       s"""SELECT user_id, ${Seq("click", "error", "purchase", "signup", "view").map(cell).mkString(", ")} FROM events GROUP BY user_id ORDER BY user_id"""
     },
 
+    "customer_ltv" ->
+      """WITH p AS (SELECT o_custkey, COUNT(*) AS n_orders, SUM(CAST(ROUND(o_totalprice*100, 0) AS BIGINT)) AS spend_cents, CAST(MIN(o_orderdate) AS DATE) AS first_order, CAST(MAX(o_orderdate) AS DATE) AS last_order FROM orders GROUP BY o_custkey) SELECT c_custkey, c_name, c_mktsegment, n_orders, spend_cents/100.0 AS total_spend, first_order, last_order, date_diff('day', first_order, last_order) AS tenure_days, CAST(RANK() OVER (PARTITION BY c_mktsegment ORDER BY spend_cents DESC, c_custkey) AS BIGINT) AS segment_spend_rank FROM customer JOIN p ON c_custkey = o_custkey ORDER BY c_custkey""",
+
+    "stream_enrich" ->
+      s"""SELECT c_mktsegment, COUNT(*) AS n_events, ${cents("value")} AS total_value FROM events JOIN customer ON user_id = c_custkey GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
     "dedup_distinct" ->
       """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders ORDER BY o_orderstatus, o_orderpriority""",
 

@@ -84,6 +84,8 @@ object SparkEntry {
     "stream_tumbling"   -> ((s, d) => graft.streaming.StreamOps.runTumbling(s, d)),
     "stream_sessionize" -> ((s, d) => graft.streaming.StreamOps.runSessionize(s, d)),
     "stream_dedup"      -> ((s, d) => graft.streaming.StreamOps.runDedup(s, d)),
+    "stream_enrich"     -> ((s, d) => graft.streaming.StreamOps.runEnrich(s, d)),
+    "customer_ltv"      -> ((s, d) => Analytics.customerLtv(Tables.customer(s, d), Tables.orders(s, d))),
   )
 
   /** DuckDB oracle SQL per queries key (driver hash-compares at sf0.01).

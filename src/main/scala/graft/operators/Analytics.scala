@@ -164,6 +164,29 @@ object Analytics {
     ).orderBy("o_orderkey")
   }
 
+  /** Customer lifetime-value mart: per-customer order aggregates + a
+    * spend rank within market segment — the two-level agg→window pattern
+    * every warehouse mart uses. Shuffles: one for the agg (by customer),
+    * one for the segment window; the rank orders on exact cents. */
+  def customerLtv(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val perCustomer = orders.groupBy(col("o_custkey"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100, 0).cast("long")).as("spend_cents"),
+        min(col("o_orderdate").cast("date")).as("first_order"),
+        max(col("o_orderdate").cast("date")).as("last_order"))
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("spend_cents").desc, col("c_custkey"))
+    customer
+      .join(perCustomer, col("c_custkey") === col("o_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        col("n_orders"), (col("spend_cents") / 100.0).as("total_spend"),
+        col("first_order"), col("last_order"),
+        datediff(col("last_order"), col("first_order")).as("tenure_days"),
+        rank().over(w).cast("long").as("segment_spend_rank"))
+      .orderBy("c_custkey")
+  }
+
   /** Exact dedup via DISTINCT (one shuffle, map-side partial distinct). */
   def distinctStatusPriority(orders: DataFrame): DataFrame =
     orders.select(col("o_orderstatus"), col("o_orderpriority"))

@@ -86,6 +86,27 @@ object StreamOps {
     spark.table(name).orderBy("event_type")
   }
 
+  /** Stream-static enrichment: the event stream joins a broadcast static
+    * dimension (the canonical streaming star-join; the static side is
+    * re-read per micro-batch, so dim updates flow in). Aggregated counts
+    * equal the batch join — shares a batch oracle. */
+  def runEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"stream_enrich_${System.identityHashCode(spark)}"
+    val customers = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val q = eventsStream(spark, dir)
+      .join(broadcast(customers), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+           (sum(round(col("value") * 100, 0).cast("long")) / 100.0).as("total_value"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy("c_mktsegment")
+  }
+
   /** Stateful gap sessionization via flatMapGroupsWithState: per user, an
     * open session is carried in GroupState; events extend it or close it
     * (30-min gap). Closed sessions are emitted append-mode; the open tail
