@@ -60,6 +60,12 @@ object OracleSql {
     "json_extract" ->
       """SELECT event_id, user_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events ORDER BY event_id""",
 
+    "test_failures" ->
+      """SELECT 'accepted_values_o_orderpriority' AS test_name, o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH', '3-MEDIUM') ORDER BY o_orderkey""",
+
+    "token_budget" ->
+      """WITH t AS (SELECT doc_id, lang, CAST(CEIL(length(text)/4.0) AS BIGINT) AS est_tokens FROM documents), c AS (SELECT doc_id, lang, est_tokens, SUM(est_tokens) OVER (PARTITION BY lang ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens FROM t) SELECT doc_id, lang, est_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens FROM c WHERE cum_tokens <= 2000 ORDER BY lang, doc_id""",
+
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus, SUM(CAST(l_quantity AS BIGINT)) AS sum_qty, ${cents("l_extendedprice")} AS sum_base_price, $revenue AS sum_disc_price, $revenue/COUNT(*) AS avg_disc_price, COUNT(*) AS count_order FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
 

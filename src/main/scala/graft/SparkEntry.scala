@@ -42,6 +42,10 @@ object SparkEntry {
     "dev_prod_diff"     -> ((s, d) => Diff.devProdDiff(Tables.orders(s, d))),
     "source_freshness"  -> ((s, d) => Freshness.sourceFreshness(Tables.events(s, d))),
     "json_extract"      -> ((s, d) => Json.extractProps(Tables.events(s, d))),
+    "test_failures"     -> ((s, d) => StoreFailures.priorityFailures(Tables.orders(s, d))),
+    "token_budget"      -> ((s, d) => Curation.tokenBudget(Tables.documents(s, d))),
+    "stratified_sample" -> ((s, d) => Curation.stratifiedSample(Tables.documents(s, d),
+                              Map("en" -> 0.5, "de" -> 0.5, "es" -> 0.5, "fr" -> 0.5, "zh" -> 0.5))),
     // B. analytic core
     "q1_agg"          -> ((s, d) => Analytics.pricingSummary(Tables.lineitem(s, d))),
     "q3_topk"         -> ((s, d) => Analytics.topRevenueOrders(

@@ -132,6 +132,42 @@ object Checks {
   }
 }
 
+/** dbt `store_failures`: persist the violating ROWS of a test, not just the
+  * count — here an accepted_values test over order priority tiers. */
+object StoreFailures {
+  def priorityFailures(orders: DataFrame,
+                       accepted: Seq[String] = Seq("1-URGENT", "2-HIGH", "3-MEDIUM")): DataFrame =
+    orders.filter(!col("o_orderpriority").isin(accepted: _*))
+      .select(lit("accepted_values_o_orderpriority").as("test_name"),
+              col("o_orderkey"), col("o_orderpriority"))
+      .orderBy("o_orderkey")
+}
+
+/** Training-corpus curation: budgeted selection and stratified sampling. */
+object Curation {
+  /** Token-budget selection: per language, take documents in doc_id order
+    * until the cumulative estimated-token count exceeds the budget. One
+    * shuffle (window by lang); the running sum is exact integer tokens. */
+  def tokenBudget(documents: DataFrame, budgetPerLang: Long = 2000): DataFrame = {
+    val est = ceil(length(col("text")) / 4.0).cast("long")
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents
+      .select(col("doc_id"), col("lang"), est.as("est_tokens"))
+      .withColumn("cum_tokens", sum(col("est_tokens")).over(w))
+      .filter(col("cum_tokens") <= budgetPerLang)
+      .orderBy("lang", "doc_id")
+  }
+
+  /** Stratified sampling by language (Bernoulli per stratum, seeded).
+    * Approximate by design — spec bounds the per-stratum rates. */
+  def stratifiedSample(documents: DataFrame,
+                       fractions: Map[String, Double], seed: Long = 42L): DataFrame =
+    documents.stat.sampleBy("lang", fractions, seed)
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+}
+
 /** Dataset diff — reference: macros/compare_dev_prod.sql (EXCEPT DISTINCT in
   * both directions, tagged with diff_type). Dev/prod simulated as the same
   * mart built with two bucket thresholds. */

@@ -48,6 +48,30 @@ class OperatorsSpec extends SparkSpec {
     assert(suite.agg(sum("violations")).head.getLong(0) == 0)
   }
 
+  test("stratified sample: deterministic with seed, rates within bounds") {
+    val docs = Tables.documents(spark, sf)
+    val fr = Map("en" -> 0.5, "de" -> 0.5, "es" -> 0.5, "fr" -> 0.5, "zh" -> 0.5)
+    val s1 = Curation.stratifiedSample(docs, fr).collect().map(_.toSeq)
+    val s2 = Curation.stratifiedSample(docs, fr).collect().map(_.toSeq)
+    assert(s1.toSeq == s2.toSeq, "sample not deterministic for fixed seed")
+    val rates = Curation.stratifiedSample(docs, fr)
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    totals.foreach { case (l, n) =>
+      val got = rates.getOrElse(l, 0L).toDouble / n
+      assert(got > 0.25 && got < 0.75, s"$l rate $got far from 0.5")
+    }
+  }
+
+  test("token budget: cumulative selection never exceeds budget per lang") {
+    val sel = Curation.tokenBudget(Tables.documents(spark, sf), 2000)
+    assert(sel.count() > 0)
+    val over = sel.groupBy("lang").agg(max("cum_tokens").as("m"))
+      .filter(col("m") > 2000).count()
+    assert(over == 0)
+  }
+
   test("sessionize: gaps within sessions never exceed threshold, totals add up") {
     val events = Tables.events(spark, sf)
     val sess = Sessions.sessionize(events, 1800)
