@@ -1,0 +1,89 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass MinHash signature aggregate: for k seeded hash functions, the
+  * running elementwise minimum of every token's hash.
+  *
+  * The composable form needs k separate `min(xxhash64(t, i))` aggregate
+  * columns — k hash+min pipelines and a k-column row. This
+  * TypedImperativeAggregate keeps one `Array[Long]` buffer, supports
+  * partial aggregation (merge = elementwise min, commutative/associative →
+  * partition-invariant), and emits the signature as a single array column.
+  *
+  * Hashes replicate `functions.xxhash64(t, lit(i))` exactly (seed 42,
+  * child-chained), so signatures are interchangeable with the column form
+  * — spec-verified bit-identical.
+  */
+case class MinHashSignature(child: Expression, numHashes: Int,
+                            mutableAggBufferOffset: Int = 0,
+                            inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+
+  override def createAggregationBuffer(): Array[Long] =
+    Array.fill(numHashes)(Long.MaxValue)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val s = v.asInstanceOf[UTF8String]
+      // xxhash64(t, lit(i)) = hash children left-to-right, chaining seeds;
+      // the token hash is seed-independent of i — computed once per token.
+      val h1 = XxHash64Function.hash(s, StringType, 42L)
+      var i = 0
+      while (i < numHashes) {
+        val h = XxHash64Function.hash(i, IntegerType, h1)
+        if (h < buf(i)) buf(i) = h
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < numHashes) { if (b(i) < a(i)) a(i) = b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * numHashes)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(numHashes)(bb.getLong)
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_minhash"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MinHashSignature =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MinHashSignature =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+object MinHashAgg {
+  /** Aggregate Column: MinHash signature of the grouped token column. */
+  def minhash(token: Column, numHashes: Int): Column =
+    Bridge.column(MinHashSignature(Bridge.expression(token), numHashes)
+      .toAggregateExpression())
+}

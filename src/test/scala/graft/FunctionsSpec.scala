@@ -39,6 +39,24 @@ class FunctionsSpec extends SparkSpec {
       s"graft_cosine not inside a codegen span in:\n$plan")
   }
 
+  test("MinHashSignature aggregate is bit-identical to k min(xxhash64) columns") {
+    import graft.sources.Tables
+    val toks = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(array_distinct(
+        split(lower(trim(col("text"))), " "))).as("t"))
+    val k = 16
+    val native = toks.groupBy("doc_id")
+      .agg(graft.functions.MinHashAgg.minhash(col("t"), k).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    val aggs = (0 until k).map(i => min(xxhash64(col("t"), lit(i))).as(s"m$i"))
+    val columnar = toks.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .collect().map(r => r.getLong(0) -> (1 to k).map(r.getLong).toSeq).toMap
+    assert(native.keySet == columnar.keySet)
+    native.foreach { case (id, sig) =>
+      assert(sig == columnar(id), s"doc $id signature mismatch")
+    }
+  }
+
   test("graft_cosine registers for SQL via SparkSessionExtensions") {
     val s2 = SparkSession.builder().master("local[2]")
       .config("spark.sql.shuffle.partitions", "2")
