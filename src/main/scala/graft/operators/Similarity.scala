@@ -39,7 +39,9 @@ object Similarity {
   }
 
   /** Exact top-K neighbors for a set of query vectors: broadcast the query
-    * side, window-rank per query on (rounded cosine desc, vec_id). */
+    * side, then the custom [[graft.plans.TopKPerKey]] bounded-heap operator
+    * — O(n log k) per partition with no full per-group sort; the rank
+    * window runs only on the surviving k·|queries| rows. */
   def topK(embeddings: DataFrame, queryIds: Seq[Long] = Seq(0L, 1L, 2L),
            k: Int = 10): DataFrame = {
     val q = embeddings.filter(col("vec_id").isin(queryIds: _*))
@@ -47,9 +49,10 @@ object Similarity {
     val scored = embeddings.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         round4(cosine(col("embedding"), col("q"))).as("cos_sim"))
+    val top = graft.plans.TopKPerGroup(scored, Seq("query_id"),
+      Seq("cos_sim" -> false, "vec_id" -> true), k)
     val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+    top.withColumn("rank", row_number().over(w).cast("long"))
       .orderBy("query_id", "rank")
   }
 
