@@ -137,5 +137,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_jaccard"),
       new ExpressionInfo(classOf[JaccardSimilarity].getName, "graft_jaccard"),
       (children: Seq[Expression]) => JaccardSimilarity(children.head, children(1))))
+    // whole-operator extension: plans graft.plans.TopKPerKey logical nodes
+    ext.injectPlannerStrategy(_ => graft.plans.GraftStrategy)
   }
 }

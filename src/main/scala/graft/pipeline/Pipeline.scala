@@ -26,6 +26,23 @@ final case class Model(name: String, deps: Seq[String],
                        materialization: Materialization,
                        build: Map[String, DataFrame] => DataFrame)
 
+/** dbt unit-test semantics (dbt-core 1.8 `unit_tests:`): run one model's
+  * transformation against mocked inputs and diff against expected rows —
+  * no warehouse state involved. */
+object ModelTest {
+  /** Returns None on success, or a diff description on failure. */
+  def run(model: Model, mocked: Map[String, DataFrame],
+          expected: DataFrame): Option[String] = {
+    val actual = model.build(mocked)
+    val extra = actual.exceptAll(expected)
+    val missing = expected.exceptAll(actual)
+    val (nExtra, nMissing) = (extra.count(), missing.count())
+    if (nExtra == 0 && nMissing == 0) None
+    else Some(s"model '${model.name}': $nExtra unexpected row(s), " +
+      s"$nMissing missing row(s)")
+  }
+}
+
 /** A dbt-core-style DAG runner on Spark.
   *
   * Resolves models in topological order (cycle/missing-ref detection),

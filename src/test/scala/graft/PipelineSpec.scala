@@ -59,6 +59,19 @@ class PipelineSpec extends SparkSpec {
     assert(parts == Set("o_orderstatus=F", "o_orderstatus=O", "o_orderstatus=P"))
   }
 
+  test("model unit test: mocked inputs diffed against expected rows") {
+    import spark.implicits._
+    val bucketModel = Model("fct", Seq("src"), EphemeralMat, in =>
+      in("src").select(col("id"),
+        when(col("v") > 100, "high").otherwise("regular").as("bucket")))
+    val mocked = Map("src" -> Seq((1L, 50.0), (2L, 150.0)).toDF("id", "v"))
+    val good = Seq((1L, "regular"), (2L, "high")).toDF("id", "bucket")
+    assert(ModelTest.run(bucketModel, mocked, good).isEmpty)
+    val bad = Seq((1L, "high"), (2L, "high")).toDF("id", "bucket")
+    val err = ModelTest.run(bucketModel, mocked, bad)
+    assert(err.exists(_.contains("1 unexpected row(s), 1 missing row(s)")))
+  }
+
   test("salted join returns exactly the plain join's rows") {
     val orders = Tables.orders(spark, sf)
     val customer = Tables.customer(spark, sf)
