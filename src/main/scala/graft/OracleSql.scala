@@ -87,6 +87,12 @@ object OracleSql {
     "rollup_agg" ->
       s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders, ${cents("o_totalprice")} AS total_price FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority) ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
 
+    "cube_agg" ->
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders, ${cents("o_totalprice")} AS total_price FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+
+    "set_ops" ->
+      """WITH b96 AS (SELECT DISTINCT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996), b97 AS (SELECT DISTINCT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997) SELECT 'both_years' AS set_op, o_custkey FROM (SELECT o_custkey FROM b96 INTERSECT SELECT o_custkey FROM b97) UNION ALL SELECT 'only_1996' AS set_op, o_custkey FROM (SELECT o_custkey FROM b96 EXCEPT SELECT o_custkey FROM b97) ORDER BY set_op, o_custkey""",
+
     "pivot_wide" -> {
       val cell = (t: String) =>
         s"COALESCE(SUM(CASE WHEN event_type = '$t' THEN CAST(ROUND(value*100, 0) AS BIGINT) END), 0)/100.0 AS ${t}_value"

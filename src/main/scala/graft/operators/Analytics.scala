@@ -120,6 +120,26 @@ object Analytics {
       .orderBy(col("o_orderstatus").asc_nulls_first,
                col("o_orderpriority").asc_nulls_first)
 
+  /** GROUP BY CUBE: all grouping-set combinations (the rollup's superset). */
+  def cubeAgg(orders: DataFrame): DataFrame =
+    orders.cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+           centsSum(col("o_totalprice")).as("total_price"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+               col("o_orderpriority").asc_nulls_first)
+
+  /** INTERSECT / EXCEPT set algebra over customer-year activity. */
+  def setOps(orders: DataFrame): DataFrame = {
+    def buyers(yr: Int) = orders
+      .filter(year(col("o_orderdate")) === yr)
+      .select(col("o_custkey")).distinct()
+    val both = buyers(1996).intersect(buyers(1997))
+      .select(lit("both_years").as("set_op"), col("o_custkey"))
+    val only96 = buyers(1996).except(buyers(1997))
+      .select(lit("only_1996").as("set_op"), col("o_custkey"))
+    both.unionAll(only96).orderBy("set_op", "o_custkey")
+  }
+
   /** Long→wide pivot on event_type with exact cent sums per cell. */
   def pivotEventValues(events: DataFrame): DataFrame = {
     val types = Seq("click", "error", "purchase", "signup", "view")

@@ -16,6 +16,48 @@ class StreamingSpec extends SparkSpec {
     assert(stream == batch)
   }
 
+  test("watermark drops events later than the allowed lateness") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Long)] // (event_id, epoch seconds)
+    val agged = input.toDF().toDF("event_id", "ts_s")
+      .withColumn("event_time", timestamp_seconds(col("ts_s")))
+      .withWatermark("event_time", "10 minutes")
+      .groupBy(window(col("event_time"), "10 minutes"))
+      .agg(count(lit(1)).as("n"))
+    val name = "wm_test_sink"
+    val q = agged.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val h = 3600L
+      input.addData((1L, h), (2L, h + 60))        // window [3600, 4200)
+      q.processAllAvailable()
+      input.addData((3L, h + 7200))               // advances watermark to h+6600
+      q.processAllAvailable()
+      input.addData((4L, h + 30))                 // LATE: before watermark
+      input.addData((5L, h + 7260))
+      q.processAllAvailable()
+      val emitted = spark.table(name)
+        .select(col("window.start").cast("long"), col("n")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // the [3600, 4200) window was finalized with 2 events; the late 4th
+      // event must NOT reopen it
+      assert(emitted.get(3600L).contains(2L), s"got $emitted")
+    } finally q.stop()
+  }
+
+  test("corrupt JSON rows yield nulls, not failures") {
+    import spark.implicits._
+    val df = Seq("""{"k": 7}""", """not-json""", """{"k": "x"}""")
+      .toDF("props").withColumn("event_id", monotonically_increasing_id())
+      .withColumn("user_id", lit(1L))
+    val out = graft.operators.Json.extractProps(df).collect()
+    assert(out.length == 3)
+    assert(out.count(_.isNullAt(2)) == 2, "malformed rows should be null")
+  }
+
   test("stream sessionize emits exactly the closed sessions of the batch result") {
     val batch = Sessions.sessionize(Tables.events(spark, sf))
     // the stream keeps each user's last (open) session in state
