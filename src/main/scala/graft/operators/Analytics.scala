@@ -111,33 +111,38 @@ object Analytics {
       .orderBy("c_custkey")
   }
 
-  /** GROUP BY ROLLUP hierarchy totals; null grouping rows sorted explicitly
-    * NULLS FIRST to pin cross-engine order. */
-  def rollupAgg(orders: DataFrame): DataFrame =
-    orders.rollup(col("o_orderstatus"), col("o_orderpriority"))
+  /** Shared grouping-set measure block: count + exact cent sum, null
+    * grouping rows pinned NULLS FIRST for cross-engine order. */
+  private def groupingSetAgg(grouped: org.apache.spark.sql.RelationalGroupedDataset): DataFrame =
+    grouped
       .agg(count(lit(1)).as("n_orders"),
            centsSum(col("o_totalprice")).as("total_price"))
       .orderBy(col("o_orderstatus").asc_nulls_first,
                col("o_orderpriority").asc_nulls_first)
+
+  /** GROUP BY ROLLUP hierarchy totals. */
+  def rollupAgg(orders: DataFrame): DataFrame =
+    groupingSetAgg(orders.rollup(col("o_orderstatus"), col("o_orderpriority")))
 
   /** GROUP BY CUBE: all grouping-set combinations (the rollup's superset). */
   def cubeAgg(orders: DataFrame): DataFrame =
-    orders.cube(col("o_orderstatus"), col("o_orderpriority"))
-      .agg(count(lit(1)).as("n_orders"),
-           centsSum(col("o_totalprice")).as("total_price"))
-      .orderBy(col("o_orderstatus").asc_nulls_first,
-               col("o_orderpriority").asc_nulls_first)
+    groupingSetAgg(orders.cube(col("o_orderstatus"), col("o_orderpriority")))
 
-  /** INTERSECT / EXCEPT set algebra over customer-year activity. */
+  /** INTERSECT / EXCEPT set algebra over customer-year activity, computed
+    * in ONE scan: range predicates (pushable to the parquet scan, unlike a
+    * year() wrapper) + per-customer membership flags — equivalent to the
+    * distinct-INTERSECT/EXCEPT formulation but 1 shuffle instead of 4. */
   def setOps(orders: DataFrame): DataFrame = {
-    def buyers(yr: Int) = orders
-      .filter(year(col("o_orderdate")) === yr)
-      .select(col("o_custkey")).distinct()
-    val both = buyers(1996).intersect(buyers(1997))
-      .select(lit("both_years").as("set_op"), col("o_custkey"))
-    val only96 = buyers(1996).except(buyers(1997))
-      .select(lit("only_1996").as("set_op"), col("o_custkey"))
-    both.unionAll(only96).orderBy("set_op", "o_custkey")
+    val d = col("o_orderdate")
+    val flags = orders
+      .filter(d >= lit("1996-01-01") && d < lit("1998-01-01"))
+      .groupBy(col("o_custkey"))
+      .agg(max(d < lit("1997-01-01")).as("b96"),
+           max(d >= lit("1997-01-01")).as("b97"))
+    flags.filter(col("b96"))
+      .select(when(col("b97"), "both_years").otherwise("only_1996").as("set_op"),
+              col("o_custkey"))
+      .orderBy("set_op", "o_custkey")
   }
 
   /** Long→wide pivot on event_type with exact cent sums per cell. */
