@@ -35,7 +35,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
       dot += xi * yi; nx += xi * xi; ny += yi * yi
       i += 1
     }
-    dot / (math.sqrt(nx) * math.sqrt(ny))
+    // zero-norm (or empty) vectors have no direction: similarity 0, never
+    // NaN — NaN would outrank everything under desc sort and pass every
+    // >= threshold filter.
+    if (nx == 0.0 || ny == 0.0) 0.0
+    else dot / (math.sqrt(nx) * math.sqrt(ny))
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -53,7 +57,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
           double xi = (double) $x[$i]; double yi = (double) $y[$i];
           $dot += xi * yi; $nx += xi * xi; $ny += yi * yi;
         }
-        ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+        ${ev.value} = ($nx == 0.0 || $ny == 0.0)
+          ? 0.0 : $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
       """
     })
 

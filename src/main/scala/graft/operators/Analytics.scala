@@ -34,17 +34,18 @@ object Analytics {
       .orderBy("l_returnflag", "l_linestatus")
 
   /** TPC-H Q3-shaped: selective dim filter → join → agg → total-order top-K.
-    * customer is the small side (1/10 of orders) → broadcast at this SF; at
-    * 100 TB it exceeds the broadcast threshold and AQE picks a shuffle join
-    * on the same plan. Revenue ordering is on exact integer cents, so the
-    * top-K frontier can't flip with partitioning. */
+    * customer carries NO broadcast hint on purpose: it scales with SF, so
+    * the choice belongs to AQE's auto-broadcast (it broadcasts below the
+    * threshold, shuffle-joins above — a hint would force an OOM at 100 TB).
+    * Revenue ordering is on exact integer cents, so the top-K frontier
+    * can't flip with partitioning. */
   def topRevenueOrders(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
                        segment: String = "BUILDING", k: Int = 10): DataFrame =
     lineitem
       .filter(col("l_shipdate") > lit("1998-01-01"))
       .join(orders.filter(col("o_orderdate") < lit("1998-01-01")),
             col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(customer.filter(col("c_mktsegment") === segment)),
+      .join(customer.filter(col("c_mktsegment") === segment),
             col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("order_date"),
                col("o_orderpriority"))
@@ -52,8 +53,11 @@ object Analytics {
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(k)
 
-  /** TPC-H Q5-shaped 6-table star join: region/nation/supplier broadcast
-    * (tiny dims), single shuffle for the final group-by. */
+  /** TPC-H Q5-shaped 6-table star join. Only the FIXED-cardinality dims
+    * (region: 5 rows, nation: 25) carry broadcast hints — they are tiny at
+    * every SF. customer/supplier scale with SF, so their join strategy is
+    * left to AQE auto-broadcast (broadcast below threshold, shuffle above);
+    * a forced hint would OOM at 100 TB. One fact shuffle for the group-by. */
   def revenueByNation(region: DataFrame, nation: DataFrame, customer: DataFrame,
                       supplier: DataFrame, orders: DataFrame, lineitem: DataFrame,
                       regionName: String = "ASIA"): DataFrame =
@@ -61,8 +65,8 @@ object Analytics {
       .join(orders.filter(col("o_orderdate") >= lit("1996-01-01") &&
                           col("o_orderdate") < lit("1998-01-01")),
             col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey") &&
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey") &&
             col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(region.filter(col("r_name") === regionName)),

@@ -71,6 +71,8 @@ object Dedup {
     * the knob that holds it on similarity-dense corpora. */
   def minhashLsh(documents: DataFrame, numHashes: Int = 64, bands: Int = 8,
                  threshold: Double = 0.8): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be divisible by bands ($bands)")
     val r = numHashes / bands
     // Signature via the one-pass native aggregate (explode + single
     // MinHashSignature buffer, map-side partial aggregation; the shuffle

@@ -28,12 +28,12 @@ object Materialize {
   /** `materialized='incremental'`: append new rows into the same layout;
     * with `dynamicOverwrite` only the partitions present in `df` rewrite. */
   def incremental(df: DataFrame, path: String, partitionCol: String,
-                  dynamicOverwrite: Boolean = false): Unit = {
-    val spark = df.sparkSession
-    if (dynamicOverwrite) {
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
-    } else
+                  dynamicOverwrite: Boolean = false): Unit =
+    if (dynamicOverwrite)
+      // per-write option — never mutates the session-wide overwrite mode
+      df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partitionCol).parquet(path)
+    else
       df.write.mode("append").partitionBy(partitionCol).parquet(path)
-  }
 }

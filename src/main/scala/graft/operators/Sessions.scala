@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.util.Det.centsSum
 
 /** Event-stream batch analytics: sessionization, tumbling windows, funnels.
   * All operate on the [[graft.sources.Tables.events]] frame (ts_s = exact
@@ -27,7 +28,7 @@ object Sessions {
         min(col("ts_s")).as("session_start"),
         max(col("ts_s")).as("session_end"),
         count(lit(1)).as("n_events"),
-        (sum(round(col("value") * 100, 0).cast("long")) / 100.0).as("total_value"),
+        centsSum(col("value")).as("total_value"),
       )
       .orderBy("user_id", "sess_seq")
   }
@@ -39,7 +40,7 @@ object Sessions {
       .withColumn("window_start", col("ts_s") - col("ts_s") % widthSeconds)
       .groupBy(col("event_type"), col("window_start"))
       .agg(count(lit(1)).as("n_events"),
-           (sum(round(col("value") * 100, 0).cast("long")) / 100.0).as("total_value"))
+           centsSum(col("value")).as("total_value"))
       .orderBy("event_type", "window_start")
 
   /** signup→purchase funnel per user: first signup, first purchase at/after

@@ -113,12 +113,22 @@ final class Pipeline(models: Seq[Model]) {
               .withColumn("_rn", row_number().over(w))
               .filter(col("_rn") === 1).drop("_src", "_rn")
           }
-          // write via temp dir: the merge reads the current table
+          // write via temp dir: the merge reads the current table. The swap
+          // must not fail silently — a stale table poisons every downstream
+          // model. (Local-fs semantics; on an ACID table format the merge
+          // would be a MERGE INTO and this swap disappears.)
           val tmp = s"$path._staging"
           merged.write.mode("overwrite").parquet(tmp)
+          def deleteRec(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(deleteRec)
+            if (!f.delete())
+              throw new java.io.IOException(s"failed to delete ${f.getPath}")
+          }
           val dir = new java.io.File(path)
-          if (exists) { dir.listFiles().foreach(_.delete()); dir.delete() }
-          new java.io.File(tmp).renameTo(dir)
+          if (exists) deleteRec(dir)
+          if (!new java.io.File(tmp).renameTo(dir))
+            throw new java.io.IOException(
+              s"failed to swap incremental table $tmp -> $path")
           spark.read.parquet(path)
       }
       resolved(m.name) = out

@@ -48,8 +48,13 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
       val heaps = mutable.LinkedHashMap[UnsafeRow, mutable.PriorityQueue[InternalRow]]()
       it.foreach { row =>
         val key = keyProj(row)
-        val heap = heaps.getOrElseUpdate(key.copy(),
-          mutable.PriorityQueue.empty[InternalRow](heapOrd))
+        // copy the key only when inserting a new group — the hot loop
+        // otherwise probes with the reused projection row (no allocation)
+        val heap = heaps.getOrElse(key, {
+          val h = mutable.PriorityQueue.empty[InternalRow](heapOrd)
+          heaps.put(key.copy(), h)
+          h
+        })
         if (heap.size < kLocal) heap.enqueue(row.copy())
         else if (ord.compare(row, heap.head) < 0) {
           heap.dequeue(); heap.enqueue(row.copy())

@@ -2,11 +2,14 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.util.Det.centsSum
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types._
 
-/** One event as seen by the stateful sessionizer. */
-case class Ev(event_id: Long, user_id: Long, ts_s: Long, value: Double)
+/** One event as seen by the stateful sessionizer (event_time carries the
+  * watermark column into the stateful operator). */
+case class Ev(event_id: Long, user_id: Long, ts_s: Long, value: Double,
+              event_time: java.sql.Timestamp)
 
 /** One closed session. */
 case class Session(user_id: Long, sess_seq: Long, session_start: Long,
@@ -49,7 +52,7 @@ object StreamOps {
       .withWatermark("event_time", "2 hours")
       .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-           (sum(round(col("value") * 100, 0).cast("long")) / 100.0).as("total_value"))
+           centsSum(col("value")).as("total_value"))
       .select(col("event_type"), unix_timestamp(col("window.start")).as("window_start"),
               col("n_events"), col("total_value"))
 
@@ -98,7 +101,7 @@ object StreamOps {
       .join(broadcast(customers), col("user_id") === col("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_events"),
-           (sum(round(col("value") * 100, 0).cast("long")) / 100.0).as("total_value"))
+           centsSum(col("value")).as("total_value"))
       .writeStream.format("memory").queryName(name)
       .outputMode(OutputMode.Complete())
       .trigger(Trigger.AvailableNow())
@@ -109,43 +112,58 @@ object StreamOps {
 
   /** Stateful gap sessionization via flatMapGroupsWithState: per user, an
     * open session is carried in GroupState; events extend it or close it
-    * (30-min gap). Closed sessions are emitted append-mode; the open tail
-    * session stays in state until the watermark times it out — so a bounded
-    * replay emits every session except each user's last (spec-verified
-    * against the batch sessionizer). */
+    * (30-min gap). Closed sessions emit append-mode; the open session
+    * registers an event-time timeout at end+gap, so once the input
+    * watermark (set upstream — REQUIRED for EventTimeTimeout) passes that
+    * point the session emits and its state is freed: state stays bounded
+    * and every session eventually emits. Events are sorted per micro-batch;
+    * the watermark bounds cross-batch disorder (later-than-watermark rows
+    * are filtered before the operator). */
   def sessionizeStream(events: Dataset[Ev], gapSeconds: Long = 1800)
                       (implicit spark: SparkSession): Dataset[Session] = {
     import spark.implicits._
     events.groupByKey(_.user_id).flatMapGroupsWithState(
-      OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+      OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
       (userId: Long, it: Iterator[Ev], state: GroupState[SessState]) => {
-        // Event-time order within the micro-batch; cross-batch order is
-        // guaranteed by the watermark in continuous operation.
-        val evs = it.toSeq.sortBy(e => (e.ts_s, e.event_id))
         val out = Seq.newBuilder[Session]
-        var st = state.getOption.orNull
-        evs.foreach { e =>
-          val cents = math.round(e.value * 100)
-          if (st == null)
-            st = SessState(1, e.ts_s, e.ts_s, 1, cents)
-          else if (e.ts_s - st.end > gapSeconds) {
-            out += Session(userId, st.sessSeq, st.start, st.end, st.n, st.cents / 100.0)
-            st = SessState(st.sessSeq + 1, e.ts_s, e.ts_s, 1, cents)
-          } else
-            st = st.copy(end = e.ts_s, n = st.n + 1, cents = st.cents + cents)
+        if (state.hasTimedOut) {
+          val st = state.get
+          out += Session(userId, st.sessSeq, st.start, st.end, st.n, st.cents / 100.0)
+          state.remove()
+        } else {
+          val evs = it.toSeq.sortBy(e => (e.ts_s, e.event_id))
+          var st = state.getOption.orNull
+          evs.foreach { e =>
+            val cents = math.round(e.value * 100)
+            if (st == null)
+              st = SessState(1, e.ts_s, e.ts_s, 1, cents)
+            else if (e.ts_s - st.end > gapSeconds) {
+              out += Session(userId, st.sessSeq, st.start, st.end, st.n, st.cents / 100.0)
+              st = SessState(st.sessSeq + 1, e.ts_s, e.ts_s, 1, cents)
+            } else
+              st = st.copy(end = e.ts_s, n = st.n + 1, cents = st.cents + cents)
+          }
+          if (st != null) {
+            state.update(st)
+            state.setTimeoutTimestamp((st.end + gapSeconds) * 1000)
+          }
         }
-        if (st != null) state.update(st)
         out.result().iterator
       })
   }
 
-  /** Runs [[sessionizeStream]] over the parquet source to completion. */
+  /** Runs [[sessionizeStream]] over the parquet source to completion.
+    * The 10-minute watermark feeds the event-time timeouts; AvailableNow
+    * runs a final no-data micro-batch that fires timeouts for every session
+    * ended before (max event time - delay - gap). */
   def runSessionize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     implicit val s: SparkSession = spark
     val name = s"stream_sessions_${System.identityHashCode(spark)}"
     val evs = eventsStream(spark, dir)
-      .select(col("event_id"), col("user_id"), col("ts_s"), col("value")).as[Ev]
+      .withWatermark("event_time", "10 minutes")
+      .select(col("event_id"), col("user_id"), col("ts_s"), col("value"),
+              col("event_time")).as[Ev]
     val q = sessionizeStream(evs).writeStream
       .format("memory").queryName(name)
       .outputMode(OutputMode.Append())

@@ -58,14 +58,19 @@ class StreamingSpec extends SparkSpec {
     assert(out.count(_.isNullAt(2)) == 2, "malformed rows should be null")
   }
 
-  test("stream sessionize emits exactly the closed sessions of the batch result") {
-    val batch = Sessions.sessionize(Tables.events(spark, sf))
-    // the stream keeps each user's last (open) session in state
+  test("stream sessionize emits gap-closed sessions plus watermark-timed-out tails") {
+    val events = Tables.events(spark, sf)
+    val batch = Sessions.sessionize(events)
+    val maxTs = events.agg(max("ts_s")).head.getLong(0)
+    // gap-closed sessions always emit; a user's open tail session emits once
+    // the watermark (maxTs - 10min delay) passes session_end + gap
     val lastSeq = batch.groupBy("user_id").agg(max("sess_seq").as("last"))
-    val closed = batch.join(lastSeq, Seq("user_id"))
-      .filter(col("sess_seq") =!= col("last"))
+    val expected = batch.join(lastSeq, Seq("user_id"))
+      .filter(col("sess_seq") =!= col("last") ||
+              col("session_end") + 1800 < maxTs - 600)
       .drop("last").collect().map(_.toSeq).toSet
     val stream = StreamOps.runSessionize(spark, sf).collect().map(_.toSeq).toSet
-    assert(stream == closed)
+    assert(stream == expected,
+      s"stream ${stream.size} vs expected ${expected.size} sessions")
   }
 }
