@@ -159,6 +159,9 @@ object OracleSql {
     "token_count" ->
       """SELECT doc_id, len(string_split(lower(trim(text)), ' ')) AS ws_tokens, len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS bpe_tokens, CAST(CEIL(length(text)/4.0) AS BIGINT) AS est_llm_tokens FROM documents ORDER BY doc_id""",
 
+    "rolling_fingerprint" ->
+      """WITH h AS (SELECT doc_id, length(text) - 8 + 1 AS n_windows, list_sort(list_transform(range(1, length(text) - 8 + 2), i -> md5(substr(text, CAST(i AS INT), 8)))) AS hs FROM documents WHERE length(text) >= 8) SELECT doc_id, array_to_string(hs[1:4], ',') AS fingerprint, CAST(n_windows AS BIGINT) AS n_windows FROM h ORDER BY doc_id""",
+
     "doc_fingerprint" ->
       s"""SELECT doc_id, md5(text) AS digest, substr(md5(text), 1, 8) AS prefix8, list_sort(list_transform($docWords, x -> md5(x)))[1] AS min_word_md5 FROM documents ORDER BY doc_id""",
   )

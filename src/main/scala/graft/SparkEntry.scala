@@ -85,6 +85,7 @@ object SparkEntry {
     "quality_score"   -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
     "token_count"     -> ((s, d) => TextAnalysis.tokenCount(Tables.documents(s, d))),
     "doc_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
+    "rolling_fingerprint" -> ((s, d) => TextAnalysis.rollingFingerprint(Tables.documents(s, d))),
     "multimodal_features" -> ((s, d) => Multimodal.extractFeatures(Tables.documents(s, d))),
     // Structured Streaming twins (driven with Trigger.AvailableNow)
     "stream_tumbling"   -> ((s, d) => graft.streaming.StreamOps.runTumbling(s, d)),

@@ -70,6 +70,26 @@ object TextAnalysis {
       ceil(length(col("text")) / 4.0).cast("long").as("est_llm_tokens"),
     ).orderBy("doc_id")
 
+  /** Rolling-window fingerprint (winnowing-style): hash every sliding
+    * `window`-char substring and keep the k smallest — robust to small
+    * edits anywhere in the document (only windows touching the edit
+    * change), unlike the whole-document digest. Declarative
+    * sequence+transform, stays in codegen. */
+  def rollingFingerprint(documents: DataFrame, window: Int = 8,
+                         k: Int = 4): DataFrame = {
+    val len = length(col("text"))
+    val hashes = array_sort(transform(sequence(lit(1), len - window + 1),
+      i => md5(col("text").substr(i, lit(window)))))
+    documents
+      .filter(len >= window)
+      .select(col("doc_id"),
+        slice(hashes, 1, k).as("fingerprint"),
+        (len - window + 1).as("n_windows"))
+      .select(col("doc_id"), concat_ws(",", col("fingerprint")).as("fingerprint"),
+              col("n_windows"))
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprinting: full md5 digest, 8-hex prefix bucket, and a
     * 1-permutation minhash (lexicographic-min word md5). */
   def fingerprint(documents: DataFrame): DataFrame =
