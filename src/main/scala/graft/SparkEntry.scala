@@ -63,6 +63,7 @@ object SparkEntry {
     "dedup_distinct"  -> ((s, d) => Analytics.distinctStatusPriority(Tables.orders(s, d))),
     "quantiles"       -> ((s, d) => Analytics.quantiles(Tables.orders(s, d))),
     "approx_distinct" -> ((s, d) => Analytics.approxDistinct(Tables.orders(s, d))),
+    "approx_quantiles" -> ((s, d) => Analytics.approxQuantiles(Tables.orders(s, d))),
     "date_parts"      -> ((s, d) => Analytics.dateParts(Tables.orders(s, d))),
     "asof_join"       -> ((s, d) => AsOf.lastSignupBeforePurchase(Tables.events(s, d))),
     // C. events

@@ -180,6 +180,15 @@ object Analytics {
       .agg(approx_count_distinct(col("o_custkey"), rsd = 0.02).as("approx_customers"))
       .orderBy("o_orderpriority")
 
+  /** Sketch quantiles (Greenwald-Khanna): mergeable constant-ish memory per
+    * group — the 100 TB path for [[quantiles]]; spec-bounded vs exact. */
+  def approxQuantiles(orders: DataFrame): DataFrame =
+    orders.groupBy(col("o_orderpriority"))
+      .agg(
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("p50_approx"),
+        percentile_approx(col("o_totalprice"), lit(0.9), lit(10000)).as("p90_approx"))
+      .orderBy("o_orderpriority")
+
   /** Calendar dimension extraction (the BigQuery EXTRACT() family).
     * dow normalized to 0=Sunday to match ANSI/DuckDB. */
   def dateParts(orders: DataFrame): DataFrame = {

@@ -32,9 +32,14 @@ object StreamOps {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** Streaming source over the events file with derived event-time cols. */
+  /** Streaming source over the events file with derived event-time cols.
+    * All graft streaming queries run on the RocksDB state store: state
+    * lives off-heap and spills to disk, so watermark-bounded state scales
+    * past executor memory (the HDFSBackedStateStore keeps it on-heap). */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     spark.readStream
       .schema(eventsSchema)
       .option("pathGlobFilter", "events.parquet")
@@ -77,11 +82,19 @@ object StreamOps {
     val name = s"stream_dedup_${System.identityHashCode(spark)}"
     val once = eventsStream(spark, dir)
     val twice = once.unionByName(eventsStream(spark, dir))
+    // dropDuplicatesWithinWatermark: dedup state expires once the watermark
+    // passes an id's event time — bounded state, unlike plain
+    // dropDuplicates which retains every key forever. Correct whenever a
+    // replay/retry arrives within the lateness bound (the at-least-once
+    // case this models); RocksDB state store keeps the working set off-heap.
     val q = twice
-      .dropDuplicates("event_id")
+      .withWatermark("event_time", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"))
       .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
       .outputMode(OutputMode.Complete())
       .trigger(Trigger.AvailableNow())
       .start()

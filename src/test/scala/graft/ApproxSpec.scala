@@ -66,6 +66,18 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
+  test("approx quantiles within 2% of exact per group") {
+    val orders = Tables.orders(spark, sf)
+    val approx = Analytics.approxQuantiles(orders).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = Analytics.quantiles(orders).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    exact.foreach { case (k, (p50, p90)) =>
+      assert(math.abs(approx(k)._1 - p50) / p50 <= 0.02, s"$k p50")
+      assert(math.abs(approx(k)._2 - p90) / p90 <= 0.02, s"$k p90")
+    }
+  }
+
   test("ann_ivf: recall >= 0.4 vs exact topK at nProbe=8/16 cells") {
     val emb = Tables.embeddings(spark, sf)
     val exact = Similarity.topK(emb, Seq(0L, 1L, 2L), 10).collect()

@@ -36,9 +36,13 @@ class MultimodalSpec extends SparkSpec {
     assert(files.toSet == Set("bucket=high", "bucket=regular"))
     val back = spark.read.parquet(dir)
     assert(back.count() == fct.count())
-    // partition pruning: reading one bucket scans one directory
+    // partition pruning: reading one bucket scans one directory — assert
+    // the filter lands in PartitionFilters, not a post-scan Filter
     val pruned = back.filter(col("bucket") === "high")
     assert(pruned.count() == fct.filter(col("bucket") === "high").count())
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(bucket"),
+      s"bucket filter not pushed to partition pruning:\n$scan")
     // dynamic partition overwrite rewrites only the touched partition
     val highOnly = fct.filter(col("bucket") === "high")
       .withColumn("value", col("value") * 2)
