@@ -11,6 +11,11 @@ case class MediaFeatures(doc_id: Long, modality: String, source: String,
                          byte_len: Int, header_hex: String,
                          width: Int, height: Int, feat: Array[Float])
 
+/** A media item after aspect-preserving resize planning. */
+case class ResizedMedia(doc_id: Long, width: Int, height: Int,
+                        out_w: Int, out_h: Int, scale: Float,
+                        feat: Array[Float])
+
 /** Multimodal column handling: image/audio/video as opaque `binary` columns
   * with typed metadata, decoded/feature-extracted per partition.
   *
@@ -34,6 +39,27 @@ object Multimodal {
     payload.foreach(b => hist((b & 0xff) / 32) += 1f)
     val n = math.max(payload.length, 1).toFloat
     (width, height, hist.map(_ / n))
+  }
+
+  /** Aspect-preserving resize over extracted media: fit (width, height)
+    * into a target box, emit output dims + scale factor, and pass the
+    * feature vector through unchanged. The geometry math is the real
+    * pipeline logic; the pixel resampling itself belongs to the decoder
+    * stub (no codec libs in this container). */
+  def resizeTo(features: DataFrame, maxW: Int = 224, maxH: Int = 224): DataFrame = {
+    val spark = features.sparkSession
+    import spark.implicits._
+    features.select(col("doc_id"), col("width"), col("height"), col("feat"))
+      .as[(Long, Int, Int, Array[Float])]
+      .map { case (id, w, h, feat) =>
+        val scale = math.min(1.0f,
+          math.min(maxW.toFloat / w, maxH.toFloat / h))
+        ResizedMedia(id, w, h,
+          math.max(1, math.round(w * scale)), math.max(1, math.round(h * scale)),
+          scale, feat)
+      }
+      .toDF()
+      .orderBy("doc_id")
   }
 
   /** Frame sampling over a binary payload (the video/audio pattern: take

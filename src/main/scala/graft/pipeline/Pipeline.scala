@@ -78,6 +78,31 @@ final class Pipeline(models: Seq[Model]) {
     order.result()
   }
 
+  /** Lineage edges (model, dependency) — the data behind `dbt docs`' DAG. */
+  def lineage: Seq[(String, String)] =
+    models.flatMap(m => m.deps.map(d => m.name -> d))
+
+  /** dbt `--select model` semantics: the named models plus their transitive
+    * upstream closure, in topological order. */
+  def selectUpstream(select: Seq[String]): Seq[String] = {
+    val byName = models.map(m => m.name -> m).toMap
+    val keep = scala.collection.mutable.LinkedHashSet[String]()
+    def visit(n: String): Unit = byName.get(n).foreach { m =>
+      if (keep.add(n)) m.deps.foreach(visit)
+    }
+    select.foreach(visit)
+    topoOrder(Set.empty ++ models.flatMap(_.deps).filterNot(byName.contains))
+      .map(_.name).filter(keep.contains)
+  }
+
+  /** Runs only the selected models (+ transitive upstreams). */
+  def runSubset(spark: SparkSession, sources: Map[String, DataFrame],
+                targetDir: String, select: Seq[String]): Map[String, DataFrame] = {
+    val wanted = selectUpstream(select).toSet
+    new Pipeline(models.filter(m => wanted.contains(m.name)))
+      .run(spark, sources, targetDir)
+  }
+
   /** Runs the DAG. `targetDir` holds table/incremental materializations. */
   def run(spark: SparkSession, sources: Map[String, DataFrame],
           targetDir: String): Map[String, DataFrame] = {

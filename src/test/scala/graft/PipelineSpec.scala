@@ -59,6 +59,34 @@ class PipelineSpec extends SparkSpec {
     assert(parts == Set("o_orderstatus=F", "o_orderstatus=O", "o_orderstatus=P"))
   }
 
+  test("selectUpstream pulls transitive deps; runSubset skips unselected models") {
+    val dag = new Pipeline(Seq(
+      Model("a", Seq("src"), EphemeralMat, in => in("src")),
+      Model("b", Seq("a"), EphemeralMat, in => in("a")),
+      Model("c", Seq("b"), EphemeralMat, in => in("b")),
+      Model("d", Seq("src"), EphemeralMat, in => in("src"))))
+    assert(dag.selectUpstream(Seq("c")) == Seq("a", "b", "c"))
+    assert(dag.lineage.toSet ==
+      Set("a" -> "src", "b" -> "a", "c" -> "b", "d" -> "src"))
+    val out = dag.runSubset(spark,
+      Map("src" -> Tables.orders(spark, sf).limit(1)), tmp(), Seq("c"))
+    assert(out.contains("c") && !out.contains("d"))
+  }
+
+  test("multimodal resize: aspect preserved, bounded by target box") {
+    val feats = graft.operators.Multimodal.extractFeatures(Tables.documents(spark, sf))
+    val resized = graft.operators.Multimodal.resizeTo(feats, 100, 100).collect()
+    resized.foreach { r =>
+      val (w, h, ow, oh, s) = (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getFloat(5))
+      assert(ow <= 100 && oh <= 100)
+      assert(s <= 1.0f)
+      // aspect ratio within 5% relative (integer rounding at small dims)
+      val (orig, out) = (w.toDouble / h, ow.toDouble / oh)
+      assert(math.abs(out - orig) / orig < 0.05,
+        s"aspect drift: ${w}x$h -> ${ow}x$oh")
+    }
+  }
+
   test("model unit test: mocked inputs diffed against expected rows") {
     import spark.implicits._
     val bucketModel = Model("fct", Seq("src"), EphemeralMat, in =>
