@@ -63,6 +63,13 @@ object OracleSql {
     "test_failures" ->
       """SELECT 'accepted_values_o_orderpriority' AS test_name, o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH', '3-MEDIUM') ORDER BY o_orderkey""",
 
+    "table_profile" -> {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+      cols.map(c =>
+        s"SELECT '$c' AS column_name, COUNT(*) AS n_rows, COUNT(*) - COUNT($c) AS n_nulls, COUNT(DISTINCT $c) AS n_distinct FROM orders")
+        .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY column_name")
+    },
+
     "token_budget" ->
       """WITH t AS (SELECT doc_id, lang, CAST(CEIL(length(text)/4.0) AS BIGINT) AS est_tokens FROM documents), c AS (SELECT doc_id, lang, est_tokens, SUM(est_tokens) OVER (PARTITION BY lang ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens FROM t) SELECT doc_id, lang, est_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens FROM c WHERE cum_tokens <= 2000 ORDER BY lang, doc_id""",
 

@@ -43,6 +43,9 @@ object SparkEntry {
     "source_freshness"  -> ((s, d) => Freshness.sourceFreshness(Tables.events(s, d))),
     "json_extract"      -> ((s, d) => Json.extractProps(Tables.events(s, d))),
     "test_failures"     -> ((s, d) => StoreFailures.priorityFailures(Tables.orders(s, d))),
+    "table_profile"     -> ((s, d) => Profile.tableProfile(Tables.orders(s, d),
+                              Seq("o_orderkey", "o_custkey", "o_orderstatus",
+                                  "o_totalprice", "o_orderpriority"))),
     "token_budget"      -> ((s, d) => Curation.tokenBudget(Tables.documents(s, d))),
     "stratified_sample" -> ((s, d) => Curation.stratifiedSample(Tables.documents(s, d),
                               Map("en" -> 0.5, "de" -> 0.5, "es" -> 0.5, "fr" -> 0.5, "zh" -> 0.5))),

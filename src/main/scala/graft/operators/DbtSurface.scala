@@ -143,6 +143,27 @@ object StoreFailures {
       .orderBy("o_orderkey")
 }
 
+/** Column-level data profiling (the dbt-utils / warehouse-profiler
+  * staple): null count and distinct count for every column in ONE pass
+  * over the table — a single aggregate computes all measures, then a
+  * stack() melts the one-row result to (column, metric) rows. */
+object Profile {
+  def tableProfile(df: DataFrame, columns: Seq[String]): DataFrame = {
+    val aggs = columns.flatMap { c =>
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+          countDistinct(col(c)).as(s"${c}__distinct"))
+    }
+    val row = df.agg(count(lit(1)).as("__rows"), aggs: _*)
+    val stackArgs = columns.map(c =>
+      s"'$c', `${c}__nulls`, `${c}__distinct`").mkString(", ")
+    row.selectExpr("__rows",
+        s"stack(${columns.size}, $stackArgs) AS (column_name, n_nulls, n_distinct)")
+      .select(col("column_name"), col("__rows").as("n_rows"),
+              col("n_nulls"), col("n_distinct"))
+      .orderBy("column_name")
+  }
+}
+
 /** Training-corpus curation: budgeted selection and stratified sampling. */
 object Curation {
   /** Token-budget selection: per language, take documents in doc_id order
