@@ -15,7 +15,10 @@ case class Ev(event_id: Long, user_id: Long, ts_s: Long, value: Double,
 case class Session(user_id: Long, sess_seq: Long, session_start: Long,
                    session_end: Long, n_events: Long, total_value: Double)
 
-/** Open-session state carried between triggers. */
+/** Per-user sessionizer state. `n == 0` marks a closed marker kept only to
+  * preserve the session-sequence counter after a timeout emission (so seq
+  * numbers never restart and collide); it is cleaned up by a retention
+  * timeout. */
 case class SessState(sessSeq: Long, start: Long, end: Long, n: Long, cents: Long)
 
 /** Structured Streaming twins of the batch event operators. The same
@@ -25,27 +28,40 @@ case class SessState(sessSeq: Long, start: Long, end: Long, n: Long, cents: Long
   */
 object StreamOps {
 
-  /** events.parquet schema, with ns-timestamp read as raw long (see
-    * graft.sources.Tables.events). */
-  private val eventsSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
   /** Streaming source over the events file with derived event-time cols.
-    * All graft streaming queries run on the RocksDB state store: state
-    * lives off-heap and spills to disk, so watermark-bounded state scales
-    * past executor memory (the HDFSBackedStateStore keeps it on-heap). */
+    * The schema is probed from the file (batch footer read) so both the
+    * INT64-nanos and genuine-timestamp `ts` variants work — the same two
+    * branches as [[graft.sources.Tables.events]]. */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    spark.readStream
-      .schema(eventsSchema)
+    val fileSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val raw = spark.readStream
+      .schema(fileSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts_s", expr("ts div 1000000000"))
-      .withColumn("event_time", timestamp_seconds(expr("ts div 1000000000")))
+    if (fileSchema("ts").dataType == LongType)
+      raw
+        .withColumn("ts_s", expr("ts div 1000000000"))
+        .withColumn("event_time", timestamp_seconds(expr("ts div 1000000000")))
+    else
+      raw
+        .withColumn("event_time", date_trunc("second", col("ts")))
+        .withColumn("ts_s", unix_timestamp(date_trunc("second", col("ts"))))
+  }
+
+  /** Runs `body` with the RocksDB state store provider (off-heap state that
+    * spills to disk — scales past executor memory), restoring the previous
+    * provider afterwards so the shared session is not permanently mutated. */
+  private def withRocksDb[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   /** Tumbling event-time window aggregation. In continuous operation this
@@ -63,7 +79,7 @@ object StreamOps {
 
   /** Runs [[tumblingAgg]] over the parquet source to completion and returns
     * the final result (memory sink, complete mode). */
-  def runTumbling(spark: SparkSession, dir: String): DataFrame = {
+  def runTumbling(spark: SparkSession, dir: String): DataFrame = withRocksDb(spark) {
     val name = s"stream_tumbling_${System.identityHashCode(spark)}"
     val q = tumblingAgg(eventsStream(spark, dir)).writeStream
       .format("memory").queryName(name)
@@ -78,7 +94,7 @@ object StreamOps {
     * at-least-once replay) unioned, deduplicated by key in state, then
     * aggregated — run to completion the counts equal the batch counts
     * (shares the batch oracle). */
-  def runDedup(spark: SparkSession, dir: String): DataFrame = {
+  def runDedup(spark: SparkSession, dir: String): DataFrame = withRocksDb(spark) {
     val name = s"stream_dedup_${System.identityHashCode(spark)}"
     val once = eventsStream(spark, dir)
     val twice = once.unionByName(eventsStream(spark, dir))
@@ -93,8 +109,6 @@ object StreamOps {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"))
       .writeStream.format("memory").queryName(name)
-      .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
       .outputMode(OutputMode.Complete())
       .trigger(Trigger.AvailableNow())
       .start()
@@ -106,7 +120,7 @@ object StreamOps {
     * dimension (the canonical streaming star-join; the static side is
     * re-read per micro-batch, so dim updates flow in). Aggregated counts
     * equal the batch join — shares a batch oracle. */
-  def runEnrich(spark: SparkSession, dir: String): DataFrame = {
+  def runEnrich(spark: SparkSession, dir: String): DataFrame = withRocksDb(spark) {
     val name = s"stream_enrich_${System.identityHashCode(spark)}"
     val customers = spark.read.parquet(s"$dir/customer.parquet")
       .select(col("c_custkey"), col("c_mktsegment"))
@@ -132,29 +146,45 @@ object StreamOps {
     * and every session eventually emits. Events are sorted per micro-batch;
     * the watermark bounds cross-batch disorder (later-than-watermark rows
     * are filtered before the operator). */
-  def sessionizeStream(events: Dataset[Ev], gapSeconds: Long = 1800)
+  def sessionizeStream(events: Dataset[Ev], gapSeconds: Long = 1800,
+                       retentionSeconds: Long = 7 * 24 * 3600)
                       (implicit spark: SparkSession): Dataset[Session] = {
     import spark.implicits._
+    // Same HALF_UP-on-shortest-repr rounding as Det.centsSum / the batch
+    // twin (math.round would floor negative half-cents the other way).
+    def cents(v: Double): Long =
+      java.math.BigDecimal.valueOf(v * 100)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
     events.groupByKey(_.user_id).flatMapGroupsWithState(
       OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
       (userId: Long, it: Iterator[Ev], state: GroupState[SessState]) => {
         val out = Seq.newBuilder[Session]
         if (state.hasTimedOut) {
           val st = state.get
-          out += Session(userId, st.sessSeq, st.start, st.end, st.n, st.cents / 100.0)
-          state.remove()
+          if (st.n > 0) {
+            // emit the idle open session; keep a closed marker so the next
+            // session continues the sequence instead of restarting at 1
+            out += Session(userId, st.sessSeq, st.start, st.end, st.n, st.cents / 100.0)
+            state.update(st.copy(n = 0))
+            state.setTimeoutTimestamp((st.end + gapSeconds + retentionSeconds) * 1000)
+          } else state.remove() // retention passed: drop the marker
         } else {
           val evs = it.toSeq.sortBy(e => (e.ts_s, e.event_id))
           var st = state.getOption.orNull
           evs.foreach { e =>
-            val cents = math.round(e.value * 100)
+            val c = cents(e.value)
             if (st == null)
-              st = SessState(1, e.ts_s, e.ts_s, 1, cents)
-            else if (e.ts_s - st.end > gapSeconds) {
-              out += Session(userId, st.sessSeq, st.start, st.end, st.n, st.cents / 100.0)
-              st = SessState(st.sessSeq + 1, e.ts_s, e.ts_s, 1, cents)
+              st = SessState(1, e.ts_s, e.ts_s, 1, c)
+            else if (st.n == 0 || e.ts_s - st.end > gapSeconds) {
+              if (st.n > 0)
+                out += Session(userId, st.sessSeq, st.start, st.end, st.n, st.cents / 100.0)
+              st = SessState(st.sessSeq + 1, e.ts_s, e.ts_s, 1, c)
             } else
-              st = st.copy(end = e.ts_s, n = st.n + 1, cents = st.cents + cents)
+              // min/max extension: an above-watermark but out-of-order event
+              // must never regress the session bounds
+              st = st.copy(start = math.min(st.start, e.ts_s),
+                           end = math.max(st.end, e.ts_s),
+                           n = st.n + 1, cents = st.cents + c)
           }
           if (st != null) {
             state.update(st)
@@ -169,14 +199,16 @@ object StreamOps {
     * The 10-minute watermark feeds the event-time timeouts; AvailableNow
     * runs a final no-data micro-batch that fires timeouts for every session
     * ended before (max event time - delay - gap). */
-  def runSessionize(spark: SparkSession, dir: String): DataFrame = {
+  def runSessionize(spark: SparkSession, dir: String): DataFrame = withRocksDb(spark) {
     import spark.implicits._
     implicit val s: SparkSession = spark
     val name = s"stream_sessions_${System.identityHashCode(spark)}"
     val evs = eventsStream(spark, dir)
       .withWatermark("event_time", "10 minutes")
       .select(col("event_id"), col("user_id"), col("ts_s"), col("value"),
-              col("event_time")).as[Ev]
+              col("event_time"))
+      .na.drop() // Ev has primitive fields; a null row would fail encoding
+      .as[Ev]
     val q = sessionizeStream(evs).writeStream
       .format("memory").queryName(name)
       .outputMode(OutputMode.Append())

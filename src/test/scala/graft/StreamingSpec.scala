@@ -16,6 +16,27 @@ class StreamingSpec extends SparkSpec {
     assert(stream == batch)
   }
 
+  test("stream dedup of a doubled source equals batch per-type counts") {
+    val batch = Tables.events(spark, sf).groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val stream = StreamOps.runDedup(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stream == batch)
+  }
+
+  test("stream-static enrich equals the batch join aggregate") {
+    val events = Tables.events(spark, sf)
+    val customer = Tables.customer(spark, sf)
+    val batch = events.join(customer, col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+           (sum(round(col("value") * 100, 0).cast("long")) / 100.0).as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val stream = StreamOps.runEnrich(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(stream == batch)
+  }
+
   test("watermark drops events later than the allowed lateness") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
