@@ -4,6 +4,7 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
@@ -22,13 +23,21 @@ import org.apache.spark.unsafe.types.UTF8String
   * partition-invariant), and emits the signature as a single array column.
   *
   * Hashes replicate `functions.xxhash64(t, lit(i))` exactly (seed 42,
-  * child-chained), so signatures are interchangeable with the column form
-  * — spec-verified bit-identical.
+  * child-chained), so for null-free token columns signatures are
+  * bit-identical to the column form (spec-verified). NULL tokens are
+  * SKIPPED here — the aggregate's semantic — whereas the column form's
+  * xxhash64 folds a null child into a real hash; don't mix the two forms
+  * over nullable token columns.
   */
 case class MinHashSignature(child: Expression, numHashes: Int,
                             mutableAggBufferOffset: Int = 0,
                             inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_minhash expects a string token column, got ${child.dataType.simpleString}")
 
   override def createAggregationBuffer(): Array[Long] =
     Array.fill(numHashes)(Long.MaxValue)

@@ -2,12 +2,32 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, StringType}
 import org.apache.spark.sql.SparkSessionExtensions
+
+/** Shared analysis-time input validation for the binary native expressions
+  * (ExpectsInputTypes is `private[sql]`, so the check is hand-rolled):
+  * wrong-typed SQL input fails analysis instead of producing garbage
+  * (e.g. `toFloatArray` over an `array<double>` would reinterpret bytes). */
+trait BinaryTypedInputs { self: BinaryExpression =>
+  def expectedElementType: DataType
+  private def ok(dt: DataType): Boolean = dt match {
+    case ArrayType(et, _) => et == expectedElementType // containsNull-agnostic
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ok(left.dataType) && ok(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects two array<${expectedElementType.simpleString}> " +
+          s"arguments, got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
+}
 
 /** Fused cosine similarity over two float-vector columns.
   *
@@ -17,29 +37,34 @@ import org.apache.spark.sql.SparkSessionExtensions
   * primitive loop with whole-stage codegen: dot and both norms accumulate
   * in doubles in a single pass (left-to-right, so results are deterministic
   * and partition-invariant).
+  *
+  * Error semantics: mismatched dimensions throw (silent truncation would
+  * return confident nonsense after a schema drift); zero-norm, empty, or
+  * NaN-polluted vectors yield 0.0 — never NaN, which would outrank every
+  * row under a desc sort and pass every `>= threshold` filter.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with BinaryTypedInputs {
 
+  override def expectedElementType: DataType = FloatType
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_cosine"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData].toFloatArray()
     val y = b.asInstanceOf[ArrayData].toFloatArray()
+    if (x.length != y.length)
+      throw new IllegalArgumentException(
+        s"graft_cosine: dimension mismatch ${x.length} vs ${y.length}")
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
-    val n = math.min(x.length, y.length)
-    while (i < n) {
+    while (i < x.length) {
       val xi = x(i).toDouble; val yi = y(i).toDouble
       dot += xi * yi; nx += xi * xi; ny += yi * yi
       i += 1
     }
-    // zero-norm (or empty) vectors have no direction: similarity 0, never
-    // NaN — NaN would outrank everything under desc sort and pass every
-    // >= threshold filter.
-    if (nx == 0.0 || ny == 0.0) 0.0
-    else dot / (math.sqrt(nx) * math.sqrt(ny))
+    val r = dot / (math.sqrt(nx) * math.sqrt(ny))
+    if (java.lang.Double.isNaN(r)) 0.0 else r
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -47,18 +72,21 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val x = ctx.freshName("x"); val y = ctx.freshName("y")
       val dot = ctx.freshName("dot"); val nx = ctx.freshName("nx")
       val ny = ctx.freshName("ny"); val i = ctx.freshName("i")
-      val n = ctx.freshName("n")
+      val r = ctx.freshName("r")
       s"""
         float[] $x = $a.toFloatArray();
         float[] $y = $b.toFloatArray();
+        if ($x.length != $y.length) {
+          throw new IllegalArgumentException(
+            "graft_cosine: dimension mismatch " + $x.length + " vs " + $y.length);
+        }
         double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
-        int $n = java.lang.Math.min($x.length, $y.length);
-        for (int $i = 0; $i < $n; $i++) {
+        for (int $i = 0; $i < $x.length; $i++) {
           double xi = (double) $x[$i]; double yi = (double) $y[$i];
           $dot += xi * yi; $nx += xi * xi; $ny += yi * yi;
         }
-        ${ev.value} = ($nx == 0.0 || $ny == 0.0)
-          ? 0.0 : $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+        double $r = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+        ${ev.value} = java.lang.Double.isNaN($r) ? 0.0 : $r;
       """
     })
 
@@ -67,50 +95,56 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** Word-set Jaccard similarity |A∩B| / |A∪B| over two string arrays.
+/** Set Jaccard similarity |A∩B| / |A∪B| over two string arrays.
   *
   * The composable form — `size(array_intersect(a,b)) /
   * size(array_union(a,b))` — walks both arrays twice and materializes two
   * intermediate arrays per row just to take their sizes. This expression
-  * builds one hash set of the left side and counts membership in a single
-  * pass: |∪| = |A|+|B|-|A∩B|. Inputs are assumed distinct-element arrays
-  * (callers normalize with array_distinct). */
+  * computes true SET semantics in one pass with two hash sets, so inputs
+  * with duplicate elements are handled correctly (a naive
+  * |A|+|B|-matches union would yield similarities above 1.0). */
 case class JaccardSimilarity(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with BinaryTypedInputs {
 
+  override def expectedElementType: DataType = StringType
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_jaccard"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val set = new java.util.HashSet[Any](x.numElements() * 2)
+    val setA = new java.util.HashSet[Any](x.numElements() * 2)
     var i = 0
-    while (i < x.numElements()) { set.add(x.getUTF8String(i)); i += 1 }
+    while (i < x.numElements()) { setA.add(x.getUTF8String(i)); i += 1 }
+    val setB = new java.util.HashSet[Any](y.numElements() * 2)
     var inter = 0
     i = 0
     while (i < y.numElements()) {
-      if (set.contains(y.getUTF8String(i))) inter += 1
+      val e = y.getUTF8String(i)
+      if (setB.add(e) && setA.contains(e)) inter += 1
       i += 1
     }
-    val union = x.numElements() + y.numElements() - inter
+    val union = setA.size + setB.size - inter
     if (union == 0) 0.0 else inter.toDouble / union
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val set = ctx.freshName("set"); val i = ctx.freshName("i")
+      val setA = ctx.freshName("setA"); val setB = ctx.freshName("setB")
+      val i = ctx.freshName("i"); val e = ctx.freshName("e")
       val inter = ctx.freshName("inter"); val union = ctx.freshName("union")
       s"""
-        java.util.HashSet<Object> $set = new java.util.HashSet<Object>($a.numElements() * 2);
+        java.util.HashSet<Object> $setA = new java.util.HashSet<Object>($a.numElements() * 2);
         for (int $i = 0; $i < $a.numElements(); $i++) {
-          $set.add($a.getUTF8String($i));
+          $setA.add($a.getUTF8String($i));
         }
+        java.util.HashSet<Object> $setB = new java.util.HashSet<Object>($b.numElements() * 2);
         int $inter = 0;
         for (int $i = 0; $i < $b.numElements(); $i++) {
-          if ($set.contains($b.getUTF8String($i))) $inter++;
+          Object $e = $b.getUTF8String($i);
+          if ($setB.add($e) && $setA.contains($e)) $inter++;
         }
-        int $union = $a.numElements() + $b.numElements() - $inter;
+        int $union = $setA.size() + $setB.size() - $inter;
         ${ev.value} = ($union == 0) ? 0.0 : ((double) $inter) / $union;
       """
     })
@@ -133,15 +167,25 @@ object VectorFunctions {
   * `spark.sql.extensions=graft.functions.GraftExtensions` →
   * `SELECT graft_cosine(a.embedding, b.embedding) ...`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  private def arity2(name: String, children: Seq[Expression]): Unit =
+    require(children.size == 2,
+      s"$name requires exactly 2 arguments, got ${children.size}")
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
-      (children: Seq[Expression]) => CosineSimilarity(children.head, children(1))))
+      (children: Seq[Expression]) => {
+        arity2("graft_cosine", children)
+        CosineSimilarity(children.head, children(1))
+      }))
     ext.injectFunction((
       new FunctionIdentifier("graft_jaccard"),
       new ExpressionInfo(classOf[JaccardSimilarity].getName, "graft_jaccard"),
-      (children: Seq[Expression]) => JaccardSimilarity(children.head, children(1))))
+      (children: Seq[Expression]) => {
+        arity2("graft_jaccard", children)
+        JaccardSimilarity(children.head, children(1))
+      }))
     // whole-operator extension: plans graft.plans.TopKPerKey logical nodes
     ext.injectPlannerStrategy(_ => graft.plans.GraftStrategy)
   }

@@ -82,15 +82,25 @@ object GraftStrategy extends SparkStrategy {
 object TopKPerGroup {
   def apply(df: DataFrame, keyCols: Seq[String],
             orderCols: Seq[(String, Boolean)], k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(keyCols.nonEmpty, "at least one key column required")
     val spark = df.sparkSession
     if (!spark.experimental.extraStrategies.contains(GraftStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ GraftStrategy
     val analyzed = df.queryExecution.analyzed
     def attr(name: String): Attribute = analyzed.output
-      .find(_.name == name)
+      .find(_.name.equalsIgnoreCase(name))
       .getOrElse(throw new IllegalArgumentException(s"no column '$name'"))
     val keys = keyCols.map(attr)
+    // Raw-bytes grouping has no NormalizeFloatingNumbers pass: -0.0/0.0 or
+    // NaN bit patterns would split groups. Integer/string keys only.
+    keys.foreach { a =>
+      require(a.dataType != org.apache.spark.sql.types.FloatType &&
+              a.dataType != org.apache.spark.sql.types.DoubleType,
+        s"floating-point grouping key '${a.name}' not supported (0.0/-0.0/NaN " +
+          "bit patterns would split groups); cast or round to a stable type")
+    }
     val order = orderCols.map { case (c, asc) =>
       SortOrder(attr(c), if (asc) Ascending else Descending)
     }
