@@ -51,7 +51,11 @@ object StreamOps {
 
   /** Runs `body` with the RocksDB state store provider (off-heap state that
     * spills to disk — scales past executor memory), restoring the previous
-    * provider afterwards so the shared session is not permanently mutated. */
+    * provider afterwards so the shared session is not permanently mutated.
+    * Used where state cardinality is genuinely large (per-event dedup keys);
+    * the small-state queries (windows, per-user sessions, 5-group enrich)
+    * keep the default in-memory provider — RocksDB's native-store init is
+    * pure overhead below ~100k state rows. */
   private def withRocksDb[T](spark: SparkSession)(body: => T): T = {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
@@ -79,7 +83,7 @@ object StreamOps {
 
   /** Runs [[tumblingAgg]] over the parquet source to completion and returns
     * the final result (memory sink, complete mode). */
-  def runTumbling(spark: SparkSession, dir: String): DataFrame = withRocksDb(spark) {
+  def runTumbling(spark: SparkSession, dir: String): DataFrame = {
     val name = s"stream_tumbling_${System.identityHashCode(spark)}"
     val q = tumblingAgg(eventsStream(spark, dir)).writeStream
       .format("memory").queryName(name)
@@ -120,7 +124,7 @@ object StreamOps {
     * dimension (the canonical streaming star-join; the static side is
     * re-read per micro-batch, so dim updates flow in). Aggregated counts
     * equal the batch join — shares a batch oracle. */
-  def runEnrich(spark: SparkSession, dir: String): DataFrame = withRocksDb(spark) {
+  def runEnrich(spark: SparkSession, dir: String): DataFrame = {
     val name = s"stream_enrich_${System.identityHashCode(spark)}"
     val customers = spark.read.parquet(s"$dir/customer.parquet")
       .select(col("c_custkey"), col("c_mktsegment"))
@@ -199,7 +203,7 @@ object StreamOps {
     * The 10-minute watermark feeds the event-time timeouts; AvailableNow
     * runs a final no-data micro-batch that fires timeouts for every session
     * ended before (max event time - delay - gap). */
-  def runSessionize(spark: SparkSession, dir: String): DataFrame = withRocksDb(spark) {
+  def runSessionize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     implicit val s: SparkSession = spark
     val name = s"stream_sessions_${System.identityHashCode(spark)}"
