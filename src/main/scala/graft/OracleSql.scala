@@ -55,7 +55,7 @@ object OracleSql {
       """WITH dev AS (SELECT o_orderkey AS id, CASE WHEN o_totalprice > 200000 THEN 'high' ELSE 'regular' END AS bucket FROM orders), prod AS (SELECT o_orderkey AS id, CASE WHEN o_totalprice > 300000 THEN 'high' ELSE 'regular' END AS bucket FROM orders) SELECT 'in_dev_not_in_prod' AS diff_type, id, bucket FROM (SELECT * FROM dev EXCEPT SELECT * FROM prod) UNION ALL SELECT 'in_prod_not_in_dev' AS diff_type, id, bucket FROM (SELECT * FROM prod EXCEPT SELECT * FROM dev) ORDER BY diff_type, id""",
 
     "source_freshness" ->
-      """WITH e AS (SELECT event_type, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_s FROM events), m AS (SELECT event_type, MAX(ts_s) AS max_ts_s FROM e GROUP BY event_type) SELECT event_type, max_ts_s, CAST(FLOOR((1706745600 - max_ts_s) / 3600.0) AS BIGINT) AS age_hours, CASE WHEN FLOOR((1706745600 - max_ts_s) / 3600.0) > 72 THEN 'error' WHEN FLOOR((1706745600 - max_ts_s) / 3600.0) > 24 THEN 'warn' ELSE 'ok' END AS status FROM m ORDER BY event_type""",
+      """WITH e AS (SELECT event_type, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_s FROM events), m AS (SELECT event_type, MAX(ts_s) AS max_ts_s FROM e GROUP BY event_type) SELECT event_type, max_ts_s, CAST(FLOOR((1706745600 - max_ts_s) / 3600.0) AS BIGINT) AS age_hours, CASE WHEN (1706745600 - max_ts_s) > 72*3600 THEN 'error' WHEN (1706745600 - max_ts_s) > 24*3600 THEN 'warn' ELSE 'ok' END AS status FROM m ORDER BY event_type""",
 
     "json_extract" ->
       """SELECT event_id, user_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events ORDER BY event_id""",

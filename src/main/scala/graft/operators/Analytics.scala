@@ -154,9 +154,11 @@ object Analytics {
     val types = Seq("click", "error", "purchase", "signup", "view")
     val agged = events.groupBy(col("user_id"))
       .pivot("event_type", types)
-      .agg(coalesce(sum(round(col("value") * 100, 0).cast("long")), lit(0L)))
+      .agg(sum(round(col("value") * 100, 0).cast("long")))
+    // zero-fill AFTER the pivot: missing (user, type) cells surface as NULL
+    // in the pivoted columns, not inside the pre-pivot aggregate
     types.foldLeft(agged) { (df, t) =>
-      df.withColumn(s"${t}_value", col(t) / 100.0).drop(t)
+      df.withColumn(s"${t}_value", coalesce(col(t), lit(0L)) / 100.0).drop(t)
     }.orderBy("user_id")
   }
 

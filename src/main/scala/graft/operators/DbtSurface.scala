@@ -11,11 +11,12 @@ import graft.util.Det._
   * inferSchema — schema inference is a full extra pass and nondeterministic
   * across files); in production pipelines they'd be broadcast. */
 object Seeds {
-  def exampleSeed(spark: SparkSession): DataFrame =
+  def exampleSeed(spark: SparkSession,
+                  path: String = "/root/repo/seeds/example_seed.csv"): DataFrame =
     spark.read
       .schema("id BIGINT, name STRING")
       .option("header", "true")
-      .csv("/root/repo/seeds/example_seed.csv")
+      .csv(path)
       .orderBy("id")
 }
 
@@ -47,7 +48,11 @@ object Snapshot {
   def scd2Check(orders: DataFrame): DataFrame = {
     val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     orders
-      .withColumn("chk", md5(concat_ws("|", col("o_orderstatus"))))
+      // hash the tracked column directly: md5(NULL) = NULL, so NULL vs ''
+      // stay distinct. For multiple tracked columns, hash each separately
+      // and compare the struct — concat_ws would skip NULLs and collapse
+      // ('a', NULL) with (NULL, 'a').
+      .withColumn("chk", md5(col("o_orderstatus")))
       .withColumn("prev_chk", lag(col("chk"), 1).over(w))
       .filter(col("prev_chk").isNull || col("chk") =!= col("prev_chk"))
       .withColumn("valid_from", col("o_orderdate").cast("date"))
@@ -144,22 +149,34 @@ object StoreFailures {
 }
 
 /** Column-level data profiling (the dbt-utils / warehouse-profiler
-  * staple): null count and distinct count for every column in ONE pass
-  * over the table — a single aggregate computes all measures, then a
-  * stack() melts the one-row result to (column, metric) rows. */
+  * staple): null + distinct counts per column from a single aggregate,
+  * melted to (column, metric) rows via explode-of-structs (pure Column
+  * API — no SQL string interpolation, so any column name is safe).
+  *
+  * Scale note: N EXACT distinct aggregates in one agg go through Spark's
+  * Expand rewrite ((N+1)x row amplification before the shuffle). For wide
+  * tables at 100 TB pass `approximate = true` — HLL sketches need no
+  * Expand and make this a true single pass. */
 object Profile {
-  def tableProfile(df: DataFrame, columns: Seq[String]): DataFrame = {
+  def tableProfile(df: DataFrame, columns: Seq[String],
+                   approximate: Boolean = false): DataFrame = {
+    require(columns.nonEmpty, "tableProfile needs at least one column")
+    def distinctAgg(c: String) =
+      if (approximate) approx_count_distinct(col(c), rsd = 0.02)
+      else countDistinct(col(c))
     val aggs = columns.flatMap { c =>
-      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
-          countDistinct(col(c)).as(s"${c}__distinct"))
+      Seq(coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L))
+            .as(s"${c}__nulls"),
+          distinctAgg(c).as(s"${c}__distinct"))
     }
     val row = df.agg(count(lit(1)).as("__rows"), aggs: _*)
-    val stackArgs = columns.map(c =>
-      s"'$c', `${c}__nulls`, `${c}__distinct`").mkString(", ")
-    row.selectExpr("__rows",
-        s"stack(${columns.size}, $stackArgs) AS (column_name, n_nulls, n_distinct)")
-      .select(col("column_name"), col("__rows").as("n_rows"),
-              col("n_nulls"), col("n_distinct"))
+    val melted = explode(array(columns.map(c => struct(
+      lit(c).as("column_name"),
+      col(s"${c}__nulls").as("n_nulls"),
+      col(s"${c}__distinct").as("n_distinct"))): _*)).as("m")
+    row.select(col("__rows").as("n_rows"), melted)
+      .select(col("m.column_name").as("column_name"), col("n_rows"),
+              col("m.n_nulls").as("n_nulls"), col("m.n_distinct").as("n_distinct"))
       .orderBy("column_name")
   }
 }
@@ -170,7 +187,7 @@ object Curation {
     * until the cumulative estimated-token count exceeds the budget. One
     * shuffle (window by lang); the running sum is exact integer tokens. */
   def tokenBudget(documents: DataFrame, budgetPerLang: Long = 2000): DataFrame = {
-    val est = ceil(length(col("text")) / 4.0).cast("long")
+    val est = graft.util.TextNorm.estTokens(col("text"))
     val w = Window.partitionBy("lang").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     documents
@@ -210,14 +227,17 @@ object Freshness {
   def sourceFreshness(events: DataFrame,
                       anchorEpoch: Long = 1706745600L /* 2024-02-01 UTC */,
                       warnH: Long = 24, errorH: Long = 72): DataFrame = {
-    val age = (lit(anchorEpoch) - col("max_ts_s")) / lit(3600L)
+    val ageSeconds = lit(anchorEpoch) - col("max_ts_s")
     events.groupBy(col("event_type"))
       .agg(max(col("ts_s")).as("max_ts_s"))
       .select(
         col("event_type"), col("max_ts_s"),
-        floor(age).cast("long").as("age_hours"),
-        when(floor(age) > errorH, "error")
-          .when(floor(age) > warnH, "warn").otherwise("ok").as("status"))
+        floor(ageSeconds / lit(3600L)).cast("long").as("age_hours"),
+        // thresholds compare exact SECONDS (dbt semantics: anything older
+        // than warn_after warns) — flooring to hours first would let a
+        // source run up to 59m59s past the threshold unnoticed
+        when(ageSeconds > errorH * 3600, "error")
+          .when(ageSeconds > warnH * 3600, "warn").otherwise("ok").as("status"))
       .orderBy("event_type")
   }
 }

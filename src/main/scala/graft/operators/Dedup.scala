@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.util.Det.round4
+import graft.util.TextNorm
 import graft.functions.VectorFunctions.jaccard
 
 /** Deduplication family for training-data pipelines.
@@ -15,7 +16,7 @@ import graft.functions.VectorFunctions.jaccard
   */
 object Dedup {
 
-  private val words = array_distinct(split(lower(trim(col("text"))), " "))
+  private val words = TextNorm.distinctWords(col("text"))
 
   /** Exact dedup: md5 of normalized text → survivor = min(doc_id). */
   def exact(documents: DataFrame): DataFrame =
@@ -110,7 +111,7 @@ object Dedup {
     * sharing vocabulary but not phrasing stop matching. Same equi-key
     * blocking and native-jaccard verify as [[jaccardPairs]]. */
   def ngramJaccard(documents: DataFrame, threshold: Double = 0.3): DataFrame = {
-    val w = split(lower(trim(col("text"))), " ")
+    val w = TextNorm.words(col("text"))
     val sh = when(size(w) >= 3,
       array_distinct(transform(sequence(lit(0), size(w) - 3), i =>
         concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3)))))

@@ -18,12 +18,16 @@ object Materialize {
 
   /** `materialized='table'` with partition/cluster layout. */
   def table(df: DataFrame, path: String, partitionCol: String,
-            clusterCols: Seq[String]): Unit =
-    df.repartition(df.col(partitionCol))
-      .sortWithinPartitions(clusterCols.head, clusterCols.tail: _*)
-      .write.mode("overwrite")
+            clusterCols: Seq[String] = Nil): Unit = {
+    val partitioned = df.repartition(df.col(partitionCol))
+    val clustered =
+      if (clusterCols.nonEmpty)
+        partitioned.sortWithinPartitions(clusterCols.head, clusterCols.tail: _*)
+      else partitioned
+    clustered.write.mode("overwrite")
       .partitionBy(partitionCol)
       .parquet(path)
+  }
 
   /** `materialized='incremental'`: append new rows into the same layout;
     * with `dynamicOverwrite` only the partitions present in `df` rewrite. */

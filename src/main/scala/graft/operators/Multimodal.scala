@@ -33,7 +33,10 @@ object Multimodal {
     * Replace with a real codec (e.g. ImageIO / ffmpeg binding). */
   private def decodeStub(payload: Array[Byte]): (Int, Int, Array[Float]) = {
     val width = 64 + (payload.length % 512)
-    val height = 64 + (payload.map(_.toInt & 0xff).sum % 512)
+    // long accumulation + floorMod: an Int sum overflows past ~16 MB of
+    // payload and a signed % would push height below the 64 floor
+    val byteSum = payload.foldLeft(0L)((acc, b) => acc + (b & 0xff))
+    val height = 64 + java.lang.Math.floorMod(byteSum, 512L).toInt
     // 8-bin byte histogram, L1-normalized — a stand-in embedding.
     val hist = new Array[Float](8)
     payload.foreach(b => hist((b & 0xff) / 32) += 1f)

@@ -89,14 +89,22 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
     // centroid list is tiny (k rows) — ship as a literal array column
     val centroids = model.clusterCenters.map(c =>
-      array(c.toArray.map(v => lit(v.toFloat)): _*))
+      array(c.toArray.map(lit): _*))
+    // squared Euclidean distance — the SAME metric k-means assigned cells
+    // with; ranking probes by cosine instead would mismatch the index
+    // geometry and silently hurt recall on unnormalized embeddings
+    def sqDist(q: Column, c: Column): Column =
+      aggregate(zip_with(q, c, (x, y) => {
+        val d = x.cast("double") - y
+        d * d
+      }), lit(0.0), (acc, v) => acc + v)
     val queries = assigned.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("embedding").as("q"))
     // rank cells per query by centroid distance, keep nProbe
     val cellSims = queries.select(col("query_id"), col("q"),
-      posexplode(array(centroids.map(c => cosine(col("q"), c)): _*))
-        .as(Seq("cell", "cell_sim")))
-    val wCell = Window.partitionBy("query_id").orderBy(col("cell_sim").desc, col("cell"))
+      posexplode(array(centroids.map(c => sqDist(col("q"), c)): _*))
+        .as(Seq("cell", "cell_dist")))
+    val wCell = Window.partitionBy("query_id").orderBy(col("cell_dist").asc, col("cell"))
     val probed = cellSims.withColumn("r", row_number().over(wCell))
       .filter(col("r") <= nProbe).select("query_id", "q", "cell")
     val scored = assigned.join(broadcast(probed), Seq("cell"))

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.util.Det.round4
+import graft.util.TextNorm
 
 /** Text analysis for training-data curation: language ID, quality scoring,
   * token counting, fingerprinting. All pure per-row `functions._`
@@ -11,8 +12,8 @@ import graft.util.Det.round4
   */
 object TextAnalysis {
 
-  private val words = split(lower(trim(col("text"))), " ")
-  private val distinctWords = array_distinct(words)
+  private val words = TextNorm.words(col("text"))
+  private val distinctWords = TextNorm.distinctWords(col("text"))
 
   /** Tiny per-language function-word lexicons for the n-gram/stopword
     * heuristic. Classifier = argmax of distinct-word overlap, ties broken
@@ -67,7 +68,7 @@ object TextAnalysis {
       size(words).as("ws_tokens"),
       size(regexp_extract_all(col("text"),
         lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0))).as("bpe_tokens"),
-      ceil(length(col("text")) / 4.0).cast("long").as("est_llm_tokens"),
+      TextNorm.estTokens(col("text")).as("est_llm_tokens"),
     ).orderBy("doc_id")
 
   /** Rolling-window fingerprint (winnowing-style): hash every sliding
