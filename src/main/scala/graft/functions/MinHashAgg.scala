@@ -90,9 +90,81 @@ case class MinHashSignature(child: Expression, numHashes: Int,
     copy(child = newChild)
 }
 
+/** One-pass SimHash aggregate: per 64-bit position, the running vote sum
+  * (+1 if the token hash has the bit set, -1 otherwise); eval folds the
+  * vote signs into the final 64-bit signature. Replaces 64 separate
+  * `sum(((h >> b) & 1) * 2 - 1)` aggregate columns with one buffer;
+  * merge = elementwise add (commutative → partition-invariant). Token
+  * hash replicates `functions.xxhash64(t)` (seed 42) exactly. */
+case class SimHashSignature(child: Expression,
+                            mutableAggBufferOffset: Int = 0,
+                            inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_simhash expects a string token column, got ${child.dataType.simpleString}")
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](64)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = XxHash64Function.hash(v.asInstanceOf[UTF8String], StringType, 42L)
+      var b = 0
+      while (b < 64) {
+        buf(b) += (((h >>> b) & 1L) * 2L - 1L)
+        b += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < 64) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any = {
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (buf(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * 64)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(64)(bb.getLong)
+  }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_simhash"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): SimHashSignature =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): SimHashSignature =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): SimHashSignature =
+    copy(child = newChild)
+}
+
 object MinHashAgg {
   /** Aggregate Column: MinHash signature of the grouped token column. */
   def minhash(token: Column, numHashes: Int): Column =
     Bridge.column(MinHashSignature(Bridge.expression(token), numHashes)
+      .toAggregateExpression())
+
+  /** Aggregate Column: 64-bit SimHash of the grouped token column. */
+  def simhash(token: Column): Column =
+    Bridge.column(SimHashSignature(Bridge.expression(token))
       .toAggregateExpression())
 }

@@ -124,14 +124,8 @@ object Dedup {
     * chunk by pigeonhole over 4 chunks), verified with bit_count(xor). */
   def simhash(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
     val tokens = documents.select(col("doc_id"), explode(words).as("t"))
-      .withColumn("h", xxhash64(col("t")))
-    val bitVotes = (0 until 64).map { b =>
-      sum(shiftright(col("h"), b).bitwiseAND(1) * 2 - 1).as(s"b$b")
-    }
-    val sigs = tokens.groupBy(col("doc_id")).agg(bitVotes.head, bitVotes.tail: _*)
-      .select(col("doc_id"),
-        (0 until 64).map(b => when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(0L))
-          .reduce(_.bitwiseOR(_)).as("sig"))
+    val sigs = tokens.groupBy(col("doc_id"))
+      .agg(graft.functions.MinHashAgg.simhash(col("t")).as("sig"))
     val chunked = sigs.select(col("doc_id"), col("sig"),
       posexplode(array((0 until 4).map(c =>
         shiftright(col("sig"), c * 16).bitwiseAND(0xFFFFL)): _*))

@@ -57,6 +57,26 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("SimHashSignature aggregate matches the 64 vote-sum columns") {
+    import graft.sources.Tables
+    val toks = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(array_distinct(
+        split(lower(trim(col("text"))), " "))).as("t"))
+    val native = toks.groupBy("doc_id")
+      .agg(graft.functions.MinHashAgg.simhash(col("t")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val h = xxhash64(col("t"))
+    val votes = (0 until 64).map { b =>
+      sum(shiftright(h, b).bitwiseAND(1) * 2 - 1).as(s"b$b")
+    }
+    val columnar = toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(b => when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(0L))
+          .reduce(_.bitwiseOR(_)).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native == columnar)
+  }
+
   test("graft_cosine registers for SQL via SparkSessionExtensions") {
     val s2 = SparkSession.builder().master("local[2]")
       .config("spark.sql.shuffle.partitions", "2")
