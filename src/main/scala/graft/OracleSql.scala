@@ -74,7 +74,7 @@ object OracleSql {
       """WITH t AS (SELECT doc_id, lang, CAST(CEIL(length(text)/4.0) AS BIGINT) AS est_tokens FROM documents), c AS (SELECT doc_id, lang, est_tokens, SUM(est_tokens) OVER (PARTITION BY lang ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens FROM t) SELECT doc_id, lang, est_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens FROM c WHERE cum_tokens <= 2000 ORDER BY lang, doc_id""",
 
     "q1_agg" ->
-      s"""SELECT l_returnflag, l_linestatus, SUM(CAST(l_quantity AS BIGINT)) AS sum_qty, ${cents("l_extendedprice")} AS sum_base_price, $revenue AS sum_disc_price, $revenue/COUNT(*) AS avg_disc_price, COUNT(*) AS count_order FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+      s"""SELECT l_returnflag, l_linestatus, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, ${cents("l_extendedprice")} AS sum_base_price, $revenue AS sum_disc_price, $revenue/COUNT(*) AS avg_disc_price, COUNT(*) AS count_order FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
 
     "q3_topk" ->
       s"""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_date, o_orderpriority, $revenue AS revenue FROM customer, orders, lineitem WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey AND o_orderdate < TIMESTAMP '1998-01-01' AND l_shipdate > TIMESTAMP '1998-01-01' GROUP BY l_orderkey, order_date, o_orderpriority ORDER BY revenue DESC, l_orderkey LIMIT 10""",

@@ -84,13 +84,23 @@ object SparkEntry {
     "ann_lsh"         -> ((s, d) => Similarity.lshCandidates(Tables.embeddings(s, d))),
     "ann_ivf"         -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d))),
     "dedup_semantic"  -> ((s, d) => Similarity.semanticDedup(Tables.embeddings(s, d))),
+    "dedup_semantic_lsh" -> ((s, d) => Similarity.semanticDedupApprox(Tables.embeddings(s, d))),
     "multimodal_frames" -> ((s, d) => Multimodal.sampleFrames(Tables.documents(s, d))),
     "lang_id"         -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     "quality_score"   -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
     "token_count"     -> ((s, d) => TextAnalysis.tokenCount(Tables.documents(s, d))),
     "doc_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
     "rolling_fingerprint" -> ((s, d) => TextAnalysis.rollingFingerprint(Tables.documents(s, d))),
-    "multimodal_features" -> ((s, d) => Multimodal.extractFeatures(Tables.documents(s, d))),
+    // Driver wiring encodes the Array[Float] feature column as a rounded CSV
+    // scalar: the harness lexsorts/hashes every cell and ndarray cells are
+    // unhashable. The library API (Multimodal.extractFeatures) keeps the array.
+    "multimodal_features" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      Multimodal.extractFeatures(Tables.documents(s, d))
+        .withColumn("feat",
+          concat_ws(",", transform(col("feat"), x => format_string("%.6f", x))))
+        .orderBy("doc_id")
+    }),
     // Structured Streaming twins (driven with Trigger.AvailableNow)
     "stream_tumbling"   -> ((s, d) => graft.streaming.StreamOps.runTumbling(s, d)),
     "stream_sessionize" -> ((s, d) => graft.streaming.StreamOps.runSessionize(s, d)),

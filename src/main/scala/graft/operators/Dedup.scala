@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.util.Det.round4
-import graft.util.TextNorm
+import graft.util.{PayloadJoin, TextNorm}
 import graft.functions.VectorFunctions.jaccard
 
 /** Deduplication family for training-data pipelines.
@@ -29,11 +29,12 @@ object Dedup {
   /** Blocked pair enumeration + set-jaccard verify, shared by the exact
     * near-dup operators. The block self-join runs on (doc_id, lang, band)
     * rows ONLY — token payloads never ride the pair shuffle; they re-attach
-    * per side afterwards (broadcast at bench scale; at 100 TB drop the hint
-    * for a shuffle join keyed on doc id). */
+    * per side afterwards under the caller's [[PayloadJoin]] strategy
+    * (default: AQE decides broadcast vs shuffle from stats). */
   private def blockedJaccard(documents: DataFrame,
                              payload: org.apache.spark.sql.Column,
-                             threshold: Double): DataFrame = {
+                             threshold: Double,
+                             payloadJoin: PayloadJoin): DataFrame = {
     val ids = documents.select(col("doc_id"), col("lang"),
       floor(col("n_chars") / 100).cast("long").as("band"))
     val pairs = ids.select(col("doc_id").as("doc_a"), col("lang"), col("band"))
@@ -44,8 +45,8 @@ object Dedup {
       .select("doc_a", "doc_b")
     val pay = documents.select(col("doc_id"), payload.as("p"))
     pairs
-      .join(broadcast(pay.select(col("doc_id").as("doc_a"), col("p").as("pa"))), "doc_a")
-      .join(broadcast(pay.select(col("doc_id").as("doc_b"), col("p").as("pb"))), "doc_b")
+      .join(payloadJoin.hint(pay.select(col("doc_id").as("doc_a"), col("p").as("pa"))), "doc_a")
+      .join(payloadJoin.hint(pay.select(col("doc_id").as("doc_b"), col("p").as("pb"))), "doc_b")
       .withColumn("jaccard", jaccard(col("pa"), col("pb")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round4(col("jaccard")).as("jaccard"))
@@ -57,8 +58,9 @@ object Dedup {
     * pair generation is a hash join partitioned on the block, never a
     * nested loop. [[minhashLsh]] is the scale path that approximates the
     * same pair set without enumerating blocks. */
-  def jaccardPairs(documents: DataFrame, threshold: Double = 0.5): DataFrame =
-    blockedJaccard(documents, words, threshold)
+  def jaccardPairs(documents: DataFrame, threshold: Double = 0.5,
+                   payloadJoin: PayloadJoin = PayloadJoin.Auto): DataFrame =
+    blockedJaccard(documents, words, threshold, payloadJoin)
 
   /** MinHash + LSH near-dup: k hash functions over the word set via seeded
     * xxhash64; signatures cut into b bands of r rows; docs sharing a band
@@ -71,7 +73,8 @@ object Dedup {
     * candidates ≈ O(near-dups) — the 100 TB property; r (rows per band) is
     * the knob that holds it on similarity-dense corpora. */
   def minhashLsh(documents: DataFrame, numHashes: Int = 64, bands: Int = 8,
-                 threshold: Double = 0.8): DataFrame = {
+                 threshold: Double = 0.8,
+                 payloadJoin: PayloadJoin = PayloadJoin.Auto): DataFrame = {
     require(numHashes % bands == 0,
       s"numHashes ($numHashes) must be divisible by bands ($bands)")
     val r = numHashes / bands
@@ -93,13 +96,13 @@ object Dedup {
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    // At bench scale the docs side is tiny next to millions of candidate
-    // pairs — broadcast it; at 100 TB drop the hint and this is a shuffle
-    // join keyed on doc id.
+    // The docs side is usually tiny next to millions of candidate pairs, but
+    // the choice is the caller's PayloadJoin strategy (default: AQE decides),
+    // never a hardcoded hint that would OOM at corpus scale.
     val docsW = documents.select(col("doc_id"), words.as("w"))
     cand
-      .join(broadcast(docsW.select(col("doc_id").as("doc_a"), col("w").as("wa"))), "doc_a")
-      .join(broadcast(docsW.select(col("doc_id").as("doc_b"), col("w").as("wb"))), "doc_b")
+      .join(payloadJoin.hint(docsW.select(col("doc_id").as("doc_a"), col("w").as("wa"))), "doc_a")
+      .join(payloadJoin.hint(docsW.select(col("doc_id").as("doc_b"), col("w").as("wb"))), "doc_b")
       .withColumn("jaccard", jaccard(col("wa"), col("wb")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round4(col("jaccard")).as("jaccard"))
@@ -110,13 +113,14 @@ object Dedup {
     * shingles instead of the word *set*, so word ORDER matters — two docs
     * sharing vocabulary but not phrasing stop matching. Same equi-key
     * blocking and native-jaccard verify as [[jaccardPairs]]. */
-  def ngramJaccard(documents: DataFrame, threshold: Double = 0.3): DataFrame = {
+  def ngramJaccard(documents: DataFrame, threshold: Double = 0.3,
+                   payloadJoin: PayloadJoin = PayloadJoin.Auto): DataFrame = {
     val w = TextNorm.words(col("text"))
     val sh = when(size(w) >= 3,
       array_distinct(transform(sequence(lit(0), size(w) - 3), i =>
         concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3)))))
       .otherwise(array().cast("array<string>"))
-    blockedJaccard(documents, sh, threshold)
+    blockedJaccard(documents, sh, threshold, payloadJoin)
   }
 
   /** SimHash near-dup: 64-bit signature (sign of per-bit vote over token

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.util.Det.round4
+import graft.util.PayloadJoin
 import graft.functions.VectorFunctions.cosine
 
 /** Similarity search over an embedding column (Array[Float]).
@@ -59,13 +60,49 @@ object Similarity {
   /** Embedding-cosine (semantic) dedup, SemDeDup-style greedy survivor
     * selection: enumerate pairs above the similarity threshold, drop the
     * higher id of every pair — survivors are vectors with no more-senior
-    * near-twin. Exact pair enumeration here (oracle-comparable); swap the
-    * pair source for [[lshCandidates]] at scale. */
-  def semanticDedup(embeddings: DataFrame, minCos: Double = 0.35): DataFrame = {
-    val e = embeddings.select(col("vec_id"), col("embedding"))
-    val removed = e.as("x").join(e.as("y"), col("x.vec_id") < col("y.vec_id"))
+    * near-twin.
+    *
+    * EXACT all-pairs, enumerated as a block-pair EQUI-join (the distributed
+    * "triangle" scheme): each vector hashes into one of `blocks` buckets; a
+    * vector in bucket b streams into every bucket pair (b, q≥b) on the left
+    * and (p≤b, b) on the right, and the join key is the (p, q) pair — so the
+    * plan is a hash/sort-merge join with per-task memory bounded by one
+    * bucket, never a BroadcastNestedLoopJoin over n² rows. Compare work is
+    * still inherently O(n²) — that is what EXACT all-pairs means — but it
+    * distributes evenly over B(B+1)/2 tasks; raise `blocks` with corpus
+    * size. When O(n²) compute itself is the wall (the 100 TB case), use
+    * [[semanticDedupApprox]], which prunes pairs with LSH buckets first. */
+  def semanticDedup(embeddings: DataFrame, minCos: Double = 0.35,
+                    blocks: Int = 8): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("embedding"),
+      pmod(col("vec_id"), lit(blocks)).cast("int").as("blk"))
+    val left = e.withColumn("q", explode(sequence(col("blk"), lit(blocks - 1))))
+      .withColumnRenamed("blk", "p")
+    val right = e.withColumn("p", explode(sequence(lit(0), col("blk"))))
+      .withColumnRenamed("blk", "q")
+    val removed = left.as("x").join(right.as("y"),
+        col("x.p") === col("y.p") && col("x.q") === col("y.q"))
+      // diagonal bucket pairs see both orderings + self-pairs: keep id< only
+      .filter(col("x.p") =!= col("x.q") || col("x.vec_id") < col("y.vec_id"))
       .filter(round4(cosine(col("x.embedding"), col("y.embedding"))) >= minCos)
-      .select(col("y.vec_id").as("vec_id")).distinct()
+      .select(greatest(col("x.vec_id"), col("y.vec_id")).as("vec_id")).distinct()
+    embeddings.join(removed, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("label"))
+      .orderBy("vec_id")
+  }
+
+  /** Approximate SemDeDup for corpora where exact O(n²) compare work is the
+    * wall: the pair source is [[lshCandidates]] (bucketed equi-join over
+    * random-hyperplane buckets, candidates ≈ O(near-dups)) with exact cosine
+    * verify on candidates only. Recall vs [[semanticDedup]] is spec-bounded;
+    * raise nTables (or lower planesPerTable) for recall, the reverse for
+    * pruning, matched to the corpus similarity profile. */
+  def semanticDedupApprox(embeddings: DataFrame, minCos: Double = 0.35,
+                          nTables: Int = 16, planesPerTable: Int = 4,
+                          payloadJoin: PayloadJoin = PayloadJoin.Auto): DataFrame = {
+    val removed = lshCandidates(embeddings, nTables, planesPerTable,
+        minCos = minCos, payloadJoin = payloadJoin)
+      .select(col("vec_b").as("vec_id")).distinct()
     embeddings.join(removed, Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("label"))
       .orderBy("vec_id")
@@ -126,7 +163,8 @@ object Similarity {
     * generation is a hash join, never n², and a hot bucket can be salted. */
   def lshCandidates(embeddings: DataFrame, nTables: Int = 16,
                     planesPerTable: Int = 4, dim: Int = 64,
-                    minCos: Double = 0.4): DataFrame = {
+                    minCos: Double = 0.4,
+                    payloadJoin: PayloadJoin = PayloadJoin.Auto): DataFrame = {
     // Fixed hyperplanes from a seeded LCG — reproducible across runs/engines.
     var state = 42L
     def next(): Double = {
@@ -151,8 +189,8 @@ object Similarity {
       .dropDuplicates("vec_a", "vec_b")
     val e = embeddings.select(col("vec_id"), col("embedding"))
     cand
-      .join(broadcast(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))), "vec_a")
-      .join(broadcast(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))), "vec_b")
+      .join(payloadJoin.hint(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))), "vec_a")
+      .join(payloadJoin.hint(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))), "vec_b")
       .select(col("vec_a"), col("vec_b"),
         round4(cosine(col("ea"), col("eb"))).as("cos_sim"))
       .filter(col("cos_sim") >= minCos)

@@ -99,6 +99,47 @@ class ApproxSpec extends SparkSpec {
       "lowest id can never be removed")
   }
 
+  test("semantic dedup: block-pair equi-join is invariant in the block count") {
+    val emb = Tables.embeddings(spark, sf)
+    // blocks=1 degenerates to the plain all-pairs enumeration (single
+    // diagonal bucket); any other block count must produce the same set
+    val base = Similarity.semanticDedup(emb, 0.35, blocks = 1)
+      .collect().map(_.toSeq).toSeq
+    Seq(5, 8).foreach { b =>
+      val got = Similarity.semanticDedup(emb, 0.35, blocks = b)
+        .collect().map(_.toSeq).toSeq
+      assert(got == base, s"blocks=$b diverged from all-pairs")
+    }
+  }
+
+  test("semantic dedup approx: survivors superset of exact, removed-recall >= 0.7") {
+    val emb = Tables.embeddings(spark, sf)
+    val all = emb.select("vec_id").collect().map(_.getLong(0)).toSet
+    val exact = Similarity.semanticDedup(emb, 0.35)
+      .collect().map(_.getLong(0)).toSet
+    val approx = Similarity.semanticDedupApprox(emb, 0.35)
+      .collect().map(_.getLong(0)).toSet
+    // LSH can only MISS pairs, so approx keeps everything exact keeps
+    assert(exact.subsetOf(approx), "approx dropped a vector exact kept")
+    val removedExact = all -- exact
+    val removedApprox = all -- approx
+    val recall = if (removedExact.isEmpty) 1.0
+      else removedApprox.size.toDouble / removedExact.size
+    assert(recall >= 0.7, s"removed-recall $recall " +
+      s"(${removedApprox.size} vs ${removedExact.size})")
+  }
+
+  test("payload re-attach strategies produce identical results") {
+    import graft.util.PayloadJoin
+    val docs = Tables.documents(spark, sf)
+    val auto = Dedup.minhashLsh(docs).collect().map(_.toSeq).toSeq
+    val bcast = Dedup.minhashLsh(docs, payloadJoin = PayloadJoin.Broadcast)
+      .collect().map(_.toSeq).toSeq
+    val shuf = Dedup.minhashLsh(docs, payloadJoin = PayloadJoin.Shuffle)
+      .collect().map(_.toSeq).toSeq
+    assert(auto == bcast && bcast == shuf)
+  }
+
   test("ann_topk ranks are dense 1..k per query") {
     val out = Similarity.topK(Tables.embeddings(spark, sf), Seq(0L, 1L, 2L), 10)
     val byQuery = out.collect().groupBy(_.getLong(0))

@@ -46,6 +46,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("semantic dedup never plans a nested-loop or cartesian join") {
+    Seq(
+      Similarity.semanticDedup(Tables.embeddings(spark, sf)),
+      Similarity.semanticDedupApprox(Tables.embeddings(spark, sf)),
+    ).foreach { df =>
+      val plan = explained(df)
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+             !plan.contains("CartesianProduct"),
+        s"O(n²) join shape in:\n$plan")
+    }
+  }
+
   test("pricing summary uses partial aggregation (map-side combine)") {
     val plan = explained(Analytics.pricingSummary(Tables.lineitem(spark, sf)))
     assert(plan.contains("partial"), s"no partial aggregate in:\n$plan")

@@ -30,6 +30,22 @@ for name, sql in sorted(oracle.items()):
     got, want = got[gcols], want[wcols]
     if len(got) != len(want):
         print(f"FAIL {name}: rows {len(got)} vs {len(want)}"); fail += 1; continue
+    # Driver-parity checks: the driver lexsorts rows (crashes on unhashable
+    # cells, e.g. ndarray columns) and hashes typed values (int64 138014 !=
+    # float64 138014.0). Replicate both so a mismatch can't pass locally.
+    try:
+        got = got.sort_values(by=gcols).reset_index(drop=True)
+        want = want.sort_values(by=wcols).reset_index(drop=True)
+    except Exception as e:
+        print(f"FAIL {name}: driver-style sort crashed: {e}"); fail += 1; continue
+    # Compare dtype KIND (int vs float vs object...), not width: the driver
+    # hashes value reprs, so int32 1 == int64 1 but int64 1 != float64 1.0
+    # (the q1_agg HUGEINT failure mode).
+    norm = lambda k: "i" if k in "iu" else k
+    dbad = [(c, str(got[c].dtype), str(want[c].dtype)) for c in gcols
+            if norm(got[c].dtype.kind) != norm(want[c].dtype.kind)]
+    if dbad:
+        print(f"FAIL {name}: dtype-kind mismatch {dbad}"); fail += 1; continue
     bad = None
     for c in gcols:
         gv, wv = list(got[c]), list(want[c])
