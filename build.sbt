@@ -13,6 +13,10 @@ Test / fork := true
 // Spark suites share one local SparkSession — run them sequentially.
 Test / parallelExecution := false
 run / fork := true
+// Pass the forked JVM's stdout through unprefixed: the bench/verify drivers
+// parse the emitted JSON line, and sbt's default logger would prepend
+// "[info] " to every line (BENCH_r0{1,2,3} all show `"parsed": null`).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

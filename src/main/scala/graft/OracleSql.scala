@@ -52,7 +52,19 @@ object OracleSql {
       """SELECT * FROM (SELECT 'accepted_values_o_orderstatus' AS test_name, (SELECT COUNT(*) FROM orders WHERE o_orderstatus NOT IN ('O','F','P')) AS violations UNION ALL SELECT 'not_null_o_custkey', (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL) UNION ALL SELECT 'relationships_o_custkey', (SELECT COUNT(*) FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL) UNION ALL SELECT 'unique_o_orderkey', (SELECT COUNT(*) FROM (SELECT o_orderkey FROM orders GROUP BY 1 HAVING COUNT(*) > 1) v)) ORDER BY test_name""",
 
     "dev_prod_diff" ->
-      """WITH dev AS (SELECT o_orderkey AS id, CASE WHEN o_totalprice > 200000 THEN 'high' ELSE 'regular' END AS bucket FROM orders), prod AS (SELECT o_orderkey AS id, CASE WHEN o_totalprice > 300000 THEN 'high' ELSE 'regular' END AS bucket FROM orders) SELECT 'in_dev_not_in_prod' AS diff_type, id, bucket FROM (SELECT * FROM dev EXCEPT SELECT * FROM prod) UNION ALL SELECT 'in_prod_not_in_dev' AS diff_type, id, bucket FROM (SELECT * FROM prod EXCEPT SELECT * FROM dev) ORDER BY diff_type, id""",
+      """WITH dev AS (SELECT o_orderkey AS id, CASE WHEN o_totalprice > 200000 THEN 'high' ELSE 'regular' END AS bucket FROM orders), prod AS (SELECT o_orderkey AS id, CASE WHEN o_totalprice > 300000 THEN 'high' ELSE 'regular' END AS bucket FROM orders), diff AS (SELECT 'in_dev_not_in_prod' AS diff_type, id, bucket FROM (SELECT * FROM dev EXCEPT SELECT * FROM prod) UNION ALL SELECT 'in_prod_not_in_dev' AS diff_type, id, bucket FROM (SELECT * FROM prod EXCEPT SELECT * FROM dev)), capped AS (SELECT * FROM diff ORDER BY diff_type, id LIMIT 100), summary AS (SELECT 'summary_dev_rows' AS diff_type, (SELECT COUNT(*) FROM dev) AS id, CAST(NULL AS VARCHAR) AS bucket UNION ALL SELECT 'summary_prod_rows', (SELECT COUNT(*) FROM prod), NULL) SELECT * FROM (SELECT * FROM capped UNION ALL SELECT * FROM summary) ORDER BY diff_type, id""",
+
+    "schema_diff" ->
+      """SELECT * FROM (VALUES ('added_in_dev', 'build_id', 'int not null', CAST(NULL AS VARCHAR)), ('added_in_dev', 'o_orderpriority', 'string', NULL), ('missing_in_dev', 'o_orderstatus', CAST(NULL AS VARCHAR), 'string'), ('nullability_changed', 'o_orderkey', 'bigint not null', 'bigint'), ('type_changed', 'o_custkey', 'int', 'bigint'), ('type_changed', 'o_totalprice', 'double', 'decimal(18,2)')) AS t(change, column_name, dev_type, prod_type) ORDER BY change, column_name""",
+
+    "surrogate_key" ->
+      """SELECT o_orderkey, md5(concat_ws('-', COALESCE(CAST(o_custkey AS VARCHAR), '_dbt_utils_surrogate_key_null_'), COALESCE(o_orderstatus, '_dbt_utils_surrogate_key_null_'), COALESCE(o_orderpriority, '_dbt_utils_surrogate_key_null_'))) AS surrogate_key FROM orders ORDER BY o_orderkey""",
+
+    "date_spine" ->
+      """SELECT CAST(DATE '2024-01-01' + CAST(i AS INTEGER) AS DATE) AS date_day FROM range(182) t(i) ORDER BY date_day""",
+
+    "dbt_utils_tests" ->
+      """SELECT * FROM (SELECT 'at_least_one_o_totalprice' AS test_name, CAST(CASE WHEN (SELECT COUNT(o_totalprice) FROM orders) >= 1 THEN 0 ELSE 1 END AS BIGINT) AS violations UNION ALL SELECT 'equal_rowcount_orders_customer', CAST(abs((SELECT COUNT(*) FROM orders) - (SELECT COUNT(*) FROM customer)) AS BIGINT) UNION ALL SELECT 'equal_rowcount_orders_orders', CAST(0 AS BIGINT) UNION ALL SELECT 'not_constant_o_totalprice', CAST(CASE WHEN (SELECT COUNT(DISTINCT o_totalprice) FROM orders) > 1 THEN 0 ELSE 1 END AS BIGINT)) ORDER BY test_name""",
 
     "source_freshness" ->
       """WITH e AS (SELECT event_type, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_s FROM events), m AS (SELECT event_type, MAX(ts_s) AS max_ts_s FROM e GROUP BY event_type) SELECT event_type, max_ts_s, CAST(FLOOR((1706745600 - max_ts_s) / 3600.0) AS BIGINT) AS age_hours, CASE WHEN (1706745600 - max_ts_s) > 72*3600 THEN 'error' WHEN (1706745600 - max_ts_s) > 24*3600 THEN 'warn' ELSE 'ok' END AS status FROM m ORDER BY event_type""",

@@ -40,6 +40,22 @@ object SparkEntry {
     "schema_evolution"  -> ((s, d) => Incremental.schemaEvolution(Tables.orders(s, d))),
     "test_suite"        -> ((s, d) => Checks.testSuite(Tables.orders(s, d), Tables.customer(s, d))),
     "dev_prod_diff"     -> ((s, d) => Diff.devProdDiff(Tables.orders(s, d))),
+    // dev mart gains a column, drops one, retypes two, tightens a nullability
+    "schema_diff"       -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val o = Tables.orders(s, d)
+      val dev = o.select(
+        coalesce(col("o_orderkey"), lit(0L)).as("o_orderkey"),
+        col("o_custkey").cast("int").as("o_custkey"),
+        col("o_totalprice"), col("o_orderpriority"), lit(1).as("build_id"))
+      val prod = o.select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("o_totalprice"),
+        col("o_orderstatus"))
+      Diff.schemaDiff(dev, prod)
+    }),
+    "surrogate_key"     -> ((s, d) => DbtUtils.surrogateKeyQuery(Tables.orders(s, d))),
+    "date_spine"        -> ((s, _) => DbtUtils.dateSpine(s, "2024-01-01", "2024-07-01")),
+    "dbt_utils_tests"   -> ((s, d) => DbtUtils.utilsTests(Tables.orders(s, d), Tables.customer(s, d))),
     "source_freshness"  -> ((s, d) => Freshness.sourceFreshness(Tables.events(s, d))),
     "json_extract"      -> ((s, d) => Json.extractProps(Tables.events(s, d))),
     "test_failures"     -> ((s, d) => StoreFailures.priorityFailures(Tables.orders(s, d))),
@@ -65,6 +81,7 @@ object SparkEntry {
     "pivot_wide"      -> ((s, d) => Analytics.pivotEventValues(Tables.events(s, d))),
     "dedup_distinct"  -> ((s, d) => Analytics.distinctStatusPriority(Tables.orders(s, d))),
     "quantiles"       -> ((s, d) => Analytics.quantiles(Tables.orders(s, d))),
+    "tdigest_quantiles" -> ((s, d) => Analytics.tdigestQuantiles(Tables.orders(s, d))),
     "approx_distinct" -> ((s, d) => Analytics.approxDistinct(Tables.orders(s, d))),
     "approx_quantiles" -> ((s, d) => Analytics.approxQuantiles(Tables.orders(s, d))),
     "date_parts"      -> ((s, d) => Analytics.dateParts(Tables.orders(s, d))),

@@ -191,6 +191,20 @@ object Analytics {
         percentile_approx(col("o_totalprice"), lit(0.9), lit(10000)).as("p90_approx"))
       .orderBy("o_orderpriority")
 
+  /** t-digest sketch quantiles (graft.functions.TDigestAgg): a few KB per
+    * group at any scale, mergeable on the map side, tail-accurate — the
+    * 100 TB replacement for exact `percentile`. Spec-bounded vs the exact
+    * quantiles; approximate by design → rows-only driver check. */
+  def tdigestQuantiles(orders: DataFrame): DataFrame =
+    orders.groupBy(col("o_orderpriority"))
+      .agg(graft.functions.TDigestAgg
+        .tdigestQuantiles(col("o_totalprice"), Seq(0.5, 0.9, 0.99)).as("qs"))
+      .select(col("o_orderpriority"),
+        round(element_at(col("qs"), 1), 2).as("p50_est"),
+        round(element_at(col("qs"), 2), 2).as("p90_est"),
+        round(element_at(col("qs"), 3), 2).as("p99_est"))
+      .orderBy("o_orderpriority")
+
   /** Calendar dimension extraction (the BigQuery EXTRACT() family).
     * dow normalized to 0=Sunday to match ANSI/DuckDB. */
   def dateParts(orders: DataFrame): DataFrame = {

@@ -207,16 +207,61 @@ object Curation {
 }
 
 /** Dataset diff — reference: macros/compare_dev_prod.sql (EXCEPT DISTINCT in
-  * both directions, tagged with diff_type). Dev/prod simulated as the same
-  * mart built with two bucket thresholds. */
+  * both directions, tagged with diff_type, row-count SUMMARY block, and a
+  * `limit`-capped diff sample). Dev/prod simulated as the same mart built
+  * with two bucket thresholds. */
 object Diff {
-  def devProdDiff(orders: DataFrame): DataFrame = {
+  /** Data diff with reference parity: two summary rows carry the dev/prod
+    * row counts (macros/compare_dev_prod.sql:1's SUMMARY block), and the
+    * diff rows are capped at `limit` in total (diff_type, id) order —
+    * at 100 TB the unbounded diff is itself TB-scale, so the cap is the
+    * scale-safety feature, not cosmetics. orderBy+limit plans as
+    * TakeOrderedAndProject (bounded per-partition heaps, no global sort). */
+  def devProdDiff(orders: DataFrame, limit: Int = 100): DataFrame = {
     val dev  = Relational.fctBucket(orders, 200000.0).select("id", "bucket")
     val prod = Relational.fctBucket(orders, 300000.0).select("id", "bucket")
-    dev.except(prod).select(lit("in_dev_not_in_prod").as("diff_type"), col("id"), col("bucket"))
+    val diff = dev.except(prod)
+      .select(lit("in_dev_not_in_prod").as("diff_type"), col("id"), col("bucket"))
       .unionAll(
         prod.except(dev).select(lit("in_prod_not_in_dev").as("diff_type"), col("id"), col("bucket")))
-      .orderBy("diff_type", "id")
+      .orderBy("diff_type", "id").limit(limit)
+    val summary = dev.agg(count(lit(1)).as("id"))
+      .select(lit("summary_dev_rows").as("diff_type"), col("id"),
+              lit(null).cast("string").as("bucket"))
+      .unionAll(prod.agg(count(lit(1)).as("id"))
+        .select(lit("summary_prod_rows").as("diff_type"), col("id"),
+                lit(null).cast("string").as("bucket")))
+    diff.unionAll(summary).orderBy("diff_type", "id")
+  }
+
+  /** Schema diff — reference scripts/pr_schema_diff.sh:1-30: columns
+    * added/removed/retyped/re-nullabled between a dev and a prod relation.
+    * Schemas are driver-side metadata by definition (no data scan), so this
+    * is the one operator that legitimately runs on the driver; the result
+    * is returned as a DataFrame so it composes with the rest of the CI
+    * diff pipeline. Type strings carry an explicit `not null` marker so a
+    * tightened/loosened constraint shows up even when the type matches. */
+  def schemaDiff(dev: DataFrame, prod: DataFrame): DataFrame = {
+    def typeOf(f: org.apache.spark.sql.types.StructField): String =
+      f.dataType.simpleString + (if (f.nullable) "" else " not null")
+    val d = dev.schema.map(f => f.name -> f).toMap
+    val p = prod.schema.map(f => f.name -> f).toMap
+    val added = (d.keySet -- p.keySet).toSeq.sorted
+      .map(n => ("added_in_dev", n, typeOf(d(n)), null: String))
+    val removed = (p.keySet -- d.keySet).toSeq.sorted
+      .map(n => ("missing_in_dev", n, null: String, typeOf(p(n))))
+    val common = (d.keySet & p.keySet).toSeq.sorted
+    val retyped = common
+      .filter(n => d(n).dataType != p(n).dataType)
+      .map(n => ("type_changed", n, typeOf(d(n)), typeOf(p(n))))
+    val renulled = common
+      .filter(n => d(n).dataType == p(n).dataType && d(n).nullable != p(n).nullable)
+      .map(n => ("nullability_changed", n, typeOf(d(n)), typeOf(p(n))))
+    val spark = dev.sparkSession
+    import spark.implicits._
+    (added ++ removed ++ retyped ++ renulled)
+      .toDF("change", "column_name", "dev_type", "prod_type")
+      .orderBy("change", "column_name")
   }
 }
 

@@ -26,6 +26,18 @@ final case class Model(name: String, deps: Seq[String],
                        materialization: Materialization,
                        build: Map[String, DataFrame] => DataFrame)
 
+/** Run hooks — reference hooks/pre_run.py + hooks/post_run.py
+  * (dbt on-run-start / on-run-end), plus per-model callbacks (dbt
+  * pre-hook/post-hook). Callbacks run on the driver, in DAG order; the
+  * post-model hook sees the materialized frame so it can stamp audit rows
+  * or freshness metadata without re-reading the table. */
+final case class RunHooks(
+    onRunStart: Seq[Model] => Unit = _ => (),
+    onRunEnd: Map[String, DataFrame] => Unit = _ => (),
+    beforeModel: Model => Unit = _ => (),
+    afterModel: (Model, DataFrame) => Unit = (_, _) => ())
+object RunHooks { val none: RunHooks = RunHooks() }
+
 /** dbt unit-test semantics (dbt-core 1.8 `unit_tests:`): run one model's
   * transformation against mocked inputs and diff against expected rows —
   * no warehouse state involved. */
@@ -97,17 +109,25 @@ final class Pipeline(models: Seq[Model]) {
 
   /** Runs only the selected models (+ transitive upstreams). */
   def runSubset(spark: SparkSession, sources: Map[String, DataFrame],
-                targetDir: String, select: Seq[String]): Map[String, DataFrame] = {
+                targetDir: String, select: Seq[String],
+                hooks: RunHooks = RunHooks.none,
+                fullRefresh: Boolean = false): Map[String, DataFrame] = {
     val wanted = selectUpstream(select).toSet
     new Pipeline(models.filter(m => wanted.contains(m.name)))
-      .run(spark, sources, targetDir)
+      .run(spark, sources, targetDir, hooks, fullRefresh)
   }
 
-  /** Runs the DAG. `targetDir` holds table/incremental materializations. */
+  /** Runs the DAG. `targetDir` holds table/incremental materializations.
+    * `fullRefresh` = dbt `--full-refresh`: incremental models rebuild from
+    * scratch instead of merging into their existing table. */
   def run(spark: SparkSession, sources: Map[String, DataFrame],
-          targetDir: String): Map[String, DataFrame] = {
+          targetDir: String, hooks: RunHooks = RunHooks.none,
+          fullRefresh: Boolean = false): Map[String, DataFrame] = {
     val resolved = scala.collection.mutable.Map[String, DataFrame]() ++ sources
-    topoOrder(sources.keySet).foreach { m =>
+    val ordered = topoOrder(sources.keySet)
+    hooks.onRunStart(ordered)
+    ordered.foreach { m =>
+      hooks.beforeModel(m)
       val inputs = (m.deps ++ sources.keys).distinct
         .map(d => d -> resolved(d)).toMap
       val df = m.build(inputs)
@@ -129,7 +149,9 @@ final class Pipeline(models: Seq[Model]) {
           spark.read.parquet(path)
         case IncrementalMat(key) =>
           val path = s"$targetDir/${m.name}"
-          val exists = new java.io.File(path).exists()
+          val physical = new java.io.File(path).exists()
+          // --full-refresh: ignore (and replace) the existing table
+          val exists = physical && !fullRefresh
           val merged = if (!exists) df else {
             val base = spark.read.parquet(path).withColumn("_src", lit(0))
             val delta = df.withColumn("_src", lit(1))
@@ -150,14 +172,17 @@ final class Pipeline(models: Seq[Model]) {
               throw new java.io.IOException(s"failed to delete ${f.getPath}")
           }
           val dir = new java.io.File(path)
-          if (exists) deleteRec(dir)
+          if (physical) deleteRec(dir)
           if (!new java.io.File(tmp).renameTo(dir))
             throw new java.io.IOException(
               s"failed to swap incremental table $tmp -> $path")
           spark.read.parquet(path)
       }
+      hooks.afterModel(m, out)
       resolved(m.name) = out
     }
-    resolved.toMap
+    val result = resolved.toMap
+    hooks.onRunEnd(result)
+    result
   }
 }

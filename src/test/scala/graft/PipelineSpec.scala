@@ -100,6 +100,42 @@ class PipelineSpec extends SparkSpec {
     assert(err.exists(_.contains("1 unexpected row(s), 1 missing row(s)")))
   }
 
+  test("run hooks fire in order: start, before/after each model (topo), end") {
+    val events = scala.collection.mutable.ArrayBuffer[String]()
+    val dag = new Pipeline(Seq(
+      Model("b", Seq("a"), EphemeralMat, in => in("a")),
+      Model("a", Seq("src"), EphemeralMat, in => in("src"))))
+    val hooks = RunHooks(
+      onRunStart = ms => events += s"start:${ms.map(_.name).mkString(",")}",
+      onRunEnd = out => events += s"end:${out.keys.toSeq.sorted.mkString(",")}",
+      beforeModel = m => events += s"before:${m.name}",
+      afterModel = (m, df) => events += s"after:${m.name}:${df.count()}")
+    val src = Tables.orders(spark, sf).limit(3)
+    dag.run(spark, Map("src" -> src), tmp(), hooks)
+    assert(events.toSeq == Seq(
+      "start:a,b", "before:a", "after:a:3", "before:b", "after:b:3",
+      "end:a,b,src"))
+  }
+
+  test("full refresh rebuilds an incremental table from scratch") {
+    val dir = tmp()
+    val orders = Tables.orders(spark, sf)
+    // orderBy+limit so dag(10).keys ⊆ dag(100).keys deterministically
+    def dag(n: Int, p: Double) = new Pipeline(Seq(
+      Model("inc", Seq("orders"), IncrementalMat("o_orderkey"),
+        in => in("orders").orderBy("o_orderkey").limit(n)
+          .select(col("o_orderkey"), lit(p).as("p")))))
+    dag(100, 1.0).run(spark, Map("orders" -> orders), dir)
+    // normal incremental run: old keys survive, so count stays 100
+    val merged = dag(10, 2.0).run(spark, Map("orders" -> orders), dir)("inc")
+    assert(merged.count() == 100)
+    // --full-refresh: table is exactly the delta, old rows discarded
+    val fresh = dag(10, 3.0).run(spark, Map("orders" -> orders), dir,
+      fullRefresh = true)("inc")
+    assert(fresh.count() == 10, "full refresh kept stale base rows")
+    assert(fresh.agg(min("p")).head.getDouble(0) == 3.0)
+  }
+
   test("salted join returns exactly the plain join's rows") {
     val orders = Tables.orders(spark, sf)
     val customer = Tables.customer(spark, sf)
