@@ -154,6 +154,12 @@ object OracleSql {
     "dedup_jaccard" ->
       s"""WITH d AS (SELECT doc_id, lang, n_chars, $docWords AS w FROM documents) SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, ROUND(CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) / len(list_distinct(list_concat(a.w, b.w))) * 10000, 0)/10000.0 AS jaccard FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id AND (a.n_chars // 100) = (b.n_chars // 100) WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) / len(list_distinct(list_concat(a.w, b.w))) >= 0.5 ORDER BY doc_a, doc_b""",
 
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE d AS (SELECT doc_id, lang, n_chars, $docWords AS w FROM documents), p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id AND (a.n_chars // 100) = (b.n_chars // 100) WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) / len(list_distinct(list_concat(a.w, b.w))) >= 0.5), e AS (SELECT doc_a AS u, doc_b AS v FROM p UNION SELECT doc_b, doc_a FROM p), reach AS (SELECT u AS id, u AS x FROM e UNION SELECT r.id, e.v AS x FROM reach r JOIN e ON r.x = e.u), cc AS (SELECT id, MIN(x) AS cluster_id FROM reach GROUP BY id) SELECT id AS doc_id, cluster_id, COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size FROM cc ORDER BY doc_id""",
+
+    "pii_scrub" ->
+      """SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'), '\+?[0-9][0-9() -]{6,}[0-9]', '<PHONE>', 'g') AS clean_text, text != regexp_replace(regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'), '\+?[0-9][0-9() -]{6,}[0-9]', '<PHONE>', 'g') AS pii_found FROM documents ORDER BY doc_id""",
+
     "ann_cosine" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), s AS (SELECT e.vec_id, e.label, ROUND((SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest(e.embedding) AS x, unnest(q.qv) AS y)) / (sqrt((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FROM (SELECT unnest(e.embedding) AS x))) * sqrt((SELECT SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest(q.qv) AS y)))) * 10000, 0)/10000.0 AS cos_sim FROM embeddings e, q WHERE e.vec_id <> 0) SELECT vec_id, label, cos_sim FROM s WHERE cos_sim >= 0.2 ORDER BY vec_id""",
 

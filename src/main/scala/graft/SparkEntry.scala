@@ -93,6 +93,7 @@ object SparkEntry {
     // D. LLM training-data pipeline
     "dedup_exact"     -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "dedup_jaccard"   -> ((s, d) => Dedup.jaccardPairs(Tables.documents(s, d))),
+    "dedup_clusters"  -> ((s, d) => Dedup.clusters(Tables.documents(s, d))),
     "dedup_ngram"     -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
     "dedup_minhash"   -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
     "dedup_simhash"   -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
@@ -107,6 +108,7 @@ object SparkEntry {
     "quality_score"   -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
     "token_count"     -> ((s, d) => TextAnalysis.tokenCount(Tables.documents(s, d))),
     "doc_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
+    "pii_scrub"       -> ((s, d) => TextAnalysis.piiScrub(Tables.documents(s, d))),
     "rolling_fingerprint" -> ((s, d) => TextAnalysis.rollingFingerprint(Tables.documents(s, d))),
     // Driver wiring encodes the Array[Float] feature column as a rounded CSV
     // scalar: the harness lexsorts/hashes every cell and ndarray cells are

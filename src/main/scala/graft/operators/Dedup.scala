@@ -123,6 +123,72 @@ object Dedup {
     blockedJaccard(documents, sh, threshold, payloadJoin)
   }
 
+  /** Connected components over an undirected near-dup pair list — the step
+    * that turns pairwise matches into corpus-level dedup groups (the
+    * survivor of each group is its minimum doc id, the component label).
+    *
+    * Algorithm: min-label propagation with pointer jumping, the MapReduce
+    * CC family of Kiveris et al., "Connected Components in MapReduce and
+    * Beyond" (SoCC'14). Each round (a) every node takes the min label among
+    * itself and its neighbours — one hash join on the edge list plus a
+    * partial-agg groupBy — and (b) labels compress through their own labels
+    * (a second hash join), which halves chain depth, so convergence is
+    * O(log n) rounds on any graph rather than O(diameter). Round state is
+    * exactly one (id, label) row per node — payloads never enter the loop,
+    * and nothing is ever collected to the driver. Each round is
+    * localCheckpoint'ed to truncate lineage (iterative plans otherwise grow
+    * exponentially); a multi-hour 100 TB job would swap in reliable
+    * `checkpoint` against the cluster FS, same seam. */
+  def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
+                          bCol: String = "doc_b", maxIter: Int = 25): DataFrame = {
+    val e = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+    val nodes = e.select(col("u")).unionAll(e.select(col("v"))).distinct()
+    // symmetric edges + a self-loop per node: "min over neighbours" then
+    // subsumes "min with own label", keeping the loop body to ONE join +
+    // ONE partial-agg groupBy (no per-round union)
+    val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      .unionAll(nodes.select(col("u"), col("u").as("v")))
+      .distinct()
+      .localCheckpoint()
+    var labels = nodes.select(col("u").as("id"), col("u").as("label"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // (a) propagate: min over the labels of self (self-loop) + neighbours
+      val minLbl = sym
+        .join(labels.select(col("id").as("v"), col("label")), "v")
+        .groupBy(col("u")).agg(min("label").as("label"))
+        .select(col("u").as("id"), col("label"))
+      // (b) pointer-jump: label := label(label) — labels are node ids, so
+      // the lookup is a self-join; left+coalesce guards the fixed points
+      val jumped = minLbl.as("n")
+        .join(minLbl.select(col("id").as("pid"), col("label").as("plabel")),
+          col("n.label") === col("pid"), "left")
+        .select(col("n.id").as("id"),
+          coalesce(col("plabel"), col("n.label")).as("label"))
+        .localCheckpoint()
+      converged = jumped.select(col("id"), col("label").as("nl"))
+        .join(labels.select(col("id"), col("label").as("ol")), "id")
+        .filter(col("nl") =!= col("ol")).isEmpty
+      labels = jumped
+      iter += 1
+    }
+    labels
+  }
+
+  /** Near-dup clusters: exact blocked-Jaccard pairs → connected components.
+    * Emits every document that has at least one near-dup, its component's
+    * canonical (minimum) doc id, and the component size. Downstream dedup
+    * keeps `doc_id == cluster_id` rows and drops the rest. */
+  def clusters(documents: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val cc = connectedComponents(jaccardPairs(documents, threshold))
+    cc.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .orderBy("doc_id")
+  }
+
   /** SimHash near-dup: 64-bit signature (sign of per-bit vote over token
     * hashes), candidates via 16-bit chunk bands (hamming ≤ 3 ⇒ ≥1 equal
     * chunk by pigeonhole over 4 chunks), verified with bit_count(xor). */

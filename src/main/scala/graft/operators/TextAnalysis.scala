@@ -91,6 +91,25 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** PII scrubbing: masks emails, IPv4 addresses, and phone-like digit
+    * runs with typed placeholders — the standard redaction pass before a
+    * corpus ships to training. A chain of three regexp_replace calls →
+    * fully codegen'd, scan-bound, zero shuffles. Patterns deliberately stay
+    * in the ASCII regex subset that Java regex (Spark) and RE2 (the DuckDB
+    * oracle) interpret identically, so the pass is engine-portable. IP runs
+    * before phone so dotted quads aren't half-eaten by the digit-run rule. */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Re  = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val phoneRe = "\\+?[0-9][0-9() -]{6,}[0-9]"
+
+  def piiScrub(documents: DataFrame): DataFrame = {
+    val clean = regexp_replace(regexp_replace(regexp_replace(col("text"),
+      emailRe, "<EMAIL>"), ipv4Re, "<IP>"), phoneRe, "<PHONE>")
+    documents.select(col("doc_id"), clean.as("clean_text"),
+        (col("text") =!= clean).as("pii_found"))
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprinting: full md5 digest, 8-hex prefix bucket, and a
     * 1-permutation minhash (lexicographic-min word md5). */
   def fingerprint(documents: DataFrame): DataFrame =

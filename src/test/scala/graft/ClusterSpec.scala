@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, TextAnalysis}
+import graft.sources.Tables
+
+/** Connected-components dedup clustering + PII scrubbing. */
+class ClusterSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("connected components: cliques, chains, isolated pairs") {
+    val got = cc(Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L), // triangle -> 1
+      (10L, 11L),                   // pair -> 10
+      (20L, 21L), (21L, 22L), (22L, 23L))) // chain -> 20
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
+  }
+
+  test("connected components: 64-node path converges via pointer jumping") {
+    // a path needs O(diameter) rounds under plain propagation; pointer
+    // jumping must close a 64-hop chain well inside maxIter=10
+    val edges = (0L until 63L).map(i => (i, i + 1))
+    val got = Dedup.connectedComponents(
+      edges.toDF("doc_a", "doc_b"), maxIter = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length == 64 && got.forall(_._2 == 0L),
+      s"path not fully labeled: ${got.filter(_._2 != 0L).take(5).toSeq}")
+  }
+
+  test("connected components match a union-find oracle on real pairs") {
+    val pairs = Dedup.jaccardPairs(Tables.documents(spark, sf), 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    // driver-side union-find ground truth
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(k => k -> find(k)).toMap
+    val got = Dedup.clusters(Tables.documents(spark, sf), 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
+  test("cluster sizes sum to the node count; canonical id is in its cluster") {
+    val out = Dedup.clusters(Tables.documents(spark, sf), 0.5).collect()
+    val byCluster = out.groupBy(_.getLong(1))
+    byCluster.foreach { case (cid, rows) =>
+      assert(rows.forall(_.getLong(2) == rows.length), s"bad size for $cid")
+      assert(rows.map(_.getLong(0)).min == cid, s"canonical id $cid not min")
+    }
+  }
+
+  test("pii scrub masks emails, IPs, and phone runs; leaves clean text alone") {
+    val docs = Seq(
+      (1L, "contact me at jane.doe+spam@example.co.uk today"),
+      (2L, "server at 192.168.1.250 rebooted"),
+      (3L, "call +1 (555) 123-4567 now"),
+      (4L, "nothing sensitive here at all"),
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.piiScrub(docs).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getBoolean(2))).toMap
+    assert(got(1L) == ("contact me at <EMAIL> today", true))
+    assert(got(2L) == ("server at <IP> rebooted", true))
+    assert(got(3L) == ("call <PHONE> now", true))
+    assert(got(4L) == ("nothing sensitive here at all", false))
+  }
+
+  test("pii scrub plan is shuffle-free up to the presentation sort") {
+    val df = TextAnalysis.piiScrub(Tables.documents(spark, sf))
+    val body = df.queryExecution.executedPlan.toString.replaceAll("(?s)Sort .*", "")
+    assert("Exchange".r.findAllIn(body).size <= 1, "pii scrub shuffles")
+  }
+}
