@@ -160,6 +160,12 @@ object OracleSql {
     "pii_scrub" ->
       """SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'), '\+?[0-9][0-9() -]{6,}[0-9]', '<PHONE>', 'g') AS clean_text, text != regexp_replace(regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'), '\+?[0-9][0-9() -]{6,}[0-9]', '<PHONE>', 'g') AS pii_found FROM documents ORDER BY doc_id""",
 
+    "repetition_score" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS word FROM documents), c AS (SELECT doc_id, word, COUNT(*) AS n FROM w GROUP BY 1, 2), t AS (SELECT doc_id, MAX(n) AS topn, SUM(n) AS total, COUNT(*) AS n_distinct FROM c GROUP BY 1), r AS (SELECT doc_id, ROUND(CAST(topn AS DOUBLE)/total*10000, 0)/10000.0 AS top_word_frac, ROUND((1.0 - CAST(n_distinct AS DOUBLE)/total)*10000, 0)/10000.0 AS dup_word_frac FROM t) SELECT doc_id, top_word_frac, dup_word_frac, CASE WHEN top_word_frac > 0.2 OR dup_word_frac > 0.5 THEN 'repetitive' ELSE 'ok' END AS rep_flag FROM r ORDER BY doc_id""",
+
+    "source_mix" ->
+      """WITH p AS (SELECT source, COUNT(*) AS docs, CAST(SUM(CAST(CEIL(length(text)/4.0) AS BIGINT)) AS BIGINT) AS est_tokens FROM documents GROUP BY source), t AS (SELECT CAST(SUM(est_tokens) AS BIGINT) AS total_tokens FROM p) SELECT source, docs, est_tokens, ROUND(CAST(est_tokens AS DOUBLE)/total_tokens*10000, 0)/10000.0 AS token_share FROM p, t ORDER BY source""",
+
     "ann_cosine" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), s AS (SELECT e.vec_id, e.label, ROUND((SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest(e.embedding) AS x, unnest(q.qv) AS y)) / (sqrt((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FROM (SELECT unnest(e.embedding) AS x))) * sqrt((SELECT SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest(q.qv) AS y)))) * 10000, 0)/10000.0 AS cos_sim FROM embeddings e, q WHERE e.vec_id <> 0) SELECT vec_id, label, cos_sim FROM s WHERE cos_sim >= 0.2 ORDER BY vec_id""",
 

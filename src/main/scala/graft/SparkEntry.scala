@@ -109,6 +109,8 @@ object SparkEntry {
     "token_count"     -> ((s, d) => TextAnalysis.tokenCount(Tables.documents(s, d))),
     "doc_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
     "pii_scrub"       -> ((s, d) => TextAnalysis.piiScrub(Tables.documents(s, d))),
+    "repetition_score" -> ((s, d) => TextAnalysis.repetitionScore(Tables.documents(s, d))),
+    "source_mix"      -> ((s, d) => Curation.sourceMix(Tables.documents(s, d))),
     "rolling_fingerprint" -> ((s, d) => TextAnalysis.rollingFingerprint(Tables.documents(s, d))),
     // Driver wiring encodes the Array[Float] feature column as a rounded CSV
     // scalar: the harness lexsorts/hashes every cell and ndarray cells are

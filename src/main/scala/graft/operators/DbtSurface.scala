@@ -197,6 +197,23 @@ object Curation {
       .orderBy("lang", "doc_id")
   }
 
+  /** Corpus composition by source (the CCNet-style mix report that drives
+    * per-source caps and rebalancing): document count, estimated LLM
+    * tokens, and each source's token share. The group-by partial-aggs on
+    * the map side; the share divides by a single broadcast total row, so
+    * the whole report is one shuffle of #sources rows. */
+  def sourceMix(documents: DataFrame): DataFrame = {
+    val per = documents.groupBy("source").agg(
+      count(lit(1)).as("docs"),
+      sum(graft.util.TextNorm.estTokens(col("text"))).as("est_tokens"))
+    val total = per.agg(sum("est_tokens").as("total_tokens"))
+    per.crossJoin(broadcast(total))
+      .select(col("source"), col("docs"), col("est_tokens"),
+        round4(col("est_tokens").cast("double") / col("total_tokens"))
+          .as("token_share"))
+      .orderBy("source")
+  }
+
   /** Stratified sampling by language (Bernoulli per stratum, seeded).
     * Approximate by design — spec bounds the per-stratum rates. */
   def stratifiedSample(documents: DataFrame,

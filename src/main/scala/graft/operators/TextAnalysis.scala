@@ -91,6 +91,31 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Repetition signals (the Gopher-rules family — Rae et al. 2021,
+    * arXiv:2112.11446 §A1.1): the fraction of tokens taken by the single
+    * most frequent word and the fraction of duplicate tokens; heavily
+    * repetitive documents are the classic low-quality web-text signature.
+    * Distributed as explode → (doc, word) counts → per-doc max/sum — two
+    * map-side-combined shuffles, NOT a per-row O(len²) higher-order scan,
+    * so million-token documents cost the same per token as short ones. */
+  def repetitionScore(documents: DataFrame): DataFrame = {
+    val counts = documents
+      .select(col("doc_id"), explode(words).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("n"))
+    counts.groupBy("doc_id").agg(
+        max("n").as("topn"), sum("n").as("total"),
+        count(lit(1)).as("n_distinct"))
+      .select(col("doc_id"),
+        round4(col("topn").cast("double") / col("total")).as("top_word_frac"),
+        round4(lit(1.0) - col("n_distinct").cast("double") / col("total"))
+          .as("dup_word_frac"))
+      // flags compare the ROUNDED values so both engines see the same bits
+      .withColumn("rep_flag",
+        when(col("top_word_frac") > 0.2 || col("dup_word_frac") > 0.5,
+          "repetitive").otherwise("ok"))
+      .orderBy("doc_id")
+  }
+
   /** PII scrubbing: masks emails, IPv4 addresses, and phone-like digit
     * runs with typed placeholders — the standard redaction pass before a
     * corpus ships to training. A chain of three regexp_replace calls →

@@ -76,6 +76,31 @@ class ClusterSpec extends SparkSpec {
     assert(got(4L) == ("nothing sensitive here at all", false))
   }
 
+  test("repetition score flags repeated text, passes varied text") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam spam spam spam eggs"), // top=0.9
+      (2L, "one two three four five six seven eight nine ten"),  // all distinct
+      (3L, "a b a b a b a b a b a b a b a b a b a b"),           // dup=0.9
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.repetitionScore(docs).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getString(3))).toMap
+    assert(got(1L) == ((0.9, 0.8, "repetitive")))
+    assert(got(2L) == ((0.1, 0.0, "ok")))
+    assert(got(3L)._3 == "repetitive" && got(3L)._2 == 0.9)
+  }
+
+  test("source mix: shares sum to ~1, tokens match per-source totals") {
+    val docs = Tables.documents(spark, sf)
+    val out = graft.operators.Curation.sourceMix(docs).collect()
+    assert(out.length == docs.select("source").distinct().count())
+    val shareSum = out.map(_.getDouble(3)).sum
+    assert(math.abs(shareSum - 1.0) < 0.001, s"shares sum to $shareSum")
+    val totalTokens = out.map(_.getLong(2)).sum
+    val expected = docs.select(
+      sum(ceil(length(col("text")) / 4.0).cast("long"))).head.getLong(0)
+    assert(totalTokens == expected)
+  }
+
   test("pii scrub plan is shuffle-free up to the presentation sort") {
     val df = TextAnalysis.piiScrub(Tables.documents(spark, sf))
     val body = df.queryExecution.executedPlan.toString.replaceAll("(?s)Sort .*", "")

@@ -62,4 +62,50 @@ class PlanSpec extends SparkSpec {
     val plan = explained(Analytics.pricingSummary(Tables.lineitem(spark, sf)))
     assert(plan.contains("partial"), s"no partial aggregate in:\n$plan")
   }
+
+  test("q3 top-k plans as TakeOrderedAndProject (bounded heaps, no global sort)") {
+    val plan = explained(Analytics.topRevenueOrders(
+      Tables.customer(spark, sf), Tables.orders(spark, sf),
+      Tables.lineitem(spark, sf)))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k fell back to a global sort:\n$plan")
+  }
+
+  test("candidate-pair dedups never plan a nested-loop or cartesian join") {
+    Seq(
+      Dedup.minhashLsh(Tables.documents(spark, sf)),
+      Dedup.simhash(Tables.documents(spark, sf)),
+      Dedup.jaccardPairs(Tables.documents(spark, sf)),
+    ).foreach { df =>
+      val plan = explained(df)
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+             !plan.contains("CartesianProduct"),
+        s"O(n²) join shape in:\n$plan")
+    }
+  }
+
+  test("minhash band shuffle carries ids only — no token arrays on the pair join") {
+    // the candidate self-join's inputs must not contain the word payload;
+    // payloads re-attach only after pair generation
+    val df = Dedup.minhashLsh(Tables.documents(spark, sf))
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    val bandJoin = joins.filter(_.condition.exists(_.toString.contains("band")))
+    assert(bandJoin.nonEmpty, "no band-bucket join found")
+    bandJoin.foreach { j =>
+      val cols = (j.left.output ++ j.right.output).map(_.name.toLowerCase)
+      assert(!cols.exists(c => c.startsWith("w") || c.contains("text")),
+        s"payload rides the pair shuffle: $cols")
+    }
+  }
+
+  test("connected components loop state is (id,label) only, no payload") {
+    val labels = Dedup.connectedComponents(
+      Dedup.jaccardPairs(Tables.documents(spark, sf), 0.5))
+    assert(labels.columns.toSeq == Seq("id", "label"))
+    val plan = explained(labels)
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"))
+  }
 }
