@@ -39,6 +39,9 @@ object OracleSql {
     "snapshot_check" ->
       """WITH x AS (SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate, md5(o_orderstatus) AS chk, LAG(md5(o_orderstatus)) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_chk FROM orders), f AS (SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate FROM x WHERE prev_chk IS NULL OR chk <> prev_chk), v AS (SELECT o_custkey, o_orderkey, o_orderstatus, CAST(o_orderdate AS DATE) AS valid_from, LEAD(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS valid_to FROM f) SELECT o_custkey, o_orderkey, o_orderstatus, valid_from, valid_to, valid_to IS NULL AS is_current FROM v ORDER BY o_custkey, valid_from, o_orderkey""",
 
+    "snapshot_hard_delete" ->
+      """WITH v AS (SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS valid_from, LEAD(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS valid_to, LEAD(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) IS NULL AS is_current FROM orders), live AS (SELECT DISTINCT o_custkey FROM orders WHERE o_custkey % 10 <> 0) SELECT v.o_custkey, v.o_orderkey, v.valid_from, CASE WHEN live.o_custkey IS NULL AND v.is_current THEN DATE '1998-12-31' ELSE v.valid_to END AS valid_to, CASE WHEN live.o_custkey IS NULL THEN FALSE ELSE v.is_current END AS is_current FROM v LEFT JOIN live ON v.o_custkey = live.o_custkey ORDER BY v.o_custkey, v.valid_from, v.o_orderkey""",
+
     "pipeline_run" ->
       """WITH stg AS (SELECT o_orderkey AS order_key, o_totalprice AS total_price FROM orders) SELECT order_key AS id, total_price AS value, CASE WHEN total_price > 200000 THEN 'high' ELSE 'regular' END AS bucket FROM stg ORDER BY id""",
 
@@ -47,6 +50,9 @@ object OracleSql {
 
     "schema_evolution" ->
       """SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01' UNION ALL SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01' ORDER BY o_orderkey""",
+
+    "schema_sync" ->
+      """SELECT o_orderkey, o_totalprice, CAST(NULL AS BIGINT) AS o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01' UNION ALL SELECT o_orderkey, o_totalprice, o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01' ORDER BY o_orderkey""",
 
     "test_suite" ->
       """SELECT * FROM (SELECT 'accepted_values_o_orderstatus' AS test_name, (SELECT COUNT(*) FROM orders WHERE o_orderstatus NOT IN ('O','F','P')) AS violations UNION ALL SELECT 'not_null_o_custkey', (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL) UNION ALL SELECT 'relationships_o_custkey', (SELECT COUNT(*) FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL) UNION ALL SELECT 'unique_o_orderkey', (SELECT COUNT(*) FROM (SELECT o_orderkey FROM orders GROUP BY 1 HAVING COUNT(*) > 1) v)) ORDER BY test_name""",
@@ -64,7 +70,7 @@ object OracleSql {
       """SELECT CAST(DATE '2024-01-01' + CAST(i AS INTEGER) AS DATE) AS date_day FROM range(182) t(i) ORDER BY date_day""",
 
     "dbt_utils_tests" ->
-      """SELECT * FROM (SELECT 'at_least_one_o_totalprice' AS test_name, CAST(CASE WHEN (SELECT COUNT(o_totalprice) FROM orders) >= 1 THEN 0 ELSE 1 END AS BIGINT) AS violations UNION ALL SELECT 'equal_rowcount_orders_customer', CAST(abs((SELECT COUNT(*) FROM orders) - (SELECT COUNT(*) FROM customer)) AS BIGINT) UNION ALL SELECT 'equal_rowcount_orders_orders', CAST(0 AS BIGINT) UNION ALL SELECT 'not_constant_o_totalprice', CAST(CASE WHEN (SELECT COUNT(DISTINCT o_totalprice) FROM orders) > 1 THEN 0 ELSE 1 END AS BIGINT)) ORDER BY test_name""",
+      """SELECT * FROM (SELECT 'at_least_one_o_totalprice' AS test_name, CAST(CASE WHEN (SELECT COUNT(o_totalprice) FROM orders) >= 1 THEN 0 ELSE 1 END AS BIGINT) AS violations UNION ALL SELECT 'equal_rowcount_orders_customer', CAST(abs((SELECT COUNT(*) FROM orders) - (SELECT COUNT(*) FROM customer)) AS BIGINT) UNION ALL SELECT 'equal_rowcount_orders_orders', CAST(0 AS BIGINT) UNION ALL SELECT 'not_constant_o_totalprice', CAST(CASE WHEN (SELECT COUNT(DISTINCT o_totalprice) FROM orders) > 1 THEN 0 ELSE 1 END AS BIGINT) UNION ALL SELECT 'unique_combination_o_custkey_o_orderdate', (SELECT COUNT(*) FROM (SELECT o_custkey, o_orderdate FROM orders GROUP BY 1, 2 HAVING COUNT(*) > 1) v) UNION ALL SELECT 'accepted_range_o_totalprice', (SELECT COUNT(*) FROM orders WHERE o_totalprice < 0 OR o_totalprice > 1000000)) ORDER BY test_name""",
 
     "source_freshness" ->
       """WITH e AS (SELECT event_type, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_s FROM events), m AS (SELECT event_type, MAX(ts_s) AS max_ts_s FROM e GROUP BY event_type) SELECT event_type, max_ts_s, CAST(FLOOR((1706745600 - max_ts_s) / 3600.0) AS BIGINT) AS age_hours, CASE WHEN (1706745600 - max_ts_s) > 72*3600 THEN 'error' WHEN (1706745600 - max_ts_s) > 24*3600 THEN 'warn' ELSE 'ok' END AS status FROM m ORDER BY event_type""",
@@ -157,6 +163,9 @@ object OracleSql {
     "dedup_clusters" ->
       s"""WITH RECURSIVE d AS (SELECT doc_id, lang, n_chars, $docWords AS w FROM documents), p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id AND (a.n_chars // 100) = (b.n_chars // 100) WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) / len(list_distinct(list_concat(a.w, b.w))) >= 0.5), e AS (SELECT doc_a AS u, doc_b AS v FROM p UNION SELECT doc_b, doc_a FROM p), reach AS (SELECT u AS id, u AS x FROM e UNION SELECT r.id, e.v AS x FROM reach r JOIN e ON r.x = e.u), cc AS (SELECT id, MIN(x) AS cluster_id FROM reach GROUP BY id) SELECT id AS doc_id, cluster_id, COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size FROM cc ORDER BY doc_id""",
 
+    "decontaminate" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents), s AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(ws) >= 13 THEN list_transform(range(1, len(ws) - 11), i -> array_to_string(ws[i:i+12], ' ')) ELSE CAST([] AS VARCHAR[]) END)) AS sh FROM d), ev AS (SELECT DISTINCT sh FROM s WHERE doc_id % 50 = 0), ov AS (SELECT s.doc_id, COUNT(*) AS n FROM s JOIN ev ON s.sh = ev.sh WHERE s.doc_id % 50 <> 0 GROUP BY s.doc_id) SELECT c.doc_id, COALESCE(ov.n, 0) AS n_overlapping_ngrams, COALESCE(ov.n, 0) >= 1 AS contaminated FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) c LEFT JOIN ov ON c.doc_id = ov.doc_id ORDER BY c.doc_id""",
+
     "pii_scrub" ->
       """SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'), '\+?[0-9][0-9() -]{6,}[0-9]', '<PHONE>', 'g') AS clean_text, text != regexp_replace(regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'), '\+?[0-9][0-9() -]{6,}[0-9]', '<PHONE>', 'g') AS pii_found FROM documents ORDER BY doc_id""",
 
@@ -190,8 +199,8 @@ object OracleSql {
     "token_count" ->
       """SELECT doc_id, len(string_split(lower(trim(text)), ' ')) AS ws_tokens, len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS bpe_tokens, CAST(CEIL(length(text)/4.0) AS BIGINT) AS est_llm_tokens FROM documents ORDER BY doc_id""",
 
-    "rolling_fingerprint" ->
-      """WITH h AS (SELECT doc_id, length(text) - 8 + 1 AS n_windows, list_sort(list_transform(range(1, length(text) - 8 + 2), i -> md5(substr(text, CAST(i AS INT), 8)))) AS hs FROM documents WHERE length(text) >= 8) SELECT doc_id, array_to_string(hs[1:4], ',') AS fingerprint, CAST(n_windows AS BIGINT) AS n_windows FROM h ORDER BY doc_id""",
+    "rolling_fingerprint_md5" ->
+      """WITH h AS (SELECT doc_id, length(text) - 8 + 1 AS n_windows, list_sort(list_transform(range(1, length(text) - 8 + 2), i -> md5(substr(text, CAST(i AS INT), 8)))) AS hs FROM documents WHERE doc_id % 10 = 0 AND length(text) >= 8) SELECT doc_id, array_to_string(hs[1:4], ',') AS fingerprint, CAST(n_windows AS BIGINT) AS n_windows FROM h ORDER BY doc_id""",
 
     "doc_fingerprint" ->
       s"""SELECT doc_id, md5(text) AS digest, substr(md5(text), 1, 8) AS prefix8, list_sort(list_transform($docWords, x -> md5(x)))[1] AS min_word_md5 FROM documents ORDER BY doc_id""",

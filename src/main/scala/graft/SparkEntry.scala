@@ -22,6 +22,14 @@ object SparkEntry {
     "seed_load"         -> ((s, _) => Seeds.exampleSeed(s)),
     "snapshot_scd2"     -> ((s, d) => Snapshot.scd2(Tables.orders(s, d))),
     "snapshot_check"    -> ((s, d) => Snapshot.scd2Check(Tables.orders(s, d))),
+    // hard-delete scenario: customers with key % 10 == 0 vanish from the
+    // source; their open windows must close at the run date
+    "snapshot_hard_delete" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val orders = Tables.orders(s, d)
+      Snapshot.invalidateHardDeletes(
+        Snapshot.scd2(orders), orders.filter(col("o_custkey") % 10 =!= 0))
+    }),
     "pipeline_run"      -> ((s, d) => {
       import graft.pipeline._
       import org.apache.spark.sql.functions._
@@ -38,6 +46,7 @@ object SparkEntry {
     }),
     "incremental_merge" -> ((s, d) => Incremental.mergeLatest(Tables.orders(s, d))),
     "schema_evolution"  -> ((s, d) => Incremental.schemaEvolution(Tables.orders(s, d))),
+    "schema_sync"       -> ((s, d) => Incremental.schemaSync(Tables.orders(s, d))),
     "test_suite"        -> ((s, d) => Checks.testSuite(Tables.orders(s, d), Tables.customer(s, d))),
     "dev_prod_diff"     -> ((s, d) => Diff.devProdDiff(Tables.orders(s, d))),
     // dev mart gains a column, drops one, retypes two, tightens a nullability
@@ -94,6 +103,14 @@ object SparkEntry {
     "dedup_exact"     -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "dedup_jaccard"   -> ((s, d) => Dedup.jaccardPairs(Tables.documents(s, d))),
     "dedup_clusters"  -> ((s, d) => Dedup.clusters(Tables.documents(s, d))),
+    "dedup_clusters_minhash" -> ((s, d) => Dedup.clustersApprox(Tables.documents(s, d))),
+    // decontamination: eval set = every 50th doc, corpus = the rest
+    "decontaminate"   -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(s, d)
+      Dedup.decontaminate(
+        docs.filter(col("doc_id") % 50 =!= 0), docs.filter(col("doc_id") % 50 === 0))
+    }),
     "dedup_ngram"     -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
     "dedup_minhash"   -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
     "dedup_simhash"   -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
@@ -112,6 +129,15 @@ object SparkEntry {
     "repetition_score" -> ((s, d) => TextAnalysis.repetitionScore(Tables.documents(s, d))),
     "source_mix"      -> ((s, d) => Curation.sourceMix(Tables.documents(s, d))),
     "rolling_fingerprint" -> ((s, d) => TextAnalysis.rollingFingerprint(Tables.documents(s, d))),
+    // md5 oracle twin on a deterministic 10% slice: hash-compared against
+    // DuckDB (which lacks xxhash64) while the xxhash64 main path above is
+    // spec-verified; the filter pushes to the parquet scan so the twin
+    // stays cheap at any SF.
+    "rolling_fingerprint_md5" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      TextAnalysis.rollingFingerprint(
+        Tables.documents(s, d).filter(col("doc_id") % 10 === 0), hasher = md5(_))
+    }),
     // Driver wiring encodes the Array[Float] feature column as a rounded CSV
     // scalar: the harness lexsorts/hashes every cell and ndarray cells are
     // unhashable. The library API (Multimodal.extractFeatures) keeps the array.

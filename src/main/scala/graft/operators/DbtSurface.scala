@@ -74,6 +74,76 @@ object Snapshot {
       lead(col("o_orderkey"), 1).over(w).isNull.as("is_current"),
     ).orderBy("o_custkey", "valid_from", "o_orderkey")
   }
+
+  /** dbt `invalidate_hard_deletes`: when a tracked entity disappears from
+    * the source, its OPEN validity window closes at the run timestamp and
+    * it stops being current — without this, deleted rows live forever in
+    * the snapshot. One distinct on the live key set + one left join on the
+    * key (broadcastable while the entity set is small; shuffle join at
+    * scale — the snapshot is already partitioned by the same key, so the
+    * exchange reuses it). */
+  def invalidateHardDeletes(snapshot: DataFrame, current: DataFrame,
+                            key: String = "o_custkey",
+                            deletedAt: String = "1998-12-31"): DataFrame = {
+    val live = current.select(col(key)).distinct().withColumn("_live", lit(1))
+    snapshot.join(live, Seq(key), "left")
+      .withColumn("valid_to",
+        when(col("_live").isNull && col("is_current"),
+          lit(deletedAt).cast("date")).otherwise(col("valid_to")))
+      .withColumn("is_current",
+        when(col("_live").isNull, lit(false)).otherwise(col("is_current")))
+      .drop("_live")
+      .orderBy(key, "valid_from", "o_orderkey")
+  }
+}
+
+/** dbt `on_schema_change` policy for incremental models — reference:
+  * dbt_project.yml configures `append_new_columns`; dbt-core also ships
+  * `ignore` (the default), `sync_all_columns`, and `fail`. */
+sealed trait OnSchemaChange
+object OnSchemaChange {
+  /** Keep the existing table's schema: new delta columns are dropped,
+    * delta rows get NULL for any column they no longer carry. */
+  case object Ignore extends OnSchemaChange
+  /** Add columns the delta introduced; never drop. Existing rows get NULL
+    * for the new columns. */
+  case object AppendNewColumns extends OnSchemaChange
+  /** Target schema becomes the delta's schema: columns the delta added
+    * appear (old rows NULL), columns the delta dropped disappear. */
+  case object SyncAllColumns extends OnSchemaChange
+  /** Abort the run on any column-set difference. */
+  case object Fail extends OnSchemaChange
+
+  /** Projects `base` (the existing table) and `delta` (the new batch) onto
+    * the policy's target schema, returning frames safe to unionByName.
+    * Columns shared by both sides are assumed type-compatible (dbt
+    * semantics — type drift surfaces via [[Diff.schemaDiff]] in CI, not
+    * here). Pure projections — no shuffle, no data pass. */
+  def align(base: DataFrame, delta: DataFrame,
+            policy: OnSchemaChange): (DataFrame, DataFrame) = {
+    def project(df: DataFrame, target: Seq[org.apache.spark.sql.types.StructField]) = {
+      val have = df.columns.toSet
+      df.select(target.map(f =>
+        if (have.contains(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)): _*)
+    }
+    policy match {
+      case Ignore => (base, project(delta, base.schema.fields.toSeq))
+      case AppendNewColumns =>
+        val newCols = delta.schema.fields.filterNot(f => base.columns.contains(f.name))
+        val target = base.schema.fields.toSeq ++ newCols
+        (project(base, target), project(delta, target))
+      case SyncAllColumns => (project(base, delta.schema.fields.toSeq), delta)
+      case Fail =>
+        val added = delta.columns.toSet -- base.columns
+        val removed = base.columns.toSet -- delta.columns
+        if (added.nonEmpty || removed.nonEmpty)
+          throw new IllegalStateException(
+            s"on_schema_change=fail: delta added ${added.toSeq.sorted.mkString(",")} " +
+              s"removed ${removed.toSeq.sorted.mkString(",")}")
+        (base, delta.select(base.columns.map(col).toIndexedSeq: _*))
+    }
+  }
 }
 
 /** Incremental materialization semantics — reference: dbt_project.yml
@@ -108,6 +178,19 @@ object Incremental {
     val delta = orders.filter(col("o_orderdate") >= cutoff)
       .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
     base.unionByName(delta, allowMissingColumns = true).orderBy("o_orderkey")
+  }
+
+  /** `sync_all_columns`: the new batch DROPS a column (o_orderstatus) and
+    * ADDS one (o_custkey); the merged table follows the batch's schema —
+    * old rows get NULL for the addition, the dropped column disappears. */
+  def schemaSync(orders: DataFrame): DataFrame = {
+    val cutoff = lit("1998-01-01")
+    val base = orders.filter(col("o_orderdate") < cutoff)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    val delta = orders.filter(col("o_orderdate") >= cutoff)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_custkey"))
+    val (b, d) = OnSchemaChange.align(base, delta, OnSchemaChange.SyncAllColumns)
+    b.unionByName(d).orderBy("o_orderkey")
   }
 }
 

@@ -63,8 +63,18 @@ object DbtUtils {
     val notConstant = row("not_constant_o_totalprice",
       orders.agg(countDistinct(col("o_totalprice")).as("n"))
         .select(when(col("n") > 1, 0L).otherwise(1L).as("violations")))
+    // unique_combination_of_columns: combos appearing more than once
+    val uniqueCombo = row("unique_combination_o_custkey_o_orderdate",
+      orders.groupBy("o_custkey", "o_orderdate").count()
+        .filter(col("count") > 1)
+        .agg(count(lit(1)).as("violations")))
+    // accepted_range: rows outside [min, max]
+    val acceptedRange = row("accepted_range_o_totalprice",
+      orders.filter(col("o_totalprice") < 0 || col("o_totalprice") > 1000000)
+        .agg(count(lit(1)).as("violations")))
 
     equalSelf.unionAll(equalCust).unionAll(atLeastOne).unionAll(notConstant)
+      .unionAll(uniqueCombo).unionAll(acceptedRange)
       .orderBy("test_name")
   }
 }

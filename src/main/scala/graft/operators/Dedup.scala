@@ -106,7 +106,10 @@ object Dedup {
       .withColumn("jaccard", jaccard(col("wa"), col("wb")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round4(col("jaccard")).as("jaccard"))
-      .orderBy("doc_a", "doc_b")
+    // NO presentation sort: the output is a pair SET, and a global orderBy
+    // would range-sample the plan — re-executing the whole verify stage just
+    // to pick sort bounds (measured 3x cost at sf0.1). Callers needing a
+    // canonical order sort the (small) verified output themselves.
   }
 
   /** Word n-gram (shingle) Jaccard near-dup pairs: contiguous 3-word
@@ -177,15 +180,60 @@ object Dedup {
     labels
   }
 
-  /** Near-dup clusters: exact blocked-Jaccard pairs → connected components.
-    * Emits every document that has at least one near-dup, its component's
-    * canonical (minimum) doc id, and the component size. Downstream dedup
+  /** Near-dup clusters from ANY pair source: connected components over the
+    * (doc_a, doc_b) edges, then per-doc cluster id + size. Downstream dedup
     * keeps `doc_id == cluster_id` rows and drops the rest. */
-  def clusters(documents: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val cc = connectedComponents(jaccardPairs(documents, threshold))
+  def clustersFromPairs(pairs: DataFrame): DataFrame = {
+    val cc = connectedComponents(pairs)
     cc.select(col("id").as("doc_id"), col("label").as("cluster_id"))
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .orderBy("doc_id")
+  }
+
+  /** Near-dup clusters: exact blocked-Jaccard pairs → connected components.
+    * Emits every document that has at least one near-dup, its component's
+    * canonical (minimum) doc id, and the component size. */
+  def clusters(documents: DataFrame, threshold: Double = 0.5): DataFrame =
+    clustersFromPairs(jaccardPairs(documents, threshold))
+
+  /** The 100 TB clustering path: edges come from [[minhashLsh]] band
+    * buckets (candidates ≈ O(near-dups), no block enumeration) instead of
+    * the exact blocked pair join. CC is robust to the bounded edge loss —
+    * a cluster only splits if EVERY bridging edge is missed — so recall vs
+    * [[clusters]] at the same threshold stays high (spec-bounded). */
+  def clustersApprox(documents: DataFrame, numHashes: Int = 64,
+                     bands: Int = 8, threshold: Double = 0.8): DataFrame =
+    clustersFromPairs(minhashLsh(documents, numHashes, bands, threshold))
+
+  /** Train/test decontamination — the standard public-pipeline step (GPT-3
+    * appendix C / PaLM / Llama style): a training document is contaminated
+    * if it shares any `n`-word shingle (n=13 is the canonical setting) with
+    * the held-out eval set. Emits every corpus doc with its count of
+    * DISTINCT overlapping shingles and the contaminated flag.
+    *
+    * Scale shape: shingles are xxhash64'd to 8-byte longs before the join
+    * (the join key never carries the ~80-char shingle strings), the eval
+    * side reduces to a distinct hash set (tiny vs the corpus → AQE
+    * broadcasts it), and the per-doc count is a map-side-combined groupBy.
+    * One corpus-side shuffle on the shingle hash, nothing O(n²). */
+  def decontaminate(corpus: DataFrame, eval: DataFrame, n: Int = 13,
+                    minOverlap: Int = 1): DataFrame = {
+    def shingleHashes(df: DataFrame): DataFrame = {
+      val w = TextNorm.words(col("text"))
+      val sh = when(size(w) >= n,
+        array_distinct(transform(sequence(lit(0), size(w) - n), i =>
+          xxhash64(concat_ws(" ", (0 until n).map(j => element_at(w, i + j + 1)): _*)))))
+        .otherwise(array().cast("array<bigint>"))
+      df.select(col("doc_id"), explode(sh).as("sh"))
+    }
+    val evalSh = shingleHashes(eval).select("sh").distinct()
+    val overlap = shingleHashes(corpus).join(evalSh, "sh")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlapping_ngrams"))
+    corpus.select("doc_id").join(overlap, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_overlapping_ngrams"), lit(0L)).as("n_overlapping_ngrams"))
+      .withColumn("contaminated", col("n_overlapping_ngrams") >= minOverlap)
       .orderBy("doc_id")
   }
 
@@ -207,6 +255,6 @@ object Dedup {
               bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
       .dropDuplicates("doc_a", "doc_b")
       .filter(col("hamming") <= maxHamming)
-      .orderBy("doc_a", "doc_b")
+    // no presentation sort — pair-set output, same rationale as minhashLsh
   }
 }

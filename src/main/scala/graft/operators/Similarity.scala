@@ -105,7 +105,8 @@ object Similarity {
       .select(col("vec_b").as("vec_id")).distinct()
     embeddings.join(removed, Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("label"))
-      .orderBy("vec_id")
+    // survivor-set output, rows-only checked: no presentation sort (the
+    // range sampler would re-run the whole LSH + anti-join upstream)
   }
 
   /** IVF-Flat ANN: k-means centroids partition the vector space (the
@@ -194,6 +195,8 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"),
         round4(cosine(col("ea"), col("eb"))).as("cos_sim"))
       .filter(col("cos_sim") >= minCos)
-      .orderBy("vec_a", "vec_b")
+    // no presentation sort: pair-set output; a global orderBy would
+    // range-sample the plan and re-execute the verify stage (see
+    // Dedup.minhashLsh)
   }
 }

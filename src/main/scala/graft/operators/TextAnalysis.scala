@@ -75,19 +75,25 @@ object TextAnalysis {
     * `window`-char substring and keep the k smallest — robust to small
     * edits anywhere in the document (only windows touching the edit
     * change), unlike the whole-document digest. Declarative
-    * sequence+transform, stays in codegen. */
-  def rollingFingerprint(documents: DataFrame, window: Int = 8,
-                         k: Int = 4): DataFrame = {
+    * sequence+transform, stays in codegen.
+    *
+    * The default hasher is `xxhash64`: an 8-byte long per window instead of
+    * a 32-char md5 hex string — no per-window hex allocation, and the k-min
+    * selection sorts longs, ~10x cheaper at corpus scale with the same
+    * winnowing semantics (any uniform hash selects a uniform window
+    * sample). `hasher` is pluggable so the md5 variant remains available
+    * where a cross-engine-reproducible fingerprint matters (DuckDB has no
+    * xxhash64 builtin). */
+  def rollingFingerprint(documents: DataFrame, window: Int = 8, k: Int = 4,
+                         hasher: Column => Column = xxhash64(_)): DataFrame = {
     val len = length(col("text"))
     val hashes = array_sort(transform(sequence(lit(1), len - window + 1),
-      i => md5(col("text").substr(i, lit(window)))))
+      i => hasher(col("text").substr(i, lit(window)))))
     documents
       .filter(len >= window)
       .select(col("doc_id"),
-        slice(hashes, 1, k).as("fingerprint"),
+        concat_ws(",", slice(hashes, 1, k)).as("fingerprint"),
         (len - window + 1).as("n_windows"))
-      .select(col("doc_id"), concat_ws(",", col("fingerprint")).as("fingerprint"),
-              col("n_windows"))
       .orderBy("doc_id")
   }
 

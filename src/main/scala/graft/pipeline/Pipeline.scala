@@ -16,8 +16,14 @@ final case class TableMat(partitionBy: Option[String] = None,
                           clusterBy: Seq[String] = Nil) extends Materialization
 /** Inlined into downstream plans (pure logical-plan composition). */
 case object EphemeralMat extends Materialization
-/** Merged into the existing table by unique key: delta rows win. */
-final case class IncrementalMat(uniqueKey: String) extends Materialization
+/** Merged into the existing table by unique key: delta rows win.
+  * `onSchemaChange` is dbt's incremental schema-change policy (reference
+  * dbt_project.yml configures append_new_columns; ignore / sync_all_columns
+  * / fail are the other dbt-core modes). */
+final case class IncrementalMat(
+    uniqueKey: String,
+    onSchemaChange: graft.operators.OnSchemaChange =
+      graft.operators.OnSchemaChange.AppendNewColumns) extends Materialization
 
 /** One model: name, upstream refs, materialization, and the transformation
   * from resolved upstream frames to this model's frame — `build` is the
@@ -94,6 +100,91 @@ final class Pipeline(models: Seq[Model]) {
   def lineage: Seq[(String, String)] =
     models.flatMap(m => m.deps.map(d => m.name -> d))
 
+  // --- dbt docs artifacts -------------------------------------------------
+  // Reference docs-viewer/app.py:1-35 serves target/manifest.json +
+  // target/catalog.json produced by `dbt docs generate`; these emit the
+  // same two documents for a completed run. Metadata-only (driver-side by
+  // definition — no data scan beyond the already-resolved schemas).
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private def matName(m: Materialization): String = m match {
+    case ViewMat => "view"
+    case _: TableMat => "table"
+    case EphemeralMat => "ephemeral"
+    case _: IncrementalMat => "incremental"
+  }
+
+  private def nodeId(name: String): String = {
+    val isModel = models.exists(_.name == name)
+    (if (isModel) "model.graft." else "source.graft.") + name
+  }
+
+  /** manifest.json-shaped document: every model with its resource type,
+    * materialization config, dependency edges (model./source.-qualified,
+    * dbt `depends_on.nodes` style), and resolved column schemas. */
+  def manifestJson(resolved: Map[String, DataFrame]): String = {
+    val nodes = models.map { m =>
+      val deps = m.deps.map(d => jstr(nodeId(d))).mkString("[", ",", "]")
+      val cols = resolved.get(m.name).map(_.schema.fields.map(f =>
+        s"${jstr(f.name)}:{" + s""""name":${jstr(f.name)},"data_type":${jstr(f.dataType.simpleString)}}""")
+        .mkString(",")).getOrElse("")
+      val config = (s""""materialized":${jstr(matName(m.materialization))}""" +
+        (m.materialization match {
+          case IncrementalMat(key, policy) =>
+            s""","unique_key":${jstr(key)},"on_schema_change":${jstr(
+              policy.toString.replaceAll("([a-z])([A-Z])", "$1_$2").toLowerCase)}"""
+          case _ => ""
+        }))
+      s"${jstr(nodeId(m.name))}:{" +
+        s""""name":${jstr(m.name)},"resource_type":"model",""" +
+        s""""depends_on":{"nodes":$deps},"config":{$config},"columns":{$cols}}"""
+    }.mkString(",")
+    val sources = models.flatMap(_.deps).distinct
+      .filterNot(d => models.exists(_.name == d)).map { s =>
+        s"${jstr(nodeId(s))}:{" +
+          s""""name":${jstr(s)},"resource_type":"source"}"""
+      }.mkString(",")
+    val parentMap = models.map(m =>
+      s"${jstr(nodeId(m.name))}:${m.deps.map(d => jstr(nodeId(d))).mkString("[", ",", "]")}")
+      .mkString(",")
+    s"""{"metadata":{"project_name":"graft","schema_version":"graft-manifest-v1"},""" +
+      s""""nodes":{$nodes},"sources":{$sources},"parent_map":{$parentMap}}"""
+  }
+
+  /** catalog.json-shaped document: per model, the materialized column
+    * listing (name, type, ordinal) from the resolved frames. */
+  def catalogJson(resolved: Map[String, DataFrame]): String = {
+    val nodes = models.flatMap(m => resolved.get(m.name).map { df =>
+      val cols = df.schema.fields.zipWithIndex.map { case (f, i) =>
+        s"${jstr(f.name)}:{" +
+          s""""name":${jstr(f.name)},"type":${jstr(f.dataType.simpleString)},"index":$i}"""
+      }.mkString(",")
+      s"${jstr(nodeId(m.name))}:{" +
+        s""""metadata":{"name":${jstr(m.name)},"materialized":${jstr(matName(m.materialization))}},""" +
+        s""""columns":{$cols}}"""
+    }).mkString(",")
+    s"""{"metadata":{"schema_version":"graft-catalog-v1"},"nodes":{$nodes}}"""
+  }
+
+  /** `dbt docs generate`: write manifest.json + catalog.json to
+    * `targetDir` (the reference's docs-viewer serves exactly these two). */
+  def writeDocs(targetDir: String, resolved: Map[String, DataFrame]): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(targetDir))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$targetDir/manifest.json"),
+      manifestJson(resolved).getBytes("UTF-8"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$targetDir/catalog.json"),
+      catalogJson(resolved).getBytes("UTF-8"))
+  }
+
   /** dbt `--select model` semantics: the named models plus their transitive
     * upstream closure, in topological order. */
   def selectUpstream(select: Seq[String]): Seq[String] = {
@@ -147,16 +238,18 @@ final class Pipeline(models: Seq[Model]) {
           }
           writer.parquet(path)
           spark.read.parquet(path)
-        case IncrementalMat(key) =>
+        case IncrementalMat(key, policy) =>
           val path = s"$targetDir/${m.name}"
           val physical = new java.io.File(path).exists()
           // --full-refresh: ignore (and replace) the existing table
           val exists = physical && !fullRefresh
           val merged = if (!exists) df else {
-            val base = spark.read.parquet(path).withColumn("_src", lit(0))
-            val delta = df.withColumn("_src", lit(1))
+            val (b0, d0) = graft.operators.OnSchemaChange.align(
+              spark.read.parquet(path), df, policy)
+            val base = b0.withColumn("_src", lit(0))
+            val delta = d0.withColumn("_src", lit(1))
             val w = Window.partitionBy(key).orderBy(col("_src").desc)
-            base.unionByName(delta, allowMissingColumns = true)
+            base.unionByName(delta)
               .withColumn("_rn", row_number().over(w))
               .filter(col("_rn") === 1).drop("_src", "_rn")
           }

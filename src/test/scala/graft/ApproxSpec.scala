@@ -132,11 +132,12 @@ class ApproxSpec extends SparkSpec {
   test("payload re-attach strategies produce identical results") {
     import graft.util.PayloadJoin
     val docs = Tables.documents(spark, sf)
-    val auto = Dedup.minhashLsh(docs).collect().map(_.toSeq).toSeq
+    // pair-set semantics: compare as sets (minhashLsh no longer sorts)
+    val auto = Dedup.minhashLsh(docs).collect().map(_.toSeq).toSet
     val bcast = Dedup.minhashLsh(docs, payloadJoin = PayloadJoin.Broadcast)
-      .collect().map(_.toSeq).toSeq
+      .collect().map(_.toSeq).toSet
     val shuf = Dedup.minhashLsh(docs, payloadJoin = PayloadJoin.Shuffle)
-      .collect().map(_.toSeq).toSeq
+      .collect().map(_.toSeq).toSet
     assert(auto == bcast && bcast == shuf)
   }
 

@@ -61,6 +61,24 @@ class ClusterSpec extends SparkSpec {
     }
   }
 
+  test("minhash-edge clusters: co-cluster recall >= 0.8 vs exact edges at J>=0.8") {
+    val docs = Tables.documents(spark, sf)
+    def coPairs(out: Array[org.apache.spark.sql.Row]): Set[(Long, Long)] =
+      out.groupBy(_.getLong(1)).values.flatMap { rs =>
+        val ids = rs.map(_.getLong(0)).sorted
+        for (i <- ids.indices; j <- i + 1 until ids.length) yield (ids(i), ids(j))
+      }.toSet
+    val exact = coPairs(
+      Dedup.clustersFromPairs(Dedup.jaccardPairs(docs, 0.8)).collect())
+    val approx = coPairs(Dedup.clustersApprox(docs).collect())
+    assert(exact.nonEmpty, "no exact clusters to compare against")
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    // CC repairs missed edges transitively, so cluster-level recall must
+    // beat the per-pair LSH recall bound (0.7 in ApproxSpec)
+    assert(recall >= 0.8, s"co-cluster recall $recall " +
+      s"(${approx.size} approx vs ${exact.size} exact co-pairs)")
+  }
+
   test("pii scrub masks emails, IPs, and phone runs; leaves clean text alone") {
     val docs = Seq(
       (1L, "contact me at jane.doe+spam@example.co.uk today"),

@@ -81,4 +81,60 @@ class OperatorsSpec extends SparkSpec {
       (col("n_events") - 1) * 1800).count()
     assert(bad == 0)
   }
+
+  test("decontaminate: shared 13-grams flagged, disjoint and short docs clean") {
+    import spark.implicits._
+    val base = (1 to 20).map(i => s"w$i").mkString(" ") // 20 words → 8 shingles
+    val eval = Seq((100L, base)).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, base),                                     // identical → all 8 shared
+      (2L, (1 to 20).map(i => s"x$i").mkString(" ")), // disjoint vocabulary
+      (3L, "short text"),                             // < 13 words → no shingles
+    ).toDF("doc_id", "text")
+    val got = Dedup.decontaminate(corpus, eval).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got(1L) == ((8L, true)))
+    assert(got(2L) == ((0L, false)))
+    assert(got(3L) == ((0L, false)))
+  }
+
+  test("snapshot hard deletes: vanished keys close their window, survivors keep one current") {
+    val orders = Tables.orders(spark, sf)
+    val current = orders.filter(col("o_custkey") % 10 =!= 0)
+    val out = Snapshot.invalidateHardDeletes(Snapshot.scd2(orders), current)
+    val deleted = out.filter(col("o_custkey") % 10 === 0)
+    assert(deleted.count() > 0, "scenario needs some hard-deleted keys")
+    assert(deleted.filter(col("is_current")).count() == 0)
+    assert(deleted.filter(col("valid_to").isNull).count() == 0)
+    val survivors = out.filter(col("o_custkey") % 10 =!= 0)
+    val badKeys = survivors.filter(col("is_current")).groupBy("o_custkey")
+      .count().filter(col("count") =!= 1).count()
+    assert(badKeys == 0, "a surviving key lost its single current row")
+  }
+
+  test("rolling fingerprint: xxhash64 selection = independent k-min; md5 twin structurally equal") {
+    val docs = Tables.documents(spark, sf)
+    val xx = TextAnalysis.rollingFingerprint(docs)
+    // same doc set + window counts as the md5 (oracle-twin) variant — the
+    // hasher changes only the hash values, never the winnowing structure
+    val md = TextAnalysis.rollingFingerprint(docs, hasher = md5(_))
+    assert(rows(xx.select("doc_id", "n_windows")) ==
+           rows(md.select("doc_id", "n_windows")))
+    // pin the sort+slice selection against an independent plan: explode all
+    // window hashes, take the k smallest per doc in Scala
+    val exploded = docs.filter(length(col("text")) >= 8)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), length(col("text")) - 7),
+        i => xxhash64(col("text").substr(i, lit(8))))).as("h"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) =>
+        id -> rs.map(_.getLong(1)).sorted.take(4).mkString(",") }
+    val got = xx.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == exploded)
+    // fingerprints are ascending-sorted longs (the k-min contract)
+    got.values.foreach { fp =>
+      val parts = fp.split(",").map(_.toLong).toSeq
+      assert(parts == parts.sorted)
+    }
+  }
 }

@@ -136,6 +136,80 @@ class PipelineSpec extends SparkSpec {
     assert(fresh.agg(min("p")).head.getDouble(0) == 3.0)
   }
 
+  test("on_schema_change policies: ignore / append / sync / fail") {
+    import graft.operators.OnSchemaChange
+    import spark.implicits._
+    val base = Seq((1L, "a", 10.0)).toDF("id", "s", "v")
+    val delta = Seq((2L, 20.0, true)).toDF("id", "v", "extra") // drops s, adds extra
+    val (bi, di) = OnSchemaChange.align(base, delta, OnSchemaChange.Ignore)
+    assert(bi.columns.toSeq == Seq("id", "s", "v") &&
+           di.columns.toSeq == Seq("id", "s", "v"))
+    assert(di.head.getAs[Any]("s") == null, "ignore must null the dropped column")
+    val (ba, da) = OnSchemaChange.align(base, delta, OnSchemaChange.AppendNewColumns)
+    assert(ba.columns.toSeq == Seq("id", "s", "v", "extra") &&
+           da.columns.toSeq == Seq("id", "s", "v", "extra"))
+    assert(ba.head.getAs[Any]("extra") == null)
+    val (bs, ds) = OnSchemaChange.align(base, delta, OnSchemaChange.SyncAllColumns)
+    assert(bs.columns.toSeq == Seq("id", "v", "extra") &&
+           ds.columns.toSeq == Seq("id", "v", "extra"))
+    assert(bs.head.getAs[Any]("extra") == null)
+    intercept[IllegalStateException](
+      OnSchemaChange.align(base, delta, OnSchemaChange.Fail))
+    // identical schemas pass under fail
+    val (_, dOk) = OnSchemaChange.align(base, base, OnSchemaChange.Fail)
+    assert(dOk.columns.toSeq == base.columns.toSeq)
+  }
+
+  test("incremental sync_all_columns: second run's schema replaces the table's") {
+    import graft.operators.OnSchemaChange
+    val dir = tmp()
+    val orders = Tables.orders(spark, sf)
+    def dag(build: Map[String, org.apache.spark.sql.DataFrame] => org.apache.spark.sql.DataFrame) =
+      new Pipeline(Seq(Model("inc", Seq("orders"),
+        IncrementalMat("o_orderkey", OnSchemaChange.SyncAllColumns), build)))
+    dag(in => in("orders").select(col("o_orderkey"), col("o_orderstatus")))
+      .run(spark, Map("orders" -> orders), dir)
+    val out = dag(in => in("orders").limit(10)
+        .select(col("o_orderkey"), col("o_totalprice")))
+      .run(spark, Map("orders" -> orders), dir)("inc")
+    // status dropped, totalprice added; base rows carry NULL totalprice
+    assert(out.columns.toSeq == Seq("o_orderkey", "o_totalprice"))
+    assert(out.count() == orders.count())
+    assert(out.filter(col("o_totalprice").isNull).count() == orders.count() - 10)
+  }
+
+  test("docs artifacts: manifest deps mirror lineage, catalog columns mirror schemas") {
+    val dag = new Pipeline(Seq(
+      Model("stg", Seq("orders"), ViewMat,
+        in => in("orders").select(col("o_orderkey"), col("o_totalprice"))),
+      Model("fct", Seq("stg"), IncrementalMat("o_orderkey"), in => in("stg"))))
+    val resolved = dag.run(spark,
+      Map("orders" -> Tables.orders(spark, sf).limit(5)), tmp())
+    val dir = tmp()
+    dag.writeDocs(dir, resolved)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val man = om.readTree(new java.io.File(s"$dir/manifest.json"))
+    val nodes = man.get("nodes")
+    assert(nodes.has("model.graft.stg") && nodes.has("model.graft.fct"))
+    assert(man.get("sources").has("source.graft.orders"))
+    assert(nodes.get("model.graft.fct").get("depends_on").get("nodes")
+      .get(0).asText == "model.graft.stg")
+    val cfg = nodes.get("model.graft.fct").get("config")
+    assert(cfg.get("materialized").asText == "incremental")
+    assert(cfg.get("unique_key").asText == "o_orderkey")
+    assert(cfg.get("on_schema_change").asText == "append_new_columns")
+    dag.lineage.foreach { case (m, d) =>
+      val arr = man.get("parent_map").get(s"model.graft.$m")
+      assert((0 until arr.size).exists(i => arr.get(i).asText.endsWith("." + d)),
+        s"parent_map missing $m -> $d")
+    }
+    val cat = om.readTree(new java.io.File(s"$dir/catalog.json"))
+    val stgCols = cat.get("nodes").get("model.graft.stg").get("columns")
+    assert(resolved("stg").schema.fieldNames.forall(stgCols.has))
+    assert(stgCols.get("o_orderkey").get("type").asText == "bigint")
+    assert(stgCols.get("o_totalprice").get("index").asInt == 1)
+  }
+
   test("salted join returns exactly the plain join's rows") {
     val orders = Tables.orders(spark, sf)
     val customer = Tables.customer(spark, sf)
