@@ -129,6 +129,7 @@ object SparkEntry {
     "repetition_score" -> ((s, d) => TextAnalysis.repetitionScore(Tables.documents(s, d))),
     "source_mix"      -> ((s, d) => Curation.sourceMix(Tables.documents(s, d))),
     "rolling_fingerprint" -> ((s, d) => TextAnalysis.rollingFingerprint(Tables.documents(s, d))),
+    "verbatim_overlap"    -> ((s, d) => TextAnalysis.verbatimOverlap(Tables.documents(s, d))),
     // md5 oracle twin on a deterministic 10% slice: hash-compared against
     // DuckDB (which lacks xxhash64) while the xxhash64 main path above is
     // spec-verified; the filter pushes to the parquet scan so the twin

@@ -37,7 +37,12 @@ object Dedup {
                              payloadJoin: PayloadJoin): DataFrame = {
     val ids = documents.select(col("doc_id"), col("lang"),
       floor(col("n_chars") / 100).cast("long").as("band"))
+    // the streamed side repartitions on the block key: the id frame is tiny
+    // in bytes (the scan often yields ONE partition) while the block join
+    // emits quadratically per block — without the explicit exchange the
+    // whole pair emit would run on the scan's task count
     val pairs = ids.select(col("doc_id").as("doc_a"), col("lang"), col("band"))
+      .repartition(col("lang"), col("band"))
       .join(ids.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
         col("band").as("band_b")),
         col("lang") === col("lang_b") && col("band") === col("band_b") &&
@@ -88,10 +93,18 @@ object Dedup {
       .agg(graft.functions.MinHashAgg.minhash(col("t"), numHashes).as("sig"))
     // Bands carry ONLY (doc_id, band) — candidate generation shuffles ids,
     // never the token arrays; arrays re-attach after pair dedup.
+    // The explicit repartition pins the join's task count: the banded frame
+    // is tiny in BYTES (one row per doc-band) while the bucket join can emit
+    // orders of magnitude more pairs, and AQE's byte-based partition
+    // coalescing would otherwise shrink this exchange to 1-2 tasks and run
+    // the whole emit serially (measured 2x on the sf0.1 corpus). A
+    // user-specified repartition is never coalesced, and it co-partitions
+    // the equi-join key as a bonus.
     val banded = sigs.select(col("doc_id"),
       posexplode(array((0 until bands).map(bi =>
         xxhash64((bi * r until (bi + 1) * r).map(j => col("sig")(j)): _*)): _*))
         .as(Seq("band_idx", "band_hash")))
+      .repartition(col("band_idx"), col("band_hash"))
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
         col("x.band_hash") === col("y.band_hash") &&
@@ -265,6 +278,9 @@ object Dedup {
       posexplode(array((0 until 4).map(c =>
         shiftright(col("sig"), c * 16).bitwiseAND(0xFFFFL)): _*))
         .as(Seq("chunk_idx", "chunk")))
+      // pin the emit stage's task count (see minhashLsh: AQE byte-based
+      // coalescing is blind to join-output amplification)
+      .repartition(col("chunk_idx"), col("chunk"))
     chunked.as("x").join(chunked.as("y"),
         col("x.chunk_idx") === col("y.chunk_idx") &&
         col("x.chunk") === col("y.chunk") && col("x.doc_id") < col("y.doc_id"))

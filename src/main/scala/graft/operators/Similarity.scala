@@ -78,6 +78,9 @@ object Similarity {
       pmod(col("vec_id"), lit(blocks)).cast("int").as("blk"))
     val left = e.withColumn("q", explode(sequence(col("blk"), lit(blocks - 1))))
       .withColumnRenamed("blk", "p")
+      // pin the compare stage's task count: the n² compare work dwarfs the
+      // input bytes, so AQE/scan partitioning must not serialize it
+      .repartition(col("p"), col("q"))
     val right = e.withColumn("p", explode(sequence(lit(0), col("blk"))))
       .withColumnRenamed("blk", "q")
     val removed = left.as("x").join(right.as("y"),
@@ -183,6 +186,9 @@ object Similarity {
     // re-attach after pair dedup so each cosine is computed exactly once.
     val hashed = embeddings.select(col("vec_id"),
       posexplode(array(buckets: _*)).as(Seq("table_idx", "bucket")))
+      // pin the emit stage's task count (see Dedup.minhashLsh: AQE
+      // byte-based coalescing is blind to join-output amplification)
+      .repartition(col("table_idx"), col("bucket"))
     val cand = hashed.as("x").join(hashed.as("y"),
         col("x.table_idx") === col("y.table_idx") &&
         col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))

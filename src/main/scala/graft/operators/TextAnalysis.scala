@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.util.Det.round4
 import graft.util.TextNorm
@@ -95,6 +96,57 @@ object TextAnalysis {
         concat_ws(",", slice(hashes, 1, k)).as("fingerprint"),
         (len - window + 1).as("n_windows"))
       .orderBy("doc_id")
+  }
+
+  /** Cross-document verbatim-overlap candidates — the scalable stand-in for
+    * exact-substring dedup (suffix arrays don't distribute; winnowing does).
+    * Per doc: hash every sliding `window`-char substring, then keep the
+    * MINIMUM hash of each `winnow` consecutive window-hashes (Schleimer,
+    * Wilkerson, Aiken, "Winnowing: Local Algorithms for Document
+    * Fingerprinting", SIGMOD 2003). Any verbatim run of at least
+    * window+winnow-1 chars shared by two documents is GUARANTEED to share a
+    * selected hash, so the equi-join on the fingerprint hash finds every
+    * long copy — candidates O(shared runs), never O(n²). Exception: hashes
+    * whose document frequency exceeds `maxDf` are pruned first (corpus-wide
+    * boilerplate would emit df²/2 pairs per hash; whole-document dup
+    * cliques belong to minhash+CC, not here). Two projection boundaries
+    * keep the window-hash array out of the selection lambda (HOF lambdas
+    * get no subexpression elimination). */
+  def verbatimOverlap(documents: DataFrame, window: Int = 16,
+                      winnow: Int = 4, minShared: Int = 2,
+                      maxDf: Int = 20): DataFrame = {
+    val len = length(col("text"))
+    // One HOF computes the window hashes; the sliding min-of-winnow runs as
+    // a WINDOW FUNCTION over the exploded rows, NOT a nested
+    // slice-inside-transform lambda — CollapseProject does not count
+    // lambda-body references, so the nested form re-evaluated the entire
+    // hash array per position (measured 450µs/position: the whole 280-hash
+    // array rebuilt each time). Rows-between sliding min is O(winnow) per
+    // row and shuffles once on doc_id.
+    val hs = documents.filter(len >= window + winnow - 1)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), len - window + 1),
+          i => xxhash64(col("text").substr(i, lit(window))))).as(Seq("pos", "h")))
+    val winnowW = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.currentRow, winnow - 1)
+    // trailing positions see a short window — their mins are a subset-union
+    // of full-window picks, so the detection guarantee is unaffected
+    val fp = hs.select(col("doc_id"), min(col("h")).over(winnowW).as("h"))
+      .distinct()
+    // Document-frequency cap — the standard similarity-join guard: a hash
+    // appearing in d documents emits d²/2 pairs, so boilerplate shared by
+    // hundreds of docs turns the join quadratic while carrying no signal
+    // (dup CLIQUES are minhash/CC territory, not verbatim-overlap's). The
+    // df histogram is one map-side-combined groupBy; rare hashes pass.
+    val rare = fp.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("h")
+    val kept = fp.join(rare, "h").repartition(col("h"))
+    kept.as("x").join(kept.as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_windows"))
+      .filter(col("shared_windows") >= minShared)
+    // pair-set output — no presentation sort (see Dedup.minhashLsh)
   }
 
   /** Repetition signals (the Gopher-rules family — Rae et al. 2021,

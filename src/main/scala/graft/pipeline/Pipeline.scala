@@ -27,10 +27,18 @@ final case class IncrementalMat(
 
 /** One model: name, upstream refs, materialization, and the transformation
   * from resolved upstream frames to this model's frame — `build` is the
-  * model's SELECT; `deps` are its `ref()`/`source()` calls. */
+  * model's SELECT; `deps` are its `ref()`/`source()` calls.
+  *
+  * `description` is dbt `persist_docs` metadata (flows into the manifest).
+  * `checksum` is the state-comparison fingerprint — dbt hashes the model
+  * file; a Scala build function is opaque, so callers version it here (bump
+  * on logic change) and `state:modified` detection picks it up alongside
+  * the manifest-visible properties (deps, config, schema). */
 final case class Model(name: String, deps: Seq[String],
                        materialization: Materialization,
-                       build: Map[String, DataFrame] => DataFrame)
+                       build: Map[String, DataFrame] => DataFrame,
+                       description: String = "",
+                       checksum: String = "")
 
 /** Run hooks — reference hooks/pre_run.py + hooks/post_run.py
   * (dbt on-run-start / on-run-end), plus per-model callbacks (dbt
@@ -144,6 +152,8 @@ final class Pipeline(models: Seq[Model]) {
         }))
       s"${jstr(nodeId(m.name))}:{" +
         s""""name":${jstr(m.name)},"resource_type":"model",""" +
+        s""""description":${jstr(m.description)},""" +
+        s""""checksum":${jstr(m.checksum)},""" +
         s""""depends_on":{"nodes":$deps},"config":{$config},"columns":{$cols}}"""
     }.mkString(",")
     val sources = models.flatMap(_.deps).distinct
@@ -183,6 +193,34 @@ final class Pipeline(models: Seq[Model]) {
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$targetDir/catalog.json"),
       catalogJson(resolved).getBytes("UTF-8"))
+  }
+
+  /** dbt `state:modified+` — the slim-CI selection the reference's
+    * scripts/pr_data_diff.sh:40 drives (`dbt ls --select "state:modified+"
+    * --state prod_state`): diff this pipeline against a PRIOR manifest.json
+    * and return the models whose manifest-visible identity changed — new
+    * models, changed deps, changed materialization config, changed resolved
+    * schema, or a bumped [[Model.checksum]] — plus every transitive
+    * DOWNSTREAM model (the `+` suffix), in declaration-stable topological
+    * order. Feed the result to [[runSubset]] (which adds the upstream
+    * closure needed to build them) for a state-based CI build. */
+  def selectModifiedPlus(oldManifestJson: String,
+                         resolved: Map[String, DataFrame]): Seq[String] = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val oldNodes = om.readTree(oldManifestJson).get("nodes")
+    val curNodes = om.readTree(manifestJson(resolved)).get("nodes")
+    val modified = models.map(_.name).filter { n =>
+      val o = if (oldNodes == null) null else oldNodes.get("model.graft." + n)
+      o == null || o != curNodes.get("model.graft." + n) // structural compare
+    }.toSet
+    val children = lineage.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    val keep = scala.collection.mutable.LinkedHashSet[String]()
+    def visit(n: String): Unit =
+      if (keep.add(n)) children.getOrElse(n, Nil).foreach(visit)
+    modified.foreach(visit)
+    topoOrder(Set.empty ++ models.flatMap(_.deps)
+        .filterNot(d => models.exists(_.name == d)))
+      .map(_.name).filter(keep.contains)
   }
 
   /** dbt `--select model` semantics: the named models plus their transitive

@@ -112,6 +112,21 @@ class OperatorsSpec extends SparkSpec {
     assert(badKeys == 0, "a surviving key lost its single current row")
   }
 
+  test("verbatim overlap: long shared runs detected, disjoint docs produce no pairs") {
+    import spark.implicits._
+    val run = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, s"prefix one $run suffix alpha"),
+      (2L, s"totally different lead-in $run closing words"),
+      (3L, "unrelated stuff with zero common substrings whatsoever here"),
+    ).toDF("doc_id", "text")
+    // run (60 chars) >= window+winnow-1 = 19 → detection is guaranteed
+    val got = TextAnalysis.verbatimOverlap(docs, 16, 4, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 2L)), s"missed the shared run: $got")
+    assert(!got.exists(p => p._1 == 3L || p._2 == 3L), s"false pair: $got")
+  }
+
   test("rolling fingerprint: xxhash64 selection = independent k-min; md5 twin structurally equal") {
     val docs = Tables.documents(spark, sf)
     val xx = TextAnalysis.rollingFingerprint(docs)

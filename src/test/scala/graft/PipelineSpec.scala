@@ -210,6 +210,32 @@ class PipelineSpec extends SparkSpec {
     assert(stgCols.get("o_totalprice").get("index").asInt == 1)
   }
 
+  test("state:modified+ selects changed models plus downstream, skips untouched") {
+    val src = Map("src" -> Tables.orders(spark, sf).limit(5))
+    def pipe(bChk: String, dCols: Seq[String]) = new Pipeline(Seq(
+      Model("a", Seq("src"), EphemeralMat, in => in("src").select(col("o_orderkey"))),
+      Model("b", Seq("a"), EphemeralMat, in => in("a"), checksum = bChk),
+      Model("c", Seq("b"), EphemeralMat, in => in("b")),
+      Model("d", Seq("src"), EphemeralMat,
+        in => in("src").select(dCols.map(col): _*))))
+    val p1 = pipe("v1", Seq("o_custkey"))
+    val r1 = p1.run(spark, src, tmp())
+    val oldManifest = p1.manifestJson(r1)
+    // nothing changed → empty selection
+    assert(p1.selectModifiedPlus(oldManifest, r1).isEmpty)
+    // checksum bump on b → b plus its downstream c, not a/d
+    val p2 = pipe("v2", Seq("o_custkey"))
+    val r2 = p2.run(spark, src, tmp())
+    assert(p2.selectModifiedPlus(oldManifest, r2) == Seq("b", "c"))
+    // schema change on leaf d → d only
+    val p3 = pipe("v1", Seq("o_custkey", "o_orderstatus"))
+    val r3 = p3.run(spark, src, tmp())
+    assert(p3.selectModifiedPlus(oldManifest, r3) == Seq("d"))
+    // no prior state → everything is new
+    assert(p1.selectModifiedPlus("""{"nodes":{}}""", r1).toSet ==
+      Set("a", "b", "c", "d"))
+  }
+
   test("salted join returns exactly the plain join's rows") {
     val orders = Tables.orders(spark, sf)
     val customer = Tables.customer(spark, sf)
