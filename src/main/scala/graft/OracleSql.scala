@@ -172,6 +172,9 @@ object OracleSql {
     "repetition_score" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS word FROM documents), c AS (SELECT doc_id, word, COUNT(*) AS n FROM w GROUP BY 1, 2), t AS (SELECT doc_id, MAX(n) AS topn, SUM(n) AS total, COUNT(*) AS n_distinct FROM c GROUP BY 1), r AS (SELECT doc_id, ROUND(CAST(topn AS DOUBLE)/total*10000, 0)/10000.0 AS top_word_frac, ROUND((1.0 - CAST(n_distinct AS DOUBLE)/total)*10000, 0)/10000.0 AS dup_word_frac FROM t) SELECT doc_id, top_word_frac, dup_word_frac, CASE WHEN top_word_frac > 0.2 OR dup_word_frac > 0.5 THEN 'repetitive' ELSE 'ok' END AS rep_flag FROM r ORDER BY doc_id""",
 
+    "corpus_curation" ->
+      """WITH s AS (SELECT doc_id, lang, regexp_replace(regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'), '\+?[0-9][0-9() -]{6,}[0-9]', '<PHONE>', 'g') AS t FROM documents), g AS (SELECT * FROM s WHERE length(t) >= 100 AND len(string_split(lower(trim(t)), ' ')) >= 20), d AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(lower(trim(t))) ORDER BY doc_id) AS rn FROM g), sv AS (SELECT doc_id, lang, CAST(CEIL(length(t)/4.0) AS BIGINT) AS est_tokens FROM d WHERE rn = 1), c AS (SELECT doc_id, lang, est_tokens, SUM(est_tokens) OVER (PARTITION BY lang ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens FROM sv) SELECT doc_id, lang, est_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens FROM c WHERE cum_tokens <= 5000 ORDER BY lang, doc_id""",
+
     "source_mix" ->
       """WITH p AS (SELECT source, COUNT(*) AS docs, CAST(SUM(CAST(CEIL(length(text)/4.0) AS BIGINT)) AS BIGINT) AS est_tokens FROM documents GROUP BY source), t AS (SELECT CAST(SUM(est_tokens) AS BIGINT) AS total_tokens FROM p) SELECT source, docs, est_tokens, ROUND(CAST(est_tokens AS DOUBLE)/total_tokens*10000, 0)/10000.0 AS token_share FROM p, t ORDER BY source""",
 

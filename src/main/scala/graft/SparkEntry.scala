@@ -128,6 +128,7 @@ object SparkEntry {
     "pii_scrub"       -> ((s, d) => TextAnalysis.piiScrub(Tables.documents(s, d))),
     "repetition_score" -> ((s, d) => TextAnalysis.repetitionScore(Tables.documents(s, d))),
     "source_mix"      -> ((s, d) => Curation.sourceMix(Tables.documents(s, d))),
+    "corpus_curation" -> ((s, d) => Curation.curationPipeline(Tables.documents(s, d))),
     "rolling_fingerprint" -> ((s, d) => TextAnalysis.rollingFingerprint(Tables.documents(s, d))),
     "verbatim_overlap"    -> ((s, d) => TextAnalysis.verbatimOverlap(Tables.documents(s, d))),
     // md5 oracle twin on a deterministic 10% slice: hash-compared against

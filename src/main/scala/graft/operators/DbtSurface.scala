@@ -297,6 +297,33 @@ object Curation {
       .orderBy("source")
   }
 
+  /** The end-to-end curation flagship — every stage is an existing operator
+    * expression, composed into ONE declarative plan Catalyst optimizes
+    * whole: PII-scrub the text, gate on quality (length + word count),
+    * keep only exact-dedup survivors (min doc_id per scrubbed-text digest),
+    * then apply the per-language cumulative token budget. Shuffle budget:
+    * one window by digest + one window by lang — the scrub/gate stages are
+    * scan-bound and fuse into the first exchange's map side. */
+  def curationPipeline(documents: DataFrame,
+                       budgetPerLang: Long = 5000): DataFrame = {
+    val scrubbed = documents.select(col("doc_id"), col("lang"),
+      graft.operators.TextAnalysis.piiClean(col("text")).as("t"))
+    val gated = scrubbed.filter(
+      length(col("t")) >= 100 && size(graft.util.TextNorm.words(col("t"))) >= 20)
+    val byDigest = Window.partitionBy(md5(lower(trim(col("t"))))).orderBy("doc_id")
+    val survivors = gated
+      .withColumn("rn", row_number().over(byDigest))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"),
+        graft.util.TextNorm.estTokens(col("t")).as("est_tokens"))
+    val byLang = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    survivors
+      .withColumn("cum_tokens", sum(col("est_tokens")).over(byLang))
+      .filter(col("cum_tokens") <= budgetPerLang)
+      .orderBy("lang", "doc_id")
+  }
+
   /** Stratified sampling by language (Bernoulli per stratum, seeded).
     * Approximate by design — spec bounds the per-stratum rates. */
   def stratifiedSample(documents: DataFrame,

@@ -181,6 +181,15 @@ object Dedup {
       .distinct()
       .localCheckpoint()
     var labels = nodes.select(col("u").as("id"), col("u").as("label"))
+    // Labels only DECREASE round-over-round (min over neighbours including
+    // self; pointer jumping maps a label through another label, itself a
+    // min), so the label SUM is a fixed-point witness: unchanged sum ⟺
+    // converged. One scalar aggregate per round replaces the former
+    // join-the-two-generations row diff. decimal(38,0) so huge 64-bit ids
+    // can never overflow the sum at corpus scale.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -197,10 +206,10 @@ object Dedup {
         .select(col("n.id").as("id"),
           coalesce(col("plabel"), col("n.label")).as("label"))
         .localCheckpoint()
-      converged = jumped.select(col("id"), col("label").as("nl"))
-        .join(labels.select(col("id"), col("label").as("ol")), "id")
-        .filter(col("nl") =!= col("ol")).isEmpty
       labels = jumped
+      val s = labelSum(labels)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       iter += 1
     }
     labels

@@ -185,9 +185,14 @@ object TextAnalysis {
   val ipv4Re  = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
   val phoneRe = "\\+?[0-9][0-9() -]{6,}[0-9]"
 
-  def piiScrub(documents: DataFrame): DataFrame = {
-    val clean = regexp_replace(regexp_replace(regexp_replace(col("text"),
+  /** The redaction expression itself — reusable inside composed pipelines
+    * ([[Curation.curationPipeline]]) as well as the standalone query. */
+  def piiClean(text: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(text,
       emailRe, "<EMAIL>"), ipv4Re, "<IP>"), phoneRe, "<PHONE>")
+
+  def piiScrub(documents: DataFrame): DataFrame = {
+    val clean = piiClean(col("text"))
     documents.select(col("doc_id"), clean.as("clean_text"),
         (col("text") =!= clean).as("pii_found"))
       .orderBy("doc_id")

@@ -24,6 +24,12 @@ final case class IncrementalMat(
     uniqueKey: String,
     onSchemaChange: graft.operators.OnSchemaChange =
       graft.operators.OnSchemaChange.AppendNewColumns) extends Materialization
+/** dbt-bigquery's second incremental strategy, `insert_overwrite`: the
+  * delta's PARTITIONS replace the table's matching partitions wholesale —
+  * no row merge, no unique key — and untouched partitions stay. The
+  * 100 TB-friendly incremental: a day's rebuild rewrites one partition,
+  * never row-merges the full table. */
+final case class InsertOverwriteMat(partitionBy: String) extends Materialization
 
 /** One model: name, upstream refs, materialization, and the transformation
   * from resolved upstream frames to this model's frame — `build` is the
@@ -127,6 +133,7 @@ final class Pipeline(models: Seq[Model]) {
     case _: TableMat => "table"
     case EphemeralMat => "ephemeral"
     case _: IncrementalMat => "incremental"
+    case _: InsertOverwriteMat => "incremental"
   }
 
   private def nodeId(name: String): String = {
@@ -146,8 +153,10 @@ final class Pipeline(models: Seq[Model]) {
       val config = (s""""materialized":${jstr(matName(m.materialization))}""" +
         (m.materialization match {
           case IncrementalMat(key, policy) =>
-            s""","unique_key":${jstr(key)},"on_schema_change":${jstr(
+            s""","unique_key":${jstr(key)},"incremental_strategy":"merge","on_schema_change":${jstr(
               policy.toString.replaceAll("([a-z])([A-Z])", "$1_$2").toLowerCase)}"""
+          case InsertOverwriteMat(part) =>
+            s""","incremental_strategy":"insert_overwrite","partition_by":${jstr(part)}"""
           case _ => ""
         }))
       s"${jstr(nodeId(m.name))}:{" +
@@ -275,6 +284,15 @@ final class Pipeline(models: Seq[Model]) {
             case None => df.write.mode("overwrite")
           }
           writer.parquet(path)
+          spark.read.parquet(path)
+        case InsertOverwriteMat(part) =>
+          val path = s"$targetDir/${m.name}"
+          val exists = new java.io.File(path).exists() && !fullRefresh
+          if (!exists)
+            df.write.mode("overwrite").partitionBy(part).parquet(path)
+          else
+            graft.operators.Materialize.incremental(df, path, part,
+              dynamicOverwrite = true)
           spark.read.parquet(path)
         case IncrementalMat(key, policy) =>
           val path = s"$targetDir/${m.name}"

@@ -210,6 +210,24 @@ class PipelineSpec extends SparkSpec {
     assert(stgCols.get("o_totalprice").get("index").asInt == 1)
   }
 
+  test("insert_overwrite incremental: delta partitions replace, others survive") {
+    val dir = tmp()
+    val orders = Tables.orders(spark, sf)
+    def dag(df: org.apache.spark.sql.DataFrame) = new Pipeline(Seq(
+      Model("iow", Seq("orders"), InsertOverwriteMat("o_orderstatus"), _ => df)))
+    val base = orders.select(col("o_orderkey"), col("o_orderstatus"), lit(1.0).as("p"))
+    dag(base).run(spark, Map("orders" -> orders), dir)
+    // delta carries ONLY the F partition with a new payload
+    val delta = orders.filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderstatus"), lit(2.0).as("p"))
+    val out = dag(delta).run(spark, Map("orders" -> orders), dir)("iow")
+    assert(out.count() == orders.count(), "partition replace changed the row count")
+    assert(out.filter(col("o_orderstatus") === "F")
+      .agg(min("p")).head.getDouble(0) == 2.0, "F partition not replaced")
+    assert(out.filter(col("o_orderstatus") =!= "F")
+      .agg(max("p")).head.getDouble(0) == 1.0, "untouched partition was rewritten")
+  }
+
   test("state:modified+ selects changed models plus downstream, skips untouched") {
     val src = Map("src" -> Tables.orders(spark, sf).limit(5))
     def pipe(bChk: String, dCols: Seq[String]) = new Pipeline(Seq(
