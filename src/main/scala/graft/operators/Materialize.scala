@@ -16,9 +16,13 @@ import org.apache.spark.sql.DataFrame
   */
 object Materialize {
 
-  /** `materialized='table'` with partition/cluster layout. */
+  /** `materialized='table'` with partition/cluster layout. `format` is any
+    * Spark-native columnar source — parquet (default) or ORC both give
+    * partition pruning on the directory layout plus min/max row-group /
+    * stripe pruning from the within-partition sort. */
   def table(df: DataFrame, path: String, partitionCol: String,
-            clusterCols: Seq[String] = Nil): Unit = {
+            clusterCols: Seq[String] = Nil,
+            format: String = "parquet"): Unit = {
     val partitioned = df.repartition(df.col(partitionCol))
     val clustered =
       if (clusterCols.nonEmpty)
@@ -26,7 +30,7 @@ object Materialize {
       else partitioned
     clustered.write.mode("overwrite")
       .partitionBy(partitionCol)
-      .parquet(path)
+      .format(format).save(path)
   }
 
   /** `materialized='incremental'`: append new rows into the same layout;

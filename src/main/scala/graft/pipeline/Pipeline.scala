@@ -44,7 +44,14 @@ final case class Model(name: String, deps: Seq[String],
                        materialization: Materialization,
                        build: Map[String, DataFrame] => DataFrame,
                        description: String = "",
-                       checksum: String = "")
+                       checksum: String = "",
+                       tags: Seq[String] = Nil)
+
+/** A dbt exposure — reference models/exposures.yml: a downstream artifact
+  * (dashboard, report, ML application) whose lineage hangs off models.
+  * Pure manifest metadata, no compute. */
+final case class Exposure(name: String, exposureType: String, owner: String,
+                          dependsOn: Seq[String], description: String = "")
 
 /** Run hooks — reference hooks/pre_run.py + hooks/post_run.py
   * (dbt on-run-start / on-run-end), plus per-model callbacks (dbt
@@ -84,8 +91,10 @@ object ModelTest {
   * Catalyst optimizes across view/ephemeral boundaries exactly as dbt
   * compiles CTEs into one query.
   */
-final class Pipeline(models: Seq[Model]) {
+final class Pipeline(models: Seq[Model], exposures: Seq[Exposure] = Nil) {
   require(models.map(_.name).distinct.size == models.size, "duplicate model names")
+  exposures.flatMap(_.dependsOn).foreach(d =>
+    require(models.exists(_.name == d), s"exposure depends on unknown model '$d'"))
 
   /** Topological order with cycle detection (DFS, deterministic by
     * declaration order). */
@@ -173,8 +182,14 @@ final class Pipeline(models: Seq[Model]) {
     val parentMap = models.map(m =>
       s"${jstr(nodeId(m.name))}:${m.deps.map(d => jstr(nodeId(d))).mkString("[", ",", "]")}")
       .mkString(",")
+    val exps = exposures.map { e =>
+      s"${jstr("exposure.graft." + e.name)}:{" +
+        s""""name":${jstr(e.name)},"resource_type":"exposure","type":${jstr(e.exposureType)},""" +
+        s""""owner":${jstr(e.owner)},"description":${jstr(e.description)},""" +
+        s""""depends_on":{"nodes":${e.dependsOn.map(d => jstr(nodeId(d))).mkString("[", ",", "]")}}}"""
+    }.mkString(",")
     s"""{"metadata":{"project_name":"graft","schema_version":"graft-manifest-v1"},""" +
-      s""""nodes":{$nodes},"sources":{$sources},"parent_map":{$parentMap}}"""
+      s""""nodes":{$nodes},"sources":{$sources},"exposures":{$exps},"parent_map":{$parentMap}}"""
   }
 
   /** catalog.json-shaped document: per model, the materialized column
@@ -230,6 +245,16 @@ final class Pipeline(models: Seq[Model]) {
     topoOrder(Set.empty ++ models.flatMap(_.deps)
         .filterNot(d => models.exists(_.name == d)))
       .map(_.name).filter(keep.contains)
+  }
+
+  /** dbt `--select tag:<tag>` semantics: names of the models carrying the
+    * tag, in topological order — feed to [[runSubset]], which adds the
+    * upstream closure they need to build. */
+  def selectByTag(tag: String): Seq[String] = {
+    val tagged = models.filter(_.tags.contains(tag)).map(_.name).toSet
+    topoOrder(Set.empty ++ models.flatMap(_.deps)
+        .filterNot(d => models.exists(_.name == d)))
+      .map(_.name).filter(tagged.contains)
   }
 
   /** dbt `--select model` semantics: the named models plus their transitive

@@ -52,4 +52,18 @@ class MultimodalSpec extends SparkSpec {
       fct.filter(col("bucket") === "regular").count(), "untouched partition changed")
     assert(after.filter(col("bucket") === "high").count() == highOnly.count())
   }
+
+  test("materialize: ORC round-trip preserves rows, partitions, and pruning") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val fct = Relational.fctBucket(Tables.orders(spark, sf), 200000.0)
+    Materialize.table(fct, dir, "bucket", Seq("id"), format = "orc")
+    val back = spark.read.orc(dir)
+    assert(back.count() == fct.count())
+    assert(rows(back.select("id", "value", "bucket").orderBy("id")) ==
+           rows(fct.select("id", "value", "bucket").orderBy("id")))
+    val scan = back.filter(col("bucket") === "high")
+      .queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(bucket"),
+      s"ORC partition pruning missing:\n$scan")
+  }
 }

@@ -210,6 +210,32 @@ class PipelineSpec extends SparkSpec {
     assert(stgCols.get("o_totalprice").get("index").asInt == 1)
   }
 
+  test("exposures land in the manifest; tag selection picks tagged models only") {
+    val dag = new Pipeline(Seq(
+      Model("a", Seq("src"), EphemeralMat, in => in("src"), tags = Seq("nightly")),
+      Model("b", Seq("a"), EphemeralMat, in => in("a")),
+      Model("c", Seq("b"), EphemeralMat, in => in("b"), tags = Seq("nightly"))),
+      exposures = Seq(Exposure("exec_dashboard", "dashboard", "Data Team",
+        Seq("c"), "example dashboard")))
+    assert(dag.selectByTag("nightly") == Seq("a", "c"))
+    assert(dag.selectByTag("nope").isEmpty)
+    // tag selection + runSubset builds the tagged models (plus needed upstreams)
+    val out = dag.runSubset(spark,
+      Map("src" -> Tables.orders(spark, sf).limit(2)), tmp(),
+      dag.selectByTag("nightly"))
+    assert(out.contains("c") && out.contains("a"))
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val man = om.readTree(dag.manifestJson(Map.empty))
+    val exp = man.get("exposures").get("exposure.graft.exec_dashboard")
+    assert(exp.get("type").asText == "dashboard")
+    assert(exp.get("owner").asText == "Data Team")
+    assert(exp.get("depends_on").get("nodes").get(0).asText == "model.graft.c")
+    // an exposure must not reference unknown models
+    intercept[IllegalArgumentException](new Pipeline(Seq(
+      Model("x", Seq("src"), EphemeralMat, in => in("src"))),
+      exposures = Seq(Exposure("bad", "dashboard", "t", Seq("ghost")))))
+  }
+
   test("insert_overwrite incremental: delta partitions replace, others survive") {
     val dir = tmp()
     val orders = Tables.orders(spark, sf)

@@ -84,6 +84,41 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("pair-set operators plan no global sort (range-sample re-execution guard)") {
+    // a final orderBy would range-sample the plan and re-execute the verify
+    // stage (r5 finding: 3x dedup_minhash cost) — pin its absence
+    Seq(
+      "minhashLsh" -> Dedup.minhashLsh(Tables.documents(spark, sf)),
+      "simhash" -> Dedup.simhash(Tables.documents(spark, sf)),
+      "jaccardPairs" -> Dedup.jaccardPairs(Tables.documents(spark, sf)),
+      "lshCandidates" -> Similarity.lshCandidates(Tables.embeddings(spark, sf)),
+      "verbatimOverlap" -> TextAnalysis.verbatimOverlap(Tables.documents(spark, sf)),
+    ).foreach { case (name, df) =>
+      val sorts = df.queryExecution.optimizedPlan.collect {
+        case s: org.apache.spark.sql.catalyst.plans.logical.Sort if s.global => s
+      }
+      assert(sorts.isEmpty, s"$name plans a global sort: $sorts")
+    }
+  }
+
+  test("candidate generators pin their emit-stage parallelism (user repartition)") {
+    // AQE byte-based coalescing shrinks the KB-scale banded/bucketed frames
+    // to 1-2 partitions and serializes the pair emit (r5 finding: 2x+) —
+    // pin the explicit block-key repartition that prevents it
+    Seq(
+      "minhashLsh" -> Dedup.minhashLsh(Tables.documents(spark, sf)),
+      "simhash" -> Dedup.simhash(Tables.documents(spark, sf)),
+      "jaccardPairs" -> Dedup.jaccardPairs(Tables.documents(spark, sf)),
+      "lshCandidates" -> Similarity.lshCandidates(Tables.embeddings(spark, sf)),
+      "semanticDedup" -> Similarity.semanticDedup(Tables.embeddings(spark, sf)),
+    ).foreach { case (name, df) =>
+      val reparts = df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression => r
+      }
+      assert(reparts.nonEmpty, s"$name lost its emit-parallelism repartition")
+    }
+  }
+
   test("minhash band shuffle carries ids only — no token arrays on the pair join") {
     // the candidate self-join's inputs must not contain the word payload;
     // payloads re-attach only after pair generation
