@@ -45,7 +45,8 @@ final case class Model(name: String, deps: Seq[String],
                        build: Map[String, DataFrame] => DataFrame,
                        description: String = "",
                        checksum: String = "",
-                       tags: Seq[String] = Nil)
+                       tags: Seq[String] = Nil,
+                       columnDocs: Map[String, String] = Map.empty)
 
 /** A dbt exposure — reference models/exposures.yml: a downstream artifact
   * (dashboard, report, ML application) whose lineage hangs off models.
@@ -157,7 +158,8 @@ final class Pipeline(models: Seq[Model], exposures: Seq[Exposure] = Nil) {
     val nodes = models.map { m =>
       val deps = m.deps.map(d => jstr(nodeId(d))).mkString("[", ",", "]")
       val cols = resolved.get(m.name).map(_.schema.fields.map(f =>
-        s"${jstr(f.name)}:{" + s""""name":${jstr(f.name)},"data_type":${jstr(f.dataType.simpleString)}}""")
+        s"${jstr(f.name)}:{" + s""""name":${jstr(f.name)},"data_type":${jstr(f.dataType.simpleString)},""" +
+          s""""description":${jstr(m.columnDocs.getOrElse(f.name, ""))}}""")
         .mkString(",")).getOrElse("")
       val config = (s""""materialized":${jstr(matName(m.materialization))}""" +
         (m.materialization match {

@@ -181,7 +181,9 @@ class PipelineSpec extends SparkSpec {
   test("docs artifacts: manifest deps mirror lineage, catalog columns mirror schemas") {
     val dag = new Pipeline(Seq(
       Model("stg", Seq("orders"), ViewMat,
-        in => in("orders").select(col("o_orderkey"), col("o_totalprice"))),
+        in => in("orders").select(col("o_orderkey"), col("o_totalprice")),
+        description = "staging view over raw orders",
+        columnDocs = Map("o_orderkey" -> "natural order key")),
       Model("fct", Seq("stg"), IncrementalMat("o_orderkey"), in => in("stg"))))
     val resolved = dag.run(spark,
       Map("orders" -> Tables.orders(spark, sf).limit(5)), tmp())
@@ -198,6 +200,11 @@ class PipelineSpec extends SparkSpec {
     assert(cfg.get("materialized").asText == "incremental")
     assert(cfg.get("unique_key").asText == "o_orderkey")
     assert(cfg.get("on_schema_change").asText == "append_new_columns")
+    // persist_docs: relation + column descriptions flow into the manifest
+    val stg = nodes.get("model.graft.stg")
+    assert(stg.get("description").asText == "staging view over raw orders")
+    assert(stg.get("columns").get("o_orderkey").get("description")
+      .asText == "natural order key")
     dag.lineage.foreach { case (m, d) =>
       val arr = man.get("parent_map").get(s"model.graft.$m")
       assert((0 until arr.size).exists(i => arr.get(i).asText.endsWith("." + d)),
