@@ -208,7 +208,8 @@ object Dedup {
         .localCheckpoint()
       labels = jumped
       val s = labelSum(labels)
-      converged = s.compareTo(prevSum) == 0
+      // null-safe: an empty edge set sums to null on both sides
+      converged = java.util.Objects.equals(s, prevSum)
       prevSum = s
       iter += 1
     }

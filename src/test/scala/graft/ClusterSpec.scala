@@ -21,6 +21,11 @@ class ClusterSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
   }
 
+  test("connected components: empty edge set yields empty labels, no crash") {
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.connectedComponents(empty).isEmpty)
+  }
+
   test("connected components: 64-node path converges via pointer jumping") {
     // a path needs O(diameter) rounds under plain propagation; pointer
     // jumping must close a 64-hop chain well inside maxIter=10
