@@ -175,10 +175,11 @@ object Dedup {
       .localCheckpoint()
     // symmetric edges + a self-loop per node: "min over neighbours" then
     // subsumes "min with own label", keeping the loop body to ONE join +
-    // ONE partial-agg groupBy (no per-round union)
+    // ONE partial-agg groupBy (no per-round union). NO dedup of the edge
+    // list: min-label propagation is insensitive to duplicate edges, so a
+    // distinct here would shuffle the largest frame in the loop for nothing.
     val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
       .unionAll(nodes.select(col("u"), col("u").as("v")))
-      .distinct()
       .localCheckpoint()
     var labels = nodes.select(col("u").as("id"), col("u").as("label"))
     // Labels only DECREASE round-over-round (min over neighbours including
