@@ -75,10 +75,22 @@ object Bench {
     }
     def jsonMap(m: Iterable[(String, String)]): String =
       m.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
-    val qs = jsonMap(results.map { case (k, v) => k -> v.toString })
     val errs = jsonMap(errors.toSeq.sortBy(_._1).map { case (k, v) => k -> ("\"" + v + "\"") })
     val total = results.values.filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"iters":$iters,"sf":"$sfDir"}"""
+    // The driver parses the JSON line out of the LAST 2000 chars of stdout,
+    // and sbt appends a ~80-char "[success] ..." line after us. Full-precision
+    // doubles pushed the line to 2185 chars in r4/r5 → the driver recorded
+    // parsed:null both rounds. Emit at the coarsest precision that still
+    // means something (ms) and degrade further if the query set grows.
+    def render(decimals: Int): String = {
+      val qs = jsonMap(results.map { case (k, v) =>
+        k -> s"%.${decimals}f".formatLocal(java.util.Locale.ROOT, v)
+      })
+      val tot = s"%.${decimals}f".formatLocal(java.util.Locale.ROOT, total)
+      val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
+      s"""{"metric":"total","value":$tot,"unit":"sec","queries":$qs,"errors":$errs,"iters":$iters,"sf":"$sfName"}"""
+    }
+    val line = (3 to 1 by -1).map(render).find(_.length <= 1850).getOrElse(render(1))
     println(line)
     // Belt-and-braces: also persist the line to a file so a stdout-parsing
     // driver that misses it (log interleaving) still has the numbers.
