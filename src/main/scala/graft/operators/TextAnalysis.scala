@@ -116,31 +116,36 @@ object TextAnalysis {
                       winnow: Int = 4, minShared: Int = 2,
                       maxDf: Int = 20): DataFrame = {
     val len = length(col("text"))
-    // One HOF computes the window hashes; the sliding min-of-winnow runs as
-    // a WINDOW FUNCTION over the exploded rows, NOT a nested
-    // slice-inside-transform lambda — CollapseProject does not count
-    // lambda-body references, so the nested form re-evaluated the entire
-    // hash array per position (measured 450µs/position: the whole 280-hash
-    // array rebuilt each time). Rows-between sliding min is O(winnow) per
-    // row and shuffles once on doc_id.
-    val hs = documents.filter(len >= window + winnow - 1)
+    // The winnowing selection never leaves the row: one HOF computes the
+    // window hashes, then the native SlidingMin kernel picks the min of
+    // each `winnow` consecutive hashes (trailing windows clamp — their mins
+    // are a subset-union of full-window picks, so the detection guarantee
+    // is unaffected) and array_distinct dedupes per doc. Earlier shapes
+    // both lost: a slice-inside-transform lambda re-evaluated the whole
+    // hash array per position (no subexpression elimination in HOF
+    // lambdas), and posexplode + a rows-between min window function
+    // shuffled every (pos, hash) row — ~14 M rows at sf0.1 — just to
+    // reduce back to the selected few.
+    val fp = documents.filter(len >= window + winnow - 1)
       .select(col("doc_id"),
-        posexplode(transform(sequence(lit(1), len - window + 1),
-          i => xxhash64(col("text").substr(i, lit(window))))).as(Seq("pos", "h")))
-    val winnowW = Window.partitionBy("doc_id").orderBy("pos")
-      .rowsBetween(Window.currentRow, winnow - 1)
-    // trailing positions see a short window — their mins are a subset-union
-    // of full-window picks, so the detection guarantee is unaffected
-    val fp = hs.select(col("doc_id"), min(col("h")).over(winnowW).as("h"))
-      .distinct()
+        transform(sequence(lit(1), len - window + 1),
+          i => xxhash64(col("text").substr(i, lit(window)))).as("hraw"))
+      .select(col("doc_id"),
+        explode(array_distinct(
+          graft.functions.VectorFunctions.slidingMin(col("hraw"), winnow))).as("h"))
     // Document-frequency cap — the standard similarity-join guard: a hash
     // appearing in d documents emits d²/2 pairs, so boilerplate shared by
     // hundreds of docs turns the join quadratic while carrying no signal
     // (dup CLIQUES are minhash/CC territory, not verbatim-overlap's). The
-    // df histogram is one map-side-combined groupBy; rare hashes pass.
-    val rare = fp.groupBy("h").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf).select("h")
-    val kept = fp.join(rare, "h").repartition(col("h"))
+    // df count rides a window over the ONE explicit hash exchange (which
+    // also pins emit-stage parallelism against AQE coalescing and
+    // co-partitions the pair join), so the fingerprint scan runs once —
+    // a groupBy+join df filter would shuffle it twice and hash the corpus
+    // twice.
+    val kept = fp.repartition(col("h"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("df") <= maxDf)
+      .select("doc_id", "h")
     kept.as("x").join(kept.as("y"),
         col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))

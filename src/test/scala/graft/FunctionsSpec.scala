@@ -77,6 +77,22 @@ class FunctionsSpec extends SparkSpec {
     assert(native == columnar)
   }
 
+  test("sliding min kernel matches the brute-force per-position window min") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val cases = Seq(
+      Array.empty[Long], Array(5L), Array(3L, 1L, 2L),
+      Array.fill(97)(rnd.nextLong()), Array.tabulate(40)(i => (40 - i).toLong))
+    for (w <- Seq(1, 4, 8); in <- cases) {
+      val expected = in.indices.map(i =>
+        in.slice(i, math.min(i + w, in.length)).min).toSeq
+      val got = Seq(in.toSeq).toDF("a")
+        .select(VectorFunctions.slidingMin(col("a"), w).as("m"))
+        .head.getSeq[Long](0)
+      assert(got == expected, s"width $w over ${in.take(8).toSeq}...")
+    }
+  }
+
   test("graft_cosine registers for SQL via SparkSessionExtensions") {
     val s2 = SparkSession.builder().master("local[2]")
       .config("spark.sql.shuffle.partitions", "2")
