@@ -91,26 +91,54 @@ object Dedup {
     val toks = documents.select(col("doc_id"), explode(words).as("t"))
     val sigs = toks.groupBy("doc_id")
       .agg(graft.functions.MinHashAgg.minhash(col("t"), numHashes).as("sig"))
-    // Bands carry ONLY (doc_id, band) — candidate generation shuffles ids,
-    // never the token arrays; arrays re-attach after pair dedup.
+    // Bands carry (doc_id, band, sig) — token arrays NEVER ride the pair
+    // shuffle; they re-attach only for the prefiltered candidates. The
+    // signature (numHashes longs per doc-band row) is carried deliberately:
+    // it lets a pair colliding in k bands keep exactly ONE row via the
+    // first-agreeing-band filter (a map-side native expression) where the
+    // former dropDuplicates re-shuffled the RAW pair set — the largest
+    // frame in the pipeline (10.1 M raw vs 4.1 M distinct at sf0.1) — and
+    // it powers the signature-agreement prefilter below. The extra bytes
+    // cost O(n·bands·numHashes) on the banded frame, which is small next
+    // to the pair set exactly when pair volume is big enough to matter.
     // The explicit repartition pins the join's task count: the banded frame
-    // is tiny in BYTES (one row per doc-band) while the bucket join can emit
-    // orders of magnitude more pairs, and AQE's byte-based partition
-    // coalescing would otherwise shrink this exchange to 1-2 tasks and run
-    // the whole emit serially (measured 2x on the sf0.1 corpus). A
-    // user-specified repartition is never coalesced, and it co-partitions
-    // the equi-join key as a bonus.
-    val banded = sigs.select(col("doc_id"),
+    // is KB-scale in BYTES while the bucket join can emit orders of
+    // magnitude more pairs, and AQE's byte-based partition coalescing would
+    // otherwise shrink this exchange to 1-2 tasks and run the whole emit
+    // serially (measured 2x on the sf0.1 corpus). A user-specified
+    // repartition is never coalesced, and it co-partitions the equi-join
+    // key as a bonus.
+    val banded = sigs.select(col("doc_id"), col("sig"),
       posexplode(array((0 until bands).map(bi =>
         xxhash64((bi * r until (bi + 1) * r).map(j => col("sig")(j)): _*)): _*))
         .as(Seq("band_idx", "band_hash")))
       .repartition(col("band_idx"), col("band_hash"))
-    val cand = banded.as("x").join(banded.as("y"),
+    // Prefilter: with k hashes the agreement fraction estimates J with sd
+    // sqrt(J(1-J)/k) (~0.05 at k=64, J=0.8); 2.5 sd of slack keeps the miss
+    // probability for a true threshold-J pair under ~1% while the exact
+    // verify keeps precision perfect — pairs estimated hopelessly below the
+    // threshold skip the payload joins entirely.
+    val minAgree = math.max(0.0, (threshold - 2.5 * math.sqrt(
+      threshold * (1 - threshold) / numHashes)) * numHashes).floor.toInt
+    // shuffle_hash hint: both sides sit on the SAME repartition exchange, so
+    // a shuffled join computes the signature subtree once (ReusedExchange);
+    // letting AQE broadcast one side would duplicate the whole sig
+    // aggregation into the broadcast branch
+    val cand = banded.as("x").hint("shuffle_hash").join(banded.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
         col("x.band_hash") === col("y.band_hash") &&
         col("x.doc_id") < col("y.doc_id"))
+      .filter(graft.functions.VectorFunctions.firstEqualBand(
+        col("x.sig"), col("y.sig"), r) === col("x.band_idx"))
+      .filter(graft.functions.VectorFunctions.equalPositions(
+        col("x.sig"), col("y.sig")) >= minAgree)
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
+      // Stage barrier before the verify: without it the payload probes +
+      // set-jaccard fuse INTO the band-join emit stage and the whole verify
+      // rides the explode iterator (measured 12.5 s vs 4.3 s at sf0.1).
+      // The exchange is id-pairs only (16 B/row), co-partitions the first
+      // payload attach, and gives AQE a replan point with true pair stats.
+      .repartition(col("doc_a"))
     // The docs side is usually tiny next to millions of candidate pairs, but
     // the choice is the caller's PayloadJoin strategy (default: AQE decides),
     // never a hardcoded hint that would OOM at corpus scale.

@@ -93,6 +93,26 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("first-equal-band and equal-positions kernels match brute force") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val cases = (1 to 30).map { _ =>
+      val a = Array.fill(16)(rnd.nextInt(3).toLong) // small domain → collisions
+      val b = Array.fill(16)(rnd.nextInt(3).toLong)
+      (a.toSeq, b.toSeq)
+    } :+ ((1L to 16L).toSeq, (1L to 16L).toSeq)
+    for ((a, b) <- cases; r <- Seq(2, 4, 8)) {
+      val expBand = (0 until 16 / r).find(j =>
+        (j * r until (j + 1) * r).forall(p => a(p) == b(p))).getOrElse(-1)
+      val expEq = a.indices.count(i => a(i) == b(i))
+      val row = Seq((a, b)).toDF("a", "b").select(
+        VectorFunctions.firstEqualBand(col("a"), col("b"), r).as("fb"),
+        VectorFunctions.equalPositions(col("a"), col("b")).as("eq")).head
+      assert(row.getInt(0) == expBand && row.getInt(1) == expEq,
+        s"r=$r a=$a b=$b got ${row.toSeq} want ($expBand, $expEq)")
+    }
+  }
+
   test("graft_cosine registers for SQL via SparkSessionExtensions") {
     val s2 = SparkSession.builder().master("local[2]")
       .config("spark.sql.shuffle.partitions", "2")

@@ -119,9 +119,11 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("minhash band shuffle carries ids only — no token arrays on the pair join") {
-    // the candidate self-join's inputs must not contain the word payload;
-    // payloads re-attach only after pair generation
+  test("minhash band shuffle carries no token arrays on the pair join") {
+    // the candidate self-join's inputs must not contain the word payload —
+    // it re-attaches only after pair generation + prefilter. The bounded
+    // signature (numHashes longs) rides deliberately: it pays for the
+    // exactly-once first-band filter + agreement prefilter (see minhashLsh)
     val df = Dedup.minhashLsh(Tables.documents(spark, sf))
     val joins = df.queryExecution.optimizedPlan.collect {
       case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
