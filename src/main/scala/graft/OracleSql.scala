@@ -151,6 +151,9 @@ object OracleSql {
     "tumbling_window" ->
       s"""WITH e AS ($eventsSec) SELECT event_type, ts_s - ts_s % 3600 AS window_start, COUNT(*) AS n_events, ${cents("value")} AS total_value FROM e GROUP BY event_type, window_start ORDER BY event_type, window_start""",
 
+    "stream_join" ->
+      s"""WITH e AS ($eventsSec), su AS (SELECT user_id, ts_s AS s_ts FROM e WHERE event_type = 'signup'), pu AS (SELECT user_id, ts_s AS p_ts, value FROM e WHERE event_type = 'purchase') SELECT su.user_id, COUNT(*) AS n_pairs, ${cents("value")} AS purchase_value FROM su JOIN pu ON su.user_id = pu.user_id AND pu.p_ts >= su.s_ts AND pu.p_ts <= su.s_ts + 3600 GROUP BY su.user_id ORDER BY su.user_id""",
+
     "funnel" ->
       s"""WITH e AS ($eventsSec), su AS (SELECT user_id, MIN(ts_s) AS signup_ts FROM e WHERE event_type = 'signup' GROUP BY user_id), pu AS (SELECT e.user_id, MIN(e.ts_s) AS first_purchase_ts FROM e JOIN su ON e.user_id = su.user_id WHERE e.event_type = 'purchase' AND e.ts_s >= su.signup_ts GROUP BY e.user_id) SELECT su.user_id, su.signup_ts, pu.first_purchase_ts, pu.first_purchase_ts IS NOT NULL AS converted, pu.first_purchase_ts - su.signup_ts AS seconds_to_convert FROM su LEFT JOIN pu ON su.user_id = pu.user_id ORDER BY su.user_id""",
 

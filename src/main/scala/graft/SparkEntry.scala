@@ -155,6 +155,7 @@ object SparkEntry {
     "stream_sessionize" -> ((s, d) => graft.streaming.StreamOps.runSessionize(s, d)),
     "stream_dedup"      -> ((s, d) => graft.streaming.StreamOps.runDedup(s, d)),
     "stream_enrich"     -> ((s, d) => graft.streaming.StreamOps.runEnrich(s, d)),
+    "stream_join"       -> ((s, d) => graft.streaming.StreamOps.runIntervalJoin(s, d)),
     "customer_ltv"      -> ((s, d) => Analytics.customerLtv(Tables.customer(s, d), Tables.orders(s, d))),
   )
 

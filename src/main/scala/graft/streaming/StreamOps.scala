@@ -141,6 +141,46 @@ object StreamOps {
     spark.table(name).orderBy("c_mktsegment")
   }
 
+  /** Stream-stream event-time interval join: each signup joins the same
+    * user's purchases with purchase time in [signup, signup + window] —
+    * the canonical attribution join. Both sides carry watermarks and the
+    * join condition bounds p_time relative to s_time in BOTH directions;
+    * that pair of constraints is exactly what lets Spark compute how far
+    * each side's state can lag the other's watermark and purge it — state
+    * stays bounded in continuous operation no matter how long the streams
+    * run. Driven AvailableNow the inner join emits every qualifying pair;
+    * aggregated per user it equals the batch interval join (shared DuckDB
+    * oracle). */
+  def runIntervalJoin(spark: SparkSession, dir: String,
+                      windowSeconds: Long = 3600): DataFrame = {
+    val name = s"stream_join_${System.identityHashCode(spark)}"
+    val signups = eventsStream(spark, dir)
+      .filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("event_time").as("s_time"))
+      .withWatermark("s_time", "2 hours")
+    val purchases = eventsStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_time").as("p_time"),
+              col("value"))
+      .withWatermark("p_time", "2 hours")
+    val q = signups.join(purchases,
+        col("s_user") === col("p_user") &&
+        col("p_time") >= col("s_time") &&
+        col("p_time") <= col("s_time") + expr(s"INTERVAL $windowSeconds SECONDS"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // batch aggregation over the streamed pair set: the streaming coverage
+    // is the join itself; an agg stacked on a stream-stream join would add
+    // a second stateful operator without adding semantics to test
+    spark.table(name)
+      .groupBy(col("s_user").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"), centsSum(col("value")).as("purchase_value"))
+      .orderBy("user_id")
+  }
+
   /** Stateful gap sessionization via flatMapGroupsWithState: per user, an
     * open session is carried in GroupState; events extend it or close it
     * (30-min gap). Closed sessions emit append-mode; the open session

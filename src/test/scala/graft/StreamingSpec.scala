@@ -37,6 +37,24 @@ class StreamingSpec extends SparkSpec {
     assert(stream == batch)
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    val e = Tables.events(spark, sf)
+    val su = e.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts_s").as("s_ts"))
+    val pu = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts_s").as("p_ts"), col("value"))
+    val batch = su.join(pu,
+        col("user_id") === col("p_user") &&
+        col("p_ts") >= col("s_ts") && col("p_ts") <= col("s_ts") + 3600)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+           (sum(round(col("value") * 100, 0).cast("long")) / 100.0).as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val stream = StreamOps.runIntervalJoin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(stream == batch && stream.nonEmpty)
+  }
+
   test("watermark drops events later than the allowed lateness") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
