@@ -151,6 +151,18 @@ object OracleSql {
     "tumbling_window" ->
       s"""WITH e AS ($eventsSec) SELECT event_type, ts_s - ts_s % 3600 AS window_start, COUNT(*) AS n_events, ${cents("value")} AS total_value FROM e GROUP BY event_type, window_start ORDER BY event_type, window_start""",
 
+    "microbatch_merge" ->
+      """WITH b AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice FROM orders), delta AS (SELECT o_orderkey, o_orderdate, o_totalprice + 1 AS o_totalprice FROM b WHERE o_orderdate >= DATE '1998-01-01' AND o_orderkey % 2 = 0), p AS (SELECT DISTINCT date_trunc('month', o_orderdate) AS per FROM delta) SELECT * FROM b WHERE date_trunc('month', o_orderdate) NOT IN (SELECT per FROM p) UNION ALL SELECT * FROM delta ORDER BY o_orderkey""",
+
+    "unpivot_orders" ->
+      """SELECT o_orderkey, 'o_custkey' AS field_name, CAST(o_custkey AS VARCHAR) AS field_value FROM orders UNION ALL SELECT o_orderkey, 'o_orderstatus', o_orderstatus FROM orders UNION ALL SELECT o_orderkey, 'o_orderpriority', o_orderpriority FROM orders ORDER BY o_orderkey, field_name""",
+
+    "union_relations" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority, CAST(NULL AS BIGINT) AS build_id, 'prod' AS _dbt_source_relation FROM orders UNION ALL SELECT o_orderkey, CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE), o_orderpriority, 1, 'dev' FROM orders WHERE o_orderkey % 10 = 0 ORDER BY _dbt_source_relation, o_orderkey""",
+
+    "bloom_join" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000) ORDER BY o_orderkey""",
+
     "stream_join" ->
       s"""WITH e AS ($eventsSec), su AS (SELECT user_id, ts_s AS s_ts FROM e WHERE event_type = 'signup'), pu AS (SELECT user_id, ts_s AS p_ts, value FROM e WHERE event_type = 'purchase') SELECT su.user_id, COUNT(*) AS n_pairs, ${cents("value")} AS purchase_value FROM su JOIN pu ON su.user_id = pu.user_id AND pu.p_ts >= su.s_ts AND pu.p_ts <= su.s_ts + 3600 GROUP BY su.user_id ORDER BY su.user_id""",
 

@@ -45,6 +45,42 @@ object SparkEntry {
         .orderBy("id")
     }),
     "incremental_merge" -> ((s, d) => Incremental.mergeLatest(Tables.orders(s, d))),
+    // microbatch: delta re-emits only even keys of 1998+; those months are
+    // REPLACED wholesale (odd-key rows in them disappear), earlier months
+    // stay untouched
+    "microbatch_merge"  -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val base = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_orderdate").cast("date").as("o_orderdate"), col("o_totalprice"))
+      val delta = base
+        .filter(col("o_orderdate") >= lit("1998-01-01") && col("o_orderkey") % 2 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1)
+      Incremental.microbatch(base, delta, "o_orderdate", "month")
+        .orderBy("o_orderkey")
+    }),
+    "unpivot_orders"    -> ((s, d) => DbtUtils.unpivot(Tables.orders(s, d),
+        Seq("o_orderkey"), Seq("o_custkey", "o_orderstatus", "o_orderpriority"))
+      .orderBy("o_orderkey", "field_name")),
+    "union_relations"   -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val o = Tables.orders(s, d)
+      val prod = o.select(DbtUtils.star(o,
+        except = o.columns.toSeq.filterNot(
+          Seq("o_orderkey", "o_orderstatus", "o_totalprice").contains)): _*)
+      val dev = o.filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), col("o_orderpriority"), lit(1L).as("build_id"))
+      DbtUtils.unionRelations(Seq("prod" -> prod, "dev" -> dev))
+        .orderBy("_dbt_source_relation", "o_orderkey")
+    }),
+    "bloom_join"        -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      BloomJoin.semiJoin(
+        Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice"),
+        "o_custkey",
+        Tables.customer(s, d).filter(col("c_acctbal") > 5000), "c_custkey",
+        numBits = 1 << 17)
+        .orderBy("o_orderkey")
+    }),
     "schema_evolution"  -> ((s, d) => Incremental.schemaEvolution(Tables.orders(s, d))),
     "schema_sync"       -> ((s, d) => Incremental.schemaSync(Tables.orders(s, d))),
     "test_suite"        -> ((s, d) => Checks.testSuite(Tables.orders(s, d), Tables.customer(s, d))),

@@ -180,6 +180,26 @@ object Incremental {
     base.unionByName(delta, allowMissingColumns = true).orderBy("o_orderkey")
   }
 
+  /** dbt 1.9 `microbatch` incremental strategy: rows carry an `event_time`;
+    * the run splits the delta into `granularity` periods and each period is
+    * REPLACED wholesale in the target — no unique_key, no merge. A base row
+    * whose period the delta touches disappears unless the delta re-emits
+    * it; untouched periods are never rewritten. Physically this is dynamic
+    * partition overwrite on the period column ([[Materialize.incremental]]),
+    * so at 100 TB the anti-join below is partition PRUNING — the delta's
+    * period set is tiny (AQE broadcasts it) and base partitions outside it
+    * are metadata-skipped, never scanned. */
+  def microbatch(base: DataFrame, delta: DataFrame, eventTimeCol: String,
+                 granularity: String = "month"): DataFrame = {
+    val period = (df: DataFrame) =>
+      date_trunc(granularity, col(eventTimeCol).cast("timestamp"))
+    val deltaPeriods = delta.select(period(delta).as("__period")).distinct()
+    base.withColumn("__period", period(base))
+      .join(deltaPeriods, Seq("__period"), "left_anti")
+      .drop("__period")
+      .unionByName(delta)
+  }
+
   /** `sync_all_columns`: the new batch DROPS a column (o_orderstatus) and
     * ADDS one (o_custkey); the merged table follows the batch's schema —
     * old rows get NULL for the addition, the dropped column disappears. */

@@ -39,6 +39,49 @@ object DbtUtils {
       .orderBy("date_day")
   }
 
+  /** `dbt_utils.star`: every column of `from` except `except`, each
+    * optionally re-aliased with a prefix/suffix — the macro users reach for
+    * to copy a relation minus its housekeeping columns. Pure projection
+    * (column pruning reaches the scan; at 100 TB the excepted columns are
+    * never read). */
+  def star(from: DataFrame, except: Seq[String] = Nil,
+           prefix: String = "", suffix: String = ""): Seq[Column] = {
+    val drop = except.map(_.toLowerCase).toSet
+    from.columns.filterNot(c => drop(c.toLowerCase))
+      .map(c => col(c).as(prefix + c + suffix)).toSeq
+  }
+
+  /** `dbt_utils.unpivot`: melt `valueCols` into (field_name, field_value)
+    * rows, values cast to string (the macro's common-type rule). Uses
+    * Spark's native unpivot (Expand) — one map-side row-amplification, no
+    * shuffle, no per-column scans. */
+  def unpivot(df: DataFrame, idCols: Seq[String], valueCols: Seq[String],
+              fieldName: String = "field_name",
+              valueName: String = "field_value"): DataFrame =
+    df.select((idCols.map(col) ++
+        valueCols.map(c => col(c).cast("string").as(c))): _*)
+      .unpivot(idCols.map(col).toArray, valueCols.map(col).toArray,
+        fieldName, valueName)
+
+  /** `dbt_utils.union_relations`: union frames with differing schemas by
+    * NAME — the target schema is every column in first-seen order, missing
+    * columns fill with typed NULLs, and `_dbt_source_relation` tags each
+    * row's provenance (the macro's contract). Pure projections + unionAll:
+    * no shuffle; each source keeps its own scan pruning. */
+  def unionRelations(relations: Seq[(String, DataFrame)]): DataFrame = {
+    require(relations.nonEmpty, "union_relations of nothing")
+    val target = scala.collection.mutable.LinkedHashMap[String, org.apache.spark.sql.types.DataType]()
+    relations.foreach { case (_, df) =>
+      df.schema.fields.foreach(f => target.getOrElseUpdate(f.name, f.dataType))
+    }
+    relations.map { case (name, df) =>
+      val have = df.columns.toSet
+      df.select(target.toSeq.map { case (c, dt) =>
+        if (have(c)) col(c).cast(dt).as(c) else lit(null).cast(dt).as(c)
+      } :+ lit(name).as("_dbt_source_relation"): _*)
+    }.reduce(_.unionAll(_))
+  }
+
   /** dbt_utils generic tests as one violations suite (same shape as
     * Checks.testSuite): `equal_rowcount`, `at_least_one`, `not_constant`.
     * Each test is a distributed aggregate folded to a one-row summary. */

@@ -48,6 +48,47 @@ class DbtUtilsSpec extends SparkSpec {
     assert(got("not_constant_o_totalprice") == 0L)
   }
 
+  test("star: excepts case-insensitively, applies prefix/suffix, prunes scan") {
+    val orders = Tables.orders(spark, sf)
+    val cols = DbtUtils.star(orders,
+      except = Seq("O_COMMENT", "o_orderstatus"), prefix = "src_")
+    val out = orders.select(cols: _*)
+    assert(!out.columns.contains("src_o_orderstatus"))
+    assert(out.columns.forall(_.startsWith("src_")))
+    assert(!out.queryExecution.sparkPlan.toString.contains("o_orderstatus"),
+      "excepted column still read from the scan")
+  }
+
+  test("unpivot: melts value columns to typed string rows, ids preserved") {
+    val df = Seq((1L, "O", 10.5), (2L, "F", 20.0)).toDF("id", "status", "price")
+    val got = DbtUtils.unpivot(df, Seq("id"), Seq("status", "price"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set((1L, "status", "O"), (1L, "price", "10.5"),
+      (2L, "status", "F"), (2L, "price", "20.0")))
+  }
+
+  test("union_relations: first-seen column order, null fill, provenance tag") {
+    val a = Seq((1L, "x")).toDF("id", "a_only")
+    val b = Seq((2L, 5.0)).toDF("id", "b_only")
+    val u = DbtUtils.unionRelations(Seq("rel_a" -> a, "rel_b" -> b))
+    assert(u.columns.toSeq ==
+      Seq("id", "a_only", "b_only", "_dbt_source_relation"))
+    val rows = u.collect().map(_.toSeq).toSet
+    assert(rows == Set(Seq(1L, "x", null, "rel_a"), Seq(2L, null, 5.0, "rel_b")))
+  }
+
+  test("microbatch: delta periods replaced wholesale, others untouched") {
+    import graft.operators.Incremental
+    val base = Seq((1L, "2024-01-05", 10.0), (2L, "2024-02-10", 20.0),
+      (3L, "2024-02-20", 30.0)).toDF("id", "d", "v")
+    val delta = Seq((3L, "2024-02-20", 31.0)).toDF("id", "d", "v")
+    val got = Incremental.microbatch(base, delta, "d").collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSet
+    // Feb is replaced: id=2 disappears (delta did not re-emit it), id=3
+    // takes the delta value; January is untouched
+    assert(got == Set((1L, 10.0), (3L, 31.0)), s"got $got")
+  }
+
   test("schema diff reports added/missing/retyped/renullabled columns") {
     // `when` without otherwise makes dev.id nullable; prod's coalesce is not
     val dev = Seq((1L, 1, "x")).toDF("id", "a", "b")
