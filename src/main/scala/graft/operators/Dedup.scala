@@ -48,6 +48,11 @@ object Dedup {
         col("lang") === col("lang_b") && col("band") === col("band_b") &&
           col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
+      // stage barrier before the verify — same finding as minhashLsh: fused
+      // into the block-join emit stage, the payload probes + set jaccard run
+      // inside the pair-amplifying iterator and cost 3x (id-pair exchange is
+      // 16 B/row and co-partitions the first payload attach)
+      .repartition(col("doc_a"))
     val pay = documents.select(col("doc_id"), payload.as("p"))
     pairs
       .join(payloadJoin.hint(pay.select(col("doc_id").as("doc_a"), col("p").as("pa"))), "doc_a")
