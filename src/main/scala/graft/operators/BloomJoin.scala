@@ -38,13 +38,21 @@ object BloomJoin {
   /** Exact semi join with the Bloom prefilter on the fact side: equals
     * `fact SEMI JOIN dim` row-for-row (the exact join clears the Bloom's
     * false positives), but the join's fact-side input is already pruned to
-    * ~|matches| + fpp·|fact|. */
+    * ~|matches| + fpp·|fact|.
+    *
+    * Deliberately NOT a `left_semi` join: PushDownLeftSemiAntiJoin rewrites
+    * semi-above-prune into semi-FIRST with the bloom probing the join's
+    * output — pure overhead (observed in the optimized plan). An inner join
+    * against the distinct dim keys has identical semantics (each fact row
+    * matches at most one key), sits outside that rule's reach, and keeps
+    * the probe on the scan side — PlanSpec pins the shape. */
   def semiJoin(fact: DataFrame, factKey: String, dim: DataFrame,
                dimKey: String, numBits: Int = 1 << 20,
                numHashFns: Int = 5): DataFrame = {
     val pruned = bloomPrune(fact, col(factKey), dim, col(dimKey),
       numBits, numHashFns)
-    pruned.join(dim.select(col(dimKey).as("__dim_key")),
-      col(factKey) === col("__dim_key"), "left_semi")
+    pruned.join(dim.select(col(dimKey).as("__dim_key")).distinct(),
+        col(factKey) === col("__dim_key"), "inner")
+      .drop("__dim_key")
   }
 }

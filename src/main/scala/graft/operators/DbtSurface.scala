@@ -344,6 +344,33 @@ object Curation {
       .orderBy("lang", "doc_id")
   }
 
+  /** Context-window sequence packing — the pretraining batch-prep step:
+    * documents concatenate in deterministic (lang, doc_id) order and the
+    * token stream cuts into fixed `contextTokens` windows, so each doc gets
+    * the window its first token lands in (`bin_id`) and its offset inside
+    * that window; docs straddling a boundary spill into the next window
+    * (`spans_boundary` — exactly how packed pretraining corpora split
+    * documents, truncation/continuation being a tokenizer-side choice).
+    * One window shuffle per language partition, exclusive-prefix-sum
+    * arithmetic after — no per-bin state, no driver loop, and bin ids are
+    * partition-invariant because the order is total. */
+  def sequencePack(documents: DataFrame, contextTokens: Long = 2048): DataFrame = {
+    val est = graft.util.TextNorm.estTokens(col("text"))
+    val before = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    documents
+      .select(col("doc_id"), col("lang"), est.as("est_tokens"))
+      .withColumn("cum_before",
+        coalesce(sum(col("est_tokens")).over(before), lit(0L)))
+      .select(col("doc_id"), col("lang"), col("est_tokens"),
+        // `div` = exact integer division (long `/` would detour via double)
+        expr(s"cum_before div $contextTokens").as("bin_id"),
+        (col("cum_before") % contextTokens).as("bin_offset"),
+        (expr(s"(cum_before + est_tokens - 1) div $contextTokens") >
+          expr(s"cum_before div $contextTokens")).as("spans_boundary"))
+      .orderBy("lang", "doc_id")
+  }
+
   /** Stratified sampling by language (Bernoulli per stratum, seeded).
     * Approximate by design — spec bounds the per-stratum rates. */
   def stratifiedSample(documents: DataFrame,

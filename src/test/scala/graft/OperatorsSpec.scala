@@ -112,6 +112,28 @@ class OperatorsSpec extends SparkSpec {
     assert(badKeys == 0, "a surviving key lost its single current row")
   }
 
+  test("sequence pack: offsets in range, bins contiguous, matches a sequential fold") {
+    import graft.operators.Curation
+    val ctx = 512L
+    val got = Curation.sequencePack(Tables.documents(spark, sf), ctx).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getLong(4) >= 0 && r.getLong(4) < ctx, s"offset out of range: $r")
+    }
+    // sequential replay per language must reproduce bin/offset/spans exactly
+    got.groupBy(_.getString(1)).foreach { case (_, rows) =>
+      var cum = 0L
+      rows.sortBy(_.getLong(0)).foreach { r =>
+        val est = r.getLong(2)
+        assert(r.getLong(3) == cum / ctx, s"bin_id mismatch at $r")
+        assert(r.getLong(4) == cum % ctx, s"bin_offset mismatch at $r")
+        assert(r.getBoolean(5) == ((cum + est - 1) / ctx > cum / ctx),
+          s"spans_boundary mismatch at $r")
+        cum += est
+      }
+    }
+  }
+
   test("verbatim overlap: long shared runs detected, disjoint docs produce no pairs") {
     import spark.implicits._
     val run = "the quick brown fox jumps over the lazy dog again and again"

@@ -137,6 +137,27 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("bloom semi join probes on the fact side BELOW the join") {
+    // the whole point: non-matching fact rows die at the scan, before the
+    // join's exchange — the probe must sit under the semi join's left child
+    val df = BloomJoin.semiJoin(
+      Tables.orders(spark, sf).select("o_orderkey", "o_custkey"),
+      "o_custkey",
+      Tables.customer(spark, sf).filter(col("c_acctbal") > 5000), "c_custkey")
+    // the exact join is the inner join on the distinct dim keys (__dim_key)
+    val exacts = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+        if j.condition.exists(_.references.exists(_.name == "__dim_key")) => j
+    }
+    assert(exacts.nonEmpty, "no exact key join planned")
+    // the probe may live in a Filter node or get folded into the scalar
+    // bits-attach join's condition — either way it must be in the LEFT
+    // (fact) subtree, upstream of the exact join
+    val probeBelow = exacts.exists(_.left.exists(_.expressions.exists(
+      _.collectFirst { case b: graft.functions.BloomMightContain => b }.isDefined)))
+    assert(probeBelow, "bloom probe not under the exact join's fact side")
+  }
+
   test("connected components loop state is (id,label) only, no payload") {
     val labels = Dedup.connectedComponents(
       Dedup.jaccardPairs(Tables.documents(spark, sf), 0.5))
