@@ -163,6 +163,9 @@ object OracleSql {
     "union_relations" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority, CAST(NULL AS BIGINT) AS build_id, 'prod' AS _dbt_source_relation FROM orders UNION ALL SELECT o_orderkey, CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE), o_orderpriority, 1, 'dev' FROM orders WHERE o_orderkey % 10 = 0 ORDER BY _dbt_source_relation, o_orderkey""",
 
+    "skew_join" ->
+      s"""SELECT c_mktsegment, COUNT(*) AS n_orders, ${cents("o_totalprice")} AS revenue FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
     "bloom_join" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000) ORDER BY o_orderkey""",
 

@@ -72,6 +72,22 @@ object SparkEntry {
       DbtUtils.unionRelations(Seq("prod" -> prod, "dev" -> dev))
         .orderBy("_dbt_source_relation", "o_orderkey")
     }),
+    // salted star join: revenue per market segment with the orders side
+    // salted 8 ways — row set identical to the plain join (spec + oracle),
+    // but a pathological hot customer spreads over 8 tasks instead of one
+    "skew_join"         -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import graft.util.Det.centsSum
+      val orders = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      val customer = Tables.customer(s, d)
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      graft.util.Skew.saltedJoin(orders, customer, "o_custkey", 8,
+          bigSaltSource = col("o_orderkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), centsSum(col("o_totalprice")).as("revenue"))
+        .orderBy("c_mktsegment")
+    }),
     "bloom_join"        -> ((s, d) => {
       import org.apache.spark.sql.functions._
       BloomJoin.semiJoin(
