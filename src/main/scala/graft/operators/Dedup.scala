@@ -325,12 +325,20 @@ object Dedup {
       // pin the emit stage's task count (see minhashLsh: AQE byte-based
       // coalescing is blind to join-output amplification)
       .repartition(col("chunk_idx"), col("chunk"))
-    chunked.as("x").join(chunked.as("y"),
+    // exactly-once per pair WITHOUT re-shuffling the raw pair set (the old
+    // dropDuplicates did — see minhashLsh): both sigs ride the join, so
+    // "is this the FIRST chunk the pair agrees on" is a map-side when-chain
+    // over the XOR's 16-bit chunks — fully codegen'd, no exchange
+    val xr = col("x.sig").bitwiseXOR(col("y.sig"))
+    def chunkEq(j: Int) = shiftright(xr, j * 16).bitwiseAND(0xFFFFL) === 0
+    val firstChunk = when(chunkEq(0), 0).when(chunkEq(1), 1)
+      .when(chunkEq(2), 2).otherwise(3)
+    chunked.as("x").hint("shuffle_hash").join(chunked.as("y"),
         col("x.chunk_idx") === col("y.chunk_idx") &&
         col("x.chunk") === col("y.chunk") && col("x.doc_id") < col("y.doc_id"))
+      .filter(firstChunk === col("x.chunk_idx"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-              bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
-      .dropDuplicates("doc_a", "doc_b")
+              bit_count(xr).as("hamming"))
       .filter(col("hamming") <= maxHamming)
     // no presentation sort — pair-set output, same rationale as minhashLsh
   }

@@ -182,18 +182,29 @@ object Similarity {
           shiftleft(lit(1L), i)).otherwise(0L)
       }.reduce(_.bitwiseOR(_))
     }
-    // Candidate generation on (vec_id, table, bucket) only — embeddings
-    // re-attach after pair dedup so each cosine is computed exactly once.
-    val hashed = embeddings.select(col("vec_id"),
-      posexplode(array(buckets: _*)).as(Seq("table_idx", "bucket")))
+    // Candidate generation on (vec_id, bucket-id array, table, bucket) —
+    // embeddings never ride the pair shuffle; they re-attach only for the
+    // exactly-once pairs. The nTables bucket ids (8 B each) ride the hashed
+    // frame so a pair colliding in k tables keeps exactly ONE row via the
+    // first-agreeing-table filter (FirstEqualBand with width 1) — the
+    // former dropDuplicates re-shuffled the RAW pair set (see
+    // Dedup.minhashLsh, same finding).
+    val hashed = embeddings.select(col("vec_id"), array(buckets: _*).as("bks"))
+      .select(col("vec_id"), col("bks"),
+        posexplode(col("bks")).as(Seq("table_idx", "bucket")))
       // pin the emit stage's task count (see Dedup.minhashLsh: AQE
       // byte-based coalescing is blind to join-output amplification)
       .repartition(col("table_idx"), col("bucket"))
-    val cand = hashed.as("x").join(hashed.as("y"),
+    val cand = hashed.as("x").hint("shuffle_hash").join(hashed.as("y"),
         col("x.table_idx") === col("y.table_idx") &&
         col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+      .filter(graft.functions.VectorFunctions.firstEqualBand(
+        col("x.bks"), col("y.bks"), 1) === col("x.table_idx"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
-      .dropDuplicates("vec_a", "vec_b")
+      // stage barrier before the verify: fused into the bucket-join emit
+      // stage, the payload probes + cosine ran inside the pair-amplifying
+      // iterator (see Dedup.minhashLsh — 3x measured there)
+      .repartition(col("vec_a"))
     val e = embeddings.select(col("vec_id"), col("embedding"))
     cand
       .join(payloadJoin.hint(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))), "vec_a")
