@@ -209,6 +209,7 @@ object SparkEntry {
     "stream_dedup"      -> ((s, d) => graft.streaming.StreamOps.runDedup(s, d)),
     "stream_enrich"     -> ((s, d) => graft.streaming.StreamOps.runEnrich(s, d)),
     "stream_join"       -> ((s, d) => graft.streaming.StreamOps.runIntervalJoin(s, d)),
+    "stream_totals"     -> ((s, d) => graft.streaming.StreamOps.runRunningTotals(s, d)),
     "customer_ltv"      -> ((s, d) => Analytics.customerLtv(Tables.customer(s, d), Tables.orders(s, d))),
   )
 

@@ -21,6 +21,41 @@ case class Session(user_id: Long, sess_seq: Long, session_start: Long,
   * timeout. */
 case class SessState(sessSeq: Long, start: Long, end: Long, n: Long, cents: Long)
 
+/** Per-user running totals via the Spark 4 `transformWithState` API (the
+  * arbitrary-state successor to mapGroupsWithState): a `ValueState` cell
+  * per user accumulates event count + integer cents; every micro-batch
+  * emits the keys it touched with their UPDATED totals (a changelog — in
+  * continuous operation downstream upserts by user_id; driven AvailableNow
+  * the single batch emits exactly the final totals, which is the batch
+  * oracle). Cents accumulate as longs with the same HALF_UP rounding as
+  * Det.centsSum, so the changelog is bit-stable across partitionings. The
+  * TTL seam (`TTLConfig`) is where a production deployment bounds state for
+  * cold users; the backfill keeps it off so totals are exact. */
+class RunningTotalsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Double), (Long, Long, Double)] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig, ValueState}
+  @transient private var totals: ValueState[(Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    import org.apache.spark.sql.Encoders
+    totals = getHandle.getValueState[(Long, Long)]("totals",
+      Encoders.product[(Long, Long)], TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+      timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, Long, Double)] = {
+    var (n, cents) = if (totals.exists()) totals.get() else (0L, 0L)
+    rows.foreach { case (_, v) =>
+      n += 1
+      cents += java.math.BigDecimal.valueOf(v * 100)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    }
+    totals.update((n, cents))
+    Iterator.single((key, n, cents / 100.0))
+  }
+}
+
 /** Structured Streaming twins of the batch event operators. The same
   * transformations run on `readStream` sources with watermarks; here they
   * are driven with Trigger.AvailableNow over the parquet test data, which
@@ -139,6 +174,28 @@ object StreamOps {
       .start()
     q.awaitTermination()
     spark.table(name).orderBy("c_mktsegment")
+  }
+
+  /** Runs [[RunningTotalsProcessor]] over the parquet source to completion.
+    * transformWithState requires the RocksDB state store provider (its
+    * changelog-checkpointing state machine is built on it). */
+  def runRunningTotals(spark: SparkSession, dir: String): DataFrame = withRocksDb(spark) {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode}
+    val name = s"stream_totals_${System.identityHashCode(spark)}"
+    val q = eventsStream(spark, dir)
+      .select(col("user_id"), col("value"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new RunningTotalsProcessor,
+        TimeMode.None(), OM.Append())
+      .toDF("user_id", "n_events", "total_value")
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy("user_id")
   }
 
   /** Stream-stream event-time interval join: each signup joins the same

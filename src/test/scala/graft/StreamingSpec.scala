@@ -55,6 +55,16 @@ class StreamingSpec extends SparkSpec {
     assert(stream == batch && stream.nonEmpty)
   }
 
+  test("transformWithState running totals equal the batch per-user aggregate") {
+    val batch = Tables.events(spark, sf).groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+           (sum(round(col("value") * 100, 0).cast("long")) / 100.0).as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val stream = StreamOps.runRunningTotals(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(stream == batch && stream.nonEmpty)
+  }
+
   test("watermark drops events later than the allowed lateness") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
