@@ -191,7 +191,7 @@ object SparkEntry {
     "rolling_fingerprint_md5" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       TextAnalysis.rollingFingerprint(
-        Tables.documents(s, d).filter(col("doc_id") % 10 === 0), hasher = md5(_))
+        Tables.documents(s, d).filter(col("doc_id") % 10 === 0), hasher = Some(md5(_)))
     }),
     // Driver wiring encodes the Array[Float] feature column as a rounded CSV
     // scalar: the harness lexsorts/hashes every cell and ndarray cells are

@@ -261,6 +261,84 @@ case class EqualPositions(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** The k smallest elements of an `array<bigint>`, ascending — the winnowing
+  * fingerprint selector. `slice(array_sort(a), 1, k)` sorts the WHOLE array
+  * (O(n log n) + a full copy per row) to keep 4 values; this is one
+  * insertion pass over a k-slot buffer, O(n·k) with k tiny, no allocation
+  * beyond the k-slot result. Null elements throw (upstream hashes are
+  * never null; silently dropping one would shift the selection). */
+case class ArrayKMin(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1 && k <= 1024, s"graft_array_kmin: k must be in [1,1024], got $k")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<bigint>, got ${dt.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_array_kmin"
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val m = math.min(k, n)
+    val out = new Array[Long](m)
+    var size = 0
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i))
+        throw new IllegalArgumentException(s"$prettyName: null element at $i")
+      val v = arr.getLong(i)
+      if (size < m) {
+        var j = size - 1
+        size += 1
+        while (j >= 0 && out(j) > v) { out(j + 1) = out(j); j -= 1 }
+        out(j + 1) = v
+      } else if (v < out(m - 1)) {
+        var j = m - 2
+        while (j >= 0 && out(j) > v) { out(j + 1) = out(j); j -= 1 }
+        out(j + 1) = v
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      val out = ctx.freshName("out"); val size = ctx.freshName("size")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val v = ctx.freshName("v")
+      s"""
+        int $n = $a.numElements();
+        int $m = java.lang.Math.min($k, $n);
+        long[] $out = new long[$m];
+        int $size = 0;
+        for (int $i = 0; $i < $n; $i++) {
+          if ($a.isNullAt($i)) {
+            throw new IllegalArgumentException("graft_array_kmin: null element at " + $i);
+          }
+          long $v = $a.getLong($i);
+          if ($size < $m) {
+            int $j = $size - 1;
+            $size++;
+            for (; $j >= 0 && $out[$j] > $v; $j--) $out[$j + 1] = $out[$j];
+            $out[$j + 1] = $v;
+          } else if ($v < $out[$m - 1]) {
+            int $j = $m - 2;
+            for (; $j >= 0 && $out[$j] > $v; $j--) $out[$j + 1] = $out[$j];
+            $out[$j + 1] = $v;
+          }
+        }
+        ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Per-row sliding-window minimum over an `array<bigint>`: out(i) =
   * min(in(i) .. in(min(i+width, n)-1)), window clamped at the tail.
   *
@@ -341,6 +419,9 @@ object VectorFunctions {
 
   def slidingMin(a: Column, width: Int): Column =
     Bridge.column(SlidingMin(Bridge.expression(a), width))
+
+  def arrayKMin(a: Column, k: Int): Column =
+    Bridge.column(ArrayKMin(Bridge.expression(a), k))
 
   def firstEqualBand(a: Column, b: Column, width: Int): Column =
     Bridge.column(FirstEqualBand(Bridge.expression(a), Bridge.expression(b), width))

@@ -86,14 +86,24 @@ object TextAnalysis {
     * where a cross-engine-reproducible fingerprint matters (DuckDB has no
     * xxhash64 builtin). */
   def rollingFingerprint(documents: DataFrame, window: Int = 8, k: Int = 4,
-                         hasher: Column => Column = xxhash64(_)): DataFrame = {
+                         hasher: Option[Column => Column] = None): DataFrame = {
     val len = length(col("text"))
-    val hashes = array_sort(transform(sequence(lit(1), len - window + 1),
-      i => hasher(col("text").substr(i, lit(window)))))
+    // Default (None) = xxhash64 longs selected with the native ArrayKMin
+    // kernel: one O(n·k) insertion pass instead of array_sort's full
+    // O(n log n) sort-and-copy of every window hash per row. A custom
+    // `hasher` (the md5 oracle twin) takes the generic sort path — its
+    // hashes are strings.
+    val kmin = hasher match {
+      case None => graft.functions.VectorFunctions.arrayKMin(
+        transform(sequence(lit(1), len - window + 1),
+          i => xxhash64(col("text").substr(i, lit(window)))), k)
+      case Some(h) => slice(array_sort(transform(sequence(lit(1), len - window + 1),
+        i => h(col("text").substr(i, lit(window))))), 1, k)
+    }
     documents
       .filter(len >= window)
       .select(col("doc_id"),
-        concat_ws(",", slice(hashes, 1, k)).as("fingerprint"),
+        concat_ws(",", kmin).as("fingerprint"),
         (len - window + 1).as("n_windows"))
       .orderBy("doc_id")
   }

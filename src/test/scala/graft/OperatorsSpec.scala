@@ -154,7 +154,7 @@ class OperatorsSpec extends SparkSpec {
     val xx = TextAnalysis.rollingFingerprint(docs)
     // same doc set + window counts as the md5 (oracle-twin) variant — the
     // hasher changes only the hash values, never the winnowing structure
-    val md = TextAnalysis.rollingFingerprint(docs, hasher = md5(_))
+    val md = TextAnalysis.rollingFingerprint(docs, hasher = Some(md5(_)))
     assert(rows(xx.select("doc_id", "n_windows")) ==
            rows(md.select("doc_id", "n_windows")))
     // pin the sort+slice selection against an independent plan: explode all
