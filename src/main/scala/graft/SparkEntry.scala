@@ -125,6 +125,7 @@ object SparkEntry {
                                   "o_totalprice", "o_orderpriority"))),
     "token_budget"      -> ((s, d) => Curation.tokenBudget(Tables.documents(s, d))),
     "sequence_pack"     -> ((s, d) => Curation.sequencePack(Tables.documents(s, d))),
+    "quality_classifier" -> ((s, d) => QualityModel.qualityClassifier(Tables.documents(s, d))),
     "stratified_sample" -> ((s, d) => Curation.stratifiedSample(Tables.documents(s, d),
                               Map("en" -> 0.5, "de" -> 0.5, "es" -> 0.5, "fr" -> 0.5, "zh" -> 0.5))),
     // B. analytic core

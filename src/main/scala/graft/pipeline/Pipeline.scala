@@ -30,6 +30,15 @@ final case class IncrementalMat(
   * 100 TB-friendly incremental: a day's rebuild rewrites one partition,
   * never row-merges the full table. */
 final case class InsertOverwriteMat(partitionBy: String) extends Materialization
+/** dbt 1.9's `microbatch` strategy: rows carry `eventTime`; each run's
+  * delta splits into `granularity` periods (year/month/week/day) and each
+  * period REPLACES the table's matching partition wholesale — no unique
+  * key, no row merge. Physically a `_period` partition column (formatted
+  * date — filesystem-safe) + dynamic partition overwrite, so a backfill of
+  * one day rewrites one directory. The returned frame drops `_period`
+  * (derived data — downstream models see the model's own schema). */
+final case class MicrobatchMat(eventTime: String,
+                               granularity: String = "month") extends Materialization
 
 /** One model: name, upstream refs, materialization, and the transformation
   * from resolved upstream frames to this model's frame — `build` is the
@@ -144,6 +153,7 @@ final class Pipeline(models: Seq[Model], exposures: Seq[Exposure] = Nil) {
     case EphemeralMat => "ephemeral"
     case _: IncrementalMat => "incremental"
     case _: InsertOverwriteMat => "incremental"
+    case _: MicrobatchMat => "incremental"
   }
 
   private def nodeId(name: String): String = {
@@ -168,6 +178,8 @@ final class Pipeline(models: Seq[Model], exposures: Seq[Exposure] = Nil) {
               policy.toString.replaceAll("([a-z])([A-Z])", "$1_$2").toLowerCase)}"""
           case InsertOverwriteMat(part) =>
             s""","incremental_strategy":"insert_overwrite","partition_by":${jstr(part)}"""
+          case MicrobatchMat(eventTime, gran) =>
+            s""","incremental_strategy":"microbatch","event_time":${jstr(eventTime)},"batch_size":${jstr(gran)}"""
           case _ => ""
         }))
       s"${jstr(nodeId(m.name))}:{" +
@@ -321,6 +333,18 @@ final class Pipeline(models: Seq[Model], exposures: Seq[Exposure] = Nil) {
             graft.operators.Materialize.incremental(df, path, part,
               dynamicOverwrite = true)
           spark.read.parquet(path)
+        case MicrobatchMat(eventTime, gran) =>
+          val path = s"$targetDir/${m.name}"
+          val exists = new java.io.File(path).exists() && !fullRefresh
+          val withPeriod = df.withColumn("_period",
+            date_format(date_trunc(gran, col(eventTime).cast("timestamp")),
+              "yyyy-MM-dd"))
+          if (!exists)
+            withPeriod.write.mode("overwrite").partitionBy("_period").parquet(path)
+          else
+            graft.operators.Materialize.incremental(withPeriod, path, "_period",
+              dynamicOverwrite = true)
+          spark.read.parquet(path).drop("_period")
         case IncrementalMat(key, policy) =>
           val path = s"$targetDir/${m.name}"
           val physical = new java.io.File(path).exists()

@@ -112,6 +112,20 @@ class OperatorsSpec extends SparkSpec {
     assert(badKeys == 0, "a surviving key lost its single current row")
   }
 
+  test("quality classifier recovers the heuristic gate on the held-out split") {
+    val docs = Tables.documents(spark, sf)
+    val scored = QualityModel.qualityClassifier(docs)
+    val truth = TextAnalysis.qualityScore(docs)
+      .select(col("doc_id"), (col("quality_flag") === "ok").as("ok"))
+    val joined = scored.join(truth, "doc_id")
+    val holdout = joined.filter(col("doc_id") % 5 === 0)
+    val acc = holdout.filter(col("predicted_ok") === col("ok")).count().toDouble /
+      holdout.count()
+    assert(acc >= 0.85, s"held-out accuracy $acc")
+    // probabilities are probabilities
+    assert(scored.filter(col("quality_prob") < 0 || col("quality_prob") > 1).count() == 0)
+  }
+
   test("sequence pack: offsets in range, bins contiguous, matches a sequential fold") {
     import graft.operators.Curation
     val ctx = 512L

@@ -287,6 +287,25 @@ class PipelineSpec extends SparkSpec {
       Set("a", "b", "c", "d"))
   }
 
+  test("microbatch materialization: delta periods replace partitions, others survive") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_mb").toString
+    def pipe = new Pipeline(Seq(Model("mb", Seq("src"), MicrobatchMat("d", "month"),
+      in => in("src"))))
+    val run1 = Seq((1L, "2024-01-05", 10.0), (2L, "2024-02-10", 20.0))
+      .toDF("id", "d", "v")
+    pipe.run(spark, Map("src" -> run1), dir)
+    // second run: delta only touches February; re-emits id=3, drops id=2
+    val run2 = Seq((3L, "2024-02-20", 30.0)).toDF("id", "d", "v")
+    val out = pipe.run(spark, Map("src" -> run2), dir)("mb")
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSet
+    assert(out == Set((1L, 10.0), (3L, 30.0)), s"got $out")
+    // full refresh rebuilds from the delta alone
+    val out2 = pipe.run(spark, Map("src" -> run2), dir, fullRefresh = true)("mb")
+      .collect().map(_.getLong(0)).toSet
+    assert(out2 == Set(3L))
+  }
+
   test("salted join returns exactly the plain join's rows") {
     val orders = Tables.orders(spark, sf)
     val customer = Tables.customer(spark, sf)
