@@ -453,6 +453,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         arity2("graft_jaccard", children)
         JaccardSimilarity(children.head, children(1))
       }))
+    def litInt(name: String, e: Expression): Int = e match {
+      case l if l.foldable && l.dataType == org.apache.spark.sql.types.IntegerType =>
+        l.eval().asInstanceOf[Int]
+      case other => throw new IllegalArgumentException(
+        s"$name: expected an int literal, got $other")
+    }
+    ext.injectFunction((
+      new FunctionIdentifier("graft_array_kmin"),
+      new ExpressionInfo(classOf[ArrayKMin].getName, "graft_array_kmin"),
+      (children: Seq[Expression]) => {
+        arity2("graft_array_kmin", children)
+        ArrayKMin(children.head, litInt("graft_array_kmin", children(1)))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_equal_positions"),
+      new ExpressionInfo(classOf[EqualPositions].getName, "graft_equal_positions"),
+      (children: Seq[Expression]) => {
+        arity2("graft_equal_positions", children)
+        EqualPositions(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_first_equal_band"),
+      new ExpressionInfo(classOf[FirstEqualBand].getName, "graft_first_equal_band"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          s"graft_first_equal_band requires exactly 3 arguments, got ${children.size}")
+        FirstEqualBand(children.head, children(1),
+          litInt("graft_first_equal_band", children(2)))
+      }))
     ext.injectFunction((
       new FunctionIdentifier("graft_sliding_min"),
       new ExpressionInfo(classOf[SlidingMin].getName, "graft_sliding_min"),

@@ -20,10 +20,17 @@ case object EphemeralMat extends Materialization
   * `onSchemaChange` is dbt's incremental schema-change policy (reference
   * dbt_project.yml configures append_new_columns; ignore / sync_all_columns
   * / fail are the other dbt-core modes). */
+/** `predicates` = dbt `incremental_predicates`: extra conditions limiting
+  * which EXISTING rows the merge may touch — base rows outside them pass
+  * through untouched and are never compared, which at scale turns the merge
+  * target scan into a partition-pruned slice. Exactly dbt's contract: a
+  * perf fence, not a correctness guard — a delta row whose match sits
+  * outside the fence INSERTS (duplicate key), same as dbt-bigquery. */
 final case class IncrementalMat(
     uniqueKey: String,
     onSchemaChange: graft.operators.OnSchemaChange =
-      graft.operators.OnSchemaChange.AppendNewColumns) extends Materialization
+      graft.operators.OnSchemaChange.AppendNewColumns,
+    predicates: Seq[String] = Nil) extends Materialization
 /** dbt-bigquery's second incremental strategy, `insert_overwrite`: the
   * delta's PARTITIONS replace the table's matching partitions wholesale —
   * no row merge, no unique key — and untouched partitions stay. The
@@ -173,9 +180,11 @@ final class Pipeline(models: Seq[Model], exposures: Seq[Exposure] = Nil) {
         .mkString(",")).getOrElse("")
       val config = (s""""materialized":${jstr(matName(m.materialization))}""" +
         (m.materialization match {
-          case IncrementalMat(key, policy) =>
+          case IncrementalMat(key, policy, preds) =>
             s""","unique_key":${jstr(key)},"incremental_strategy":"merge","on_schema_change":${jstr(
-              policy.toString.replaceAll("([a-z])([A-Z])", "$1_$2").toLowerCase)}"""
+              policy.toString.replaceAll("([a-z])([A-Z])", "$1_$2").toLowerCase)}""" +
+              (if (preds.isEmpty) ""
+               else s""","incremental_predicates":${preds.map(jstr).mkString("[", ",", "]")}""")
           case InsertOverwriteMat(part) =>
             s""","incremental_strategy":"insert_overwrite","partition_by":${jstr(part)}"""
           case MicrobatchMat(eventTime, gran) =>
@@ -345,7 +354,7 @@ final class Pipeline(models: Seq[Model], exposures: Seq[Exposure] = Nil) {
             graft.operators.Materialize.incremental(withPeriod, path, "_period",
               dynamicOverwrite = true)
           spark.read.parquet(path).drop("_period")
-        case IncrementalMat(key, policy) =>
+        case IncrementalMat(key, policy, predicates) =>
           val path = s"$targetDir/${m.name}"
           val physical = new java.io.File(path).exists()
           // --full-refresh: ignore (and replace) the existing table
@@ -353,12 +362,23 @@ final class Pipeline(models: Seq[Model], exposures: Seq[Exposure] = Nil) {
           val merged = if (!exists) df else {
             val (b0, d0) = graft.operators.OnSchemaChange.align(
               spark.read.parquet(path), df, policy)
-            val base = b0.withColumn("_src", lit(0))
+            // incremental_predicates: base rows outside the fence never
+            // enter the merge window — they pass through untouched (and on
+            // a partitioned table the filter is partition pruning)
+            val fence = predicates.map(expr).reduceOption(_ && _)
+            val (baseIn, baseOut) = fence match {
+              case None => (b0, None)
+              case Some(p) =>
+                (b0.filter(coalesce(p, lit(false))),
+                 Some(b0.filter(!coalesce(p, lit(false)))))
+            }
+            val base = baseIn.withColumn("_src", lit(0))
             val delta = d0.withColumn("_src", lit(1))
             val w = Window.partitionBy(key).orderBy(col("_src").desc)
-            base.unionByName(delta)
+            val core = base.unionByName(delta)
               .withColumn("_rn", row_number().over(w))
               .filter(col("_rn") === 1).drop("_src", "_rn")
+            baseOut.fold(core)(core.unionByName(_))
           }
           // write via temp dir: the merge reads the current table. The swap
           // must not fail silently — a stale table poisons every downstream

@@ -176,6 +176,35 @@ object StreamOps {
     spark.table(name).orderBy("c_mktsegment")
   }
 
+  /** Streaming → partitioned-parquet sink via foreachBatch + dynamic
+    * partition overwrite — the standard production pattern for exactly-once
+    * FILE output: each micro-batch's rows overwrite exactly the partitions
+    * they touch, so a batch REPLAYED after a failure (or a whole-query
+    * rerun over the same data) rewrites those partitions to the same
+    * content instead of appending duplicates. Idempotence holds whenever a
+    * batch carries complete partitions — which event-time partitioning +
+    * watermarks give you; spec-verified by running the query twice over the
+    * same source and diffing. Returns the table read back. */
+  def runPartitionedSink(spark: SparkSession, dir: String,
+                         outPath: String): DataFrame = {
+    val q = eventsStream(spark, dir)
+      .withColumn("event_date",
+        date_format(col("event_time"), "yyyy-MM-dd"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("event_date"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("event_date")
+          .parquet(outPath)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outPath)
+  }
+
   /** Runs [[RunningTotalsProcessor]] over the parquet source to completion.
     * transformWithState requires the RocksDB state store provider (its
     * changelog-checkpointing state machine is built on it). */

@@ -287,6 +287,25 @@ class PipelineSpec extends SparkSpec {
       Set("a", "b", "c", "d"))
   }
 
+  test("incremental_predicates fence: outside rows untouched, inside rows merge") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_pred").toString
+    def pipe = new Pipeline(Seq(Model("inc", Seq("src"),
+      IncrementalMat("id", predicates = Seq("d >= '2024-02-01'")),
+      in => in("src"))))
+    val run1 = Seq((1L, "2024-01-05", 10.0), (2L, "2024-02-10", 20.0))
+      .toDF("id", "d", "v")
+    pipe.run(spark, Map("src" -> run1), dir)
+    // delta updates both keys, but id=1 sits OUTSIDE the fence: its base
+    // row survives unchanged and the delta row INSERTS (dbt's documented
+    // duplicate-key hazard); id=2 merges normally
+    val run2 = Seq((1L, "2024-01-05", 11.0), (2L, "2024-02-10", 21.0))
+      .toDF("id", "d", "v")
+    val out = pipe.run(spark, Map("src" -> run2), dir)("inc")
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSet
+    assert(out == Set((1L, 10.0), (1L, 11.0), (2L, 21.0)), s"got $out")
+  }
+
   test("microbatch materialization: delta periods replace partitions, others survive") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_mb").toString

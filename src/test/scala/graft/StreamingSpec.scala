@@ -65,6 +65,20 @@ class StreamingSpec extends SparkSpec {
     assert(stream == batch && stream.nonEmpty)
   }
 
+  test("foreachBatch partitioned sink is idempotent under replay") {
+    val out = java.nio.file.Files.createTempDirectory("graft_sink").toString + "/t"
+    val first = StreamOps.runPartitionedSink(spark, sf, out)
+      .collect().map(_.toSeq).toSet
+    assert(first.nonEmpty)
+    // replay the whole query over the same source — dynamic partition
+    // overwrite must rewrite, not append
+    val second = StreamOps.runPartitionedSink(spark, sf, out)
+      .collect().map(_.toSeq).toSet
+    assert(second == first, "replay changed the sink contents")
+    val batch = Tables.events(spark, sf).count()
+    assert(first.size.toLong == batch, s"${first.size} vs $batch rows")
+  }
+
   test("watermark drops events later than the allowed lateness") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
