@@ -148,6 +148,18 @@ object OracleSql {
     "asof_join" ->
       s"""WITH e AS ($eventsSec) SELECT e.event_id, e.user_id, e.ts_s AS purchase_ts, (SELECT MAX(s.ts_s) FROM e s WHERE s.user_id = e.user_id AND s.event_type = 'signup' AND s.ts_s <= e.ts_s) AS last_signup_ts, e.ts_s - (SELECT MAX(s.ts_s) FROM e s WHERE s.user_id = e.user_id AND s.event_type = 'signup' AND s.ts_s <= e.ts_s) AS seconds_since_signup FROM e WHERE e.event_type = 'purchase' ORDER BY e.event_id""",
 
+    "cohort_retention" ->
+      """WITH b AS (SELECT o_custkey, CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month, CAST(date_trunc('month', MIN(o_orderdate) OVER (PARTITION BY o_custkey)) AS DATE) AS cohort_month FROM orders) SELECT cohort_month, CAST((EXTRACT(year FROM order_month) - EXTRACT(year FROM cohort_month)) * 12 + (EXTRACT(month FROM order_month) - EXTRACT(month FROM cohort_month)) AS BIGINT) AS month_offset, COUNT(DISTINCT o_custkey) AS n_customers FROM b GROUP BY cohort_month, month_offset ORDER BY cohort_month, month_offset""",
+
+    "histogram" ->
+      s"""WITH h AS (SELECT CAST(ROUND(o_totalprice*100, 0) AS BIGINT) // 5000000 AS bucket, o_totalprice FROM orders) SELECT bucket, bucket * 50000.0 AS bucket_lo, COUNT(*) AS n_orders, ${cents("o_totalprice")} AS total_price FROM h GROUP BY bucket ORDER BY bucket""",
+
+    "streaks" ->
+      s"""WITH e AS ($eventsSec), d AS (SELECT DISTINCT user_id, ts_s // 86400 AS day FROM e), i AS (SELECT user_id, day, day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS island FROM d), l AS (SELECT user_id, island, COUNT(*) AS len FROM i GROUP BY user_id, island) SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days, COUNT(*) AS n_streaks, CAST(MAX(len) AS BIGINT) AS longest_streak FROM l GROUP BY user_id ORDER BY user_id""",
+
+    "range_join" ->
+      """WITH w AS (SELECT o_orderkey AS window_id, o_orderdate - INTERVAL 3 DAY AS start_ts, o_orderdate + INTERVAL 4 DAY AS end_ts FROM orders WHERE o_orderkey % 100 = 0) SELECT w.window_id, COUNT(l.l_shipdate) AS n_ship, CAST(COALESCE(SUM(CAST(l.l_quantity AS BIGINT)), 0) AS BIGINT) AS sum_qty FROM w LEFT JOIN lineitem l ON l.l_shipdate >= w.start_ts AND l.l_shipdate < w.end_ts GROUP BY w.window_id ORDER BY w.window_id""",
+
     "sessionize" ->
       s"""WITH e AS ($eventsSec), l AS (SELECT *, LAG(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS prev_ts FROM e), m AS (SELECT *, CASE WHEN prev_ts IS NULL OR ts_s - prev_ts > 1800 THEN 1 ELSE 0 END AS is_new FROM l), s AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_s, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_seq FROM m) SELECT user_id, CAST(sess_seq AS BIGINT) AS sess_seq, MIN(ts_s) AS session_start, MAX(ts_s) AS session_end, COUNT(*) AS n_events, ${cents("value")} AS total_value FROM s GROUP BY user_id, sess_seq ORDER BY user_id, sess_seq""",
 
@@ -225,6 +237,12 @@ object OracleSql {
 
     "token_count" ->
       """SELECT doc_id, len(string_split(lower(trim(text)), ' ')) AS ws_tokens, len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS bpe_tokens, CAST(CEIL(length(text)/4.0) AS BIGINT) AS est_llm_tokens FROM documents ORDER BY doc_id""",
+
+    "heavy_hitters" ->
+      """WITH t AS (SELECT unnest(string_split(lower(trim(text)), ' ')) AS word FROM documents) SELECT word, COUNT(*) AS n FROM t WHERE word <> '' GROUP BY word ORDER BY n DESC, word LIMIT 20""",
+
+    "tfidf_topterms" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS word FROM documents), t2 AS (SELECT doc_id, word FROM t WHERE word <> ''), tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM t2 GROUP BY doc_id, word), df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word), n AS (SELECT COUNT(*) AS n_docs FROM documents), s AS (SELECT tf.doc_id, tf.word, ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) * 10000, 0)/10000.0 AS tfidf FROM tf JOIN df ON tf.word = df.word CROSS JOIN n), r AS (SELECT doc_id, word, tfidf, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS BIGINT) AS rank FROM s) SELECT doc_id, word, tfidf, rank FROM r WHERE rank <= 3 ORDER BY doc_id, rank""",
 
     "rolling_fingerprint_md5" ->
       """WITH h AS (SELECT doc_id, length(text) - 8 + 1 AS n_windows, list_sort(list_transform(range(1, length(text) - 8 + 2), i -> md5(substr(text, CAST(i AS INT), 8)))) AS hs FROM documents WHERE doc_id % 10 = 0 AND length(text) >= 8) SELECT doc_id, array_to_string(hs[1:4], ',') AS fingerprint, CAST(n_windows AS BIGINT) AS n_windows FROM h ORDER BY doc_id""",

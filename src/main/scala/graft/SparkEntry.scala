@@ -148,7 +148,12 @@ object SparkEntry {
     "approx_distinct" -> ((s, d) => Analytics.approxDistinct(Tables.orders(s, d))),
     "approx_quantiles" -> ((s, d) => Analytics.approxQuantiles(Tables.orders(s, d))),
     "date_parts"      -> ((s, d) => Analytics.dateParts(Tables.orders(s, d))),
+    "cohort_retention" -> ((s, d) => Analytics.cohortRetention(Tables.orders(s, d))),
+    "histogram"       -> ((s, d) => Analytics.histogram(Tables.orders(s, d))),
+    "streaks"         -> ((s, d) => Analytics.streaks(Tables.events(s, d))),
     "asof_join"       -> ((s, d) => AsOf.lastSignupBeforePurchase(Tables.events(s, d))),
+    "range_join"      -> ((s, d) => RangeJoin.shipmentsInWindows(
+                            Tables.orders(s, d), Tables.lineitem(s, d))),
     // C. events
     "sessionize"      -> ((s, d) => Sessions.sessionize(Tables.events(s, d))),
     "tumbling_window" -> ((s, d) => Sessions.tumbling(Tables.events(s, d))),
@@ -178,6 +183,9 @@ object SparkEntry {
     "lang_id"         -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     "quality_score"   -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
     "token_count"     -> ((s, d) => TextAnalysis.tokenCount(Tables.documents(s, d))),
+    "heavy_hitters"   -> ((s, d) => TextAnalysis.heavyHitters(Tables.documents(s, d))),
+    "heavy_hitters_approx" -> ((s, d) => TextAnalysis.heavyHittersApprox(Tables.documents(s, d))),
+    "tfidf_topterms"  -> ((s, d) => TextAnalysis.tfidfTopTerms(Tables.documents(s, d))),
     "doc_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
     "pii_scrub"       -> ((s, d) => TextAnalysis.piiScrub(Tables.documents(s, d))),
     "repetition_score" -> ((s, d) => TextAnalysis.repetitionScore(Tables.documents(s, d))),

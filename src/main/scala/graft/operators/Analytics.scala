@@ -246,4 +246,63 @@ object Analytics {
     orders.select(col("o_orderstatus"), col("o_orderpriority"))
       .distinct()
       .orderBy("o_orderstatus", "o_orderpriority")
+
+  /** Cohort retention: customers grouped by first-order month, counted in
+    * each subsequent month they re-order. The cohort month rides a window
+    * min over the SAME customer partitioning the final distinct-count
+    * needs, so the whole query is the customer shuffle + the (small)
+    * cohort-cell aggregation — no self-join back to the fact. Month offset
+    * is integer calendar arithmetic (no months_between floats). */
+  def cohortRetention(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+    orders
+      .select(col("o_custkey"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("order_month"),
+        date_trunc("month", min(col("o_orderdate")).over(w)).cast("date").as("cohort_month"))
+      .withColumn("month_offset",
+        ((year(col("order_month")) - year(col("cohort_month"))) * 12 +
+         (month(col("order_month")) - month(col("cohort_month")))).cast("long"))
+      .groupBy("cohort_month", "month_offset")
+      .agg(countDistinct(col("o_custkey")).as("n_customers"))
+      .orderBy("cohort_month", "month_offset")
+  }
+
+  /** Fixed-width value histogram. Bucketing happens on exact integer cents
+    * (`round(x*100)` is exact for 2-decimal money), so bucket boundaries
+    * can't flip with engine float-division differences; one map-side-combined
+    * shuffle to ≤ #buckets groups. */
+  def histogram(orders: DataFrame, widthCents: Long = 5000000L): DataFrame =
+    orders
+      .select((round(col("o_totalprice") * 100, 0).cast("long") / widthCents)
+        .cast("long").as("bucket"),
+        col("o_totalprice"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_orders"),
+           centsSum(col("o_totalprice")).as("total_price"))
+      .withColumn("bucket_lo", col("bucket") * (widthCents / 100.0))
+      .select("bucket", "bucket_lo", "n_orders", "total_price")
+      .orderBy("bucket")
+
+  /** Gap-and-islands: consecutive-active-day streaks per user. Distinct
+    * activity days → island id = day − row_number (constant within a run
+    * of consecutive days) → per-island lengths → per-user summary. All
+    * four steps hash/partition on user_id, so after the first exchange the
+    * rest co-locate (AQE reuses the partitioning); per-user state is the
+    * day list, never the raw events. */
+  def streaks(events: DataFrame): DataFrame = {
+    val days = events
+      .select(col("user_id"), (col("ts_s") / 86400).cast("long").as("day"))
+      .distinct()
+    val islands = days
+      .withColumn("island",
+        col("day") - row_number().over(
+          Window.partitionBy("user_id").orderBy("day")))
+      .groupBy("user_id", "island")
+      .agg(count(lit(1)).as("len"))
+    islands.groupBy("user_id")
+      .agg(sum(col("len")).as("n_active_days"),
+           count(lit(1)).as("n_streaks"),
+           max(col("len")).as("longest_streak"))
+      .orderBy("user_id")
+  }
 }

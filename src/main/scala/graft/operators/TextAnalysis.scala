@@ -213,6 +213,60 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Corpus-wide exact heavy hitters: top-k words by total frequency. One
+    * shuffle (map-side partial counts per distinct word), and the top-k
+    * plans as TakeOrderedAndProject — bounded per-partition heaps, never a
+    * global sort. At 100 TB the shuffle still carries one row per DISTINCT
+    * word; when that itself is too much, use `heavyHittersApprox`. */
+  def heavyHitters(documents: DataFrame, k: Int = 20): DataFrame =
+    documents
+      .select(explode(words).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(k)
+
+  /** Sublinear heavy hitters: a single Misra-Gries summary aggregate
+    * (functions/MisraGriesAgg.scala) — O(k) state per partition, only
+    * k-counter summaries cross the wire, no per-distinct-word shuffle row.
+    * Guaranteed to contain every word with frequency > n/(summaryK+1);
+    * estimated counts are lower bounds within n/(summaryK+1) of truth
+    * (spec-verified vs exact counts). */
+  def heavyHittersApprox(documents: DataFrame, summaryK: Int = 64,
+                         topN: Int = 20): DataFrame =
+    documents
+      .select(explode(words).as("word"))
+      .filter(col("word") =!= "")
+      .agg(graft.functions.MisraGriesAgg.heavyHitters(col("word"), summaryK).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item").as("word"), col("e.est_count"))
+      .orderBy(col("est_count").desc, col("word"))
+      .limit(topN)
+
+  /** TF-IDF top terms per document. tf shuffles once on (doc, word); df
+    * reuses tf's exchange (it aggregates tf's one-row-per-(doc,word)
+    * output, so the (doc,word) exchange subtree is shared → Spark plans a
+    * ReusedExchange); the corpus size joins in as a broadcast 1-row agg.
+    * Ranking happens on the ROUNDED score (round4) so both engines break
+    * ties identically; word asc is the final tiebreak. */
+  def tfidfTopTerms(documents: DataFrame, k: Int = 3): DataFrame = {
+    val tok = documents
+      .select(col("doc_id"), explode(words).as("word"))
+      .filter(col("word") =!= "")
+    val tf = tok.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val n = documents.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("word"))
+    tf.join(df, "word")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round4(col("tf") * log(col("n_docs").cast("double") / col("df"))))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("doc_id", "word", "tfidf", "rank")
+      .orderBy("doc_id", "rank")
+  }
+
   /** Document fingerprinting: full md5 digest, 8-hex prefix bucket, and a
     * 1-permutation minhash (lexicographic-min word md5). */
   def fingerprint(documents: DataFrame): DataFrame =

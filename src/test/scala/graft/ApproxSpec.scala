@@ -149,4 +149,42 @@ class ApproxSpec extends SparkSpec {
       assert(rs.map(_.getLong(3)).sorted.toSeq == (1L to 10L))
     }
   }
+
+  test("misra-gries: MG guarantees hold vs exact counts at any partitioning") {
+    val docs = Tables.documents(spark, sf)
+    val tok = docs.select(explode(graft.util.TextNorm.words(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+    val exact = tok.groupBy("word").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val k = 64
+    for (parts <- Seq(1, 7)) {
+      val summary = tok.repartition(parts)
+        .agg(graft.functions.MisraGriesAgg.heavyHitters(col("word"), k).as("hh"))
+        .select(explode(col("hh")).as("e"))
+        .select(col("e.item"), col("e.est_count"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(summary.size <= k)
+      val slack = n / (k + 1)
+      // every item above the frequency threshold is present
+      exact.foreach { case (w, c) =>
+        if (c > slack) assert(summary.contains(w), s"missing heavy hitter $w ($c > $slack)")
+      }
+      // estimates are lower bounds within n/(k+1) of truth
+      summary.foreach { case (w, est) =>
+        val truth = exact.getOrElse(w, 0L)
+        assert(est <= truth && truth - est <= slack,
+          s"$w est=$est truth=$truth slack=$slack (parts=$parts)")
+      }
+    }
+  }
+
+  test("heavy hitters approx agrees with exact top-k on the dominant words") {
+    val docs = Tables.documents(spark, sf)
+    val exactTop = TextAnalysis.heavyHitters(docs, 5).collect().map(_.getString(0)).toSet
+    val approx = TextAnalysis.heavyHittersApprox(docs, 64, 20)
+      .collect().map(_.getString(0)).toSet
+    // the unambiguous heavy head must survive summarization
+    assert(exactTop.subsetOf(approx), s"lost ${exactTop -- approx}")
+  }
 }

@@ -188,4 +188,25 @@ class OperatorsSpec extends SparkSpec {
       assert(parts == parts.sorted)
     }
   }
+
+  test("binned range join = naive inequality join, for widths above and below the bin") {
+    val orders = Tables.orders(spark, sf)
+    val li = Tables.lineitem(spark, sf).select(col("l_shipdate"), col("l_orderkey"))
+    // 4-day and 20-day windows: intervals both narrower and wider than the
+    // 7-day bin (wider ones explode to 3+ bins)
+    for (days <- Seq(4, 20)) {
+      val iv = orders.filter(col("o_orderkey") % 50 === 0)
+        .select(col("o_orderkey").as("window_id"),
+                (col("o_orderdate") - expr("INTERVAL 2 DAYS")).as("start_ts"),
+                (col("o_orderdate") + expr(s"INTERVAL ${days - 2} DAYS")).as("end_ts"))
+      val binned = RangeJoin.binned(li, "l_shipdate", iv, "start_ts", "end_ts", 7L * 86400)
+        .select("window_id", "l_orderkey")
+      val naive = li.join(iv,
+          col("l_shipdate") >= col("start_ts") && col("l_shipdate") < col("end_ts"))
+        .select("window_id", "l_orderkey")
+      assert(rows(binned.orderBy("window_id", "l_orderkey")) ==
+             rows(naive.orderBy("window_id", "l_orderkey")),
+        s"binned != naive at width $days d")
+    }
+  }
 }

@@ -158,6 +158,14 @@ class PlanSpec extends SparkSpec {
     assert(probeBelow, "bloom probe not under the exact join's fact side")
   }
 
+  test("binned range join plans an equi hash join, never a nested loop") {
+    val plan = explained(RangeJoin.shipmentsInWindows(
+      Tables.orders(spark, sf), Tables.lineitem(spark, sf)))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+           !plan.contains("CartesianProduct"),
+      s"range join fell back to O(n*m):\n$plan")
+  }
+
   test("connected components loop state is (id,label) only, no payload") {
     val labels = Dedup.connectedComponents(
       Dedup.jaccardPairs(Tables.documents(spark, sf), 0.5))
