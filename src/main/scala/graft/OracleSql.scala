@@ -157,6 +157,12 @@ object OracleSql {
     "streaks" ->
       s"""WITH e AS ($eventsSec), d AS (SELECT DISTINCT user_id, ts_s // 86400 AS day FROM e), i AS (SELECT user_id, day, day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS island FROM d), l AS (SELECT user_id, island, COUNT(*) AS len FROM i GROUP BY user_id, island) SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days, COUNT(*) AS n_streaks, CAST(MAX(len) AS BIGINT) AS longest_streak FROM l GROUP BY user_id ORDER BY user_id""",
 
+    "metric_anomaly" ->
+      """WITH daily AS (SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n_orders FROM orders GROUP BY o_orderpriority, day), t AS (SELECT *, COUNT(n_orders) OVER tw AS n_prev, ROUND(AVG(n_orders) OVER tw * 10000, 0)/10000.0 AS avg30, ROUND(STDDEV_SAMP(n_orders) OVER tw * 10000, 0)/10000.0 AS sd30 FROM daily WINDOW tw AS (PARTITION BY o_orderpriority ORDER BY day ROWS BETWEEN 30 PRECEDING AND 1 PRECEDING)), z AS (SELECT *, CASE WHEN n_prev >= 10 AND sd30 > 0 THEN ROUND((n_orders - avg30)/sd30 * 10000, 0)/10000.0 END AS z FROM t) SELECT o_orderpriority, day, n_orders, avg30, sd30, z, CASE WHEN n_prev < 10 THEN 'warmup' WHEN sd30 <= 0 OR sd30 IS NULL THEN 'na' WHEN ABS(z) > 2.0 THEN 'anomaly' ELSE 'ok' END AS flag FROM z ORDER BY o_orderpriority, day""",
+
+    "bucketed_join" ->
+      s"""SELECT c.c_custkey, c.c_name, COUNT(*) AS n_orders, ${cents("o.o_totalprice")} AS total_spend FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey GROUP BY c.c_custkey, c.c_name ORDER BY c.c_custkey""",
+
     "range_join" ->
       """WITH w AS (SELECT o_orderkey AS window_id, o_orderdate - INTERVAL 3 DAY AS start_ts, o_orderdate + INTERVAL 4 DAY AS end_ts FROM orders WHERE o_orderkey % 100 = 0) SELECT w.window_id, COUNT(l.l_shipdate) AS n_ship, CAST(COALESCE(SUM(CAST(l.l_quantity AS BIGINT)), 0) AS BIGINT) AS sum_qty FROM w LEFT JOIN lineitem l ON l.l_shipdate >= w.start_ts AND l.l_shipdate < w.end_ts GROUP BY w.window_id ORDER BY w.window_id""",
 

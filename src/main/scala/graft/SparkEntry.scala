@@ -151,9 +151,12 @@ object SparkEntry {
     "cohort_retention" -> ((s, d) => Analytics.cohortRetention(Tables.orders(s, d))),
     "histogram"       -> ((s, d) => Analytics.histogram(Tables.orders(s, d))),
     "streaks"         -> ((s, d) => Analytics.streaks(Tables.events(s, d))),
+    "metric_anomaly"  -> ((s, d) => Analytics.metricAnomaly(Tables.orders(s, d))),
     "asof_join"       -> ((s, d) => AsOf.lastSignupBeforePurchase(Tables.events(s, d))),
     "range_join"      -> ((s, d) => RangeJoin.shipmentsInWindows(
                             Tables.orders(s, d), Tables.lineitem(s, d))),
+    "bucketed_join"   -> ((s, d) => Materialize.bucketedSpend(
+                            s, Tables.customer(s, d), Tables.orders(s, d))),
     // C. events
     "sessionize"      -> ((s, d) => Sessions.sessionize(Tables.events(s, d))),
     "tumbling_window" -> ((s, d) => Sessions.tumbling(Tables.events(s, d))),
@@ -178,6 +181,7 @@ object SparkEntry {
     "ann_lsh"         -> ((s, d) => Similarity.lshCandidates(Tables.embeddings(s, d))),
     "ann_ivf"         -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d))),
     "dedup_semantic"  -> ((s, d) => Similarity.semanticDedup(Tables.embeddings(s, d))),
+    "embedding_pca"   -> ((s, d) => Similarity.embeddingPca(Tables.embeddings(s, d))),
     "dedup_semantic_lsh" -> ((s, d) => Similarity.semanticDedupApprox(Tables.embeddings(s, d))),
     "multimodal_frames" -> ((s, d) => Multimodal.sampleFrames(Tables.documents(s, d))),
     "lang_id"         -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),

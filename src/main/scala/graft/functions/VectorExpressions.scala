@@ -495,6 +495,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         SlidingMin(children.head, w)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_heavy_hitters"),
+      new ExpressionInfo(classOf[MisraGriesSummary].getName, "graft_heavy_hitters"),
+      (children: Seq[Expression]) => {
+        arity2("graft_heavy_hitters", children)
+        MisraGriesSummary(children.head,
+          litInt("graft_heavy_hitters", children(1))).toAggregateExpression()
+      }))
     // whole-operator extension: plans graft.plans.TopKPerKey logical nodes
     ext.injectPlannerStrategy(_ => graft.plans.GraftStrategy)
   }

