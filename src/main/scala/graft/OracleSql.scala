@@ -157,6 +157,15 @@ object OracleSql {
     "streaks" ->
       s"""WITH e AS ($eventsSec), d AS (SELECT DISTINCT user_id, ts_s // 86400 AS day FROM e), i AS (SELECT user_id, day, day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS island FROM d), l AS (SELECT user_id, island, COUNT(*) AS len FROM i GROUP BY user_id, island) SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days, COUNT(*) AS n_streaks, CAST(MAX(len) AS BIGINT) AS longest_streak FROM l GROUP BY user_id ORDER BY user_id""",
 
+    "sample_per_group" ->
+      """WITH d AS (SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR)) AS draw FROM documents), r AS (SELECT lang, doc_id, draw, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY draw, doc_id) AS rn FROM d) SELECT lang, doc_id, draw FROM r WHERE rn <= 20 ORDER BY lang, draw""",
+
+    "corr_stats" ->
+      """SELECT l_returnflag, COUNT(*) AS n, ROUND(corr(l_quantity, l_extendedprice)*10000, 0)/10000.0 AS corr_qty_price, ROUND(covar_samp(l_quantity, l_extendedprice)*100, 0)/100.0 AS covar_qty_price FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "quantile_bucket" ->
+      """WITH b AS (SELECT ROUND(quantile_cont(o_totalprice, 0.25)*100, 0)/100.0 AS q1, ROUND(quantile_cont(o_totalprice, 0.5)*100, 0)/100.0 AS q2, ROUND(quantile_cont(o_totalprice, 0.75)*100, 0)/100.0 AS q3 FROM orders) SELECT CASE WHEN o_totalprice <= q1 THEN 1 WHEN o_totalprice <= q2 THEN 2 WHEN o_totalprice <= q3 THEN 3 ELSE 4 END AS bucket, COUNT(*) AS n_orders, MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price FROM orders CROSS JOIN b GROUP BY bucket ORDER BY bucket""",
+
     "metric_anomaly" ->
       """WITH daily AS (SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n_orders FROM orders GROUP BY o_orderpriority, day), t AS (SELECT *, COUNT(n_orders) OVER tw AS n_prev, ROUND(AVG(n_orders) OVER tw * 10000, 0)/10000.0 AS avg30, ROUND(STDDEV_SAMP(n_orders) OVER tw * 10000, 0)/10000.0 AS sd30 FROM daily WINDOW tw AS (PARTITION BY o_orderpriority ORDER BY day ROWS BETWEEN 30 PRECEDING AND 1 PRECEDING)), z AS (SELECT *, CASE WHEN n_prev >= 10 AND sd30 > 0 THEN ROUND((n_orders - avg30)/sd30 * 10000, 0)/10000.0 END AS z FROM t) SELECT o_orderpriority, day, n_orders, avg30, sd30, z, CASE WHEN n_prev < 10 THEN 'warmup' WHEN sd30 <= 0 OR sd30 IS NULL THEN 'na' WHEN ABS(z) > 2.0 THEN 'anomaly' ELSE 'ok' END AS flag FROM z ORDER BY o_orderpriority, day""",
 

@@ -128,6 +128,7 @@ object SparkEntry {
     "quality_classifier" -> ((s, d) => QualityModel.qualityClassifier(Tables.documents(s, d))),
     "stratified_sample" -> ((s, d) => Curation.stratifiedSample(Tables.documents(s, d),
                               Map("en" -> 0.5, "de" -> 0.5, "es" -> 0.5, "fr" -> 0.5, "zh" -> 0.5))),
+    "sample_per_group"  -> ((s, d) => Curation.samplePerGroup(Tables.documents(s, d))),
     // B. analytic core
     "q1_agg"          -> ((s, d) => Analytics.pricingSummary(Tables.lineitem(s, d))),
     "q3_topk"         -> ((s, d) => Analytics.topRevenueOrders(
@@ -152,6 +153,8 @@ object SparkEntry {
     "histogram"       -> ((s, d) => Analytics.histogram(Tables.orders(s, d))),
     "streaks"         -> ((s, d) => Analytics.streaks(Tables.events(s, d))),
     "metric_anomaly"  -> ((s, d) => Analytics.metricAnomaly(Tables.orders(s, d))),
+    "corr_stats"      -> ((s, d) => Analytics.corrStats(Tables.lineitem(s, d))),
+    "quantile_bucket" -> ((s, d) => Analytics.quantileBucket(Tables.orders(s, d))),
     "asof_join"       -> ((s, d) => AsOf.lastSignupBeforePurchase(Tables.events(s, d))),
     "range_join"      -> ((s, d) => RangeJoin.shipmentsInWindows(
                             Tables.orders(s, d), Tables.lineitem(s, d))),

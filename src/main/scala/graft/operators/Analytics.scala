@@ -283,6 +283,43 @@ object Analytics {
       .select("bucket", "bucket_lo", "n_orders", "total_price")
       .orderBy("bucket")
 
+  /** Pearson correlation + covariance of quantity vs price per return
+    * flag — the BI correlation staple. One map-side-combined shuffle (the
+    * co-moment accumulators are algebraic); outputs round to fixed scale
+    * because float co-moments are partition-order sensitive at the last
+    * ulp. */
+  def corrStats(lineitem: DataFrame): DataFrame =
+    lineitem.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+           round4(corr(col("l_quantity"), col("l_extendedprice"))).as("corr_qty_price"),
+           round2(covar_samp(col("l_quantity"), col("l_extendedprice"))).as("covar_qty_price"))
+      .orderBy("l_returnflag")
+
+  /** Equal-frequency (quartile) bucketing WITHOUT a global sort — the
+    * scale-safe ntile. ntile(n) needs one total ordering of the table; at
+    * 100 TB that single-partition window is the bottleneck. Instead: exact
+    * percentile cutpoints (one aggregate), broadcast the 3-value bounds
+    * row, assign buckets with a comparison chain (scan-bound), aggregate
+    * per bucket. Cutpoints round to cents so bucket membership can't flip
+    * on engine float dust. */
+  def quantileBucket(orders: DataFrame): DataFrame = {
+    val bounds = orders.agg(
+      round2(expr("percentile(o_totalprice, 0.25)")).as("q1"),
+      round2(expr("percentile(o_totalprice, 0.5)")).as("q2"),
+      round2(expr("percentile(o_totalprice, 0.75)")).as("q3"))
+    orders.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        when(col("o_totalprice") <= col("q1"), 1L)
+          .when(col("o_totalprice") <= col("q2"), 2L)
+          .when(col("o_totalprice") <= col("q3"), 3L)
+          .otherwise(4L))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_orders"),
+           min(col("o_totalprice")).as("min_price"),
+           max(col("o_totalprice")).as("max_price"))
+      .orderBy("bucket")
+  }
+
   /** Trailing-window z-score anomaly flags on an operational metric
     * (daily order count per priority class). The fact aggregates FIRST
     * (one map-side-combined shuffle to days × priorities cells); the

@@ -378,6 +378,20 @@ object Curation {
     documents.stat.sampleBy("lang", fractions, seed)
       .select(col("doc_id"), col("lang"))
       .orderBy("doc_id")
+
+  /** Deterministic EXACT-k uniform sample per stratum: each doc draws
+    * md5(doc_id) — an engine-portable pseudo-random tag — and the k
+    * smallest draws per language win. Unlike Bernoulli [[stratifiedSample]]
+    * the output size is exact and the result is a pure function of the key
+    * set (reproducible across engines, partitionings, and reruns — hence
+    * oracle-backed). Runs on the custom [[graft.plans.TopKPerKey]] node:
+    * one hash exchange + bounded per-key heaps, never a per-group sort. */
+  def samplePerGroup(documents: DataFrame, k: Int = 20): DataFrame = {
+    val keyed = documents.select(col("lang"), col("doc_id"),
+      md5(col("doc_id").cast("string")).as("draw"))
+    graft.plans.TopKPerGroup(keyed, Seq("lang"), Seq("draw" -> true, "doc_id" -> true), k)
+      .orderBy("lang", "draw")
+  }
 }
 
 /** Dataset diff — reference: macros/compare_dev_prod.sql (EXCEPT DISTINCT in

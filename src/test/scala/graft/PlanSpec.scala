@@ -158,6 +158,12 @@ class PlanSpec extends SparkSpec {
     assert(probeBelow, "bloom probe not under the exact join's fact side")
   }
 
+  test("sample_per_group plans on the custom bounded-heap top-k node, no Window") {
+    val plan = explained(Curation.samplePerGroup(Tables.documents(spark, sf), 5))
+    assert(plan.contains("TopKPerKey"), s"expected the custom node:\n$plan")
+    assert(!plan.contains("Window"), s"per-group sample fell back to a window:\n$plan")
+  }
+
   test("bucketed join + group-by run exchange-free (presentation sort only)") {
     val df = Materialize.bucketedSpend(
       spark, Tables.customer(spark, sf), Tables.orders(spark, sf), nBuckets = 4)
