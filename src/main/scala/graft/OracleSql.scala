@@ -178,6 +178,9 @@ object OracleSql {
     "sessionize" ->
       s"""WITH e AS ($eventsSec), l AS (SELECT *, LAG(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS prev_ts FROM e), m AS (SELECT *, CASE WHEN prev_ts IS NULL OR ts_s - prev_ts > 1800 THEN 1 ELSE 0 END AS is_new FROM l), s AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_s, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_seq FROM m) SELECT user_id, CAST(sess_seq AS BIGINT) AS sess_seq, MIN(ts_s) AS session_start, MAX(ts_s) AS session_end, COUNT(*) AS n_events, ${cents("value")} AS total_value FROM s GROUP BY user_id, sess_seq ORDER BY user_id, sess_seq""",
 
+    "session_window_agg" ->
+      s"""WITH e AS ($eventsSec), l AS (SELECT *, LAG(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS prev_ts FROM e), m AS (SELECT *, CASE WHEN prev_ts IS NULL OR ts_s - prev_ts > 1800 THEN 1 ELSE 0 END AS is_new FROM l), s AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_s, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_seq FROM m) SELECT user_id, MIN(ts_s) AS session_start, MAX(ts_s) AS session_end, COUNT(*) AS n_events, ${cents("value")} AS total_value FROM s GROUP BY user_id, sess_seq ORDER BY user_id, session_start""",
+
     "tumbling_window" ->
       s"""WITH e AS ($eventsSec) SELECT event_type, ts_s - ts_s % 3600 AS window_start, COUNT(*) AS n_events, ${cents("value")} AS total_value FROM e GROUP BY event_type, window_start ORDER BY event_type, window_start""",
 

@@ -162,6 +162,7 @@ object SparkEntry {
                             s, Tables.customer(s, d), Tables.orders(s, d))),
     // C. events
     "sessionize"      -> ((s, d) => Sessions.sessionize(Tables.events(s, d))),
+    "session_window_agg" -> ((s, d) => Sessions.sessionWindowAgg(Tables.events(s, d))),
     "tumbling_window" -> ((s, d) => Sessions.tumbling(Tables.events(s, d))),
     "funnel"          -> ((s, d) => Sessions.funnel(Tables.events(s, d))),
     // D. LLM training-data pipeline

@@ -83,6 +83,57 @@ object Materialize {
       .orderBy("c_custkey")
   }
 
+  /** Small-files compaction — the table-maintenance pass every long-lived
+    * incremental table needs: streaming/micro-batch appends leave hundreds
+    * of KB-scale files per partition, and at 100 TB the scan's task-per-file
+    * overhead dwarfs the data. Rewrites the dataset so each partition
+    * directory holds ~`targetBytes`-sized files:
+    *
+    *  1. one driver-side FILE LISTING (metadata-scale) sums bytes per
+    *     partition directory → files-per-partition budget;
+    *  2. the budget map broadcasts; every row computes a salt in
+    *     [0, budget(partition)) from a hash of itself;
+    *  3. ONE `repartition(partitionCol, salt)` shuffle co-locates each
+    *     (partition, salt) slice into one task → ~budget files per dir;
+    *  4. the rewrite lands in a sibling temp directory first, then swaps in
+    *     (Spark refuses to overwrite a path it is reading, and rightly so);
+    *     an ACID table format would make this swap a transaction — this is
+    *     the seam where Delta/Iceberg `OPTIMIZE` drops in.
+    *
+    * Row content is untouched (spec-verified); only the file layout
+    * changes. */
+  def compact(spark: SparkSession, path: String, partitionCol: String,
+              targetBytes: Long = 128L * 1024 * 1024): Map[String, Int] = {
+    require(targetBytes > 0)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+    val budget: Map[String, Int] = parts.map { p =>
+      val bytes = fs.listStatus(p.getPath).filter(_.isFile)
+        .map(_.getLen).sum
+      p.getPath.getName.split("=", 2)(1) ->
+        math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    }.toMap
+    val df = spark.read.parquet(path)
+    val budgetCol = typedLit(budget)
+    val salted = df.withColumn("_salt",
+      pmod(xxhash64(df.columns.map(col): _*),
+           coalesce(budgetCol(col(partitionCol).cast("string")), lit(1))))
+    val tmp = new org.apache.hadoop.fs.Path(path + "_compact_tmp")
+    salted
+      .repartition(col(partitionCol), col("_salt"))
+      .drop("_salt")
+      .write.mode("overwrite")
+      .partitionBy(partitionCol).parquet(tmp.toString)
+    parts.foreach(p => fs.delete(p.getPath, true))
+    fs.listStatus(tmp).filter(_.isDirectory).foreach { d =>
+      fs.rename(d.getPath, new org.apache.hadoop.fs.Path(path, d.getPath.getName))
+    }
+    fs.delete(tmp, true)
+    budget
+  }
+
   /** `materialized='incremental'`: append new rows into the same layout;
     * with `dynamicOverwrite` only the partitions present in `df` rewrite. */
   def incremental(df: DataFrame, path: String, partitionCol: String,

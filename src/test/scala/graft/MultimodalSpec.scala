@@ -53,6 +53,26 @@ class MultimodalSpec extends SparkSpec {
     assert(after.filter(col("bucket") === "high").count() == highOnly.count())
   }
 
+  test("compact: many small files fold to the per-partition budget, rows untouched") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cmp").toString
+    val fct = Relational.fctBucket(Tables.orders(spark, sf), 200000.0)
+    // simulate micro-batch droppings: 8 files per partition
+    fct.repartition(8).write.mode("overwrite").partitionBy("bucket").parquet(dir)
+    def filesPer(b: String) = new java.io.File(s"$dir/bucket=$b")
+      .listFiles().count(f => f.getName.endsWith(".parquet"))
+    assert(filesPer("high") > 1 && filesPer("regular") > 1)
+    val before = rows(spark.read.parquet(dir)
+      .select("id", "value", "bucket").orderBy("id"))
+    // huge target → budget 1 file per partition
+    val budget = Materialize.compact(spark, dir, "bucket", targetBytes = 1L << 30)
+    assert(budget.values.forall(_ == 1), s"budget: $budget")
+    assert(filesPer("high") == 1 && filesPer("regular") == 1,
+      s"high=${filesPer("high")} regular=${filesPer("regular")}")
+    val after = rows(spark.read.parquet(dir)
+      .select("id", "value", "bucket").orderBy("id"))
+    assert(after == before, "compaction changed row content")
+  }
+
   test("materialize: ORC round-trip preserves rows, partitions, and pruning") {
     val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
     val fct = Relational.fctBucket(Tables.orders(spark, sf), 200000.0)

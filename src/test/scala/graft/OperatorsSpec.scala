@@ -189,6 +189,15 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("native session_window sessionization = lag-based sessionize") {
+    val ev = Tables.events(spark, sf)
+    val viaLag = Sessions.sessionize(ev)
+      .select("user_id", "session_start", "session_end", "n_events", "total_value")
+      .orderBy("user_id", "session_start")
+    val viaNative = Sessions.sessionWindowAgg(ev)
+    assert(rows(viaNative) == rows(viaLag))
+  }
+
   test("binned range join = naive inequality join, for widths above and below the bin") {
     val orders = Tables.orders(spark, sf)
     val li = Tables.lineitem(spark, sf).select(col("l_shipdate"), col("l_orderkey"))
