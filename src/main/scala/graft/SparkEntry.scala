@@ -163,6 +163,7 @@ object SparkEntry {
     // C. events
     "sessionize"      -> ((s, d) => Sessions.sessionize(Tables.events(s, d))),
     "session_window_agg" -> ((s, d) => Sessions.sessionWindowAgg(Tables.events(s, d))),
+    "typed_agg"       -> ((s, d) => graft.functions.TypedAggs.typedOrderStats(s, Tables.orders(s, d))),
     "tumbling_window" -> ((s, d) => Sessions.tumbling(Tables.events(s, d))),
     "funnel"          -> ((s, d) => Sessions.funnel(Tables.events(s, d))),
     // D. LLM training-data pipeline
@@ -227,6 +228,7 @@ object SparkEntry {
     "stream_enrich"     -> ((s, d) => graft.streaming.StreamOps.runEnrich(s, d)),
     "stream_join"       -> ((s, d) => graft.streaming.StreamOps.runIntervalJoin(s, d)),
     "stream_totals"     -> ((s, d) => graft.streaming.StreamOps.runRunningTotals(s, d)),
+    "stream_session_window" -> ((s, d) => graft.streaming.StreamOps.runSessionWindow(s, d)),
     "customer_ltv"      -> ((s, d) => Analytics.customerLtv(Tables.customer(s, d), Tables.orders(s, d))),
   )
 
@@ -239,6 +241,7 @@ object SparkEntry {
     // completion share (or restate) the batch oracle.
     OracleSql.all +
       ("stream_tumbling" -> OracleSql.all("tumbling_window")) +
+      ("stream_session_window" -> OracleSql.all("session_window_agg")) +
       ("stream_dedup" ->
         "SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY event_type ORDER BY event_type")
 }

@@ -129,6 +129,33 @@ object StreamOps {
     spark.table(name).orderBy("event_type", "window_start")
   }
 
+  /** Native session_window sessionization AS a streaming query — the
+    * production form of `Sessions.sessionWindowAgg`: the watermark drives
+    * session-state eviction (in append mode a session emits and frees once
+    * the watermark passes its close), so state holds only OPEN sessions,
+    * not history. Driven AvailableNow to completion it equals the batch
+    * sessionizer exactly — shares session_window_agg's oracle. */
+  def runSessionWindow(spark: SparkSession, dir: String,
+                       gapSeconds: Long = 1800): DataFrame = {
+    val name = s"stream_session_window_${System.identityHashCode(spark)}"
+    val q = eventsStream(spark, dir)
+      .withWatermark("event_time", "2 hours")
+      .groupBy(col("user_id"),
+               session_window(col("event_time"), s"$gapSeconds seconds").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+           centsSum(col("value")).as("total_value"))
+      .select(col("user_id"),
+        col("w.start").cast("long").as("session_start"),
+        (col("w.end").cast("long") - gapSeconds).as("session_end"),
+        col("n_events"), col("total_value"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy("user_id", "session_start")
+  }
+
   /** Streaming exact dedup: two sources over the same events (a simulated
     * at-least-once replay) unioned, deduplicated by key in state, then
     * aggregated — run to completion the counts equal the batch counts

@@ -158,6 +158,13 @@ class PlanSpec extends SparkSpec {
     assert(probeBelow, "bloom probe not under the exact join's fact side")
   }
 
+  test("typed Aggregator lowers to partial aggregation, not a raw-row shuffle") {
+    val plan = explained(graft.functions.TypedAggs.typedOrderStats(
+      spark, Tables.orders(spark, sf)))
+    assert(plan.contains("partial"), s"no partial (map-side) aggregate in:\n$plan")
+    assert(!plan.contains("MapGroups"), s"typed agg fell back to mapGroups:\n$plan")
+  }
+
   test("sample_per_group plans on the custom bounded-heap top-k node, no Window") {
     val plan = explained(Curation.samplePerGroup(Tables.documents(spark, sf), 5))
     assert(plan.contains("TopKPerKey"), s"expected the custom node:\n$plan")
