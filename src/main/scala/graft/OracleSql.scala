@@ -160,6 +160,9 @@ object OracleSql {
     "sample_per_group" ->
       """WITH d AS (SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR)) AS draw FROM documents), r AS (SELECT lang, doc_id, draw, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY draw, doc_id) AS rn FROM d) SELECT lang, doc_id, draw FROM r WHERE rn <= 20 ORDER BY lang, draw""",
 
+    "skew_report" ->
+      """WITH c AS (SELECT l_suppkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_suppkey), t AS (SELECT COUNT(*) AS total FROM lineitem) SELECT l_suppkey, cnt, ROUND(CAST(cnt AS DOUBLE)/total * 10000, 0)/10000.0 AS share FROM c CROSS JOIN t ORDER BY cnt DESC, l_suppkey LIMIT 10""",
+
     "corr_stats" ->
       """SELECT l_returnflag, COUNT(*) AS n, ROUND(corr(l_quantity, l_extendedprice)*10000, 0)/10000.0 AS corr_qty_price, ROUND(covar_samp(l_quantity, l_extendedprice)*100, 0)/100.0 AS covar_qty_price FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 

@@ -154,6 +154,7 @@ object SparkEntry {
     "streaks"         -> ((s, d) => Analytics.streaks(Tables.events(s, d))),
     "metric_anomaly"  -> ((s, d) => Analytics.metricAnomaly(Tables.orders(s, d))),
     "corr_stats"      -> ((s, d) => Analytics.corrStats(Tables.lineitem(s, d))),
+    "skew_report"     -> ((s, d) => Analytics.skewReport(Tables.lineitem(s, d), "l_suppkey")),
     "quantile_bucket" -> ((s, d) => Analytics.quantileBucket(Tables.orders(s, d))),
     "asof_join"       -> ((s, d) => AsOf.lastSignupBeforePurchase(Tables.events(s, d))),
     "range_join"      -> ((s, d) => RangeJoin.shipmentsInWindows(

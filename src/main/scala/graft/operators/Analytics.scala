@@ -283,6 +283,21 @@ object Analytics {
       .select("bucket", "bucket_lo", "n_orders", "total_price")
       .orderBy("bucket")
 
+  /** Join-key skew report — the diagnostic that decides whether a join
+    * needs `Skew.saltedJoin` or AQE skew handling: the k heaviest keys
+    * with their row share. Map-side partial counts per key, a broadcast
+    * 1-row total, and a TakeOrderedAndProject top-k — no global sort, no
+    * driver collection, at any key cardinality. */
+  def skewReport(df: DataFrame, keyCol: String, k: Int = 10): DataFrame = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+    val total = df.agg(count(lit(1)).as("total"))
+    counts.crossJoin(broadcast(total))
+      .select(col(keyCol), col("cnt"),
+        round4(col("cnt") / col("total")).as("share"))
+      .orderBy(col("cnt").desc, col(keyCol))
+      .limit(k)
+  }
+
   /** Pearson correlation + covariance of quantity vs price per return
     * flag — the BI correlation staple. One map-side-combined shuffle (the
     * co-moment accumulators are algebraic); outputs round to fixed scale
