@@ -129,6 +129,9 @@ object SparkEntry {
     "stratified_sample" -> ((s, d) => Curation.stratifiedSample(Tables.documents(s, d),
                               Map("en" -> 0.5, "de" -> 0.5, "es" -> 0.5, "fr" -> 0.5, "zh" -> 0.5))),
     "sample_per_group"  -> ((s, d) => Curation.samplePerGroup(Tables.documents(s, d))),
+    "doc_chunk"         -> ((s, d) => Curation.docChunk(Tables.documents(s, d))),
+    "dedup_survivors"   -> ((s, d) => Dedup.dedupSurvivors(Tables.documents(s, d))),
+    "embedding_quantize" -> ((s, d) => Similarity.embeddingQuantize(Tables.embeddings(s, d))),
     // B. analytic core
     "q1_agg"          -> ((s, d) => Analytics.pricingSummary(Tables.lineitem(s, d))),
     "q3_topk"         -> ((s, d) => Analytics.topRevenueOrders(

@@ -267,6 +267,21 @@ object Dedup {
   def clusters(documents: DataFrame, threshold: Double = 0.5): DataFrame =
     clustersFromPairs(jaccardPairs(documents, threshold))
 
+  /** The corpus AFTER near-dup removal: keep every unclustered doc plus
+    * each cluster's canonical (minimum-id) member — the survivor-selection
+    * policy every published dedup pipeline applies on top of clustering.
+    * The removed set (cluster members ≠ canonical) is ≪ corpus and rides a
+    * left-anti join, which AQE broadcasts; swap [[clusters]] for
+    * [[clustersApprox]] at 100 TB (same contract, minhash edges). */
+  def dedupSurvivors(documents: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val removed = clusters(documents, threshold)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"))
+    documents.join(removed, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+  }
+
   /** The 100 TB clustering path: edges come from [[minhashLsh]] band
     * buckets (candidates ≈ O(near-dups), no block enumeration) instead of
     * the exact blocked pair join. CC is robust to the bounded edge loss —

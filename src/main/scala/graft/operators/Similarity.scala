@@ -217,6 +217,30 @@ object Similarity {
     // Dedup.minhashLsh)
   }
 
+  /** Per-vector int8 scalar quantization — the storage/bandwidth lever for
+    * a 100 TB ANN index (4 bytes/dim → 1, plus two floats of metadata).
+    * Pure per-row arithmetic (array_min/max + a transform lambda): scan
+    * bound, no shuffle. Quantized code q reconstructs as mn + q·(mx−mn)/255
+    * with error ≤ half a step (spec-bounded); constant vectors quantize to
+    * all-zeros with scale 0. rows-only for the driver (the q codes hinge on
+    * float division at bucket boundaries — engine-honest but not
+    * hash-portable). */
+  def embeddingQuantize(embeddings: DataFrame): DataFrame = {
+    val e = col("embedding")
+    embeddings
+      .withColumn("mn", array_min(e).cast("double"))
+      .withColumn("mx", array_max(e).cast("double"))
+      .withColumn("scale",
+        when(col("mx") > col("mn"), (col("mx") - col("mn")) / 255.0).otherwise(lit(0.0)))
+      .select(col("vec_id"), col("label"),
+        round4(col("mn")).as("qmin"), round4(col("mx")).as("qmax"),
+        when(col("scale") > 0,
+          transform(e, x => round((x.cast("double") - col("mn")) / col("scale"), 0).cast("int")))
+          .otherwise(transform(e, _ => lit(0)))
+          .as("q"))
+      .orderBy("vec_id")
+  }
+
   /** PCA dimensionality reduction over the embedding column — the standard
     * pre-clustering / pre-index compression stage of an embedding corpus.
     *

@@ -201,6 +201,25 @@ class ApproxSpec extends SparkSpec {
     assert(vars.head >= vars.last, s"no concentration: $vars")
   }
 
+  test("int8 quantization: codes in range, reconstruction within half a step") {
+    val out = Similarity.embeddingQuantize(Tables.embeddings(spark, sf))
+    val orig = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    out.collect().foreach { r =>
+      val (id, qmin, qmax) = (r.getLong(0), r.getDouble(2), r.getDouble(3))
+      val q = r.getSeq[Int](4)
+      assert(q.forall(c => c >= 0 && c <= 255), s"code out of range for $id")
+      val scale = (qmax - qmin) / 255.0
+      val xs = orig(id)
+      q.zip(xs).foreach { case (c, x) =>
+        val rec = qmin + c * scale
+        // round4 on qmin/qmax adds up to 5e-5 each on top of the half step
+        assert(math.abs(rec - x) <= scale / 2 + 2e-4,
+          s"vec $id: |$rec - $x| > ${scale / 2}")
+      }
+    }
+  }
+
   test("heavy hitters approx agrees with exact top-k on the dominant words") {
     val docs = Tables.documents(spark, sf)
     val exactTop = TextAnalysis.heavyHitters(docs, 5).collect().map(_.getString(0)).toSet
