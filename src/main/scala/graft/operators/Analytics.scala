@@ -290,7 +290,10 @@ object Analytics {
     * driver collection, at any key cardinality. */
   def skewReport(df: DataFrame, keyCol: String, k: Int = 10): DataFrame = {
     val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
-    val total = df.agg(count(lit(1)).as("total"))
+    // total = sum of the per-key counts — O(distinct keys), and the
+    // per-key exchange is shared (ReusedExchange), so the fact scans ONCE;
+    // a df.agg(count(*)) here would be a second full pass over the fact
+    val total = counts.agg(sum(col("cnt")).as("total"))
     counts.crossJoin(broadcast(total))
       .select(col(keyCol), col("cnt"),
         round4(col("cnt") / col("total")).as("share"))
@@ -310,18 +313,25 @@ object Analytics {
            round2(covar_samp(col("l_quantity"), col("l_extendedprice"))).as("covar_qty_price"))
       .orderBy("l_returnflag")
 
-  /** Equal-frequency (quartile) bucketing WITHOUT a global sort — the
-    * scale-safe ntile. ntile(n) needs one total ordering of the table; at
-    * 100 TB that single-partition window is the bottleneck. Instead: exact
-    * percentile cutpoints (one aggregate), broadcast the 3-value bounds
-    * row, assign buckets with a comparison chain (scan-bound), aggregate
-    * per bucket. Cutpoints round to cents so bucket membership can't flip
-    * on engine float dust. */
-  def quantileBucket(orders: DataFrame): DataFrame = {
+  /** Equal-frequency (quartile) bucketing WITHOUT a global sort. ntile(n)
+    * needs one total ordering of the table — at 100 TB that
+    * single-partition window is the bottleneck — so instead: percentile
+    * cutpoints (one aggregate), broadcast the 3-value bounds row, assign
+    * buckets with a comparison chain (scan-bound), aggregate per bucket.
+    * `exact=true` (the oracle-matched default) uses exact `percentile`,
+    * whose merge buffer is O(distinct values) on one task — fine at test
+    * SFs, NOT at 100 TB; there pass `exact=false` for the mergeable
+    * constant-memory GK sketch cutpoints (identical plan shape, cutpoints
+    * within the sketch's rank error). Cutpoints round to cents so bucket
+    * membership can't flip on engine float dust. */
+  def quantileBucket(orders: DataFrame, exact: Boolean = true): DataFrame = {
+    def pct(q: Double): Column =
+      if (exact) expr(s"percentile(o_totalprice, $q)")
+      else expr(s"approx_percentile(o_totalprice, $q, 10000)")
     val bounds = orders.agg(
-      round2(expr("percentile(o_totalprice, 0.25)")).as("q1"),
-      round2(expr("percentile(o_totalprice, 0.5)")).as("q2"),
-      round2(expr("percentile(o_totalprice, 0.75)")).as("q3"))
+      round2(pct(0.25)).as("q1"),
+      round2(pct(0.5)).as("q2"),
+      round2(pct(0.75)).as("q3"))
     orders.crossJoin(broadcast(bounds))
       .withColumn("bucket",
         when(col("o_totalprice") <= col("q1"), 1L)

@@ -386,26 +386,23 @@ object Curation {
     * (sequence → slice → posexplode): the only data movement is the
     * explode's map-side amplification — no shuffle, no driver involvement,
     * and chunk counts stay exact integers so both engines cut identically. */
-  def docChunk(documents: DataFrame, size: Int = 64, stride: Int = 48): DataFrame = {
-    require(size > 0 && stride > 0 && stride <= size)
+  def docChunk(documents: DataFrame, chunkSize: Int = 64, stride: Int = 48): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize)
     val words = graft.util.TextNorm.words(col("text"))
     documents
       .select(col("doc_id"), words.as("w"))
-      // nChunks = ceil(max(n-size,0)/stride) + 1; int division of exact ints
+      // nChunks = ceil(max(n-chunkSize,0)/stride) + 1; int division of exact ints
       .withColumn("n_chunks",
-        floor((greatest(size_(col("w")) - size, lit(0)) + (stride - 1))
+        floor((greatest(size(col("w")) - chunkSize, lit(0)) + (stride - 1))
           .cast("double") / stride).cast("long") + 1)
       .select(col("doc_id"),
         posexplode(transform(sequence(lit(0L), col("n_chunks") - 1),
-          i => slice(col("w"), i.cast("int") * stride + 1, lit(size)))).as(Seq("chunk_idx", "cw")))
+          i => slice(col("w"), i.cast("int") * stride + 1, lit(chunkSize)))).as(Seq("chunk_idx", "cw")))
       .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
-        size_(col("cw")).cast("long").as("n_tokens"),
+        size(col("cw")).cast("long").as("n_tokens"),
         array_join(col("cw"), " ").as("chunk_text"))
       .orderBy("doc_id", "chunk_idx")
   }
-
-  private def size_(c: org.apache.spark.sql.Column) =
-    org.apache.spark.sql.functions.size(c)
 
   /** Deterministic EXACT-k uniform sample per stratum: each doc draws
     * md5(doc_id) — an engine-portable pseudo-random tag — and the k

@@ -109,27 +109,46 @@ object Materialize {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val parts = fs.listStatus(new org.apache.hadoop.fs.Path(path))
       .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+    // Directory names carry Hive %XX escaping ("flash sale" →
+    // "flash%20sale") and nulls land in __HIVE_DEFAULT_PARTITION__; the
+    // budget map must key on the COLUMN value or escaped/null partitions
+    // would miss the lookup and silently coalesce to one file.
+    def unescape(s: String): String =
+      "%[0-9A-Fa-f]{2}".r.replaceAllIn(s,
+        m => java.util.regex.Matcher.quoteReplacement(
+          Integer.parseInt(m.matched.substring(1), 16).toChar.toString))
     val budget: Map[String, Int] = parts.map { p =>
       val bytes = fs.listStatus(p.getPath).filter(_.isFile)
         .map(_.getLen).sum
-      p.getPath.getName.split("=", 2)(1) ->
+      unescape(p.getPath.getName.split("=", 2)(1)) ->
         math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     }.toMap
     val df = spark.read.parquet(path)
     val budgetCol = typedLit(budget)
     val salted = df.withColumn("_salt",
       pmod(xxhash64(df.columns.map(col): _*),
-           coalesce(budgetCol(col(partitionCol).cast("string")), lit(1))))
+           coalesce(budgetCol(coalesce(col(partitionCol).cast("string"),
+                                       lit("__HIVE_DEFAULT_PARTITION__"))),
+                    lit(1))))
     val tmp = new org.apache.hadoop.fs.Path(path + "_compact_tmp")
     salted
       .repartition(col(partitionCol), col("_salt"))
       .drop("_salt")
       .write.mode("overwrite")
       .partitionBy(partitionCol).parquet(tmp.toString)
-    parts.foreach(p => fs.delete(p.getPath, true))
+    // Swap with a recovery window instead of a data-loss window: old dirs
+    // move ASIDE first (rename, cheap), new dirs move in, THEN the old
+    // copies delete. A crash mid-swap leaves every byte on disk in `path`
+    // or the two sibling dirs; only an ACID table format closes the
+    // visibility gap entirely (this is the OPTIMIZE seam).
+    val old = new org.apache.hadoop.fs.Path(path + "_compact_old")
+    fs.mkdirs(old)
+    parts.foreach(p => fs.rename(p.getPath,
+      new org.apache.hadoop.fs.Path(old, p.getPath.getName)))
     fs.listStatus(tmp).filter(_.isDirectory).foreach { d =>
       fs.rename(d.getPath, new org.apache.hadoop.fs.Path(path, d.getPath.getName))
     }
+    fs.delete(old, true)
     fs.delete(tmp, true)
     budget
   }

@@ -39,10 +39,16 @@ object RangeJoin {
     // so bin assignment stays consistent whatever the session zone.
     def secs(c: org.apache.spark.sql.Column) = c.cast("timestamp").cast("long")
     val p = points.withColumn("_bin", floor(secs(col(pointCol)) / binSeconds))
+    // Degenerate intervals (end <= start) match nothing under [start, end)
+    // semantics — drop them BEFORE the explode: Spark's sequence(a, b) with
+    // b < a silently generates a DESCENDING range, so a year-reversed
+    // interval would otherwise explode into thousands of spurious bins.
     // end is exclusive: the last covered bin is the one holding end-1s.
-    val iv = intervals.withColumn("_bin",
-      explode(sequence(floor(secs(col(startCol)) / binSeconds),
-                       floor((secs(col(endCol)) - 1) / binSeconds))))
+    val iv = intervals
+      .where(col(endCol) > col(startCol))
+      .withColumn("_bin",
+        explode(sequence(floor(secs(col(startCol)) / binSeconds),
+                         floor((secs(col(endCol)) - 1) / binSeconds))))
     p.join(iv, Seq("_bin"))
       .where(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
       .drop("_bin")

@@ -129,12 +129,16 @@ object StreamOps {
     spark.table(name).orderBy("event_type", "window_start")
   }
 
-  /** Native session_window sessionization AS a streaming query — the
-    * production form of `Sessions.sessionWindowAgg`: the watermark drives
-    * session-state eviction (in append mode a session emits and frees once
-    * the watermark passes its close), so state holds only OPEN sessions,
-    * not history. Driven AvailableNow to completion it equals the batch
-    * sessionizer exactly — shares session_window_agg's oracle. */
+  /** Native session_window sessionization AS a streaming query. This
+    * backfill driver runs COMPLETE mode so the AvailableNow pass emits
+    * every session and equals the batch sessionizer exactly (shares
+    * session_window_agg's oracle) — note complete mode RETAINS all session
+    * state; the continuous production deployment must use APPEND mode,
+    * where the watermark emits-and-evicts each session once it passes the
+    * session close and state holds only open sessions. Append is
+    * unsuitable here only because a bounded backfill's final watermark
+    * stops short of the last events, which would hold back the tail
+    * sessions. */
   def runSessionWindow(spark: SparkSession, dir: String,
                        gapSeconds: Long = 1800): DataFrame = {
     val name = s"stream_session_window_${System.identityHashCode(spark)}"

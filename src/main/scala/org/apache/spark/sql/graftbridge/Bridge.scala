@@ -17,4 +17,20 @@ object Bridge {
       : org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Run an extensions installer and register its injected FUNCTIONS into
+    * an existing session's registry. `SparkSessionExtensions` is normally
+    * consumed only while a session is BUILT, which makes the injection
+    * path untestable from a shared-session suite (builder.getOrCreate
+    * returns the existing session and silently drops withExtensions);
+    * this drives the same private[sql] registration hook the builder
+    * uses. Functions only — planner strategies are exercised elsewhere. */
+  def installFunctions(f: org.apache.spark.sql.SparkSessionExtensions => Unit,
+                       session: org.apache.spark.sql.SparkSession): Unit = {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    f(ext)
+    ext.registerFunctions(
+      session.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .sessionState.functionRegistry)
+  }
 }

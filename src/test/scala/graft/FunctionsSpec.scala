@@ -113,54 +113,24 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
-  test("graft_cosine registers for SQL via SparkSessionExtensions") {
-    val s2 = SparkSession.builder().master("local[2]")
-      .config("spark.sql.shuffle.partitions", "2")
-      .config("spark.ui.enabled", "false")
-      .withExtensions(new graft.functions.GraftExtensions)
-      .getOrCreate()
-    try {
-      // getOrCreate may return the shared session (extensions only apply to
-      // new ones) — fall back to checking the builder path made the function
-      // visible somewhere reachable.
-      val fresh = s2.newSession()
-      val ok = try {
-        fresh.sql("SELECT graft_cosine(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
-          "array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c").head.getDouble(0)
-      } catch {
-        case _: Exception =>
-          // shared-session fallback: evaluate through the Column API instead
-          import org.apache.spark.sql.graftbridge.Bridge
-          val lit1 = array(lit(1.0f), lit(0.0f))
-          spark.range(1).select(VectorFunctions.cosine(lit1, lit1).as("c"))
-            .head.getDouble(0)
-      }
-      assert(math.abs(ok - 1.0) < 1e-12)
-    } finally ()
-  }
-
-  test("graft_heavy_hitters registers for SQL and summarizes exactly at k >= distinct") {
-    val s2 = SparkSession.builder().master("local[2]")
-      .config("spark.sql.shuffle.partitions", "2")
-      .config("spark.ui.enabled", "false")
-      .withExtensions(new graft.functions.GraftExtensions)
-      .getOrCreate()
-    val fresh = s2.newSession()
-    val got = try {
-      fresh.sql(
-        "SELECT graft_heavy_hitters(w, 8) AS hh FROM VALUES ('a'),('a'),('b'),('a'),('c') t(w)")
-        .head.getSeq[org.apache.spark.sql.Row](0)
-        .map(r => r.getString(0) -> r.getLong(1))
-    } catch {
-      case _: Exception =>
-        // shared-session fallback: Column API
-        import spark.implicits._
-        Seq("a", "a", "b", "a", "c").toDF("w")
-          .agg(graft.functions.MisraGriesAgg.heavyHitters(col("w"), 8).as("hh"))
-          .head.getSeq[org.apache.spark.sql.Row](0)
-          .map(r => r.getString(0) -> r.getLong(1))
-    }
+  test("GraftExtensions' SQL functions resolve and evaluate through the injection path") {
+    // A shared-session suite can't exercise builder.withExtensions (the
+    // builder returns the existing session and drops them), and a silent
+    // Column-API fallback would keep this green with the registration
+    // broken. Drive the SAME injectFunction list into a child session's
+    // registry and require the SQL names to resolve — no fallback.
+    val fresh = spark.newSession()
+    org.apache.spark.sql.graftbridge.Bridge.installFunctions(
+      new graft.functions.GraftExtensions()(_), fresh)
+    val c = fresh.sql(
+      "SELECT graft_cosine(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
+        "array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c").head.getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-12)
     // k above the distinct count → MG degenerates to exact counts, sorted
+    val got = fresh.sql(
+      "SELECT graft_heavy_hitters(w, 8) AS hh FROM VALUES ('a'),('a'),('b'),('a'),('c') t(w)")
+      .head.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => r.getString(0) -> r.getLong(1))
     assert(got == Seq("a" -> 3L, "b" -> 1L, "c" -> 1L), s"got $got")
   }
 }
