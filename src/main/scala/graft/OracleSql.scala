@@ -235,6 +235,24 @@ object OracleSql {
     "corpus_curation" ->
       """WITH s AS (SELECT doc_id, lang, regexp_replace(regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'), '\+?[0-9][0-9() -]{6,}[0-9]', '<PHONE>', 'g') AS t FROM documents), g AS (SELECT * FROM s WHERE length(t) >= 100 AND len(string_split(lower(trim(t)), ' ')) >= 20), d AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(lower(trim(t))) ORDER BY doc_id) AS rn FROM g), sv AS (SELECT doc_id, lang, CAST(CEIL(length(t)/4.0) AS BIGINT) AS est_tokens FROM d WHERE rn = 1), c AS (SELECT doc_id, lang, est_tokens, SUM(est_tokens) OVER (PARTITION BY lang ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens FROM sv) SELECT doc_id, lang, est_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens FROM c WHERE cum_tokens <= 5000 ORDER BY lang, doc_id""",
 
+    // exponent rendered from the same Scala double the operator uses
+    // (1 - alpha), so both engines pow() identical inputs
+    "source_sample_temp" ->
+      s"""WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source), m AS (SELECT MIN(n_docs) AS n_min FROM c), r AS (SELECT source, CAST(ROUND(POWER(CAST(n_min AS DOUBLE)/n_docs, ${1 - 0.7})*10000, 0) AS BIGINT) AS rate_bp FROM c, m) SELECT d.doc_id, d.source, r.rate_bp/10000.0 AS keep_rate FROM documents d JOIN r ON d.source = r.source WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6)) AS BIGINT) * 10000 < r.rate_bp * 16777216 ORDER BY d.doc_id""",
+
+    "perplexity_score" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS word FROM documents), t2 AS (SELECT doc_id, word FROM t WHERE word <> ''), tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM t2 GROUP BY doc_id, word), cw AS (SELECT word, SUM(tf) AS c FROM tf GROUP BY word), tot AS (SELECT SUM(c) AS n, COUNT(*) AS v FROM cw), s AS (SELECT tf.doc_id, SUM(tf.tf) AS n_tokens, SUM(tf.tf * -ln((cw.c + 1.0)/(tot.n + tot.v))) AS nll FROM tf JOIN cw ON tf.word = cw.word CROSS JOIN tot GROUP BY tf.doc_id), r AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, ROUND(nll/n_tokens*10000, 0)/10000.0 AS avg_nll FROM s) SELECT doc_id, n_tokens, avg_nll, CASE WHEN avg_nll > 7.0 THEN 'high' ELSE 'ok' END AS ppl_flag FROM r ORDER BY doc_id""",
+
+    "zorder_key" -> {
+      val zTerms = (0 until 8).map(k =>
+        s"(((x >> $k) & 1) << ${2 * k}) + (((y >> $k) & 1) << ${2 * k + 1})")
+        .mkString(" + ")
+      s"""WITH b AS (SELECT o_orderkey, o_custkey % 256 AS x, (EXTRACT(doy FROM CAST(o_orderdate AS DATE)) - 1) % 256 AS y FROM orders) SELECT o_orderkey, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y, CAST($zTerms AS BIGINT) AS zval FROM b ORDER BY o_orderkey"""
+    },
+
+    "dpp_join" ->
+      s"""WITH dim(o_orderpriority, tier) AS (VALUES ('1-URGENT','hot'),('2-HIGH','hot'),('3-MEDIUM','warm'),('4-NOT SPECIFIED','cold'),('5-LOW','cold')) SELECT o.o_orderpriority, COUNT(*) AS n_orders, ${cents("o.o_totalprice")} AS revenue FROM orders o JOIN dim d ON o.o_orderpriority = d.o_orderpriority WHERE d.tier = 'hot' GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""",
+
     "source_mix" ->
       """WITH p AS (SELECT source, COUNT(*) AS docs, CAST(SUM(CAST(CEIL(length(text)/4.0) AS BIGINT)) AS BIGINT) AS est_tokens FROM documents GROUP BY source), t AS (SELECT CAST(SUM(est_tokens) AS BIGINT) AS total_tokens FROM p) SELECT source, docs, est_tokens, ROUND(CAST(est_tokens AS DOUBLE)/total_tokens*10000, 0)/10000.0 AS token_share FROM p, t ORDER BY source""",
 

@@ -164,6 +164,8 @@ object SparkEntry {
                             Tables.orders(s, d), Tables.lineitem(s, d))),
     "bucketed_join"   -> ((s, d) => Materialize.bucketedSpend(
                             s, Tables.customer(s, d), Tables.orders(s, d))),
+    "zorder_key"      -> ((s, d) => Materialize.zorderKey(Tables.orders(s, d))),
+    "dpp_join"        -> ((s, d) => Materialize.dppJoin(s, Tables.orders(s, d))),
     // C. events
     "sessionize"      -> ((s, d) => Sessions.sessionize(Tables.events(s, d))),
     "session_window_agg" -> ((s, d) => Sessions.sessionWindowAgg(Tables.events(s, d))),
@@ -203,6 +205,8 @@ object SparkEntry {
     "pii_scrub"       -> ((s, d) => TextAnalysis.piiScrub(Tables.documents(s, d))),
     "repetition_score" -> ((s, d) => TextAnalysis.repetitionScore(Tables.documents(s, d))),
     "source_mix"      -> ((s, d) => Curation.sourceMix(Tables.documents(s, d))),
+    "source_sample_temp" -> ((s, d) => Curation.temperatureSample(Tables.documents(s, d))),
+    "perplexity_score" -> ((s, d) => TextAnalysis.perplexityScore(Tables.documents(s, d))),
     "corpus_curation" -> ((s, d) => Curation.curationPipeline(Tables.documents(s, d))),
     "rolling_fingerprint" -> ((s, d) => TextAnalysis.rollingFingerprint(Tables.documents(s, d))),
     "verbatim_overlap"    -> ((s, d) => TextAnalysis.verbatimOverlap(Tables.documents(s, d))),

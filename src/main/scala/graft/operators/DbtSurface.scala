@@ -404,6 +404,41 @@ object Curation {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** Temperature-based source rebalancing — the multilingual/multi-source
+    * mixing rule from the XLM-R / mT5 recipes: sample sources with
+    * probability ∝ n_s^alpha (alpha < 1 upweights small sources), realized
+    * here as deterministic per-source keep rates for sampling WITHOUT
+    * replacement: `rate_s = (n_min / n_s)^(1−alpha)` — the smallest source
+    * keeps everything, the biggest is thinned hardest, and the surviving
+    * mix has the temperature-flattened shape.
+    *
+    * Determinism contract (what makes this oracle-backed rather than a
+    * seeded RNG): the per-doc uniform draw is the first 24 bits of
+    * md5(doc_id) — an engine-portable hash both Spark and DuckDB compute
+    * identically — and the acceptance test is pure integer math against a
+    * basis-point rate (the only float, the pow(), is rounded to 4 decimals
+    * before use). Reruns, repartitions, and other engines keep exactly the
+    * same rows. Plan shape: one #sources-row aggregate → broadcast rate map
+    * → scan-bound filter; nothing shuffles the corpus itself. */
+  def temperatureSample(documents: DataFrame, alpha: Double = 0.7): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha in (0,1], got $alpha")
+    val counts = documents.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val minN = counts.agg(min("n_docs").as("n_min"))
+    val rates = counts.crossJoin(broadcast(minN))
+      .select(col("source"),
+        round(pow(col("n_min").cast("double") / col("n_docs"), 1 - alpha) * 10000, 0)
+          .cast("long").as("rate_bp"))
+    // draw ∈ [0, 16^6): first 6 hex chars of md5; accept iff
+    // draw/16^6 < rate_bp/10^4, cross-multiplied to stay integral
+    val draw = conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+      .cast("long")
+    documents.join(broadcast(rates), "source")
+      .filter(draw * 10000L < col("rate_bp") * 16777216L)
+      .select(col("doc_id"), col("source"),
+              (col("rate_bp") / 10000.0).as("keep_rate"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic EXACT-k uniform sample per stratum: each doc draws
     * md5(doc_id) — an engine-portable pseudo-random tag — and the k
     * smallest draws per language win. Unlike Bernoulli [[stratifiedSample]]

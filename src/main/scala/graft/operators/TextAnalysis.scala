@@ -267,6 +267,43 @@ object TextAnalysis {
       .orderBy("doc_id", "rank")
   }
 
+  /** Unigram language-model perplexity scoring — the CCNet-style "does this
+    * look like natural text under a corpus LM" quality signal (CCNet uses a
+    * KenLM 5-gram; the unigram model is the same pipeline shape with the
+    * model trained in-engine). Two stages, both distributed:
+    *
+    *  1. TRAIN: corpus unigram counts `c_w` — explode → (doc, word) partial
+    *     counts → per-word totals. The word-count aggregation REUSES the
+    *     (doc_id, word) exchange the scoring stage needs anyway (same
+    *     ReusedExchange shape as [[tfidfTopTerms]]).
+    *  2. SCORE: each doc's mean negative log-likelihood in nats,
+    *     `avg_nll = Σ_w tf_dw · −ln((c_w+1)/(N+V)) / Σ_w tf_dw` (add-one
+    *     smoothing keeps the form total even when scoring against a model
+    *     trained elsewhere). The model joins on `word` — a hash join that
+    *     broadcasts when the vocabulary is small and shuffles when a 100 TB
+    *     vocabulary isn't; N and V ride one broadcast row either way.
+    *
+    * High `avg_nll` = improbable text (gibberish, boilerplate soup); the
+    * flag thresholds on the ROUNDED score so both engines flag identically. */
+  def perplexityScore(documents: DataFrame, flagNats: Double = 7.0): DataFrame = {
+    val tok = documents
+      .select(col("doc_id"), explode(words).as("word"))
+      .filter(col("word") =!= "")
+    val tf = tok.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val cw = tf.groupBy("word").agg(sum("tf").as("c"))
+    val tot = cw.agg(sum("c").as("n"), count(lit(1)).as("v"))
+    val avgNll = round4(col("nll") / col("n_tokens"))
+    tf.join(cw, "word")
+      .crossJoin(broadcast(tot))
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_tokens"),
+           sum(col("tf") * -log((col("c") + 1).cast("double") /
+                                (col("n") + col("v")))).as("nll"))
+      .select(col("doc_id"), col("n_tokens"), avgNll.as("avg_nll"),
+              when(avgNll > flagNats, "high").otherwise("ok").as("ppl_flag"))
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprinting: full md5 digest, 8-hex prefix bucket, and a
     * 1-permutation minhash (lexicographic-min word md5). */
   def fingerprint(documents: DataFrame): DataFrame =
