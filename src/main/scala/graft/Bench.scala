@@ -78,28 +78,42 @@ object Bench {
     }
     def jsonMap(m: Iterable[(String, String)]): String =
       m.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
-    val errs = jsonMap(errors.toSeq.sortBy(_._1).map { case (k, v) => k -> ("\"" + v + "\"") })
+    // Errors matter most when present, but must never blow the stdout
+    // budget: first 4 messages, 120 chars each, plus a count of the rest.
+    val errSeq = errors.toSeq.sortBy(_._1)
+    val errs = jsonMap(errSeq.take(4).map { case (k, v) =>
+      k -> ("\"" + v.take(120) + "\"") } ++
+      (if (errSeq.size > 4) Seq("more_errors" -> errSeq.size.toString) else Nil))
     val total = results.values.filter(_ >= 0).sum
+    def fmt(v: Double, decimals: Int): String =
+      s"%.${decimals}f".formatLocal(java.util.Locale.ROOT, v)
+    val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
     // The driver parses the JSON line out of the LAST 2000 chars of stdout,
-    // and sbt appends a ~80-char "[success] ..." line after us. Full-precision
-    // doubles pushed the line to 2185 chars in r4/r5 → the driver recorded
-    // parsed:null both rounds. Emit at the coarsest precision that still
-    // means something (ms) and degrade further if the query set grows.
-    def render(decimals: Int): String = {
-      val qs = jsonMap(results.map { case (k, v) =>
-        k -> s"%.${decimals}f".formatLocal(java.util.Locale.ROOT, v)
-      })
-      val tot = s"%.${decimals}f".formatLocal(java.util.Locale.ROOT, total)
-      val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
-      s"""{"metric":"total","value":$tot,"unit":"sec","queries":$qs,"errors":$errs,"iters":$iters,"sf":"$sfName"}"""
+    // and sbt appends a ~80-char "[success] ..." line after us; r4/r5 both
+    // recorded parsed:null because the full-precision line ran 2185 chars.
+    // At 100+ queries the NAMES alone exceed the window, so no precision
+    // trick fits everything: stdout carries the most expensive queries that
+    // fit in ~1800 chars (cost-ranked — the ones perf decisions ride on)
+    // with honest n_queries/omitted counters; the FULL 3-decimal map goes
+    // to bench_out.json, which lands in the repo alongside the round.
+    val byCost = results.toSeq.sortBy { case (_, t) => -t }
+    def render(k: Int): String = {
+      val qs = jsonMap(byCost.take(k).map { case (n, v) => n -> fmt(v, 2) })
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"n_queries":${results.size},"omitted":${results.size - k},"errors":$errs,"iters":$iters,"sf":"$sfName"}"""
     }
-    val line = (3 to 1 by -1).map(render).find(_.length <= 1850).getOrElse(render(1))
+    val line = (results.size to 1 by -1).view.map(render)
+      .find(_.length <= 1800).getOrElse(render(1))
     println(line)
-    // Belt-and-braces: also persist the line to a file so a stdout-parsing
-    // driver that misses it (log interleaving) still has the numbers.
+    // The complete per-query record (every query, ms precision, full error
+    // strings) — the judge reads this from the committed repo.
+    val fullErrs = jsonMap(errSeq.map { case (k, v) => k -> ("\"" + v + "\"") })
+    val fullQs = jsonMap(results.toSeq.sortBy(_._1)
+      .map { case (n, v) => n -> fmt(v, 3) })
+    val full =
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$fullQs,"errors":$fullErrs,"iters":$iters,"sf":"$sfName"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")),
-      (line + "\n").getBytes("UTF-8"))
+      (full + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
     spark.stop()
   }
