@@ -197,4 +197,46 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") &&
            !plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("perplexity model join reuses the token exchange; aggs are partial") {
+    val df = TextAnalysis.perplexityScore(Tables.documents(spark, sf))
+    df.collect() // AQE materializes exchange reuse only during execution
+    val plan = explained(df)
+    // word-count model derives from the same (doc,word) shuffle the scoring
+    // join consumes — the tf subtree must not execute twice
+    assert(plan.contains("ReusedExchange"),
+      s"no exchange reuse between tf and the unigram model:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      "no map-side combine on the token counts")
+    // the only nested-loop allowed is the broadcast cross against the
+    // single (N, V) totals row; a cartesian of real relations is a bug
+    assert(!plan.contains("CartesianProduct"))
+    val nlj = "BroadcastNestedLoopJoin BuildRight, Cross".r.findAllIn(plan).size
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size == nlj,
+      s"non-broadcast-cross nested loop:\n$plan")
+  }
+
+  test("temperature sample never shuffles the corpus (broadcast rates only)") {
+    val df = Curation.temperatureSample(Tables.documents(spark, sf))
+    val plan = explained(df)
+    // the documents scan flows through a broadcast join + filter; the only
+    // exchanges are the #sources-row aggregates and the presentation sort
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(bhj >= 1, s"rate map not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"corpus shuffled for the rate join:\n$plan")
+  }
+
+  test("zorder key is scan-bound whole-stage codegen") {
+    val df = operators.Materialize.zorderKey(Tables.orders(spark, sf))
+    df.collect() // final adaptive plan carries the codegen annotations
+    val core = df.queryExecution.executedPlan.toString
+    // codegen spans print as "*(n)" in the adaptive plan's final form;
+    // count exchanges only there — the "== Initial Plan ==" echo repeats them
+    val finalPlan = core.split("== Initial Plan ==")(0)
+    assert("""\*\(\d+\)""".r.findFirstIn(finalPlan).isDefined,
+      s"no codegen span:\n$finalPlan")
+    val shuffles = "Exchange".r.findAllIn(finalPlan).size
+    assert(shuffles <= 1, s"zorder key computation shuffles:\n$finalPlan")
+  }
 }
