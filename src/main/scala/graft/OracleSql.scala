@@ -250,6 +250,15 @@ object OracleSql {
       s"""WITH b AS (SELECT o_orderkey, o_custkey % 256 AS x, (EXTRACT(doy FROM CAST(o_orderdate AS DATE)) - 1) % 256 AS y FROM orders) SELECT o_orderkey, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y, CAST($zTerms AS BIGINT) AS zval FROM b ORDER BY o_orderkey"""
     },
 
+    "gdpr_delete" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n_orders, ${cents("o_totalprice")} AS revenue FROM orders WHERE o_custkey % 97 <> 0 GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "merge_columns" ->
+      """WITH b AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders), u AS (SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus, o_totalprice + 1 AS o_totalprice FROM b WHERE o_orderkey % 10 = 0), i AS (SELECT o_orderkey + 5000000 AS o_orderkey, o_custkey, 'N' AS o_orderstatus, o_totalprice FROM b WHERE o_orderkey % 1000 = 1), d AS (SELECT * FROM u UNION ALL SELECT * FROM i), upd AS (SELECT b.o_orderkey, b.o_custkey, b.o_orderstatus, CASE WHEN d.o_orderkey IS NOT NULL THEN d.o_totalprice ELSE b.o_totalprice END AS o_totalprice FROM b LEFT JOIN d ON b.o_orderkey = d.o_orderkey), ins AS (SELECT d.* FROM d LEFT JOIN b ON d.o_orderkey = b.o_orderkey WHERE b.o_orderkey IS NULL) SELECT * FROM upd UNION ALL SELECT * FROM ins ORDER BY o_orderkey""",
+
+    "jsonl_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id""",
+
     "dpp_join" ->
       s"""WITH dim(o_orderpriority, tier) AS (VALUES ('1-URGENT','hot'),('2-HIGH','hot'),('3-MEDIUM','warm'),('4-NOT SPECIFIED','cold'),('5-LOW','cold')) SELECT o.o_orderpriority, COUNT(*) AS n_orders, ${cents("o.o_totalprice")} AS revenue FROM orders o JOIN dim d ON o.o_orderpriority = d.o_orderpriority WHERE d.tier = 'hot' GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""",
 

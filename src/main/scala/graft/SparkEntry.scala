@@ -166,6 +166,9 @@ object SparkEntry {
                             s, Tables.customer(s, d), Tables.orders(s, d))),
     "zorder_key"      -> ((s, d) => Materialize.zorderKey(Tables.orders(s, d))),
     "dpp_join"        -> ((s, d) => Materialize.dppJoin(s, Tables.orders(s, d))),
+    "gdpr_delete"     -> ((s, d) => Materialize.gdprDelete(s, Tables.orders(s, d))),
+    "merge_columns"   -> ((s, d) => Incremental.mergeColumnsQuery(Tables.orders(s, d))),
+    "jsonl_roundtrip" -> ((s, d) => Tables.jsonlRoundtrip(s, d)),
     // C. events
     "sessionize"      -> ((s, d) => Sessions.sessionize(Tables.events(s, d))),
     "session_window_agg" -> ((s, d) => Sessions.sessionWindowAgg(Tables.events(s, d))),

@@ -169,6 +169,50 @@ object Incremental {
       .orderBy("o_orderkey")
   }
 
+  /** dbt's `merge_update_columns` config: a matched key UPDATES only the
+    * listed columns from the delta — every other column keeps the base
+    * value (audit/created-at columns survive reloads); unmatched delta
+    * keys INSERT whole. (`merge_exclude_columns` is the complement: pass
+    * the non-excluded set.) One shuffle join on the key; at 100 TB the
+    * base side is the big one and the join is the same SMJ any merge
+    * pays — column selection is free projection on top. */
+  def mergeColumns(base: DataFrame, delta: DataFrame, key: String,
+                   updateColumns: Seq[String]): DataFrame = {
+    val cols = base.columns.toSeq
+    require(delta.columns.toSeq == cols, "merge requires aligned schemas")
+    require(updateColumns.forall(cols.contains) && !updateColumns.contains(key))
+    val d = delta.select(cols.map(c => col(c).as(s"__d_$c")): _*)
+    val matchedDelta = col(s"__d_$key").isNotNull
+    val matchedBase = col(key).isNotNull
+    base.join(d, col(key) === col(s"__d_$key"), "full_outer")
+      .select(cols.map {
+        case c if c == key =>
+          coalesce(col(key), col(s"__d_$key")).as(key)
+        case c if updateColumns.contains(c) =>
+          when(matchedDelta, col(s"__d_$c")).otherwise(col(c)).as(c)
+        case c =>
+          when(matchedBase, col(c)).otherwise(col(s"__d_$c")).as(c)
+      }: _*)
+  }
+
+  /** Driver query for [[mergeColumns]]: the delta flips status to 'U' and
+    * bumps the price, but only o_totalprice is in merge_update_columns —
+    * updated rows keep their ORIGINAL status; brand-new keys insert whole
+    * (status 'N' survives because inserts are never column-filtered). */
+  def mergeColumnsQuery(orders: DataFrame): DataFrame = {
+    val base = orders.select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice"))
+    val updates = base.filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"), col("o_custkey"),
+        lit("U").as("o_orderstatus"), (col("o_totalprice") + 1).as("o_totalprice"))
+    val inserts = base.filter(col("o_orderkey") % 1000 === 1)
+      .select((col("o_orderkey") + 5000000L).as("o_orderkey"), col("o_custkey"),
+        lit("N").as("o_orderstatus"), col("o_totalprice"))
+    mergeColumns(base, updates.unionAll(inserts), "o_orderkey",
+        updateColumns = Seq("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
   /** `append_new_columns`: a new batch arrives with an extra column; old
     * rows get NULL. Spark-first: unionByName(allowMissingColumns). */
   def schemaEvolution(orders: DataFrame): DataFrame = {

@@ -228,6 +228,70 @@ object Materialize {
       .orderBy("o_orderpriority")
   }
 
+  /** Right-to-erasure (GDPR/CCPA) delete propagation — the table-maintenance
+    * op every PII-bearing 100 TB table needs: remove all rows matching a
+    * (small) key list while rewriting ONLY the partitions that contain
+    * them. Shape:
+    *
+    *  1. locate affected partitions: a column-pruned scan of
+    *     (key, partition) semi-joined against the broadcast key list —
+    *     deletion lists are request-sized, never corpus-sized (a real
+    *     lakehouse would consult a key→file index / bloom instead of a
+    *     scan; this is that seam);
+    *  2. rewrite only those partitions with the keys anti-joined out,
+    *     landing in a temp dir (Spark rightly refuses to overwrite its own
+    *     input);
+    *  3. swap the rewritten partition dirs in; untouched partitions keep
+    *     their original FILES — byte-identical, never opened for write
+    *     (spec-verified).
+    *
+    * Returns the affected partition values. */
+  def deleteKeys(spark: SparkSession, path: String, partitionCol: String,
+                 keyCol: String, keys: DataFrame): Seq[String] = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val df = spark.read.parquet(path)
+    val affected = df.select(col(partitionCol), col(keyCol))
+      .join(broadcast(keys), df(keyCol) === keys(keys.columns.head), "left_semi")
+      .select(col(partitionCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSeq // request-scale, not data-scale
+    if (affected.isEmpty) return Nil
+    val tmp = path + "_delete_tmp"
+    df.filter(col(partitionCol).cast("string").isin(affected: _*))
+      .join(broadcast(keys), df(keyCol) === keys(keys.columns.head), "left_anti")
+      .write.mode("overwrite").partitionBy(partitionCol).parquet(tmp)
+    // swap only the rewritten partition dirs; everything else stays put
+    affected.foreach { v =>
+      val dir = s"$partitionCol=$v"
+      val oldDir = new org.apache.hadoop.fs.Path(path, dir)
+      val newDir = new org.apache.hadoop.fs.Path(tmp, dir)
+      fs.delete(oldDir, true)
+      if (fs.exists(newDir)) fs.rename(newDir, oldDir)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    affected
+  }
+
+  /** Driver query for [[deleteKeys]]: propagate a deletion list (every
+    * 97th customer) through a partitioned copy of orders, then report the
+    * surviving per-partition counts — oracle = the plain anti-join. */
+  def gdprDelete(spark: SparkSession, orders: DataFrame,
+                 path: String = null): DataFrame = {
+    val target = Option(path).getOrElse(
+      new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_gdpr_orders").getAbsolutePath)
+    orders.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+      .write.mode("overwrite").partitionBy("o_orderpriority").parquet(target)
+    val keys = orders.filter(col("o_custkey") % 97 === 0)
+      .select(col("o_custkey").as("del_key")).distinct()
+    deleteKeys(spark, target, "o_orderpriority", "o_custkey", keys)
+    spark.read.parquet(target)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+           graft.util.Det.centsSum(col("o_totalprice")).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
   /** `materialized='incremental'`: append new rows into the same layout;
     * with `dynamicOverwrite` only the partitions present in `df` rewrite. */
   def incremental(df: DataFrame, path: String, partitionCol: String,

@@ -24,6 +24,39 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
+  /** JSON-Lines corpus ingestion — the wire format most raw LLM text
+    * corpora arrive in (one JSON doc per line, file-splittable, so a 100 TB
+    * dump parallelizes by byte range like any text source). Schema is
+    * REQUIRED: schema inference reads the whole corpus twice; production
+    * ingestion declares the contract up front. PERMISSIVE mode quarantines
+    * malformed lines into `_corrupt_record` instead of failing the job —
+    * the spec exercises that path. */
+  def readJsonl(s: SparkSession, path: String,
+                schema: org.apache.spark.sql.types.StructType): DataFrame =
+    s.read.schema(schema.add("_corrupt_record", "string"))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+
+  /** JSONL export of any DataFrame (one gzip-less JSON object per line —
+    * keep line-splittability; compress with a splittable codec in prod). */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** Driver query: round-trip the documents table through JSONL and prove
+    * values survive the text encoding exactly (the oracle reads the
+    * original parquet — a hash match means the JSON path is lossless). */
+  def jsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_docs_jsonl").getAbsolutePath
+    writeJsonl(docs, tmp)
+    readJsonl(s, tmp, docs.schema)
+      .filter(col("_corrupt_record").isNull)
+      .select(docs.columns.map(col): _*)
+      .orderBy("doc_id")
+  }
+
   /** `events.parquet` stores `ts` as INT64 TIMESTAMP(NANOS), which Spark's
     * parquet reader does not map to TimestampType. We read it as a raw long
     * (legacy nanosAsLong) and derive both a microsecond timestamp and an

@@ -69,6 +69,61 @@ class LayoutSpec extends SparkSpec {
     assert(rows(got) == rows(want))
   }
 
+  test("deleteKeys: affected rows vanish, untouched partitions keep their " +
+       "original files byte-for-byte") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_del").toString + "/t"
+    // partition on a key-derived bucket so a deleted customer's rows all
+    // live in one partition (priority would spread each customer over all)
+    val orders = Tables.orders(spark, sf)
+      .withColumn("cust_bucket", col("o_custkey") % 5)
+    orders.select("o_orderkey", "o_custkey", "o_totalprice", "cust_bucket")
+      .write.mode("overwrite").partitionBy("cust_bucket").parquet(dir)
+    import spark.implicits._
+    val victims = orders.filter(col("cust_bucket") === 0)
+      .select("o_custkey").distinct().limit(5)
+    val victimSet = victims.as[Long].collect().toSet
+    // fingerprint every file before
+    def files(d: String) = new java.io.File(d).listFiles()
+      .filter(_.isDirectory).flatMap(p => p.listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getPath, f.length, f.lastModified)))
+    val before = files(dir).toSet
+    val affected = Materialize.deleteKeys(
+      spark, dir, "cust_bucket", "o_custkey", victims.toDF("del_key"))
+    val after = files(dir).toSet
+    // every victim row is gone; nothing else changed
+    val remaining = spark.read.parquet(dir)
+    assert(remaining.filter(col("o_custkey").isin(victimSet.toSeq: _*)).count() == 0)
+    assert(remaining.count() ==
+      orders.filter(!col("o_custkey").isin(victimSet.toSeq: _*)).count())
+    // untouched partitions: files identical (path+size+mtime)
+    val untouched = before.filter { case (p, _, _) =>
+      !affected.exists(v => p.contains(s"cust_bucket=$v")) }
+    assert(untouched.subsetOf(after),
+      s"untouched partition files were rewritten: ${untouched.diff(after)}")
+    assert(affected.nonEmpty && affected.size < 5,
+      s"expected a strict subset of partitions affected, got $affected")
+  }
+
+  test("readJsonl: malformed lines quarantine in _corrupt_record, good " +
+       "rows survive") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+    val docs = Tables.documents(spark, sf).limit(10)
+    graft.sources.Tables.writeJsonl(docs, dir + "/data")
+    // poison one extra file with garbage + one valid line
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir + "/data/part-poison.json"),
+      "this is not json\n{\"doc_id\": 9999, \"text\": \"ok\", \"lang\": \"en\", \"source\": \"s\", \"n_chars\": 2}\n"
+        .getBytes("UTF-8"))
+    // Spark disallows querying ONLY _corrupt_record on an uncached raw scan
+    val back = graft.sources.Tables.readJsonl(spark, dir + "/data", docs.schema)
+      .cache()
+    assert(back.filter(col("_corrupt_record").isNotNull).count() == 1,
+      "malformed line not quarantined")
+    assert(back.filter(col("_corrupt_record").isNull).count() == 11,
+      "valid rows lost")
+  }
+
   test("temperatureSample: smallest source keeps all, rates flatten the " +
        "mix, rerun is identical") {
     import spark.implicits._
