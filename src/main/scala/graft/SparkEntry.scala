@@ -194,6 +194,7 @@ object SparkEntry {
     "ann_topk"        -> ((s, d) => Similarity.topK(Tables.embeddings(s, d))),
     "ann_lsh"         -> ((s, d) => Similarity.lshCandidates(Tables.embeddings(s, d))),
     "ann_ivf"         -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d))),
+    "ann_ivf_q"       -> ((s, d) => Similarity.ivfTopKQuantized(Tables.embeddings(s, d))),
     "dedup_semantic"  -> ((s, d) => Similarity.semanticDedup(Tables.embeddings(s, d))),
     "embedding_pca"   -> ((s, d) => Similarity.embeddingPca(Tables.embeddings(s, d))),
     "dedup_semantic_lsh" -> ((s, d) => Similarity.semanticDedupApprox(Tables.embeddings(s, d))),
@@ -203,6 +204,7 @@ object SparkEntry {
     "token_count"     -> ((s, d) => TextAnalysis.tokenCount(Tables.documents(s, d))),
     "heavy_hitters"   -> ((s, d) => TextAnalysis.heavyHitters(Tables.documents(s, d))),
     "heavy_hitters_approx" -> ((s, d) => TextAnalysis.heavyHittersApprox(Tables.documents(s, d))),
+    "word_freq_cms"   -> ((s, d) => TextAnalysis.wordFreqCms(Tables.documents(s, d))),
     "tfidf_topterms"  -> ((s, d) => TextAnalysis.tfidfTopTerms(Tables.documents(s, d))),
     "doc_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
     "pii_scrub"       -> ((s, d) => TextAnalysis.piiScrub(Tables.documents(s, d))),

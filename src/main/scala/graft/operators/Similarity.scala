@@ -158,6 +158,71 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF search over the int8-QUANTIZED corpus with exact re-ranking — the
+    * two-stage memory/IO shape every billion-vector ANN deployment uses
+    * (FAISS IVF-SQ8): the probe scan reads 1 byte/dim instead of 4, scores
+    * candidates on values reconstructed from the codes, keeps the top
+    * `rerank` per query, and only those survivors ever load their float
+    * vectors for the exact pass. At 100 TB the quantized table is the one
+    * that gets scanned per query — a 4× IO cut on the dominant cost — and
+    * the float fetch is a rerank-sized hash join, not a scan.
+    *
+    * Same cell assignment as [[ivfTopK]] (index build is offline; search
+    * reads are what quantization saves). Rows-only in the driver; the spec
+    * bounds recall against the exact [[topK]]. */
+  def ivfTopKQuantized(embeddings: DataFrame, queryIds: Seq[Long] = Seq(0L, 1L, 2L),
+                       k: Int = 10, nCells: Int = 16, nProbe: Int = 8,
+                       rerank: Int = 30): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val withVec = embeddings.select(col("vec_id"), col("embedding"),
+      array_to_vector(col("embedding").cast("array<double>")).as("features"))
+    val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(10)
+      .fit(withVec.select("features"))
+    val assigned = model.transform(withVec)
+      .select(col("vec_id"), col("prediction").as("cell"))
+    // the scan-side table: codes + dequant params + cell, no floats
+    val q8 = embeddingQuantize(embeddings)
+      .select(col("vec_id"), col("qmin"), col("qmax"), col("q"))
+      .join(assigned, "vec_id")
+    // reconstructed value_j = qmin + code_j * (qmax - qmin)/255
+    def dequant(codes: Column, mn: Column, mx: Column): Column =
+      transform(codes, c => mn + c.cast("double") * (mx - mn) / 255.0)
+        .cast("array<float>") // the fused cosine kernel is float-typed
+    val centroids = model.clusterCenters.map(c => array(c.toArray.map(lit): _*))
+    def sqDist(q: Column, c: Column): Column =
+      aggregate(zip_with(q, c, (x, y) => {
+        val d = x.cast("double") - y
+        d * d
+      }), lit(0.0), (acc, v) => acc + v)
+    val queries = embeddings.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val cellSims = queries.select(col("query_id"), col("qv"),
+      posexplode(array(centroids.map(c => sqDist(col("qv"), c)): _*))
+        .as(Seq("cell", "cell_dist")))
+    val wCell = Window.partitionBy("query_id").orderBy(col("cell_dist").asc, col("cell"))
+    val probed = cellSims.withColumn("r", row_number().over(wCell))
+      .filter(col("r") <= nProbe).select("query_id", "qv", "cell")
+    // stage 1: approximate scores on the quantized scan only
+    val approx = q8.join(broadcast(probed), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(dequant(col("q"), col("qmin"), col("qmax")), col("qv")).as("qcos"))
+    val wA = Window.partitionBy("query_id").orderBy(col("qcos").desc, col("vec_id"))
+    val survivors = approx.withColumn("r", row_number().over(wA))
+      .filter(col("r") <= rerank).select("query_id", "vec_id")
+    // stage 2: exact re-rank — floats load ONLY for the rerank survivors
+    val exact = survivors
+      .join(embeddings.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(queries), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        round4(cosine(col("embedding"), col("qv"))).as("cos_sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id"))
+    exact.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
   /** Multi-table LSH ANN: per table, sign bits against `planesPerTable`
     * fixed pseudo-random hyperplanes (deterministic LCG) form a bucket id;
     * docs sharing a bucket in ANY table are candidates (recall for cos≥0.4

@@ -243,6 +243,28 @@ object TextAnalysis {
       .orderBy(col("est_count").desc, col("word"))
       .limit(topN)
 
+  /** Point-frequency estimates from ONE Count-Min sketch pass
+    * (functions/CountMinAgg.scala): the d×w grid aggregates map-side and
+    * only d·w longs cross the wire — the "how hot is this item" companion
+    * to the Misra-Gries "which items are hot" summary. Probed here for the
+    * exact top-k words so the estimates sit next to their ground truth
+    * (spec asserts est ≥ true always and the CMS overestimate bound);
+    * rows-only in the driver (no xxhash64 in the oracle engine). */
+  def wordFreqCms(documents: DataFrame, k: Int = 20,
+                  depth: Int = 4, width: Int = 2048): DataFrame = {
+    val tok = documents
+      .select(explode(words).as("word"))
+      .filter(col("word") =!= "")
+    val sk = tok.agg(
+      graft.functions.CountMinAgg.sketch(col("word"), depth, width).as("sk"))
+    heavyHitters(documents, k)
+      .crossJoin(broadcast(sk))
+      .select(col("word"), col("n"),
+        graft.functions.CountMinAgg.estimate(col("sk"), col("word"), depth, width)
+          .as("est_n"))
+      .orderBy(col("n").desc, col("word"))
+  }
+
   /** TF-IDF top terms per document. tf shuffles once on (doc, word); df
     * reuses tf's exchange (it aggregates tf's one-row-per-(doc,word)
     * output, so the (doc,word) exchange subtree is shared → Spark plans a

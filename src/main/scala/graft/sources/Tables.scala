@@ -51,8 +51,12 @@ object Tables {
     val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
       "graft_docs_jsonl").getAbsolutePath
     writeJsonl(docs, tmp)
+    // gate on a REAL column (corrupt lines parse as all-null rows): a
+    // `_corrupt_record`-only predicate dies under count()-style column
+    // pruning (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — Spark refuses a scan
+    // whose only referenced column is the internal corrupt-record one
     readJsonl(s, tmp, docs.schema)
-      .filter(col("_corrupt_record").isNull)
+      .filter(col("doc_id").isNotNull)
       .select(docs.columns.map(col): _*)
       .orderBy("doc_id")
   }

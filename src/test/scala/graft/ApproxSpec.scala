@@ -88,6 +88,31 @@ class ApproxSpec extends SparkSpec {
     assert(recall >= 0.4, s"ivf recall $recall")
   }
 
+  test("ann_ivf_q: quantized probe + exact rerank matches plain IVF's " +
+       "recall within the quantization tolerance") {
+    val emb = Tables.embeddings(spark, sf)
+    val exact = Similarity.topK(emb, Seq(0L, 1L, 2L), 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, Seq(0L, 1L, 2L), 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val q = Similarity.ivfTopKQuantized(emb, Seq(0L, 1L, 2L), 10).collect()
+    val qSet = q.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recallVsExact = exact.intersect(qSet).size.toDouble / exact.size
+    val agreeWithIvf = ivf.intersect(qSet).size.toDouble / ivf.size
+    // int8 + rerank=3k must not lose what the same index finds in floats
+    assert(agreeWithIvf >= 0.8, s"quantized IVF diverges from float IVF: $agreeWithIvf")
+    assert(recallVsExact >= 0.4, s"quantized IVF recall vs exact: $recallVsExact")
+    // final scores are EXACT (re-ranked on floats): each (q,v) pair's
+    // cos_sim must equal the exact pipeline's value for shared pairs
+    val exactScores = Similarity.topK(emb, Seq(0L, 1L, 2L), 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    q.foreach { r =>
+      exactScores.get((r.getLong(0), r.getLong(1))).foreach { s =>
+        assert(r.getDouble(2) == s, s"rerank score drifted for ${(r.getLong(0), r.getLong(1))}")
+      }
+    }
+  }
+
   test("semantic dedup: survivors have no more-senior near-twin") {
     val emb = Tables.embeddings(spark, sf)
     val survivors = Similarity.semanticDedup(emb, 0.35)
@@ -176,6 +201,36 @@ class ApproxSpec extends SparkSpec {
         assert(est <= truth && truth - est <= slack,
           s"$w est=$est truth=$truth slack=$slack (parts=$parts)")
       }
+    }
+  }
+
+  test("count-min: est >= true always, overestimate bounded, grid is " +
+       "partition-invariant") {
+    val docs = Tables.documents(spark, sf)
+    val tok = docs.select(explode(graft.util.TextNorm.words(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+    val exact = tok.groupBy("word").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val (depth, width) = (4, 2048)
+    def grid(parts: Int): Seq[Long] = tok.repartition(parts)
+      .agg(graft.functions.CountMinAgg.sketch(col("word"), depth, width).as("sk"))
+      .collect()(0).getSeq[Long](0)
+    // integer adds commute: the grid is a pure function of the multiset
+    assert(grid(1) == grid(7), "sketch depends on partitioning")
+    // probe EVERY word through the declarative estimate path
+    val est = tok.distinct()
+      .crossJoin(broadcast(tok.agg(
+        graft.functions.CountMinAgg.sketch(col("word"), depth, width).as("sk"))))
+      .select(col("word"),
+        graft.functions.CountMinAgg.estimate(col("sk"), col("word"), depth, width)
+          .as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bound = 3.0 * math.E * n / width // 3x the e/w·N tail bound
+    est.foreach { case (w, e) =>
+      val truth = exact(w)
+      assert(e >= truth, s"CMS underestimated $w: $e < $truth")
+      assert(e - truth <= bound, s"$w overestimate ${e - truth} > $bound")
     }
   }
 
