@@ -250,6 +250,12 @@ object OracleSql {
       s"""WITH b AS (SELECT o_orderkey, o_custkey % 256 AS x, (EXTRACT(doy FROM CAST(o_orderdate AS DATE)) - 1) % 256 AS y FROM orders) SELECT o_orderkey, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y, CAST($zTerms AS BIGINT) AS zval FROM b ORDER BY o_orderkey"""
     },
 
+    "cdc_apply" ->
+      """WITH b AS (SELECT o_orderkey, o_orderstatus, o_totalprice, 0 AS seq, 'I' AS op FROM orders), u AS (SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice + 10 AS o_totalprice, 1 AS seq, 'U' AS op FROM orders WHERE o_orderkey % 7 = 0), del AS (SELECT o_orderkey, o_orderstatus, o_totalprice, 2 AS seq, 'D' AS op FROM orders WHERE o_orderkey % 13 = 0), ins AS (SELECT o_orderkey + 6000000 AS o_orderkey, 'N' AS o_orderstatus, o_totalprice, 1 AS seq, 'I' AS op FROM orders WHERE o_orderkey % 101 = 0), a AS (SELECT * FROM b UNION ALL SELECT * FROM u UNION ALL SELECT * FROM del UNION ALL SELECT * FROM ins), r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn FROM a) SELECT o_orderkey, o_orderstatus, o_totalprice FROM r WHERE rn = 1 AND op <> 'D' ORDER BY o_orderkey""",
+
+    "gap_fill" ->
+      """WITH d AS (SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n, MAX(o_totalprice) AS mx FROM orders GROUP BY 1, 2), s AS (SELECT o_orderpriority, CAST(unnest(generate_series(MIN(day), MAX(day), INTERVAL 1 DAY)) AS DATE) AS day FROM d GROUP BY o_orderpriority), j AS (SELECT s.o_orderpriority, s.day, COALESCE(d.n, 0) AS n_orders, d.mx, d.n IS NULL AS was_gap FROM s LEFT JOIN d ON s.o_orderpriority = d.o_orderpriority AND s.day = d.day) SELECT o_orderpriority, day, CAST(n_orders AS BIGINT) AS n_orders, last_value(mx IGNORE NULLS) OVER (PARTITION BY o_orderpriority ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_max_price, was_gap FROM j ORDER BY o_orderpriority, day""",
+
     "gdpr_delete" ->
       s"""SELECT o_orderpriority, COUNT(*) AS n_orders, ${cents("o_totalprice")} AS revenue FROM orders WHERE o_custkey % 97 <> 0 GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 

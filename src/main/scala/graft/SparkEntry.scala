@@ -156,6 +156,8 @@ object SparkEntry {
     "histogram"       -> ((s, d) => Analytics.histogram(Tables.orders(s, d))),
     "streaks"         -> ((s, d) => Analytics.streaks(Tables.events(s, d))),
     "metric_anomaly"  -> ((s, d) => Analytics.metricAnomaly(Tables.orders(s, d))),
+    "gap_fill"        -> ((s, d) => Analytics.gapFill(Tables.orders(s, d))),
+    "cdc_apply"       -> ((s, d) => Incremental.cdcApplyQuery(Tables.orders(s, d))),
     "corr_stats"      -> ((s, d) => Analytics.corrStats(Tables.lineitem(s, d))),
     "skew_report"     -> ((s, d) => Analytics.skewReport(Tables.lineitem(s, d), "l_suppkey")),
     "quantile_bucket" -> ((s, d) => Analytics.quantileBucket(Tables.orders(s, d))),

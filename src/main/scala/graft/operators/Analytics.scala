@@ -353,6 +353,33 @@ object Analytics {
     * calendar. z is computed from round4'd stats so flags can't flip on
     * float dust; the first 10 days per key are 'warmup', zero-variance
     * windows are 'na'. */
+  /** Time-series gap fill — regularize a sparse daily series onto a dense
+    * per-key day spine: missing days materialize with count 0 and the last
+    * observed metric carried forward (`last(..., ignoreNulls)` over the
+    * same (key, day) window the series already shuffles on — no self-join,
+    * no driver loop). The spine explodes from one #keys-row aggregate
+    * (`sequence(min_day, max_day)`), so the only data-scale shuffle is the
+    * daily aggregate itself; the spine join broadcasts the daily side's
+    * keys... at 100 TB both sides hash-partition on (key, day) and the
+    * spine is still map-side amplification of a tiny frame. */
+  def gapFill(orders: DataFrame): DataFrame = {
+    val day = col("o_orderdate").cast("date")
+    val daily = orders.groupBy(col("o_orderpriority"), day.as("day"))
+      .agg(count(lit(1)).as("n"), max("o_totalprice").as("mx"))
+    val spine = daily.groupBy("o_orderpriority")
+      .agg(min("day").as("lo"), max("day").as("hi"))
+      .select(col("o_orderpriority"),
+        explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("day"))
+    val w = Window.partitionBy("o_orderpriority").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("o_orderpriority", "day"), "left")
+      .select(col("o_orderpriority"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n_orders"),
+        last(col("mx"), ignoreNulls = true).over(w).as("last_max_price"),
+        col("n").isNull.as("was_gap"))
+      .orderBy("o_orderpriority", "day")
+  }
+
   def metricAnomaly(orders: DataFrame): DataFrame = {
     val daily = orders
       .groupBy(col("o_orderpriority"),

@@ -213,6 +213,43 @@ object Incremental {
       .orderBy("o_orderkey")
   }
 
+  /** CDC changelog apply — materialize a Debezium/Delta-CDF-style change
+    * stream (op ∈ I/U/D, monotone per-key `seq`) onto a base snapshot:
+    * the latest op per key wins; a winning D removes the row. One shuffle
+    * on the key (window row_number) — the same price as any merge; at
+    * 100 TB prefer bucketing base and changelog on the key so the window
+    * runs exchange-free on the bucketed scan. Base rows enter as seq-0
+    * inserts, so a base-absent key with only a D in the log correctly
+    * yields nothing. */
+  def cdcApply(base: DataFrame, changes: DataFrame, key: String,
+               seqCol: String = "seq", opCol: String = "op"): DataFrame = {
+    val tagged = base.withColumn(seqCol, lit(0L)).withColumn(opCol, lit("I"))
+    val w = Window.partitionBy(key).orderBy(col(seqCol).desc)
+    tagged.unionByName(changes.select(tagged.columns.map(col): _*))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col(opCol) =!= "D")
+      .drop("__rn", seqCol, opCol)
+  }
+
+  /** Driver query for [[cdcApply]]: updates (seq 1) on every 7th key,
+    * deletes (seq 2) on every 13th — a key hit by both loses to the later
+    * delete — plus fresh inserts; oracle restates the window semantics. */
+  def cdcApplyQuery(orders: DataFrame): DataFrame = {
+    val base = orders.select(col("o_orderkey"), col("o_orderstatus"),
+      col("o_totalprice"))
+    def tag(df: DataFrame, seq: Long, op: String): DataFrame =
+      df.withColumn("seq", lit(seq)).withColumn("op", lit(op))
+    val upd = tag(base.filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+        (col("o_totalprice") + 10).as("o_totalprice")), 1L, "U")
+    val del = tag(base.filter(col("o_orderkey") % 13 === 0), 2L, "D")
+    val ins = tag(base.filter(col("o_orderkey") % 101 === 0)
+      .select((col("o_orderkey") + 6000000L).as("o_orderkey"),
+        lit("N").as("o_orderstatus"), col("o_totalprice")), 1L, "I")
+    cdcApply(base, upd.unionByName(del).unionByName(ins), "o_orderkey")
+      .orderBy("o_orderkey")
+  }
+
   /** `append_new_columns`: a new batch arrives with an extra column; old
     * rows get NULL. Spark-first: unionByName(allowMissingColumns). */
   def schemaEvolution(orders: DataFrame): DataFrame = {
