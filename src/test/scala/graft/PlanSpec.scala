@@ -198,6 +198,43 @@ class PlanSpec extends SparkSpec {
            !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("AQE splits a skewed sort-merge join at runtime (skew=true)") {
+    import spark.implicits._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    ).map(k => k -> scala.util.Try(conf.get(k)).toOption.flatMap(Option(_))).toMap
+    try {
+      // thresholds scaled down so a test-sized hot key qualifies as skew
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32k")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32k")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      // one pathological key carries 100x the median; the payload must be
+      // incompressible AND referenced downstream — skew detection sees
+      // COMPRESSED shuffle bytes, and 100k identical key longs lz4 to
+      // almost nothing
+      val big = spark.range(200000)
+        .select(when(col("id") % 2 === 0, 0L).otherwise(col("id")).as("k"),
+                xxhash64(col("id")).as("payload"))
+      val small = spark.range(2000).select(col("id").as("k"), lit("x").as("tag"))
+      // execute THROUGH the handle we inspect: a write/noop spawns its own
+      // QueryExecution and the join's would stay un-executed (empty plan)
+      val joined = big.hint("merge").join(small, "k")
+        .groupBy().agg(max("payload")) // sum would overflow under ANSI
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not split the skewed partition:\n$plan")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _)) }
+  }
+
   test("perplexity model join reuses the token exchange; aggs are partial") {
     val df = TextAnalysis.perplexityScore(Tables.documents(spark, sf))
     df.collect() // AQE materializes exchange reuse only during execution
