@@ -303,6 +303,34 @@ final class Pipeline(models: Seq[Model], exposures: Seq[Exposure] = Nil) {
       .run(spark, sources, targetDir, hooks, fullRefresh)
   }
 
+  /** dbt `--defer --state <prod>`: build ONLY the selected models; any
+    * dependency that is neither selected nor a source resolves from the
+    * deferred state's ARTIFACTS (`deferDir/<name>` parquet) instead of
+    * being rebuilt. This is the slim-CI companion to
+    * [[selectModifiedPlus]]: CI builds the modified closure against prod's
+    * unmodified parents — at 100 TB that is the difference between
+    * rebuilding a handful of marts and replaying the whole warehouse.
+    * Like dbt, a deferred parent must be materialized in the state dir
+    * (views/ephemerals have no artifact to defer to). */
+  def runDeferred(spark: SparkSession, sources: Map[String, DataFrame],
+                  targetDir: String, select: Seq[String], deferDir: String,
+                  hooks: RunHooks = RunHooks.none,
+                  fullRefresh: Boolean = false): Map[String, DataFrame] = {
+    val selected = select.toSet
+    val chosen = models.filter(m => selected.contains(m.name))
+    val deferredDeps = chosen.flatMap(_.deps).distinct
+      .filterNot(d => selected.contains(d) || sources.contains(d))
+    val deferred = deferredDeps.map { d =>
+      val path = s"$deferDir/$d"
+      require(new java.io.File(path).exists(),
+        s"--defer: no artifact for unselected parent '$d' in $deferDir " +
+          "(deferred parents must be materialized in the state dir)")
+      d -> spark.read.parquet(path)
+    }.toMap
+    new Pipeline(chosen)
+      .run(spark, sources ++ deferred, targetDir, hooks, fullRefresh)
+  }
+
   /** Runs the DAG. `targetDir` holds table/incremental materializations.
     * `fullRefresh` = dbt `--full-refresh`: incremental models rebuild from
     * scratch instead of merging into their existing table. */

@@ -325,6 +325,34 @@ class PipelineSpec extends SparkSpec {
     assert(out2 == Set(3L))
   }
 
+  test("--defer: selected model builds against prod artifacts, parents " +
+       "are not rebuilt") {
+    val orders = Tables.orders(spark, sf)
+    val stg = Model("stg_o", Seq("orders"), TableMat(),
+      in => in("orders").select(col("o_orderkey").as("id"),
+        col("o_totalprice").as("v")))
+    val fct = Model("fct_sum", Seq("stg_o"), TableMat(),
+      in => in("stg_o").agg(sum("v").as("total")))
+    val dag = new Pipeline(Seq(stg, fct))
+    // prod run builds everything
+    val prodDir = tmp()
+    val prod = dag.run(spark, Map("orders" -> orders), prodDir)
+    val stgMtime = new java.io.File(s"$prodDir/stg_o").lastModified
+    // CI: only fct is selected (say it was modified); stg defers to prod
+    val ciDir = tmp()
+    val ci = dag.runDeferred(spark, Map("orders" -> orders), ciDir,
+      select = Seq("fct_sum"), deferDir = prodDir)
+    assert(rows(ci("fct_sum")) == rows(prod("fct_sum")))
+    assert(!new java.io.File(s"$ciDir/stg_o").exists, "parent rebuilt in CI dir")
+    assert(new java.io.File(s"$prodDir/stg_o").lastModified == stgMtime,
+      "prod artifact touched")
+    // a parent missing from the state dir is a loud error, not a rebuild
+    val err = intercept[IllegalArgumentException](
+      dag.runDeferred(spark, Map("orders" -> orders), tmp(),
+        select = Seq("fct_sum"), deferDir = tmp()))
+    assert(err.getMessage.contains("--defer"))
+  }
+
   test("salted join returns exactly the plain join's rows") {
     val orders = Tables.orders(spark, sf)
     val customer = Tables.customer(spark, sf)
