@@ -303,6 +303,64 @@ final class Pipeline(models: Seq[Model], exposures: Seq[Exposure] = Nil) {
       .run(spark, sources, targetDir, hooks, fullRefresh)
   }
 
+  /** dbt-style run results: per-model `success` / `error: <msg>` /
+    * `skipped` (an upstream failed). The input to [[retry]]. */
+  type RunResults = Map[String, String]
+
+  /** Failure-tolerant run — dbt's default behavior: a model that throws
+    * marks `error`, its downstream closure marks `skipped`, siblings keep
+    * building. Returns the resolved frames of successful models plus the
+    * status map [[retry]] resumes from. */
+  def runTolerant(spark: SparkSession, sources: Map[String, DataFrame],
+                  targetDir: String, hooks: RunHooks = RunHooks.none,
+                  fullRefresh: Boolean = false): (Map[String, DataFrame], RunResults) = {
+    val status = scala.collection.mutable.Map[String, String]()
+    val good = scala.collection.mutable.Map[String, DataFrame]() ++ sources
+    topoOrder(sources.keySet).foreach { m =>
+      if (!m.deps.forall(d => sources.contains(d) || status.get(d).contains("success")))
+        status(m.name) = "skipped"
+      else try {
+        val out = new Pipeline(Seq(m.copy(deps = Nil)))
+          .run(spark, good.toMap, targetDir, hooks, fullRefresh)(m.name)
+        good(m.name) = out
+        status(m.name) = "success"
+      } catch { case e: Exception =>
+        status(m.name) = s"error: ${Option(e.getMessage).getOrElse(e.getClass.getName).take(200)}"
+      }
+    }
+    ((good -- sources.keys).toMap, status.toMap)
+  }
+
+  /** dbt `retry`: re-run ONLY the models the previous invocation did not
+    * complete (`error` + `skipped`), resolving successful parents from
+    * their artifacts in `targetDir` — table-family materializations read
+    * back; view/ephemeral successes (no physical artifact) recompute,
+    * they are lazy plans. A clean previous run retries nothing. */
+  def retry(spark: SparkSession, sources: Map[String, DataFrame],
+            targetDir: String, prev: RunResults,
+            hooks: RunHooks = RunHooks.none,
+            fullRefresh: Boolean = false): (Map[String, DataFrame], RunResults) = {
+    val failed = prev.collect { case (n, s) if s != "success" => n }.toSet
+    val rerun = models.filter { m =>
+      failed.contains(m.name) || (m.materialization match {
+        case ViewMat | EphemeralMat => true // lazy, free to re-resolve
+        case _ => false
+      })
+    }
+    val rerunNames = rerun.map(_.name).toSet
+    val artifactDeps = rerun.flatMap(_.deps).distinct
+      .filterNot(d => rerunNames.contains(d) || sources.contains(d))
+      .map { d =>
+        val path = s"$targetDir/$d"
+        require(new java.io.File(path).exists(),
+          s"retry: successful parent '$d' has no artifact in $targetDir")
+        d -> spark.read.parquet(path)
+      }.toMap
+    val (out, st) = new Pipeline(rerun)
+      .runTolerant(spark, sources ++ artifactDeps, targetDir, hooks, fullRefresh)
+    (out, prev.filter { case (n, s) => s == "success" && !rerunNames.contains(n) } ++ st)
+  }
+
   /** dbt `--defer --state <prod>`: build ONLY the selected models; any
     * dependency that is neither selected nor a source resolves from the
     * deferred state's ARTIFACTS (`deferDir/<name>` parquet) instead of

@@ -353,6 +353,38 @@ class PipelineSpec extends SparkSpec {
     assert(err.getMessage.contains("--defer"))
   }
 
+  test("retry: failed model and its skipped downstream re-run; successful " +
+       "parent's artifact is reused untouched") {
+    val orders = Tables.orders(spark, sf)
+    var bomb = true // first build of `mid` throws, the retry succeeds
+    val a = Model("base_t", Seq("orders"), TableMat(),
+      in => in("orders").select(col("o_orderkey").as("id"),
+        col("o_totalprice").as("v")))
+    val b = Model("mid", Seq("base_t"), TableMat(),
+      in => { if (bomb) throw new RuntimeException("flaky upstream")
+              in("base_t").filter(col("v") > 100) })
+    val c = Model("leaf", Seq("mid"), TableMat(),
+      in => in("mid").agg(count(lit(1)).as("n")))
+    val dag = new Pipeline(Seq(a, b, c))
+    val dir = tmp()
+    val (out1, st1) = dag.runTolerant(spark, Map("orders" -> orders), dir)
+    assert(st1("base_t") == "success" && st1("mid").startsWith("error") &&
+           st1("leaf") == "skipped", st1.toString)
+    assert(out1.contains("base_t") && !out1.contains("leaf"))
+    val baseMtime = new java.io.File(s"$dir/base_t").lastModified
+    bomb = false
+    val (out2, st2) = dag.retry(spark, Map("orders" -> orders), dir, st1)
+    assert(st2.values.forall(_ == "success"), st2.toString)
+    assert(new java.io.File(s"$dir/base_t").lastModified == baseMtime,
+      "successful parent was rebuilt on retry")
+    // leaf is correct against the reused artifact
+    val expected = orders.filter(col("o_totalprice") > 100).count()
+    assert(out2("leaf").collect()(0).getLong(0) == expected)
+    // a clean run retries nothing and stays all-success
+    val (_, st3) = dag.retry(spark, Map("orders" -> orders), dir, st2)
+    assert(st3.values.forall(_ == "success"))
+  }
+
   test("salted join returns exactly the plain join's rows") {
     val orders = Tables.orders(spark, sf)
     val customer = Tables.customer(spark, sf)
