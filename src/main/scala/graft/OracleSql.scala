@@ -199,6 +199,9 @@ object OracleSql {
     "union_relations" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority, CAST(NULL AS BIGINT) AS build_id, 'prod' AS _dbt_source_relation FROM orders UNION ALL SELECT o_orderkey, CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE), o_orderpriority, 1, 'dev' FROM orders WHERE o_orderkey % 10 = 0 ORDER BY _dbt_source_relation, o_orderkey""",
 
+    "stream_observe" ->
+      s"""SELECT COUNT(*) AS n_rows, ${cents("value")} AS total_value FROM events""",
+
     "stream_totals" ->
       s"""SELECT user_id, COUNT(*) AS n_events, ${cents("value")} AS total_value FROM events GROUP BY user_id ORDER BY user_id""",
 

@@ -244,6 +244,7 @@ object SparkEntry {
     "stream_join"       -> ((s, d) => graft.streaming.StreamOps.runIntervalJoin(s, d)),
     "stream_totals"     -> ((s, d) => graft.streaming.StreamOps.runRunningTotals(s, d)),
     "stream_session_window" -> ((s, d) => graft.streaming.StreamOps.runSessionWindow(s, d)),
+    "stream_observe"    -> ((s, d) => graft.streaming.StreamOps.runObserved(s, d)),
     "customer_ltv"      -> ((s, d) => Analytics.customerLtv(Tables.customer(s, d), Tables.orders(s, d))),
   )
 

@@ -161,12 +161,19 @@ object Materialize {
     * ZORDER BY`, where a single-column sort can only serve predicates on
     * that one column. Pure bitwise arithmetic: codegen'd, scan-bound,
     * engine-portable (the oracle spells the identical shift/mask terms). */
-  def zValue(x: Column, y: Column, bits: Int = 8): Column = {
-    require(bits >= 1 && bits <= 31)
-    (0 until bits).map { k =>
-      shiftleft(shiftright(x, k).bitwiseAND(1), 2 * k) +
-        shiftleft(shiftright(y, k).bitwiseAND(1), 2 * k + 1)
-    }.reduce(_ + _)
+  def zValue(x: Column, y: Column, bits: Int = 8): Column =
+    zValueN(Seq(x, y), bits)
+
+  /** N-dimensional Morton key: bit k of dimension j lands at position
+    * k·N + j (round-robin interleave — the 2-D [[zValue]] is the N=2
+    * case). Total bits must fit a positive long. */
+  def zValueN(cols: Seq[Column], bits: Int = 8): Column = {
+    require(cols.nonEmpty && bits >= 1 && cols.size * bits <= 62,
+      s"${cols.size} dims x $bits bits must fit a long")
+    val n = cols.size
+    (for { k <- 0 until bits; (c, j) <- cols.zipWithIndex }
+      yield shiftleft(shiftright(c, k).bitwiseAND(1), k * n + j))
+      .reduce(_ + _)
   }
 
   /** Driver query: the Morton key over a 256×256 (customer-bucket ×

@@ -116,6 +116,36 @@ object StreamOps {
       .select(col("event_type"), unix_timestamp(col("window.start")).as("window_start"),
               col("n_events"), col("total_value"))
 
+  /** Streaming observability — `observe()` metrics riding the source scan:
+    * row counts and an exact integer-cents value sum accumulate INLINE in
+    * each micro-batch (no second pass over the stream, no extra shuffle)
+    * and are harvested from the query's progress events. This is how a
+    * production pipeline meters throughput/completeness per batch without
+    * paying for a monitoring query; summing the per-batch longs is exact,
+    * so the total is oracle-checkable against the batch aggregate. The
+    * observation sits BEFORE the windowed agg, so complete-mode re-emission
+    * cannot double-count: each input row is observed exactly once.
+    * (`recentProgress` retains ~100 progress events — plenty for an
+    * AvailableNow backfill; a long-lived production query harvests the
+    * same rows from a `StreamingQueryListener` instead.) */
+  def runObserved(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val observed = eventsStream(spark, dir)
+      .observe("ingest", count(lit(1)).as("n_rows"),
+        sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+    val q = tumblingAgg(observed).writeStream
+      .format("noop")
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val perBatch = q.recentProgress.toSeq
+      .flatMap(p => Option(p.observedMetrics.get("ingest")))
+    val nRows = perBatch.map(_.getLong(0)).sum
+    val cents = perBatch.map(r => if (r.isNullAt(1)) 0L else r.getLong(1)).sum
+    Seq((nRows, cents / 100.0)).toDF("n_rows", "total_value")
+  }
+
   /** Runs [[tumblingAgg]] over the parquet source to completion and returns
     * the final result (memory sink, complete mode). */
   def runTumbling(spark: SparkSession, dir: String): DataFrame = {

@@ -26,6 +26,13 @@ class LayoutSpec extends SparkSpec {
     // lower-left quadrant sorts before any of the upper-right
     val q1 = ref(127, 127, 8); val q2 = ref(128, 128, 8)
     assert(q1 < q2)
+    // N-dim generalization: bit k of dim j at position k*N + j
+    def refN(vs: Seq[Long], bits: Int): Long =
+      (for (k <- 0 until bits; j <- vs.indices)
+        yield ((vs(j) >> k) & 1) << (k * vs.size + j)).sum
+    val df3 = spark.createDataFrame(Seq((5L, 9L, 14L))).toDF("a", "b", "c")
+      .withColumn("z", Materialize.zValueN(Seq(col("a"), col("b"), col("c")), 4))
+    assert(df3.collect()(0).getLong(3) == refN(Seq(5L, 9L, 14L), 4))
   }
 
   test("zorderCluster: files bound BOTH dimensions; a 1-D sort cannot") {
