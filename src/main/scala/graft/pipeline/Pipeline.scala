@@ -62,7 +62,8 @@ final case class Model(name: String, deps: Seq[String],
                        description: String = "",
                        checksum: String = "",
                        tags: Seq[String] = Nil,
-                       columnDocs: Map[String, String] = Map.empty)
+                       columnDocs: Map[String, String] = Map.empty,
+                       tests: Seq[(String, DataFrame => DataFrame)] = Nil)
 
 /** A dbt exposure — reference models/exposures.yml: a downstream artifact
   * (dashboard, report, ML application) whose lineage hangs off models.
@@ -331,6 +332,41 @@ final class Pipeline(models: Seq[Model], exposures: Seq[Exposure] = Nil) {
     ((good -- sources.keys).toMap, status.toMap)
   }
 
+  /** dbt `build`: run + test interleaved in DAG order — each model's
+    * attached tests (a function returning VIOLATION rows, the dbt test
+    * convention) execute right after it materializes, and a failing test
+    * gates the downstream closure exactly like a build error would: bad
+    * data never propagates into children. Statuses: `success`,
+    * `error: ...`, `fail: test <name> (<k> violations)`, `skipped`.
+    * [[retry]] resumes a failed build the same way it resumes a run. */
+  def build(spark: SparkSession, sources: Map[String, DataFrame],
+            targetDir: String, hooks: RunHooks = RunHooks.none,
+            fullRefresh: Boolean = false): (Map[String, DataFrame], RunResults) = {
+    val status = scala.collection.mutable.Map[String, String]()
+    val good = scala.collection.mutable.Map[String, DataFrame]() ++ sources
+    topoOrder(sources.keySet).foreach { m =>
+      if (!m.deps.forall(d => sources.contains(d) || status.get(d).contains("success")))
+        status(m.name) = "skipped"
+      else try {
+        val out = new Pipeline(Seq(m.copy(deps = Nil)))
+          .run(spark, good.toMap, targetDir, hooks, fullRefresh)(m.name)
+        val failedTest = m.tests.view
+          .map { case (tn, t) => tn -> t(out).limit(1000).count() }
+          .find(_._2 > 0)
+        failedTest match {
+          case Some((tn, k)) =>
+            status(m.name) = s"fail: test $tn ($k violations)"
+          case None =>
+            good(m.name) = out
+            status(m.name) = "success"
+        }
+      } catch { case e: Exception =>
+        status(m.name) = s"error: ${Option(e.getMessage).getOrElse(e.getClass.getName).take(200)}"
+      }
+    }
+    ((good -- sources.keys).toMap, status.toMap)
+  }
+
   /** dbt `retry`: re-run ONLY the models the previous invocation did not
     * complete (`error` + `skipped`), resolving successful parents from
     * their artifacts in `targetDir` — table-family materializations read
@@ -356,8 +392,11 @@ final class Pipeline(models: Seq[Model], exposures: Seq[Exposure] = Nil) {
           s"retry: successful parent '$d' has no artifact in $targetDir")
         d -> spark.read.parquet(path)
       }.toMap
+    // retry re-runs with BUILD semantics: attached tests re-execute on the
+    // retried models (dbt retry of a `build` re-tests); models without
+    // tests degenerate to plain runs
     val (out, st) = new Pipeline(rerun)
-      .runTolerant(spark, sources ++ artifactDeps, targetDir, hooks, fullRefresh)
+      .build(spark, sources ++ artifactDeps, targetDir, hooks, fullRefresh)
     (out, prev.filter { case (n, s) => s == "success" && !rerunNames.contains(n) } ++ st)
   }
 

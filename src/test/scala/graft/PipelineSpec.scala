@@ -385,6 +385,28 @@ class PipelineSpec extends SparkSpec {
     assert(st3.values.forall(_ == "success"))
   }
 
+  test("build: a failing test gates downstream like a build error; clean " +
+       "tests pass through") {
+    val orders = Tables.orders(spark, sf)
+    var ceiling = 0.0 // first build: everything violates; then none
+    val stg = Model("stg_b", Seq("orders"), TableMat(),
+      in => in("orders").select(col("o_orderkey").as("id"),
+        col("o_totalprice").as("v")),
+      tests = Seq("v_below_ceiling" ->
+        ((df: org.apache.spark.sql.DataFrame) => df.filter(col("v") > ceiling))))
+    val fct = Model("fct_b", Seq("stg_b"), TableMat(),
+      in => in("stg_b").agg(count(lit(1)).as("n")))
+    val dag = new Pipeline(Seq(stg, fct))
+    val dir = tmp()
+    val (out1, st1) = dag.build(spark, Map("orders" -> orders), dir)
+    assert(st1("stg_b").startsWith("fail: test v_below_ceiling"), st1.toString)
+    assert(st1("fct_b") == "skipped" && !out1.contains("fct_b"))
+    ceiling = Double.MaxValue
+    val (out2, st2) = dag.retry(spark, Map("orders" -> orders), dir, st1)
+    assert(st2.values.forall(_ == "success"), st2.toString)
+    assert(out2("fct_b").collect()(0).getLong(0) == orders.count())
+  }
+
   test("salted join returns exactly the plain join's rows") {
     val orders = Tables.orders(spark, sf)
     val customer = Tables.customer(spark, sf)
