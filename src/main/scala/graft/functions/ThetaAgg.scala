@@ -1,0 +1,142 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+
+/** KMV ("k minimum values") theta sketch — the mergeable distinct-count
+  * summary behind Druid/Pinot theta sketches (Beyer et al., SIGMOD'07):
+  * keep the k SMALLEST 64-bit hashes of the values seen. With u(h) the
+  * hash normalized to [0,1) and θ = u(k-th smallest), the distinct count
+  * estimates as (k−1)/θ (exact when fewer than k distincts arrived), with
+  * relative error ≈ 1/√(k−2).
+  *
+  * What HLL can't do and this can: the retained hashes are a UNIFORM
+  * SAMPLE of the distinct values, so sketches COMPOSE — union = merge the
+  * sets and re-trim; intersection = count common hashes below min(θa, θb)
+  * and divide by it. "Distinct users in segment A ∩ B" over 100 TB becomes
+  * pure arithmetic on two k-long arrays. Merge is associative/commutative
+  * and the result is a pure function of the value multiset — partition-
+  * invariant, map-side combined, k longs per partition on the wire.
+  *
+  * `eval` returns the retained hashes sorted ascending; θ and the
+  * estimates stay DECLARATIVE (see [[ThetaAgg.estimate]] and friends) so
+  * the set algebra is visible in the plan, not buried in the aggregate. */
+case class ThetaSketch(child: Expression, k: Int,
+                       mutableAggBufferOffset: Int = 0,
+                       inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+    with UnaryLike[Expression] {
+
+  require(k >= 16 && k <= 65536, "k in [16, 65536]")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: ArrayType | _: MapType | _: StructType =>
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_theta expects an atomic column, got ${child.dataType.simpleString}")
+    case _ => TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  private def add(buf: java.util.TreeSet[java.lang.Long], h: Long): Unit = {
+    if (buf.size < k) { buf.add(h); () }
+    else if (h < buf.last) {
+      if (buf.add(h)) buf.pollLast()
+      ()
+    }
+  }
+
+  override def update(buf: java.util.TreeSet[java.lang.Long],
+                      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) add(buf, XxHash64Function.hash(v, child.dataType, 42L))
+    buf
+  }
+
+  override def merge(a: java.util.TreeSet[java.lang.Long],
+                     b: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    val it = b.iterator()
+    while (it.hasNext) add(a, it.next())
+    a
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val arr = new Array[Any](buf.size)
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = it.next().longValue(); i += 1 }
+    new GenericArrayData(arr) // ascending — TreeSet iterates sorted
+  }
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + buf.size * 8)
+    bb.putInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new java.util.TreeSet[java.lang.Long]()
+    (0 until n).foreach(_ => buf.add(bb.getLong))
+    buf
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_theta"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ThetaSketch =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ThetaSketch =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): ThetaSketch =
+    copy(child = newChild)
+}
+
+object ThetaAgg {
+  import org.apache.spark.sql.functions._
+
+  /** Aggregate Column: the k smallest value hashes, sorted ascending. */
+  def sketch(value: Column, k: Int = 256): Column =
+    Bridge.column(ThetaSketch(Bridge.expression(value), k)
+      .toAggregateExpression())
+
+  /** hash → uniform [0,1): shift the signed long range onto the unit
+    * interval. Pure arithmetic, codegen'd. */
+  private def u(h: Column): Column =
+    h.cast("double") / 1.8446744073709552e19 + 0.5
+
+  /** θ of a sketch: u(k-th smallest) when saturated, else 1 (exact). */
+  def theta(sk: Column, k: Int = 256): Column =
+    when(size(sk) >= k, u(element_at(sk, k))).otherwise(lit(1.0))
+
+  /** Distinct-count estimate of one sketch. */
+  def estimate(sk: Column, k: Int = 256): Column =
+    when(size(sk) < k, size(sk).cast("double"))
+      .otherwise(lit(k - 1) / theta(sk, k))
+
+  /** Distinct-count estimate of the UNION: distinct merged hashes below
+    * min(θa, θb), scaled by it. */
+  def unionEstimate(a: Column, b: Column, k: Int = 256): Column = {
+    val tm = least(theta(a, k), theta(b, k))
+    size(filter(array_distinct(concat(a, b)), h => u(h) < tm)).cast("double") / tm
+  }
+
+  /** Distinct-count estimate of the INTERSECTION: common hashes below
+    * min(θa, θb), scaled by it — the composition HLL cannot express. */
+  def intersectionEstimate(a: Column, b: Column, k: Int = 256): Column = {
+    val tm = least(theta(a, k), theta(b, k))
+    size(filter(array_intersect(a, b), h => u(h) < tm)).cast("double") / tm
+  }
+}

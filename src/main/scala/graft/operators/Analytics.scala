@@ -353,6 +353,37 @@ object Analytics {
     * calendar. z is computed from round4'd stats so flags can't flip on
     * float dust; the first 10 days per key are 'warmup', zero-variance
     * windows are 'na'. */
+  /** Theta-sketch segment algebra — "how many distinct users are in
+    * segment A, B, their union, their INTERSECTION" from one scan and two
+    * k-long arrays (functions/ThetaAgg.scala). HLL answers the first
+    * three; only a sampling sketch composes under intersection. Exact
+    * ground truth rides beside the estimates (one user-grouped aggregate)
+    * so the output is self-auditing; at 100 TB you'd drop the exact half
+    * — that is the half that shuffles one row per distinct user, while the
+    * sketch half ships k longs per partition. Rows-only (estimates); the
+    * spec bounds relative error at saturation and pins exact mode under
+    * k + partition invariance. */
+  def thetaSegments(events: DataFrame, k: Int = 256): DataFrame = {
+    import graft.functions.ThetaAgg._
+    val a = when(col("event_type") === "click", col("user_id"))
+    val b = when(col("event_type") === "purchase", col("user_id"))
+    val sk = events.agg(sketch(a, k).as("ska"), sketch(b, k).as("skb"))
+      .select(
+        round4(estimate(col("ska"), k)).as("est_click"),
+        round4(estimate(col("skb"), k)).as("est_purchase"),
+        round4(unionEstimate(col("ska"), col("skb"), k)).as("est_union"),
+        round4(intersectionEstimate(col("ska"), col("skb"), k)).as("est_intersect"))
+    val per = events.filter(col("event_type").isin("click", "purchase"))
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === "click", 1).otherwise(0)).as("ha"),
+           max(when(col("event_type") === "purchase", 1).otherwise(0)).as("hb"))
+    val exact = per.agg(
+      sum("ha").as("exact_click"), sum("hb").as("exact_purchase"),
+      count(lit(1)).as("exact_union"),
+      sum(col("ha") * col("hb")).as("exact_intersect"))
+    sk.crossJoin(broadcast(exact))
+  }
+
   /** Time-series gap fill — regularize a sparse daily series onto a dense
     * per-key day spine: missing days materialize with count 0 and the last
     * observed metric carried forward (`last(..., ignoreNulls)` over the
