@@ -503,6 +503,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         MisraGriesSummary(children.head,
           litInt("graft_heavy_hitters", children(1))).toAggregateExpression()
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_cms"),
+      new ExpressionInfo(classOf[CountMinSketch].getName, "graft_cms"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          s"graft_cms requires exactly 3 arguments (item, depth, width), got ${children.size}")
+        CountMinSketch(children.head, litInt("graft_cms", children(1)),
+          litInt("graft_cms", children(2))).toAggregateExpression()
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_theta"),
+      new ExpressionInfo(classOf[ThetaSketch].getName, "graft_theta"),
+      (children: Seq[Expression]) => {
+        arity2("graft_theta", children)
+        ThetaSketch(children.head,
+          litInt("graft_theta", children(1))).toAggregateExpression()
+      }))
     // whole-operator extension: plans graft.plans.TopKPerKey logical nodes
     ext.injectPlannerStrategy(_ => graft.plans.GraftStrategy)
   }

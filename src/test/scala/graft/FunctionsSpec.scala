@@ -132,5 +132,15 @@ class FunctionsSpec extends SparkSpec {
       .head.getSeq[org.apache.spark.sql.Row](0)
       .map(r => r.getString(0) -> r.getLong(1))
     assert(got == Seq("a" -> 3L, "b" -> 1L, "c" -> 1L), s"got $got")
+    // CMS grid: d=2 x w=16 longs, total mass = 2 rows per item per depth
+    val cms = fresh.sql(
+      "SELECT graft_cms(w, 2, 16) AS sk FROM VALUES ('x'),('y'),('x') t(w)")
+      .head.getSeq[Long](0)
+    assert(cms.length == 32 && cms.sum == 6, s"cms: $cms")
+    // theta below saturation: 3 retained hashes = exact distinct count
+    val th = fresh.sql(
+      "SELECT graft_theta(w, 16) AS sk FROM VALUES ('x'),('y'),('x'),('z') t(w)")
+      .head.getSeq[Long](0)
+    assert(th.length == 3, s"theta: $th")
   }
 }
