@@ -131,6 +131,8 @@ object SparkEntry {
     "sample_per_group"  -> ((s, d) => Curation.samplePerGroup(Tables.documents(s, d))),
     "doc_chunk"         -> ((s, d) => Curation.docChunk(Tables.documents(s, d))),
     "dedup_survivors"   -> ((s, d) => Dedup.dedupSurvivors(Tables.documents(s, d))),
+    "dedup_survivors_quality" -> ((s, d) => Dedup.dedupSurvivorsByQuality(Tables.documents(s, d))),
+    "split_train_val_test" -> ((s, d) => Curation.trainValTestSplit(Tables.documents(s, d))),
     "embedding_quantize" -> ((s, d) => Similarity.embeddingQuantize(Tables.embeddings(s, d))),
     // B. analytic core
     "q1_agg"          -> ((s, d) => Analytics.pricingSummary(Tables.lineitem(s, d))),

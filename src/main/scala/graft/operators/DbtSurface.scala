@@ -520,6 +520,31 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Deterministic train/val/test split — the first step of every training
+    * pipeline, engine-portable and reshuffle-proof: each doc's 24-bit
+    * md5(doc_id) draw lands in [0, 0.8) → train, [0.8, 0.9) → val,
+    * [0.9, 1) → test. Thresholds are exact integers at 16^6 scale so no
+    * float compare can flip a document between engines; membership is a
+    * pure function of the key, so regenerating the corpus (any order, any
+    * partitioning, any engine) keeps every doc in its split — the property
+    * that prevents silent train/test leakage across pipeline reruns.
+    * Scan-bound: no shuffle, no RNG state. */
+  def trainValTestSplit(documents: DataFrame,
+                        trainFrac: Double = 0.8,
+                        valFrac: Double = 0.1): DataFrame = {
+    require(trainFrac > 0 && valFrac >= 0 && trainFrac + valFrac < 1)
+    val scale = 1L << 24
+    val tTrain = (trainFrac * scale).toLong
+    val tVal = ((trainFrac + valFrac) * scale).toLong
+    val draw = conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+      .cast("long")
+    documents.select(col("doc_id"), col("lang"),
+        when(draw < tTrain, "train")
+          .when(draw < tVal, "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic EXACT-k uniform sample per stratum: each doc draws
     * md5(doc_id) — an engine-portable pseudo-random tag — and the k
     * smallest draws per language win. Unlike Bernoulli [[stratifiedSample]]

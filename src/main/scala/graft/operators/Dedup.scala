@@ -282,6 +282,31 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Survivor selection by QUALITY instead of seniority — what production
+    * dedup actually keeps: within each near-dup cluster the doc with the
+    * best quality signal wins (tie → lower id), not the lowest id. The
+    * quality signal here is the structural word count (swap in any score
+    * column — [[TextAnalysis.qualityScore]], a perplexity, a classifier
+    * prob); one window over the cluster labels picks the canonical doc.
+    * Unclustered docs survive unconditionally. Same shuffle budget as
+    * [[dedupSurvivors]] plus one window on cluster_id. */
+  def dedupSurvivorsByQuality(documents: DataFrame,
+                              threshold: Double = 0.5): DataFrame = {
+    val quality = documents.select(col("doc_id"),
+      size(graft.util.TextNorm.words(col("text"))).as("q"))
+    val labeled = clusters(documents, threshold) // doc_id, cluster_id, size
+      .join(quality, "doc_id")
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("q").desc, col("doc_id"))
+    val losers = labeled
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") =!= 1)
+      .select("doc_id")
+    documents.join(losers, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+  }
+
   /** The 100 TB clustering path: edges come from [[minhashLsh]] band
     * buckets (candidates ≈ O(near-dups), no block enumeration) instead of
     * the exact blocked pair join. CC is robust to the bounded edge loss —
