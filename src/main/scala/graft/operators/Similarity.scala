@@ -117,41 +117,58 @@ object Similarity {
     * a query searches only the `nProbe` closest cells. The scan per query
     * drops from n to ~n*nProbe/k — the classic disk-friendly ANN layout;
     * recall vs [[topK]] is spec-bounded. */
-  def ivfTopK(embeddings: DataFrame, queryIds: Seq[Long] = Seq(0L, 1L, 2L),
-              k: Int = 10, nCells: Int = 16, nProbe: Int = 8): DataFrame = {
+  /** Offline half of IVF: k-means cell per vector + the tiny centroid
+    * list as literal columns. At 100 TB this builds ONCE and persists
+    * (cell is just another table column); both the float and the
+    * quantized searchers consume it. */
+  final case class IvfIndex(assigned: DataFrame, centroids: Seq[Column])
+
+  def buildIvfIndex(embeddings: DataFrame, nCells: Int = 16): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val spark = embeddings.sparkSession
-    val withVec = embeddings.select(col("vec_id"), col("label"), col("embedding"),
+    val withVec = embeddings.select(col("vec_id"), col("embedding"),
       array_to_vector(col("embedding").cast("array<double>")).as("features"))
     val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(10)
       .fit(withVec.select("features"))
     val assigned = model.transform(withVec)
       .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
     // centroid list is tiny (k rows) — ship as a literal array column
-    val centroids = model.clusterCenters.map(c =>
-      array(c.toArray.map(lit): _*))
-    // squared Euclidean distance — the SAME metric k-means assigned cells
-    // with; ranking probes by cosine instead would mismatch the index
-    // geometry and silently hurt recall on unnormalized embeddings
-    def sqDist(q: Column, c: Column): Column =
-      aggregate(zip_with(q, c, (x, y) => {
-        val d = x.cast("double") - y
-        d * d
-      }), lit(0.0), (acc, v) => acc + v)
-    val queries = assigned.filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
-    // rank cells per query by centroid distance, keep nProbe
-    val cellSims = queries.select(col("query_id"), col("q"),
-      posexplode(array(centroids.map(c => sqDist(col("q"), c)): _*))
+    IvfIndex(assigned, model.clusterCenters.map(c =>
+      array(c.toArray.map(lit): _*)).toSeq)
+  }
+
+  /** Squared Euclidean distance — the SAME metric k-means assigned cells
+    * with; ranking probes by cosine instead would mismatch the index
+    * geometry and silently hurt recall on unnormalized embeddings. */
+  private def sqDist(q: Column, c: Column): Column =
+    aggregate(zip_with(q, c, (x, y) => {
+      val d = x.cast("double") - y
+      d * d
+    }), lit(0.0), (acc, v) => acc + v)
+
+  /** Online half of IVF cell selection: rank the index's centroids per
+    * query, keep the nProbe nearest cells. Input (query_id, qv) →
+    * (query_id, qv, cell). */
+  private def probeCells(index: IvfIndex, queries: DataFrame,
+                         nProbe: Int): DataFrame = {
+    val cellSims = queries.select(col("query_id"), col("qv"),
+      posexplode(array(index.centroids.map(c => sqDist(col("qv"), c)): _*))
         .as(Seq("cell", "cell_dist")))
     val wCell = Window.partitionBy("query_id").orderBy(col("cell_dist").asc, col("cell"))
-    val probed = cellSims.withColumn("r", row_number().over(wCell))
-      .filter(col("r") <= nProbe).select("query_id", "q", "cell")
-    val scored = assigned.join(broadcast(probed), Seq("cell"))
+    cellSims.withColumn("r", row_number().over(wCell))
+      .filter(col("r") <= nProbe).select("query_id", "qv", "cell")
+  }
+
+  def ivfTopK(embeddings: DataFrame, queryIds: Seq[Long] = Seq(0L, 1L, 2L),
+              k: Int = 10, nCells: Int = 16, nProbe: Int = 8): DataFrame = {
+    val index = buildIvfIndex(embeddings, nCells)
+    val queries = embeddings.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val probed = probeCells(index, queries, nProbe)
+    val scored = index.assigned.join(broadcast(probed), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        round4(cosine(col("embedding"), col("q"))).as("cos_sim"))
+        round4(cosine(col("embedding"), col("qv"))).as("cos_sim"))
     val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
@@ -173,36 +190,18 @@ object Similarity {
   def ivfTopKQuantized(embeddings: DataFrame, queryIds: Seq[Long] = Seq(0L, 1L, 2L),
                        k: Int = 10, nCells: Int = 16, nProbe: Int = 8,
                        rerank: Int = 30): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val withVec = embeddings.select(col("vec_id"), col("embedding"),
-      array_to_vector(col("embedding").cast("array<double>")).as("features"))
-    val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(10)
-      .fit(withVec.select("features"))
-    val assigned = model.transform(withVec)
-      .select(col("vec_id"), col("prediction").as("cell"))
+    val index = buildIvfIndex(embeddings, nCells)
     // the scan-side table: codes + dequant params + cell, no floats
     val q8 = embeddingQuantize(embeddings)
       .select(col("vec_id"), col("qmin"), col("qmax"), col("q"))
-      .join(assigned, "vec_id")
+      .join(index.assigned.select("vec_id", "cell"), "vec_id")
     // reconstructed value_j = qmin + code_j * (qmax - qmin)/255
     def dequant(codes: Column, mn: Column, mx: Column): Column =
       transform(codes, c => mn + c.cast("double") * (mx - mn) / 255.0)
         .cast("array<float>") // the fused cosine kernel is float-typed
-    val centroids = model.clusterCenters.map(c => array(c.toArray.map(lit): _*))
-    def sqDist(q: Column, c: Column): Column =
-      aggregate(zip_with(q, c, (x, y) => {
-        val d = x.cast("double") - y
-        d * d
-      }), lit(0.0), (acc, v) => acc + v)
     val queries = embeddings.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val cellSims = queries.select(col("query_id"), col("qv"),
-      posexplode(array(centroids.map(c => sqDist(col("qv"), c)): _*))
-        .as(Seq("cell", "cell_dist")))
-    val wCell = Window.partitionBy("query_id").orderBy(col("cell_dist").asc, col("cell"))
-    val probed = cellSims.withColumn("r", row_number().over(wCell))
-      .filter(col("r") <= nProbe).select("query_id", "qv", "cell")
+    val probed = probeCells(index, queries, nProbe)
     // stage 1: approximate scores on the quantized scan only
     val approx = q8.join(broadcast(probed), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
