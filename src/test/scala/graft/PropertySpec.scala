@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+
+/** Property-based checks for the algebraic kernels: the invariants hold on
+  * ARBITRARY inputs, not just the fixtures the example tests picked. Driver-
+  * side reference implementations keep each property fast (one Spark job per
+  * test, generated data checked in bulk). */
+class PropertySpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  /** Deterministic Gen sampling (no scalatest-scalacheck bridge in the
+    * offline cache): n samples from fixed seeds, each asserted in full. */
+  private def forAllSampled[T](gen: Gen[T], n: Int = 10)(body: T => Unit): Unit = {
+    val params = Gen.Parameters.default
+    var seed = org.scalacheck.rng.Seed(42L)
+    (0 until n).foreach { _ =>
+      gen.apply(params, seed).foreach(body)
+      seed = seed.next
+    }
+  }
+
+  test("zValueN equals the reference interleave for random dims/bits/values") {
+    import spark.implicits._
+    def refN(vs: Seq[Long], bits: Int): Long =
+      (for (k <- 0 until bits; j <- vs.indices)
+        yield ((vs(j) >> k) & 1) << (k * vs.size + j)).sum
+    val gen = for {
+      n <- Gen.choose(1, 4)
+      bits <- Gen.choose(1, 62 / n)
+      rows <- Gen.listOfN(20, Gen.listOfN(n, Gen.choose(0L, (1L << bits) - 1)))
+    } yield (n, bits, rows)
+    forAllSampled(gen) { case (n, bits, rows) =>
+      val df = rows.map(r => Tuple1(r)).toDF("vs")
+      val cols = (0 until n).map(j => element_at(col("vs"), j + 1))
+      val got = df.select(graft.operators.Materialize.zValueN(cols, bits))
+        .collect().map(_.getLong(0)).toSeq
+      assert(got == rows.map(r => refN(r, bits)))
+    }
+  }
+
+  test("mergeColumns: update columns come from delta on matches, others " +
+       "from base; inserts land whole; key set = union") {
+    import spark.implicits._
+    val gen = for {
+      baseKeys <- Gen.nonEmptyListOf(Gen.choose(0L, 30L)).map(_.distinct)
+      deltaKeys <- Gen.nonEmptyListOf(Gen.choose(0L, 40L)).map(_.distinct)
+    } yield (baseKeys, deltaKeys)
+    forAllSampled(gen) { case (baseKeys, deltaKeys) =>
+      val base = baseKeys.map(k => (k, s"b$k", k * 10.0)).toDF("k", "tag", "v")
+      val delta = deltaKeys.map(k => (k, s"d$k", k * 100.0)).toDF("k", "tag", "v")
+      val out = graft.operators.Incremental.mergeColumns(base, delta, "k", Seq("v"))
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+      assert(out.keySet == (baseKeys ++ deltaKeys).toSet)
+      baseKeys.foreach { k =>
+        val (tag, v) = out(k)
+        assert(tag == s"b$k") // non-update column always keeps base
+        assert(v == (if (deltaKeys.contains(k)) k * 100.0 else k * 10.0))
+      }
+      deltaKeys.filterNot(baseKeys.contains).foreach { k =>
+        assert(out(k) == ((s"d$k", k * 100.0))) // inserts land whole
+      }
+    }
+  }
+
+  test("cdcApply: latest op per key wins, D deletes, absent keys insert") {
+    import spark.implicits._
+    val opsGen = Gen.listOfN(25, for {
+      k <- Gen.choose(0L, 8L)
+      seq <- Gen.choose(1L, 100L)
+      op <- Gen.oneOf("I", "U", "D")
+    } yield (k, seq, op))
+    forAllSampled(opsGen) { ops0 =>
+      // unique (k, seq): the contract assumes a monotone per-key changelog
+      val ops = ops0.groupBy(o => (o._1, o._2)).map(_._2.head).toList
+      val baseKeys = Seq(0L, 1L, 2L, 3L)
+      val base = baseKeys.map(k => (k, s"base$k")).toDF("k", "payload")
+      val changes = ops.map { case (k, seq, op) => (k, s"c$k-$seq", seq, op) }
+        .toDF("k", "payload", "seq", "op")
+      val got = graft.operators.Incremental.cdcApply(base, changes, "k")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val byKey = ops.groupBy(_._1)
+      (baseKeys ++ ops.map(_._1)).distinct.foreach { k =>
+        val last = byKey.get(k).map(_.maxBy(_._2))
+        val expected = last match {
+          case Some((_, _, "D")) => None
+          case Some((_, seq, _)) => Some(s"c$k-$seq")
+          case None => if (baseKeys.contains(k)) Some(s"base$k") else None
+        }
+        assert(got.get(k) == expected, s"key $k: got ${got.get(k)}, want $expected")
+      }
+    }
+  }
+}
