@@ -65,6 +65,40 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("count-min: est >= true for every item on random multisets") {
+    import spark.implicits._
+    val gen = Gen.listOfN(300, Gen.choose(0, 40).map(i => s"w$i"))
+    forAllSampled(gen, 5) { words =>
+      val truth = words.groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+      val df = words.toDF("w")
+      val sk = df.agg(graft.functions.CountMinAgg.sketch(col("w"), 4, 64).as("sk"))
+      val est = df.distinct()
+        .crossJoin(broadcast(sk))
+        .select(col("w"),
+          graft.functions.CountMinAgg.estimate(col("sk"), col("w"), 4, 64))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      truth.foreach { case (w, c) =>
+        assert(est(w) >= c, s"$w underestimated: ${est(w)} < $c")
+        assert(est(w) - c <= words.size, "overestimate exceeds stream length")
+      }
+    }
+  }
+
+  test("theta sketch: exact below k; bounded relative error above it") {
+    import spark.implicits._
+    val k = 256
+    val gen = Gen.choose(50, 20000)
+    forAllSampled(gen, 5) { card =>
+      val est = spark.range(card.toLong)
+        .agg(graft.functions.ThetaAgg.sketch(col("id"), k).as("sk"))
+        .select(graft.functions.ThetaAgg.estimate(col("sk"), k))
+        .collect()(0).getDouble(0)
+      if (card < k) assert(est == card.toDouble, s"exact mode: $est != $card")
+      else assert(math.abs(est - card) / card < 0.2,
+        s"cardinality $card estimated $est")
+    }
+  }
+
   test("cdcApply: latest op per key wins, D deletes, absent keys insert") {
     import spark.implicits._
     val opsGen = Gen.listOfN(25, for {
