@@ -133,7 +133,14 @@ object SparkEntry {
     "dedup_survivors"   -> ((s, d) => Dedup.dedupSurvivors(Tables.documents(s, d))),
     "dedup_survivors_quality" -> ((s, d) => Dedup.dedupSurvivorsByQuality(Tables.documents(s, d))),
     "split_train_val_test" -> ((s, d) => Curation.trainValTestSplit(Tables.documents(s, d))),
-    "embedding_quantize" -> ((s, d) => Similarity.embeddingQuantize(Tables.embeddings(s, d))),
+    // Driver wiring CSV-encodes the int code array (harness lexsort can't
+    // hash ndarray cells); library API keeps the real array<int>.
+    "embedding_quantize" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      Similarity.embeddingQuantize(Tables.embeddings(s, d))
+        .withColumn("q", concat_ws(",", transform(col("q"), _.cast("string"))))
+        .orderBy("vec_id")
+    }),
     // B. analytic core
     "q1_agg"          -> ((s, d) => Analytics.pricingSummary(Tables.lineitem(s, d))),
     "q3_topk"         -> ((s, d) => Analytics.topRevenueOrders(
@@ -201,7 +208,15 @@ object SparkEntry {
     "ann_ivf"         -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d))),
     "ann_ivf_q"       -> ((s, d) => Similarity.ivfTopKQuantized(Tables.embeddings(s, d))),
     "dedup_semantic"  -> ((s, d) => Similarity.semanticDedup(Tables.embeddings(s, d))),
-    "embedding_pca"   -> ((s, d) => Similarity.embeddingPca(Tables.embeddings(s, d))),
+    // Same CSV-encoding as multimodal_features/embedding_quantize: the
+    // harness compare needs scalar cells; library API keeps array<double>.
+    "embedding_pca"   -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      Similarity.embeddingPca(Tables.embeddings(s, d))
+        .withColumn("pc",
+          concat_ws(",", transform(col("pc"), x => format_string("%.4f", x))))
+        .orderBy("vec_id")
+    }),
     "dedup_semantic_lsh" -> ((s, d) => Similarity.semanticDedupApprox(Tables.embeddings(s, d))),
     "multimodal_frames" -> ((s, d) => Multimodal.sampleFrames(Tables.documents(s, d))),
     "lang_id"         -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
