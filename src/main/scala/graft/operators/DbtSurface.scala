@@ -181,10 +181,16 @@ object Incremental {
     val cols = base.columns.toSeq
     require(delta.columns.toSeq == cols, "merge requires aligned schemas")
     require(updateColumns.forall(cols.contains) && !updateColumns.contains(key))
-    val d = delta.select(cols.map(c => col(c).as(s"__d_$c")): _*)
-    val matchedDelta = col(s"__d_$key").isNotNull
-    val matchedBase = col(key).isNotNull
-    base.join(d, col(key) === col(s"__d_$key"), "full_outer")
+    // matched-ness via presence markers, NOT key nullness: a null key never
+    // matches in the equi-join, and key-IS-NOT-NULL would then claim the
+    // (all-null) other side for every non-update column — silently nulling
+    // the row's data out
+    val d = delta.select(cols.map(c => col(c).as(s"__d_$c")) :+
+      lit(true).as("__d_present"): _*)
+    val b = base.withColumn("__b_present", lit(true))
+    val matchedDelta = col("__d_present").isNotNull
+    val matchedBase = col("__b_present").isNotNull
+    b.join(d, col(key) === col(s"__d_$key"), "full_outer")
       .select(cols.map {
         case c if c == key =>
           coalesce(col(key), col(s"__d_$key")).as(key)

@@ -213,9 +213,11 @@ object Materialize {
     * PartitionFilters; the oracle is the plain join semantics. */
   def dppJoin(spark: SparkSession, orders: DataFrame,
               path: String = null): DataFrame = {
+    // per-run unique temp dir: a fixed /tmp name is stompable by concurrent
+    // bench/test runs and squattable on multi-user hosts
     val target = Option(path).getOrElse(
-      new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft_dpp_orders").getAbsolutePath)
+      java.nio.file.Files.createTempDirectory("graft_dpp_orders")
+        .resolve("t").toString)
     orders.select("o_orderkey", "o_totalprice", "o_orderpriority")
       .write.mode("overwrite").partitionBy("o_orderpriority").parquet(target)
     val fact = spark.read.parquet(target)
@@ -262,14 +264,25 @@ object Materialize {
       .join(broadcast(keys), df(keyCol) === keys(keys.columns.head), "left_semi")
       .select(col(partitionCol).cast("string")).distinct()
       .collect().map(_.getString(0)).toSeq // request-scale, not data-scale
+    // NULL partitions live in __HIVE_DEFAULT_PARTITION__ and a null value
+    // can't round-trip through the isin()/dir-name path below; refuse
+    // loudly rather than silently skip the rows we were asked to erase.
+    require(!affected.contains(null),
+      s"deleteKeys: NULL values in partition column '$partitionCol' — " +
+        "erase rows in the null partition with a full-table rewrite instead")
     if (affected.isEmpty) return Nil
     val tmp = path + "_delete_tmp"
     df.filter(col(partitionCol).cast("string").isin(affected: _*))
       .join(broadcast(keys), df(keyCol) === keys(keys.columns.head), "left_anti")
       .write.mode("overwrite").partitionBy(partitionCol).parquet(tmp)
-    // swap only the rewritten partition dirs; everything else stays put
+    // swap only the rewritten partition dirs; everything else stays put.
+    // Dir names carry Hive %XX escaping ("flash sale" → "flash%20sale"),
+    // so build them with the same escaper Spark's writer uses — raw
+    // interpolation would target nonexistent paths for values containing
+    // '%', ':', '=', '#', ' ' … and the delete would silently no-op.
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     affected.foreach { v =>
-      val dir = s"$partitionCol=$v"
+      val dir = s"$partitionCol=${ExternalCatalogUtils.escapePathName(v)}"
       val oldDir = new org.apache.hadoop.fs.Path(path, dir)
       val newDir = new org.apache.hadoop.fs.Path(tmp, dir)
       fs.delete(oldDir, true)
@@ -285,8 +298,8 @@ object Materialize {
   def gdprDelete(spark: SparkSession, orders: DataFrame,
                  path: String = null): DataFrame = {
     val target = Option(path).getOrElse(
-      new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft_gdpr_orders").getAbsolutePath)
+      java.nio.file.Files.createTempDirectory("graft_gdpr_orders")
+        .resolve("t").toString)
     orders.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
       .write.mode("overwrite").partitionBy("o_orderpriority").parquet(target)
     val keys = orders.filter(col("o_custkey") % 97 === 0)

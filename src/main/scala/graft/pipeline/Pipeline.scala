@@ -350,12 +350,15 @@ final class Pipeline(models: Seq[Model], exposures: Seq[Exposure] = Nil) {
       else try {
         val out = new Pipeline(Seq(m.copy(deps = Nil)))
           .run(spark, good.toMap, targetDir, hooks, fullRefresh)(m.name)
+        // only >0 gates the DAG, so cap the count scan at 1001 and report
+        // "1000+" rather than silently understating larger violation sets
         val failedTest = m.tests.view
-          .map { case (tn, t) => tn -> t(out).limit(1000).count() }
+          .map { case (tn, t) => tn -> t(out).limit(1001).count() }
           .find(_._2 > 0)
         failedTest match {
           case Some((tn, k)) =>
-            status(m.name) = s"fail: test $tn ($k violations)"
+            val shown = if (k > 1000) "1000+" else k.toString
+            status(m.name) = s"fail: test $tn ($shown violations)"
           case None =>
             good(m.name) = out
             status(m.name) = "success"
@@ -377,11 +380,23 @@ final class Pipeline(models: Seq[Model], exposures: Seq[Exposure] = Nil) {
             hooks: RunHooks = RunHooks.none,
             fullRefresh: Boolean = false): (Map[String, DataFrame], RunResults) = {
     val failed = prev.collect { case (n, s) if s != "success" => n }.toSet
+    val byName = models.map(m => m.name -> m).toMap
+    // views/ephemerals have no artifact to read back, so any one in a
+    // failed model's UPSTREAM closure must re-resolve — but a successful
+    // view with no failed descendant stays out of the rerun (and its
+    // attached tests don't re-execute): a clean previous run retries
+    // nothing, as the docstring promises.
+    val needed = scala.collection.mutable.Set[String]()
+    def visitUp(n: String): Unit = byName.get(n).foreach { m =>
+      if (needed.add(n)) m.deps.foreach(visitUp)
+    }
+    failed.foreach(visitUp)
     val rerun = models.filter { m =>
-      failed.contains(m.name) || (m.materialization match {
-        case ViewMat | EphemeralMat => true // lazy, free to re-resolve
-        case _ => false
-      })
+      failed.contains(m.name) ||
+        (needed.contains(m.name) && (m.materialization match {
+          case ViewMat | EphemeralMat => true // lazy, free to re-resolve
+          case _ => false
+        }))
     }
     val rerunNames = rerun.map(_.name).toSet
     val artifactDeps = rerun.flatMap(_.deps).distinct

@@ -112,6 +112,36 @@ class LayoutSpec extends SparkSpec {
       s"expected a strict subset of partitions affected, got $affected")
   }
 
+  test("deleteKeys: Hive-escaped partition values (spaces, colons, percent) " +
+       "swap correctly; null partition values are rejected loudly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_del_esc").toString + "/t"
+    // partition values that Spark's writer Hive-escapes in the dir name:
+    // raw s"$col=$v" interpolation would miss every one of these
+    val rows = Seq(
+      (1L, 10L, "flash sale"), (2L, 10L, "flash sale"),
+      (3L, 20L, "a:b=c%d#e"), (4L, 20L, "a:b=c%d#e"),
+      (5L, 30L, "plain"), (6L, 30L, "plain"))
+      .toDF("id", "k", "part")
+    rows.write.mode("overwrite").partitionBy("part").parquet(dir)
+    val victims = Seq(10L, 20L).toDF("del_key")
+    val affected = Materialize.deleteKeys(spark, dir, "part", "k", victims)
+    assert(affected.toSet == Set("flash sale", "a:b=c%d#e"), affected.toString)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 2, "escaped partitions were not rewritten")
+    assert(back.filter(col("k").isin(10L, 20L)).count() == 0,
+      "rows in escaped partitions survived the delete")
+    // null partition values: refuse rather than silently skip
+    val nullDir = java.nio.file.Files.createTempDirectory("graft_del_null")
+      .toString + "/t"
+    Seq((1L, 10L, Option("x")), (2L, 20L, Option.empty[String]))
+      .toDF("id", "k", "part")
+      .write.mode("overwrite").partitionBy("part").parquet(nullDir)
+    val err = intercept[IllegalArgumentException](
+      Materialize.deleteKeys(spark, nullDir, "part", "k", Seq(20L).toDF("del_key")))
+    assert(err.getMessage.contains("NULL"))
+  }
+
   test("readJsonl: malformed lines quarantine in _corrupt_record, good " +
        "rows survive") {
     val dir = java.nio.file.Files.createTempDirectory("graft_jsonl").toString

@@ -385,6 +385,39 @@ class PipelineSpec extends SparkSpec {
     assert(st3.values.forall(_ == "success"))
   }
 
+  test("retry: a successful view outside the failed closure is NOT " +
+       "re-resolved; a view upstream of the failure is") {
+    val orders = Tables.orders(spark, sf)
+    var bomb = true
+    var unrelatedBuilds = 0
+    var upstreamBuilds = 0
+    val unrelated = Model("v_unrelated", Seq("orders"), ViewMat,
+      in => { unrelatedBuilds += 1
+              in("orders").select(col("o_orderkey").as("id")) })
+    val upstream = Model("v_upstream", Seq("orders"), ViewMat,
+      in => { upstreamBuilds += 1
+              in("orders").select(col("o_orderkey").as("id"),
+                col("o_totalprice").as("v")) })
+    val flaky = Model("t_flaky", Seq("v_upstream"), TableMat(),
+      in => { if (bomb) throw new RuntimeException("boom")
+              in("v_upstream").filter(col("v") > 100) })
+    val dag = new Pipeline(Seq(unrelated, upstream, flaky))
+    val dir = tmp()
+    val (_, st1) = dag.runTolerant(spark, Map("orders" -> orders), dir)
+    assert(st1("t_flaky").startsWith("error") &&
+           st1("v_unrelated") == "success" && st1("v_upstream") == "success")
+    val (a1, u1) = (unrelatedBuilds, upstreamBuilds)
+    bomb = false
+    val (_, st2) = dag.retry(spark, Map("orders" -> orders), dir, st1)
+    assert(st2.values.forall(_ == "success"), st2.toString)
+    assert(unrelatedBuilds == a1,
+      s"unrelated view rebuilt on retry ($a1 -> $unrelatedBuilds)")
+    assert(upstreamBuilds > u1,
+      "upstream view of the failed model must re-resolve (no artifact)")
+    // the unrelated view keeps its prior success in the merged statuses
+    assert(st2("v_unrelated") == "success")
+  }
+
   test("build: a failing test gates downstream like a build error; clean " +
        "tests pass through") {
     val orders = Tables.orders(spark, sf)

@@ -65,6 +65,21 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("mergeColumns: null keys never match — base row keeps its data, " +
+       "delta row inserts whole (no silent null-out)") {
+    import spark.implicits._
+    val base = Seq((Option(1L), "b1", 10.0), (Option.empty[Long], "bN", 20.0))
+      .toDF("k", "tag", "v")
+    val delta = Seq((Option(1L), "d1", 100.0), (Option.empty[Long], "dN", 200.0))
+      .toDF("k", "tag", "v")
+    val out = graft.operators.Incremental.mergeColumns(base, delta, "k", Seq("v"))
+      .collect().map(r => (Option(r.get(0)), r.getString(1), r.getDouble(2))).toSet
+    assert(out == Set(
+      (Some(1L), "b1", 100.0),   // matched: v updates, tag keeps base
+      (None, "bN", 20.0),        // null-key base row: untouched, NOT nulled
+      (None, "dN", 200.0)))      // null-key delta row: plain insert
+  }
+
   test("count-min: est >= true for every item on random multisets") {
     import spark.implicits._
     val gen = Gen.listOfN(300, Gen.choose(0, 40).map(i => s"w$i"))
