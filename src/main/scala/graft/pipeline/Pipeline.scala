@@ -100,6 +100,28 @@ object ModelTest {
   }
 }
 
+/** A dbt target/profile — reference profiles/profiles.yml:2-40: the same
+  * project runs against dev / ci / prod datasets chosen by `DBT_TARGET`,
+  * each with its own dataset (here: warehouse path), thread count
+  * (dev `threads: 4`, prod `threads: 8`) and engine knobs. A Target is
+  * pure config: `warehousePath` isolates every materialization the way a
+  * per-target BigQuery dataset does, `threads` feeds [[Pipeline.run]]'s
+  * DAG parallelism, and `sparkConf` holds per-target session overrides
+  * (e.g. prod-sized `spark.sql.shuffle.partitions`). */
+final case class Target(name: String, warehousePath: String,
+                        threads: Int = 1,
+                        sparkConf: Map[String, String] = Map.empty)
+
+object Target {
+  /** dbt's `target:` selection — `env` names the active target (the
+    * `DBT_TARGET` convention); unknown names fail loudly like dbt's
+    * "could not find profile" instead of silently running against dev. */
+  def resolve(targets: Seq[Target], name: String): Target =
+    targets.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(
+        s"unknown target '$name' (have: ${targets.map(_.name).mkString(", ")})"))
+}
+
 /** A dbt-core-style DAG runner on Spark.
   *
   * Resolves models in topological order (cycle/missing-ref detection),
@@ -311,13 +333,15 @@ final class Pipeline(models: Seq[Model], exposures: Seq[Exposure] = Nil) {
   /** Failure-tolerant run — dbt's default behavior: a model that throws
     * marks `error`, its downstream closure marks `skipped`, siblings keep
     * building. Returns the resolved frames of successful models plus the
-    * status map [[retry]] resumes from. */
+    * status map [[retry]] resumes from. `threads` parallelizes independent
+    * models exactly as in [[run]] (dbt `threads`). */
   def runTolerant(spark: SparkSession, sources: Map[String, DataFrame],
                   targetDir: String, hooks: RunHooks = RunHooks.none,
-                  fullRefresh: Boolean = false): (Map[String, DataFrame], RunResults) = {
-    val status = scala.collection.mutable.Map[String, String]()
-    val good = scala.collection.mutable.Map[String, DataFrame]() ++ sources
-    topoOrder(sources.keySet).foreach { m =>
+                  fullRefresh: Boolean = false,
+                  threads: Int = 1): (Map[String, DataFrame], RunResults) = {
+    val status = scala.collection.concurrent.TrieMap[String, String]()
+    val good = scala.collection.concurrent.TrieMap[String, DataFrame]() ++ sources
+    def execOne(m: Model): Unit = {
       if (!m.deps.forall(d => sources.contains(d) || status.get(d).contains("success")))
         status(m.name) = "skipped"
       else try {
@@ -329,6 +353,9 @@ final class Pipeline(models: Seq[Model], exposures: Seq[Exposure] = Nil) {
         status(m.name) = s"error: ${Option(e.getMessage).getOrElse(e.getClass.getName).take(200)}"
       }
     }
+    val ordered = topoOrder(sources.keySet)
+    if (threads <= 1) ordered.foreach(execOne)
+    else scheduleDag(ordered, sources.keySet, threads)(execOne).foreach(t => throw t)
     ((good -- sources.keys).toMap, status.toMap)
   }
 
@@ -338,13 +365,15 @@ final class Pipeline(models: Seq[Model], exposures: Seq[Exposure] = Nil) {
     * gates the downstream closure exactly like a build error would: bad
     * data never propagates into children. Statuses: `success`,
     * `error: ...`, `fail: test <name> (<k> violations)`, `skipped`.
-    * [[retry]] resumes a failed build the same way it resumes a run. */
+    * [[retry]] resumes a failed build the same way it resumes a run.
+    * `threads` parallelizes independent models exactly as in [[run]]. */
   def build(spark: SparkSession, sources: Map[String, DataFrame],
             targetDir: String, hooks: RunHooks = RunHooks.none,
-            fullRefresh: Boolean = false): (Map[String, DataFrame], RunResults) = {
-    val status = scala.collection.mutable.Map[String, String]()
-    val good = scala.collection.mutable.Map[String, DataFrame]() ++ sources
-    topoOrder(sources.keySet).foreach { m =>
+            fullRefresh: Boolean = false,
+            threads: Int = 1): (Map[String, DataFrame], RunResults) = {
+    val status = scala.collection.concurrent.TrieMap[String, String]()
+    val good = scala.collection.concurrent.TrieMap[String, DataFrame]() ++ sources
+    def execOne(m: Model): Unit = {
       if (!m.deps.forall(d => sources.contains(d) || status.get(d).contains("success")))
         status(m.name) = "skipped"
       else try {
@@ -367,6 +396,9 @@ final class Pipeline(models: Seq[Model], exposures: Seq[Exposure] = Nil) {
         status(m.name) = s"error: ${Option(e.getMessage).getOrElse(e.getClass.getName).take(200)}"
       }
     }
+    val ordered = topoOrder(sources.keySet)
+    if (threads <= 1) ordered.foreach(execOne)
+    else scheduleDag(ordered, sources.keySet, threads)(execOne).foreach(t => throw t)
     ((good -- sources.keys).toMap, status.toMap)
   }
 
@@ -445,19 +477,137 @@ final class Pipeline(models: Seq[Model], exposures: Seq[Exposure] = Nil) {
 
   /** Runs the DAG. `targetDir` holds table/incremental materializations.
     * `fullRefresh` = dbt `--full-refresh`: incremental models rebuild from
-    * scratch instead of merging into their existing table. */
+    * scratch instead of merging into their existing table.
+    * `threads` = dbt's `threads` profile setting (reference
+    * profiles.yml:10 dev=4, :38 prod=8): with threads > 1, independent
+    * models materialize CONCURRENTLY — each model starts the moment its
+    * last dependency lands (ready-queue, not level barriers), bounded by a
+    * fixed pool. Spark's scheduler is thread-safe; concurrent actions from
+    * worker threads simply become concurrent Spark jobs, which is exactly
+    * what keeps a 1000-executor cluster busy while one model's write
+    * stalls on a slow stage. Hooks fire on worker threads when
+    * threads > 1; a model failure stops new submissions and rethrows
+    * after in-flight models finish. */
   def run(spark: SparkSession, sources: Map[String, DataFrame],
           targetDir: String, hooks: RunHooks = RunHooks.none,
-          fullRefresh: Boolean = false): Map[String, DataFrame] = {
-    val resolved = scala.collection.mutable.Map[String, DataFrame]() ++ sources
+          fullRefresh: Boolean = false, threads: Int = 1): Map[String, DataFrame] = {
+    val resolved = scala.collection.concurrent.TrieMap[String, DataFrame]() ++ sources
     val ordered = topoOrder(sources.keySet)
     hooks.onRunStart(ordered)
-    ordered.foreach { m =>
+    def runOne(m: Model): DataFrame = {
       hooks.beforeModel(m)
       val inputs = (m.deps ++ sources.keys).distinct
         .map(d => d -> resolved(d)).toMap
-      val df = m.build(inputs)
-      val out = m.materialization match {
+      val out = materializeModel(spark, m, m.build(inputs), targetDir, fullRefresh)
+      hooks.afterModel(m, out)
+      out
+    }
+    if (threads <= 1)
+      ordered.foreach(m => resolved(m.name) = runOne(m))
+    else
+      scheduleDag(ordered, sources.keySet, threads) { m =>
+        resolved(m.name) = runOne(m)
+      }.foreach(t => throw t)
+    val result = resolved.toMap
+    hooks.onRunEnd(result)
+    result
+  }
+
+  /** [[run]] against a [[Target]]: materializations land under the
+    * target's warehouse path (dataset isolation — dev/ci/prod never share
+    * tables), DAG parallelism = the target's `threads`, and the target's
+    * sparkConf entries apply for the duration of the run and are restored
+    * after (a CI run must not leak prod-sized shuffle settings into the
+    * session). */
+  def runTarget(spark: SparkSession, sources: Map[String, DataFrame],
+                target: Target, hooks: RunHooks = RunHooks.none,
+                fullRefresh: Boolean = false): Map[String, DataFrame] =
+    withTargetConf(spark, target) {
+      run(spark, sources, target.warehousePath, hooks, fullRefresh, target.threads)
+    }
+
+  /** dbt slim-CI across targets: `--defer --state <prod>` where both sides
+    * are [[Target]]s — build `select` into `target`, resolving unselected
+    * parents from the DEFER target's warehouse (reference
+    * profiles.yml: ci builds against prod's datasets). */
+  def runDeferredTarget(spark: SparkSession, sources: Map[String, DataFrame],
+                        target: Target, select: Seq[String], deferTo: Target,
+                        hooks: RunHooks = RunHooks.none,
+                        fullRefresh: Boolean = false): Map[String, DataFrame] =
+    withTargetConf(spark, target) {
+      runDeferred(spark, sources, target.warehousePath, select,
+        deferTo.warehousePath, hooks, fullRefresh)
+    }
+
+  private def withTargetConf[T](spark: SparkSession, target: Target)(
+      body: => T): T = {
+    val prev = target.sparkConf.keys
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    target.sparkConf.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  /** Ready-queue DAG scheduler: runs `exec` for every model over a fixed
+    * pool of `threads` workers; a model is submitted the instant all its
+    * in-DAG dependencies have executed (`exec` itself decides what a
+    * failed dependency means — run throws, build/tolerant record a skip).
+    * The first throw stops new submissions; returned after in-flight work
+    * drains. */
+  private def scheduleDag(ordered: Seq[Model], sourceNames: Set[String],
+                          threads: Int)(
+                          exec: Model => Unit): Option[Throwable] = {
+    val byName = ordered.map(m => m.name -> m).toMap
+    val modelDeps = ordered.map(m =>
+      m.name -> m.deps.filter(byName.contains)).toMap
+    val children = ordered.flatMap(m => modelDeps(m.name).map(_ -> m.name))
+      .groupBy(_._1).map { case (p, cs) => p -> cs.map(_._2) }
+    val depsLeft = scala.collection.mutable.Map[String, Int]() ++
+      modelDeps.view.mapValues(_.size)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    val lock = new Object
+    var remaining = ordered.size
+    var inFlight = 0
+    var failure: Option[Throwable] = None
+    def submit(m: Model): Unit = {
+      inFlight += 1 // callers hold `lock`
+      pool.execute { () =>
+        val res =
+          try Right(exec(m))
+          catch { case t: Throwable => Left(t) }
+        lock.synchronized {
+          inFlight -= 1
+          res match {
+            case Right(_) =>
+              remaining -= 1
+              if (failure.isEmpty)
+                children.getOrElse(m.name, Nil).foreach { c =>
+                  depsLeft(c) -= 1
+                  if (depsLeft(c) == 0) submit(byName(c))
+                }
+            case Left(t) => if (failure.isEmpty) failure = Some(t)
+          }
+          lock.notifyAll()
+        }
+      }
+    }
+    lock.synchronized {
+      ordered.filter(m => modelDeps(m.name).isEmpty).foreach(submit)
+      while (failure.isEmpty && remaining > 0) lock.wait()
+      while (inFlight > 0) lock.wait() // drain before reporting
+    }
+    pool.shutdown()
+    failure
+  }
+
+  /** Materializes one built model frame — the physical half of [[run]]. */
+  private def materializeModel(spark: SparkSession, m: Model, df: DataFrame,
+                               targetDir: String,
+                               fullRefresh: Boolean): DataFrame = {
+    val out = m.materialization match {
         case ViewMat =>
           df.createOrReplaceTempView(m.name); df
         case EphemeralMat => df
@@ -538,11 +688,6 @@ final class Pipeline(models: Seq[Model], exposures: Seq[Exposure] = Nil) {
               s"failed to swap incremental table $tmp -> $path")
           spark.read.parquet(path)
       }
-      hooks.afterModel(m, out)
-      resolved(m.name) = out
-    }
-    val result = resolved.toMap
-    hooks.onRunEnd(result)
-    result
+    out
   }
 }

@@ -385,6 +385,120 @@ class PipelineSpec extends SparkSpec {
     assert(st3.values.forall(_ == "success"))
   }
 
+  test("targets: same DAG against dev and prod isolates warehouses, " +
+       "applies/restores per-target conf, and --defer resolves across targets") {
+    val orders = Tables.orders(spark, sf)
+    def dag = new Pipeline(Seq(
+      Model("t_stg", Seq("orders"), TableMat(),
+        in => in("orders").select(col("o_orderkey").as("id"),
+          col("o_totalprice").as("v"))),
+      Model("t_fct", Seq("t_stg"), TableMat(),
+        in => in("t_stg").agg(count(lit(1)).as("n"),
+          graft.util.Det.centsSum(col("v")).as("total")))))
+    val dev = Target("dev", tmp(), threads = 2,
+      sparkConf = Map("spark.sql.shuffle.partitions" -> "7"))
+    val prod = Target("prod", tmp(), threads = 2)
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    @volatile var seenConf: String = null
+    val hooks = RunHooks(afterModel =
+      (_, _) => seenConf = spark.conf.get("spark.sql.shuffle.partitions"))
+    // dev runs on HALF the orders; prod on all — outputs must not mix
+    val devOut = dag.runTarget(spark,
+      Map("orders" -> orders.filter(col("o_orderkey") % 2 === 0)), dev, hooks)
+    assert(seenConf == "7", "per-target conf not applied during the run")
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == before,
+      "per-target conf leaked into the session")
+    val prodOut = dag.runTarget(spark, Map("orders" -> orders), prod)
+    // artifacts landed under their own warehouses, and differ
+    assert(new java.io.File(s"${dev.warehousePath}/t_fct").exists())
+    assert(new java.io.File(s"${prod.warehousePath}/t_fct").exists())
+    val devN = devOut("t_fct").collect()(0).getLong(0)
+    val prodN = prodOut("t_fct").collect()(0).getLong(0)
+    assert(devN < prodN && prodN == orders.count(), s"$devN vs $prodN")
+    // slim CI: build only t_fct into a ci target, deferring t_stg to PROD's
+    // artifact — result equals prod's own t_fct, not dev's
+    val ci = Target("ci", tmp())
+    val ciOut = dag.runDeferredTarget(spark, Map("orders" -> orders),
+      ci, select = Seq("t_fct"), deferTo = prod)
+    assert(rows(ciOut("t_fct")) == rows(prodOut("t_fct")))
+    assert(!new java.io.File(s"${ci.warehousePath}/t_stg").exists(),
+      "deferred parent must not rebuild in the CI target")
+    // unknown target name fails loudly
+    assert(intercept[IllegalArgumentException](
+      Target.resolve(Seq(dev, prod), "staging")).getMessage.contains("staging"))
+  }
+
+  test("run(threads=2): independent models materialize CONCURRENTLY and " +
+       "the result matches the sequential run") {
+    import java.util.concurrent.{CountDownLatch, TimeUnit}
+    val orders = Tables.orders(spark, sf)
+    val startedA = new CountDownLatch(1)
+    val startedB = new CountDownLatch(1)
+    @volatile var overlaps = 0
+    def sync(mine: CountDownLatch, other: CountDownLatch): Unit = {
+      mine.countDown()
+      // proves true concurrency: each side blocks until the OTHER model's
+      // build has started — impossible under sequential execution
+      assert(other.await(30, TimeUnit.SECONDS), "independent models never overlapped")
+      synchronized { overlaps += 1 }
+    }
+    def modelA(s: CountDownLatch, o: CountDownLatch) = Seq(
+      Model("par_a", Seq("orders"), TableMat(),
+        in => { if (s != null) sync(s, o)
+                in("orders").select(col("o_orderkey").as("id"),
+                  col("o_totalprice").as("v")) }),
+      Model("par_b", Seq("orders"), TableMat(),
+        in => { if (s != null) sync(o, s)
+                in("orders").groupBy("o_orderstatus")
+                  .agg(count(lit(1)).as("n")) }),
+      Model("par_leaf", Seq("par_a", "par_b"), TableMat(),
+        in => in("par_a").agg(count(lit(1)).as("rows_a"))
+          .crossJoin(in("par_b").agg(count(lit(1)).as("rows_b")))))
+    val par = new Pipeline(modelA(startedA, startedB))
+      .run(spark, Map("orders" -> orders), tmp(), threads = 2)
+    assert(overlaps == 2)
+    val seq = new Pipeline(modelA(null, null))
+      .run(spark, Map("orders" -> orders), tmp())
+    assert(rows(par("par_leaf")) == rows(seq("par_leaf")))
+    assert(rows(par("par_a").orderBy("id")) == rows(seq("par_a").orderBy("id")))
+  }
+
+  test("run(threads=2): a failure rethrows, descendants never start, " +
+       "in-flight siblings drain") {
+    val orders = Tables.orders(spark, sf)
+    @volatile var childRan = false
+    val boom = Model("boom_t", Seq("orders"), TableMat(),
+      _ => throw new RuntimeException("kaput"))
+    val child = Model("boom_child", Seq("boom_t"), TableMat(),
+      in => { childRan = true; in("boom_t") })
+    val sibling = Model("boom_sib", Seq("orders"), TableMat(),
+      in => in("orders").select(col("o_orderkey").as("id")))
+    val dag = new Pipeline(Seq(boom, child, sibling))
+    val err = intercept[RuntimeException](
+      dag.run(spark, Map("orders" -> orders), tmp(), threads = 2))
+    assert(err.getMessage == "kaput")
+    assert(!childRan, "descendant of the failed model must never run")
+  }
+
+  test("build(threads=2): failing test still gates downstream; parallel " +
+       "statuses match sequential semantics") {
+    val orders = Tables.orders(spark, sf)
+    val stg = Model("pstg", Seq("orders"), TableMat(),
+      in => in("orders").select(col("o_orderkey").as("id"),
+        col("o_totalprice").as("v")),
+      tests = Seq("always_fails" ->
+        ((df: org.apache.spark.sql.DataFrame) => df.limit(3))))
+    val fct = Model("pfct", Seq("pstg"), TableMat(),
+      in => in("pstg").agg(count(lit(1)).as("n")))
+    val ok = Model("pok", Seq("orders"), TableMat(),
+      in => in("orders").agg(count(lit(1)).as("n")))
+    val (out, st) = new Pipeline(Seq(stg, fct, ok))
+      .build(spark, Map("orders" -> orders), tmp(), threads = 2)
+    assert(st("pstg").startsWith("fail: test always_fails"), st.toString)
+    assert(st("pfct") == "skipped" && !out.contains("pfct"))
+    assert(st("pok") == "success")
+  }
+
   test("retry: a successful view outside the failed closure is NOT " +
        "re-resolved; a view upstream of the failure is") {
     val orders = Tables.orders(spark, sf)
