@@ -131,7 +131,9 @@ object Target {
   * Catalyst optimizes across view/ephemeral boundaries exactly as dbt
   * compiles CTEs into one query.
   */
-final class Pipeline(models: Seq[Model], exposures: Seq[Exposure] = Nil) {
+final class Pipeline(models: Seq[Model], exposures: Seq[Exposure] = Nil,
+                     format: graft.sources.TableFormat =
+                       graft.sources.ParquetDirFormat) {
   require(models.map(_.name).distinct.size == models.size, "duplicate model names")
   exposures.flatMap(_.dependsOn).foreach(d =>
     require(models.exists(_.name == d), s"exposure depends on unknown model '$d'"))
@@ -345,7 +347,7 @@ final class Pipeline(models: Seq[Model], exposures: Seq[Exposure] = Nil) {
       if (!m.deps.forall(d => sources.contains(d) || status.get(d).contains("success")))
         status(m.name) = "skipped"
       else try {
-        val out = new Pipeline(Seq(m.copy(deps = Nil)))
+        val out = new Pipeline(Seq(m.copy(deps = Nil)), format = format)
           .run(spark, good.toMap, targetDir, hooks, fullRefresh)(m.name)
         good(m.name) = out
         status(m.name) = "success"
@@ -377,7 +379,7 @@ final class Pipeline(models: Seq[Model], exposures: Seq[Exposure] = Nil) {
       if (!m.deps.forall(d => sources.contains(d) || status.get(d).contains("success")))
         status(m.name) = "skipped"
       else try {
-        val out = new Pipeline(Seq(m.copy(deps = Nil)))
+        val out = new Pipeline(Seq(m.copy(deps = Nil)), format = format)
           .run(spark, good.toMap, targetDir, hooks, fullRefresh)(m.name)
         // only >0 gates the DAG, so cap the count scan at 1001 and report
         // "1000+" rather than silently understating larger violation sets
@@ -604,90 +606,64 @@ final class Pipeline(models: Seq[Model], exposures: Seq[Exposure] = Nil) {
   }
 
   /** Materializes one built model frame — the physical half of [[run]]. */
+  /** Materializes one built model frame — the physical half of [[run]].
+    * All table-family materializations route through the [[
+    * graft.sources.TableFormat]] seam, so swapping parquet-dir storage for
+    * Delta/Iceberg is a constructor argument, not an operator rewrite. */
   private def materializeModel(spark: SparkSession, m: Model, df: DataFrame,
                                targetDir: String,
-                               fullRefresh: Boolean): DataFrame = {
-    val out = m.materialization match {
-        case ViewMat =>
-          df.createOrReplaceTempView(m.name); df
-        case EphemeralMat => df
-        case TableMat(part, cluster) =>
-          val path = s"$targetDir/${m.name}"
-          val writer = part match {
+                               fullRefresh: Boolean): DataFrame =
+    m.materialization match {
+      case ViewMat =>
+        df.createOrReplaceTempView(m.name); df
+      case EphemeralMat => df
+      case TableMat(part, cluster) =>
+        val path = s"$targetDir/${m.name}"
+        format.write(df, path, part, cluster)
+        format.read(spark, path)
+      case InsertOverwriteMat(part) =>
+        val path = s"$targetDir/${m.name}"
+        val exists = new java.io.File(path).exists() && !fullRefresh
+        if (!exists) format.write(df, path, Some(part))
+        else format.overwritePartitions(df, path, part)
+        format.read(spark, path)
+      case MicrobatchMat(eventTime, gran) =>
+        val path = s"$targetDir/${m.name}"
+        val exists = new java.io.File(path).exists() && !fullRefresh
+        val withPeriod = df.withColumn("_period",
+          date_format(date_trunc(gran, col(eventTime).cast("timestamp")),
+            "yyyy-MM-dd"))
+        if (!exists) format.write(withPeriod, path, Some("_period"))
+        else format.overwritePartitions(withPeriod, path, "_period")
+        format.read(spark, path).drop("_period")
+      case IncrementalMat(key, policy, predicates) =>
+        val path = s"$targetDir/${m.name}"
+        // --full-refresh: ignore (and replace) the existing table
+        val exists = new java.io.File(path).exists() && !fullRefresh
+        val merged = if (!exists) df else {
+          val (b0, d0) = graft.operators.OnSchemaChange.align(
+            format.read(spark, path), df, policy)
+          // incremental_predicates: base rows outside the fence never
+          // enter the merge window — they pass through untouched (and on
+          // a partitioned table the filter is partition pruning)
+          val fence = predicates.map(expr).reduceOption(_ && _)
+          val (baseIn, baseOut) = fence match {
+            case None => (b0, None)
             case Some(p) =>
-              val sorted = if (cluster.nonEmpty)
-                df.repartition(col(p)).sortWithinPartitions(cluster.head, cluster.tail: _*)
-              else df
-              sorted.write.mode("overwrite").partitionBy(p)
-            case None => df.write.mode("overwrite")
+              (b0.filter(coalesce(p, lit(false))),
+               Some(b0.filter(!coalesce(p, lit(false)))))
           }
-          writer.parquet(path)
-          spark.read.parquet(path)
-        case InsertOverwriteMat(part) =>
-          val path = s"$targetDir/${m.name}"
-          val exists = new java.io.File(path).exists() && !fullRefresh
-          if (!exists)
-            df.write.mode("overwrite").partitionBy(part).parquet(path)
-          else
-            graft.operators.Materialize.incremental(df, path, part,
-              dynamicOverwrite = true)
-          spark.read.parquet(path)
-        case MicrobatchMat(eventTime, gran) =>
-          val path = s"$targetDir/${m.name}"
-          val exists = new java.io.File(path).exists() && !fullRefresh
-          val withPeriod = df.withColumn("_period",
-            date_format(date_trunc(gran, col(eventTime).cast("timestamp")),
-              "yyyy-MM-dd"))
-          if (!exists)
-            withPeriod.write.mode("overwrite").partitionBy("_period").parquet(path)
-          else
-            graft.operators.Materialize.incremental(withPeriod, path, "_period",
-              dynamicOverwrite = true)
-          spark.read.parquet(path).drop("_period")
-        case IncrementalMat(key, policy, predicates) =>
-          val path = s"$targetDir/${m.name}"
-          val physical = new java.io.File(path).exists()
-          // --full-refresh: ignore (and replace) the existing table
-          val exists = physical && !fullRefresh
-          val merged = if (!exists) df else {
-            val (b0, d0) = graft.operators.OnSchemaChange.align(
-              spark.read.parquet(path), df, policy)
-            // incremental_predicates: base rows outside the fence never
-            // enter the merge window — they pass through untouched (and on
-            // a partitioned table the filter is partition pruning)
-            val fence = predicates.map(expr).reduceOption(_ && _)
-            val (baseIn, baseOut) = fence match {
-              case None => (b0, None)
-              case Some(p) =>
-                (b0.filter(coalesce(p, lit(false))),
-                 Some(b0.filter(!coalesce(p, lit(false)))))
-            }
-            val base = baseIn.withColumn("_src", lit(0))
-            val delta = d0.withColumn("_src", lit(1))
-            val w = Window.partitionBy(key).orderBy(col("_src").desc)
-            val core = base.unionByName(delta)
-              .withColumn("_rn", row_number().over(w))
-              .filter(col("_rn") === 1).drop("_src", "_rn")
-            baseOut.fold(core)(core.unionByName(_))
-          }
-          // write via temp dir: the merge reads the current table. The swap
-          // must not fail silently — a stale table poisons every downstream
-          // model. (Local-fs semantics; on an ACID table format the merge
-          // would be a MERGE INTO and this swap disappears.)
-          val tmp = s"$path._staging"
-          merged.write.mode("overwrite").parquet(tmp)
-          def deleteRec(f: java.io.File): Unit = {
-            if (f.isDirectory) f.listFiles().foreach(deleteRec)
-            if (!f.delete())
-              throw new java.io.IOException(s"failed to delete ${f.getPath}")
-          }
-          val dir = new java.io.File(path)
-          if (physical) deleteRec(dir)
-          if (!new java.io.File(tmp).renameTo(dir))
-            throw new java.io.IOException(
-              s"failed to swap incremental table $tmp -> $path")
-          spark.read.parquet(path)
-      }
-    out
-  }
+          val base = baseIn.withColumn("_src", lit(0))
+          val delta = d0.withColumn("_src", lit(1))
+          val w = Window.partitionBy(key).orderBy(col("_src").desc)
+          val core = base.unionByName(delta)
+            .withColumn("_rn", row_number().over(w))
+            .filter(col("_rn") === 1).drop("_src", "_rn")
+          baseOut.fold(core)(core.unionByName(_))
+        }
+        // on ParquetDirFormat this is the staged-dir swap; on an ACID
+        // format it becomes MERGE INTO and the swap disappears
+        format.replace(spark, merged, path)
+        format.read(spark, path)
+    }
 }

@@ -385,6 +385,67 @@ class PipelineSpec extends SparkSpec {
     assert(st3.values.forall(_ == "success"))
   }
 
+  test("TableFormat seam: every table-family materialization routes " +
+       "through the format; a wrapped format produces identical results") {
+    import graft.sources.{ParquetDirFormat, TableFormat}
+    val calls = scala.collection.mutable.Set[String]()
+    // a drop-in format that spies on the seam, delegating to parquet —
+    // exactly the shape a Delta/Iceberg implementation would take
+    object SpyFormat extends TableFormat {
+      def write(df: org.apache.spark.sql.DataFrame, path: String,
+                partitionBy: Option[String], clusterBy: Seq[String]): Unit = {
+        calls.synchronized { calls += "write" }
+        ParquetDirFormat.write(df, path, partitionBy, clusterBy)
+      }
+      def overwritePartitions(df: org.apache.spark.sql.DataFrame,
+                              path: String, partitionCol: String): Unit = {
+        calls.synchronized { calls += "overwritePartitions" }
+        ParquetDirFormat.overwritePartitions(df, path, partitionCol)
+      }
+      def replace(spark: org.apache.spark.sql.SparkSession,
+                  df: org.apache.spark.sql.DataFrame, path: String): Unit = {
+        calls.synchronized { calls += "replace" }
+        ParquetDirFormat.replace(spark, df, path)
+      }
+      def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+                  partitionCol: String, targetBytes: Long): Map[String, Int] = {
+        calls.synchronized { calls += "compact" }
+        ParquetDirFormat.compact(spark, path, partitionCol, targetBytes)
+      }
+      def deleteKeys(spark: org.apache.spark.sql.SparkSession, path: String,
+                     partitionCol: String, keyCol: String,
+                     keys: org.apache.spark.sql.DataFrame): Seq[String] = {
+        calls.synchronized { calls += "deleteKeys" }
+        ParquetDirFormat.deleteKeys(spark, path, partitionCol, keyCol, keys)
+      }
+      def read(spark: org.apache.spark.sql.SparkSession,
+               path: String): org.apache.spark.sql.DataFrame = {
+        calls.synchronized { calls += "read" }
+        ParquetDirFormat.read(spark, path)
+      }
+    }
+    val orders = Tables.orders(spark, sf)
+    def mk(fmt: TableFormat) = new Pipeline(Seq(
+      Model("f_table", Seq("orders"), TableMat(Some("o_orderstatus"), Seq("o_orderkey")),
+        in => in("orders").select("o_orderkey", "o_orderstatus", "o_totalprice")),
+      Model("f_io", Seq("orders"), InsertOverwriteMat("o_orderstatus"),
+        in => in("orders").select("o_orderkey", "o_orderstatus")),
+      Model("f_inc", Seq("orders"), IncrementalMat("o_orderkey"),
+        in => in("orders").select("o_orderkey", "o_totalprice")),
+      Model("f_mb", Seq("orders"), MicrobatchMat("o_orderdate"),
+        in => in("orders").select("o_orderkey", "o_orderdate"))),
+      format = fmt)
+    val spyOut = mk(SpyFormat).run(spark, Map("orders" -> orders), tmp())
+    assert(Set("write", "overwritePartitions", "replace", "read")
+      .subsetOf(calls.toSet) || // first run of io/mb takes the write path
+      Set("write", "replace", "read").subsetOf(calls.toSet), calls.toString)
+    val refOut = mk(ParquetDirFormat).run(spark, Map("orders" -> orders), tmp())
+    Seq("f_table", "f_io", "f_inc", "f_mb").foreach { n =>
+      assert(rows(spyOut(n).orderBy("o_orderkey")) ==
+             rows(refOut(n).orderBy("o_orderkey")), n)
+    }
+  }
+
   test("targets: same DAG against dev and prod isolates warehouses, " +
        "applies/restores per-target conf, and --defer resolves across targets") {
     val orders = Tables.orders(spark, sf)
