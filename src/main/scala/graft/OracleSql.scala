@@ -19,6 +19,11 @@ object OracleSql {
 
   private val revenue = cents("l_extendedprice*(1-l_discount)")
 
+  // exact top-k cosine per query vector — shared by ann_topk and the
+  // exhaustive-probe ann_ivf_q (which must reproduce it exactly)
+  private val annTopkSql =
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id IN (0, 1, 2)), s AS (SELECT q.query_id, e.vec_id, ROUND((SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest(e.embedding) AS x, unnest(q.qv) AS y)) / (sqrt((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FROM (SELECT unnest(e.embedding) AS x))) * sqrt((SELECT SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest(q.qv) AS y)))) * 10000, 0)/10000.0 AS cos_sim FROM embeddings e, q WHERE e.vec_id <> q.query_id), r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank FROM s) SELECT query_id, vec_id, cos_sim, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10 ORDER BY query_id, rank"""
+
   val all: Map[String, String] = Map(
 
     "stg_orders" ->
@@ -277,8 +282,14 @@ object OracleSql {
     "ann_cosine" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), s AS (SELECT e.vec_id, e.label, ROUND((SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest(e.embedding) AS x, unnest(q.qv) AS y)) / (sqrt((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FROM (SELECT unnest(e.embedding) AS x))) * sqrt((SELECT SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest(q.qv) AS y)))) * 10000, 0)/10000.0 AS cos_sim FROM embeddings e, q WHERE e.vec_id <> 0) SELECT vec_id, label, cos_sim FROM s WHERE cos_sim >= 0.2 ORDER BY vec_id""",
 
-    "ann_topk" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id IN (0, 1, 2)), s AS (SELECT q.query_id, e.vec_id, ROUND((SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest(e.embedding) AS x, unnest(q.qv) AS y)) / (sqrt((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FROM (SELECT unnest(e.embedding) AS x))) * sqrt((SELECT SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest(q.qv) AS y)))) * 10000, 0)/10000.0 AS cos_sim FROM embeddings e, q WHERE e.vec_id <> q.query_id), r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank FROM s) SELECT query_id, vec_id, cos_sim, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
+    "ann_topk" -> annTopkSql,
+
+    // exhaustive-probe IVF-SQ8 (probe all cells, rerank everything) must
+    // equal the exact top-k — same oracle as ann_topk by construction
+    "ann_ivf_q" -> annTopkSql,
+
+    "embedding_quantize" ->
+      """WITH e AS (SELECT vec_id, label, embedding, CAST(list_min(embedding) AS DOUBLE) AS mn, CAST(list_max(embedding) AS DOUBLE) AS mx FROM embeddings), s AS (SELECT *, CASE WHEN mx > mn THEN (mx - mn)/255.0 ELSE 0.0 END AS scale FROM e) SELECT vec_id, label, ROUND(mn*10000,0)/10000.0 AS qmin, ROUND(mx*10000,0)/10000.0 AS qmax, CASE WHEN scale > 0 THEN array_to_string(list_transform(embedding, x -> CAST(CAST(ROUND((CAST(x AS DOUBLE) - mn)/scale, 0) AS INT) AS VARCHAR)), ',') ELSE array_to_string(list_transform(embedding, x -> '0'), ',') END AS q FROM s ORDER BY vec_id""",
 
     "dedup_semantic" ->
       """WITH p AS (SELECT x.vec_id AS a, y.vec_id AS b, (SELECT SUM(CAST(xe AS DOUBLE) * CAST(ye AS DOUBLE)) FROM (SELECT unnest(x.embedding) AS xe, unnest(y.embedding) AS ye)) / (sqrt((SELECT SUM(CAST(xe AS DOUBLE) * CAST(xe AS DOUBLE)) FROM (SELECT unnest(x.embedding) AS xe))) * sqrt((SELECT SUM(CAST(ye AS DOUBLE) * CAST(ye AS DOUBLE)) FROM (SELECT unnest(y.embedding) AS ye)))) AS cos FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id), removed AS (SELECT DISTINCT b FROM p WHERE ROUND(cos * 10000, 0)/10000.0 >= 0.35) SELECT vec_id, label FROM embeddings WHERE vec_id NOT IN (SELECT b FROM removed) ORDER BY vec_id""",

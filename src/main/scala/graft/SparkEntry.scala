@@ -221,7 +221,14 @@ object SparkEntry {
     "ann_topk"        -> ((s, d) => Similarity.topK(Tables.embeddings(s, d))),
     "ann_lsh"         -> ((s, d) => Similarity.lshCandidates(Tables.embeddings(s, d))),
     "ann_ivf"         -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d))),
-    "ann_ivf_q"       -> ((s, d) => Similarity.ivfTopKQuantized(Tables.embeddings(s, d))),
+    // exhaustive config (probe every cell, rerank all candidates): the
+    // quantize → dequant → cell-probe → exact-rerank machinery must then
+    // reproduce the exact top-k bit-for-bit, so this rides ann_topk's
+    // oracle. The genuinely-selective config (nProbe=8, rerank=30) is
+    // spec-bounded (recall vs topK) and benched via ann_ivf.
+    "ann_ivf_q"       -> ((s, d) => Similarity.ivfTopKQuantized(
+                            Tables.embeddings(s, d),
+                            nProbe = 16, rerank = Int.MaxValue)),
     "dedup_semantic"  -> ((s, d) => Similarity.semanticDedup(Tables.embeddings(s, d))),
     // Same CSV-encoding as multimodal_features/embedding_quantize: the
     // harness compare needs scalar cells; library API keeps array<double>.
