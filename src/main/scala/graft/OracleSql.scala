@@ -315,6 +315,11 @@ object OracleSql {
     "dedup_survivors_quality" ->
       s"""WITH RECURSIVE d AS (SELECT doc_id, lang, n_chars, $docWords AS w FROM documents), p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id AND (a.n_chars // 100) = (b.n_chars // 100) WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) / len(list_distinct(list_concat(a.w, b.w))) >= 0.5), e AS (SELECT doc_a AS u, doc_b AS v FROM p UNION SELECT doc_b, doc_a FROM p), reach AS (SELECT u AS id, u AS x FROM e UNION SELECT r.id, e.v AS x FROM reach r JOIN e ON r.x = e.u), cc AS (SELECT id, MIN(x) AS cluster_id FROM reach GROUP BY id), q AS (SELECT doc_id, len(string_split(lower(trim(text)), ' ')) AS q FROM documents), l AS (SELECT cc.id, ROW_NUMBER() OVER (PARTITION BY cc.cluster_id ORDER BY q.q DESC, cc.id) AS rn FROM cc JOIN q ON cc.id = q.doc_id) SELECT doc_id, lang FROM documents WHERE doc_id NOT IN (SELECT id FROM l WHERE rn <> 1) ORDER BY doc_id""",
 
+    // per-stratum thresholds rendered from the same Scala longs the
+    // operator computes; draw = first 24 bits of md5("seed:doc_id")
+    "stratified_sample" ->
+      s"""SELECT doc_id, lang FROM documents WHERE lang IN ('en','de','es','fr','zh') AND CAST(('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) < ${(0.5 * (1L << 24)).toLong} ORDER BY doc_id""",
+
     // thresholds rendered from the same Scala longs the operator computes
     "split_train_val_test" ->
       s"""SELECT doc_id, lang, CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) < ${(0.8 * (1L << 24)).toLong} THEN 'train' WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) < ${((0.8 + 0.1) * (1L << 24)).toLong} THEN 'val' ELSE 'test' END AS split FROM documents ORDER BY doc_id""",

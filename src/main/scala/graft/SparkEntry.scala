@@ -13,17 +13,29 @@ object SparkEntry {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** One exact-clusters frame per (session, sf-dir), localCheckpoint'ed:
-    * dedup_clusters / dedup_survivors / dedup_survivors_quality all
-    * consume the same blocked-Jaccard + connected-components subgraph, so
-    * the driver pays for it once instead of three times. Library callers
-    * get the same sharing via the `precomputedClusters` parameter on
-    * [[Dedup.dedupSurvivors]] / [[Dedup.dedupSurvivorsByQuality]]. */
-  private val clustersMemo =
+  /** Expensive subgraphs shared across driver queries, localCheckpoint'ed
+    * once per (session, sf-dir) — the production composition pattern the
+    * library exposes via `precomputed*` parameters:
+    *  - exact clusters: dedup_clusters + both survivor policies consume
+    *    one blocked-Jaccard + connected-components run;
+    *  - minhash pairs: dedup_minhash + dedup_clusters_minhash consume one
+    *    signature + band-join + verify run (identical default params);
+    *  - LSH-scored embedding pairs (thresholded at the LOWEST consumer
+    *    minCos, each consumer re-filters at its own): ann_lsh (0.4) +
+    *    dedup_semantic_lsh (0.35). */
+  private val memo =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def shared(s: SparkSession, d: String, tag: String)
+                    (build: => DataFrame): DataFrame =
+    memo.getOrElseUpdate(s"${s.sparkContext.applicationId}|$d|$tag",
+      build.localCheckpoint())
   private def sharedClusters(s: SparkSession, d: String): DataFrame =
-    clustersMemo.getOrElseUpdate(s"${s.sparkContext.applicationId}|$d",
-      Dedup.clusters(Tables.documents(s, d)).localCheckpoint())
+    shared(s, d, "clusters")(Dedup.clusters(Tables.documents(s, d)))
+  private def sharedMinhashPairs(s: SparkSession, d: String): DataFrame =
+    shared(s, d, "minhash")(Dedup.minhashLsh(Tables.documents(s, d)))
+  private def sharedLshPairs(s: SparkSession, d: String): DataFrame =
+    shared(s, d, "lsh")(
+      Similarity.lshCandidates(Tables.embeddings(s, d), minCos = 0.35))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, Q] = Map[String, Q](
@@ -206,7 +218,9 @@ object SparkEntry {
     "dedup_exact"     -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "dedup_jaccard"   -> ((s, d) => Dedup.jaccardPairs(Tables.documents(s, d))),
     "dedup_clusters"  -> ((s, d) => sharedClusters(s, d)),
-    "dedup_clusters_minhash" -> ((s, d) => Dedup.clustersApprox(Tables.documents(s, d))),
+    "dedup_clusters_minhash" -> ((s, d) => Dedup.clustersApprox(
+                            Tables.documents(s, d),
+                            precomputedPairs = Some(sharedMinhashPairs(s, d)))),
     // decontamination: eval set = every 50th doc, corpus = the rest
     "decontaminate"   -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -215,11 +229,13 @@ object SparkEntry {
         docs.filter(col("doc_id") % 50 =!= 0), docs.filter(col("doc_id") % 50 === 0))
     }),
     "dedup_ngram"     -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
-    "dedup_minhash"   -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
+    "dedup_minhash"   -> ((s, d) => sharedMinhashPairs(s, d)),
     "dedup_simhash"   -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
     "ann_cosine"      -> ((s, d) => Similarity.cosineToQuery(Tables.embeddings(s, d))),
     "ann_topk"        -> ((s, d) => Similarity.topK(Tables.embeddings(s, d))),
-    "ann_lsh"         -> ((s, d) => Similarity.lshCandidates(Tables.embeddings(s, d))),
+    // shared frame is thresholded at 0.35; re-filter to this query's 0.4
+    "ann_lsh"         -> ((s, d) => sharedLshPairs(s, d)
+                            .filter(org.apache.spark.sql.functions.col("cos_sim") >= 0.4)),
     "ann_ivf"         -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d))),
     // exhaustive config (probe every cell, rerank all candidates): the
     // quantize → dequant → cell-probe → exact-rerank machinery must then
@@ -239,7 +255,9 @@ object SparkEntry {
           concat_ws(",", transform(col("pc"), x => format_string("%.4f", x))))
         .orderBy("vec_id")
     }),
-    "dedup_semantic_lsh" -> ((s, d) => Similarity.semanticDedupApprox(Tables.embeddings(s, d))),
+    "dedup_semantic_lsh" -> ((s, d) => Similarity.semanticDedupApprox(
+                            Tables.embeddings(s, d),
+                            precomputedCandidates = Some(sharedLshPairs(s, d)))),
     "multimodal_frames" -> ((s, d) => Multimodal.sampleFrames(Tables.documents(s, d))),
     "lang_id"         -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     "quality_score"   -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),

@@ -458,13 +458,26 @@ object Curation {
       .orderBy("lang", "doc_id")
   }
 
-  /** Stratified sampling by language (Bernoulli per stratum, seeded).
-    * Approximate by design — spec bounds the per-stratum rates. */
+  /** Stratified sampling by language: deterministic Bernoulli per stratum
+    * with the engine-portable md5 draw (same contract as
+    * [[temperatureSample]] / trainValTestSplit): the uniform draw is the
+    * first 24 bits of md5("seed:doc_id"), kept when it falls below the
+    * stratum's fraction scaled to 2^24. Reruns, repartitions, and other
+    * engines keep exactly the same rows — oracle-backed, not seeded-RNG
+    * approximate. Strata absent from `fractions` sample at 0. Scan-bound:
+    * one filter, no shuffle. */
   def stratifiedSample(documents: DataFrame,
-                       fractions: Map[String, Double], seed: Long = 42L): DataFrame =
-    documents.stat.sampleBy("lang", fractions, seed)
+                       fractions: Map[String, Double], seed: Long = 42L): DataFrame = {
+    val draw = conv(substring(
+      md5(concat_ws(":", lit(seed.toString), col("doc_id").cast("string"))),
+      1, 6), 16, 10).cast("long")
+    val threshold = fractions.foldLeft(lit(0L)) { case (acc, (lang, f)) =>
+      when(col("lang") === lang, lit((f * (1L << 24)).toLong)).otherwise(acc)
+    }
+    documents.filter(draw < threshold)
       .select(col("doc_id"), col("lang"))
       .orderBy("doc_id")
+  }
 
   /** Overlapping token-window chunking — the doc→chunk explosion that
     * precedes embedding in a RAG / retrieval corpus build. Chunk i covers

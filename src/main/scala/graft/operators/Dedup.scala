@@ -323,8 +323,10 @@ object Dedup {
     * a cluster only splits if EVERY bridging edge is missed — so recall vs
     * [[clusters]] at the same threshold stays high (spec-bounded). */
   def clustersApprox(documents: DataFrame, numHashes: Int = 64,
-                     bands: Int = 8, threshold: Double = 0.8): DataFrame =
-    clustersFromPairs(minhashLsh(documents, numHashes, bands, threshold))
+                     bands: Int = 8, threshold: Double = 0.8,
+                     precomputedPairs: Option[DataFrame] = None): DataFrame =
+    clustersFromPairs(precomputedPairs.getOrElse(
+      minhashLsh(documents, numHashes, bands, threshold)))
 
   /** Train/test decontamination — the standard public-pipeline step (GPT-3
     * appendix C / PaLM / Llama style): a training document is contaminated

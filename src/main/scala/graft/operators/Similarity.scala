@@ -102,9 +102,15 @@ object Similarity {
     * pruning, matched to the corpus similarity profile. */
   def semanticDedupApprox(embeddings: DataFrame, minCos: Double = 0.35,
                           nTables: Int = 16, planesPerTable: Int = 4,
-                          payloadJoin: PayloadJoin = PayloadJoin.Auto): DataFrame = {
-    val removed = lshCandidates(embeddings, nTables, planesPerTable,
-        minCos = minCos, payloadJoin = payloadJoin)
+                          payloadJoin: PayloadJoin = PayloadJoin.Auto,
+                          precomputedCandidates: Option[DataFrame] = None): DataFrame = {
+    // precomputedCandidates: a cached [[lshCandidates]] frame (thresholded
+    // at or below this minCos) shared with other LSH consumers — the pair
+    // generation is the dominant cost and the re-filter is free
+    val removed = precomputedCandidates
+      .getOrElse(lshCandidates(embeddings, nTables, planesPerTable,
+        minCos = minCos, payloadJoin = payloadJoin))
+      .filter(col("cos_sim") >= minCos)
       .select(col("vec_b").as("vec_id")).distinct()
     embeddings.join(removed, Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("label"))

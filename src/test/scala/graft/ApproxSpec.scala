@@ -154,6 +154,23 @@ class ApproxSpec extends SparkSpec {
       s"(${removedApprox.size} vs ${removedExact.size})")
   }
 
+  test("precomputed shared frames match the recomputing paths " +
+       "(minhash pairs for clustersApprox; lower-threshold LSH candidates " +
+       "for semanticDedupApprox and a re-filter for lshCandidates)") {
+    val docs = Tables.documents(spark, sf)
+    val pairs = Dedup.minhashLsh(docs).localCheckpoint()
+    assert(Dedup.clustersApprox(docs, precomputedPairs = Some(pairs))
+             .collect().map(_.toSeq).toSet ==
+           Dedup.clustersApprox(docs).collect().map(_.toSeq).toSet)
+    val emb = Tables.embeddings(spark, sf)
+    val cand = Similarity.lshCandidates(emb, minCos = 0.35).localCheckpoint()
+    assert(Similarity.semanticDedupApprox(emb, 0.35,
+             precomputedCandidates = Some(cand)).collect().map(_.toSeq).toSet ==
+           Similarity.semanticDedupApprox(emb, 0.35).collect().map(_.toSeq).toSet)
+    assert(cand.filter(col("cos_sim") >= 0.4).collect().map(_.toSeq).toSet ==
+           Similarity.lshCandidates(emb).collect().map(_.toSeq).toSet)
+  }
+
   test("payload re-attach strategies produce identical results") {
     import graft.util.PayloadJoin
     val docs = Tables.documents(spark, sf)
