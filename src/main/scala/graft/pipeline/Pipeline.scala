@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -475,6 +475,55 @@ final class Pipeline(models: Seq[Model], exposures: Seq[Exposure] = Nil,
     }.toMap
     new Pipeline(chosen)
       .run(spark, sources ++ deferred, targetDir, hooks, fullRefresh)
+  }
+
+  /** The reference's scripts/pr_data_diff.sh:40-74 as one API: select
+    * `state:modified+` against the prod manifest, then emit ONE report
+    * frame carrying, per selected model, the script's SUMMARY row counts
+    * and the EXCEPT-DISTINCT diff counts of macros/compare_dev_prod.sql
+    * (capped at `limit`, its DIFF_LIMIT). Lazy and scale-safe: every
+    * number is a Spark aggregate, diff branches cap at `limit` rows
+    * before counting, nothing collects to the driver — at 100 TB the cap
+    * bounds the EXCEPT's output (the EXCEPT itself is the same shuffle a
+    * full diff would pay, which is why state selection runs it only on
+    * changed models). A model whose dev/prod schemas disagree reports
+    * `schema_mismatch` (count of changed columns — rows would not align);
+    * a model new in dev reports `new_model`. */
+  def prDataDiff(oldManifestJson: String,
+                 dev: Map[String, DataFrame], prod: Map[String, DataFrame],
+                 limit: Int = 100): DataFrame = {
+    val changed = selectModifiedPlus(oldManifestJson, dev)
+    def row(m: String, tpe: String, n: Column, src: DataFrame): DataFrame =
+      src.agg(n.as("n")).select(lit(m).as("model"),
+        lit(tpe).as("diff_type"), col("n").cast("long").as("n"))
+    val frames = changed.flatMap { m =>
+      val d = dev(m)
+      val devRows = row(m, "summary_dev_rows", count(lit(1)), d)
+      prod.get(m) match {
+        case None => Seq(devRows, row(m, "new_model", lit(1), d.limit(1)))
+        case Some(p) =>
+          val sameSchema =
+            d.schema.map(f => f.name -> f.dataType).sortBy(_._1) ==
+            p.schema.map(f => f.name -> f.dataType).sortBy(_._1)
+          if (!sameSchema)
+            Seq(devRows, row(m, "summary_prod_rows", count(lit(1)), p),
+              row(m, "schema_mismatch", count(lit(1)),
+                graft.operators.Diff.schemaDiff(d, p)))
+          else {
+            val pAligned = p.select(d.columns.map(col).toSeq: _*)
+            Seq(devRows, row(m, "summary_prod_rows", count(lit(1)), p),
+              row(m, "in_dev_not_in_prod", count(lit(1)),
+                d.except(pAligned).limit(limit)),
+              row(m, "in_prod_not_in_dev", count(lit(1)),
+                pAligned.except(d).limit(limit)))
+          }
+      }
+    }
+    frames.reduceOption(_ unionAll _)
+      .getOrElse(dev.values.head.sparkSession.emptyDataFrame
+        .select(lit("").as("model"), lit("").as("diff_type"), lit(0L).as("n"))
+        .limit(0))
+      .orderBy("model", "diff_type")
   }
 
   /** Runs the DAG. `targetDir` holds table/incremental materializations.
