@@ -50,6 +50,9 @@ object OracleSql {
     "pipeline_run" ->
       """WITH stg AS (SELECT o_orderkey AS order_key, o_totalprice AS total_price FROM orders) SELECT order_key AS id, total_price AS value, CASE WHEN total_price > 200000 THEN 'high' ELSE 'regular' END AS bucket FROM stg ORDER BY id""",
 
+    "pr_data_diff" ->
+      """WITH flips AS (SELECT COUNT(*) AS n FROM orders WHERE o_totalprice > 100000.0 AND o_totalprice <= 200000.0), tot AS (SELECT COUNT(*) AS n FROM orders), deva AS (SELECT o_totalprice > 200000.0 AS hot, COUNT(*) AS n FROM orders GROUP BY 1), proda AS (SELECT o_totalprice > 100000.0 AS hot, COUNT(*) AS n FROM orders GROUP BY 1), adp AS (SELECT COUNT(*) AS n FROM (SELECT * FROM deva EXCEPT SELECT * FROM proda)), apd AS (SELECT COUNT(*) AS n FROM (SELECT * FROM proda EXCEPT SELECT * FROM deva)) SELECT model, diff_type, CAST(n AS BIGINT) AS n FROM (SELECT 'agg' AS model, 'in_dev_not_in_prod' AS diff_type, n FROM adp UNION ALL SELECT 'agg', 'in_prod_not_in_dev', n FROM apd UNION ALL SELECT 'agg', 'summary_dev_rows', (SELECT COUNT(*) FROM deva) UNION ALL SELECT 'agg', 'summary_prod_rows', (SELECT COUNT(*) FROM proda) UNION ALL SELECT 'fct', 'in_dev_not_in_prod', LEAST(n, 100) FROM flips UNION ALL SELECT 'fct', 'in_prod_not_in_dev', LEAST(n, 100) FROM flips UNION ALL SELECT 'fct', 'summary_dev_rows', n FROM tot UNION ALL SELECT 'fct', 'summary_prod_rows', n FROM tot) ORDER BY model, diff_type""",
+
     "incremental_merge" ->
       """WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 0 AS src FROM orders), delta AS (SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus, o_totalprice + 1 AS o_totalprice, 1 AS src FROM orders WHERE o_orderkey % 10 = 0), u AS (SELECT * FROM base UNION ALL SELECT * FROM delta), r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY src DESC) AS rn FROM u) SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM r WHERE rn = 1 ORDER BY o_orderkey""",
 

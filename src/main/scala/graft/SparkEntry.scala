@@ -68,6 +68,26 @@ object SparkEntry {
       dag.run(s, Map("orders" -> Tables.orders(s, d)), dir)("fct_bucket")
         .orderBy("id")
     }),
+    // PR data diff: prod built at threshold 100k, dev PR moves it to 200k
+    // (checksum-visible) — state selection picks both models, the report
+    // carries SUMMARY counts + limit-capped EXCEPT-DISTINCT diff counts
+    "pr_data_diff"      -> ((s, d) => {
+      import graft.pipeline._
+      import org.apache.spark.sql.functions._
+      val orders = Tables.orders(s, d)
+      def pipe(thresh: Double) = new Pipeline(Seq(
+        Model("fct", Seq("orders"), EphemeralMat, in => in("orders")
+          .select(col("o_orderkey"), (col("o_totalprice") > thresh).as("hot")),
+          checksum = s"t$thresh"),
+        Model("agg", Seq("fct"), EphemeralMat, in => in("fct")
+          .groupBy("hot").agg(count(lit(1)).as("n")))))
+      val dir = java.nio.file.Files.createTempDirectory("graft_prdiff").toString
+      val prodP = pipe(100000.0)
+      val prodRes = prodP.run(s, Map("orders" -> orders), s"$dir/prod")
+      val devP = pipe(200000.0)
+      val devRes = devP.run(s, Map("orders" -> orders), s"$dir/dev")
+      devP.prDataDiff(prodP.manifestJson(prodRes), devRes, prodRes)
+    }),
     "incremental_merge" -> ((s, d) => Incremental.mergeLatest(Tables.orders(s, d))),
     // microbatch: delta re-emits only even keys of 1998+; those months are
     // REPLACED wholesale (odd-key rows in them disappear), earlier months
