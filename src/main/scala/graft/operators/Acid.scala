@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.TxLogFormat
+import graft.pipeline._
+
+/** Driver queries that adjudicate the ACID table format ([[TxLogFormat]])
+  * against the SAME oracles the parquet-dir paths pass: identical answers,
+  * no crash-visibility window. The reference's north star names
+  * "Delta/Iceberg for incremental models"; these three run the
+  * incremental-merge, DELETE-WHERE, and time-travel shapes through the
+  * transaction log. */
+object Acid {
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).resolve("t").toString
+
+  /** Two dbt runs of an incremental model through the ACID format: run 1
+    * seeds the table, run 2's delta (the `is_incremental()` branch)
+    * merges latest-wins via `format.replace` — on the txlog a single
+    * atomic commit whose plan reads the table it replaces. Oracle = the
+    * incremental_merge latest-wins SQL. */
+  def txlogIncremental(spark: SparkSession, orders: DataFrame): DataFrame = {
+    val dir = tmpDir("graft_txlog_inc")
+    def mk(build: Map[String, DataFrame] => DataFrame) = new Pipeline(
+      Seq(Model("m", Seq("orders"), IncrementalMat("o_orderkey"), build)),
+      format = TxLogFormat)
+    mk(in => in("orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"))
+      .run(spark, Map("orders" -> orders), dir)
+    val out = mk(in => in("orders")
+        .filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          lit("U").as("o_orderstatus"),
+          (col("o_totalprice") + 1).as("o_totalprice")))
+      .run(spark, Map("orders" -> orders), dir)
+    out("m").orderBy("o_orderkey")
+  }
+
+  /** [[graft.operators.Materialize.gdprDelete]] through the txlog:
+    * file-granular DELETE WHERE (only files holding a doomed key rewrite,
+    * one atomic commit), same aggregate oracle as gdpr_delete. */
+  def txlogGdpr(spark: SparkSession, orders: DataFrame): DataFrame = {
+    val t = tmpDir("graft_txlog_gdpr")
+    TxLogFormat.write(
+      orders.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"),
+      t, Some("o_orderpriority"))
+    val keys = orders.filter(col("o_custkey") % 97 === 0)
+      .select(col("o_custkey").as("del_key")).distinct()
+    TxLogFormat.deleteKeys(spark, t, "o_orderpriority", "o_custkey", keys)
+    TxLogFormat.read(spark, t)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        graft.util.Det.centsSum(col("o_totalprice")).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Snapshot isolation dividend: overwrite the table, then read version
+    * 0 — every original row is still there, byte-for-byte (data files are
+    * immutable; the log pins the snapshot). Oracle = the base table. */
+  def txlogTimeTravel(spark: SparkSession, orders: DataFrame): DataFrame = {
+    val t = tmpDir("graft_txlog_tt")
+    val base = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    TxLogFormat.write(base, t)
+    TxLogFormat.replace(spark,
+      TxLogFormat.read(spark, t).filter(col("o_orderkey") % 2 === 0), t)
+    TxLogFormat.readVersion(spark, t, 0).orderBy("o_orderkey")
+  }
+}

@@ -1,0 +1,204 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.{ParquetDirFormat, Tables, TxLogFormat}
+import graft.pipeline._
+import java.nio.file.{Files, Paths}
+
+/** TxLogFormat: ACID semantics (atomic commits, snapshot isolation, time
+  * travel, crash-invisibility), file-granular delete incl. escaped + null
+  * partition values, and drop-in Pipeline parity with ParquetDirFormat. */
+class FormatSpec extends SparkSpec {
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_fmt").resolve("t").toString
+
+  test("write/read roundtrip, partitioned + clustered; one commit") {
+    val orders = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val t = tmp()
+    TxLogFormat.write(orders, t, Some("o_orderstatus"), Seq("o_orderkey"))
+    assert(rows(TxLogFormat.read(spark, t).orderBy("o_orderkey")) ==
+      rows(orders.orderBy("o_orderkey")))
+    assert(TxLogFormat.versions(t) == Seq(0L))
+    // partition column recovered from dir layout via basePath
+    assert(TxLogFormat.read(spark, t).columns.toSet ==
+      Set("o_orderkey", "o_orderstatus", "o_totalprice"))
+  }
+
+  test("overwritePartitions replaces exactly the partitions present") {
+    val orders = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val t = tmp()
+    TxLogFormat.write(orders, t, Some("o_orderstatus"))
+    val statuses = orders.select("o_orderstatus").distinct()
+      .collect().map(_.getString(0)).sorted
+    val touched = statuses.head
+    val patch = orders.filter(col("o_orderstatus") === touched)
+      .withColumn("o_totalprice", lit(0.0))
+    TxLogFormat.overwritePartitions(patch, t, "o_orderstatus")
+    val got = TxLogFormat.read(spark, t)
+    assert(got.filter(col("o_orderstatus") === touched)
+      .agg(sum("o_totalprice")).head().getDouble(0) == 0.0)
+    // untouched partitions byte-identical rows
+    assert(rows(got.filter(col("o_orderstatus") =!= touched).orderBy("o_orderkey")) ==
+      rows(orders.filter(col("o_orderstatus") =!= touched).orderBy("o_orderkey")))
+  }
+
+  test("replace whose plan reads the current table; time travel keeps v0") {
+    val orders = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+    val t = tmp()
+    TxLogFormat.write(orders, t)
+    val current = TxLogFormat.read(spark, t)
+    // the incremental-merge shape: new content computed FROM the table
+    TxLogFormat.replace(spark,
+      current.withColumn("o_totalprice", col("o_totalprice") + 1), t)
+    assert(rows(TxLogFormat.read(spark, t).orderBy("o_orderkey")) ==
+      rows(orders.withColumn("o_totalprice", col("o_totalprice") + 1)
+        .orderBy("o_orderkey")))
+    // snapshot isolation dividend: v0 still fully readable
+    assert(rows(TxLogFormat.readVersion(spark, t, 0).orderBy("o_orderkey")) ==
+      rows(orders.orderBy("o_orderkey")))
+    assert(TxLogFormat.history(t).map(_._1) == Seq(0L, 1L))
+  }
+
+  test("a crashed writer is invisible: uncommitted files don't surface") {
+    val orders = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+    val t = tmp()
+    TxLogFormat.write(orders, t)
+    val before = rows(TxLogFormat.read(spark, t).orderBy("o_orderkey"))
+    // simulate a writer that died after landing data files but before its
+    // commit: drop a parquet file into the table dir with no log entry
+    val scratch = Paths.get(tmp()).getParent
+    orders.limit(5).coalesce(1).write.mode("overwrite")
+      .parquet(scratch.toString)
+    val it = Files.list(scratch).iterator()
+    var moved = false
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.toString.endsWith(".parquet") && !moved) {
+        Files.move(f, Paths.get(t).resolve("part-orphan.parquet")); moved = true
+      }
+    }
+    assert(moved)
+    assert(rows(TxLogFormat.read(spark, t).orderBy("o_orderkey")) == before)
+  }
+
+  test("deleteKeys is file-granular and survives escaped + null partitions") {
+    val df = spark.createDataFrame(Seq(
+      (1L, "flash sale"), (2L, "flash sale"), (3L, "a=b:c%d"),
+      (4L, "plain"), (5L, "plain"), (6L, "plain")
+    )).toDF("id", "seg")
+      .union(spark.createDataFrame(Seq((7L, null.asInstanceOf[String])))
+        .toDF("id", "seg"))
+    val t = tmp()
+    TxLogFormat.write(df, t, Some("seg"))
+    val keys = spark.createDataFrame(Seq(Tuple1(1L), Tuple1(3L), Tuple1(7L)))
+      .toDF("del_id")
+    val affected = TxLogFormat.deleteKeys(spark, t, "seg", "id", keys)
+    assert(affected.toSet ==
+      Set("flash sale", "a=b:c%d", "__HIVE_DEFAULT_PARTITION__"))
+    val got = TxLogFormat.read(spark, t)
+    assert(got.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(2L, 4L, 5L, 6L))
+    // the untouched partition's files were not rewritten
+    val hist = TxLogFormat.history(t)
+    assert(hist.size == 2)
+  }
+
+  test("compact bounds files per partition, rows untouched, one commit") {
+    val orders = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .repartition(8) // force many small files per partition
+    val t = tmp()
+    TxLogFormat.write(orders, t, Some("o_orderstatus"))
+    val before = rows(TxLogFormat.read(spark, t).orderBy("o_orderkey"))
+    val budget = TxLogFormat.compact(spark, t, "o_orderstatus")
+    assert(budget.values.forall(_ == 1)) // tiny data: one file per part
+    assert(rows(TxLogFormat.read(spark, t).orderBy("o_orderkey")) == before)
+    val liveByPart = TxLogFormat.history(t) // v0 write, v1 compact
+    assert(liveByPart.map(_._1) == Seq(0L, 1L))
+  }
+
+  test("vacuum checkpoints the horizon, reclaims unreachable files, " +
+       "preserves the current read") {
+    val orders = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+    val t = tmp()
+    TxLogFormat.write(orders, t)                       // v0
+    TxLogFormat.replace(spark,
+      TxLogFormat.read(spark, t).filter(col("o_orderkey") % 2 === 0), t) // v1
+    TxLogFormat.replace(spark,
+      TxLogFormat.read(spark, t).filter(col("o_orderkey") % 4 === 0), t) // v2
+    val want = rows(TxLogFormat.read(spark, t).orderBy("o_orderkey"))
+    val deleted = TxLogFormat.vacuum(t, retainVersions = 1)
+    assert(deleted > 0)
+    assert(TxLogFormat.versions(t) == Seq(2L)) // checkpointed horizon only
+    assert(rows(TxLogFormat.read(spark, t).orderBy("o_orderkey")) == want)
+  }
+
+  test("commit CAS: non-conflicting concurrent writers all land") {
+    val orders = Tables.orders(spark, sf).select("o_orderkey", "o_orderstatus")
+    val t = tmp()
+    TxLogFormat.write(orders, t, Some("o_orderstatus"))
+    val statuses = orders.select("o_orderstatus").distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    assert(statuses.size >= 2)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // one writer per partition: they race on the version slot (CAS +
+    // retry) but never on files, so every commit must land
+    val fs = statuses.map { st =>
+      Future {
+        TxLogFormat.overwritePartitions(
+          orders.filter(col("o_orderstatus") === st)
+            .withColumn("o_orderkey", -col("o_orderkey")),
+          t, "o_orderstatus")
+      }
+    }
+    Await.result(Future.sequence(fs), 120.seconds)
+    assert(TxLogFormat.versions(t) == (0L to statuses.size.toLong))
+    val got = TxLogFormat.read(spark, t)
+    assert(got.count() == orders.count())
+    assert(got.filter(col("o_orderkey") > 0).count() == 0) // all rewritten
+  }
+
+  test("appendBatch: replayed batches skip; vacuum keeps the txn ledger") {
+    val orders = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_orderstatus").limit(10)
+    val t = tmp()
+    assert(TxLogFormat.appendBatch(orders, t, "app", 0L))
+    assert(!TxLogFormat.appendBatch(orders, t, "app", 0L)) // replay → skip
+    assert(TxLogFormat.appendBatch(orders, t, "app", 1L))
+    assert(TxLogFormat.read(spark, t).count() == 20)
+    assert(TxLogFormat.committedTxns(t) == Set("app:0", "app:1"))
+    TxLogFormat.vacuum(t, retainVersions = 1)
+    // the checkpoint carried the tags forward: replay still skips
+    assert(!TxLogFormat.appendBatch(orders, t, "app", 1L))
+    assert(TxLogFormat.read(spark, t).count() == 20)
+  }
+
+  test("Pipeline drop-in parity: same DAG, same results as ParquetDirFormat") {
+    val orders = Tables.orders(spark, sf)
+    def mk(fmt: graft.sources.TableFormat) = new Pipeline(Seq(
+      Model("f_table", Seq("orders"), TableMat(Some("o_orderstatus"), Seq("o_orderkey")),
+        in => in("orders").select("o_orderkey", "o_orderstatus", "o_totalprice")),
+      Model("f_io", Seq("orders"), InsertOverwriteMat("o_orderstatus"),
+        in => in("orders").select("o_orderkey", "o_orderstatus")),
+      Model("f_inc", Seq("orders"), IncrementalMat("o_orderkey"),
+        in => in("orders").select("o_orderkey", "o_totalprice")),
+      Model("f_mb", Seq("orders"), MicrobatchMat("o_orderdate"),
+        in => in("orders").select("o_orderkey", "o_orderdate"))),
+      format = fmt)
+    val txOut = mk(TxLogFormat).run(spark, Map("orders" -> orders), tmp())
+    val refOut = mk(ParquetDirFormat).run(spark, Map("orders" -> orders), tmp())
+    Seq("f_table", "f_io", "f_inc", "f_mb").foreach { n =>
+      // align columns by name: the dir format's read appends partition
+      // columns last, TxLog restores the writer's order
+      val cols = refOut(n).columns.sorted.toSeq.map(col)
+      assert(rows(txOut(n).select(cols: _*).orderBy("o_orderkey")) ==
+        rows(refOut(n).select(cols: _*).orderBy("o_orderkey")),
+        s"model $n diverged")
+    }
+  }
+}
