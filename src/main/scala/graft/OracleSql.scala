@@ -56,6 +56,13 @@ object OracleSql {
     "incremental_merge" ->
       """WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 0 AS src FROM orders), delta AS (SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus, o_totalprice + 1 AS o_totalprice, 1 AS src FROM orders WHERE o_orderkey % 10 = 0), u AS (SELECT * FROM base UNION ALL SELECT * FROM delta), r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY src DESC) AS rn FROM u) SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM r WHERE rn = 1 ORDER BY o_orderkey""",
 
+    // ACID-format paths: same answers as their parquet-dir counterparts
+    "txlog_incremental" ->
+      """WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 0 AS src FROM orders), delta AS (SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus, o_totalprice + 1 AS o_totalprice, 1 AS src FROM orders WHERE o_orderkey % 10 = 0), u AS (SELECT * FROM base UNION ALL SELECT * FROM delta), r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY src DESC) AS rn FROM u) SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM r WHERE rn = 1 ORDER BY o_orderkey""",
+
+    "txlog_timetravel" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders ORDER BY o_orderkey""",
+
     "schema_evolution" ->
       """SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01' UNION ALL SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01' ORDER BY o_orderkey""",
 
@@ -140,6 +147,12 @@ object OracleSql {
 
     "stream_enrich" ->
       s"""SELECT c_mktsegment, COUNT(*) AS n_events, ${cents("value")} AS total_value FROM events JOIN customer ON user_id = c_custkey GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    // the stream is run TWICE with identical batch tags before this
+    // aggregate — replayed appends are skipped by the txlog ledger, so a
+    // single duplicate would double every count and fail the compare
+    "stream_txlog_sink" ->
+      s"""SELECT event_type, COUNT(*) AS n_events, ${cents("value")} AS total_value FROM events GROUP BY event_type ORDER BY event_type""",
 
     "dedup_distinct" ->
       """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders ORDER BY o_orderstatus, o_orderpriority""",
@@ -268,6 +281,9 @@ object OracleSql {
       """WITH d AS (SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n, MAX(o_totalprice) AS mx FROM orders GROUP BY 1, 2), s AS (SELECT o_orderpriority, CAST(unnest(generate_series(MIN(day), MAX(day), INTERVAL 1 DAY)) AS DATE) AS day FROM d GROUP BY o_orderpriority), j AS (SELECT s.o_orderpriority, s.day, COALESCE(d.n, 0) AS n_orders, d.mx, d.n IS NULL AS was_gap FROM s LEFT JOIN d ON s.o_orderpriority = d.o_orderpriority AND s.day = d.day) SELECT o_orderpriority, day, CAST(n_orders AS BIGINT) AS n_orders, last_value(mx IGNORE NULLS) OVER (PARTITION BY o_orderpriority ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_max_price, was_gap FROM j ORDER BY o_orderpriority, day""",
 
     "gdpr_delete" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n_orders, ${cents("o_totalprice")} AS revenue FROM orders WHERE o_custkey % 97 <> 0 GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "txlog_gdpr" ->
       s"""SELECT o_orderpriority, COUNT(*) AS n_orders, ${cents("o_totalprice")} AS revenue FROM orders WHERE o_custkey % 97 <> 0 GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
     "merge_columns" ->

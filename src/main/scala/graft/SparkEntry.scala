@@ -89,6 +89,11 @@ object SparkEntry {
       devP.prDataDiff(prodP.manifestJson(prodRes), devRes, prodRes)
     }),
     "incremental_merge" -> ((s, d) => Incremental.mergeLatest(Tables.orders(s, d))),
+    // the ACID (transaction-log) table format, adjudicated by the same
+    // oracles the parquet-dir paths pass
+    "txlog_incremental" -> ((s, d) => Acid.txlogIncremental(s, Tables.orders(s, d))),
+    "txlog_gdpr"        -> ((s, d) => Acid.txlogGdpr(s, Tables.orders(s, d))),
+    "txlog_timetravel"  -> ((s, d) => Acid.txlogTimeTravel(s, Tables.orders(s, d))),
     // microbatch: delta re-emits only even keys of 1998+; those months are
     // REPLACED wholesale (odd-key rows in them disappear), earlier months
     // stay untouched
@@ -323,6 +328,7 @@ object SparkEntry {
     "stream_totals"     -> ((s, d) => graft.streaming.StreamOps.runRunningTotals(s, d)),
     "stream_session_window" -> ((s, d) => graft.streaming.StreamOps.runSessionWindow(s, d)),
     "stream_observe"    -> ((s, d) => graft.streaming.StreamOps.runObserved(s, d)),
+    "stream_txlog_sink" -> ((s, d) => graft.streaming.StreamOps.runTxLogSink(s, d)),
     "customer_ltv"      -> ((s, d) => Analytics.customerLtv(Tables.customer(s, d), Tables.orders(s, d))),
   )
 

@@ -266,6 +266,43 @@ object StreamOps {
     spark.read.parquet(outPath)
   }
 
+  /** Streaming → ACID txlog sink: each micro-batch lands in ONE commit
+    * tagged `appId:batchId` ([[graft.sources.TxLogFormat.appendBatch]]);
+    * a REPLAYED batch is skipped by its tag — transactional exactly-once
+    * with no partition-completeness assumption (the one
+    * [[runPartitionedSink]] leans on). The driver query runs the stream
+    * TWICE over the same source with the same app id and batch ids, so
+    * the oracle itself adjudicates replay idempotence: one duplicated
+    * append and every count doubles. */
+  def runTxLogSink(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxLogFormat
+    val target = java.nio.file.Files
+      .createTempDirectory("graft_txsink").resolve("t").toString
+    val appId = "graft_txsink"
+    def runOnce(): Unit = {
+      val q = eventsStream(spark, dir)
+        .withColumn("event_date",
+          date_format(col("event_time"), "yyyy-MM-dd"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("event_date"))
+        .writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          TxLogFormat.appendBatch(batch, target, appId, id,
+            Some("event_date")); ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    runOnce() // full replay: same tags → every batch must skip
+    TxLogFormat.read(spark, target)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+           centsSum(col("value")).as("total_value"))
+      .orderBy("event_type")
+  }
+
   /** Runs [[RunningTotalsProcessor]] over the parquet source to completion.
     * transformWithState requires the RocksDB state store provider (its
     * changelog-checkpointing state machine is built on it). */
