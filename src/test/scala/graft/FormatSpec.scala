@@ -178,6 +178,55 @@ class FormatSpec extends SparkSpec {
     assert(TxLogFormat.read(spark, t).count() == 20)
   }
 
+  test("model-based: random op sequence matches an in-memory reference") {
+    // fixed-seed sequence of format ops vs a plain Scala model of the
+    // table: after EVERY op (incl. compact + vacuum, which must be
+    // content-neutral) the read must equal the model exactly.
+    val rnd = new scala.util.Random(42)
+    val parts = Seq("alpha", "with space", "x=y%z")
+    def df(rs: Seq[(Long, String, Long)]) =
+      spark.createDataFrame(rs).toDF("id", "part", "v")
+    def fresh(n: Int): Seq[(Long, String, Long)] =
+      (1 to n).map(_ => (rnd.nextInt(50).toLong, parts(rnd.nextInt(parts.size)),
+        rnd.nextInt(1000).toLong))
+    val t = tmp()
+    var model: Seq[(Long, String, Long)] = fresh(30)
+    TxLogFormat.write(df(model), t, Some("part"))
+    def check(op: String): Unit = {
+      val got = TxLogFormat.read(spark, t).select("id", "part", "v").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq.sorted
+      assert(got == model.sorted, s"diverged after $op")
+    }
+    check("write")
+    (1 to 12).foreach { i =>
+      rnd.nextInt(5) match {
+        case 0 => // overwrite one partition
+          val p = parts(rnd.nextInt(parts.size))
+          val repl = fresh(8).map { case (id, _, v) => (id, p, v) }
+          TxLogFormat.overwritePartitions(df(repl), t, "part")
+          model = model.filterNot(_._2 == p) ++ repl
+          check(s"$i:overwritePartitions($p)")
+        case 1 => // tagged append
+          val extra = fresh(5)
+          if (TxLogFormat.appendBatch(df(extra), t, "prop", i, Some("part")))
+            model = model ++ extra
+          check(s"$i:appendBatch")
+        case 2 => // delete a random key set
+          val ks = Seq.fill(3)(rnd.nextInt(50).toLong).distinct
+          TxLogFormat.deleteKeys(spark, t, "part", "id",
+            df(ks.map(k => (k, "", 0L))).select(col("id").as("k")))
+          model = model.filterNot(r => ks.contains(r._1))
+          check(s"$i:deleteKeys($ks)")
+        case 3 =>
+          TxLogFormat.compact(spark, t, "part")
+          check(s"$i:compact")
+        case 4 =>
+          TxLogFormat.vacuum(t, retainVersions = 1 + rnd.nextInt(3))
+          check(s"$i:vacuum")
+      }
+    }
+  }
+
   test("Pipeline drop-in parity: same DAG, same results as ParquetDirFormat") {
     val orders = Tables.orders(spark, sf)
     def mk(fmt: graft.sources.TableFormat) = new Pipeline(Seq(
