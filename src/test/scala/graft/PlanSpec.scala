@@ -264,6 +264,27 @@ class PlanSpec extends SparkSpec {
       s"corpus shuffled for the rate join:\n$plan")
   }
 
+  test("txlog reads keep pushdown, pruning, and partition pruning") {
+    // the snapshot pins an explicit file list; that must not cost the
+    // scan its scale properties
+    val t = java.nio.file.Files.createTempDirectory("graft_txplan")
+      .resolve("t").toString
+    graft.sources.TxLogFormat.write(
+      Tables.orders(spark, sf).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"),
+      t, Some("o_orderstatus"))
+    val df = graft.sources.TxLogFormat.read(spark, t)
+      .filter(col("o_totalprice") > 100000.0 && col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_totalprice")
+    val plan = df.queryExecution.sparkPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice"),
+      s"txlog scan lost filter pushdown:\n$plan")
+    assert(!plan.contains("o_custkey"), "txlog scan reads pruned column")
+    // the o_orderstatus predicate is partition pruning, not a data filter
+    assert(plan.contains("PartitionFilters: [isnotnull(o_orderstatus"),
+      s"txlog scan lost partition pruning:\n$plan")
+  }
+
   test("zorder key is scan-bound whole-stage codegen") {
     val df = operators.Materialize.zorderKey(Tables.orders(spark, sf))
     df.collect() // final adaptive plan carries the codegen annotations
