@@ -188,6 +188,19 @@ object TxLogFormat extends TableFormat {
     }
   }
 
+  /** The partial-rewrite ops (overwritePartitions / compact / deleteKeys)
+    * assume a consistently partitioned layout; on a table made
+    * UNPARTITIONED by [[replace]] they would mix directory depths —
+    * partition discovery breaks, or worse, root files stay live next to
+    * rewritten copies of their rows. Refuse loudly instead. */
+  private def requirePartitioned(path: String, live: Seq[String], op: String): Unit = {
+    val flat = live.filterNot(_.contains("/"))
+    require(flat.isEmpty,
+      s"txlog: $op needs a partitioned table, but $path has " +
+        s"${flat.size} root-level data file(s) (e.g. ${flat.head}) — " +
+        "rewrite it with write(df, path, partitionBy = Some(...)) first")
+  }
+
   // ---- TableFormat ----
 
   def write(df: DataFrame, path: String, partitionBy: Option[String] = None,
@@ -199,6 +212,7 @@ object TxLogFormat extends TableFormat {
 
   def overwritePartitions(df: DataFrame, path: String,
                           partitionCol: String): Unit = {
+    requirePartitioned(path, snapshot(path)._1, "overwritePartitions")
     val adds = stageIn(df, path, Some(partitionCol), Nil)
     // which partitions `df` touched falls straight out of the staged dir
     // names — no collect, no value formatting, escaping untouched.
@@ -221,6 +235,7 @@ object TxLogFormat extends TableFormat {
               targetBytes: Long = 128L * 1024 * 1024): Map[String, Int] = {
     require(targetBytes > 0)
     val live = snapshot(path)._1
+    requirePartitioned(path, live, "compact")
     val byDir = live.filter(_.contains("/")).groupBy(_.split("/", 2)(0))
     def unescape(s: String): String =
       "%[0-9A-Fa-f]{2}".r.replaceAllIn(s,
@@ -247,6 +262,7 @@ object TxLogFormat extends TableFormat {
 
   def deleteKeys(spark: SparkSession, path: String, partitionCol: String,
                  keyCol: String, keys: DataFrame): Seq[String] = {
+    requirePartitioned(path, snapshot(path)._1, "deleteKeys")
     val df = read(spark, path)
     val k = keys.columns.head
     // FILE-granular delete: only files that actually hold a doomed key

@@ -227,6 +227,27 @@ class FormatSpec extends SparkSpec {
     }
   }
 
+  test("partial-rewrite ops refuse a table made unpartitioned by replace") {
+    val orders = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val t = tmp()
+    TxLogFormat.write(orders, t, Some("o_orderstatus"))
+    // replace with no partitioning lands root-level files
+    TxLogFormat.replace(spark, orders, t)
+    val keys = spark.range(1).select(col("id").as("o_orderkey"))
+    for ((op, run) <- Seq[(String, () => Any)](
+      "overwritePartitions" -> (() =>
+        TxLogFormat.overwritePartitions(orders.limit(1), t, "o_orderstatus")),
+      "compact" -> (() => TxLogFormat.compact(spark, t, "o_orderstatus")),
+      "deleteKeys" -> (() =>
+        TxLogFormat.deleteKeys(spark, t, "o_orderstatus", "o_orderkey", keys)))) {
+      val e = intercept[IllegalArgumentException](run())
+      assert(e.getMessage.contains(op), s"$op: ${e.getMessage}")
+    }
+    // the guard itself committed nothing: still v0 (write) + v1 (replace)
+    assert(TxLogFormat.versions(t) == Seq(0L, 1L))
+  }
+
   test("Pipeline drop-in parity: same DAG, same results as ParquetDirFormat") {
     val orders = Tables.orders(spark, sf)
     def mk(fmt: graft.sources.TableFormat) = new Pipeline(Seq(
