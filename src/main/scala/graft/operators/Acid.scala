@@ -56,6 +56,34 @@ object Acid {
       .orderBy("o_orderpriority")
   }
 
+  /** Data skipping + clustered compaction end-to-end: fragment the table
+    * across three tagged appends, OPTIMIZE-ZORDER it on `o_custkey`
+    * ([[TxLogFormat.compactClustered]]), then aggregate a key-range
+    * [[TxLogFormat.scan]] — files whose log-recorded min/max can't cover
+    * the range are pruned driver-side before Spark lists them. `scan` ≡
+    * `read + filter` by construction, so the plain filter+agg SQL
+    * adjudicates the whole chain; the file-count drop itself is
+    * spec-verified (FormatSpec). */
+  def txlogScan(spark: SparkSession, orders: DataFrame): DataFrame = {
+    val t = tmpDir("graft_txlog_scan")
+    val base = orders
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    TxLogFormat.write(base.filter(col("o_orderkey") % 3 === 0), t,
+      Some("o_orderstatus"))
+    TxLogFormat.appendBatch(base.filter(col("o_orderkey") % 3 === 1), t,
+      "scanq", 1L, Some("o_orderstatus"))
+    TxLogFormat.appendBatch(base.filter(col("o_orderkey") % 3 === 2), t,
+      "scanq", 2L, Some("o_orderstatus"))
+    TxLogFormat.compactClustered(spark, t, "o_orderstatus",
+      Seq("o_custkey"), targetBytes = 64L * 1024)
+    TxLogFormat.scan(spark, t,
+        col("o_custkey") <= 500 && col("o_totalprice") > 1000.0)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        graft.util.Det.centsSum(col("o_totalprice")).as("revenue"))
+      .orderBy("o_orderstatus")
+  }
+
   /** Snapshot isolation dividend: overwrite the table, then read version
     * 0 — every original row is still there, byte-for-byte (data files are
     * immutable; the log pins the snapshot). Oracle = the base table. */

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, StructType}
 import java.nio.file.{FileAlreadyExistsException, Files, Path => JPath, Paths}
@@ -19,7 +19,15 @@ import scala.jdk.CollectionConverters._
   * Spark's, never string-built here). The log lives at
   * `<table>/_txlog/<version>.commit`, one file per commit, each a
   * line-oriented record of `a <relpath>` (add) / `r <relpath>` (remove) /
-  * `s <schema-json>` actions.
+  * `s <schema-json>` (schema) / `t <app:batch>` (txn tag) /
+  * `f <relpath>…` (per-file min/max/null stats) actions.
+  *
+  * On top of the ACID core this carries the other two pillars of a lake
+  * format: '''additive schema evolution''' ([[mergeSchemas]] — appends
+  * merge new columns, reads null-fill old files under the committed
+  * schema, type changes refuse) and '''data skipping''' ([[scan]] prunes
+  * files driver-side from log-recorded footer stats; [[compactClustered]]
+  * is the `OPTIMIZE ZORDER` that makes those ranges tight).
   *
   * ACID on a single filesystem:
   *  - '''Atomic + durable''': a commit publishes by hard-linking a fully
@@ -84,6 +92,125 @@ object TxLogFormat extends TableFormat {
     (live.toSeq, schema, vs.lastOption.getOrElse(-1L))
   }
 
+  // ---- per-file statistics (Delta-style data skipping) ----
+
+  /** Column stats from one file's footer: min/max as exact decimals of the
+    * PHYSICAL value (int days for dates, long micros for int64 timestamps —
+    * the same numbers Catalyst literals carry), null count. `min/max ==
+    * None` with `nulls == file rows` means a recorded all-null column. */
+  private case class ColStat(min: Option[BigDecimal], max: Option[BigDecimal],
+                             nulls: Long)
+  private case class FileStat(rows: Long, cols: Map[String, ColStat])
+
+  /** `f <rel>\t<rows>[\t<col>\t<min>\t<max>\t<nulls>]*` — empty min/max
+    * encodes the all-null case. Only top-level numeric-physical columns
+    * (int32/int64/float/double, no decimal/int96) are recorded: their
+    * stats order matches Catalyst's comparison order exactly, so pruning
+    * can never disagree with the filter it serves. Strings are skipped —
+    * safe max-truncation needs successor-string logic that buys little
+    * over parquet's own row-group stats. */
+  private def statsLine(conf: org.apache.hadoop.conf.Configuration,
+                        file: JPath, rel: String): Option[String] = try {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val rd = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(file.toUri), conf))
+    val (rows, cols) = try {
+      val blocks = rd.getFooter.getBlocks.asScala.toSeq
+      val rows = blocks.map(_.getRowCount).sum
+      val perCol = scala.collection.mutable.LinkedHashMap[String,
+        (Option[BigDecimal], Option[BigDecimal], Long, Boolean)]()
+      for (b <- blocks; c <- b.getColumns.asScala) {
+        val name = c.getPath.toDotString
+        val ann = c.getPrimitiveType.getLogicalTypeAnnotation
+        val annOk = ann == null ||
+          ann.isInstanceOf[LogicalTypeAnnotation.IntLogicalTypeAnnotation] ||
+          ann.isInstanceOf[LogicalTypeAnnotation.DateLogicalTypeAnnotation] ||
+          ann.isInstanceOf[LogicalTypeAnnotation.TimestampLogicalTypeAnnotation]
+        if (!name.contains('.') && !name.contains('\t') && annOk) {
+          val st = c.getStatistics
+          val (mn0, mx0, n0, ok0) = perCol.getOrElse(name,
+            (None: Option[BigDecimal], None: Option[BigDecimal], 0L, true))
+          val next =
+            if (!ok0 || st == null || st.isEmpty || st.getNumNulls < 0)
+              (None, None, 0L, false) // stats absent/unreliable → drop column
+            else if (!st.hasNonNullValue) (mn0, mx0, n0 + st.getNumNulls, true)
+            else {
+              val v: Option[(BigDecimal, BigDecimal)] =
+                c.getPrimitiveType.getPrimitiveTypeName match {
+                  case INT32 => Some((
+                    BigDecimal(st.genericGetMin.asInstanceOf[java.lang.Integer].toInt),
+                    BigDecimal(st.genericGetMax.asInstanceOf[java.lang.Integer].toInt)))
+                  case INT64 => Some((
+                    BigDecimal(st.genericGetMin.asInstanceOf[java.lang.Long].toLong),
+                    BigDecimal(st.genericGetMax.asInstanceOf[java.lang.Long].toLong)))
+                  case FLOAT =>
+                    val (a, b) = (st.genericGetMin.asInstanceOf[java.lang.Float].toFloat,
+                      st.genericGetMax.asInstanceOf[java.lang.Float].toFloat)
+                    if (a.isNaN || b.isNaN) None
+                    else Some((BigDecimal(a.toDouble), BigDecimal(b.toDouble)))
+                  case DOUBLE =>
+                    val (a, b) = (st.genericGetMin.asInstanceOf[java.lang.Double].toDouble,
+                      st.genericGetMax.asInstanceOf[java.lang.Double].toDouble)
+                    if (a.isNaN || b.isNaN) None
+                    else Some((BigDecimal(a), BigDecimal(b)))
+                  case _ => None
+                }
+              v match {
+                case None => (None, None, 0L, false)
+                case Some((a, b)) =>
+                  (Some(mn0.fold(a)(_.min(a))), Some(mx0.fold(b)(_.max(b))),
+                    n0 + st.getNumNulls, true)
+              }
+            }
+          perCol(name) = next
+        }
+      }
+      (rows, perCol.toSeq.collect {
+        // all-null only recordable when the null count proves it covers
+        // every row; otherwise min/max-less stats prune nothing — omit
+        case (n, (Some(mn), Some(mx), nulls, true)) => (n, mn, mx, nulls)
+        case (n, (None, None, nulls, true)) if nulls == rows =>
+          (n, null, null, nulls)
+      })
+    } finally rd.close()
+    if (cols.isEmpty) None
+    else Some((s"f $rel\t$rows" +: cols.map { case (n, mn, mx, nulls) =>
+      s"$n\t${Option(mn).map(_.toString).getOrElse("")}" +
+        s"\t${Option(mx).map(_.toString).getOrElse("")}\t$nulls"
+    }).mkString("\t"))
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  private def statsLines(spark: SparkSession, path: String,
+                         rels: Seq[String]): Seq[String] = {
+    val conf = spark.sessionState.newHadoopConf()
+    rels.flatMap(r => statsLine(conf, Paths.get(path, r), r))
+  }
+
+  /** Recorded stats per live-able rel path, as of `upTo`. */
+  private def fileStats(path: String, upTo: Long = Long.MaxValue)
+      : Map[String, FileStat] = {
+    val out = scala.collection.mutable.Map[String, FileStat]()
+    versions(path).filter(_ <= upTo).foreach { v =>
+      Files.readAllLines(commitFile(path, v)).asScala
+        .filter(_.startsWith("f ")).foreach { line =>
+          val parts = line.drop(2).split("\t", -1)
+          if (parts.length >= 2 && (parts.length - 2) % 4 == 0) try {
+            val cols = parts.drop(2).grouped(4).map { g =>
+              g(0) -> ColStat(
+                if (g(1).isEmpty) None else Some(BigDecimal(g(1))),
+                if (g(2).isEmpty) None else Some(BigDecimal(g(2))),
+                g(3).toLong)
+            }.toMap
+            out(parts(0)) = FileStat(parts(1).toLong, cols)
+          } catch { case _: NumberFormatException => }
+        }
+    }
+    out.toMap
+  }
+
   /** Publish one commit with optimistic concurrency: write the full
     * content to a temp file, then hard-link it to the next version slot.
     * Link creation is atomic and fails if the slot is taken, so two racing
@@ -91,11 +218,13 @@ object TxLogFormat extends TableFormat {
     * its removes are still live) and retries. Returns the version. */
   private def commit(path: String, adds: Seq[String], removes: Seq[String],
                      schemaJson: Option[String],
-                     txn: Option[String] = None): Long = {
+                     txn: Option[String] = None,
+                     stats: Seq[String] = Nil): Long = {
     val dir = logDir(path)
     Files.createDirectories(dir)
     val content = (schemaJson.map("s " + _).toSeq ++ txn.map("t " + _).toSeq ++
-      removes.map("r " + _) ++ adds.map("a " + _)).mkString("", "\n", "\n")
+      removes.map("r " + _) ++ adds.map("a " + _) ++ stats)
+      .mkString("", "\n", "\n")
     var attempt = 0
     while (true) {
       val v = snapshot(path)._3 + 1
@@ -170,23 +299,50 @@ object TxLogFormat extends TableFormat {
     val (live, schemaJson, v) = snapshot(path, upTo)
     require(v >= 0, s"txlog: no committed version at $path" +
       (if (upTo != Long.MaxValue) s" <= $upTo" else ""))
+    readFiles(spark, path, live, schemaJson)
+  }
+
+  private def readFiles(spark: SparkSession, path: String, live: Seq[String],
+                        schemaJson: Option[String]): DataFrame = {
     if (live.isEmpty) {
       val schema = schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
         .getOrElse(new StructType())
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    } else {
-      // basePath recovers partition columns from the Hive-style subdirs
-      // even though we hand Spark an explicit (snapshot-pinned) file list.
-      val df = spark.read.option("basePath", path)
-        .parquet(live.map(r => s"$path/$r"): _*)
-      // Spark appends partition columns last; restore the writer's column
-      // order from the committed schema so reads are order-stable.
-      schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
-        .filter(_.fieldNames.sorted.sameElements(df.columns.sorted))
-        .map(s => df.select(s.fieldNames.map(col).toSeq: _*))
-        .getOrElse(df)
+    } else schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType]) match {
+      case Some(s) =>
+        // Read under the COMMITTED schema, not a sampled footer: after a
+        // schema-evolving append the live set mixes old and new footers —
+        // the explicit schema null-fills columns a file predates and types
+        // partition values. basePath recovers partition columns from the
+        // Hive-style subdirs even though we hand Spark an explicit
+        // (snapshot-pinned) file list; Spark still surfaces them LAST
+        // regardless of the given schema, so restore the writer's order.
+        spark.read.schema(s).option("basePath", path)
+          .parquet(live.map(r => s"$path/$r"): _*)
+          .select(s.fieldNames.map(col).toSeq: _*)
+      case None =>
+        spark.read.option("basePath", path)
+          .parquet(live.map(r => s"$path/$r"): _*)
     }
   }
+
+  /** Delta-style additive schema evolution: existing columns keep their
+    * position and type (a type change is refused loudly — silent
+    * cross-type reads corrupt), columns new in `next` append at the end.
+    * Old data files simply lack the new columns; [[readAt]]'s explicit
+    * committed schema null-fills them, so no rewrite ever happens. */
+  private def mergeSchemas(prevJson: Option[String], next: StructType): StructType =
+    prevJson.map(DataType.fromJson(_).asInstanceOf[StructType]) match {
+      case None => next
+      case Some(prev) =>
+        for (f <- next.fields; p <- prev.fields.find(_.name == f.name))
+          require(p.dataType == f.dataType,
+            s"txlog: column ${f.name} would change type " +
+              s"${p.dataType.simpleString} -> ${f.dataType.simpleString}; " +
+              "rewrite the table with write/replace to change a type")
+        StructType(prev.fields ++
+          next.fields.filterNot(f => prev.fieldNames.contains(f.name)))
+    }
 
   /** The partial-rewrite ops (overwritePartitions / compact / deleteKeys)
     * assume a consistently partitioned layout; on a table made
@@ -207,19 +363,25 @@ object TxLogFormat extends TableFormat {
             clusterBy: Seq[String] = Nil): Unit = {
     val before = snapshot(path)._1
     val adds = stageIn(df, path, partitionBy, clusterBy)
-    commit(path, adds, before, Some(df.schema.json))
+    commit(path, adds, before, Some(df.schema.json),
+      stats = statsLines(df.sparkSession, path, adds))
   }
 
   def overwritePartitions(df: DataFrame, path: String,
                           partitionCol: String): Unit = {
-    requirePartitioned(path, snapshot(path)._1, "overwritePartitions")
+    val (before, prevSchema, _) = snapshot(path)
+    requirePartitioned(path, before, "overwritePartitions")
+    // untouched partitions' files survive this commit → additive merge,
+    // not wholesale replace, so their columns stay readable
+    val schema = mergeSchemas(prevSchema, df.schema)
     val adds = stageIn(df, path, Some(partitionCol), Nil)
     // which partitions `df` touched falls straight out of the staged dir
     // names — no collect, no value formatting, escaping untouched.
     val newDirs = adds.map(_.split("/", 2)(0)).toSet
     val removes = snapshot(path)._1
       .filter(r => r.contains("/") && newDirs.contains(r.split("/", 2)(0)))
-    commit(path, adds, removes, Some(df.schema.json))
+    commit(path, adds, removes, Some(schema.json),
+      stats = statsLines(df.sparkSession, path, adds))
   }
 
   def replace(spark: SparkSession, df: DataFrame, path: String): Unit = {
@@ -228,13 +390,15 @@ object TxLogFormat extends TableFormat {
     // self-overwrite hazard and no staging swap — one commit flips the set.
     val before = snapshot(path)._1
     val adds = stageIn(df, path, None, Nil)
-    commit(path, adds, before, Some(df.schema.json))
+    commit(path, adds, before, Some(df.schema.json),
+      stats = statsLines(spark, path, adds))
   }
 
-  def compact(spark: SparkSession, path: String, partitionCol: String,
-              targetBytes: Long = 128L * 1024 * 1024): Map[String, Int] = {
+  /** Per-partition file budget for a rewrite to ~`targetBytes` files:
+    * (dir → live files, unescaped partition value → file count). */
+  private def compactBudget(path: String, live: Seq[String], targetBytes: Long)
+      : (Map[String, Seq[String]], Map[String, Int]) = {
     require(targetBytes > 0)
-    val live = snapshot(path)._1
     requirePartitioned(path, live, "compact")
     val byDir = live.filter(_.contains("/")).groupBy(_.split("/", 2)(0))
     def unescape(s: String): String =
@@ -246,6 +410,12 @@ object TxLogFormat extends TableFormat {
       unescape(dir.split("=", 2)(1)) ->
         math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     }
+    (byDir, budget)
+  }
+
+  def compact(spark: SparkSession, path: String, partitionCol: String,
+              targetBytes: Long = 128L * 1024 * 1024): Map[String, Int] = {
+    val (byDir, budget) = compactBudget(path, snapshot(path)._1, targetBytes)
     if (byDir.isEmpty) return budget
     val df = read(spark, path)
     val budgetCol = typedLit(budget)
@@ -256,7 +426,58 @@ object TxLogFormat extends TableFormat {
       .repartition(col(partitionCol), col("_salt"))
       .drop("_salt")
     val adds = stageIn(salted, path, Some(partitionCol), Nil)
-    commit(path, adds, byDir.values.flatten.toSeq, None)
+    commit(path, adds, byDir.values.flatten.toSeq, None,
+      stats = statsLines(spark, path, adds))
+    budget
+  }
+
+  /** `OPTIMIZE ... ZORDER BY (clusterBy)`: compaction that range-clusters
+    * instead of hash-salting, so each rewritten file covers a TIGHT
+    * min/max range of the cluster key — point/range predicates then skip
+    * whole files (and row groups) on parquet stats alone, which at 100 TB
+    * is the difference between listing a partition and scanning it.
+    *
+    * One column clusters by its natural order; several interleave as a
+    * Morton key over per-column equi-width 256-bucket codes (one global
+    * min/max agg — two scalars per column — prices the grid), giving
+    * every file a tight range on EVERY cluster dimension, where a
+    * lexicographic multi-column sort serves only the leading one. The
+    * file split is one range exchange on (partition, key): sampled
+    * boundaries, so per-partition file counts track [[compact]]'s budget
+    * approximately rather than exactly — same trade Delta's OPTIMIZE
+    * makes. Rows, schema, and history semantics are identical to
+    * [[compact]]: one commit, snapshot isolation, old files to [[vacuum]]. */
+  def compactClustered(spark: SparkSession, path: String, partitionCol: String,
+                       clusterBy: Seq[String],
+                       targetBytes: Long = 128L * 1024 * 1024): Map[String, Int] = {
+    require(clusterBy.nonEmpty, "txlog: compactClustered needs cluster columns")
+    val (byDir, budget) = compactBudget(path, snapshot(path)._1, targetBytes)
+    if (byDir.isEmpty) return budget
+    val df = read(spark, path)
+    val key: Column =
+      if (clusterBy.size == 1) col(clusterBy.head)
+      else {
+        val aggs = clusterBy.flatMap(c =>
+          Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
+        val stats = df.agg(aggs.head, aggs.tail: _*).head()
+        val codes = clusterBy.zipWithIndex.map { case (c, i) =>
+          if (stats.isNullAt(2 * i) || stats.isNullAt(2 * i + 1) ||
+              stats.getDouble(2 * i + 1) <= stats.getDouble(2 * i)) lit(0L)
+          else least(lit(255L), greatest(lit(0L),
+            (width_bucket(col(c).cast("double"),
+              lit(stats.getDouble(2 * i)), lit(stats.getDouble(2 * i + 1)),
+              lit(256)) - 1).cast("long")))
+        }
+        graft.operators.Materialize.zValueN(codes, 8)
+      }
+    val shaped = df.withColumn("_zc", key)
+      .repartitionByRange(math.max(budget.values.sum, 1),
+        col(partitionCol), col("_zc"))
+      .sortWithinPartitions(col(partitionCol), col("_zc"))
+      .drop("_zc")
+    val adds = stageIn(shaped, path, Some(partitionCol), Nil)
+    commit(path, adds, byDir.values.flatten.toSeq, None,
+      stats = statsLines(spark, path, adds))
     budget
   }
 
@@ -290,7 +511,8 @@ object TxLogFormat extends TableFormat {
       .drop("_file")
       .join(broadcast(keys), df(keyCol) === keys(k), "left_anti")
     val adds = stageIn(kept, path, Some(partitionCol), Nil)
-    commit(path, adds, hitRel, None)
+    commit(path, adds, hitRel, None,
+      stats = statsLines(spark, path, adds))
     def unescape(s: String): String =
       "%[0-9A-Fa-f]{2}".r.replaceAllIn(s,
         m => java.util.regex.Matcher.quoteReplacement(
@@ -327,14 +549,154 @@ object TxLogFormat extends TableFormat {
                   partitionBy: Option[String] = None): Boolean = {
     val tag = s"$appId:$batchId"
     if (committedTxns(path).contains(tag)) return false
+    // additive schema evolution: a batch may carry new columns (appended)
+    // or omit committed ones (null-filled on read) — never a type change
+    val schema = mergeSchemas(snapshot(path)._2, df.schema)
     val adds = stageIn(df, path, partitionBy, Nil)
-    commit(path, adds, Nil, Some(df.schema.json), Some(tag))
+    commit(path, adds, Nil, Some(schema.json), Some(tag),
+      stats = statsLines(df.sparkSession, path, adds))
     true
   }
 
   /** Time travel: the table exactly as of commit `version`. */
   def readVersion(spark: SparkSession, path: String, version: Long): DataFrame =
     readAt(spark, path, version)
+
+  /** Data skipping (Delta-style): [[read]] + `.filter(filter)`, but files
+    * whose LOG-RECORDED min/max/null-count stats prove they cannot hold a
+    * matching row are dropped DRIVER-SIDE, before Spark ever lists them.
+    * At 100 TB on an object store this is the difference between
+    * footer-probing a million files and opening only the handful a
+    * clustered key range maps to — [[compactClustered]] makes the ranges
+    * tight, this cashes them in. Pruning is strictly conservative: only
+    * And/Or/compare/In/IsNull shapes over recorded numeric columns prune;
+    * anything else — unrecorded columns, strings, casts, UDFs, files from
+    * before stats existed — keeps the file and lets the residual filter
+    * (always applied) decide. Results therefore ALWAYS equal
+    * `read(...).filter(filter)`; the spec asserts both that equality and
+    * the file-count drop. */
+  def scan(spark: SparkSession, path: String, filter: Column): DataFrame = {
+    val (live, schemaJson, v) = snapshot(path)
+    require(v >= 0, s"txlog: no committed version at $path")
+    val stats = fileStats(path)
+    // Resolve the predicate against an empty frame of the committed
+    // schema: the raw Column is an unresolved function tree, but the
+    // ANALYZED filter condition is typed Catalyst comparisons with
+    // coercion casts placed — the shapes mayMatch prunes on.
+    val pred: Option[org.apache.spark.sql.catalyst.expressions.Expression] =
+      schemaJson.flatMap { sj =>
+        try {
+          val s = DataType.fromJson(sj).asInstanceOf[StructType]
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s)
+            .filter(filter).queryExecution.analyzed.collectFirst {
+              case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+                f.condition
+            }
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }
+    val keep = pred match {
+      case Some(p) =>
+        live.filter(rel => stats.get(rel).forall(fs => mayMatch(p, fs)))
+      case None => live
+    }
+    readFiles(spark, path, keep, schemaJson).filter(filter)
+  }
+
+  /** Could a file with these stats hold a row satisfying `e`? Unknown
+    * shapes answer true (keep). Comparison semantics mirror Catalyst's
+    * over the same physical numbers, so a prune is never a wrong prune. */
+  private def mayMatch(e: org.apache.spark.sql.catalyst.expressions.Expression,
+                       fs: FileStat): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types._
+    // order-preserving casts that are also value-EXACT, so comparing the
+    // stored stats (exact decimals of the narrow type) against the casted
+    // literal can never disagree with Catalyst: integral widenings,
+    // int-or-smaller → double, float → double. long → double is monotone
+    // but NOT exact above 2^53 — excluded.
+    def exactCast(from: DataType, to: DataType): Boolean = (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (ByteType | ShortType | IntegerType, DoubleType) => true
+      case (ByteType | ShortType, FloatType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
+    def name(x: Expression): Option[String] = x match {
+      case a: AttributeReference => Some(a.name)
+      case c: Cast if exactCast(c.child.dataType, c.dataType) => name(c.child)
+      case _ => None
+    }
+    // analysis leaves coercion casts UNFOLDED on literals
+    // (`cast(300 as bigint)`), so evaluate any foldable side
+    def num(x: Expression): Option[BigDecimal] = x match {
+      case e if e.foldable => e.eval(null) match {
+        case i: java.lang.Integer => Some(BigDecimal(i.toInt))
+        case l: java.lang.Long => Some(BigDecimal(l.toLong))
+        case s: java.lang.Short => Some(BigDecimal(s.toInt))
+        case b: java.lang.Byte => Some(BigDecimal(b.toInt))
+        case d: java.lang.Double if !d.isNaN => Some(BigDecimal(d.toDouble))
+        case f: java.lang.Float if !f.isNaN => Some(BigDecimal(f.toDouble))
+        case d: org.apache.spark.sql.types.Decimal => Some(d.toBigDecimal)
+        case _ => None // null, strings, NaN, intervals, …
+      }
+      case _ => None
+    }
+    sealed trait Op
+    case object Eq extends Op; case object Gt extends Op
+    case object Ge extends Op; case object Lt extends Op
+    case object Le extends Op
+    def cmp(n: String, lit: BigDecimal, op: Op): Boolean = fs.cols.get(n) match {
+      case Some(ColStat(Some(mn), Some(mx), _)) => op match {
+        case Eq => lit >= mn && lit <= mx
+        case Gt => mx > lit
+        case Ge => mx >= lit
+        case Lt => mn < lit
+        case Le => mn <= lit
+      }
+      case Some(ColStat(None, None, _)) => false // recorded all-null column
+      case _ => true // no stats → keep
+    }
+    def flip(op: Op): Op = op match {
+      case Gt => Lt; case Ge => Le; case Lt => Gt; case Le => Ge; case Eq => Eq
+    }
+    def binary(a: Expression, b: Expression, op: Op): Boolean =
+      (name(a), num(b)) match {
+        case (Some(n), Some(l)) => cmp(n, l, op)
+        case _ => (name(b), num(a)) match {
+          case (Some(n), Some(l)) => cmp(n, l, flip(op))
+          case _ => true
+        }
+      }
+    e match {
+      case And(l, r) => mayMatch(l, fs) && mayMatch(r, fs)
+      case Or(l, r) => mayMatch(l, fs) || mayMatch(r, fs)
+      case EqualTo(a, b) => binary(a, b, Eq)
+      case EqualNullSafe(a, b) if num(a).isDefined || num(b).isDefined =>
+        binary(a, b, Eq)
+      case GreaterThan(a, b) => binary(a, b, Gt)
+      case GreaterThanOrEqual(a, b) => binary(a, b, Ge)
+      case LessThan(a, b) => binary(a, b, Lt)
+      case LessThanOrEqual(a, b) => binary(a, b, Le)
+      case In(a, list) => name(a) match {
+        case Some(n) =>
+          val lits = list.map(num)
+          if (lits.exists(_.isEmpty)) true
+          else lits.flatten.exists(cmp(n, _, Eq))
+        case None => true
+      }
+      case IsNull(a) => name(a).flatMap(fs.cols.get) match {
+        case Some(c) => c.nulls > 0
+        case None => true
+      }
+      case IsNotNull(a) => name(a).flatMap(fs.cols.get) match {
+        case Some(c) => c.nulls < fs.rows
+        case None => true
+      }
+      case _ => true
+    }
+  }
 
   /** Commit history: (version, adds, removes) per commit. */
   def history(path: String): Seq[(Long, Int, Int)] =
@@ -366,8 +728,16 @@ object TxLogFormat extends TableFormat {
         Files.readAllLines(commitFile(path, v)).asScala
           .filter(_.startsWith("t "))
       }.distinct
+      // carry live files' recorded stats into the checkpoint, or vacuum
+      // would silently disable data skipping for everything it folds
+      val liveSet = liveH.toSet
+      val statsLinesH = versions(path).filter(_ <= horizon).flatMap { v =>
+        Files.readAllLines(commitFile(path, v)).asScala
+          .filter(l => l.startsWith("f ") &&
+            liveSet.contains(l.drop(2).split("\t", 2)(0)))
+      }.distinct
       val content = (schemaH.map("s " + _).toSeq ++ txnsH ++
-        liveH.map("a " + _)).mkString("", "\n", "\n")
+        liveH.map("a " + _) ++ statsLinesH).mkString("", "\n", "\n")
       val tmp = logDir(path).resolve(s".tmp-${UUID.randomUUID()}")
       Files.writeString(tmp, content)
       Files.move(tmp, commitFile(path, horizon),

@@ -227,6 +227,109 @@ class FormatSpec extends SparkSpec {
     }
   }
 
+  test("schema evolution: appended columns null-fill old files; " +
+       "type changes refused") {
+    val orders = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+    val t = tmp()
+    TxLogFormat.write(orders.filter(col("o_orderkey") <= 100), t)
+    // batch 1 carries a NEW column; batch 2 OMITS an old one
+    assert(TxLogFormat.appendBatch(
+      orders.filter(col("o_orderkey") > 100 && col("o_orderkey") <= 200)
+        .withColumn("o_flag", lit("new")), t, "app", 1L))
+    assert(TxLogFormat.appendBatch(
+      orders.filter(col("o_orderkey") > 200 && col("o_orderkey") <= 300)
+        .select("o_orderkey"), t, "app", 2L))
+    val got = TxLogFormat.read(spark, t)
+    // committed order: old columns first, new appended
+    assert(got.columns.toSeq == Seq("o_orderkey", "o_totalprice", "o_flag"))
+    assert(got.filter(col("o_orderkey") <= 100 && col("o_flag").isNull)
+      .count() == orders.filter(col("o_orderkey") <= 100).count())
+    assert(got.filter(col("o_flag") === "new").count() ==
+      orders.filter(col("o_orderkey") > 100 && col("o_orderkey") <= 200).count())
+    assert(got.filter(col("o_orderkey") > 200 && col("o_totalprice").isNull)
+      .count() ==
+      orders.filter(col("o_orderkey") > 200 && col("o_orderkey") <= 300).count())
+    // a type change must fail loudly, not corrupt silently
+    val e = intercept[IllegalArgumentException](TxLogFormat.appendBatch(
+      orders.withColumn("o_totalprice", col("o_totalprice").cast("string")),
+      t, "app", 3L))
+    assert(e.getMessage.contains("o_totalprice"))
+    // time travel still reads v0 under ITS schema-compatible committed view
+    assert(TxLogFormat.readVersion(spark, t, 0).columns.toSeq ==
+      Seq("o_orderkey", "o_totalprice"))
+  }
+
+  test("compactClustered: files cover disjoint cluster-key ranges, " +
+       "rows untouched") {
+    val orders = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_orderstatus", "o_custkey")
+    val t = tmp()
+    TxLogFormat.write(orders, t, Some("o_orderstatus"))
+    // fragment: several appends leave many small hash-ordered files
+    for (b <- 1 to 3)
+      TxLogFormat.appendBatch(orders.filter(col("o_orderkey") % 4 === b),
+        t, "frag", b.toLong, Some("o_orderstatus"))
+    val before = rows(TxLogFormat.read(spark, t)
+      .groupBy("o_orderkey").agg(count(lit(1)).as("n")).orderBy("o_orderkey"))
+    TxLogFormat.compactClustered(spark, t, "o_orderstatus",
+      Seq("o_custkey"), targetBytes = 16L * 1024)
+    val got = TxLogFormat.read(spark, t)
+    assert(rows(got.groupBy("o_orderkey").agg(count(lit(1)).as("n"))
+      .orderBy("o_orderkey")) == before)
+    // within each partition, per-file [min,max] of the cluster key are
+    // pairwise non-overlapping (boundary ties excepted) — the property
+    // parquet-stats file skipping rides on
+    val ranges = got.withColumn("_f", input_file_name())
+      .groupBy("o_orderstatus", "_f")
+      .agg(min("o_custkey").as("mn"), max("o_custkey").as("mx"))
+      .collect()
+    val perPart = ranges.groupBy(_.getString(0))
+    assert(perPart.values.exists(_.length > 1), "expected multi-file partitions")
+    perPart.values.foreach { fs =>
+      val sorted = fs.map(r => (r.getLong(2), r.getLong(3))).sortBy(_._1).toSeq
+      sorted.sliding(2).foreach {
+        case Seq((_, mxA), (mnB, _)) =>
+          assert(mxA <= mnB, s"overlapping file ranges: $sorted")
+        case _ =>
+      }
+    }
+  }
+
+  test("scan skips files from log stats; always equals read+filter") {
+    val orders = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_orderstatus", "o_custkey", "o_orderpriority")
+    val t = tmp()
+    // fragment into key-ranged files: each append's files cover a tight
+    // disjoint o_orderkey range, the layout data skipping feeds on
+    TxLogFormat.write(orders.filter(col("o_orderkey") < 300), t,
+      Some("o_orderstatus"))
+    for (b <- 1 to 4)
+      TxLogFormat.appendBatch(
+        orders.filter(col("o_orderkey") >= b * 300 &&
+          col("o_orderkey") < (b + 1) * 300),
+        t, "ranges", b.toLong, Some("o_orderstatus"))
+    val full = TxLogFormat.read(spark, t)
+    val allFiles = full.inputFiles.length
+    def check(p: org.apache.spark.sql.Column): Int = {
+      val s = TxLogFormat.scan(spark, t, p)
+      assert(rows(s.orderBy("o_orderkey")) ==
+        rows(full.filter(p).orderBy("o_orderkey")), s"scan != filter for $p")
+      s.inputFiles.length
+    }
+    // numeric range: only the covering batch's files survive
+    assert(check(col("o_orderkey").between(300, 400)) < allFiles)
+    // conjunction with an un-recorded string column still prunes on the key
+    assert(check(col("o_orderkey") < 250 && col("o_orderpriority").isNotNull) < allFiles)
+    // provably empty: no nulls recorded, out-of-range key → zero files read
+    assert(check(col("o_orderkey").isNull) == 0)
+    assert(check(col("o_orderkey") > 1000000) == 0)
+    // string-only predicate: no stats, no pruning, correctness intact
+    assert(check(col("o_orderpriority") > "m") == allFiles)
+    // vacuum folds commits but carries stats — skipping survives
+    TxLogFormat.vacuum(t)
+    assert(check(col("o_orderkey").between(300, 400)) < allFiles)
+  }
+
   test("partial-rewrite ops refuse a table made unpartitioned by replace") {
     val orders = Tables.orders(spark, sf)
       .select("o_orderkey", "o_orderstatus", "o_totalprice")
