@@ -66,6 +66,9 @@ object OracleSql {
     "txlog_scan" ->
       s"""SELECT o_orderstatus, COUNT(*) AS n_orders, ${cents("o_totalprice")} AS revenue FROM orders WHERE o_custkey <= 500 AND o_totalprice > 1000.0 GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
+    "txlog_changes" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice, 'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_version FROM orders WHERE o_orderkey % 5 = 0 ORDER BY o_orderkey""",
+
     "schema_evolution" ->
       """SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01' UNION ALL SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01' ORDER BY o_orderkey""",
 

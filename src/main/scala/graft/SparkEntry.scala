@@ -95,6 +95,7 @@ object SparkEntry {
     "txlog_gdpr"        -> ((s, d) => Acid.txlogGdpr(s, Tables.orders(s, d))),
     "txlog_timetravel"  -> ((s, d) => Acid.txlogTimeTravel(s, Tables.orders(s, d))),
     "txlog_scan"        -> ((s, d) => Acid.txlogScan(s, Tables.orders(s, d))),
+    "txlog_changes"     -> ((s, d) => Acid.txlogChanges(s, Tables.orders(s, d))),
     // microbatch: delta re-emits only even keys of 1998+; those months are
     // REPLACED wholesale (odd-key rows in them disappear), earlier months
     // stay untouched

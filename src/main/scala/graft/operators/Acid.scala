@@ -84,6 +84,22 @@ object Acid {
       .orderBy("o_orderstatus")
   }
 
+  /** Change-data-feed shape: seed (v0), append a delta (v1), compact
+    * (v2 — a layout-only rewrite), then read the feed since v0. Only the
+    * v1 insert rows may surface — the oracle is the delta predicate with
+    * literal `insert`/version tags, so a compact that leaked its rewrite
+    * into the feed (or an append that missed it) hash-fails. */
+  def txlogChanges(spark: SparkSession, orders: DataFrame): DataFrame = {
+    val t = tmpDir("graft_txlog_cdc")
+    val base = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    TxLogFormat.write(base.filter(col("o_orderkey") % 5 =!= 0), t,
+      Some("o_orderstatus"))
+    TxLogFormat.appendBatch(base.filter(col("o_orderkey") % 5 === 0), t,
+      "cdc", 1L, Some("o_orderstatus"))
+    TxLogFormat.compact(spark, t, "o_orderstatus")
+    TxLogFormat.readChanges(spark, t, 0L).orderBy("o_orderkey")
+  }
+
   /** Snapshot isolation dividend: overwrite the table, then read version
     * 0 — every original row is still there, byte-for-byte (data files are
     * immutable; the log pins the snapshot). Oracle = the base table. */

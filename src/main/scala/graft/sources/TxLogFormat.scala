@@ -20,7 +20,9 @@ import scala.jdk.CollectionConverters._
   * `<table>/_txlog/<version>.commit`, one file per commit, each a
   * line-oriented record of `a <relpath>` (add) / `r <relpath>` (remove) /
   * `s <schema-json>` (schema) / `t <app:batch>` (txn tag) /
-  * `f <relpath>…` (per-file min/max/null stats) actions.
+  * `f <relpath>…` (per-file min/max/null stats) / `m <kind>` (commit
+  * marker: `rewrite` for layout-only maintenance, `checkpoint` for a
+  * vacuum fold) actions.
   *
   * On top of the ACID core this carries the other two pillars of a lake
   * format: '''additive schema evolution''' ([[mergeSchemas]] — appends
@@ -219,10 +221,12 @@ object TxLogFormat extends TableFormat {
   private def commit(path: String, adds: Seq[String], removes: Seq[String],
                      schemaJson: Option[String],
                      txn: Option[String] = None,
-                     stats: Seq[String] = Nil): Long = {
+                     stats: Seq[String] = Nil,
+                     marker: Option[String] = None): Long = {
     val dir = logDir(path)
     Files.createDirectories(dir)
-    val content = (schemaJson.map("s " + _).toSeq ++ txn.map("t " + _).toSeq ++
+    val content = (marker.map("m " + _).toSeq ++
+      schemaJson.map("s " + _).toSeq ++ txn.map("t " + _).toSeq ++
       removes.map("r " + _) ++ adds.map("a " + _) ++ stats)
       .mkString("", "\n", "\n")
     var attempt = 0
@@ -427,7 +431,7 @@ object TxLogFormat extends TableFormat {
       .drop("_salt")
     val adds = stageIn(salted, path, Some(partitionCol), Nil)
     commit(path, adds, byDir.values.flatten.toSeq, None,
-      stats = statsLines(spark, path, adds))
+      stats = statsLines(spark, path, adds), marker = Some("rewrite"))
     budget
   }
 
@@ -477,7 +481,7 @@ object TxLogFormat extends TableFormat {
       .drop("_zc")
     val adds = stageIn(shaped, path, Some(partitionCol), Nil)
     commit(path, adds, byDir.values.flatten.toSeq, None,
-      stats = statsLines(spark, path, adds))
+      stats = statsLines(spark, path, adds), marker = Some("rewrite"))
     budget
   }
 
@@ -600,6 +604,53 @@ object TxLogFormat extends TableFormat {
       case None => live
     }
     readFiles(spark, path, keep, schemaJson).filter(filter)
+  }
+
+  /** Change data feed, file-granular: every row added or removed by the
+    * commits in `(sinceVersion, untilVersion]`, tagged `_change_type`
+    * (`insert` | `delete`) and `_commit_version` — the primitive an
+    * incremental downstream consumer (a microbatch model, a feature
+    * refresh, an index update) reads instead of rescanning 100 TB.
+    *
+    * Maintenance rewrites ([[compact]]/[[compactClustered]]) mark their
+    * commit `m rewrite` and are skipped: they move bytes, not data. Other
+    * partial rewrites ([[deleteKeys]]) surface a hit file's KEPT rows on
+    * both sides — file granularity — so per-row consumers should fold by
+    * key; the insert-minus-delete multiset is always the exact diff.
+    * Ranges folded into a [[vacuum]] checkpoint (`m checkpoint`) are
+    * refused loudly — their per-commit history no longer exists. Old
+    * files stay readable until vacuum'd (immutability dividend); the
+    * range's schemas must be additive (they are unless [[replace]]
+    * changed a column type). Plan size grows with the commit count —
+    * checkpoint long histories before feeding them to this. */
+  def readChanges(spark: SparkSession, path: String, sinceVersion: Long,
+                  untilVersion: Long = Long.MaxValue): DataFrame = {
+    val vs = versions(path).filter(v => v > sinceVersion && v <= untilVersion)
+    val (_, schemaJson, last) = snapshot(path, untilVersion)
+    require(last >= 0, s"txlog: no committed version at $path")
+    val schema = schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
+      .getOrElse(new StructType())
+    def tag(df: DataFrame, typ: String, v: Long): DataFrame = df
+      .withColumn("_change_type", lit(typ))
+      .withColumn("_commit_version", lit(v))
+    val parts = vs.flatMap { v =>
+      val lines = Files.readAllLines(commitFile(path, v)).asScala.toSeq
+      require(!lines.contains("m checkpoint"),
+        s"txlog: version $v of $path is a vacuum checkpoint — its " +
+          "per-commit changes are gone; readChanges from a version >= it")
+      if (lines.contains("m rewrite")) Nil
+      else {
+        def files(p: String) = lines.filter(_.startsWith(p)).map(_.drop(2))
+        def mk(fs: Seq[String], typ: String) =
+          if (fs.isEmpty) None
+          else Some(tag(readFiles(spark, path, fs, schemaJson), typ, v))
+        mk(files("a "), "insert") ++ mk(files("r "), "delete")
+      }
+    }
+    if (parts.isEmpty)
+      tag(spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema),
+        "insert", -1L)
+    else parts.reduce(_.union(_))
   }
 
   /** Could a file with these stats hold a row satisfying `e`? Unknown
@@ -736,8 +787,8 @@ object TxLogFormat extends TableFormat {
           .filter(l => l.startsWith("f ") &&
             liveSet.contains(l.drop(2).split("\t", 2)(0)))
       }.distinct
-      val content = (schemaH.map("s " + _).toSeq ++ txnsH ++
-        liveH.map("a " + _) ++ statsLinesH).mkString("", "\n", "\n")
+      val content = ("m checkpoint" +: (schemaH.map("s " + _).toSeq ++ txnsH ++
+        liveH.map("a " + _) ++ statsLinesH)).mkString("", "\n", "\n")
       val tmp = logDir(path).resolve(s".tmp-${UUID.randomUUID()}")
       Files.writeString(tmp, content)
       Files.move(tmp, commitFile(path, horizon),

@@ -330,6 +330,44 @@ class FormatSpec extends SparkSpec {
     assert(check(col("o_orderkey").between(300, 400)) < allFiles)
   }
 
+  test("readChanges: per-commit insert/delete rows; rewrites silent; " +
+       "applying the feed reproduces any version") {
+    val df = spark.createDataFrame(
+      (1L to 40L).map(i => (i, if (i % 2 == 0) "even" else "odd"))
+    ).toDF("id", "par")
+    val t = tmp()
+    TxLogFormat.write(df.filter(col("id") <= 20), t, Some("par"))     // v0
+    TxLogFormat.appendBatch(df.filter(col("id") > 20), t, "cdc", 1L,
+      Some("par"))                                                    // v1
+    TxLogFormat.compact(spark, t, "par")                              // v2: rewrite
+    val keys = spark.createDataFrame(Seq(Tuple1(4L), Tuple1(7L))).toDF("k")
+    TxLogFormat.deleteKeys(spark, t, "par", "id", keys)               // v3
+    // appended rows surface as v1 inserts, nothing else in (0,1]
+    val c1 = TxLogFormat.readChanges(spark, t, 0L, 1L).collect()
+    assert(c1.forall(r => r.getAs[String]("_change_type") == "insert" &&
+      r.getAs[Long]("_commit_version") == 1L))
+    assert(c1.map(_.getAs[Long]("id")).sorted.toSeq == (21L to 40L))
+    // the compact rewrite contributes NO changes
+    assert(TxLogFormat.readChanges(spark, t, 1L, 2L).count() == 0)
+    // replaying the whole feed over v0 reproduces the current table
+    val changes = TxLogFormat.readChanges(spark, t, 0L).collect()
+    val net = scala.collection.mutable.Map[Long, Int]().withDefaultValue(0)
+    TxLogFormat.readVersion(spark, t, 0).collect()
+      .foreach(r => net(r.getAs[Long]("id")) += 1)
+    changes.foreach { r =>
+      val d = if (r.getAs[String]("_change_type") == "insert") 1 else -1
+      net(r.getAs[Long]("id")) += d
+    }
+    val want = TxLogFormat.read(spark, t).collect()
+      .map(_.getAs[Long]("id")).groupBy(identity).view.mapValues(_.length)
+    assert(net.filter(_._2 != 0).toMap == want.toMap)
+    // ranges folded into a vacuum checkpoint refuse loudly
+    TxLogFormat.vacuum(t, retainVersions = 1)
+    val e = intercept[IllegalArgumentException](
+      TxLogFormat.readChanges(spark, t, 0L))
+    assert(e.getMessage.contains("checkpoint"))
+  }
+
   test("partial-rewrite ops refuse a table made unpartitioned by replace") {
     val orders = Tables.orders(spark, sf)
       .select("o_orderkey", "o_orderstatus", "o_totalprice")
