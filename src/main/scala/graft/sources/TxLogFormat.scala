@@ -606,6 +606,23 @@ object TxLogFormat extends TableFormat {
     readFiles(spark, path, keep, schemaJson).filter(filter)
   }
 
+  /** `RESTORE TABLE ... TO VERSION`: one commit that swaps the live set
+    * back to `version`'s — zero data copy (files are immutable and still
+    * on disk until [[vacuum]]), so a bad write is undone in milliseconds
+    * at any table size. The restore is itself a new version: history is
+    * append-only, the mistake stays auditable, and restoring the restore
+    * is possible. Refuses a version vacuum already folded away. */
+  def restore(path: String, version: Long): Long = {
+    val vs = versions(path)
+    require(vs.contains(version),
+      s"txlog: version $version of $path is not available " +
+        s"(have ${vs.mkString(", ")}) — vacuumed or never committed")
+    val (wantLive, wantSchema, _) = snapshot(path, version)
+    val (nowLive, _, _) = snapshot(path)
+    commit(path, wantLive.filterNot(nowLive.toSet),
+      nowLive.filterNot(wantLive.toSet), wantSchema)
+  }
+
   /** Change data feed, file-granular: every row added or removed by the
     * commits in `(sinceVersion, untilVersion]`, tagged `_change_type`
     * (`insert` | `delete`) and `_commit_version` — the primitive an

@@ -368,6 +368,30 @@ class FormatSpec extends SparkSpec {
     assert(e.getMessage.contains("checkpoint"))
   }
 
+  test("restore rolls back to an old version as a NEW commit, no copy") {
+    val orders = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+    val t = tmp()
+    TxLogFormat.write(orders, t)                                      // v0
+    val v0 = rows(TxLogFormat.read(spark, t).orderBy("o_orderkey"))
+    TxLogFormat.replace(spark,
+      TxLogFormat.read(spark, t).filter(col("o_orderkey") % 2 === 0), t) // v1
+    val v1 = rows(TxLogFormat.read(spark, t).orderBy("o_orderkey"))
+    val files1 = TxLogFormat.read(spark, t).inputFiles.toSet
+    assert(TxLogFormat.restore(t, 0L) == 2L)                          // v2
+    assert(rows(TxLogFormat.read(spark, t).orderBy("o_orderkey")) == v0)
+    // no data moved: history append-only, the mistake still auditable
+    assert(TxLogFormat.versions(t) == Seq(0L, 1L, 2L))
+    assert(rows(TxLogFormat.readVersion(spark, t, 1).orderBy("o_orderkey")) == v1)
+    // restoring the restore: back to the bad version, again as a commit
+    assert(TxLogFormat.restore(t, 1L) == 3L)
+    assert(rows(TxLogFormat.read(spark, t).orderBy("o_orderkey")) == v1)
+    assert(TxLogFormat.read(spark, t).inputFiles.toSet == files1)
+    // a vacuumed-away version refuses
+    TxLogFormat.vacuum(t, retainVersions = 1)
+    val e = intercept[IllegalArgumentException](TxLogFormat.restore(t, 0L))
+    assert(e.getMessage.contains("not available"))
+  }
+
   test("partial-rewrite ops refuse a table made unpartitioned by replace") {
     val orders = Tables.orders(spark, sf)
       .select("o_orderkey", "o_orderstatus", "o_totalprice")
