@@ -264,6 +264,9 @@ object SparkEntry {
     "ann_lsh"         -> ((s, d) => sharedLshPairs(s, d)
                             .filter(org.apache.spark.sql.functions.col("cos_sim") >= 0.4)),
     "ann_ivf"         -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d))),
+    // k-means corpus clusters for curation: rows-only (not SQL-expressible);
+    // determinism + size-conservation pinned in ApproxSpec.
+    "corpus_clusters" -> ((s, d) => Similarity.corpusClusters(Tables.embeddings(s, d))),
     // exhaustive config (probe every cell, rerank all candidates): the
     // quantize → dequant → cell-probe → exact-rerank machinery must then
     // reproduce the exact top-k bit-for-bit, so this rides ann_topk's

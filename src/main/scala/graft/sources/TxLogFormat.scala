@@ -670,6 +670,33 @@ object TxLogFormat extends TableFormat {
     else parts.reduce(_.union(_))
   }
 
+  /** Incremental consumption over the change feed: reads the cursor file
+    * under `cursorDir` for the last processed version, hands `f` exactly
+    * the commits that landed since (plus the range bounds), and advances
+    * the cursor only AFTER `f` returns. A crash mid-`f` reprocesses the
+    * same range on restart — at-least-once always, and exactly-once when
+    * `f` is idempotent on the range, e.g. [[appendBatch]] into a
+    * downstream txlog table with `batchId = until` (the replay skips).
+    * Returns the `(since, until]` range processed, None when caught up.
+    * This is the batch-cadence equivalent of a streaming source over the
+    * table: downstream models reprocess only new commits, never 100 TB. */
+  def processChanges(spark: SparkSession, path: String, cursorDir: String)
+                    (f: (DataFrame, Long, Long) => Unit): Option[(Long, Long)] = {
+    val cursor = Paths.get(cursorDir, "txlog-cursor")
+    Files.createDirectories(cursor.getParent)
+    val since =
+      if (Files.exists(cursor)) Files.readString(cursor).trim.toLong else -1L
+    val until = snapshot(path)._3
+    if (until <= since) return None
+    f(readChanges(spark, path, since, until), since, until)
+    val tmp = cursor.resolveSibling(s".tmp-${UUID.randomUUID()}")
+    Files.writeString(tmp, until.toString)
+    Files.move(tmp, cursor,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    Some((since, until))
+  }
+
   /** Could a file with these stats hold a row satisfying `e`? Unknown
     * shapes answer true (keep). Comparison semantics mirror Catalyst's
     * over the same physical numbers, so a prune is never a wrong prune. */

@@ -333,4 +333,16 @@ class ApproxSpec extends SparkSpec {
     // the unambiguous heavy head must survive summarization
     assert(exactTop.subsetOf(approx), s"lost ${exactTop -- approx}")
   }
+  test("corpus_clusters: deterministic, sizes conserve the corpus, " +
+       "cells well-formed") {
+    val emb = Tables.embeddings(spark, sf)
+    val a = Similarity.corpusClusters(emb).collect()
+    val b = Similarity.corpusClusters(emb).collect()
+    assert(a.toSeq == b.toSeq, "k-means clustering must be deterministic")
+    assert(a.map(_.getAs[Long]("n_vecs")).sum == emb.count())
+    val cells = a.map(_.getAs[Int]("cell"))
+    assert(cells.distinct.length == cells.length && cells.forall(c => c >= 0 && c < 16))
+    assert(a.forall(_.getAs[Double]("cohesion") >= 0.0))
+    assert(math.abs(a.map(_.getAs[Double]("share")).sum - 1.0) < 1e-2)
+  }
 }

@@ -392,6 +392,36 @@ class FormatSpec extends SparkSpec {
     assert(e.getMessage.contains("not available"))
   }
 
+  test("processChanges: cursor advances after f; crash replays; " +
+       "appendBatch downstream lands exactly once") {
+    val df = spark.createDataFrame((1L to 30L).map(i => (i, i % 3)))
+      .toDF("id", "m")
+    val src = tmp(); val dst = tmp(); val cur = tmp()
+    TxLogFormat.write(df.filter(col("id") <= 10), src)               // v0
+    // consumer: append the feed's inserts downstream, keyed by `until`
+    def consume(): Option[(Long, Long)] =
+      TxLogFormat.processChanges(spark, src, cur) { (changes, _, until) =>
+        TxLogFormat.appendBatch(
+          changes.filter(col("_change_type") === "insert")
+            .drop("_change_type", "_commit_version"),
+          dst, "consumer", until)
+      }
+    assert(consume() == Some((-1L, 0L)))
+    assert(consume() == None) // caught up
+    TxLogFormat.appendBatch(df.filter(col("id") > 10), src, "up", 1L) // v1
+    // a crashing consumer leaves the cursor unmoved...
+    intercept[RuntimeException](
+      TxLogFormat.processChanges(spark, src, cur) { (_, _, _) =>
+        throw new RuntimeException("boom") })
+    // ...so the retry reprocesses the SAME range; the downstream
+    // appendBatch tag makes the landing exactly-once anyway
+    assert(consume() == Some((0L, 1L)))
+    assert(consume() == None)
+    assert(TxLogFormat.read(spark, dst).count() == 30L)
+    assert(rows(TxLogFormat.read(spark, dst).orderBy("id")) ==
+      rows(df.orderBy("id")))
+  }
+
   test("partial-rewrite ops refuse a table made unpartitioned by replace") {
     val orders = Tables.orders(spark, sf)
       .select("o_orderkey", "o_orderstatus", "o_totalprice")
