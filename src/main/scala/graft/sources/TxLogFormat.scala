@@ -138,7 +138,16 @@ object TxLogFormat extends TableFormat {
           val next =
             if (!ok0 || st == null || st.isEmpty || st.getNumNulls < 0)
               (None, None, 0L, false) // stats absent/unreliable → drop column
-            else if (!st.hasNonNullValue) (mn0, mx0, n0 + st.getNumNulls, true)
+            else if (!st.hasNonNullValue) {
+              // min/max-less chunk: only trustable when the null count
+              // PROVES every value is null — float/double chunks holding
+              // NaN also come through stat-less (writers drop min/max,
+              // PARQUET-1222), and NaN orders ABOVE everything in Spark,
+              // so conflating them with all-null would wrongly prune
+              if (st.getNumNulls == c.getValueCount)
+                (mn0, mx0, n0 + st.getNumNulls, true)
+              else (None, None, 0L, false)
+            }
             else {
               val v: Option[(BigDecimal, BigDecimal)] =
                 c.getPrimitiveType.getPrimitiveTypeName match {
@@ -423,12 +432,14 @@ object TxLogFormat extends TableFormat {
     if (byDir.isEmpty) return budget
     val df = read(spark, path)
     val budgetCol = typedLit(budget)
-    val salted = df.withColumn("_salt",
+    // unique helper-column name: a real column named `_salt` must survive
+    val saltCol = s"_salt_${UUID.randomUUID().toString.take(8)}"
+    val salted = df.withColumn(saltCol,
       pmod(xxhash64(df.columns.map(col): _*),
         coalesce(budgetCol(coalesce(col(partitionCol).cast("string"),
           lit("__HIVE_DEFAULT_PARTITION__"))), lit(1))))
-      .repartition(col(partitionCol), col("_salt"))
-      .drop("_salt")
+      .repartition(col(partitionCol), col(saltCol))
+      .drop(saltCol)
     val adds = stageIn(salted, path, Some(partitionCol), Nil)
     commit(path, adds, byDir.values.flatten.toSeq, None,
       stats = statsLines(spark, path, adds), marker = Some("rewrite"))
@@ -474,11 +485,13 @@ object TxLogFormat extends TableFormat {
         }
         graft.operators.Materialize.zValueN(codes, 8)
       }
-    val shaped = df.withColumn("_zc", key)
+    // unique helper-column name: a real column named `_zc` must survive
+    val zc = s"_zc_${UUID.randomUUID().toString.take(8)}"
+    val shaped = df.withColumn(zc, key)
       .repartitionByRange(math.max(budget.values.sum, 1),
-        col(partitionCol), col("_zc"))
-      .sortWithinPartitions(col(partitionCol), col("_zc"))
-      .drop("_zc")
+        col(partitionCol), col(zc))
+      .sortWithinPartitions(col(partitionCol), col(zc))
+      .drop(zc)
     val adds = stageIn(shaped, path, Some(partitionCol), Nil)
     commit(path, adds, byDir.values.flatten.toSeq, None,
       stats = statsLines(spark, path, adds), marker = Some("rewrite"))
@@ -553,9 +566,16 @@ object TxLogFormat extends TableFormat {
                   partitionBy: Option[String] = None): Boolean = {
     val tag = s"$appId:$batchId"
     if (committedTxns(path).contains(tag)) return false
+    val (live0, prevSchema, _) = snapshot(path)
+    // an append must match the table's directory layout: flat files next
+    // to partition dirs (or vice versa) break partition discovery
+    require(live0.isEmpty ||
+        live0.exists(_.contains("/")) == partitionBy.isDefined,
+      s"txlog: appendBatch partitioning (${partitionBy.getOrElse("none")}) " +
+        s"does not match the layout of $path")
     // additive schema evolution: a batch may carry new columns (appended)
     // or omit committed ones (null-filled on read) — never a type change
-    val schema = mergeSchemas(snapshot(path)._2, df.schema)
+    val schema = mergeSchemas(prevSchema, df.schema)
     val adds = stageIn(df, path, partitionBy, Nil)
     commit(path, adds, Nil, Some(schema.json), Some(tag),
       stats = statsLines(df.sparkSession, path, adds))

@@ -422,6 +422,29 @@ class FormatSpec extends SparkSpec {
       rows(df.orderBy("id")))
   }
 
+  test("scan keeps NaN-bearing double files (NaN orders above all); " +
+       "appendBatch refuses a layout mismatch") {
+    // parquet drops min/max for NaN-holding chunks; Spark orders NaN
+    // ABOVE every double, so x > 100 matches the NaN row — the stats
+    // reader must not mistake the stat-less chunk for all-null and prune
+    val df = spark.createDataFrame(
+      Seq((1L, 1.0), (2L, Double.NaN), (3L, 2.0))).toDF("id", "x")
+    val t = tmp()
+    TxLogFormat.write(df.coalesce(1), t)
+    val got = TxLogFormat.scan(spark, t, col("x") > 100.0)
+    assert(got.collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // flat append into a partitioned table would break partition discovery
+    val t2 = tmp()
+    TxLogFormat.write(df.withColumn("p", lit("a")), t2, Some("p"))
+    val e = intercept[IllegalArgumentException](
+      TxLogFormat.appendBatch(df.withColumn("p", lit("b")), t2, "x", 1L))
+    assert(e.getMessage.contains("layout"))
+    // and the matching direction: partitioned append into a flat table
+    val e2 = intercept[IllegalArgumentException](
+      TxLogFormat.appendBatch(df, t, "x", 1L, Some("id")))
+    assert(e2.getMessage.contains("layout"))
+  }
+
   test("partial-rewrite ops refuse a table made unpartitioned by replace") {
     val orders = Tables.orders(spark, sf)
       .select("o_orderkey", "o_orderstatus", "o_totalprice")
