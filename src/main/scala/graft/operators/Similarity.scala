@@ -193,31 +193,6 @@ object Similarity {
     * Same cell assignment as [[ivfTopK]] (index build is offline; search
     * reads are what quantization saves). Rows-only in the driver; the spec
     * bounds recall against the exact [[topK]]. */
-  /** Corpus clustering for curation: the k-means cells [[buildIvfIndex]]
-    * already computes, surfaced as an analysis table — per cluster, its
-    * size, corpus share, and cohesion (mean Euclidean distance to the
-    * centroid). This is the front half of cluster-balanced curation:
-    * feed `assigned`'s `cell` column to `sample_per_group` for a
-    * diversity-balanced subsample, or weight `source_mix` by cluster.
-    * At this k the per-row distance evaluates all centroids inline (tiny
-    * literal array); at 100 TB with k in the tens of thousands you'd
-    * broadcast-join the centroid table on `cell` instead — same plan
-    * shape as the probe scan. Rows-only in the driver (k-means is not
-    * SQL-expressible); the spec pins determinism and size conservation. */
-  def corpusClusters(embeddings: DataFrame, nCells: Int = 16): DataFrame = {
-    val index = buildIvfIndex(embeddings, nCells)
-    val dists = array(index.centroids.map(c =>
-      sqDist(col("embedding"), c)): _*)
-    val total = embeddings.count()
-    index.assigned
-      .withColumn("dist", sqrt(element_at(dists, col("cell") + 1)))
-      .groupBy("cell")
-      .agg(count(lit(1)).as("n_vecs"),
-        graft.util.Det.round4(avg(col("dist"))).as("cohesion"))
-      .withColumn("share", graft.util.Det.round4(col("n_vecs") / lit(total.toDouble)))
-      .orderBy("cell")
-  }
-
   def ivfTopKQuantized(embeddings: DataFrame, queryIds: Seq[Long] = Seq(0L, 1L, 2L),
                        k: Int = 10, nCells: Int = 16, nProbe: Int = 8,
                        rerank: Int = 30): DataFrame = {
@@ -251,6 +226,31 @@ object Similarity {
     exact.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .orderBy("query_id", "rank")
+  }
+
+  /** Corpus clustering for curation: the k-means cells [[buildIvfIndex]]
+    * already computes, surfaced as an analysis table — per cluster, its
+    * size, corpus share, and cohesion (mean Euclidean distance to the
+    * centroid). This is the front half of cluster-balanced curation:
+    * feed `assigned`'s `cell` column to `sample_per_group` for a
+    * diversity-balanced subsample, or weight `source_mix` by cluster.
+    * At this k the per-row distance evaluates all centroids inline (tiny
+    * literal array); at 100 TB with k in the tens of thousands you'd
+    * broadcast-join the centroid table on `cell` instead — same plan
+    * shape as the probe scan. Rows-only in the driver (k-means is not
+    * SQL-expressible); the spec pins determinism and size conservation. */
+  def corpusClusters(embeddings: DataFrame, nCells: Int = 16): DataFrame = {
+    val index = buildIvfIndex(embeddings, nCells)
+    val dists = array(index.centroids.map(c =>
+      sqDist(col("embedding"), c)): _*)
+    val total = embeddings.count()
+    index.assigned
+      .withColumn("dist", sqrt(element_at(dists, col("cell") + 1)))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_vecs"),
+        graft.util.Det.round4(avg(col("dist"))).as("cohesion"))
+      .withColumn("share", graft.util.Det.round4(col("n_vecs") / lit(total.toDouble)))
+      .orderBy("cell")
   }
 
   /** Multi-table LSH ANN: per table, sign bits against `planesPerTable`

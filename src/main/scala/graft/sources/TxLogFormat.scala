@@ -76,22 +76,46 @@ object TxLogFormat extends TableFormat {
     }
   }
 
-  /** Live file set (table-relative), latest schema json, latest version —
-    * as of `upTo` (inclusive). LinkedHashSet keeps commit order so reads
-    * are deterministic. */
-  private def snapshot(path: String, upTo: Long = Long.MaxValue)
-      : (Seq[String], Option[String], Long) = {
+  private case class LogState(live: Seq[String], schema: Option[String],
+                              version: Long, stats: Map[String, FileStat])
+
+  /** One pass over the commit log as of `upTo` (inclusive): live file set
+    * (LinkedHashSet keeps commit order so reads are deterministic),
+    * latest schema json, latest version, and — when `withStats` — the
+    * per-file stats map. The stats parse is skipped on the commit hot
+    * path ([[commit]]'s CAS loop re-snapshots per attempt). */
+  private def foldLog(path: String, upTo: Long = Long.MaxValue,
+                      withStats: Boolean = false): LogState = {
     val vs = versions(path).filter(_ <= upTo)
     val live = scala.collection.mutable.LinkedHashSet[String]()
     var schema: Option[String] = None
+    val stats = scala.collection.mutable.Map[String, FileStat]()
     vs.foreach { v =>
       Files.readAllLines(commitFile(path, v)).asScala.foreach { line =>
         if (line.startsWith("a ")) live += line.drop(2)
         else if (line.startsWith("r ")) live -= line.drop(2)
         else if (line.startsWith("s ")) schema = Some(line.drop(2))
+        else if (withStats && line.startsWith("f ")) {
+          val parts = line.drop(2).split("\t", -1)
+          if (parts.length >= 2 && (parts.length - 2) % 4 == 0) try {
+            val cols = parts.drop(2).grouped(4).map { g =>
+              g(0) -> ColStat(
+                if (g(1).isEmpty) None else Some(BigDecimal(g(1))),
+                if (g(2).isEmpty) None else Some(BigDecimal(g(2))),
+                g(3).toLong)
+            }.toMap
+            stats(parts(0)) = FileStat(parts(1).toLong, cols)
+          } catch { case _: NumberFormatException => }
+        }
       }
     }
-    (live.toSeq, schema, vs.lastOption.getOrElse(-1L))
+    LogState(live.toSeq, schema, vs.lastOption.getOrElse(-1L), stats.toMap)
+  }
+
+  private def snapshot(path: String, upTo: Long = Long.MaxValue)
+      : (Seq[String], Option[String], Long) = {
+    val st = foldLog(path, upTo)
+    (st.live, st.schema, st.version)
   }
 
   // ---- per-file statistics (Delta-style data skipping) ----
@@ -131,7 +155,10 @@ object TxLogFormat extends TableFormat {
           ann.isInstanceOf[LogicalTypeAnnotation.IntLogicalTypeAnnotation] ||
           ann.isInstanceOf[LogicalTypeAnnotation.DateLogicalTypeAnnotation] ||
           ann.isInstanceOf[LogicalTypeAnnotation.TimestampLogicalTypeAnnotation]
-        if (!name.contains('.') && !name.contains('\t') && annOk) {
+        // '\t' is the stats-line field separator and '\n'/'\r' would let a
+        // column name inject arbitrary LINES into the commit log
+        if (!name.contains('.') && !name.contains('\t') &&
+            !name.contains('\n') && !name.contains('\r') && annOk) {
           val st = c.getStatistics
           val (mn0, mx0, n0, ok0) = perCol.getOrElse(name,
             (None: Option[BigDecimal], None: Option[BigDecimal], 0L, true))
@@ -158,14 +185,16 @@ object TxLogFormat extends TableFormat {
                     BigDecimal(st.genericGetMin.asInstanceOf[java.lang.Long].toLong),
                     BigDecimal(st.genericGetMax.asInstanceOf[java.lang.Long].toLong)))
                   case FLOAT =>
+                    // NaN/Infinity have no BigDecimal form; dropping THIS
+                    // column's stats (not the whole file's) is conservative
                     val (a, b) = (st.genericGetMin.asInstanceOf[java.lang.Float].toFloat,
                       st.genericGetMax.asInstanceOf[java.lang.Float].toFloat)
-                    if (a.isNaN || b.isNaN) None
+                    if (a.isNaN || b.isNaN || a.isInfinite || b.isInfinite) None
                     else Some((BigDecimal(a.toDouble), BigDecimal(b.toDouble)))
                   case DOUBLE =>
                     val (a, b) = (st.genericGetMin.asInstanceOf[java.lang.Double].toDouble,
                       st.genericGetMax.asInstanceOf[java.lang.Double].toDouble)
-                    if (a.isNaN || b.isNaN) None
+                    if (a.isNaN || b.isNaN || a.isInfinite || b.isInfinite) None
                     else Some((BigDecimal(a), BigDecimal(b)))
                   case _ => None
                 }
@@ -202,45 +231,38 @@ object TxLogFormat extends TableFormat {
 
   /** Recorded stats per live-able rel path, as of `upTo`. */
   private def fileStats(path: String, upTo: Long = Long.MaxValue)
-      : Map[String, FileStat] = {
-    val out = scala.collection.mutable.Map[String, FileStat]()
-    versions(path).filter(_ <= upTo).foreach { v =>
-      Files.readAllLines(commitFile(path, v)).asScala
-        .filter(_.startsWith("f ")).foreach { line =>
-          val parts = line.drop(2).split("\t", -1)
-          if (parts.length >= 2 && (parts.length - 2) % 4 == 0) try {
-            val cols = parts.drop(2).grouped(4).map { g =>
-              g(0) -> ColStat(
-                if (g(1).isEmpty) None else Some(BigDecimal(g(1))),
-                if (g(2).isEmpty) None else Some(BigDecimal(g(2))),
-                g(3).toLong)
-            }.toMap
-            out(parts(0)) = FileStat(parts(1).toLong, cols)
-          } catch { case _: NumberFormatException => }
-        }
-    }
-    out.toMap
-  }
+      : Map[String, FileStat] = foldLog(path, upTo, withStats = true).stats
 
   /** Publish one commit with optimistic concurrency: write the full
     * content to a temp file, then hard-link it to the next version slot.
     * Link creation is atomic and fails if the slot is taken, so two racing
     * writers serialize; the loser re-resolves the snapshot (to re-check
-    * its removes are still live) and retries. Returns the version. */
+    * its removes are still live) and retries. `reResolveSchema`, when
+    * given, recomputes the schema line on EVERY attempt — a schema-merging
+    * op that loses the race must re-merge against the schema the winner
+    * just committed, or its retry would republish the stale merge and
+    * silently drop the winner's new columns. Returns the version. */
   private def commit(path: String, adds: Seq[String], removes: Seq[String],
                      schemaJson: Option[String],
                      txn: Option[String] = None,
                      stats: Seq[String] = Nil,
-                     marker: Option[String] = None): Long = {
+                     marker: Option[String] = None,
+                     reResolveSchema: Option[() => Option[String]] = None): Long = {
     val dir = logDir(path)
     Files.createDirectories(dir)
-    val content = (marker.map("m " + _).toSeq ++
-      schemaJson.map("s " + _).toSeq ++ txn.map("t " + _).toSeq ++
-      removes.map("r " + _) ++ adds.map("a " + _) ++ stats)
-      .mkString("", "\n", "\n")
     var attempt = 0
     while (true) {
       val v = snapshot(path)._3 + 1
+      // re-resolve on EVERY attempt, not just retries: the caller computed
+      // its merge before staging (seconds of writing ago) — a commit that
+      // landed since then never trips the link CAS for THIS slot, yet its
+      // schema must be folded in. Resolving here, in the same iteration
+      // that claims slot v, merges against everything committed <= v-1.
+      val schemaNow = reResolveSchema.map(_()).getOrElse(schemaJson)
+      val content = (marker.map("m " + _).toSeq ++
+        schemaNow.map("s " + _).toSeq ++ txn.map("t " + _).toSeq ++
+        removes.map("r " + _) ++ adds.map("a " + _) ++ stats)
+        .mkString("", "\n", "\n")
       val tmp = dir.resolve(s".tmp-${UUID.randomUUID()}")
       Files.writeString(tmp, content)
       try {
@@ -394,7 +416,9 @@ object TxLogFormat extends TableFormat {
     val removes = snapshot(path)._1
       .filter(r => r.contains("/") && newDirs.contains(r.split("/", 2)(0)))
     commit(path, adds, removes, Some(schema.json),
-      stats = statsLines(df.sparkSession, path, adds))
+      stats = statsLines(df.sparkSession, path, adds),
+      reResolveSchema =
+        Some(() => Some(mergeSchemas(snapshot(path)._2, df.schema).json)))
   }
 
   def replace(spark: SparkSession, df: DataFrame, path: String): Unit = {
@@ -407,20 +431,24 @@ object TxLogFormat extends TableFormat {
       stats = statsLines(spark, path, adds))
   }
 
+  /** Undo Hive's %XX dir-name escaping (partition values round-trip
+    * through [[stageIn]]'s Spark-written directory names). */
+  private def unescapeHive(s: String): String =
+    "%[0-9A-Fa-f]{2}".r.replaceAllIn(s,
+      m => java.util.regex.Matcher.quoteReplacement(
+        Integer.parseInt(m.matched.substring(1), 16).toChar.toString))
+
   /** Per-partition file budget for a rewrite to ~`targetBytes` files:
     * (dir → live files, unescaped partition value → file count). */
-  private def compactBudget(path: String, live: Seq[String], targetBytes: Long)
+  private def compactBudget(path: String, live: Seq[String], targetBytes: Long,
+                            op: String)
       : (Map[String, Seq[String]], Map[String, Int]) = {
     require(targetBytes > 0)
-    requirePartitioned(path, live, "compact")
+    requirePartitioned(path, live, op)
     val byDir = live.filter(_.contains("/")).groupBy(_.split("/", 2)(0))
-    def unescape(s: String): String =
-      "%[0-9A-Fa-f]{2}".r.replaceAllIn(s,
-        m => java.util.regex.Matcher.quoteReplacement(
-          Integer.parseInt(m.matched.substring(1), 16).toChar.toString))
     val budget: Map[String, Int] = byDir.map { case (dir, files) =>
       val bytes = files.map(f => Files.size(Paths.get(path, f))).sum
-      unescape(dir.split("=", 2)(1)) ->
+      unescapeHive(dir.split("=", 2)(1)) ->
         math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     }
     (byDir, budget)
@@ -428,9 +456,14 @@ object TxLogFormat extends TableFormat {
 
   def compact(spark: SparkSession, path: String, partitionCol: String,
               targetBytes: Long = 128L * 1024 * 1024): Map[String, Int] = {
-    val (byDir, budget) = compactBudget(path, snapshot(path)._1, targetBytes)
+    // ONE snapshot feeds both the remove list and the rows to rewrite: a
+    // second read(path) here could see a concurrent append's file, copy
+    // its rows into the compacted output, and leave the original live —
+    // silent duplication. readFiles pins exactly the files being replaced.
+    val (live, schemaJson, _) = snapshot(path)
+    val (byDir, budget) = compactBudget(path, live, targetBytes, "compact")
     if (byDir.isEmpty) return budget
-    val df = read(spark, path)
+    val df = readFiles(spark, path, live, schemaJson)
     val budgetCol = typedLit(budget)
     // unique helper-column name: a real column named `_salt` must survive
     val saltCol = s"_salt_${UUID.randomUUID().toString.take(8)}"
@@ -466,9 +499,12 @@ object TxLogFormat extends TableFormat {
                        clusterBy: Seq[String],
                        targetBytes: Long = 128L * 1024 * 1024): Map[String, Int] = {
     require(clusterBy.nonEmpty, "txlog: compactClustered needs cluster columns")
-    val (byDir, budget) = compactBudget(path, snapshot(path)._1, targetBytes)
+    // same single-snapshot discipline as [[compact]]
+    val (live, schemaJson, _) = snapshot(path)
+    val (byDir, budget) = compactBudget(path, live, targetBytes,
+      "compactClustered")
     if (byDir.isEmpty) return budget
-    val df = read(spark, path)
+    val df = readFiles(spark, path, live, schemaJson)
     val key: Column =
       if (clusterBy.size == 1) col(clusterBy.head)
       else {
@@ -530,13 +566,9 @@ object TxLogFormat extends TableFormat {
     val adds = stageIn(kept, path, Some(partitionCol), Nil)
     commit(path, adds, hitRel, None,
       stats = statsLines(spark, path, adds))
-    def unescape(s: String): String =
-      "%[0-9A-Fa-f]{2}".r.replaceAllIn(s,
-        m => java.util.regex.Matcher.quoteReplacement(
-          Integer.parseInt(m.matched.substring(1), 16).toChar.toString))
     hitRel.flatMap(r => r.split("/", 2) match {
       case Array(dir, _) if dir.contains("=") =>
-        Some(unescape(dir.split("=", 2)(1)))
+        Some(unescapeHive(dir.split("=", 2)(1)))
       case _ => None
     }).distinct
   }
@@ -578,7 +610,9 @@ object TxLogFormat extends TableFormat {
     val schema = mergeSchemas(prevSchema, df.schema)
     val adds = stageIn(df, path, partitionBy, Nil)
     commit(path, adds, Nil, Some(schema.json), Some(tag),
-      stats = statsLines(df.sparkSession, path, adds))
+      stats = statsLines(df.sparkSession, path, adds),
+      reResolveSchema =
+        Some(() => Some(mergeSchemas(snapshot(path)._2, df.schema).json)))
     true
   }
 
@@ -600,9 +634,10 @@ object TxLogFormat extends TableFormat {
     * `read(...).filter(filter)`; the spec asserts both that equality and
     * the file-count drop. */
   def scan(spark: SparkSession, path: String, filter: Column): DataFrame = {
-    val (live, schemaJson, v) = snapshot(path)
-    require(v >= 0, s"txlog: no committed version at $path")
-    val stats = fileStats(path)
+    val st = foldLog(path, withStats = true) // one log pass: live + stats
+    val (live, schemaJson) = (st.live, st.schema)
+    require(st.version >= 0, s"txlog: no committed version at $path")
+    val stats = st.stats
     // Resolve the predicate against an empty frame of the committed
     // schema: the raw Column is an unresolved function tree, but the
     // ANALYZED filter condition is typed Catalyst comparisons with
@@ -674,7 +709,8 @@ object TxLogFormat extends TableFormat {
       val lines = Files.readAllLines(commitFile(path, v)).asScala.toSeq
       require(!lines.contains("m checkpoint"),
         s"txlog: version $v of $path is a vacuum checkpoint — its " +
-          "per-commit changes are gone; readChanges from a version >= it")
+          "per-commit changes are gone; readChanges from a version >= it, " +
+          "or use processChanges(allowFullResync = true) to rebuild")
       if (lines.contains("m rewrite")) Nil
       else {
         def files(p: String) = lines.filter(_.startsWith(p)).map(_.drop(2))
@@ -699,8 +735,17 @@ object TxLogFormat extends TableFormat {
     * downstream txlog table with `batchId = until` (the replay skips).
     * Returns the `(since, until]` range processed, None when caught up.
     * This is the batch-cadence equivalent of a streaming source over the
-    * table: downstream models reprocess only new commits, never 100 TB. */
-  def processChanges(spark: SparkSession, path: String, cursorDir: String)
+    * table: downstream models reprocess only new commits, never 100 TB.
+    *
+    * If a [[vacuum]] checkpoint folded part of the unprocessed range, the
+    * per-commit history is gone: by default this throws (so a lagging
+    * consumer + aggressive vacuum can't silently lose deltas), and with
+    * `allowFullResync = true` it recovers by feeding the checkpoint
+    * snapshot as a fresh base load (every row tagged `insert` at the
+    * checkpoint version) plus the per-commit feed after it — the sink
+    * must treat that batch as a rebuild, not an increment. */
+  def processChanges(spark: SparkSession, path: String, cursorDir: String,
+                     allowFullResync: Boolean = false)
                     (f: (DataFrame, Long, Long) => Unit): Option[(Long, Long)] = {
     val cursor = Paths.get(cursorDir, "txlog-cursor")
     Files.createDirectories(cursor.getParent)
@@ -708,7 +753,28 @@ object TxLogFormat extends TableFormat {
       if (Files.exists(cursor)) Files.readString(cursor).trim.toLong else -1L
     val until = snapshot(path)._3
     if (until <= since) return None
-    f(readChanges(spark, path, since, until), since, until)
+    val checkpoints = versions(path)
+      .filter(v => v > since && v <= until)
+      .filter(v => Files.readAllLines(commitFile(path, v)).asScala
+        .contains("m checkpoint"))
+    val feed =
+      if (checkpoints.isEmpty) readChanges(spark, path, since, until)
+      else if (!allowFullResync)
+        throw new IllegalArgumentException(
+          s"txlog: vacuum checkpointed version(s) ${checkpoints.mkString(", ")} " +
+            s"inside the unprocessed range ($since, $until] of $path — the " +
+            "per-commit deltas are gone. Re-run with allowFullResync = true " +
+            "to rebuild from the checkpoint snapshot, or vacuum less " +
+            "aggressively than the slowest consumer")
+      else {
+        val cp = checkpoints.max
+        val base = readVersion(spark, path, cp)
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_version", lit(cp))
+        if (cp == until) base
+        else base.union(readChanges(spark, path, cp, until))
+      }
+    f(feed, since, until)
     val tmp = cursor.resolveSibling(s".tmp-${UUID.randomUUID()}")
     Files.writeString(tmp, until.toString)
     Files.move(tmp, cursor,
@@ -751,10 +817,12 @@ object TxLogFormat extends TableFormat {
         case l: java.lang.Long => Some(BigDecimal(l.toLong))
         case s: java.lang.Short => Some(BigDecimal(s.toInt))
         case b: java.lang.Byte => Some(BigDecimal(b.toInt))
-        case d: java.lang.Double if !d.isNaN => Some(BigDecimal(d.toDouble))
-        case f: java.lang.Float if !f.isNaN => Some(BigDecimal(f.toDouble))
+        case d: java.lang.Double if !d.isNaN && !d.isInfinite =>
+          Some(BigDecimal(d.toDouble))
+        case f: java.lang.Float if !f.isNaN && !f.isInfinite =>
+          Some(BigDecimal(f.toDouble))
         case d: org.apache.spark.sql.types.Decimal => Some(d.toBigDecimal)
-        case _ => None // null, strings, NaN, intervals, …
+        case _ => None // null, strings, NaN, ±Infinity, intervals, …
       }
       case _ => None
     }

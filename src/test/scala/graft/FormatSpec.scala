@@ -422,6 +422,54 @@ class FormatSpec extends SparkSpec {
       rows(df.orderBy("id")))
   }
 
+  test("processChanges after a vacuum fold: refuses by default, " +
+       "full resync rebuilds from the checkpoint snapshot") {
+    val df = spark.range(1, 21).toDF("id")
+    val src = tmp(); val cur = tmp()
+    TxLogFormat.write(df.filter(col("id") <= 10), src)                // v0
+    TxLogFormat.appendBatch(df.filter(col("id") > 10 && col("id") <= 15),
+      src, "u", 1L)                                                   // v1
+    assert(TxLogFormat.processChanges(spark, src, cur) {
+      (c, _, _) => c.count() } == Some((-1L, 1L)))
+    // the consumer lags while an append + aggressive vacuum land
+    TxLogFormat.appendBatch(df.filter(col("id") > 15), src, "u", 2L)  // v2
+    TxLogFormat.vacuum(src, retainVersions = 1) // folds v0..v2 at the v2 slot
+    val e = intercept[IllegalArgumentException](
+      TxLogFormat.processChanges(spark, src, cur) { (_, _, _) => () })
+    assert(e.getMessage.contains("allowFullResync"))
+    // resync: the feed is the checkpoint snapshot as a base rebuild
+    var seen = -1L
+    assert(TxLogFormat.processChanges(spark, src, cur,
+      allowFullResync = true) { (c, _, _) =>
+        assert(c.collect().forall(_.getAs[String]("_change_type") == "insert"))
+        seen = c.count()
+      } == Some((1L, 2L)))
+    assert(seen == 20L)
+    assert(TxLogFormat.processChanges(spark, src, cur) {
+      (_, _, _) => () } == None)
+  }
+
+  test("concurrent schema-evolving appends: the CAS loser re-merges, " +
+       "both new columns survive") {
+    val orders = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+    val t = tmp()
+    TxLogFormat.write(orders, t)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fs = Seq("o_left", "o_right").map { c =>
+      Future {
+        TxLogFormat.appendBatch(
+          orders.limit(5).withColumn(c, lit(1L)), t, "race", c.hashCode.toLong)
+      }
+    }
+    Await.result(Future.sequence(fs), 120.seconds)
+    // whichever writer lost the version race must have re-merged against
+    // the winner's schema: both evolved columns are readable
+    assert(TxLogFormat.read(spark, t).columns.toSet ==
+      Set("o_orderkey", "o_totalprice", "o_left", "o_right"))
+  }
+
   test("scan keeps NaN-bearing double files (NaN orders above all); " +
        "appendBatch refuses a layout mismatch") {
     // parquet drops min/max for NaN-holding chunks; Spark orders NaN
