@@ -661,6 +661,18 @@ object TxLogFormat extends TableFormat {
     readFiles(spark, path, keep, schemaJson).filter(filter)
   }
 
+  /** Metadata-only row count: sums the log-recorded per-file row counts —
+    * no data file is opened, the answer costs one driver-side log read at
+    * ANY table size (the Delta `SELECT COUNT(*)` fast path). Falls back
+    * to a real scan-count only when some live file predates stats. */
+  def count(spark: SparkSession, path: String): Long = {
+    val st = foldLog(path, withStats = true)
+    require(st.version >= 0, s"txlog: no committed version at $path")
+    if (st.live.forall(st.stats.contains))
+      st.live.map(st.stats(_).rows).sum
+    else readFiles(spark, path, st.live, st.schema).count()
+  }
+
   /** `RESTORE TABLE ... TO VERSION`: one commit that swaps the live set
     * back to `version`'s — zero data copy (files are immutable and still
     * on disk until [[vacuum]]), so a bad write is undone in milliseconds

@@ -368,6 +368,23 @@ class FormatSpec extends SparkSpec {
     assert(e.getMessage.contains("checkpoint"))
   }
 
+  test("metadata-only count matches a real count through every op") {
+    val orders = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val t = tmp()
+    TxLogFormat.write(orders, t, Some("o_orderstatus"))
+    assert(TxLogFormat.count(spark, t) == orders.count())
+    TxLogFormat.appendBatch(orders.limit(100), t, "c", 1L, Some("o_orderstatus"))
+    assert(TxLogFormat.count(spark, t) == orders.count() + 100)
+    val keys = orders.limit(7).select(col("o_orderkey").as("k")).distinct()
+    TxLogFormat.deleteKeys(spark, t, "o_orderstatus", "o_orderkey", keys)
+    assert(TxLogFormat.count(spark, t) ==
+      TxLogFormat.read(spark, t).count())
+    TxLogFormat.compact(spark, t, "o_orderstatus")
+    assert(TxLogFormat.count(spark, t) ==
+      TxLogFormat.read(spark, t).count())
+  }
+
   test("restore rolls back to an old version as a NEW commit, no copy") {
     val orders = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
     val t = tmp()

@@ -283,6 +283,17 @@ class PlanSpec extends SparkSpec {
     // the o_orderstatus predicate is partition pruning, not a data filter
     assert(plan.contains("PartitionFilters: [isnotnull(o_orderstatus"),
       s"txlog scan lost partition pruning:\n$plan")
+    // data-skipping scan: driver-side file pruning must COMPOSE with the
+    // parquet-level pushdown, not replace it — the survivors' row groups
+    // still skip on footer stats
+    val sc = graft.sources.TxLogFormat.scan(spark, t,
+        col("o_orderkey") < 500 && col("o_totalprice") > 100000.0)
+      .select("o_orderkey", "o_totalprice")
+    val scPlan = sc.queryExecution.sparkPlan.toString
+    assert(scPlan.contains("PushedFilters: [IsNotNull(o_orderkey"),
+      s"txlog data-skipping scan lost parquet pushdown:\n$scPlan")
+    assert(!scPlan.contains("o_custkey"),
+      "txlog data-skipping scan reads pruned column")
   }
 
   test("zorder key is scan-bound whole-stage codegen") {
