@@ -192,37 +192,58 @@ class FormatSpec extends SparkSpec {
     val t = tmp()
     var model: Seq[(Long, String, Long)] = fresh(30)
     TxLogFormat.write(df(model), t, Some("part"))
+    // content as of every committed version — the oracle for restore
+    val history = scala.collection.mutable.Map[Long, Seq[(Long, String, Long)]]()
+    def record(): Unit = history(TxLogFormat.versions(t).last) = model
+    record()
     def check(op: String): Unit = {
       val got = TxLogFormat.read(spark, t).select("id", "part", "v").collect()
         .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq.sorted
       assert(got == model.sorted, s"diverged after $op")
+      // the stats-backed fast paths must agree after EVERY op mix
+      assert(TxLogFormat.count(spark, t) == model.size.toLong,
+        s"metadata count diverged after $op")
+      val sc = TxLogFormat.scan(spark, t, col("id") < 25)
+        .select("id", "part", "v").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq.sorted
+      assert(sc == model.filter(_._1 < 25).sorted, s"scan diverged after $op")
     }
     check("write")
-    (1 to 12).foreach { i =>
-      rnd.nextInt(5) match {
+    (1 to 16).foreach { i =>
+      rnd.nextInt(7) match {
         case 0 => // overwrite one partition
           val p = parts(rnd.nextInt(parts.size))
           val repl = fresh(8).map { case (id, _, v) => (id, p, v) }
           TxLogFormat.overwritePartitions(df(repl), t, "part")
           model = model.filterNot(_._2 == p) ++ repl
-          check(s"$i:overwritePartitions($p)")
+          record(); check(s"$i:overwritePartitions($p)")
         case 1 => // tagged append
           val extra = fresh(5)
           if (TxLogFormat.appendBatch(df(extra), t, "prop", i, Some("part")))
             model = model ++ extra
-          check(s"$i:appendBatch")
+          record(); check(s"$i:appendBatch")
         case 2 => // delete a random key set
           val ks = Seq.fill(3)(rnd.nextInt(50).toLong).distinct
           TxLogFormat.deleteKeys(spark, t, "part", "id",
             df(ks.map(k => (k, "", 0L))).select(col("id").as("k")))
           model = model.filterNot(r => ks.contains(r._1))
-          check(s"$i:deleteKeys($ks)")
+          record(); check(s"$i:deleteKeys($ks)")
         case 3 =>
           TxLogFormat.compact(spark, t, "part")
-          check(s"$i:compact")
+          record(); check(s"$i:compact")
         case 4 =>
           TxLogFormat.vacuum(t, retainVersions = 1 + rnd.nextInt(3))
           check(s"$i:vacuum")
+        case 5 =>
+          TxLogFormat.compactClustered(spark, t, "part", Seq("v"),
+            targetBytes = 32L * 1024)
+          record(); check(s"$i:compactClustered")
+        case 6 => // roll back to any still-retained version
+          val vs = TxLogFormat.versions(t)
+          val rv = vs(rnd.nextInt(vs.size))
+          TxLogFormat.restore(t, rv)
+          model = history(rv)
+          record(); check(s"$i:restore($rv)")
       }
     }
   }
