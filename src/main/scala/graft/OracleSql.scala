@@ -60,6 +60,9 @@ object OracleSql {
     "txlog_incremental" ->
       """WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 0 AS src FROM orders), delta AS (SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus, o_totalprice + 1 AS o_totalprice, 1 AS src FROM orders WHERE o_orderkey % 10 = 0), u AS (SELECT * FROM base UNION ALL SELECT * FROM delta), r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY src DESC) AS rn FROM u) SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM r WHERE rn = 1 ORDER BY o_orderkey""",
 
+    "txlog_merge" ->
+      """WITH b AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders), u AS (SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus, o_totalprice + 1 AS o_totalprice FROM b WHERE o_orderkey % 10 = 0), i AS (SELECT o_orderkey + 5000000 AS o_orderkey, o_custkey, 'N' AS o_orderstatus, o_totalprice FROM b WHERE o_orderkey % 1000 = 1), d AS (SELECT * FROM u UNION ALL SELECT * FROM i) SELECT * FROM b WHERE o_orderkey NOT IN (SELECT o_orderkey FROM d) UNION ALL SELECT * FROM d ORDER BY o_orderkey""",
+
     "txlog_timetravel" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders ORDER BY o_orderkey""",
 

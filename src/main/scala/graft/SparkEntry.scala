@@ -92,6 +92,7 @@ object SparkEntry {
     // the ACID (transaction-log) table format, adjudicated by the same
     // oracles the parquet-dir paths pass
     "txlog_incremental" -> ((s, d) => Acid.txlogIncremental(s, Tables.orders(s, d))),
+    "txlog_merge"       -> ((s, d) => Acid.txlogMerge(s, Tables.orders(s, d))),
     "txlog_gdpr"        -> ((s, d) => Acid.txlogGdpr(s, Tables.orders(s, d))),
     "txlog_timetravel"  -> ((s, d) => Acid.txlogTimeTravel(s, Tables.orders(s, d))),
     "txlog_scan"        -> ((s, d) => Acid.txlogScan(s, Tables.orders(s, d))),

@@ -38,6 +38,26 @@ object Acid {
     out("m").orderBy("o_orderkey")
   }
 
+  /** `MERGE INTO` through the txlog ([[TxLogFormat.merge]]): one atomic
+    * commit updates matched keys whole-row and inserts unmatched ones,
+    * rewriting ONLY files that hold a matched key. Oracle = anti-join of
+    * the base on the source keys UNION ALL the source. */
+  def txlogMerge(spark: SparkSession, orders: DataFrame): DataFrame = {
+    val t = tmpDir("graft_txlog_merge")
+    val base = orders
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    TxLogFormat.write(base, t, Some("o_orderstatus"))
+    val updates = base.filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"), col("o_custkey"),
+        lit("U").as("o_orderstatus"), (col("o_totalprice") + 1).as("o_totalprice"))
+    val inserts = base.filter(col("o_orderkey") % 1000 === 1)
+      .select((col("o_orderkey") + 5000000).as("o_orderkey"), col("o_custkey"),
+        lit("N").as("o_orderstatus"), col("o_totalprice"))
+    TxLogFormat.merge(spark, t, "o_orderkey", updates.unionAll(inserts),
+      Some("o_orderstatus"))
+    TxLogFormat.read(spark, t).orderBy("o_orderkey")
+  }
+
   /** [[graft.operators.Materialize.gdprDelete]] through the txlog:
     * file-granular DELETE WHERE (only files holding a doomed key rewrite,
     * one atomic commit), same aggregate oracle as gdpr_delete. */

@@ -431,6 +431,69 @@ object TxLogFormat extends TableFormat {
       stats = statsLines(spark, path, adds))
   }
 
+  /** `MERGE INTO` (the Delta upsert): target rows whose `keyCol` matches a
+    * `source` row are REPLACED by that row, unmatched source rows INSERT —
+    * all in ONE atomic commit, so readers see pre-merge or post-merge,
+    * never a mix. Physically the Delta shape: only files that actually
+    * hold a matched key rewrite (their unmatched rows are carried over);
+    * every other file survives untouched — at 100 TB a merge touching 1%
+    * of keys rewrites ~1% of files, not the table. The hit-file discovery
+    * is one semi-join against the source keys (file-count-scale collect,
+    * same as [[deleteKeys]]); AQE broadcasts the key side when small.
+    *
+    * Schema evolution is additive, like [[appendBatch]]: source columns
+    * new to the table append (old rows null-fill on read), missing source
+    * columns null-fill on the inserted rows, type changes refuse.
+    * `source` must have at most one row per key — with duplicates, each
+    * duplicate lands (the multiple-match case Delta rejects; this engine
+    * documents it instead of paying a validation agg per merge).
+    * Returns the number of files rewritten. */
+  def merge(spark: SparkSession, path: String, keyCol: String,
+            source: DataFrame, partitionBy: Option[String] = None): Int = {
+    val (live, prevSchema, v) = snapshot(path)
+    require(v >= 0, s"txlog: no committed version at $path — write() first")
+    require(live.isEmpty ||
+        live.exists(_.contains("/")) == partitionBy.isDefined,
+      s"txlog: merge partitioning (${partitionBy.getOrElse("none")}) " +
+        s"does not match the layout of $path")
+    val schema = mergeSchemas(prevSchema, source.schema)
+    require(schema.fieldNames.contains(keyCol),
+      s"txlog: merge key $keyCol not in table schema")
+    val target = readFiles(spark, path, live, prevSchema)
+    val srcKeys = source.select(col(keyCol).as("_mk")).distinct()
+    val hitFiles = target.withColumn("_file", input_file_name())
+      .join(srcKeys, target(keyCol) === srcKeys("_mk"), "left_semi")
+      .select("_file").distinct().collect().map(_.getString(0))
+    val root = Paths.get(path).toAbsolutePath
+    val hitRel = hitFiles.map { f =>
+      val p = if (f.startsWith("file:")) Paths.get(new java.net.URI(f))
+              else Paths.get(f)
+      root.relativize(p.toAbsolutePath).toString
+    }.toSeq
+    require(!hitRel.exists(_.startsWith("..")),
+      s"txlog: hit file outside table root $root")
+    // carried-over rows: the hit files' rows whose key is NOT in the source
+    val hitSet = hitFiles.toSet
+    val kept =
+      if (hitSet.isEmpty) null
+      else target.withColumn("_file", input_file_name())
+        .filter(col("_file").isInCollection(hitSet))
+        .drop("_file")
+        .join(srcKeys, target(keyCol) === srcKeys("_mk"), "left_anti")
+    // align both sides to the merged schema (null-fill missing columns)
+    def align(df: DataFrame): DataFrame = df.select(schema.fields.map { f =>
+      if (df.columns.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toSeq: _*)
+    val out = if (kept == null) align(source) else align(kept).unionAll(align(source))
+    val adds = stageIn(out, path, partitionBy, Nil)
+    commit(path, adds, hitRel, Some(schema.json),
+      stats = statsLines(spark, path, adds),
+      reResolveSchema =
+        Some(() => Some(mergeSchemas(snapshot(path)._2, source.schema).json)))
+    hitRel.size
+  }
+
   /** Undo Hive's %XX dir-name escaping (partition values round-trip
     * through [[stageIn]]'s Spark-written directory names). */
   private def unescapeHive(s: String): String =

@@ -106,6 +106,42 @@ class FormatSpec extends SparkSpec {
     assert(hist.size == 2)
   }
 
+  test("merge upserts atomically, rewrites only hit files, evolves schema") {
+    val orders = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val t = tmp()
+    TxLogFormat.write(orders, t, Some("o_orderstatus"))
+    val filesBefore = TxLogFormat.history(t).map(_._2).sum
+    // source: update every 10th key whole-row (+ a NEW column), insert fresh keys
+    val updates = orders.filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"), col("o_custkey"),
+        lit("U").as("o_orderstatus"), (col("o_totalprice") + 1).as("o_totalprice"),
+        lit("m1").as("merge_tag"))
+    val inserts = orders.filter(col("o_orderkey") % 1000 === 1)
+      .select((col("o_orderkey") + 5000000).as("o_orderkey"), col("o_custkey"),
+        lit("N").as("o_orderstatus"), col("o_totalprice"),
+        lit("m1").as("merge_tag"))
+    val rewritten = TxLogFormat.merge(spark, t, "o_orderkey",
+      updates.unionAll(inserts), Some("o_orderstatus"))
+    val got = TxLogFormat.read(spark, t)
+    // merged result = base minus matched keys, plus the whole source
+    val matched = updates.select("o_orderkey")
+    val want = orders.join(matched, Seq("o_orderkey"), "left_anti")
+      .withColumn("merge_tag", lit(null.asInstanceOf[String]))
+      .unionAll(updates).unionAll(inserts)
+    assert(rows(got.orderBy("o_orderkey", "o_orderstatus")) ==
+      rows(want.orderBy("o_orderkey", "o_orderstatus")))
+    // file granularity: some files rewrote, but not all of them
+    assert(rewritten > 0 && rewritten <= filesBefore)
+    val hist = TxLogFormat.history(t)
+    assert(hist.size == 2 && hist(1)._3 == rewritten)
+    // old rows null-fill the appended column; source rows carry it
+    assert(got.filter(col("merge_tag").isNull).count() ==
+      orders.count() - updates.count())
+    // atomicity: time travel still shows the pre-merge table
+    assert(TxLogFormat.readVersion(spark, t, 0).count() == orders.count())
+  }
+
   test("compact bounds files per partition, rows untouched, one commit") {
     val orders = Tables.orders(spark, sf)
       .select("o_orderkey", "o_orderstatus", "o_totalprice")
