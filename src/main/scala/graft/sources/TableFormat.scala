@@ -57,6 +57,26 @@ trait TableFormat {
 
   /** Scan the table. */
   def read(spark: SparkSession, path: String): DataFrame
+
+  /** Clone the table at `src` into `dst` without recomputing it — the
+    * storage half of `dbt clone`. Default: physical recursive file copy
+    * (correct on any format, O(data) cost); ACID formats override with a
+    * zero-copy metadata clone ([[TxLogFormat.cloneTable]] hard-links the
+    * immutable data files — O(file count) at any table size). `dst` must
+    * not already exist. */
+  def cloneTable(spark: SparkSession, src: String, dst: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val from = Paths.get(src); val to = Paths.get(dst)
+    require(Files.exists(from), s"cloneTable: no table at $src")
+    require(!Files.exists(to), s"cloneTable: target $dst already exists")
+    val walk = Files.walk(from)
+    try walk.iterator.asScala.foreach { p =>
+      val t = to.resolve(from.relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else { Files.createDirectories(t.getParent); Files.copy(p, t) }
+    } finally walk.close()
+  }
 }
 
 /** Partitioned-parquet implementation: directory layout for partitioning,

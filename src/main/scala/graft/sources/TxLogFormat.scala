@@ -233,6 +233,71 @@ object TxLogFormat extends TableFormat {
   private def fileStats(path: String, upTo: Long = Long.MaxValue)
       : Map[String, FileStat] = foldLog(path, upTo, withStats = true).stats
 
+  // ---- CHECK constraints (Delta-style table invariants) ----
+
+  /** Active constraints as of `upTo`, in declaration order. Log lines:
+    * `c <name>\t<sql-expr>` declares, `cd <name>` drops; later `c` with
+    * the same name redefines. */
+  private def foldConstraints(path: String,
+                              upTo: Long = Long.MaxValue): Seq[(String, String)] = {
+    val cons = scala.collection.mutable.LinkedHashMap[String, String]()
+    versions(path).filter(_ <= upTo).foreach { v =>
+      Files.readAllLines(commitFile(path, v)).asScala.foreach { line =>
+        if (line.startsWith("c ")) {
+          val p = line.drop(2).split("\t", 2)
+          if (p.length == 2) cons(p(0)) = p(1)
+        } else if (line.startsWith("cd ")) cons.remove(line.drop(3))
+      }
+    }
+    cons.toSeq
+  }
+
+  /** Active CHECK constraints: name -> SQL predicate. */
+  def constraints(path: String): Map[String, String] = foldConstraints(path).toMap
+
+  /** `ALTER TABLE ... ADD CONSTRAINT name CHECK (expr)`: existing rows are
+    * validated in one scan first (a table already violating the invariant
+    * must not get to claim it), then the declaration commits. From that
+    * commit on, EVERY write path (write / replace / overwritePartitions /
+    * merge / appendBatch) enforces the predicate INSIDE the write job —
+    * a fused `raise_error` guard, the Delta CheckDeltaInvariant shape, so
+    * enforcement adds no second pass over the data and a violation aborts
+    * before anything becomes visible (the ACID dividend: a failed write
+    * leaves only invisible orphans). SQL CHECK semantics: NULL passes —
+    * declare `col IS NOT NULL` for dbt's not_null contract. */
+  def addConstraint(spark: SparkSession, path: String, name: String,
+                    exprSql: String): Long = {
+    require(name.nonEmpty && !name.exists(c => c == '\t' || c == '\n' || c == '\r'),
+      s"txlog: constraint name must be non-empty without tab/newline: '$name'")
+    require(!exprSql.exists(c => c == '\n' || c == '\r'),
+      s"txlog: constraint expression must be single-line")
+    val (live, schemaJson, v) = snapshot(path)
+    require(v >= 0, s"txlog: no committed version at $path — write() first")
+    if (live.nonEmpty) {
+      val bad = readFiles(spark, path, live, schemaJson)
+        .filter(not(coalesce(expr(exprSql).cast("boolean"), lit(true))))
+        .limit(1).count()
+      require(bad == 0,
+        s"txlog: existing rows at $path violate constraint $name ($exprSql)")
+    }
+    commit(path, Nil, Nil, None, extra = Seq(s"c $name\t$exprSql"))
+  }
+
+  /** `ALTER TABLE ... DROP CONSTRAINT name`. */
+  def dropConstraint(path: String, name: String): Long = {
+    require(foldConstraints(path).exists(_._1 == name),
+      s"txlog: no constraint named $name at $path")
+    commit(path, Nil, Nil, None, extra = Seq(s"cd $name"))
+  }
+
+  /** Fuses the active constraints into `df` via [[graft.util.RowGuard]]:
+    * a violating row throws from inside the write job (zero extra passes;
+    * the failed write leaves only invisible orphans). A constraint
+    * referencing a column `df` lacks fails analysis loudly —
+    * schema-evolving writes must carry their constrained columns. */
+  private def constraintGuard(df: DataFrame, path: String): DataFrame =
+    graft.util.RowGuard(df, foldConstraints(path), s"at $path")
+
   /** Publish one commit with optimistic concurrency: write the full
     * content to a temp file, then hard-link it to the next version slot.
     * Link creation is atomic and fails if the slot is taken, so two racing
@@ -247,7 +312,8 @@ object TxLogFormat extends TableFormat {
                      txn: Option[String] = None,
                      stats: Seq[String] = Nil,
                      marker: Option[String] = None,
-                     reResolveSchema: Option[() => Option[String]] = None): Long = {
+                     reResolveSchema: Option[() => Option[String]] = None,
+                     extra: Seq[String] = Nil): Long = {
     val dir = logDir(path)
     Files.createDirectories(dir)
     var attempt = 0
@@ -261,7 +327,7 @@ object TxLogFormat extends TableFormat {
       val schemaNow = reResolveSchema.map(_()).getOrElse(schemaJson)
       val content = (marker.map("m " + _).toSeq ++
         schemaNow.map("s " + _).toSeq ++ txn.map("t " + _).toSeq ++
-        removes.map("r " + _) ++ adds.map("a " + _) ++ stats)
+        removes.map("r " + _) ++ adds.map("a " + _) ++ stats ++ extra)
         .mkString("", "\n", "\n")
       val tmp = dir.resolve(s".tmp-${UUID.randomUUID()}")
       Files.writeString(tmp, content)
@@ -397,7 +463,7 @@ object TxLogFormat extends TableFormat {
   def write(df: DataFrame, path: String, partitionBy: Option[String] = None,
             clusterBy: Seq[String] = Nil): Unit = {
     val before = snapshot(path)._1
-    val adds = stageIn(df, path, partitionBy, clusterBy)
+    val adds = stageIn(constraintGuard(df, path), path, partitionBy, clusterBy)
     commit(path, adds, before, Some(df.schema.json),
       stats = statsLines(df.sparkSession, path, adds))
   }
@@ -409,7 +475,7 @@ object TxLogFormat extends TableFormat {
     // untouched partitions' files survive this commit → additive merge,
     // not wholesale replace, so their columns stay readable
     val schema = mergeSchemas(prevSchema, df.schema)
-    val adds = stageIn(df, path, Some(partitionCol), Nil)
+    val adds = stageIn(constraintGuard(df, path), path, Some(partitionCol), Nil)
     // which partitions `df` touched falls straight out of the staged dir
     // names — no collect, no value formatting, escaping untouched.
     val newDirs = adds.map(_.split("/", 2)(0)).toSet
@@ -426,7 +492,7 @@ object TxLogFormat extends TableFormat {
     // snapshot-pinned readers keep them) until vacuum, so there is no
     // self-overwrite hazard and no staging swap — one commit flips the set.
     val before = snapshot(path)._1
-    val adds = stageIn(df, path, None, Nil)
+    val adds = stageIn(constraintGuard(df, path), path, None, Nil)
     commit(path, adds, before, Some(df.schema.json),
       stats = statsLines(spark, path, adds))
   }
@@ -486,7 +552,7 @@ object TxLogFormat extends TableFormat {
       else lit(null).cast(f.dataType).as(f.name)
     }.toSeq: _*)
     val out = if (kept == null) align(source) else align(kept).unionAll(align(source))
-    val adds = stageIn(out, path, partitionBy, Nil)
+    val adds = stageIn(constraintGuard(out, path), path, partitionBy, Nil)
     commit(path, adds, hitRel, Some(schema.json),
       stats = statsLines(spark, path, adds),
       reResolveSchema =
@@ -671,7 +737,7 @@ object TxLogFormat extends TableFormat {
     // additive schema evolution: a batch may carry new columns (appended)
     // or omit committed ones (null-filled on read) — never a type change
     val schema = mergeSchemas(prevSchema, df.schema)
-    val adds = stageIn(df, path, partitionBy, Nil)
+    val adds = stageIn(constraintGuard(df, path), path, partitionBy, Nil)
     commit(path, adds, Nil, Some(schema.json), Some(tag),
       stats = statsLines(df.sparkSession, path, adds),
       reResolveSchema =
@@ -956,6 +1022,65 @@ object TxLogFormat extends TableFormat {
     }
   }
 
+  /** `CREATE TABLE target CLONE source [VERSION AS OF v]` (Delta clone —
+    * the engine behind `dbt clone`'s zero-copy CI environments): copies
+    * the table AS OF `version` (default: latest) into `target` without
+    * copying a byte of data. Data files are immutable, so each live file
+    * HARD-LINKS into the target dir; the target gets a fresh single-commit
+    * log carrying the live set, committed schema, per-file skipping stats
+    * (raw `f` lines, so pruning fidelity is identical), and CHECK
+    * constraints. Cost is O(live file count) namespace ops at any table
+    * size. Unlike a path-referencing shallow clone (Delta's, which a
+    * source-side VACUUM breaks), the link refcount makes the two tables
+    * fully independent from the first commit: either side can append,
+    * delete, restore, or vacuum without touching the other — shared
+    * inodes die only when BOTH sides stop referencing them. Txn tags do
+    * NOT carry over (the clone is a new sink identity; an exactly-once
+    * stream replaying into it must land its batches). On a hard-link-less
+    * FS each file falls back to a copy (an object store would use
+    * server-side copy here). Returns the target's committed version (0). */
+  /** [[TableFormat.cloneTable]]: the zero-copy clone (ignores `spark` —
+    * the whole operation is namespace metadata). */
+  override def cloneTable(spark: SparkSession, src: String, dst: String): Unit = {
+    cloneTable(src, dst); ()
+  }
+
+  def cloneTable(path: String, target: String,
+                 version: Long = Long.MaxValue): Long = {
+    val vs = versions(path)
+    require(vs.nonEmpty, s"txlog: no committed version at $path")
+    val upTo = if (version == Long.MaxValue) vs.last else version
+    require(vs.contains(upTo),
+      s"txlog: version $upTo at $path was vacuumed away or never committed")
+    require(versions(target).isEmpty,
+      s"txlog: clone target $target already has a commit log")
+    // fold live set + schema + latest raw stats line per file as of upTo
+    val live = scala.collection.mutable.LinkedHashSet[String]()
+    var schema: Option[String] = None
+    val rawStats = scala.collection.mutable.Map[String, String]()
+    vs.filter(_ <= upTo).foreach { v =>
+      Files.readAllLines(commitFile(path, v)).asScala.foreach { line =>
+        if (line.startsWith("a ")) live += line.drop(2)
+        else if (line.startsWith("r ")) live -= line.drop(2)
+        else if (line.startsWith("s ")) schema = Some(line.drop(2))
+        else if (line.startsWith("f "))
+          rawStats(line.drop(2).split("\t", 2)(0)) = line
+      }
+    }
+    val liveSeq = live.toSeq
+    liveSeq.foreach { rel =>
+      val src = Paths.get(path, rel)
+      val dst = Paths.get(target, rel)
+      Files.createDirectories(dst.getParent)
+      try Files.createLink(dst, src)
+      catch { case _: UnsupportedOperationException => Files.copy(src, dst) }
+    }
+    commit(target, liveSeq, Nil, schema,
+      stats = liveSeq.flatMap(rawStats.get),
+      marker = Some("clone"),
+      extra = foldConstraints(path, upTo).map { case (n, e) => s"c $n\t$e" })
+  }
+
   /** Commit history: (version, adds, removes) per commit. */
   def history(path: String): Seq[(Long, Int, Int)] =
     versions(path).map { v =>
@@ -994,8 +1119,12 @@ object TxLogFormat extends TableFormat {
           .filter(l => l.startsWith("f ") &&
             liveSet.contains(l.drop(2).split("\t", 2)(0)))
       }.distinct
+      // constraints fold the same way as txn tags: the checkpoint must
+      // restate the surviving declarations or vacuum would silently
+      // disarm enforcement for everything it folds
+      val consH = foldConstraints(path, horizon).map { case (n, e) => s"c $n\t$e" }
       val content = ("m checkpoint" +: (schemaH.map("s " + _).toSeq ++ txnsH ++
-        liveH.map("a " + _) ++ statsLinesH)).mkString("", "\n", "\n")
+        liveH.map("a " + _) ++ statsLinesH ++ consH)).mkString("", "\n", "\n")
       val tmp = logDir(path).resolve(s".tmp-${UUID.randomUUID()}")
       Files.writeString(tmp, content)
       Files.move(tmp, commitFile(path, horizon),

@@ -588,6 +588,101 @@ class FormatSpec extends SparkSpec {
     assert(TxLogFormat.versions(t) == Seq(0L, 1L))
   }
 
+  test("CHECK constraints: enforced inside every write path, survive vacuum") {
+    val orders = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val t = tmp()
+    TxLogFormat.write(orders, t, Some("o_orderstatus"))
+    // a constraint existing rows violate must refuse to declare
+    intercept[IllegalArgumentException] {
+      TxLogFormat.addConstraint(spark, t, "huge", "o_totalprice > 1e9")
+    }
+    TxLogFormat.addConstraint(spark, t, "price_pos", "o_totalprice > 0")
+    TxLogFormat.addConstraint(spark, t, "key_nn", "o_orderkey IS NOT NULL")
+    assert(TxLogFormat.constraints(t).keySet == Set("price_pos", "key_nn"))
+    val vBefore = TxLogFormat.versions(t).last
+    val n0 = TxLogFormat.read(spark, t).count()
+    // violating append aborts inside the write job; nothing becomes visible
+    val bad = orders.limit(5).withColumn("o_totalprice", lit(-1.0))
+    intercept[Exception] {
+      TxLogFormat.appendBatch(bad, t, "capp", 1L, Some("o_orderstatus"))
+    }
+    assert(TxLogFormat.versions(t).last == vBefore, "failed write must not commit")
+    assert(TxLogFormat.read(spark, t).count() == n0)
+    // valid append lands; NULL passes CHECK (SQL semantics)
+    TxLogFormat.appendBatch(
+      orders.limit(3).withColumn("o_totalprice", lit(null).cast("double")),
+      t, "capp", 2L, Some("o_orderstatus"))
+    assert(TxLogFormat.read(spark, t).count() == n0 + 3)
+    // but IS NOT NULL expresses dbt's not_null contract and does refuse
+    intercept[Exception] {
+      TxLogFormat.appendBatch(
+        orders.limit(2).withColumn("o_orderkey", lit(null).cast("bigint")),
+        t, "capp", 3L, Some("o_orderstatus"))
+    }
+    // merge with a violating source refuses too
+    intercept[Exception] {
+      TxLogFormat.merge(spark, t, "o_orderkey",
+        orders.limit(2).withColumn("o_totalprice", lit(-5.0)),
+        Some("o_orderstatus"))
+    }
+    // the declarations survive a vacuum checkpoint fold
+    TxLogFormat.vacuum(t, retainVersions = 1)
+    assert(TxLogFormat.constraints(t).keySet == Set("price_pos", "key_nn"))
+    intercept[Exception] {
+      TxLogFormat.appendBatch(bad, t, "capp", 4L, Some("o_orderstatus"))
+    }
+    // dropConstraint re-arms the path
+    TxLogFormat.dropConstraint(t, "price_pos")
+    TxLogFormat.appendBatch(
+      orders.limit(2).withColumn("o_totalprice", lit(-1.0)),
+      t, "capp", 5L, Some("o_orderstatus"))
+    assert(TxLogFormat.read(spark, t).filter(col("o_totalprice") < 0).count() == 2)
+  }
+
+  test("cloneTable: zero-copy, version-pinned, immune to source vacuum") {
+    val orders = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val t = tmp(); val c = tmp()
+    TxLogFormat.write(orders.filter(col("o_orderkey") % 2 === 0), t,
+      Some("o_orderstatus"))                                            // v0
+    TxLogFormat.addConstraint(spark, t, "price_pos", "o_totalprice > 0") // v1
+    TxLogFormat.appendBatch(orders.filter(col("o_orderkey") % 2 === 1), t,
+      "cl", 1L, Some("o_orderstatus"))                                   // v2
+    val expected = rows(TxLogFormat.read(spark, t).orderBy("o_orderkey"))
+    assert(TxLogFormat.cloneTable(t, c) == 0L)
+    assert(rows(TxLogFormat.read(spark, c).orderBy("o_orderkey")) == expected)
+    // zero-copy: the clone's files are the SAME inodes (hard links)
+    val sAll = Files.walk(Paths.get(c))
+    val oneRel = try {
+      import scala.jdk.CollectionConverters._
+      sAll.iterator.asScala
+        .find(f => Files.isRegularFile(f) && f.toString.endsWith(".parquet"))
+        .map(Paths.get(c).relativize(_).toString).get
+    } finally sAll.close()
+    assert(Files.isSameFile(Paths.get(c, oneRel), Paths.get(t, oneRel)),
+      "clone must hard-link, not copy")
+    // constraints + skipping stats + metadata count all carried
+    assert(TxLogFormat.constraints(c).keySet == Set("price_pos"))
+    assert(TxLogFormat.count(spark, c) == expected.size)
+    // version-pinned clone reproduces v0 exactly
+    val c0 = tmp()
+    TxLogFormat.cloneTable(t, c0, version = 0L)
+    assert(rows(TxLogFormat.read(spark, c0).orderBy("o_orderkey")) ==
+      rows(orders.filter(col("o_orderkey") % 2 === 0).orderBy("o_orderkey")))
+    // source rewrite + vacuum reclaims ALL its pre-replace names — the
+    // clone keeps reading: link refcounts make the tables independent
+    TxLogFormat.replace(spark,
+      TxLogFormat.read(spark, t).filter(col("o_orderkey") % 4 === 0), t)
+    TxLogFormat.vacuum(t, retainVersions = 1)
+    assert(rows(TxLogFormat.read(spark, c).orderBy("o_orderkey")) == expected)
+    // refusals: occupied target; vacuumed-away version
+    intercept[IllegalArgumentException] { TxLogFormat.cloneTable(t, c) }
+    intercept[IllegalArgumentException] {
+      TxLogFormat.cloneTable(t, tmp(), version = 0L)
+    }
+  }
+
   test("Pipeline drop-in parity: same DAG, same results as ParquetDirFormat") {
     val orders = Tables.orders(spark, sf)
     def mk(fmt: graft.sources.TableFormat) = new Pipeline(Seq(
