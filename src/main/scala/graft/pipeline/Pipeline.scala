@@ -47,6 +47,23 @@ final case class InsertOverwriteMat(partitionBy: String) extends Materialization
 final case class MicrobatchMat(eventTime: String,
                                granularity: String = "month") extends Materialization
 
+/** dbt 1.5 model contract (`contract: {enforced: true}` + `columns:` with
+  * `data_type` and `constraints:`): a public-model API freeze. At
+  * materialization the model's OUTPUT schema must carry exactly the
+  * declared columns with exactly the declared Spark types (extra, missing,
+  * or retyped columns fail the model — order-insensitive, like dbt), and
+  * the row-level constraints are enforced INSIDE the materializing job via
+  * [[graft.util.RowGuard]] (not_null ≡ dbt's `constraints: [not_null]`;
+  * `checks` ≡ `check:` expressions — NULL passes, SQL CHECK semantics).
+  * A violation throws before anything persists, so in [[Pipeline.build]] /
+  * [[Pipeline.runTolerant]] it gates the downstream closure exactly like
+  * a build error. Contract identity is manifest-visible, so editing one
+  * trips `state:modified` selection — the dbt behavior that forces CI on
+  * contract changes. */
+final case class Contract(columns: Seq[(String, String)],
+                          notNull: Seq[String] = Nil,
+                          checks: Map[String, String] = Map.empty)
+
 /** One model: name, upstream refs, materialization, and the transformation
   * from resolved upstream frames to this model's frame — `build` is the
   * model's SELECT; `deps` are its `ref()`/`source()` calls.
@@ -63,7 +80,8 @@ final case class Model(name: String, deps: Seq[String],
                        checksum: String = "",
                        tags: Seq[String] = Nil,
                        columnDocs: Map[String, String] = Map.empty,
-                       tests: Seq[(String, DataFrame => DataFrame)] = Nil)
+                       tests: Seq[(String, DataFrame => DataFrame)] = Nil,
+                       contract: Option[Contract] = None)
 
 /** A dbt exposure — reference models/exposures.yml: a downstream artifact
   * (dashboard, report, ML application) whose lineage hangs off models.
@@ -215,7 +233,17 @@ final class Pipeline(models: Seq[Model], exposures: Seq[Exposure] = Nil,
           case MicrobatchMat(eventTime, gran) =>
             s""","incremental_strategy":"microbatch","event_time":${jstr(eventTime)},"batch_size":${jstr(gran)}"""
           case _ => ""
-        }))
+        }) +
+        // contract identity is manifest-visible: editing a contract trips
+        // state:modified selection, the dbt CI behavior for public models
+        m.contract.fold("") { c =>
+          s""","contract":{"enforced":true,"columns":[${
+            c.columns.map { case (n, t) => s"[${jstr(n)},${jstr(t)}]" }.mkString(",")
+          }],"not_null":[${c.notNull.map(jstr).mkString(",")}],"checks":{${
+            c.checks.toSeq.sortBy(_._1)
+              .map { case (n, e) => s"${jstr(n)}:${jstr(e)}" }.mkString(",")
+          }}}"""
+        })
       s"${jstr(nodeId(m.name))}:{" +
         s""""name":${jstr(m.name)},"resource_type":"model",""" +
         s""""description":${jstr(m.description)},""" +
@@ -577,6 +605,42 @@ final class Pipeline(models: Seq[Model], exposures: Seq[Exposure] = Nil,
       run(spark, sources, target.warehousePath, hooks, fullRefresh, target.threads)
     }
 
+  /** `dbt clone` (dbt 1.6): materialize the selected models (default:
+    * every table-family model) into `targetDir` as CLONES of their
+    * artifacts under `fromDir` — NO model compute runs, which is the whole
+    * point: a dev/CI environment springs from prod state in O(metadata).
+    * Storage goes through [[graft.sources.TableFormat.cloneTable]] — on
+    * [[graft.sources.TxLogFormat]] a zero-copy hard-link clone (dbt on a
+    * zero-copy-clone warehouse), on the parquet-dir format a file copy
+    * (dbt's fallback for adapters without native clone). View/ephemeral
+    * models have no artifact and are skipped, like dbt (views re-derive);
+    * a missing source artifact fails loudly, like `--defer`'s missing
+    * state. Returns the cloned models' frames read from the TARGET. */
+  def cloneFrom(spark: SparkSession, fromDir: String, targetDir: String,
+                select: Seq[String] = Nil): Map[String, DataFrame] = {
+    val wanted = if (select.isEmpty) models.map(_.name) else select
+    wanted.flatMap { n =>
+      val m = models.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"clone: unknown model '$n'"))
+      m.materialization match {
+        case ViewMat | EphemeralMat => None
+        case _ =>
+          val src = s"$fromDir/$n"
+          require(new java.io.File(src).exists(),
+            s"clone: no artifact for model '$n' at $src — " +
+              "build the source target first")
+          format.cloneTable(spark, src, s"$targetDir/$n")
+          Some(n -> format.read(spark, s"$targetDir/$n"))
+      }
+    }.toMap
+  }
+
+  /** [[cloneFrom]] across [[Target]]s — `dbt clone --state prod` while
+    * dev is the active target. */
+  def cloneTarget(spark: SparkSession, from: Target, to: Target,
+                  select: Seq[String] = Nil): Map[String, DataFrame] =
+    cloneFrom(spark, from.warehousePath, to.warehousePath, select)
+
   /** dbt slim-CI across targets: `--defer --state <prod>` where both sides
     * are [[Target]]s — build `select` into `target`, resolving unselected
     * parents from the DEFER target's warehouse (reference
@@ -659,9 +723,35 @@ final class Pipeline(models: Seq[Model], exposures: Seq[Exposure] = Nil,
     * All table-family materializations route through the [[
     * graft.sources.TableFormat]] seam, so swapping parquet-dir storage for
     * Delta/Iceberg is a constructor argument, not an operator rewrite. */
-  private def materializeModel(spark: SparkSession, m: Model, df: DataFrame,
+  /** Contract gate ([[Contract]]): schema freeze checked driver-side
+    * before anything runs; row constraints fuse into the frame so they
+    * enforce inside the materializing job (for a ViewMat, inside the first
+    * downstream job that computes the view — dbt's view contracts behave
+    * the same way: the check lives in the object, not a separate scan). */
+  private def enforceContract(m: Model, df: DataFrame): DataFrame =
+    m.contract.fold(df) { c =>
+      val actual = df.schema.fields.map(f => f.name -> f.dataType.simpleString)
+      val actualMap = actual.toMap
+      val declared = c.columns.toMap
+      val missing = c.columns.collect {
+        case (n, _) if !actualMap.contains(n) => n }
+      val extra = actual.collect { case (n, _) if !declared.contains(n) => n }
+      val retyped = c.columns.collect {
+        case (n, t) if actualMap.get(n).exists(_ != t) =>
+          s"$n: declared $t, got ${actualMap(n)}" }
+      require(missing.isEmpty && extra.isEmpty && retyped.isEmpty,
+        s"model '${m.name}' violates its contract: " +
+          (missing.map(n => s"missing column $n") ++
+           extra.map(n => s"undeclared column $n") ++ retyped).mkString("; "))
+      val checks = c.notNull.map(n => s"${n}_not_null" -> s"$n IS NOT NULL") ++
+        c.checks.toSeq.sortBy(_._1)
+      graft.util.RowGuard(df, checks, s"in model '${m.name}' contract")
+    }
+
+  private def materializeModel(spark: SparkSession, m: Model, df0: DataFrame,
                                targetDir: String,
-                               fullRefresh: Boolean): DataFrame =
+                               fullRefresh: Boolean): DataFrame = {
+    val df = enforceContract(m, df0)
     m.materialization match {
       case ViewMat =>
         df.createOrReplaceTempView(m.name); df
@@ -715,4 +805,5 @@ final class Pipeline(models: Seq[Model], exposures: Seq[Exposure] = Nil,
         format.replace(spark, merged, path)
         format.read(spark, path)
     }
+  }
 }

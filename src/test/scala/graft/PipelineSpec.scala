@@ -671,6 +671,90 @@ class PipelineSpec extends SparkSpec {
     assert(out2("fct_b").collect()(0).getLong(0) == orders.count())
   }
 
+  test("model contracts: schema freeze + row constraints gate like build " +
+       "errors; contract edits trip state:modified") {
+    val orders = Tables.orders(spark, sf)
+    val contract = Contract(
+      columns = Seq("id" -> "bigint", "v" -> "double"),
+      notNull = Seq("id"),
+      checks = Map("v_nonneg" -> "v >= 0"))
+    def mk(c: Contract, negate: Boolean = false) = new Pipeline(Seq(
+      Model("api_m", Seq("orders"), TableMat(),
+        in => in("orders").select(col("o_orderkey").as("id"),
+          (if (negate) -col("o_totalprice") else col("o_totalprice")).as("v")),
+        contract = Some(c)),
+      Model("fct_c", Seq("api_m"), TableMat(),
+        in => in("api_m").agg(count(lit(1)).as("n")))))
+    // conforming model materializes normally
+    val dir = tmp()
+    val out = mk(contract).run(spark, Map("orders" -> orders), dir)
+    assert(out("api_m").count() == orders.count())
+    // retyped column refuses driver-side, before any job runs
+    val retyped = contract.copy(columns = Seq("id" -> "int", "v" -> "double"))
+    val e1 = intercept[IllegalArgumentException] {
+      mk(retyped).run(spark, Map("orders" -> orders), tmp())
+    }
+    assert(e1.getMessage.contains("declared int"), e1.getMessage)
+    // undeclared column refuses too (a contract is a freeze, not a minimum)
+    val narrower = contract.copy(columns = Seq("id" -> "bigint"))
+    assert(intercept[IllegalArgumentException] {
+      mk(narrower).run(spark, Map("orders" -> orders), tmp())
+    }.getMessage.contains("undeclared column v"))
+    // row-constraint violation fails INSIDE the materializing job and, in
+    // build, gates the downstream closure exactly like a build error
+    val (outB, stB) = mk(contract, negate = true)
+      .build(spark, Map("orders" -> orders), tmp())
+    assert(stB("api_m").startsWith("error:"), stB.toString)
+    assert(stB("fct_c") == "skipped" && !outB.contains("fct_c"))
+    // contract identity is manifest-visible: a changed check reselects the
+    // model + downstream under state:modified
+    val p1 = mk(contract)
+    val res = p1.run(spark, Map("orders" -> orders), tmp())
+    val manifest = p1.manifestJson(res)
+    assert(manifest.contains("\"contract\""))
+    val p2 = mk(contract.copy(checks = Map("v_nonneg" -> "v >= 1")))
+    assert(p2.selectModifiedPlus(manifest, res) == Seq("api_m", "fct_c"))
+  }
+
+  test("dbt clone: table models spring from source state without " +
+       "recompute; zero-copy on the txlog format") {
+    val orders = Tables.orders(spark, sf)
+    var builds = 0
+    def mk(fmt: graft.sources.TableFormat) = new Pipeline(Seq(
+      Model("cl_stg", Seq("orders"), TableMat(),
+        in => { builds += 1; in("orders").select("o_orderkey", "o_totalprice") }),
+      Model("cl_view", Seq("cl_stg"), ViewMat, in => in("cl_stg"))),
+      format = fmt)
+    for (fmt <- Seq[graft.sources.TableFormat](
+        graft.sources.TxLogFormat, graft.sources.ParquetDirFormat)) {
+      val prod = tmp(); val dev = tmp()
+      val p = mk(fmt)
+      p.run(spark, Map("orders" -> orders), prod)
+      val before = builds
+      val cloned = p.cloneFrom(spark, prod, dev)
+      assert(builds == before, "clone must not recompute models")
+      assert(cloned.keySet == Set("cl_stg"), "views have no artifact to clone")
+      assert(rows(cloned("cl_stg").orderBy("o_orderkey")) ==
+        rows(orders.select("o_orderkey", "o_totalprice").orderBy("o_orderkey")))
+      if (fmt == graft.sources.TxLogFormat) {
+        // zero-copy: cloned data files share inodes with the source's
+        import java.nio.file.{Files, Paths}
+        import scala.jdk.CollectionConverters._
+        val w = Files.walk(Paths.get(s"$dev/cl_stg"))
+        val rel = try w.iterator.asScala
+          .find(f => Files.isRegularFile(f) && f.toString.endsWith(".parquet"))
+          .map(Paths.get(s"$dev/cl_stg").relativize(_).toString).get
+        finally w.close()
+        assert(Files.isSameFile(Paths.get(s"$dev/cl_stg", rel),
+          Paths.get(s"$prod/cl_stg", rel)), "txlog clone must hard-link")
+      }
+      // a model with no source artifact refuses loudly
+      assert(intercept[IllegalArgumentException] {
+        p.cloneFrom(spark, tmp(), tmp())
+      }.getMessage.contains("no artifact"))
+    }
+  }
+
   test("salted join returns exactly the plain join's rows") {
     val orders = Tables.orders(spark, sf)
     val customer = Tables.customer(spark, sf)
