@@ -423,18 +423,39 @@ object StreamOps {
       })
   }
 
-  /** Runs [[sessionizeStream]] over the parquet source to completion.
-    * The 10-minute watermark feeds the event-time timeouts; AvailableNow
-    * runs a final no-data micro-batch that fires timeouts for every session
-    * ended before (max event time - delay - gap). */
+  /** Runs [[sessionizeStream]] over the parquet source to completion,
+    * flushed to EXACT batch parity. The 10-minute watermark feeds the
+    * event-time timeouts; AvailableNow runs a final no-data micro-batch that
+    * fires timeouts for every session ended before (max event time - delay
+    * - gap) — which alone strands sessions ending in the stream's last
+    * delay+gap window in state, unemitted. A backfill wants ALL of them, so
+    * a flush SENTINEL rides in: a one-row epilogue source (user_id -1,
+    * filtered from the output) stamped past horizon+delay+gap pushes the
+    * final watermark beyond every real session's timeout. This is the
+    * standard end-of-stream control-message pattern (a Kafka pipeline emits
+    * the same marker at topic drain); the horizon is one max() aggregate
+    * over the source — metadata-cheap at any scale. In continuous operation
+    * the sentinel is simply never written and sessions emit as watermarks
+    * pass them, so the operator itself is deployment-unchanged. */
   def runSessionize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     implicit val s: SparkSession = spark
     val name = s"stream_sessions_${System.identityHashCode(spark)}"
-    val evs = eventsStream(spark, dir)
-      .withWatermark("event_time", "10 minutes")
+    val real = eventsStream(spark, dir)
       .select(col("event_id"), col("user_id"), col("ts_s"), col("value"),
               col("event_time"))
+    val horizon = graft.sources.Tables.events(spark, dir)
+      .agg(max(col("ts_s"))).head.getLong(0)
+    // sentinel ts: watermark after it = ts - 600 must exceed every timeout
+    // (session_end + 1800 <= horizon + 1800) -> ts > horizon + 2400
+    val sentTs = horizon + 600 + 1800 + 60
+    val sentDir = java.nio.file.Files.createTempDirectory("graft_sess_flush_")
+    Seq((-1L, -1L, sentTs, 0.0)).toDF("event_id", "user_id", "ts_s", "value")
+      .withColumn("event_time", timestamp_seconds(col("ts_s")))
+      .coalesce(1).write.mode("overwrite").parquet(sentDir.toString)
+    val sentinel = spark.readStream.schema(real.schema).parquet(sentDir.toString)
+    val evs = real.unionByName(sentinel)
+      .withWatermark("event_time", "10 minutes")
       .na.drop() // Ev has primitive fields; a null row would fail encoding
       .as[Ev]
     val q = sessionizeStream(evs).writeStream
@@ -443,6 +464,6 @@ object StreamOps {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name).orderBy("user_id", "sess_seq")
+    spark.table(name).filter(col("user_id") >= 0).orderBy("user_id", "sess_seq")
   }
 }

@@ -121,19 +121,13 @@ class StreamingSpec extends SparkSpec {
     assert(out.count(_.isNullAt(2)) == 2, "malformed rows should be null")
   }
 
-  test("stream sessionize emits gap-closed sessions plus watermark-timed-out tails") {
+  test("stream sessionize + flush sentinel = batch sessionize exactly") {
     val events = Tables.events(spark, sf)
-    val batch = Sessions.sessionize(events)
-    val maxTs = events.agg(max("ts_s")).head.getLong(0)
-    // gap-closed sessions always emit; a user's open tail session emits once
-    // the watermark (maxTs - 10min delay) passes session_end + gap
-    val lastSeq = batch.groupBy("user_id").agg(max("sess_seq").as("last"))
-    val expected = batch.join(lastSeq, Seq("user_id"))
-      .filter(col("sess_seq") =!= col("last") ||
-              col("session_end") + 1800 < maxTs - 600)
-      .drop("last").collect().map(_.toSeq).toSet
+    // the epilogue sentinel pushes the final watermark past every open
+    // session's timeout, so the backfill emits the COMPLETE session set
+    val expected = Sessions.sessionize(events).collect().map(_.toSeq).toSet
     val stream = StreamOps.runSessionize(spark, sf).collect().map(_.toSeq).toSet
     assert(stream == expected,
-      s"stream ${stream.size} vs expected ${expected.size} sessions")
+      s"stream ${stream.size} vs batch ${expected.size} sessions")
   }
 }
