@@ -250,6 +250,9 @@ object OracleSql {
     "dedup_exact" ->
       """WITH h AS (SELECT doc_id, md5(lower(trim(text))) AS digest FROM documents) SELECT digest, MIN(doc_id) AS survivor_id, COUNT(*) AS dup_count FROM h GROUP BY digest ORDER BY digest""",
 
+    "dedup_incremental" ->
+      """WITH corpus AS (SELECT md5(lower(trim(text))) AS digest FROM documents WHERE doc_id % 3 <> 0), batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0 UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 5 = 0), b AS (SELECT md5(lower(trim(text))) AS digest, MIN(doc_id) AS survivor_id, COUNT(*) AS batch_count FROM batch GROUP BY digest) SELECT digest, survivor_id, batch_count FROM b WHERE digest NOT IN (SELECT digest FROM corpus) ORDER BY digest""",
+
     "dedup_jaccard" ->
       s"""WITH d AS (SELECT doc_id, lang, n_chars, $docWords AS w FROM documents) SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, ROUND(CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) / len(list_distinct(list_concat(a.w, b.w))) * 10000, 0)/10000.0 AS jaccard FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id AND (a.n_chars // 100) = (b.n_chars // 100) WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) / len(list_distinct(list_concat(a.w, b.w))) >= 0.5 ORDER BY doc_a, doc_b""",
 

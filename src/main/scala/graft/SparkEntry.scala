@@ -244,6 +244,19 @@ object SparkEntry {
     "funnel"          -> ((s, d) => Sessions.funnel(Tables.events(s, d))),
     // D. LLM training-data pipeline
     "dedup_exact"     -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
+    // growing-corpus ingest: the new batch mixes genuinely novel docs
+    // (doc_id%3==0, held out of the corpus) with a re-crawl of existing
+    // corpus content under fresh ids — the re-crawled rows must all die
+    "dedup_incremental" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+      val batch = docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("text"))
+        .unionByName(corpus.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      Dedup.incrementalExact(corpus, batch)
+    }),
     "dedup_jaccard"   -> ((s, d) => Dedup.jaccardPairs(Tables.documents(s, d))),
     "dedup_clusters"  -> ((s, d) => sharedClusters(s, d)),
     "dedup_clusters_minhash" -> ((s, d) => Dedup.clustersApprox(
@@ -347,6 +360,7 @@ object SparkEntry {
     // completion share (or restate) the batch oracle.
     OracleSql.all +
       ("stream_tumbling" -> OracleSql.all("tumbling_window")) +
+      ("stream_sessionize" -> OracleSql.all("sessionize")) +
       ("stream_session_window" -> OracleSql.all("session_window_agg")) +
       ("stream_dedup" ->
         "SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY event_type ORDER BY event_type")

@@ -26,6 +26,59 @@ object Dedup {
       .agg(min(col("doc_id")).as("survivor_id"), count(lit(1)).as("dup_count"))
       .orderBy("digest")
 
+  /** Incremental exact dedup — the production shape for a GROWING corpus:
+    * each new BATCH dedups against everything already ingested, returning
+    * only the batch's genuinely-new content (within-batch dups collapse to
+    * min doc_id first, like [[exact]]). EXACT — equal row-for-row to the
+    * naive `batch ANTI JOIN corpus` — but the corpus NEVER SHUFFLES:
+    *
+    *  1. the corpus side collapses to a Bloom filter over its content
+    *     digests (one map-side-combined aggregate → KBs of bits,
+    *     broadcast). Batch digests that miss the filter are DEFINITELY
+    *     new (no false negatives) and skip membership checking entirely —
+    *     on a mostly-novel batch that is almost every row;
+    *  2. the maybe-dup slice (true dups + ~fpp false positives) is small,
+    *     so it BROADCASTS to a corpus semi-join probe: corpus rows stream
+    *     past the broadcast map-side, and only matching digests (a
+    *     dup-sized set) come back to anti-join the candidates exactly.
+    *
+    * Corpus cost per batch = two scans (bits + probe), zero corpus-sized
+    * exchanges at any corpus:batch ratio. At 100 TB both amortize further:
+    * Bloom bits are OR-mergeable (keep yesterday's bits, fold in the new
+    * batch's — [[graft.functions.BloomAggFunctions.bloomBits]] is an
+    * aggregate, so incremental maintenance is one small agg per ingest),
+    * and a persisted digest column turns the probe scan into a one-column
+    * read. fpp only costs extra candidate rows, never correctness. */
+  def incrementalExact(corpus: DataFrame, batch: DataFrame,
+                       numBits: Int = 1 << 22): DataFrame = {
+    import graft.functions.BloomAggFunctions
+    def dig(c: org.apache.spark.sql.Column) = md5(lower(trim(c)))
+    val corpusDigests = corpus.select(dig(col("text")).as("digest"))
+    val batchByDigest = batch
+      .select(col("doc_id"), dig(col("text")).as("digest"))
+      .groupBy("digest")
+      .agg(min(col("doc_id")).as("survivor_id"),
+           count(lit(1)).as("batch_count"))
+    val bits = corpusDigests.agg(BloomAggFunctions.bloomBits(
+      xxhash64(col("digest")), numBits, 5).as("__bits"))
+    val marked = batchByDigest.crossJoin(broadcast(bits))
+      .withColumn("__maybe", BloomAggFunctions.mightContain(
+        col("__bits"), xxhash64(col("digest")), numBits, 5))
+      .drop("__bits")
+      // the flag forks the plan below; without a barrier both forks
+      // re-run the batch agg AND the corpus bits agg
+      .localCheckpoint(false)
+    val definiteNew = marked.filter(!col("__maybe")).drop("__maybe")
+    val candidates = marked.filter(col("__maybe")).drop("__maybe")
+    // dup-sized digest set: corpus probes the broadcast candidates
+    val dupDigests = corpusDigests
+      .join(broadcast(candidates.select("digest")), Seq("digest"), "left_semi")
+      .distinct()
+    val confirmedNew = candidates
+      .join(broadcast(dupDigests), Seq("digest"), "left_anti")
+    definiteNew.unionByName(confirmedNew).orderBy("digest")
+  }
+
   /** Blocked pair enumeration + set-jaccard verify, shared by the exact
     * near-dup operators. The block self-join runs on (doc_id, lang, band)
     * rows ONLY — token payloads never ride the pair shuffle; they re-attach

@@ -333,6 +333,32 @@ class ApproxSpec extends SparkSpec {
     // the unambiguous heavy head must survive summarization
     assert(exactTop.subsetOf(approx), s"lost ${exactTop -- approx}")
   }
+  test("incrementalExact equals the naive batch-anti-join-corpus dedup") {
+    val docs = Tables.documents(spark, sf)
+    // novel content + a re-crawl of existing corpus docs under fresh ids
+    val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("text"))
+      .unionByName(corpus.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    val got = Dedup.incrementalExact(corpus, batch)
+      .collect().map(_.toSeq).toSet
+    def dig = md5(lower(trim(col("text"))))
+    val naive = batch.select(col("doc_id"), dig.as("digest"))
+      .groupBy("digest")
+      .agg(min("doc_id").as("survivor_id"), count(lit(1)).as("batch_count"))
+      .join(corpus.select(dig.as("digest")).distinct(), Seq("digest"), "left_anti")
+      .collect().map(_.toSeq).toSet
+    assert(got == naive, s"got ${got.size} vs naive ${naive.size}")
+    assert(got.nonEmpty && got.size < batch.count(),
+      "test data should have both novel and duplicate batch content")
+    // tiny bloom forces heavy false positives: exactness must not depend
+    // on the filter's sizing
+    val tiny = Dedup.incrementalExact(corpus, batch, numBits = 64)
+      .collect().map(_.toSeq).toSet
+    assert(tiny == naive, "fpp must cost rows, never correctness")
+  }
+
   test("corpus_clusters: deterministic, sizes conserve the corpus, " +
        "cells well-formed") {
     val emb = Tables.embeddings(spark, sf)

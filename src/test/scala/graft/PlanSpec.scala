@@ -264,6 +264,20 @@ class PlanSpec extends SparkSpec {
       s"corpus shuffled for the rate join:\n$plan")
   }
 
+  test("incremental dedup never shuffles the corpus (broadcast membership only)") {
+    val docs = Tables.documents(spark, sf)
+    val df = Dedup.incrementalExact(docs.filter(col("doc_id") % 3 =!= 0),
+                                    docs.filter(col("doc_id") % 3 === 0))
+    val plan = explained(df)
+    // membership checking is all broadcast: the bloom bits scalar, the
+    // candidate semi-probe, and the dup-digest anti-join — a shuffled join
+    // would mean corpus-sized rows crossing the wire per batch
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"corpus shuffled for membership join:\n$plan")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"membership joins not broadcast:\n$plan")
+  }
+
   test("txlog reads keep pushdown, pruning, and partition pruning") {
     // the snapshot pins an explicit file list; that must not cost the
     // scan its scale properties
