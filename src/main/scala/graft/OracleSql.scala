@@ -250,6 +250,9 @@ object OracleSql {
     "dedup_exact" ->
       """WITH h AS (SELECT doc_id, md5(lower(trim(text))) AS digest FROM documents) SELECT digest, MIN(doc_id) AS survivor_id, COUNT(*) AS dup_count FROM h GROUP BY digest ORDER BY digest""",
 
+    "metric_query" ->
+      s"""SELECT o_orderpriority, strftime(date_trunc('month', CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS o_orderdate_month, ${cents("o_totalprice")} AS revenue FROM orders WHERE o_orderstatus <> 'F' GROUP BY o_orderpriority, o_orderdate_month ORDER BY o_orderpriority, o_orderdate_month""",
+
     "dedup_incremental" ->
       """WITH corpus AS (SELECT md5(lower(trim(text))) AS digest FROM documents WHERE doc_id % 3 <> 0), batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0 UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 5 = 0), b AS (SELECT md5(lower(trim(text))) AS digest, MIN(doc_id) AS survivor_id, COUNT(*) AS batch_count FROM batch GROUP BY digest) SELECT digest, survivor_id, batch_count FROM b WHERE digest NOT IN (SELECT digest FROM corpus) ORDER BY digest""",
 

@@ -244,6 +244,17 @@ object SparkEntry {
     "funnel"          -> ((s, d) => Sessions.funnel(Tables.events(s, d))),
     // D. LLM training-data pipeline
     "dedup_exact"     -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
+    // semantic layer: the governed revenue metric sliced by priority at
+    // month grain — definition (agg, base filter, legal dims) lives in the
+    // Metric, the query only picks a slicing
+    "metric_query"    -> ((s, d) => graft.pipeline.Metrics.query(
+      Tables.orders(s, d),
+      graft.pipeline.Metric("revenue", "orders",
+        "sum(cast(round(o_totalprice * 100, 0) as bigint)) / cast(100 as double)",
+        dimensions = Seq("o_orderpriority"),
+        timeDimension = Some("o_orderdate"),
+        filter = Some("o_orderstatus <> 'F'")),
+      dims = Seq("o_orderpriority"), grain = Some("month"))),
     // growing-corpus ingest: the new batch mixes genuinely novel docs
     // (doc_id%3==0, held out of the corpus) with a re-crawl of existing
     // corpus content under fresh ids — the re-crawled rows must all die

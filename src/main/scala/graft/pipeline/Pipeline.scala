@@ -151,10 +151,26 @@ object Target {
   */
 final class Pipeline(models: Seq[Model], exposures: Seq[Exposure] = Nil,
                      format: graft.sources.TableFormat =
-                       graft.sources.ParquetDirFormat) {
+                       graft.sources.ParquetDirFormat,
+                     metrics: Seq[Metric] = Nil) {
   require(models.map(_.name).distinct.size == models.size, "duplicate model names")
   exposures.flatMap(_.dependsOn).foreach(d =>
     require(models.exists(_.name == d), s"exposure depends on unknown model '$d'"))
+  require(metrics.map(_.name).distinct.size == metrics.size,
+    "duplicate metric names")
+  metrics.foreach(m => require(models.exists(_.name == m.model),
+    s"metric '${m.name}' is defined on unknown model '${m.model}'"))
+
+  /** Semantic-layer query surface: resolve the metric by name and compile
+    * it over the model's frame from a finished run ([[Metrics.query]]). */
+  def queryMetric(resolved: Map[String, DataFrame], name: String,
+                  dims: Seq[String], grain: Option[String] = None,
+                  where: Option[String] = None): DataFrame = {
+    val m = metrics.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(s"unknown metric '$name' " +
+        s"(have: ${metrics.map(_.name).mkString(", ")})"))
+    Metrics.query(resolved(m.model), m, dims, grain, where)
+  }
 
   /** Topological order with cycle detection (DFS, deterministic by
     * declaration order). */
@@ -264,8 +280,18 @@ final class Pipeline(models: Seq[Model], exposures: Seq[Exposure] = Nil,
         s""""owner":${jstr(e.owner)},"description":${jstr(e.description)},""" +
         s""""depends_on":{"nodes":${e.dependsOn.map(d => jstr(nodeId(d))).mkString("[", ",", "]")}}}"""
     }.mkString(",")
+    val mets = metrics.map { m =>
+      s"${jstr("metric.graft." + m.name)}:{" +
+        s""""name":${jstr(m.name)},"resource_type":"metric",""" +
+        s""""model":${jstr(m.model)},"expression":${jstr(m.agg)},""" +
+        s""""dimensions":${m.dimensions.map(jstr).mkString("[", ",", "]")},""" +
+        s""""time_dimension":${m.timeDimension.fold("null")(jstr)},""" +
+        s""""filter":${m.filter.fold("null")(jstr)},""" +
+        s""""description":${jstr(m.description)}}"""
+    }.mkString(",")
     s"""{"metadata":{"project_name":"graft","schema_version":"graft-manifest-v1"},""" +
-      s""""nodes":{$nodes},"sources":{$sources},"exposures":{$exps},"parent_map":{$parentMap}}"""
+      s""""nodes":{$nodes},"sources":{$sources},"exposures":{$exps},""" +
+      s""""metrics":{$mets},"parent_map":{$parentMap}}"""
   }
 
   /** catalog.json-shaped document: per model, the materialized column

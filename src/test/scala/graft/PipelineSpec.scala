@@ -755,6 +755,58 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("semantic layer: governed slicings only; metric == direct agg; " +
+       "multi-metric rides one pass") {
+    val orders = Tables.orders(spark, sf)
+    val revenue = Metric("revenue", "stg_m",
+      "sum(cast(round(o_totalprice * 100, 0) as bigint)) / cast(100 as double)",
+      dimensions = Seq("o_orderpriority"),
+      timeDimension = Some("o_orderdate"),
+      filter = Some("o_orderstatus <> 'F'"))
+    val nOrders = Metric("n_orders", "stg_m", "count(*)",
+      dimensions = Seq("o_orderpriority"))
+    val dag = new Pipeline(
+      Seq(Model("stg_m", Seq("orders"), ViewMat, in => in("orders"))),
+      metrics = Seq(revenue, nOrders))
+    val resolved = dag.run(spark, Map("orders" -> orders), tmp())
+    // the compiled metric equals the hand-written aggregate
+    val got = dag.queryMetric(resolved, "revenue", Seq("o_orderpriority"))
+      .collect().map(_.toSeq).toSet
+    val direct = orders.filter(col("o_orderstatus") =!= "F")
+      .groupBy("o_orderpriority")
+      .agg((sum(round(col("o_totalprice") * 100, 0).cast("bigint")) / 100.0)
+        .as("revenue"))
+      .collect().map(_.toSeq).toSet
+    assert(got == direct && got.nonEmpty)
+    // governance: undeclared dims/filters and grainless rollups refuse
+    assert(intercept[IllegalArgumentException] {
+      dag.queryMetric(resolved, "revenue", Seq("o_custkey"))
+    }.getMessage.contains("undeclared"))
+    assert(intercept[IllegalArgumentException] {
+      dag.queryMetric(resolved, "revenue", Nil, where = Some("o_custkey > 5"))
+    }.getMessage.contains("undeclared"))
+    assert(intercept[IllegalArgumentException] {
+      dag.queryMetric(resolved, "n_orders", Nil, grain = Some("month"))
+    }.getMessage.contains("time dimension"))
+    assert(intercept[IllegalArgumentException] {
+      new Pipeline(Seq(Model("m1", Seq("orders"), ViewMat, in => in("orders"))),
+        metrics = Seq(revenue))
+    }.getMessage.contains("unknown model"))
+    // multi-metric merge: per-metric filters become FILTER(WHERE) — one
+    // scan, values equal to the separate queries
+    val both = Metrics.queryAll(resolved("stg_m"), Seq(revenue, nOrders),
+      Seq("o_orderpriority")).collect()
+    val revByPrio = got.map(r => r(0) -> r(1)).toMap
+    val cntByPrio = Metrics.query(resolved("stg_m"), nOrders,
+        Seq("o_orderpriority")).collect().map(r => r.get(0) -> r.get(1)).toMap
+    both.foreach { r =>
+      assert(revByPrio(r.get(0)) == r.get(1), s"revenue diverged at ${r.get(0)}")
+      assert(cntByPrio(r.get(0)) == r.get(2), s"count diverged at ${r.get(0)}")
+    }
+    // manifest carries the metric definitions
+    assert(dag.manifestJson(resolved).contains("\"metric.graft.revenue\""))
+  }
+
   test("salted join returns exactly the plain join's rows") {
     val orders = Tables.orders(spark, sf)
     val customer = Tables.customer(spark, sf)
