@@ -268,6 +268,19 @@ object SparkEntry {
           .select((col("doc_id") + 10000).as("doc_id"), col("text")))
       Dedup.incrementalExact(corpus, batch)
     }),
+    // the near-dup twin: batch bands probe the corpus's persisted LSH
+    // index; rows-only (spec pins recall/precision vs exact cross pairs)
+    "dedup_incremental_minhash" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+      val batch = docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+        .unionByName(corpus.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text"),
+            col("lang"), col("n_chars")))
+      Dedup.incrementalMinhash(corpus, batch)
+    }),
     "dedup_jaccard"   -> ((s, d) => Dedup.jaccardPairs(Tables.documents(s, d))),
     "dedup_clusters"  -> ((s, d) => sharedClusters(s, d)),
     "dedup_clusters_minhash" -> ((s, d) => Dedup.clustersApprox(

@@ -79,6 +79,57 @@ object Dedup {
     definiteNew.unionByName(confirmedNew).orderBy("digest")
   }
 
+  /** Incremental NEAR-dup detection for a growing corpus: verified
+    * (batch_doc, corpus_doc, jaccard) pairs between a new batch and the
+    * already-ingested corpus. The corpus side is its [[bandedSignatures]]
+    * LSH INDEX — pass the persisted one via `corpusIndex` and ingesting a
+    * batch never re-reads corpus text: the batch's own bands (computed
+    * fresh, batch-sized) equi-join the index on (band_idx, band_hash),
+    * the same exactly-once first-equal-band emission + signature-agreement
+    * prefilter as [[minhashLsh]] bound the candidate set to
+    * O(near-dups), and only candidate pairs load payloads for the exact
+    * verify. Candidate volume scales with the batch's dup density, never
+    * with corpus size — the asymmetric version of the 100 TB LSH shape.
+    * Batch docs absent from the output are genuinely novel (up to LSH
+    * recall; precision is exact by construction). */
+  def incrementalMinhash(corpus: DataFrame, batch: DataFrame,
+                         numHashes: Int = 64, bands: Int = 8,
+                         threshold: Double = 0.8,
+                         corpusIndex: Option[DataFrame] = None,
+                         payloadJoin: PayloadJoin = PayloadJoin.Auto): DataFrame = {
+    val r = numHashes / bands
+    val idx = corpusIndex.getOrElse(bandedSignatures(corpus, numHashes, bands))
+      .select(col("doc_id").as("doc_c"), col("sig").as("sig_c"),
+        col("band_idx"), col("band_hash"))
+    // explicit repartition pins the emit stage's parallelism (AQE would
+    // coalesce the KB-scale band exchange under the pair-amplifying join)
+    val bb = bandedSignatures(batch, numHashes, bands)
+      .select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
+        col("band_idx"), col("band_hash"))
+      .repartition(col("band_idx"), col("band_hash"))
+    val minAgree = math.max(0.0, (threshold - 2.5 * math.sqrt(
+      threshold * (1 - threshold) / numHashes)) * numHashes).floor.toInt
+    val cand = bb.hint("shuffle_hash").join(idx,
+        Seq("band_idx", "band_hash"))
+      .filter(graft.functions.VectorFunctions.firstEqualBand(
+        col("sig_b"), col("sig_c"), r) === col("band_idx"))
+      .filter(graft.functions.VectorFunctions.equalPositions(
+        col("sig_b"), col("sig_c")) >= minAgree)
+      .select(col("doc_b"), col("doc_c"))
+      // id-pair stage barrier before the payload verify (same finding as
+      // minhashLsh: fused, the verify rides the pair-amplifying iterator)
+      .repartition(col("doc_b"))
+    val bw = batch.select(col("doc_id").as("doc_b"), words.as("wb"))
+    val cw = corpus.select(col("doc_id").as("doc_c"), words.as("wc"))
+    cand
+      .join(payloadJoin.hint(bw), "doc_b")
+      .join(payloadJoin.hint(cw), "doc_c")
+      .withColumn("jaccard", jaccard(col("wb"), col("wc")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_b"), col("doc_c"), round4(col("jaccard")).as("jaccard"))
+    // no presentation sort: pair-set output (see minhashLsh)
+  }
+
   /** Blocked pair enumeration + set-jaccard verify, shared by the exact
     * near-dup operators. The block self-join runs on (doc_id, lang, band)
     * rows ONLY — token payloads never ride the pair shuffle; they re-attach
@@ -137,18 +188,32 @@ object Dedup {
     * background pair at J~0.55 collides in under 1% of bands. That keeps
     * candidates ≈ O(near-dups) — the 100 TB property; r (rows per band) is
     * the knob that holds it on similarity-dense corpora. */
+  /** (doc_id, sig, band_idx, band_hash) — the LSH band frame of a corpus:
+    * one-pass native MinHash signature aggregate (map-side partial agg,
+    * one Array[Long] buffer per doc) exploded into `bands` bucket rows.
+    * This IS the persistable near-dup INDEX of a growing corpus: write it
+    * once per ingest generation and every later batch joins against it
+    * ([[incrementalMinhash]]) without touching corpus text again. */
+  def bandedSignatures(documents: DataFrame, numHashes: Int = 64,
+                       bands: Int = 8): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be divisible by bands ($bands)")
+    val r = numHashes / bands
+    val toks = documents.select(col("doc_id"), explode(words).as("t"))
+    toks.groupBy("doc_id")
+      .agg(graft.functions.MinHashAgg.minhash(col("t"), numHashes).as("sig"))
+      .select(col("doc_id"), col("sig"),
+        posexplode(array((0 until bands).map(bi =>
+          xxhash64((bi * r until (bi + 1) * r).map(j => col("sig")(j)): _*)): _*))
+          .as(Seq("band_idx", "band_hash")))
+  }
+
   def minhashLsh(documents: DataFrame, numHashes: Int = 64, bands: Int = 8,
                  threshold: Double = 0.8,
                  payloadJoin: PayloadJoin = PayloadJoin.Auto): DataFrame = {
     require(numHashes % bands == 0,
       s"numHashes ($numHashes) must be divisible by bands ($bands)")
     val r = numHashes / bands
-    // Signature via the one-pass native aggregate (explode + single
-    // MinHashSignature buffer, map-side partial aggregation; the shuffle
-    // key is doc_id and the buffer one Array[Long]).
-    val toks = documents.select(col("doc_id"), explode(words).as("t"))
-    val sigs = toks.groupBy("doc_id")
-      .agg(graft.functions.MinHashAgg.minhash(col("t"), numHashes).as("sig"))
     // Bands carry (doc_id, band, sig) — token arrays NEVER ride the pair
     // shuffle; they re-attach only for the prefiltered candidates. The
     // signature (numHashes longs per doc-band row) is carried deliberately:
@@ -166,10 +231,7 @@ object Dedup {
     // serially (measured 2x on the sf0.1 corpus). A user-specified
     // repartition is never coalesced, and it co-partitions the equi-join
     // key as a bonus.
-    val banded = sigs.select(col("doc_id"), col("sig"),
-      posexplode(array((0 until bands).map(bi =>
-        xxhash64((bi * r until (bi + 1) * r).map(j => col("sig")(j)): _*)): _*))
-        .as(Seq("band_idx", "band_hash")))
+    val banded = bandedSignatures(documents, numHashes, bands)
       .repartition(col("band_idx"), col("band_hash"))
     // Prefilter: with k hashes the agreement fraction estimates J with sd
     // sqrt(J(1-J)/k) (~0.05 at k=64, J=0.8); 2.5 sd of slack keeps the miss

@@ -359,6 +359,41 @@ class ApproxSpec extends SparkSpec {
     assert(tiny == naive, "fpp must cost rows, never correctness")
   }
 
+  test("incrementalMinhash: exact copies always caught, precision perfect, " +
+       "recall vs exact cross pairs, index reuse is identical") {
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+    val recrawl = corpus.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("text")).unionByName(recrawl)
+    val got = Dedup.incrementalMinhash(corpus, batch)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // every re-crawled exact copy collides in band 0 with agreement 64/64 —
+    // detection is deterministic, not probabilistic, at J=1
+    val recrawlIds = recrawl.select("doc_id").collect().map(_.getLong(0)).toSet
+    val caught = got.filter(p => recrawlIds(p._1) && p._1 - 10000 == p._2)
+    assert(caught.size == recrawlIds.size,
+      s"missed exact copies: ${recrawlIds -- caught.map(_._1).toSet}")
+    // precision exact by construction; recall vs the unblocked cross truth
+    def w = graft.util.TextNorm.distinctWords(col("text"))
+    val exact = batch.select(col("doc_id").as("doc_b"), w.as("wb"))
+      .crossJoin(corpus.select(col("doc_id").as("doc_c"), w.as("wc")))
+      .withColumn("j", graft.functions.VectorFunctions.jaccard(col("wb"), col("wc")))
+      .filter(col("j") >= 0.8).select("doc_b", "doc_c")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotPairs = got.map(p => (p._1, p._2)).toSet
+    assert(gotPairs.subsetOf(exact), s"false positives: ${gotPairs -- exact}")
+    assert(exact.isEmpty ||
+      gotPairs.size.toDouble / exact.size >= 0.7,
+      s"recall ${gotPairs.size.toDouble / exact.size}")
+    // the persisted-index path is the same computation
+    val viaIndex = Dedup.incrementalMinhash(corpus, batch,
+        corpusIndex = Some(Dedup.bandedSignatures(corpus)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaIndex == got.toSet, "index reuse diverged from recompute")
+  }
+
   test("corpus_clusters: deterministic, sizes conserve the corpus, " +
        "cells well-formed") {
     val emb = Tables.embeddings(spark, sf)
