@@ -245,8 +245,13 @@ class FormatSpec extends SparkSpec {
       assert(sc == model.filter(_._1 < 25).sorted, s"scan diverged after $op")
     }
     check("write")
+    // a standing constraint every generator output satisfies: enforcement
+    // must stay invisible through any op mix (and survive vacuum folds)
+    val consV = TxLogFormat.addConstraint(spark, t, "v_bounded",
+      "v >= 0 AND v < 1000")
+    record() // the declaration is a version too — restore/clone may pick it
     (1 to 16).foreach { i =>
-      rnd.nextInt(7) match {
+      rnd.nextInt(8) match {
         case 0 => // overwrite one partition
           val p = parts(rnd.nextInt(parts.size))
           val repl = fresh(8).map { case (id, _, v) => (id, p, v) }
@@ -280,8 +285,29 @@ class FormatSpec extends SparkSpec {
           TxLogFormat.restore(t, rv)
           model = history(rv)
           record(); check(s"$i:restore($rv)")
+        case 7 => // clone at a retained version; clone content == history
+          val vs = TxLogFormat.versions(t)
+          val rv = vs(rnd.nextInt(vs.size))
+          val c = tmp()
+          TxLogFormat.cloneTable(t, c, rv)
+          val got = TxLogFormat.read(spark, c).select("id", "part", "v")
+            .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+            .toSeq.sorted
+          assert(got == history(rv).sorted, s"$i:clone($rv) diverged")
+          // constraint state is versioned too: a clone of a pre-declaration
+          // snapshot must NOT carry it, any later one must
+          assert(TxLogFormat.constraints(c).contains("v_bounded") == (rv >= consV),
+            s"$i:clone($rv) constraint state wrong")
+          check(s"$i:clone($rv) [source]") // source must be untouched
       }
     }
+    // the standing constraint survived everything — and still enforces
+    assert(TxLogFormat.constraints(t).keySet == Set("v_bounded"))
+    intercept[Exception] {
+      TxLogFormat.appendBatch(df(Seq((1L, "alpha", -5L))), t, "prop", 999L,
+        Some("part"))
+    }
+    check("post-fuzz constraint refusal")
   }
 
   test("schema evolution: appended columns null-fill old files; " +
