@@ -658,6 +658,23 @@ object Freshness {
           .when(ageSeconds > warnH * 3600, "warn").otherwise("ok").as("status"))
       .orderBy("event_type")
   }
+
+  /** dbt 1.7 METADATA-based source freshness: no `loaded_at_field`, no
+    * scan — on a [[graft.sources.TxLogFormat]] table the latest commit is
+    * the load event, so freshness is one namespace stat at any table size
+    * (the warehouse-side analog of dbt's information_schema last_modified
+    * path). Returns (loaded_at_epoch, age_hours, status); thresholds
+    * compare exact seconds like [[sourceFreshness]]. */
+  def tableFreshness(path: String,
+                     anchorEpoch: Long,
+                     warnH: Long = 24, errorH: Long = 72): (Long, Long, String) = {
+    val loaded = graft.sources.TxLogFormat.lastCommitEpoch(path)
+    val age = anchorEpoch - loaded
+    val status =
+      if (age > errorH * 3600) "error"
+      else if (age > warnH * 3600) "warn" else "ok"
+    (loaded, age / 3600, status)
+  }
 }
 
 /** As-of join: for each purchase event, the most recent signup at-or-before

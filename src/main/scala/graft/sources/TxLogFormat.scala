@@ -1081,6 +1081,17 @@ object TxLogFormat extends TableFormat {
       extra = foldConstraints(path, upTo).map { case (n, e) => s"c $n\t$e" })
   }
 
+  /** Epoch-second mtime of the latest commit — the table's "last loaded
+    * at" for metadata-based source freshness (dbt 1.7): on a lake table
+    * the commit IS the load event, so freshness costs one namespace stat,
+    * never a data scan, at any table size. */
+  def lastCommitEpoch(path: String): Long = {
+    val vs = versions(path)
+    require(vs.nonEmpty, s"txlog: no committed version at $path")
+    Files.getLastModifiedTime(commitFile(path, vs.last))
+      .toInstant.getEpochSecond
+  }
+
   /** Commit history: (version, adds, removes) per commit. */
   def history(path: String): Seq[(Long, Int, Int)] =
     versions(path).map { v =>

@@ -709,6 +709,23 @@ class FormatSpec extends SparkSpec {
     }
   }
 
+  test("metadata freshness: last commit is the load event, no scan") {
+    val t = tmp()
+    TxLogFormat.write(Tables.orders(spark, sf)
+      .select("o_orderkey", "o_totalprice"), t)
+    val loaded = TxLogFormat.lastCommitEpoch(t)
+    val fresh = graft.operators.Freshness.tableFreshness(t, loaded + 3600)
+    assert(fresh == ((loaded, 1L, "ok")), fresh.toString)
+    assert(graft.operators.Freshness
+      .tableFreshness(t, loaded + 30 * 3600)._3 == "warn")
+    assert(graft.operators.Freshness
+      .tableFreshness(t, loaded + 80 * 3600)._3 == "error")
+    // a new commit refreshes the load time
+    TxLogFormat.appendBatch(Tables.orders(spark, sf)
+      .select("o_orderkey", "o_totalprice").limit(1), t, "fr", 1L)
+    assert(TxLogFormat.lastCommitEpoch(t) >= loaded)
+  }
+
   test("Pipeline drop-in parity: same DAG, same results as ParquetDirFormat") {
     val orders = Tables.orders(spark, sf)
     def mk(fmt: graft.sources.TableFormat) = new Pipeline(Seq(
