@@ -250,6 +250,9 @@ object OracleSql {
     "dedup_exact" ->
       """WITH h AS (SELECT doc_id, md5(lower(trim(text))) AS digest FROM documents) SELECT digest, MIN(doc_id) AS survivor_id, COUNT(*) AS dup_count FROM h GROUP BY digest ORDER BY digest""",
 
+    "stream_dedup_ingest" ->
+      """WITH h AS (SELECT doc_id, md5(lower(trim(text))) AS digest FROM documents) SELECT digest, MIN(doc_id) AS survivor_id, COUNT(*) AS batch_count FROM h GROUP BY digest ORDER BY digest""",
+
     "metric_query" ->
       s"""SELECT o_orderpriority, strftime(date_trunc('month', CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS o_orderdate_month, ${cents("o_totalprice")} AS revenue FROM orders WHERE o_orderstatus <> 'F' GROUP BY o_orderpriority, o_orderdate_month ORDER BY o_orderpriority, o_orderdate_month""",
 

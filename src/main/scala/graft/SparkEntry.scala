@@ -372,6 +372,7 @@ object SparkEntry {
     "stream_session_window" -> ((s, d) => graft.streaming.StreamOps.runSessionWindow(s, d)),
     "stream_observe"    -> ((s, d) => graft.streaming.StreamOps.runObserved(s, d)),
     "stream_txlog_sink" -> ((s, d) => graft.streaming.StreamOps.runTxLogSink(s, d)),
+    "stream_dedup_ingest" -> ((s, d) => graft.streaming.StreamOps.runDedupIngest(s, d)),
     "customer_ltv"      -> ((s, d) => Analytics.customerLtv(Tables.customer(s, d), Tables.orders(s, d))),
   )
 

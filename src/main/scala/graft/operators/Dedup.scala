@@ -50,12 +50,19 @@ object Dedup {
     * and a persisted digest column turns the probe scan into a one-column
     * read. fpp only costs extra candidate rows, never correctness. */
   def incrementalExact(corpus: DataFrame, batch: DataFrame,
-                       numBits: Int = 1 << 22): DataFrame = {
+                       numBits: Int = 1 << 22): DataFrame =
+    incrementalExactDigests(
+      corpus.select(md5(lower(trim(col("text")))).as("digest")), batch, numBits)
+
+  /** [[incrementalExact]] with the corpus side already reduced to its
+    * `digest` column — the production shape: a corpus table that STORES
+    * content digests (e.g. the ingest table [[graft.streaming.StreamOps]]
+    * maintains) turns both corpus passes into one-column scans. */
+  def incrementalExactDigests(corpusDigests: DataFrame, batch: DataFrame,
+                              numBits: Int = 1 << 22): DataFrame = {
     import graft.functions.BloomAggFunctions
-    def dig(c: org.apache.spark.sql.Column) = md5(lower(trim(c)))
-    val corpusDigests = corpus.select(dig(col("text")).as("digest"))
     val batchByDigest = batch
-      .select(col("doc_id"), dig(col("text")).as("digest"))
+      .select(col("doc_id"), md5(lower(trim(col("text")))).as("digest"))
       .groupBy("digest")
       .agg(min(col("doc_id")).as("survivor_id"),
            count(lit(1)).as("batch_count"))

@@ -365,6 +365,51 @@ object StreamOps {
       .orderBy("user_id")
   }
 
+  /** One micro-batch of the streaming dedup ingest loop: dedup `b`
+    * against the txlog corpus table's stored digests
+    * ([[graft.operators.Dedup.incrementalExactDigests]] — the corpus side
+    * is a one-column scan and never shuffles) and append only the
+    * genuinely-new content in one txn-tagged commit — a replayed batch id
+    * skips whole, so the loop is exactly-once under restart. Factored out
+    * so specs can drive it from a MemoryStream batch-by-batch. */
+  def dedupIngestBatch(table: String)(b: DataFrame, id: Long): Unit = {
+    import graft.sources.TxLogFormat
+    val corpusDigests =
+      if (TxLogFormat.versions(table).isEmpty)
+        b.sparkSession.createDataFrame(
+          b.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("digest", StringType))))
+      else TxLogFormat.read(b.sparkSession, table).select("digest")
+    val survivors =
+      graft.operators.Dedup.incrementalExactDigests(corpusDigests, b)
+    TxLogFormat.appendBatch(survivors, table, "dedup_ingest", id): Unit
+  }
+
+  /** Streaming dedup ingest — the corpus-growth production loop, composing
+    * three engine pieces end-to-end: per micro-batch incremental exact
+    * dedup (Bloom bits + broadcast confirm; the table STORES digests, so
+    * the corpus side is a one-column scan that never shuffles), an ACID
+    * exactly-once append (txn tags — restarts never double-ingest), and a
+    * deterministic survivor rule (first-seen batch wins; min doc_id within
+    * a batch). Returns the corpus table after the run; driven AvailableNow
+    * over one source file this is a single batch, so the result equals the
+    * batch exact-dedup survivor set (the DuckDB oracle). */
+  def runDedupIngest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxLogFormat
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_ingest_").resolve("t").toString
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val q = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .select(col("doc_id"), col("text"))
+      .writeStream
+      .foreachBatch(dedupIngestBatch(table) _)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    TxLogFormat.read(spark, table).orderBy("digest")
+  }
+
   /** Stateful gap sessionization via flatMapGroupsWithState: per user, an
     * open session is carried in GroupState; events extend it or close it
     * (30-min gap). Closed sessions emit append-mode; the open session

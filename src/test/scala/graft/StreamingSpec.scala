@@ -121,6 +121,38 @@ class StreamingSpec extends SparkSpec {
     assert(out.count(_.isNullAt(2)) == 2, "malformed rows should be null")
   }
 
+  test("streaming dedup ingest: cross-batch dedup, first-seen wins, " +
+       "replay-safe") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_ingest_spec").resolve("t").toString
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch(StreamOps.dedupIngestBatch(table) _)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((2L, "aa"), (1L, "aa"), (3L, "bb"))
+      q.processAllAvailable()
+      input.addData((4L, "aa"), (5L, "cc"), (6L, "cc"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = graft.sources.TxLogFormat.read(spark, table)
+      .select("survivor_id", "batch_count").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // aa: batch 1 won with min id 1; batch 2's copy (id 4) died at ingest.
+    // cc: batch 2's two copies collapsed to min id 5.
+    assert(got == Map(1L -> 2L, 3L -> 1L, 5L -> 2L), got.toString)
+    // replay safety: re-landing an already-committed batch id is a no-op
+    val before = graft.sources.TxLogFormat.versions(table).size
+    StreamOps.dedupIngestBatch(table)(
+      Seq((7L, "dd")).toDF("doc_id", "text"), 0L)
+    assert(graft.sources.TxLogFormat.versions(table).size == before,
+      "replayed batch id must not commit")
+  }
+
   test("stream sessionize + flush sentinel = batch sessionize exactly") {
     val events = Tables.events(spark, sf)
     // the epilogue sentinel pushes the final watermark past every open
