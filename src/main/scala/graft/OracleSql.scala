@@ -136,6 +136,9 @@ object OracleSql {
     "semi_anti_join" ->
       """SELECT c_custkey, c_name, EXISTS(SELECT 1 FROM orders WHERE o_custkey = c_custkey) AS has_orders FROM customer ORDER BY c_custkey""",
 
+    "grouping_sets" ->
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders, ${cents("o_totalprice")} AS total_price FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ()) ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+
     "rollup_agg" ->
       s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders, ${cents("o_totalprice")} AS total_price FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority) ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
 

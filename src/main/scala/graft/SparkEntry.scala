@@ -207,6 +207,7 @@ object SparkEntry {
     "agg_stats"       -> ((s, d) => Analytics.aggStats(Tables.orders(s, d))),
     "semi_anti_join"  -> ((s, d) => Analytics.customerHasOrders(Tables.customer(s, d), Tables.orders(s, d))),
     "rollup_agg"      -> ((s, d) => Analytics.rollupAgg(Tables.orders(s, d))),
+    "grouping_sets"   -> ((s, d) => Analytics.groupingSetsAgg(Tables.orders(s, d))),
     "cube_agg"        -> ((s, d) => Analytics.cubeAgg(Tables.orders(s, d))),
     "set_ops"         -> ((s, d) => Analytics.setOps(Tables.orders(s, d))),
     "pivot_wide"      -> ((s, d) => Analytics.pivotEventValues(Tables.events(s, d))),

@@ -132,6 +132,25 @@ object Analytics {
   def cubeAgg(orders: DataFrame): DataFrame =
     groupingSetAgg(orders.cube(col("o_orderstatus"), col("o_orderpriority")))
 
+  /** ARBITRARY `GROUP BY GROUPING SETS`: the general form rollup/cube are
+    * shorthands for — here the two single-column marginals plus the grand
+    * total, WITHOUT the pairwise cells a cube would also pay for. Spark
+    * exposes grouping sets only through SQL, so the operator goes through
+    * `spark.sql` over a temp view; physically it is the same single-pass
+    * Expand + one aggregate exchange as rollup/cube (each input row fans
+    * out once per set — never one job per set). */
+  def groupingSetsAgg(orders: DataFrame): DataFrame = {
+    val v = s"gs_orders_${System.identityHashCode(orders)}"
+    orders.createOrReplaceTempView(v)
+    orders.sparkSession.sql(
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+         |  SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) / CAST(100 AS DOUBLE) AS total_price
+         |FROM $v
+         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         |ORDER BY o_orderstatus ASC NULLS FIRST,
+         |  o_orderpriority ASC NULLS FIRST""".stripMargin)
+  }
+
   /** INTERSECT / EXCEPT set algebra over customer-year activity, computed
     * in ONE scan: range predicates (pushable to the parquet scan, unlike a
     * year() wrapper) + per-customer membership flags — equivalent to the
