@@ -208,6 +208,8 @@ object SparkEntry {
     "semi_anti_join"  -> ((s, d) => Analytics.customerHasOrders(Tables.customer(s, d), Tables.orders(s, d))),
     "rollup_agg"      -> ((s, d) => Analytics.rollupAgg(Tables.orders(s, d))),
     "grouping_sets"   -> ((s, d) => Analytics.groupingSetsAgg(Tables.orders(s, d))),
+    "heavy_hitters_per_lang" -> ((s, d) =>
+      TextAnalysis.heavyHittersPerGroup(Tables.documents(s, d))),
     "cube_agg"        -> ((s, d) => Analytics.cubeAgg(Tables.orders(s, d))),
     "set_ops"         -> ((s, d) => Analytics.setOps(Tables.orders(s, d))),
     "pivot_wide"      -> ((s, d) => Analytics.pivotEventValues(Tables.events(s, d))),

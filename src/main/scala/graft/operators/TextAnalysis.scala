@@ -243,6 +243,29 @@ object TextAnalysis {
       .orderBy(col("est_count").desc, col("word"))
       .limit(topN)
 
+  /** PER-GROUP heavy hitters from one pass: a Misra-Gries summary per
+    * language — the sketch is an aggregate, so grouping it is free
+    * compositionality: one shuffle keyed by lang, k-counter partials
+    * map-side combined per group, and per-group state stays O(k) however
+    * hot a language's vocabulary is. The per-language vocabulary report a
+    * curation pipeline reads daily, at corpus scale with no per-word
+    * shuffle row (the exact form shuffles one row per distinct
+    * (lang, word)). Top-n per group via the bounded-heap
+    * [[graft.plans.TopKPerKey]] node — no window sort. */
+  def heavyHittersPerGroup(documents: DataFrame, summaryK: Int = 64,
+                           topN: Int = 5): DataFrame = {
+    val perLang = documents
+      .select(col("lang"), explode(words).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("lang"))
+      .agg(graft.functions.MisraGriesAgg.heavyHitters(col("word"), summaryK).as("hh"))
+      .select(col("lang"), explode(col("hh")).as("e"))
+      .select(col("lang"), col("e.item").as("word"), col("e.est_count"))
+    graft.plans.TopKPerGroup(perLang, Seq("lang"),
+        Seq("est_count" -> false, "word" -> true), topN)
+      .orderBy("lang", "word")
+  }
+
   /** Point-frequency estimates from ONE Count-Min sketch pass
     * (functions/CountMinAgg.scala): the d×w grid aggregates map-side and
     * only d·w longs cross the wire — the "how hot is this item" companion

@@ -394,6 +394,32 @@ class ApproxSpec extends SparkSpec {
     assert(viaIndex == got.toSet, "index reuse diverged from recompute")
   }
 
+  test("per-group heavy hitters: MG bounds hold within every group") {
+    val docs = Tables.documents(spark, sf)
+    val k = 64
+    val got = TextAnalysis.heavyHittersPerGroup(docs, summaryK = k, topN = 5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val toks = docs.select(col("lang"),
+        explode(graft.util.TextNorm.distinctWords(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+    val exact = toks.groupBy("lang", "word").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val nPerLang = toks.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty && got.map(_._1).distinct.size == nPerLang.size,
+      "every language must report hitters")
+    // the deterministic Misra-Gries guarantee, PER GROUP:
+    // true - n_group/(k+1) <= est <= true — grouping the summary
+    // aggregate must not loosen it
+    got.foreach { case (lang, word, est) =>
+      val truth = exact.getOrElse((lang, word),
+        fail(s"reported word '$word' not in lang $lang vocab"))
+      val slack = nPerLang(lang) / (k + 1)
+      assert(est <= truth && est >= truth - slack,
+        s"($lang,$word): est $est outside [${truth - slack}, $truth]")
+    }
+  }
+
   test("corpus_clusters: deterministic, sizes conserve the corpus, " +
        "cells well-formed") {
     val emb = Tables.embeddings(spark, sf)
