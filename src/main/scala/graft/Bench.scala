@@ -48,7 +48,10 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
       catch { case _: Throwable => () } // warm-up only; absence is fine
     }
-    val selected = SparkEntry.queries.filter { case (n, _) =>
+    // Sorted iteration: a hash-ordered Map reshuffles run order whenever a
+    // query is added, so cross-round per-query comparison inherits JVM/GC
+    // neighborhood effects (r7 verdict) — alphabetical order is stable.
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
       only.forall(_.contains(n))
     }
     val errors = scala.collection.mutable.Map[String, String]()
@@ -59,7 +62,7 @@ object Bench {
             org.apache.spark.sql.execution.FormattedMode))
         catch { case e: Throwable => System.err.println(s"=== $name === explain failed: $e") }
       }
-      val times = (1 to iters).flatMap { _ =>
+      def once(): Option[Double] = {
         val t0 = System.nanoTime()
         // Materialize through the noop sink so map-only queries pay for
         // their full projection — under count() Catalyst prunes the
@@ -74,8 +77,18 @@ object Bench {
             None
         }
       }
+      val times = scala.collection.mutable.ArrayBuffer[Double]()
+      var attempts = 0
+      def attempt(): Unit = { once().foreach(times += _); attempts += 1 }
+      (1 to iters).foreach(_ => attempt())
+      // Sub-second queries are the ones GC/scheduling noise moves the most
+      // relative to their size: give them at least 3 samples before taking
+      // the min (r7 verdict item 6). attempts (not times.size) bounds the
+      // loop so a flaky query cannot spin forever.
+      while (times.nonEmpty && times.min < 1.0 && attempts < iters.max(3))
+        attempt()
       name -> (if (times.nonEmpty) times.min else -1.0)
-    }
+    }.toMap
     def jsonMap(m: Iterable[(String, String)]): String =
       m.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     // Errors matter most when present, but must never blow the stdout

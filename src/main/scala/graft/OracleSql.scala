@@ -334,6 +334,11 @@ object OracleSql {
     "dedup_semantic" ->
       """WITH p AS (SELECT x.vec_id AS a, y.vec_id AS b, (SELECT SUM(CAST(xe AS DOUBLE) * CAST(ye AS DOUBLE)) FROM (SELECT unnest(x.embedding) AS xe, unnest(y.embedding) AS ye)) / (sqrt((SELECT SUM(CAST(xe AS DOUBLE) * CAST(xe AS DOUBLE)) FROM (SELECT unnest(x.embedding) AS xe))) * sqrt((SELECT SUM(CAST(ye AS DOUBLE) * CAST(ye AS DOUBLE)) FROM (SELECT unnest(y.embedding) AS ye)))) AS cos FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id), removed AS (SELECT DISTINCT b FROM p WHERE ROUND(cos * 10000, 0)/10000.0 >= 0.35) SELECT vec_id, label FROM embeddings WHERE vec_id NOT IN (SELECT b FROM removed) ORDER BY vec_id""",
 
+    // recall-1 LSH config on the 20% slice must reproduce the exact
+    // greedy-survivor set (same SQL as dedup_semantic, restricted)
+    "dedup_semantic_lsh_r1" ->
+      """WITH e AS (SELECT * FROM embeddings WHERE vec_id % 5 = 0), p AS (SELECT x.vec_id AS a, y.vec_id AS b, (SELECT SUM(CAST(xe AS DOUBLE) * CAST(ye AS DOUBLE)) FROM (SELECT unnest(x.embedding) AS xe, unnest(y.embedding) AS ye)) / (sqrt((SELECT SUM(CAST(xe AS DOUBLE) * CAST(xe AS DOUBLE)) FROM (SELECT unnest(x.embedding) AS xe))) * sqrt((SELECT SUM(CAST(ye AS DOUBLE) * CAST(ye AS DOUBLE)) FROM (SELECT unnest(y.embedding) AS ye)))) AS cos FROM e x JOIN e y ON x.vec_id < y.vec_id), removed AS (SELECT DISTINCT b FROM p WHERE ROUND(cos * 10000, 0)/10000.0 >= 0.35) SELECT vec_id, label FROM e WHERE vec_id NOT IN (SELECT b FROM removed) ORDER BY vec_id""",
+
     "multimodal_frames" ->
       """WITH d AS (SELECT doc_id, text, least(CAST(floor((length(text) - 64.0) / 128) AS BIGINT) + 1, 8) AS n FROM documents), r AS (SELECT doc_id, text, unnest(range(0, n)) AS i FROM d WHERE n > 0) SELECT doc_id, i AS frame_idx, length(substr(text, CAST(i*128+1 AS INT), 64)) AS frame_len, md5(substr(text, CAST(i*128+1 AS INT), 64)) AS frame_md5 FROM r ORDER BY doc_id, frame_idx""",
 
@@ -369,6 +374,9 @@ object OracleSql {
 
     "heavy_hitters" ->
       """WITH t AS (SELECT unnest(string_split(lower(trim(text)), ' ')) AS word FROM documents) SELECT word, COUNT(*) AS n FROM t WHERE word <> '' GROUP BY word ORDER BY n DESC, word LIMIT 20""",
+
+    "heavy_hitters_per_lang_exact" ->
+      """WITH t AS (SELECT lang, unnest(string_split(lower(trim(text)), ' ')) AS word FROM documents), c AS (SELECT lang, word, COUNT(*) AS n FROM t WHERE word <> '' GROUP BY lang, word), r AS (SELECT lang, word, n, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, word) AS rk FROM c) SELECT lang, word, n FROM r WHERE rk <= 5 ORDER BY lang, word""",
 
     "tfidf_topterms" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS word FROM documents), t2 AS (SELECT doc_id, word FROM t WHERE word <> ''), tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM t2 GROUP BY doc_id, word), df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word), n AS (SELECT COUNT(*) AS n_docs FROM documents), s AS (SELECT tf.doc_id, tf.word, ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) * 10000, 0)/10000.0 AS tfidf FROM tf JOIN df ON tf.word = df.word CROSS JOIN n), r AS (SELECT doc_id, word, tfidf, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS BIGINT) AS rank FROM s) SELECT doc_id, word, tfidf, rank FROM r WHERE rank <= 3 ORDER BY doc_id, rank""",

@@ -30,7 +30,8 @@ object Json {
         Seq(StructField("k", LongType)))))
       .select(col("event_id"), col("user_id"),
               col("j").getField("k").as("k"))
-      .orderBy("event_id")
+    // no presentation sort: events is the largest input table; the JSON
+    // extraction is map-only and stays that way without the range exchange
 }
 
 /** SCD-2 snapshot, dbt `strategy='timestamp'` — reference:

@@ -21,7 +21,11 @@ object Relational {
       col("o_totalprice").as("total_price"),
       col("o_orderdate").cast("date").as("order_date"),
       col("o_orderpriority").as("order_priority"),
-    ).orderBy("order_key")
+    )
+    // no presentation sort (same rule as stgLineitem): staging the full
+    // orders table through a range exchange buys nothing — the correctness
+    // gate lexsorts rows before hashing — and its bounds sampling would
+    // re-execute the scan at any scale
 
   /** Staging view over `lineitem` with derived per-row price columns.
     * Per-row arithmetic on doubles is IEEE-deterministic (no accumulation),
@@ -51,5 +55,6 @@ object Relational {
       col("o_totalprice").as("value"),
       col("o_orderdate").as("created_at_ts"),
       when(col("o_totalprice") > threshold, "high").otherwise("regular").as("bucket"),
-    ).orderBy("id")
+    )
+    // no presentation sort: fact-scale mart output, map-only over the scan
 }

@@ -251,7 +251,28 @@ object TextAnalysis {
     * curation pipeline reads daily, at corpus scale with no per-word
     * shuffle row (the exact form shuffles one row per distinct
     * (lang, word)). Top-n per group via the bounded-heap
-    * [[graft.plans.TopKPerKey]] node — no window sort. */
+    * [[graft.plans.TopKPerKey]] node — no window sort.
+    *
+    * Semantics: TOTAL token frequency (duplicate occurrences within a doc
+    * count), matching [[heavyHitters]]/[[heavyHittersApprox]] — not
+    * doc-frequency. The MG bound est ∈ [true − n_group/(k+1), true] holds
+    * against this stream (spec: ApproxSpec "per-group heavy hitters"). */
+  /** EXACT per-language top-n words — the oracle-adjudicated twin of
+    * [[heavyHittersPerGroup]] (same total-token-frequency semantics): one
+    * (lang, word) partial-agg shuffle, then top-n per group via the
+    * bounded-heap [[graft.plans.TopKPerKey]] node (no window sort). This
+    * is the form that still shuffles one row per distinct (lang, word);
+    * the Misra-Gries twin is the sublinear path when that is too much. */
+  def heavyHittersPerGroupExact(documents: DataFrame, topN: Int = 5): DataFrame = {
+    val counts = documents
+      .select(col("lang"), explode(words).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("lang", "word").agg(count(lit(1)).as("n"))
+    graft.plans.TopKPerGroup(counts, Seq("lang"),
+        Seq("n" -> false, "word" -> true), topN)
+      .orderBy("lang", "word")
+  }
+
   def heavyHittersPerGroup(documents: DataFrame, summaryK: Int = 64,
                            topN: Int = 5): DataFrame = {
     val perLang = documents

@@ -45,7 +45,18 @@ object Metrics {
       s"metric '${m.name}' declares no time dimension; cannot roll up to " +
         grain.getOrElse(""))
     where.foreach { w =>
-      val refs = frame.sparkSession.sessionState.sqlParser.parseExpression(w)
+      val parsed = frame.sparkSession.sessionState.sqlParser.parseExpression(w)
+      // Expression.collect does NOT descend into a subquery's inner plan,
+      // so `exists(select ... where undeclared > 0)` would sail past the
+      // attribute check below — refuse subqueries outright (r7 advice): a
+      // governed slice filter is a predicate over declared dimensions, not
+      // an escape hatch into arbitrary relations.
+      val subs = parsed.collect {
+        case s: org.apache.spark.sql.catalyst.expressions.PlanExpression[_] => s }
+      require(subs.isEmpty,
+        s"metric '${m.name}': filter may not contain subqueries " +
+          s"(governance: only declared dimensions are queryable): $w")
+      val refs = parsed
         .collect { case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a.name }
       refuseUndeclared(m, refs, "filter")
     }

@@ -1,0 +1,527 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+
+/** Minimal YAML reader for dbt project files (dbt_project.yml,
+  * profiles/profiles.yml, model/source/exposure schema .yml) — the subset
+  * those files actually use: indentation-nested maps, `- ` sequences
+  * (scalar items and map items), quoted/plain scalars, flow lists
+  * (`["a", "b"]`), comments. No anchors/aliases/multi-doc/flow maps — out
+  * of scope for dbt config files. Zero dependencies by design: the build
+  * resolves nothing beyond Spark's own jars.
+  *
+  * Scalars are typed: `true`/`false` → Boolean, integers → Long,
+  * everything else → String (quotes stripped). Jinja templates stay
+  * verbatim strings — [[ProjectYaml.renderJinja]] resolves the `env_var`
+  * forms dbt profiles use.
+  */
+object YamlLite {
+
+  /** Parse a YAML document into Map[String, Any] / Seq[Any] / scalars. */
+  def parse(text: String): Any = {
+    val lines = text.linesIterator.map(stripComment)
+      .zipWithIndex.filter(_._1.trim.nonEmpty).map(_._1).toVector
+    if (lines.isEmpty) Map.empty[String, Any]
+    else parseBlock(lines, 0, lines.length, indentOf(lines.head))
+  }
+
+  private def indentOf(l: String): Int = l.takeWhile(_ == ' ').length
+
+  /** Cut an unquoted ` #` comment (or a full-line `#`). */
+  private def stripComment(l: String): String = {
+    var inS = false; var inD = false
+    var i = 0
+    while (i < l.length) {
+      val c = l.charAt(i)
+      if (c == '\'' && !inD) inS = !inS
+      else if (c == '"' && !inS) inD = !inD
+      else if (c == '#' && !inS && !inD &&
+               (i == 0 || l.charAt(i - 1) == ' ')) return l.substring(0, i)
+      i += 1
+    }
+    l
+  }
+
+  private def scalar(s: String): Any = {
+    val t = s.trim
+    if (t.length >= 2 && ((t.head == '"' && t.last == '"') ||
+                          (t.head == '\'' && t.last == '\'')))
+      t.substring(1, t.length - 1)
+    else if (t.startsWith("[") && t.endsWith("]"))
+      splitTop(t.substring(1, t.length - 1), ',').map(scalar)
+    else if (t == "true") true
+    else if (t == "false") false
+    else if (t == "null" || t == "~") null
+    else if (t.matches("-?\\d+")) t.toLong
+    else t
+  }
+
+  /** Split on `sep` at paren/bracket/quote depth 0. */
+  private[pipeline] def splitTop(s: String, sep: Char): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0; var inS = false; var inD = false
+    s.foreach { c =>
+      if (c == '\'' && !inD) { inS = !inS; cur += c }
+      else if (c == '"' && !inS) { inD = !inD; cur += c }
+      else if (!inS && !inD && "([{".contains(c)) { depth += 1; cur += c }
+      else if (!inS && !inD && ")]}".contains(c)) { depth -= 1; cur += c }
+      else if (!inS && !inD && depth == 0 && c == sep) {
+        out += cur.toString; cur.clear()
+      } else cur += c
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** `key:` split at the first unquoted colon that is followed by a space
+    * or ends the line (so `"a:b": v` and timestamps survive). */
+  private def keySplit(l: String): Option[(String, String)] = {
+    var inS = false; var inD = false
+    var i = 0
+    while (i < l.length) {
+      val c = l.charAt(i)
+      if (c == '\'' && !inD) inS = !inS
+      else if (c == '"' && !inS) inD = !inD
+      else if (c == ':' && !inS && !inD &&
+               (i == l.length - 1 || l.charAt(i + 1) == ' '))
+        return Some((scalar(l.substring(0, i)).toString,
+                     l.substring(math.min(i + 1, l.length)).trim))
+      i += 1
+    }
+    None
+  }
+
+  private def parseBlock(lines: Vector[String], from: Int, until: Int,
+                         indent: Int): Any = {
+    if (from >= until) return Map.empty[String, Any]
+    if (lines(from).trim.startsWith("- "))
+      parseSeq(lines, from, until, indent)
+    else parseMap(lines, from, until, indent)
+  }
+
+  private def childrenEnd(lines: Vector[String], from: Int, until: Int,
+                          indent: Int): Int = {
+    var j = from
+    while (j < until && indentOf(lines(j)) > indent) j += 1
+    j
+  }
+
+  private def parseMap(lines: Vector[String], from: Int, until: Int,
+                       indent: Int): Map[String, Any] = {
+    val out = scala.collection.mutable.LinkedHashMap[String, Any]()
+    var i = from
+    while (i < until) {
+      val l = lines(i)
+      if (indentOf(l) != indent)
+        throw new IllegalArgumentException(s"yaml: bad indent at: $l")
+      keySplit(l.trim) match {
+        case Some((k, v)) if v.nonEmpty =>
+          out(k) = scalar(v); i += 1
+        case Some((k, _)) =>
+          val end = childrenEnd(lines, i + 1, until, indent)
+          out(k) =
+            if (end == i + 1) null
+            else parseBlock(lines, i + 1, end, indentOf(lines(i + 1)))
+          i = end
+        case None =>
+          throw new IllegalArgumentException(s"yaml: expected key: at: $l")
+      }
+    }
+    out.toMap
+  }
+
+  private def parseSeq(lines: Vector[String], from: Int, until: Int,
+                       indent: Int): Seq[Any] = {
+    val out = Seq.newBuilder[Any]
+    var i = from
+    while (i < until) {
+      val l = lines(i)
+      require(indentOf(l) == indent && l.trim.startsWith("- "),
+        s"yaml: expected '- ' item at: $l")
+      val end = childrenEnd(lines, i + 1, until, indent)
+      val content = l.trim.drop(2)
+      if (keySplit(content).isEmpty && end == i + 1) {
+        out += scalar(content) // plain scalar item
+      } else {
+        // map item: re-indent the inline first entry to align with the
+        // item's continuation lines and parse the block as one map
+        val head = (" " * (indent + 2)) + content
+        val block = head +: lines.slice(i + 1, end)
+        out += parseBlock(block, 0, block.length, indent + 2)
+      }
+      i = end
+    }
+    out.result()
+  }
+}
+
+/** Loads the dbt project-file surface onto the engine's case classes:
+  *
+  *  - `dbt_project.yml` (reference dbt_project.yml:1-40): project name,
+  *    profile, the `models:` config tree (`+materialized` per folder,
+  *    `+on_schema_change`, ...);
+  *  - `profiles/profiles.yml` (reference profiles/profiles.yml:2-40):
+  *    outputs → [[Target]]s (threads, dataset → warehouse path), with
+  *    dbt's `{{ env_var('X', default) }}` jinja forms resolved;
+  *  - model `.sql` files: `{{ ref('m') }}` / `{{ source('s','t') }}`
+  *    become DAG deps, the `{{ config(...) }}` header overrides the
+  *    project-tree config, and the remaining SELECT runs through
+  *    `spark.sql` with deps registered as temp views — so the reference's
+  *    actual model files execute unchanged (BigQuery SQL the ANSI subset
+  *    of which Spark parses: casts, CASE WHEN, CTEs);
+  *  - model `.yml` schema files: `unique` / `not_null` /
+  *    `accepted_values` tests → violation-row [[Model.tests]];
+  *  - `exposures.yml` → [[Exposure]]s.
+  *
+  * What deliberately does NOT map: BigQuery connection fields (project,
+  * location, OAuth method, billing caps) — engine-irrelevant; dbt's
+  * packages/macros (the engine's operators are the macro library).
+  */
+object ProjectYaml {
+
+  private def str(v: Any): String = v match {
+    case null => ""
+    case s: String => s
+    case other => other.toString
+  }
+  private def m(v: Any): Map[String, Any] = v match {
+    case mm: Map[_, _] => mm.asInstanceOf[Map[String, Any]]
+    case _ => Map.empty
+  }
+  private def seq(v: Any): Seq[Any] = v match {
+    case s: Seq[_] => s.asInstanceOf[Seq[Any]]
+    case _ => Nil
+  }
+
+  // ---- jinja env_var resolution (the profiles.yml surface) ----
+
+  /** Resolve a dbt profile string: `{{ env_var('A') }}`,
+    * `{{ env_var('A', 'default') }}`, string concat with `~`, nested
+    * env_var in the default position. Returns None when a template uses
+    * anything beyond that (filters, conditionals) or names an env var
+    * with no default and no binding — the caller decides the fallback. */
+  def renderJinja(s: String, env: Map[String, String]): Option[String] = {
+    if (!s.contains("{{")) return Some(s)
+    val out = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val open = s.indexOf("{{", i)
+      if (open < 0) { out ++= s.substring(i); i = s.length }
+      else {
+        out ++= s.substring(i, open)
+        val close = s.indexOf("}}", open)
+        if (close < 0) return None
+        evalExpr(s.substring(open + 2, close).trim, env) match {
+          case Some(v) => out ++= v
+          case None => return None
+        }
+        i = close + 2
+      }
+    }
+    Some(out.toString)
+  }
+
+  /** literal | env_var(expr[, expr]) | expr ~ expr */
+  private def evalExpr(e: String, env: Map[String, String]): Option[String] = {
+    val parts = YamlLite.splitTop(e, '~')
+    if (parts.length > 1) {
+      val vals = parts.map(p => evalExpr(p.trim, env))
+      if (vals.forall(_.isDefined)) Some(vals.flatten.mkString) else None
+    } else {
+      val t = e.trim
+      if (t.length >= 2 && ((t.head == '\'' && t.last == '\'') ||
+                            (t.head == '"' && t.last == '"')))
+        Some(t.substring(1, t.length - 1))
+      else if (t.startsWith("env_var(") && t.endsWith(")")) {
+        val args = YamlLite.splitTop(t.substring(8, t.length - 1), ',')
+          .map(a => evalExpr(a.trim, env))
+        if (args.isEmpty || args.head.isEmpty) None
+        else env.get(args.head.get)
+          .orElse(if (args.length > 1) args(1) else None)
+      } else None
+    }
+  }
+
+  // ---- profiles.yml → Targets ----
+
+  /** All outputs of `profileName` as [[Target]]s: `threads` maps direct,
+    * the resolved `dataset` becomes `<warehouseBase>/<dataset>` (the
+    * engine's per-target isolation, exactly what the per-target BigQuery
+    * dataset buys). Also returns the profile's default target name. */
+  def loadProfiles(yaml: String, profileName: String, warehouseBase: String,
+                   env: Map[String, String] = Map.empty)
+      : (Seq[Target], String) = {
+    val root = m(YamlLite.parse(yaml))
+    val prof = m(root.getOrElse(profileName, throw new IllegalArgumentException(
+      s"profiles.yml: no profile '$profileName' (have: ${root.keys.mkString(", ")})")))
+    val defaultTarget = renderJinja(str(prof.getOrElse("target", "dev")), env)
+      .getOrElse("dev")
+    val outputs = m(prof.getOrElse("outputs", Map.empty))
+    val targets = outputs.toSeq.map { case (name, conf) =>
+      val c = m(conf)
+      val threads = c.get("threads").collect { case l: Long => l.toInt }
+        .getOrElse(1)
+      val dataset = c.get("dataset").map(str).flatMap(renderJinja(_, env))
+        .filter(_.nonEmpty).getOrElse(name)
+      Target(name, s"$warehouseBase/$dataset", threads)
+    }
+    (targets, defaultTarget)
+  }
+
+  // ---- dbt_project.yml → config tree ----
+
+  final case class ProjectConfig(name: String, profile: String,
+                                 modelPaths: Seq[String],
+                                 modelsTree: Map[String, Any])
+
+  def loadProject(yaml: String): ProjectConfig = {
+    val root = m(YamlLite.parse(yaml))
+    ProjectConfig(
+      name = str(root.getOrElse("name", "project")),
+      profile = str(root.getOrElse("profile", "")),
+      modelPaths = seq(root.getOrElse("model-paths", Seq("models"))).map(str),
+      modelsTree = m(root.getOrElse("models", Map.empty)))
+  }
+
+  /** Folder-scoped config for a model at models/<path...>/<file>: walk the
+    * `models:` tree collecting `+key` entries — root, then the project
+    * name scope, then each folder segment (deeper wins, dbt's rule). */
+  def folderConfig(tree: Map[String, Any], project: String,
+                   path: Seq[String]): Map[String, Any] = {
+    def plusOf(node: Map[String, Any]): Map[String, Any] =
+      node.collect { case (k, v) if k.startsWith("+") => k.drop(1) -> v }
+    var conf = plusOf(tree)
+    var node = m(tree.getOrElse(project, Map.empty))
+    conf ++= plusOf(node)
+    path.foreach { seg =>
+      node = m(node.getOrElse(seg, Map.empty))
+      conf ++= plusOf(node)
+    }
+    conf
+  }
+
+  // ---- model .sql files: config() header, refs, executable body ----
+
+  /** Extract `{{ config(...) }}` kwargs (python-literal subset: strings,
+    * booleans, flow lists, flow dicts) and return (kwargs, sql without the
+    * config block). */
+  def parseConfigHeader(sql: String): (Map[String, Any], String) = {
+    val cfg = "\\{\\{\\s*config\\s*\\(".r.findFirstMatchIn(sql) match {
+      case None => return (Map.empty, sql)
+      case Some(mm) => mm
+    }
+    var depth = 1 // inside config(
+    var i = cfg.end
+    var inS = false; var inD = false
+    while (i < sql.length && depth > 0) {
+      val c = sql.charAt(i)
+      if (c == '\'' && !inD) inS = !inS
+      else if (c == '"' && !inS) inD = !inD
+      else if (!inS && !inD && "([{".contains(c)) depth += 1
+      else if (!inS && !inD && ")]}".contains(c)) depth -= 1
+      i += 1
+    }
+    val argsEnd = i - 1
+    val close = sql.indexOf("}}", argsEnd)
+    require(close >= 0, "model sql: unterminated {{ config(...) }}")
+    val args = sql.substring(cfg.end, argsEnd)
+    val body = sql.substring(0, cfg.start) + sql.substring(close + 2)
+    val kwargs = YamlLite.splitTop(args, ',').flatMap { kv =>
+      YamlLite.splitTop(kv, '=') match {
+        case Seq(k, v) => Some(k.trim -> pyLiteral(v.trim))
+        case _ => None
+      }
+    }.toMap
+    (kwargs, body)
+  }
+
+  private def pyLiteral(v: String): Any =
+    if (v == "true" || v == "True") true
+    else if (v == "false" || v == "False") false
+    else if (v.length >= 2 && ((v.head == '\'' && v.last == '\'') ||
+                               (v.head == '"' && v.last == '"')))
+      v.substring(1, v.length - 1)
+    else if (v.startsWith("[") && v.endsWith("]"))
+      YamlLite.splitTop(v.substring(1, v.length - 1), ',').map(pyLiteral)
+    else if (v.startsWith("{") && v.endsWith("}"))
+      YamlLite.splitTop(v.substring(1, v.length - 1), ',').flatMap { kv =>
+        YamlLite.splitTop(kv, ':') match {
+          case Seq(k, vv) => Some(str(pyLiteral(k.trim)) -> pyLiteral(vv.trim))
+          case _ => None
+        }
+      }.toMap
+    else if (v.matches("-?\\d+")) v.toLong
+    else v
+
+  private val RefPat = "\\{\\{\\s*ref\\s*\\(\\s*'([^']+)'\\s*\\)\\s*\\}\\}".r
+  private val SourcePat =
+    "\\{\\{\\s*source\\s*\\(\\s*'([^']+)'\\s*,\\s*'([^']+)'\\s*\\)\\s*\\}\\}".r
+
+  /** deps of a model body: ref('m') → "m", source('s','t') → "s.t" (the
+    * input-map key convention for [[Pipeline.run]] sources). */
+  def depsOf(sql: String): Seq[String] =
+    (RefPat.findAllMatchIn(sql).map(_.group(1)) ++
+     SourcePat.findAllMatchIn(sql).map(mm => s"${mm.group(1)}.${mm.group(2)}"))
+      .toSeq.distinct
+
+  /** The executable build function: register each dep as a temp view,
+    * substitute the jinja calls with the view names, run `spark.sql`. */
+  private def sqlBuild(name: String, body: String)
+      : Map[String, DataFrame] => DataFrame = { in =>
+    val spark = in.values.headOption
+      .map(_.sparkSession)
+      .getOrElse(throw new IllegalStateException(s"model $name: no inputs"))
+    def viewName(dep: String): String =
+      s"graft_yaml_${name}_${dep}".replaceAll("[^A-Za-z0-9_]", "_")
+    var sql = RefPat.replaceAllIn(body,
+      mm => viewName(mm.group(1)))
+    sql = SourcePat.replaceAllIn(sql,
+      mm => viewName(s"${mm.group(1)}.${mm.group(2)}"))
+    in.foreach { case (dep, df) => df.createOrReplaceTempView(viewName(dep)) }
+    spark.sql(sql)
+  }
+
+  private def materializationOf(conf: Map[String, Any]): Materialization =
+    str(conf.getOrElse("materialized", "view")) match {
+      case "view" => ViewMat
+      case "ephemeral" => EphemeralMat
+      case "table" =>
+        val part = conf.get("partition_by").map {
+          case d: Map[_, _] => str(d.asInstanceOf[Map[String, Any]]("field"))
+          case other => str(other)
+        }
+        val cluster = seq(conf.getOrElse("cluster_by", Nil)).map(str)
+        TableMat(part, cluster)
+      case "incremental" =>
+        IncrementalMat(str(conf.getOrElse("unique_key",
+          throw new IllegalArgumentException("incremental model needs unique_key"))),
+          onSchemaChange = str(conf.getOrElse("on_schema_change",
+              "append_new_columns")) match {
+            case "ignore" => graft.operators.OnSchemaChange.Ignore
+            case "sync_all_columns" => graft.operators.OnSchemaChange.SyncAllColumns
+            case "fail" => graft.operators.OnSchemaChange.Fail
+            case _ => graft.operators.OnSchemaChange.AppendNewColumns
+          })
+      case other =>
+        throw new IllegalArgumentException(s"unsupported materialization '$other'")
+    }
+
+  // ---- model .yml schema files → tests ----
+
+  /** `models: - name: m / tests: - unique: {column_name: c}` →
+    * violation-row test functions, dbt's generic-test semantics. */
+  def loadModelTests(yaml: String)
+      : Map[String, Seq[(String, DataFrame => DataFrame)]] = {
+    import org.apache.spark.sql.functions._
+    val root = m(YamlLite.parse(yaml))
+    seq(root.getOrElse("models", Nil)).map(m(_)).flatMap { mod =>
+      val name = str(mod.getOrElse("name", ""))
+      if (name.isEmpty) None else Some(name ->
+        seq(mod.getOrElse("tests", Nil)).map(m(_)).flatMap { t =>
+          t.toSeq.map { case (kind, args) =>
+            val a = m(args)
+            val column = str(a.getOrElse("column_name", "id"))
+            kind match {
+              case "unique" => (s"unique_${name}_$column",
+                (df: DataFrame) => df.groupBy(column)
+                  .agg(count(lit(1)).as("n")).filter(col("n") > 1))
+              case "not_null" => (s"not_null_${name}_$column",
+                (df: DataFrame) => df.filter(col(column).isNull))
+              case "accepted_values" =>
+                val vals = seq(a.getOrElse("values", Nil)).map(str)
+                (s"accepted_values_${name}_$column",
+                  (df: DataFrame) => df.filter(!col(column).isin(vals: _*)))
+              case other => (s"skipped_${other}_$name",
+                (df: DataFrame) => df.limit(0))
+            }
+          }
+        })
+    }.toMap
+  }
+
+  // ---- exposures.yml ----
+
+  def loadExposures(yaml: String): Seq[Exposure] = {
+    val root = m(YamlLite.parse(yaml))
+    seq(root.getOrElse("exposures", Nil)).map(m(_)).map { e =>
+      Exposure(
+        name = str(e.getOrElse("name", "")),
+        exposureType = str(e.getOrElse("type", "")),
+        owner = str(m(e.getOrElse("owner", Map.empty)).getOrElse("name", "")),
+        dependsOn = seq(e.getOrElse("depends_on", Nil)).map(str).map { d =>
+          RefPat.findFirstMatchIn(d).map(_.group(1))
+            .orElse("ref\\('([^']+)'\\)".r.findFirstMatchIn(d).map(_.group(1)))
+            .getOrElse(d)
+        },
+        description = str(e.getOrElse("description", "")))
+    }
+  }
+
+  // ---- the whole project directory → Pipeline ----
+
+  /** Build a [[Pipeline]] from a dbt project directory: every .sql file
+    * under the model paths becomes a [[Model]] (deps from its jinja refs,
+    * materialization from the project tree + its config header, tests
+    * from the sibling .yml), exposures from models/exposures.yml.
+    *
+    * `includeDisabled` loads models whose config says `enabled=false`
+    * (the reference project templates ship disabled — loading them is how
+    * the spec proves the loader walks the real files). */
+  def load(projectDir: String,
+           includeDisabled: Boolean = false,
+           format: graft.sources.TableFormat = graft.sources.ParquetDirFormat)
+      : Pipeline = {
+    val (models, exposures) = loadModels(projectDir, includeDisabled)
+    new Pipeline(models, exposures = exposures, format = format)
+  }
+
+  /** The parsed [[Model]]s + [[Exposure]]s of a project directory —
+    * [[load]] without the Pipeline wrapper, for callers (and specs) that
+    * inspect deps/materializations/tests directly. */
+  def loadModels(projectDir: String, includeDisabled: Boolean = false)
+      : (Seq[Model], Seq[Exposure]) = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get(projectDir)
+    val project = loadProject(Files.readString(root.resolve("dbt_project.yml")))
+    val modelsDirs = project.modelPaths.map(root.resolve)
+    val sqlFiles = modelsDirs.filter(Files.isDirectory(_)).flatMap { d =>
+      val s = Files.walk(d)
+      try s.iterator().asScala.filter(f =>
+        Files.isRegularFile(f) && f.toString.endsWith(".sql")).toVector
+      finally s.close()
+    }
+    val ymlFiles = modelsDirs.filter(Files.isDirectory(_)).flatMap { d =>
+      val s = Files.walk(d)
+      try s.iterator().asScala.filter(f =>
+        Files.isRegularFile(f) && f.toString.endsWith(".yml")).toVector
+      finally s.close()
+    }
+    val tests = ymlFiles.map(f => loadModelTests(Files.readString(f)))
+      .foldLeft(Map.empty[String, Seq[(String, DataFrame => DataFrame)]])(_ ++ _)
+    val exposures = ymlFiles.filter(_.getFileName.toString == "exposures.yml")
+      .flatMap(f => loadExposures(Files.readString(f)))
+    val models = sqlFiles.flatMap { f =>
+      val name = f.getFileName.toString.stripSuffix(".sql")
+      val raw = Files.readString(f)
+      val (cfg, body) = parseConfigHeader(raw)
+      val enabled = cfg.get("enabled") match {
+        case Some(b: Boolean) => b
+        case _ => true
+      }
+      if (!enabled && !includeDisabled) None
+      else {
+        val folder = modelsDirs.find(f.startsWith(_)).map(d =>
+          d.relativize(f.getParent)).map(_.toString).getOrElse("")
+        val path = folder.split("/").toSeq.filter(_.nonEmpty)
+        val conf = folderConfig(project.modelsTree, project.name, path) ++ cfg
+        Some(Model(name, depsOf(body), materializationOf(conf),
+          sqlBuild(name, body),
+          checksum = Integer.toHexString(raw.hashCode),
+          tests = tests.getOrElse(name, Nil)))
+      }
+    }
+    (models, exposures)
+  }
+}

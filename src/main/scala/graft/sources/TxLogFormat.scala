@@ -62,6 +62,44 @@ object TxLogFormat extends TableFormat {
   private def logDir(path: String): JPath = Paths.get(path, LogDirName)
   private def commitFile(path: String, v: Long): JPath =
     logDir(path).resolve(f"$v%016d.commit")
+  private def checkpointFile(path: String, v: Long): JPath =
+    logDir(path).resolve(f"$v%016d.checkpoint")
+
+  /** Auto-checkpoint cadence (Delta's `checkpointInterval`, default 10):
+    * every Nth commit also writes a SIDECAR `<v>.checkpoint` beside the
+    * commit file — the full folded state as of v, a pure resolution CACHE.
+    * Snapshot/txn/constraint folds start from the latest sidecar and read
+    * only the ≤N commits after it, so a never-vacuumed table (e.g. a
+    * streaming sink at one commit per micro-batch) pays O(N) per read
+    * instead of a linearly growing log fold. Commit history stays fully
+    * intact — time travel, [[readChanges]], [[restore]] and [[history]]
+    * are unaffected; [[vacuum]] remains the (destructive) space
+    * reclaimer. 0 disables. */
+  @volatile var checkpointInterval: Int = 10
+
+  /** Sidecar checkpoint versions present, ascending. */
+  private def checkpointVersions(path: String): Seq[Long] = {
+    val dir = logDir(path)
+    if (!Files.isDirectory(dir)) Nil
+    else {
+      val s = Files.list(dir)
+      try s.iterator.asScala.map(_.getFileName.toString)
+        .filter(_.matches("\\d{16}\\.checkpoint"))
+        .map(_.stripSuffix(".checkpoint").toLong).toSeq.sorted
+      finally s.close()
+    }
+  }
+
+  /** The sidecar to fold from for a read as of `upTo`, given the commit
+    * versions `vs` (dense — slots allocate as prev+1): valid iff every
+    * commit in (cp, upTo] is still present, i.e. cp+1 >= the earliest
+    * retained commit. A sidecar below a vacuum horizon whose covering
+    * commits are gone is rejected (fold falls back to the in-slot vacuum
+    * checkpoint, which is self-contained). */
+  private def checkpointBase(path: String, upTo: Long, vs: Seq[Long]): Option[Long] =
+    vs.headOption.flatMap(first =>
+      checkpointVersions(path).filter(v => v <= upTo && v + 1 >= first)
+        .lastOption)
 
   /** Committed versions, ascending. */
   def versions(path: String): Seq[Long] = {
@@ -90,24 +128,31 @@ object TxLogFormat extends TableFormat {
     val live = scala.collection.mutable.LinkedHashSet[String]()
     var schema: Option[String] = None
     val stats = scala.collection.mutable.Map[String, FileStat]()
-    vs.foreach { v =>
-      Files.readAllLines(commitFile(path, v)).asScala.foreach { line =>
-        if (line.startsWith("a ")) live += line.drop(2)
-        else if (line.startsWith("r ")) live -= line.drop(2)
-        else if (line.startsWith("s ")) schema = Some(line.drop(2))
-        else if (withStats && line.startsWith("f ")) {
-          val parts = line.drop(2).split("\t", -1)
-          if (parts.length >= 2 && (parts.length - 2) % 4 == 0) try {
-            val cols = parts.drop(2).grouped(4).map { g =>
-              g(0) -> ColStat(
-                if (g(1).isEmpty) None else Some(BigDecimal(g(1))),
-                if (g(2).isEmpty) None else Some(BigDecimal(g(2))),
-                g(3).toLong)
-            }.toMap
-            stats(parts(0)) = FileStat(parts(1).toLong, cols)
-          } catch { case _: NumberFormatException => }
-        }
+    def foldLines(lines: Iterable[String]): Unit = lines.foreach { line =>
+      if (line.startsWith("a ")) live += line.drop(2)
+      else if (line.startsWith("r ")) live -= line.drop(2)
+      else if (line.startsWith("s ")) schema = Some(line.drop(2))
+      else if (withStats && line.startsWith("f ")) {
+        val parts = line.drop(2).split("\t", -1)
+        if (parts.length >= 2 && (parts.length - 2) % 4 == 0) try {
+          val cols = parts.drop(2).grouped(4).map { g =>
+            g(0) -> ColStat(
+              if (g(1).isEmpty) None else Some(BigDecimal(g(1))),
+              if (g(2).isEmpty) None else Some(BigDecimal(g(2))),
+              g(3).toLong)
+          }.toMap
+          stats(parts(0)) = FileStat(parts(1).toLong, cols)
+        } catch { case _: NumberFormatException => }
       }
+    }
+    // start from the newest usable sidecar checkpoint (full state as of
+    // cp), then fold only the commits after it — O(checkpointInterval)
+    // files per resolution on a checkpointed table
+    val cp = checkpointBase(path, upTo, vs)
+    cp.foreach(c => foldLines(
+      Files.readAllLines(checkpointFile(path, c)).asScala))
+    vs.filter(v => cp.forall(_ < v)).foreach { v =>
+      foldLines(Files.readAllLines(commitFile(path, v)).asScala)
     }
     LogState(live.toSeq, schema, vs.lastOption.getOrElse(-1L), stats.toMap)
   }
@@ -241,14 +286,18 @@ object TxLogFormat extends TableFormat {
   private def foldConstraints(path: String,
                               upTo: Long = Long.MaxValue): Seq[(String, String)] = {
     val cons = scala.collection.mutable.LinkedHashMap[String, String]()
-    versions(path).filter(_ <= upTo).foreach { v =>
-      Files.readAllLines(commitFile(path, v)).asScala.foreach { line =>
-        if (line.startsWith("c ")) {
-          val p = line.drop(2).split("\t", 2)
-          if (p.length == 2) cons(p(0)) = p(1)
-        } else if (line.startsWith("cd ")) cons.remove(line.drop(3))
-      }
+    def foldLines(lines: Iterable[String]): Unit = lines.foreach { line =>
+      if (line.startsWith("c ")) {
+        val p = line.drop(2).split("\t", 2)
+        if (p.length == 2) cons(p(0)) = p(1)
+      } else if (line.startsWith("cd ")) cons.remove(line.drop(3))
     }
+    val vs = versions(path).filter(_ <= upTo)
+    val cp = checkpointBase(path, upTo, vs)
+    cp.foreach(c => foldLines(
+      Files.readAllLines(checkpointFile(path, c)).asScala))
+    vs.filter(v => cp.forall(_ < v)).foreach(v =>
+      foldLines(Files.readAllLines(commitFile(path, v)).asScala))
     cons.toSeq
   }
 
@@ -290,13 +339,71 @@ object TxLogFormat extends TableFormat {
     commit(path, Nil, Nil, None, extra = Seq(s"cd $name"))
   }
 
-  /** Fuses the active constraints into `df` via [[graft.util.RowGuard]]:
-    * a violating row throws from inside the write job (zero extra passes;
-    * the failed write leaves only invisible orphans). A constraint
-    * referencing a column `df` lacks fails analysis loudly —
-    * schema-evolving writes must carry their constrained columns. */
-  private def constraintGuard(df: DataFrame, path: String): DataFrame =
-    graft.util.RowGuard(df, foldConstraints(path), s"at $path")
+  /** Fuses the given active constraints into `df` via
+    * [[graft.util.RowGuard]]: a violating row throws from inside the write
+    * job (zero extra passes; the failed write leaves only invisible
+    * orphans). A constraint referencing a column `df` lacks fails analysis
+    * loudly — schema-evolving writes must carry their constrained columns.
+    * Callers fold the set ONCE and hand the same set to [[commit]] as
+    * `enforced`, so the commit can detect a constraint declared after the
+    * guard was built (the addConstraint/writer race). */
+  private def constraintGuard(df: DataFrame, path: String,
+                              cons: Seq[(String, String)]): DataFrame =
+    graft.util.RowGuard(df, cons, s"at $path")
+
+  /** Deterministic test seam: runs at the top of every commit attempt. */
+  private[graft] var onCommitAttempt: String => Unit = _ => ()
+
+  /** Full folded state as of `upTo`, serialized as checkpoint body lines:
+    * schema, txn tags, live adds (commit order), live files' stats lines,
+    * active constraints — shared by [[vacuum]]'s in-slot fold and the
+    * sidecar auto-checkpoints. Folds from the newest usable sidecar, so
+    * writing checkpoint k+1 costs O(checkpointInterval), not O(history). */
+  private def checkpointLines(path: String, upTo: Long): Seq[String] = {
+    val vs = versions(path).filter(_ <= upTo)
+    val cp = checkpointBase(path, upTo, vs)
+    val allLines: Seq[String] =
+      cp.map(c => Files.readAllLines(checkpointFile(path, c))
+        .asScala.toSeq).getOrElse(Nil) ++
+      vs.filter(v => cp.forall(_ < v)).flatMap(v =>
+        Files.readAllLines(commitFile(path, v)).asScala)
+    val (liveH, schemaH, _) = snapshot(path, upTo)
+    val liveSet = liveH.toSet
+    val txnsH = allLines.filter(_.startsWith("t ")).distinct
+    // restate live files' recorded stats, or the fold would silently
+    // disable data skipping for everything it covers
+    val statsH = allLines.filter(l => l.startsWith("f ") &&
+      liveSet.contains(l.drop(2).split("\t", 2)(0))).distinct
+    // constraints restate like txn tags, or the fold would disarm
+    // enforcement for everything it covers
+    val consH = foldConstraints(path, upTo).map { case (n, e) => s"c $n\t$e" }
+    // preserve the newest load timestamp through the fold: a checkpoint
+    // restates history, it is not a load event
+    val wH = allLines.filter(_.startsWith("w ")).lastOption.toSeq
+    wH ++ schemaH.map("s " + _).toSeq ++ txnsH ++ liveH.map("a " + _) ++
+      statsH ++ consH
+  }
+
+  /** Write the `v` sidecar checkpoint if `v` is on the cadence. A sidecar
+    * is a pure cache of a deterministic fold: losing the race to another
+    * writer (same content) or failing to write it affects nothing but
+    * resolution cost, so errors are swallowed. */
+  private def maybeAutoCheckpoint(path: String, v: Long): Unit =
+    if (checkpointInterval > 0 && v > 0 && v % checkpointInterval == 0 &&
+        !Files.exists(checkpointFile(path, v))) try {
+      val content = ("m checkpoint" +: checkpointLines(path, v))
+        .mkString("", "\n", "\n")
+      val tmp = logDir(path).resolve(s".tmp-${UUID.randomUUID()}")
+      Files.writeString(tmp, content)
+      try Files.createLink(checkpointFile(path, v), tmp)
+      catch {
+        case _: UnsupportedOperationException =>
+          try Files.move(tmp, checkpointFile(path, v))
+          catch { case _: FileAlreadyExistsException => () }
+        case _: FileAlreadyExistsException => ()
+      }
+      Files.deleteIfExists(tmp)
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   /** Publish one commit with optimistic concurrency: write the full
     * content to a temp file, then hard-link it to the next version slot.
@@ -313,19 +420,43 @@ object TxLogFormat extends TableFormat {
                      stats: Seq[String] = Nil,
                      marker: Option[String] = None,
                      reResolveSchema: Option[() => Option[String]] = None,
-                     extra: Seq[String] = Nil): Long = {
+                     extra: Seq[String] = Nil,
+                     enforced: Option[Seq[(String, String)]] = None): Long = {
     val dir = logDir(path)
     Files.createDirectories(dir)
     var attempt = 0
     while (true) {
+      onCommitAttempt(path)
       val v = snapshot(path)._3 + 1
+      // constraint-enforcement conflict check, on EVERY attempt (the
+      // Delta conflict-detection shape): the caller's row guard enforced
+      // the constraint set folded at plan time, seconds of staging ago — a
+      // constraint DECLARED since then (addConstraint validates existing
+      // rows, then commits) was not enforced on the staged files, so
+      // letting this commit land could publish the very rows the
+      // validation scan exists to prevent. Refuse loudly; the writer
+      // re-runs and picks up the new declaration. Drops are safe (the
+      // guard was merely stricter than required).
+      enforced.foreach { enf =>
+        val enfSet = enf.toSet
+        val missed = foldConstraints(path).filterNot(enfSet.contains)
+        if (missed.nonEmpty) throw new java.util.ConcurrentModificationException(
+          s"txlog: constraint(s) declared after this write's guard was " +
+            s"built: ${missed.map(_._1).mkString(", ")} at $path — retry " +
+            "the write to enforce them")
+      }
       // re-resolve on EVERY attempt, not just retries: the caller computed
       // its merge before staging (seconds of writing ago) — a commit that
       // landed since then never trips the link CAS for THIS slot, yet its
       // schema must be folded in. Resolving here, in the same iteration
       // that claims slot v, merges against everything committed <= v-1.
       val schemaNow = reResolveSchema.map(_()).getOrElse(schemaJson)
+      // `w <epochsec>` records the load time INSIDE the commit content:
+      // filesystem mtime is not durable ([[vacuum]] rewrites the horizon
+      // commit file in place, which would reset an mtime-based freshness
+      // to "just loaded" — the r7 advice finding)
       val content = (marker.map("m " + _).toSeq ++
+        Seq(s"w ${java.time.Instant.now().getEpochSecond}") ++
         schemaNow.map("s " + _).toSeq ++ txn.map("t " + _).toSeq ++
         removes.map("r " + _) ++ adds.map("a " + _) ++ stats ++ extra)
         .mkString("", "\n", "\n")
@@ -339,6 +470,7 @@ object TxLogFormat extends TableFormat {
           Files.move(tmp, commitFile(path, v))
         }
         Files.deleteIfExists(tmp)
+        maybeAutoCheckpoint(path, v)
         return v
       } catch {
         case _: FileAlreadyExistsException =>
@@ -463,9 +595,11 @@ object TxLogFormat extends TableFormat {
   def write(df: DataFrame, path: String, partitionBy: Option[String] = None,
             clusterBy: Seq[String] = Nil): Unit = {
     val before = snapshot(path)._1
-    val adds = stageIn(constraintGuard(df, path), path, partitionBy, clusterBy)
+    val cons = foldConstraints(path)
+    val adds = stageIn(constraintGuard(df, path, cons), path, partitionBy, clusterBy)
     commit(path, adds, before, Some(df.schema.json),
-      stats = statsLines(df.sparkSession, path, adds))
+      stats = statsLines(df.sparkSession, path, adds),
+      enforced = Some(cons))
   }
 
   def overwritePartitions(df: DataFrame, path: String,
@@ -475,7 +609,8 @@ object TxLogFormat extends TableFormat {
     // untouched partitions' files survive this commit → additive merge,
     // not wholesale replace, so their columns stay readable
     val schema = mergeSchemas(prevSchema, df.schema)
-    val adds = stageIn(constraintGuard(df, path), path, Some(partitionCol), Nil)
+    val cons = foldConstraints(path)
+    val adds = stageIn(constraintGuard(df, path, cons), path, Some(partitionCol), Nil)
     // which partitions `df` touched falls straight out of the staged dir
     // names — no collect, no value formatting, escaping untouched.
     val newDirs = adds.map(_.split("/", 2)(0)).toSet
@@ -484,7 +619,8 @@ object TxLogFormat extends TableFormat {
     commit(path, adds, removes, Some(schema.json),
       stats = statsLines(df.sparkSession, path, adds),
       reResolveSchema =
-        Some(() => Some(mergeSchemas(snapshot(path)._2, df.schema).json)))
+        Some(() => Some(mergeSchemas(snapshot(path)._2, df.schema).json)),
+      enforced = Some(cons))
   }
 
   def replace(spark: SparkSession, df: DataFrame, path: String): Unit = {
@@ -492,9 +628,11 @@ object TxLogFormat extends TableFormat {
     // snapshot-pinned readers keep them) until vacuum, so there is no
     // self-overwrite hazard and no staging swap — one commit flips the set.
     val before = snapshot(path)._1
-    val adds = stageIn(constraintGuard(df, path), path, None, Nil)
+    val cons = foldConstraints(path)
+    val adds = stageIn(constraintGuard(df, path, cons), path, None, Nil)
     commit(path, adds, before, Some(df.schema.json),
-      stats = statsLines(spark, path, adds))
+      stats = statsLines(spark, path, adds),
+      enforced = Some(cons))
   }
 
   /** `MERGE INTO` (the Delta upsert): target rows whose `keyCol` matches a
@@ -552,11 +690,13 @@ object TxLogFormat extends TableFormat {
       else lit(null).cast(f.dataType).as(f.name)
     }.toSeq: _*)
     val out = if (kept == null) align(source) else align(kept).unionAll(align(source))
-    val adds = stageIn(constraintGuard(out, path), path, partitionBy, Nil)
+    val cons = foldConstraints(path)
+    val adds = stageIn(constraintGuard(out, path, cons), path, partitionBy, Nil)
     commit(path, adds, hitRel, Some(schema.json),
       stats = statsLines(spark, path, adds),
       reResolveSchema =
-        Some(() => Some(mergeSchemas(snapshot(path)._2, source.schema).json)))
+        Some(() => Some(mergeSchemas(snapshot(path)._2, source.schema).json)),
+      enforced = Some(cons))
     hitRel.size
   }
 
@@ -709,11 +849,16 @@ object TxLogFormat extends TableFormat {
 
   /** Transaction tags (`appId:batchId`) recorded so far — the replay
     * ledger behind [[appendBatch]]. */
-  def committedTxns(path: String): Set[String] =
-    versions(path).flatMap { v =>
+  def committedTxns(path: String): Set[String] = {
+    val vs = versions(path)
+    val cp = checkpointBase(path, Long.MaxValue, vs)
+    val base = cp.map(c => Files.readAllLines(checkpointFile(path, c)).asScala
+      .filter(_.startsWith("t ")).map(_.drop(2)).toSeq).getOrElse(Nil)
+    (base ++ vs.filter(v => cp.forall(_ < v)).flatMap { v =>
       Files.readAllLines(commitFile(path, v)).asScala
         .filter(_.startsWith("t ")).map(_.drop(2))
-    }.toSet
+    }).toSet
+  }
 
   /** Exactly-once streaming sink primitive (the Delta streaming-sink txn
     * protocol): append `df`'s files in one commit TAGGED with
@@ -737,11 +882,13 @@ object TxLogFormat extends TableFormat {
     // additive schema evolution: a batch may carry new columns (appended)
     // or omit committed ones (null-filled on read) — never a type change
     val schema = mergeSchemas(prevSchema, df.schema)
-    val adds = stageIn(constraintGuard(df, path), path, partitionBy, Nil)
+    val cons = foldConstraints(path)
+    val adds = stageIn(constraintGuard(df, path, cons), path, partitionBy, Nil)
     commit(path, adds, Nil, Some(schema.json), Some(tag),
       stats = statsLines(df.sparkSession, path, adds),
       reResolveSchema =
-        Some(() => Some(mergeSchemas(snapshot(path)._2, df.schema).json)))
+        Some(() => Some(mergeSchemas(snapshot(path)._2, df.schema).json)),
+      enforced = Some(cons))
     true
   }
 
@@ -1088,8 +1235,15 @@ object TxLogFormat extends TableFormat {
   def lastCommitEpoch(path: String): Long = {
     val vs = versions(path)
     require(vs.nonEmpty, s"txlog: no committed version at $path")
-    Files.getLastModifiedTime(commitFile(path, vs.last))
-      .toInstant.getEpochSecond
+    // the `w` line recorded at write time: durable against [[vacuum]]'s
+    // in-place rewrite of the horizon commit (whose fold PRESERVES the
+    // original load stamp — a checkpoint is not a load event), where the
+    // file's mtime would report a vacuumed stale table as freshly loaded.
+    // mtime stays as the fallback for pre-`w` logs.
+    Files.readAllLines(commitFile(path, vs.last)).asScala
+      .find(_.startsWith("w ")).map(_.drop(2).trim.toLong)
+      .getOrElse(Files.getLastModifiedTime(commitFile(path, vs.last))
+        .toInstant.getEpochSecond)
   }
 
   /** Commit history: (version, adds, removes) per commit. */
@@ -1117,31 +1271,23 @@ object TxLogFormat extends TableFormat {
       // later snapshots' live files resolve through. Txn tags carry
       // forward too, or a vacuum between micro-batches would forget a
       // replayed batch was already written.
-      val (liveH, schemaH, _) = snapshot(path, horizon)
-      val txnsH = vs.filter(_ <= horizon).flatMap { v =>
-        Files.readAllLines(commitFile(path, v)).asScala
-          .filter(_.startsWith("t "))
-      }.distinct
-      // carry live files' recorded stats into the checkpoint, or vacuum
-      // would silently disable data skipping for everything it folds
-      val liveSet = liveH.toSet
-      val statsLinesH = versions(path).filter(_ <= horizon).flatMap { v =>
-        Files.readAllLines(commitFile(path, v)).asScala
-          .filter(l => l.startsWith("f ") &&
-            liveSet.contains(l.drop(2).split("\t", 2)(0)))
-      }.distinct
-      // constraints fold the same way as txn tags: the checkpoint must
-      // restate the surviving declarations or vacuum would silently
-      // disarm enforcement for everything it folds
-      val consH = foldConstraints(path, horizon).map { case (n, e) => s"c $n\t$e" }
-      val content = ("m checkpoint" +: (schemaH.map("s " + _).toSeq ++ txnsH ++
-        liveH.map("a " + _) ++ statsLinesH ++ consH)).mkString("", "\n", "\n")
+      // the folded content (schema + txn tags + live adds + surviving
+      // stats + active constraints) is the shared checkpoint body —
+      // see [[checkpointLines]] for why each family must restate
+      val content = ("m checkpoint" +: checkpointLines(path, horizon))
+        .mkString("", "\n", "\n")
       val tmp = logDir(path).resolve(s".tmp-${UUID.randomUUID()}")
       Files.writeString(tmp, content)
       Files.move(tmp, commitFile(path, horizon),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       vs.filter(_ < horizon).foreach(v => Files.deleteIfExists(commitFile(path, v)))
+      // sidecar checkpoints below the horizon reference vacuumed history:
+      // drop them so resolution can never fold a base whose covering
+      // commits are gone (checkpointBase also guards against the
+      // crash-between-deletes window)
+      checkpointVersions(path).filter(_ < horizon)
+        .foreach(v => Files.deleteIfExists(checkpointFile(path, v)))
     }
     val retained = versions(path)
     val reachable = retained.flatMap(v => snapshot(path, v)._1).toSet

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.util.Det.centsSum
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types._
+import scala.jdk.CollectionConverters._
 
 /** One event as seen by the stateful sessionizer (event_time carries the
   * watermark column into the stateful operator). */
@@ -498,6 +499,22 @@ object StreamOps {
     Seq((-1L, -1L, sentTs, 0.0)).toDF("event_id", "user_id", "ts_s", "value")
       .withColumn("event_time", timestamp_seconds(col("ts_s")))
       .coalesce(1).write.mode("overwrite").parquet(sentDir.toString)
+    // Split-batch guard (r7 advice): this union is built with NO
+    // maxFilesPerTrigger/latestFirst, so AvailableNow takes the whole
+    // backlog in one batch and the sentinel cannot outrun real events. If
+    // a future caller splits batches anyway, the file source orders the
+    // backlog by modification time — stamping the sentinel file into the
+    // future makes it the LAST file any multi-batch schedule processes,
+    // so its watermark push can never drop still-queued real events.
+    locally {
+      val s = java.nio.file.Files.list(sentDir)
+      try s.iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .foreach(java.nio.file.Files.setLastModifiedTime(_,
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() + 3600L * 1000)))
+      finally s.close()
+    }
     val sentinel = spark.readStream.schema(real.schema).parquet(sentDir.toString)
     val evs = real.unionByName(sentinel)
       .withWatermark("event_time", "10 minutes")

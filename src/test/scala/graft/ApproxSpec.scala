@@ -394,13 +394,31 @@ class ApproxSpec extends SparkSpec {
     assert(viaIndex == got.toSet, "index reuse diverged from recompute")
   }
 
+  test("recall-1 LSH config reproduces the exact semantic-dedup survivors") {
+    // 1 plane/table x 40 tables: a cos>=0.35 pair misses all tables with
+    // prob (acos(0.35)/pi)^40 ~ 3e-17, so candidates ⊇ exact pairs and the
+    // exact verify makes the survivor sets identical — the property the
+    // driver oracle (dedup_semantic_lsh_r1) adjudicates at sf0.01
+    val emb = Tables.embeddings(spark, sf).filter(col("vec_id") % 5 === 0)
+    val exact = Similarity.semanticDedup(emb)
+      .collect().map(_.toSeq).toSet
+    val lsh = Similarity.semanticDedupApprox(emb, nTables = 40, planesPerTable = 1)
+      .collect().map(_.toSeq).toSet
+    assert(lsh == exact,
+      s"r1 config diverged: missing=${exact -- lsh} extra=${lsh -- exact}")
+  }
+
   test("per-group heavy hitters: MG bounds hold within every group") {
     val docs = Tables.documents(spark, sf)
     val k = 64
     val got = TextAnalysis.heavyHittersPerGroup(docs, summaryK = k, topN = 5)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // truth stream = TOTAL token frequency (TextNorm.words, duplicates per
+    // doc kept) — the same stream heavyHittersPerGroup summarizes; its
+    // single-group siblings (heavyHitters/heavyHittersApprox) share this
+    // semantics. Doc-frequency (distinctWords) is a different operator.
     val toks = docs.select(col("lang"),
-        explode(graft.util.TextNorm.distinctWords(col("text"))).as("word"))
+        explode(graft.util.TextNorm.words(col("text"))).as("word"))
       .filter(col("word") =!= "")
     val exact = toks.groupBy("lang", "word").count().collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap

@@ -172,6 +172,49 @@ class FormatSpec extends SparkSpec {
     assert(rows(TxLogFormat.read(spark, t).orderBy("o_orderkey")) == want)
   }
 
+  test("auto-checkpoint sidecars: resolution needs only the latest " +
+       "sidecar + trailing commits; history stays intact; vacuum sweeps") {
+    // the streaming-sink shape: one small append commit per micro-batch,
+    // never vacuumed — the r7 hazard was a linearly growing log fold
+    val t = tmp()
+    val one = (i: Int) => spark.range(i, i + 1)
+      .selectExpr("id AS k", "id * 2 AS v")
+    (0 until 25).foreach(i =>
+      assert(TxLogFormat.appendBatch(one(i), t, "app", i.toLong)))
+    // versions 0..24 at cadence 10 → sidecars at v10 and v20
+    val lg = Paths.get(t, "_txlog")
+    import scala.jdk.CollectionConverters._
+    def cpVersions() = Files.list(lg).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".checkpoint"))
+      .map(_.stripSuffix(".checkpoint").toLong).toSeq.sorted
+    assert(cpVersions() == Seq(10L, 20L),
+      s"expected sidecars at the cadence, got ${cpVersions()}")
+    // commit history is fully intact (sidecars are a cache, not a fold-in)
+    assert(TxLogFormat.versions(t) == (0L to 24L))
+    val want = rows(TxLogFormat.read(spark, t).orderBy("k"))
+    assert(want.size == 25)
+    // time travel + txn ledger unaffected
+    assert(TxLogFormat.readVersion(spark, t, 4L).count() == 5)
+    assert(TxLogFormat.committedTxns(t) ==
+      (0 until 25).map(i => s"app:$i").toSet)
+    // THE property: current-state resolution reads only the newest sidecar
+    // plus the <=interval commits after it. Deleting every commit the
+    // sidecar covers must not change the resolved snapshot or the ledger.
+    (0L to 20L).foreach(v =>
+      Files.delete(lg.resolve(f"$v%016d.commit")))
+    assert(rows(TxLogFormat.read(spark, t).orderBy("k")) == want)
+    assert(TxLogFormat.committedTxns(t) ==
+      (0 until 25).map(i => s"app:$i").toSet)
+    // a new append still lands on the next slot and reads fold correctly
+    assert(TxLogFormat.appendBatch(one(25), t, "app", 25L))
+    assert(TxLogFormat.read(spark, t).count() == 26)
+    // vacuum drops sidecars below its horizon (their covered commits die)
+    TxLogFormat.vacuum(t, retainVersions = 1)
+    assert(cpVersions().forall(_ >= TxLogFormat.versions(t).head),
+      s"stale sidecars survived vacuum: ${cpVersions()}")
+    assert(TxLogFormat.read(spark, t).count() == 26)
+  }
+
   test("commit CAS: non-conflicting concurrent writers all land") {
     val orders = Tables.orders(spark, sf).select("o_orderkey", "o_orderstatus")
     val t = tmp()
@@ -666,6 +709,45 @@ class FormatSpec extends SparkSpec {
     assert(TxLogFormat.read(spark, t).filter(col("o_totalprice") < 0).count() == 2)
   }
 
+  test("addConstraint racing a writer: the writer's commit refuses when a " +
+       "constraint was declared after its guard was built") {
+    // r7 advice: a writer guards rows with the constraint set folded at
+    // plan time; addConstraint validates existing rows and commits in the
+    // staging window; without a conflict check the writer's (unguarded)
+    // violating rows land in a version AFTER the declaration — exactly
+    // what the validation scan exists to prevent. The seam injects the
+    // declaration deterministically at the writer's first commit attempt.
+    val t = tmp()
+    TxLogFormat.write(spark.range(5).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v"), t)
+    var fired = false
+    TxLogFormat.onCommitAttempt = { p =>
+      if (!fired && p == t) {
+        fired = true // clear first: addConstraint commits through the seam
+        TxLogFormat.addConstraint(spark, t, "v_small", "v < 100")
+      }
+    }
+    try {
+      val e = intercept[java.util.ConcurrentModificationException] {
+        // violates v_small — the guard folded BEFORE the declaration
+        TxLogFormat.appendBatch(
+          spark.range(1).selectExpr("id + 7 AS k", "CAST(500.0 AS DOUBLE) AS v"), t, "app", 0L)
+      }
+      assert(e.getMessage.contains("v_small"), e.getMessage)
+    } finally TxLogFormat.onCommitAttempt = _ => ()
+    // nothing landed, the declaration survives, and a retried write now
+    // enforces it (violation throws from inside the job, not the commit)
+    assert(TxLogFormat.read(spark, t).count() == 5)
+    assert(TxLogFormat.constraints(t).contains("v_small"))
+    val e2 = intercept[Exception] {
+      TxLogFormat.appendBatch(
+        spark.range(1).selectExpr("id + 7 AS k", "CAST(500.0 AS DOUBLE) AS v"), t, "app", 0L)
+    }
+    assert(e2.getMessage != null)
+    assert(TxLogFormat.appendBatch(
+      spark.range(1).selectExpr("id + 7 AS k", "CAST(50.0 AS DOUBLE) AS v"), t, "app", 1L))
+    assert(TxLogFormat.read(spark, t).count() == 6)
+  }
+
   test("cloneTable: zero-copy, version-pinned, immune to source vacuum") {
     val orders = Tables.orders(spark, sf)
       .select("o_orderkey", "o_orderstatus", "o_totalprice")
@@ -723,7 +805,15 @@ class FormatSpec extends SparkSpec {
     // a new commit refreshes the load time
     TxLogFormat.appendBatch(Tables.orders(spark, sf)
       .select("o_orderkey", "o_totalprice").limit(1), t, "fr", 1L)
-    assert(TxLogFormat.lastCommitEpoch(t) >= loaded)
+    val loaded2 = TxLogFormat.lastCommitEpoch(t)
+    assert(loaded2 >= loaded)
+    // vacuum rewrites the horizon commit IN PLACE — the load stamp rides
+    // the commit content (`w` line), so a no-new-data vacuum must NOT
+    // reset freshness to "just loaded" (r7 advice: mtime did exactly that)
+    Thread.sleep(1500)
+    TxLogFormat.vacuum(t, retainVersions = 1)
+    assert(TxLogFormat.lastCommitEpoch(t) == loaded2,
+      s"vacuum moved the load time: $loaded2 -> ${TxLogFormat.lastCommitEpoch(t)}")
   }
 
   test("Pipeline drop-in parity: same DAG, same results as ParquetDirFormat") {

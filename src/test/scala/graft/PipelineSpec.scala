@@ -716,6 +716,38 @@ class PipelineSpec extends SparkSpec {
     assert(p2.selectModifiedPlus(manifest, res) == Seq("api_m", "fct_c"))
   }
 
+  test("view contract survives a pruning consumer (guard is a Filter, " +
+       "not a prunable projection alias)") {
+    // r7 advice: the first-column Project guard was removed by column
+    // pruning whenever the consumer read no guarded column — count(lit(1))
+    // over a contracted VIEW sailed past violations. The Filter guard must
+    // throw for ANY consumer shape.
+    val orders = Tables.orders(spark, sf)
+    val contract = Contract(columns = Seq("id" -> "bigint", "v" -> "double"),
+      checks = Map("v_nonneg" -> "v >= 0"))
+    val p = new Pipeline(Seq(
+      Model("bad_view", Seq("orders"), ViewMat,
+        in => in("orders").select(col("o_orderkey").as("id"),
+          (-col("o_totalprice")).as("v")),
+        contract = Some(contract)),
+      // reads NO columns of the view: the pruning consumer
+      Model("n_rows", Seq("bad_view"), TableMat(),
+        in => in("bad_view").agg(count(lit(1)).as("n")))))
+    val (_, st) = p.build(spark, Map("orders" -> orders), tmp())
+    assert(st.values.exists(_.startsWith("error:")),
+      s"violation must surface through the pruning consumer: $st")
+    // and a select of a non-guard column enforces too
+    val p2 = new Pipeline(Seq(
+      Model("bad_view", Seq("orders"), ViewMat,
+        in => in("orders").select(col("o_orderkey").as("id"),
+          (-col("o_totalprice")).as("v")),
+        contract = Some(contract)),
+      Model("only_v", Seq("bad_view"), TableMat(),
+        in => in("bad_view").select("v"))))
+    val (_, st2) = p2.build(spark, Map("orders" -> orders), tmp())
+    assert(st2.values.exists(_.startsWith("error:")), st2.toString)
+  }
+
   test("dbt clone: table models spring from source state without " +
        "recompute; zero-copy on the txlog format") {
     val orders = Tables.orders(spark, sf)
@@ -785,6 +817,16 @@ class PipelineSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException] {
       dag.queryMetric(resolved, "revenue", Nil, where = Some("o_custkey > 5"))
     }.getMessage.contains("undeclared"))
+    // subqueries refuse outright: attribute collection does not descend
+    // into a subquery's plan, so they could smuggle undeclared columns
+    assert(intercept[IllegalArgumentException] {
+      dag.queryMetric(resolved, "revenue", Nil,
+        where = Some("exists(select 1 from t where o_custkey > 5)"))
+    }.getMessage.contains("subquer"))
+    assert(intercept[IllegalArgumentException] {
+      dag.queryMetric(resolved, "revenue", Nil,
+        where = Some("o_orderpriority in (select p from t)"))
+    }.getMessage.contains("subquer"))
     assert(intercept[IllegalArgumentException] {
       dag.queryMetric(resolved, "n_orders", Nil, grain = Some("month"))
     }.getMessage.contains("time dimension"))

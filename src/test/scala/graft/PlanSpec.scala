@@ -93,6 +93,13 @@ class PlanSpec extends SparkSpec {
       "jaccardPairs" -> Dedup.jaccardPairs(Tables.documents(spark, sf)),
       "lshCandidates" -> Similarity.lshCandidates(Tables.embeddings(spark, sf)),
       "verbatimOverlap" -> TextAnalysis.verbatimOverlap(Tables.documents(spark, sf)),
+      // staging/mart family (r7 verdict): fact-scale map-only outputs must
+      // stay map-only — a presentation orderBy costs a full range exchange
+      // plus a bounds-sampling re-execution of the scan
+      "stgOrders" -> Relational.stgOrders(Tables.orders(spark, sf)),
+      "stgLineitem" -> Relational.stgLineitem(Tables.lineitem(spark, sf)),
+      "fctBucket" -> Relational.fctBucket(Tables.orders(spark, sf)),
+      "extractProps" -> Json.extractProps(Tables.events(spark, sf)),
     ).foreach { case (name, df) =>
       val sorts = df.queryExecution.optimizedPlan.collect {
         case s: org.apache.spark.sql.catalyst.plans.logical.Sort if s.global => s

@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline._
+
+/** Config-as-files parity: the loader builds the REFERENCE project's DAG
+  * from its actual YAML + SQL files (r7 verdict "what's missing" #1) —
+  * dbt_project.yml's config tree, profiles.yml's targets, the model
+  * files' jinja refs/config headers, and the schema .yml tests all land
+  * on the existing case classes, and the reference's own model SQL runs
+  * through spark.sql unchanged. */
+class ProjectYamlSpec extends SparkSpec {
+
+  private val refDir = "/root/reference"
+
+  test("reference dbt_project.yml: name, profile, folder config tree") {
+    val p = ProjectYaml.loadProject(
+      java.nio.file.Files.readString(
+        java.nio.file.Paths.get(refDir, "dbt_project.yml")))
+    assert(p.name == "dbt_gcloud" && p.profile == "dbt_gcloud")
+    assert(p.modelPaths == Seq("models"))
+    val staging = ProjectYaml.folderConfig(p.modelsTree, p.name, Seq("staging"))
+    val marts = ProjectYaml.folderConfig(p.modelsTree, p.name, Seq("marts"))
+    assert(staging("materialized") == "view", staging.toString)
+    assert(marts("materialized") == "table", marts.toString)
+    // root-level +config inherits into every folder
+    assert(staging("on_schema_change") == "append_new_columns")
+  }
+
+  test("reference profiles.yml: targets resolve with env_var defaults") {
+    val yml = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(refDir, "profiles/profiles.yml"))
+    val (targets, default) =
+      ProjectYaml.loadProfiles(yml, "dbt_cloud", "/tmp/wh")
+    assert(default == "dev") // env_var('DBT_TARGET', 'dev') default
+    assert(targets.map(_.name).toSet == Set("dev", "ci", "prod"))
+    val byName = targets.map(t => t.name -> t).toMap
+    assert(byName("dev").threads == 4 && byName("prod").threads == 8)
+    // dev dataset: env_var('DBT_BQ_DATASET', 'analytics_' ~
+    // env_var('DBT_USER', 'local')) → nested default + concat
+    assert(byName("dev").warehousePath == "/tmp/wh/analytics_local",
+      byName("dev").warehousePath)
+    // env bindings win over defaults
+    val (t2, d2) = ProjectYaml.loadProfiles(yml, "dbt_cloud", "/tmp/wh",
+      Map("DBT_TARGET" -> "prod", "DBT_USER" -> "alice"))
+    assert(d2 == "prod")
+    assert(t2.find(_.name == "dev").get.warehousePath ==
+      "/tmp/wh/analytics_alice")
+    // Target.resolve honors the profile's default selection
+    assert(Target.resolve(targets, default).name == "dev")
+  }
+
+  test("reference model SQL: config headers, refs, tests load onto Model") {
+    val (models, _) = ProjectYaml.loadModels(refDir, includeDisabled = true)
+    assert(models.map(_.name).toSet == Set("stg_example", "fct_example"))
+    val stg = models.find(_.name == "stg_example").get
+    val fct = models.find(_.name == "fct_example").get
+    // deps from jinja: source('raw','example') and ref('stg_example')
+    assert(stg.deps == Seq("raw.example"))
+    assert(fct.deps == Seq("stg_example"))
+    // staging folder → view; fct's config() header wins over the folder:
+    // materialized='table', partition_by created_at_ts, cluster_by id
+    assert(stg.materialization == ViewMat)
+    assert(fct.materialization == TableMat(Some("created_at_ts"), Seq("id")))
+    // schema .yml tests: stg unique+not_null on id, fct not_null on id
+    assert(stg.tests.map(_._1).toSet ==
+      Set("unique_stg_example_id", "not_null_stg_example_id"))
+    assert(fct.tests.map(_._1) == Seq("not_null_fct_example_id"))
+    // the reference templates ship disabled — the flag honors that
+    assert(ProjectYaml.loadModels(refDir)._1.isEmpty)
+  }
+
+  test("the reference project RUNS: its own SQL executes through " +
+       "spark.sql, bucket semantics match fct_example.sql") {
+    import spark.implicits._
+    val dag = ProjectYaml.load(refDir, includeDisabled = true)
+    val raw = Seq(
+      (1L, "2024-01-01 10:00:00", 50.0),
+      (2L, "2024-01-02 11:00:00", 150.0),
+      (3L, "2024-01-03 12:00:00", 100.0),
+    ).toDF("id", "created_at", "value")
+    val dir = java.nio.file.Files.createTempDirectory("graft_yaml").toString
+    // build interleaves the .yml tests with materialization, dbt-style
+    val (out, status) = dag.build(spark, Map("raw.example" -> raw), dir)
+    assert(status.values.forall(_ == "success"), status.toString)
+    val stg = out("stg_example")
+    assert(stg.schema("created_at_ts").dataType ==
+      org.apache.spark.sql.types.TimestampType) // the cast in stg_example.sql
+    val fct = out("fct_example").orderBy("id").collect()
+    assert(fct.map(_.getAs[String]("bucket")).toSeq ==
+      Seq("regular", "high", "regular")) // > 100, not >=
+    // a duplicate id now violates stg's unique test and gates downstream
+    val dup = raw.unionAll(Seq((1L, "2024-01-04 09:00:00", 1.0))
+      .toDF("id", "created_at", "value"))
+    val (out2, st2) = dag.build(spark, Map("raw.example" -> dup),
+      java.nio.file.Files.createTempDirectory("graft_yaml2").toString)
+    assert(st2("stg_example").startsWith("fail: test unique_stg_example_id"),
+      st2.toString)
+    assert(st2("fct_example") == "skipped" && !out2.contains("fct_example"))
+  }
+
+  test("exposures + sources yml shapes parse (uncommented reference form)") {
+    val expYml =
+      """version: 2
+        |exposures:
+        |  - name: example_dashboard
+        |    type: dashboard
+        |    maturity: low
+        |    owner:
+        |      name: Data Team
+        |      email: data@example.com
+        |    depends_on:
+        |      - ref('fct_example')
+        |    tags: [example, docs]
+        |""".stripMargin
+    val exps = ProjectYaml.loadExposures(expYml)
+    assert(exps == Seq(Exposure("example_dashboard", "dashboard",
+      "Data Team", Seq("fct_example"), "")))
+    // reference exposures.yml ships fully commented out → empty, no error
+    val real = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(refDir, "models/exposures.yml"))
+    assert(ProjectYaml.loadExposures(real).isEmpty)
+  }
+}
