@@ -66,6 +66,21 @@ object Snapshot {
       .orderBy("o_custkey", "valid_from", "o_orderkey")
   }
 
+  /** Generic dbt timestamp-strategy snapshot for ANY frame (the YAML
+    * loader's target — reference snapshots/example_snapshot.sql declares
+    * `unique_key` + `updated_at`): each key's rows ordered by `updatedAt`
+    * become [dbt_valid_from, dbt_valid_to) versions, open version current
+    * — dbt's output column names. Rows of one key sharing an updated_at
+    * are inherently ambiguous (same in dbt); upstream should dedup them.
+    * One window shuffle on the key, same scale shape as [[scd2]]. */
+  def scd2Timestamp(df: DataFrame, uniqueKey: String,
+                    updatedAt: String): DataFrame = {
+    val w = Window.partitionBy(col(uniqueKey)).orderBy(col(updatedAt))
+    df.withColumn("dbt_valid_from", col(updatedAt))
+      .withColumn("dbt_valid_to", lead(col(updatedAt), 1).over(w))
+      .withColumn("dbt_is_current", col("dbt_valid_to").isNull)
+  }
+
   def scd2(orders: DataFrame): DataFrame = {
     val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     orders.select(

@@ -273,6 +273,8 @@ object ProjectYaml {
 
   final case class ProjectConfig(name: String, profile: String,
                                  modelPaths: Seq[String],
+                                 seedPaths: Seq[String],
+                                 snapshotPaths: Seq[String],
                                  modelsTree: Map[String, Any])
 
   def loadProject(yaml: String): ProjectConfig = {
@@ -281,6 +283,9 @@ object ProjectYaml {
       name = str(root.getOrElse("name", "project")),
       profile = str(root.getOrElse("profile", "")),
       modelPaths = seq(root.getOrElse("model-paths", Seq("models"))).map(str),
+      seedPaths = seq(root.getOrElse("seed-paths", Seq("seeds"))).map(str),
+      snapshotPaths =
+        seq(root.getOrElse("snapshot-paths", Seq("snapshots"))).map(str),
       modelsTree = m(root.getOrElse("models", Map.empty)))
   }
 
@@ -357,6 +362,8 @@ object ProjectYaml {
   private val RefPat = "\\{\\{\\s*ref\\s*\\(\\s*'([^']+)'\\s*\\)\\s*\\}\\}".r
   private val SourcePat =
     "\\{\\{\\s*source\\s*\\(\\s*'([^']+)'\\s*,\\s*'([^']+)'\\s*\\)\\s*\\}\\}".r
+  private val SnapshotPat =
+    ("(?s)\\{%\\s*snapshot\\s+(\\w+)\\s*%\\}(.*?)\\{%\\s*endsnapshot\\s*%\\}").r
 
   /** deps of a model body: ref('m') → "m", source('s','t') → "s.t" (the
     * input-map key convention for [[Pipeline.run]] sources). */
@@ -522,6 +529,66 @@ object ProjectYaml {
           tests = tests.getOrElse(name, Nil)))
       }
     }
-    (models, exposures)
+    // seeds: each CSV under seed-paths is a dependency-less table model
+    // (dbt `dbt seed` — reference seeds/example_seed.csv)
+    val seeds = project.seedPaths.map(root.resolve)
+      .filter(Files.isDirectory(_)).flatMap { d =>
+        val s = Files.list(d)
+        val csvs = try s.iterator().asScala
+          .filter(_.toString.endsWith(".csv")).toVector finally s.close()
+        csvs.map { f =>
+          val name = f.getFileName.toString.stripSuffix(".csv")
+          val path = f.toString
+          Model(name, Nil, TableMat(),
+            _ => org.apache.spark.sql.SparkSession.active.read
+              .option("header", "true").option("inferSchema", "true")
+              .csv(path),
+            checksum = Integer.toHexString(
+              Files.readString(f).hashCode),
+            tests = tests.getOrElse(name, Nil))
+        }
+      }
+    // snapshots: `{% snapshot name %} config + select {% endsnapshot %}`
+    // blocks (reference snapshots/example_snapshot.sql) — timestamp
+    // strategy maps onto the generic SCD-2 operator over the block's SELECT
+    val snapshots = project.snapshotPaths.map(root.resolve)
+      .filter(Files.isDirectory(_)).flatMap { d =>
+        val s = Files.walk(d)
+        val files = try s.iterator().asScala.filter(f =>
+          Files.isRegularFile(f) && f.toString.endsWith(".sql")).toVector
+        finally s.close()
+        files.flatMap { f =>
+          val raw = Files.readString(f)
+          SnapshotPat.findAllMatchIn(raw).flatMap { blk =>
+            val name = blk.group(1)
+            val (cfg, body) = parseConfigHeader(blk.group(2))
+            val enabled = cfg.get("enabled") match {
+              case Some(b: Boolean) => b
+              case _ => true
+            }
+            if (!enabled && !includeDisabled) None
+            else {
+              val strategy = str(cfg.getOrElse("strategy", "timestamp"))
+              require(strategy == "timestamp",
+                s"snapshot $name: only strategy='timestamp' loads from " +
+                  s"YAML (got '$strategy'); use the Snapshot operators " +
+                  "directly for check-strategy history")
+              val key = str(cfg.getOrElse("unique_key",
+                throw new IllegalArgumentException(
+                  s"snapshot $name: unique_key is required")))
+              val updatedAt = str(cfg.getOrElse("updated_at",
+                throw new IllegalArgumentException(
+                  s"snapshot $name: updated_at is required for " +
+                    "strategy='timestamp'")))
+              val build = sqlBuild(name, body)
+              Some(Model(name, depsOf(body), TableMat(),
+                in => graft.operators.Snapshot.scd2Timestamp(
+                  build(in), key, updatedAt),
+                checksum = Integer.toHexString(raw.hashCode)))
+            }
+          }.toVector
+        }
+      }
+    (models ++ seeds ++ snapshots, exposures)
   }
 }

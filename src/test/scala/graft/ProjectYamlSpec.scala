@@ -52,7 +52,8 @@ class ProjectYamlSpec extends SparkSpec {
 
   test("reference model SQL: config headers, refs, tests load onto Model") {
     val (models, _) = ProjectYaml.loadModels(refDir, includeDisabled = true)
-    assert(models.map(_.name).toSet == Set("stg_example", "fct_example"))
+    assert(models.map(_.name).toSet ==
+      Set("stg_example", "fct_example", "example_seed", "example_snapshot"))
     val stg = models.find(_.name == "stg_example").get
     val fct = models.find(_.name == "fct_example").get
     // deps from jinja: source('raw','example') and ref('stg_example')
@@ -66,8 +67,12 @@ class ProjectYamlSpec extends SparkSpec {
     assert(stg.tests.map(_._1).toSet ==
       Set("unique_stg_example_id", "not_null_stg_example_id"))
     assert(fct.tests.map(_._1) == Seq("not_null_fct_example_id"))
-    // the reference templates ship disabled — the flag honors that
-    assert(ProjectYaml.loadModels(refDir)._1.isEmpty)
+    // snapshot block: deps from its ref, timestamp-strategy config parsed
+    val snap = models.find(_.name == "example_snapshot").get
+    assert(snap.deps == Seq("fct_example"))
+    // the reference model/snapshot templates ship `enabled=false` — only
+    // the seed (no enabled flag) loads without the override
+    assert(ProjectYaml.loadModels(refDir)._1.map(_.name) == Seq("example_seed"))
   }
 
   test("the reference project RUNS: its own SQL executes through " +
@@ -83,6 +88,13 @@ class ProjectYamlSpec extends SparkSpec {
     // build interleaves the .yml tests with materialization, dbt-style
     val (out, status) = dag.build(spark, Map("raw.example" -> raw), dir)
     assert(status.values.forall(_ == "success"), status.toString)
+    // the seed CSV loads as a table model
+    assert(out("example_seed").orderBy("id").collect().map(_.getString(1))
+      .toSeq == Seq("Alice", "Bob"))
+    // the snapshot runs over fct_example: unique ids → one open version each
+    val snap = out("example_snapshot")
+    assert(snap.count() == 3 &&
+      snap.filter(col("dbt_is_current")).count() == 3)
     val stg = out("stg_example")
     assert(stg.schema("created_at_ts").dataType ==
       org.apache.spark.sql.types.TimestampType) // the cast in stg_example.sql
