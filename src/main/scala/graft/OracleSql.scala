@@ -324,15 +324,29 @@ object OracleSql {
 
     "ann_topk" -> annTopkSql,
 
+    // bloom scan ≡ read + filter by construction: plain filter SQL
+    // adjudicates declaration → per-file filter build → driver-side probe
+    "txlog_bloom_scan" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders WHERE o_orderpriority = '1-URGENT' ORDER BY o_orderkey""",
+
     // exhaustive-probe IVF-SQ8 (probe all cells, rerank everything) must
     // equal the exact top-k — same oracle as ann_topk by construction
     "ann_ivf_q" -> annTopkSql,
+
+    // IVF-PQ at the exhaustive config (probe all cells, rerank all
+    // candidates): stage 2 ranks every candidate exactly → ≡ ann_topk
+    "ann_pq_q" -> annTopkSql,
 
     "embedding_quantize" ->
       """WITH e AS (SELECT vec_id, label, embedding, CAST(list_min(embedding) AS DOUBLE) AS mn, CAST(list_max(embedding) AS DOUBLE) AS mx FROM embeddings), s AS (SELECT *, CASE WHEN mx > mn THEN (mx - mn)/255.0 ELSE 0.0 END AS scale FROM e) SELECT vec_id, label, ROUND(mn*10000,0)/10000.0 AS qmin, ROUND(mx*10000,0)/10000.0 AS qmax, CASE WHEN scale > 0 THEN array_to_string(list_transform(embedding, x -> CAST(CAST(ROUND((CAST(x AS DOUBLE) - mn)/scale, 0) AS INT) AS VARCHAR)), ',') ELSE array_to_string(list_transform(embedding, x -> '0'), ',') END AS q FROM s ORDER BY vec_id""",
 
     "dedup_semantic" ->
       """WITH p AS (SELECT x.vec_id AS a, y.vec_id AS b, (SELECT SUM(CAST(xe AS DOUBLE) * CAST(ye AS DOUBLE)) FROM (SELECT unnest(x.embedding) AS xe, unnest(y.embedding) AS ye)) / (sqrt((SELECT SUM(CAST(xe AS DOUBLE) * CAST(xe AS DOUBLE)) FROM (SELECT unnest(x.embedding) AS xe))) * sqrt((SELECT SUM(CAST(ye AS DOUBLE) * CAST(ye AS DOUBLE)) FROM (SELECT unnest(y.embedding) AS ye)))) AS cos FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id), removed AS (SELECT DISTINCT b FROM p WHERE ROUND(cos * 10000, 0)/10000.0 >= 0.35) SELECT vec_id, label FROM embeddings WHERE vec_id NOT IN (SELECT b FROM removed) ORDER BY vec_id""",
+
+    // recall-1 LSH config on the 20% slice: the candidate generator's
+    // verified pair set must equal the exact cross pairs at cos >= 0.4
+    "ann_lsh_r1" ->
+      """WITH e AS (SELECT * FROM embeddings WHERE vec_id % 5 = 0) SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, ROUND((SELECT SUM(CAST(xe AS DOUBLE) * CAST(ye AS DOUBLE)) FROM (SELECT unnest(x.embedding) AS xe, unnest(y.embedding) AS ye)) / (sqrt((SELECT SUM(CAST(xe AS DOUBLE) * CAST(xe AS DOUBLE)) FROM (SELECT unnest(x.embedding) AS xe))) * sqrt((SELECT SUM(CAST(ye AS DOUBLE) * CAST(ye AS DOUBLE)) FROM (SELECT unnest(y.embedding) AS ye)))) * 10000, 0)/10000.0 AS cos_sim FROM e x JOIN e y ON x.vec_id < y.vec_id WHERE ROUND((SELECT SUM(CAST(xe AS DOUBLE) * CAST(ye AS DOUBLE)) FROM (SELECT unnest(x.embedding) AS xe, unnest(y.embedding) AS ye)) / (sqrt((SELECT SUM(CAST(xe AS DOUBLE) * CAST(xe AS DOUBLE)) FROM (SELECT unnest(x.embedding) AS xe))) * sqrt((SELECT SUM(CAST(ye AS DOUBLE) * CAST(ye AS DOUBLE)) FROM (SELECT unnest(y.embedding) AS ye)))) * 10000, 0)/10000.0 >= 0.4 ORDER BY vec_a, vec_b""",
 
     // recall-1 LSH config on the 20% slice must reproduce the exact
     // greedy-survivor set (same SQL as dedup_semantic, restricted)

@@ -106,6 +106,7 @@ object SparkEntry {
     "txlog_gdpr"        -> ((s, d) => Acid.txlogGdpr(s, Tables.orders(s, d))),
     "txlog_timetravel"  -> ((s, d) => Acid.txlogTimeTravel(s, Tables.orders(s, d))),
     "txlog_scan"        -> ((s, d) => Acid.txlogScan(s, Tables.orders(s, d))),
+    "txlog_bloom_scan"  -> ((s, d) => Acid.txlogBloomScan(s, Tables.orders(s, d))),
     "txlog_changes"     -> ((s, d) => Acid.txlogChanges(s, Tables.orders(s, d))),
     // microbatch: delta re-emits only even keys of 1998+; those months are
     // REPLACED wholesale (odd-key rows in them disappear), earlier months
@@ -330,6 +331,15 @@ object SparkEntry {
     "ann_ivf_q"       -> ((s, d) => Similarity.ivfTopKQuantized(
                             Tables.embeddings(s, d),
                             nProbe = 16, rerank = Int.MaxValue)),
+    // IVF-PQ: selective config (8-probe, PQ-coded stage 1, rerank 30) is
+    // rows-only, recall spec-bounded vs topK
+    "ann_pq"          -> ((s, d) => Similarity.ivfPqTopK(Tables.embeddings(s, d))),
+    // exhaustive config: probe every cell + rerank every candidate → the
+    // codebook-train → encode → ADC → exact-rerank machinery must
+    // reproduce the exact top-k bit-for-bit (ann_topk's oracle)
+    "ann_pq_q"        -> ((s, d) => Similarity.ivfPqTopK(
+                            Tables.embeddings(s, d),
+                            nProbe = 16, rerank = Int.MaxValue)),
     "dedup_semantic"  -> ((s, d) => Similarity.semanticDedup(Tables.embeddings(s, d))),
     // Same CSV-encoding as multimodal_features/embedding_quantize: the
     // harness compare needs scalar cells; library API keeps array<double>.
@@ -355,6 +365,15 @@ object SparkEntry {
       Similarity.semanticDedupApprox(
         Tables.embeddings(s, d).filter(col("vec_id") % 5 === 0),
         nTables = 40, planesPerTable = 1)
+    }),
+    // the PAIR-set twin at the same recall-1 configuration: the LSH
+    // candidate generator's (vec_a, vec_b, cos_sim) output is
+    // oracle-adjudicated against the exact cross-pair SQL
+    "ann_lsh_r1" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      Similarity.lshCandidates(
+        Tables.embeddings(s, d).filter(col("vec_id") % 5 === 0),
+        nTables = 40, planesPerTable = 1, minCos = 0.4)
     }),
     "multimodal_frames" -> ((s, d) => Multimodal.sampleFrames(Tables.documents(s, d))),
     "lang_id"         -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),

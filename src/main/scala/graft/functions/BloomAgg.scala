@@ -21,7 +21,7 @@ import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, LongType}
   * from ONE 64-bit input hash, no per-probe rehash of the key. Callers feed
   * `xxhash64(key)` so the filter works for any key type (and composite
   * keys) without the bloom code knowing about Spark types. */
-private[functions] object BloomProbe {
+private[graft] object BloomProbe {
   def mix(h: Long): Long = {
     var z = h + 0x9E3779B97F4A7C15L
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L

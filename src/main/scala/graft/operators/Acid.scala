@@ -104,6 +104,26 @@ object Acid {
       .orderBy("o_orderstatus")
   }
 
+  /** Bloom file-skipping on STRING equality (min/max stats cannot serve
+    * it): declare a bloom index on the priority column, append per-batch
+    * files, then `scan` for one priority value — files whose per-file
+    * filter proves the value absent never open. `scan` ≡ `read + filter`
+    * by construction, so the plain filter SQL adjudicates declaration →
+    * per-file build → probe end-to-end; the file-count drop is
+    * spec-verified (FormatSpec "bloom index"). */
+  def txlogBloomScan(spark: SparkSession, orders: DataFrame): DataFrame = {
+    val t = tmpDir("graft_txlog_bloom")
+    val base = orders.select("o_orderkey", "o_orderpriority", "o_totalprice")
+    TxLogFormat.write(base.filter(col("o_orderkey") % 3 === 0), t)
+    TxLogFormat.addBloomIndex(t, "o_orderpriority")
+    TxLogFormat.appendBatch(base.filter(col("o_orderkey") % 3 === 1)
+      .repartition(2), t, "bloomq", 1L)
+    TxLogFormat.appendBatch(base.filter(col("o_orderkey") % 3 === 2)
+      .repartition(2), t, "bloomq", 2L)
+    TxLogFormat.scan(spark, t, col("o_orderpriority") === "1-URGENT")
+      .orderBy("o_orderkey")
+  }
+
   /** Change-data-feed shape: seed (v0), append a delta (v1), compact
     * (v2 — a layout-only rewrite), then read the feed since v0. Only the
     * v1 insert rows may surface — the oracle is the delta predicate with

@@ -228,6 +228,105 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Offline half of IVF-PQ (FAISS's IVFPQ, the billion-vector workhorse):
+    * the embedding splits into `m` subvectors and each subspace gets its
+    * own k-means codebook of `subK` centroids — a vector's code is m
+    * small ints (m bytes at subK≤256), a 32× storage cut vs floats at
+    * m=8 on 64 float dims. Codebooks are trained on the corpus (m
+    * distributed k-means fits over n×(dim/m) slices — offline, once per
+    * index generation, like [[buildIvfIndex]]); encoding is a scan-bound
+    * argmin over literal centroid arrays. PQ here codes the RAW vector
+    * (FAISS "PQ" flavor; residual-coding is the other flavor — same
+    * search shape, better accuracy, a second codebook train). */
+  final case class PqIndex(encoded: DataFrame,
+                           codebooks: Array[Array[Array[Double]]],
+                           ivf: IvfIndex, m: Int, subDim: Int)
+
+  def buildPqIndex(embeddings: DataFrame, nCells: Int = 16, m: Int = 8,
+                   subK: Int = 16, dim: Int = 64): PqIndex = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val sub = dim / m
+    val ivf = buildIvfIndex(embeddings, nCells)
+    val codebooks = (0 until m).map { i =>
+      val sliced = embeddings.select(array_to_vector(
+        slice(col("embedding"), i * sub + 1, sub).cast("array<double>"))
+        .as("features"))
+      new KMeans().setK(subK).setSeed(42L + i).setMaxIter(10)
+        .fit(sliced).clusterCenters.map(_.toArray)
+    }.toArray
+    // encode: per subspace, argmin over the literal centroid list —
+    // array_position(min) is deterministic (first index) on ties
+    val codeCols = (0 until m).map { i =>
+      val sv = slice(col("embedding"), i * sub + 1, sub)
+      val dists = array(codebooks(i).map(c =>
+        sqDist(sv, array(c.map(lit): _*))): _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }
+    PqIndex(
+      ivf.assigned.select(col("vec_id"), col("cell"),
+        array(codeCols: _*).as("codes")),
+      codebooks, ivf, m, sub)
+  }
+
+  /** IVF-PQ search with exact re-ranking: stage 1 scans ONLY (cell,
+    * codes) — m bytes/vector instead of 4·dim — and scores candidates by
+    * asymmetric distance computation (ADC): per query, a lookup table
+    * lut[i][c] = dot(q_i, centroid_{i,c}) is computed once (m·subK dots,
+    * rides the KB-scale probed frame), and a candidate's approximate dot
+    * is m table lookups — `element_at` chains, fully codegen, no float
+    * vector touched. The approximate norm comes from a LITERAL per-code
+    * norm table (pure codebook function, computed at build). Stage 2
+    * re-ranks the top `rerank` survivors on exact cosine via a
+    * rerank-sized hash join, exactly like [[ivfTopKQuantized]].
+    *
+    * At the exhaustive config (nProbe = nCells, rerank = ∞) stage 2 ranks
+    * every candidate exactly, so the output ≡ [[topK]] BY CONSTRUCTION —
+    * the oracle-adjudicated `ann_pq_q` driver config; the selective
+    * config's recall is spec-bounded. */
+  def ivfPqTopK(embeddings: DataFrame, queryIds: Seq[Long] = Seq(0L, 1L, 2L),
+                k: Int = 10, nCells: Int = 16, nProbe: Int = 8,
+                m: Int = 8, subK: Int = 16, dim: Int = 64,
+                rerank: Int = 30): DataFrame = {
+    val idx = buildPqIndex(embeddings, nCells, m, subK, dim)
+    val sub = idx.subDim
+    val queries = embeddings.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val probed = probeCells(idx.ivf, queries, nProbe)
+      // ADC tables ride the probed frame: lut (per-query dots) + qnorm —
+      // evaluated once per (query, cell) row, broadcast with it
+      .withColumn("lut", array((0 until m).map { i =>
+        array(idx.codebooks(i).map(c =>
+          dot(slice(col("qv"), i * sub + 1, sub), array(c.map(lit): _*))): _*)
+      }: _*))
+      .withColumn("qnorm", sqrt(dot(col("qv"), col("qv"))))
+    // ||x||² ≈ Σ_i ||c_{i,code_i}||² — a literal table of the codebooks
+    val normLit = array((0 until m).map { i =>
+      array(idx.codebooks(i).map(c => lit(c.map(x => x * x).sum)): _*)
+    }: _*)
+    def lookup(tbl: Column, i: Int): Column =
+      element_at(element_at(tbl, i + 1), element_at(col("codes"), i + 1) + 1)
+    val adot = (0 until m).map(lookup(col("lut"), _)).reduce(_ + _)
+    val anorm2 = (0 until m).map(lookup(normLit, _)).reduce(_ + _)
+    val approx = idx.encoded.join(broadcast(probed), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (adot / (col("qnorm") * sqrt(anorm2))).as("qcos"))
+    val wA = Window.partitionBy("query_id").orderBy(col("qcos").desc, col("vec_id"))
+    val survivors = approx.withColumn("r", row_number().over(wA))
+      .filter(col("r") <= rerank).select("query_id", "vec_id")
+    val exact = survivors
+      .join(embeddings.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(queries), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        round4(cosine(col("embedding"), col("qv"))).as("cos_sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id"))
+    exact.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
   /** Corpus clustering for curation: the k-means cells [[buildIvfIndex]]
     * already computes, surfaced as an analysis table — per cluster, its
     * size, corpus share, and cohesion (mean Euclidean distance to the

@@ -141,8 +141,23 @@ object TxLogFormat extends TableFormat {
               if (g(2).isEmpty) None else Some(BigDecimal(g(2))),
               g(3).toLong)
           }.toMap
-          stats(parts(0)) = FileStat(parts(1).toLong, cols)
+          val prev = stats.get(parts(0)).map(_.blooms).getOrElse(Map.empty)
+          stats(parts(0)) = FileStat(parts(1).toLong, cols, prev)
         } catch { case _: NumberFormatException => }
+      } else if (withStats && line.startsWith("fb ")) {
+        // `fb <rel>\t<col>\t<numHashFns>\t<base64 bit words>`
+        val parts = line.drop(3).split("\t", -1)
+        if (parts.length == 4) try {
+          val bytes = java.util.Base64.getDecoder.decode(parts(3))
+          val bb = java.nio.ByteBuffer.wrap(bytes)
+          val words = new Array[Long](bytes.length / 8)
+          var wi = 0
+          while (wi < words.length) { words(wi) = bb.getLong(wi * 8); wi += 1 }
+          val prev = stats.getOrElse(parts(0),
+            FileStat(Long.MaxValue, Map.empty))
+          stats(parts(0)) = prev.copy(blooms =
+            prev.blooms + (parts(1) -> ((parts(2).toInt, words))))
+        } catch { case scala.util.control.NonFatal(_) => }
       }
     }
     // start from the newest usable sidecar checkpoint (full state as of
@@ -171,7 +186,13 @@ object TxLogFormat extends TableFormat {
     * None` with `nulls == file rows` means a recorded all-null column. */
   private case class ColStat(min: Option[BigDecimal], max: Option[BigDecimal],
                              nulls: Long)
-  private case class FileStat(rows: Long, cols: Map[String, ColStat])
+  /** `blooms`: per-column Bloom filter over xxhash64(value) — (numHashFns,
+    * bit words); recorded as `fb` lines for columns with a declared bloom
+    * index, the equality-skipping companion to min/max (which cannot prune
+    * string equality). */
+  private case class FileStat(rows: Long, cols: Map[String, ColStat],
+                              blooms: Map[String, (Int, Array[Long])] =
+                                Map.empty)
 
   /** `f <rel>\t<rows>[\t<col>\t<min>\t<max>\t<nulls>]*` — empty min/max
     * encodes the all-null case. Only top-level numeric-physical columns
@@ -271,7 +292,106 @@ object TxLogFormat extends TableFormat {
   private def statsLines(spark: SparkSession, path: String,
                          rels: Seq[String]): Seq[String] = {
     val conf = spark.sessionState.newHadoopConf()
-    rels.flatMap(r => statsLine(conf, Paths.get(path, r), r))
+    rels.flatMap(r => statsLine(conf, Paths.get(path, r), r)) ++
+      bloomLines(spark, path, rels)
+  }
+
+  // ---- Bloom file-skipping indexes (Delta's bloom filter index) ----
+
+  /** Active bloom-index declarations as of `upTo`: column → (numBits,
+    * numHashFns). Log lines: `bi <col>\t<numBits>\t<numHashFns>`
+    * declares, `bid <col>` drops; later `bi` redefines. */
+  private def foldBloomIndexes(path: String,
+                               upTo: Long = Long.MaxValue)
+      : Map[String, (Int, Int)] = {
+    val idx = scala.collection.mutable.LinkedHashMap[String, (Int, Int)]()
+    def foldLines(lines: Iterable[String]): Unit = lines.foreach { line =>
+      if (line.startsWith("bi ")) {
+        val p = line.drop(3).split("\t", -1)
+        if (p.length == 3) try idx(p(0)) = (p(1).toInt, p(2).toInt)
+        catch { case _: NumberFormatException => }
+      } else if (line.startsWith("bid ")) idx.remove(line.drop(4))
+    }
+    val vs = versions(path).filter(_ <= upTo)
+    val cp = checkpointBase(path, upTo, vs)
+    cp.foreach(c => foldLines(
+      Files.readAllLines(checkpointFile(path, c)).asScala))
+    vs.filter(v => cp.forall(_ < v)).foreach(v =>
+      foldLines(Files.readAllLines(commitFile(path, v)).asScala))
+    idx.toMap
+  }
+
+  /** Declared bloom indexes: column → (numBits, numHashFns). */
+  def bloomIndexes(path: String): Map[String, (Int, Int)] =
+    foldBloomIndexes(path)
+
+  /** Declare a bloom filter index on `column` (Delta `CREATE BLOOMFILTER
+    * INDEX`): from this commit on, every write also records a per-file
+    * Bloom filter of xxhash64(column) — the EQUALITY skipping min/max
+    * stats cannot provide for strings — and [[scan]] prunes files whose
+    * filter proves the sought value absent. Existing files are NOT
+    * back-indexed (same as Delta: rewrite/compact to index history);
+    * files without a filter are always kept, so pruning stays strictly
+    * conservative. Sizing via [[graft.functions.BloomAggFunctions.bits]]:
+    * default ~4 KB/file/column at 1% fpp for ~25k distinct values. */
+  def addBloomIndex(path: String, column: String,
+                    numBits: Int = 1 << 15, numHashFns: Int = 5): Long = {
+    require(column.nonEmpty && !column.exists(c =>
+      c == '\t' || c == '\n' || c == '\r'),
+      s"txlog: bloom-index column must be tab/newline-free: '$column'")
+    require(numBits >= 64 && Integer.bitCount(numBits) == 1,
+      s"txlog: numBits must be a power of two >= 64, got $numBits")
+    require(numHashFns >= 1 && numHashFns <= 16,
+      s"txlog: numHashFns must be in [1,16], got $numHashFns")
+    val v = snapshot(path)._3
+    require(v >= 0, s"txlog: no committed version at $path — write() first")
+    commit(path, Nil, Nil, None,
+      extra = Seq(s"bi $column\t$numBits\t$numHashFns"))
+  }
+
+  def dropBloomIndex(path: String, column: String): Long = {
+    require(foldBloomIndexes(path).contains(column),
+      s"txlog: no bloom index on $column at $path")
+    commit(path, Nil, Nil, None, extra = Seq(s"bid $column"))
+  }
+
+  /** Per-file `fb` lines for the newly staged `rels`, one per declared
+    * bloom-index column present in the files: ONE Spark job groups the new
+    * files by `input_file_name` and OR-merges each column's probe bits
+    * (map-side combined — only finished KB-scale filters reach the
+    * driver). Runs only when an index is declared; the cost rides the
+    * write that benefits, exactly like footer stats. */
+  private def bloomLines(spark: SparkSession, path: String,
+                         rels: Seq[String]): Seq[String] = {
+    val idx = foldBloomIndexes(path)
+    if (idx.isEmpty || rels.isEmpty) return Nil
+    try {
+      val root = Paths.get(path)
+      val df = spark.read.parquet(rels.map(r => root.resolve(r).toString): _*)
+      val cols = idx.keys.toSeq.filter(df.columns.contains)
+      if (cols.isEmpty) return Nil
+      val aggs = cols.map { c =>
+        val (bits, k) = idx(c)
+        graft.functions.BloomAggFunctions.bloomBits(
+          xxhash64(col(c)), bits, k).as(s"bloom_$c")
+      }
+      val byFile = df.groupBy(input_file_name().as("_f"))
+        .agg(aggs.head, aggs.tail: _*).collect()
+      // map absolute URIs back to rel paths by unique staged file NAME
+      val byName = rels.map(r => r.split("/").last -> r).toMap
+      byFile.toSeq.flatMap { row =>
+        byName.get(row.getString(0).split("/").last).toSeq.flatMap { rel =>
+          cols.zipWithIndex.flatMap { case (c, i) =>
+            val words = row.getSeq[Long](i + 1)
+            val bb = java.nio.ByteBuffer.allocate(words.length * 8)
+            words.foreach(bb.putLong)
+            Some(s"fb $rel\t$c\t${idx(c)._2}\t" +
+              java.util.Base64.getEncoder.encodeToString(bb.array()))
+          }
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => Nil }
+    // conservative: a failed bloom build only disables skipping
   }
 
   /** Recorded stats per live-able rel path, as of `upTo`. */
@@ -370,18 +490,23 @@ object TxLogFormat extends TableFormat {
     val (liveH, schemaH, _) = snapshot(path, upTo)
     val liveSet = liveH.toSet
     val txnsH = allLines.filter(_.startsWith("t ")).distinct
-    // restate live files' recorded stats, or the fold would silently
-    // disable data skipping for everything it covers
-    val statsH = allLines.filter(l => l.startsWith("f ") &&
-      liveSet.contains(l.drop(2).split("\t", 2)(0))).distinct
+    // restate live files' recorded stats (f) and bloom filters (fb), or
+    // the fold would silently disable data skipping for what it covers
+    val statsH = (allLines.filter(l => l.startsWith("f ") &&
+      liveSet.contains(l.drop(2).split("\t", 2)(0))) ++
+      allLines.filter(l => l.startsWith("fb ") &&
+        liveSet.contains(l.drop(3).split("\t", 2)(0)))).distinct
     // constraints restate like txn tags, or the fold would disarm
     // enforcement for everything it covers
     val consH = foldConstraints(path, upTo).map { case (n, e) => s"c $n\t$e" }
+    // bloom-index declarations restate like constraints
+    val biH = foldBloomIndexes(path, upTo).map { case (c, (bits, k)) =>
+      s"bi $c\t$bits\t$k" }.toSeq
     // preserve the newest load timestamp through the fold: a checkpoint
     // restates history, it is not a load event
     val wH = allLines.filter(_.startsWith("w ")).lastOption.toSeq
     wH ++ schemaH.map("s " + _).toSeq ++ txnsH ++ liveH.map("a " + _) ++
-      statsH ++ consH
+      statsH ++ consH ++ biH
   }
 
   /** Write the `v` sidecar checkpoint if `v` is on the cadence. A sidecar
@@ -1140,10 +1265,43 @@ object TxLogFormat extends TableFormat {
           case _ => true
         }
       }
+    // Bloom equality pruning (fb lines): may the file contain a row where
+    // bare-attribute `a` equals foldable `b`? Only an EXACT type match
+    // qualifies (no cast unwrapping): the filter was built by hashing the
+    // column's own values with xxhash64, and Spark's hash is type-tagged —
+    // probing with a differently-typed literal's hash would be garbage.
+    // Strings are the target (min/max cannot serve equality there);
+    // numerics compose with the range check for free.
+    def bloomMay(a: Expression, b: Expression): Boolean = {
+      val probe = (a, b) match {
+        case (attr: AttributeReference, l) if l.foldable &&
+            l.dataType == attr.dataType => Some((attr, l))
+        case (l, attr: AttributeReference) if l.foldable &&
+            l.dataType == attr.dataType => Some((attr, l))
+        case _ => None
+      }
+      probe.forall { case (attr, l) =>
+        fs.blooms.get(attr.name).forall { case (k, words) =>
+          val v = l.eval(null)
+          if (v == null) true
+          else {
+            // seed 42 = functions.xxhash64's default, the build-side hash
+            val h1 = XxHash64(Seq(Literal(v, l.dataType)), 42L)
+              .eval(null).asInstanceOf[Long]
+            val h2 = graft.functions.BloomProbe.mix(h1)
+            val numBits = words.length * 64L
+            (0 until k).forall { i =>
+              val pos = java.lang.Math.floorMod(h1 + i * h2, numBits).toInt
+              (words(pos >>> 6) & (1L << (pos & 63))) != 0
+            }
+          }
+        }
+      }
+    }
     e match {
       case And(l, r) => mayMatch(l, fs) && mayMatch(r, fs)
       case Or(l, r) => mayMatch(l, fs) || mayMatch(r, fs)
-      case EqualTo(a, b) => binary(a, b, Eq)
+      case EqualTo(a, b) => binary(a, b, Eq) && bloomMay(a, b)
       case EqualNullSafe(a, b) if num(a).isDefined || num(b).isDefined =>
         binary(a, b, Eq)
       case GreaterThan(a, b) => binary(a, b, Gt)
@@ -1153,8 +1311,10 @@ object TxLogFormat extends TableFormat {
       case In(a, list) => name(a) match {
         case Some(n) =>
           val lits = list.map(num)
-          if (lits.exists(_.isEmpty)) true
-          else lits.flatten.exists(cmp(n, _, Eq))
+          val numericMay =
+            if (lits.exists(_.isEmpty)) true
+            else lits.flatten.exists(cmp(n, _, Eq))
+          numericMay && list.exists(bloomMay(a, _))
         case None => true
       }
       case IsNull(a) => name(a).flatMap(fs.cols.get) match {
@@ -1205,6 +1365,7 @@ object TxLogFormat extends TableFormat {
     val live = scala.collection.mutable.LinkedHashSet[String]()
     var schema: Option[String] = None
     val rawStats = scala.collection.mutable.Map[String, String]()
+    val rawBlooms = scala.collection.mutable.Map[(String, String), String]()
     vs.filter(_ <= upTo).foreach { v =>
       Files.readAllLines(commitFile(path, v)).asScala.foreach { line =>
         if (line.startsWith("a ")) live += line.drop(2)
@@ -1212,6 +1373,10 @@ object TxLogFormat extends TableFormat {
         else if (line.startsWith("s ")) schema = Some(line.drop(2))
         else if (line.startsWith("f "))
           rawStats(line.drop(2).split("\t", 2)(0)) = line
+        else if (line.startsWith("fb ")) {
+          val p = line.drop(3).split("\t", 3)
+          if (p.length >= 2) rawBlooms((p(0), p(1))) = line
+        }
       }
     }
     val liveSeq = live.toSeq
@@ -1222,10 +1387,14 @@ object TxLogFormat extends TableFormat {
       try Files.createLink(dst, src)
       catch { case _: UnsupportedOperationException => Files.copy(src, dst) }
     }
+    val liveBloomLines = rawBlooms.collect {
+      case ((rel, _), line) if live.contains(rel) => line }.toSeq.sorted
     commit(target, liveSeq, Nil, schema,
-      stats = liveSeq.flatMap(rawStats.get),
+      stats = liveSeq.flatMap(rawStats.get) ++ liveBloomLines,
       marker = Some("clone"),
-      extra = foldConstraints(path, upTo).map { case (n, e) => s"c $n\t$e" })
+      extra = foldConstraints(path, upTo).map { case (n, e) => s"c $n\t$e" } ++
+        foldBloomIndexes(path, upTo).map { case (c, (bits, k)) =>
+          s"bi $c\t$bits\t$k" })
   }
 
   /** Epoch-second mtime of the latest commit — the table's "last loaded

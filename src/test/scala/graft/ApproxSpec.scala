@@ -88,6 +88,27 @@ class ApproxSpec extends SparkSpec {
     assert(recall >= 0.4, s"ivf recall $recall")
   }
 
+  test("ann_pq: selective IVF-PQ recall vs exact topK; exhaustive config " +
+       "IS the exact top-k") {
+    val emb = Tables.embeddings(spark, sf)
+    val exactRows = Similarity.topK(emb, Seq(0L, 1L, 2L), 10).collect()
+    val exact = exactRows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // selective: PQ-coded stage 1 (8 probes, ADC lookups) + rerank 30 —
+    // the production shape; PQ is lossy, the rerank recovers ordering for
+    // whatever the probes + PQ-ordering surface
+    val pq = Similarity.ivfPqTopK(emb, Seq(0L, 1L, 2L), 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(pq).size.toDouble / exact.size
+    assert(recall >= 0.4, s"ivf-pq recall $recall")
+    // exhaustive config: probe every cell, rerank every candidate — the
+    // full codebook/encode/ADC machinery must reproduce exact top-k
+    // bit-for-bit (the ann_pq_q driver oracle's claim)
+    val full = Similarity.ivfPqTopK(emb, Seq(0L, 1L, 2L), 10,
+      nProbe = 16, rerank = Int.MaxValue).collect()
+    assert(full.map(_.toSeq).toSeq == exactRows.map(_.toSeq).toSeq,
+      "exhaustive IVF-PQ diverged from exact topK")
+  }
+
   test("ann_ivf_q: quantized probe + exact rerank matches plain IVF's " +
        "recall within the quantization tolerance") {
     val emb = Tables.embeddings(spark, sf)

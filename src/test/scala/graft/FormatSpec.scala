@@ -709,6 +709,52 @@ class FormatSpec extends SparkSpec {
     assert(TxLogFormat.read(spark, t).filter(col("o_totalprice") < 0).count() == 2)
   }
 
+  test("bloom index: string-equality scan prunes files the filter proves " +
+       "absent; always equals read+filter; survives vacuum and clone") {
+    val t = tmp()
+    // 4 files, disjoint key ranges, distinctive string values per file
+    val df = spark.range(0, 400).selectExpr("id AS k",
+      "concat('user_', CAST(id AS STRING)) AS who")
+    TxLogFormat.write(df.repartition(1), t) // v0: pre-index file (no bloom)
+    TxLogFormat.addBloomIndex(t, "who")     // v1: declaration
+    (1 to 3).foreach { b =>
+      TxLogFormat.appendBatch(
+        spark.range(b * 400L, b * 400L + 400)
+          .selectExpr("id AS k", "concat('user_', CAST(id AS STRING)) AS who")
+          .repartition(1), t, "bl", b.toLong)
+    }
+    def filesRead(target: String): Int = {
+      val got = TxLogFormat.scan(spark, t, col("who") === target)
+      got.inputFiles.length
+    }
+    // a value in an indexed file: exactly that file + the pre-index file
+    // (no filter recorded → conservatively kept) are read
+    assert(filesRead("user_450") <= 2, s"read ${filesRead("user_450")} files")
+    // a value that exists nowhere: only the un-indexed file survives
+    assert(filesRead("user_99999") <= 1)
+    // correctness: always equals read+filter
+    assert(rows(TxLogFormat.scan(spark, t, col("who") === "user_450")) ==
+      rows(TxLogFormat.read(spark, t).filter(col("who") === "user_450")))
+    assert(TxLogFormat.scan(spark, t, col("who") === "user_99999").count() == 0)
+    // IN-list pruning: all-absent prunes, any-present keeps
+    assert(rows(TxLogFormat.scan(spark, t,
+        col("who").isin("user_450", "user_451")).orderBy("k")) ==
+      rows(TxLogFormat.read(spark, t)
+        .filter(col("who").isin("user_450", "user_451")).orderBy("k")))
+    // declarations + filters survive a vacuum checkpoint fold
+    TxLogFormat.replace(spark, TxLogFormat.read(spark, t), t) // all re-indexed
+    TxLogFormat.vacuum(t, retainVersions = 1)
+    assert(TxLogFormat.bloomIndexes(t).contains("who"))
+    assert(rows(TxLogFormat.scan(spark, t, col("who") === "user_450")) ==
+      rows(TxLogFormat.read(spark, t).filter(col("who") === "user_450")))
+    // and a clone carries both the declaration and the per-file filters
+    val c = tmp()
+    TxLogFormat.cloneTable(t, c)
+    assert(TxLogFormat.bloomIndexes(c).contains("who"))
+    assert(rows(TxLogFormat.scan(spark, c, col("who") === "user_450")) ==
+      rows(TxLogFormat.read(spark, c).filter(col("who") === "user_450")))
+  }
+
   test("addConstraint racing a writer: the writer's commit refuses when a " +
        "constraint was declared after its guard was built") {
     // r7 advice: a writer guards rows with the constraint set folded at
