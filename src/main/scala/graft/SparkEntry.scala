@@ -46,6 +46,25 @@ object SparkEntry {
     shared(s, d, "bandIndex")(Dedup.bandedSignatures(
       Tables.documents(s, d).filter(col("doc_id") % 3 =!= 0)))
   }
+  /** Shared ANN index builds: in production the IVF/PQ index is built ONCE
+    * offline and persisted (cell/codes are just table columns); memoizing
+    * here makes every search consumer (ann_ivf, ann_ivf_q, ann_pq,
+    * ann_pq_q, corpus_clusters) reuse one k-means fit instead of five. */
+  private val objMemo =
+    scala.collection.concurrent.TrieMap.empty[String, AnyRef]
+  private def sharedIvf(s: SparkSession, d: String): Similarity.IvfIndex =
+    objMemo.getOrElseUpdate(
+      s"${s.sparkContext.applicationId}|$d|ivf", {
+        val ix = Similarity.buildIvfIndex(Tables.embeddings(s, d))
+        ix.copy(assigned = ix.assigned.localCheckpoint())
+      }).asInstanceOf[Similarity.IvfIndex]
+  private def sharedPq(s: SparkSession, d: String): Similarity.PqIndex =
+    objMemo.getOrElseUpdate(
+      s"${s.sparkContext.applicationId}|$d|pq", {
+        val ix = Similarity.buildPqIndex(Tables.embeddings(s, d),
+          precomputedIvf = Some(sharedIvf(s, d)))
+        ix.copy(encoded = ix.encoded.localCheckpoint())
+      }).asInstanceOf[Similarity.PqIndex]
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, Q] = Map[String, Q](
@@ -319,10 +338,13 @@ object SparkEntry {
     // shared frame is thresholded at 0.35; re-filter to this query's 0.4
     "ann_lsh"         -> ((s, d) => sharedLshPairs(s, d)
                             .filter(org.apache.spark.sql.functions.col("cos_sim") >= 0.4)),
-    "ann_ivf"         -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d))),
+    "ann_ivf"         -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d),
+                            precomputedIvf = Some(sharedIvf(s, d)))),
     // k-means corpus clusters for curation: rows-only (not SQL-expressible);
     // determinism + size-conservation pinned in ApproxSpec.
-    "corpus_clusters" -> ((s, d) => Similarity.corpusClusters(Tables.embeddings(s, d))),
+    "corpus_clusters" -> ((s, d) => Similarity.corpusClusters(
+                            Tables.embeddings(s, d),
+                            precomputedIvf = Some(sharedIvf(s, d)))),
     // exhaustive config (probe every cell, rerank all candidates): the
     // quantize → dequant → cell-probe → exact-rerank machinery must then
     // reproduce the exact top-k bit-for-bit, so this rides ann_topk's
@@ -330,16 +352,19 @@ object SparkEntry {
     // spec-bounded (recall vs topK) and benched via ann_ivf.
     "ann_ivf_q"       -> ((s, d) => Similarity.ivfTopKQuantized(
                             Tables.embeddings(s, d),
-                            nProbe = 16, rerank = Int.MaxValue)),
+                            nProbe = 16, rerank = Int.MaxValue,
+                            precomputedIvf = Some(sharedIvf(s, d)))),
     // IVF-PQ: selective config (8-probe, PQ-coded stage 1, rerank 30) is
     // rows-only, recall spec-bounded vs topK
-    "ann_pq"          -> ((s, d) => Similarity.ivfPqTopK(Tables.embeddings(s, d))),
+    "ann_pq"          -> ((s, d) => Similarity.ivfPqTopK(Tables.embeddings(s, d),
+                            precomputedPq = Some(sharedPq(s, d)))),
     // exhaustive config: probe every cell + rerank every candidate → the
     // codebook-train → encode → ADC → exact-rerank machinery must
     // reproduce the exact top-k bit-for-bit (ann_topk's oracle)
     "ann_pq_q"        -> ((s, d) => Similarity.ivfPqTopK(
                             Tables.embeddings(s, d),
-                            nProbe = 16, rerank = Int.MaxValue)),
+                            nProbe = 16, rerank = Int.MaxValue,
+                            precomputedPq = Some(sharedPq(s, d)))),
     "dedup_semantic"  -> ((s, d) => Similarity.semanticDedup(Tables.embeddings(s, d))),
     // Same CSV-encoding as multimodal_features/embedding_quantize: the
     // harness compare needs scalar cells; library API keeps array<double>.

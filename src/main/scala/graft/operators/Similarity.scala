@@ -166,8 +166,11 @@ object Similarity {
   }
 
   def ivfTopK(embeddings: DataFrame, queryIds: Seq[Long] = Seq(0L, 1L, 2L),
-              k: Int = 10, nCells: Int = 16, nProbe: Int = 8): DataFrame = {
-    val index = buildIvfIndex(embeddings, nCells)
+              k: Int = 10, nCells: Int = 16, nProbe: Int = 8,
+              precomputedIvf: Option[IvfIndex] = None): DataFrame = {
+    // precomputedIvf: a persisted/shared index (offline build) — every
+    // search consumer reuses ONE k-means fit, the production shape
+    val index = precomputedIvf.getOrElse(buildIvfIndex(embeddings, nCells))
     val queries = embeddings.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val probed = probeCells(index, queries, nProbe)
@@ -195,8 +198,9 @@ object Similarity {
     * bounds recall against the exact [[topK]]. */
   def ivfTopKQuantized(embeddings: DataFrame, queryIds: Seq[Long] = Seq(0L, 1L, 2L),
                        k: Int = 10, nCells: Int = 16, nProbe: Int = 8,
-                       rerank: Int = 30): DataFrame = {
-    val index = buildIvfIndex(embeddings, nCells)
+                       rerank: Int = 30,
+                       precomputedIvf: Option[IvfIndex] = None): DataFrame = {
+    val index = precomputedIvf.getOrElse(buildIvfIndex(embeddings, nCells))
     // the scan-side table: codes + dequant params + cell, no floats
     val q8 = embeddingQuantize(embeddings)
       .select(col("vec_id"), col("qmin"), col("qmax"), col("q"))
@@ -243,12 +247,13 @@ object Similarity {
                            ivf: IvfIndex, m: Int, subDim: Int)
 
   def buildPqIndex(embeddings: DataFrame, nCells: Int = 16, m: Int = 8,
-                   subK: Int = 16, dim: Int = 64): PqIndex = {
+                   subK: Int = 16, dim: Int = 64,
+                   precomputedIvf: Option[IvfIndex] = None): PqIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
     val sub = dim / m
-    val ivf = buildIvfIndex(embeddings, nCells)
+    val ivf = precomputedIvf.getOrElse(buildIvfIndex(embeddings, nCells))
     val codebooks = (0 until m).map { i =>
       val sliced = embeddings.select(array_to_vector(
         slice(col("embedding"), i * sub + 1, sub).cast("array<double>"))
@@ -288,8 +293,9 @@ object Similarity {
   def ivfPqTopK(embeddings: DataFrame, queryIds: Seq[Long] = Seq(0L, 1L, 2L),
                 k: Int = 10, nCells: Int = 16, nProbe: Int = 8,
                 m: Int = 8, subK: Int = 16, dim: Int = 64,
-                rerank: Int = 30): DataFrame = {
-    val idx = buildPqIndex(embeddings, nCells, m, subK, dim)
+                rerank: Int = 30,
+                precomputedPq: Option[PqIndex] = None): DataFrame = {
+    val idx = precomputedPq.getOrElse(buildPqIndex(embeddings, nCells, m, subK, dim))
     val sub = idx.subDim
     val queries = embeddings.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
@@ -338,8 +344,9 @@ object Similarity {
     * broadcast-join the centroid table on `cell` instead — same plan
     * shape as the probe scan. Rows-only in the driver (k-means is not
     * SQL-expressible); the spec pins determinism and size conservation. */
-  def corpusClusters(embeddings: DataFrame, nCells: Int = 16): DataFrame = {
-    val index = buildIvfIndex(embeddings, nCells)
+  def corpusClusters(embeddings: DataFrame, nCells: Int = 16,
+                     precomputedIvf: Option[IvfIndex] = None): DataFrame = {
+    val index = precomputedIvf.getOrElse(buildIvfIndex(embeddings, nCells))
     val dists = array(index.centroids.map(c =>
       sqDist(col("embedding"), c)): _*)
     val total = embeddings.count()
