@@ -6,8 +6,9 @@ import org.apache.spark.sql.DataFrame
   * profiles/profiles.yml, model/source/exposure schema .yml) — the subset
   * those files actually use: indentation-nested maps, `- ` sequences
   * (scalar items and map items), quoted/plain scalars, flow lists
-  * (`["a", "b"]`), comments. No anchors/aliases/multi-doc/flow maps — out
-  * of scope for dbt config files. Zero dependencies by design: the build
+  * (`["a", "b"]`), flow maps (`{count: 24, period: hour}` — the dbt
+  * freshness shape), comments. No anchors/aliases/multi-doc — out of
+  * scope for dbt config files. Zero dependencies by design: the build
   * resolves nothing beyond Spark's own jars.
   *
   * Scalars are typed: `true`/`false` → Boolean, integers → Long,
@@ -49,6 +50,14 @@ object YamlLite {
       t.substring(1, t.length - 1)
     else if (t.startsWith("[") && t.endsWith("]"))
       splitTop(t.substring(1, t.length - 1), ',').map(scalar)
+    else if (t.startsWith("{") && t.endsWith("}"))
+      // flow map ({count: 24, period: hour} — the dbt freshness shape)
+      splitTop(t.substring(1, t.length - 1), ',').flatMap { kv =>
+        val i = kv.indexOf(':')
+        if (i < 0) None
+        else Some(scalar(kv.substring(0, i)).toString ->
+          scalar(kv.substring(i + 1)))
+      }.toMap
     else if (t == "true") true
     else if (t == "false") false
     else if (t == "null" || t == "~") null
@@ -445,6 +454,52 @@ object ProjectYaml {
           }
         })
     }.toMap
+  }
+
+  // ---- sources .yml (src_example.yml shape) ----
+
+  /** One declared source table's freshness contract (reference
+    * models/staging/src_example.yml: `loaded_at_field` +
+    * warn_after/error_after periods). `warnAfterSec`/`errorAfterSec` are
+    * the thresholds in seconds — feed them with a max(loaded_at) (or a
+    * txlog `lastCommitEpoch`) to [[graft.operators.Freshness]]. */
+  final case class SourceTable(source: String, table: String,
+                               loadedAtField: Option[String],
+                               warnAfterSec: Option[Long],
+                               errorAfterSec: Option[Long]) {
+    /** The [[Pipeline.run]] input-map key this source resolves to. */
+    def inputKey: String = s"$source.$table"
+  }
+
+  def loadSources(yaml: String): Seq[SourceTable] = {
+    def periodSec(v: Any): Option[Long] = {
+      val c = m(v)
+      val count = c.get("count").collect { case l: Long => l }
+      val unit = str(c.getOrElse("period", "hour")) match {
+        case "minute" => 60L
+        case "day" => 86400L
+        case _ => 3600L // hour, dbt's default period
+      }
+      count.map(_ * unit)
+    }
+    val root = m(YamlLite.parse(yaml))
+    seq(root.getOrElse("sources", Nil)).map(m(_)).flatMap { src =>
+      val sname = str(src.getOrElse("name", ""))
+      seq(src.getOrElse("tables", Nil)).map(m(_)).map { t =>
+        // dbt 1.7 nests freshness/loaded_at_field under `config:`; both
+        // the flat (pre-1.7) and nested forms load
+        val conf = m(t.getOrElse("config", Map.empty))
+        val fresh = m(conf.getOrElse("freshness",
+          t.getOrElse("freshness", Map.empty)))
+        SourceTable(
+          source = sname,
+          table = str(t.getOrElse("name", "")),
+          loadedAtField = conf.get("loaded_at_field")
+            .orElse(t.get("loaded_at_field")).map(str),
+          warnAfterSec = fresh.get("warn_after").flatMap(periodSec),
+          errorAfterSec = fresh.get("error_after").flatMap(periodSec))
+      }
+    }
   }
 
   // ---- exposures.yml ----

@@ -332,8 +332,12 @@ object TxLogFormat extends TableFormat {
     * filter proves the sought value absent. Existing files are NOT
     * back-indexed (same as Delta: rewrite/compact to index history);
     * files without a filter are always kept, so pruning stays strictly
-    * conservative. Sizing via [[graft.functions.BloomAggFunctions.bits]]:
-    * default ~4 KB/file/column at 1% fpp for ~25k distinct values. */
+    * conservative. Partition columns are not indexable (their values live
+    * in directory names, not file bytes — and directory pruning already
+    * serves equality on them); an index declared on one records no
+    * filters and scan keeps every file. Sizing via
+    * [[graft.functions.BloomAggFunctions.bits]]: default ~4 KB/file/column
+    * at 1% fpp for ~25k distinct values. */
   def addBloomIndex(path: String, column: String,
                     numBits: Int = 1 << 15, numHashFns: Int = 5): Long = {
     require(column.nonEmpty && !column.exists(c =>

@@ -286,6 +286,14 @@ class FormatSpec extends SparkSpec {
         .select("id", "part", "v").collect()
         .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq.sorted
       assert(sc == model.filter(_._1 < 25).sorted, s"scan diverged after $op")
+      // bloom-equality scan (fixed probe value — a fresh rnd draw here
+      // would shift the op sequence): min/max AND bloom pruning compose,
+      // and must stay invisible through any op mix incl. vacuum folds
+      val bl = TxLogFormat.scan(spark, t, col("v") === 500L)
+        .select("id", "part", "v").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq.sorted
+      assert(bl == model.filter(_._3 == 500L).sorted,
+        s"bloom scan diverged after $op")
     }
     check("write")
     // a standing constraint every generator output satisfies: enforcement
@@ -293,6 +301,10 @@ class FormatSpec extends SparkSpec {
     val consV = TxLogFormat.addConstraint(spark, t, "v_bounded",
       "v >= 0 AND v < 1000")
     record() // the declaration is a version too — restore/clone may pick it
+    // a standing bloom index: every later write records per-file filters,
+    // and the check()'s equality scan exercises the probe after every op
+    val bloomV = TxLogFormat.addBloomIndex(t, "v", numBits = 1 << 10)
+    record()
     (1 to 16).foreach { i =>
       rnd.nextInt(8) match {
         case 0 => // overwrite one partition
@@ -341,6 +353,9 @@ class FormatSpec extends SparkSpec {
           // snapshot must NOT carry it, any later one must
           assert(TxLogFormat.constraints(c).contains("v_bounded") == (rv >= consV),
             s"$i:clone($rv) constraint state wrong")
+          // bloom declarations are versioned the same way
+          assert(TxLogFormat.bloomIndexes(c).contains("v") == (rv >= bloomV),
+            s"$i:clone($rv) bloom-index state wrong")
           check(s"$i:clone($rv) [source]") // source must be untouched
       }
     }

@@ -111,6 +111,30 @@ class ProjectYamlSpec extends SparkSpec {
     assert(st2("fct_example") == "skipped" && !out2.contains("fct_example"))
   }
 
+  test("sources yml: freshness config loads (uncommented src_example form)") {
+    val srcYml =
+      """version: 2
+        |sources:
+        |  - name: raw
+        |    schema: "{{ env_var('DBT_RAW_DATASET', 'raw') }}"
+        |    tables:
+        |      - name: example
+        |        config:
+        |          freshness:
+        |            warn_after: {count: 24, period: hour}
+        |            error_after: {count: 72, period: hour}
+        |          loaded_at_field: created_at
+        |""".stripMargin
+    val srcs = ProjectYaml.loadSources(srcYml)
+    assert(srcs == Seq(ProjectYaml.SourceTable("raw", "example",
+      Some("created_at"), Some(24L * 3600), Some(72L * 3600))))
+    assert(srcs.head.inputKey == "raw.example") // the Pipeline input key
+    // the real reference file ships fully commented → empty, no error
+    val real = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      refDir, "models/staging/src_example.yml"))
+    assert(ProjectYaml.loadSources(real).isEmpty)
+  }
+
   test("exposures + sources yml shapes parse (uncommented reference form)") {
     val expYml =
       """version: 2
