@@ -284,7 +284,8 @@ object ProjectYaml {
                                  modelPaths: Seq[String],
                                  seedPaths: Seq[String],
                                  snapshotPaths: Seq[String],
-                                 modelsTree: Map[String, Any])
+                                 modelsTree: Map[String, Any],
+                                 vars: Map[String, String] = Map.empty)
 
   def loadProject(yaml: String): ProjectConfig = {
     val root = m(YamlLite.parse(yaml))
@@ -295,7 +296,28 @@ object ProjectYaml {
       seedPaths = seq(root.getOrElse("seed-paths", Seq("seeds"))).map(str),
       snapshotPaths =
         seq(root.getOrElse("snapshot-paths", Seq("snapshots"))).map(str),
-      modelsTree = m(root.getOrElse("models", Map.empty)))
+      modelsTree = m(root.getOrElse("models", Map.empty)),
+      vars = m(root.getOrElse("vars", Map.empty))
+        .map { case (k, v) => k -> str(v) })
+  }
+
+  private val VarPat =
+    ("\\{\\{\\s*var\\s*\\(\\s*'([^']+)'\\s*" +
+      "(?:,\\s*'([^']*)'\\s*)?\\)\\s*\\}\\}").r
+
+  /** dbt `{{ var('name'[, 'default']) }}` substitution: project `vars:`
+    * (their own jinja resolved against `env` first) win, then the call's
+    * inline default; an undefined var with no default refuses loudly
+    * (dbt's behavior). */
+  def substituteVars(sql: String, vars: Map[String, String],
+                     env: Map[String, String] = Map.empty): String = {
+    val resolved = vars.map { case (k, v) =>
+      k -> renderJinja(v, env).getOrElse(v) }
+    VarPat.replaceAllIn(sql, mm =>
+      java.util.regex.Matcher.quoteReplacement(
+        resolved.getOrElse(mm.group(1),
+          Option(mm.group(2)).getOrElse(throw new IllegalArgumentException(
+            s"undefined var '${mm.group(1)}' with no default")))))
   }
 
   /** Folder-scoped config for a model at models/<path...>/<file>: walk the
@@ -532,16 +554,18 @@ object ProjectYaml {
     * the spec proves the loader walks the real files). */
   def load(projectDir: String,
            includeDisabled: Boolean = false,
-           format: graft.sources.TableFormat = graft.sources.ParquetDirFormat)
+           format: graft.sources.TableFormat = graft.sources.ParquetDirFormat,
+           env: Map[String, String] = Map.empty)
       : Pipeline = {
-    val (models, exposures) = loadModels(projectDir, includeDisabled)
+    val (models, exposures) = loadModels(projectDir, includeDisabled, env)
     new Pipeline(models, exposures = exposures, format = format)
   }
 
   /** The parsed [[Model]]s + [[Exposure]]s of a project directory —
     * [[load]] without the Pipeline wrapper, for callers (and specs) that
     * inspect deps/materializations/tests directly. */
-  def loadModels(projectDir: String, includeDisabled: Boolean = false)
+  def loadModels(projectDir: String, includeDisabled: Boolean = false,
+                 env: Map[String, String] = Map.empty)
       : (Seq[Model], Seq[Exposure]) = {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
@@ -567,7 +591,8 @@ object ProjectYaml {
     val models = sqlFiles.flatMap { f =>
       val name = f.getFileName.toString.stripSuffix(".sql")
       val raw = Files.readString(f)
-      val (cfg, body) = parseConfigHeader(raw)
+      val (cfg, body0) = parseConfigHeader(raw)
+      val body = substituteVars(body0, project.vars, env)
       val enabled = cfg.get("enabled") match {
         case Some(b: Boolean) => b
         case _ => true
@@ -616,7 +641,8 @@ object ProjectYaml {
           val raw = Files.readString(f)
           SnapshotPat.findAllMatchIn(raw).flatMap { blk =>
             val name = blk.group(1)
-            val (cfg, body) = parseConfigHeader(blk.group(2))
+            val (cfg, body0) = parseConfigHeader(blk.group(2))
+            val body = substituteVars(body0, project.vars, env)
             val enabled = cfg.get("enabled") match {
               case Some(b: Boolean) => b
               case _ => true

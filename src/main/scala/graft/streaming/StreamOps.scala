@@ -411,6 +411,74 @@ object StreamOps {
     TxLogFormat.read(spark, table).orderBy("digest")
   }
 
+  /** One micro-batch of the streaming NEAR-dup ingest loop — the D36
+    * incremental-minhash production shape composed end-to-end:
+    *
+    *  1. intra-batch near-dups collapse first (minhash-LSH on the batch
+    *     alone; min doc_id survives a pair);
+    *  2. survivors probe the corpus's PERSISTED band index
+    *     (`indexTable` — the [[graft.operators.Dedup.bandedSignatures]]
+    *     frame as a txlog table): candidate volume scales with the
+    *     batch's dup density, never corpus size, and corpus TEXT loads
+    *     only for candidate verify;
+    *  3. genuinely novel docs append to the corpus table AND their band
+    *     signatures append to the index table, both under the same
+    *     exactly-once txn tag — the index is maintained incrementally,
+    *     never recomputed from corpus text.
+    *
+    * A crash between the two appends replays safely: each table's txn
+    * ledger skips its own already-committed half. Exact copies are caught
+    * deterministically (J=1 collides in every band); near-copies up to
+    * LSH recall (spec-bounded on the batch operator). */
+  def neardupIngestBatch(table: String, indexTable: String)
+                        (b: DataFrame, id: Long): Unit = {
+    import graft.sources.TxLogFormat
+    val spark = b.sparkSession
+    val batch = b.select(col("doc_id"), col("text")).localCheckpoint()
+    val intraDrop = graft.operators.Dedup.minhashLsh(batch)
+      .select(greatest(col("doc_a"), col("doc_b")).as("doc_id")).distinct()
+    val batchKept = batch.join(intraDrop, Seq("doc_id"), "left_anti")
+    val kept =
+      if (TxLogFormat.versions(table).isEmpty) batchKept
+      else {
+        val corpus = TxLogFormat.read(spark, table)
+        val idx = TxLogFormat.read(spark, indexTable)
+        val dup = graft.operators.Dedup.incrementalMinhash(corpus, batchKept,
+            corpusIndex = Some(idx))
+          .select(col("doc_b").as("doc_id")).distinct()
+        batchKept.join(dup, Seq("doc_id"), "left_anti")
+      }
+    // checkpoint: the survivor set feeds BOTH appends — corpus rows and
+    // their band signatures must describe exactly the same docs
+    val keptC = kept.localCheckpoint()
+    TxLogFormat.appendBatch(keptC, table, "neardup_ingest", id)
+    TxLogFormat.appendBatch(graft.operators.Dedup.bandedSignatures(keptC),
+      indexTable, "neardup_ingest", id): Unit
+  }
+
+  /** Driver wrapper: AvailableNow over the documents source through
+    * [[neardupIngestBatch]] (one batch from a cold corpus → intra-batch
+    * near-dup dedup), returning the ingested corpus. Rows-only in the
+    * driver (LSH recall is not SQL-expressible); the spec drives a
+    * 2-batch MemoryStream for the cross-batch + index-maintenance
+    * properties. */
+  def runNeardupIngest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxLogFormat
+    val root = java.nio.file.Files.createTempDirectory("graft_ndingest_")
+    val table = root.resolve("corpus").toString
+    val indexTable = root.resolve("index").toString
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val q = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .select(col("doc_id"), col("text"))
+      .writeStream
+      .foreachBatch(neardupIngestBatch(table, indexTable) _)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    TxLogFormat.read(spark, table).select("doc_id")
+  }
+
   /** Stateful gap sessionization via flatMapGroupsWithState: per user, an
     * open session is carried in GroupState; events extend it or close it
     * (30-min gap). Closed sessions emit append-mode; the open session

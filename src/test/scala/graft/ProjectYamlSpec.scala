@@ -111,6 +111,63 @@ class ProjectYamlSpec extends SparkSpec {
     assert(st2("fct_example") == "skipped" && !out2.contains("fct_example"))
   }
 
+  test("a synthetic project with vars + incremental model loads and runs " +
+       "(the loader generalizes beyond the reference files)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_proj")
+    def write(rel: String, text: String): Unit = {
+      val p = dir.resolve(rel)
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.writeString(p, text)
+    }
+    write("dbt_project.yml",
+      """name: synth
+        |profile: synth
+        |vars:
+        |  min_value: "{{ env_var('SYNTH_MIN', '10') }}"
+        |models:
+        |  synth:
+        |    +materialized: view
+        |""".stripMargin)
+    write("models/filtered.sql",
+      """select id, v from {{ source('src', 't') }}
+        |where v >= {{ var('min_value') }}
+        |  and id != {{ var('missing_ok', '-1') }}
+        |""".stripMargin)
+    write("models/doubled.sql",
+      """{{ config(materialized='table') }}
+        |select id, v * 2 as v2 from {{ ref('filtered') }}
+        |""".stripMargin)
+    val raw = Seq((1L, 5L), (2L, 10L), (3L, 50L)).toDF("id", "v")
+    // default var: min_value=10
+    val out = ProjectYaml.load(dir.toString)
+      .run(spark, Map("src.t" -> raw),
+        java.nio.file.Files.createTempDirectory("graft_projw").toString)
+    assert(out("doubled").orderBy("id").collect().map(_.getLong(1)).toSeq ==
+      Seq(20L, 100L))
+    // env overrides the project var's env_var default
+    val out2 = ProjectYaml.load(dir.toString, env = Map("SYNTH_MIN" -> "50"))
+      .run(spark, Map("src.t" -> raw),
+        java.nio.file.Files.createTempDirectory("graft_projw2").toString)
+    assert(out2("doubled").collect().map(_.getLong(1)).toSeq == Seq(100L))
+    // incremental materialization maps from the config header
+    write("models/inc.sql",
+      """{{ config(materialized='incremental', unique_key='id',
+        |          on_schema_change='sync_all_columns') }}
+        |select id, v from {{ source('src', 't') }}
+        |""".stripMargin)
+    val inc = ProjectYaml.loadModels(dir.toString)._1.find(_.name == "inc").get
+    assert(inc.materialization == IncrementalMat("id",
+      onSchemaChange = graft.operators.OnSchemaChange.SyncAllColumns))
+    java.nio.file.Files.delete(dir.resolve("models/inc.sql"))
+    // an undefined var with no default refuses loudly
+    write("models/bad.sql", "select {{ var('nope') }} as x from {{ ref('filtered') }}")
+    val e = intercept[IllegalArgumentException] {
+      ProjectYaml.load(dir.toString)
+    }
+    assert(e.getMessage.contains("undefined var 'nope'"), e.getMessage)
+  }
+
   test("sources yml: freshness config loads (uncommented src_example form)") {
     val srcYml =
       """version: 2

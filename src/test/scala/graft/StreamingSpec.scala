@@ -153,6 +153,54 @@ class StreamingSpec extends SparkSpec {
       "replayed batch id must not commit")
   }
 
+  test("streaming NEAR-dup ingest: intra-batch + cross-batch near-dups " +
+       "drop, the band index tracks the corpus, replay-safe") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_ndingest_spec")
+    val table = root.resolve("corpus").toString
+    val index = root.resolve("index").toString
+    val textA = "the quick brown fox jumps over the lazy sleeping dog tonight"
+    val textB = "completely different content about training data pipelines here"
+    val textC = "fresh third document with its own unrelated vocabulary inside"
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch(StreamOps.neardupIngestBatch(table, index) _)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 0: 3 = exact copy of 1 (J=1, caught deterministically)
+      input.addData((1L, textA), (2L, textB), (3L, textA))
+      q.processAllAvailable()
+      // batch 1: 10 = exact copy of corpus doc 1 → dropped via the index
+      // probe; 11 is novel → lands
+      input.addData((10L, textA), (11L, textC))
+      q.processAllAvailable()
+    } finally q.stop()
+    val corpusIds = graft.sources.TxLogFormat.read(spark, table)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(corpusIds == Set(1L, 2L, 11L), corpusIds.toString)
+    // the maintained index must equal the index RECOMPUTED from corpus
+    // text — the invariant that lets every future batch skip corpus reads
+    val maintained = graft.sources.TxLogFormat.read(spark, index)
+      .select("doc_id", "band_idx", "band_hash").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val recomputed = graft.operators.Dedup.bandedSignatures(
+        graft.sources.TxLogFormat.read(spark, table))
+      .select("doc_id", "band_idx", "band_hash").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(maintained == recomputed, "index diverged from corpus")
+    // replay: re-landing a committed batch id is a no-op on BOTH tables
+    val vs = (graft.sources.TxLogFormat.versions(table).size,
+              graft.sources.TxLogFormat.versions(index).size)
+    StreamOps.neardupIngestBatch(table, index)(
+      Seq((99L, textC)).toDF("doc_id", "text"), 0L)
+    assert((graft.sources.TxLogFormat.versions(table).size,
+            graft.sources.TxLogFormat.versions(index).size) == vs,
+      "replayed batch id must not commit")
+  }
+
   test("stream sessionize + flush sentinel = batch sessionize exactly") {
     val events = Tables.events(spark, sf)
     // the epilogue sentinel pushes the final watermark past every open
