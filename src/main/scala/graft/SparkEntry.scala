@@ -61,8 +61,10 @@ object SparkEntry {
   private def sharedPq(s: SparkSession, d: String): Similarity.PqIndex =
     objMemo.getOrElseUpdate(
       s"${s.sparkContext.applicationId}|$d|pq", {
+        // residual coding (the FAISS IVFPQ default) — the exhaustive
+        // ann_pq_q config stays ≡ exact top-k regardless of coding
         val ix = Similarity.buildPqIndex(Tables.embeddings(s, d),
-          precomputedIvf = Some(sharedIvf(s, d)))
+          residual = true, precomputedIvf = Some(sharedIvf(s, d)))
         ix.copy(encoded = ix.encoded.localCheckpoint())
       }).asInstanceOf[Similarity.PqIndex]
 

@@ -127,7 +127,8 @@ object Similarity {
     * list as literal columns. At 100 TB this builds ONCE and persists
     * (cell is just another table column); both the float and the
     * quantized searchers consume it. */
-  final case class IvfIndex(assigned: DataFrame, centroids: Seq[Column])
+  final case class IvfIndex(assigned: DataFrame, centroids: Seq[Column],
+                            centroidValues: Seq[Array[Double]] = Nil)
 
   def buildIvfIndex(embeddings: DataFrame, nCells: Int = 16): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
@@ -138,9 +139,11 @@ object Similarity {
       .fit(withVec.select("features"))
     val assigned = model.transform(withVec)
       .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
-    // centroid list is tiny (k rows) — ship as a literal array column
+    // centroid list is tiny (k rows) — ship as a literal array column;
+    // the raw values ride along for residual-PQ cross-term tables
     IvfIndex(assigned, model.clusterCenters.map(c =>
-      array(c.toArray.map(lit): _*)).toSeq)
+      array(c.toArray.map(lit): _*)).toSeq,
+      model.clusterCenters.map(_.toArray).toSeq)
   }
 
   /** Squared Euclidean distance — the SAME metric k-means assigned cells
@@ -239,40 +242,60 @@ object Similarity {
     * m=8 on 64 float dims. Codebooks are trained on the corpus (m
     * distributed k-means fits over n×(dim/m) slices — offline, once per
     * index generation, like [[buildIvfIndex]]); encoding is a scan-bound
-    * argmin over literal centroid arrays. PQ here codes the RAW vector
-    * (FAISS "PQ" flavor; residual-coding is the other flavor — same
-    * search shape, better accuracy, a second codebook train). */
+    * argmin over literal centroid arrays. Two codings:
+    *  - raw (`residual = false`): codebooks quantize the vector itself;
+    *  - residual (`residual = true`, the FAISS IVFPQ default): codebooks
+    *    quantize x − c(cell) — the residual after the coarse centroid —
+    *    which concentrates the codebook's 16 cells on a far smaller
+    *    value range, so the same m bytes carry more precision. The coarse
+    *    part is recovered at search time from cross-term LOOKUP tables
+    *    that are pure codebook/centroid functions (literals — nothing
+    *    extra is scanned or shuffled). */
   final case class PqIndex(encoded: DataFrame,
                            codebooks: Array[Array[Array[Double]]],
-                           ivf: IvfIndex, m: Int, subDim: Int)
+                           ivf: IvfIndex, m: Int, subDim: Int,
+                           residual: Boolean = false)
 
   def buildPqIndex(embeddings: DataFrame, nCells: Int = 16, m: Int = 8,
                    subK: Int = 16, dim: Int = 64,
+                   residual: Boolean = false,
                    precomputedIvf: Option[IvfIndex] = None): PqIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
     val sub = dim / m
     val ivf = precomputedIvf.getOrElse(buildIvfIndex(embeddings, nCells))
+    require(!residual || ivf.centroidValues.nonEmpty,
+      "residual PQ needs IvfIndex.centroidValues (rebuild the IVF index)")
+    val centsLit = array(ivf.centroids: _*)
+    // the subvector the codebooks see: the raw slice, or the slice of
+    // the residual x − c(cell) (per-row coarse centroid via element_at)
+    def subSrc(i: Int): Column = {
+      val raw = slice(col("embedding"), i * sub + 1, sub).cast("array<double>")
+      if (!residual) raw
+      else zip_with(raw,
+        slice(element_at(centsLit, col("cell") + 1), i * sub + 1, sub),
+        (a, b) => a - b)
+    }
+    // training + encoding read cell alongside the vector (residual needs
+    // it; raw ignores it) — ivf.assigned carries both
+    val base = ivf.assigned
     val codebooks = (0 until m).map { i =>
-      val sliced = embeddings.select(array_to_vector(
-        slice(col("embedding"), i * sub + 1, sub).cast("array<double>"))
-        .as("features"))
+      val sliced = base.select(array_to_vector(subSrc(i)).as("features"))
       new KMeans().setK(subK).setSeed(42L + i).setMaxIter(10)
         .fit(sliced).clusterCenters.map(_.toArray)
     }.toArray
     // encode: per subspace, argmin over the literal centroid list —
     // array_position(min) is deterministic (first index) on ties
     val codeCols = (0 until m).map { i =>
-      val sv = slice(col("embedding"), i * sub + 1, sub)
       val dists = array(codebooks(i).map(c =>
-        sqDist(sv, array(c.map(lit): _*))): _*)
+        sqDist(subSrc(i), array(c.map(lit): _*))): _*)
       (array_position(dists, array_min(dists)) - 1).cast("int")
     }
     PqIndex(
-      ivf.assigned.select(col("vec_id"), col("cell"),
+      base.select(col("vec_id"), col("cell"),
         array(codeCols: _*).as("codes")),
-      codebooks, ivf, m, sub)
+      codebooks, ivf, m, sub, residual)
   }
 
   /** IVF-PQ search with exact re-ranking: stage 1 scans ONLY (cell,
@@ -293,13 +316,14 @@ object Similarity {
   def ivfPqTopK(embeddings: DataFrame, queryIds: Seq[Long] = Seq(0L, 1L, 2L),
                 k: Int = 10, nCells: Int = 16, nProbe: Int = 8,
                 m: Int = 8, subK: Int = 16, dim: Int = 64,
-                rerank: Int = 30,
+                rerank: Int = 30, residual: Boolean = false,
                 precomputedPq: Option[PqIndex] = None): DataFrame = {
-    val idx = precomputedPq.getOrElse(buildPqIndex(embeddings, nCells, m, subK, dim))
+    val idx = precomputedPq.getOrElse(
+      buildPqIndex(embeddings, nCells, m, subK, dim, residual))
     val sub = idx.subDim
     val queries = embeddings.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val probed = probeCells(idx.ivf, queries, nProbe)
+    val probed0 = probeCells(idx.ivf, queries, nProbe)
       // ADC tables ride the probed frame: lut (per-query dots) + qnorm —
       // evaluated once per (query, cell) row, broadcast with it
       .withColumn("lut", array((0 until m).map { i =>
@@ -307,14 +331,39 @@ object Similarity {
           dot(slice(col("qv"), i * sub + 1, sub), array(c.map(lit): _*))): _*)
       }: _*))
       .withColumn("qnorm", sqrt(dot(col("qv"), col("qv"))))
-    // ||x||² ≈ Σ_i ||c_{i,code_i}||² — a literal table of the codebooks
+    // residual coding recovers the coarse part per (query, cell):
+    // dot(q, x) = dot(q, c_cell) + Σ lut[i][code_i] — dot(q, c_cell)
+    // rides the probed frame too (one dot per probe row)
+    val probed = if (!idx.residual) probed0.withColumn("qdotc", lit(0.0))
+      else probed0.withColumn("qdotc", dot(col("qv"),
+        element_at(array(idx.ivf.centroids: _*), col("cell") + 1)))
+    // ||x̂||²: raw coding — Σ_i ||cb_{i,code_i}||² (codebook literal);
+    // residual — ||c_cell||² + 2·Σ_i <c_cell,i , cb_{i,code_i}> + Σ‖cb‖²,
+    // where the cross terms are a PURE (cell, i, code) literal table
     val normLit = array((0 until m).map { i =>
       array(idx.codebooks(i).map(c => lit(c.map(x => x * x).sum)): _*)
     }: _*)
     def lookup(tbl: Column, i: Int): Column =
       element_at(element_at(tbl, i + 1), element_at(col("codes"), i + 1) + 1)
-    val adot = (0 until m).map(lookup(col("lut"), _)).reduce(_ + _)
-    val anorm2 = (0 until m).map(lookup(normLit, _)).reduce(_ + _)
+    val adot0 = (0 until m).map(lookup(col("lut"), _)).reduce(_ + _)
+    val rnorm2 = (0 until m).map(lookup(normLit, _)).reduce(_ + _)
+    val adot = col("qdotc") + adot0
+    val anorm2 =
+      if (!idx.residual) rnorm2
+      else {
+        val cv = idx.ivf.centroidValues
+        val cellNormLit = array(cv.map(c => lit(c.map(x => x * x).sum)): _*)
+        val crossLit = array(cv.map { cc =>
+          array((0 until m).map { i =>
+            val cSub = cc.slice(i * sub, i * sub + sub)
+            array(idx.codebooks(i).map(cb =>
+              lit(cSub.zip(cb).map { case (a, b) => a * b }.sum)): _*)
+          }: _*)
+        }: _*)
+        val cross = (0 until m).map(i =>
+          lookup(element_at(crossLit, col("cell") + 1), i)).reduce(_ + _)
+        element_at(cellNormLit, col("cell") + 1) + lit(2.0) * cross + rnorm2
+      }
     val approx = idx.encoded.join(broadcast(probed), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),

@@ -470,8 +470,13 @@ object ProjectYaml {
                 val vals = seq(a.getOrElse("values", Nil)).map(str)
                 (s"accepted_values_${name}_$column",
                   (df: DataFrame) => df.filter(!col(column).isin(vals: _*)))
-              case other => (s"skipped_${other}_$name",
-                (df: DataFrame) => df.limit(0))
+              case other =>
+                // refusing beats a silent no-op that would report "tests
+                // pass" for a test that never ran (relationships needs a
+                // second model's frame — wire it via Model.tests directly)
+                throw new IllegalArgumentException(
+                  s"model $name: unsupported schema test '$other' " +
+                    "(loadable: unique, not_null, accepted_values)")
             }
           }
         })

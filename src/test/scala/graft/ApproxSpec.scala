@@ -100,13 +100,22 @@ class ApproxSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = exact.intersect(pq).size.toDouble / exact.size
     assert(recall >= 0.4, s"ivf-pq recall $recall")
+    // residual coding (the FAISS default): same bound must hold — the
+    // cross-term/cell-norm tables must reconstruct a sane approx cosine
+    val pqR = Similarity.ivfPqTopK(emb, Seq(0L, 1L, 2L), 10,
+        residual = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recallR = exact.intersect(pqR).size.toDouble / exact.size
+    assert(recallR >= 0.4, s"residual ivf-pq recall $recallR")
     // exhaustive config: probe every cell, rerank every candidate — the
     // full codebook/encode/ADC machinery must reproduce exact top-k
-    // bit-for-bit (the ann_pq_q driver oracle's claim)
-    val full = Similarity.ivfPqTopK(emb, Seq(0L, 1L, 2L), 10,
-      nProbe = 16, rerank = Int.MaxValue).collect()
-    assert(full.map(_.toSeq).toSeq == exactRows.map(_.toSeq).toSeq,
-      "exhaustive IVF-PQ diverged from exact topK")
+    // bit-for-bit (the ann_pq_q driver oracle's claim), under BOTH codings
+    Seq(false, true).foreach { res =>
+      val full = Similarity.ivfPqTopK(emb, Seq(0L, 1L, 2L), 10,
+        nProbe = 16, rerank = Int.MaxValue, residual = res).collect()
+      assert(full.map(_.toSeq).toSeq == exactRows.map(_.toSeq).toSeq,
+        s"exhaustive IVF-PQ (residual=$res) diverged from exact topK")
+    }
   }
 
   test("ann_ivf_q: quantized probe + exact rerank matches plain IVF's " +
