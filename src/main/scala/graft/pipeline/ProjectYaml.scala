@@ -529,6 +529,41 @@ object ProjectYaml {
     }
   }
 
+  /** `dbt source freshness` over the declared contracts: for each source
+    * table with a `loaded_at_field`, ONE max() aggregate over its input
+    * frame (metadata-cheap at any size — no row leaves the executor but
+    * a 1-row max), statused against the declared warn/error periods on
+    * exact seconds (dbt semantics). Sources without a freshness block
+    * report `none`. */
+  def sourceFreshnessReport(srcs: Seq[SourceTable],
+                            inputs: Map[String, DataFrame],
+                            anchorEpoch: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val withField = srcs.filter(_.loadedAtField.isDefined)
+    require(withField.nonEmpty, "no source declares a loaded_at_field")
+    withField.map { st =>
+      val df = inputs.getOrElse(st.inputKey, throw new IllegalArgumentException(
+        s"source freshness: no input for '${st.inputKey}' " +
+          s"(have: ${inputs.keys.mkString(", ")})"))
+      val age = lit(anchorEpoch) -
+        col(st.loadedAtField.get).cast("timestamp").cast("long")
+      // dbt freshness = age of the NEWEST row: anchor − max(loaded_at)
+      // ≡ min(age)
+      df.agg(min(age).as("age_s"))
+        .select(
+          lit(st.source).as("source"), lit(st.table).as("table"),
+          (lit(anchorEpoch) - col("age_s")).as("loaded_at_s"),
+          floor(col("age_s") / 3600L).cast("long").as("age_hours"),
+          (st.warnAfterSec, st.errorAfterSec) match {
+            case (None, None) => lit("none").as("status")
+            case (w, e) =>
+              when(col("age_s") > e.map(lit(_)).getOrElse(lit(Long.MaxValue)), "error")
+                .when(col("age_s") > w.map(lit(_)).getOrElse(lit(Long.MaxValue)), "warn")
+                .otherwise("ok").as("status")
+          })
+    }.reduce(_.unionByName(_))
+  }
+
   // ---- exposures.yml ----
 
   def loadExposures(yaml: String): Seq[Exposure] = {

@@ -118,6 +118,19 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
+  test("PQ encoded index carries codes only — the stage-1 scan table " +
+       "stores no floats") {
+    // the IO claim behind IVF-PQ: stage 1 reads (cell, codes) — m small
+    // ints per vector — and float vectors load only through the
+    // rerank-sized join. Pin the index schema so a refactor cannot
+    // silently drag the embedding column back into the scan table.
+    val idx = Similarity.buildPqIndex(Tables.embeddings(spark, sf))
+    assert(idx.encoded.schema.map(f =>
+        f.name -> f.dataType.simpleString).toSet ==
+      Set("vec_id" -> "bigint", "cell" -> "int", "codes" -> "array<int>"),
+      idx.encoded.schema.treeString)
+  }
+
   test("ann_ivf_q: quantized probe + exact rerank matches plain IVF's " +
        "recall within the quantization tolerance") {
     val emb = Tables.embeddings(spark, sf)

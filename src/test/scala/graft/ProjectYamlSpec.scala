@@ -190,6 +190,24 @@ class ProjectYamlSpec extends SparkSpec {
     val real = java.nio.file.Files.readString(java.nio.file.Paths.get(
       refDir, "models/staging/src_example.yml"))
     assert(ProjectYaml.loadSources(real).isEmpty)
+    // `dbt source freshness` over the declared contract: age of the
+    // NEWEST row vs the warn/error periods, on exact seconds
+    import spark.implicits._
+    val anchor = 1706745600L // 2024-02-01 UTC
+    def at(hoursAgo: Long) = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(anchor - hoursAgo * 3600))
+    val fresh = Seq((1L, at(50)), (2L, at(2))).toDF("id", "created_at")
+    val ok = ProjectYaml.sourceFreshnessReport(srcs,
+      Map("raw.example" -> fresh), anchor).collect()
+    // newest row is 2h old → ok, even though another row is 50h old
+    assert(ok.map(r => (r.getString(0), r.getString(1), r.getLong(3),
+      r.getString(4))).toSeq == Seq(("raw", "example", 2L, "ok")))
+    val stale = Seq((1L, at(30))).toDF("id", "created_at")
+    assert(ProjectYaml.sourceFreshnessReport(srcs,
+      Map("raw.example" -> stale), anchor).collect()(0).getString(4) == "warn")
+    val dead = Seq((1L, at(100))).toDF("id", "created_at")
+    assert(ProjectYaml.sourceFreshnessReport(srcs,
+      Map("raw.example" -> dead), anchor).collect()(0).getString(4) == "error")
   }
 
   test("exposures + sources yml shapes parse (uncommented reference form)") {
