@@ -447,19 +447,39 @@ object ProjectYaml {
 
   // ---- model .yml schema files → tests ----
 
-  /** `models: - name: m / tests: - unique: {column_name: c}` →
-    * violation-row test functions, dbt's generic-test semantics. */
+  /** Schema-test declarations → violation-row test functions, dbt's
+    * generic-test semantics. Both dbt layouts load: model-level
+    * `tests: - unique: {column_name: c}` (the reference's form) and the
+    * more common column-nested form
+    * `columns: - name: c / tests: [- unique, - not_null, ...]` where the
+    * enclosing column block names the column and a bare test kind needs
+    * no args. */
   def loadModelTests(yaml: String)
       : Map[String, Seq[(String, DataFrame => DataFrame)]] = {
     import org.apache.spark.sql.functions._
     val root = m(YamlLite.parse(yaml))
     seq(root.getOrElse("models", Nil)).map(m(_)).flatMap { mod =>
       val name = str(mod.getOrElse("name", ""))
+      // model-level: seq of one-key maps carrying column_name args;
+      // column-level: bare kinds (scalars) or one-key maps under a column
+      val modelLevel = seq(mod.getOrElse("tests", Nil)).map(m(_)).flatMap { t =>
+        t.toSeq.map { case (kind, args) =>
+          (kind, m(args), str(m(args).getOrElse("column_name", "id")))
+        }
+      }
+      val columnLevel = seq(mod.getOrElse("columns", Nil)).map(m(_)).flatMap { c =>
+        val column = str(c.getOrElse("name", ""))
+        seq(c.getOrElse("tests", Nil)).flatMap {
+          case kind: String => Some((kind, Map.empty[String, Any], column))
+          case mm: Map[_, _] =>
+            mm.asInstanceOf[Map[String, Any]].headOption.map { case (k, v) =>
+              (k, m(v), column) }
+          case _ => None
+        }
+      }
       if (name.isEmpty) None else Some(name ->
-        seq(mod.getOrElse("tests", Nil)).map(m(_)).flatMap { t =>
-          t.toSeq.map { case (kind, args) =>
-            val a = m(args)
-            val column = str(a.getOrElse("column_name", "id"))
+        (modelLevel ++ columnLevel).map { case (kind, a, column) =>
+          locally {
             kind match {
               case "unique" => (s"unique_${name}_$column",
                 (df: DataFrame) => df.groupBy(column)
@@ -480,6 +500,23 @@ object ProjectYaml {
             }
           }
         })
+    }.toMap
+  }
+
+  /** Model + column `description:` fields → the docs the manifest/catalog
+    * export persists (dbt `persist_docs`). */
+  def loadModelDocs(yaml: String)
+      : Map[String, (String, Map[String, String])] = {
+    val root = m(YamlLite.parse(yaml))
+    seq(root.getOrElse("models", Nil)).map(m(_)).flatMap { mod =>
+      val name = str(mod.getOrElse("name", ""))
+      if (name.isEmpty) None else Some(name -> (
+        str(mod.getOrElse("description", "")),
+        seq(mod.getOrElse("columns", Nil)).map(m(_)).flatMap { c =>
+          val cn = str(c.getOrElse("name", ""))
+          val d = str(c.getOrElse("description", ""))
+          if (cn.isEmpty || d.isEmpty) None else Some(cn -> d)
+        }.toMap))
     }.toMap
   }
 
@@ -626,6 +663,8 @@ object ProjectYaml {
     }
     val tests = ymlFiles.map(f => loadModelTests(Files.readString(f)))
       .foldLeft(Map.empty[String, Seq[(String, DataFrame => DataFrame)]])(_ ++ _)
+    val docs = ymlFiles.map(f => loadModelDocs(Files.readString(f)))
+      .foldLeft(Map.empty[String, (String, Map[String, String])])(_ ++ _)
     val exposures = ymlFiles.filter(_.getFileName.toString == "exposures.yml")
       .flatMap(f => loadExposures(Files.readString(f)))
     val models = sqlFiles.flatMap { f =>
@@ -645,7 +684,9 @@ object ProjectYaml {
         val conf = folderConfig(project.modelsTree, project.name, path) ++ cfg
         Some(Model(name, depsOf(body), materializationOf(conf),
           sqlBuild(name, body),
+          description = docs.get(name).map(_._1).getOrElse(""),
           checksum = Integer.toHexString(raw.hashCode),
+          columnDocs = docs.get(name).map(_._2).getOrElse(Map.empty),
           tests = tests.getOrElse(name, Nil)))
       }
     }

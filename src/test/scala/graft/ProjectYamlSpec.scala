@@ -150,6 +150,35 @@ class ProjectYamlSpec extends SparkSpec {
       .run(spark, Map("src.t" -> raw),
         java.nio.file.Files.createTempDirectory("graft_projw2").toString)
     assert(out2("doubled").collect().map(_.getLong(1)).toSeq == Seq(100L))
+    // column-nested tests (the common dbt layout) + descriptions → docs
+    write("models/filtered.yml",
+      """version: 2
+        |models:
+        |  - name: filtered
+        |    description: rows above the configured floor
+        |    columns:
+        |      - name: id
+        |        description: business key
+        |        tests:
+        |          - unique
+        |          - not_null
+        |      - name: v
+        |        tests:
+        |          - accepted_values:
+        |              values: [10, 50]
+        |""".stripMargin)
+    val filtered = ProjectYaml.loadModels(dir.toString)._1
+      .find(_.name == "filtered").get
+    assert(filtered.tests.map(_._1).toSet == Set("unique_filtered_id",
+      "not_null_filtered_id", "accepted_values_filtered_v"))
+    assert(filtered.description == "rows above the configured floor")
+    assert(filtered.columnDocs == Map("id" -> "business key"))
+    // and the column-nested tests actually execute through build
+    val (_, stT) = ProjectYaml.load(dir.toString)
+      .build(spark, Map("src.t" -> raw),
+        java.nio.file.Files.createTempDirectory("graft_projt").toString)
+    assert(stT("filtered") == "success", stT.toString)
+    java.nio.file.Files.delete(dir.resolve("models/filtered.yml"))
     // incremental materialization maps from the config header
     write("models/inc.sql",
       """{{ config(materialized='incremental', unique_key='id',
