@@ -380,6 +380,9 @@ object OracleSql {
       s"""SELECT doc_id, lang FROM documents WHERE lang IN ('en','de','es','fr','zh') AND CAST(('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) < ${(0.5 * (1L << 24)).toLong} ORDER BY doc_id""",
 
     // thresholds rendered from the same Scala longs the operator computes
+    "target_mix_sample" ->
+      """WITH toks AS (SELECT source, SUM(n_chars) AS tok, (CAST(substr(source, 4) AS INT) % 4) + 1 AS w FROM documents GROUP BY source), star AS (SELECT tok AS tok_star, w AS w_star FROM toks ORDER BY CAST(tok AS DOUBLE)/w, source LIMIT 1), rates AS (SELECT source, CAST(ROUND(10000.0 * w * tok_star / (w_star * tok), 0) AS BIGINT) AS rate_bp FROM toks CROSS JOIN star) SELECT d.doc_id, d.source, rate_bp/10000.0 AS keep_rate FROM documents d JOIN rates r ON d.source = r.source WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6)) AS BIGINT) * 10000 < rate_bp * 16777216 ORDER BY d.doc_id""",
+
     "split_train_val_test" ->
       s"""SELECT doc_id, lang, CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) < ${(0.8 * (1L << 24)).toLong} THEN 'train' WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) < ${((0.8 + 0.1) * (1L << 24)).toLong} THEN 'val' ELSE 'test' END AS split FROM documents ORDER BY doc_id""",
 

@@ -415,6 +415,13 @@ object SparkEntry {
     "repetition_score" -> ((s, d) => TextAnalysis.repetitionScore(Tables.documents(s, d))),
     "source_mix"      -> ((s, d) => Curation.sourceMix(Tables.documents(s, d))),
     "source_sample_temp" -> ((s, d) => Curation.temperatureSample(Tables.documents(s, d))),
+    // explicit data-recipe mixing: target weight parsed from the source id
+    // (srcN -> 1 + N%4) so the expression works at every scale factor
+    "target_mix_sample" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      Curation.targetMixSample(Tables.documents(s, d),
+        substring(col("source"), 4, 10).cast("int") % 4 + 1)
+    }),
     "perplexity_score" -> ((s, d) => TextAnalysis.perplexityScore(Tables.documents(s, d))),
     "corpus_curation" -> ((s, d) => Curation.curationPipeline(Tables.documents(s, d))),
     "rolling_fingerprint" -> ((s, d) => TextAnalysis.rollingFingerprint(Tables.documents(s, d))),

@@ -555,6 +555,45 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Curation to an EXPLICIT target mixture — the "data recipe" stage a
+    * pretraining corpus ships with (target shares per domain), where
+    * [[temperatureSample]] only smooths the natural distribution. Each
+    * source's unnormalized target weight comes from `targetWeight` (any
+    * expression over the source column — a literal map, a parsed id, a
+    * joined config table); the output thins source s to
+    * `rate_s = (w_s · T) / tok_s` with `T = min_s(tok_s / w_s)` — the
+    * LARGEST output volume at which no source is oversampled (sampling
+    * without replacement: the binding source keeps everything, rates are
+    * ≤ 1 by construction).
+    *
+    * Same determinism contract as [[temperatureSample]]: rates round to
+    * basis points, the per-doc draw is the 24-bit md5(doc_id) integer,
+    * acceptance is cross-multiplied integer math. Plan shape: one
+    * #sources-row aggregate → 1-row binding-source broadcast → broadcast
+    * rate map → scan-bound filter; the corpus never shuffles. */
+  def targetMixSample(documents: DataFrame,
+                      targetWeight: org.apache.spark.sql.Column): DataFrame = {
+    val toks = documents.groupBy("source")
+      .agg(sum(col("n_chars")).as("tok"))
+      .withColumn("w", targetWeight.cast("long"))
+    // binding source s* = argmin tok/w (source-name tiebreak): the one
+    // whose full volume pins the output total
+    val star = toks
+      .orderBy((col("tok").cast("double") / col("w")).asc, col("source"))
+      .limit(1).select(col("tok").as("tok_star"), col("w").as("w_star"))
+    val rates = toks.crossJoin(broadcast(star))
+      .select(col("source"),
+        round(lit(10000.0) * col("w") * col("tok_star") /
+          (col("w_star") * col("tok")), 0).cast("long").as("rate_bp"))
+    val draw = conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+      .cast("long")
+    documents.join(broadcast(rates), "source")
+      .filter(draw * 10000L < col("rate_bp") * 16777216L)
+      .select(col("doc_id"), col("source"),
+              (col("rate_bp") / 10000.0).as("keep_rate"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic train/val/test split — the first step of every training
     * pipeline, engine-portable and reshuffle-proof: each doc's 24-bit
     * md5(doc_id) draw lands in [0, 0.8) → train, [0.8, 0.9) → val,
