@@ -271,6 +271,17 @@ class PlanSpec extends SparkSpec {
       s"corpus shuffled for the rate join:\n$plan")
   }
 
+  test("target-mix sample never shuffles the corpus (broadcast rates only)") {
+    val df = Curation.targetMixSample(Tables.documents(spark, sf),
+      substring(col("source"), 4, 10).cast("int") % 4 + 1)
+    val plan = explained(df)
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(bhj >= 1, s"rate map not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"corpus shuffled for the rate join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+  }
+
   test("incremental dedup never shuffles the corpus (broadcast membership only)") {
     val docs = Tables.documents(spark, sf)
     val df = Dedup.incrementalExact(docs.filter(col("doc_id") % 3 =!= 0),
