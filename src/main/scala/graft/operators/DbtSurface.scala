@@ -576,6 +576,9 @@ object Curation {
     val toks = documents.groupBy("source")
       .agg(sum(col("n_chars")).as("tok"))
       .withColumn("w", targetWeight.cast("long"))
+      // a non-positive/null weight means "not in the recipe": its docs are
+      // excluded (explicitly, not via a null-poisoned rate downstream)
+      .filter(col("w") > 0)
     // binding source s* = argmin tok/w (source-name tiebreak): the one
     // whose full volume pins the output total
     val star = toks

@@ -125,6 +125,16 @@ object YamlLite {
       if (indentOf(l) != indent)
         throw new IllegalArgumentException(s"yaml: bad indent at: $l")
       keySplit(l.trim) match {
+        // block scalar (`description: |` / `>`): the deeper-indented lines
+        // are TEXT, not structure — dbt descriptions use this routinely
+        case Some((k, v)) if v == "|" || v == ">" ||
+            v.matches("[|>][+-]?") =>
+          val end = childrenEnd(lines, i + 1, until, indent)
+          val body = lines.slice(i + 1, end)
+          val strip = body.map(indentOf).minOption.getOrElse(0)
+          out(k) = body.map(_.drop(strip))
+            .mkString(if (v.startsWith(">")) " " else "\n")
+          i = end
         case Some((k, v)) if v.nonEmpty =>
           out(k) = scalar(v); i += 1
         case Some((k, _)) =>
@@ -585,8 +595,10 @@ object ProjectYaml {
       val age = lit(anchorEpoch) -
         col(st.loadedAtField.get).cast("timestamp").cast("long")
       // dbt freshness = age of the NEWEST row: anchor − max(loaded_at)
-      // ≡ min(age)
-      df.agg(min(age).as("age_s"))
+      // ≡ min(age). An EMPTY source has no newest row — that is maximal
+      // staleness, not "ok" (the null would otherwise sail through every
+      // threshold comparison as not-true).
+      df.agg(coalesce(min(age), lit(Long.MaxValue)).as("age_s"))
         .select(
           lit(st.source).as("source"), lit(st.table).as("table"),
           (lit(anchorEpoch) - col("age_s")).as("loaded_at_s"),

@@ -26,6 +26,28 @@ class OperatorsSpec extends SparkSpec {
       "total_price", "order_date", "order_priority"))
   }
 
+  test("target mix: rates <= 1, binding source keeps everything, " +
+       "non-positive weights excluded") {
+    val docs = Tables.documents(spark, sf)
+    val w = substring(col("source"), 4, 10).cast("int") % 4 + 1
+    val out = Curation.targetMixSample(docs, w)
+    val rates = out.select("source", "keep_rate").distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rates.values.forall(_ <= 1.0 + 1e-9), rates.toString)
+    // the binding source's rate is exactly 1 → every one of its docs lands
+    val binding = rates.filter { case (_, r) => r >= 0.9999 }
+    assert(binding.nonEmpty, s"no binding source in $rates")
+    binding.keys.foreach { s =>
+      assert(out.filter(col("source") === s).count() ==
+        docs.filter(col("source") === s).count(), s"binding $s dropped docs")
+    }
+    // weight 0 for even source ids → those sources vanish from the output
+    val half = Curation.targetMixSample(docs,
+      substring(col("source"), 4, 10).cast("int") % 2)
+    assert(half.filter(substring(col("source"), 4, 10).cast("int") % 2 === 0)
+      .count() == 0)
+  }
+
   test("incremental merge: delta rows win, key set unchanged") {
     val merged = Incremental.mergeLatest(Tables.orders(spark, sf))
     val orders = Tables.orders(spark, sf)

@@ -237,9 +237,15 @@ class ProjectYamlSpec extends SparkSpec {
     val dead = Seq((1L, at(100))).toDF("id", "created_at")
     assert(ProjectYaml.sourceFreshnessReport(srcs,
       Map("raw.example" -> dead), anchor).collect()(0).getString(4) == "error")
+    // an EMPTY source is maximally stale, never "ok"
+    val empty = fresh.limit(0)
+    assert(ProjectYaml.sourceFreshnessReport(srcs,
+      Map("raw.example" -> empty), anchor).collect()(0).getString(4) == "error")
   }
 
   test("exposures + sources yml shapes parse (uncommented reference form)") {
+    // the commented reference block's exact shape, incl. the `|` block
+    // scalar description (exposures.yml:12-13)
     val expYml =
       """version: 2
         |exposures:
@@ -251,11 +257,14 @@ class ProjectYamlSpec extends SparkSpec {
         |      email: data@example.com
         |    depends_on:
         |      - ref('fct_example')
+        |    description: |
+        |      Example dashboard exposure depending on fct_example.
         |    tags: [example, docs]
         |""".stripMargin
     val exps = ProjectYaml.loadExposures(expYml)
     assert(exps == Seq(Exposure("example_dashboard", "dashboard",
-      "Data Team", Seq("fct_example"), "")))
+      "Data Team", Seq("fct_example"),
+      "Example dashboard exposure depending on fct_example.")))
     // reference exposures.yml ships fully commented out → empty, no error
     val real = java.nio.file.Files.readString(
       java.nio.file.Paths.get(refDir, "models/exposures.yml"))
