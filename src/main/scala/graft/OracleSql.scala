@@ -307,6 +307,9 @@ object OracleSql {
     "txlog_gdpr" ->
       s"""SELECT o_orderpriority, COUNT(*) AS n_orders, ${cents("o_totalprice")} AS revenue FROM orders WHERE o_custkey % 97 <> 0 GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
+    "txlog_dv" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n_orders, ${cents("o_totalprice")} AS revenue FROM orders WHERE NOT (o_custkey % 7 = 0) AND NOT (o_custkey % 5 = 0 AND o_totalprice > 1000.0) GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
     "merge_columns" ->
       """WITH b AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders), u AS (SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus, o_totalprice + 1 AS o_totalprice FROM b WHERE o_orderkey % 10 = 0), i AS (SELECT o_orderkey + 5000000 AS o_orderkey, o_custkey, 'N' AS o_orderstatus, o_totalprice FROM b WHERE o_orderkey % 1000 = 1), d AS (SELECT * FROM u UNION ALL SELECT * FROM i), upd AS (SELECT b.o_orderkey, b.o_custkey, b.o_orderstatus, CASE WHEN d.o_orderkey IS NOT NULL THEN d.o_totalprice ELSE b.o_totalprice END AS o_totalprice FROM b LEFT JOIN d ON b.o_orderkey = d.o_orderkey), ins AS (SELECT d.* FROM d LEFT JOIN b ON d.o_orderkey = b.o_orderkey WHERE b.o_orderkey IS NULL) SELECT * FROM upd UNION ALL SELECT * FROM ins ORDER BY o_orderkey""",
 

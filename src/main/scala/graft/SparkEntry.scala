@@ -129,6 +129,7 @@ object SparkEntry {
     "txlog_scan"        -> ((s, d) => Acid.txlogScan(s, Tables.orders(s, d))),
     "txlog_bloom_scan"  -> ((s, d) => Acid.txlogBloomScan(s, Tables.orders(s, d))),
     "txlog_changes"     -> ((s, d) => Acid.txlogChanges(s, Tables.orders(s, d))),
+    "txlog_dv"          -> ((s, d) => Acid.txlogDv(s, Tables.orders(s, d))),
     // microbatch: delta re-emits only even keys of 1998+; those months are
     // REPLACED wholesale (odd-key rows in them disappear), earlier months
     // stay untouched

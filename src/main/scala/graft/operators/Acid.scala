@@ -140,6 +140,34 @@ object Acid {
     TxLogFormat.readChanges(spark, t, 0L).orderBy("o_orderkey")
   }
 
+  /** Merge-on-read DELETE through deletion vectors
+    * ([[TxLogFormat.deleteVectors]]): two overlapping `DELETE WHERE`s mark
+    * rows in the log WITHOUT rewriting a single data file (at 100 TB the
+    * write amplification of deleting k rows is the k-position vector, not
+    * the files holding them), then [[TxLogFormat.purgeDeletes]]
+    * materializes the vectors into rewritten files — the read must be
+    * identical before and after, and equal to the plain double-WHERE SQL.
+    * The no-bytes-moved and only-vector'd-files-rewrite properties are
+    * spec-pinned (FormatSpec "deletion vectors"). */
+  def txlogDv(spark: SparkSession, orders: DataFrame): DataFrame = {
+    val t = tmpDir("graft_txlog_dv")
+    TxLogFormat.write(
+      orders.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"),
+      t, Some("o_orderpriority"))
+    TxLogFormat.deleteVectors(spark, t, col("o_custkey") % 7 === 0)
+    TxLogFormat.deleteVectors(spark, t,
+      col("o_custkey") % 5 === 0 && col("o_totalprice") > 1000.0)
+    val masked = TxLogFormat.count(spark, t) // metadata-only under vectors
+    TxLogFormat.purgeDeletes(spark, t, Some("o_orderpriority"))
+    require(TxLogFormat.count(spark, t) == masked,
+      "purge changed the logical row count")
+    TxLogFormat.read(spark, t)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        graft.util.Det.centsSum(col("o_totalprice")).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Snapshot isolation dividend: overwrite the table, then read version
     * 0 — every original row is still there, byte-for-byte (data files are
     * immutable; the log pins the snapshot). Oracle = the base table. */

@@ -22,7 +22,8 @@ import scala.jdk.CollectionConverters._
   * `s <schema-json>` (schema) / `t <app:batch>` (txn tag) /
   * `f <relpath>…` (per-file min/max/null stats) / `m <kind>` (commit
   * marker: `rewrite` for layout-only maintenance, `checkpoint` for a
-  * vacuum fold) actions.
+  * vacuum fold) / `dv`/`dvx <relpath>…` (deletion vectors — merge-on-read
+  * row deletes, see [[deleteVectors]]) actions.
   *
   * On top of the ACID core this carries the other two pillars of a lake
   * format: '''additive schema evolution''' ([[mergeSchemas]] — appends
@@ -115,7 +116,42 @@ object TxLogFormat extends TableFormat {
   }
 
   private case class LogState(live: Seq[String], schema: Option[String],
-                              version: Long, stats: Map[String, FileStat])
+                              version: Long, stats: Map[String, FileStat],
+                              dvs: Map[String, Array[Long]])
+
+  // ---- deletion vectors (Delta's merge-on-read DELETE) ----
+  //
+  // `dv <rel>\t<b64 sorted row positions>` marks rows of an immutable data
+  // file deleted WITHOUT rewriting the file: the positions are parquet row
+  // indexes within that file (`_metadata.row_index`), the payload is the
+  // positions deleted BY THIS COMMIT (a delta — the fold unions them), and
+  // `dvx <rel>\t<b64>` RESTATES a file's cumulative vector absolutely
+  // (written by checkpoints, which summarize, and [[restore]], which must
+  // also un-delete). A file's `r` removal drops its vector — a rewrite
+  // (compact / merge / [[purgeDeletes]]) materializes the deletes into the
+  // replacement file, so the vector's job is done. Positions are stored as
+  // 8-byte big-endian longs; a production object-store format would use a
+  // roaring bitmap here (Delta does) — the log shape is identical.
+
+  private def encodePositions(ps: Array[Long]): String = {
+    val bb = java.nio.ByteBuffer.allocate(ps.length * 8)
+    ps.foreach(bb.putLong)
+    java.util.Base64.getEncoder.encodeToString(bb.array())
+  }
+
+  private def decodePositions(s: String): Array[Long] = {
+    val bytes = java.util.Base64.getDecoder.decode(s)
+    val out = new Array[Long](bytes.length / 8)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    var i = 0
+    while (i < out.length) { out(i) = bb.getLong(i * 8); i += 1 }
+    out
+  }
+
+  /** Union of two sorted distinct position arrays, sorted distinct. */
+  private def unionSorted(a: Array[Long], b: Array[Long]): Array[Long] =
+    if (a.isEmpty) b else if (b.isEmpty) a
+    else (a ++ b).distinct.sorted
 
   /** One pass over the commit log as of `upTo` (inclusive): live file set
     * (LinkedHashSet keeps commit order so reads are deterministic),
@@ -128,10 +164,25 @@ object TxLogFormat extends TableFormat {
     val live = scala.collection.mutable.LinkedHashSet[String]()
     var schema: Option[String] = None
     val stats = scala.collection.mutable.Map[String, FileStat]()
+    val dvs = scala.collection.mutable.Map[String, Array[Long]]()
     def foldLines(lines: Iterable[String]): Unit = lines.foreach { line =>
       if (line.startsWith("a ")) live += line.drop(2)
-      else if (line.startsWith("r ")) live -= line.drop(2)
+      else if (line.startsWith("r ")) { live -= line.drop(2); dvs.remove(line.drop(2)) }
       else if (line.startsWith("s ")) schema = Some(line.drop(2))
+      // deletion vectors affect READ correctness (unlike stats), so they
+      // parse unconditionally; `dv` is a per-commit delta, `dvx` restates
+      else if (line.startsWith("dv ")) {
+        val p = line.drop(3).split("\t", 2)
+        if (p.length == 2) try dvs(p(0)) =
+          unionSorted(dvs.getOrElse(p(0), Array.empty), decodePositions(p(1)))
+        catch { case _: IllegalArgumentException => }
+      } else if (line.startsWith("dvx ")) {
+        val p = line.drop(4).split("\t", 2)
+        if (p.length == 2) try {
+          val arr = decodePositions(p(1))
+          if (arr.isEmpty) dvs.remove(p(0)) else dvs(p(0)) = arr
+        } catch { case _: IllegalArgumentException => }
+      }
       else if (withStats && line.startsWith("f ")) {
         val parts = line.drop(2).split("\t", -1)
         if (parts.length >= 2 && (parts.length - 2) % 4 == 0) try {
@@ -169,7 +220,8 @@ object TxLogFormat extends TableFormat {
     vs.filter(v => cp.forall(_ < v)).foreach { v =>
       foldLines(Files.readAllLines(commitFile(path, v)).asScala)
     }
-    LogState(live.toSeq, schema, vs.lastOption.getOrElse(-1L), stats.toMap)
+    LogState(live.toSeq, schema, vs.lastOption.getOrElse(-1L), stats.toMap,
+      dvs.toMap)
   }
 
   private def snapshot(path: String, upTo: Long = Long.MaxValue)
@@ -444,10 +496,12 @@ object TxLogFormat extends TableFormat {
       s"txlog: constraint name must be non-empty without tab/newline: '$name'")
     require(!exprSql.exists(c => c == '\n' || c == '\r'),
       s"txlog: constraint expression must be single-line")
-    val (live, schemaJson, v) = snapshot(path)
+    val st = foldLog(path)
+    val (live, schemaJson, v) = (st.live, st.schema, st.version)
     require(v >= 0, s"txlog: no committed version at $path — write() first")
     if (live.nonEmpty) {
-      val bad = readFiles(spark, path, live, schemaJson)
+      // deletion-vector'd rows are logically gone — they must not block
+      val bad = readFiles(spark, path, live, schemaJson, st.dvs)
         .filter(not(coalesce(expr(exprSql).cast("boolean"), lit(true))))
         .limit(1).count()
       require(bad == 0,
@@ -509,8 +563,14 @@ object TxLogFormat extends TableFormat {
     // preserve the newest load timestamp through the fold: a checkpoint
     // restates history, it is not a load event
     val wH = allLines.filter(_.startsWith("w ")).lastOption.toSeq
+    // deletion vectors restate ABSOLUTELY (`dvx`): the fold is cumulative
+    // state, so per-commit deltas must not replay on top of it
+    val dvH = foldLog(path, upTo).dvs.toSeq.sortBy(_._1).collect {
+      case (rel, ps) if liveSet.contains(rel) && ps.nonEmpty =>
+        s"dvx $rel\t${encodePositions(ps)}"
+    }
     wH ++ schemaH.map("s " + _).toSeq ++ txnsH ++ liveH.map("a " + _) ++
-      statsH ++ consH ++ biH
+      statsH ++ consH ++ biH ++ dvH
   }
 
   /** Write the `v` sidecar checkpoint if `v` is on the cadence. A sidecar
@@ -550,13 +610,29 @@ object TxLogFormat extends TableFormat {
                      marker: Option[String] = None,
                      reResolveSchema: Option[() => Option[String]] = None,
                      extra: Seq[String] = Nil,
-                     enforced: Option[Seq[(String, String)]] = None): Long = {
+                     enforced: Option[Seq[(String, String)]] = None,
+                     requireLive: Seq[String] = Nil): Long = {
     val dir = logDir(path)
     Files.createDirectories(dir)
     var attempt = 0
     while (true) {
       onCommitAttempt(path)
-      val v = snapshot(path)._3 + 1
+      val snapNow = snapshot(path)
+      val v = snapNow._3 + 1
+      // deletion-vector conflict check, on EVERY attempt: a dv commit marks
+      // positions of a specific immutable file — if a rewrite (compact /
+      // merge / purge) replaced that file since the delete's rows were
+      // located, the positions address a file that no longer carries the
+      // table's rows and the delete would be silently LOST. Refuse loudly;
+      // the caller re-runs against the new snapshot. (The Delta
+      // delete-vs-rewrite conflict rule.)
+      if (requireLive.nonEmpty) {
+        val liveNow0 = snapNow._1.toSet
+        val gone0 = requireLive.filterNot(liveNow0)
+        if (gone0.nonEmpty) throw new java.util.ConcurrentModificationException(
+          s"txlog: file(s) rewritten by a concurrent commit while marking " +
+            s"deletes: ${gone0.take(3).mkString(", ")} at $path — retry")
+      }
       // constraint-enforcement conflict check, on EVERY attempt (the
       // Delta conflict-detection shape): the caller's row guard enforced
       // the constraint set folded at plan time, seconds of staging ago — a
@@ -658,14 +734,67 @@ object TxLogFormat extends TableFormat {
   }
 
   private def readAt(spark: SparkSession, path: String, upTo: Long): DataFrame = {
-    val (live, schemaJson, v) = snapshot(path, upTo)
-    require(v >= 0, s"txlog: no committed version at $path" +
+    val st = foldLog(path, upTo)
+    require(st.version >= 0, s"txlog: no committed version at $path" +
       (if (upTo != Long.MaxValue) s" <= $upTo" else ""))
-    readFiles(spark, path, live, schemaJson)
+    readFiles(spark, path, st.live, st.schema, st.dvs)
+  }
+
+  /** Live files read with per-row FILE IDENTITY: the committed-schema data
+    * columns plus `fnCol` = the file's (unique, staged-UUID) name and
+    * `riCol` = the row's parquet row index within it — the address a
+    * deletion vector marks. Both ride the scan as generated metadata
+    * columns (`_metadata`), costing no extra IO. */
+  private def readMeta(spark: SparkSession, path: String, live: Seq[String],
+                       schemaJson: Option[String], fnCol: String,
+                       riCol: String): DataFrame = {
+    val paths = live.map(r => s"$path/$r")
+    schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType]) match {
+      case Some(s) =>
+        spark.read.schema(s).option("basePath", path).parquet(paths: _*)
+          .select(s.fieldNames.map(col).toSeq ++ Seq(
+            col("_metadata.file_name").as(fnCol),
+            col("_metadata.row_index").as(riCol)): _*)
+      case None =>
+        spark.read.option("basePath", path).parquet(paths: _*)
+          .withColumn(fnCol, col("_metadata.file_name"))
+          .withColumn(riCol, col("_metadata.row_index"))
+    }
+  }
+
+  /** The deletion-vector positions of `live` files as a tiny (file name,
+    * position) frame — broadcast against the masked scan. */
+  private def dvFrame(spark: SparkSession, live: Seq[String],
+                      dvs: Map[String, Array[Long]]): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField}
+    val rows: Seq[Row] = live.flatMap(r =>
+      dvs.getOrElse(r, Array.empty[Long]).map(p => Row(r.split("/").last, p)))
+    spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("_dv_name", StringType, nullable = false),
+      StructField("_dv_pos", LongType, nullable = false))))
   }
 
   private def readFiles(spark: SparkSession, path: String, live: Seq[String],
-                        schemaJson: Option[String]): DataFrame = {
+                        schemaJson: Option[String],
+                        dvs: Map[String, Array[Long]] = Map.empty): DataFrame = {
+    // merge-on-read: files carrying a deletion vector anti-join their
+    // marked (file, row-index) positions out — a broadcast of the vector
+    // frame (deleted-row scale, KBs) against only the DV'd files' scan;
+    // files without vectors (the steady state after compaction) read
+    // plain, paying nothing
+    val dvLive = live.filter(r => dvs.get(r).exists(_.nonEmpty))
+    if (dvLive.nonEmpty) {
+      val plain = live.filterNot(dvLive.toSet)
+      val sfx = UUID.randomUUID().toString.take(8)
+      val (fn, ri) = (s"_dv_fn_$sfx", s"_dv_ri_$sfx")
+      val m = readMeta(spark, path, dvLive, schemaJson, fn, ri)
+      val pos = dvFrame(spark, dvLive, dvs)
+      val masked = m.join(broadcast(pos),
+          m(fn) === pos("_dv_name") && m(ri) === pos("_dv_pos"), "left_anti")
+        .drop(fn, ri)
+      return if (plain.isEmpty) masked
+        else masked.unionByName(readFiles(spark, path, plain, schemaJson))
+    }
     if (live.isEmpty) {
       val schema = schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
         .getOrElse(new StructType())
@@ -783,7 +912,8 @@ object TxLogFormat extends TableFormat {
     * Returns the number of files rewritten. */
   def merge(spark: SparkSession, path: String, keyCol: String,
             source: DataFrame, partitionBy: Option[String] = None): Int = {
-    val (live, prevSchema, v) = snapshot(path)
+    val st0 = foldLog(path)
+    val (live, prevSchema, v) = (st0.live, st0.schema, st0.version)
     require(v >= 0, s"txlog: no committed version at $path — write() first")
     require(live.isEmpty ||
         live.exists(_.contains("/")) == partitionBy.isDefined,
@@ -792,7 +922,7 @@ object TxLogFormat extends TableFormat {
     val schema = mergeSchemas(prevSchema, source.schema)
     require(schema.fieldNames.contains(keyCol),
       s"txlog: merge key $keyCol not in table schema")
-    val target = readFiles(spark, path, live, prevSchema)
+    val target = readFiles(spark, path, live, prevSchema, st0.dvs)
     val srcKeys = source.select(col(keyCol).as("_mk")).distinct()
     val hitFiles = target.withColumn("_file", input_file_name())
       .join(srcKeys, target(keyCol) === srcKeys("_mk"), "left_semi")
@@ -858,10 +988,13 @@ object TxLogFormat extends TableFormat {
     // second read(path) here could see a concurrent append's file, copy
     // its rows into the compacted output, and leave the original live —
     // silent duplication. readFiles pins exactly the files being replaced.
-    val (live, schemaJson, _) = snapshot(path)
+    val st0 = foldLog(path)
+    val (live, schemaJson) = (st0.live, st0.schema)
     val (byDir, budget) = compactBudget(path, live, targetBytes, "compact")
     if (byDir.isEmpty) return budget
-    val df = readFiles(spark, path, live, schemaJson)
+    // DV-aware read: the rewrite MATERIALIZES pending deletion vectors
+    // (their files are removed, so the fold drops the vectors with them)
+    val df = readFiles(spark, path, live, schemaJson, st0.dvs)
     val budgetCol = typedLit(budget)
     // unique helper-column name: a real column named `_salt` must survive
     val saltCol = s"_salt_${UUID.randomUUID().toString.take(8)}"
@@ -898,11 +1031,12 @@ object TxLogFormat extends TableFormat {
                        targetBytes: Long = 128L * 1024 * 1024): Map[String, Int] = {
     require(clusterBy.nonEmpty, "txlog: compactClustered needs cluster columns")
     // same single-snapshot discipline as [[compact]]
-    val (live, schemaJson, _) = snapshot(path)
+    val st0 = foldLog(path)
+    val (live, schemaJson) = (st0.live, st0.schema)
     val (byDir, budget) = compactBudget(path, live, targetBytes,
       "compactClustered")
     if (byDir.isEmpty) return budget
-    val df = readFiles(spark, path, live, schemaJson)
+    val df = readFiles(spark, path, live, schemaJson, st0.dvs)
     val key: Column =
       if (clusterBy.size == 1) col(clusterBy.head)
       else {
@@ -969,6 +1103,91 @@ object TxLogFormat extends TableFormat {
         Some(unescapeHive(dir.split("=", 2)(1)))
       case _ => None
     }).distinct
+  }
+
+  /** `DELETE FROM ... WHERE condition` as a MERGE-ON-READ delete (Delta
+    * deletion vectors): no data file is rewritten — the doomed rows'
+    * (file, row-index) addresses are located in one column-pruned scan and
+    * committed as per-file deletion vectors; every read path (read / scan /
+    * time travel / merge / CDF) masks them from then on, [[count]] stays
+    * metadata-only, and a later rewrite ([[compact]] / [[merge]] /
+    * [[purgeDeletes]]) materializes them physically. At 100 TB this turns
+    * a GDPR-delete of k rows from "rewrite every file holding a doomed
+    * key" (GBs of write amplification per row, [[deleteKeys]]) into one
+    * KB-scale log commit — the write amplification is the VECTOR, not the
+    * data.
+    *
+    * The positions collect is O(deleted rows) — the operation's own output
+    * size, NOT table scale; `maxDeletedRows` refuses an accidental
+    * bulk delete (use [[deleteKeys]]/[[replace]] to rewrite wholesale).
+    * Concurrency: the commit verifies per attempt that every marked file
+    * is still live — a racing rewrite of that file would strand positions
+    * addressed to rows the table no longer serves from it (the Delta
+    * delete-vs-rewrite conflict); losing that check's race throws instead
+    * of silently dropping the delete. Returns rows newly marked deleted. */
+  def deleteVectors(spark: SparkSession, path: String, condition: Column,
+                    maxDeletedRows: Long = 10000000L): Long = {
+    val st = foldLog(path)
+    require(st.version >= 0, s"txlog: no committed version at $path")
+    if (st.live.isEmpty) return 0L
+    val sfx = UUID.randomUUID().toString.take(8)
+    val (fn, ri) = (s"_dv_fn_$sfx", s"_dv_ri_$sfx")
+    // address discovery over LIVE rows only (existing vectors masked:
+    // re-marking an already-deleted row would inflate the metadata count)
+    val meta = readMeta(spark, path, st.live, st.schema, fn, ri)
+    val alive = {
+      val pos = dvFrame(spark, st.live, st.dvs)
+      meta.join(broadcast(pos),
+        meta(fn) === pos("_dv_name") && meta(ri) === pos("_dv_pos"),
+        "left_anti")
+    }
+    val doomed = alive.filter(condition).select(col(fn), col(ri))
+      .limit(math.min(maxDeletedRows + 1, Int.MaxValue).toInt).collect()
+    require(doomed.length <= maxDeletedRows,
+      s"txlog: deleteVectors matched more than $maxDeletedRows rows at " +
+        s"$path — a delete this large should rewrite (deleteKeys/replace)")
+    if (doomed.isEmpty) return 0L
+    val byName = st.live.map(r => r.split("/").last -> r).toMap
+    val lines = doomed.groupBy(_.getString(0)).toSeq.sortBy(_._1)
+      .map { case (n, rows) =>
+        val rel = byName.getOrElse(n,
+          sys.error(s"txlog: scanned file $n missing from snapshot"))
+        val ps = rows.map(_.getLong(1)).distinct.sorted.toArray
+        s"dv $rel\t${encodePositions(ps)}"
+      }
+    commit(path, Nil, Nil, None, extra = lines,
+      requireLive = lines.map(_.drop(3).split("\t", 2)(0)))
+    doomed.length.toLong
+  }
+
+  /** Deletion vectors outstanding per live file (file → deleted-row
+    * count) — the observability hook behind "when should I purge". */
+  def deletionVectors(path: String): Map[String, Int] = {
+    val st = foldLog(path)
+    st.dvs.collect { case (r, ps) if st.live.contains(r) && ps.nonEmpty =>
+      r -> ps.length }
+  }
+
+  /** `REORG TABLE ... APPLY (PURGE)` (Delta): physically rewrite ONLY the
+    * files carrying deletion vectors, dropping their marked rows; every
+    * vector-free file survives byte-identical. A maintenance rewrite
+    * (`m rewrite` — moves no logical data, CDF-silent), the repaying of
+    * merge-on-read's read-side debt at the caller's chosen cadence.
+    * Returns the number of files rewritten. */
+  def purgeDeletes(spark: SparkSession, path: String,
+                   partitionBy: Option[String] = None): Int = {
+    val st = foldLog(path)
+    require(st.version >= 0, s"txlog: no committed version at $path")
+    val dvd = st.live.filter(r => st.dvs.get(r).exists(_.nonEmpty))
+    if (dvd.isEmpty) return 0
+    require(st.live.exists(_.contains("/")) == partitionBy.isDefined,
+      s"txlog: purgeDeletes partitioning (${partitionBy.getOrElse("none")}) " +
+        s"does not match the layout of $path")
+    val rows = readFiles(spark, path, dvd, st.schema, st.dvs)
+    val adds = stageIn(rows, path, partitionBy, Nil)
+    commit(path, adds, dvd, None,
+      stats = statsLines(spark, path, adds), marker = Some("rewrite"))
+    dvd.size
   }
 
   def read(spark: SparkSession, path: String): DataFrame =
@@ -1063,7 +1282,7 @@ object TxLogFormat extends TableFormat {
         live.filter(rel => stats.get(rel).forall(fs => mayMatch(p, fs)))
       case None => live
     }
-    readFiles(spark, path, keep, schemaJson).filter(filter)
+    readFiles(spark, path, keep, schemaJson, st.dvs).filter(filter)
   }
 
   /** Metadata-only row count: sums the log-recorded per-file row counts —
@@ -1074,8 +1293,11 @@ object TxLogFormat extends TableFormat {
     val st = foldLog(path, withStats = true)
     require(st.version >= 0, s"txlog: no committed version at $path")
     if (st.live.forall(st.stats.contains))
-      st.live.map(st.stats(_).rows).sum
-    else readFiles(spark, path, st.live, st.schema).count()
+      // a deletion vector's cardinality is exact metadata: the count stays
+      // log-only through merge-on-read deletes
+      st.live.map(r => st.stats(r).rows -
+        st.dvs.getOrElse(r, Array.empty[Long]).length).sum
+    else readFiles(spark, path, st.live, st.schema, st.dvs).count()
   }
 
   /** `RESTORE TABLE ... TO VERSION`: one commit that swaps the live set
@@ -1089,10 +1311,26 @@ object TxLogFormat extends TableFormat {
     require(vs.contains(version),
       s"txlog: version $version of $path is not available " +
         s"(have ${vs.mkString(", ")}) — vacuumed or never committed")
-    val (wantLive, wantSchema, _) = snapshot(path, version)
-    val (nowLive, _, _) = snapshot(path)
-    commit(path, wantLive.filterNot(nowLive.toSet),
-      nowLive.filterNot(wantLive.toSet), wantSchema)
+    val stWant = foldLog(path, version)
+    val stNow = foldLog(path)
+    val (wantLive, wantSchema) = (stWant.live, stWant.schema)
+    val nowLive = stNow.live
+    val nowSet = nowLive.toSet
+    // deletion vectors must restore too: rows vector-deleted AFTER
+    // `version` come back (un-delete), vectors as of `version` reinstate —
+    // absolute `dvx` restatements per differing file (an empty payload
+    // clears). A file re-added by this commit lost its entry when it was
+    // removed, so its want-state also restates here.
+    val dvx = wantLive.flatMap { rel =>
+      val want = stWant.dvs.getOrElse(rel, Array.empty[Long])
+      val now =
+        if (nowSet(rel)) stNow.dvs.getOrElse(rel, Array.empty[Long])
+        else Array.empty[Long]
+      if (java.util.Arrays.equals(want, now)) None
+      else Some(s"dvx $rel\t${encodePositions(want)}")
+    }
+    commit(path, wantLive.filterNot(nowSet),
+      nowLive.filterNot(wantLive.toSet), wantSchema, extra = dvx)
   }
 
   /** Change data feed, file-granular: every row added or removed by the
@@ -1122,20 +1360,94 @@ object TxLogFormat extends TableFormat {
     def tag(df: DataFrame, typ: String, v: Long): DataFrame = df
       .withColumn("_change_type", lit(typ))
       .withColumn("_commit_version", lit(v))
+    // deletion-vector state entering the range: rows a vector killed in an
+    // EARLIER commit were emitted as deletes then — a later removal of the
+    // same file must not re-emit them, and a dv delta re-marking them (or a
+    // restore restating them) must emit only the genuinely new positions
+    val dvState = scala.collection.mutable.Map[String, Array[Long]]() ++=
+      (if (sinceVersion >= 0) foldLog(path, sinceVersion).dvs else Map.empty)
+    /** One file's rows AT (`keep=true`) or EXCEPT the given positions. */
+    def rowsAt(rel: String, ps: Array[Long], keep: Boolean): DataFrame = {
+      val sfx = UUID.randomUUID().toString.take(8)
+      val (fn, ri) = (s"_dv_fn_$sfx", s"_dv_ri_$sfx")
+      val m = readMeta(spark, path, Seq(rel), schemaJson, fn, ri)
+      val cond = col(ri).isInCollection(ps)
+      (if (keep) m.filter(cond) else m.filter(!cond)).drop(fn, ri)
+    }
     val parts = vs.flatMap { v =>
       val lines = Files.readAllLines(commitFile(path, v)).asScala.toSeq
       require(!lines.contains("m checkpoint"),
         s"txlog: version $v of $path is a vacuum checkpoint — its " +
           "per-commit changes are gone; readChanges from a version >= it, " +
           "or use processChanges(allowFullResync = true) to rebuild")
-      if (lines.contains("m rewrite")) Nil
-      else {
-        def files(p: String) = lines.filter(_.startsWith(p)).map(_.drop(2))
-        def mk(fs: Seq[String], typ: String) =
-          if (fs.isEmpty) None
-          else Some(tag(readFiles(spark, path, fs, schemaJson), typ, v))
-        mk(files("a "), "insert") ++ mk(files("r "), "delete")
+      def files(p: String) = lines.filter(_.startsWith(p)).map(_.drop(p.length))
+      def dvLines(p: String): Seq[(String, Array[Long])] =
+        files(p).flatMap { body =>
+          val q = body.split("\t", 2)
+          if (q.length == 2)
+            try Some((q(0), decodePositions(q(1))))
+            catch { case _: IllegalArgumentException => None }
+          else None
+        }
+      val out: Seq[DataFrame] =
+        if (lines.contains("m rewrite")) Nil // bytes moved, no data change
+        else {
+          def mk(fs: Seq[String], typ: String) =
+            if (fs.isEmpty) None
+            else Some(tag(readFiles(spark, path, fs, schemaJson), typ, v))
+          // removed files: rows their vector already killed were emitted
+          // as deletes when the vector committed — exclude them here
+          val removedParts = files("r ").flatMap { rel =>
+            dvState.get(rel).filter(_.nonEmpty) match {
+              case Some(dead) => Some(tag(rowsAt(rel, dead, keep = false),
+                "delete", v))
+              case None => None // whole file emits below
+            }
+          }
+          val removedPlain =
+            mk(files("r ").filter(r => dvState.get(r).forall(_.isEmpty)),
+              "delete")
+          // dv deltas: newly marked positions are deletes
+          val dvParts = dvLines("dv ").flatMap { case (rel, delta) =>
+            val before = dvState.getOrElse(rel, Array.empty[Long])
+            val fresh = delta.filterNot(before.contains)
+            if (fresh.isEmpty) None
+            else Some(tag(rowsAt(rel, fresh, keep = true), "delete", v))
+          }
+          // dvx restatements (restore): added positions are deletes,
+          // dropped positions are re-inserts (the un-delete)
+          val dvxParts = dvLines("dvx ").flatMap { case (rel, want) =>
+            val before = dvState.getOrElse(rel, Array.empty[Long])
+            val added = want.filterNot(before.contains)
+            val dropped = before.filterNot(want.contains)
+            Seq(
+              if (added.isEmpty) None
+              else Some(tag(rowsAt(rel, added, keep = true), "delete", v)),
+              if (dropped.isEmpty) None
+              else Some(tag(rowsAt(rel, dropped, keep = true), "insert", v))
+            ).flatten
+          }
+          mk(files("a "), "insert").toSeq ++ removedPlain ++ removedParts ++
+            dvParts ++ dvxParts
+        }
+      // advance the vector state through EVERY commit (rewrites too —
+      // their `r` lines retire vectors), in the commit's own line order
+      lines.foreach { line =>
+        if (line.startsWith("r ")) dvState.remove(line.drop(2))
+        else if (line.startsWith("dv ")) {
+          val q = line.drop(3).split("\t", 2)
+          if (q.length == 2) try dvState(q(0)) = unionSorted(
+            dvState.getOrElse(q(0), Array.empty), decodePositions(q(1)))
+          catch { case _: IllegalArgumentException => }
+        } else if (line.startsWith("dvx ")) {
+          val q = line.drop(4).split("\t", 2)
+          if (q.length == 2) try {
+            val arr = decodePositions(q(1))
+            if (arr.isEmpty) dvState.remove(q(0)) else dvState(q(0)) = arr
+          } catch { case _: IllegalArgumentException => }
+        }
       }
+      out
     }
     if (parts.isEmpty)
       tag(spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema),
@@ -1370,18 +1682,33 @@ object TxLogFormat extends TableFormat {
     var schema: Option[String] = None
     val rawStats = scala.collection.mutable.Map[String, String]()
     val rawBlooms = scala.collection.mutable.Map[(String, String), String]()
-    vs.filter(_ <= upTo).foreach { v =>
-      Files.readAllLines(commitFile(path, v)).asScala.foreach { line =>
-        if (line.startsWith("a ")) live += line.drop(2)
-        else if (line.startsWith("r ")) live -= line.drop(2)
-        else if (line.startsWith("s ")) schema = Some(line.drop(2))
-        else if (line.startsWith("f "))
-          rawStats(line.drop(2).split("\t", 2)(0)) = line
-        else if (line.startsWith("fb ")) {
-          val p = line.drop(3).split("\t", 3)
-          if (p.length >= 2) rawBlooms((p(0), p(1))) = line
-        }
+    // fold from the newest usable SIDECAR like every other resolution: a
+    // table whose covered commits were reclaimed (the sidecar-sufficiency
+    // property) must still clone completely
+    val vsF = vs.filter(_ <= upTo)
+    val cpBase = checkpointBase(path, upTo, vsF)
+    val cloneLines: Seq[String] =
+      cpBase.map(c => Files.readAllLines(checkpointFile(path, c))
+        .asScala.toSeq).getOrElse(Nil) ++
+      vsF.filter(v => cpBase.forall(_ < v)).flatMap(v =>
+        Files.readAllLines(commitFile(path, v)).asScala)
+    cloneLines.foreach { line =>
+      if (line.startsWith("a ")) live += line.drop(2)
+      else if (line.startsWith("r ")) live -= line.drop(2)
+      else if (line.startsWith("s ")) schema = Some(line.drop(2))
+      else if (line.startsWith("f "))
+        rawStats(line.drop(2).split("\t", 2)(0)) = line
+      else if (line.startsWith("fb ")) {
+        val p = line.drop(3).split("\t", 3)
+        if (p.length >= 2) rawBlooms((p(0), p(1))) = line
       }
+    }
+    // deletion vectors as of upTo carry over absolutely (a hard-linked
+    // file shares bytes with the source, so its masked rows must stay
+    // masked in the clone — and stay independent afterwards)
+    val dvLines = foldLog(path, upTo).dvs.toSeq.sortBy(_._1).collect {
+      case (rel, ps) if live.contains(rel) && ps.nonEmpty =>
+        s"dvx $rel\t${encodePositions(ps)}"
     }
     val liveSeq = live.toSeq
     liveSeq.foreach { rel =>
@@ -1398,7 +1725,7 @@ object TxLogFormat extends TableFormat {
       marker = Some("clone"),
       extra = foldConstraints(path, upTo).map { case (n, e) => s"c $n\t$e" } ++
         foldBloomIndexes(path, upTo).map { case (c, (bits, k)) =>
-          s"bi $c\t$bits\t$k" })
+          s"bi $c\t$bits\t$k" } ++ dvLines)
   }
 
   /** Epoch-second mtime of the latest commit — the table's "last loaded

@@ -305,8 +305,8 @@ class FormatSpec extends SparkSpec {
     // and the check()'s equality scan exercises the probe after every op
     val bloomV = TxLogFormat.addBloomIndex(t, "v", numBits = 1 << 10)
     record()
-    (1 to 16).foreach { i =>
-      rnd.nextInt(8) match {
+    (1 to 20).foreach { i =>
+      rnd.nextInt(10) match {
         case 0 => // overwrite one partition
           val p = parts(rnd.nextInt(parts.size))
           val repl = fresh(8).map { case (id, _, v) => (id, p, v) }
@@ -357,6 +357,18 @@ class FormatSpec extends SparkSpec {
           assert(TxLogFormat.bloomIndexes(c).contains("v") == (rv >= bloomV),
             s"$i:clone($rv) bloom-index state wrong")
           check(s"$i:clone($rv) [source]") // source must be untouched
+        case 8 => // merge-on-read delete: vectors, no rewrite
+          val k = rnd.nextInt(50).toLong
+          TxLogFormat.deleteVectors(spark, t, col("id") === k)
+          if (model.exists(_._1 == k)) {
+            model = model.filterNot(_._1 == k)
+            record()
+          }
+          check(s"$i:deleteVectors($k)")
+        case 9 => // materialize outstanding vectors (content-neutral)
+          TxLogFormat.purgeDeletes(spark, t, Some("part"))
+          if (TxLogFormat.versions(t).last > history.keys.max) record()
+          check(s"$i:purgeDeletes")
       }
     }
     // the standing constraint survived everything — and still enforces
@@ -524,6 +536,142 @@ class FormatSpec extends SparkSpec {
     TxLogFormat.compact(spark, t, "o_orderstatus")
     assert(TxLogFormat.count(spark, t) ==
       TxLogFormat.read(spark, t).count())
+  }
+
+  test("deletion vectors: DELETE WHERE moves no bytes; read/count/scan/CDF/" +
+       "time-travel mask; purge rewrites only vector'd files") {
+    import scala.jdk.CollectionConverters._
+    val orders = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val t = tmp()
+    TxLogFormat.write(orders, t, Some("o_orderstatus"))               // v0
+    def fp(): Map[String, (Long, Long)] = {
+      val root = Paths.get(t)
+      val s = Files.walk(root)
+      try s.iterator().asScala
+        .filter(f => Files.isRegularFile(f) && f.toString.endsWith(".parquet"))
+        .map(f => root.relativize(f).toString ->
+          (Files.size(f), Files.getLastModifiedTime(f).toMillis))
+        .toMap
+      finally s.close()
+    }
+    val before = fp()
+    val cond = col("o_orderkey") % 7 === 0
+    val n = TxLogFormat.deleteVectors(spark, t, cond)                 // v1
+    assert(n == orders.filter(cond).count() && n > 0)
+    // merge-on-read: not a data byte moved
+    assert(fp() == before)
+    val expect = orders.filter(col("o_orderkey") % 7 =!= 0)
+    assert(rows(TxLogFormat.read(spark, t).orderBy("o_orderkey")) ==
+      rows(expect.orderBy("o_orderkey")))
+    // metadata count subtracts vector cardinalities — still no scan
+    assert(TxLogFormat.count(spark, t) == expect.count())
+    // data skipping composes with the mask
+    assert(rows(TxLogFormat.scan(spark, t, col("o_orderkey") < 1000)
+        .orderBy("o_orderkey")) ==
+      rows(expect.filter(col("o_orderkey") < 1000).orderBy("o_orderkey")))
+    // time travel: v0 still sees every row
+    assert(TxLogFormat.readVersion(spark, t, 0).count() == orders.count())
+    // re-marking the same rows is a no-op commit-free delete
+    assert(TxLogFormat.deleteVectors(spark, t, cond) == 0L)
+    // a second, overlapping delete marks only the genuinely new rows
+    val n2 = TxLogFormat.deleteVectors(spark, t, col("o_orderkey") % 3 === 0)
+    assert(n2 == orders.filter(col("o_orderkey") % 3 === 0 &&
+      col("o_orderkey") % 7 =!= 0).count())
+    // CDF: the first dv commit feeds exactly its deleted rows
+    val ch = TxLogFormat.readChanges(spark, t, 0L, 1L)
+    assert(ch.filter(col("_change_type") === "insert").count() == 0)
+    assert(rows(ch.filter(col("_change_type") === "delete")
+        .select("o_orderkey").orderBy("o_orderkey")) ==
+      rows(orders.filter(cond).select("o_orderkey").orderBy("o_orderkey")))
+    // purge rewrites ONLY the files carrying vectors
+    val dvFiles = TxLogFormat.deletionVectors(t).keySet
+    assert(dvFiles.nonEmpty)
+    val rewritten = TxLogFormat.purgeDeletes(spark, t, Some("o_orderstatus"))
+    assert(rewritten == dvFiles.size)
+    assert(TxLogFormat.deletionVectors(t).isEmpty)
+    val expect2 = orders.filter(col("o_orderkey") % 7 =!= 0 &&
+      col("o_orderkey") % 3 =!= 0)
+    assert(rows(TxLogFormat.read(spark, t).orderBy("o_orderkey")) ==
+      rows(expect2.orderBy("o_orderkey")))
+    assert(TxLogFormat.count(spark, t) == expect2.count())
+    val after = fp()
+    before.foreach { case (f, sig) =>
+      if (!dvFiles.contains(f))
+        assert(after.get(f).contains(sig), s"vector-free file $f rewritten")
+    }
+    // the purge is maintenance: CDF-silent
+    val purgeV = TxLogFormat.versions(t).last
+    assert(TxLogFormat.readChanges(spark, t, purgeV - 1, purgeV).count() == 0)
+  }
+
+  test("deletion vectors: restore un-deletes; vacuum + sidecar folds and " +
+       "clones carry vectors; racing rewrite refuses") {
+    val base = spark.range(0, 100)
+      .selectExpr("id", "CAST(id % 4 AS STRING) AS p", "id * 2 AS v")
+    val t = tmp()
+    TxLogFormat.write(base, t, Some("p"))                             // v0
+    TxLogFormat.deleteVectors(spark, t, col("id") % 10 === 0)         // v1
+    assert(TxLogFormat.read(spark, t).count() == 90)
+    TxLogFormat.restore(t, 0L)                                        // v2
+    // the un-delete: vector state rolled back with the data
+    assert(TxLogFormat.read(spark, t).count() == 100)
+    assert(TxLogFormat.deletionVectors(t).isEmpty)
+    // CDF of the restore commit re-inserts exactly the un-deleted rows
+    val ch = TxLogFormat.readChanges(spark, t, 1L, 2L)
+    assert(ch.filter(col("_change_type") === "delete").count() == 0)
+    assert(ch.filter(col("_change_type") === "insert")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      (0L until 100L by 10L).toSeq)
+    // forward again, then a vacuum horizon fold: the vector must survive
+    TxLogFormat.deleteVectors(spark, t, col("id") < 5)                // v3
+    TxLogFormat.vacuum(t, retainVersions = 1)
+    assert(TxLogFormat.read(spark, t).count() == 95)
+    assert(TxLogFormat.count(spark, t) == 95)
+    // sidecar auto-checkpoint cadence: cross a boundary with the vector
+    // outstanding, then delete the covered commits — resolution must keep
+    // masking from the sidecar's absolute restatement
+    val v0 = TxLogFormat.versions(t).head
+    (1 to (TxLogFormat.checkpointInterval -
+      (TxLogFormat.versions(t).last % TxLogFormat.checkpointInterval).toInt))
+      .foreach(i => TxLogFormat.appendBatch(
+        spark.range(1000 + i, 1001 + i)
+          .selectExpr("id", "CAST(id % 4 AS STRING) AS p", "id * 2 AS v"),
+        t, "dvs", i.toLong, Some("p")))
+    import scala.jdk.CollectionConverters._
+    val lg = Paths.get(t, "_txlog")
+    val cps = Files.list(lg).iterator().asScala.map(_.getFileName.toString)
+      .filter(_.endsWith(".checkpoint")).toSeq
+    assert(cps.nonEmpty, "expected a sidecar checkpoint")
+    val masked = rows(TxLogFormat.read(spark, t).orderBy("id"))
+    TxLogFormat.versions(t).filter(v => v >= v0 &&
+        v < cps.map(_.stripSuffix(".checkpoint").toLong).max)
+      .foreach(v => Files.deleteIfExists(lg.resolve(f"$v%016d.commit")))
+    assert(rows(TxLogFormat.read(spark, t).orderBy("id")) == masked)
+    // clone: vectors carry; the two sides then diverge independently
+    val c = tmp()
+    TxLogFormat.cloneTable(t, c)
+    assert(rows(TxLogFormat.read(spark, c).orderBy("id")) == masked)
+    TxLogFormat.purgeDeletes(spark, t, Some("p"))
+    TxLogFormat.vacuum(t, retainVersions = 1)
+    assert(rows(TxLogFormat.read(spark, c).orderBy("id")) == masked)
+    // delete-vs-rewrite conflict: a dv commit whose file a concurrent
+    // rewrite replaced must refuse, not silently lose the delete
+    val t2 = tmp()
+    TxLogFormat.write(base, t2, Some("p"))
+    val hold = new java.util.concurrent.atomic.AtomicBoolean(true)
+    TxLogFormat.onCommitAttempt = p =>
+      if (p == t2 && hold.getAndSet(false)) {
+        // between address discovery and the dv commit's first attempt,
+        // a compaction rewrites every file
+        TxLogFormat.compact(spark, t2, "p")
+      }
+    try {
+      val e = intercept[java.util.ConcurrentModificationException](
+        TxLogFormat.deleteVectors(spark, t2, col("id") < 10))
+      assert(e.getMessage.contains("rewritten"))
+    } finally TxLogFormat.onCommitAttempt = _ => ()
+    assert(TxLogFormat.read(spark, t2).count() == 100)
   }
 
   test("restore rolls back to an old version as a NEW commit, no copy") {
