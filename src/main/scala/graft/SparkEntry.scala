@@ -283,6 +283,7 @@ object SparkEntry {
     "funnel"          -> ((s, d) => Sessions.funnel(Tables.events(s, d))),
     // D. LLM training-data pipeline
     "dedup_exact"     -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
+    "paragraph_dedup" -> ((s, d) => Dedup.segmentDedup(Tables.documents(s, d))),
     // semantic layer: the governed revenue metric sliced by priority at
     // month grain — definition (agg, base filter, legal dims) lives in the
     // Metric, the query only picks a slicing

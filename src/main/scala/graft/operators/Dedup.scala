@@ -485,6 +485,57 @@ object Dedup {
     // no presentation sort — corpus-sized output; the gate lexsorts rows
   }
 
+  /** Segment-level (sub-document) dedup — the Dolma/RefinedWeb "paragraph
+    * dedup" stage: instead of dropping whole near-dup DOCUMENTS, drop the
+    * repeated SEGMENTS (boilerplate headers, license blocks, navigation
+    * chrome) and keep each document's residual novel text. The first
+    * occurrence of a segment in global (doc_id, position) order survives;
+    * every later occurrence — in the same document or any other — is cut,
+    * and documents are reassembled from their surviving segments in
+    * position order (a document that was ALL boilerplate disappears).
+    *
+    * Segmentation is a parameter: corpora with structure split on their
+    * real paragraph delimiter; this synthetic corpus has none, so the
+    * driver query uses fixed `segWords`-word windows — the machinery
+    * (explode → global first-occurrence → positional reassembly) is
+    * identical, and SQL-expressible for the oracle.
+    *
+    * Scale: two shuffles — one hash exchange on the segment (the
+    * first-occurrence window; Dolma's BFF replaces this with a Bloom
+    * membership test, trading exactness for zero shuffle — [[incrementalExact]]
+    * shows that shape), one on doc_id for reassembly. The window carries
+    * (segment, doc_id, pos) rows only; reassembly sorts WITHIN each doc's
+    * collected array (array_sort on position structs — deterministic at
+    * any partitioning), never globally. */
+  def segmentDedup(documents: DataFrame, segWords: Int = 10): DataFrame = {
+    val k = segWords
+    // segments derive from the doc row alone (scan-bound): materialize the
+    // word array once — a lambda re-reads it per element otherwise
+    val withW = documents.select(col("doc_id"),
+      split(col("text"), " ").as("__w"))
+    val nseg = ceil(size(col("__w")).cast("double") / k).cast("int")
+    val segs = withW.select(col("doc_id"),
+      transform(sequence(lit(0), greatest(nseg, lit(1)) - 1), i =>
+        concat_ws(" ", slice(col("__w"), i * k + 1, lit(k)))).as("__segs"))
+      .select(col("doc_id"), size(col("__segs")).as("n_segs"),
+        posexplode(col("__segs")).as(Seq("pos", "seg")))
+    // global first-occurrence-wins on the exact segment text (the oracle
+    // compares strings; a production run keys the exchange on
+    // xxhash64(seg) so only 8-byte keys shuffle)
+    val w = Window.partitionBy(col("seg"))
+      .orderBy(col("doc_id"), col("pos"))
+    val kept = segs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    kept.groupBy(col("doc_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("seg")))),
+          x => x.getField("seg")), " ").as("text_dedup"),
+        count(lit(1)).as("n_kept"),
+        (min(col("n_segs")).cast("long") - count(lit(1))).as("n_dropped"))
+    // no presentation sort — corpus-sized output; the gate lexsorts rows
+  }
+
   /** SimHash near-dup: 64-bit signature (sign of per-bit vote over token
     * hashes), candidates via 16-bit chunk bands (hamming ≤ 3 ⇒ ≥1 equal
     * chunk by pigeonhole over 4 chunks), verified with bit_count(xor). */

@@ -93,6 +93,25 @@ class ClusterSpec extends SparkSpec {
       s"(${approx.size} approx vs ${exact.size} exact co-pairs)")
   }
 
+  test("segment dedup: global first-occurrence wins, docs reassemble in " +
+       "position order, all-boilerplate docs disappear") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b c d e f g h i j k"), // 4 segments at k=3 (last short)
+      (1L, "a b c x y z"),           // leading segment duplicates doc 0's
+      (2L, "a b c d e f"),           // ALL segments duplicate doc 0's
+      (3L, "p q r p q r")            // intra-doc duplicate
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.segmentDedup(docs, segWords = 3)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == Seq(
+      (0L, "a b c d e f g h i j k", 4L, 0L),
+      (1L, "x y z", 1L, 1L),
+      (3L, "p q r", 1L, 1L)))
+  }
+
   test("pii scrub masks emails, IPs, and phone runs; leaves clean text alone") {
     val docs = Seq(
       (1L, "contact me at jane.doe+spam@example.co.uk today"),
