@@ -62,6 +62,7 @@ object YamlLite {
     else if (t == "false") false
     else if (t == "null" || t == "~") null
     else if (t.matches("-?\\d+")) t.toLong
+    else if (t.matches("-?\\d+\\.\\d+")) t.toDouble
     else t
   }
 
@@ -160,7 +161,11 @@ object YamlLite {
         s"yaml: expected '- ' item at: $l")
       val end = childrenEnd(lines, i + 1, until, indent)
       val content = l.trim.drop(2)
-      if (keySplit(content).isEmpty && end == i + 1) {
+      if (end == i + 1 && (keySplit(content).isEmpty ||
+          // a flow map/seq item (`- {a: 1, b: 2}` — the dbt unit-test row
+          // form) is ONE scalar, not a block map keyed on "{a"
+          (content.startsWith("{") && content.endsWith("}")) ||
+          (content.startsWith("[") && content.endsWith("]")))) {
         out += scalar(content) // plain scalar item
       } else {
         // map item: re-indent the inline first entry to align with the
@@ -528,6 +533,146 @@ object ProjectYaml {
           if (cn.isEmpty || d.isEmpty) None else Some(cn -> d)
         }.toMap))
     }.toMap
+  }
+
+  // ---- unit_tests: blocks (dbt-core 1.8) ----
+
+  /** One declared unit test: mocked input rows per dep, expected output
+    * rows (possibly a column subset — dbt compares only the columns the
+    * expectation names). `given` keys are dep names exactly as
+    * [[depsOf]] produces them (`ref('x')` → `x`,
+    * `source('a','b')` → `a.b`). */
+  final case class UnitTestDef(name: String, model: String,
+                               given: Map[String, Seq[Map[String, Any]]],
+                               expect: Seq[Map[String, Any]])
+
+  private val InputRefPat = "ref\\s*\\(\\s*'([^']+)'\\s*\\)".r
+  private val InputSourcePat =
+    "source\\s*\\(\\s*'([^']+)'\\s*,\\s*'([^']+)'\\s*\\)".r
+
+  /** `unit_tests:` blocks (dbt 1.8) → [[UnitTestDef]]s. Row sets use the
+    * dict form (`rows: - {a: 1, b: x}` or block maps); other fixture
+    * formats (csv/sql) refuse loudly rather than silently passing. */
+  def loadUnitTests(yaml: String): Seq[UnitTestDef] = {
+    val root = m(YamlLite.parse(yaml))
+    def rowsOf(node: Map[String, Any], what: String): Seq[Map[String, Any]] = {
+      node.get("format").map(str).foreach(f => require(f == "dict",
+        s"unit test $what: only format: dict fixtures load (got '$f')"))
+      seq(node.getOrElse("rows", Nil)).map(m(_))
+    }
+    seq(root.getOrElse("unit_tests", Nil)).map(m(_)).map { ut =>
+      val name = str(ut.getOrElse("name",
+        throw new IllegalArgumentException("unit test without a name")))
+      val model = str(ut.getOrElse("model",
+        throw new IllegalArgumentException(s"unit test $name: model required")))
+      val given = seq(ut.getOrElse("given", Nil)).map(m(_)).map { g =>
+        val raw = str(g.getOrElse("input",
+          throw new IllegalArgumentException(
+            s"unit test $name: given entry without input")))
+        val dep = InputRefPat.findFirstMatchIn(raw).map(_.group(1))
+          .orElse(InputSourcePat.findFirstMatchIn(raw).map(mm =>
+            s"${mm.group(1)}.${mm.group(2)}"))
+          .getOrElse(raw.trim)
+        dep -> rowsOf(g, name)
+      }.toMap
+      UnitTestDef(name, model, given,
+        rowsOf(m(ut.getOrElse("expect", Map.empty[String, Any])), name))
+    }
+  }
+
+  /** YAML row maps → a typed DataFrame: per-column type from the first
+    * non-null value (long / double / boolean / string), integer cells
+    * widening to double where the column is double. */
+  private def rowsToDf(spark: org.apache.spark.sql.SparkSession,
+                       rows: Seq[Map[String, Any]]): DataFrame = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    import scala.jdk.CollectionConverters._
+    val cols: Seq[String] = rows.flatMap(_.keys).distinct
+    require(cols.nonEmpty, "unit test fixture needs at least one column")
+    def typeOf(v: Any): DataType = v match {
+      case _: Long => LongType
+      case _: Double => DoubleType
+      case _: Boolean => BooleanType
+      case _ => StringType
+    }
+    val colType: Map[String, DataType] = cols.map { c =>
+      val vs = rows.flatMap(_.get(c)).filter(_ != null)
+      val t0 = vs.headOption.map(typeOf).getOrElse(StringType)
+      // a mixed int/float column is a double column
+      c -> (if (t0 == LongType && vs.exists(_.isInstanceOf[Double])) DoubleType
+            else t0)
+    }.toMap
+    val data: Seq[Row] = rows.map { r =>
+      Row(cols.map { c =>
+        (r.get(c).orNull, colType(c)) match {
+          case (null, _) => null
+          case (v: Long, DoubleType) => v.toDouble
+          case (v, StringType) => v.toString
+          case (v, _) => v
+        }
+      }: _*)
+    }
+    spark.createDataFrame(data.asJava,
+      StructType(cols.map(c => StructField(c, colType(c), nullable = true))))
+  }
+
+  /** Run declared unit tests against loaded models (dbt `dbt test
+    * --select test_type:unit`): each test builds its model from the
+    * mocked inputs ONLY (no warehouse state — every dep must be mocked),
+    * projects the result onto the expectation's columns, casts the
+    * expected literals to the model's own output types (dbt's input
+    * coercion), and multiset-diffs. Returns (test, None) on pass or
+    * (test, Some(diff description)). */
+  def runUnitTests(spark: org.apache.spark.sql.SparkSession,
+                   models: Seq[Model], tests: Seq[UnitTestDef])
+      : Seq[(String, Option[String])] = tests.map { ut =>
+    val outcome: Option[String] = models.find(_.name == ut.model) match {
+      case None => Some(s"unknown model '${ut.model}'")
+      case Some(model) =>
+        val missing = model.deps.filterNot(ut.given.contains)
+        if (missing.nonEmpty)
+          Some(s"input(s) not mocked: ${missing.mkString(", ")}")
+        else {
+          val mocked = model.deps.map(d =>
+            d -> rowsToDf(spark, ut.given(d))).toMap
+          val actual = model.build(mocked)
+          val expectCols = ut.expect.flatMap(_.keys).distinct
+          val unknown = expectCols.filterNot(actual.columns.contains)
+          if (unknown.nonEmpty)
+            Some(s"expected column(s) not in model output: " +
+              unknown.mkString(", "))
+          else {
+            val proj = actual.select(expectCols.map(
+              org.apache.spark.sql.functions.col): _*)
+            val expected = rowsToDf(spark, ut.expect)
+              .select(expectCols.map(org.apache.spark.sql.functions.col): _*)
+            val coerced = expected.select(expectCols.map(c =>
+              org.apache.spark.sql.functions.col(c)
+                .cast(proj.schema(c).dataType).as(c)): _*)
+            val nExtra = proj.exceptAll(coerced).count()
+            val nMissing = coerced.exceptAll(proj).count()
+            if (nExtra == 0 && nMissing == 0) None
+            else Some(s"$nExtra unexpected row(s), $nMissing missing row(s)")
+          }
+        }
+    }
+    ut.name -> outcome
+  }
+
+  /** Every `unit_tests:` declaration under the project's model paths. */
+  def loadProjectUnitTests(projectDir: String): Seq[UnitTestDef] = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get(projectDir)
+    val project = loadProject(Files.readString(root.resolve("dbt_project.yml")))
+    project.modelPaths.map(root.resolve).filter(Files.isDirectory(_))
+      .flatMap { d =>
+        val s = Files.walk(d)
+        try s.iterator().asScala.filter(f =>
+          Files.isRegularFile(f) && f.toString.endsWith(".yml")).toVector
+        finally s.close()
+      }.flatMap(f => loadUnitTests(Files.readString(f)))
   }
 
   // ---- sources .yml (src_example.yml shape) ----

@@ -111,6 +111,54 @@ class ProjectYamlSpec extends SparkSpec {
     assert(st2("fct_example") == "skipped" && !out2.contains("fct_example"))
   }
 
+  test("unit_tests: blocks run the reference model against mocked inputs " +
+       "(dbt 1.8 unit tests); wrong expectations and unmocked deps fail") {
+    val (models, _) = ProjectYaml.loadModels(refDir, includeDisabled = true)
+    val yaml =
+      """unit_tests:
+        |  - name: fct_bucket_boundary
+        |    model: fct_example
+        |    given:
+        |      - input: ref('stg_example')
+        |        rows:
+        |          - {id: 1, created_at_ts: "2024-01-01 10:00:00", value: 100.0}
+        |          - {id: 2, created_at_ts: "2024-01-02 11:00:00", value: 100.5}
+        |          - {id: 3, created_at_ts: "2024-01-03 12:00:00", value: null}
+        |    expect:
+        |      rows:
+        |        - {id: 1, bucket: regular}
+        |        - {id: 2, bucket: high}
+        |        - {id: 3, bucket: regular}
+        |  - name: fct_bucket_wrong
+        |    model: fct_example
+        |    given:
+        |      - input: ref('stg_example')
+        |        rows:
+        |          - {id: 1, created_at_ts: "2024-01-01 10:00:00", value: 42.0}
+        |    expect:
+        |      rows:
+        |        - {id: 1, bucket: high}
+        |  - name: fct_unmocked
+        |    model: fct_example
+        |    expect:
+        |      rows:
+        |        - {id: 1}
+        |""".stripMargin
+    val tests = ProjectYaml.loadUnitTests(yaml)
+    assert(tests.map(_.name) ==
+      Seq("fct_bucket_boundary", "fct_bucket_wrong", "fct_unmocked"))
+    // mixed long/double fixture column types coerce; expected columns are
+    // a SUBSET of the model output (dbt compares only named columns)
+    val res = ProjectYaml.runUnitTests(spark, models, tests).toMap
+    assert(res("fct_bucket_boundary").isEmpty, res.toString)
+    assert(res("fct_bucket_wrong").exists(_.contains("unexpected")))
+    assert(res("fct_unmocked").exists(_.contains("not mocked")))
+    // an expectation naming a column the model lacks refuses loudly
+    val bad = tests.head.copy(expect = Seq(Map("nope" -> 1L)))
+    assert(ProjectYaml.runUnitTests(spark, models, Seq(bad))
+      .head._2.exists(_.contains("not in model output")))
+  }
+
   test("a synthetic project with vars + incremental model loads and runs " +
        "(the loader generalizes beyond the reference files)") {
     import spark.implicits._
