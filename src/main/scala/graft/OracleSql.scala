@@ -268,6 +268,9 @@ object OracleSql {
     "dedup_clusters" ->
       s"""WITH RECURSIVE d AS (SELECT doc_id, lang, n_chars, $docWords AS w FROM documents), p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id AND (a.n_chars // 100) = (b.n_chars // 100) WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) / len(list_distinct(list_concat(a.w, b.w))) >= 0.5), e AS (SELECT doc_a AS u, doc_b AS v FROM p UNION SELECT doc_b, doc_a FROM p), reach AS (SELECT u AS id, u AS x FROM e UNION SELECT r.id, e.v AS x FROM reach r JOIN e ON r.x = e.u), cc AS (SELECT id, MIN(x) AS cluster_id FROM reach GROUP BY id) SELECT id AS doc_id, cluster_id, COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size FROM cc ORDER BY doc_id""",
 
+    "sketch_rollup" ->
+      """SELECT event_type, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS distinct_users FROM events GROUP BY event_type ORDER BY event_type""",
+
     "paragraph_dedup" ->
       """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), pos AS (SELECT doc_id, w, UNNEST(range(GREATEST(CAST(ceil(len(w) / 10.0) AS BIGINT), 1))) AS pos FROM words), segs AS (SELECT doc_id, CAST(pos AS INT) AS pos, array_to_string(w[(CAST(pos AS INT) * 10 + 1):(CAST(pos AS INT) * 10 + 10)], ' ') AS seg FROM pos), counted AS (SELECT doc_id, pos, seg, COUNT(*) OVER (PARTITION BY doc_id) AS n_segs, ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn FROM segs) SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text_dedup, COUNT(*) AS n_kept, CAST(MIN(n_segs) - COUNT(*) AS BIGINT) AS n_dropped FROM counted WHERE rn = 1 GROUP BY doc_id""",
 

@@ -261,6 +261,7 @@ object SparkEntry {
     "metric_anomaly"  -> ((s, d) => Analytics.metricAnomaly(Tables.orders(s, d))),
     "gap_fill"        -> ((s, d) => Analytics.gapFill(Tables.orders(s, d))),
     "theta_segments"  -> ((s, d) => Analytics.thetaSegments(Tables.events(s, d))),
+    "sketch_rollup"   -> ((s, d) => Analytics.sketchRollup(Tables.events(s, d))),
     "cdc_apply"       -> ((s, d) => Incremental.cdcApplyQuery(Tables.orders(s, d))),
     "corr_stats"      -> ((s, d) => Analytics.corrStats(Tables.lineitem(s, d))),
     "skew_report"     -> ((s, d) => Analytics.skewReport(Tables.lineitem(s, d), "l_suppkey")),

@@ -403,6 +403,38 @@ object Analytics {
     sk.crossJoin(broadcast(exact))
   }
 
+  /** Pre-aggregated sketch ROLLUP — the Druid/Pinot datasketches pattern
+    * that makes distinct-count dashboards O(cells) instead of O(events):
+    * stage 1 materializes a sketch TABLE at (day, event_type) grain (one
+    * KB-scale theta sketch + exact event count per cell — the only pass
+    * over the raw events); stage 2 answers "distinct users per type" by
+    * MERGING the stored sketches — k smallest distinct hashes of the
+    * cells' union, plain array arithmetic over collect_list — without
+    * rescanning a single event row. Any slice (a day range, one type, all
+    * types) is the same merge over fewer or more cells; theta sketches
+    * compose under union AND intersection, which is why the stored grain
+    * can be finer than every query it serves.
+    *
+    * At the driver's scales every per-type user set is far below `k`, so
+    * the sketch path is EXACT by the theta contract (θ = 1 until
+    * saturation) and the oracle is plain COUNT(DISTINCT) SQL — the
+    * ann_pq_q adjudication pattern; production sizes k down (4096 ⇒ ~2%
+    * error, 32 KB/cell) and the merge cost doesn't change. */
+  def sketchRollup(events: DataFrame, k: Int = 1 << 14): DataFrame = {
+    import graft.functions.ThetaAgg
+    val cells = events
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(ThetaAgg.sketch(col("user_id"), k).as("sk"),
+        count(lit(1)).as("n_events"))
+    // `cells` is the stored rollup table; everything below reads ONLY it
+    val merged = slice(
+      array_sort(array_distinct(flatten(collect_list(col("sk"))))), 1, k)
+    cells.groupBy("event_type")
+      .agg(sum("n_events").as("n_events"),
+        ThetaAgg.estimate(merged, k).cast("long").as("distinct_users"))
+      .orderBy("event_type")
+  }
+
   /** Time-series gap fill — regularize a sparse daily series onto a dense
     * per-key day spine: missing days materialize with count 0 and the last
     * observed metric carried forward (`last(..., ignoreNulls)` over the

@@ -294,6 +294,26 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
+  test("sketch rollup: merging stored per-cell sketches equals exact " +
+       "distincts below k; saturated merge stays bounded") {
+    val ev = Tables.events(spark, sf)
+    val got = Analytics.sketchRollup(ev).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), countDistinct("user_id").as("d"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == exact) // θ = 1 below k ⇒ the merge is exact, not approximate
+    // shrink k below the per-type cardinality: the merged estimate must
+    // stay a real estimate (deterministic given the fixed hash — bounded)
+    val approx = Analytics.sketchRollup(ev, k = 64).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    approx.foreach { case (t, est) =>
+      val d = exact(t)._2.toDouble
+      assert(math.abs(est - d) / d <= 0.4,
+        s"$t: saturated merge estimate $est vs exact $d")
+    }
+  }
+
   test("theta sketch: exact under k, bounded error at saturation, " +
        "set algebra composes, partition-invariant") {
     import spark.implicits._
