@@ -328,6 +328,56 @@ class PlanSpec extends SparkSpec {
       "txlog data-skipping scan reads pruned column")
   }
 
+  test("deletion vectors cost nothing on vector-free reads; masked reads " +
+       "broadcast the vector frame over only the vector'd files") {
+    val t = java.nio.file.Files.createTempDirectory("graft_dvplan")
+      .resolve("t").toString
+    graft.sources.TxLogFormat.write(
+      Tables.orders(spark, sf).select("o_orderkey", "o_totalprice", "o_orderstatus"),
+      t, Some("o_orderstatus"))
+    // steady state (no vectors): the read is a plain file scan — no join,
+    // no metadata columns, pushdown intact
+    val plain = graft.sources.TxLogFormat.read(spark, t)
+      .filter(col("o_totalprice") > 100000.0)
+      .queryExecution.sparkPlan.toString
+    assert(!plain.contains("Join"), s"vector-free txlog read plans a join:\n$plain")
+    assert(plain.contains("PushedFilters: [IsNotNull(o_totalprice)"),
+      s"vector-free txlog read lost pushdown:\n$plain")
+    // with vectors outstanding: the mask is a BROADCAST anti-join (never a
+    // shuffle of the data side), and after purge the join is gone again
+    graft.sources.TxLogFormat.deleteVectors(spark, t, col("o_orderkey") % 50 === 0)
+    val masked = graft.sources.TxLogFormat.read(spark, t)
+      .queryExecution.sparkPlan.toString
+    assert(masked.contains("BroadcastHashJoin") && masked.contains("LeftAnti"),
+      s"vector mask is not a broadcast anti-join:\n$masked")
+    graft.sources.TxLogFormat.purgeDeletes(spark, t, Some("o_orderstatus"))
+    val purged = graft.sources.TxLogFormat.read(spark, t)
+      .queryExecution.sparkPlan.toString
+    assert(!purged.contains("Join"), s"purged txlog read still joins:\n$purged")
+  }
+
+  test("paragraph dedup: segmentation is scan-bound; no global sort on the " +
+       "corpus-sized output") {
+    val df = Dedup.segmentDedup(Tables.documents(spark, sf))
+    val plan = explained(df)
+    // two data-scale exchanges: segment first-occurrence + doc reassembly
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 2, s"expected 2 hash exchanges, got $shuffles in:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"corpus-sized output globally sorts:\n$plan")
+  }
+
+  test("sketch rollup: both stages aggregate partially (map-side combine)") {
+    val df = Analytics.sketchRollup(Tables.events(spark, sf))
+    val plan = explained(df)
+    // cell build + merge each split into partial/final aggregates around
+    // one exchange — sketches cross the wire, never raw rows
+    assert("partial_graft_theta".r.findAllIn(plan).nonEmpty,
+      s"cell sketch build is not partial:\n$plan")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 2, s"expected 2 hash exchanges, got $shuffles in:\n$plan")
+  }
+
   test("zorder key is scan-bound whole-stage codegen") {
     val df = operators.Materialize.zorderKey(Tables.orders(spark, sf))
     df.collect() // final adaptive plan carries the codegen annotations
