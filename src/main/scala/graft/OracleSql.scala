@@ -404,6 +404,17 @@ object OracleSql {
     "heavy_hitters_per_lang_exact" ->
       """WITH t AS (SELECT lang, unnest(string_split(lower(trim(text)), ' ')) AS word FROM documents), c AS (SELECT lang, word, COUNT(*) AS n FROM t WHERE word <> '' GROUP BY lang, word), r AS (SELECT lang, word, n, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, word) AS rk FROM c) SELECT lang, word, n FROM r WHERE rk <= 5 ORDER BY lang, word""",
 
+    // Misra-Gries is EXACT while the (per-group) vocabulary fits its k
+    // counters — no evictions ever happen, in updates or merges, at any
+    // partitioning (ApproxSpec bounds the general case; this corpus's
+    // 31-word vocabulary < k=64 pins the sketch paths to plain SQL, the
+    // ann_pq_q adjudication pattern)
+    "heavy_hitters_approx" ->
+      """WITH t AS (SELECT unnest(string_split(lower(trim(text)), ' ')) AS word FROM documents) SELECT word, COUNT(*) AS est_count FROM t WHERE word <> '' GROUP BY word ORDER BY est_count DESC, word LIMIT 20""",
+
+    "heavy_hitters_per_lang" ->
+      """WITH t AS (SELECT lang, unnest(string_split(lower(trim(text)), ' ')) AS word FROM documents), c AS (SELECT lang, word, COUNT(*) AS est_count FROM t WHERE word <> '' GROUP BY lang, word), r AS (SELECT lang, word, est_count, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY est_count DESC, word) AS rk FROM c) SELECT lang, word, est_count FROM r WHERE rk <= 5 ORDER BY lang, word""",
+
     "tfidf_topterms" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS word FROM documents), t2 AS (SELECT doc_id, word FROM t WHERE word <> ''), tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM t2 GROUP BY doc_id, word), df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word), n AS (SELECT COUNT(*) AS n_docs FROM documents), s AS (SELECT tf.doc_id, tf.word, ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) * 10000, 0)/10000.0 AS tfidf FROM tf JOIN df ON tf.word = df.word CROSS JOIN n), r AS (SELECT doc_id, word, tfidf, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS BIGINT) AS rank FROM s) SELECT doc_id, word, tfidf, rank FROM r WHERE rank <= 3 ORDER BY doc_id, rank""",
 
