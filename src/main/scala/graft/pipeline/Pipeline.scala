@@ -331,22 +331,133 @@ final class Pipeline(models: Seq[Model], exposures: Seq[Exposure] = Nil,
     * order. Feed the result to [[runSubset]] (which adds the upstream
     * closure needed to build them) for a state-based CI build. */
   def selectModifiedPlus(oldManifestJson: String,
-                         resolved: Map[String, DataFrame]): Seq[String] = {
+                         resolved: Map[String, DataFrame]): Seq[String] =
+    inTopoOrder(downstreamClosure(modifiedSet(oldManifestJson, resolved)))
+
+  /** The raw `state:modified` set (no graph closure): models whose
+    * manifest-visible identity differs from `oldManifestJson`. */
+  def modifiedSet(oldManifestJson: String,
+                  resolved: Map[String, DataFrame]): Set[String] = {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val oldNodes = om.readTree(oldManifestJson).get("nodes")
     val curNodes = om.readTree(manifestJson(resolved)).get("nodes")
-    val modified = models.map(_.name).filter { n =>
+    models.map(_.name).filter { n =>
       val o = if (oldNodes == null) null else oldNodes.get("model.graft." + n)
       o == null || o != curNodes.get("model.graft." + n) // structural compare
     }.toSet
+  }
+
+  private def downstreamClosure(seed: Set[String]): Set[String] = {
     val children = lineage.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
     val keep = scala.collection.mutable.LinkedHashSet[String]()
     def visit(n: String): Unit =
       if (keep.add(n)) children.getOrElse(n, Nil).foreach(visit)
-    modified.foreach(visit)
+    seed.foreach(visit)
+    keep.toSet
+  }
+
+  private def upstreamClosure(seed: Set[String]): Set[String] = {
+    val byName = models.map(m => m.name -> m).toMap
+    val keep = scala.collection.mutable.LinkedHashSet[String]()
+    def visit(n: String): Unit = byName.get(n).foreach { m =>
+      if (keep.add(n)) m.deps.foreach(visit)
+    }
+    seed.foreach(visit)
+    keep.toSet
+  }
+
+  private def inTopoOrder(names: Set[String]): Seq[String] =
     topoOrder(Set.empty ++ models.flatMap(_.deps)
         .filterNot(d => models.exists(_.name == d)))
-      .map(_.name).filter(keep.contains)
+      .map(_.name).filter(names.contains)
+
+  /** dbt `selectors.yml` evaluation: a selector DEFINITION (the YAML tree
+    * [[ProjectYaml.loadSelectors]] parses, or an equivalent literal) →
+    * selected model names in topological order. Supported criteria —
+    * exactly dbt's semantics, refusing loudly on anything else:
+    *
+    *  - shorthand strings: `"m"` (fqn), `"tag:t"`, `"state:modified"`,
+    *    with `+` prefix (upstream closure) / suffix (downstream closure);
+    *  - method maps: `{method: fqn|tag|state, value: v}` with optional
+    *    `parents: true` / `children: true` closure flags;
+    *  - composition: `{union: [...]}` / `{intersection: [...]}`, where a
+    *    `{exclude: [...]}` entry inside either subtracts its union from
+    *    the enclosing result (dbt's exclude placement);
+    *  - `fqn` values support a trailing `*` glob (`stg_*`).
+    *
+    * `state:modified` needs the prior manifest + resolved frames —
+    * evaluating it without them refuses (a CI selector silently matching
+    * nothing would skip the very models it exists to build). */
+  def evalSelector(definition: Any,
+                   stateManifest: Option[String] = None,
+                   resolved: Map[String, DataFrame] = Map.empty): Seq[String] = {
+    def method(meth: String, value: String,
+               parents: Boolean, children: Boolean): Set[String] = {
+      val base: Set[String] = meth match {
+        case "fqn" | "" =>
+          if (value.endsWith("*"))
+            models.map(_.name).filter(_.startsWith(value.dropRight(1))).toSet
+          else models.map(_.name).filter(_ == value).toSet
+        case "tag" => models.filter(_.tags.contains(value)).map(_.name).toSet
+        case "state" =>
+          require(value == "modified",
+            s"selector: unsupported state value '$value' (only modified)")
+          modifiedSet(stateManifest.getOrElse(throw new IllegalArgumentException(
+            "selector: state:modified needs a prior manifest (--state)")),
+            resolved)
+        case other => throw new IllegalArgumentException(
+          s"selector: unsupported method '$other' (fqn, tag, state)")
+      }
+      (if (parents) upstreamClosure(base) else base) |
+        (if (children) downstreamClosure(base) else base)
+    }
+    def shorthand(s0: String): Set[String] = {
+      val parents = s0.startsWith("+")
+      val children = s0.endsWith("+")
+      val s = s0.stripPrefix("+").stripSuffix("+")
+      val (meth, value) = s.split(":", 2) match {
+        case Array(m0, v) => (m0, v)
+        case _ => ("fqn", s)
+      }
+      method(meth, value, parents, children)
+    }
+    def union(nodes: Seq[Any]): Set[String] = combine(nodes, _ | _)
+    def intersect(nodes: Seq[Any]): Set[String] = combine(nodes, _ & _)
+    def combine(nodes: Seq[Any],
+                op: (Set[String], Set[String]) => Set[String]): Set[String] = {
+      val (excludes, includes) = nodes.partition {
+        case mm: Map[_, _] =>
+          mm.asInstanceOf[Map[String, Any]].contains("exclude")
+        case _ => false
+      }
+      require(includes.nonEmpty, "selector: empty criteria list")
+      val in = includes.map(eval).reduce(op)
+      val out = excludes.flatMap { e =>
+        e.asInstanceOf[Map[String, Any]]("exclude") match {
+          case s: Seq[_] => s.map(eval)
+          case one => Seq(eval(one))
+        }
+      }
+      out.foldLeft(in)(_ -- _)
+    }
+    def eval(node: Any): Set[String] = node match {
+      case s: String => shorthand(s)
+      case mm: Map[_, _] =>
+        val mp = mm.asInstanceOf[Map[String, Any]]
+        if (mp.contains("union")) union(mp("union").asInstanceOf[Seq[Any]])
+        else if (mp.contains("intersection"))
+          intersect(mp("intersection").asInstanceOf[Seq[Any]])
+        else if (mp.contains("method"))
+          method(mp("method").toString,
+            mp.getOrElse("value", "").toString,
+            mp.get("parents").contains(true),
+            mp.get("children").contains(true))
+        else throw new IllegalArgumentException(
+          s"selector: unrecognized criteria keys ${mp.keys.mkString(", ")}")
+      case other => throw new IllegalArgumentException(
+        s"selector: unrecognized criteria node '$other'")
+    }
+    inTopoOrder(eval(definition))
   }
 
   /** dbt `--select tag:<tag>` semantics: names of the models carrying the

@@ -675,6 +675,42 @@ object ProjectYaml {
       }.flatMap(f => loadUnitTests(Files.readString(f)))
   }
 
+  // ---- selectors.yml (dbt named selectors) ----
+
+  /** One named selector: `definition` is the raw YAML criteria tree,
+    * evaluated against a DAG by [[Pipeline.evalSelector]]. */
+  final case class SelectorDef(name: String, description: String,
+                               isDefault: Boolean, definition: Any)
+
+  /** `selectors.yml` (project root): named, reusable selection criteria
+    * (`dbt run --selector nightly`). At most one may be `default: true`
+    * (dbt refuses ambiguous defaults; so does this). */
+  def loadSelectors(yaml: String): Seq[SelectorDef] = {
+    val defs = seq(m(YamlLite.parse(yaml)).getOrElse("selectors", Nil))
+      .map(m(_)).map { s =>
+        SelectorDef(
+          str(s.getOrElse("name", throw new IllegalArgumentException(
+            "selector without a name"))),
+          str(s.getOrElse("description", "")),
+          s.get("default").contains(true),
+          s.getOrElse("definition", throw new IllegalArgumentException(
+            s"selector '${str(s.getOrElse("name", "?"))}' without a definition")))
+      }
+    require(defs.map(_.name).distinct.size == defs.size,
+      "duplicate selector names")
+    require(defs.count(_.isDefault) <= 1,
+      s"multiple default selectors: ${defs.filter(_.isDefault).map(_.name)}")
+    defs
+  }
+
+  /** The project's `selectors.yml`, if present. */
+  def loadProjectSelectors(projectDir: String): Seq[SelectorDef] = {
+    val f = java.nio.file.Paths.get(projectDir, "selectors.yml")
+    if (java.nio.file.Files.isRegularFile(f))
+      loadSelectors(java.nio.file.Files.readString(f))
+    else Nil
+  }
+
   // ---- sources .yml (src_example.yml shape) ----
 
   /** One declared source table's freshness contract (reference

@@ -9,6 +9,61 @@ class PipelineSpec extends SparkSpec {
 
   private def tmp() = java.nio.file.Files.createTempDirectory("graft_p").toString
 
+  test("selectors.yml: named selectors parse and evaluate union/" +
+       "intersection/exclude/closure criteria against the DAG") {
+    val dag = new Pipeline(Seq(
+      Model("a", Seq("src"), EphemeralMat, in => in("src"), tags = Seq("daily")),
+      Model("b", Seq("a"), EphemeralMat, in => in("a"), tags = Seq("daily")),
+      Model("c", Seq("b"), EphemeralMat, in => in("b")),
+      Model("d", Seq("a"), EphemeralMat, in => in("a"), tags = Seq("nightly"))))
+    val defs = ProjectYaml.loadSelectors(
+      """selectors:
+        |  - name: daily_children
+        |    description: daily models and everything under them, minus c
+        |    default: true
+        |    definition:
+        |      union:
+        |        - method: tag
+        |          value: daily
+        |          children: true
+        |        - d
+        |        - exclude:
+        |            - c
+        |  - name: upstream_of_c
+        |    definition:
+        |      intersection:
+        |        - "+c"
+        |        - "tag:daily"
+        |""".stripMargin)
+    assert(defs.map(_.name) == Seq("daily_children", "upstream_of_c"))
+    assert(defs.head.isDefault && !defs(1).isDefault)
+    // union of (daily ∪ downstream) with d, minus the exclude
+    assert(dag.evalSelector(defs.head.definition) == Seq("a", "b", "d"))
+    // + prefix = upstream closure; intersection with the tag set
+    assert(dag.evalSelector(defs(1).definition) == Seq("a", "b"))
+    // glob fqn + suffix closure shorthand
+    assert(dag.evalSelector("b+") == Seq("b", "c"))
+    // state:modified without a prior manifest refuses instead of
+    // silently selecting nothing
+    val e = intercept[IllegalArgumentException](
+      dag.evalSelector("state:modified+"))
+    assert(e.getMessage.contains("manifest"))
+    // unknown methods refuse
+    assert(intercept[IllegalArgumentException](
+      dag.evalSelector("path:models/staging"))
+      .getMessage.contains("unsupported method"))
+    // two defaults refuse at load
+    assert(intercept[IllegalArgumentException](ProjectYaml.loadSelectors(
+      """selectors:
+        |  - name: s1
+        |    default: true
+        |    definition: a
+        |  - name: s2
+        |    default: true
+        |    definition: b
+        |""".stripMargin)).getMessage.contains("default"))
+  }
+
   test("pipeline resolves refs in topological order and detects cycles") {
     val dag = new Pipeline(Seq(
       Model("c", Seq("b"), EphemeralMat, in => in("b")),
