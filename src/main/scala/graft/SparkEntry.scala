@@ -426,6 +426,7 @@ object SparkEntry {
         substring(col("source"), 4, 10).cast("int") % 4 + 1)
     }),
     "perplexity_score" -> ((s, d) => TextAnalysis.perplexityScore(Tables.documents(s, d))),
+    "perplexity_bigram" -> ((s, d) => TextAnalysis.perplexityBigram(Tables.documents(s, d))),
     "corpus_curation" -> ((s, d) => Curation.curationPipeline(Tables.documents(s, d))),
     "rolling_fingerprint" -> ((s, d) => TextAnalysis.rollingFingerprint(Tables.documents(s, d))),
     "verbatim_overlap"    -> ((s, d) => TextAnalysis.verbatimOverlap(Tables.documents(s, d))),

@@ -370,6 +370,50 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Bigram-LM mean negative log-likelihood per doc — the next rung of
+    * the KenLM-style quality ladder above [[perplexityScore]]'s unigram:
+    * fluent text is distinguished by LIKELY TRANSITIONS, not just likely
+    * words, so the signal scores `P(w2|w1) = (c(w1,w2)+1) / (c(w1)+V)`
+    * (add-one smoothing; `c(w1)` = times w1 occurs AS A CONTEXT, i.e.
+    * bigram starts, so the conditional sums to 1 over the smoothed
+    * vocabulary; `V` = distinct context count). Same pipeline shape as a
+    * KenLM scoring stage: the corpus tokenizes once into per-doc bigram
+    * term frequencies, the model aggregates FROM those frequencies (never
+    * a second corpus pass), scoring is one (w1,w2) hash join, and the two
+    * scalars (V) ride a broadcast row. Docs under 2 tokens have no
+    * bigrams and drop out, as in any n-gram scorer.
+    *
+    * Determinism contract: round4'd mean so both engines flag
+    * identically; no presentation sort on the corpus-sized output. */
+  def perplexityBigram(documents: DataFrame, flagNats: Double = 3.5): DataFrame = {
+    // words materialized in their own projection: the transform lambda
+    // below reads the array twice per position (no subexpression
+    // elimination inside HOF lambdas)
+    val withW = documents.select(col("doc_id"), words.as("__w"))
+    val w = col("__w")
+    val bi = withW.select(col("doc_id"),
+        explode(when(size(w) >= 2,
+          transform(sequence(lit(0), size(w) - 2), i =>
+            struct(element_at(w, i + 1).as("w1"),
+                   element_at(w, i + 2).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .filter(col("w1") =!= "" && col("w2") =!= "")
+    val tfb = bi.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("tf"))
+    val cb = tfb.groupBy("w1", "w2").agg(sum("tf").as("c12"))
+    val c1 = cb.groupBy("w1").agg(sum("c12").as("c1"))
+    val vrow = c1.agg(count(lit(1)).as("v"))
+    val avgNll = round4(col("nll") / col("n_bigrams"))
+    tfb.join(cb, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .crossJoin(broadcast(vrow))
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_bigrams"),
+           sum(col("tf") * -log((col("c12") + 1).cast("double") /
+                                (col("c1") + col("v")))).as("nll"))
+      .select(col("doc_id"), col("n_bigrams"), avgNll.as("avg_nll"),
+              when(avgNll > flagNats, "high").otherwise("ok").as("ppl_flag"))
+  }
+
   /** Document fingerprinting: full md5 digest, 8-hex prefix bucket, and a
     * 1-permutation minhash (lexicographic-min word md5). */
   def fingerprint(documents: DataFrame): DataFrame =
