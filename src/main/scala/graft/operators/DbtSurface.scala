@@ -81,6 +81,31 @@ object Snapshot {
       .withColumn("dbt_is_current", col("dbt_valid_to").isNull)
   }
 
+  /** Generic dbt check-strategy snapshot for ANY frame (the YAML loader's
+    * `strategy='check'` target): a new version opens whenever any of
+    * `checkCols` changes between a key's consecutive observations —
+    * consecutive same-value observations collapse. dbt orders
+    * observations by run cadence; a single-pass build needs the
+    * observation order IN the data, so `orderCol` supplies it (the
+    * loader maps `updated_at` here). Null-safe change detection: each
+    * tracked column hashes separately and the tuple compares with `<=>`,
+    * so ('a', NULL) vs (NULL, 'a') is a change and NULL vs NULL is not.
+    * Same one-window-shuffle shape as [[scd2Timestamp]]. */
+  def scd2CheckCols(df: DataFrame, uniqueKey: String, orderCol: String,
+                    checkCols: Seq[String]): DataFrame = {
+    require(checkCols.nonEmpty, "scd2CheckCols: check_cols must be non-empty")
+    val w = Window.partitionBy(col(uniqueKey)).orderBy(col(orderCol))
+    val chk = struct(checkCols.map(c => md5(col(c).cast("string")).as(c)): _*)
+    df.withColumn("__chk", chk)
+      .withColumn("__prev", lag(col("__chk"), 1).over(w))
+      .filter(!(col("__chk") <=> col("__prev")))
+      .drop("__chk", "__prev")
+      .withColumn("dbt_valid_from", col(orderCol))
+      .withColumn("dbt_valid_to", lead(col(orderCol), 1).over(
+        Window.partitionBy(col(uniqueKey)).orderBy(col(orderCol))))
+      .withColumn("dbt_is_current", col("dbt_valid_to").isNull)
+  }
+
   def scd2(orders: DataFrame): DataFrame = {
     val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     orders.select(

@@ -675,6 +675,63 @@ object ProjectYaml {
       }.flatMap(f => loadUnitTests(Files.readString(f)))
   }
 
+  // ---- metrics: blocks (dbt 1.6 semantic layer) ----
+
+  /** `metrics:` blocks (the dbt 1.6 metrics spec) → [[Metric]]s:
+    * `calculation_method` + `expression` compile to the aggregate SQL,
+    * `model: ref('m')` resolves to the DAG name, `dimensions` /
+    * `timestamp` / `filters` map onto the governance surface
+    * [[Metrics.query]] enforces. `derived` metrics (expressions over
+    * other metrics) refuse loudly — out of the compiled-aggregate
+    * contract. */
+  def loadMetrics(yaml: String): Seq[Metric] = {
+    seq(m(YamlLite.parse(yaml)).getOrElse("metrics", Nil)).map(m(_)).map { mt =>
+      val name = str(mt.getOrElse("name",
+        throw new IllegalArgumentException("metric without a name")))
+      val modelRaw = str(mt.getOrElse("model",
+        throw new IllegalArgumentException(s"metric $name: model required")))
+      val model = InputRefPat.findFirstMatchIn(modelRaw).map(_.group(1))
+        .getOrElse(modelRaw.trim)
+      val method = str(mt.getOrElse("calculation_method",
+        throw new IllegalArgumentException(
+          s"metric $name: calculation_method required")))
+      val exprS = str(mt.getOrElse("expression", "*"))
+      val agg = method match {
+        case "count" => s"count($exprS)"
+        case "count_distinct" => s"count(DISTINCT $exprS)"
+        case "sum" | "min" | "max" => s"$method($exprS)"
+        case "average" => s"avg($exprS)"
+        case other => throw new IllegalArgumentException(
+          s"metric $name: unsupported calculation_method '$other' " +
+            "(count, count_distinct, sum, average, min, max)")
+      }
+      val filters = seq(mt.getOrElse("filters", Nil)).map(m(_)).map { f =>
+        s"${str(f("field"))} ${str(f("operator"))} ${str(f("value"))}"
+      }
+      Metric(name, model, agg,
+        dimensions = seq(mt.getOrElse("dimensions", Nil)).map(str),
+        timeDimension = mt.get("timestamp").map(str),
+        filter = if (filters.isEmpty) None
+                 else Some(filters.mkString("(", ") AND (", ")")),
+        description = str(mt.getOrElse("description", "")))
+    }
+  }
+
+  /** Every `metrics:` declaration under the project's model paths. */
+  def loadProjectMetrics(projectDir: String): Seq[Metric] = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get(projectDir)
+    val project = loadProject(Files.readString(root.resolve("dbt_project.yml")))
+    project.modelPaths.map(root.resolve).filter(Files.isDirectory(_))
+      .flatMap { d =>
+        val s = Files.walk(d)
+        try s.iterator().asScala.filter(f =>
+          Files.isRegularFile(f) && f.toString.endsWith(".yml")).toVector
+        finally s.close()
+      }.flatMap(f => loadMetrics(Files.readString(f)))
+  }
+
   // ---- selectors.yml (dbt named selectors) ----
 
   /** One named selector: `definition` is the raw YAML criteria tree,
@@ -828,7 +885,8 @@ object ProjectYaml {
            env: Map[String, String] = Map.empty)
       : Pipeline = {
     val (models, exposures) = loadModels(projectDir, includeDisabled, env)
-    new Pipeline(models, exposures = exposures, format = format)
+    new Pipeline(models, exposures = exposures, format = format,
+      metrics = loadProjectMetrics(projectDir))
   }
 
   /** The parsed [[Model]]s + [[Exposure]]s of a project directory —
@@ -924,21 +982,40 @@ object ProjectYaml {
             if (!enabled && !includeDisabled) None
             else {
               val strategy = str(cfg.getOrElse("strategy", "timestamp"))
-              require(strategy == "timestamp",
-                s"snapshot $name: only strategy='timestamp' loads from " +
-                  s"YAML (got '$strategy'); use the Snapshot operators " +
-                  "directly for check-strategy history")
               val key = str(cfg.getOrElse("unique_key",
                 throw new IllegalArgumentException(
                   s"snapshot $name: unique_key is required")))
               val updatedAt = str(cfg.getOrElse("updated_at",
                 throw new IllegalArgumentException(
-                  s"snapshot $name: updated_at is required for " +
-                    "strategy='timestamp'")))
+                  s"snapshot $name: updated_at is required " +
+                    "(strategy='check' uses it as the observation order " +
+                    "a single-pass build needs in place of run cadence)")))
               val build = sqlBuild(name, body)
-              Some(Model(name, depsOf(body), TableMat(),
-                in => graft.operators.Snapshot.scd2Timestamp(
-                  build(in), key, updatedAt),
+              val snap: Map[String, DataFrame] => DataFrame = strategy match {
+                case "timestamp" =>
+                  in => graft.operators.Snapshot.scd2Timestamp(
+                    build(in), key, updatedAt)
+                case "check" =>
+                  val declared = cfg.getOrElse("check_cols",
+                    throw new IllegalArgumentException(
+                      s"snapshot $name: strategy='check' needs check_cols " +
+                        "(a column list, or 'all')"))
+                  in => {
+                    val frame = build(in)
+                    val cols = declared match {
+                      case "all" => frame.columns.toSeq
+                        .filterNot(c => c == key || c == updatedAt)
+                      case s: Seq[_] => s.map(str)
+                      case one => Seq(str(one))
+                    }
+                    graft.operators.Snapshot.scd2CheckCols(
+                      frame, key, updatedAt, cols)
+                  }
+                case other => throw new IllegalArgumentException(
+                  s"snapshot $name: unsupported strategy '$other' " +
+                    "(timestamp, check)")
+              }
+              Some(Model(name, depsOf(body), TableMat(), snap,
                 checksum = Integer.toHexString(raw.hashCode)))
             }
           }.toVector

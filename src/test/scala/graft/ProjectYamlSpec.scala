@@ -159,6 +159,61 @@ class ProjectYamlSpec extends SparkSpec {
       .head._2.exists(_.contains("not in model output")))
   }
 
+  test("check-strategy snapshots and metrics: blocks load from project " +
+       "files and run (dbt strategy='check' + the 1.6 metrics spec)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_yaml_cm")
+    def write(p: String, s: String): Unit = {
+      val f = root.resolve(p)
+      java.nio.file.Files.createDirectories(f.getParent)
+      java.nio.file.Files.writeString(f, s)
+    }
+    write("dbt_project.yml", "name: proj\nprofile: p\n")
+    write("models/m1.sql", "select * from {{ source('raw', 't') }}")
+    write("models/metrics.yml",
+      """metrics:
+        |  - name: total_value
+        |    model: ref('m1')
+        |    calculation_method: sum
+        |    expression: value
+        |    dimensions: [status]
+        |    filters:
+        |      - field: value
+        |        operator: '>'
+        |        value: '0'
+        |""".stripMargin)
+    write("snapshots/snap.sql",
+      "{% snapshot snap_check %}\n" +
+        "{{ config(strategy='check', unique_key='id', updated_at='at', " +
+        "check_cols=['status']) }}\n" +
+        "select * from {{ ref('m1') }}\n{% endsnapshot %}\n")
+    val dag = ProjectYaml.load(root.toString)
+    val src = Seq((1L, "a", 1L, 10.0), (1L, "a", 2L, 20.0),
+      (1L, "b", 3L, -5.0), (2L, "a", 1L, 7.0))
+      .toDF("id", "status", "at", "value")
+    val out = dag.run(spark, Map("raw.t" -> src),
+      java.nio.file.Files.createTempDirectory("graft_yaml_cm_t").toString)
+    // id 1: versions open at 1 (a) and 3 (b) — the at=2 same-status
+    // observation collapses; id 2: one open version
+    val snap = out("snap_check")
+      .select("id", "status", "dbt_valid_from", "dbt_valid_to", "dbt_is_current")
+      .orderBy("id", "dbt_valid_from").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4))).toSeq
+    assert(snap == Seq(
+      (1L, "a", 1L, 3L, false),
+      (1L, "b", 3L, -1L, true),
+      (2L, "a", 1L, -1L, true)))
+    // the metric compiles with its own filter fused (value > 0 drops -5)
+    val got = dag.queryMetric(out, "total_value", Seq("status")).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(got == Map("a" -> 37.0))
+    // unsupported calculation methods refuse at load
+    assert(intercept[IllegalArgumentException](ProjectYaml.loadMetrics(
+      "metrics:\n  - name: x\n    model: m1\n    calculation_method: derived\n"))
+      .getMessage.contains("unsupported calculation_method"))
+  }
+
   test("a synthetic project with vars + incremental model loads and runs " +
        "(the loader generalizes beyond the reference files)") {
     import spark.implicits._
