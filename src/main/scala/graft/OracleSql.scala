@@ -407,6 +407,14 @@ object OracleSql {
     "heavy_hitters_per_lang_exact" ->
       """WITH t AS (SELECT lang, unnest(string_split(lower(trim(text)), ' ')) AS word FROM documents), c AS (SELECT lang, word, COUNT(*) AS n FROM t WHERE word <> '' GROUP BY lang, word), r AS (SELECT lang, word, n, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, word) AS rk FROM c) SELECT lang, word, n FROM r WHERE rk <= 5 ORDER BY lang, word""",
 
+    // Count-Min is EXACT for a word that owns a collision-free row in the
+    // d×w grid — a structural fact of the 31-word vocabulary's fixed hash
+    // positions (scale-independent: collisions inflate by OTHER words'
+    // counts, so a clean row exists at sf0.01 iff it exists at sf0.1).
+    // ApproxSpec keeps bounding the general est ≥ true / e/w·N regime.
+    "word_freq_cms" ->
+      """WITH t AS (SELECT unnest(string_split(lower(trim(text)), ' ')) AS word FROM documents) SELECT word, COUNT(*) AS n, COUNT(*) AS est_n FROM t WHERE word <> '' GROUP BY word ORDER BY n DESC, word LIMIT 20""",
+
     // Misra-Gries is EXACT while the (per-group) vocabulary fits its k
     // counters — no evictions ever happen, in updates or merges, at any
     // partitioning (ApproxSpec bounds the general case; this corpus's
