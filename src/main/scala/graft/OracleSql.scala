@@ -407,6 +407,11 @@ object OracleSql {
     "heavy_hitters_per_lang_exact" ->
       """WITH t AS (SELECT lang, unnest(string_split(lower(trim(text)), ' ')) AS word FROM documents), c AS (SELECT lang, word, COUNT(*) AS n FROM t WHERE word <> '' GROUP BY lang, word), r AS (SELECT lang, word, n, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, word) AS rk FROM c) SELECT lang, word, n FROM r WHERE rk <= 5 ORDER BY lang, word""",
 
+    // ASCII corpus: byte sum == code-point sum, so the stub decoder's
+    // dimension arithmetic is plain SQL over the same bytes
+    "multimodal_features_q" ->
+      """SELECT doc_id, 'image' AS modality, source, CAST(octet_length(encode(text)) AS INT) AS byte_len, lower(hex(substr(text, 1, 4))) AS header_hex, CAST(64 + octet_length(encode(text)) % 512 AS INT) AS width, CAST(64 + list_sum(list_transform(string_split(text, ''), c -> ascii(c))) % 512 AS INT) AS height FROM documents ORDER BY doc_id""",
+
     // Count-Min is EXACT for a word that owns a collision-free row in the
     // d×w grid — a structural fact of the 31-word vocabulary's fixed hash
     // positions (scale-independent: collisions inflate by OTHER words'

@@ -449,6 +449,16 @@ object SparkEntry {
           concat_ws(",", transform(col("feat"), x => format_string("%.6f", x))))
         .orderBy("doc_id")
     }),
+    // The oracle-adjudicated twin of the mapPartitions decode path: the
+    // integer features (byte length, 4-byte header hex, stub dims) are
+    // engine-portable SQL over the same bytes, so the per-partition
+    // decode plumbing hash-compares exactly; the float histogram stays
+    // spec-verified (MultimodalSpec).
+    "multimodal_features_q" -> ((s, d) =>
+      Multimodal.extractFeatures(Tables.documents(s, d))
+        .select("doc_id", "modality", "source", "byte_len", "header_hex",
+          "width", "height")
+        .orderBy("doc_id")),
     // Structured Streaming twins (driven with Trigger.AvailableNow)
     "stream_tumbling"   -> ((s, d) => graft.streaming.StreamOps.runTumbling(s, d)),
     "stream_sessionize" -> ((s, d) => graft.streaming.StreamOps.runSessionize(s, d)),
