@@ -253,6 +253,9 @@ object OracleSql {
     "dedup_exact" ->
       """WITH h AS (SELECT doc_id, md5(lower(trim(text))) AS digest FROM documents) SELECT digest, MIN(doc_id) AS survivor_id, COUNT(*) AS dup_count FROM h GROUP BY digest ORDER BY digest""",
 
+    "stream_retention" ->
+      """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars FROM documents WHERE doc_id % 7 <> 0 GROUP BY lang ORDER BY lang""",
+
     "stream_dedup_ingest" ->
       """WITH h AS (SELECT doc_id, md5(lower(trim(text))) AS digest FROM documents) SELECT digest, MIN(doc_id) AS survivor_id, COUNT(*) AS batch_count FROM h GROUP BY digest ORDER BY digest""",
 

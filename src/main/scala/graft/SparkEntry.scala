@@ -470,6 +470,7 @@ object SparkEntry {
     "stream_observe"    -> ((s, d) => graft.streaming.StreamOps.runObserved(s, d)),
     "stream_txlog_sink" -> ((s, d) => graft.streaming.StreamOps.runTxLogSink(s, d)),
     "stream_dedup_ingest" -> ((s, d) => graft.streaming.StreamOps.runDedupIngest(s, d)),
+    "stream_retention"  -> ((s, d) => graft.streaming.StreamOps.runRetentionIngest(s, d)),
     // the NEAR-dup twin of the ingest loop: per-batch incremental minhash
     // against a persisted, incrementally-MAINTAINED band index; rows-only
     // (LSH recall not SQL-expressible), spec drives the 2-batch properties

@@ -1126,7 +1126,8 @@ object TxLogFormat extends TableFormat {
     * delete-vs-rewrite conflict); losing that check's race throws instead
     * of silently dropping the delete. Returns rows newly marked deleted. */
   def deleteVectors(spark: SparkSession, path: String, condition: Column,
-                    maxDeletedRows: Long = 10000000L): Long = {
+                    maxDeletedRows: Long = 10000000L,
+                    txn: Option[String] = None): Long = {
     val st = foldLog(path)
     require(st.version >= 0, s"txlog: no committed version at $path")
     if (st.live.isEmpty) return 0L
@@ -1155,9 +1156,24 @@ object TxLogFormat extends TableFormat {
         val ps = rows.map(_.getLong(1)).distinct.sorted.toArray
         s"dv $rel\t${encodePositions(ps)}"
       }
-    commit(path, Nil, Nil, None, extra = lines,
+    commit(path, Nil, Nil, None, txn = txn, extra = lines,
       requireLive = lines.map(_.drop(3).split("\t", 2)(0)))
     doomed.length.toLong
+  }
+
+  /** Exactly-once batch-tagged DELETE (the [[appendBatch]] contract for
+    * deletes): a replayed batch — same `appId:batchId` tag already in the
+    * log — skips entirely, so a retention/GDPR stream applying deletion
+    * requests via `foreachBatch` is idempotent under failure/restart.
+    * Returns None on a skipped replay, Some(rows newly marked) otherwise.
+    * A batch that matches nothing commits nothing (its replay is an
+    * equally empty no-op). */
+  def deleteVectorsBatch(spark: SparkSession, path: String, condition: Column,
+                         appId: String, batchId: Long,
+                         maxDeletedRows: Long = 10000000L): Option[Long] = {
+    val tag = s"$appId:$batchId"
+    if (committedTxns(path).contains(tag)) None
+    else Some(deleteVectors(spark, path, condition, maxDeletedRows, Some(tag)))
   }
 
   /** Deletion vectors outstanding per live file (file → deleted-row

@@ -304,6 +304,52 @@ object StreamOps {
       .orderBy("event_type")
   }
 
+  /** Streaming right-to-erasure — the GDPR loop at corpus scale: a stream
+    * of deletion REQUESTS applies to the corpus txlog table per
+    * micro-batch as exactly-once merge-on-read deletes
+    * ([[graft.sources.TxLogFormat.deleteVectorsBatch]]). Each request
+    * batch marks its keys' rows in ONE tagged KB-scale commit — deleting
+    * k documents from a 100 TB corpus moves no data bytes at request
+    * time; [[graft.sources.TxLogFormat.purgeDeletes]] repays the debt at
+    * maintenance cadence — and a replayed batch skips by its txn tag.
+    * The key set is collected per batch (request-scale by nature; the
+    * mark itself stays distributed). The driver query streams the
+    * requests TWICE with the same app id and batch ids, so replay
+    * idempotence is part of what the oracle hashes. */
+  def runRetentionIngest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxLogFormat
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_retention").resolve("t").toString
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "lang", "source", "n_chars")
+    TxLogFormat.write(docs, table, Some("lang"))
+    val appId = "graft_retention"
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .filter(col("doc_id") % 7 === 0) // the erasure-request predicate
+        .select(col("doc_id"))
+        .writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          val keys = b.distinct().collect().map(_.getLong(0)).toSeq
+          if (keys.nonEmpty)
+            TxLogFormat.deleteVectorsBatch(b.sparkSession, table,
+              col("doc_id").isInCollection(keys), appId, id)
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    runOnce() // full replay: same tags → every delete batch must skip
+    TxLogFormat.read(spark, table)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+      .orderBy("lang")
+  }
+
   /** Runs [[RunningTotalsProcessor]] over the parquet source to completion.
     * transformWithState requires the RocksDB state store provider (its
     * changelog-checkpointing state machine is built on it). */

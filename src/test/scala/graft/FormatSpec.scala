@@ -674,6 +674,30 @@ class FormatSpec extends SparkSpec {
     assert(TxLogFormat.read(spark, t2).count() == 100)
   }
 
+  test("deleteVectorsBatch: tagged deletes skip on replay; overlapping " +
+       "batches mark only new rows") {
+    val base = spark.range(0, 20)
+      .selectExpr("id", "CAST(id % 2 AS STRING) AS p")
+    val t = tmp()
+    TxLogFormat.write(base, t, Some("p"))
+    assert(TxLogFormat.deleteVectorsBatch(spark, t,
+      col("id").isin(1L, 2L), "ret", 0L) == Some(2L))
+    // overlap: id 2 is already masked, only 3 is new
+    assert(TxLogFormat.deleteVectorsBatch(spark, t,
+      col("id").isin(2L, 3L), "ret", 1L) == Some(1L))
+    assert(TxLogFormat.count(spark, t) == 17)
+    val versions = TxLogFormat.versions(t)
+    // replay of batch 0: tag skips, nothing commits
+    assert(TxLogFormat.deleteVectorsBatch(spark, t,
+      col("id").isin(1L, 2L), "ret", 0L).isEmpty)
+    assert(TxLogFormat.versions(t) == versions)
+    assert(TxLogFormat.count(spark, t) == 17)
+    // the tags survive a vacuum fold, like append tags
+    TxLogFormat.vacuum(t, retainVersions = 1)
+    assert(TxLogFormat.deleteVectorsBatch(spark, t,
+      col("id").isin(1L, 2L), "ret", 0L).isEmpty)
+  }
+
   test("restore rolls back to an old version as a NEW commit, no copy") {
     val orders = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
     val t = tmp()
