@@ -277,6 +277,10 @@ object OracleSql {
     "paragraph_dedup" ->
       """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), pos AS (SELECT doc_id, w, UNNEST(range(GREATEST(CAST(ceil(len(w) / 10.0) AS BIGINT), 1))) AS pos FROM words), segs AS (SELECT doc_id, CAST(pos AS INT) AS pos, array_to_string(w[(CAST(pos AS INT) * 10 + 1):(CAST(pos AS INT) * 10 + 10)], ' ') AS seg FROM pos), counted AS (SELECT doc_id, pos, seg, COUNT(*) OVER (PARTITION BY doc_id) AS n_segs, ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn FROM segs) SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text_dedup, COUNT(*) AS n_kept, CAST(MIN(n_segs) - COUNT(*) AS BIGINT) AS n_dropped FROM counted WHERE rn = 1 GROUP BY doc_id""",
 
+    "paragraph_dedup_h" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), pos AS (SELECT doc_id, w, UNNEST(range(GREATEST(CAST(ceil(len(w) / 10.0) AS BIGINT), 1))) AS pos FROM words), segs AS (SELECT doc_id, CAST(pos AS INT) AS pos, array_to_string(w[(CAST(pos AS INT) * 10 + 1):(CAST(pos AS INT) * 10 + 10)], ' ') AS seg FROM pos), counted AS (SELECT doc_id, pos, seg, COUNT(*) OVER (PARTITION BY doc_id) AS n_segs, ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn FROM segs) SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text_dedup, COUNT(*) AS n_kept, CAST(MIN(n_segs) - COUNT(*) AS BIGINT) AS n_dropped FROM counted WHERE rn = 1 GROUP BY doc_id""",
+
+
     "decontaminate" ->
       """WITH d AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents), s AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(ws) >= 13 THEN list_transform(range(1, len(ws) - 11), i -> array_to_string(ws[i:i+12], ' ')) ELSE CAST([] AS VARCHAR[]) END)) AS sh FROM d), ev AS (SELECT DISTINCT sh FROM s WHERE doc_id % 50 = 0), ov AS (SELECT s.doc_id, COUNT(*) AS n FROM s JOIN ev ON s.sh = ev.sh WHERE s.doc_id % 50 <> 0 GROUP BY s.doc_id) SELECT c.doc_id, COALESCE(ov.n, 0) AS n_overlapping_ngrams, COALESCE(ov.n, 0) >= 1 AS contaminated FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) c LEFT JOIN ov ON c.doc_id = ov.doc_id ORDER BY c.doc_id""",
 

@@ -285,6 +285,8 @@ object SparkEntry {
     // D. LLM training-data pipeline
     "dedup_exact"     -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "paragraph_dedup" -> ((s, d) => Dedup.segmentDedup(Tables.documents(s, d))),
+    // the hash-keyed scale path shares the exact path's oracle
+    "paragraph_dedup_h" -> ((s, d) => Dedup.segmentDedupHashed(Tables.documents(s, d))),
     // semantic layer: the governed revenue metric sliced by priority at
     // month grain — definition (agg, base filter, legal dims) lives in the
     // Metric, the query only picks a slicing

@@ -536,6 +536,48 @@ object Dedup {
     // no presentation sort — corpus-sized output; the gate lexsorts rows
   }
 
+  /** The 100 TB twin of [[segmentDedup]]: identical output (modulo
+    * xxhash64 collisions, ~2⁻⁶⁴ — the spec pins row-for-row equality on
+    * the test corpus, and the driver shares the exact path's oracle), but
+    * segment TEXT never rides the first-occurrence exchange:
+    *
+    *  1. segments hash to 8-byte xxhash64 keys map-side; the
+    *     first-occurrence reduction is `min(struct(doc_id, pos))` per
+    *     hash — a PARTIAL aggregate (map-side combined, where the exact
+    *     path's window cannot combine) over (hash, doc, pos) rows only;
+    *  2. surviving positions fold to one small per-doc array, which joins
+    *     back to the doc row — the only time text crosses the wire, once,
+    *     co-partitioned on doc_id (bucketed corpora pay nothing);
+    *     reassembly indexes the doc's own segment array by position.
+    *
+    * Dolma's BFF replaces step 1's exchange with a sequential Bloom
+    * membership test — zero shuffle, but false positives silently drop
+    * novel text and the result depends on scan order; this form keeps
+    * determinism and exactness at one 24-byte-row exchange. */
+  def segmentDedupHashed(documents: DataFrame, segWords: Int = 10): DataFrame = {
+    val k = segWords
+    val withW = documents.select(col("doc_id"),
+      split(col("text"), " ").as("__w"))
+    val nseg = ceil(size(col("__w")).cast("double") / k).cast("int")
+    val segs = withW.select(col("doc_id"),
+      transform(sequence(lit(0), greatest(nseg, lit(1)) - 1), i =>
+        concat_ws(" ", slice(col("__w"), i * k + 1, lit(k)))).as("__segs"))
+    val hashed = segs.select(col("doc_id"),
+      posexplode(transform(col("__segs"), s => xxhash64(s)))
+        .as(Seq("pos", "h")))
+    val first = hashed.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+      .select(col("f.doc_id").as("doc_id"), col("f.pos").as("pos"))
+    val keptPos = first.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("__keep"))
+    segs.join(keptPos, Seq("doc_id")) // inner: all-boilerplate docs drop
+      .select(col("doc_id"),
+        array_join(transform(col("__keep"),
+          p => element_at(col("__segs"), p + 1)), " ").as("text_dedup"),
+        size(col("__keep")).cast("long").as("n_kept"),
+        (size(col("__segs")) - size(col("__keep"))).cast("long").as("n_dropped"))
+  }
+
   /** SimHash near-dup: 64-bit signature (sign of per-bit vote over token
     * hashes), candidates via 16-bit chunk bands (hamming ≤ 3 ⇒ ≥1 equal
     * chunk by pigeonhole over 4 chunks), verified with bit_count(xor). */

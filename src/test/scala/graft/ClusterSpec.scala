@@ -112,6 +112,15 @@ class ClusterSpec extends SparkSpec {
       (3L, "p q r", 1L, 1L)))
   }
 
+  test("hashed segment dedup equals the exact path row-for-row on the corpus") {
+    val docs = Tables.documents(spark, sf)
+    val exact = graft.operators.Dedup.segmentDedup(docs)
+      .collect().map(_.toSeq).toSet
+    val hashed = graft.operators.Dedup.segmentDedupHashed(docs)
+      .collect().map(_.toSeq).toSet
+    assert(hashed == exact)
+  }
+
   test("pii scrub masks emails, IPs, and phone runs; leaves clean text alone") {
     val docs = Seq(
       (1L, "contact me at jane.doe+spam@example.co.uk today"),
