@@ -1744,6 +1744,48 @@ object TxLogFormat extends TableFormat {
           s"bi $c\t$bits\t$k" } ++ dvLines)
   }
 
+  /** One-call table maintenance — the OPTIMIZE scheduler a lakehouse runs
+    * on cadence, applying each maintenance op ONLY where its trigger
+    * fires (an already-healthy table commits nothing):
+    *
+    *  1. [[purgeDeletes]] when outstanding deletion-vector rows exceed
+    *     `maxDvRows` — repay merge-on-read's read-side debt before the
+    *     anti-join frame grows;
+    *  2. [[compact]] (or [[compactClustered]] when `clusterBy` is given)
+    *     when any partition's live file count exceeds
+    *     `maxFilesPerPartition` — the small-files ceiling that keeps
+    *     listing and open costs bounded under streaming appends;
+    *  3. [[vacuum]] to `retainVersions` — reclaim unreachable files and
+    *     fold the log (time travel keeps the retained window).
+    *
+    * Every step is the existing idempotent, snapshot-isolated op; content
+    * is provably untouched (the ops are rewrite-markered). Returns the
+    * report: dv rows purged, partitions compacted, files vacuumed. */
+  def maintain(spark: SparkSession, path: String, partitionCol: String,
+               clusterBy: Seq[String] = Nil,
+               maxDvRows: Long = 100000L,
+               maxFilesPerPartition: Int = 8,
+               targetBytes: Long = 128L * 1024 * 1024,
+               retainVersions: Int = 3): Map[String, Long] = {
+    val dvRows = deletionVectors(path).values.map(_.toLong).sum
+    val purged =
+      if (dvRows > maxDvRows)
+        purgeDeletes(spark, path, Some(partitionCol)).toLong
+      else 0L
+    val byDir = snapshot(path)._1.filter(_.contains("/"))
+      .groupBy(_.split("/", 2)(0))
+    val needsCompact = byDir.exists(_._2.size > maxFilesPerPartition)
+    val compacted =
+      if (!needsCompact) 0L
+      else if (clusterBy.nonEmpty)
+        compactClustered(spark, path, partitionCol, clusterBy,
+          targetBytes).size.toLong
+      else compact(spark, path, partitionCol, targetBytes).size.toLong
+    val vacuumed = vacuum(path, retainVersions).toLong
+    Map("dv_rows_outstanding" -> dvRows, "files_purged" -> purged,
+      "partitions_compacted" -> compacted, "files_vacuumed" -> vacuumed)
+  }
+
   /** Epoch-second mtime of the latest commit — the table's "last loaded
     * at" for metadata-based source freshness (dbt 1.7): on a lake table
     * the commit IS the load event, so freshness costs one namespace stat,

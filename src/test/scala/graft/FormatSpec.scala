@@ -698,6 +698,39 @@ class FormatSpec extends SparkSpec {
       col("id").isin(1L, 2L), "ret", 0L).isEmpty)
   }
 
+  test("maintain: purge/compact/vacuum fire only on their triggers; " +
+       "content never changes") {
+    val t = tmp()
+    val one = (i: Int) => spark.range(i * 10, (i + 1) * 10)
+      .selectExpr("id", "CAST(id % 2 AS STRING) AS p")
+    TxLogFormat.write(one(0), t, Some("p"))
+    (1 until 12).foreach(i =>
+      assert(TxLogFormat.appendBatch(one(i), t, "mnt", i.toLong, Some("p"))))
+    TxLogFormat.deleteVectors(spark, t, col("id") % 10 === 3)
+    val want = rows(TxLogFormat.read(spark, t).orderBy("id"))
+    // healthy thresholds: nothing fires except vacuum's fold
+    val r1 = TxLogFormat.maintain(spark, t, "p",
+      maxDvRows = 1000, maxFilesPerPartition = 100, retainVersions = 1000)
+    assert(r1("files_purged") == 0 && r1("partitions_compacted") == 0)
+    assert(rows(TxLogFormat.read(spark, t).orderBy("id")) == want)
+    // tight thresholds: everything fires
+    val r2 = TxLogFormat.maintain(spark, t, "p",
+      maxDvRows = 0, maxFilesPerPartition = 4, retainVersions = 1)
+    assert(r2("files_purged") > 0 && r2("partitions_compacted") == 2 &&
+      r2("files_vacuumed") > 0)
+    assert(TxLogFormat.deletionVectors(t).isEmpty)
+    val byDir = TxLogFormat.read(spark, t).inputFiles
+      .groupBy(f => f.split("/").dropRight(1).last)
+    assert(byDir.values.forall(_.size <= 4), byDir.view.mapValues(_.size).toMap)
+    assert(rows(TxLogFormat.read(spark, t).orderBy("id")) == want)
+    // already healthy: a second pass is a no-op beyond the vacuum fold
+    val vs = TxLogFormat.versions(t)
+    val r3 = TxLogFormat.maintain(spark, t, "p",
+      maxDvRows = 0, maxFilesPerPartition = 4, retainVersions = 1)
+    assert(r3("files_purged") == 0 && r3("partitions_compacted") == 0)
+    assert(TxLogFormat.versions(t) == vs)
+  }
+
   test("restore rolls back to an old version as a NEW commit, no copy") {
     val orders = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
     val t = tmp()
