@@ -321,6 +321,29 @@ final class Pipeline(models: Seq[Model], exposures: Seq[Exposure] = Nil,
       catalogJson(resolved).getBytes("UTF-8"))
   }
 
+  /** run_results.json-shaped document (dbt's per-invocation artifact —
+    * the third of the trio next to manifest/catalog): one result row per
+    * attempted model in dbt's status vocabulary. Our status strings map
+    * as `success` → success, `fail: …` (a gating test) → fail, `error:
+    * …` → error, `skipped` → skipped; the raw string rides in `message`.
+    * Feed it [[build]]/[[runTolerant]]'s status map; `elapsedSec` is
+    * optional per-model timing. */
+  def runResultsJson(status: Map[String, String],
+                     elapsedSec: Map[String, Double] = Map.empty): String = {
+    val results = models.flatMap(m => status.get(m.name).map { st =>
+      val s =
+        if (st == "success") "success"
+        else if (st.startsWith("fail")) "fail"
+        else if (st.startsWith("error")) "error"
+        else "skipped"
+      s"""{"unique_id":${jstr(nodeId(m.name))},"status":${jstr(s)},""" +
+        s""""execution_time":${elapsedSec.getOrElse(m.name, 0.0)},""" +
+        s""""message":${jstr(if (s == "success") "" else st)}}"""
+    })
+    s"""{"metadata":{"schema_version":"graft-run-results-v1"},""" +
+      s""""results":${results.mkString("[", ",", "]")}}"""
+  }
+
   /** dbt `state:modified+` — the slim-CI selection the reference's
     * scripts/pr_data_diff.sh:40 drives (`dbt ls --select "state:modified+"
     * --state prod_state`): diff this pipeline against a PRIOR manifest.json

@@ -300,7 +300,8 @@ object ProjectYaml {
                                  seedPaths: Seq[String],
                                  snapshotPaths: Seq[String],
                                  modelsTree: Map[String, Any],
-                                 vars: Map[String, String] = Map.empty)
+                                 vars: Map[String, String] = Map.empty,
+                                 seedsTree: Map[String, Any] = Map.empty)
 
   def loadProject(yaml: String): ProjectConfig = {
     val root = m(YamlLite.parse(yaml))
@@ -313,7 +314,8 @@ object ProjectYaml {
         seq(root.getOrElse("snapshot-paths", Seq("snapshots"))).map(str),
       modelsTree = m(root.getOrElse("models", Map.empty)),
       vars = m(root.getOrElse("vars", Map.empty))
-        .map { case (k, v) => k -> str(v) })
+        .map { case (k, v) => k -> str(v) },
+      seedsTree = m(root.getOrElse("seeds", Map.empty)))
   }
 
   private val VarPat =
@@ -943,6 +945,21 @@ object ProjectYaml {
     }
     // seeds: each CSV under seed-paths is a dependency-less table model
     // (dbt `dbt seed` — reference seeds/example_seed.csv)
+    // dbt `seeds:` config tree — `+column_types` overrides inference with
+    // declared SQL types (dbt's contract: inference is a convenience, a
+    // zip-code column must not become an int). Warehouse-dialect names
+    // (the reference's BigQuery types) translate to Spark's.
+    def sparkTypeOf(t: String): String = t.trim.toLowerCase match {
+      case "varchar" | "text" | "string" => "string"
+      case "int64" | "integer" => "bigint"
+      case "float64" => "double"
+      case "bool" => "boolean"
+      case "numeric" => "decimal(38,9)"
+      case other => other // already a Spark SQL type
+    }
+    val seedConf = folderConfig(project.seedsTree, project.name, Nil)
+    val seedColTypes = m(seedConf.getOrElse("column_types", Map.empty))
+      .map { case (c, t) => c -> sparkTypeOf(str(t)) }
     val seeds = project.seedPaths.map(root.resolve)
       .filter(Files.isDirectory(_)).flatMap { d =>
         val s = Files.list(d)
@@ -952,9 +969,27 @@ object ProjectYaml {
           val name = f.getFileName.toString.stripSuffix(".csv")
           val path = f.toString
           Model(name, Nil, TableMat(),
-            _ => org.apache.spark.sql.SparkSession.active.read
-              .option("header", "true").option("inferSchema", "true")
-              .csv(path),
+            _ => {
+              import org.apache.spark.sql.functions.col
+              val spark = org.apache.spark.sql.SparkSession.active
+              if (seedColTypes.isEmpty)
+                spark.read.option("header", "true")
+                  .option("inferSchema", "true").csv(path)
+              else {
+                // declared columns bypass inference ENTIRELY (dbt's
+                // contract): cast from the raw string cells, so a
+                // varchar-declared zip keeps its leading zeros instead of
+                // round-tripping through an inferred int
+                val raw = spark.read.option("header", "true").csv(path)
+                val inferred = spark.read.option("header", "true")
+                  .option("inferSchema", "true").csv(path).schema
+                raw.select(raw.columns.toSeq.map { c =>
+                  val t = seedColTypes.get(c)
+                    .getOrElse(inferred(c).dataType.simpleString)
+                  col(c).cast(t).as(c)
+                }: _*)
+              }
+            },
             checksum = Integer.toHexString(
               Files.readString(f).hashCode),
             tests = tests.getOrElse(name, Nil))

@@ -214,6 +214,46 @@ class ProjectYamlSpec extends SparkSpec {
       .getMessage.contains("unsupported calculation_method"))
   }
 
+  test("seed +column_types bypass inference (leading zeros survive); " +
+       "run_results.json records dbt statuses") {
+    val root = java.nio.file.Files.createTempDirectory("graft_yaml_seed")
+    def write(p: String, s: String): Unit = {
+      val f = root.resolve(p)
+      java.nio.file.Files.createDirectories(f.getParent)
+      java.nio.file.Files.writeString(f, s)
+    }
+    write("dbt_project.yml",
+      """name: proj
+        |profile: p
+        |seeds:
+        |  proj:
+        |    +column_types:
+        |      zip: varchar
+        |""".stripMargin)
+    write("models/m1.sql", "select zip, amount from {{ ref('z') }}")
+    write("models/m1.yml",
+      "models:\n  - name: m1\n    columns:\n      - name: amount\n" +
+        "        tests:\n          - not_null\n")
+    write("seeds/z.csv", "zip,amount\n01234,1.5\n99999,\n")
+    val dag = ProjectYaml.load(root.toString)
+    val (out, status) = dag.build(spark, Map.empty,
+      java.nio.file.Files.createTempDirectory("graft_yaml_seed_t").toString)
+    // zip declared varchar: "01234" survives; amount stays inferred double
+    val z = out("z").orderBy("zip").collect()
+    assert(z.map(_.getString(0)).toSeq == Seq("01234", "99999"))
+    assert(out("z").schema("amount").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    // the null amount violates m1's not_null test → fail status
+    assert(status("z") == "success" &&
+      status("m1").startsWith("fail: test not_null_m1_amount"))
+    val rr = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(dag.runResultsJson(status))
+    val byId = (0 until rr.get("results").size()).map(rr.get("results").get)
+      .map(n => n.get("unique_id").asText() -> n.get("status").asText()).toMap
+    assert(byId("model.graft.z") == "success" &&
+      byId("model.graft.m1") == "fail")
+  }
+
   test("a synthetic project with vars + incremental model loads and runs " +
        "(the loader generalizes beyond the reference files)") {
     import spark.implicits._
