@@ -414,6 +414,11 @@ object OracleSql {
     "heavy_hitters_per_lang_exact" ->
       """WITH t AS (SELECT lang, unnest(string_split(lower(trim(text)), ' ')) AS word FROM documents), c AS (SELECT lang, word, COUNT(*) AS n FROM t WHERE word <> '' GROUP BY lang, word), r AS (SELECT lang, word, n, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, word) AS rk FROM c) SELECT lang, word, n FROM r WHERE rk <= 5 ORDER BY lang, word""",
 
+    // GK at accuracy=1e7: rank error under one rank at these group sizes
+    // ⇒ the exact lower-rank order statistic (quantile_disc)
+    "approx_quantiles_x" ->
+      """SELECT o_orderpriority, quantile_disc(o_totalprice, 0.5) AS p50_approx, quantile_disc(o_totalprice, 0.9) AS p90_approx FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
     // ASCII corpus: byte sum == code-point sum, so the stub decoder's
     // dimension arithmetic is plain SQL over the same bytes
     "multimodal_features_q" ->

@@ -254,6 +254,8 @@ object SparkEntry {
     "tdigest_quantiles" -> ((s, d) => Analytics.tdigestQuantiles(Tables.orders(s, d))),
     "approx_distinct" -> ((s, d) => Analytics.approxDistinct(Tables.orders(s, d))),
     "approx_quantiles" -> ((s, d) => Analytics.approxQuantiles(Tables.orders(s, d))),
+    "approx_quantiles_x" -> ((s, d) =>
+      Analytics.approxQuantiles(Tables.orders(s, d), accuracy = 10000000)),
     "date_parts"      -> ((s, d) => Analytics.dateParts(Tables.orders(s, d))),
     "cohort_retention" -> ((s, d) => Analytics.cohortRetention(Tables.orders(s, d))),
     "histogram"       -> ((s, d) => Analytics.histogram(Tables.orders(s, d))),

@@ -203,12 +203,18 @@ object Analytics {
 
   /** Sketch quantiles (Greenwald-Khanna): mergeable constant-ish memory per
     * group — the 100 TB path for [[quantiles]]; spec-bounded vs exact. */
-  def approxQuantiles(orders: DataFrame): DataFrame =
+  def approxQuantiles(orders: DataFrame, accuracy: Int = 10000): DataFrame =
     orders.groupBy(col("o_orderpriority"))
       .agg(
-        percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("p50_approx"),
-        percentile_approx(col("o_totalprice"), lit(0.9), lit(10000)).as("p90_approx"))
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(accuracy))
+          .as("p50_approx"),
+        percentile_approx(col("o_totalprice"), lit(0.9), lit(accuracy))
+          .as("p90_approx"))
       .orderBy("o_orderpriority")
+  // accuracy=1e7 pins the GK rank error under one rank at the driver's
+  // group sizes (eps·n = n/1e7 < 1), so the sketch answers the EXACT
+  // lower-rank order statistic — DuckDB's quantile_disc — and the approx
+  // path gains an oracle at that configuration (the ann_pq_q pattern).
 
   /** t-digest sketch quantiles (graft.functions.TDigestAgg): a few KB per
     * group at any scale, mergeable on the map side, tail-accurate — the
