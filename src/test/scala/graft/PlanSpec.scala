@@ -378,6 +378,32 @@ class PlanSpec extends SparkSpec {
     assert(shuffles == 2, s"expected 2 hash exchanges, got $shuffles in:\n$plan")
   }
 
+  test("bigram perplexity: the bigram exchange is reused at runtime, " +
+       "aggregation is partial, no global sort") {
+    val df = TextAnalysis.perplexityBigram(Tables.documents(spark, sf))
+    df.collect() // ReusedExchange appears in the final adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // the model (c12/c1/V) aggregates FROM the scoring side's bigram
+    // frequencies — identical exchange subtrees dedupe at execution, so
+    // the corpus tokenizes once, not four times
+    assert(plan.contains("ReusedExchange"),
+      s"bigram model re-tokenizes the corpus:\n$plan")
+    assert(plan.contains("partial_count"), s"no map-side combine:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"corpus-sized output globally sorts:\n$plan")
+  }
+
+  test("hashed segment dedup: first occurrence reduces map-side over " +
+       "8-byte hashes; no global sort") {
+    val df = Dedup.segmentDedupHashed(Tables.documents(spark, sf))
+    val plan = explained(df)
+    assert(plan.contains("partial_min"),
+      s"first-occurrence reduction is not a partial aggregate:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"corpus-sized output globally sorts:\n$plan")
+  }
+
   test("zorder key is scan-bound whole-stage codegen") {
     val df = operators.Materialize.zorderKey(Tables.orders(spark, sf))
     df.collect() // final adaptive plan carries the codegen annotations
