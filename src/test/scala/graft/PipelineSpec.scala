@@ -64,6 +64,33 @@ class PipelineSpec extends SparkSpec {
         |""".stripMargin)).getMessage.contains("default"))
   }
 
+  test("column-level lineage traces expressions through project/agg/" +
+       "window/explode/union; untouched attrs pass through joins") {
+    import spark.implicits._
+    val dag = new Pipeline(Seq(
+      Model("a", Seq("src"), EphemeralMat, in => in("src")
+        .select((col("u") + col("v")).as("x"), col("u").as("y"),
+          col("tags"))),
+      Model("b", Seq("a", "dim"), EphemeralMat, in =>
+        in("a").join(in("dim"), in("a")("y") === in("dim")("k"))
+          .select(col("x"), col("label"),
+            explode(col("tags")).as("tag"))),
+      Model("c", Seq("b"), EphemeralMat, in => in("b")
+        .groupBy("label")
+        .agg(sum("x").as("sx"), count(lit(1)).as("n")))))
+    val src = Seq((1L, 2L, Seq("t"))).toDF("u", "v", "tags")
+    val dim = Seq((1L, "L")).toDF("k", "label")
+    val lin = dag.columnLineage(spark, Map("src" -> src, "dim" -> dim))
+    assert(lin("a") == Map(
+      "x" -> Seq("src.u", "src.v"), "y" -> Seq("src.u"),
+      "tags" -> Seq("src.tags")))
+    assert(lin("b") == Map(
+      "x" -> Seq("a.x"), "label" -> Seq("dim.label"),
+      "tag" -> Seq("a.tags")))
+    assert(lin("c") == Map(
+      "label" -> Seq("b.label"), "sx" -> Seq("b.x"), "n" -> Nil))
+  }
+
   test("pipeline resolves refs in topological order and detects cycles") {
     val dag = new Pipeline(Seq(
       Model("c", Seq("b"), EphemeralMat, in => in("b")),

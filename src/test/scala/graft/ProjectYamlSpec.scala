@@ -214,6 +214,19 @@ class ProjectYamlSpec extends SparkSpec {
       .getMessage.contains("unsupported calculation_method"))
   }
 
+  test("column-level lineage traces through the reference's SQL-built " +
+       "models (temp-view resolution)") {
+    import spark.implicits._
+    val dag = ProjectYaml.load(refDir, includeDisabled = true)
+    val raw = Seq((1L, "2024-01-01 10:00:00", 50.0))
+      .toDF("id", "created_at", "value")
+    val lin = dag.columnLineage(spark, Map("raw.example" -> raw))
+    assert(lin("stg_example")("created_at_ts") ==
+      Seq("raw.example.created_at"))
+    assert(lin("fct_example")("bucket") == Seq("stg_example.value"))
+    assert(lin("fct_example")("id") == Seq("stg_example.id"))
+  }
+
   test("seed +column_types bypass inference (leading zeros survive); " +
        "run_results.json records dbt statuses") {
     val root = java.nio.file.Files.createTempDirectory("graft_yaml_seed")
