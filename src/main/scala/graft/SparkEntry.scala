@@ -475,6 +475,7 @@ object SparkEntry {
     "stream_txlog_sink" -> ((s, d) => graft.streaming.StreamOps.runTxLogSink(s, d)),
     "stream_dedup_ingest" -> ((s, d) => graft.streaming.StreamOps.runDedupIngest(s, d)),
     "stream_retention"  -> ((s, d) => graft.streaming.StreamOps.runRetentionIngest(s, d)),
+    "stream_cdc_upsert" -> ((s, d) => graft.streaming.StreamOps.runCdcUpsert(s, d)),
     // the NEAR-dup twin of the ingest loop: per-batch incremental minhash
     // against a persisted, incrementally-MAINTAINED band index; rows-only
     // (LSH recall not SQL-expressible), spec drives the 2-batch properties
@@ -494,5 +495,7 @@ object SparkEntry {
       ("stream_sessionize" -> OracleSql.all("sessionize")) +
       ("stream_session_window" -> OracleSql.all("session_window_agg")) +
       ("stream_dedup" ->
-        "SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY event_type ORDER BY event_type")
+        "SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY event_type ORDER BY event_type") +
+      // the tagged streaming merge reproduces the batch merge exactly
+      ("stream_cdc_upsert" -> OracleSql.all("txlog_merge"))
 }

@@ -910,8 +910,22 @@ object TxLogFormat extends TableFormat {
     * duplicate lands (the multiple-match case Delta rejects; this engine
     * documents it instead of paying a validation agg per merge).
     * Returns the number of files rewritten. */
+  /** Exactly-once batch-tagged MERGE (the [[appendBatch]] contract for
+    * upserts — the Delta streaming `foreachBatch MERGE INTO` shape): a
+    * replayed `appId:batchId` skips entirely, so a CDC stream upserting
+    * per micro-batch is idempotent under failure/restart. Returns None on
+    * a skipped replay, Some(files rewritten) otherwise. */
+  def mergeBatch(spark: SparkSession, path: String, keyCol: String,
+                 source: DataFrame, appId: String, batchId: Long,
+                 partitionBy: Option[String] = None): Option[Int] = {
+    val tag = s"$appId:$batchId"
+    if (committedTxns(path).contains(tag)) None
+    else Some(merge(spark, path, keyCol, source, partitionBy, Some(tag)))
+  }
+
   def merge(spark: SparkSession, path: String, keyCol: String,
-            source: DataFrame, partitionBy: Option[String] = None): Int = {
+            source: DataFrame, partitionBy: Option[String] = None,
+            txn: Option[String] = None): Int = {
     val st0 = foldLog(path)
     val (live, prevSchema, v) = (st0.live, st0.schema, st0.version)
     require(v >= 0, s"txlog: no committed version at $path — write() first")
@@ -951,7 +965,7 @@ object TxLogFormat extends TableFormat {
     val out = if (kept == null) align(source) else align(kept).unionAll(align(source))
     val cons = foldConstraints(path)
     val adds = stageIn(constraintGuard(out, path, cons), path, partitionBy, Nil)
-    commit(path, adds, hitRel, Some(schema.json),
+    commit(path, adds, hitRel, Some(schema.json), txn = txn,
       stats = statsLines(spark, path, adds),
       reResolveSchema =
         Some(() => Some(mergeSchemas(snapshot(path)._2, source.schema).json)),

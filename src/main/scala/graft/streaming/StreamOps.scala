@@ -350,6 +350,53 @@ object StreamOps {
       .orderBy("lang")
   }
 
+  /** Streaming CDC UPSERT — the Delta `foreachBatch MERGE INTO` loop:
+    * each micro-batch of change rows merges into the txlog table through
+    * [[graft.sources.TxLogFormat.mergeBatch]] — matched keys replace,
+    * unmatched insert, only files holding a matched key rewrite, all in
+    * ONE tagged commit per batch, so a replayed batch skips by its txn
+    * tag instead of double-applying (the failure mode an untagged
+    * streaming merge always risks). The driver query streams the changes
+    * TWICE with the same app id; one double-applied merge and the +1
+    * price updates double — replay idempotence sits inside the oracle
+    * hash (shares txlog_merge's oracle: same transformation, same
+    * result). */
+  def runCdcUpsert(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxLogFormat
+    val t = java.nio.file.Files
+      .createTempDirectory("graft_cdc_upsert").resolve("t").toString
+    val base = spark.read.parquet(s"$dir/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    TxLogFormat.write(base, t, Some("o_orderstatus"))
+    val appId = "graft_cdc_upsert"
+    val schema = spark.read.parquet(s"$dir/orders.parquet").schema
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "orders.parquet").parquet(dir)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          val updates = b.filter(col("o_orderkey") % 10 === 0)
+            .select(col("o_orderkey"), col("o_custkey"),
+              lit("U").as("o_orderstatus"),
+              (col("o_totalprice") + 1).as("o_totalprice"))
+          val inserts = b.filter(col("o_orderkey") % 1000 === 1)
+            .select((col("o_orderkey") + 5000000).as("o_orderkey"),
+              col("o_custkey"), lit("N").as("o_orderstatus"),
+              col("o_totalprice"))
+          TxLogFormat.mergeBatch(b.sparkSession, t, "o_orderkey",
+            updates.unionAll(inserts), appId, id, Some("o_orderstatus"))
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    runOnce() // full replay: the tagged merge must skip, not double-apply
+    TxLogFormat.read(spark, t).orderBy("o_orderkey")
+  }
+
   /** Runs [[RunningTotalsProcessor]] over the parquet source to completion.
     * transformWithState requires the RocksDB state store provider (its
     * changelog-checkpointing state machine is built on it). */

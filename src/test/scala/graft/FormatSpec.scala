@@ -696,6 +696,14 @@ class FormatSpec extends SparkSpec {
     TxLogFormat.vacuum(t, retainVersions = 1)
     assert(TxLogFormat.deleteVectorsBatch(spark, t,
       col("id").isin(1L, 2L), "ret", 0L).isEmpty)
+    // tagged merge: same replay contract for upserts
+    val up = spark.range(100, 103).selectExpr("id", "CAST(0 AS STRING) AS p")
+    assert(TxLogFormat.mergeBatch(spark, t, "id", up, "ret", 2L,
+      Some("p")).nonEmpty)
+    val n = TxLogFormat.count(spark, t)
+    assert(TxLogFormat.mergeBatch(spark, t, "id", up, "ret", 2L,
+      Some("p")).isEmpty)
+    assert(TxLogFormat.count(spark, t) == n)
   }
 
   test("maintain: purge/compact/vacuum fire only on their triggers; " +
