@@ -414,6 +414,11 @@ object OracleSql {
     "heavy_hitters_per_lang_exact" ->
       """WITH t AS (SELECT lang, unnest(string_split(lower(trim(text)), ' ')) AS word FROM documents), c AS (SELECT lang, word, COUNT(*) AS n FROM t WHERE word <> '' GROUP BY lang, word), r AS (SELECT lang, word, n, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, word) AS rk FROM c) SELECT lang, word, n FROM r WHERE rk <= 5 ORDER BY lang, word""",
 
+    // theta at k above every group's cardinality: θ=1, the sketch IS the
+    // distinct set — the HLL twin has no such exact regime to pin
+    "approx_distinct_theta" ->
+      """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS approx_customers FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
     // GK at accuracy=1e7: rank error under one rank at these group sizes
     // ⇒ the exact lower-rank order statistic (quantile_disc)
     "approx_quantiles_x" ->

@@ -256,6 +256,8 @@ object SparkEntry {
     "approx_quantiles" -> ((s, d) => Analytics.approxQuantiles(Tables.orders(s, d))),
     "approx_quantiles_x" -> ((s, d) =>
       Analytics.approxQuantiles(Tables.orders(s, d), accuracy = 10000000)),
+    "approx_distinct_theta" -> ((s, d) =>
+      Analytics.approxDistinctTheta(Tables.orders(s, d))),
     "date_parts"      -> ((s, d) => Analytics.dateParts(Tables.orders(s, d))),
     "cohort_retention" -> ((s, d) => Analytics.cohortRetention(Tables.orders(s, d))),
     "histogram"       -> ((s, d) => Analytics.histogram(Tables.orders(s, d))),

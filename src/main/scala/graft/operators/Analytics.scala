@@ -201,6 +201,20 @@ object Analytics {
       .agg(approx_count_distinct(col("o_custkey"), rsd = 0.02).as("approx_customers"))
       .orderBy("o_orderpriority")
 
+  /** Theta-sketch count-distinct per group at an EXACT configuration
+    * (k above every group's cardinality ⇒ θ = 1 ⇒ the sketch IS the
+    * distinct set): the oracle-adjudicated twin of [[approxDistinct]]'s
+    * HLL — which has no exact regime to pin — proving the mergeable
+    * sketch path against plain COUNT(DISTINCT) SQL; production sizes k
+    * down (256 ⇒ ~6% rse, 2 KB/group) on the same plan. */
+  def approxDistinctTheta(orders: DataFrame, k: Int = 1 << 16): DataFrame = {
+    import graft.functions.ThetaAgg
+    orders.groupBy(col("o_orderpriority"))
+      .agg(ThetaAgg.estimate(ThetaAgg.sketch(col("o_custkey"), k), k)
+        .cast("long").as("approx_customers"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Sketch quantiles (Greenwald-Khanna): mergeable constant-ish memory per
     * group — the 100 TB path for [[quantiles]]; spec-bounded vs exact. */
   def approxQuantiles(orders: DataFrame, accuracy: Int = 10000): DataFrame =
