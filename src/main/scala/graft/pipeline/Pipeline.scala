@@ -81,7 +81,9 @@ final case class Model(name: String, deps: Seq[String],
                        tags: Seq[String] = Nil,
                        columnDocs: Map[String, String] = Map.empty,
                        tests: Seq[(String, DataFrame => DataFrame)] = Nil,
-                       contract: Option[Contract] = None)
+                       contract: Option[Contract] = None,
+                       group: Option[String] = None,
+                       access: String = "protected")
 
 /** A dbt exposure — reference models/exposures.yml: a downstream artifact
   * (dashboard, report, ML application) whose lineage hangs off models.
@@ -160,6 +162,21 @@ final class Pipeline(models: Seq[Model], exposures: Seq[Exposure] = Nil,
     "duplicate metric names")
   metrics.foreach(m => require(models.exists(_.name == m.model),
     s"metric '${m.name}' is defined on unknown model '${m.model}'"))
+  // dbt 1.5 groups + access: a PRIVATE model is ref-able only from its
+  // own group — the governance wall that lets a platform team refactor
+  // internals without breaking unknown consumers. Enforced at
+  // construction (dbt: parse time), so an illegal ref never runs.
+  models.foreach { m =>
+    require(Seq("private", "protected", "public").contains(m.access),
+      s"model '${m.name}': unknown access '${m.access}'")
+    m.deps.flatMap(d => models.find(_.name == d)).foreach { dep =>
+      require(dep.access != "private" || dep.group == m.group,
+        s"model '${m.name}'${m.group.fold("")(g => s" (group $g)")} refs " +
+          s"private model '${dep.name}'" +
+          s"${dep.group.fold("")(g => s" of group $g")} — private models " +
+          "are only ref-able within their own group")
+    }
+  }
 
   /** Semantic-layer query surface: resolve the metric by name and compile
     * it over the model's frame from a finished run ([[Metrics.query]]). */
@@ -264,6 +281,8 @@ final class Pipeline(models: Seq[Model], exposures: Seq[Exposure] = Nil,
         s""""name":${jstr(m.name)},"resource_type":"model",""" +
         s""""description":${jstr(m.description)},""" +
         s""""checksum":${jstr(m.checksum)},""" +
+        s""""access":${jstr(m.access)},""" +
+        s""""group":${jstr(m.group.getOrElse(""))},""" +
         s""""depends_on":{"nodes":$deps},"config":{$config},"columns":{$cols}}"""
     }.mkString(",")
     val sources = models.flatMap(_.deps).distinct

@@ -940,7 +940,9 @@ object ProjectYaml {
           description = docs.get(name).map(_._1).getOrElse(""),
           checksum = Integer.toHexString(raw.hashCode),
           columnDocs = docs.get(name).map(_._2).getOrElse(Map.empty),
-          tests = tests.getOrElse(name, Nil)))
+          tests = tests.getOrElse(name, Nil),
+          group = conf.get("group").map(str),
+          access = str(conf.getOrElse("access", "protected"))))
       }
     }
     // seeds: each CSV under seed-paths is a dependency-less table model

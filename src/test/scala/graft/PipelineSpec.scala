@@ -91,6 +91,28 @@ class PipelineSpec extends SparkSpec {
       "label" -> Seq("b.label"), "sx" -> Seq("b.x"), "n" -> Nil))
   }
 
+  test("groups + access: a private model refuses refs from other groups " +
+       "at construction; same-group and public refs pass") {
+    def mk(depAccess: String, depGroup: Option[String],
+           refGroup: Option[String]) = new Pipeline(Seq(
+      Model("core", Seq("src"), EphemeralMat, in => in("src"),
+        group = depGroup, access = depAccess),
+      Model("mart", Seq("core"), EphemeralMat, in => in("core"),
+        group = refGroup)))
+    mk("private", Some("plat"), Some("plat")) // same group: fine
+    mk("public", Some("plat"), Some("finance")) // public: fine
+    mk("protected", Some("plat"), Some("finance")) // same package: fine
+    val e = intercept[IllegalArgumentException](
+      mk("private", Some("plat"), Some("finance")))
+    assert(e.getMessage.contains("private model 'core'"))
+    assert(intercept[IllegalArgumentException](mk("internal", None, None))
+      .getMessage.contains("unknown access"))
+    // access/group are manifest-visible → state:modified picks up changes
+    val man = mk("private", Some("plat"), Some("plat")).manifestJson(Map.empty)
+    assert(man.contains(""""access":"private"""") &&
+      man.contains(""""group":"plat""""))
+  }
+
   test("pipeline resolves refs in topological order and detects cycles") {
     val dag = new Pipeline(Seq(
       Model("c", Seq("b"), EphemeralMat, in => in("b")),
