@@ -1825,6 +1825,51 @@ object TxLogFormat extends TableFormat {
       (v, lines.count(_.startsWith("a ")), lines.count(_.startsWith("r ")))
     }
 
+  /** One retained commit's audit row (`DESCRIBE HISTORY`). `operation` is
+    * the commit's marker kind (`write` when unmarked — a data change),
+    * `timestamp` the durable in-content load stamp ([[lastCommitEpoch]]'s
+    * source), `txnTag` the exactly-once tag if the commit carried one,
+    * `dvRows` the row positions this commit vector-deleted. */
+  final case class CommitInfo(version: Long, timestamp: Long,
+                              operation: String, adds: Int, removes: Int,
+                              dvRows: Long, txnTag: Option[String])
+
+  /** `DESCRIBE HISTORY`: the audit trail of every retained commit, newest
+    * first — who wrote when, what kind of operation, how much moved.
+    * Metadata-only (reads the log, never data files). */
+  def describeHistory(path: String): Seq[CommitInfo] =
+    versions(path).map { v =>
+      val lines = Files.readAllLines(commitFile(path, v)).asScala
+      CommitInfo(
+        version = v,
+        timestamp = lines.find(_.startsWith("w "))
+          .map(_.drop(2).trim.toLong).getOrElse(0L),
+        operation = lines.find(_.startsWith("m ")).map(_.drop(2))
+          .getOrElse("write"),
+        adds = lines.count(_.startsWith("a ")),
+        removes = lines.count(_.startsWith("r ")),
+        dvRows = lines.filter(l => l.startsWith("dv ") || l.startsWith("dvx "))
+          .map { l =>
+            val p = l.split("\t", 2)
+            if (p.length == 2)
+              try decodePositions(p(1)).length.toLong
+              catch { case _: IllegalArgumentException => 0L }
+            else 0L
+          }.sum,
+        txnTag = lines.find(_.startsWith("t ")).map(_.drop(2)))
+    }.reverse
+
+  /** Time-based [[vacuum]] (Delta's `RETAIN n HOURS`): keeps every
+    * version whose durable load stamp is within `hours` of now (always
+    * at least the latest), then reclaims the rest — retention expressed
+    * the way an audit policy states it, instead of a version count that
+    * means different durations on different write cadences. */
+  def vacuumRetainHours(path: String, hours: Double): Int = {
+    val cutoff = java.time.Instant.now().getEpochSecond - (hours * 3600).toLong
+    val recent = describeHistory(path).count(_.timestamp > cutoff)
+    vacuum(path, retainVersions = math.max(1, recent))
+  }
+
   /** Reclaim space: checkpoint the snapshot as of `current -
     * retainVersions + 1` into that version's commit slot (temp file +
     * atomic replacing rename — old and new horizon commit describe the

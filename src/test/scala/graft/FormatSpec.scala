@@ -739,6 +739,33 @@ class FormatSpec extends SparkSpec {
     assert(TxLogFormat.versions(t) == vs)
   }
 
+  test("describeHistory audits operation/txn/dv per commit; " +
+       "time-based vacuum keeps the recent window") {
+    val t = tmp()
+    val base = spark.range(0, 20).selectExpr("id", "CAST(id % 2 AS STRING) AS p")
+    TxLogFormat.write(base, t, Some("p"))                           // v0
+    TxLogFormat.appendBatch(spark.range(20, 25)
+      .selectExpr("id", "CAST(id % 2 AS STRING) AS p"), t, "h", 1L,
+      Some("p"))                                                    // v1
+    TxLogFormat.deleteVectors(spark, t, col("id") < 3)              // v2
+    TxLogFormat.compact(spark, t, "p")                              // v3
+    val h = TxLogFormat.describeHistory(t)
+    assert(h.map(_.version) == Seq(3L, 2L, 1L, 0L)) // newest first
+    assert(h.find(_.version == 3).exists(_.operation == "rewrite"))
+    assert(h.find(_.version == 2).exists(c =>
+      c.operation == "write" && c.dvRows == 3 && c.adds == 0))
+    assert(h.find(_.version == 1).exists(_.txnTag.contains("h:1")))
+    assert(h.forall(_.timestamp > 0))
+    // everything is recent → time-based vacuum keeps all versions
+    TxLogFormat.vacuumRetainHours(t, hours = 1.0)
+    assert(TxLogFormat.versions(t) == Seq(0L, 1L, 2L, 3L))
+    // zero-hour retention folds to the latest only; content unchanged
+    val want = rows(TxLogFormat.read(spark, t).orderBy("id"))
+    TxLogFormat.vacuumRetainHours(t, hours = 0.0)
+    assert(TxLogFormat.versions(t).size == 1)
+    assert(rows(TxLogFormat.read(spark, t).orderBy("id")) == want)
+  }
+
   test("restore rolls back to an old version as a NEW commit, no copy") {
     val orders = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
     val t = tmp()
