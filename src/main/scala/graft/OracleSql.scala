@@ -20,9 +20,12 @@ object OracleSql {
   private val revenue = cents("l_extendedprice*(1-l_discount)")
 
   // exact top-k cosine per query vector — shared by ann_topk and the
-  // exhaustive-probe ann_ivf_q (which must reproduce it exactly)
-  private val annTopkSql =
-    """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id IN (0, 1, 2)), s AS (SELECT q.query_id, e.vec_id, ROUND((SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest(e.embedding) AS x, unnest(q.qv) AS y)) / (sqrt((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FROM (SELECT unnest(e.embedding) AS x))) * sqrt((SELECT SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest(q.qv) AS y)))) * 10000, 0)/10000.0 AS cos_sim FROM embeddings e, q WHERE e.vec_id <> q.query_id), r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank FROM s) SELECT query_id, vec_id, cos_sim, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10 ORDER BY query_id, rank"""
+  // exhaustive-probe ann_ivf_q (which must reproduce it exactly);
+  // `filterSql` restricts CANDIDATES (queries stay unrestricted — the
+  // filtered-ANN contract)
+  private def annTopkSqlWhere(filterSql: String) =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id IN (0, 1, 2)), s AS (SELECT q.query_id, e.vec_id, ROUND((SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest(e.embedding) AS x, unnest(q.qv) AS y)) / (sqrt((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FROM (SELECT unnest(e.embedding) AS x))) * sqrt((SELECT SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest(q.qv) AS y)))) * 10000, 0)/10000.0 AS cos_sim FROM embeddings e, q WHERE e.vec_id <> q.query_id$filterSql), r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank FROM s) SELECT query_id, vec_id, cos_sim, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10 ORDER BY query_id, rank"""
+  private val annTopkSql = annTopkSqlWhere("")
 
   val all: Map[String, String] = Map(
 
@@ -351,6 +354,10 @@ object OracleSql {
     // exhaustive-probe IVF-SQ8 (probe all cells, rerank everything) must
     // equal the exact top-k — same oracle as ann_topk by construction
     "ann_ivf_q" -> annTopkSql,
+
+    // filtered ANN, exhaustive probe: candidates restricted by the
+    // metadata predicate, queries unrestricted
+    "ann_filtered" -> annTopkSqlWhere(" AND e.label % 3 = 0"),
 
     // IVF-PQ at the exhaustive config (probe all cells, rerank all
     // candidates): stage 2 ranks every candidate exactly → ≡ ann_topk

@@ -361,6 +361,14 @@ object SparkEntry {
     // reproduce the exact top-k bit-for-bit, so this rides ann_topk's
     // oracle. The genuinely-selective config (nProbe=8, rerank=30) is
     // spec-bounded (recall vs topK) and benched via ann_ivf.
+    // filtered ANN at the exhaustive config (probe every cell): the
+    // predicate-pruned candidate set ranks exactly → the filtered exact
+    // top-k, against the same SHARED index every searcher probes
+    "ann_filtered"    -> ((s, d) => Similarity.ivfTopKFiltered(
+                            Tables.embeddings(s, d),
+                            org.apache.spark.sql.functions.col("label") % 3 === 0,
+                            nProbe = 16,
+                            precomputedIvf = Some(sharedIvf(s, d)))),
     "ann_ivf_q"       -> ((s, d) => Similarity.ivfTopKQuantized(
                             Tables.embeddings(s, d),
                             nProbe = 16, rerank = Int.MaxValue,

@@ -187,6 +187,41 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** FILTERED ANN — the "vector search with a metadata predicate" shape
+    * every retrieval deployment needs (and naive ANN gets wrong by
+    * filtering AFTER the top-k, returning fewer than k rows): the
+    * predicate prunes CANDIDATES before ranking, so the result is the
+    * top-k among qualifying vectors. Runs against the SAME prebuilt
+    * [[IvfIndex]] as every other searcher — one index serves every
+    * predicate; nothing rebuilds per query. The predicate evaluates on
+    * the base table's attribute columns and reaches candidates as a
+    * vec_id semi-join (co-keyed at scale; a production index table
+    * stores the filterable attributes alongside `cell`, making the
+    * filter scan-bound — same plan, one join fewer). `nProbe = nCells`
+    * probes exhaustively ⇒ exact filtered top-k by construction (the
+    * ann_ivf_q adjudication pattern); selective configs trade recall
+    * exactly as [[ivfTopK]] does. */
+  def ivfTopKFiltered(embeddings: DataFrame, filter: Column,
+                      queryIds: Seq[Long] = Seq(0L, 1L, 2L),
+                      k: Int = 10, nCells: Int = 16, nProbe: Int = 8,
+                      precomputedIvf: Option[IvfIndex] = None): DataFrame = {
+    val index = precomputedIvf.getOrElse(buildIvfIndex(embeddings, nCells))
+    val queries = embeddings.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val probed = probeCells(index, queries, nProbe)
+    val qualifying = embeddings.filter(filter).select("vec_id")
+    val scored = index.assigned.join(broadcast(probed), Seq("cell"))
+      .join(qualifying, Seq("vec_id"), "left_semi")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round4(cosine(col("embedding"), col("qv"))).as("cos_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
   /** IVF search over the int8-QUANTIZED corpus with exact re-ranking — the
     * two-stage memory/IO shape every billion-vector ANN deployment uses
     * (FAISS IVF-SQ8): the probe scan reads 1 byte/dim instead of 4, scores
