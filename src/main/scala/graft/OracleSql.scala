@@ -412,6 +412,9 @@ object OracleSql {
     "split_train_val_test" ->
       s"""SELECT doc_id, lang, CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) < ${(0.8 * (1L << 24)).toLong} THEN 'train' WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) < ${((0.8 + 0.1) * (1L << 24)).toLong} THEN 'val' ELSE 'test' END AS split FROM documents ORDER BY doc_id""",
 
+    "split_leakage_safe" ->
+      s"""WITH RECURSIVE d AS (SELECT doc_id, lang, n_chars, $docWords AS w FROM documents), p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id AND (a.n_chars // 100) = (b.n_chars // 100) WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) / len(list_distinct(list_concat(a.w, b.w))) >= 0.5), e AS (SELECT doc_a AS u, doc_b AS v FROM p UNION SELECT doc_b, doc_a FROM p), reach AS (SELECT u AS id, u AS x FROM e UNION SELECT r.id, e.v AS x FROM reach r JOIN e ON r.x = e.u), cc AS (SELECT id, MIN(x) AS cluster_id FROM reach GROUP BY id), k AS (SELECT doc.doc_id, doc.lang, COALESCE(cc.cluster_id, doc.doc_id) AS split_key FROM documents doc LEFT JOIN cc ON doc.doc_id = cc.id) SELECT doc_id, lang, split_key, CASE WHEN CAST(('0x' || substr(md5(CAST(split_key AS VARCHAR)), 1, 6)) AS BIGINT) < ${(0.8 * (1L << 24)).toLong} THEN 'train' WHEN CAST(('0x' || substr(md5(CAST(split_key AS VARCHAR)), 1, 6)) AS BIGINT) < ${((0.8 + 0.1) * (1L << 24)).toLong} THEN 'val' ELSE 'test' END AS split FROM k""",
+
     "dedup_survivors" ->
       s"""WITH RECURSIVE d AS (SELECT doc_id, lang, n_chars, $docWords AS w FROM documents), p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id AND (a.n_chars // 100) = (b.n_chars // 100) WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) / len(list_distinct(list_concat(a.w, b.w))) >= 0.5), e AS (SELECT doc_a AS u, doc_b AS v FROM p UNION SELECT doc_b, doc_a FROM p), reach AS (SELECT u AS id, u AS x FROM e UNION SELECT r.id, e.v AS x FROM reach r JOIN e ON r.x = e.u), cc AS (SELECT id, MIN(x) AS cluster_id FROM reach GROUP BY id) SELECT doc_id, lang FROM documents WHERE doc_id NOT IN (SELECT id FROM cc WHERE id <> cluster_id) ORDER BY doc_id""",
 

@@ -221,6 +221,9 @@ object SparkEntry {
                               Tables.documents(s, d),
                               precomputedClusters = Some(sharedClusters(s, d)))),
     "split_train_val_test" -> ((s, d) => Curation.trainValTestSplit(Tables.documents(s, d))),
+    // leakage-safe variant: the whole near-dup cluster draws one split
+    "split_leakage_safe" -> ((s, d) => Curation.trainValTestSplitSafe(
+      Tables.documents(s, d), sharedClusters(s, d))),
     // Driver wiring CSV-encodes the int code array (harness lexsort can't
     // hash ndarray cells); library API keeps the real array<int>.
     "embedding_quantize" -> ((s, d) => {

@@ -647,6 +647,39 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** LEAKAGE-SAFE split: near-duplicate documents must land in the SAME
+    * split — a near-copy of a training doc in the held-out set measures
+    * memorization, not generalization (the finding behind every published
+    * dedup/decontamination pipeline). The split key is therefore the
+    * doc's near-dup CLUSTER canonical id (its own id when unclustered):
+    * the whole cluster draws once and moves together, so no pair of
+    * near-dups can straddle a split boundary by construction. Same
+    * engine-portable md5 24-bit integer draw and exact thresholds as
+    * [[trainValTestSplit]]; `clusters` is the
+    * [[graft.operators.Dedup.clusters]]/clustersApprox contract — pass
+    * the shared/persisted frame so the CC subgraph prices once per corpus
+    * generation. One left join whose right side is the clustered-doc set
+    * (≪ corpus; AQE broadcasts), everything else scan-bound. */
+  def trainValTestSplitSafe(documents: DataFrame, clusters: DataFrame,
+                            trainFrac: Double = 0.8,
+                            valFrac: Double = 0.1): DataFrame = {
+    require(trainFrac > 0 && valFrac >= 0 && trainFrac + valFrac < 1)
+    val scale = 1L << 24
+    val tTrain = (trainFrac * scale).toLong
+    val tVal = ((trainFrac + valFrac) * scale).toLong
+    val keyed = documents
+      .join(clusters.select(col("doc_id"), col("cluster_id")),
+        Seq("doc_id"), "left")
+      .withColumn("split_key", coalesce(col("cluster_id"), col("doc_id")))
+    val draw = conv(substring(md5(col("split_key").cast("string")), 1, 6),
+      16, 10).cast("long")
+    keyed.select(col("doc_id"), col("lang"), col("split_key"),
+      when(draw < tTrain, "train")
+        .when(draw < tVal, "val")
+        .otherwise("test").as("split"))
+    // no presentation sort — corpus-sized output; the gate lexsorts rows
+  }
+
   /** Deterministic EXACT-k uniform sample per stratum: each doc draws
     * md5(doc_id) — an engine-portable pseudo-random tag — and the k
     * smallest draws per language win. Unlike Bernoulli [[stratifiedSample]]

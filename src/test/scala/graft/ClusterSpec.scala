@@ -121,6 +121,26 @@ class ClusterSpec extends SparkSpec {
     assert(hashed == exact)
   }
 
+  test("leakage-safe split: no near-dup pair straddles a split boundary " +
+       "(the naive per-doc split does)") {
+    val docs = Tables.documents(spark, sf)
+    val clusters = graft.operators.Dedup.clusters(docs).localCheckpoint()
+    val pairs = graft.operators.Dedup.jaccardPairs(docs, 0.5)
+      .select("doc_a", "doc_b").localCheckpoint()
+    def straddlers(split: org.apache.spark.sql.DataFrame): Long =
+      pairs
+        .join(split.select(col("doc_id").as("doc_a"), col("split").as("sa")),
+          "doc_a")
+        .join(split.select(col("doc_id").as("doc_b"), col("split").as("sb")),
+          "doc_b")
+        .filter(col("sa") =!= col("sb")).count()
+    val safe = graft.operators.Curation.trainValTestSplitSafe(docs, clusters)
+    assert(straddlers(safe) == 0)
+    // the hazard is real: the per-doc draw DOES separate near-dups here
+    val naive = graft.operators.Curation.trainValTestSplit(docs)
+    assert(straddlers(naive) > 0)
+  }
+
   test("pii scrub masks emails, IPs, and phone runs; leaves clean text alone") {
     val docs = Seq(
       (1L, "contact me at jane.doe+spam@example.co.uk today"),
