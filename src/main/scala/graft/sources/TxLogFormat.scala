@@ -1204,11 +1204,21 @@ object TxLogFormat extends TableFormat {
     * (`m rewrite` — moves no logical data, CDF-silent), the repaying of
     * merge-on-read's read-side debt at the caller's chosen cadence.
     * Returns the number of files rewritten. */
+  /** `minDvFraction`: only files whose deleted-row share reaches it
+    * rewrite (Delta's min-ratio heuristic — rewriting a GB file to drop
+    * three rows wastes the write; their vectors stay until compaction or
+    * a denser delete). Files without recorded row counts conservatively
+    * qualify. 0 purges everything vector'd. */
   def purgeDeletes(spark: SparkSession, path: String,
-                   partitionBy: Option[String] = None): Int = {
-    val st = foldLog(path)
+                   partitionBy: Option[String] = None,
+                   minDvFraction: Double = 0.0): Int = {
+    val st = foldLog(path, withStats = true)
     require(st.version >= 0, s"txlog: no committed version at $path")
-    val dvd = st.live.filter(r => st.dvs.get(r).exists(_.nonEmpty))
+    val dvd = st.live.filter { r =>
+      st.dvs.get(r).exists(_.nonEmpty) &&
+        st.stats.get(r).forall(fs => fs.rows <= 0 ||
+          st.dvs(r).length.toDouble / fs.rows >= minDvFraction)
+    }
     if (dvd.isEmpty) return 0
     require(st.live.exists(_.contains("/")) == partitionBy.isDefined,
       s"txlog: purgeDeletes partitioning (${partitionBy.getOrElse("none")}) " +

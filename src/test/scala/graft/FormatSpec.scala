@@ -603,6 +603,14 @@ class FormatSpec extends SparkSpec {
     // the purge is maintenance: CDF-silent
     val purgeV = TxLogFormat.versions(t).last
     assert(TxLogFormat.readChanges(spark, t, purgeV - 1, purgeV).count() == 0)
+    // min-ratio heuristic: a sparse vector is not worth the rewrite
+    val n3 = TxLogFormat.deleteVectors(spark, t, col("o_orderkey") === 2)
+    assert(n3 == 1)
+    assert(TxLogFormat.purgeDeletes(spark, t, Some("o_orderstatus"),
+      minDvFraction = 0.5) == 0)
+    assert(TxLogFormat.deletionVectors(t).values.sum == 1) // still pending
+    assert(TxLogFormat.purgeDeletes(spark, t, Some("o_orderstatus")) >= 1)
+    assert(TxLogFormat.deletionVectors(t).isEmpty)
   }
 
   test("deletion vectors: restore un-deletes; vacuum + sidecar folds and " +
