@@ -27,6 +27,10 @@ object OracleSql {
     s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id IN (0, 1, 2)), s AS (SELECT q.query_id, e.vec_id, ROUND((SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest(e.embedding) AS x, unnest(q.qv) AS y)) / (sqrt((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FROM (SELECT unnest(e.embedding) AS x))) * sqrt((SELECT SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest(q.qv) AS y)))) * 10000, 0)/10000.0 AS cos_sim FROM embeddings e, q WHERE e.vec_id <> q.query_id$filterSql), r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank FROM s) SELECT query_id, vec_id, cos_sim, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10 ORDER BY query_id, rank"""
   private val annTopkSql = annTopkSqlWhere("")
 
+  // segment-level dedup, shared by the exact and hash-keyed paths
+  private val paragraphDedupSql =
+    """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), pos AS (SELECT doc_id, w, UNNEST(range(GREATEST(CAST(ceil(len(w) / 10.0) AS BIGINT), 1))) AS pos FROM words), segs AS (SELECT doc_id, CAST(pos AS INT) AS pos, array_to_string(w[(CAST(pos AS INT) * 10 + 1):(CAST(pos AS INT) * 10 + 10)], ' ') AS seg FROM pos), counted AS (SELECT doc_id, pos, seg, COUNT(*) OVER (PARTITION BY doc_id) AS n_segs, ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn FROM segs) SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text_dedup, COUNT(*) AS n_kept, CAST(MIN(n_segs) - COUNT(*) AS BIGINT) AS n_dropped FROM counted WHERE rn = 1 GROUP BY doc_id"""
+
   val all: Map[String, String] = Map(
 
     "stg_orders" ->
@@ -277,11 +281,10 @@ object OracleSql {
     "sketch_rollup" ->
       """SELECT event_type, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS distinct_users FROM events GROUP BY event_type ORDER BY event_type""",
 
-    "paragraph_dedup" ->
-      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), pos AS (SELECT doc_id, w, UNNEST(range(GREATEST(CAST(ceil(len(w) / 10.0) AS BIGINT), 1))) AS pos FROM words), segs AS (SELECT doc_id, CAST(pos AS INT) AS pos, array_to_string(w[(CAST(pos AS INT) * 10 + 1):(CAST(pos AS INT) * 10 + 10)], ' ') AS seg FROM pos), counted AS (SELECT doc_id, pos, seg, COUNT(*) OVER (PARTITION BY doc_id) AS n_segs, ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn FROM segs) SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text_dedup, COUNT(*) AS n_kept, CAST(MIN(n_segs) - COUNT(*) AS BIGINT) AS n_dropped FROM counted WHERE rn = 1 GROUP BY doc_id""",
+    "paragraph_dedup" -> paragraphDedupSql,
 
-    "paragraph_dedup_h" ->
-      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), pos AS (SELECT doc_id, w, UNNEST(range(GREATEST(CAST(ceil(len(w) / 10.0) AS BIGINT), 1))) AS pos FROM words), segs AS (SELECT doc_id, CAST(pos AS INT) AS pos, array_to_string(w[(CAST(pos AS INT) * 10 + 1):(CAST(pos AS INT) * 10 + 10)], ' ') AS seg FROM pos), counted AS (SELECT doc_id, pos, seg, COUNT(*) OVER (PARTITION BY doc_id) AS n_segs, ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn FROM segs) SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text_dedup, COUNT(*) AS n_kept, CAST(MIN(n_segs) - COUNT(*) AS BIGINT) AS n_dropped FROM counted WHERE rn = 1 GROUP BY doc_id""",
+    // the hash-keyed scale path is row-for-row equal — ONE definition
+    "paragraph_dedup_h" -> paragraphDedupSql,
 
 
     "decontaminate" ->

@@ -887,8 +887,17 @@ object ProjectYaml {
            env: Map[String, String] = Map.empty)
       : Pipeline = {
     val (models, exposures) = loadModels(projectDir, includeDisabled, env)
+    // metrics on a model that exists but is DISABLED drop (dbt skips the
+    // metric with the model); a metric naming a model the project never
+    // declared is a typo and still refuses at Pipeline construction
+    val allNames = (if (includeDisabled) models
+      else loadModels(projectDir, includeDisabled = true, env)._1)
+      .map(_.name).toSet
+    val loaded = models.map(_.name).toSet
+    val metrics = loadProjectMetrics(projectDir).filter(mt =>
+      loaded.contains(mt.model) || !allNames.contains(mt.model))
     new Pipeline(models, exposures = exposures, format = format,
-      metrics = loadProjectMetrics(projectDir))
+      metrics = metrics)
   }
 
   /** The parsed [[Model]]s + [[Exposure]]s of a project directory —
@@ -959,9 +968,6 @@ object ProjectYaml {
       case "numeric" => "decimal(38,9)"
       case other => other // already a Spark SQL type
     }
-    val seedConf = folderConfig(project.seedsTree, project.name, Nil)
-    val seedColTypes = m(seedConf.getOrElse("column_types", Map.empty))
-      .map { case (c, t) => c -> sparkTypeOf(str(t)) }
     val seeds = project.seedPaths.map(root.resolve)
       .filter(Files.isDirectory(_)).flatMap { d =>
         val s = Files.list(d)
@@ -970,6 +976,12 @@ object ProjectYaml {
         csvs.map { f =>
           val name = f.getFileName.toString.stripSuffix(".csv")
           val path = f.toString
+          // dbt's canonical per-seed nesting (`seeds: proj: <name>:
+          // +column_types:`) wins over a project-level blanket — same
+          // deeper-wins walk the models tree uses
+          val seedColTypes = m(folderConfig(project.seedsTree, project.name,
+            Seq(name)).getOrElse("column_types", Map.empty))
+            .map { case (c, t) => c -> sparkTypeOf(str(t)) }
           Model(name, Nil, TableMat(),
             _ => {
               import org.apache.spark.sql.functions.col
@@ -981,9 +993,10 @@ object ProjectYaml {
                 // declared columns bypass inference ENTIRELY (dbt's
                 // contract): cast from the raw string cells, so a
                 // varchar-declared zip keeps its leading zeros instead of
-                // round-tripping through an inferred int
+                // round-tripping through an inferred int. The inference
+                // pass only runs when some column is UNdeclared.
                 val raw = spark.read.option("header", "true").csv(path)
-                val inferred = spark.read.option("header", "true")
+                lazy val inferred = spark.read.option("header", "true")
                   .option("inferSchema", "true").csv(path).schema
                 raw.select(raw.columns.toSeq.map { c =>
                   val t = seedColTypes.get(c)

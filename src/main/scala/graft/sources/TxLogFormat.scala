@@ -611,27 +611,43 @@ object TxLogFormat extends TableFormat {
                      reResolveSchema: Option[() => Option[String]] = None,
                      extra: Seq[String] = Nil,
                      enforced: Option[Seq[(String, String)]] = None,
-                     requireLive: Seq[String] = Nil): Long = {
+                     requireLive: Seq[String] = Nil,
+                     dvFold: Option[Map[String, Array[Long]]] = None): Long = {
     val dir = logDir(path)
     Files.createDirectories(dir)
     var attempt = 0
     while (true) {
       onCommitAttempt(path)
-      val snapNow = snapshot(path)
-      val v = snapNow._3 + 1
-      // deletion-vector conflict check, on EVERY attempt: a dv commit marks
-      // positions of a specific immutable file — if a rewrite (compact /
-      // merge / purge) replaced that file since the delete's rows were
-      // located, the positions address a file that no longer carries the
-      // table's rows and the delete would be silently LOST. Refuse loudly;
-      // the caller re-runs against the new snapshot. (The Delta
-      // delete-vs-rewrite conflict rule.)
+      val stNow = foldLog(path)
+      val v = stNow.version + 1
+      // deletion-vector conflict checks, on EVERY attempt — the Delta
+      // delete-vs-rewrite conflict rule, enforced in BOTH directions:
+      //  - a dv commit marks positions of a specific immutable file; if a
+      //    rewrite (compact/merge/purge) replaced that file since the
+      //    delete's rows were located, the positions address a file that
+      //    no longer carries the table's rows → refuse (requireLive);
+      //  - a REWRITE staged its replacement content from a fold taken
+      //    before commit time; if a deletion vector landed on one of its
+      //    removed files since (dvFold mismatch), the staged content still
+      //    CONTAINS the freshly-deleted rows and committing would
+      //    silently resurrect them → refuse, the caller re-runs.
       if (requireLive.nonEmpty) {
-        val liveNow0 = snapNow._1.toSet
+        val liveNow0 = stNow.live.toSet
         val gone0 = requireLive.filterNot(liveNow0)
         if (gone0.nonEmpty) throw new java.util.ConcurrentModificationException(
           s"txlog: file(s) rewritten by a concurrent commit while marking " +
             s"deletes: ${gone0.take(3).mkString(", ")} at $path — retry")
+      }
+      dvFold.foreach { atFold =>
+        val changed = removes.filter { r =>
+          !java.util.Arrays.equals(
+            stNow.dvs.getOrElse(r, Array.empty[Long]),
+            atFold.getOrElse(r, Array.empty[Long]))
+        }
+        if (changed.nonEmpty) throw new java.util.ConcurrentModificationException(
+          s"txlog: deletion vector(s) landed on file(s) this rewrite " +
+            s"staged without them: ${changed.take(3).mkString(", ")} at " +
+            s"$path — retry the rewrite")
       }
       // constraint-enforcement conflict check, on EVERY attempt (the
       // Delta conflict-detection shape): the caller's row guard enforced
@@ -969,7 +985,7 @@ object TxLogFormat extends TableFormat {
       stats = statsLines(spark, path, adds),
       reResolveSchema =
         Some(() => Some(mergeSchemas(snapshot(path)._2, source.schema).json)),
-      enforced = Some(cons))
+      enforced = Some(cons), dvFold = Some(st0.dvs))
     hitRel.size
   }
 
@@ -1020,7 +1036,8 @@ object TxLogFormat extends TableFormat {
       .drop(saltCol)
     val adds = stageIn(salted, path, Some(partitionCol), Nil)
     commit(path, adds, byDir.values.flatten.toSeq, None,
-      stats = statsLines(spark, path, adds), marker = Some("rewrite"))
+      stats = statsLines(spark, path, adds), marker = Some("rewrite"),
+      dvFold = Some(st0.dvs))
     budget
   }
 
@@ -1076,14 +1093,17 @@ object TxLogFormat extends TableFormat {
       .drop(zc)
     val adds = stageIn(shaped, path, Some(partitionCol), Nil)
     commit(path, adds, byDir.values.flatten.toSeq, None,
-      stats = statsLines(spark, path, adds), marker = Some("rewrite"))
+      stats = statsLines(spark, path, adds), marker = Some("rewrite"),
+      dvFold = Some(st0.dvs))
     budget
   }
 
   def deleteKeys(spark: SparkSession, path: String, partitionCol: String,
                  keyCol: String, keys: DataFrame): Seq[String] = {
-    requirePartitioned(path, snapshot(path)._1, "deleteKeys")
-    val df = read(spark, path)
+    val st0 = foldLog(path)
+    require(st0.version >= 0, s"txlog: no committed version at $path")
+    requirePartitioned(path, st0.live, "deleteKeys")
+    val df = readFiles(spark, path, st0.live, st0.schema, st0.dvs)
     val k = keys.columns.head
     // FILE-granular delete: only files that actually hold a doomed key
     // rewrite. The collect is file-count scale (the hit list), not row
@@ -1111,7 +1131,7 @@ object TxLogFormat extends TableFormat {
       .join(broadcast(keys), df(keyCol) === keys(k), "left_anti")
     val adds = stageIn(kept, path, Some(partitionCol), Nil)
     commit(path, adds, hitRel, None,
-      stats = statsLines(spark, path, adds))
+      stats = statsLines(spark, path, adds), dvFold = Some(st0.dvs))
     hitRel.flatMap(r => r.split("/", 2) match {
       case Array(dir, _) if dir.contains("=") =>
         Some(unescapeHive(dir.split("=", 2)(1)))
@@ -1156,8 +1176,13 @@ object TxLogFormat extends TableFormat {
         meta(fn) === pos("_dv_name") && meta(ri) === pos("_dv_pos"),
         "left_anti")
     }
+    // cap+1 detects overrun; saturate instead of overflowing when the
+    // caller passes Long.MaxValue to mean "no cap"
+    val cap =
+      if (maxDeletedRows >= Int.MaxValue - 1) Int.MaxValue
+      else (maxDeletedRows + 1).toInt
     val doomed = alive.filter(condition).select(col(fn), col(ri))
-      .limit(math.min(maxDeletedRows + 1, Int.MaxValue).toInt).collect()
+      .limit(cap).collect()
     require(doomed.length <= maxDeletedRows,
       s"txlog: deleteVectors matched more than $maxDeletedRows rows at " +
         s"$path — a delete this large should rewrite (deleteKeys/replace)")
@@ -1226,7 +1251,8 @@ object TxLogFormat extends TableFormat {
     val rows = readFiles(spark, path, dvd, st.schema, st.dvs)
     val adds = stageIn(rows, path, partitionBy, Nil)
     commit(path, adds, dvd, None,
-      stats = statsLines(spark, path, adds), marker = Some("rewrite"))
+      stats = statsLines(spark, path, adds), marker = Some("rewrite"),
+      dvFold = Some(st.dvs))
     dvd.size
   }
 
@@ -1839,7 +1865,9 @@ object TxLogFormat extends TableFormat {
     * the commit's marker kind (`write` when unmarked — a data change),
     * `timestamp` the durable in-content load stamp ([[lastCommitEpoch]]'s
     * source), `txnTag` the exactly-once tag if the commit carried one,
-    * `dvRows` the row positions this commit vector-deleted. */
+    * `dvRows` the row positions this commit NEWLY vector-deleted (`dv`
+    * deltas only — `dvx` restatements in checkpoint/restore/clone commits
+    * summarize or roll back state, they do not delete). */
   final case class CommitInfo(version: Long, timestamp: Long,
                               operation: String, adds: Int, removes: Int,
                               dvRows: Long, txnTag: Option[String])
@@ -1858,7 +1886,7 @@ object TxLogFormat extends TableFormat {
           .getOrElse("write"),
         adds = lines.count(_.startsWith("a ")),
         removes = lines.count(_.startsWith("r ")),
-        dvRows = lines.filter(l => l.startsWith("dv ") || l.startsWith("dvx "))
+        dvRows = lines.filter(_.startsWith("dv "))
           .map { l =>
             val p = l.split("\t", 2)
             if (p.length == 2)

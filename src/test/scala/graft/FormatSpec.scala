@@ -680,6 +680,25 @@ class FormatSpec extends SparkSpec {
       assert(e.getMessage.contains("rewritten"))
     } finally TxLogFormat.onCommitAttempt = _ => ()
     assert(TxLogFormat.read(spark, t2).count() == 100)
+    // the OTHER direction: a rewrite whose staged content predates a
+    // freshly-landed vector must refuse, not resurrect the deleted rows
+    val t3 = tmp()
+    TxLogFormat.write(base, t3, Some("p"))
+    val hold3 = new java.util.concurrent.atomic.AtomicBoolean(true)
+    TxLogFormat.onCommitAttempt = p =>
+      if (p == t3 && hold3.getAndSet(false)) {
+        TxLogFormat.deleteVectors(spark, t3, col("id") < 10)
+      }
+    try {
+      val e = intercept[java.util.ConcurrentModificationException](
+        TxLogFormat.compact(spark, t3, "p"))
+      assert(e.getMessage.contains("deletion vector"))
+    } finally TxLogFormat.onCommitAttempt = _ => ()
+    // the delete survived; a clean rewrite then materializes it
+    assert(TxLogFormat.read(spark, t3).count() == 90)
+    TxLogFormat.compact(spark, t3, "p")
+    assert(TxLogFormat.read(spark, t3).count() == 90 &&
+      TxLogFormat.deletionVectors(t3).isEmpty)
   }
 
   test("deleteVectorsBatch: tagged deletes skip on replay; overlapping " +

@@ -240,8 +240,9 @@ class ProjectYamlSpec extends SparkSpec {
         |profile: p
         |seeds:
         |  proj:
-        |    +column_types:
-        |      zip: varchar
+        |    z:
+        |      +column_types:
+        |        zip: varchar
         |""".stripMargin)
     write("models/m1.sql", "select zip, amount from {{ ref('z') }}")
     write("models/m1.yml",
