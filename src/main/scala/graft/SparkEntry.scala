@@ -489,6 +489,8 @@ object SparkEntry {
     "stream_dedup_ingest" -> ((s, d) => graft.streaming.StreamOps.runDedupIngest(s, d)),
     "stream_retention"  -> ((s, d) => graft.streaming.StreamOps.runRetentionIngest(s, d)),
     "stream_cdc_upsert" -> ((s, d) => graft.streaming.StreamOps.runCdcUpsert(s, d)),
+    "stream_paragraph_ingest" -> ((s, d) =>
+      graft.streaming.StreamOps.runSegmentIngest(s, d)),
     // the NEAR-dup twin of the ingest loop: per-batch incremental minhash
     // against a persisted, incrementally-MAINTAINED band index; rows-only
     // (LSH recall not SQL-expressible), spec drives the 2-batch properties
@@ -510,5 +512,8 @@ object SparkEntry {
       ("stream_dedup" ->
         "SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY event_type ORDER BY event_type") +
       // the tagged streaming merge reproduces the batch merge exactly
-      ("stream_cdc_upsert" -> OracleSql.all("txlog_merge"))
+      ("stream_cdc_upsert" -> OracleSql.all("txlog_merge")) +
+      // a cold-corpus AvailableNow ingest is one batch ≡ the batch
+      // segment dedup
+      ("stream_paragraph_ingest" -> OracleSql.all("paragraph_dedup"))
 }

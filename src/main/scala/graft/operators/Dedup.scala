@@ -578,6 +578,45 @@ object Dedup {
         (size(col("__segs")) - size(col("__keep"))).cast("long").as("n_dropped"))
   }
 
+  /** Incremental SEGMENT-level dedup — [[segmentDedupHashed]] for a
+    * GROWING corpus (the D35/D36 pattern at sub-document granularity):
+    * a batch's segments dedup within the batch first (global
+    * first-occurrence), then against `corpusHashes` — the persisted
+    * one-column index of every segment hash ever ingested — via a
+    * left-anti join the index side never re-derives from text. Returns
+    * (surviving docs reassembled from their novel segments, the novel
+    * hashes to append to the index): the caller lands both under one
+    * exactly-once tag per table and the index stays incrementally
+    * MAINTAINED, never recomputed. Batch-sized shuffles only; the corpus
+    * side is an 8-byte-column scan at any corpus size. */
+  def incrementalSegmentDedup(batch: DataFrame, corpusHashes: DataFrame,
+                              segWords: Int = 10): (DataFrame, DataFrame) = {
+    val k = segWords
+    val withW = batch.select(col("doc_id"), split(col("text"), " ").as("__w"))
+    val nseg = ceil(size(col("__w")).cast("double") / k).cast("int")
+    val segs = withW.select(col("doc_id"),
+      transform(sequence(lit(0), greatest(nseg, lit(1)) - 1), i =>
+        concat_ws(" ", slice(col("__w"), i * k + 1, lit(k)))).as("__segs"))
+    val hashed = segs.select(col("doc_id"),
+      posexplode(transform(col("__segs"), s => xxhash64(s)))
+        .as(Seq("pos", "h")))
+    val firstInBatch = hashed.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+      .select(col("h"), col("f.doc_id").as("doc_id"), col("f.pos").as("pos"))
+    val novel = firstInBatch
+      .join(corpusHashes.select(col("h")), Seq("h"), "left_anti")
+    val keptPos = novel.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("__keep"))
+    val docs = segs.join(keptPos, Seq("doc_id"))
+      .select(col("doc_id"),
+        array_join(transform(col("__keep"),
+          p => element_at(col("__segs"), p + 1)), " ").as("text_dedup"),
+        size(col("__keep")).cast("long").as("n_kept"),
+        (size(col("__segs")) - size(col("__keep"))).cast("long")
+          .as("n_dropped"))
+    (docs, novel.select(col("h")))
+  }
+
   /** SimHash near-dup: 64-bit signature (sign of per-bit vote over token
     * hashes), candidates via 16-bit chunk bands (hamming ≤ 3 ⇒ ≥1 equal
     * chunk by pigeonhole over 4 chunks), verified with bit_count(xor). */

@@ -153,6 +153,52 @@ class StreamingSpec extends SparkSpec {
       "replayed batch id must not commit")
   }
 
+  test("streaming SEGMENT-dedup ingest: cross-batch segment drops, " +
+       "index maintained == recomputed, replay-safe") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_seg_spec")
+    val table = root.resolve("corpus").toString
+    val index = root.resolve("index").toString
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch(StreamOps.segmentIngestBatch(table, index,
+        segWords = 3) _)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1L, "a b c d e f"), (2L, "a b c x y z"))
+      q.processAllAvailable()
+      // batch 2: one doc entirely made of already-ingested segments (it
+      // must disappear), one carrying a novel tail
+      input.addData((3L, "d e f x y z"), (4L, "x y z p q r"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = graft.sources.TxLogFormat.read(spark, table)
+      .select("doc_id", "text_dedup", "n_kept", "n_dropped").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sortBy(_._1)
+    assert(got == Seq(
+      (1L, "a b c d e f", 2L, 0L),  // both segments novel in batch 1
+      (2L, "x y z", 1L, 1L),        // "a b c" lost to doc 1 in-batch
+      (4L, "p q r", 1L, 1L)),       // doc 3 was ALL known segments
+      got.toString)
+    // the maintained index equals the hash set of every ingested segment
+    val idx = graft.sources.TxLogFormat.read(spark, index)
+      .collect().map(_.getLong(0)).toSet
+    val expect = Seq("a b c", "d e f", "x y z", "p q r")
+      .toDF("s").select(xxhash64(col("s"))).collect().map(_.getLong(0)).toSet
+    assert(idx == expect)
+    // replay: both tables refuse the already-committed batch id
+    val vT = graft.sources.TxLogFormat.versions(table).size
+    val vI = graft.sources.TxLogFormat.versions(index).size
+    StreamOps.segmentIngestBatch(table, index, segWords = 3)(
+      Seq((9L, "n n n")).toDF("doc_id", "text"), 0L)
+    assert(graft.sources.TxLogFormat.versions(table).size == vT &&
+      graft.sources.TxLogFormat.versions(index).size == vI)
+  }
+
   test("streaming NEAR-dup ingest: intra-batch + cross-batch near-dups " +
        "drop, the band index tracks the corpus, replay-safe") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
