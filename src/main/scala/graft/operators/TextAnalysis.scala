@@ -61,6 +61,45 @@ object TextAnalysis {
     ).orderBy("doc_id")
   }
 
+  /** Quality-filter CASCADE — the FineWeb/Gopher-style gauntlet as ONE
+    * scan: each rule is a named predicate evaluated in declared order,
+    * and a doc reports whether it passed plus the FIRST rule that killed
+    * it — the report a curation run publishes so "we dropped 31% of
+    * source X" decomposes into which rule did it (a pass/fail bit alone
+    * is undebuggable at corpus scale). Rules here are the structural
+    * signals [[qualityScore]] exposes (length, word count, mean word
+    * length band, top-word repetition); thresholds are illustrative and
+    * the mechanism is the point — all scan-bound codegen, no shuffle for
+    * the verdicts (the top-word share needs the doc's own word mode: the
+    * one groupBy, on (doc, word)). */
+  def qualityCascade(documents: DataFrame): DataFrame = {
+    val len = length(col("text"))
+    val nWords = size(words)
+    val awl = length(regexp_replace(col("text"), " ", "")).cast("double") /
+      nWords
+    // per-doc top-word share (the Gopher repetition signal)
+    val topShare = documents
+      .select(col("doc_id"), explode(words).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg((max(col("c")).cast("double") /
+        sum(col("c"))).as("top_share"))
+    val rules: Seq[(String, Column)] = Seq(
+      "too_short" -> (len < 100),
+      "too_few_words" -> (nWords < 20),
+      "word_len_out_of_band" -> (awl < 2.0 || awl > 12.0),
+      "repetitive" -> (col("top_share") > 0.2))
+    val firstFail = rules.reverse.foldLeft(lit(null).cast("string")) {
+      case (acc, (name, cond)) => when(cond, lit(name)).otherwise(acc)
+    }
+    documents.join(topShare, Seq("doc_id"))
+      .select(col("doc_id"),
+        firstFail.isNull.as("passed"),
+        coalesce(firstFail, lit("")).as("first_fail"),
+        round4(col("top_share")).as("top_share"))
+    // no presentation sort — corpus-sized output; the gate lexsorts rows
+  }
+
   /** Token counting: whitespace tokens, a BPE-ish regex segmentation, and
     * the chars/4 heuristic LLM-token estimate. */
   def tokenCount(documents: DataFrame): DataFrame =

@@ -1310,6 +1310,24 @@ object TxLogFormat extends TableFormat {
   def readVersion(spark: SparkSession, path: String, version: Long): DataFrame =
     readAt(spark, path, version)
 
+  /** `TIMESTAMP AS OF` (Delta's other time-travel axis): the table as of
+    * the newest commit whose durable load stamp is ≤ `epochSec` —
+    * "what did the dashboard show yesterday 09:00" asked the way an
+    * auditor asks it. Stamps are the in-content `w` lines (vacuum-safe,
+    * not mtime); a timestamp before the earliest retained commit refuses
+    * like a vacuumed version. */
+  def readTimestamp(spark: SparkSession, path: String,
+                    epochSec: Long): DataFrame = {
+    val h = describeHistory(path) // newest first
+    require(h.nonEmpty, s"txlog: no committed version at $path")
+    val at = h.find(_.timestamp <= epochSec).getOrElse(
+      throw new IllegalArgumentException(
+        s"txlog: no retained commit at or before epoch $epochSec at $path " +
+          s"(earliest retained: ${h.last.timestamp}) — vacuumed or before " +
+          "table creation"))
+    readAt(spark, path, at.version)
+  }
+
   /** Data skipping (Delta-style): [[read]] + `.filter(filter)`, but files
     * whose LOG-RECORDED min/max/null-count stats prove they cannot hold a
     * matching row are dropped DRIVER-SIDE, before Spark ever lists them.

@@ -783,6 +783,14 @@ class FormatSpec extends SparkSpec {
       c.operation == "write" && c.dvRows == 3 && c.adds == 0))
     assert(h.find(_.version == 1).exists(_.txnTag.contains("h:1")))
     assert(h.forall(_.timestamp > 0))
+    // TIMESTAMP AS OF: a stamp at/after the latest commit resolves the
+    // current snapshot; one before the first retained commit refuses
+    val now = java.time.Instant.now().getEpochSecond + 10
+    assert(rows(TxLogFormat.readTimestamp(spark, t, now).orderBy("id")) ==
+      rows(TxLogFormat.read(spark, t).orderBy("id")))
+    val e0 = intercept[IllegalArgumentException](
+      TxLogFormat.readTimestamp(spark, t, h.last.timestamp - 1000))
+    assert(e0.getMessage.contains("before"))
     // everything is recent → time-based vacuum keeps all versions
     TxLogFormat.vacuumRetainHours(t, hours = 1.0)
     assert(TxLogFormat.versions(t) == Seq(0L, 1L, 2L, 3L))
