@@ -142,4 +142,33 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("incremental segment dedup over id-ordered batches equals the " +
+       "one-shot batch dedup on random corpora") {
+    import spark.implicits._
+    val vocab = Seq("a", "b", "c", "d", "e")
+    val gen = for {
+      n <- Gen.choose(4, 12)
+      texts <- Gen.listOfN(n,
+        Gen.choose(1, 10).flatMap(w =>
+          Gen.listOfN(w * 3, Gen.oneOf(vocab)).map(_.mkString(" "))))
+      cut <- Gen.choose(1, n - 1)
+    } yield (texts, cut)
+    forAllSampled(gen, n = 6) { case (texts, cut) =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val all = docs.toDF("doc_id", "text")
+      val expected = graft.operators.Dedup.segmentDedup(all, segWords = 3)
+        .collect().map(_.toSeq).toSet
+      // sequential ingest: batches split at `cut` in doc-id order — the
+      // global first-occurrence order the one-shot dedup uses
+      val empty = spark.range(0).select(col("id").as("h"))
+      val (d1, h1) = graft.operators.Dedup.incrementalSegmentDedup(
+        docs.take(cut).toDF("doc_id", "text"), empty, segWords = 3)
+      val (d2, _) = graft.operators.Dedup.incrementalSegmentDedup(
+        docs.drop(cut).toDF("doc_id", "text"), h1.select("h"), segWords = 3)
+      val got = (d1.collect() ++ d2.collect()).map(_.toSeq).toSet
+      assert(got == expected,
+        s"cut=$cut texts=${texts.mkString("|")}")
+    }
+  }
 }
