@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.util.Det.round4
@@ -507,16 +507,30 @@ object Dedup {
     * (segment, doc_id, pos) rows only; reassembly sorts WITHIN each doc's
     * collected array (array_sort on position structs — deterministic at
     * any partitioning), never globally. */
-  def segmentDedup(documents: DataFrame, segWords: Int = 10): DataFrame = {
-    val k = segWords
-    // segments derive from the doc row alone (scan-bound): materialize the
-    // word array once — a lambda re-reads it per element otherwise
-    val withW = documents.select(col("doc_id"),
+  /** The per-doc segment array: fixed `segWords`-word windows by default
+    * (this corpus has no structural delimiters), or the REAL paragraph
+    * boundaries when `delimiter` is given (`Some("\n\n")` — the Dolma
+    * setting on corpora that have them). Scan-bound either way; the word
+    * array materializes in its own projection because a lambda re-reads
+    * it per element. */
+  private def segmentArray(segWords: Int,
+                           delimiter: Option[String]): Column =
+    delimiter match {
+      case Some(d) => split(col("text"),
+        java.util.regex.Pattern.quote(d))
+      case None =>
+        val k = segWords
+        val nseg = ceil(size(col("__w")).cast("double") / k).cast("int")
+        transform(sequence(lit(0), greatest(nseg, lit(1)) - 1), i =>
+          concat_ws(" ", slice(col("__w"), i * k + 1, lit(k))))
+    }
+
+  def segmentDedup(documents: DataFrame, segWords: Int = 10,
+                   delimiter: Option[String] = None): DataFrame = {
+    val withW = documents.select(col("doc_id"), col("text"),
       split(col("text"), " ").as("__w"))
-    val nseg = ceil(size(col("__w")).cast("double") / k).cast("int")
-    val segs = withW.select(col("doc_id"),
-      transform(sequence(lit(0), greatest(nseg, lit(1)) - 1), i =>
-        concat_ws(" ", slice(col("__w"), i * k + 1, lit(k)))).as("__segs"))
+    val segs = withW
+      .select(col("doc_id"), segmentArray(segWords, delimiter).as("__segs"))
       .select(col("doc_id"), size(col("__segs")).as("n_segs"),
         posexplode(col("__segs")).as(Seq("pos", "seg")))
     // global first-occurrence-wins on the exact segment text (the oracle
@@ -530,7 +544,7 @@ object Dedup {
       .agg(
         array_join(transform(
           array_sort(collect_list(struct(col("pos"), col("seg")))),
-          x => x.getField("seg")), " ").as("text_dedup"),
+          x => x.getField("seg")), delimiter.getOrElse(" ")).as("text_dedup"),
         count(lit(1)).as("n_kept"),
         (min(col("n_segs")).cast("long") - count(lit(1))).as("n_dropped"))
     // no presentation sort — corpus-sized output; the gate lexsorts rows
@@ -554,14 +568,12 @@ object Dedup {
     * membership test — zero shuffle, but false positives silently drop
     * novel text and the result depends on scan order; this form keeps
     * determinism and exactness at one 24-byte-row exchange. */
-  def segmentDedupHashed(documents: DataFrame, segWords: Int = 10): DataFrame = {
-    val k = segWords
-    val withW = documents.select(col("doc_id"),
+  def segmentDedupHashed(documents: DataFrame, segWords: Int = 10,
+                         delimiter: Option[String] = None): DataFrame = {
+    val withW = documents.select(col("doc_id"), col("text"),
       split(col("text"), " ").as("__w"))
-    val nseg = ceil(size(col("__w")).cast("double") / k).cast("int")
     val segs = withW.select(col("doc_id"),
-      transform(sequence(lit(0), greatest(nseg, lit(1)) - 1), i =>
-        concat_ws(" ", slice(col("__w"), i * k + 1, lit(k)))).as("__segs"))
+      segmentArray(segWords, delimiter).as("__segs"))
     val hashed = segs.select(col("doc_id"),
       posexplode(transform(col("__segs"), s => xxhash64(s)))
         .as(Seq("pos", "h")))
@@ -573,7 +585,8 @@ object Dedup {
     segs.join(keptPos, Seq("doc_id")) // inner: all-boilerplate docs drop
       .select(col("doc_id"),
         array_join(transform(col("__keep"),
-          p => element_at(col("__segs"), p + 1)), " ").as("text_dedup"),
+          p => element_at(col("__segs"), p + 1)), delimiter.getOrElse(" "))
+          .as("text_dedup"),
         size(col("__keep")).cast("long").as("n_kept"),
         (size(col("__segs")) - size(col("__keep"))).cast("long").as("n_dropped"))
   }
@@ -590,13 +603,13 @@ object Dedup {
     * MAINTAINED, never recomputed. Batch-sized shuffles only; the corpus
     * side is an 8-byte-column scan at any corpus size. */
   def incrementalSegmentDedup(batch: DataFrame, corpusHashes: DataFrame,
-                              segWords: Int = 10): (DataFrame, DataFrame) = {
-    val k = segWords
-    val withW = batch.select(col("doc_id"), split(col("text"), " ").as("__w"))
-    val nseg = ceil(size(col("__w")).cast("double") / k).cast("int")
+                              segWords: Int = 10,
+                              delimiter: Option[String] = None)
+      : (DataFrame, DataFrame) = {
+    val withW = batch.select(col("doc_id"), col("text"),
+      split(col("text"), " ").as("__w"))
     val segs = withW.select(col("doc_id"),
-      transform(sequence(lit(0), greatest(nseg, lit(1)) - 1), i =>
-        concat_ws(" ", slice(col("__w"), i * k + 1, lit(k)))).as("__segs"))
+      segmentArray(segWords, delimiter).as("__segs"))
     val hashed = segs.select(col("doc_id"),
       posexplode(transform(col("__segs"), s => xxhash64(s)))
         .as(Seq("pos", "h")))
@@ -610,7 +623,8 @@ object Dedup {
     val docs = segs.join(keptPos, Seq("doc_id"))
       .select(col("doc_id"),
         array_join(transform(col("__keep"),
-          p => element_at(col("__segs"), p + 1)), " ").as("text_dedup"),
+          p => element_at(col("__segs"), p + 1)), delimiter.getOrElse(" "))
+          .as("text_dedup"),
         size(col("__keep")).cast("long").as("n_kept"),
         (size(col("__segs")) - size(col("__keep"))).cast("long")
           .as("n_dropped"))

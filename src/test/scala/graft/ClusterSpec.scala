@@ -112,6 +112,28 @@ class ClusterSpec extends SparkSpec {
       (3L, "p q r", 1L, 1L)))
   }
 
+  test("segment dedup with a real paragraph delimiter: boundaries are the " +
+       "delimiter's, reassembly re-joins with it, paths agree") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "intro text\n\nshared license block\n\nbody one"),
+      (1L, "shared license block\n\nbody two"),
+      (2L, "shared license block") // all boilerplate → disappears
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Dedup
+      .segmentDedup(docs, delimiter = Some("\n\n"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == Seq(
+      (0L, "intro text\n\nshared license block\n\nbody one", 3L, 0L),
+      (1L, "body two", 1L, 1L)))
+    val hashed = graft.operators.Dedup
+      .segmentDedupHashed(docs, delimiter = Some("\n\n"))
+      .collect().map(_.toSeq).toSet
+    assert(hashed == got.map(t => Seq[Any](t._1, t._2, t._3, t._4)).toSet)
+  }
+
   test("hashed segment dedup equals the exact path row-for-row on the corpus") {
     val docs = Tables.documents(spark, sf)
     val exact = graft.operators.Dedup.segmentDedup(docs)
