@@ -311,7 +311,7 @@ object OracleSql {
       """WITH d AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents), b0 AS (SELECT doc_id, UNNEST(range(len(w) - 1)) AS i, w FROM d WHERE len(w) >= 2), b AS (SELECT doc_id, w[CAST(i AS INT) + 1] AS w1, w[CAST(i AS INT) + 2] AS w2 FROM b0), b2 AS (SELECT * FROM b WHERE w1 <> '' AND w2 <> ''), tfb AS (SELECT doc_id, w1, w2, COUNT(*) AS tf FROM b2 GROUP BY doc_id, w1, w2), cb AS (SELECT w1, w2, SUM(tf) AS c12 FROM tfb GROUP BY w1, w2), c1 AS (SELECT w1, SUM(c12) AS c1 FROM cb GROUP BY w1), v AS (SELECT COUNT(*) AS v FROM c1), s AS (SELECT tfb.doc_id, SUM(tfb.tf) AS n_bigrams, SUM(tfb.tf * -ln((cb.c12 + 1.0)/(c1.c1 + v.v))) AS nll FROM tfb JOIN cb ON tfb.w1 = cb.w1 AND tfb.w2 = cb.w2 JOIN c1 ON tfb.w1 = c1.w1 CROSS JOIN v GROUP BY tfb.doc_id), r AS (SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams, ROUND(nll/n_bigrams*10000, 0)/10000.0 AS avg_nll FROM s) SELECT doc_id, n_bigrams, avg_nll, CASE WHEN avg_nll > 3.5 THEN 'high' ELSE 'ok' END AS ppl_flag FROM r""",
 
     "quality_cascade" ->
-      """WITH w AS (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS word FROM documents), cnt AS (SELECT doc_id, word, COUNT(*) AS c FROM w WHERE word <> '' GROUP BY doc_id, word), ts AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_share FROM cnt GROUP BY doc_id), base AS (SELECT d.doc_id, length(d.text) AS len, len(string_split(lower(trim(d.text)), ' ')) AS nw, CAST(length(replace(d.text, ' ', '')) AS DOUBLE) / len(string_split(lower(trim(d.text)), ' ')) AS awl, ts.top_share FROM documents d JOIN ts ON d.doc_id = ts.doc_id), r AS (SELECT doc_id, top_share, CASE WHEN len < 100 THEN 'too_short' WHEN nw < 20 THEN 'too_few_words' WHEN awl < 2.0 OR awl > 12.0 THEN 'word_len_out_of_band' WHEN top_share > 0.2 THEN 'repetitive' ELSE NULL END AS ff FROM base) SELECT doc_id, ff IS NULL AS passed, COALESCE(ff, '') AS first_fail, ROUND(top_share * 10000, 0)/10000.0 AS top_share FROM r""",
+      """WITH w AS (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS word FROM documents), cnt AS (SELECT doc_id, word, COUNT(*) AS c FROM w WHERE word <> '' GROUP BY doc_id, word), ts AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_share FROM cnt GROUP BY doc_id), base AS (SELECT d.doc_id, length(d.text) AS len, len(string_split(lower(trim(d.text)), ' ')) AS nw, CAST(length(replace(d.text, ' ', '')) AS DOUBLE) / len(string_split(lower(trim(d.text)), ' ')) AS awl, ts.top_share FROM documents d LEFT JOIN ts ON d.doc_id = ts.doc_id), r AS (SELECT doc_id, top_share, CASE WHEN len < 100 THEN 'too_short' WHEN nw < 20 THEN 'too_few_words' WHEN awl < 2.0 OR awl > 12.0 THEN 'word_len_out_of_band' WHEN top_share > 0.2 THEN 'repetitive' ELSE NULL END AS ff FROM base) SELECT doc_id, ff IS NULL AS passed, COALESCE(ff, '') AS first_fail, ROUND(top_share * 10000, 0)/10000.0 AS top_share FROM r""",
 
     "zorder_key" -> {
       val zTerms = (0 until 8).map(k =>

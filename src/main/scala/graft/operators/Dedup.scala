@@ -516,8 +516,12 @@ object Dedup {
   private def segmentArray(segWords: Int,
                            delimiter: Option[String]): Column =
     delimiter match {
-      case Some(d) => split(col("text"),
-        java.util.regex.Pattern.quote(d))
+      // empty segments (trailing/consecutive delimiters) carry no text and
+      // are IGNORED (Dolma does the same) — otherwise "" would dedup
+      // globally and whichever doc first produced a blank paragraph would
+      // silently rewrite every other doc's blank spacing
+      case Some(d) => filter(split(col("text"),
+        java.util.regex.Pattern.quote(d)), s => s =!= lit(""))
       case None =>
         val k = segWords
         val nseg = ceil(size(col("__w")).cast("double") / k).cast("int")
@@ -568,27 +572,46 @@ object Dedup {
     * membership test — zero shuffle, but false positives silently drop
     * novel text and the result depends on scan order; this form keeps
     * determinism and exactness at one 24-byte-row exchange. */
-  def segmentDedupHashed(documents: DataFrame, segWords: Int = 10,
-                         delimiter: Option[String] = None): DataFrame = {
-    val withW = documents.select(col("doc_id"), col("text"),
-      split(col("text"), " ").as("__w"))
-    val segs = withW.select(col("doc_id"),
-      segmentArray(segWords, delimiter).as("__segs"))
-    val hashed = segs.select(col("doc_id"),
-      posexplode(transform(col("__segs"), s => xxhash64(s)))
-        .as(Seq("pos", "h")))
-    val first = hashed.groupBy(col("h"))
+  /** (doc_id, __segs) for every doc — the shared front of the hashed
+    * paths. */
+  private def segFrame(documents: DataFrame, segWords: Int,
+                       delimiter: Option[String]): DataFrame =
+    documents.select(col("doc_id"), col("text"),
+        split(col("text"), " ").as("__w"))
+      .select(col("doc_id"), segmentArray(segWords, delimiter).as("__segs"))
+
+  /** Per segment hash, the globally first (doc_id, pos) — a map-side-
+    * combinable partial aggregate over 24-byte rows. */
+  private def firstOccurrence(segs: DataFrame): DataFrame =
+    segs.select(col("doc_id"),
+        posexplode(transform(col("__segs"), s => xxhash64(s)))
+          .as(Seq("pos", "h")))
+      .groupBy(col("h"))
       .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
-      .select(col("f.doc_id").as("doc_id"), col("f.pos").as("pos"))
-    val keptPos = first.groupBy(col("doc_id"))
+      .select(col("h"), col("f.doc_id").as("doc_id"), col("f.pos").as("pos"))
+
+  /** Reassemble docs from surviving (doc_id, pos) rows: positions fold to
+    * one small per-doc array, text crosses the wire once on doc_id, each
+    * doc indexes its own segment array. Inner join — docs with no
+    * surviving segment disappear. */
+  private def reassemble(segs: DataFrame, surviving: DataFrame,
+                         delimiter: Option[String]): DataFrame = {
+    val keptPos = surviving.groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("pos"))).as("__keep"))
-    segs.join(keptPos, Seq("doc_id")) // inner: all-boilerplate docs drop
+    segs.join(keptPos, Seq("doc_id"))
       .select(col("doc_id"),
         array_join(transform(col("__keep"),
           p => element_at(col("__segs"), p + 1)), delimiter.getOrElse(" "))
           .as("text_dedup"),
         size(col("__keep")).cast("long").as("n_kept"),
-        (size(col("__segs")) - size(col("__keep"))).cast("long").as("n_dropped"))
+        (size(col("__segs")) - size(col("__keep"))).cast("long")
+          .as("n_dropped"))
+  }
+
+  def segmentDedupHashed(documents: DataFrame, segWords: Int = 10,
+                         delimiter: Option[String] = None): DataFrame = {
+    val segs = segFrame(documents, segWords, delimiter)
+    reassemble(segs, firstOccurrence(segs), delimiter)
   }
 
   /** Incremental SEGMENT-level dedup — [[segmentDedupHashed]] for a
@@ -606,29 +629,14 @@ object Dedup {
                               segWords: Int = 10,
                               delimiter: Option[String] = None)
       : (DataFrame, DataFrame) = {
-    val withW = batch.select(col("doc_id"), col("text"),
-      split(col("text"), " ").as("__w"))
-    val segs = withW.select(col("doc_id"),
-      segmentArray(segWords, delimiter).as("__segs"))
-    val hashed = segs.select(col("doc_id"),
-      posexplode(transform(col("__segs"), s => xxhash64(s)))
-        .as(Seq("pos", "h")))
-    val firstInBatch = hashed.groupBy(col("h"))
-      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
-      .select(col("h"), col("f.doc_id").as("doc_id"), col("f.pos").as("pos"))
-    val novel = firstInBatch
+    val segs = segFrame(batch, segWords, delimiter)
+    // the novel set feeds BOTH returned frames (docs + index hashes);
+    // the lazy checkpoint is the barrier that makes the dedup compute
+    // once, not once per sink (same pattern as incrementalExactDigests)
+    val novel = firstOccurrence(segs)
       .join(corpusHashes.select(col("h")), Seq("h"), "left_anti")
-    val keptPos = novel.groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(col("pos"))).as("__keep"))
-    val docs = segs.join(keptPos, Seq("doc_id"))
-      .select(col("doc_id"),
-        array_join(transform(col("__keep"),
-          p => element_at(col("__segs"), p + 1)), delimiter.getOrElse(" "))
-          .as("text_dedup"),
-        size(col("__keep")).cast("long").as("n_kept"),
-        (size(col("__segs")) - size(col("__keep"))).cast("long")
-          .as("n_dropped"))
-    (docs, novel.select(col("h")))
+      .localCheckpoint(false)
+    (reassemble(segs, novel, delimiter), novel.select(col("h")))
   }
 
   /** SimHash near-dup: 64-bit signature (sign of per-bit vote over token

@@ -92,7 +92,10 @@ object TextAnalysis {
     val firstFail = rules.reverse.foldLeft(lit(null).cast("string")) {
       case (acc, (name, cond)) => when(cond, lit(name)).otherwise(acc)
     }
-    documents.join(topShare, Seq("doc_id"))
+    // LEFT join: a doc with no non-empty words has no top_share row, but
+    // it must still REPORT (it necessarily fails a structural rule) — an
+    // inner join would silently drop exactly the worst documents
+    documents.join(topShare, Seq("doc_id"), "left")
       .select(col("doc_id"),
         firstFail.isNull.as("passed"),
         coalesce(firstFail, lit("")).as("first_fail"),

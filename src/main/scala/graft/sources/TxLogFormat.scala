@@ -1320,11 +1320,18 @@ object TxLogFormat extends TableFormat {
                     epochSec: Long): DataFrame = {
     val h = describeHistory(path) // newest first
     require(h.nonEmpty, s"txlog: no committed version at $path")
-    val at = h.find(_.timestamp <= epochSec).getOrElse(
+    // a pre-`w` legacy commit reports timestamp 0, which would match ANY
+    // queried epoch and fabricate history — fall back to the commit
+    // file's mtime there, like [[lastCommitEpoch]] does
+    def effectiveTs(c: CommitInfo): Long =
+      if (c.timestamp > 0) c.timestamp
+      else Files.getLastModifiedTime(commitFile(path, c.version))
+        .toInstant.getEpochSecond
+    val at = h.find(effectiveTs(_) <= epochSec).getOrElse(
       throw new IllegalArgumentException(
         s"txlog: no retained commit at or before epoch $epochSec at $path " +
-          s"(earliest retained: ${h.last.timestamp}) — vacuumed or before " +
-          "table creation"))
+          s"(earliest retained: ${effectiveTs(h.last)}) — vacuumed or " +
+          "before table creation"))
     readAt(spark, path, at.version)
   }
 
