@@ -601,6 +601,28 @@ final class Pipeline(models: Seq[Model], exposures: Seq[Exposure] = Nil,
       .map(_.name).filter(keep.contains)
   }
 
+  /** dbt `run --selector <name>` (or the default selector when `name` is
+    * None): resolve the named definition from `selectors`, evaluate it
+    * against the DAG, and run the selection through [[runSubset]] (which
+    * adds the upstream closure the selected models need to build). */
+  def runSelector(spark: SparkSession, sources: Map[String, DataFrame],
+                  targetDir: String,
+                  selectors: Seq[ProjectYaml.SelectorDef],
+                  name: Option[String] = None,
+                  hooks: RunHooks = RunHooks.none,
+                  fullRefresh: Boolean = false): Map[String, DataFrame] = {
+    val sel = name match {
+      case Some(n) => selectors.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"unknown selector '$n' " +
+          s"(have: ${selectors.map(_.name).mkString(", ")})"))
+      case None => selectors.find(_.isDefault).getOrElse(
+        throw new IllegalArgumentException(
+          "no selector named and none marked default: true"))
+    }
+    runSubset(spark, sources, targetDir, evalSelector(sel.definition),
+      hooks, fullRefresh)
+  }
+
   /** Runs only the selected models (+ transitive upstreams). */
   def runSubset(spark: SparkSession, sources: Map[String, DataFrame],
                 targetDir: String, select: Seq[String],

@@ -294,6 +294,25 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
+  test("filtered ANN at a selective probe keeps recall vs the exact " +
+       "filtered top-k; every result satisfies the predicate") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sf)
+    val pred = col("label") % 3 === 0
+    val exact = Similarity.ivfTopKFiltered(emb, pred, nProbe = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfTopKFiltered(emb, pred, nProbe = 8)
+      .collect()
+    val got = approx.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (got & exact).size.toDouble / exact.size
+    assert(recall >= 0.6, s"filtered IVF recall $recall at nProbe=8")
+    // precision on the predicate is exact by construction
+    val labels = emb.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(approx.forall(r => labels(r.getLong(1)) % 3 == 0),
+      "a result row violates the predicate")
+  }
+
   test("sketch rollup: merging stored per-cell sketches equals exact " +
        "distincts below k; saturated merge stays bounded") {
     val ev = Tables.events(spark, sf)

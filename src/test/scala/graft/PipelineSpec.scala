@@ -62,6 +62,17 @@ class PipelineSpec extends SparkSpec {
         |    default: true
         |    definition: b
         |""".stripMargin)).getMessage.contains("default"))
+    // dbt run --selector: the named (or default) selection actually runs
+    import spark.implicits._
+    val src = Seq((1L, 2L)).toDF("k", "v")
+    val out = dag.runSelector(spark, Map("src" -> src),
+      java.nio.file.Files.createTempDirectory("graft_sel").toString, defs)
+    // default selector picked {a,b,d}; ephemeral models resolve lazily,
+    // so the run surface is exactly the selection + upstream closure
+    assert(out.keySet - "src" == Set("a", "b", "d"))
+    assert(intercept[IllegalArgumentException](
+      dag.runSelector(spark, Map("src" -> src), "/tmp/x", defs,
+        Some("nope"))).getMessage.contains("unknown selector"))
   }
 
   test("column-level lineage traces expressions through project/agg/" +

@@ -404,6 +404,14 @@ class PlanSpec extends SparkSpec {
       s"corpus-sized output globally sorts:\n$plan")
   }
 
+  test("quality cascade: partial aggregation, no global sort") {
+    val df = TextAnalysis.qualityCascade(Tables.documents(spark, sf))
+    val plan = explained(df)
+    assert(plan.contains("partial_count"), s"no map-side combine:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"corpus-sized output globally sorts:\n$plan")
+  }
+
   test("zorder key is scan-bound whole-stage codegen") {
     val df = operators.Materialize.zorderKey(Tables.orders(spark, sf))
     df.collect() // final adaptive plan carries the codegen annotations
