@@ -1941,6 +1941,27 @@ object TxLogFormat extends TableFormat {
     * retained snapshot references and sweep orphaned stage dirs from
     * crashed writers. Time travel stays available for the retained
     * versions. Returns deleted data-file count. */
+  /** [[vacuum]] DRY RUN: the data files a vacuum at this retention WOULD
+    * reclaim (unreachable from every retained snapshot), without touching
+    * anything — the "what am I about to delete" check an operator runs
+    * before an aggressive retention change. Metadata-only. */
+  def vacuumPreview(path: String, retainVersions: Int = 1): Seq[String] = {
+    val vs = versions(path)
+    if (vs.isEmpty) return Nil
+    val horizon = vs.last - math.max(0, retainVersions - 1)
+    val reachable = vs.filter(_ >= horizon)
+      .flatMap(v => snapshot(path, v)._1).toSet
+    val root = Paths.get(path)
+    val s = Files.walk(root)
+    try s.iterator().asScala
+      .filter(f => Files.isRegularFile(f) && f.toString.endsWith(".parquet"))
+      .filterNot(_.startsWith(logDir(path)))
+      .map(f => root.relativize(f).toString)
+      .filterNot(reachable)
+      .toSeq.sorted
+    finally s.close()
+  }
+
   def vacuum(path: String, retainVersions: Int = 1): Int = {
     val vs = versions(path)
     if (vs.isEmpty) return 0

@@ -766,6 +766,28 @@ class FormatSpec extends SparkSpec {
     assert(TxLogFormat.versions(t) == vs)
   }
 
+  test("vacuumPreview lists exactly what vacuum then reclaims, touching " +
+       "nothing") {
+    val t = tmp()
+    val base = spark.range(0, 20).selectExpr("id", "CAST(id % 2 AS STRING) AS p")
+    TxLogFormat.write(base, t, Some("p"))                            // v0
+    TxLogFormat.replace(spark,
+      TxLogFormat.read(spark, t).filter(col("id") < 10), t)          // v1
+    val preview = TxLogFormat.vacuumPreview(t, retainVersions = 1)
+    assert(preview.nonEmpty) // v0's files are unreachable at retain=1
+    val before = rows(TxLogFormat.read(spark, t).orderBy("id"))
+    // the preview is a pure read: both versions still resolve
+    assert(TxLogFormat.versions(t) == Seq(0L, 1L))
+    assert(TxLogFormat.readVersion(spark, t, 0).count() == 20)
+    // and the real vacuum deletes exactly the previewed set
+    assert(TxLogFormat.vacuum(t, retainVersions = 1) == preview.size)
+    assert(preview.forall(r =>
+      !java.nio.file.Files.exists(java.nio.file.Paths.get(t, r))))
+    assert(rows(TxLogFormat.read(spark, t).orderBy("id")) == before)
+    // nothing left to reclaim
+    assert(TxLogFormat.vacuumPreview(t, retainVersions = 1).isEmpty)
+  }
+
   test("describeHistory audits operation/txn/dv per commit; " +
        "time-based vacuum keeps the recent window") {
     val t = tmp()
