@@ -731,10 +731,22 @@ object Diff {
     * diff pipeline. Type strings carry an explicit `not null` marker so a
     * tightened/loosened constraint shows up even when the type matches. */
   def schemaDiff(dev: DataFrame, prod: DataFrame): DataFrame = {
+    val spark = dev.sparkSession
+    import spark.implicits._
+    columnDiff(dev.schema, prod.schema)
+      .toDF("change", "column_name", "dev_type", "prod_type")
+      .orderBy("change", "column_name")
+  }
+
+  /** Column-level diff rows (change, column, dev_type, prod_type) — the
+    * pure core of [[schemaDiff]], reused per-model by [[prSchemaDiff]]. */
+  def columnDiff(dev: org.apache.spark.sql.types.StructType,
+                 prod: org.apache.spark.sql.types.StructType)
+      : Seq[(String, String, String, String)] = {
     def typeOf(f: org.apache.spark.sql.types.StructField): String =
       f.dataType.simpleString + (if (f.nullable) "" else " not null")
-    val d = dev.schema.map(f => f.name -> f).toMap
-    val p = prod.schema.map(f => f.name -> f).toMap
+    val d = dev.map(f => f.name -> f).toMap
+    val p = prod.map(f => f.name -> f).toMap
     val added = (d.keySet -- p.keySet).toSeq.sorted
       .map(n => ("added_in_dev", n, typeOf(d(n)), null: String))
     val removed = (p.keySet -- d.keySet).toSeq.sorted
@@ -746,11 +758,145 @@ object Diff {
     val renulled = common
       .filter(n => d(n).dataType == p(n).dataType && d(n).nullable != p(n).nullable)
       .map(n => ("nullability_changed", n, typeOf(d(n)), typeOf(p(n))))
-    val spark = dev.sparkSession
+    added ++ removed ++ retyped ++ renulled
+  }
+
+  // ---- full PR schema diff (reference scripts/pr_schema_diff.sh) --------
+  // Beyond columns, the reference CI diffs TABLE TYPE, PARTITIONING and
+  // CLUSTERING layout, detects relation MOVEMENT (schema/identifier
+  // changes via the two manifests), and lists ORPHANED prod relations not
+  // covered by any model/source. All of that is manifest + schema
+  // metadata: driver-side by definition, no data scan at any table size.
+
+  private def manifestModels(manifestJson: String)
+      : Map[String, com.fasterxml.jackson.databind.JsonNode] = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val nodes = om.readTree(manifestJson).get("nodes")
+    if (nodes == null) Map.empty
+    else {
+      val it = nodes.properties().iterator()
+      val b = Map.newBuilder[String, com.fasterxml.jackson.databind.JsonNode]
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue.path("resource_type").asText("") == "model")
+          b += e.getKey -> e.getValue
+      }
+      b.result()
+    }
+  }
+
+  private def jtext(n: com.fasterxml.jackson.databind.JsonNode,
+                    field: String): Option[String] = {
+    val v = n.path(field)
+    if (v.isMissingNode || v.isNull) None else Some(v.asText)
+  }
+
+  /** Relation identity `[schema/]identifier` of a manifest model node —
+    * matches [[graft.pipeline.Model.relationId]]. */
+  private def relationIdOf(n: com.fasterxml.jackson.databind.JsonNode): String =
+    jtext(n, "schema").fold("")(_ + "/") +
+      jtext(n, "alias").getOrElse(n.path("name").asText)
+
+  private def layoutOf(n: com.fasterxml.jackson.databind.JsonNode)
+      : (String, String, String) = {
+    val cfg = n.path("config")
+    val cluster = {
+      val c = cfg.path("cluster_by")
+      if (!c.isArray) "" else {
+        val it = c.elements(); val b = Seq.newBuilder[String]
+        while (it.hasNext) b += it.next().asText
+        b.result().mkString(",")
+      }
+    }
+    (cfg.path("materialized").asText(""),
+     jtext(cfg, "partition_by").getOrElse(""), cluster)
+  }
+
+  /** Per-model PR schema-diff summary, one row per model of the PR
+    * manifest — the reference's `schema-summary.md` table
+    * (scripts/pr_schema_diff.sh SUMMARY lines): status (OK | NEW_MODEL |
+    * REMOVED for prod-only models), movement (UNCHANGED | MOVED:a->b |
+    * UNKNOWN without a prod manifest), table-type change, column
+    * add/remove/change counts (from the live relation schemas, the
+    * INFORMATION_SCHEMA analog), and partitioning/clustering changes. */
+  def prSchemaDiff(prManifest: String, prodManifest: Option[String],
+                   devSchemas: Map[String, org.apache.spark.sql.types.StructType],
+                   prodSchemas: Map[String, org.apache.spark.sql.types.StructType],
+                   spark: org.apache.spark.sql.SparkSession): DataFrame = {
     import spark.implicits._
-    (added ++ removed ++ retyped ++ renulled)
-      .toDF("change", "column_name", "dev_type", "prod_type")
-      .orderBy("change", "column_name")
+    val pr = manifestModels(prManifest)
+    val prod = prodManifest.fold(
+      Map.empty[String, com.fasterxml.jackson.databind.JsonNode])(manifestModels)
+    val rows = pr.toSeq.sortBy(_._1).map { case (uid, node) =>
+      val name = node.path("name").asText
+      val pNode = prod.get(uid)
+      val status =
+        if (prodManifest.isDefined && pNode.isEmpty) "NEW_MODEL" else "OK"
+      val moved = (prodManifest, pNode) match {
+        case (None, _) => "UNKNOWN"
+        case (_, None) => "UNKNOWN"
+        case (_, Some(p)) =>
+          val (from, to) = (relationIdOf(p), relationIdOf(node))
+          if (from == to) "UNCHANGED" else s"MOVED:$from->$to"
+      }
+      val typeChange = pNode.map(layoutOf(_)._1).filter(_.nonEmpty) match {
+        case Some(pt) if pt != layoutOf(node)._1 =>
+          s"$pt->${layoutOf(node)._1}"
+        case _ => ""
+      }
+      val (added, removed, changed) =
+        (devSchemas.get(name), prodSchemas.get(name)) match {
+          case (Some(d), Some(p)) =>
+            val diff = columnDiff(d, p)
+            (diff.count(_._1 == "added_in_dev").toLong,
+             diff.count(_._1 == "missing_in_dev").toLong,
+             diff.count(r => r._1 == "type_changed" ||
+               r._1 == "nullability_changed").toLong)
+          case (Some(d), None) => (d.size.toLong, 0L, 0L) // new relation
+          case _ => (0L, 0L, 0L)
+        }
+      val layoutChanges = pNode.toSeq.flatMap { p =>
+        val (_, dPart, dClust) = layoutOf(node)
+        val (_, pPart, pClust) = layoutOf(p)
+        Seq(
+          if (dPart != pPart) Some(s"partition_by:$pPart->$dPart") else None,
+          if (dClust != pClust) Some(s"cluster_by:$pClust->$dClust") else None
+        ).flatten
+      }
+      // prod-only models (deleted in the PR) surface as REMOVED rows so a
+      // dropped mart is visible in the same report
+      (name, status, moved, typeChange, added, removed, changed,
+        layoutChanges.size.toLong, layoutChanges.mkString("; "))
+    } ++ prod.toSeq.sortBy(_._1).collect {
+      case (uid, p) if !pr.contains(uid) =>
+        (p.path("name").asText, "REMOVED", "UNKNOWN", "", 0L, 0L, 0L, 0L, "")
+    }
+    rows.toDF("model", "status", "moved", "type_change", "cols_added",
+      "cols_removed", "cols_changed", "layout_changes", "layout_detail")
+      .orderBy("model")
+  }
+
+  /** Orphaned prod relations: directories under the prod warehouse root
+    * that no model (by relation identity) or run artifact accounts for —
+    * the reference's orphans.md report. Schema-override subdirectories
+    * are descended one level so `analytics_staging/x` style relations
+    * resolve; partition subdirectories inside a covered relation never
+    * surface (the walk stops at the first covered path). */
+  def orphanedRelations(prodDir: String, manifestJson: String): Seq[String] = {
+    val covered = manifestModels(manifestJson).values.map(relationIdOf).toSet
+    val schemaDirs = covered.filter(_.contains("/")).map(_.split("/")(0))
+    val artifacts = Set("manifest.json", "catalog.json", "run_results.json")
+    val root = new java.io.File(prodDir)
+    val top = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && !artifacts.contains(f.getName))
+    top.flatMap { d =>
+      if (covered.contains(d.getName)) Nil
+      else if (schemaDirs.contains(d.getName))
+        Option(d.listFiles()).getOrElse(Array.empty).filter(_.isDirectory)
+          .map(c => s"${d.getName}/${c.getName}")
+          .filterNot(covered.contains).toSeq
+      else Seq(d.getName)
+    }.toSeq.sorted
   }
 }
 

@@ -64,6 +64,44 @@ final case class Contract(columns: Seq[(String, String)],
                           notNull: Seq[String] = Nil,
                           checks: Map[String, String] = Map.empty)
 
+/** dbt test severity config (`config: {severity: warn, warn_if: ">10",
+  * error_if: ">100"}`). Conditions are dbt's count-comparison strings
+  * evaluated against the violation count. dbt semantics exactly:
+  * severity=error checks `error_if` first (→ fail), else `warn_if`
+  * (→ warn); severity=warn only ever warns (`warn_if`). Defaults mirror
+  * dbt-core: both conditions `!= 0`. */
+final case class TestConfig(severity: String = "error",
+                            warnIf: String = "!= 0",
+                            errorIf: String = "!= 0") {
+  require(Seq("error", "warn").contains(severity),
+    s"test severity must be error|warn, got '$severity'")
+  /** Outcome for a violation count: "pass" | "warn" | "fail". */
+  def outcome(violations: Long): String =
+    if (severity == "error" && TestConfig.eval(errorIf, violations)) "fail"
+    else if (TestConfig.eval(warnIf, violations)) "warn"
+    else "pass"
+}
+object TestConfig {
+  private val Cond = """\s*(!=|>=|<=|>|<|=)\s*(\d+)\s*""".r
+  /** Evaluate a dbt condition string ("!= 0", ">10", ">= 5") against a
+    * count. Malformed conditions refuse loudly — a test whose threshold
+    * silently never fires is worse than no test. */
+  def eval(cond: String, n: Long): Boolean = cond match {
+    case Cond(op, v) =>
+      val k = v.toLong
+      op match {
+        case "!=" => n != k
+        case ">=" => n >= k
+        case "<=" => n <= k
+        case ">" => n > k
+        case "<" => n < k
+        case "=" => n == k
+      }
+    case other => throw new IllegalArgumentException(
+      s"unparseable test condition '$other' (want e.g. '!= 0', '> 10')")
+  }
+}
+
 /** One model: name, upstream refs, materialization, and the transformation
   * from resolved upstream frames to this model's frame — `build` is the
   * model's SELECT; `deps` are its `ref()`/`source()` calls.
@@ -72,7 +110,16 @@ final case class Contract(columns: Seq[(String, String)],
   * `checksum` is the state-comparison fingerprint — dbt hashes the model
   * file; a Scala build function is opaque, so callers version it here (bump
   * on logic change) and `state:modified` detection picks it up alongside
-  * the manifest-visible properties (deps, config, schema). */
+  * the manifest-visible properties (deps, config, schema).
+  *
+  * `alias` / `schemaOverride` are dbt's `alias:` and custom `schema:`
+  * configs: they relocate the materialized relation
+  * (`<target>/[schema/]<alias|name>`) without renaming the node, so CI can
+  * detect relation MOVEMENT between two manifests (reference
+  * scripts/pr_schema_diff.sh movement detection).
+  *
+  * `testConfig` carries per-test severity/thresholds keyed by test name;
+  * tests absent from the map default to dbt's error-at-any-violation. */
 final case class Model(name: String, deps: Seq[String],
                        materialization: Materialization,
                        build: Map[String, DataFrame] => DataFrame,
@@ -83,7 +130,16 @@ final case class Model(name: String, deps: Seq[String],
                        tests: Seq[(String, DataFrame => DataFrame)] = Nil,
                        contract: Option[Contract] = None,
                        group: Option[String] = None,
-                       access: String = "protected")
+                       access: String = "protected",
+                       alias: Option[String] = None,
+                       schemaOverride: Option[String] = None,
+                       testConfig: Map[String, TestConfig] = Map.empty) {
+  /** Relation identity relative to a target's warehouse root:
+    * `[schema/]identifier` — dbt's database.schema.identifier with the
+    * warehouse path playing the database. */
+  def relationId: String =
+    schemaOverride.fold("")(_ + "/") + alias.getOrElse(name)
+}
 
 /** A dbt exposure — reference models/exposures.yml: a downstream artifact
   * (dashboard, report, ML application) whose lineage hangs off models.
@@ -169,6 +225,13 @@ final class Pipeline(models: Seq[Model], exposures: Seq[Exposure] = Nil,
   models.foreach { m =>
     require(Seq("private", "protected", "public").contains(m.access),
       s"model '${m.name}': unknown access '${m.access}'")
+    // private access only means something relative to a group: two
+    // ungrouped models would satisfy dep.group == m.group (None == None)
+    // and the governance wall would silently enforce nothing — refuse at
+    // construction, like dbt ties private access to group membership
+    require(m.access != "private" || m.group.isDefined,
+      s"model '${m.name}': access=private requires a group — an ungrouped " +
+        "private model would be ref-able by every other ungrouped model")
     m.deps.flatMap(d => models.find(_.name == d)).foreach { dep =>
       require(dep.access != "private" || dep.group == m.group,
         s"model '${m.name}'${m.group.fold("")(g => s" (group $g)")} refs " +
@@ -256,6 +319,15 @@ final class Pipeline(models: Seq[Model], exposures: Seq[Exposure] = Nil,
         .mkString(",")).getOrElse("")
       val config = (s""""materialized":${jstr(matName(m.materialization))}""" +
         (m.materialization match {
+          // physical layout is manifest-visible (reference
+          // pr_schema_diff.sh diffs partitioning_field/clustering_fields):
+          // a changed layout trips state:modified and shows in relationDiff.
+          // Keys are emitted only when set, so layout-less models keep a
+          // stable manifest identity across this change.
+          case TableMat(part, cluster) =>
+            part.fold("")(p => s""","partition_by":${jstr(p)}""") +
+              (if (cluster.isEmpty) ""
+               else s""","cluster_by":${cluster.map(jstr).mkString("[", ",", "]")}""")
           case IncrementalMat(key, policy, preds) =>
             s""","unique_key":${jstr(key)},"incremental_strategy":"merge","on_schema_change":${jstr(
               policy.toString.replaceAll("([a-z])([A-Z])", "$1_$2").toLowerCase)}""" +
@@ -277,12 +349,18 @@ final class Pipeline(models: Seq[Model], exposures: Seq[Exposure] = Nil,
               .map { case (n, e) => s"${jstr(n)}:${jstr(e)}" }.mkString(",")
           }}}"""
         })
+      // relation identity (dbt schema/alias) is emitted only when
+      // overridden: movement detection reads it, and default-located
+      // models keep a stable manifest identity
+      val relation =
+        m.schemaOverride.fold("")(s => s""""schema":${jstr(s)},""") +
+          m.alias.fold("")(a => s""""alias":${jstr(a)},""")
       s"${jstr(nodeId(m.name))}:{" +
         s""""name":${jstr(m.name)},"resource_type":"model",""" +
         s""""description":${jstr(m.description)},""" +
         s""""checksum":${jstr(m.checksum)},""" +
         s""""access":${jstr(m.access)},""" +
-        s""""group":${jstr(m.group.getOrElse(""))},""" +
+        s""""group":${jstr(m.group.getOrElse(""))},""" + relation +
         s""""depends_on":{"nodes":$deps},"config":{$config},"columns":{$cols}}"""
     }.mkString(",")
     val sources = models.flatMap(_.deps).distinct
@@ -428,6 +506,7 @@ final class Pipeline(models: Seq[Model], exposures: Seq[Exposure] = Nil,
     val results = models.flatMap(m => status.get(m.name).map { st =>
       val s =
         if (st == "success") "success"
+        else if (st.startsWith("warn")) "warn" // dbt: warned, not gating
         else if (st.startsWith("fail")) "fail"
         else if (st.startsWith("error")) "error"
         else "skipped"
@@ -671,7 +750,15 @@ final class Pipeline(models: Seq[Model], exposures: Seq[Exposure] = Nil,
     * convention) execute right after it materializes, and a failing test
     * gates the downstream closure exactly like a build error would: bad
     * data never propagates into children. Statuses: `success`,
-    * `error: ...`, `fail: test <name> (<k> violations)`, `skipped`.
+    * `error: ...`, `fail: test <name> (<k> violations)`,
+    * `warn: test <name> (<k> violations)`, `skipped`.
+    *
+    * Test severity ([[Model.testConfig]], dbt `severity`/`warn_if`/
+    * `error_if`): a warn-level outcome lands in the run results but does
+    * NOT gate the downstream closure — children of a warned model still
+    * build, exactly dbt's behavior for `severity: warn` tests. The FIRST
+    * fail-level test gates (dbt stops at the model's worst outcome);
+    * warns accumulate across all tests on the model.
     * [[retry]] resumes a failed build the same way it resumes a run.
     * `threads` parallelizes independent models exactly as in [[run]]. */
   def build(spark: SparkSession, sources: Map[String, DataFrame],
@@ -681,23 +768,38 @@ final class Pipeline(models: Seq[Model], exposures: Seq[Exposure] = Nil,
     val status = scala.collection.concurrent.TrieMap[String, String]()
     val good = scala.collection.concurrent.TrieMap[String, DataFrame]() ++ sources
     def execOne(m: Model): Unit = {
-      if (!m.deps.forall(d => sources.contains(d) || status.get(d).contains("success")))
+      if (!m.deps.forall(d => sources.contains(d) ||
+          status.get(d).exists(s => s == "success" || s.startsWith("warn"))))
         status(m.name) = "skipped"
       else try {
         val out = new Pipeline(Seq(m.copy(deps = Nil)), format = format)
           .run(spark, good.toMap, targetDir, hooks, fullRefresh)(m.name)
-        // only >0 gates the DAG, so cap the count scan at 1001 and report
+        // only >0 can gate/warn, so cap the count scan at 1001 and report
         // "1000+" rather than silently understating larger violation sets
-        val failedTest = m.tests.view
-          .map { case (tn, t) => tn -> t(out).limit(1001).count() }
-          .find(_._2 > 0)
-        failedTest match {
-          case Some((tn, k)) =>
-            val shown = if (k > 1000) "1000+" else k.toString
-            status(m.name) = s"fail: test $tn ($shown violations)"
+        def shownOf(k: Long) = if (k > 1000) "1000+" else k.toString
+        var firstFail: Option[String] = None
+        val warns = Seq.newBuilder[String]
+        m.tests.iterator.takeWhile(_ => firstFail.isEmpty).foreach {
+          case (tn, t) =>
+            val k = t(out).limit(1001).count()
+            if (k > 0) {
+              val cfg = m.testConfig.getOrElse(tn, TestConfig())
+              cfg.outcome(k) match {
+                case "fail" =>
+                  firstFail = Some(s"fail: test $tn (${shownOf(k)} violations)")
+                case "warn" =>
+                  warns += s"test $tn (${shownOf(k)} violations)"
+                case _ => ()
+              }
+            }
+        }
+        firstFail match {
+          case Some(f) => status(m.name) = f
           case None =>
             good(m.name) = out
-            status(m.name) = "success"
+            val ws = warns.result()
+            status(m.name) =
+              if (ws.isEmpty) "success" else s"warn: ${ws.mkString("; ")}"
         }
       } catch { case e: Exception =>
         status(m.name) = s"error: ${Option(e.getMessage).getOrElse(e.getClass.getName).take(200)}"
@@ -718,7 +820,10 @@ final class Pipeline(models: Seq[Model], exposures: Seq[Exposure] = Nil,
             targetDir: String, prev: RunResults,
             hooks: RunHooks = RunHooks.none,
             fullRefresh: Boolean = false): (Map[String, DataFrame], RunResults) = {
-    val failed = prev.collect { case (n, s) if s != "success" => n }.toSet
+    // warn-level outcomes completed their materialization — dbt retry
+    // only re-runs error/fail/skipped nodes
+    val failed = prev.collect {
+      case (n, s) if s != "success" && !s.startsWith("warn") => n }.toSet
     val byName = models.map(m => m.name -> m).toMap
     // views/ephemerals have no artifact to read back, so any one in a
     // failed model's UPSTREAM closure must re-resolve — but a successful
@@ -741,7 +846,7 @@ final class Pipeline(models: Seq[Model], exposures: Seq[Exposure] = Nil,
     val artifactDeps = rerun.flatMap(_.deps).distinct
       .filterNot(d => rerunNames.contains(d) || sources.contains(d))
       .map { d =>
-        val path = s"$targetDir/$d"
+        val path = s"$targetDir/${byName.get(d).fold(d)(_.relationId)}"
         require(new java.io.File(path).exists(),
           s"retry: successful parent '$d' has no artifact in $targetDir")
         d -> spark.read.parquet(path)
@@ -751,7 +856,8 @@ final class Pipeline(models: Seq[Model], exposures: Seq[Exposure] = Nil,
     // tests degenerate to plain runs
     val (out, st) = new Pipeline(rerun)
       .build(spark, sources ++ artifactDeps, targetDir, hooks, fullRefresh)
-    (out, prev.filter { case (n, s) => s == "success" && !rerunNames.contains(n) } ++ st)
+    (out, prev.filter { case (n, s) =>
+      (s == "success" || s.startsWith("warn")) && !rerunNames.contains(n) } ++ st)
   }
 
   /** dbt `--defer --state <prod>`: build ONLY the selected models; any
@@ -771,8 +877,9 @@ final class Pipeline(models: Seq[Model], exposures: Seq[Exposure] = Nil,
     val chosen = models.filter(m => selected.contains(m.name))
     val deferredDeps = chosen.flatMap(_.deps).distinct
       .filterNot(d => selected.contains(d) || sources.contains(d))
+    val byName = models.map(m => m.name -> m).toMap
     val deferred = deferredDeps.map { d =>
-      val path = s"$deferDir/$d"
+      val path = s"$deferDir/${byName.get(d).fold(d)(_.relationId)}"
       require(new java.io.File(path).exists(),
         s"--defer: no artifact for unselected parent '$d' in $deferDir " +
           "(deferred parents must be materialized in the state dir)")
@@ -902,12 +1009,12 @@ final class Pipeline(models: Seq[Model], exposures: Seq[Exposure] = Nil,
       m.materialization match {
         case ViewMat | EphemeralMat => None
         case _ =>
-          val src = s"$fromDir/$n"
+          val src = s"$fromDir/${m.relationId}"
           require(new java.io.File(src).exists(),
             s"clone: no artifact for model '$n' at $src — " +
               "build the source target first")
-          format.cloneTable(spark, src, s"$targetDir/$n")
-          Some(n -> format.read(spark, s"$targetDir/$n"))
+          format.cloneTable(spark, src, s"$targetDir/${m.relationId}")
+          Some(n -> format.read(spark, s"$targetDir/${m.relationId}"))
       }
     }.toMap
   }
@@ -1034,17 +1141,17 @@ final class Pipeline(models: Seq[Model], exposures: Seq[Exposure] = Nil,
         df.createOrReplaceTempView(m.name); df
       case EphemeralMat => df
       case TableMat(part, cluster) =>
-        val path = s"$targetDir/${m.name}"
+        val path = s"$targetDir/${m.relationId}"
         format.write(df, path, part, cluster)
         format.read(spark, path)
       case InsertOverwriteMat(part) =>
-        val path = s"$targetDir/${m.name}"
+        val path = s"$targetDir/${m.relationId}"
         val exists = new java.io.File(path).exists() && !fullRefresh
         if (!exists) format.write(df, path, Some(part))
         else format.overwritePartitions(df, path, part)
         format.read(spark, path)
       case MicrobatchMat(eventTime, gran) =>
-        val path = s"$targetDir/${m.name}"
+        val path = s"$targetDir/${m.relationId}"
         val exists = new java.io.File(path).exists() && !fullRefresh
         val withPeriod = df.withColumn("_period",
           date_format(date_trunc(gran, col(eventTime).cast("timestamp")),
@@ -1053,7 +1160,7 @@ final class Pipeline(models: Seq[Model], exposures: Seq[Exposure] = Nil,
         else format.overwritePartitions(withPeriod, path, "_period")
         format.read(spark, path).drop("_period")
       case IncrementalMat(key, policy, predicates) =>
-        val path = s"$targetDir/${m.name}"
+        val path = s"$targetDir/${m.relationId}"
         // --full-refresh: ignore (and replace) the existing table
         val exists = new java.io.File(path).exists() && !fullRefresh
         val merged = if (!exists) df else {

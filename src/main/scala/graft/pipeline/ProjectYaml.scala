@@ -520,6 +520,48 @@ object ProjectYaml {
     }.toMap
   }
 
+  /** Per-test severity configs (`config: {severity: warn, warn_if: ">10",
+    * error_if: ">100"}`, dbt-core standard; `severity:` directly in the
+    * test args also accepted, dbt's pre-1.0 spelling). Test names follow
+    * [[loadModelTests]]'s `<kind>_<model>_<column>` convention so the two
+    * maps key-align on [[Model.tests]] / [[Model.testConfig]]. Only tests
+    * that SET something appear — absent keys default to error-at-any-
+    * violation in [[TestConfig]]. */
+  def loadTestConfigs(yaml: String): Map[String, Map[String, TestConfig]] = {
+    val root = m(YamlLite.parse(yaml))
+    def cfgOf(args: Map[String, Any]): Option[TestConfig] = {
+      val c = m(args.getOrElse("config", Map.empty[String, Any]))
+      val sev = c.get("severity").orElse(args.get("severity")).map(str)
+      val warnIf = c.get("warn_if").map(str)
+      val errorIf = c.get("error_if").map(str)
+      if (sev.isEmpty && warnIf.isEmpty && errorIf.isEmpty) None
+      else Some(TestConfig(sev.getOrElse("error"),
+        warnIf.getOrElse("!= 0"), errorIf.getOrElse("!= 0")))
+    }
+    seq(root.getOrElse("models", Nil)).map(m(_)).flatMap { mod =>
+      val name = str(mod.getOrElse("name", ""))
+      val modelLevel = seq(mod.getOrElse("tests", Nil)).map(m(_)).flatMap {
+        _.toSeq.flatMap { case (kind, args) =>
+          val a = m(args)
+          cfgOf(a).map(c =>
+            s"${kind}_${name}_${str(a.getOrElse("column_name", "id"))}" -> c)
+        }
+      }
+      val columnLevel = seq(mod.getOrElse("columns", Nil)).map(m(_)).flatMap { c =>
+        val column = str(c.getOrElse("name", ""))
+        seq(c.getOrElse("tests", Nil)).flatMap {
+          case mm: Map[_, _] =>
+            mm.asInstanceOf[Map[String, Any]].headOption.flatMap {
+              case (k, v) => cfgOf(m(v)).map(s"${k}_${name}_$column" -> _)
+            }
+          case _ => None // bare kinds carry no config
+        }
+      }
+      val all = (modelLevel ++ columnLevel).toMap
+      if (name.isEmpty || all.isEmpty) None else Some(name -> all)
+    }.toMap
+  }
+
   /** Model + column `description:` fields → the docs the manifest/catalog
     * export persists (dbt `persist_docs`). */
   def loadModelDocs(yaml: String)
@@ -925,6 +967,8 @@ object ProjectYaml {
     }
     val tests = ymlFiles.map(f => loadModelTests(Files.readString(f)))
       .foldLeft(Map.empty[String, Seq[(String, DataFrame => DataFrame)]])(_ ++ _)
+    val testCfgs = ymlFiles.map(f => loadTestConfigs(Files.readString(f)))
+      .foldLeft(Map.empty[String, Map[String, TestConfig]])(_ ++ _)
     val docs = ymlFiles.map(f => loadModelDocs(Files.readString(f)))
       .foldLeft(Map.empty[String, (String, Map[String, String])])(_ ++ _)
     val exposures = ymlFiles.filter(_.getFileName.toString == "exposures.yml")
@@ -951,7 +995,10 @@ object ProjectYaml {
           columnDocs = docs.get(name).map(_._2).getOrElse(Map.empty),
           tests = tests.getOrElse(name, Nil),
           group = conf.get("group").map(str),
-          access = str(conf.getOrElse("access", "protected"))))
+          access = str(conf.getOrElse("access", "protected")),
+          alias = conf.get("alias").map(str),
+          schemaOverride = conf.get("schema").map(str),
+          testConfig = testCfgs.getOrElse(name, Map.empty)))
       }
     }
     // seeds: each CSV under seed-paths is a dependency-less table model

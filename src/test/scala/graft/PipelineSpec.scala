@@ -975,4 +975,197 @@ class PipelineSpec extends SparkSpec {
       .select("o_orderkey", "c_name").collect().map(_.toSeq).toSet
     assert(salted == plain)
   }
+
+  test("test severity: warn-level failures never gate the downstream " +
+       "closure, land as 'warn' in run_results, and retry skips them") {
+    val orders = Tables.orders(spark, sf)
+    // every row violates → count is huge; severity decides the outcome
+    val violate = (df: org.apache.spark.sql.DataFrame) => df.filter(lit(true))
+    val stg = Model("stg_w", Seq("orders"), TableMat(),
+      in => in("orders").select(col("o_orderkey").as("id")),
+      tests = Seq("always_fails" -> violate),
+      testConfig = Map("always_fails" -> TestConfig(severity = "warn")))
+    val fct = Model("fct_w", Seq("stg_w"), TableMat(),
+      in => in("stg_w").agg(count(lit(1)).as("n")))
+    val dag = new Pipeline(Seq(stg, fct))
+    val dir = tmp()
+    val (out, st) = dag.build(spark, Map("orders" -> orders), dir)
+    assert(st("stg_w").startsWith("warn: test always_fails"), st.toString)
+    assert(st("fct_w") == "success", st.toString) // child built anyway
+    assert(out("fct_w").collect()(0).getLong(0) == orders.count())
+    val rr = dag.runResultsJson(st)
+    assert(rr.contains(""""status":"warn"""") && rr.contains("always_fails"))
+    // retry: a warned model completed — nothing to re-run
+    val (_, st2) = dag.retry(spark, Map("orders" -> orders), dir, st)
+    assert(st2 == st, st2.toString)
+  }
+
+  test("test thresholds: error_if/warn_if counts pick the dbt outcome") {
+    // 5 violations: error_if '> 10' not met, warn_if '> 3' met → warn;
+    // tighten error_if to '> 4' → fail
+    val orders = Tables.orders(spark, sf)
+    def mk(errorIf: String) = new Pipeline(Seq(
+      Model("m_t", Seq("orders"), TableMat(),
+        in => in("orders").select(col("o_orderkey").as("id")),
+        tests = Seq("five_rows" ->
+          ((df: org.apache.spark.sql.DataFrame) => df.limit(5))),
+        testConfig = Map("five_rows" ->
+          TestConfig("error", warnIf = "> 3", errorIf = errorIf)))))
+    val (_, warn) = mk("> 10").build(spark, Map("orders" -> orders), tmp())
+    assert(warn("m_t").startsWith("warn: test five_rows (5 violations)"),
+      warn.toString)
+    val (_, fail) = mk("> 4").build(spark, Map("orders" -> orders), tmp())
+    assert(fail("m_t").startsWith("fail: test five_rows"), fail.toString)
+    // severity=warn NEVER errors, whatever the counts
+    val soft = new Pipeline(Seq(
+      Model("m_s", Seq("orders"), TableMat(),
+        in => in("orders").select(col("o_orderkey").as("id")),
+        tests = Seq("all_rows" ->
+          ((df: org.apache.spark.sql.DataFrame) => df)),
+        testConfig = Map("all_rows" -> TestConfig("warn")))))
+    val (_, st) = soft.build(spark, Map("orders" -> orders), tmp())
+    assert(st("m_s").startsWith("warn:"), st.toString)
+    // malformed condition refuses loudly instead of never firing
+    intercept[IllegalArgumentException](TestConfig.eval("banana", 3))
+  }
+
+  test("yaml test configs: severity/warn_if/error_if parse from both " +
+       "column-nested and model-level forms") {
+    val cfgs = ProjectYaml.loadTestConfigs(
+      """models:
+        |  - name: stg_example
+        |    tests:
+        |      - unique:
+        |          column_name: id
+        |          config:
+        |            severity: warn
+        |    columns:
+        |      - name: amount
+        |        tests:
+        |          - not_null:
+        |              config:
+        |                severity: error
+        |                warn_if: "> 10"
+        |                error_if: "> 100"
+        |          - unique
+        |""".stripMargin)
+    val c = cfgs("stg_example")
+    assert(c("unique_stg_example_id") == TestConfig("warn"))
+    assert(c("not_null_stg_example_amount") ==
+      TestConfig("error", "> 10", "> 100"))
+    assert(!c.contains("unique_stg_example_amount")) // bare kind: no config
+  }
+
+  test("access=private without a group refuses at construction (an " +
+       "ungrouped private model would be ref-able by any ungrouped model)") {
+    val e = intercept[IllegalArgumentException](new Pipeline(Seq(
+      Model("core", Seq("src"), EphemeralMat, in => in("src"),
+        access = "private"))))
+    assert(e.getMessage.contains("requires a group"))
+  }
+
+  test("alias + custom schema relocate the relation; clone and defer " +
+       "resolve the moved artifact") {
+    val orders = Tables.orders(spark, sf)
+    val stg = Model("stg_a", Seq("orders"), TableMat(),
+      in => in("orders").select(col("o_orderkey").as("id")),
+      alias = Some("stg_aliased"), schemaOverride = Some("staging"))
+    val fct = Model("fct_a", Seq("stg_a"), TableMat(),
+      in => in("stg_a").agg(count(lit(1)).as("n")))
+    val dag = new Pipeline(Seq(stg, fct))
+    val prodDir = tmp()
+    val resolved = dag.run(spark, Map("orders" -> orders), prodDir)
+    assert(new java.io.File(s"$prodDir/staging/stg_aliased").exists())
+    assert(!new java.io.File(s"$prodDir/stg_a").exists())
+    // manifest carries the relation identity for movement detection
+    val man = dag.manifestJson(resolved)
+    assert(man.contains(""""schema":"staging"""") &&
+      man.contains(""""alias":"stg_aliased""""))
+    // clone resolves the moved source artifact and keeps the layout
+    val cloneDir = tmp()
+    val cloned = dag.cloneFrom(spark, prodDir, cloneDir)
+    assert(new java.io.File(s"$cloneDir/staging/stg_aliased").exists())
+    assert(cloned("stg_a").count() == orders.count())
+    // --defer against prod state finds the aliased parent artifact
+    val ciDir = tmp()
+    val deferred = dag.runDeferred(spark, Map("orders" -> orders), ciDir,
+      Seq("fct_a"), prodDir)
+    assert(deferred("fct_a").collect()(0).getLong(0) == orders.count())
+  }
+
+  test("prSchemaDiff: movement, table-type, partitioning/clustering and " +
+       "column changes per model; new/removed models surface") {
+    import graft.operators.Diff
+    val orders = Tables.orders(spark, sf)
+    def base(part: Option[String], alias: Option[String]) = Seq(
+      Model("stg_p", Seq("orders"), TableMat(partitionBy = part),
+        in => in("orders").select(col("o_orderkey").as("id"),
+          col("o_orderstatus").as("status")),
+        alias = alias),
+      Model("mart_gone", Seq("orders"), TableMat(),
+        in => in("orders").select(col("o_orderkey").as("id"))),
+      Model("mart_t", Seq("orders"), TableMat(),
+        in => in("orders").select(col("o_orderkey").as("id"))))
+    val prodDag = new Pipeline(base(None, None))
+    val prodRes = prodDag.run(spark, Map("orders" -> orders), tmp())
+    val prodMan = prodDag.manifestJson(prodRes)
+    // PR: partitions stg_p, moves it via alias, drops mart_gone, adds a
+    // model, retypes a column
+    val prDag = new Pipeline(Seq(
+      Model("stg_p", Seq("orders"),
+        TableMat(partitionBy = Some("status"), clusterBy = Seq("id")),
+        in => in("orders").select(col("o_orderkey").cast("int").as("id"),
+          col("o_orderstatus").as("status"), lit(1).as("build_id")),
+        alias = Some("stg_p_v2")),
+      Model("mart_new", Seq("orders"), ViewMat,
+        in => in("orders").select(col("o_orderkey").as("id"))),
+      Model("mart_t", Seq("orders"), ViewMat, // table in prod → view in PR
+        in => in("orders").select(col("o_orderkey").as("id")))))
+    val prRes = prDag.run(spark, Map("orders" -> orders), tmp())
+    val prMan = prDag.manifestJson(prRes)
+    val report = Diff.prSchemaDiff(prMan, Some(prodMan),
+      prRes.map { case (k, v) => k -> v.schema },
+      prodRes.map { case (k, v) => k -> v.schema }, spark)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val stg = report("stg_p")
+    assert(stg.getString(1) == "OK")
+    assert(stg.getString(2) == "MOVED:stg_p->stg_p_v2", stg.toString)
+    assert(stg.getLong(4) == 1 && stg.getLong(5) == 0 && stg.getLong(6) == 1,
+      stg.toString) // +build_id, id retyped
+    assert(stg.getLong(7) == 2, stg.toString) // partition_by + cluster_by
+    assert(stg.getString(8).contains("partition_by:->status") &&
+      stg.getString(8).contains("cluster_by:->id"), stg.toString)
+    val neu = report("mart_new")
+    assert(neu.getString(1) == "NEW_MODEL")
+    assert(neu.getString(3) == "", neu.toString) // no prod side to diff
+    assert(report("mart_t").getString(3) == "table->view",
+      report("mart_t").toString)
+    assert(report("mart_gone").getString(1) == "REMOVED")
+    // no prod manifest → movement UNKNOWN, everything else still reports
+    val blind = Diff.prSchemaDiff(prMan, None,
+      prRes.map { case (k, v) => k -> v.schema }, Map.empty, spark)
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(blind.values.forall(_ == "UNKNOWN"))
+  }
+
+  test("orphanedRelations: prod dirs not covered by the manifest surface; " +
+       "schema-qualified relations and artifacts do not") {
+    import graft.operators.Diff
+    val orders = Tables.orders(spark, sf).limit(10)
+    val dag = new Pipeline(Seq(
+      Model("covered", Seq("orders"), TableMat(),
+        in => in("orders").select(col("o_orderkey").as("id"))),
+      Model("covered_sub", Seq("orders"), TableMat(),
+        in => in("orders").select(col("o_orderkey").as("id")),
+        schemaOverride = Some("staging"))))
+    val dir = tmp()
+    val res = dag.run(spark, Map("orders" -> orders), dir)
+    // an operator table nobody's model accounts for, plus a stray inside
+    // the schema dir, plus run artifacts that must never count as orphans
+    orders.write.parquet(s"$dir/legacy_mart")
+    orders.write.parquet(s"$dir/staging/legacy_stg")
+    dag.writeDocs(dir, res)
+    assert(Diff.orphanedRelations(dir, dag.manifestJson(res)) ==
+      Seq("legacy_mart", "staging/legacy_stg"))
+  }
 }
