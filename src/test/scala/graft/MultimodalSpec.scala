@@ -28,6 +28,50 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(feats) == rows(Multimodal.extractFeatures(docs)))
   }
 
+  test("real image decode: actual PNG/BMP pixels yield true dimensions " +
+       "and luminance histograms; corrupt bytes fall back to the stub") {
+    import spark.implicits._
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def bmp(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "bmp", bos)
+      bos.toByteArray
+    }
+    val white = png(40, 30, 0xffffff) // luminance 255 → bin 7
+    val black = bmp(17, 23, 0x000000) // luminance 0 → bin 0
+    val corrupt = white.take(20) // PNG magic but truncated body
+    val media = Seq(
+      graft.operators.MediaRow(1L, "image", white, "t"),
+      graft.operators.MediaRow(2L, "image", black, "t"),
+      graft.operators.MediaRow(3L, "image", corrupt, "t"),
+      graft.operators.MediaRow(4L, "audio", Array[Byte](1, 2, 3, 4, 5), "t"))
+    val out = Multimodal.extractFeaturesBinary(media.toDF())
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // real decode: true pixel dimensions, not the stub's byte arithmetic
+    assert(out(1L).getInt(5) == 40 && out(1L).getInt(6) == 30, out(1L).toString)
+    assert(out(1L).getString(4) == "89504e47") // PNG magic in header_hex
+    assert(out(2L).getInt(5) == 17 && out(2L).getInt(6) == 23, out(2L).toString)
+    // solid colors land their full mass in one luminance bin
+    assert(math.abs(out(1L).getSeq[Float](7)(7) - 1.0f) < 1e-4)
+    assert(math.abs(out(2L).getSeq[Float](7)(0) - 1.0f) < 1e-4)
+    // corrupt image + non-image modality: deterministic stub, same shape
+    Seq(3L, 4L).foreach { id =>
+      val feat = out(id).getSeq[Float](7)
+      assert(feat.length == 8 && math.abs(feat.sum - 1.0f) < 1e-3)
+    }
+    assert(out(3L).getInt(5) == 64 + corrupt.length % 512) // stub width
+  }
+
   test("materialize: partition_by layout + cluster_by sort + dynamic overwrite") {
     val dir = java.nio.file.Files.createTempDirectory("graft_mat").toString
     val fct = Relational.fctBucket(Tables.orders(spark, sf), 200000.0)
