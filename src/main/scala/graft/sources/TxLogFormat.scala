@@ -778,16 +778,25 @@ object TxLogFormat extends TableFormat {
     }
   }
 
-  /** The deletion-vector positions of `live` files as a tiny (file name,
-    * position) frame — broadcast against the masked scan. */
+  /** Outstanding vector rows above which the DV anti-join stops
+    * broadcasting: ~4M (name, pos) rows ≈ 150+ MB materialized per
+    * executor — past that, a shuffled anti-join is cheaper than an
+    * oversized broadcast on EVERY read until [[purgeDeletes]]. */
+  private val DvBroadcastMaxRows = 4000000L
+
+  /** The deletion-vector positions of `live` files as a (file name,
+    * position) frame — broadcast against the masked scan while small
+    * (deleted-row scale, KBs in the steady state), plain above
+    * [[DvBroadcastMaxRows]]. */
   private def dvFrame(spark: SparkSession, live: Seq[String],
                       dvs: Map[String, Array[Long]]): DataFrame = {
     import org.apache.spark.sql.types.{LongType, StringType, StructField}
     val rows: Seq[Row] = live.flatMap(r =>
       dvs.getOrElse(r, Array.empty[Long]).map(p => Row(r.split("/").last, p)))
-    spark.createDataFrame(rows.asJava, StructType(Seq(
+    val df = spark.createDataFrame(rows.asJava, StructType(Seq(
       StructField("_dv_name", StringType, nullable = false),
       StructField("_dv_pos", LongType, nullable = false))))
+    if (rows.length <= DvBroadcastMaxRows) broadcast(df) else df
   }
 
   private def readFiles(spark: SparkSession, path: String, live: Seq[String],
@@ -805,7 +814,7 @@ object TxLogFormat extends TableFormat {
       val (fn, ri) = (s"_dv_fn_$sfx", s"_dv_ri_$sfx")
       val m = readMeta(spark, path, dvLive, schemaJson, fn, ri)
       val pos = dvFrame(spark, dvLive, dvs)
-      val masked = m.join(broadcast(pos),
+      val masked = m.join(pos,
           m(fn) === pos("_dv_name") && m(ri) === pos("_dv_pos"), "left_anti")
         .drop(fn, ri)
       return if (plain.isEmpty) masked
@@ -1162,6 +1171,11 @@ object TxLogFormat extends TableFormat {
   def deleteVectors(spark: SparkSession, path: String, condition: Column,
                     maxDeletedRows: Long = 10000000L,
                     txn: Option[String] = None): Long = {
+    // a nonpositive cap would make limit() throw (negative) or silently
+    // match nothing (zero) — refuse with the actual remedy instead
+    require(maxDeletedRows > 0,
+      s"txlog: maxDeletedRows must be positive (got $maxDeletedRows) — " +
+        "for bulk deletes rewrite with deleteKeys/replace instead")
     val st = foldLog(path)
     require(st.version >= 0, s"txlog: no committed version at $path")
     if (st.live.isEmpty) return 0L
@@ -1172,7 +1186,7 @@ object TxLogFormat extends TableFormat {
     val meta = readMeta(spark, path, st.live, st.schema, fn, ri)
     val alive = {
       val pos = dvFrame(spark, st.live, st.dvs)
-      meta.join(broadcast(pos),
+      meta.join(pos,
         meta(fn) === pos("_dv_name") && meta(ri) === pos("_dv_pos"),
         "left_anti")
     }
@@ -1316,17 +1330,21 @@ object TxLogFormat extends TableFormat {
     * auditor asks it. Stamps are the in-content `w` lines (vacuum-safe,
     * not mtime); a timestamp before the earliest retained commit refuses
     * like a vacuumed version. */
+  /** A commit's durable timestamp. A pre-`w` legacy commit reports
+    * timestamp 0, which reads as infinitely old (fabricating history in
+    * [[readTimestamp]], folding away recent versions in
+    * [[vacuumRetainHours]]) — fall back to the commit file's mtime there,
+    * like [[lastCommitEpoch]] does. */
+  private def effectiveTs(path: String, c: CommitInfo): Long =
+    if (c.timestamp > 0) c.timestamp
+    else Files.getLastModifiedTime(commitFile(path, c.version))
+      .toInstant.getEpochSecond
+
   def readTimestamp(spark: SparkSession, path: String,
                     epochSec: Long): DataFrame = {
     val h = describeHistory(path) // newest first
     require(h.nonEmpty, s"txlog: no committed version at $path")
-    // a pre-`w` legacy commit reports timestamp 0, which would match ANY
-    // queried epoch and fabricate history — fall back to the commit
-    // file's mtime there, like [[lastCommitEpoch]] does
-    def effectiveTs(c: CommitInfo): Long =
-      if (c.timestamp > 0) c.timestamp
-      else Files.getLastModifiedTime(commitFile(path, c.version))
-        .toInstant.getEpochSecond
+    def effectiveTs(c: CommitInfo): Long = TxLogFormat.effectiveTs(path, c)
     val at = h.find(effectiveTs(_) <= epochSec).getOrElse(
       throw new IllegalArgumentException(
         s"txlog: no retained commit at or before epoch $epochSec at $path " +
@@ -1929,7 +1947,10 @@ object TxLogFormat extends TableFormat {
     * means different durations on different write cadences. */
   def vacuumRetainHours(path: String, hours: Double): Int = {
     val cutoff = java.time.Instant.now().getEpochSecond - (hours * 3600).toLong
-    val recent = describeHistory(path).count(_.timestamp > cutoff)
+    // effectiveTs, not raw timestamp: a legacy pre-`w` commit reports 0
+    // and would be treated as infinitely old — the mtime fallback keeps a
+    // genuinely recent commit inside the retention window
+    val recent = describeHistory(path).count(effectiveTs(path, _) > cutoff)
     vacuum(path, retainVersions = math.max(1, recent))
   }
 

@@ -1174,6 +1174,46 @@ class FormatSpec extends SparkSpec {
       s"vacuum moved the load time: $loaded2 -> ${TxLogFormat.lastCommitEpoch(t)}")
   }
 
+  test("file-count scale: snapshot + stats pruning over a 12k-file log " +
+       "stay driver-cheap and prune exactly (fakes never touch the reader)") {
+    import org.apache.spark.sql.functions.col
+    val t = tmp()
+    // two REAL files with ids 0..99
+    TxLogFormat.write(Tables.orders(spark, sf).limit(100)
+      .select((col("o_orderkey") % 100).as("id")).repartition(2), t)
+    // + one synthetic commit adding 12,000 fictive files whose recorded id
+    // stats sit far above the probe predicate. If pruning ever consulted
+    // less than ALL the stats — or held them wrong — the reader would try
+    // to open a file that does not exist and the scan would throw: the
+    // assertion below is existence-hard, not statistical.
+    val n = 12000
+    val lines = (0 until n).flatMap { i =>
+      val rel = f"fake/part-$i%05d.parquet"
+      val lo = 1000000L + i * 10L
+      Seq(s"a $rel", s"f $rel\t5\tid\t$lo\t${lo + 9}\t0")
+    }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(t, "_txlog", f"${1L}%016d.commit"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    // warm nothing: time the FULL driver-side resolution (log fold of
+    // 24k lines + stats map + per-file predicate pruning) plus the read
+    // of the two surviving real files
+    val t0 = System.nanoTime()
+    val got = TxLogFormat.scan(spark, t, col("id") < 100).count()
+    val firstSec = (System.nanoTime() - t0) / 1e9
+    assert(got == 100, s"scan returned $got rows")
+    // metadata-only count must also stay correct (sums 12k fake stats)
+    assert(TxLogFormat.count(spark, t) == 100L + 5L * n)
+    // the scale assertion: a 12k-file table resolves in seconds on the
+    // driver, not minutes — generous bound for a loaded CI box; the
+    // steady-state second resolution must be sub-2s
+    assert(firstSec < 10.0, f"cold 12k-file scan took $firstSec%.1f s")
+    val t1 = System.nanoTime()
+    TxLogFormat.scan(spark, t, col("id") < 100).count()
+    val secondSec = (System.nanoTime() - t1) / 1e9
+    assert(secondSec < 2.0, f"warm 12k-file scan took $secondSec%.1f s")
+  }
+
   test("Pipeline drop-in parity: same DAG, same results as ParquetDirFormat") {
     val orders = Tables.orders(spark, sf)
     def mk(fmt: graft.sources.TableFormat) = new Pipeline(Seq(
