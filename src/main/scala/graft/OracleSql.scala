@@ -272,6 +272,12 @@ object OracleSql {
     "dedup_incremental" ->
       """WITH corpus AS (SELECT md5(lower(trim(text))) AS digest FROM documents WHERE doc_id % 3 <> 0), batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0 UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 5 = 0), b AS (SELECT md5(lower(trim(text))) AS digest, MIN(doc_id) AS survivor_id, COUNT(*) AS batch_count FROM batch GROUP BY digest) SELECT digest, survivor_id, batch_count FROM b WHERE digest NOT IN (SELECT digest FROM corpus) ORDER BY digest""",
 
+    // recall-1 LSH config on the 10% slice: the banded candidate
+    // generator (prefilter off) + exact verify must reproduce the exact
+    // unblocked pair set at J >= 0.8
+    "dedup_minhash_r1" ->
+      s"""WITH d AS (SELECT doc_id, $docWords AS w FROM documents WHERE doc_id % 10 = 0) SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, ROUND(CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) / len(list_distinct(list_concat(a.w, b.w))) * 10000, 0)/10000.0 AS jaccard FROM d a JOIN d b ON a.doc_id < b.doc_id WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) / len(list_distinct(list_concat(a.w, b.w))) >= 0.8 ORDER BY doc_a, doc_b""",
+
     "dedup_jaccard" ->
       s"""WITH d AS (SELECT doc_id, lang, n_chars, $docWords AS w FROM documents) SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, ROUND(CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) / len(list_distinct(list_concat(a.w, b.w))) * 10000, 0)/10000.0 AS jaccard FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id AND (a.n_chars // 100) = (b.n_chars // 100) WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) / len(list_distinct(list_concat(a.w, b.w))) >= 0.5 ORDER BY doc_a, doc_b""",
 
@@ -439,6 +445,21 @@ object OracleSql {
     // ⇒ the exact lower-rank order statistic (quantile_disc)
     "approx_quantiles_x" ->
       """SELECT o_orderpriority, quantile_disc(o_totalprice, 0.5) AS p50_approx, quantile_disc(o_totalprice, 0.9) AS p90_approx FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    // t-digest at δ=120000 > π·N/2: every centroid a singleton, so the
+    // digest's midpoint interpolation (centroids at cumulative-weight
+    // midpoints i+0.5; exact min/max at the ends) is this closed form
+    // over the sorted values — identical IEEE op order on both engines
+    "tdigest_quantiles_x" -> {
+      def td(q: String) =
+        s"CASE WHEN n = 1 THEN xs[1] WHEN $q*n <= 0.5 THEN xs[1] " +
+        s"WHEN $q*n >= n - 0.5 THEN xs[n] " +
+        s"ELSE xs[CAST(floor($q*n - 0.5) AS BIGINT) + 1] + " +
+        s"(xs[CAST(floor($q*n - 0.5) AS BIGINT) + 2] - " +
+        s"xs[CAST(floor($q*n - 0.5) AS BIGINT) + 1]) * " +
+        s"($q*n - (CAST(floor($q*n - 0.5) AS BIGINT) + 0.5)) END"
+      s"""WITH s AS (SELECT o_orderpriority, list_sort(list(o_totalprice)) AS xs, COUNT(*) AS n FROM orders GROUP BY 1) SELECT o_orderpriority, ROUND(${td("0.5")}, 2) AS p50_est, ROUND(${td("0.9")}, 2) AS p90_est, ROUND(${td("0.99")}, 2) AS p99_est FROM s ORDER BY o_orderpriority"""
+    },
 
     // ASCII corpus: byte sum == code-point sum, so the stub decoder's
     // dimension arithmetic is plain SQL over the same bytes

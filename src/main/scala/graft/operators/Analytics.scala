@@ -233,11 +233,21 @@ object Analytics {
   /** t-digest sketch quantiles (graft.functions.TDigestAgg): a few KB per
     * group at any scale, mergeable on the map side, tail-accurate — the
     * 100 TB replacement for exact `percentile`. Spec-bounded vs the exact
-    * quantiles; approximate by design → rows-only driver check. */
-  def tdigestQuantiles(orders: DataFrame): DataFrame =
+    * quantiles; approximate by design → rows-only driver check.
+    *
+    * `compression` above π·N/2 (N = largest group) is the EXACT regime:
+    * the k1 scale function's tightest capacity window (π/δ of q-space, at
+    * the median) then holds less than two unit points, so no merge ever
+    * fires, every centroid stays a singleton input value, and the midpoint
+    * interpolation is a closed form over the sorted values — which SQL can
+    * state exactly. That configuration is the oracle-adjudicated twin
+    * (tdigest_quantiles_x); the default δ=100 is the production sketch. */
+  def tdigestQuantiles(orders: DataFrame,
+                       compression: Double = 100.0): DataFrame =
     orders.groupBy(col("o_orderpriority"))
       .agg(graft.functions.TDigestAgg
-        .tdigestQuantiles(col("o_totalprice"), Seq(0.5, 0.9, 0.99)).as("qs"))
+        .tdigestQuantiles(col("o_totalprice"), Seq(0.5, 0.9, 0.99),
+          compression).as("qs"))
       .select(col("o_orderpriority"),
         round(element_at(col("qs"), 1), 2).as("p50_est"),
         round(element_at(col("qs"), 2), 2).as("p90_est"),
@@ -440,13 +450,26 @@ object Analytics {
     * saturation) and the oracle is plain COUNT(DISTINCT) SQL — the
     * ann_pq_q adjudication pattern; production sizes k down (4096 ⇒ ~2%
     * error, 32 KB/cell) and the merge cost doesn't change. */
-  def sketchRollup(events: DataFrame, k: Int = 1 << 14): DataFrame = {
+  def sketchRollup(events: DataFrame, k: Int = 1 << 14): DataFrame =
+    sketchRollupFromCells(sketchCells(events, k), k)
+
+  /** Stage 1: the STORED rollup table — one theta sketch + event count per
+    * (day, event_type) cell. In production this is written once per
+    * ingest period (a TxLogFormat table) and every rollup query reads
+    * only it; [[sketchRollupFromCells]] is that query. */
+  def sketchCells(events: DataFrame, k: Int = 1 << 14): DataFrame = {
     import graft.functions.ThetaAgg
-    val cells = events
+    events
       .groupBy(to_date(col("ts")).as("day"), col("event_type"))
       .agg(ThetaAgg.sketch(col("user_id"), k).as("sk"),
         count(lit(1)).as("n_events"))
-    // `cells` is the stored rollup table; everything below reads ONLY it
+  }
+
+  /** Stage 2: merge-only — "distinct users per type" from the stored
+    * cells, never touching an event row. Any slice (a day range, one
+    * type, all types) is the same merge over fewer or more cells. */
+  def sketchRollupFromCells(cells: DataFrame, k: Int = 1 << 14): DataFrame = {
+    import graft.functions.ThetaAgg
     val merged = slice(
       array_sort(array_distinct(flatten(collect_list(col("sk"))))), 1, k)
     cells.groupBy("event_type")

@@ -217,7 +217,8 @@ object Dedup {
 
   def minhashLsh(documents: DataFrame, numHashes: Int = 64, bands: Int = 8,
                  threshold: Double = 0.8,
-                 payloadJoin: PayloadJoin = PayloadJoin.Auto): DataFrame = {
+                 payloadJoin: PayloadJoin = PayloadJoin.Auto,
+                 prefilterSlackSd: Double = 2.5): DataFrame = {
     require(numHashes % bands == 0,
       s"numHashes ($numHashes) must be divisible by bands ($bands)")
     val r = numHashes / bands
@@ -244,21 +245,25 @@ object Dedup {
     // sqrt(J(1-J)/k) (~0.05 at k=64, J=0.8); 2.5 sd of slack keeps the miss
     // probability for a true threshold-J pair under ~1% while the exact
     // verify keeps precision perfect — pairs estimated hopelessly below the
-    // threshold skip the payload joins entirely.
-    val minAgree = math.max(0.0, (threshold - 2.5 * math.sqrt(
+    // threshold skip the payload joins entirely. `prefilterSlackSd =
+    // Double.PositiveInfinity` disables it — the recall-1 adjudication
+    // configuration, where NO probabilistic drop may sit between candidate
+    // generation and the exact verify.
+    val minAgree = math.max(0.0, (threshold - prefilterSlackSd * math.sqrt(
       threshold * (1 - threshold) / numHashes)) * numHashes).floor.toInt
     // shuffle_hash hint: both sides sit on the SAME repartition exchange, so
     // a shuffled join computes the signature subtree once (ReusedExchange);
     // letting AQE broadcast one side would duplicate the whole sig
     // aggregation into the broadcast branch
-    val cand = banded.as("x").hint("shuffle_hash").join(banded.as("y"),
+    val cand0 = banded.as("x").hint("shuffle_hash").join(banded.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
         col("x.band_hash") === col("y.band_hash") &&
         col("x.doc_id") < col("y.doc_id"))
       .filter(graft.functions.VectorFunctions.firstEqualBand(
         col("x.sig"), col("y.sig"), r) === col("x.band_idx"))
-      .filter(graft.functions.VectorFunctions.equalPositions(
-        col("x.sig"), col("y.sig")) >= minAgree)
+    val cand = (if (minAgree == 0) cand0
+      else cand0.filter(graft.functions.VectorFunctions.equalPositions(
+        col("x.sig"), col("y.sig")) >= minAgree))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       // Stage barrier before the verify: without it the payload probes +
       // set-jaccard fuse INTO the band-join emit stage and the whole verify
