@@ -72,7 +72,8 @@ final case class Contract(columns: Seq[(String, String)],
   * dbt-core: both conditions `!= 0`. */
 final case class TestConfig(severity: String = "error",
                             warnIf: String = "!= 0",
-                            errorIf: String = "!= 0") {
+                            errorIf: String = "!= 0",
+                            storeFailures: Boolean = false) {
   require(Seq("error", "warn").contains(severity),
     s"test severity must be error|warn, got '$severity'")
   /** Outcome for a violation count: "pass" | "warn" | "fail". */
@@ -781,14 +782,26 @@ final class Pipeline(models: Seq[Model], exposures: Seq[Exposure] = Nil,
         val warns = Seq.newBuilder[String]
         m.tests.iterator.takeWhile(_ => firstFail.isEmpty).foreach {
           case (tn, t) =>
-            val k = t(out).limit(1001).count()
+            val cfg = m.testConfig.getOrElse(tn, TestConfig())
+            val k =
+              if (!cfg.storeFailures) t(out).limit(1001).count()
+              else {
+                // dbt `store_failures`: persist the full violation set as
+                // an auditable table (dbt's dbt_test__audit schema) — ONE
+                // job writes and counts; the later count() reads the
+                // tiny materialized table, not the test query again
+                val dir = s"$targetDir/dbt_test__audit/$tn"
+                t(out).write.mode("overwrite").parquet(dir)
+                spark.read.parquet(dir).count()
+              }
             if (k > 0) {
-              val cfg = m.testConfig.getOrElse(tn, TestConfig())
+              // stored counts are exact (full write), capped scans saturate
+              val shown = if (cfg.storeFailures) k.toString else shownOf(k)
               cfg.outcome(k) match {
                 case "fail" =>
-                  firstFail = Some(s"fail: test $tn (${shownOf(k)} violations)")
+                  firstFail = Some(s"fail: test $tn ($shown violations)")
                 case "warn" =>
-                  warns += s"test $tn (${shownOf(k)} violations)"
+                  warns += s"test $tn ($shown violations)"
                 case _ => ()
               }
             }

@@ -534,9 +534,11 @@ object ProjectYaml {
       val sev = c.get("severity").orElse(args.get("severity")).map(str)
       val warnIf = c.get("warn_if").map(str)
       val errorIf = c.get("error_if").map(str)
-      if (sev.isEmpty && warnIf.isEmpty && errorIf.isEmpty) None
+      val store = c.get("store_failures").collect { case b: Boolean => b }
+      if (sev.isEmpty && warnIf.isEmpty && errorIf.isEmpty && store.isEmpty) None
       else Some(TestConfig(sev.getOrElse("error"),
-        warnIf.getOrElse("!= 0"), errorIf.getOrElse("!= 0")))
+        warnIf.getOrElse("!= 0"), errorIf.getOrElse("!= 0"),
+        store.getOrElse(false)))
     }
     seq(root.getOrElse("models", Nil)).map(m(_)).flatMap { mod =>
       val name = str(mod.getOrElse("name", ""))

@@ -1029,6 +1029,25 @@ class PipelineSpec extends SparkSpec {
     intercept[IllegalArgumentException](TestConfig.eval("banana", 3))
   }
 
+  test("store_failures: the full violation set persists as an auditable " +
+       "table; counts in run_results are exact, not capped") {
+    val orders = Tables.orders(spark, sf)
+    val n = orders.count()
+    val dag = new Pipeline(Seq(
+      Model("m_sf", Seq("orders"), TableMat(),
+        in => in("orders").select(col("o_orderkey").as("id")),
+        tests = Seq("all_violate" ->
+          ((df: org.apache.spark.sql.DataFrame) => df)),
+        testConfig = Map("all_violate" ->
+          TestConfig(severity = "warn", storeFailures = true)))))
+    val dir = tmp()
+    val (_, st) = dag.build(spark, Map("orders" -> orders), dir)
+    // exact count in the message (a capped scan would say 1000+)
+    assert(st("m_sf") == s"warn: test all_violate ($n violations)", st.toString)
+    val stored = spark.read.parquet(s"$dir/dbt_test__audit/all_violate")
+    assert(stored.count() == n && stored.columns.toSeq == Seq("id"))
+  }
+
   test("yaml test configs: severity/warn_if/error_if parse from both " +
        "column-nested and model-level forms") {
     val cfgs = ProjectYaml.loadTestConfigs(
@@ -1047,12 +1066,13 @@ class PipelineSpec extends SparkSpec {
         |                severity: error
         |                warn_if: "> 10"
         |                error_if: "> 100"
+        |                store_failures: true
         |          - unique
         |""".stripMargin)
     val c = cfgs("stg_example")
     assert(c("unique_stg_example_id") == TestConfig("warn"))
     assert(c("not_null_stg_example_amount") ==
-      TestConfig("error", "> 10", "> 100"))
+      TestConfig("error", "> 10", "> 100", storeFailures = true))
     assert(!c.contains("unique_stg_example_amount")) // bare kind: no config
   }
 

@@ -378,6 +378,23 @@ class PlanSpec extends SparkSpec {
     assert(shuffles == 2, s"expected 2 hash exchanges, got $shuffles in:\n$plan")
   }
 
+  test("sketch rollup from stored cells: one merge exchange, events never " +
+       "rescanned") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cells_ps")
+      .resolve("c").toString
+    graft.sources.TxLogFormat.write(
+      Analytics.sketchCells(Tables.events(spark, sf)), dir)
+    val df = Analytics.sketchRollupFromCells(
+      graft.sources.TxLogFormat.read(spark, dir))
+    val plan = explained(df)
+    // the stage-2 dashboard query reads ONLY the cell table: its scan is
+    // the persisted cells, and the merge pays exactly one exchange
+    assert(!plan.contains("events.parquet"),
+      s"stored-cell rollup rescans events:\n$plan")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 1, s"expected 1 hash exchange, got $shuffles in:\n$plan")
+  }
+
   test("bigram perplexity: the bigram exchange is reused at runtime, " +
        "aggregation is partial, no global sort") {
     val df = TextAnalysis.perplexityBigram(Tables.documents(spark, sf))
