@@ -127,8 +127,16 @@ object Similarity {
     * list as literal columns. At 100 TB this builds ONCE and persists
     * (cell is just another table column); both the float and the
     * quantized searchers consume it. */
-  final case class IvfIndex(assigned: DataFrame, centroids: Seq[Column],
-                            centroidValues: Seq[Array[Double]] = Nil)
+  final case class IvfIndex(assigned: DataFrame,
+                            centroidValues: Seq[Array[Double]]) {
+    /** Every centroid as ONE nested-array literal — a single Catalyst
+      * node. The former per-entry `array(lit, …)` trees put thousands of
+      * expression nodes into every search plan, and the DRIVER paid
+      * seconds of analysis + codegen per query while executors idled
+      * (bench: ann_pq 2.6 s wall vs 0.18 s CPU). Constant tables are
+      * data, not syntax. */
+    def centroidsLit: Column = typedlit(centroidValues.map(_.toSeq))
+  }
 
   def buildIvfIndex(embeddings: DataFrame, nCells: Int = 16): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
@@ -139,11 +147,7 @@ object Similarity {
       .fit(withVec.select("features"))
     val assigned = model.transform(withVec)
       .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
-    // centroid list is tiny (k rows) — ship as a literal array column;
-    // the raw values ride along for residual-PQ cross-term tables
-    IvfIndex(assigned, model.clusterCenters.map(c =>
-      array(c.toArray.map(lit): _*)).toSeq,
-      model.clusterCenters.map(_.toArray).toSeq)
+    IvfIndex(assigned, model.clusterCenters.map(_.toArray).toSeq)
   }
 
   /** Squared Euclidean distance — the SAME metric k-means assigned cells
@@ -161,7 +165,7 @@ object Similarity {
   private def probeCells(index: IvfIndex, queries: DataFrame,
                          nProbe: Int): DataFrame = {
     val cellSims = queries.select(col("query_id"), col("qv"),
-      posexplode(array(index.centroids.map(c => sqDist(col("qv"), c)): _*))
+      posexplode(transform(index.centroidsLit, c => sqDist(col("qv"), c)))
         .as(Seq("cell", "cell_dist")))
     val wCell = Window.partitionBy("query_id").orderBy(col("cell_dist").asc, col("cell"))
     cellSims.withColumn("r", row_number().over(wCell))
@@ -300,9 +304,7 @@ object Similarity {
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
     val sub = dim / m
     val ivf = precomputedIvf.getOrElse(buildIvfIndex(embeddings, nCells))
-    require(!residual || ivf.centroidValues.nonEmpty,
-      "residual PQ needs IvfIndex.centroidValues (rebuild the IVF index)")
-    val centsLit = array(ivf.centroids: _*)
+    val centsLit = ivf.centroidsLit
     // the subvector the codebooks see: the raw slice, or the slice of
     // the residual x − c(cell) (per-row coarse centroid via element_at)
     def subSrc(i: Int): Column = {
@@ -323,8 +325,8 @@ object Similarity {
     // encode: per subspace, argmin over the literal centroid list —
     // array_position(min) is deterministic (first index) on ties
     val codeCols = (0 until m).map { i =>
-      val dists = array(codebooks(i).map(c =>
-        sqDist(subSrc(i), array(c.map(lit): _*))): _*)
+      val dists = transform(typedlit(codebooks(i).map(_.toSeq).toSeq),
+        c => sqDist(subSrc(i), c))
       (array_position(dists, array_min(dists)) - 1).cast("int")
     }
     PqIndex(
@@ -358,26 +360,29 @@ object Similarity {
     val sub = idx.subDim
     val queries = embeddings.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    // codebooks/norm/cross tables are CONSTANTS: ship each as one
+    // typedlit node (data), not per-entry lit trees (syntax) — the
+    // thousands-of-nodes plans cost the driver seconds of analysis +
+    // codegen per search while executors idled
+    val cbLit = typedlit(idx.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
     val probed0 = probeCells(idx.ivf, queries, nProbe)
       // ADC tables ride the probed frame: lut (per-query dots) + qnorm —
       // evaluated once per (query, cell) row, broadcast with it
-      .withColumn("lut", array((0 until m).map { i =>
-        array(idx.codebooks(i).map(c =>
-          dot(slice(col("qv"), i * sub + 1, sub), array(c.map(lit): _*))): _*)
-      }: _*))
+      .withColumn("lut", transform(sequence(lit(0), lit(m - 1)), i =>
+        transform(element_at(cbLit, i + 1), c =>
+          dot(slice(col("qv"), i * lit(sub) + 1, lit(sub)), c))))
       .withColumn("qnorm", sqrt(dot(col("qv"), col("qv"))))
     // residual coding recovers the coarse part per (query, cell):
     // dot(q, x) = dot(q, c_cell) + Σ lut[i][code_i] — dot(q, c_cell)
     // rides the probed frame too (one dot per probe row)
     val probed = if (!idx.residual) probed0.withColumn("qdotc", lit(0.0))
       else probed0.withColumn("qdotc", dot(col("qv"),
-        element_at(array(idx.ivf.centroids: _*), col("cell") + 1)))
+        element_at(idx.ivf.centroidsLit, col("cell") + 1)))
     // ||x̂||²: raw coding — Σ_i ||cb_{i,code_i}||² (codebook literal);
     // residual — ||c_cell||² + 2·Σ_i <c_cell,i , cb_{i,code_i}> + Σ‖cb‖²,
     // where the cross terms are a PURE (cell, i, code) literal table
-    val normLit = array((0 until m).map { i =>
-      array(idx.codebooks(i).map(c => lit(c.map(x => x * x).sum)): _*)
-    }: _*)
+    val normLit = typedlit(idx.codebooks.map(
+      _.map(c => c.map(x => x * x).sum).toSeq).toSeq)
     def lookup(tbl: Column, i: Int): Column =
       element_at(element_at(tbl, i + 1), element_at(col("codes"), i + 1) + 1)
     val adot0 = (0 until m).map(lookup(col("lut"), _)).reduce(_ + _)
@@ -387,14 +392,14 @@ object Similarity {
       if (!idx.residual) rnorm2
       else {
         val cv = idx.ivf.centroidValues
-        val cellNormLit = array(cv.map(c => lit(c.map(x => x * x).sum)): _*)
-        val crossLit = array(cv.map { cc =>
-          array((0 until m).map { i =>
+        val cellNormLit = typedlit(cv.map(c => c.map(x => x * x).sum))
+        val crossLit = typedlit(cv.map { cc =>
+          (0 until m).map { i =>
             val cSub = cc.slice(i * sub, i * sub + sub)
-            array(idx.codebooks(i).map(cb =>
-              lit(cSub.zip(cb).map { case (a, b) => a * b }.sum)): _*)
-          }: _*)
-        }: _*)
+            idx.codebooks(i).map(cb =>
+              cSub.zip(cb).map { case (a, b) => a * b }.sum).toSeq
+          }
+        })
         val cross = (0 until m).map(i =>
           lookup(element_at(crossLit, col("cell") + 1), i)).reduce(_ + _)
         element_at(cellNormLit, col("cell") + 1) + lit(2.0) * cross + rnorm2
@@ -431,8 +436,8 @@ object Similarity {
   def corpusClusters(embeddings: DataFrame, nCells: Int = 16,
                      precomputedIvf: Option[IvfIndex] = None): DataFrame = {
     val index = precomputedIvf.getOrElse(buildIvfIndex(embeddings, nCells))
-    val dists = array(index.centroids.map(c =>
-      sqDist(col("embedding"), c)): _*)
+    val dists = transform(index.centroidsLit, c =>
+      sqDist(col("embedding"), c))
     val total = embeddings.count()
     index.assigned
       .withColumn("dist", sqrt(element_at(dists, col("cell") + 1)))
@@ -461,9 +466,14 @@ object Similarity {
       ((state >>> 11).toDouble / (1L << 53).toDouble) - 0.5
     }
     val planes = Array.fill(nTables, planesPerTable, dim)(next())
+    // one typedlit for ALL hyperplanes ((t·planesPerTable + i)-indexed):
+    // per-plane array(lit…) trees put nTables·planes·dim nodes in the plan
+    val planesLit = typedlit(
+      planes.flatten.map(_.toSeq).toSeq) // (nTables·planesPerTable) × dim
     val buckets = (0 until nTables).map { t =>
       (0 until planesPerTable).map { i =>
-        when(dot(col("embedding"), array(planes(t)(i).map(lit): _*)) >= 0,
+        when(dot(col("embedding"),
+            element_at(planesLit, t * planesPerTable + i + 1)) >= 0,
           shiftleft(lit(1L), i)).otherwise(0L)
       }.reduce(_.bitwiseOR(_))
     }
