@@ -104,6 +104,27 @@ object StreamOps {
     }
   }
 
+  /** Runs `body` with `spark.sql.shuffle.partitions` overridden, restoring
+    * it afterwards. Stateful streaming queries size their STATE STORE
+    * count from this conf at first run — one store instance per partition
+    * per stateful operator side, each paying open/commit/snapshot PER
+    * MICRO-BATCH. Inheriting the CPU-sized batch default (32 here) means
+    * a stream-stream join opens ~128 stores per batch to hold KBs of
+    * state; sizing partitions to the state (not the cores) is the same
+    * decision a 100 TB deployment makes in the opposite direction —
+    * thousands of partitions for TB-scale state, few for KB-scale. */
+  private def withStatePartitions[T](spark: SparkSession, n: Int = 8)
+                                    (body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, n.toString)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Tumbling event-time window aggregation. In continuous operation this
     * runs in append mode with the 2h watermark bounding state; driven with
     * AvailableNow + complete mode it reproduces the batch result exactly
@@ -129,7 +150,8 @@ object StreamOps {
     * (`recentProgress` retains ~100 progress events — plenty for an
     * AvailableNow backfill; a long-lived production query harvests the
     * same rows from a `StreamingQueryListener` instead.) */
-  def runObserved(spark: SparkSession, dir: String): DataFrame = {
+  def runObserved(spark: SparkSession, dir: String): DataFrame =
+      withStatePartitions(spark) {
     import spark.implicits._
     val observed = eventsStream(spark, dir)
       .observe("ingest", count(lit(1)).as("n_rows"),
@@ -149,7 +171,8 @@ object StreamOps {
 
   /** Runs [[tumblingAgg]] over the parquet source to completion and returns
     * the final result (memory sink, complete mode). */
-  def runTumbling(spark: SparkSession, dir: String): DataFrame = {
+  def runTumbling(spark: SparkSession, dir: String): DataFrame =
+      withStatePartitions(spark) {
     val name = s"stream_tumbling_${System.identityHashCode(spark)}"
     val q = tumblingAgg(eventsStream(spark, dir)).writeStream
       .format("memory").queryName(name)
@@ -171,7 +194,8 @@ object StreamOps {
     * stops short of the last events, which would hold back the tail
     * sessions. */
   def runSessionWindow(spark: SparkSession, dir: String,
-                       gapSeconds: Long = 1800): DataFrame = {
+                       gapSeconds: Long = 1800): DataFrame =
+      withStatePartitions(spark) {
     val name = s"stream_session_window_${System.identityHashCode(spark)}"
     val q = eventsStream(spark, dir)
       .withWatermark("event_time", "2 hours")
@@ -195,7 +219,8 @@ object StreamOps {
     * at-least-once replay) unioned, deduplicated by key in state, then
     * aggregated — run to completion the counts equal the batch counts
     * (shares the batch oracle). */
-  def runDedup(spark: SparkSession, dir: String): DataFrame = withRocksDb(spark) {
+  def runDedup(spark: SparkSession, dir: String): DataFrame =
+      withStatePartitions(spark) { withRocksDb(spark) {
     val name = s"stream_dedup_${System.identityHashCode(spark)}"
     val once = eventsStream(spark, dir)
     val twice = once.unionByName(eventsStream(spark, dir))
@@ -215,7 +240,7 @@ object StreamOps {
       .start()
     q.awaitTermination()
     spark.table(name).orderBy("event_type")
-  }
+  } }
 
   /** Stream-static enrichment: the event stream joins a broadcast static
     * dimension (the canonical streaming star-join; the static side is
@@ -400,7 +425,8 @@ object StreamOps {
   /** Runs [[RunningTotalsProcessor]] over the parquet source to completion.
     * transformWithState requires the RocksDB state store provider (its
     * changelog-checkpointing state machine is built on it). */
-  def runRunningTotals(spark: SparkSession, dir: String): DataFrame = withRocksDb(spark) {
+  def runRunningTotals(spark: SparkSession, dir: String): DataFrame =
+      withStatePartitions(spark) { withRocksDb(spark) {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode}
     val name = s"stream_totals_${System.identityHashCode(spark)}"
@@ -417,7 +443,7 @@ object StreamOps {
       .start()
     q.awaitTermination()
     spark.table(name).orderBy("user_id")
-  }
+  } }
 
   /** Stream-stream event-time interval join: each signup joins the same
     * user's purchases with purchase time in [signup, signup + window] —
@@ -430,7 +456,8 @@ object StreamOps {
     * aggregated per user it equals the batch interval join (shared DuckDB
     * oracle). */
   def runIntervalJoin(spark: SparkSession, dir: String,
-                      windowSeconds: Long = 3600): DataFrame = {
+                      windowSeconds: Long = 3600): DataFrame =
+      withStatePartitions(spark) {
     val name = s"stream_join_${System.identityHashCode(spark)}"
     val signups = eventsStream(spark, dir)
       .filter(col("event_type") === "signup")
@@ -698,7 +725,8 @@ object StreamOps {
     * over the source — metadata-cheap at any scale. In continuous operation
     * the sentinel is simply never written and sessions emit as watermarks
     * pass them, so the operator itself is deployment-unchanged. */
-  def runSessionize(spark: SparkSession, dir: String): DataFrame = {
+  def runSessionize(spark: SparkSession, dir: String): DataFrame =
+      withStatePartitions(spark) {
     import spark.implicits._
     implicit val s: SparkSession = spark
     val name = s"stream_sessions_${System.identityHashCode(spark)}"
