@@ -272,6 +272,13 @@ object OracleSql {
     "dedup_incremental" ->
       """WITH corpus AS (SELECT md5(lower(trim(text))) AS digest FROM documents WHERE doc_id % 3 <> 0), batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0 UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 5 = 0), b AS (SELECT md5(lower(trim(text))) AS digest, MIN(doc_id) AS survivor_id, COUNT(*) AS batch_count FROM batch GROUP BY digest) SELECT digest, survivor_id, batch_count FROM b WHERE digest NOT IN (SELECT digest FROM corpus) ORDER BY digest""",
 
+    // fully deterministic CI summary → VALUES literal (schema_diff pattern)
+    "pr_schema_diff" ->
+      """SELECT * FROM (VALUES ('mart_gone','REMOVED','UNKNOWN','',CAST(0 AS BIGINT),CAST(0 AS BIGINT),CAST(0 AS BIGINT),CAST(0 AS BIGINT),''), ('mart_new','NEW_MODEL','UNKNOWN','',CAST(1 AS BIGINT),CAST(0 AS BIGINT),CAST(0 AS BIGINT),CAST(0 AS BIGINT),''), ('mart_t','OK','UNCHANGED','table->view',CAST(0 AS BIGINT),CAST(0 AS BIGINT),CAST(0 AS BIGINT),CAST(0 AS BIGINT),''), ('stg_p','OK','MOVED:stg_p->stg_p_v2','',CAST(1 AS BIGINT),CAST(0 AS BIGINT),CAST(1 AS BIGINT),CAST(2 AS BIGINT),'partition_by:->status; cluster_by:->id')) AS t(model,status,moved,type_change,cols_added,cols_removed,cols_changed,layout_changes,layout_detail) ORDER BY model""",
+
+    "orphaned_relations" ->
+      """SELECT * FROM (VALUES ('legacy_mart'), ('staging/legacy_stg')) AS t(relation) ORDER BY relation""",
+
     // recall-1 LSH config on the 10% slice: the banded candidate
     // generator (prefilter off) + exact verify must reproduce the exact
     // unblocked pair set at J >= 0.8

@@ -133,6 +133,62 @@ object SparkEntry {
       val devRes = devP.run(s, Map("orders" -> orders), s"$dir/dev")
       devP.prDataDiff(prodP.manifestJson(prodRes), devRes, prodRes)
     }),
+    // PR SCHEMA diff (reference pr_schema_diff.sh): prod pipeline vs a PR
+    // that partitions+clusters stg_p, MOVES it via alias, retypes a
+    // column, adds a model, turns a table into a view, and drops a mart —
+    // the per-model CI summary is fully deterministic, so the oracle is a
+    // VALUES literal (the schema_diff pattern, manifest-complete)
+    "pr_schema_diff"    -> ((s, d) => {
+      import graft.pipeline._
+      import org.apache.spark.sql.functions._
+      val orders = Tables.orders(s, d).limit(100) // schemas, not data scale
+      val dir = java.nio.file.Files.createTempDirectory("graft_prsd").toString
+      val prodP = new Pipeline(Seq(
+        Model("stg_p", Seq("orders"), TableMat(),
+          in => in("orders").select(col("o_orderkey").as("id"),
+            col("o_orderstatus").as("status"))),
+        Model("mart_gone", Seq("orders"), TableMat(),
+          in => in("orders").select(col("o_orderkey").as("id"))),
+        Model("mart_t", Seq("orders"), TableMat(),
+          in => in("orders").select(col("o_orderkey").as("id")))))
+      val prodRes = prodP.run(s, Map("orders" -> orders), s"$dir/prod")
+      val prP = new Pipeline(Seq(
+        Model("stg_p", Seq("orders"),
+          TableMat(partitionBy = Some("status"), clusterBy = Seq("id")),
+          in => in("orders").select(col("o_orderkey").cast("int").as("id"),
+            col("o_orderstatus").as("status"), lit(1).as("build_id")),
+          alias = Some("stg_p_v2")),
+        Model("mart_new", Seq("orders"), ViewMat,
+          in => in("orders").select(col("o_orderkey").as("id"))),
+        Model("mart_t", Seq("orders"), ViewMat,
+          in => in("orders").select(col("o_orderkey").as("id")))))
+      val prRes = prP.run(s, Map("orders" -> orders), s"$dir/pr")
+      Diff.prSchemaDiff(prP.manifestJson(prRes),
+        Some(prodP.manifestJson(prodRes)),
+        prRes.map { case (k, v) => k -> v.schema },
+        prodRes.map { case (k, v) => k -> v.schema }, s)
+    }),
+    // orphaned prod relations (pr_schema_diff.sh orphans.md): stray tables
+    // + a stray inside a schema dir surface; covered relations (incl. the
+    // schema-qualified one) and docs artifacts never do
+    "orphaned_relations" -> ((s, d) => {
+      import graft.pipeline._
+      import org.apache.spark.sql.functions._
+      val orders = Tables.orders(s, d).limit(100)
+      val dag = new Pipeline(Seq(
+        Model("covered", Seq("orders"), TableMat(),
+          in => in("orders").select(col("o_orderkey").as("id"))),
+        Model("covered_sub", Seq("orders"), TableMat(),
+          in => in("orders").select(col("o_orderkey").as("id")),
+          schemaOverride = Some("staging"))))
+      val dir = java.nio.file.Files.createTempDirectory("graft_orph").toString
+      val res = dag.run(s, Map("orders" -> orders), dir)
+      orders.write.mode("overwrite").parquet(s"$dir/legacy_mart")
+      orders.write.mode("overwrite").parquet(s"$dir/staging/legacy_stg")
+      dag.writeDocs(dir, res)
+      import s.implicits._
+      Diff.orphanedRelations(dir, dag.manifestJson(res)).toDF("relation")
+    }),
     "incremental_merge" -> ((s, d) => Incremental.mergeLatest(Tables.orders(s, d))),
     // the ACID (transaction-log) table format, adjudicated by the same
     // oracles the parquet-dir paths pass
