@@ -285,6 +285,14 @@ object OracleSql {
     "dedup_minhash_r1" ->
       s"""WITH d AS (SELECT doc_id, $docWords AS w FROM documents WHERE doc_id % 10 = 0) SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, ROUND(CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) / len(list_distinct(list_concat(a.w, b.w))) * 10000, 0)/10000.0 AS jaccard FROM d a JOIN d b ON a.doc_id < b.doc_id WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) / len(list_distinct(list_concat(a.w, b.w))) >= 0.8 ORDER BY doc_a, doc_b""",
 
+    // CC over the recall-1 LSH edges ≡ the exact clustering on the slice
+    "dedup_clusters_minhash_r1" ->
+      s"""WITH RECURSIVE d AS (SELECT doc_id, $docWords AS w FROM documents WHERE doc_id % 10 = 0), p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM d a JOIN d b ON a.doc_id < b.doc_id WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) / len(list_distinct(list_concat(a.w, b.w))) >= 0.8), e AS (SELECT doc_a AS u, doc_b AS v FROM p UNION SELECT doc_b, doc_a FROM p), reach AS (SELECT u AS id, u AS x FROM e UNION SELECT r.id, e.v AS x FROM reach r JOIN e ON r.x = e.u), cc AS (SELECT id, MIN(x) AS cluster_id FROM reach GROUP BY id) SELECT id AS doc_id, cluster_id, COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size FROM cc ORDER BY doc_id""",
+
+    // asymmetric recall-1 probe ≡ the exact batch × corpus cross pairs
+    "dedup_incremental_minhash_r1" ->
+      s"""WITH c AS (SELECT doc_id, $docWords AS w FROM documents WHERE doc_id % 10 = 1), b AS (SELECT doc_id, $docWords AS w FROM documents WHERE doc_id % 10 = 2) SELECT b.doc_id AS doc_b, c.doc_id AS doc_c, ROUND(CAST(len(list_intersect(b.w, c.w)) AS DOUBLE) / len(list_distinct(list_concat(b.w, c.w))) * 10000, 0)/10000.0 AS jaccard FROM b, c WHERE CAST(len(list_intersect(b.w, c.w)) AS DOUBLE) / len(list_distinct(list_concat(b.w, c.w))) >= 0.8 ORDER BY doc_b, doc_c""",
+
     "dedup_jaccard" ->
       s"""WITH d AS (SELECT doc_id, lang, n_chars, $docWords AS w FROM documents) SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, ROUND(CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) / len(list_distinct(list_concat(a.w, b.w))) * 10000, 0)/10000.0 AS jaccard FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id AND (a.n_chars // 100) = (b.n_chars // 100) WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) / len(list_distinct(list_concat(a.w, b.w))) >= 0.5 ORDER BY doc_a, doc_b""",
 

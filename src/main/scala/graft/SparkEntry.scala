@@ -440,6 +440,28 @@ object SparkEntry {
         numHashes = 48, bands = 48, threshold = 0.8,
         prefilterSlackSd = Double.PositiveInfinity)
     }),
+    // connected components over the SAME recall-1 LSH edges: clusters
+    // must equal the exact recursive-CTE clustering on the slice
+    "dedup_clusters_minhash_r1" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      Dedup.clustersApprox(
+        Tables.documents(s, d).filter(col("doc_id") % 10 === 0),
+        precomputedPairs = Some(Dedup.minhashLsh(
+          Tables.documents(s, d).filter(col("doc_id") % 10 === 0),
+          numHashes = 48, bands = 48, threshold = 0.8,
+          prefilterSlackSd = Double.PositiveInfinity)))
+    }),
+    // incremental (batch-vs-corpus-index) near-dup at the recall-1 config:
+    // the asymmetric band probe must reproduce the exact cross pairs
+    "dedup_incremental_minhash_r1" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, d)
+      Dedup.incrementalMinhash(
+        docs.filter(col("doc_id") % 10 === 1),
+        docs.filter(col("doc_id") % 10 === 2),
+        numHashes = 48, bands = 48, threshold = 0.8,
+        prefilterSlackSd = Double.PositiveInfinity)
+    }),
     "dedup_simhash"   -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
     "ann_cosine"      -> ((s, d) => Similarity.cosineToQuery(Tables.embeddings(s, d))),
     "ann_topk"        -> ((s, d) => Similarity.topK(Tables.embeddings(s, d))),

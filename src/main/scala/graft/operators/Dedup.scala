@@ -103,7 +103,8 @@ object Dedup {
                          numHashes: Int = 64, bands: Int = 8,
                          threshold: Double = 0.8,
                          corpusIndex: Option[DataFrame] = None,
-                         payloadJoin: PayloadJoin = PayloadJoin.Auto): DataFrame = {
+                         payloadJoin: PayloadJoin = PayloadJoin.Auto,
+                         prefilterSlackSd: Double = 2.5): DataFrame = {
     val r = numHashes / bands
     val idx = corpusIndex.getOrElse(bandedSignatures(corpus, numHashes, bands))
       .select(col("doc_id").as("doc_c"), col("sig").as("sig_c"),
@@ -114,14 +115,17 @@ object Dedup {
       .select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
         col("band_idx"), col("band_hash"))
       .repartition(col("band_idx"), col("band_hash"))
-    val minAgree = math.max(0.0, (threshold - 2.5 * math.sqrt(
+    // slack = ∞ disables the agreement prefilter (the recall-1
+    // adjudication config, matching minhashLsh)
+    val minAgree = math.max(0.0, (threshold - prefilterSlackSd * math.sqrt(
       threshold * (1 - threshold) / numHashes)) * numHashes).floor.toInt
-    val cand = bb.hint("shuffle_hash").join(idx,
+    val cand0 = bb.hint("shuffle_hash").join(idx,
         Seq("band_idx", "band_hash"))
       .filter(graft.functions.VectorFunctions.firstEqualBand(
         col("sig_b"), col("sig_c"), r) === col("band_idx"))
-      .filter(graft.functions.VectorFunctions.equalPositions(
-        col("sig_b"), col("sig_c")) >= minAgree)
+    val cand = (if (minAgree == 0) cand0
+      else cand0.filter(graft.functions.VectorFunctions.equalPositions(
+        col("sig_b"), col("sig_c")) >= minAgree))
       .select(col("doc_b"), col("doc_c"))
       // id-pair stage barrier before the payload verify (same finding as
       // minhashLsh: fused, the verify rides the pair-amplifying iterator)
