@@ -506,6 +506,12 @@ object OracleSql {
     "rolling_fingerprint_md5" ->
       """WITH h AS (SELECT doc_id, length(text) - 8 + 1 AS n_windows, list_sort(list_transform(range(1, length(text) - 8 + 2), i -> md5(substr(text, CAST(i AS INT), 8)))) AS hs FROM documents WHERE doc_id % 10 = 0 AND length(text) >= 8) SELECT doc_id, array_to_string(hs[1:4], ',') AS fingerprint, CAST(n_windows AS BIGINT) AS n_windows FROM h ORDER BY doc_id""",
 
+    // winnowing md5 twin: window=16, winnow=4 (clamped trailing windows,
+    // mirroring the SlidingMin kernel), per-doc distinct selected hashes,
+    // df ≤ 20 pruning, pair counts ≥ 2 — the whole candidate pipeline
+    "verbatim_overlap_md5" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0 AND length(text) >= 19), w AS (SELECT doc_id, list_transform(range(1, length(text) - 16 + 2), i -> md5(substr(text, CAST(i AS INT), 16))) AS hraw FROM d), sel AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(hraw) + 1), j -> list_min(hraw[CAST(j AS INT):CAST(j AS INT)+3])))) AS h FROM w), kept AS (SELECT doc_id, h FROM (SELECT doc_id, h, COUNT(*) OVER (PARTITION BY h) AS df FROM sel) WHERE df <= 20) SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS shared_windows FROM kept x JOIN kept y ON x.h = y.h AND x.doc_id < y.doc_id GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY doc_a, doc_b""",
+
     "doc_fingerprint" ->
       s"""SELECT doc_id, md5(text) AS digest, substr(md5(text), 1, 8) AS prefix8, list_sort(list_transform($docWords, x -> md5(x)))[1] AS min_word_md5 FROM documents ORDER BY doc_id""",
   )

@@ -573,6 +573,16 @@ object SparkEntry {
       TextAnalysis.rollingFingerprint(
         Tables.documents(s, d).filter(col("doc_id") % 10 === 0), hasher = Some(md5(_)))
     }),
+    // winnowing's md5 twin on the same slice: the detection guarantee
+    // (every ≥window+winnow−1-char verbatim run shares a selected hash),
+    // df pruning, and pair counting are hash-agnostic, so the whole
+    // candidate pipeline hash-compares against DuckDB list SQL
+    "verbatim_overlap_md5" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      TextAnalysis.verbatimOverlap(
+        Tables.documents(s, d).filter(col("doc_id") % 10 === 0),
+        hasher = Some(md5(_)))
+    }),
     // Driver wiring encodes the Array[Float] feature column as a rounded CSV
     // scalar: the harness lexsorts/hashes every cell and ndarray cells are
     // unhashable. The library API (Multimodal.extractFeatures) keeps the array.

@@ -166,7 +166,8 @@ object TextAnalysis {
     * get no subexpression elimination). */
   def verbatimOverlap(documents: DataFrame, window: Int = 16,
                       winnow: Int = 4, minShared: Int = 2,
-                      maxDf: Int = 20): DataFrame = {
+                      maxDf: Int = 20,
+                      hasher: Option[Column => Column] = None): DataFrame = {
     val len = length(col("text"))
     // The winnowing selection never leaves the row: one HOF computes the
     // window hashes, then the native SlidingMin kernel picks the min of
@@ -178,13 +179,23 @@ object TextAnalysis {
     // lambdas), and posexplode + a rows-between min window function
     // shuffled every (pos, hash) row — ~14 M rows at sf0.1 — just to
     // reduce back to the selected few.
+    //
+    // A custom `hasher` (the md5 oracle twin — detection math is
+    // hash-agnostic) produces STRING hashes, which take a generic
+    // slice-per-position selection (same clamped-window semantics as the
+    // long-typed SlidingMin kernel, lexicographic min) — the documented
+    // slower shape, acceptable on the twin's corpus slice.
+    val h = hasher.getOrElse((c: Column) => xxhash64(c))
     val fp = documents.filter(len >= window + winnow - 1)
       .select(col("doc_id"),
         transform(sequence(lit(1), len - window + 1),
-          i => xxhash64(col("text").substr(i, lit(window)))).as("hraw"))
+          i => h(col("text").substr(i, lit(window)))).as("hraw"))
       .select(col("doc_id"),
-        explode(array_distinct(
-          graft.functions.VectorFunctions.slidingMin(col("hraw"), winnow))).as("h"))
+        explode(array_distinct(hasher match {
+          case None => graft.functions.VectorFunctions.slidingMin(col("hraw"), winnow)
+          case Some(_) => transform(sequence(lit(1), size(col("hraw"))),
+            j => array_min(slice(col("hraw"), j, lit(winnow))))
+        })).as("h"))
     // Document-frequency cap — the standard similarity-join guard: a hash
     // appearing in d documents emits d²/2 pairs, so boilerplate shared by
     // hundreds of docs turns the join quadratic while carrying no signal
