@@ -885,7 +885,10 @@ object Diff {
   def orphanedRelations(prodDir: String, manifestJson: String): Seq[String] = {
     val covered = manifestModels(manifestJson).values.map(relationIdOf).toSet
     val schemaDirs = covered.filter(_.contains("/")).map(_.split("/")(0))
-    val artifacts = Set("manifest.json", "catalog.json", "run_results.json")
+    // engine-owned artifacts are never orphans: docs JSON and the
+    // store_failures audit schema (dbt_test__audit)
+    val artifacts = Set("manifest.json", "catalog.json", "run_results.json",
+      "dbt_test__audit")
     val root = new java.io.File(prodDir)
     val top = Option(root.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && !artifacts.contains(f.getName))

@@ -42,15 +42,38 @@ object Multimodal {
       (p(0) == 0x42 && p(1) == 0x4d) ||                                        // BMP
       (p(0) == 0x47 && p(1) == 0x49 && p(2) == 0x46))                          // GIF
 
+  /** Hard ceiling on DECLARED pixel count before any pixel allocates:
+    * ImageIO.read materializes the full BufferedImage, so a corrupt or
+    * adversarial header declaring 60000×60000 would OOM the task (an
+    * Error, which no fallback catch can make safe). 64 MP ≈ 256 MB ARGB —
+    * large, but bounded per row. */
+  private val MaxDecodePixels = 64L * 1024 * 1024
+
   /** Real image decode (javax.imageio): true pixel dimensions + an 8-bin
     * LUMINANCE histogram, L1-normalized — same (w, h, feat) shape as the
-    * stub so both paths share one schema. Pixel sampling strides so a
-    * pathological 100-MP payload costs ≤ ~64k luminance reads, keeping
-    * per-row decode time bounded regardless of image size. None when
-    * ImageIO cannot decode the bytes (truncated/corrupt file). */
+    * stub so both paths share one schema. The reader parses the HEADER
+    * first (no pixel allocation) and refuses declared sizes past
+    * [[MaxDecodePixels]]; histogram sampling then strides so even a
+    * max-size image costs ≤ ~64k luminance reads. None when ImageIO
+    * cannot decode the bytes (truncated/corrupt/oversized file) — those
+    * rows take the deterministic stub. */
   private[operators] def decodeImage(payload: Array[Byte]): Option[(Int, Int, Array[Float])] =
     try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      val img: java.awt.image.BufferedImage =
+        if (!readers.hasNext) { iis.close(); null }
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            // header-only probe — width/height parse, no pixel allocation
+            val (dw, dh) = (reader.getWidth(0).toLong, reader.getHeight(0).toLong)
+            if (dw <= 0 || dh <= 0 || dw * dh > MaxDecodePixels) null
+            else reader.read(0)
+          } finally { reader.dispose(); iis.close() }
+        }
       if (img == null) None
       else {
         val (w, h) = (img.getWidth, img.getHeight)

@@ -304,6 +304,9 @@ object Similarity {
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
     val sub = dim / m
     val ivf = precomputedIvf.getOrElse(buildIvfIndex(embeddings, nCells))
+    require(!residual || ivf.centroidValues.nonEmpty,
+      "residual PQ needs IvfIndex.centroidValues — an empty centroid list " +
+        "would null-propagate through every residual/ADC term silently")
     val centsLit = ivf.centroidsLit
     // the subvector the codebooks see: the raw slice, or the slice of
     // the residual x − c(cell) (per-row coarse centroid via element_at)

@@ -789,21 +789,25 @@ final class Pipeline(models: Seq[Model], exposures: Seq[Exposure] = Nil,
                 // dbt `store_failures`: persist the full violation set as
                 // an auditable table (dbt's dbt_test__audit schema) — ONE
                 // job writes and counts; the later count() reads the
-                // tiny materialized table, not the test query again
-                val dir = s"$targetDir/dbt_test__audit/$tn"
+                // tiny materialized table, not the test query again.
+                // Namespaced by MODEL: two models may share a test name,
+                // and under threads > 1 they would otherwise overwrite
+                // the same directory concurrently.
+                val dir = s"$targetDir/dbt_test__audit/${m.name}/$tn"
                 t(out).write.mode("overwrite").parquet(dir)
                 spark.read.parquet(dir).count()
               }
-            if (k > 0) {
-              // stored counts are exact (full write), capped scans saturate
-              val shown = if (cfg.storeFailures) k.toString else shownOf(k)
-              cfg.outcome(k) match {
-                case "fail" =>
-                  firstFail = Some(s"fail: test $tn ($shown violations)")
-                case "warn" =>
-                  warns += s"test $tn ($shown violations)"
-                case _ => ()
-              }
+            // outcome evaluates at EVERY count, including 0: dbt's
+            // zero-matching conditions (`error_if: "= 0"` — the
+            // assert-rows-exist pattern, `warn_if: "< 10"`) must fire on
+            // an empty result; the defaults ("!= 0") still pass at k=0
+            val shown = if (cfg.storeFailures) k.toString else shownOf(k)
+            cfg.outcome(k) match {
+              case "fail" =>
+                firstFail = Some(s"fail: test $tn ($shown violations)")
+              case "warn" =>
+                warns += s"test $tn ($shown violations)"
+              case _ => ()
             }
         }
         firstFail match {
@@ -862,12 +866,15 @@ final class Pipeline(models: Seq[Model], exposures: Seq[Exposure] = Nil,
         val path = s"$targetDir/${byName.get(d).fold(d)(_.relationId)}"
         require(new java.io.File(path).exists(),
           s"retry: successful parent '$d' has no artifact in $targetDir")
-        d -> spark.read.parquet(path)
+        // read through the pipeline's FORMAT: on a txlog table a raw
+        // parquet scan would also read dead files from old versions
+        d -> format.read(spark, path)
       }.toMap
     // retry re-runs with BUILD semantics: attached tests re-execute on the
     // retried models (dbt retry of a `build` re-tests); models without
-    // tests degenerate to plain runs
-    val (out, st) = new Pipeline(rerun)
+    // tests degenerate to plain runs. The format carries over — retried
+    // models must re-materialize in the SAME table format.
+    val (out, st) = new Pipeline(rerun, format = format)
       .build(spark, sources ++ artifactDeps, targetDir, hooks, fullRefresh)
     (out, prev.filter { case (n, s) =>
       (s == "success" || s.startsWith("warn")) && !rerunNames.contains(n) } ++ st)
@@ -896,9 +903,11 @@ final class Pipeline(models: Seq[Model], exposures: Seq[Exposure] = Nil,
       require(new java.io.File(path).exists(),
         s"--defer: no artifact for unselected parent '$d' in $deferDir " +
           "(deferred parents must be materialized in the state dir)")
-      d -> spark.read.parquet(path)
+      // format-aware read: a txlog state dir raw-scanned as parquet would
+      // also surface dead files from old versions
+      d -> format.read(spark, path)
     }.toMap
-    new Pipeline(chosen)
+    new Pipeline(chosen, format = format)
       .run(spark, sources ++ deferred, targetDir, hooks, fullRefresh)
   }
 

@@ -70,6 +70,18 @@ class MultimodalSpec extends SparkSpec {
       assert(feat.length == 8 && math.abs(feat.sum - 1.0f) < 1e-3)
     }
     assert(out(3L).getInt(5) == 64 + corrupt.length % 512) // stub width
+    // adversarial header: a valid BMP patched to DECLARE 60000x60000
+    // (3.6 GP) must refuse at the header probe — never allocating the
+    // pixels — and fall to the stub instead of OOMing the task
+    val bomb = bmp(4, 4, 0xffffff).clone()
+    def putLE(off: Int, v: Int): Unit = (0 until 4).foreach(i =>
+      bomb(off + i) = ((v >> (8 * i)) & 0xff).toByte)
+    putLE(18, 60000); putLE(22, 60000)
+    val bombed = Multimodal.extractFeaturesBinary(
+      Seq(graft.operators.MediaRow(9L, "image", bomb, "t")).toDF())
+      .collect()(0)
+    assert(bombed.getInt(5) == 64 + bomb.length % 512, // stub dims, not 60000
+      bombed.toString)
   }
 
   test("materialize: partition_by layout + cluster_by sort + dynamic overwrite") {

@@ -1044,8 +1044,26 @@ class PipelineSpec extends SparkSpec {
     val (_, st) = dag.build(spark, Map("orders" -> orders), dir)
     // exact count in the message (a capped scan would say 1000+)
     assert(st("m_sf") == s"warn: test all_violate ($n violations)", st.toString)
-    val stored = spark.read.parquet(s"$dir/dbt_test__audit/all_violate")
+    // audit table is namespaced by MODEL: same-named tests on two models
+    // must not overwrite each other (or race under threads > 1)
+    val stored = spark.read.parquet(s"$dir/dbt_test__audit/m_sf/all_violate")
     assert(stored.count() == n && stored.columns.toSeq == Seq("id"))
+  }
+
+  test("zero-matching test conditions fire on an empty result " +
+       "(dbt's assert-rows-exist pattern)") {
+    val orders = Tables.orders(spark, sf)
+    val dag = new Pipeline(Seq(
+      Model("m_z", Seq("orders"), TableMat(),
+        in => in("orders").select(col("o_orderkey").as("id")),
+        // test returns 0 rows; error_if '= 0' means THAT is the failure
+        tests = Seq("rows_exist" ->
+          ((df: org.apache.spark.sql.DataFrame) => df.limit(0))),
+        testConfig = Map("rows_exist" ->
+          TestConfig("error", warnIf = "< 0", errorIf = "= 0")))))
+    val (_, st) = dag.build(spark, Map("orders" -> orders), tmp())
+    assert(st("m_z").startsWith("fail: test rows_exist (0 violations)"),
+      st.toString)
   }
 
   test("yaml test configs: severity/warn_if/error_if parse from both " +
