@@ -325,12 +325,13 @@ object SparkEntry {
     "dedup_distinct"  -> ((s, d) => Analytics.distinctStatusPriority(Tables.orders(s, d))),
     "quantiles"       -> ((s, d) => Analytics.quantiles(Tables.orders(s, d))),
     "tdigest_quantiles" -> ((s, d) => Analytics.tdigestQuantiles(Tables.orders(s, d))),
-    // exact-regime twin: δ=120000 > π·N/2 for every group at any tested
-    // SF, so all centroids stay singletons and the digest's midpoint
-    // interpolation is a closed form over sorted values — DuckDB states
-    // it exactly and adjudicates the sketch machinery end-to-end
+    // exact-regime twin: compression derived from the data (δ = π·maxGroup
+    // + 1 > π·N/2 for every group at ANY SF), so all centroids stay
+    // singletons and the digest's midpoint interpolation is a closed form
+    // over sorted values — DuckDB states it exactly and adjudicates the
+    // sketch machinery end-to-end, with no hidden SF ceiling
     "tdigest_quantiles_x" -> ((s, d) =>
-      Analytics.tdigestQuantiles(Tables.orders(s, d), compression = 120000.0)),
+      Analytics.tdigestQuantilesExact(Tables.orders(s, d))),
     "approx_distinct" -> ((s, d) => Analytics.approxDistinct(Tables.orders(s, d))),
     "approx_quantiles" -> ((s, d) => Analytics.approxQuantiles(Tables.orders(s, d))),
     "approx_quantiles_x" -> ((s, d) =>

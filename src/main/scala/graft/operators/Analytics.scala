@@ -254,6 +254,23 @@ object Analytics {
         round(element_at(col("qs"), 3), 2).as("p99_est"))
       .orderBy("o_orderpriority")
 
+  /** Exact-regime twin of [[tdigestQuantiles]] with compression derived
+    * from the DATA, not hard-coded: the all-singleton-centroid regime
+    * needs δ > π·N/2 for every group, so δ = π·maxGroupCount + 1 (a 2×
+    * margin over the bound) holds at ANY scale factor — a fixed δ would
+    * silently leave the exact regime once the largest group outgrows it
+    * (~76k rows at δ=120000) and the closed-form SQL oracle would
+    * diverge mysteriously. Costs one extra count job at build time;
+    * this is a verification query, not a hot-path one. Memory note: in
+    * this regime the digest holds one centroid per row per group — the
+    * POINT is adjudicating the sketch machinery against exact SQL, so
+    * the regime is only sane at verification scales. */
+  def tdigestQuantilesExact(orders: DataFrame): DataFrame = {
+    val maxGroup = orders.groupBy(col("o_orderpriority")).count()
+      .agg(max("count")).head.getLong(0)
+    tdigestQuantiles(orders, compression = math.Pi * maxGroup + 1)
+  }
+
   /** Calendar dimension extraction (the BigQuery EXTRACT() family).
     * dow normalized to 0=Sunday to match ANSI/DuckDB. */
   def dateParts(orders: DataFrame): DataFrame = {

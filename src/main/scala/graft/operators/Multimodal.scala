@@ -42,6 +42,86 @@ object Multimodal {
       (p(0) == 0x42 && p(1) == 0x4d) ||                                        // BMP
       (p(0) == 0x47 && p(1) == 0x49 && p(2) == 0x46))                          // GIF
 
+  /** RIFF/WAVE sniff: `RIFF....WAVE` — the only audio container the JDK
+    * can decode without external codecs (`javax.sound.sampled` handles
+    * PCM/a-law/u-law WAV out of the box). */
+  private def looksLikeWav(p: Array[Byte]): Boolean =
+    p.length >= 12 &&
+      p(0) == 0x52 && p(1) == 0x49 && p(2) == 0x46 && p(3) == 0x46 &&          // RIFF
+      p(8) == 0x57 && p(9) == 0x41 && p(10) == 0x56 && p(11) == 0x45          // WAVE
+
+  /** Real WAV decode (`javax.sound.sampled`, zero added dependencies):
+    * returns (sampleRate, channels, feat) in the shared (w, h, feat)
+    * slot so audio rows flow through the same schema as images —
+    * `width` carries the sample rate in Hz, `height` the channel count.
+    * feat = [duration_sec, rms, peak, zero_cross_rate, rms_q1..rms_q4]
+    * (per-quarter RMS gives a crude envelope), all computed from the
+    * REAL PCM samples normalized to [-1, 1]. None when the bytes are
+    * not a decodable WAV — those rows take the deterministic stub. */
+  private[operators] def decodeWav(payload: Array[Byte]): Option[(Int, Int, Array[Float])] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        val channels = fmt.getChannels
+        val sampleRate = math.round(fmt.getSampleRate)
+        val bytesPerSample = math.max(1, fmt.getSampleSizeInBits / 8)
+        val frames = in.getFrameLength
+        if (channels <= 0 || sampleRate <= 0 || frames <= 0 ||
+            frames > 64L * 1024 * 1024) None  // same bounded-per-row stance as images
+        else {
+          val durationSec = frames.toFloat / fmt.getSampleRate
+          // Read the full PCM body (bounded above) and fold to mono
+          // doubles in [-1, 1]. Only integer PCM is handled sample-wise;
+          // other encodings keep the header facts but zero the envelope.
+          val body = in.readAllBytes()
+          val isPcm = fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+                      fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+          val n = if (isPcm) body.length / (bytesPerSample * channels) else 0
+          val mono = new Array[Double](math.max(n, 0))
+          val full = (1L << (bytesPerSample * 8 - 1)).toDouble
+          var i = 0
+          while (i < n) {
+            var c = 0
+            var acc = 0.0
+            while (c < channels) {
+              val off = (i * channels + c) * bytesPerSample
+              // WAV integer PCM: little-endian; 8-bit is unsigned, wider is signed
+              var v = 0L
+              var b = 0
+              while (b < bytesPerSample) { v |= (body(off + b) & 0xffL) << (8 * b); b += 1 }
+              val signed =
+                if (bytesPerSample == 1) (v & 0xff) - 128
+                else { val shift = 64 - bytesPerSample * 8; (v << shift) >> shift }
+              acc += signed / full
+              c += 1
+            }
+            mono(i) = acc / channels
+            i += 1
+          }
+          var sumSq = 0.0; var peak = 0.0; var crossings = 0L
+          val qSumSq = new Array[Double](4)
+          i = 0
+          while (i < n) {
+            val s = mono(i)
+            sumSq += s * s
+            if (math.abs(s) > peak) peak = math.abs(s)
+            if (i > 0 && (s >= 0) != (mono(i - 1) >= 0)) crossings += 1
+            qSumSq(math.min(3, i * 4 / math.max(n, 1))) += s * s
+            i += 1
+          }
+          val rms = if (n > 0) math.sqrt(sumSq / n) else 0.0
+          val zcr = if (n > 1) crossings.toDouble / (n - 1) else 0.0
+          val qn = math.max(n / 4, 1)
+          Some((sampleRate, channels, Array(
+            durationSec, rms.toFloat, peak.toFloat, zcr.toFloat,
+            math.sqrt(qSumSq(0) / qn).toFloat, math.sqrt(qSumSq(1) / qn).toFloat,
+            math.sqrt(qSumSq(2) / qn).toFloat, math.sqrt(qSumSq(3) / qn).toFloat)))
+        }
+      } finally in.close()
+    } catch { case _: Exception => None }
+
   /** Hard ceiling on DECLARED pixel count before any pixel allocates:
     * ImageIO.read materializes the full BufferedImage, so a corrupt or
     * adversarial header declaring 60000×60000 would OOM the task (an
@@ -59,7 +139,13 @@ object Multimodal {
     * rows take the deterministic stub. */
   private[operators] def decodeImage(payload: Array[Byte]): Option[(Int, Int, Array[Float])] =
     try {
-      val iis = javax.imageio.ImageIO.createImageInputStream(
+      // MemoryCacheImageInputStream, NOT ImageIO.createImageInputStream:
+      // the factory defaults to a FileCacheImageInputStream, which writes
+      // every payload to a temp file before decoding — a per-row disk
+      // write in the hot path that turns a CPU-bound decode into an
+      // IO-bound one under disk contention. The payload is already fully
+      // in memory, so the memory-backed stream is strictly better here.
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(payload))
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
       val img: java.awt.image.BufferedImage =
@@ -165,14 +251,22 @@ object Multimodal {
   def extractFeatures(documents: DataFrame): DataFrame =
     extractFeaturesBinary(documents
       .select(col("doc_id"), lit("image").as("modality"),
-              col("text").cast("binary").as("payload"), col("source")))
+              col("text").cast("binary").as("payload"), col("source")),
+      // Text-cast payloads are NOT media: force the stub so a pathological
+      // document whose UTF-8 bytes happen to parse as an image (the magic
+      // prefixes 'BM', 'GIF8', … are printable ASCII) can't silently
+      // diverge from the stub-arithmetic oracle. Real decode is reserved
+      // for genuinely binary corpora via [[extractFeaturesBinary]].
+      decodeReal = false)
 
   /** The same pipeline over an ALREADY-binary media frame
     * (doc_id, modality, payload, source) — the production entry point for
     * a real media corpus, where payloads never round-trip through a
     * string column. Recognized image payloads decode via [[decodeImage]]
-    * (real pixels); everything else takes the deterministic stub. */
-  def extractFeaturesBinary(media: DataFrame): DataFrame = {
+    * (real pixels), WAV audio via [[decodeWav]] (real PCM); everything
+    * else takes the deterministic stub. Pass `decodeReal = false` to pin
+    * every row to the stub (deterministic oracle-friendly arithmetic). */
+  def extractFeaturesBinary(media: DataFrame, decodeReal: Boolean = true): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media
@@ -181,7 +275,10 @@ object Multimodal {
         // Per-partition init point for a real decoder/codec context.
         rows.map { m =>
           val (w, h, feat) =
-            (if (looksLikeImage(m.payload)) decodeImage(m.payload) else None)
+            (if (!decodeReal) None
+             else if (looksLikeImage(m.payload)) decodeImage(m.payload)
+             else if (looksLikeWav(m.payload)) decodeWav(m.payload)
+             else None)
               .getOrElse(decodeStub(m.payload))
           val header = m.payload.take(4).map(b => f"${b & 0xff}%02x").mkString
           MediaFeatures(m.doc_id, m.modality, m.source,

@@ -81,9 +81,28 @@ final case class TestConfig(severity: String = "error",
     if (severity == "error" && TestConfig.eval(errorIf, violations)) "fail"
     else if (TestConfig.eval(warnIf, violations)) "warn"
     else "pass"
+
+  /** Smallest scan cap under which [[outcome]] is EXACT: a comparison
+    * against threshold k only needs the count resolved up to k (above
+    * that, every operator's truth value is fixed), so capping at
+    * max-threshold + 1 is lossless — `error_if: "> 2000"` still fires
+    * at 2001 capped rows, and `warn_if: "< 5000"` can't fire spuriously
+    * when the true count exceeds an arbitrary cap. Floor 1001 keeps the
+    * default `!= 0` configs as cheap as before (and their "1000+"
+    * display). Clamped to Int range for `limit`. */
+  def countCap: Int = {
+    val maxThr = math.max(TestConfig.threshold(warnIf), TestConfig.threshold(errorIf))
+    math.min(math.max(1001L, maxThr + 1), Int.MaxValue.toLong).toInt
+  }
 }
 object TestConfig {
   private val Cond = """\s*(!=|>=|<=|>|<|=)\s*(\d+)\s*""".r
+  /** The numeric threshold in a condition string (0 if unparseable —
+    * [[eval]] will refuse loudly later; sizing must not throw first). */
+  private[pipeline] def threshold(cond: String): Long = cond match {
+    case Cond(_, v) => v.toLong
+    case _ => 0L
+  }
   /** Evaluate a dbt condition string ("!= 0", ">10", ">= 5") against a
     * count. Malformed conditions refuse loudly — a test whose threshold
     * silently never fires is worse than no test. */
@@ -775,16 +794,19 @@ final class Pipeline(models: Seq[Model], exposures: Seq[Exposure] = Nil,
       else try {
         val out = new Pipeline(Seq(m.copy(deps = Nil)), format = format)
           .run(spark, good.toMap, targetDir, hooks, fullRefresh)(m.name)
-        // only >0 can gate/warn, so cap the count scan at 1001 and report
-        // "1000+" rather than silently understating larger violation sets
-        def shownOf(k: Long) = if (k > 1000) "1000+" else k.toString
+        // cap the count scan at the config-derived limit (default 1001;
+        // larger when a threshold needs it — TestConfig.countCap proves
+        // the capped count evaluates every condition exactly) and report
+        // "N+" rather than silently understating larger violation sets
         var firstFail: Option[String] = None
         val warns = Seq.newBuilder[String]
         m.tests.iterator.takeWhile(_ => firstFail.isEmpty).foreach {
           case (tn, t) =>
             val cfg = m.testConfig.getOrElse(tn, TestConfig())
+            val cap = cfg.countCap
+            def shownOf(k: Long) = if (k >= cap) s"${cap - 1}+" else k.toString
             val k =
-              if (!cfg.storeFailures) t(out).limit(1001).count()
+              if (!cfg.storeFailures) t(out).limit(cap).count()
               else {
                 // dbt `store_failures`: persist the full violation set as
                 // an auditable table (dbt's dbt_test__audit schema) — ONE

@@ -13,8 +13,15 @@ import org.apache.spark.SparkContext
 object CoreBridge {
   /** Block until all queued listener events are delivered (best-effort:
     * swallows the TimeoutException a wedged bus would throw — the bench
-    * must never crash on a metrics plumbing hiccup). */
+    * must never crash on a metrics plumbing hiccup). Only NonFatal
+    * hiccups are swallowed: an interrupt re-asserts the thread's flag
+    * (losing it would break cancellation), and fatal errors (OOM, …)
+    * propagate — a bench limping on after those would report silently
+    * mis-attributed metrics. */
   def drainListenerBus(sc: SparkContext, timeoutMs: Long = 10000L): Unit =
     try sc.listenerBus.waitUntilEmpty(timeoutMs)
-    catch { case _: Throwable => () }
+    catch {
+      case _: InterruptedException => Thread.currentThread().interrupt()
+      case scala.util.control.NonFatal(_) => ()
+    }
 }

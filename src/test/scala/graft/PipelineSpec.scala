@@ -1029,6 +1029,32 @@ class PipelineSpec extends SparkSpec {
     intercept[IllegalArgumentException](TestConfig.eval("banana", 3))
   }
 
+  test("test thresholds above 1000: the scan cap sizes to the config, so " +
+       "large error_if fires and less-than warn_if can't fire spuriously") {
+    val lineitem = Tables.lineitem(spark, sf)
+    val n = lineitem.count() // ~6k at sf0.001 — above the old 1001 cap
+    assert(n > 1001, s"need a >1001-row table for this spec, got $n")
+    def mk(name: String, cfg: TestConfig) = new Pipeline(Seq(
+      Model(name, Seq("lineitem"), TableMat(),
+        in => in("lineitem").select(col("l_orderkey").as("id")),
+        tests = Seq("big" -> ((df: org.apache.spark.sql.DataFrame) => df)),
+        testConfig = Map("big" -> cfg))))
+    // error_if '> 2000' with n≈6k violations: a 1001-capped count would
+    // read 1001 and silently pass; the config-sized cap must fire
+    val (_, st1) = mk("m_hi", TestConfig("error", warnIf = "> 5", errorIf = "> 2000"))
+      .build(spark, Map("lineitem" -> lineitem), tmp())
+    assert(st1("m_hi") == "fail: test big (2000+ violations)", st1.toString)
+    // warn_if '< 5000' with n≈6k: the TRUE count is not below 5000, so no
+    // warn — a capped count of 1001 would have fired spuriously
+    val (_, st2) = mk("m_lt", TestConfig("warn", warnIf = "< 5000"))
+      .build(spark, Map("lineitem" -> lineitem), tmp())
+    assert(st2("m_lt") == "success", st2.toString)
+    // cap sizing: default floor 1001; sized to max threshold + 1 above it
+    assert(TestConfig().countCap == 1001)
+    assert(TestConfig("error", warnIf = "> 5", errorIf = "> 2000").countCap == 2001)
+    assert(TestConfig("warn", warnIf = "< 5000").countCap == 5001)
+  }
+
   test("store_failures: the full violation set persists as an auditable " +
        "table; counts in run_results are exact, not capped") {
     val orders = Tables.orders(spark, sf)
