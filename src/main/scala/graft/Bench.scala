@@ -27,7 +27,13 @@ import org.apache.spark.sql.SparkSession
   *    at the midpoint of, and after the query sweep; `noise` =
   *    (max-min)/min of the probe wall times quantifies machine drift
   *    *during this very run*, so a reader can discount wall regressions
-  *    when noise is high without any out-of-band forensics.
+  *    when noise is high without any out-of-band forensics;
+  *  - a DISK probe (raw streamed read of the same lineitem bytes, min of
+  *    3, before/mid/after) closes the CPU probe's blind spot: `io_noise`
+  *    is its (max-min)/min spread, and `wall_over_cpu` lists the queries
+  *    whose wall vastly exceeds their executor CPU — the rows to check
+  *    against io_noise before calling them regressions (r9: q1_agg wall
+  *    8.5× inflated by disk contention while cpu noise read 0.08).
   *
   * Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, SPARK_GRAFT_ITERS,
   * SPARK_GRAFT_QUERIES (comma-separated subset filter),
@@ -105,8 +111,58 @@ object Bench {
         prev = w; i += 1
       }
     }
+    // ---- disk probe: timed raw read of a fixed parquet file ----
+    // The CPU probe is blind to DISK contention (r9: q1_agg wall 8.5×
+    // inflated while the CPU-only probe read a quiet 0.08). A raw
+    // streamed read of the same on-disk bytes each time isolates the IO
+    // path from Spark scheduling: on a quiet box the file stays in page
+    // cache and the point reads ~memory-bandwidth; under disk pressure
+    // (concurrent Verify + DuckDB sweeps evicting the cache) the read
+    // goes back to disk and the spread shows it. Capped at 256 MB so the
+    // probe stays sub-second.
+    val ioProbeFiles: Seq[java.io.File] = {
+      def regularFiles(f: java.io.File): Seq[java.io.File] =
+        if (f.isFile) Seq(f)
+        else Option(f.listFiles()).map(_.toSeq.flatMap(regularFiles)).getOrElse(Nil)
+      val cap = 256L * 1024 * 1024
+      val files = regularFiles(new java.io.File(s"$sfDir/lineitem.parquet"))
+        .sortBy(_.getName)
+      var acc = 0L
+      files.takeWhile { f => val keep = acc < cap; acc += f.length(); keep }
+    }
+    def ioProbeOnce(): Double = {
+      // Fixed byte VOLUME per point (re-reading the files as needed), not
+      // one pass: at small SFs one pass is microseconds and its relative
+      // jitter would read as phantom io_noise. 256 MB from page cache is
+      // tens of ms — stable when quiet, visibly slower when the cache is
+      // evicted under disk pressure.
+      val minBytes = 256L * 1024 * 1024
+      val buf = new Array[Byte](1 << 20)
+      val t0 = System.nanoTime()
+      var read = 0L
+      var first = true
+      while (first || read < minBytes) {
+        first = false
+        ioProbeFiles.foreach { f =>
+          val in = new java.io.FileInputStream(f)
+          try {
+            var n = in.read(buf)
+            while (n >= 0) { read += n; n = in.read(buf) }
+          } finally in.close()
+        }
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+    // min of 5: cache-speed reads are tens of ms, where scheduler blips
+    // read as 20% spread on a quiet box; the min of five is stable and
+    // disk contention (the target signal) inflates ALL five anyway.
+    def ioProbePoint(): Double =
+      if (ioProbeFiles.isEmpty) 0.0 else Seq.fill(5)(ioProbeOnce()).min
+
     val probes = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
+    val ioProbes = scala.collection.mutable.ArrayBuffer[Double]()
     probes += probePoint()
+    ioProbes += ioProbePoint()
 
     // Sorted iteration: a hash-ordered Map reshuffles run order whenever a
     // query is added, so cross-round per-query comparison inherits JVM/GC
@@ -117,7 +173,7 @@ object Bench {
     val errors = scala.collection.mutable.Map[String, String]()
     val midpoint = selected.size / 2
     val results = selected.zipWithIndex.map { case ((name, fn), idx) =>
-      if (idx == midpoint && idx > 0) probes += probePoint()
+      if (idx == midpoint && idx > 0) { probes += probePoint(); ioProbes += ioProbePoint() }
       if (explain) {
         try System.err.println(s"=== $name ===\n" +
           fn(spark, sfDir).queryExecution.explainString(
@@ -160,6 +216,7 @@ object Bench {
       name -> (wall, cpu)
     }.toMap
     probes += probePoint()
+    ioProbes += ioProbePoint()
 
     def jsonMap(m: Iterable[(String, String)]): String =
       m.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
@@ -186,6 +243,23 @@ object Bench {
       if (probeWalls.nonEmpty && probeWalls.min > 0)
         (probeWalls.max - probeWalls.min) / probeWalls.min
       else 0.0
+    // io_noise uses ALL THREE points (no JIT ramp on a raw file read):
+    // a high value means the fixed bytes read at very different speeds
+    // across the sweep — page-cache eviction / disk contention — exactly
+    // the signal the CPU probe cannot see.
+    val ioNoise =
+      if (ioProbes.nonEmpty && ioProbes.min > 0)
+        (ioProbes.max - ioProbes.min) / ioProbes.min
+      else 0.0
+    // wall≫cpu outliers: a query whose wall is large while its summed
+    // executor CPU is a small fraction of it spent its time NOT computing
+    // — blocked on disk, driver-side stalls, or scheduler waits. These
+    // are the rows a reader should adjudicate against io_noise before
+    // calling them regressions. [wall, cpu] pairs, cost-ranked, capped.
+    val wallOverCpu = results.toSeq
+      .filter { case (_, (w, c)) => w >= 1.0 && c >= 0 && w > 3 * c }
+      .sortBy { case (_, (w, _)) => -w }
+      .take(8)
     val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
     // The driver parses the JSON line out of the LAST 2000 chars of stdout,
     // and sbt appends a ~80-char "[success] ..." line after us; r4/r5 both
@@ -196,9 +270,11 @@ object Bench {
     // with honest n_queries/omitted counters; the FULL 3-decimal map goes
     // to bench_out.json, which lands in the repo alongside the round.
     val byCost = results.toSeq.sortBy { case (_, (t, _)) => -t }
+    val wgc = jsonMap(wallOverCpu.map { case (n, (w, c)) =>
+      n -> s"[${fmt(w, 2)},${fmt(c, 2)}]" })
     def render(k: Int): String = {
       val qs = jsonMap(byCost.take(k).map { case (n, (v, _)) => n -> fmt(v, 2) })
-      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","cpu_s":${fmt(cpuTotal, 1)},"noise":${fmt(noise, 2)},"queries":$qs,"n_queries":${results.size},"omitted":${results.size - k},"errors":$errs,"iters":$iters,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","cpu_s":${fmt(cpuTotal, 1)},"noise":${fmt(noise, 2)},"io_noise":${fmt(ioNoise, 2)},"wall_over_cpu":$wgc,"queries":$qs,"n_queries":${results.size},"omitted":${results.size - k},"errors":$errs,"iters":$iters,"sf":"$sfName"}"""
     }
     val line = (results.size to 1 by -1).view.map(render)
       .find(_.length <= 1800).getOrElse(render(1))
@@ -215,10 +291,11 @@ object Bench {
     val probeJson = {
       val w = probes.map(p => fmt(p._1, 3)).mkString("[", ",", "]")
       val c = probes.map(p => fmt(p._2, 3)).mkString("[", ",", "]")
-      s"""{"wall":$w,"cpu":$c}"""
+      val io = ioProbes.map(p => fmt(p, 3)).mkString("[", ",", "]")
+      s"""{"wall":$w,"cpu":$c,"io":$io}"""
     }
     val full =
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","cpu_s":${fmt(cpuTotal, 3)},"noise":${fmt(noise, 3)},"probe":$probeJson,"queries":$fullQs,"cpu":$fullCpu,"errors":$fullErrs,"iters":$iters,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","cpu_s":${fmt(cpuTotal, 3)},"noise":${fmt(noise, 3)},"io_noise":${fmt(ioNoise, 3)},"probe":$probeJson,"queries":$fullQs,"cpu":$fullCpu,"errors":$fullErrs,"iters":$iters,"sf":"$sfName"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")),
       (full + "\n").getBytes("UTF-8"))
