@@ -1387,12 +1387,43 @@ object TxLogFormat extends TableFormat {
         } catch { case scala.util.control.NonFatal(_) => None }
       }
     val keep = pred match {
-      case Some(p) =>
+      case Some(p) if live.size < distributedPruneThreshold =>
         live.filter(rel => stats.get(rel).forall(fs => mayMatch(p, fs)))
+      case Some(p) =>
+        // Distributed prune: above the threshold the per-file mayMatch
+        // evaluation (predicate tree × files × columns, plus Bloom
+        // probes) is the driver's scaling wall — a 100 TB table is
+        // millions of files, and a single-threaded fold over them runs
+        // minutes while 1000 executor cores idle. Ship (rel, stat)
+        // pairs out and evaluate the SAME mayMatch on executors; the
+        // kept set is identical by construction (same predicate, same
+        // stats, same function). Deliberately an RDD of the in-memory
+        // structs, not a DataFrame of them: encoding the exact-decimal
+        // stats through Catalyst rows would squeeze BigDecimal into
+        // Decimal(38,18) and could round the very values exactness-of-
+        // pruning depends on, while closure serialization ships them
+        // bit-exact. Order is restored from `live` so downstream file
+        // ordering is byte-identical to the driver-side path.
+        val sc = spark.sparkContext
+        val predB = sc.broadcast(p)
+        val slices = math.min(
+          math.max(1, live.size / 10000), sc.defaultParallelism * 4)
+        val keptSet = sc
+          .parallelize(live.map(r => r -> stats.get(r)), slices)
+          .filter { case (_, os) => os.forall(fs => mayMatch(predB.value, fs)) }
+          .map(_._1).collect().toSet
+        predB.destroy()
+        live.filter(keptSet)
       case None => live
     }
     readFiles(spark, path, keep, schemaJson, st.dvs).filter(filter)
   }
+
+  /** Live-file count at which [[scan]]'s stats pruning moves from the
+    * driver-side fold to a distributed evaluation of the same predicate
+    * (see the scan body). The default keeps every small-and-medium table
+    * on the zero-job fast path; tests lower it to cross the boundary. */
+  @volatile var distributedPruneThreshold: Int = 50000
 
   /** Metadata-only row count: sums the log-recorded per-file row counts —
     * no data file is opened, the answer costs one driver-side log read at

@@ -1215,6 +1215,25 @@ class FormatSpec extends SparkSpec {
     TxLogFormat.scan(spark, t, col("id") < 100).count()
     val secondSec = (System.nanoTime() - t1) / 1e9
     assert(secondSec < 15.0, f"warm 12k-file scan took $secondSec%.1f s")
+    // threshold crossing: force the DISTRIBUTED stats prune (executors
+    // evaluate the same mayMatch over shipped (rel, stat) pairs) and
+    // assert it keeps exactly the files the driver-side fold kept — the
+    // same existence-hard guarantee: keeping one extra fake file would
+    // throw on open, dropping a real one would change the count. Both
+    // a range predicate and a compound one cross the wire.
+    val saved = TxLogFormat.distributedPruneThreshold
+    try {
+      TxLogFormat.distributedPruneThreshold = 100 // 12k files >> 100
+      assert(TxLogFormat.scan(spark, t, col("id") < 100).count() == 100)
+      assert(TxLogFormat.scan(spark, t,
+        col("id") >= 10 && col("id") < 20).count() == 10)
+      // a predicate matching some FAKE stats must still throw on open —
+      // proving the distributed path really consulted the stats and kept
+      // the (nonexistent) file rather than pruning everything unknown
+      intercept[Exception] {
+        TxLogFormat.scan(spark, t, col("id") >= 1000000L).count()
+      }
+    } finally TxLogFormat.distributedPruneThreshold = saved
   }
 
   test("Pipeline drop-in parity: same DAG, same results as ParquetDirFormat") {
