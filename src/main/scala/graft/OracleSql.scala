@@ -279,6 +279,20 @@ object OracleSql {
     "orphaned_relations" ->
       """SELECT * FROM (VALUES ('legacy_mart'), ('staging/legacy_stg')) AS t(relation) ORDER BY relation""",
 
+    // simhash exact regime: the banding pipeline at radius 0 restricted
+    // to equal-distinct-word-set pairs — the subdomain where hamming 0 is
+    // provable (equal sets ⇒ equal sigs), stated here without touching
+    // the signature arithmetic at all
+    "dedup_simhash_x" ->
+      s"""WITH d AS (SELECT doc_id, list_sort($docWords) AS ws FROM documents) SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, 0 AS hamming FROM d a JOIN d b ON a.doc_id < b.doc_id AND a.ws = b.ws ORDER BY doc_a, doc_b""",
+
+    // zero-iteration seeded clustering: centroids are the first 8 vectors
+    // by vec_id, assignment is nearest-seed (ties to the lowest cell —
+    // the same first-minimum rule Spark's array_position applies), and
+    // the per-cell count/cohesion/share aggregation is plain SQL
+    "corpus_clusters_x" ->
+      """WITH s AS (SELECT CAST(vec_id AS INT) AS cell, embedding AS c FROM embeddings WHERE vec_id < 8), d AS (SELECT e.vec_id, s.cell, (SELECT SUM((CAST(x AS DOUBLE)-CAST(y AS DOUBLE))*(CAST(x AS DOUBLE)-CAST(y AS DOUBLE))) FROM (SELECT unnest(e.embedding) AS x, unnest(s.c) AS y)) AS d2 FROM embeddings e CROSS JOIN s), a AS (SELECT vec_id, cell, sqrt(d2) AS dist, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM d) SELECT cell, COUNT(*) AS n_vecs, ROUND(AVG(dist)*10000,0)/10000.0 AS cohesion, ROUND(COUNT(*)/(SELECT CAST(COUNT(*) AS DOUBLE) FROM embeddings)*10000,0)/10000.0 AS share FROM a WHERE rn = 1 GROUP BY cell ORDER BY cell""",
+
     // recall-1 LSH config on the 10% slice: the banded candidate
     // generator (prefilter off) + exact verify must reproduce the exact
     // unblocked pair set at J >= 0.8
@@ -381,6 +395,16 @@ object OracleSql {
     // exhaustive-probe IVF-SQ8 (probe all cells, rerank everything) must
     // equal the exact top-k — same oracle as ann_topk by construction
     "ann_ivf_q" -> annTopkSql,
+
+    // incrementally-grown index, exhaustive probe: growth (assign-to-
+    // nearest-cell over two batches) must preserve the candidate set
+    // exactly, so the search again equals the exact top-k
+    "ann_ivf_inc_q" -> annTopkSql,
+
+    // streaming IVF ingest: whatever k-means, drift, and retrains do,
+    // the maintained cell table must hold exactly the source vectors
+    "ivf_ingest" ->
+      """SELECT vec_id FROM embeddings ORDER BY vec_id""",
 
     // filtered ANN, exhaustive probe: candidates restricted by the
     // metadata predicate, queries unrestricted

@@ -72,6 +72,27 @@ object SparkEntry {
         val ix = Similarity.buildIvfIndex(Tables.embeddings(s, d))
         ix.copy(assigned = ix.assigned.localCheckpoint())
       }).asInstanceOf[Similarity.IvfIndex]
+  /** An INCREMENTALLY-grown IVF index: trained on the first 60% of the
+    * corpus by vec_id, then grown over the rest in two
+    * [[Similarity.assignIncremental]] batches — the production shape of
+    * an index that outlived its build set. Searchers probing it
+    * exhaustively must still equal the exact top-k (the growth path may
+    * lose or duplicate nothing); cell QUALITY on the grown tail is
+    * spec-bounded in ApproxSpec. */
+  private def sharedIncIvf(s: SparkSession, d: String): Similarity.IvfIndex =
+    objMemo.getOrElseUpdate(
+      s"${s.sparkContext.applicationId}|$d|ivf_inc", {
+        import org.apache.spark.sql.functions.col
+        val emb = Tables.embeddings(s, d)
+        val n = emb.count()
+        val (c1, c2) = (n * 3 / 5, n * 4 / 5)
+        val base = Similarity.buildIvfIndex(emb.filter(col("vec_id") < c1))
+        val grown = Similarity.assignIncremental(
+          Similarity.assignIncremental(base,
+            emb.filter(col("vec_id") >= c1 && col("vec_id") < c2)),
+          emb.filter(col("vec_id") >= c2))
+        grown.copy(assigned = grown.assigned.localCheckpoint())
+      }).asInstanceOf[Similarity.IvfIndex]
   private def sharedPq(s: SparkSession, d: String): Similarity.PqIndex =
     objMemo.getOrElseUpdate(
       s"${s.sparkContext.applicationId}|$d|pq", {
@@ -464,6 +485,11 @@ object SparkEntry {
         prefilterSlackSd = Double.PositiveInfinity)
     }),
     "dedup_simhash"   -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
+    // exact-regime twin: the full banding pipeline at radius 0, restricted
+    // to equal-distinct-word-set pairs — the provably-hamming-0 subdomain
+    // plain SQL states, adjudicating sig determinism + banding + the
+    // exactly-once pair emit (see Dedup.simhashExactRegime)
+    "dedup_simhash_x" -> ((s, d) => Dedup.simhashExactRegime(Tables.documents(s, d))),
     "ann_cosine"      -> ((s, d) => Similarity.cosineToQuery(Tables.embeddings(s, d))),
     "ann_topk"        -> ((s, d) => Similarity.topK(Tables.embeddings(s, d))),
     // shared frame is thresholded at 0.35; re-filter to this query's 0.4
@@ -472,10 +498,21 @@ object SparkEntry {
     "ann_ivf"         -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d),
                             precomputedIvf = Some(sharedIvf(s, d)))),
     // k-means corpus clusters for curation: rows-only (not SQL-expressible);
-    // determinism + size-conservation pinned in ApproxSpec.
+    // determinism + size-conservation pinned in ApproxSpec, and the
+    // machinery pinned exactly by corpus_clusters_x below.
     "corpus_clusters" -> ((s, d) => Similarity.corpusClusters(
                             Tables.embeddings(s, d),
                             precomputedIvf = Some(sharedIvf(s, d)))),
+    // exact-regime twin: zero-iteration seeded index (centroids = the
+    // first 8 vectors by vec_id, assignment = nearest seed) — the k-means
+    // FIT is the only non-SQL piece and it's removed; the per-cell
+    // count/cohesion/share aggregation runs UNCHANGED and DuckDB states
+    // the whole thing as a nearest-of-8-constants argmin
+    "corpus_clusters_x" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.corpusClusters(emb, nCells = 8,
+        precomputedIvf = Some(Similarity.seededIvfIndex(emb, 8)))
+    }),
     // exhaustive config (probe every cell, rerank all candidates): the
     // quantize → dequant → cell-probe → exact-rerank machinery must then
     // reproduce the exact top-k bit-for-bit, so this rides ann_topk's
@@ -493,6 +530,19 @@ object SparkEntry {
                             Tables.embeddings(s, d),
                             nProbe = 16, rerank = Int.MaxValue,
                             precomputedIvf = Some(sharedIvf(s, d)))),
+    // incrementally-GROWN index (built on 60%, grown via assignIncremental
+    // over the rest) at the exhaustive probe config: search must still
+    // equal the exact top-k — the growth path may lose or duplicate
+    // nothing — so ann_topk's oracle adjudicates the maintenance plumbing;
+    // cell quality on the grown tail is spec-bounded (ApproxSpec)
+    "ann_ivf_inc_q"   -> ((s, d) => Similarity.ivfTopK(
+                            Tables.embeddings(s, d), nProbe = 16,
+                            precomputedIvf = Some(sharedIncIvf(s, d)))),
+    // streaming IVF ingest loop (build → incremental assign → drift-gated
+    // retrain, exactly-once appends): the maintained cell table's vec_id
+    // set must survive every path bit-for-bit — plain SQL both engines
+    // state, adjudicating the whole loop's conservation
+    "ivf_ingest"      -> ((s, d) => graft.streaming.StreamOps.runIvfIngest(s, d)),
     // IVF-PQ: selective config (8-probe, PQ-coded stage 1, rerank 30) is
     // rows-only, recall spec-bounded vs topK
     "ann_pq"          -> ((s, d) => Similarity.ivfPqTopK(Tables.embeddings(s, d),

@@ -679,4 +679,26 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
     // no presentation sort — pair-set output, same rationale as minhashLsh
   }
+
+  /** Exact-regime twin of [[simhash]]: run the FULL banding pipeline at
+    * radius 0 and restrict the output to pairs with equal distinct-word
+    * SETS — the subdomain where hamming-0 is PROVABLE (the signature is
+    * a commutative vote over the distinct-token hashes, so equal sets ⇒
+    * equal sigs ⇒ chunk 0 of the XOR banding matches ⇒ the pair emits,
+    * exactly once, with hamming 0). That restriction is plain SQL both
+    * engines state, so the oracle adjudicates signature determinism,
+    * the chunk-band join, and the first-agreeing-chunk exactly-once
+    * dedup end-to-end. (The UNRESTRICTED radius-0 set adds only sig
+    * collisions across different word sets — engine-specific hash
+    * arithmetic no SQL oracle can restate, which is exactly why the
+    * general query stays rows-only.) */
+  def simhashExactRegime(documents: DataFrame): DataFrame = {
+    val ws = documents.select(col("doc_id"),
+      sort_array(TextNorm.distinctWords(col("text"))).as("ws"))
+    simhash(documents, maxHamming = 0)
+      .join(ws.as("wa"), col("doc_a") === col("wa.doc_id"))
+      .join(ws.as("wb"), col("doc_b") === col("wb.doc_id"))
+      .filter(col("wa.ws") === col("wb.ws"))
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
 }

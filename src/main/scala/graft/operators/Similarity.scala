@@ -128,7 +128,8 @@ object Similarity {
     * (cell is just another table column); both the float and the
     * quantized searchers consume it. */
   final case class IvfIndex(assigned: DataFrame,
-                            centroidValues: Seq[Array[Double]]) {
+                            centroidValues: Seq[Array[Double]],
+                            buildMeanDist: Double = Double.NaN) {
     /** Every centroid as ONE nested-array literal — a single Catalyst
       * node. The former per-entry `array(lit, …)` trees put thousands of
       * expression nodes into every search plan, and the DRIVER paid
@@ -147,7 +148,89 @@ object Similarity {
       .fit(withVec.select("features"))
     val assigned = model.transform(withVec)
       .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
-    IvfIndex(assigned, model.clusterCenters.map(_.toArray).toSeq)
+    // build-time mean assigned distance: trainingCost is the k-means
+    // objective (sum of squared distances to the assigned centroid) the
+    // fit already computed — one count job turns it into the per-vector
+    // mean that [[ivfDrift]] compares future corpus states against.
+    val meanDist = model.summary.trainingCost / math.max(1L, assigned.count())
+    IvfIndex(assigned, model.clusterCenters.map(_.toArray).toSeq, meanDist)
+  }
+
+  // ---- incremental index maintenance (the growing-corpus path) ----
+  //
+  // A 100 TB corpus does not refit k-means per ingest batch: new vectors
+  // are ASSIGNED to their nearest existing cell (one scan of the batch
+  // against the tiny centroid table — no shuffle, no fit), and a cheap
+  // drift statistic decides when the centroids have decayed enough to pay
+  // for a re-train. This is FAISS's add-vs-train split made incremental.
+
+  /** Nearest-existing-cell assignment for a batch of vectors
+    * (vec_id, embedding) → (vec_id, embedding, cell, cell_dist).
+    * Scan-bound and shuffle-free: the per-centroid distances compute as
+    * one array expression per row and the argmin resolves inside the row
+    * (first minimal cell — the same tie-break k-means transform uses).
+    * `cell_dist` rides along so callers can fold the batch into the
+    * running drift statistic without a second pass. */
+  def assignToCells(index: IvfIndex, vectors: DataFrame): DataFrame = {
+    val dists = transform(index.centroidsLit,
+      c => sqDist(col("embedding"), c))
+    vectors.select(col("vec_id"), col("embedding"),
+      (array_position(dists, array_min(dists)) - 1).cast("int").as("cell"),
+      array_min(dists).as("cell_dist"))
+  }
+
+  /** Deterministic zero-iteration "index": the centroids are literally
+    * the first `nCells` vectors by vec_id and every vector assigns to
+    * its nearest seed — no Lloyd iterations, so the entire structure is
+    * a closed form plain SQL can state (nearest-of-k-constants argmin).
+    * The exact-regime twin base for [[corpusClusters]]: the k-means FIT
+    * is the only piece SQL cannot express, and this removes exactly
+    * that piece while keeping the assignment + distance + aggregation
+    * machinery identical to the production path. */
+  def seededIvfIndex(embeddings: DataFrame, nCells: Int = 8): IvfIndex = {
+    val seeds = embeddings.filter(col("vec_id") < nCells)
+      .select("vec_id", "embedding").collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray).toSeq
+    require(seeds.size == nCells, s"need vec_ids 0..${nCells - 1} as seeds")
+    val proto = IvfIndex(null, seeds)
+    proto.copy(assigned = assignToCells(proto, embeddings).drop("cell_dist"))
+  }
+
+  /** Incremental index growth: assign `newVectors` to existing cells and
+    * union them into the index. Centroids and the build-time drift
+    * baseline are untouched — this is the cheap path between
+    * re-trains. */
+  def assignIncremental(index: IvfIndex, newVectors: DataFrame): IvfIndex =
+    index.copy(assigned = index.assigned.unionByName(
+      assignToCells(index, newVectors).drop("cell_dist")))
+
+  /** Mean squared distance of the index's current contents to their
+    * assigned centroids — the index-quality number. One scan; production
+    * ingest loops maintain it as running (n, sum) instead (see
+    * [[graft.streaming.StreamOps]]'s IVF ingest). */
+  def meanAssignedDist(index: IvfIndex): Double =
+    index.assigned.select(avg(sqDist(col("embedding"),
+      element_at(index.centroidsLit, col("cell") + 1)))).head.getDouble(0)
+
+  /** Drift ratio: current mean assigned distance over the build-time
+    * mean. 1.0 = as tight as at build; grows as the corpus distribution
+    * moves away from the trained centroids (recall decays with it). */
+  def ivfDrift(index: IvfIndex): Double =
+    meanAssignedDist(index) / index.buildMeanDist
+
+  /** The maintenance step an ingest loop calls per batch: grow the index
+    * incrementally, then re-train from the full corpus when drift
+    * exceeds `driftTrigger`. Returns the index to carry forward and
+    * whether a re-train happened. The re-train consumes the GROWN
+    * assignment set, so no vectors are lost across the rebuild. */
+  def maintainIvf(index: IvfIndex, newVectors: DataFrame,
+                  driftTrigger: Double = 1.5,
+                  nCells: Int = 16): (IvfIndex, Boolean) = {
+    val grown = assignIncremental(index, newVectors)
+    if (ivfDrift(grown) > driftTrigger)
+      (buildIvfIndex(grown.assigned.select("vec_id", "embedding"), nCells), true)
+    else (grown, false)
   }
 
   /** Squared Euclidean distance — the SAME metric k-means assigned cells

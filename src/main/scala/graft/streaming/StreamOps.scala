@@ -653,6 +653,127 @@ object StreamOps {
     TxLogFormat.read(spark, table)
   }
 
+  /** One micro-batch of the streaming IVF-index ingest loop — ANN index
+    * maintenance for a GROWING vector corpus (the embedding analogue of
+    * [[neardupIngestBatch]]'s band index):
+    *  1. cold start trains k-means on the first batch and persists the
+    *     cell assignments (`cellsTable`) plus a one-row index LEDGER
+    *     entry (`indexTable`: batch_id, centroids as one nested array,
+    *     build-time mean distance, running n / sum-distance);
+    *  2. later batches assign to the NEAREST EXISTING cell
+    *     ([[graft.operators.Similarity.assignToCells]] — scan-bound,
+    *     shuffle-free, no refit) and fold the batch's assignment
+    *     distances into the running (n, sum) so DRIFT (current mean over
+    *     build-time mean) costs O(batch), never a corpus rescan;
+    *  3. when drift exceeds `driftTrigger`, the centroids have decayed:
+    *     re-train on the FULL corpus (including this batch — nothing is
+    *     lost), rewrite the cell table in one overwrite commit, and
+    *     reset the ledger baseline.
+    *
+    * Both appends carry the same exactly-once txn tag; a crash replays
+    * safely (each table skips its committed half, and the re-train
+    * rewrite is deterministic — fixed seed over the same corpus — so
+    * re-running it lands the same table). The ledger is append-only:
+    * index history (when drift forced retrains, how fast quality decays)
+    * stays auditable via time travel like any other table. */
+  def ivfIngestBatch(cellsTable: String, indexTable: String,
+                     nCells: Int = 16, driftTrigger: Double = 1.5)
+                    (b: DataFrame, id: Long): Unit = {
+    import graft.sources.TxLogFormat
+    import graft.operators.Similarity
+    val spark = b.sparkSession
+    import spark.implicits._
+    // Whole-batch replay guard: the ledger append is the LAST commit of a
+    // batch, so its txn tag present means both halves landed — return
+    // before recomputing anything (otherwise a replayed retrain batch
+    // would fold its stats into the post-retrain baseline a second time
+    // and could trigger a spurious — content-identical but version-noisy
+    // — rewrite). The per-append tags below still guard the partial-crash
+    // window between the two commits.
+    if (TxLogFormat.committedTxns(indexTable).contains(s"ivf_ingest:$id"))
+      return
+    val batch = b.select(col("vec_id"), col("embedding")).localCheckpoint()
+    def ledgerRow(retrained: Boolean, cs: Seq[Array[Double]],
+                  baseline: Double, n: Long, sumDist: Double): DataFrame =
+      Seq((id, retrained, cs.map(_.toSeq), baseline, n, sumDist))
+        .toDF("batch_id", "retrained", "centroids", "build_mean_dist",
+              "n", "sum_dist")
+    if (TxLogFormat.versions(indexTable).isEmpty) {
+      val idx = Similarity.buildIvfIndex(batch, nCells)
+      val assignedC = idx.assigned.localCheckpoint()
+      val n = assignedC.count()
+      TxLogFormat.appendBatch(assignedC, cellsTable, "ivf_ingest", id)
+      TxLogFormat.appendBatch(
+        ledgerRow(retrained = true, idx.centroidValues, idx.buildMeanDist,
+          n, idx.buildMeanDist * n),
+        indexTable, "ivf_ingest", id): Unit
+    } else {
+      val latest = TxLogFormat.read(spark, indexTable)
+        .orderBy(col("batch_id").desc).limit(1).collect()(0)
+      def f(c: String) = latest.fieldIndex(c)
+      val centroids = latest.getSeq[scala.collection.Seq[Double]](f("centroids"))
+        .map(_.toArray).toSeq
+      val baseline = latest.getDouble(f("build_mean_dist"))
+      val index = Similarity.IvfIndex(
+        TxLogFormat.read(spark, cellsTable).select("vec_id", "embedding", "cell"),
+        centroids, baseline)
+      val assignedB = Similarity.assignToCells(index, batch).localCheckpoint()
+      val (bn, bsum) = assignedB
+        .agg(count(lit(1)), coalesce(sum("cell_dist"), lit(0.0)))
+        .as[(Long, Double)].head()
+      TxLogFormat.appendBatch(assignedB.drop("cell_dist"),
+        cellsTable, "ivf_ingest", id)
+      val n2 = latest.getLong(f("n")) + bn
+      val sum2 = latest.getDouble(f("sum_dist")) + bsum
+      val drift = (sum2 / math.max(n2, 1L)) / baseline
+      val entry =
+        if (drift > driftTrigger) {
+          val idx2 = Similarity.buildIvfIndex(
+            TxLogFormat.read(spark, cellsTable).select("vec_id", "embedding"),
+            nCells)
+          val reassigned = idx2.assigned.localCheckpoint()
+          val rn = reassigned.count()
+          TxLogFormat.write(reassigned, cellsTable)
+          ledgerRow(retrained = true, idx2.centroidValues, idx2.buildMeanDist,
+            rn, idx2.buildMeanDist * rn)
+        } else ledgerRow(retrained = false, centroids, baseline, n2, sum2)
+      TxLogFormat.appendBatch(entry, indexTable, "ivf_ingest", id): Unit
+    }
+  }
+
+  /** Driver query: three MemoryStream batches (60/20/20 split of the
+    * embeddings table by vec_id) drive [[ivfIngestBatch]] — a cold build
+    * then two incremental assignment batches — and the result is the
+    * maintained cell table's vec_id set. Oracle-exact: whatever k-means
+    * and drift do, the loop must preserve the vector set bit-for-bit
+    * (no loss on append, no loss/dup across a re-train), and THAT is
+    * plain SQL. Assignment quality is spec-bounded (recall vs a fresh
+    * rebuild) where SQL can't reach. */
+  def runIvfIngest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxLogFormat
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_ivfingest_")
+    val cells = root.resolve("cells").toString
+    val index = root.resolve("index").toString
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val cut1 = emb.length * 3 / 5
+    val cut2 = emb.length * 4 / 5
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, Array[Float])]
+    val q = ms.toDF().toDF("vec_id", "embedding")
+      .writeStream
+      .foreachBatch(ivfIngestBatch(cells, index) _)
+      .start()
+    try {
+      Seq(emb.slice(0, cut1), emb.slice(cut1, cut2), emb.slice(cut2, emb.length))
+        .foreach { chunk => ms.addData(chunk.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+    TxLogFormat.read(spark, cells).select("vec_id").orderBy("vec_id")
+  }
+
   /** Stateful gap sessionization via flatMapGroupsWithState: per user, an
     * open session is carried in GroupState; events extend it or close it
     * (30-min gap). Closed sessions emit append-mode; the open session

@@ -88,6 +88,62 @@ class ApproxSpec extends SparkSpec {
     assert(recall >= 0.4, s"ivf recall $recall")
   }
 
+  test("incremental IVF: a grown index's recall tracks a fresh rebuild; " +
+       "drift detects distribution shift and maintainIvf retrains on it") {
+    import org.apache.spark.sql.DataFrame
+    val emb = Tables.embeddings(spark, sf)
+    val n = emb.count()
+    val exact = Similarity.topK(emb, Seq(0L, 1L, 2L), 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(ix: Similarity.IvfIndex): Double = {
+      val got = Similarity.ivfTopK(emb, Seq(0L, 1L, 2L), 10,
+        precomputedIvf = Some(ix)).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      exact.intersect(got).size.toDouble / exact.size
+    }
+    val fresh = Similarity.buildIvfIndex(emb)
+    // grow: train on the first 60% by vec_id, assign the rest in two
+    // incremental batches — no refit
+    val (c1, c2) = (n * 3 / 5, n * 4 / 5)
+    val base = Similarity.buildIvfIndex(emb.filter(col("vec_id") < c1))
+    val grown = Similarity.assignIncremental(
+      Similarity.assignIncremental(base,
+        emb.filter(col("vec_id") >= c1 && col("vec_id") < c2)),
+      emb.filter(col("vec_id") >= c2))
+    // conservation: growth loses and duplicates nothing
+    assert(grown.assigned.count() == n)
+    assert(grown.assigned.select("vec_id").distinct().count() == n)
+    // recall of the grown index stays within a bound of the fresh build
+    // (same distribution → near-parity; the bound absorbs k-means luck)
+    val (rFresh, rGrown) = (recallOf(fresh), recallOf(grown))
+    assert(rGrown >= rFresh - 0.2, s"grown recall $rGrown vs fresh $rFresh")
+    // same-distribution growth barely moves the drift statistic…
+    val driftSame = Similarity.ivfDrift(grown)
+    assert(driftSame > 0 && driftSame < 1.5, s"same-dist drift $driftSame")
+    // …but a genuinely shifted batch (every component offset by +10, far
+    // outside the trained cells) pushes it over a tight trigger and
+    // maintainIvf retrains — on the GROWN set, so nothing is lost
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    val shifted: DataFrame = emb.limit(20)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"), x => x + lit(10.0f)).as("embedding"))
+    val (kept, retrainedOnSame) =
+      Similarity.maintainIvf(grown, emb.limit(0), driftTrigger = 1.5)
+    assert(!retrainedOnSame && kept.assigned.count() == n,
+      "empty batch must not retrain")
+    val (after, retrained) =
+      Similarity.maintainIvf(grown, shifted, driftTrigger = 1.5)
+    assert(retrained, "shifted batch should trip the drift trigger")
+    assert(after.assigned.count() == n + 20, "retrain lost vectors")
+    // the retrained centroids actually absorb the shift: mean assigned
+    // distance improves vs the stale-centroid assignment of the same set
+    val stale = Similarity.assignIncremental(grown, shifted)
+    assert(Similarity.meanAssignedDist(after) <
+           Similarity.meanAssignedDist(stale),
+      "retraining did not improve the fit")
+    assert(dim > 0) // (guard that the embedding column is non-degenerate)
+  }
+
   test("ann_pq: selective IVF-PQ recall vs exact topK; exhaustive config " +
        "IS the exact top-k") {
     val emb = Tables.embeddings(spark, sf)

@@ -247,6 +247,64 @@ class StreamingSpec extends SparkSpec {
       "replayed batch id must not commit")
   }
 
+  test("streaming IVF ingest: cold build, incremental assign, drift-gated " +
+       "retrain, vec_id conservation, replay-safe") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_ivfingest_spec")
+    val cells = root.resolve("cells").toString
+    val index = root.resolve("index").toString
+    // deterministic 8-dim corpus: two tight blobs around ±1 (batches 0-1),
+    // then a batch shifted to +25 per component — far outside the trained
+    // cells, so the running drift statistic must trip the trigger
+    def vec(seed: Long, base: Float): Array[Float] =
+      Array.tabulate(8)(i => base + ((seed * 31 + i * 7) % 10) / 100.0f)
+    val b0 = (0L until 30L).map(i => (i, vec(i, if (i % 2 == 0) 1f else -1f)))
+    val b1 = (30L until 40L).map(i => (i, vec(i, if (i % 2 == 0) 1f else -1f)))
+    val b2 = (40L until 50L).map(i => (i, vec(i, 25f)))
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = input.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch(StreamOps.ivfIngestBatch(cells, index,
+        nCells = 4, driftTrigger = 1.5) _)
+      .start()
+    try {
+      input.addData(b0); q.processAllAvailable() // cold build
+      input.addData(b1); q.processAllAvailable() // same-dist: assign only
+      input.addData(b2); q.processAllAvailable() // shifted: retrain
+    } finally q.stop()
+    import graft.sources.TxLogFormat
+    // conservation through build + append + retrain: every vec_id, once
+    val gotIds = TxLogFormat.read(spark, cells)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(gotIds.sorted == (0L until 50L).toSeq, s"ids ${gotIds.size}")
+    // ledger: one row per batch; batch 1 assigned incrementally (no
+    // retrain), batch 2 tripped drift and retrained
+    val ledger = TxLogFormat.read(spark, index)
+      .select("batch_id", "retrained", "n").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(ledger.map(x => (x._2, x._3)).toSeq ==
+      Seq((true, 30L), (false, 40L), (true, 50L)), ledger.mkString(", "))
+    // the retrained centroids cover the shifted blob: its rows' assigned
+    // cells hold ONLY shifted rows (a stale index would mix them into the
+    // nearest old cell with ±1 vectors)
+    val cellOf = TxLogFormat.read(spark, cells)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val shiftedCells = (40L until 50L).map(cellOf).toSet
+    assert((0L until 40L).forall(i => !shiftedCells.contains(cellOf(i))),
+      "shifted rows share a cell with unshifted rows after retrain")
+    // replay: a committed batch id is a strict no-op on both tables
+    val vs = (TxLogFormat.versions(cells).size,
+              TxLogFormat.versions(index).size)
+    StreamOps.ivfIngestBatch(cells, index, nCells = 4, driftTrigger = 1.5)(
+      b1.toDF("vec_id", "embedding"), 1L)
+    assert((TxLogFormat.versions(cells).size,
+            TxLogFormat.versions(index).size) == vs,
+      "replayed batch id must not commit")
+  }
+
   test("stream sessionize + flush sentinel = batch sessionize exactly") {
     val events = Tables.events(spark, sf)
     // the epilogue sentinel pushes the final watermark past every open
