@@ -279,6 +279,15 @@ object OracleSql {
     "orphaned_relations" ->
       """SELECT * FROM (VALUES ('legacy_mart'), ('staging/legacy_stg')) AS t(relation) ORDER BY relation""",
 
+    // suffix-array-style exact substring dedup: pairs sharing a verbatim
+    // 40-char run, counted by distinct shared windows — both the exact
+    // path and the hashed scale path must state exactly this
+    "substring_dedup" ->
+      """WITH w AS (SELECT DISTINCT doc_id, sub FROM (SELECT doc_id, substr(text, CAST(p AS INT), 40) AS sub FROM (SELECT doc_id, text, unnest(range(1, len(text)-38)) AS p FROM documents WHERE len(text) >= 40))) SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(DISTINCT a.sub) AS shared_windows FROM w a JOIN w b ON a.doc_id < b.doc_id AND a.sub = b.sub GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "substring_dedup_h" ->
+      """WITH w AS (SELECT DISTINCT doc_id, sub FROM (SELECT doc_id, substr(text, CAST(p AS INT), 40) AS sub FROM (SELECT doc_id, text, unnest(range(1, len(text)-38)) AS p FROM documents WHERE len(text) >= 40))) SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(DISTINCT a.sub) AS shared_windows FROM w a JOIN w b ON a.doc_id < b.doc_id AND a.sub = b.sub GROUP BY 1, 2 ORDER BY 1, 2""",
+
     // simhash exact regime: the banding pipeline at radius 0 restricted
     // to equal-distinct-word-set pairs — the subdomain where hamming 0 is
     // provable (equal sets ⇒ equal sigs), stated here without touching

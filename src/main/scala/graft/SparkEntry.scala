@@ -485,6 +485,13 @@ object SparkEntry {
         prefilterSlackSd = Double.PositiveInfinity)
     }),
     "dedup_simhash"   -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
+    // suffix-array-style EXACT substring dedup (below the 13-gram
+    // winnowing granularity): raw 40-char windows join verbatim — fully
+    // SQL-stateable, so the whole operator is oracle-adjudicated
+    "substring_dedup" -> ((s, d) => Dedup.exactSubstringPairs(Tables.documents(s, d))),
+    // the hashed scale path must land the SAME pairs (hash candidates +
+    // text verify; collisions can only drop, never fabricate) — same oracle
+    "substring_dedup_h" -> ((s, d) => Dedup.exactSubstringPairsHashed(Tables.documents(s, d))),
     // exact-regime twin: the full banding pipeline at radius 0, restricted
     // to equal-distinct-word-set pairs — the provably-hamming-0 subdomain
     // plain SQL states, adjudicating sig determinism + banding + the

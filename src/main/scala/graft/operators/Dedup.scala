@@ -680,6 +680,74 @@ object Dedup {
     // no presentation sort — pair-set output, same rationale as minhashLsh
   }
 
+  /** Exact substring dedup — the suffix-array method (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better"): two
+    * documents are flagged when they share ANY exact character run of
+    * ≥ `minChars`, a strictly finer net than 13-gram winnowing (which
+    * shingles by WORD and samples fingerprints; this misses nothing and
+    * works below the shingle granularity). Spark-first reformulation of
+    * the suffix sort: a shared run of ≥ minChars exists iff some
+    * length-`minChars` window (a suffix truncated to minChars) occurs in
+    * both docs verbatim, so emit every window and group equal ones —
+    * the same O(total chars) row count a suffix array sorts, through
+    * Spark's external shuffle instead of a pointer array.
+    *
+    * This EXACT path shuffles the raw windows (n·minChars bytes):
+    * collision-free by construction and the DuckDB-adjudicable twin.
+    * At 100 TB use [[exactSubstringPairsHashed]] — same output through
+    * 8-byte hashed rows + a candidates-only verify.
+    *
+    * Output: (doc_a, doc_b, shared_windows = distinct shared windows) —
+    * pair-set semantics, no presentation sort (see [[minhashLsh]]). */
+  def exactSubstringPairs(documents: DataFrame, minChars: Int = 40): DataFrame = {
+    val w = substringWindows(documents, minChars)
+      .select(col("doc_id"), col("sub")).distinct()
+    w.as("a").join(w.as("b"),
+        col("a.sub") === col("b.sub") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+              col("a.sub").as("sub"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count_distinct(col("sub")).as("shared_windows"))
+  }
+
+  /** The 100 TB shuffle diet for [[exactSubstringPairs]]: windows travel
+    * as (doc_id, xxhash64, pos) — 24ish bytes instead of `minChars` —
+    * candidate pairs join on the hash, and the REAL text verifies only
+    * the candidates (re-fetched by doc, a join sized by dup density, not
+    * corpus size). Output ≡ the exact path up to 64-bit hash collisions
+    * (≈2⁻⁶⁴ per window pair; a collision can only DROP a window — the
+    * verify kills fabrications — so precision is exact and the
+    * equivalence is spec-pinned on real corpora). */
+  def exactSubstringPairsHashed(documents: DataFrame, minChars: Int = 40): DataFrame = {
+    val wins = substringWindows(documents, minChars)
+      .select(col("doc_id"), col("p"), xxhash64(col("sub")).as("h"))
+    // one representative position per (doc, window-hash): min pos is
+    // deterministic and enough for the verify fetch
+    val perDoc = wins.groupBy("doc_id", "h").agg(min("p").as("p"))
+    val cand = perDoc.as("a").join(perDoc.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("a.p").as("pa"),
+              col("b.doc_id").as("doc_b"), col("b.p").as("pb"))
+    val txt = documents.select(col("doc_id"), col("text"))
+    cand.join(txt.as("ta"), col("doc_a") === col("ta.doc_id"))
+      .join(txt.as("tb"), col("doc_b") === col("tb.doc_id"))
+      .filter(col("ta.text").substr(col("pa"), lit(minChars)) ===
+              col("tb.text").substr(col("pb"), lit(minChars)))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared_windows"))
+  }
+
+  /** Every length-`minChars` character window of every document:
+    * (doc_id, p 1-based, sub). Shared stage of both substring-dedup
+    * paths — the generate + substring stays in one codegen stage; only
+    * the projected columns ever shuffle. */
+  private def substringWindows(documents: DataFrame, minChars: Int): DataFrame =
+    documents.filter(length(col("text")) >= minChars)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("text")) - (minChars - 1))).as("p"),
+        col("text"))
+      .select(col("doc_id"), col("p"),
+        col("text").substr(col("p").cast("int"), lit(minChars)).as("sub"))
+
   /** Exact-regime twin of [[simhash]]: run the FULL banding pipeline at
     * radius 0 and restrict the output to pairs with equal distinct-word
     * SETS — the subdomain where hamming-0 is PROVABLE (the signature is

@@ -88,6 +88,35 @@ class ApproxSpec extends SparkSpec {
     assert(recall >= 0.4, s"ivf recall $recall")
   }
 
+  test("exact substring dedup: the hashed scale path lands exactly the " +
+       "exact path's pairs; a planted 40-char run is caught at its length") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val exact = pairs(Dedup.exactSubstringPairs(docs))
+    assert(exact.nonEmpty, "corpus should contain 40-char exact overlaps")
+    assert(pairs(Dedup.exactSubstringPairsHashed(docs)) == exact,
+      "hashed path diverged from the exact path")
+    // planted: docs 1 and 2 share ONE exact 40-char run at different
+    // offsets; doc 3 shares nothing. Exactly one window fits inside the
+    // run, so the pair reports shared_windows = 1 — and a 39-char run
+    // (doc 4) is invisible, pinning the threshold semantics.
+    val run = (0 until 40).map(i => ('a' + i % 26).toChar).mkString
+    val planted = Seq(
+      (1L, s"lead-in text before the run $run and a tail"),
+      (2L, s"Q$run!completely different framing text here"), // ! stops the
+      // run at exactly 40 chars — a shared space would extend it to 41
+      // (two windows), which the first version of this spec learned
+      (3L, "no overlap in this one, just unrelated filler words"),
+      (4L, s"ZZ${run.drop(1)}YY only thirty-nine shared characters"))
+      .toDF("doc_id", "text")
+    val got = Dedup.exactSubstringPairs(planted).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got.keySet == Set((1L, 2L)), got.toString)
+    assert(got((1L, 2L)) == 1L, s"expected exactly one shared window: $got")
+  }
+
   test("incremental IVF: a grown index's recall tracks a fresh rebuild; " +
        "drift detects distribution shift and maintainIvf retrains on it") {
     import org.apache.spark.sql.DataFrame
