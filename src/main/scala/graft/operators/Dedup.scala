@@ -700,14 +700,21 @@ object Dedup {
     * Output: (doc_a, doc_b, shared_windows = distinct shared windows) —
     * pair-set semantics, no presentation sort (see [[minhashLsh]]). */
   def exactSubstringPairs(documents: DataFrame, minChars: Int = 40): DataFrame = {
-    val w = substringWindows(documents, minChars)
-      .select(col("doc_id"), col("sub")).distinct()
-    w.as("a").join(w.as("b"),
-        col("a.sub") === col("b.sub") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-              col("a.sub").as("sub"))
+    // group-by-window instead of a self-join: ONE shuffle keyed by the
+    // window (collect_set partially aggregates map-side, so each
+    // (window, doc) travels once), pairs explode inside the row, and the
+    // pair count is the second and last shuffle. The join formulation
+    // paid a third exchange for the same answer.
+    val bySub = substringWindows(documents, minChars)
+      .groupBy(col("sub"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+    bySub
+      .select(posexplode(col("ds")).as(Seq("i", "doc_a")), col("ds"))
+      .select(col("doc_a"),
+        explode(slice(col("ds"), col("i") + 2, size(col("ds")))).as("doc_b"))
       .groupBy("doc_a", "doc_b")
-      .agg(count_distinct(col("sub")).as("shared_windows"))
+      .agg(count(lit(1)).as("shared_windows"))
   }
 
   /** The 100 TB shuffle diet for [[exactSubstringPairs]]: windows travel
@@ -722,10 +729,19 @@ object Dedup {
     val wins = substringWindows(documents, minChars)
       .select(col("doc_id"), col("p"), xxhash64(col("sub")).as("h"))
     // one representative position per (doc, window-hash): min pos is
-    // deterministic and enough for the verify fetch
+    // deterministic and enough for the verify fetch. Then the same
+    // group-by-key pair explosion as the exact path (no self-join
+    // exchange); sort_array on the structs orders by doc_id, so the
+    // exploded pairs are doc_a < doc_b by construction.
     val perDoc = wins.groupBy("doc_id", "h").agg(min("p").as("p"))
-    val cand = perDoc.as("a").join(perDoc.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+    val byHash = perDoc
+      .groupBy("h")
+      .agg(sort_array(collect_set(struct(col("doc_id"), col("p")))).as("ds"))
+      .filter(size(col("ds")) > 1)
+    val cand = byHash
+      .select(posexplode(col("ds")).as(Seq("i", "a")), col("ds"))
+      .select(col("a"),
+        explode(slice(col("ds"), col("i") + 2, size(col("ds")))).as("b"))
       .select(col("a.doc_id").as("doc_a"), col("a.p").as("pa"),
               col("b.doc_id").as("doc_b"), col("b.p").as("pb"))
     val txt = documents.select(col("doc_id"), col("text"))
