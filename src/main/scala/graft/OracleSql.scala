@@ -410,6 +410,22 @@ object OracleSql {
     // exactly, so the search again equals the exact top-k
     "ann_ivf_inc_q" -> annTopkSql,
 
+    // incrementally-grown PQ index (codebooks from the 60% build, the
+    // rest encoded with them), exhaustive probe + full rerank ≡ exact
+    "ann_pq_inc_q" -> annTopkSql,
+
+    // full-dimension PCA is an isometry — projected squared norms equal
+    // raw squared norms (MLlib's transform does not center, so the
+    // identity is on x itself); the eigen/projection machinery is the
+    // only rows-only piece and the norm it must conserve is plain SQL
+    "embedding_pca_x" ->
+      """SELECT vec_id, ROUND((SELECT SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) FROM (SELECT unnest(embedding) AS x))*10000,0)/10000.0 AS sq_norm FROM embeddings ORDER BY vec_id""",
+
+    // theta segments below saturation (k derived above the distinct-user
+    // count): θ = 1, the sketches ARE the sets, every estimate is exact
+    "theta_segments_x" ->
+      """WITH per AS (SELECT user_id, MAX(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS ha, MAX(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS hb FROM events WHERE event_type IN ('click','purchase') GROUP BY user_id) SELECT CAST(SUM(ha) AS DOUBLE) AS est_click, CAST(SUM(hb) AS DOUBLE) AS est_purchase, CAST(COUNT(*) AS DOUBLE) AS est_union, CAST(SUM(ha*hb) AS DOUBLE) AS est_intersect, CAST(SUM(ha) AS BIGINT) AS exact_click, CAST(SUM(hb) AS BIGINT) AS exact_purchase, COUNT(*) AS exact_union, CAST(SUM(ha*hb) AS BIGINT) AS exact_intersect FROM per""",
+
     // streaming IVF ingest: whatever k-means, drift, and retrains do,
     // the maintained cell table must hold exactly the source vectors
     "ivf_ingest" ->

@@ -103,6 +103,27 @@ object SparkEntry {
         ix.copy(encoded = ix.encoded.localCheckpoint())
       }).asInstanceOf[Similarity.PqIndex]
 
+  /** The PQ analogue of [[sharedIncIvf]]: coarse cells + codebooks
+    * trained on the first 60% by vec_id, the rest encoded incrementally
+    * with the EXISTING codebooks ([[Similarity.encodePqIncremental]] —
+    * FAISS add-after-train) in two batches. */
+  private def sharedIncPq(s: SparkSession, d: String): Similarity.PqIndex =
+    objMemo.getOrElseUpdate(
+      s"${s.sparkContext.applicationId}|$d|pq_inc", {
+        import org.apache.spark.sql.functions.col
+        val emb = Tables.embeddings(s, d)
+        val n = emb.count()
+        val (c1, c2) = (n * 3 / 5, n * 4 / 5)
+        val base = Similarity.buildPqIndex(emb.filter(col("vec_id") < c1),
+          residual = true)
+        val grown = Similarity.encodePqIncremental(
+          Similarity.encodePqIncremental(base,
+            emb.filter(col("vec_id") >= c1 && col("vec_id") < c2)),
+          emb.filter(col("vec_id") >= c2))
+        grown.copy(encoded = grown.encoded.localCheckpoint(),
+          ivf = grown.ivf.copy(assigned = grown.ivf.assigned.localCheckpoint()))
+      }).asInstanceOf[Similarity.PqIndex]
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, Q] = Map[String, Q](
     // A. dbt-surface transformations
@@ -366,6 +387,17 @@ object SparkEntry {
     "metric_anomaly"  -> ((s, d) => Analytics.metricAnomaly(Tables.orders(s, d))),
     "gap_fill"        -> ((s, d) => Analytics.gapFill(Tables.orders(s, d))),
     "theta_segments"  -> ((s, d) => Analytics.thetaSegments(Tables.events(s, d))),
+    // exact-regime twin: k derived from the DATA (above the distinct-user
+    // count — the tdigest_quantiles_x lesson: no hidden SF ceiling), so
+    // every sketch stays below saturation, θ = 1, the retained hashes ARE
+    // the user sets, and all four estimates equal the exact SQL counts
+    "theta_segments_x" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val n = ev.agg(org.apache.spark.sql.functions
+        .countDistinct(org.apache.spark.sql.functions.col("user_id")))
+        .head.getLong(0)
+      Analytics.thetaSegments(ev, k = (2 * n + 2).toInt)
+    }),
     // merge-only over the PERSISTED cell table (the production stored-
     // sketch pattern): stage 1 writes once via the shared memo; the
     // benched number is the stage-2 merge cost, like a dashboard query
@@ -550,6 +582,19 @@ object SparkEntry {
     // set must survive every path bit-for-bit — plain SQL both engines
     // state, adjudicating the whole loop's conservation
     "ivf_ingest"      -> ((s, d) => graft.streaming.StreamOps.runIvfIngest(s, d)),
+    // incrementally-GROWN PQ index (codebooks trained on 60%, the rest
+    // encoded with the EXISTING codebooks — FAISS add-after-train) at the
+    // exhaustive config: probe every cell + rerank every candidate must
+    // still equal the exact top-k whatever the codes say — growth may
+    // lose/duplicate nothing and the rerank must see every grown vector
+    "ann_pq_inc_q"    -> ((s, d) => Similarity.ivfPqTopK(
+                            Tables.embeddings(s, d),
+                            nProbe = 16, rerank = Int.MaxValue, residual = true,
+                            precomputedPq = Some(sharedIncPq(s, d)))),
+    // PCA at k = full dimension is an isometry: ‖Vᵀx‖² = ‖x‖², stated by
+    // plain SQL from the raw embeddings — the Gramian/eigen/projection
+    // machinery must conserve exactly the norms DuckDB computes
+    "embedding_pca_x" -> ((s, d) => Similarity.embeddingPcaNorms(Tables.embeddings(s, d))),
     // IVF-PQ: selective config (8-probe, PQ-coded stage 1, rerank 30) is
     // rows-only, recall spec-bounded vs topK
     "ann_pq"          -> ((s, d) => Similarity.ivfPqTopK(Tables.embeddings(s, d),

@@ -391,15 +391,7 @@ object Similarity {
       "residual PQ needs IvfIndex.centroidValues — an empty centroid list " +
         "would null-propagate through every residual/ADC term silently")
     val centsLit = ivf.centroidsLit
-    // the subvector the codebooks see: the raw slice, or the slice of
-    // the residual x − c(cell) (per-row coarse centroid via element_at)
-    def subSrc(i: Int): Column = {
-      val raw = slice(col("embedding"), i * sub + 1, sub).cast("array<double>")
-      if (!residual) raw
-      else zip_with(raw,
-        slice(element_at(centsLit, col("cell") + 1), i * sub + 1, sub),
-        (a, b) => a - b)
-    }
+    def subSrc(i: Int): Column = pqSubSrc(centsLit, sub, residual)(i)
     // training + encoding read cell alongside the vector (residual needs
     // it; raw ignores it) — ivf.assigned carries both
     val base = ivf.assigned
@@ -408,17 +400,54 @@ object Similarity {
       new KMeans().setK(subK).setSeed(42L + i).setMaxIter(10)
         .fit(sliced).clusterCenters.map(_.toArray)
     }.toArray
-    // encode: per subspace, argmin over the literal centroid list —
-    // array_position(min) is deterministic (first index) on ties
-    val codeCols = (0 until m).map { i =>
-      val dists = transform(typedlit(codebooks(i).map(_.toSeq).toSeq),
-        c => sqDist(subSrc(i), c))
-      (array_position(dists, array_min(dists)) - 1).cast("int")
-    }
     PqIndex(
       base.select(col("vec_id"), col("cell"),
-        array(codeCols: _*).as("codes")),
+        array(pqEncodeCols(codebooks, centsLit, sub, residual): _*).as("codes")),
       codebooks, ivf, m, sub, residual)
+  }
+
+  /** The subvector the codebooks see for subspace `i`: the raw slice, or
+    * the slice of the residual x − c(cell) (per-row coarse centroid via
+    * element_at). Shared by codebook training, the build-time encode,
+    * and [[encodePqIncremental]] — one definition, so the incremental
+    * path can never drift from the trained coding. */
+  private def pqSubSrc(centsLit: Column, sub: Int, residual: Boolean)
+                      (i: Int): Column = {
+    val raw = slice(col("embedding"), i * sub + 1, sub).cast("array<double>")
+    if (!residual) raw
+    else zip_with(raw,
+      slice(element_at(centsLit, col("cell") + 1), i * sub + 1, sub),
+      (a, b) => a - b)
+  }
+
+  /** Per-subspace code columns: argmin over the literal codebook —
+    * array_position(min) is deterministic (first index) on ties. */
+  private def pqEncodeCols(codebooks: Array[Array[Array[Double]]],
+                           centsLit: Column, sub: Int,
+                           residual: Boolean): Seq[Column] =
+    codebooks.indices.map { i =>
+      val dists = transform(typedlit(codebooks(i).map(_.toSeq).toSeq),
+        c => sqDist(pqSubSrc(centsLit, sub, residual)(i), c))
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }
+
+  /** Incremental PQ growth — [[assignIncremental]] for the CODED index:
+    * new vectors take their nearest EXISTING coarse cell and encode with
+    * the EXISTING codebooks (scan-bound argmins, shuffle-free, no refit),
+    * exactly FAISS's `add` after `train`. The coarse assignments grow the
+    * inner [[IvfIndex]] too, so [[ivfDrift]] keeps measuring decay over
+    * the full corpus and [[maintainIvf]]-style retrain triggers compose;
+    * codebook retrain = [[buildPqIndex]] over the grown set. */
+  def encodePqIncremental(index: PqIndex, newVectors: DataFrame): PqIndex = {
+    val assigned = assignToCells(index.ivf, newVectors).drop("cell_dist")
+    val centsLit = index.ivf.centroidsLit
+    val encodedNew = assigned.select(col("vec_id"), col("cell"),
+      array(pqEncodeCols(index.codebooks, centsLit, index.subDim,
+        index.residual): _*).as("codes"))
+    index.copy(
+      encoded = index.encoded.unionByName(encodedNew),
+      ivf = index.ivf.copy(
+        assigned = index.ivf.assigned.unionByName(assigned)))
   }
 
   /** IVF-PQ search with exact re-ranking: stage 1 scans ONLY (cell,
@@ -647,6 +676,32 @@ object Similarity {
     model.transform(vecs)
       .select(col("vec_id"), col("label"),
         transform(vector_to_array(col("pc")), round4(_)).as("pc"))
+      .orderBy("vec_id")
+  }
+
+  /** Exact-regime twin base for [[embeddingPca]]: at k = full dimension
+    * the principal-component matrix is a complete ORTHONORMAL basis, so
+    * the projection is an isometry and ‖Vᵀx‖² = ‖x‖² for every vector —
+    * an identity plain SQL states from the RAW embeddings (MLlib's PCA
+    * transform deliberately does not center, so the identity holds on x
+    * itself, not x − μ). The eigendecomposition, basis assembly, and
+    * matrix-multiply projection are the rows-only pieces (sign/order of
+    * eigenvectors is implementation-defined); the norm they must
+    * conserve is not. Squared norms computed on the UNROUNDED projection
+    * (the display rounding in [[embeddingPca]] would poison the sum),
+    * rounded once at the end. */
+  def embeddingPcaNorms(embeddings: DataFrame): DataFrame = {
+    import org.apache.spark.ml.feature.PCA
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    val dim = embeddings.select(size(col("embedding"))).head.getInt(0)
+    val vecs = embeddings.select(col("vec_id"),
+      array_to_vector(col("embedding").cast("array<double>")).as("features"))
+    val model = new PCA().setInputCol("features").setOutputCol("pc")
+      .setK(dim).fit(vecs)
+    model.transform(vecs)
+      .select(col("vec_id"),
+        round4(aggregate(vector_to_array(col("pc")), lit(0.0),
+          (acc, x) => acc + x * x)).as("sq_norm"))
       .orderBy("vec_id")
   }
 }

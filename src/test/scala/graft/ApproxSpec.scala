@@ -173,6 +173,39 @@ class ApproxSpec extends SparkSpec {
     assert(dim > 0) // (guard that the embedding column is non-degenerate)
   }
 
+  test("incremental PQ: vectors encoded with existing codebooks keep " +
+       "selective-config recall near a fresh build; growth conserves") {
+    val emb = Tables.embeddings(spark, sf)
+    val n = emb.count()
+    val exact = Similarity.topK(emb, Seq(0L, 1L, 2L), 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(ix: Similarity.PqIndex): Double = {
+      val got = Similarity.ivfPqTopK(emb, Seq(0L, 1L, 2L), 10,
+        residual = true, precomputedPq = Some(ix)).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      exact.intersect(got).size.toDouble / exact.size
+    }
+    val fresh = Similarity.buildPqIndex(emb, residual = true)
+    val (c1, c2) = (n * 3 / 5, n * 4 / 5)
+    val grown = Similarity.encodePqIncremental(
+      Similarity.encodePqIncremental(
+        Similarity.buildPqIndex(emb.filter(col("vec_id") < c1), residual = true),
+        emb.filter(col("vec_id") >= c1 && col("vec_id") < c2)),
+      emb.filter(col("vec_id") >= c2))
+    // conservation through both the coded table and the inner IVF
+    assert(grown.encoded.count() == n &&
+           grown.encoded.select("vec_id").distinct().count() == n)
+    assert(grown.ivf.assigned.count() == n)
+    // every grown code stays in the codebook's range
+    import org.apache.spark.sql.functions.{array_max, array_min => amin, min => rmin, max => rmax}
+    val (lo, hi) = grown.encoded
+      .agg(rmin(amin(col("codes"))), rmax(array_max(col("codes"))))
+      .collect()(0) match { case r => (r.getInt(0), r.getInt(1)) }
+    assert(lo >= 0 && hi < 16, s"code range [$lo, $hi]")
+    val (rFresh, rGrown) = (recallOf(fresh), recallOf(grown))
+    assert(rGrown >= rFresh - 0.3, s"grown recall $rGrown vs fresh $rFresh")
+  }
+
   test("ann_pq: selective IVF-PQ recall vs exact topK; exhaustive config " +
        "IS the exact top-k") {
     val emb = Tables.embeddings(spark, sf)
