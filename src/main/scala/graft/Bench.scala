@@ -29,7 +29,7 @@ import org.apache.spark.sql.SparkSession
   *    *during this very run*, so a reader can discount wall regressions
   *    when noise is high without any out-of-band forensics;
   *  - a DISK probe (raw streamed read of the same lineitem bytes, min of
-  *    3, before/mid/after) closes the CPU probe's blind spot: `io_noise`
+  *    5, before/mid/after) closes the CPU probe's blind spot: `io_noise`
   *    is its (max-min)/min spread, and `wall_over_cpu` lists the queries
   *    whose wall vastly exceeds their executor CPU — the rows to check
   *    against io_noise before calling them regressions (r9: q1_agg wall
@@ -125,8 +125,11 @@ object Bench {
         if (f.isFile) Seq(f)
         else Option(f.listFiles()).map(_.toSeq.flatMap(regularFiles)).getOrElse(Nil)
       val cap = 256L * 1024 * 1024
+      // zero-length files (a truncated dataset, a _SUCCESS marker) are
+      // dropped: they add no bytes, and a list that totals zero bytes
+      // would make the fixed-volume read loop below spin forever
       val files = regularFiles(new java.io.File(s"$sfDir/lineitem.parquet"))
-        .sortBy(_.getName)
+        .filter(_.length() > 0).sortBy(_.getName)
       var acc = 0L
       files.takeWhile { f => val keep = acc < cap; acc += f.length(); keep }
     }
@@ -141,15 +144,21 @@ object Bench {
       val t0 = System.nanoTime()
       var read = 0L
       var first = true
-      while (first || read < minBytes) {
+      var progress = true // a pass that reads nothing (file vanished
+      // mid-run) must terminate the volume loop, not spin it
+      while ((first || read < minBytes) && progress) {
         first = false
+        val before = read
         ioProbeFiles.foreach { f =>
-          val in = new java.io.FileInputStream(f)
           try {
-            var n = in.read(buf)
-            while (n >= 0) { read += n; n = in.read(buf) }
-          } finally in.close()
+            val in = new java.io.FileInputStream(f)
+            try {
+              var n = in.read(buf)
+              while (n >= 0) { read += n; n = in.read(buf) }
+            } finally in.close()
+          } catch { case _: java.io.IOException => () }
         }
+        progress = read > before
       }
       (System.nanoTime() - t0) / 1e9
     }

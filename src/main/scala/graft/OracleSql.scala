@@ -27,6 +27,10 @@ object OracleSql {
     s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id IN (0, 1, 2)), s AS (SELECT q.query_id, e.vec_id, ROUND((SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest(e.embedding) AS x, unnest(q.qv) AS y)) / (sqrt((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FROM (SELECT unnest(e.embedding) AS x))) * sqrt((SELECT SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest(q.qv) AS y)))) * 10000, 0)/10000.0 AS cos_sim FROM embeddings e, q WHERE e.vec_id <> q.query_id$filterSql), r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank FROM s) SELECT query_id, vec_id, cos_sim, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10 ORDER BY query_id, rank"""
   private val annTopkSql = annTopkSqlWhere("")
 
+  // exact substring dedup, shared by the raw-window and hashed paths
+  private val substringDedupSql =
+    """WITH w AS (SELECT DISTINCT doc_id, sub FROM (SELECT doc_id, substr(text, CAST(p AS INT), 40) AS sub FROM (SELECT doc_id, text, unnest(range(1, len(text)-38)) AS p FROM documents WHERE len(text) >= 40))) SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(DISTINCT a.sub) AS shared_windows FROM w a JOIN w b ON a.doc_id < b.doc_id AND a.sub = b.sub GROUP BY 1, 2 ORDER BY 1, 2"""
+
   // segment-level dedup, shared by the exact and hash-keyed paths
   private val paragraphDedupSql =
     """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), pos AS (SELECT doc_id, w, UNNEST(range(GREATEST(CAST(ceil(len(w) / 10.0) AS BIGINT), 1))) AS pos FROM words), segs AS (SELECT doc_id, CAST(pos AS INT) AS pos, array_to_string(w[(CAST(pos AS INT) * 10 + 1):(CAST(pos AS INT) * 10 + 10)], ' ') AS seg FROM pos), counted AS (SELECT doc_id, pos, seg, COUNT(*) OVER (PARTITION BY doc_id) AS n_segs, ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn FROM segs) SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text_dedup, COUNT(*) AS n_kept, CAST(MIN(n_segs) - COUNT(*) AS BIGINT) AS n_dropped FROM counted WHERE rn = 1 GROUP BY doc_id"""
@@ -280,13 +284,12 @@ object OracleSql {
       """SELECT * FROM (VALUES ('legacy_mart'), ('staging/legacy_stg')) AS t(relation) ORDER BY relation""",
 
     // suffix-array-style exact substring dedup: pairs sharing a verbatim
-    // 40-char run, counted by distinct shared windows — both the exact
-    // path and the hashed scale path must state exactly this
-    "substring_dedup" ->
-      """WITH w AS (SELECT DISTINCT doc_id, sub FROM (SELECT doc_id, substr(text, CAST(p AS INT), 40) AS sub FROM (SELECT doc_id, text, unnest(range(1, len(text)-38)) AS p FROM documents WHERE len(text) >= 40))) SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(DISTINCT a.sub) AS shared_windows FROM w a JOIN w b ON a.doc_id < b.doc_id AND a.sub = b.sub GROUP BY 1, 2 ORDER BY 1, 2""",
-
-    "substring_dedup_h" ->
-      """WITH w AS (SELECT DISTINCT doc_id, sub FROM (SELECT doc_id, substr(text, CAST(p AS INT), 40) AS sub FROM (SELECT doc_id, text, unnest(range(1, len(text)-38)) AS p FROM documents WHERE len(text) >= 40))) SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(DISTINCT a.sub) AS shared_windows FROM w a JOIN w b ON a.doc_id < b.doc_id AND a.sub = b.sub GROUP BY 1, 2 ORDER BY 1, 2""",
+    // 40-char run, counted by distinct shared windows — the exact path
+    // and the hashed scale path must state exactly this, so they share
+    // ONE definition (the annTopkSql pattern: editing one cannot
+    // silently desynchronize the other)
+    "substring_dedup" -> substringDedupSql,
+    "substring_dedup_h" -> substringDedupSql,
 
     // simhash exact regime: the banding pipeline at radius 0 restricted
     // to equal-distinct-word-set pairs — the subdomain where hamming 0 is

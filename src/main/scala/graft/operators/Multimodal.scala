@@ -72,15 +72,22 @@ object Multimodal {
             frames > 64L * 1024 * 1024) None  // same bounded-per-row stance as images
         else {
           val durationSec = frames.toFloat / fmt.getSampleRate
-          // Read the full PCM body (bounded above) and fold to mono
-          // doubles in [-1, 1]. Only integer PCM is handled sample-wise;
-          // other encodings keep the header facts but zero the envelope.
+          // Read the full PCM body (bounded above) and fold each frame to
+          // a mono sample in [-1, 1], consumed by ONE fused stats pass —
+          // the running `prev` is all the cross-sample state zcr needs, so
+          // no decoded-signal array materializes (a 64M-frame 8-bit WAV
+          // would otherwise buffer 512 MB of doubles per row, double the
+          // image path's documented per-row ceiling). Only integer PCM is
+          // handled sample-wise; other encodings keep the header facts
+          // but zero the envelope.
           val body = in.readAllBytes()
           val isPcm = fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
                       fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
           val n = if (isPcm) body.length / (bytesPerSample * channels) else 0
-          val mono = new Array[Double](math.max(n, 0))
           val full = (1L << (bytesPerSample * 8 - 1)).toDouble
+          var sumSq = 0.0; var peak = 0.0; var crossings = 0L
+          var prev = 0.0
+          val qSumSq = new Array[Double](4)
           var i = 0
           while (i < n) {
             var c = 0
@@ -97,18 +104,12 @@ object Multimodal {
               acc += signed / full
               c += 1
             }
-            mono(i) = acc / channels
-            i += 1
-          }
-          var sumSq = 0.0; var peak = 0.0; var crossings = 0L
-          val qSumSq = new Array[Double](4)
-          i = 0
-          while (i < n) {
-            val s = mono(i)
+            val s = acc / channels
             sumSq += s * s
             if (math.abs(s) > peak) peak = math.abs(s)
-            if (i > 0 && (s >= 0) != (mono(i - 1) >= 0)) crossings += 1
+            if (i > 0 && (s >= 0) != (prev >= 0)) crossings += 1
             qSumSq(math.min(3, i * 4 / math.max(n, 1))) += s * s
+            prev = s
             i += 1
           }
           val rms = if (n > 0) math.sqrt(sumSq / n) else 0.0

@@ -217,7 +217,20 @@ object Similarity {
     * mean. 1.0 = as tight as at build; grows as the corpus distribution
     * moves away from the trained centroids (recall decays with it). */
   def ivfDrift(index: IvfIndex): Double =
-    meanAssignedDist(index) / index.buildMeanDist
+    driftRatio(meanAssignedDist(index), index.buildMeanDist)
+
+  /** The drift ratio with the degenerate baselines made explicit: a
+    * tiny/duplicate-heavy cold build can fit PERFECTLY (trainingCost 0 ⇒
+    * baseline 0), where a naive mean/baseline is Inf (retrain every
+    * batch forever) or NaN (gate silently disabled — `NaN > trigger` is
+    * false). Policy: a still-perfect fit is no drift (1.0); any nonzero
+    * mean against a perfect baseline is maximal drift (one retrain,
+    * after which the baseline recomputes from the grown corpus and the
+    * gate self-heals). */
+  private[graft] def driftRatio(mean: Double, baseline: Double): Double =
+    if (baseline > 0) mean / baseline
+    else if (mean <= 0) 1.0
+    else Double.PositiveInfinity
 
   /** The maintenance step an ingest loop calls per batch: grow the index
     * incrementally, then re-train from the full corpus when drift

@@ -292,6 +292,22 @@ object StreamOps {
     spark.read.parquet(outPath)
   }
 
+  /** Materialize a driver-wrapper result OFF its temp tables and delete
+    * them: the run* wrappers build corpus/index tables under a fresh
+    * temp dir per invocation, and returning a lazy read of those files
+    * would leak a full table copy to /tmp every bench iteration.
+    * localCheckpoint moves ownership of the rows into the block manager
+    * (freed with the session), after which the directory can go. */
+  private def handoffAndClean(df: DataFrame, root: java.nio.file.Path): DataFrame = {
+    val out = df.localCheckpoint()
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    rm(root.toFile)
+    out
+  }
+
   /** Streaming → ACID txlog sink: each micro-batch lands in ONE commit
     * tagged `appId:batchId` ([[graft.sources.TxLogFormat.appendBatch]]);
     * a REPLAYED batch is skipped by its tag — transactional exactly-once
@@ -302,8 +318,8 @@ object StreamOps {
     * append and every count doubles. */
   def runTxLogSink(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.TxLogFormat
-    val target = java.nio.file.Files
-      .createTempDirectory("graft_txsink").resolve("t").toString
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_txsink")
+    val target = tmpRoot.resolve("t").toString
     val appId = "graft_txsink"
     def runOnce(): Unit = {
       val q = eventsStream(spark, dir)
@@ -322,11 +338,11 @@ object StreamOps {
     }
     runOnce()
     runOnce() // full replay: same tags → every batch must skip
-    TxLogFormat.read(spark, target)
+    handoffAndClean(TxLogFormat.read(spark, target)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_events"),
            centsSum(col("value")).as("total_value"))
-      .orderBy("event_type")
+      .orderBy("event_type"), tmpRoot)
   }
 
   /** Streaming right-to-erasure — the GDPR loop at corpus scale: a stream
@@ -343,8 +359,8 @@ object StreamOps {
     * idempotence is part of what the oracle hashes. */
   def runRetentionIngest(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.TxLogFormat
-    val table = java.nio.file.Files
-      .createTempDirectory("graft_retention").resolve("t").toString
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_retention")
+    val table = tmpRoot.resolve("t").toString
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select("doc_id", "lang", "source", "n_chars")
     TxLogFormat.write(docs, table, Some("lang"))
@@ -369,10 +385,10 @@ object StreamOps {
     }
     runOnce()
     runOnce() // full replay: same tags → every delete batch must skip
-    TxLogFormat.read(spark, table)
+    handoffAndClean(TxLogFormat.read(spark, table)
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
-      .orderBy("lang")
+      .orderBy("lang"), tmpRoot)
   }
 
   /** Streaming CDC UPSERT — the Delta `foreachBatch MERGE INTO` loop:
@@ -388,8 +404,8 @@ object StreamOps {
     * result). */
   def runCdcUpsert(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.TxLogFormat
-    val t = java.nio.file.Files
-      .createTempDirectory("graft_cdc_upsert").resolve("t").toString
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_cdc_upsert")
+    val t = tmpRoot.resolve("t").toString
     val base = spark.read.parquet(s"$dir/orders.parquet")
       .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
     TxLogFormat.write(base, t, Some("o_orderstatus"))
@@ -419,7 +435,7 @@ object StreamOps {
     }
     runOnce()
     runOnce() // full replay: the tagged merge must skip, not double-apply
-    TxLogFormat.read(spark, t).orderBy("o_orderkey")
+    handoffAndClean(TxLogFormat.read(spark, t).orderBy("o_orderkey"), tmpRoot)
   }
 
   /** Runs [[RunningTotalsProcessor]] over the parquet source to completion.
@@ -517,8 +533,8 @@ object StreamOps {
     * batch exact-dedup survivor set (the DuckDB oracle). */
   def runDedupIngest(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.TxLogFormat
-    val table = java.nio.file.Files
-      .createTempDirectory("graft_ingest_").resolve("t").toString
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_ingest_")
+    val table = tmpRoot.resolve("t").toString
     val schema = spark.read.parquet(s"$dir/documents.parquet").schema
     val q = spark.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet").parquet(dir)
@@ -528,7 +544,7 @@ object StreamOps {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    TxLogFormat.read(spark, table).orderBy("digest")
+    handoffAndClean(TxLogFormat.read(spark, table).orderBy("digest"), tmpRoot)
   }
 
   /** One micro-batch of the streaming NEAR-dup ingest loop — the D36
@@ -585,6 +601,7 @@ object StreamOps {
   def runNeardupIngest(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.TxLogFormat
     val root = java.nio.file.Files.createTempDirectory("graft_ndingest_")
+    val tmpRoot = root
     val table = root.resolve("corpus").toString
     val indexTable = root.resolve("index").toString
     val schema = spark.read.parquet(s"$dir/documents.parquet").schema
@@ -596,7 +613,7 @@ object StreamOps {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    TxLogFormat.read(spark, table).select("doc_id")
+    handoffAndClean(TxLogFormat.read(spark, table).select("doc_id"), tmpRoot)
   }
 
   /** One micro-batch of the streaming SEGMENT-dedup ingest loop — the
@@ -639,6 +656,7 @@ object StreamOps {
   def runSegmentIngest(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.TxLogFormat
     val root = java.nio.file.Files.createTempDirectory("graft_segingest_")
+    val tmpRoot = root
     val table = root.resolve("corpus").toString
     val indexTable = root.resolve("index").toString
     val schema = spark.read.parquet(s"$dir/documents.parquet").schema
@@ -650,7 +668,7 @@ object StreamOps {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    TxLogFormat.read(spark, table)
+    handoffAndClean(TxLogFormat.read(spark, table), tmpRoot)
   }
 
   /** One micro-batch of the streaming IVF-index ingest loop — ANN index
@@ -725,7 +743,10 @@ object StreamOps {
         cellsTable, "ivf_ingest", id)
       val n2 = latest.getLong(f("n")) + bn
       val sum2 = latest.getDouble(f("sum_dist")) + bsum
-      val drift = (sum2 / math.max(n2, 1L)) / baseline
+      // degenerate-baseline-safe ratio (a perfect cold fit records
+      // baseline 0 — see Similarity.driftRatio for the policy)
+      val drift = graft.operators.Similarity.driftRatio(
+        sum2 / math.max(n2, 1L), baseline)
       val entry =
         if (drift > driftTrigger) {
           val idx2 = Similarity.buildIvfIndex(
@@ -754,6 +775,7 @@ object StreamOps {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_ivfingest_")
+    val tmpRoot = root
     val cells = root.resolve("cells").toString
     val index = root.resolve("index").toString
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
@@ -771,7 +793,8 @@ object StreamOps {
       Seq(emb.slice(0, cut1), emb.slice(cut1, cut2), emb.slice(cut2, emb.length))
         .foreach { chunk => ms.addData(chunk.toSeq); q.processAllAvailable() }
     } finally q.stop()
-    TxLogFormat.read(spark, cells).select("vec_id").orderBy("vec_id")
+    handoffAndClean(
+      TxLogFormat.read(spark, cells).select("vec_id").orderBy("vec_id"), tmpRoot)
   }
 
   /** Stateful gap sessionization via flatMapGroupsWithState: per user, an

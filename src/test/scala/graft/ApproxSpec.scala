@@ -156,6 +156,14 @@ class ApproxSpec extends SparkSpec {
     val shifted: DataFrame = emb.limit(20)
       .select((col("vec_id") + 100000L).as("vec_id"),
         transform(col("embedding"), x => x + lit(10.0f)).as("embedding"))
+    // degenerate baselines are explicit, never Inf-loop or NaN-disable:
+    // a perfect cold fit (trainingCost 0) that STAYS perfect is drift 1.0
+    // (no retrain); one that stops being perfect is maximal drift (one
+    // retrain, after which the baseline recomputes and self-heals)
+    assert(Similarity.driftRatio(2.0, 1.0) == 2.0)
+    assert(Similarity.driftRatio(0.0, 0.0) == 1.0)
+    assert(Similarity.driftRatio(0.5, 0.0).isPosInfinity)
+    assert(!Similarity.driftRatio(0.0, 0.0).isNaN)
     val (kept, retrainedOnSame) =
       Similarity.maintainIvf(grown, emb.limit(0), driftTrigger = 1.5)
     assert(!retrainedOnSame && kept.assigned.count() == n,

@@ -303,6 +303,27 @@ class StreamingSpec extends SparkSpec {
     assert((TxLogFormat.versions(cells).size,
             TxLogFormat.versions(index).size) == vs,
       "replayed batch id must not commit")
+    // degenerate cold start: a batch of IDENTICAL vectors fits perfectly
+    // (trainingCost 0 ⇒ ledger baseline 0). A later identical batch must
+    // NOT retrain (drift 1.0, not 0/0 = NaN disabling the gate; not
+    // Inf retraining every batch) — and a genuinely shifted batch still
+    // trips the gate off the zero baseline (Inf > trigger, one retrain).
+    val dCells = root.resolve("dcells").toString
+    val dIndex = root.resolve("dindex").toString
+    val same = (0L until 8L).map(i => (i, Array.fill(8)(1.0f)))
+    def ledgerFlags() = TxLogFormat.read(spark, dIndex)
+      .select("batch_id", "retrained").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).sortBy(_._1).toSeq
+    StreamOps.ivfIngestBatch(dCells, dIndex, nCells = 2, driftTrigger = 1.5)(
+      same.toDF("vec_id", "embedding"), 0L)
+    StreamOps.ivfIngestBatch(dCells, dIndex, nCells = 2, driftTrigger = 1.5)(
+      (8L until 12L).map(i => (i, Array.fill(8)(1.0f))).toDF("vec_id", "embedding"), 1L)
+    assert(ledgerFlags() == Seq(0L -> true, 1L -> false), ledgerFlags().toString)
+    StreamOps.ivfIngestBatch(dCells, dIndex, nCells = 2, driftTrigger = 1.5)(
+      (12L until 16L).map(i => (i, Array.fill(8)(30.0f))).toDF("vec_id", "embedding"), 2L)
+    assert(ledgerFlags() == Seq(0L -> true, 1L -> false, 2L -> true),
+      ledgerFlags().toString)
+    assert(TxLogFormat.read(spark, dCells).count() == 16)
   }
 
   test("stream sessionize + flush sentinel = batch sessionize exactly") {
