@@ -291,6 +291,13 @@ object OracleSql {
     "substring_dedup" -> substringDedupSql,
     "substring_dedup_h" -> substringDedupSql,
 
+    // growing-corpus ingest, cold single batch: survivors under the
+    // global non-cascading rule — every doc that shares NO ≥40-char
+    // verbatim run with any lower-id doc (short docs have no windows
+    // and always survive)
+    "substring_dedup_inc" ->
+      """WITH w AS (SELECT DISTINCT doc_id, sub FROM (SELECT doc_id, substr(text, CAST(p AS INT), 40) AS sub FROM (SELECT doc_id, text, unnest(range(1, len(text)-38)) AS p FROM documents WHERE len(text) >= 40))), dup AS (SELECT DISTINCT b.doc_id FROM w a JOIN w b ON a.doc_id < b.doc_id AND a.sub = b.sub) SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM dup) ORDER BY doc_id""",
+
     // simhash exact regime: the banding pipeline at radius 0 restricted
     // to equal-distinct-word-set pairs — the subdomain where hamming 0 is
     // provable (equal sets ⇒ equal sigs), stated here without touching

@@ -524,6 +524,10 @@ object SparkEntry {
     // the hashed scale path must land the SAME pairs (hash candidates +
     // text verify; collisions can only drop, never fabricate) — same oracle
     "substring_dedup_h" -> ((s, d) => Dedup.exactSubstringPairsHashed(Tables.documents(s, d))),
+    // the growing-corpus ingest loop, cold single batch: survivors ≡ the
+    // global closed-form rule (no shared ≥40-char run with a lower id),
+    // adjudicating window indexing + intra-batch + exactly-once appends
+    "substring_dedup_inc" -> ((s, d) => graft.streaming.StreamOps.runSubstringIngest(s, d)),
     // exact-regime twin: the full banding pipeline at radius 0, restricted
     // to equal-distinct-word-set pairs — the provably-hamming-0 subdomain
     // plain SQL states, adjudicating sig determinism + banding + the

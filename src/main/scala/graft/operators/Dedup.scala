@@ -752,6 +752,47 @@ object Dedup {
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared_windows"))
   }
 
+  /** Incremental EXACT-substring dedup — [[exactSubstringPairsHashed]]
+    * for a GROWING corpus (the D35/D36/segment pattern at verbatim-run
+    * granularity): a batch doc DROPS when it shares any ≥`minChars`
+    * verbatim run with a LOWER-id batch doc or with anything ever
+    * ingested — probed against `corpusIndex`, the persisted one-column
+    * table of every window hash ever seen, via a left-semi join that
+    * never re-reads corpus text. The rule is GLOBAL and non-cascading
+    * (a doc duplicating a DROPPED doc still drops), which is why the
+    * returned index delta carries EVERY batch doc's windows, not just
+    * survivors' — and exactly what makes the cold single-batch run a
+    * closed form plain SQL states (survivor ⟺ no shared window with
+    * any lower doc_id). Window identity is the 64-bit xxhash64 (the
+    * segment-dedup trade: 8 B/window through the index at any corpus
+    * size; a collision can only over-drop, at ~2⁻⁶⁴ per window pair).
+    * Returns (surviving docs, new window hashes); the caller lands both
+    * under one exactly-once tag per table. Batch-sized shuffles only.
+    * Docs shorter than `minChars` have no windows and always survive. */
+  def incrementalSubstringDedup(batch: DataFrame, corpusIndex: DataFrame,
+                                minChars: Int = 40)
+      : (DataFrame, DataFrame) = {
+    val wins = substringWindows(batch, minChars)
+      .select(col("doc_id"), xxhash64(col("sub")).as("h"))
+      .groupBy("doc_id", "h").agg(count(lit(1)).as("_n")).drop("_n")
+      .localCheckpoint(false)
+    // intra-batch: shares a window with a lower-id batch doc
+    val intraDrop = wins.as("a").join(wins.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("b.doc_id").as("doc_id")).distinct()
+    // cross-batch: shares a window with anything ever ingested
+    val crossDrop = wins.join(corpusIndex.select(col("h")), Seq("h"), "left_semi")
+      .select(col("doc_id")).distinct()
+    val survivors = batch
+      .join(intraDrop.union(crossDrop).distinct(), Seq("doc_id"), "left_anti")
+    // the index delta is every NEW hash in the batch (all docs, dropped
+    // included — the global rule), deduped against the corpus index so
+    // the index table stays one row per distinct hash ever seen
+    val newHashes = wins.select(col("h")).distinct()
+      .join(corpusIndex.select(col("h")), Seq("h"), "left_anti")
+    (survivors, newHashes)
+  }
+
   /** Every length-`minChars` character window of every document:
     * (doc_id, p 1-based, sub). Shared stage of both substring-dedup
     * paths — the generate + substring stays in one codegen stage; only

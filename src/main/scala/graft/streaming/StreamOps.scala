@@ -671,6 +671,59 @@ object StreamOps {
     handoffAndClean(TxLogFormat.read(spark, table), tmpRoot)
   }
 
+  /** One micro-batch of the streaming SUBSTRING-dedup ingest loop (the
+    * verbatim-run sibling of [[segmentIngestBatch]]): batch docs dedup
+    * within the batch and against the persisted one-column window-hash
+    * index ([[graft.operators.Dedup.incrementalSubstringDedup]] — the
+    * corpus side is an 8-byte-column scan at any size, corpus TEXT is
+    * never re-read), surviving docs append to the corpus table and the
+    * batch's novel window hashes to the index table under the SAME
+    * exactly-once tag each. The drop rule is global and non-cascading
+    * (duplicating a dropped doc still drops — every seen window is
+    * indexed), so replay and batch boundaries cannot change survivors. */
+  def substringIngestBatch(table: String, indexTable: String,
+                           minChars: Int = 40)(b: DataFrame, id: Long): Unit = {
+    import graft.sources.TxLogFormat
+    val spark = b.sparkSession
+    val batch = b.select(col("doc_id"), col("text")).localCheckpoint()
+    val corpusIndex =
+      if (TxLogFormat.versions(indexTable).isEmpty)
+        spark.range(0).select(col("id").as("h"))
+      else TxLogFormat.read(spark, indexTable)
+    val (docs, newHashes) =
+      graft.operators.Dedup.incrementalSubstringDedup(batch, corpusIndex,
+        minChars)
+    val docsC = docs.localCheckpoint()
+    val hashesC = newHashes.localCheckpoint()
+    TxLogFormat.appendBatch(docsC, table, "graft_substr_ingest", id)
+    TxLogFormat.appendBatch(hashesC, indexTable, "graft_substr_ingest", id)
+    ()
+  }
+
+  /** Driver query: AvailableNow over the documents source drives
+    * [[substringIngestBatch]] from a cold corpus — one batch, so the
+    * surviving doc_ids equal the closed-form global rule (no shared
+    * ≥40-char run with any lower doc_id) that DuckDB states directly;
+    * the spec's 2-batch MemoryStream covers cross-batch drops, the
+    * dropped-doc-still-indexes property, and replay. */
+  def runSubstringIngest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxLogFormat
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_ssingest_")
+    val table = tmpRoot.resolve("corpus").toString
+    val indexTable = tmpRoot.resolve("index").toString
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val q = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .select(col("doc_id"), col("text"))
+      .writeStream
+      .foreachBatch(substringIngestBatch(table, indexTable) _)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    handoffAndClean(
+      TxLogFormat.read(spark, table).select("doc_id").orderBy("doc_id"), tmpRoot)
+  }
+
   /** One micro-batch of the streaming IVF-index ingest loop — ANN index
     * maintenance for a GROWING vector corpus (the embedding analogue of
     * [[neardupIngestBatch]]'s band index):

@@ -247,6 +247,45 @@ class StreamingSpec extends SparkSpec {
       "replayed batch id must not commit")
   }
 
+  test("streaming SUBSTRING-dedup ingest: intra-batch + cross-batch drops, " +
+       "dropped docs still index their windows, replay-safe") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_ssingest_spec")
+    val table = root.resolve("corpus").toString
+    val index = root.resolve("index").toString
+    def run40(seed: Int) = (0 until 40).map(i => ('a' + (i + seed) % 26).toChar).mkString
+    val (r, s, t) = (run40(0), run40(7), run40(13))
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch(StreamOps.substringIngestBatch(table, index) _)
+      .start()
+    try {
+      // batch 0: doc 3 shares run r with lower-id doc 1 → intra-batch
+      // drop; its OTHER run s must still reach the index
+      input.addData((1L, s"A$r"), (2L, "short unrelated"), (3L, s"B$r Q$s"))
+      q.processAllAvailable()
+      // batch 1: 10 duplicates corpus run r → cross-batch drop; 11 shares
+      // s ONLY with the dropped doc 3 → must also drop (global rule);
+      // 12 is novel → survives
+      input.addData((10L, s"C$r"), (11L, s"D$s"), (12L, s"E$t"))
+      q.processAllAvailable()
+    } finally q.stop()
+    import graft.sources.TxLogFormat
+    val ids = TxLogFormat.read(spark, table)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 12L), ids.toString)
+    // replay: a committed batch id is a no-op on both tables
+    val vs = (TxLogFormat.versions(table).size,
+              TxLogFormat.versions(index).size)
+    StreamOps.substringIngestBatch(table, index)(
+      Seq((99L, s"Z$t")).toDF("doc_id", "text"), 0L)
+    assert((TxLogFormat.versions(table).size,
+            TxLogFormat.versions(index).size) == vs,
+      "replayed batch id must not commit")
+  }
+
   test("streaming IVF ingest: cold build, incremental assign, drift-gated " +
        "retrain, vec_id conservation, replay-safe") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
