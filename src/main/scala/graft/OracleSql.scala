@@ -507,6 +507,11 @@ object OracleSql {
     "heavy_hitters" ->
       """WITH t AS (SELECT unnest(string_split(lower(trim(text)), ' ')) AS word FROM documents) SELECT word, COUNT(*) AS n FROM t WHERE word <> '' GROUP BY word ORDER BY n DESC, word LIMIT 20""",
 
+    // BPE iteration-0 pair counts: adjacent char pairs inside words,
+    // weighted by occurrence; same total-order cut as heavy_hitters
+    "bpe_pair_counts" ->
+      """WITH w AS (SELECT unnest(string_split(lower(trim(text)), ' ')) AS w FROM documents), p AS (SELECT substr(w, CAST(p AS INT), 2) AS pair FROM (SELECT w, unnest(range(1, len(w))) AS p FROM w WHERE len(w) >= 2)) SELECT pair, COUNT(*) AS n FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 20""",
+
     "heavy_hitters_per_lang_exact" ->
       """WITH t AS (SELECT lang, unnest(string_split(lower(trim(text)), ' ')) AS word FROM documents), c AS (SELECT lang, word, COUNT(*) AS n FROM t WHERE word <> '' GROUP BY lang, word), r AS (SELECT lang, word, n, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, word) AS rk FROM c) SELECT lang, word, n FROM r WHERE rk <= 5 ORDER BY lang, word""",
 

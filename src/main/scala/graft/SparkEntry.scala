@@ -650,6 +650,9 @@ object SparkEntry {
     "quality_score"   -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
     "token_count"     -> ((s, d) => TextAnalysis.tokenCount(Tables.documents(s, d))),
     "heavy_hitters"   -> ((s, d) => TextAnalysis.heavyHitters(Tables.documents(s, d))),
+    // tokenizer-training primitive: corpus-wide adjacent-char-pair counts
+    // inside words (BPE iteration 0) — exact counts, total-order cut
+    "bpe_pair_counts" -> ((s, d) => TextAnalysis.bpePairCounts(Tables.documents(s, d))),
     "heavy_hitters_approx" -> ((s, d) => TextAnalysis.heavyHittersApprox(Tables.documents(s, d))),
     "word_freq_cms"   -> ((s, d) => TextAnalysis.wordFreqCms(Tables.documents(s, d))),
     "tfidf_topterms"  -> ((s, d) => TextAnalysis.tfidfTopTerms(Tables.documents(s, d))),

@@ -476,4 +476,102 @@ object TextAnalysis {
       substring(md5(col("text")), 1, 8).as("prefix8"),
       array_min(transform(distinctWords, w => md5(w))).as("min_word_md5"),
     ).orderBy("doc_id")
+
+  /** BPE pair counting (Sennrich et al. 2016, arXiv:1508.07909) — the
+    * distributed primitive of subword-tokenizer training: corpus-wide
+    * counts of ADJACENT CHARACTER PAIRS inside words (word-internal
+    * only, the standard BPE restriction; weighted by occurrence). Pair
+    * extraction is an in-row `transform` over positions (codegen, no
+    * per-character join) and the count is one map-side-combined shuffle
+    * on the ~alphabet²-sized pair space; topN with a total-order
+    * tie-break so both engines cut identically. */
+  def bpePairCounts(documents: DataFrame, topN: Int = 20): DataFrame =
+    documents.select(explode(TextNorm.words(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(transform(sequence(lit(1), length(col("w")) - 1),
+        p => col("w").substr(p, lit(2)))).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(topN)
+
+  /** Full BPE merge-rule training in the production shape: the
+    * CORPUS-scale work is ONE distributed word-frequency aggregation
+    * (the same single shuffle as heavy hitters — this is why HF
+    * tokenizers and SentencePiece train from word counts, not raw
+    * text); the merge loop then iterates driver-side over the
+    * VOCAB-sized frequency table (vocab ≪ corpus at any scale, so
+    * nothing driver-side grows with the data). Deterministic: best pair
+    * = highest count, ties to the lexicographically smallest pair —
+    * reruns and partitionings cannot reorder the rules. Returns the
+    * merge rules in application order as (rank, left, right). */
+  def trainBpeMerges(documents: DataFrame, nMerges: Int = 10): Seq[(Int, String, String)] = {
+    def mergeIn(syms: List[String], p: (String, String)): List[String] = {
+      val out = scala.collection.mutable.ListBuffer[String]()
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == p._1 && syms(i + 1) == p._2) {
+          out += syms(i) + syms(i + 1); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toList
+    }
+    var vocab: Map[List[String], Long] = documents
+      .select(explode(TextNorm.words(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").count().collect()
+      .map(r => r.getString(0).map(_.toString).toList -> r.getLong(1)).toMap
+    val merges = Seq.newBuilder[(Int, String, String)]
+    var rank = 0
+    var more = true
+    while (rank < nMerges && more) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      vocab.foreach { case (syms, f) =>
+        syms.lazyZip(syms.tail).foreach((a, b) =>
+          counts((a, b)) = counts.getOrElse((a, b), 0L) + f)
+      }
+      if (counts.isEmpty) more = false
+      else {
+        val best = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }._1
+        merges += ((rank, best._1, best._2))
+        vocab = vocab.groupMapReduce(kv => mergeIn(kv._1, best))(_._2)(_ + _)
+        rank += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** Apply trained merge rules to tokenize text — the read side of
+    * [[trainBpeMerges]], run per word as a deterministic fold over the
+    * rules in rank order. The fold is a Scala UDF by necessity, not
+    * habit: an ORDERED sequence of position-dependent rewrites has no
+    * built-in/higher-order-function form (the engine-wide no-UDF rule's
+    * documented exception class, like the multimodal decode) — and it
+    * sits behind the word-explode, so the frame it runs on is word-
+    * not corpus-shaped. Output (doc_id, n_words, n_tokens) summarizes
+    * the compression the vocabulary buys. */
+  def bpeTokenCounts(documents: DataFrame,
+                     merges: Seq[(Int, String, String)]): DataFrame = {
+    val rules = merges.sortBy(_._1).map(m => (m._2, m._3))
+    val tokensOf = udf { (w: String) =>
+      var syms = w.map(_.toString).toList
+      rules.foreach { p =>
+        val out = scala.collection.mutable.ListBuffer[String]()
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == p._1 && syms(i + 1) == p._2) {
+            out += syms(i) + syms(i + 1); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.toList
+      }
+      syms.length
+    }
+    documents
+      .select(col("doc_id"), explode(TextNorm.words(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+           sum(tokensOf(col("w"))).as("n_tokens"))
+      .orderBy("doc_id")
+  }
 }

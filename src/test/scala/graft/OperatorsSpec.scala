@@ -240,4 +240,29 @@ class OperatorsSpec extends SparkSpec {
         s"binned != naive at width $days d")
     }
   }
+
+  test("BPE training: merge rules match the hand-derived sequence with " +
+       "deterministic ties; tokenization compresses by the learned rules") {
+    import spark.implicits._
+    // word freqs: low×2, lower×1, lowest×1 → pair counts lo:4 ow:4 we:2
+    // er/es/st:1. Ties break to the lexicographically smallest pair, so
+    // the rule sequence is fully determined: lo, low, lowe(?) — derived:
+    //   0: (l,o)   [lo=4 ties ow=4 → lex min]
+    //   1: (lo,w)  [4]
+    //   2: (low,e) [2]
+    //   3: (lowe,r)[1, lex min among (lowe,r),(lowe,s),(s,t)]
+    val docs = Seq((1L, "low low lower lowest")).toDF("doc_id", "text")
+    val merges = TextAnalysis.trainBpeMerges(docs, nMerges = 4)
+    assert(merges == Seq((0, "l", "o"), (1, "lo", "w"),
+                         (2, "low", "e"), (3, "lowe", "r")), merges.toString)
+    // rule exhaustion: a single 2-char word supports exactly one merge
+    assert(TextAnalysis.trainBpeMerges(
+      Seq((1L, "ab")).toDF("doc_id", "text"), nMerges = 5).size == 1)
+    // tokenization under the learned rules: low→[low]=1, lower→[lower]=1,
+    // lowest→[lowe,s,t]=3 → 5 tokens over 4 words (low counted twice)
+    val counts = TextAnalysis.bpeTokenCounts(docs, merges).collect()(0)
+    assert(counts.getLong(1) == 4 && counts.getLong(2) == 6, counts.toString)
+    // determinism: identical corpus → identical rules
+    assert(TextAnalysis.trainBpeMerges(docs, nMerges = 4) == merges)
+  }
 }

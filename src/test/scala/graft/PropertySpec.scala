@@ -171,4 +171,55 @@ class PropertySpec extends AnyFunSuite {
         s"cut=$cut texts=${texts.mkString("|")}")
     }
   }
+
+  test("incremental substring dedup: survivors are invariant to batch " +
+       "boundaries and equal the closed-form global rule on random corpora") {
+    import spark.implicits._
+    // random corpora over a tiny alphabet with minChars = 6 so shared
+    // runs actually occur; duplicate tails planted by construction
+    val gen = for {
+      n <- Gen.choose(4, 10)
+      base <- Gen.listOfN(n, Gen.choose(3, 18).flatMap(w =>
+        Gen.listOfN(w, Gen.oneOf("ab".toSeq)).map(_.mkString)))
+      // a few docs copy another doc's text with a prefix — guaranteed
+      // shared runs when the copied tail is >= minChars
+      copies <- Gen.listOfN(2, Gen.choose(0, n - 1))
+      cut1 <- Gen.choose(1, n + 1)
+      cut2 <- Gen.choose(1, n + 1)
+    } yield {
+      val texts = base ++ copies.map(i => "xx" + base(i))
+      (texts, cut1 min texts.size, cut2 min texts.size)
+    }
+    val minChars = 6
+    forAllSampled(gen, n = 6) { case (texts, cut1, cut2) =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      // closed-form global rule (the oracle's shape): survivor ⟺ no
+      // shared length-minChars window with any lower-id doc
+      def windows(t: String): Set[String] =
+        if (t.length < minChars) Set.empty
+        else (0 to t.length - minChars).map(p => t.substring(p, p + minChars)).toSet
+      val expected = docs.filter { case (id, t) =>
+        val w = windows(t)
+        !docs.exists { case (id2, t2) => id2 < id && windows(t2).exists(w) }
+      }.map(_._1).toSet
+      // ingest in 1..3 batches split at the random cuts — survivors and
+      // the index must not depend on where the boundaries fall
+      val cuts = Seq(cut1 min cut2, cut1 max cut2)
+      val batches = {
+        val b = Seq(docs.slice(0, cuts(0)), docs.slice(cuts(0), cuts(1)),
+                    docs.slice(cuts(1), docs.size))
+        b.filter(_.nonEmpty)
+      }
+      var index = spark.range(0).select(col("id").as("h"))
+      val got = scala.collection.mutable.Set[Long]()
+      batches.foreach { b =>
+        val (survivors, newHashes) = graft.operators.Dedup
+          .incrementalSubstringDedup(b.toDF("doc_id", "text"), index, minChars)
+        got ++= survivors.select("doc_id").collect().map(_.getLong(0))
+        index = index.union(newHashes).localCheckpoint(false)
+      }
+      assert(got.toSet == expected,
+        s"cuts=$cuts texts=${texts.mkString("|")} got=$got want=$expected")
+    }
+  }
 }
