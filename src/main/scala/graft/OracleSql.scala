@@ -27,9 +27,16 @@ object OracleSql {
     s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id IN (0, 1, 2)), s AS (SELECT q.query_id, e.vec_id, ROUND((SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest(e.embedding) AS x, unnest(q.qv) AS y)) / (sqrt((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FROM (SELECT unnest(e.embedding) AS x))) * sqrt((SELECT SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest(q.qv) AS y)))) * 10000, 0)/10000.0 AS cos_sim FROM embeddings e, q WHERE e.vec_id <> q.query_id$filterSql), r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank FROM s) SELECT query_id, vec_id, cos_sim, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10 ORDER BY query_id, rank"""
   private val annTopkSql = annTopkSqlWhere("")
 
+  // the 40-char window CTE — the load-bearing contract every substring-
+  // dedup oracle shares with the Spark side (length 40, range bound
+  // len-38, per-doc DISTINCT); ONE definition so a threshold tweak can
+  // never desynchronize the three oracles that state it
+  private val substringWindowsCte =
+    """WITH w AS (SELECT DISTINCT doc_id, sub FROM (SELECT doc_id, substr(text, CAST(p AS INT), 40) AS sub FROM (SELECT doc_id, text, unnest(range(1, len(text)-38)) AS p FROM documents WHERE len(text) >= 40)))"""
+
   // exact substring dedup, shared by the raw-window and hashed paths
   private val substringDedupSql =
-    """WITH w AS (SELECT DISTINCT doc_id, sub FROM (SELECT doc_id, substr(text, CAST(p AS INT), 40) AS sub FROM (SELECT doc_id, text, unnest(range(1, len(text)-38)) AS p FROM documents WHERE len(text) >= 40))) SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(DISTINCT a.sub) AS shared_windows FROM w a JOIN w b ON a.doc_id < b.doc_id AND a.sub = b.sub GROUP BY 1, 2 ORDER BY 1, 2"""
+    s"""$substringWindowsCte SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(DISTINCT a.sub) AS shared_windows FROM w a JOIN w b ON a.doc_id < b.doc_id AND a.sub = b.sub GROUP BY 1, 2 ORDER BY 1, 2"""
 
   // segment-level dedup, shared by the exact and hash-keyed paths
   private val paragraphDedupSql =
@@ -296,7 +303,7 @@ object OracleSql {
     // verbatim run with any lower-id doc (short docs have no windows
     // and always survive)
     "substring_dedup_inc" ->
-      """WITH w AS (SELECT DISTINCT doc_id, sub FROM (SELECT doc_id, substr(text, CAST(p AS INT), 40) AS sub FROM (SELECT doc_id, text, unnest(range(1, len(text)-38)) AS p FROM documents WHERE len(text) >= 40))), dup AS (SELECT DISTINCT b.doc_id FROM w a JOIN w b ON a.doc_id < b.doc_id AND a.sub = b.sub) SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM dup) ORDER BY doc_id""",
+      s"""$substringWindowsCte, dup AS (SELECT DISTINCT b.doc_id FROM w a JOIN w b ON a.doc_id < b.doc_id AND a.sub = b.sub) SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM dup) ORDER BY doc_id""",
 
     // simhash exact regime: the banding pipeline at radius 0 restricted
     // to equal-distinct-word-set pairs — the subdomain where hamming 0 is

@@ -774,7 +774,7 @@ object Dedup {
       : (DataFrame, DataFrame) = {
     val wins = substringWindows(batch, minChars)
       .select(col("doc_id"), xxhash64(col("sub")).as("h"))
-      .groupBy("doc_id", "h").agg(count(lit(1)).as("_n")).drop("_n")
+      .distinct()
       .localCheckpoint(false)
     // intra-batch: shares a window with a lower-id batch doc
     val intraDrop = wins.as("a").join(wins.as("b"),

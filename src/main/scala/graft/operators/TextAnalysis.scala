@@ -504,17 +504,22 @@ object TextAnalysis {
     * = highest count, ties to the lexicographically smallest pair —
     * reruns and partitionings cannot reorder the rules. Returns the
     * merge rules in application order as (rank, left, right). */
-  def trainBpeMerges(documents: DataFrame, nMerges: Int = 10): Seq[(Int, String, String)] = {
-    def mergeIn(syms: List[String], p: (String, String)): List[String] = {
-      val out = scala.collection.mutable.ListBuffer[String]()
-      var i = 0
-      while (i < syms.length) {
-        if (i + 1 < syms.length && syms(i) == p._1 && syms(i + 1) == p._2) {
-          out += syms(i) + syms(i + 1); i += 2
-        } else { out += syms(i); i += 1 }
-      }
-      out.toList
+  /** One greedy left-to-right application of a merge rule to a symbol
+    * sequence — THE shared definition between training and tokenization
+    * (they must agree on overlap handling or apply-time tokens diverge
+    * from train-time rules). */
+  private def mergeIn(syms: List[String], p: (String, String)): List[String] = {
+    val out = scala.collection.mutable.ListBuffer[String]()
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == p._1 && syms(i + 1) == p._2) {
+        out += syms(i) + syms(i + 1); i += 2
+      } else { out += syms(i); i += 1 }
     }
+    out.toList
+  }
+
+  def trainBpeMerges(documents: DataFrame, nMerges: Int = 10): Seq[(Int, String, String)] = {
     var vocab: Map[List[String], Long] = documents
       .select(explode(TextNorm.words(col("text"))).as("w"))
       .filter(length(col("w")) > 0)
@@ -541,37 +546,31 @@ object TextAnalysis {
   }
 
   /** Apply trained merge rules to tokenize text — the read side of
-    * [[trainBpeMerges]], run per word as a deterministic fold over the
-    * rules in rank order. The fold is a Scala UDF by necessity, not
-    * habit: an ORDERED sequence of position-dependent rewrites has no
-    * built-in/higher-order-function form (the engine-wide no-UDF rule's
+    * [[trainBpeMerges]], a deterministic fold over the rules in rank
+    * order via the SAME [[mergeIn]] the trainer uses (they must agree
+    * on overlap handling or apply-time tokens diverge from train-time
+    * rules). The fold is a Scala UDF by necessity, not habit: an
+    * ORDERED sequence of position-dependent rewrites has no built-in/
+    * higher-order-function form (the engine-wide no-UDF rule's
     * documented exception class, like the multimodal decode) — and it
-    * sits behind the word-explode, so the frame it runs on is word-
-    * not corpus-shaped. Output (doc_id, n_words, n_tokens) summarizes
-    * the compression the vocabulary buys. */
+    * runs once per (doc, DISTINCT word), not per occurrence: the fold
+    * prices by the doc's vocabulary, with occurrences riding a count.
+    * Output (doc_id, n_words, n_tokens) summarizes the compression the
+    * vocabulary buys. */
   def bpeTokenCounts(documents: DataFrame,
                      merges: Seq[(Int, String, String)]): DataFrame = {
     val rules = merges.sortBy(_._1).map(m => (m._2, m._3))
     val tokensOf = udf { (w: String) =>
-      var syms = w.map(_.toString).toList
-      rules.foreach { p =>
-        val out = scala.collection.mutable.ListBuffer[String]()
-        var i = 0
-        while (i < syms.length) {
-          if (i + 1 < syms.length && syms(i) == p._1 && syms(i + 1) == p._2) {
-            out += syms(i) + syms(i + 1); i += 2
-          } else { out += syms(i); i += 1 }
-        }
-        syms = out.toList
-      }
-      syms.length
+      rules.foldLeft(w.map(_.toString).toList)(mergeIn).length
     }
     documents
       .select(col("doc_id"), explode(TextNorm.words(col("text"))).as("w"))
       .filter(length(col("w")) > 0)
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("occ"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_words"),
-           sum(tokensOf(col("w"))).as("n_tokens"))
+      .agg(sum(col("occ")).as("n_words"),
+           sum(tokensOf(col("w")) * col("occ")).as("n_tokens"))
       .orderBy("doc_id")
   }
 }

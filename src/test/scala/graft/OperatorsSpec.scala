@@ -258,8 +258,8 @@ class OperatorsSpec extends SparkSpec {
     // rule exhaustion: a single 2-char word supports exactly one merge
     assert(TextAnalysis.trainBpeMerges(
       Seq((1L, "ab")).toDF("doc_id", "text"), nMerges = 5).size == 1)
-    // tokenization under the learned rules: low→[low]=1, lower→[lower]=1,
-    // lowest→[lowe,s,t]=3 → 5 tokens over 4 words (low counted twice)
+    // tokenization under the learned rules: low→[low]=1 (×2 occurrences),
+    // lower→[lower]=1, lowest→[lowe,s,t]=3 → 1+1+1+3 = 6 tokens / 4 words
     val counts = TextAnalysis.bpeTokenCounts(docs, merges).collect()(0)
     assert(counts.getLong(1) == 4 && counts.getLong(2) == 6, counts.toString)
     // determinism: identical corpus → identical rules
