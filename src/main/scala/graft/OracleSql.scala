@@ -297,6 +297,7 @@ object OracleSql {
     // silently desynchronize the other)
     "substring_dedup" -> substringDedupSql,
     "substring_dedup_h" -> substringDedupSql,
+    "substring_dedup_shard" -> substringDedupSql,
 
     // growing-corpus ingest, cold single batch: survivors under the
     // global non-cascading rule — every doc that shares NO ≥40-char

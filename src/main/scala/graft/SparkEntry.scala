@@ -396,7 +396,11 @@ object SparkEntry {
       val n = ev.agg(org.apache.spark.sql.functions
         .countDistinct(org.apache.spark.sql.functions.col("user_id")))
         .head.getLong(0)
-      Analytics.thetaSegments(ev, k = (2 * n + 2).toInt)
+      // toIntExact: 2n+2 past Int.MaxValue would wrap negative and
+      // silently leave the exact regime this query exists to pin — at
+      // that cardinality fail loudly (the twin is a test fixture; the
+      // production query is the unsaturated theta_segments itself)
+      Analytics.thetaSegments(ev, k = math.toIntExact(2 * n + 2))
     }),
     // merge-only over the PERSISTED cell table (the production stored-
     // sketch pattern): stage 1 writes once via the shared memo; the
@@ -524,6 +528,11 @@ object SparkEntry {
     // the hashed scale path must land the SAME pairs (hash candidates +
     // text verify; collisions can only drop, never fabricate) — same oracle
     "substring_dedup_h" -> ((s, d) => Dedup.exactSubstringPairsHashed(Tables.documents(s, d))),
+    // the 100 TB sharding story made executable: window-hash space split
+    // into 4 disjoint pmod slices, candidates per shard independently,
+    // one shared verify — must land the SAME pairs again (same oracle)
+    "substring_dedup_shard" -> ((s, d) =>
+      Dedup.exactSubstringPairsHashedSharded(Tables.documents(s, d))),
     // the growing-corpus ingest loop, cold single batch: survivors ≡ the
     // global closed-form rule (no shared ≥40-char run with a lower id),
     // adjudicating window indexing + intra-batch + exactly-once appends

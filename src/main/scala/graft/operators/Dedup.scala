@@ -697,19 +697,38 @@ object Dedup {
     * At 100 TB use [[exactSubstringPairsHashed]] — same output through
     * 8-byte hashed rows + a candidates-only verify.
     *
-    * Output: (doc_a, doc_b, shared_windows = distinct shared windows) —
-    * pair-set semantics, no presentation sort (see [[minhashLsh]]). */
-  def exactSubstringPairs(documents: DataFrame, minChars: Int = 40): DataFrame = {
-    // group-by-window instead of a self-join: ONE shuffle keyed by the
-    // window (collect_set partially aggregates map-side, so each
-    // (window, doc) travels once), pairs explode inside the row, and the
-    // pair count is the second and last shuffle. The join formulation
-    // paid a third exchange for the same answer.
-    val bySub = substringWindows(documents, minChars)
+    * Output: (doc_a, doc_b, shared_windows = distinct shared windows
+    * with document frequency ≤ `maxDf` — the boilerplate cap, see the
+    * body) — pair-set semantics, no presentation sort (see
+    * [[minhashLsh]]). */
+  def exactSubstringPairs(documents: DataFrame, minChars: Int = 40,
+                          maxDf: Int = 100): DataFrame = {
+    // group-by-window instead of a self-join: shuffles keyed by the
+    // window, pairs explode inside the row, and the pair count is the
+    // last shuffle. The join formulation paid an extra exchange for the
+    // same answer.
+    //
+    // Boilerplate cap (the verbatim_overlap/D11c trade, here at window
+    // granularity): a window shared by f docs builds an f-element
+    // aggregation row and emits f(f-1)/2 pairs — on real corpora license
+    // headers/navbars make some windows corpus-hot, an unbounded hot-key
+    // blow-up. Windows with document frequency > maxDf are dropped
+    // BEFORE any per-window doc list materializes (the df aggregation is
+    // constant-size-buffer counting), so both the aggregation buffer and
+    // the pair fan-out are ≤ maxDf / maxDf²/2 by construction. The trade
+    // is explicit and matches the suffix-array dedup literature: a run
+    // verbatim-shared by >maxDf documents is boilerplate, not the
+    // near-copy signal pair dedup exists to find (pairs REPORTED may
+    // shrink; no pair is fabricated). Both branches read one (doc,
+    // window)-distinct frame; Catalyst's ReuseExchange shares its
+    // shuffle, and at 100 TB that frame is what you'd persist anyway.
+    val wins = substringWindows(documents, minChars)
+      .select(col("doc_id"), col("sub")).distinct()
+    val dfPerWin = wins.groupBy("sub").agg(count(lit(1)).as("wdf"))
+      .filter(col("wdf") > 1 && col("wdf") <= maxDf)
+    wins.join(dfPerWin.select("sub"), "sub")
       .groupBy(col("sub"))
       .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")) > 1)
-    bySub
       .select(posexplode(col("ds")).as(Seq("i", "doc_a")), col("ds"))
       .select(col("doc_a"),
         explode(slice(col("ds"), col("i") + 2, size(col("ds")))).as("doc_b"))
@@ -725,31 +744,61 @@ object Dedup {
     * (≈2⁻⁶⁴ per window pair; a collision can only DROP a window — the
     * verify kills fabrications — so precision is exact and the
     * equivalence is spec-pinned on real corpora). */
-  def exactSubstringPairsHashed(documents: DataFrame, minChars: Int = 40): DataFrame = {
+  def exactSubstringPairsHashed(documents: DataFrame, minChars: Int = 40,
+                                maxDf: Int = 100): DataFrame =
+    exactSubstringPairsHashedSharded(documents, minChars, maxDf, numShards = 1)
+
+  /** [[exactSubstringPairsHashed]] with the window-hash space split into
+    * `numShards` disjoint slices (`pmod(h, numShards)`) — the executable
+    * form of the 100 TB story SURVEY §4 documents (Lee et al. shard
+    * their suffix arrays by prefix the same way): each shard's candidate
+    * generation is an INDEPENDENT group-by over ~1/numShards of the
+    * window rows, so the largest single shuffle is shard-sized and
+    * shards can run as separate jobs/stages against the same persisted
+    * (doc_id, h, p) table. Shards partition the hash space, so every
+    * candidate pair occurrence arises in exactly one shard; the union
+    * feeds ONE text-verify join and ONE final pair count — output ≡ the
+    * unsharded path for every numShards (spec-pinned). */
+  def exactSubstringPairsHashedSharded(documents: DataFrame,
+                                       minChars: Int = 40, maxDf: Int = 100,
+                                       numShards: Int = 4): DataFrame = {
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
     val wins = substringWindows(documents, minChars)
       .select(col("doc_id"), col("p"), xxhash64(col("sub")).as("h"))
     // one representative position per (doc, window-hash): min pos is
-    // deterministic and enough for the verify fetch. Then the same
-    // group-by-key pair explosion as the exact path (no self-join
-    // exchange); sort_array on the structs orders by doc_id, so the
-    // exploded pairs are doc_a < doc_b by construction.
+    // deterministic and enough for the verify fetch
     val perDoc = wins.groupBy("doc_id", "h").agg(min("p").as("p"))
-    val byHash = perDoc
-      .groupBy("h")
-      .agg(sort_array(collect_set(struct(col("doc_id"), col("p")))).as("ds"))
-      .filter(size(col("ds")) > 1)
-    val cand = byHash
-      .select(posexplode(col("ds")).as(Seq("i", "a")), col("ds"))
-      .select(col("a"),
-        explode(slice(col("ds"), col("i") + 2, size(col("ds")))).as("b"))
-      .select(col("a.doc_id").as("doc_a"), col("a.p").as("pa"),
-              col("b.doc_id").as("doc_b"), col("b.p").as("pb"))
+    val cand =
+      if (numShards == 1) hashedCandidates(perDoc, maxDf)
+      else (0 until numShards).map { s =>
+        hashedCandidates(
+          perDoc.filter(pmod(col("h"), lit(numShards.toLong)) === s), maxDf)
+      }.reduce(_.union(_)) // Dataset.union is positional UNION ALL
     val txt = documents.select(col("doc_id"), col("text"))
     cand.join(txt.as("ta"), col("doc_a") === col("ta.doc_id"))
       .join(txt.as("tb"), col("doc_b") === col("tb.doc_id"))
       .filter(col("ta.text").substr(col("pa"), lit(minChars)) ===
               col("tb.text").substr(col("pb"), lit(minChars)))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared_windows"))
+  }
+
+  /** Candidate (doc_a, pa, doc_b, pb) pairs from a (doc_id, h, p)
+    * one-row-per-(doc, window-hash) frame: df-capped (same boilerplate
+    * trade as [[exactSubstringPairs]], applied before any per-hash doc
+    * list materializes), then the group-by-key pair explosion — no
+    * self-join exchange; sort_array on the structs orders by doc_id, so
+    * the exploded pairs are doc_a < doc_b by construction. */
+  private def hashedCandidates(perDoc: DataFrame, maxDf: Int): DataFrame = {
+    val dfPerH = perDoc.groupBy("h").agg(count(lit(1)).as("wdf"))
+      .filter(col("wdf") > 1 && col("wdf") <= maxDf)
+    perDoc.join(dfPerH.select("h"), "h")
+      .groupBy("h")
+      .agg(sort_array(collect_set(struct(col("doc_id"), col("p")))).as("ds"))
+      .select(posexplode(col("ds")).as(Seq("i", "a")), col("ds"))
+      .select(col("a"),
+        explode(slice(col("ds"), col("i") + 2, size(col("ds")))).as("b"))
+      .select(col("a.doc_id").as("doc_a"), col("a.p").as("pa"),
+              col("b.doc_id").as("doc_b"), col("b.p").as("pb"))
   }
 
   /** Incremental EXACT-substring dedup — [[exactSubstringPairsHashed]]
@@ -776,10 +825,19 @@ object Dedup {
       .select(col("doc_id"), xxhash64(col("sub")).as("h"))
       .distinct()
       .localCheckpoint(false)
-    // intra-batch: shares a window with a lower-id batch doc
-    val intraDrop = wins.as("a").join(wins.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("b.doc_id").as("doc_id")).distinct()
+    // intra-batch: shares a window with a lower-id batch doc. The drop
+    // predicate never needs PAIRS — "shares a window with a lower-id
+    // doc" ⟺ doc_id > min(doc_id) over the window hash — so it is one
+    // linear windowed aggregation: a corpus-hot boilerplate window
+    // shared by f batch docs costs f rows through a (spilling) sort, not
+    // the f²/2 row fan-out the earlier self-join formulation paid.
+    // Semantically identical (the batch-boundary-invariance property in
+    // DedupSpec re-proves survivors against the closed-form rule).
+    val intraDrop = wins
+      .select(col("doc_id"),
+        min(col("doc_id")).over(Window.partitionBy(col("h"))).as("mn"))
+      .filter(col("doc_id") > col("mn"))
+      .select(col("doc_id")).distinct()
     // cross-batch: shares a window with anything ever ingested
     val crossDrop = wins.join(corpusIndex.select(col("h")), Seq("h"), "left_semi")
       .select(col("doc_id")).distinct()

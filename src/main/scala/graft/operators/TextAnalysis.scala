@@ -519,11 +519,28 @@ object TextAnalysis {
     out.toList
   }
 
-  def trainBpeMerges(documents: DataFrame, nMerges: Int = 10): Seq[(Int, String, String)] = {
+  /** `minFreq` / `maxVocab` bound the driver-side word-frequency table
+    * the way HF tokenizers / SentencePiece do (min-frequency floor +
+    * top-M cut): "vocab ≪ corpus" holds for clean text, but a web-scale
+    * corpus's distinct-"word" count (typos, numbers, hex hashes) can
+    * reach hundreds of millions — unbounded driver heap without a cut.
+    * The cut is a distributed TakeOrderedAndProject (count desc, word
+    * asc — a total order, so reruns/partitionings cut identically) and
+    * makes the collect provably ≤ maxVocab rows; dropped tail words are
+    * exactly the ones whose pair counts BPE training is least sensitive
+    * to (each contributes < minFreq occurrences per pair). Defaults keep
+    * today's behavior on any corpus with < 2²⁰ distinct words. */
+  def trainBpeMerges(documents: DataFrame, nMerges: Int = 10,
+                     minFreq: Long = 1L,
+                     maxVocab: Int = 1 << 20): Seq[(Int, String, String)] = {
     var vocab: Map[List[String], Long] = documents
       .select(explode(TextNorm.words(col("text"))).as("w"))
       .filter(length(col("w")) > 0)
-      .groupBy("w").count().collect()
+      .groupBy("w").count()
+      .filter(col("count") >= minFreq)
+      .orderBy(col("count").desc, col("w"))
+      .limit(maxVocab)
+      .collect()
       .map(r => r.getString(0).map(_.toString).toList -> r.getLong(1)).toMap
     val merges = Seq.newBuilder[(Int, String, String)]
     var rank = 0

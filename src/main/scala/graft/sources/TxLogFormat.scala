@@ -1386,8 +1386,13 @@ object TxLogFormat extends TableFormat {
             }
         } catch { case scala.util.control.NonFatal(_) => None }
       }
+    // Read per-scan from the session conf (not a mutable global: a
+    // shared object var raced across concurrent scans / parallel test
+    // suites, and save/restore around it was not exception-ordered).
+    val pruneThreshold =
+      spark.conf.get(DistributedPruneThresholdKey, "50000").toInt
     val keep = pred match {
-      case Some(p) if live.size < distributedPruneThreshold =>
+      case Some(p) if live.size < pruneThreshold =>
         live.filter(rel => stats.get(rel).forall(fs => mayMatch(p, fs)))
       case Some(p) =>
         // Distributed prune: above the threshold the per-file mayMatch
@@ -1419,11 +1424,13 @@ object TxLogFormat extends TableFormat {
     readFiles(spark, path, keep, schemaJson, st.dvs).filter(filter)
   }
 
-  /** Live-file count at which [[scan]]'s stats pruning moves from the
-    * driver-side fold to a distributed evaluation of the same predicate
-    * (see the scan body). The default keeps every small-and-medium table
-    * on the zero-job fast path; tests lower it to cross the boundary. */
-  @volatile var distributedPruneThreshold: Int = 50000
+  /** Session-conf key for the live-file count at which [[scan]]'s stats
+    * pruning moves from the driver-side fold to a distributed evaluation
+    * of the same predicate (see the scan body). Default 50000 keeps every
+    * small-and-medium table on the zero-job fast path; tests lower it via
+    * `spark.conf.set` to cross the boundary. A conf key, not an object
+    * var: per-session, thread-safe, no save/restore ordering hazards. */
+  val DistributedPruneThresholdKey = "spark.graft.txlog.distributedPruneThreshold"
 
   /** Metadata-only row count: sums the log-recorded per-file row counts —
     * no data file is opened, the answer costs one driver-side log read at

@@ -66,6 +66,38 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
+  test("HLL++ has NO exact regime to pin a twin on — measured, which is " +
+       "why approx_distinct stays rows-only while every sketch WITH an " +
+       "exact regime has one") {
+    import spark.implicits._
+    // Spark's HyperLogLogPlusPlus is dense-register-only (no sparse
+    // raw-hash mode): low cardinalities estimate through linear counting
+    // m·ln(m/V), where a single register collision shifts the rounded
+    // estimate by 1. Whether a collision occurs depends on the HASH
+    // VALUES, not the cardinality — so exactness is data luck, not a
+    // regime a correctness twin could legitimately claim. Pin the
+    // measured shape: deterministic (fixed-seed xxhash64), error within
+    // the advertised rsd at every probed cardinality, but NOT exact at
+    // some small k even at rsd = 0.005 while a LARGER k happens to be —
+    // no threshold rule exists. (theta/GK/t-digest twins: D43, B27, B28.)
+    def est(k: Long, rsd: Double): Long =
+      spark.range(k).agg(approx_count_distinct(col("id"), rsd)).head.getLong(0)
+    val probed = Seq(10L, 50L, 200L, 500L, 1000L, 2000L)
+    for (k <- probed; rsd <- Seq(0.05, 0.005)) {
+      val e = est(k, rsd)
+      assert(math.abs(e - k).toDouble / k <= 3 * rsd + 0.01,
+        s"k=$k rsd=$rsd est=$e outside 3·rsd") // 3σ + rounding slack
+      assert(e == est(k, rsd), s"k=$k rsd=$rsd nondeterministic")
+    }
+    val errs = probed.map(k => k -> math.abs(est(k, 0.005) - k))
+    val bad = errs.filter(_._2 > 0).map(_._1)
+    assert(bad.nonEmpty, "every probed cardinality exact at rsd=0.005 — " +
+      "an exact regime may exist after all; revisit the twin decision")
+    assert(probed.exists(k => k > bad.min && !bad.contains(k)),
+      s"no larger-but-exact k above inexact k=${bad.min}: $errs — " +
+      "exactness would be a threshold rule, not data luck")
+  }
+
   test("approx quantiles within 2% of exact per group") {
     val orders = Tables.orders(spark, sf)
     val approx = Analytics.approxQuantiles(orders).collect()
@@ -115,6 +147,61 @@ class ApproxSpec extends SparkSpec {
       .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
     assert(got.keySet == Set((1L, 2L)), got.toString)
     assert(got((1L, 2L)) == 1L, s"expected exactly one shared window: $got")
+  }
+
+  test("substring dedup boilerplate cap + sharding: a corpus-hot window " +
+       "is dropped by every pair path before any pair explodes; sharded " +
+       "candidates land exactly the unsharded pairs") {
+    import spark.implicits._
+    // 8 docs share one boilerplate region (window df = 8 — think license
+    // header); docs 1,2 additionally share a COLD run (df = 2). With
+    // maxDf = 4 the boilerplate windows must vanish (the f²/2 hot-key
+    // pairs with them) while the cold-run pair survives untouched.
+    val boiler = (0 until 40).map(i => ('a' + i % 26).toChar).mkString
+    val run = (0 until 40).map(i => ('A' + i % 26).toChar).mkString
+    val rows = (1L to 8L).map { id =>
+      val tail = if (id <= 2) s" cold $run end" else s" filler unique $id"
+      (id, s"doc$id header $boiler$tail")
+    }
+    val docs = rows.toDF("doc_id", "text")
+    // naive reference: windows → df filter → pairs, in plain Scala
+    def naive(maxDf: Int): Map[(Long, Long), Long] = rows
+      .flatMap { case (id, t) =>
+        (0 to t.length - 40).map(p => (t.substring(p, p + 40), id)) }
+      .distinct.groupBy(_._1).values
+      .map(_.map(_._2).distinct.sorted)
+      .filter(ds => ds.size > 1 && ds.size <= maxDf)
+      .flatMap(ds => for (i <- ds.indices; j <- i + 1 until ds.size)
+        yield (ds(i), ds(j)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val capped = naive(4)
+    assert(capped.keySet == Set((1L, 2L)), // only the cold-run pair
+      s"naive reference unexpectedly kept: ${capped.keySet}")
+    val uncapped = naive(100)
+    assert(uncapped.size == 28, "uncapped: all 8·7/2 boilerplate pairs")
+    for ((label, out) <- Seq(
+        "exact" -> Dedup.exactSubstringPairs(docs, maxDf = 4),
+        "hashed" -> Dedup.exactSubstringPairsHashed(docs, maxDf = 4),
+        "sharded" -> Dedup.exactSubstringPairsHashedSharded(
+          docs, maxDf = 4, numShards = 3)))
+      assert(pairs(out) == capped, s"$label path != df-capped reference")
+    // defaults (maxDf = 100) keep the boilerplate pairs on this tiny df
+    assert(pairs(Dedup.exactSubstringPairs(docs)) == uncapped)
+    // shard-count invariance on the real corpus: the pmod slices
+    // partition the hash space, so ANY numShards lands identical pairs
+    val corpus = Tables.documents(spark, sf)
+    val one = pairs(Dedup.exactSubstringPairsHashed(corpus))
+    assert(pairs(Dedup.exactSubstringPairsHashedSharded(corpus,
+      numShards = 4)) == one, "4-sharded != unsharded on corpus")
+    // incremental path meets the hot window through the LINEAR min-id
+    // rule (no pair fan-out): everyone shares boilerplate with doc 1,
+    // so the batch's sole survivor is doc 1
+    val (surv, _) = Dedup.incrementalSubstringDedup(
+      docs, Seq.empty[Long].toDF("h"))
+    assert(surv.select("doc_id").collect().map(_.getLong(0)).toSet
+      == Set(1L), "hot-window batch should keep only the min-id doc")
   }
 
   test("incremental IVF: a grown index's recall tracks a fresh rebuild; " +

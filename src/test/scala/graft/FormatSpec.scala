@@ -1221,9 +1221,8 @@ class FormatSpec extends SparkSpec {
     // same existence-hard guarantee: keeping one extra fake file would
     // throw on open, dropping a real one would change the count. Both
     // a range predicate and a compound one cross the wire.
-    val saved = TxLogFormat.distributedPruneThreshold
     try {
-      TxLogFormat.distributedPruneThreshold = 100 // 12k files >> 100
+      spark.conf.set(TxLogFormat.DistributedPruneThresholdKey, "100") // 12k files >> 100
       assert(TxLogFormat.scan(spark, t, col("id") < 100).count() == 100)
       assert(TxLogFormat.scan(spark, t,
         col("id") >= 10 && col("id") < 20).count() == 10)
@@ -1233,7 +1232,7 @@ class FormatSpec extends SparkSpec {
       intercept[Exception] {
         TxLogFormat.scan(spark, t, col("id") >= 1000000L).count()
       }
-    } finally TxLogFormat.distributedPruneThreshold = saved
+    } finally spark.conf.unset(TxLogFormat.DistributedPruneThresholdKey)
   }
 
   test("Pipeline drop-in parity: same DAG, same results as ParquetDirFormat") {

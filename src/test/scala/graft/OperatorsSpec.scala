@@ -265,4 +265,24 @@ class OperatorsSpec extends SparkSpec {
     // determinism: identical corpus → identical rules
     assert(TextAnalysis.trainBpeMerges(docs, nMerges = 4) == merges)
   }
+
+  test("BPE vocab bounds: the default cut is a no-op vs truly unbounded " +
+       "on the corpus; minFreq floors and maxVocab top-cuts bind as the " +
+       "HF/SentencePiece semantics say") {
+    import spark.implicits._
+    val docs = Seq((1L, "low low lower lowest")).toDF("doc_id", "text")
+    // minFreq = 2 keeps only "low" (freq 2): lo, low, then exhaustion
+    val floored = TextAnalysis.trainBpeMerges(docs, nMerges = 4, minFreq = 2)
+    assert(floored == Seq((0, "l", "o"), (1, "lo", "w")), floored.toString)
+    // maxVocab = 1 keeps the single top word — "low" again by the
+    // (count desc, word asc) total order — so the same two rules
+    val cut = TextAnalysis.trainBpeMerges(docs, nMerges = 4, maxVocab = 1)
+    assert(cut == Seq((0, "l", "o"), (1, "lo", "w")), cut.toString)
+    // on the real corpus the DEFAULT bounds must not bind: the 2²⁰-word
+    // cut path yields rule-for-rule what a boundless collect would
+    val corpus = sources.Tables.documents(spark, sf)
+    assert(TextAnalysis.trainBpeMerges(corpus, nMerges = 3) ==
+      TextAnalysis.trainBpeMerges(corpus, nMerges = 3,
+        minFreq = 1L, maxVocab = Int.MaxValue))
+  }
 }
