@@ -16,6 +16,16 @@ case class ResizedMedia(doc_id: Long, width: Int, height: Int,
                         out_w: Int, out_h: Int, scale: Float,
                         feat: Array[Float])
 
+/** Container-header facts for one video payload — parsed from the
+  * MP4/MKV/AVI container structure alone (no codec, no pixel decode). */
+case class VideoMeta(container: String, width: Int, height: Int,
+                     duration_sec: Float, codec: String)
+
+/** [[VideoMeta]] keyed by document — the [[Multimodal.videoMetadata]]
+  * output row. */
+case class VideoMetaRow(doc_id: Long, container: String, width: Int,
+                        height: Int, duration_sec: Float, codec: String)
+
 /** Multimodal column handling: image/audio/video as opaque `binary` columns
   * with typed metadata, decoded/feature-extracted per partition.
   *
@@ -25,9 +35,13 @@ case class ResizedMedia(doc_id: Long, width: Int, height: Int,
   * partition, never per row). IMAGE payloads (PNG/JPEG/BMP/GIF by magic
   * bytes) decode for REAL via `javax.imageio` — in the JDK, zero added
   * dependencies — yielding true pixel dimensions and a luminance-histogram
-  * feature. Non-image payloads (audio/video: no codec libraries in this
-  * container) fall to a deterministic stub with the same output shape —
-  * swap it for an ffmpeg binding in production; nothing else changes.
+  * feature. WAV audio decodes for real via `javax.sound.sampled` (PCM
+  * stats in one fused pass). VIDEO containers (MP4/MKV/AVI) parse for
+  * real at the HEADER level — duration/resolution/codec-id via
+  * [[probeVideo]], no codec needed for those facts. Only the video
+  * PIXEL decode falls to the deterministic stub (no codec library in
+  * this container) — swap it for an ffmpeg binding in production;
+  * nothing else changes.
   */
 object Multimodal {
 
@@ -68,8 +82,14 @@ object Multimodal {
         val sampleRate = math.round(fmt.getSampleRate)
         val bytesPerSample = math.max(1, fmt.getSampleSizeInBits / 8)
         val frames = in.getFrameLength
+        // Byte-denominated ceiling (the image path's MaxDecodePixels
+        // stance, in the unit readAllBytes actually buffers): a raw
+        // frame-count cap would admit frames × frameSize blow-up — a
+        // 64M-frame 32-bit stereo WAV buffers ~512 MB. 256 MB of PCM
+        // matches the image ceiling (64 MP ARGB ≈ 256 MB).
+        val frameSize = math.max(1, fmt.getFrameSize)
         if (channels <= 0 || sampleRate <= 0 || frames <= 0 ||
-            frames > 64L * 1024 * 1024) None  // same bounded-per-row stance as images
+            frames * frameSize > 256L * 1024 * 1024) None
         else {
           val durationSec = frames.toFloat / fmt.getSampleRate
           // Read the full PCM body (bounded above) and fold each frame to
@@ -122,6 +142,259 @@ object Multimodal {
         }
       } finally in.close()
     } catch { case _: Exception => None }
+
+  /** MP4 sniff: the `ftyp` box fourcc sits at offset 4 of every ISO
+    * base-media file (the first box is ftyp by spec). */
+  private def looksLikeMp4(p: Array[Byte]): Boolean =
+    p.length >= 12 && p(4) == 'f' && p(5) == 't' && p(6) == 'y' && p(7) == 'p'
+
+  /** Matroska/WebM sniff: the EBML magic `1A 45 DF A3`. */
+  private def looksLikeMkv(p: Array[Byte]): Boolean =
+    p.length >= 4 && p(0) == 0x1a && p(1) == 0x45 &&
+      p(2) == 0xdf.toByte && p(3) == 0xa3.toByte
+
+  /** AVI sniff: `RIFF....AVI ` (the WAV sniff's sibling). */
+  private def looksLikeAvi(p: Array[Byte]): Boolean =
+    p.length >= 12 &&
+      p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+      p(8) == 'A' && p(9) == 'V' && p(10) == 'I' && p(11) == ' '
+
+  private def looksLikeVideo(p: Array[Byte]): Boolean =
+    looksLikeMp4(p) || looksLikeMkv(p) || looksLikeAvi(p)
+
+  /** Container-header probe for MP4/MKV/AVI payloads: duration,
+    * resolution and codec identifier parsed from the container structure
+    * ALONE — the image path's header-first pattern taken to its limit.
+    * No codec library exists in this container (and none is needed for
+    * these facts: they live in `moov`/`Segment`/`hdrl`, not the encoded
+    * bitstream), so this is the honest production shape for video
+    * curation-by-metadata; pixel decode stays behind the documented stub
+    * until an ffmpeg binding replaces it. Every walk is bounds-checked
+    * against the payload and visits each box/element once — cost is
+    * proportional to the HEADER box count, never the media size. None
+    * when the bytes are not a parseable container. */
+  private[operators] def probeVideo(p: Array[Byte]): Option[VideoMeta] =
+    try {
+      if (looksLikeMp4(p)) probeMp4(p)
+      else if (looksLikeMkv(p)) probeMkv(p)
+      else if (looksLikeAvi(p)) probeAvi(p)
+      else None
+    } catch { case _: Exception => None }
+
+  /** ISO base-media (MP4/MOV) box walk: `moov/mvhd` for duration,
+    * `moov/trak/tkhd` for resolution (16.16 fixed point), and
+    * `moov/trak/mdia/minf/stbl/stsd` first-entry fourcc for the codec
+    * (`avc1`, `hvc1`, `vp09`, ...). Big-endian throughout; 64-bit and
+    * to-end box sizes handled. */
+  private def probeMp4(p: Array[Byte]): Option[VideoMeta] = {
+    val n = p.length
+    def be32(o: Int): Long =
+      ((p(o) & 0xffL) << 24) | ((p(o + 1) & 0xffL) << 16) |
+        ((p(o + 2) & 0xffL) << 8) | (p(o + 3) & 0xffL)
+    def be64(o: Int): Long = (be32(o) << 32) | be32(o + 4)
+    def fourcc(o: Int): String =
+      new String(p, o, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+    // sibling boxes in [start, end) as (type, bodyStart, bodyEnd)
+    def children(start: Int, end: Int): List[(String, Int, Int)] = {
+      val out = List.newBuilder[(String, Int, Int)]
+      var off = start
+      var ok = true
+      while (ok && off + 8 <= end) {
+        val sz0 = be32(off)
+        val typ = fourcc(off + 4)
+        var hdr = 8L
+        val sz: Long =
+          if (sz0 == 1 && off + 16 <= end) { hdr = 16; be64(off + 8) }
+          else if (sz0 == 0) (end - off).toLong // box extends to end
+          else sz0
+        if (sz < hdr || off + sz > end) ok = false
+        else {
+          out += ((typ, (off + hdr).toInt, (off + sz).toInt))
+          off = (off + sz).toInt
+        }
+      }
+      out.result()
+    }
+    def find(start: Int, end: Int, typ: String): List[(Int, Int)] =
+      children(start, end).collect { case (t, s, e) if t == typ => (s, e) }
+    find(0, n, "moov").headOption.map { case (ms, me) =>
+      val durationSec = find(ms, me, "mvhd").headOption.flatMap { case (s, e) =>
+        if (e - s < 20) None
+        else if ((p(s) & 0xff) == 1 && e - s >= 32) { // v1: 64-bit times
+          val ts = be32(s + 20); val d = be64(s + 24)
+          if (ts > 0) Some(d.toDouble / ts) else None
+        } else {
+          val ts = be32(s + 12); val d = be32(s + 16)
+          if (ts > 0) Some(d.toDouble / ts) else None
+        }
+      }.getOrElse(0.0)
+      val traks = find(ms, me, "trak").map { case (ts, te) =>
+        val (w, h) = find(ts, te, "tkhd").headOption.map { case (s, e) =>
+          val wOff = if ((p(s) & 0xff) == 1) s + 88 else s + 76 // v1: +12
+          if (wOff + 8 <= e) ((be32(wOff) >> 16).toInt, (be32(wOff + 4) >> 16).toInt)
+          else (0, 0)
+        }.getOrElse((0, 0))
+        val codec = (for {
+          (m1, m2) <- find(ts, te, "mdia").headOption
+          (i1, i2) <- find(m1, m2, "minf").headOption
+          (s1, s2) <- find(i1, i2, "stbl").headOption
+          (d1, d2) <- find(s1, s2, "stsd").headOption
+          // stsd body: version+flags(4) entryCount(4) entrySize(4) format(4)
+          if d2 - d1 >= 16 && be32(d1 + 4) >= 1
+        } yield fourcc(d1 + 12)).getOrElse("")
+        (w, h, codec)
+      }
+      // the video track is the one tkhd gives nonzero dimensions (audio
+      // tracks carry 0×0 by spec); fall back to the first track
+      val (w, h, codec) = traks.find(t => t._1 > 0 && t._2 > 0)
+        .orElse(traks.headOption).getOrElse((0, 0, ""))
+      VideoMeta("mp4", w, h, durationSec.toFloat, codec)
+    }
+  }
+
+  /** Matroska/WebM EBML walk: `Segment/Info` for TimestampScale (default
+    * 1 ms) + Duration (float ticks), `Segment/Tracks/TrackEntry` for the
+    * video track's CodecID string and `Video/PixelWidth+PixelHeight`.
+    * EBML varints: the leading-zero count of the first byte gives the
+    * length; element IDs keep the marker bit, sizes strip it; the
+    * all-ones size means "extends to the enclosing end" (streamed files
+    * write Segment that way). */
+  private def probeMkv(p: Array[Byte]): Option[VideoMeta] = {
+    val n = p.length
+    def readVint(o: Int, keepMarker: Boolean): Option[(Long, Int)] = {
+      if (o >= n) return None
+      val first = p(o) & 0xff
+      if (first == 0) return None // length > 8 — not a sane header vint
+      val len = java.lang.Integer.numberOfLeadingZeros(first) - 23
+      if (o + len > n) return None
+      var v = if (keepMarker) first.toLong else (first & (0xff >>> len)).toLong
+      var i = 1
+      while (i < len) { v = (v << 8) | (p(o + i) & 0xffL); i += 1 }
+      Some((v, len))
+    }
+    // sibling elements in [start, end) as (id, bodyStart, bodyEnd)
+    def children(start: Int, end: Int): List[(Long, Int, Int)] = {
+      val out = List.newBuilder[(Long, Int, Int)]
+      var off = start
+      var ok = true
+      while (ok && off < end) {
+        val parsed = for {
+          (id, il) <- readVint(off, keepMarker = true)
+          (sz, sl) <- readVint(off + il, keepMarker = false)
+        } yield (id, off + il + sl, sz, sl)
+        parsed match {
+          case Some((id, bs, sz, sl)) =>
+            val unknown = sz == (1L << (7 * sl)) - 1
+            val bodyEnd = bs.toLong + sz
+            if (unknown) { out += ((id, bs, end)); off = end }
+            else if (bodyEnd > end) ok = false
+            else { out += ((id, bs, bodyEnd.toInt)); off = bodyEnd.toInt }
+          case None => ok = false
+        }
+      }
+      out.result()
+    }
+    def uintBE(s: Int, e: Int): Long =
+      (s until e).foldLeft(0L)((acc, i) => (acc << 8) | (p(i) & 0xffL))
+    def floatBE(s: Int, e: Int): Double = (e - s) match {
+      case 4 => java.lang.Float.intBitsToFloat(uintBE(s, e).toInt).toDouble
+      case 8 => java.lang.Double.longBitsToDouble(uintBE(s, e))
+      case _ => 0.0
+    }
+    children(0, n).find(_._1 == 0x18538067L).map { case (_, ss, se) => // Segment
+      val seg = children(ss, se)
+      var tsScaleNs = 1000000.0 // EBML default: 1 ms per tick
+      var durTicks = 0.0
+      for ((id, s, e) <- seg if id == 0x1549A966L; (cid, cs, ce) <- children(s, e)) {
+        if (cid == 0x2AD7B1L && ce > cs) tsScaleNs = uintBE(cs, ce).toDouble
+        if (cid == 0x4489L) durTicks = floatBE(cs, ce)
+      }
+      val entries = for {
+        (id, s, e) <- seg if id == 0x1654AE6BL // Tracks
+        (eid, es, ee) <- children(s, e) if eid == 0xAEL // TrackEntry
+      } yield {
+        val kids = children(es, ee)
+        val isVideo = kids.exists(k => k._1 == 0x83L && uintBE(k._2, k._3) == 1L)
+        val codec = kids.find(_._1 == 0x86L).map { case (_, cs, ce) =>
+          new String(p, cs, ce - cs, java.nio.charset.StandardCharsets.ISO_8859_1)
+        }.getOrElse("")
+        val (w, h) = kids.find(_._1 == 0xE0L).map { case (_, vs, ve) =>
+          val vk = children(vs, ve)
+          (vk.find(_._1 == 0xB0L).map(k => uintBE(k._2, k._3).toInt).getOrElse(0),
+           vk.find(_._1 == 0xBAL).map(k => uintBE(k._2, k._3).toInt).getOrElse(0))
+        }.getOrElse((0, 0))
+        (isVideo, w, h, codec)
+      }
+      val (_, w, h, codec) = entries.find(_._1)
+        .orElse(entries.headOption).getOrElse((false, 0, 0, ""))
+      VideoMeta("mkv", w, h, (durTicks * tsScaleNs / 1e9).toFloat, codec)
+    }
+  }
+
+  /** AVI RIFF walk (little-endian): `LIST hdrl/avih` carries
+    * dwMicroSecPerFrame, dwTotalFrames, dwWidth, dwHeight (duration =
+    * frames × µs/frame); the video stream's `LIST strl/strh` carries the
+    * codec fourcc in fccHandler when fccType is `vids`. Chunk bodies pad
+    * to even offsets per RIFF. */
+  private def probeAvi(p: Array[Byte]): Option[VideoMeta] = {
+    val n = p.length
+    def le32(o: Int): Long =
+      (p(o) & 0xffL) | ((p(o + 1) & 0xffL) << 8) |
+        ((p(o + 2) & 0xffL) << 16) | ((p(o + 3) & 0xffL) << 24)
+    def fourcc(o: Int): String =
+      new String(p, o, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+    def chunks(start: Int, end: Int): List[(String, Int, Int)] = {
+      val out = List.newBuilder[(String, Int, Int)]
+      var off = start
+      var ok = true
+      while (ok && off + 8 <= end) {
+        val id = fourcc(off)
+        val sz = le32(off + 4)
+        val bodyEnd = off + 8L + sz
+        if (bodyEnd > end) ok = false
+        else {
+          out += ((id, off + 8, bodyEnd.toInt))
+          off = (bodyEnd + (sz & 1)).toInt
+        }
+      }
+      out.result()
+    }
+    def lists(start: Int, end: Int, listType: String): List[(Int, Int)] =
+      chunks(start, end).collect {
+        case ("LIST", s, e) if e - s >= 4 && fourcc(s) == listType => (s + 4, e)
+      }
+    lists(12, n, "hdrl").headOption.flatMap { case (hs, he) =>
+      chunks(hs, he).find(_._1 == "avih").collect { case (_, as, ae) if ae - as >= 40 =>
+        val usPerFrame = le32(as)
+        val totalFrames = le32(as + 16)
+        val codec = lists(hs, he, "strl").iterator.flatMap { case (ss, se) =>
+          chunks(ss, se).find(_._1 == "strh").collect {
+            case (_, s, e) if e - s >= 8 && fourcc(s) == "vids" => fourcc(s + 4)
+          }
+        }.nextOption().getOrElse("")
+        VideoMeta("avi", le32(as + 32).toInt, le32(as + 36).toInt,
+          (usPerFrame * totalFrames / 1e6).toFloat, codec)
+      }
+    }
+  }
+
+  /** Typed container metadata over a binary media frame (doc_id, ...,
+    * payload, ...): one [[VideoMetaRow]] per parseable MP4/MKV/AVI
+    * payload, non-video rows dropped. Header-facts-only per partition —
+    * the metadata-curation entry point (filter a 100 TB video corpus by
+    * duration/resolution/codec BEFORE any expensive decode fan-out). */
+  def videoMetadata(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        probeVideo(payload).map(v =>
+          VideoMetaRow(id, v.container, v.width, v.height, v.duration_sec, v.codec))
+      })
+      .toDF()
+      .orderBy("doc_id")
+  }
 
   /** Hard ceiling on DECLARED pixel count before any pixel allocates:
     * ImageIO.read materializes the full BufferedImage, so a corrupt or
@@ -279,6 +552,12 @@ object Multimodal {
             (if (!decodeReal) None
              else if (looksLikeImage(m.payload)) decodeImage(m.payload)
              else if (looksLikeWav(m.payload)) decodeWav(m.payload)
+             // video: header facts only — (w, h) from the container, the
+             // duration in the feature slot (the WAV convention); pixel
+             // decode needs a codec binding and stays with the stub
+             else if (looksLikeVideo(m.payload))
+               probeVideo(m.payload).filter(v => v.width > 0 && v.height > 0)
+                 .map(v => (v.width, v.height, Array(v.duration_sec)))
              else None)
               .getOrElse(decodeStub(m.payload))
           val header = m.payload.take(4).map(b => f"${b & 0xff}%02x").mkString
