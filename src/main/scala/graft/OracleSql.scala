@@ -196,6 +196,22 @@ object OracleSql {
     "dedup_ngram" ->
       s"""WITH d AS (SELECT doc_id, lang, n_chars, list_distinct(list_transform(range(1, len(string_split(lower(trim(text)), ' '))-1), i -> string_split(lower(trim(text)), ' ')[i] || ' ' || string_split(lower(trim(text)), ' ')[i+1] || ' ' || string_split(lower(trim(text)), ' ')[i+2])) AS s FROM documents) SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) * 10000, 0)/10000.0 AS jaccard FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id AND (a.n_chars // 100) = (b.n_chars // 100) WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.3 ORDER BY doc_a, doc_b""",
 
+    // containment over the df<=100 shingle universe (numerator AND
+    // denominator count only shingles in <=100 docs — the operator's
+    // documented boilerplate trade, stated identically here)
+    "dedup_containment" ->
+      s"""WITH w AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents), s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh FROM w WHERE len(ws) >= 3), e AS (SELECT doc_id, unnest(sh) AS sh FROM s), d AS (SELECT sh, COUNT(*) AS df FROM e GROUP BY sh), k AS (SELECT e.doc_id, e.sh, d.df FROM e JOIN d USING (sh) WHERE d.df <= 100), n AS (SELECT doc_id, COUNT(*) AS n_sh FROM k GROUP BY doc_id), p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared FROM k a JOIN k b ON a.sh = b.sh AND a.doc_id < b.doc_id WHERE a.df > 1 GROUP BY 1, 2) SELECT p.doc_a, p.doc_b, p.shared, ROUND(CAST(p.shared AS DOUBLE) / LEAST(na.n_sh, nb.n_sh) * 10000, 0)/10000.0 AS containment FROM p JOIN n na ON na.doc_id = p.doc_a JOIN n nb ON nb.doc_id = p.doc_b WHERE CAST(p.shared AS DOUBLE) / LEAST(na.n_sh, nb.n_sh) >= 0.6 ORDER BY doc_a, doc_b""",
+
+    // the deterministic md5 order is stated in BOTH engines, so the
+    // sample CONTENT is adjudicated, not just the per-domain count
+    "domain_quota" ->
+      """SELECT doc_id, source, rk FROM (SELECT doc_id, source, ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk FROM documents) WHERE rk <= 10 ORDER BY doc_id""",
+
+    // top-1000 vocab under the (count desc, word) total order; LEFT JOIN
+    // + COUNT(CASE) keeps every output column integer
+    "oov_rate" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS word FROM documents), tw AS (SELECT doc_id, word FROM t WHERE word <> ''), v AS (SELECT word FROM (SELECT word, COUNT(*) AS n FROM tw GROUP BY word ORDER BY n DESC, word LIMIT 1000)) SELECT tw.doc_id, COUNT(*) AS n_words, COUNT(CASE WHEN v.word IS NULL THEN 1 END) AS n_oov FROM tw LEFT JOIN v ON tw.word = v.word GROUP BY tw.doc_id ORDER BY doc_id""",
+
     "asof_join" ->
       s"""WITH e AS ($eventsSec) SELECT e.event_id, e.user_id, e.ts_s AS purchase_ts, (SELECT MAX(s.ts_s) FROM e s WHERE s.user_id = e.user_id AND s.event_type = 'signup' AND s.ts_s <= e.ts_s) AS last_signup_ts, e.ts_s - (SELECT MAX(s.ts_s) FROM e s WHERE s.user_id = e.user_id AND s.event_type = 'signup' AND s.ts_s <= e.ts_s) AS seconds_since_signup FROM e WHERE e.event_type = 'purchase' ORDER BY e.event_id""",
 

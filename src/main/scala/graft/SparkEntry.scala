@@ -483,6 +483,10 @@ object SparkEntry {
         docs.filter(col("doc_id") % 50 =!= 0), docs.filter(col("doc_id") % 50 === 0))
     }),
     "dedup_ngram"     -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
+    // asymmetric containment over the df-capped shingle universe: the
+    // doc-in-doc screen symmetric Jaccard (and its length-band blocking)
+    // structurally misses — inverted-index pairs, no self-join
+    "dedup_containment" -> ((s, d) => Dedup.containmentPairs(Tables.documents(s, d))),
     "dedup_minhash"   -> ((s, d) => sharedMinhashPairs(s, d)),
     // recall-1 MinHash+LSH configuration, oracle-adjudicated against the
     // exact pair SQL (the ann_lsh_r1 pattern): 1 row per band × 48 bands
@@ -669,6 +673,13 @@ object SparkEntry {
     "pii_scrub"       -> ((s, d) => TextAnalysis.piiScrub(Tables.documents(s, d))),
     "repetition_score" -> ((s, d) => TextAnalysis.repetitionScore(Tables.documents(s, d))),
     "source_mix"      -> ((s, d) => Curation.sourceMix(Tables.documents(s, d))),
+    // per-domain cap under a deterministic md5 order (CCNet-style): both
+    // engines state the same hash, so the SAMPLE ITSELF is adjudicated,
+    // not just its size
+    "domain_quota"    -> ((s, d) => Curation.domainQuota(Tables.documents(s, d))),
+    // per-doc OOV screen against the corpus top-V vocab (total-order cut);
+    // integer outputs so the compare never meets ratio rounding
+    "oov_rate"        -> ((s, d) => TextAnalysis.oovRate(Tables.documents(s, d))),
     "source_sample_temp" -> ((s, d) => Curation.temperatureSample(Tables.documents(s, d))),
     // explicit data-recipe mixing: target weight parsed from the source id
     // (srcN -> 1 + N%4) so the expression works at every scale factor

@@ -428,6 +428,25 @@ object Curation {
       .orderBy("lang", "doc_id")
   }
 
+  /** Per-domain quota sampling (the CCNet/RefinedWeb cap that stops one
+    * crawl-heavy domain from dominating the mix): keep at most
+    * `perDomain` documents per source, chosen by a DETERMINISTIC hash
+    * order — md5 of the doc id, doc_id as the total-order tiebreak — so
+    * the sample is uniform-ish w.r.t. any content attribute, reproducible
+    * across runs/engines (no RNG state), and stable under re-partitioning.
+    * One shuffle (window by source); the per-domain sort spills, and AQE
+    * splits a skewed domain's sort across tasks. Rank rides the output so
+    * downstream stages can tighten the quota without re-ranking. */
+  def domainQuota(documents: DataFrame, perDomain: Int = 10): DataFrame = {
+    val w = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    documents
+      .select(col("doc_id"), col("source"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= perDomain)
+      .orderBy("doc_id")
+  }
+
   /** Corpus composition by source (the CCNet-style mix report that drives
     * per-source caps and rebalancing): document count, estimated LLM
     * tokens, and each source's token share. The group-by partial-aggs on

@@ -311,6 +311,78 @@ object Dedup {
     blockedJaccard(docs, sh, threshold, payloadJoin)
   }
 
+  /** Shingle-CONTAINMENT near-dup pairs — the asymmetric complement of
+    * [[ngramJaccard]]: containment C = |S(A)∩S(B)| / min(|S(A)|, |S(B)|)
+    * flags a short document embedded inside a long one (quotes, mirrored
+    * article + boilerplate, doc-in-doc), which symmetric Jaccard
+    * structurally misses (the union denominator dilutes toward the big
+    * doc's size — and [[blockedJaccard]]'s length-band blocking would
+    * never even pair docs of very different lengths, which is exactly
+    * the containment case). Broder's containment measure, the
+    * RefinedWeb/CCNet-style sub-document screen.
+    *
+    * Shape: an inverted shingle index, NOT a blocked self-join — pairs
+    * must cross length bands, so blocking is off the table. One
+    * size-bounded aggregation of the (doc, shingle) frame yields the
+    * per-shingle doc lists; BOTH the per-doc universe sizes and the
+    * shared counts (in-row ordered-pair explosion, the
+    * [[exactSubstringPairs]] group-by-key pattern — no self-join
+    * exchange) derive from that already-aggregated frame, so the raw
+    * shingle frame shuffles exactly once. The shingle UNIVERSE is df-capped
+    * at `maxDf` on BOTH sides of the ratio (numerator and denominator
+    * count only shingles in ≤ maxDf docs): corpus-hot boilerplate
+    * shingles carry no containment signal, and dropping them from the
+    * universe — not just the pair emit — keeps the measure a true ratio
+    * over informative shingles while bounding the hot-key aggregation
+    * row at maxDf and the pair fan-out at maxDf²/2 by construction.
+    *
+    * Output: (doc_a, doc_b, shared, containment) — pair-set semantics,
+    * no presentation sort (see [[minhashLsh]]). */
+  def containmentPairs(documents: DataFrame, threshold: Double = 0.6,
+                       maxDf: Int = 100): DataFrame = {
+    val docs = documents.withColumn("__w", TextNorm.words(col("text")))
+    val w = col("__w")
+    // same 3-word shingles (and the same materialize-the-tokens-first
+    // projection boundary) as ngramJaccard — the two operators measure
+    // the same evidence through different denominators
+    val sh = when(size(w) >= 3,
+      array_distinct(transform(sequence(lit(0), size(w) - 3), i =>
+        concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3)))))
+      .otherwise(array().cast("array<string>"))
+    val ds = docs.select(col("doc_id"), explode(sh).as("sh"))
+    // ONE exchange of the raw shingle frame: the size-bounded aggregate
+    // (see exactSubstringPairs — same df-cap trade, same constant-memory
+    // buffer) yields the per-shingle doc lists; BOTH the per-doc universe
+    // sizes and the shared counts then derive from this already-
+    // aggregated, boilerplate-free frame (one row per informative
+    // shingle), whose by-sh exchange Catalyst reuses across the two
+    // branches — the raw frame never shuffles twice.
+    val bySh = ds.groupBy("sh")
+      .agg(graft.functions.BoundedSetAgg
+        .minPosSet(col("doc_id"), lit(0L), maxDf).as("ds"))
+      .filter(col("ds").isNotNull)
+    // |S(doc)| over the capped universe: df=1 shingles count here (they
+    // are informative — the doc's unique content) even though they can't
+    // intersect anything in the pair branch
+    val sizes = bySh.select(explode(col("ds")).as("e"))
+      .groupBy(col("e.doc_id").as("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val shared = bySh.filter(size(col("ds")) > 1)
+      .select(posexplode(col("ds")).as(Seq("i", "a")), col("ds"))
+      .select(col("a.doc_id").as("doc_a"),
+        explode(slice(col("ds"), col("i") + 2, size(col("ds")))).as("b"))
+      .groupBy(col("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      // id-pair stage barrier before the size attach (the blockedJaccard
+      // finding: fused, the joins ride the pair-amplifying iterator)
+      .repartition(col("doc_a"))
+    val c = col("shared").cast("double") / least(col("n_a"), col("n_b"))
+    shared
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .filter(c >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("shared"), round4(c).as("containment"))
+  }
+
   /** Connected components over an undirected near-dup pair list — the step
     * that turns pairwise matches into corpus-level dedup groups (the
     * survivor of each group is its minimum doc id, the component label).
@@ -703,36 +775,36 @@ object Dedup {
     * [[minhashLsh]]). */
   def exactSubstringPairs(documents: DataFrame, minChars: Int = 40,
                           maxDf: Int = 100): DataFrame = {
-    // group-by-window instead of a self-join: shuffles keyed by the
-    // window, pairs explode inside the row, and the pair count is the
-    // last shuffle. The join formulation paid an extra exchange for the
-    // same answer.
+    // group-by-window instead of a self-join: ONE shuffle keyed by the
+    // window (partial aggregation dedups map-side, so each (window, doc)
+    // travels once), pairs explode inside the row, and the pair count is
+    // the second and last shuffle. The join formulation paid a third
+    // exchange for the same answer.
     //
     // Boilerplate cap (the verbatim_overlap/D11c trade, here at window
-    // granularity): a window shared by f docs builds an f-element
-    // aggregation row and emits f(f-1)/2 pairs — on real corpora license
+    // granularity): a window shared by f docs would build an f-element
+    // collect_set row and emit f(f-1)/2 pairs — on real corpora license
     // headers/navbars make some windows corpus-hot, an unbounded hot-key
-    // blow-up. Windows with document frequency > maxDf are dropped
-    // BEFORE any per-window doc list materializes (the df aggregation is
-    // constant-size-buffer counting), so both the aggregation buffer and
-    // the pair fan-out are ≤ maxDf / maxDf²/2 by construction. The trade
-    // is explicit and matches the suffix-array dedup literature: a run
-    // verbatim-shared by >maxDf documents is boilerplate, not the
-    // near-copy signal pair dedup exists to find (pairs REPORTED may
-    // shrink; no pair is fabricated). Both branches read one (doc,
-    // window)-distinct frame; Catalyst's ReuseExchange shares its
-    // shuffle, and at 100 TB that frame is what you'd persist anyway.
-    val wins = substringWindows(documents, minChars)
-      .select(col("doc_id"), col("sub")).distinct()
-    val dfPerWin = wins.groupBy("sub").agg(count(lit(1)).as("wdf"))
-      .filter(col("wdf") > 1 && col("wdf") <= maxDf)
-    wins.join(dfPerWin.select("sub"), "sub")
+    // blow-up. BoundedMinPosSet caps the aggregation state at maxDf
+    // entries BY CONSTRUCTION (the (maxDf+1)-st distinct doc flips the
+    // buffer to a sentinel and frees it, map-side partials included) and
+    // evaluates hot windows to NULL, so both the buffer and the pair
+    // fan-out are ≤ maxDf / maxDf²/2 with no extra exchange — the df
+    // pre-count + join formulation bought the same bound for 2 more
+    // exchanges of the per-character window frame (measured 2.5× the
+    // query's CPU). The trade is explicit and matches the suffix-array
+    // dedup literature: a run verbatim-shared by >maxDf documents is
+    // boilerplate, not the near-copy signal pair dedup exists to find
+    // (pairs REPORTED may shrink; no pair is fabricated).
+    substringWindows(documents, minChars)
       .groupBy(col("sub"))
-      .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
-      .select(posexplode(col("ds")).as(Seq("i", "doc_a")), col("ds"))
-      .select(col("doc_a"),
-        explode(slice(col("ds"), col("i") + 2, size(col("ds")))).as("doc_b"))
-      .groupBy("doc_a", "doc_b")
+      .agg(graft.functions.BoundedSetAgg
+        .minPosSet(col("doc_id"), lit(0L), maxDf).as("ds"))
+      .filter(col("ds").isNotNull && size(col("ds")) > 1)
+      .select(posexplode(col("ds")).as(Seq("i", "a")), col("ds"))
+      .select(col("a.doc_id").as("doc_a"),
+        explode(slice(col("ds"), col("i") + 2, size(col("ds")))).as("b"))
+      .groupBy(col("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("shared_windows"))
   }
 
@@ -763,16 +835,18 @@ object Dedup {
                                        minChars: Int = 40, maxDf: Int = 100,
                                        numShards: Int = 4): DataFrame = {
     require(numShards >= 1, s"numShards must be >= 1, got $numShards")
-    val wins = substringWindows(documents, minChars)
+    val raw = substringWindows(documents, minChars)
       .select(col("doc_id"), col("p"), xxhash64(col("sub")).as("h"))
-    // one representative position per (doc, window-hash): min pos is
-    // deterministic and enough for the verify fetch
-    val perDoc = wins.groupBy("doc_id", "h").agg(min("p").as("p"))
+    // numShards > 1 re-reads the window frame once per shard — pin it
+    // with a local checkpoint so the explode computes once (the 100 TB
+    // deployment persists this (doc_id, p, h) table anyway; shards then
+    // run as independent jobs against it)
+    val wins = if (numShards == 1) raw else raw.localCheckpoint(false)
     val cand =
-      if (numShards == 1) hashedCandidates(perDoc, maxDf)
+      if (numShards == 1) hashedCandidates(wins, maxDf)
       else (0 until numShards).map { s =>
         hashedCandidates(
-          perDoc.filter(pmod(col("h"), lit(numShards.toLong)) === s), maxDf)
+          wins.filter(pmod(col("h"), lit(numShards.toLong)) === s), maxDf)
       }.reduce(_.union(_)) // Dataset.union is positional UNION ALL
     val txt = documents.select(col("doc_id"), col("text"))
     cand.join(txt.as("ta"), col("doc_a") === col("ta.doc_id"))
@@ -782,24 +856,26 @@ object Dedup {
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared_windows"))
   }
 
-  /** Candidate (doc_a, pa, doc_b, pb) pairs from a (doc_id, h, p)
-    * one-row-per-(doc, window-hash) frame: df-capped (same boilerplate
-    * trade as [[exactSubstringPairs]], applied before any per-hash doc
-    * list materializes), then the group-by-key pair explosion — no
-    * self-join exchange; sort_array on the structs orders by doc_id, so
-    * the exploded pairs are doc_a < doc_b by construction. */
-  private def hashedCandidates(perDoc: DataFrame, maxDf: Int): DataFrame = {
-    val dfPerH = perDoc.groupBy("h").agg(count(lit(1)).as("wdf"))
-      .filter(col("wdf") > 1 && col("wdf") <= maxDf)
-    perDoc.join(dfPerH.select("h"), "h")
+  /** Candidate (doc_a, pa, doc_b, pb) pairs from a raw (doc_id, p, h)
+    * window frame: ONE [[graft.functions.BoundedMinPosSet]] aggregation
+    * keyed by the hash does everything the r10 shape needed two
+    * exchanges for — per-(doc, hash) dedup with the deterministic min
+    * position (enough for the verify fetch), the df cap (same
+    * boilerplate trade as [[exactSubstringPairs]], enforced inside the
+    * constant-bounded buffer), and the doc_id-sorted list the in-row
+    * ordered-pair explosion consumes (pairs doc_a < doc_b by
+    * construction) — no self-join exchange, no pre-aggregation. */
+  private def hashedCandidates(wins: DataFrame, maxDf: Int): DataFrame =
+    wins
       .groupBy("h")
-      .agg(sort_array(collect_set(struct(col("doc_id"), col("p")))).as("ds"))
+      .agg(graft.functions.BoundedSetAgg
+        .minPosSet(col("doc_id"), col("p"), maxDf).as("ds"))
+      .filter(col("ds").isNotNull && size(col("ds")) > 1)
       .select(posexplode(col("ds")).as(Seq("i", "a")), col("ds"))
       .select(col("a"),
         explode(slice(col("ds"), col("i") + 2, size(col("ds")))).as("b"))
-      .select(col("a.doc_id").as("doc_a"), col("a.p").as("pa"),
-              col("b.doc_id").as("doc_b"), col("b.p").as("pb"))
-  }
+      .select(col("a.doc_id").as("doc_a"), col("a.p").cast("int").as("pa"),
+              col("b.doc_id").as("doc_b"), col("b.p").cast("int").as("pb"))
 
   /** Incremental EXACT-substring dedup — [[exactSubstringPairsHashed]]
     * for a GROWING corpus (the D35/D36/segment pattern at verbatim-run

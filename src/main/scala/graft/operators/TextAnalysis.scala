@@ -279,6 +279,33 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("word"))
       .limit(k)
 
+  /** Out-of-vocabulary rate per document against the corpus's own top-V
+    * vocabulary — the tokenizer-fit / domain-shift curation signal (a doc
+    * whose words mostly miss the vocab is noise, another language, or
+    * exactly the long-tail data a mix might want more of). The vocab cut
+    * is a distributed TakeOrderedAndProject under the TOTAL order
+    * (count desc, word asc — the trainBpeMerges convention), so any
+    * partitioning cuts identically; the vocab then broadcasts (V rows)
+    * and the per-doc screen is one scan-side hash lookup + one groupBy —
+    * two corpus shuffles total (word freq, per-doc agg). Integer outputs
+    * only (n_words, n_oov): ratio rounding never enters the compare. */
+  def oovRate(documents: DataFrame, vocabSize: Int = 1000): DataFrame = {
+    val docWords = documents
+      .select(col("doc_id"), explode(words).as("word"))
+      .filter(col("word") =!= "")
+    val vocab = docWords
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(vocabSize)
+      .select(col("word"), lit(1).as("in_vocab"))
+    docWords
+      .join(broadcast(vocab), Seq("word"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+           count(when(col("in_vocab").isNull, 1)).as("n_oov"))
+      .orderBy("doc_id")
+  }
+
   /** Sublinear heavy hitters: a single Misra-Gries summary aggregate
     * (functions/MisraGriesAgg.scala) — O(k) state per partition, only
     * k-counter summaries cross the wire, no per-distinct-word shuffle row.

@@ -204,6 +204,51 @@ class ApproxSpec extends SparkSpec {
       == Set(1L), "hot-window batch should keep only the min-id doc")
   }
 
+  test("containment dedup: a short doc verbatim-embedded in a long one " +
+       "scores containment 1.0 where symmetric Jaccard (and its length " +
+       "blocking) misses it; hot shingles leave the universe entirely") {
+    import spark.implicits._
+    val core = (1 to 30).map(i => s"w$i").mkString(" ") // 30 words, 28 shingles
+    val filler = (1 to 300).map(i => s"f$i").mkString(" ")
+    val docs = Seq(
+      (1L, core),
+      (2L, s"$filler $core"),
+      (3L, (1 to 40).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val got = Dedup.containmentPairs(docs, threshold = 0.6).collect()
+    assert(got.length == 1, got.mkString(";"))
+    val r = got(0)
+    // all 28 of doc 1's shingles appear verbatim in doc 2
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(r.getLong(2) == 28L, s"shared ${r.getLong(2)}")
+    assert(math.abs(r.getDouble(3) - 1.0) < 1e-9, s"containment ${r.getDouble(3)}")
+    // symmetric Jaccard on the same pair is tiny (28 / (28+328-28)) and
+    // the length-band blocking never even pairs them: the blocked
+    // operator returns nothing — containment exists BECAUSE of this gap
+    assert(Dedup.ngramJaccard(docs, threshold = 0.3).collect().isEmpty)
+    // hot shingles leave the UNIVERSE (denominator included): 8 docs
+    // share a header; docs 1,2 additionally share a cold 10-word run.
+    // With maxDf=4 the header shingles vanish from both numerator and
+    // denominator, so the cold run alone decides containment (=1 for
+    // both docs whose informative shingles are exactly the run's).
+    val header = (1 to 12).map(i => s"h$i").mkString(" ")
+    val run = (1 to 10).map(i => s"r$i").mkString(" ")
+    val hot = (1L to 8L).map { id =>
+      val tail = if (id <= 2) run else (1 to 10).map(i => s"u${id}_$i").mkString(" ")
+      (id, s"$header $tail")
+    }.toDF("doc_id", "text")
+    val hotPairs = Dedup.containmentPairs(hot, threshold = 0.6, maxDf = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    // only (1,2) survives; its containment counts run shingles plus the
+    // two header->tail boundary shingles each doc uniquely owns... the
+    // boundary shingles differ per doc (h11 h12 r1 vs h11 h12 u3_1), so
+    // shared = the run's 8 + the 2 identical boundary shingles of docs
+    // 1,2 = 10; n_sh per doc = 10 (identical texts after the header cut)
+    assert(hotPairs.toSeq == Seq((1L, 2L, 1.0)), hotPairs.mkString(";"))
+  }
+
   test("incremental IVF: a grown index's recall tracks a fresh rebuild; " +
        "drift detects distribution shift and maintainIvf retrains on it") {
     import org.apache.spark.sql.DataFrame

@@ -143,4 +143,34 @@ class FunctionsSpec extends SparkSpec {
       .head.getSeq[Long](0)
     assert(th.length == 3, s"theta: $th")
   }
+
+  test("BoundedMinPosSet: exact cap boundary, min-pos fold, duplicate-doc " +
+       "dedup, and partition-layout invariance (overflow is absorbing " +
+       "through every merge order)") {
+    import spark.implicits._
+    import graft.functions.BoundedSetAgg
+    // keys: k2 has 2 distinct docs, k3 exactly 3 (== maxDf: keep),
+    // k4 has 4 (> maxDf: NULL), dup repeats one doc at 3 positions
+    val rows = Seq(
+      ("k2", 7L, 30L), ("k2", 3L, 10L),
+      ("k3", 1L, 5L), ("k3", 2L, 6L), ("k3", 3L, 7L),
+      ("k4", 1L, 1L), ("k4", 2L, 1L), ("k4", 3L, 1L), ("k4", 4L, 1L),
+      ("dup", 9L, 50L), ("dup", 9L, 20L), ("dup", 9L, 80L))
+    def run(numPart: Int): Map[String, Seq[(Long, Long)]] =
+      rows.toDF("k", "doc", "p").repartition(numPart)
+        .groupBy("k")
+        .agg(BoundedSetAgg.minPosSet(col("doc"), col("p"), 3).as("ds"))
+        .collect()
+        .map(r => r.getString(0) -> (if (r.isNullAt(1)) null
+          else r.getSeq[org.apache.spark.sql.Row](1)
+            .map(s => (s.getLong(0), s.getLong(1))))).toMap
+    val want = Map(
+      "k2" -> Seq((3L, 10L), (7L, 30L)), // doc_id-sorted
+      "k3" -> Seq((1L, 5L), (2L, 6L), (3L, 7L)), // == maxDf survives
+      "k4" -> null, // maxDf+1 distinct docs → capped
+      "dup" -> Seq((9L, 20L))) // set semantics + min position
+    // 1 partition = pure update path; 12 ≥ rows = every merge order and
+    // the serialize/deserialize hop for each partial
+    for (p <- Seq(1, 3, 12)) assert(run(p) == want, s"partitions=$p")
+  }
 }

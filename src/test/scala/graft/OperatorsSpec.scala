@@ -285,4 +285,49 @@ class OperatorsSpec extends SparkSpec {
       TextAnalysis.trainBpeMerges(corpus, nMerges = 3,
         minFreq = 1L, maxVocab = Int.MaxValue))
   }
+
+  test("domain quota: the md5 order is the deterministic sample a plain " +
+       "Scala reference predicts; partitioning never changes the pick") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val got = Curation.domainQuota(docs, perDomain = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    // plain-Scala reference: same md5-hex order per source
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+    val want = docs.select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._2).toSeq.flatMap { case (src, rows) =>
+        rows.map(_._1).sortBy(id => (md5hex(id.toString), id)).take(3)
+          .zipWithIndex.map { case (id, i) => (id, src, i + 1) }
+      }.sortBy(_._1)
+    assert(got.toSeq == want, s"got ${got.take(5).mkString(";")}")
+    // quota binds: never more than k per source, and with k >= group
+    // size the quota is a no-op (every doc survives)
+    assert(got.groupBy(_._2).values.forall(_.size <= 3))
+    val all = Curation.domainQuota(docs, perDomain = Int.MaxValue).count()
+    assert(all == docs.count())
+    // partition layout must not change a hash-ordered deterministic pick
+    val reparted = Curation.domainQuota(docs.repartition(7), perDomain = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(reparted.toSeq == got.toSeq)
+  }
+
+  test("oov rate: hand corpus pins the top-V cut (total-order ties), the " +
+       "oov split, and the all-integer output") {
+    import spark.implicits._
+    // frequencies: the=3, cat=2, dog=2, emu=1, fox=1 → vocabSize=2 keeps
+    // (the, cat): dog ties cat on count and loses the word tiebreak
+    val docs = Seq(
+      (1L, "the cat the dog"),
+      (2L, "cat dog the emu"),
+      (3L, "fox")).toDF("doc_id", "text")
+    val got = TextAnalysis.oovRate(docs, vocabSize = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 4L, 1L), (2L, 4L, 2L), (3L, 1L, 1L)), got.toString)
+    // vocab covering everything → zero oov anywhere
+    val full = TextAnalysis.oovRate(docs, vocabSize = 100).collect()
+    assert(full.forall(_.getLong(2) == 0L))
+  }
 }
