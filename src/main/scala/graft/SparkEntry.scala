@@ -677,6 +677,10 @@ object SparkEntry {
     // engines state the same hash, so the SAMPLE ITSELF is adjudicated,
     // not just its size
     "domain_quota"    -> ((s, d) => Curation.domainQuota(Tables.documents(s, d))),
+    // quality-bucketed downsampling (CCNet head/middle/tail) under a
+    // deterministic hex-compare gate — exact integer-fraction sampling
+    // both engines state identically
+    "quality_sample"  -> ((s, d) => Curation.qualitySample(Tables.documents(s, d))),
     // per-doc OOV screen against the corpus top-V vocab (total-order cut);
     // integer outputs so the compare never meets ratio rounding
     "oov_rate"        -> ((s, d) => TextAnalysis.oovRate(Tables.documents(s, d))),

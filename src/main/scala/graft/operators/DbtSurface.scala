@@ -447,6 +447,36 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** CCNet-style quality-bucketed deterministic sampling: structural
+    * quality (length + word count, the [[graft.operators.TextAnalysis
+    * .qualityScore]] signals) buckets each doc head/middle/tail, and each
+    * bucket keeps a different fraction — head everything, middle 128/256,
+    * tail 26/256 (≈0.1) — CCNet's perplexity-bucket downsampling with the
+    * bucket rates as code. The keep decision is a DETERMINISTIC md5 gate:
+    * the first two hex chars of md5(doc_id) are uniform over 256 values,
+    * and a fixed-length lowercase-hex STRING compare against the bucket's
+    * threshold is exact integer-fraction sampling both engines state
+    * identically — no RNG state, no float thresholds, no overflow-prone
+    * multiplicative hashing (BIGINT overflow silently wraps in one engine
+    * and errors in the other; hex compare has no such seam). Scan-bound:
+    * bucket + gate are per-row expressions, no shuffle before the
+    * presentation sort. */
+  def qualitySample(documents: DataFrame): DataFrame = {
+    val len = length(col("text"))
+    val nWords = size(graft.util.TextNorm.words(col("text")))
+    val bucket = when(len >= 200 && nWords >= 40, "head")
+      .when(len >= 100 && nWords >= 20, "middle")
+      .otherwise("tail")
+    documents
+      .select(col("doc_id"), col("lang"), bucket.as("bucket"),
+        substring(md5(col("doc_id").cast("string")), 1, 2).as("g"))
+      .filter(col("bucket") === "head" ||
+        (col("bucket") === "middle" && col("g") < "80") ||
+        (col("bucket") === "tail" && col("g") < "1a"))
+      .select(col("doc_id"), col("lang"), col("bucket"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus composition by source (the CCNet-style mix report that drives
     * per-source caps and rebalancing): document count, estimated LLM
     * tokens, and each source's token share. The group-by partial-aggs on

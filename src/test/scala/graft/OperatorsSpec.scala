@@ -314,6 +314,36 @@ class OperatorsSpec extends SparkSpec {
     assert(reparted.toSeq == got.toSeq)
   }
 
+  test("quality sample: bucket assignment + the hex md5 gate match a plain " +
+       "Scala reference; head keeps everything, gates are exact k/256") {
+    import spark.implicits._
+    def md5hex2(id: Long): String = java.security.MessageDigest
+      .getInstance("MD5").digest(id.toString.getBytes("UTF-8"))
+      .take(1).map(b => f"${b & 0xff}%02x").mkString
+    val docs = Tables.documents(spark, sf)
+    val got = Curation.qualitySample(docs).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toMap
+    val all = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val want = all.flatMap { case (id, text) =>
+      val words = text.toLowerCase.trim.split(" ", -1).length
+      val bucket =
+        if (text.length >= 200 && words >= 40) "head"
+        else if (text.length >= 100 && words >= 20) "middle"
+        else "tail"
+      val keep = bucket == "head" ||
+        (bucket == "middle" && md5hex2(id) < "80") ||
+        (bucket == "tail" && md5hex2(id) < "1a")
+      if (keep) Some(id -> bucket) else None
+    }.toMap
+    assert(got == want, s"sample diverges from the reference " +
+      s"(got ${got.size}, want ${want.size})")
+    // every head doc survives; the sample is a subset of the corpus
+    val heads = want.count(_._2 == "head")
+    assert(heads > 0 && got.count(_._2 == "head") == heads)
+    assert(got.keySet.subsetOf(all.map(_._1).toSet))
+  }
+
   test("oov rate: hand corpus pins the top-V cut (total-order ties), the " +
        "oov split, and the all-integer output") {
     import spark.implicits._

@@ -441,4 +441,53 @@ class PlanSpec extends SparkSpec {
     val shuffles = "Exchange".r.findAllIn(finalPlan).size
     assert(shuffles <= 1, s"zorder key computation shuffles:\n$finalPlan")
   }
+
+  test("substring dedup pair paths: the bounded aggregate rides the ONE " +
+       "window-frame exchange (no df-precount join, no per-doc pre-agg)") {
+    // exact path: exchange by window + exchange for the pair count — the
+    // per-character frame shuffles exactly once; the df cap must not buy
+    // itself a second pass (the draft it replaced cost 2 extra exchanges)
+    val exact = Dedup.exactSubstringPairs(Tables.documents(spark, sf))
+    val exactPlan = explained(exact)
+    assert(exactPlan.contains("graft_bounded_minpos_set"),
+      s"bounded aggregate missing from the exact path:\n$exactPlan")
+    assert("partial_graft_bounded_minpos_set".r.findAllIn(exactPlan).nonEmpty,
+      s"no map-side partial for the bounded agg (cap must bound map-side " +
+      s"state too):\n$exactPlan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(exactPlan).size
+    assert(exchanges == 2,
+      s"exact path should shuffle exactly twice (window agg + pair count), " +
+      s"saw $exchanges:\n$exactPlan")
+    // hashed path: the fused min-pos fold removed the per-(doc_id, h)
+    // pre-aggregation — no exchange may partition on that pair
+    val hashed = Dedup.exactSubstringPairsHashed(Tables.documents(spark, sf))
+    val hashedPlan = explained(hashed)
+    assert(hashedPlan.contains("graft_bounded_minpos_set"))
+    assert(!"hashpartitioning\\(doc_id#\\d+L?, h#".r.findAllIn(hashedPlan)
+      .hasNext, s"per-(doc,h) pre-aggregation exchange is back:\n$hashedPlan")
+  }
+
+  test("containment: one shingle-frame shuffle feeds both branches " +
+       "(exchange reuse), never a self-join") {
+    val df = Dedup.containmentPairs(Tables.documents(spark, sf))
+    df.collect() // AQE materializes exchange reuse only during execution
+    val plan = explained(df)
+    assert(plan.contains("ReusedExchange"),
+      s"universe sizes and shared counts each re-shuffled the raw shingle " +
+      s"frame:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"),
+      s"containment planned a non-equi join:\n$plan")
+  }
+
+  test("oov rate: the vocab cut is a bounded top-V (TakeOrderedAndProject) " +
+       "and joins broadcast, never shuffling the corpus against the vocab") {
+    val df = TextAnalysis.oovRate(Tables.documents(spark, sf))
+    df.collect()
+    val plan = explained(df)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"vocab cut plans as a global sort:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"vocab membership did not broadcast:\n$plan")
+  }
 }
