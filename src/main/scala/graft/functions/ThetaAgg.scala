@@ -28,37 +28,25 @@ import org.apache.spark.sql.types._
   * `eval` returns the retained hashes sorted ascending; θ and the
   * estimates stay DECLARATIVE (see [[ThetaAgg.estimate]] and friends) so
   * the set algebra is visible in the plan, not buried in the aggregate. */
-case class ThetaSketch(child: Expression, k: Int,
-                       mutableAggBufferOffset: Int = 0,
-                       inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
-    with UnaryLike[Expression] {
-
-  require(k >= 16 && k <= 65536, "k in [16, 65536]")
-
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case _: ArrayType | _: MapType | _: StructType =>
-      TypeCheckResult.TypeCheckFailure(
-        s"graft_theta expects an atomic column, got ${child.dataType.simpleString}")
-    case _ => TypeCheckResult.TypeCheckSuccess
-  }
+/** The shared KMV state machine: a TreeSet of the k smallest distinct
+  * hashes, O(k) memory per buffer however many values or sketches fold
+  * in. [[ThetaSketch]] feeds it raw VALUES (hashed on entry);
+  * [[ThetaUnionSketch]] feeds it STORED sketch arrays — the
+  * constant-memory union that replaces collect_list-then-flatten
+  * merging, whose buffer grew with the number of stored cells. */
+private[functions] trait KmvAggregate
+    extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
+  def k: Int
 
   override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
     new java.util.TreeSet[java.lang.Long]()
 
-  private def add(buf: java.util.TreeSet[java.lang.Long], h: Long): Unit = {
+  protected final def add(buf: java.util.TreeSet[java.lang.Long], h: Long): Unit = {
     if (buf.size < k) { buf.add(h); () }
     else if (h < buf.last) {
       if (buf.add(h)) buf.pollLast()
       ()
     }
-  }
-
-  override def update(buf: java.util.TreeSet[java.lang.Long],
-                      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
-    val v = child.eval(input)
-    if (v != null) add(buf, XxHash64Function.hash(v, child.dataType, 42L))
-    buf
   }
 
   override def merge(a: java.util.TreeSet[java.lang.Long],
@@ -94,6 +82,29 @@ case class ThetaSketch(child: Expression, k: Int,
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = false
+}
+
+case class ThetaSketch(child: Expression, k: Int,
+                       mutableAggBufferOffset: Int = 0,
+                       inputAggBufferOffset: Int = 0)
+    extends KmvAggregate with UnaryLike[Expression] {
+
+  require(k >= 16 && k <= 65536, "k in [16, 65536]")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: ArrayType | _: MapType | _: StructType =>
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_theta expects an atomic column, got ${child.dataType.simpleString}")
+    case _ => TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def update(buf: java.util.TreeSet[java.lang.Long],
+                      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) add(buf, XxHash64Function.hash(v, child.dataType, 42L))
+    buf
+  }
+
   override def prettyName: String = "graft_theta"
 
   override def withNewMutableAggBufferOffset(newOffset: Int): ThetaSketch =
@@ -104,12 +115,60 @@ case class ThetaSketch(child: Expression, k: Int,
     copy(child = newChild)
 }
 
+/** KMV UNION over STORED sketches: folds each element of the input
+  * `array<long>` sketch column into the same O(k) state [[ThetaSketch]]
+  * builds from raw values — so merging a year of stored daily cells
+  * holds k longs per group, where the collect_list-then-flatten
+  * formulation it replaces buffered every cell's full sketch (k longs ×
+  * #cells — 128 KB × 365 per group at k=2¹⁴) before trimming. Same
+  * result by construction: the k smallest distinct hashes of the union
+  * are the k smallest of the concatenation. */
+case class ThetaUnionSketch(child: Expression, k: Int,
+                            mutableAggBufferOffset: Int = 0,
+                            inputAggBufferOffset: Int = 0)
+    extends KmvAggregate with UnaryLike[Expression] {
+
+  require(k >= 16 && k <= 65536, "k in [16, 65536]")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_theta_union expects array<bigint> (a stored sketch), got ${other.simpleString}")
+  }
+
+  override def update(buf: java.util.TreeSet[java.lang.Long],
+                      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      var i = 0
+      while (i < arr.numElements()) { add(buf, arr.getLong(i)); i += 1 }
+    }
+    buf
+  }
+
+  override def prettyName: String = "graft_theta_union"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ThetaUnionSketch =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ThetaUnionSketch =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): ThetaUnionSketch =
+    copy(child = newChild)
+}
+
 object ThetaAgg {
   import org.apache.spark.sql.functions._
 
   /** Aggregate Column: the k smallest value hashes, sorted ascending. */
   def sketch(value: Column, k: Int = 256): Column =
     Bridge.column(ThetaSketch(Bridge.expression(value), k)
+      .toAggregateExpression())
+
+  /** Aggregate Column: KMV union of STORED sketch arrays — the k
+    * smallest distinct hashes across every input sketch, O(k) state. */
+  def union(sk: Column, k: Int = 256): Column =
+    Bridge.column(ThetaUnionSketch(Bridge.expression(sk), k)
       .toAggregateExpression())
 
   /** hash → uniform [0,1): shift the signed long range onto the unit

@@ -487,8 +487,13 @@ object Analytics {
     * type, all types) is the same merge over fewer or more cells. */
   def sketchRollupFromCells(cells: DataFrame, k: Int = 1 << 14): DataFrame = {
     import graft.functions.ThetaAgg
-    val merged = slice(
-      array_sort(array_distinct(flatten(collect_list(col("sk"))))), 1, k)
+    // KMV union aggregate, NOT collect_list-then-trim: the collect
+    // formulation buffered every cell's full sketch in one aggregation
+    // row (k longs × #cells — a year of daily cells at k=2¹⁴ is ~500 MB
+    // per group) before the slice could drop anything; the union agg
+    // folds each cell into O(k) state, map-side partials included, and
+    // returns the identical k-smallest-distinct array by construction.
+    val merged = ThetaAgg.union(col("sk"), k)
     cells.groupBy("event_type")
       .agg(sum("n_events").as("n_events"),
         ThetaAgg.estimate(merged, k).cast("long").as("distinct_users"))

@@ -909,6 +909,11 @@ object Dedup {
     // the f²/2 row fan-out the earlier self-join formulation paid.
     // Semantically identical (the batch-boundary-invariance property in
     // DedupSpec re-proves survivors against the closed-form rule).
+    // A window function, DELIBERATELY: the agg-then-join form of the
+    // same rule was measured 2× this CPU on a quiet box — window hashes
+    // are ~unique, so the min-per-h partial aggregation gets no map-side
+    // reduction and the join pays a full extra exchange of the frame;
+    // the window's single exchange + sort is the cheaper linear shape.
     val intraDrop = wins
       .select(col("doc_id"),
         min(col("doc_id")).over(Window.partitionBy(col("h"))).as("mn"))

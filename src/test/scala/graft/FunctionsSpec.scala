@@ -144,6 +144,27 @@ class FunctionsSpec extends SparkSpec {
     assert(th.length == 3, s"theta: $th")
   }
 
+  test("theta UNION aggregate: identical array to the collect-then-trim " +
+       "merge it replaces, at O(k) state, under any partitioning") {
+    import graft.functions.ThetaAgg
+    import graft.operators.Analytics
+    val k = 64 // small k so cells SATURATE and the trim actually binds
+    val cells = Analytics.sketchCells(Tables.events(spark, sf), k)
+      .localCheckpoint(false)
+    def viaUnion(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("event_type").agg(ThetaAgg.union(col("sk"), k).as("m"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val viaCollect = cells
+      .groupBy("event_type")
+      .agg(slice(array_sort(array_distinct(flatten(collect_list(col("sk"))))),
+        1, k).as("m"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(viaUnion(cells) == viaCollect, "union agg diverged from the " +
+      "collect-then-trim formulation")
+    assert(viaUnion(cells.repartition(13)) == viaCollect,
+      "union agg result depends on partition layout")
+  }
+
   test("BoundedMinPosSet: exact cap boundary, min-pos fold, duplicate-doc " +
        "dedup, and partition-layout invariance (overflow is absorbing " +
        "through every merge order)") {
