@@ -681,6 +681,10 @@ object SparkEntry {
     // deterministic hex-compare gate — exact integer-fraction sampling
     // both engines state identically
     "quality_sample"  -> ((s, d) => Curation.qualitySample(Tables.documents(s, d))),
+    // stage-level drop provenance with SEQUENTIAL semantics (each stage
+    // judged among prior survivors) — every verdict deterministic
+    // integer/hash arithmetic, so the whole funnel is oracle-adjudicated
+    "curation_funnel" -> ((s, d) => Curation.curationFunnel(Tables.documents(s, d))),
     // per-doc OOV screen against the corpus top-V vocab (total-order cut);
     // integer outputs so the compare never meets ratio rounding
     "oov_rate"        -> ((s, d) => TextAnalysis.oovRate(Tables.documents(s, d))),

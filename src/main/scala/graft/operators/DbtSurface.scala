@@ -494,6 +494,67 @@ object Curation {
       .orderBy("source")
   }
 
+  /** Per-document curation FUNNEL report — the "why did doc X drop"
+    * provenance table every corpus release publishes (a kept/dropped bit
+    * alone is undebuggable at corpus scale; [[graft.operators
+    * .TextAnalysis.qualityCascade]] gives rule-level provenance WITHIN
+    * the quality stage, this gives stage-level provenance ACROSS the
+    * pipeline). Stages run in declared order with SEQUENTIAL semantics —
+    * each stage evaluates only among survivors of the previous ones,
+    * exactly like the real pipeline would, so the funnel counts are the
+    * true marginal cost of each stage, not overlapping unconditional
+    * flags:
+    *
+    *  1. dedup:   first occurrence of md5(lower(trim(text))) by doc_id
+    *  2. quality: length ≥ 100 and word count ≥ 20
+    *  3. quota:   rank ≤ `perDomain` within source under the
+    *              [[domainQuota]] md5 order — computed among docs that
+    *              passed 1-2
+    *  4. budget:  per-lang cumulative est-token cap over docs that
+    *              passed 1-3 (the [[tokenBudget]] rule)
+    *
+    * Every verdict is a boolean over deterministic integer/hash
+    * arithmetic, so the whole report is oracle-adjudicable. Shuffle
+    * budget: three windows (digest, source, lang) over an id+metadata
+    * frame — text never rides an exchange (the digest hashes map-side).
+    * Output: (doc_id, pass_dedup, pass_quality, pass_quota, pass_budget,
+    * kept) for EVERY input doc. */
+  def curationFunnel(documents: DataFrame, perDomain: Int = 15,
+                     budgetPerLang: Long = 5000): DataFrame = {
+    val base = documents.select(col("doc_id"), col("lang"), col("source"),
+      md5(lower(trim(col("text")))).as("__digest"),
+      (length(col("text")) >= 100 &&
+        size(graft.util.TextNorm.words(col("text"))) >= 20).as("pass_quality"),
+      graft.util.TextNorm.estTokens(col("text")).as("__tok"))
+    val byDigest = Window.partitionBy(col("__digest")).orderBy(col("doc_id"))
+    val dedup = base.withColumn("pass_dedup",
+      row_number().over(byDigest) === 1)
+    // quota rank among stage-1/2 survivors only: losers rank NULL via a
+    // survivors-only window (rank over a filtered self would lose the
+    // non-survivor rows, so rank the survivor subset and join it back)
+    val bySource = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val quotaRank = dedup.filter(col("pass_dedup") && col("pass_quality"))
+      .withColumn("__rk", row_number().over(bySource))
+      .select(col("doc_id"), (col("__rk") <= perDomain).as("pass_quota"))
+    val withQuota = dedup.join(quotaRank, Seq("doc_id"), "left")
+      .withColumn("pass_quota", coalesce(col("pass_quota"), lit(false)))
+    // budget among stage-1/2/3 survivors, same subset-window pattern
+    val byLang = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val budget = withQuota
+      .filter(col("pass_dedup") && col("pass_quality") && col("pass_quota"))
+      .withColumn("__cum", sum(col("__tok")).over(byLang))
+      .select(col("doc_id"), (col("__cum") <= budgetPerLang).as("pass_budget"))
+    withQuota.join(budget, Seq("doc_id"), "left")
+      .withColumn("pass_budget", coalesce(col("pass_budget"), lit(false)))
+      .select(col("doc_id"), col("pass_dedup"), col("pass_quality"),
+        col("pass_quota"), col("pass_budget"),
+        (col("pass_dedup") && col("pass_quality") && col("pass_quota") &&
+          col("pass_budget")).as("kept"))
+      .orderBy("doc_id")
+  }
+
   /** The end-to-end curation flagship — every stage is an existing operator
     * expression, composed into ONE declarative plan Catalyst optimizes
     * whole: PII-scrub the text, gate on quality (length + word count),

@@ -344,6 +344,62 @@ class OperatorsSpec extends SparkSpec {
     assert(got.keySet.subsetOf(all.map(_._1).toSet))
   }
 
+  test("curation funnel: sequential semantics — dropped docs never consume " +
+       "quota slots or budget; a plain Scala reference reproduces every " +
+       "stage verdict") {
+    import spark.implicits._
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+    def good(tag: String): String =
+      (1 to 25).map(i => s"$tag$i word").mkString(" ") // ≥100 chars, ≥20 words
+    val rows = Seq(
+      (1L, good("dup"), "en", "a"), (2L, good("dup"), "en", "a"), // dup pair
+      (3L, good("x"), "en", "a"), (4L, good("y"), "en", "a"),
+      (5L, "tiny doc", "en", "a"),                               // low quality
+      (6L, good("p"), "fr", "b"), (7L, good("q"), "fr", "b"),
+      (8L, good("r"), "fr", "b"))
+    val docs = rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val tokOf = rows.map { case (id, t, _, _) =>
+      id -> math.ceil(t.length / 4.0).toLong }.toMap
+    val budget = tokOf(1L) + 1 // binds: one good doc per lang fits, two don't
+    val got = Curation.curationFunnel(docs, perDomain = 2,
+        budgetPerLang = budget).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2),
+        r.getBoolean(3), r.getBoolean(4), r.getBoolean(5))).toMap
+    // plain-Scala reference with the same sequential rules
+    val digestMin = rows.groupBy(r => md5hex(r._2.toLowerCase.trim))
+      .values.map(g => g.map(_._1).min).toSet
+    val passD = rows.map(r => r._1 -> digestMin.contains(r._1)).toMap
+    val passQl = rows.map(r => r._1 -> (r._2.length >= 100 &&
+      r._2.toLowerCase.trim.split(" ", -1).length >= 20)).toMap
+    val s12 = rows.map(_._1).filter(id => passD(id) && passQl(id))
+    val passQt = rows.groupBy(_._4).values.flatMap { g =>
+      g.map(_._1).filter(s12.contains).sortBy(id => (md5hex(id.toString), id))
+        .zipWithIndex.map { case (id, i) => id -> (i < 2) }
+    }.toMap.withDefaultValue(false)
+    val passB = rows.groupBy(_._3).values.flatMap { g =>
+      g.map(_._1).filter(id => s12.contains(id) && passQt(id)).sorted
+        .scanLeft((0L, 0L)) { case ((_, cum), id) => (id, cum + tokOf(id)) }
+        .drop(1).map { case (id, cum) => id -> (cum <= budget) }
+    }.toMap.withDefaultValue(false)
+    val want = rows.map { case (id, _, _, _) =>
+      id -> (passD(id), passQl(id), passQt(id), passB(id),
+        passD(id) && passQl(id) && passQt(id) && passB(id))
+    }.toMap
+    assert(got == want, s"got $got\nwant $want")
+    // the funnel is monotone: a later-stage pass implies every earlier one
+    got.values.foreach { case (d, ql, qt, b, kept) =>
+      assert(!qt || (d && ql)); assert(!b || qt); assert(kept == (d && ql && qt && b))
+    }
+    // and it binds: each drop reason occurs somewhere in this corpus
+    assert(got.values.exists(v => !v._1), "no dedup drop")
+    assert(got.values.exists(v => v._1 && !v._2), "no quality drop")
+    assert(got.values.exists(v => v._1 && v._2 && !v._3), "no quota drop")
+    assert(got.values.exists(v => v._1 && v._2 && v._3 && !v._4), "no budget drop")
+  }
+
   test("oov rate: hand corpus pins the top-V cut (total-order ties), the " +
        "oov split, and the all-integer output") {
     import spark.implicits._
