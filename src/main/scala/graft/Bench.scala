@@ -209,9 +209,16 @@ object Bench {
     // process can actually get, so its spread across the sweep exposes
     // exactly the contention the other two probes cannot see. The array
     // is allocated ONCE and kept for the run — re-allocating per point
-    // would add GC churn, and a constant 1 GiB slice of the 8 GiB heap
-    // keeps every query facing the same memory across the sweep.
-    val memArr = new Array[Long](128 * 1024 * 1024) // 1 GiB
+    // would add GC churn, and a constant slice of the heap keeps every
+    // query facing the same memory across the sweep. Sized to the heap
+    // (min(1 GiB, heap/8), floored at 128 MiB — still ≫ any LLC) so a
+    // small-heap run degrades the probe instead of dying at startup,
+    // and recorded in `env` so artifacts with different probe sizes are
+    // never silently compared. On the 8 GiB driver contract this is the
+    // same 1 GiB every committed artifact used.
+    val memProbeBytes = math.max(128L << 20,
+      math.min(1L << 30, Runtime.getRuntime.maxMemory() / 8))
+    val memArr = new Array[Long]((memProbeBytes / 8L).toInt)
     java.util.Arrays.fill(memArr, 0x9E3779B9L) // touch every page; nonzero
     def memProbeOnce(): Double = {
       val t0 = System.nanoTime()
@@ -360,7 +367,8 @@ object Bench {
       "heap_mb" -> (Runtime.getRuntime.maxMemory() >> 20).toString,
       "shuffle_partitions" -> spark.conf.get("spark.sql.shuffle.partitions"),
       "cpus" -> cpus,
-      "iters" -> iters.toString))
+      "iters" -> iters.toString,
+      "mem_probe_mb" -> (memProbeBytes >> 20).toString))
     // wall≫cpu outliers: a query whose wall is large while its summed
     // executor CPU is a small fraction of it spent its time NOT computing
     // — blocked on disk, driver-side stalls, or scheduler waits. These

@@ -34,9 +34,16 @@ object OracleSql {
   private val substringWindowsCte =
     """WITH w AS (SELECT DISTINCT doc_id, sub FROM (SELECT doc_id, substr(text, CAST(p AS INT), 40) AS sub FROM (SELECT doc_id, text, unnest(range(1, len(text)-38)) AS p FROM documents WHERE len(text) >= 40)))"""
 
-  // exact substring dedup, shared by the raw-window and hashed paths
+  // exact substring dedup, shared by the raw-window, hashed and sharded
+  // paths. The df <= 100 filter states the pair paths' boilerplate cap
+  // (Dedup.exactSubstringPairs maxDf default) — without it the contract
+  // held only by corpus luck: any window verbatim-shared by >100 docs
+  // would drop Spark-side while the oracle still counted it. (The
+  // INCREMENTAL oracle below is cap-free on purpose: the global
+  // shares-any-window drop rule needs no pair fan-out, so the operator
+  // has no cap either.)
   private val substringDedupSql =
-    s"""$substringWindowsCte SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(DISTINCT a.sub) AS shared_windows FROM w a JOIN w b ON a.doc_id < b.doc_id AND a.sub = b.sub GROUP BY 1, 2 ORDER BY 1, 2"""
+    s"""$substringWindowsCte, k AS (SELECT sub FROM w GROUP BY sub HAVING COUNT(*) <= 100) SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(DISTINCT a.sub) AS shared_windows FROM w a JOIN w b ON a.doc_id < b.doc_id AND a.sub = b.sub JOIN k ON k.sub = a.sub GROUP BY 1, 2 ORDER BY 1, 2"""
 
   // segment-level dedup, shared by the exact and hash-keyed paths
   private val paragraphDedupSql =

@@ -142,7 +142,13 @@ case class ThetaUnionSketch(child: Expression, k: Int,
     if (v != null) {
       val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
       var i = 0
-      while (i < arr.numElements()) { add(buf, arr.getLong(i)); i += 1 }
+      // skip null elements rather than folding them in as hash 0L: a
+      // null-permissive array schema (SQL literal, format round-trip)
+      // must not inject a fake hash into the KMV state
+      while (i < arr.numElements()) {
+        if (!arr.isNullAt(i)) add(buf, arr.getLong(i))
+        i += 1
+      }
     }
     buf
   }

@@ -181,6 +181,13 @@ object Multimodal {
       else None
     } catch { case _: Exception => None }
 
+  /** Four ISO-8859-1 chars at `o` — shared by the MP4 box walk and the
+    * AVI chunk walk (one definition so a bounds/charset fix can never
+    * miss a copy). Callers bounds-check `o + 4 <= length` structurally
+    * (box/chunk headers are only read when fully inside the payload). */
+  private def fourcc(p: Array[Byte], o: Int): String =
+    new String(p, o, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+
   /** ISO base-media (MP4/MOV) box walk: `moov/mvhd` for duration,
     * `moov/trak/tkhd` for resolution (16.16 fixed point), and
     * `moov/trak/mdia/minf/stbl/stsd` first-entry fourcc for the codec
@@ -192,8 +199,7 @@ object Multimodal {
       ((p(o) & 0xffL) << 24) | ((p(o + 1) & 0xffL) << 16) |
         ((p(o + 2) & 0xffL) << 8) | (p(o + 3) & 0xffL)
     def be64(o: Int): Long = (be32(o) << 32) | be32(o + 4)
-    def fourcc(o: Int): String =
-      new String(p, o, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+    def cc(o: Int): String = fourcc(p, o)
     // sibling boxes in [start, end) as (type, bodyStart, bodyEnd)
     def children(start: Int, end: Int): List[(String, Int, Int)] = {
       val out = List.newBuilder[(String, Int, Int)]
@@ -201,7 +207,7 @@ object Multimodal {
       var ok = true
       while (ok && off + 8 <= end) {
         val sz0 = be32(off)
-        val typ = fourcc(off + 4)
+        val typ = cc(off + 4)
         var hdr = 8L
         val sz: Long =
           if (sz0 == 1 && off + 16 <= end) { hdr = 16; be64(off + 8) }
@@ -220,9 +226,15 @@ object Multimodal {
     find(0, n, "moov").headOption.map { case (ms, me) =>
       val durationSec = find(ms, me, "mvhd").headOption.flatMap { case (s, e) =>
         if (e - s < 20) None
-        else if ((p(s) & 0xff) == 1 && e - s >= 32) { // v1: 64-bit times
-          val ts = be32(s + 20); val d = be64(s + 24)
-          if (ts > 0) Some(d.toDouble / ts) else None
+        else if ((p(s) & 0xff) == 1) { // v1: 64-bit times
+          // a truncated v1 body must REJECT, not fall through to the v0
+          // layout and read creation/modification-time bytes as
+          // timescale/duration (garbage facts beat no facts never)
+          if (e - s < 32) None
+          else {
+            val ts = be32(s + 20); val d = be64(s + 24)
+            if (ts > 0) Some(d.toDouble / ts) else None
+          }
         } else {
           val ts = be32(s + 12); val d = be32(s + 16)
           if (ts > 0) Some(d.toDouble / ts) else None
@@ -241,7 +253,7 @@ object Multimodal {
           (d1, d2) <- find(s1, s2, "stsd").headOption
           // stsd body: version+flags(4) entryCount(4) entrySize(4) format(4)
           if d2 - d1 >= 16 && be32(d1 + 4) >= 1
-        } yield fourcc(d1 + 12)).getOrElse("")
+        } yield cc(d1 + 12)).getOrElse("")
         (w, h, codec)
       }
       // the video track is the one tkhd gives nonzero dimensions (audio
@@ -341,14 +353,13 @@ object Multimodal {
     def le32(o: Int): Long =
       (p(o) & 0xffL) | ((p(o + 1) & 0xffL) << 8) |
         ((p(o + 2) & 0xffL) << 16) | ((p(o + 3) & 0xffL) << 24)
-    def fourcc(o: Int): String =
-      new String(p, o, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+    def cc(o: Int): String = fourcc(p, o)
     def chunks(start: Int, end: Int): List[(String, Int, Int)] = {
       val out = List.newBuilder[(String, Int, Int)]
       var off = start
       var ok = true
       while (ok && off + 8 <= end) {
-        val id = fourcc(off)
+        val id = cc(off)
         val sz = le32(off + 4)
         val bodyEnd = off + 8L + sz
         if (bodyEnd > end) ok = false
@@ -361,7 +372,7 @@ object Multimodal {
     }
     def lists(start: Int, end: Int, listType: String): List[(Int, Int)] =
       chunks(start, end).collect {
-        case ("LIST", s, e) if e - s >= 4 && fourcc(s) == listType => (s + 4, e)
+        case ("LIST", s, e) if e - s >= 4 && cc(s) == listType => (s + 4, e)
       }
     lists(12, n, "hdrl").headOption.flatMap { case (hs, he) =>
       chunks(hs, he).find(_._1 == "avih").collect { case (_, as, ae) if ae - as >= 40 =>
@@ -369,11 +380,13 @@ object Multimodal {
         val totalFrames = le32(as + 16)
         val codec = lists(hs, he, "strl").iterator.flatMap { case (ss, se) =>
           chunks(ss, se).find(_._1 == "strh").collect {
-            case (_, s, e) if e - s >= 8 && fourcc(s) == "vids" => fourcc(s + 4)
+            case (_, s, e) if e - s >= 8 && cc(s) == "vids" => cc(s + 4)
           }
         }.nextOption().getOrElse("")
+        // Double, not Long: both fields are u32, so the product can reach
+        // ~1.8e19 and wrap a Long negative on adversarial headers
         VideoMeta("avi", le32(as + 32).toInt, le32(as + 36).toInt,
-          (usPerFrame * totalFrames / 1e6).toFloat, codec)
+          (usPerFrame.toDouble * totalFrames / 1e6).toFloat, codec)
       }
     }
   }

@@ -6,6 +6,13 @@ import graft.operators._
 
 class OperatorsSpec extends SparkSpec {
 
+  // the one reference implementation of the md5-hex order/gate the
+  // domain_quota / quality_sample / curation_funnel twins all state —
+  // a single definition so an encoding tweak cannot drift between tests
+  private def md5hex(s: String): String = java.security.MessageDigest
+    .getInstance("MD5").digest(s.getBytes("UTF-8"))
+    .map(b => f"${b & 0xff}%02x").mkString
+
   test("every SparkEntry query runs and returns rows at sf0.001") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, sf).count()
@@ -293,9 +300,6 @@ class OperatorsSpec extends SparkSpec {
     val got = Curation.domainQuota(docs, perDomain = 3).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
     // plain-Scala reference: same md5-hex order per source
-    def md5hex(s: String): String = java.security.MessageDigest
-      .getInstance("MD5").digest(s.getBytes("UTF-8"))
-      .map(b => f"${b & 0xff}%02x").mkString
     val want = docs.select("doc_id", "source").collect()
       .map(r => (r.getLong(0), r.getString(1)))
       .groupBy(_._2).toSeq.flatMap { case (src, rows) =>
@@ -317,9 +321,7 @@ class OperatorsSpec extends SparkSpec {
   test("quality sample: bucket assignment + the hex md5 gate match a plain " +
        "Scala reference; head keeps everything, gates are exact k/256") {
     import spark.implicits._
-    def md5hex2(id: Long): String = java.security.MessageDigest
-      .getInstance("MD5").digest(id.toString.getBytes("UTF-8"))
-      .take(1).map(b => f"${b & 0xff}%02x").mkString
+    def md5hex2(id: Long): String = md5hex(id.toString).take(2)
     val docs = Tables.documents(spark, sf)
     val got = Curation.qualitySample(docs).collect()
       .map(r => (r.getLong(0), r.getString(2))).toMap
@@ -348,9 +350,6 @@ class OperatorsSpec extends SparkSpec {
        "quota slots or budget; a plain Scala reference reproduces every " +
        "stage verdict") {
     import spark.implicits._
-    def md5hex(s: String): String = java.security.MessageDigest
-      .getInstance("MD5").digest(s.getBytes("UTF-8"))
-      .map(b => f"${b & 0xff}%02x").mkString
     def good(tag: String): String =
       (1 to 25).map(i => s"$tag$i word").mkString(" ") // ≥100 chars, ≥20 words
     val rows = Seq(
