@@ -220,6 +220,12 @@ object OracleSql {
     "quality_sample" ->
       """WITH b AS (SELECT doc_id, lang, CASE WHEN length(text) >= 200 AND len(string_split(lower(trim(text)), ' ')) >= 40 THEN 'head' WHEN length(text) >= 100 AND len(string_split(lower(trim(text)), ' ')) >= 20 THEN 'middle' ELSE 'tail' END AS bucket, substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS g FROM documents) SELECT doc_id, lang, bucket FROM b WHERE bucket = 'head' OR (bucket = 'middle' AND g < '80') OR (bucket = 'tail' AND g < '1a') ORDER BY doc_id""",
 
+    // containment pairs → transitive closure → min-label components —
+    // the dedup_clusters recursive-CTE pattern over the df-capped
+    // containment edge set (same CTE chain as dedup_containment)
+    "containment_clusters" ->
+      s"""WITH RECURSIVE w AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents), s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh FROM w WHERE len(ws) >= 3), e AS (SELECT doc_id, unnest(sh) AS sh FROM s), d AS (SELECT sh, COUNT(*) AS df FROM e GROUP BY sh), k AS (SELECT e.doc_id, e.sh, d.df FROM e JOIN d USING (sh) WHERE d.df <= 100), n AS (SELECT doc_id, COUNT(*) AS n_sh FROM k GROUP BY doc_id), p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared FROM k a JOIN k b ON a.sh = b.sh AND a.doc_id < b.doc_id WHERE a.df > 1 GROUP BY 1, 2), pp AS (SELECT p.doc_a, p.doc_b FROM p JOIN n na ON na.doc_id = p.doc_a JOIN n nb ON nb.doc_id = p.doc_b WHERE CAST(p.shared AS DOUBLE) / LEAST(na.n_sh, nb.n_sh) >= 0.6), e2 AS (SELECT doc_a AS u, doc_b AS v FROM pp UNION SELECT doc_b, doc_a FROM pp), reach AS (SELECT u AS id, u AS x FROM e2 UNION SELECT r.id, e2.v AS x FROM reach r JOIN e2 ON r.x = e2.u), cc AS (SELECT id, MIN(x) AS cluster_id FROM reach GROUP BY id) SELECT id AS doc_id, cluster_id, COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size FROM cc ORDER BY doc_id""",
+
     // the deterministic md5 order is stated in BOTH engines, so the
     // sample CONTENT is adjudicated, not just the per-domain count
     "domain_quota" ->

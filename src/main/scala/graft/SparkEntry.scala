@@ -487,6 +487,11 @@ object SparkEntry {
     // doc-in-doc screen symmetric Jaccard (and its length-band blocking)
     // structurally misses — inverted-index pairs, no self-join
     "dedup_containment" -> ((s, d) => Dedup.containmentPairs(Tables.documents(s, d))),
+    // the containment family completed: doc-in-doc pairs → the SoCC'14
+    // CC loop → per-doc cluster table (the same composition dedup_clusters
+    // proves over Jaccard edges, adjudicated by a recursive-CTE oracle)
+    "containment_clusters" -> ((s, d) =>
+      Dedup.clustersFromPairs(Dedup.containmentPairs(Tables.documents(s, d)))),
     "dedup_minhash"   -> ((s, d) => sharedMinhashPairs(s, d)),
     // recall-1 MinHash+LSH configuration, oracle-adjudicated against the
     // exact pair SQL (the ann_lsh_r1 pattern): 1 row per band × 48 bands
