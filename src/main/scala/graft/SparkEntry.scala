@@ -33,6 +33,8 @@ object SparkEntry {
     shared(s, d, "clusters")(Dedup.clusters(Tables.documents(s, d)))
   private def sharedMinhashPairs(s: SparkSession, d: String): DataFrame =
     shared(s, d, "minhash")(Dedup.minhashLsh(Tables.documents(s, d)))
+  private def sharedContainmentPairs(s: SparkSession, d: String): DataFrame =
+    shared(s, d, "containment")(Dedup.containmentPairs(Tables.documents(s, d)))
   private def sharedLshPairs(s: SparkSession, d: String): DataFrame =
     shared(s, d, "lsh")(
       Similarity.lshCandidates(Tables.embeddings(s, d), minCos = 0.35))
@@ -486,12 +488,14 @@ object SparkEntry {
     // asymmetric containment over the df-capped shingle universe: the
     // doc-in-doc screen symmetric Jaccard (and its length-band blocking)
     // structurally misses — inverted-index pairs, no self-join
-    "dedup_containment" -> ((s, d) => Dedup.containmentPairs(Tables.documents(s, d))),
+    // pair frame memoized (the sharedClusters pattern): the clusters
+    // query consumes the same run instead of re-aggregating the corpus
+    "dedup_containment" -> ((s, d) => sharedContainmentPairs(s, d)),
     // the containment family completed: doc-in-doc pairs → the SoCC'14
     // CC loop → per-doc cluster table (the same composition dedup_clusters
     // proves over Jaccard edges, adjudicated by a recursive-CTE oracle)
     "containment_clusters" -> ((s, d) =>
-      Dedup.clustersFromPairs(Dedup.containmentPairs(Tables.documents(s, d)))),
+      Dedup.clustersFromPairs(sharedContainmentPairs(s, d))),
     "dedup_minhash"   -> ((s, d) => sharedMinhashPairs(s, d)),
     // recall-1 MinHash+LSH configuration, oracle-adjudicated against the
     // exact pair SQL (the ann_lsh_r1 pattern): 1 row per band × 48 bands
