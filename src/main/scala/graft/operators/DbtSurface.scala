@@ -416,14 +416,17 @@ object Profile {
 object Curation {
   /** Token-budget selection: per language, take documents in doc_id order
     * until the cumulative estimated-token count exceeds the budget. One
-    * shuffle (window by lang); the running sum is exact integer tokens. */
+    * data-scale shuffle; the running sum is exact integer tokens, computed
+    * as a DISTRIBUTED two-phase prefix sum ([[graft.util.PrefixSum]]) so no
+    * single task ever scans a whole language — the per-lang
+    * unbounded-preceding window this replaces was the engine's last serial
+    * data-scale path (a handful of langs at 100 TB = a few giant
+    * single-task sorted scans). */
   def tokenBudget(documents: DataFrame, budgetPerLang: Long = 2000): DataFrame = {
     val est = graft.util.TextNorm.estTokens(col("text"))
-    val w = Window.partitionBy("lang").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    documents
-      .select(col("doc_id"), col("lang"), est.as("est_tokens"))
-      .withColumn("cum_tokens", sum(col("est_tokens")).over(w))
+    graft.util.PrefixSum.cumSum(
+        documents.select(col("doc_id"), col("lang"), est.as("est_tokens")),
+        Seq("lang"), "doc_id", "est_tokens", "cum_tokens")
       .filter(col("cum_tokens") <= budgetPerLang)
       .orderBy("lang", "doc_id")
   }
@@ -539,12 +542,14 @@ object Curation {
       .select(col("doc_id"), (col("__rk") <= perDomain).as("pass_quota"))
     val withQuota = dedup.join(quotaRank, Seq("doc_id"), "left")
       .withColumn("pass_quota", coalesce(col("pass_quota"), lit(false)))
-    // budget among stage-1/2/3 survivors, same subset-window pattern
-    val byLang = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val budget = withQuota
-      .filter(col("pass_dedup") && col("pass_quality") && col("pass_quota"))
-      .withColumn("__cum", sum(col("__tok")).over(byLang))
+    // budget among stage-1/2/3 survivors, same subset pattern — the
+    // running sum is the distributed two-phase prefix sum (see
+    // tokenBudget: no single task scans a whole language)
+    val budget = graft.util.PrefixSum.cumSum(
+        withQuota
+          .filter(col("pass_dedup") && col("pass_quality") && col("pass_quota"))
+          .select(col("doc_id"), col("lang"), col("__tok")),
+        Seq("lang"), "doc_id", "__tok", "__cum")
       .select(col("doc_id"), (col("__cum") <= budgetPerLang).as("pass_budget"))
     withQuota.join(budget, Seq("doc_id"), "left")
       .withColumn("pass_budget", coalesce(col("pass_budget"), lit(false)))
@@ -574,10 +579,9 @@ object Curation {
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("lang"),
         graft.util.TextNorm.estTokens(col("t")).as("est_tokens"))
-    val byLang = Window.partitionBy("lang").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    survivors
-      .withColumn("cum_tokens", sum(col("est_tokens")).over(byLang))
+    // budget stage: the distributed two-phase prefix sum (see tokenBudget)
+    graft.util.PrefixSum.cumSum(
+        survivors, Seq("lang"), "doc_id", "est_tokens", "cum_tokens")
       .filter(col("cum_tokens") <= budgetPerLang)
       .orderBy("lang", "doc_id")
   }
@@ -589,17 +593,16 @@ object Curation {
     * that window; docs straddling a boundary spill into the next window
     * (`spans_boundary` — exactly how packed pretraining corpora split
     * documents, truncation/continuation being a tokenizer-side choice).
-    * One window shuffle per language partition, exclusive-prefix-sum
-    * arithmetic after — no per-bin state, no driver loop, and bin ids are
-    * partition-invariant because the order is total. */
+    * One data-scale shuffle, exclusive-prefix-sum arithmetic after — no
+    * per-bin state, no driver loop, and bin ids are partition-invariant
+    * because the order is total. The exclusive running sum is the
+    * distributed two-phase prefix sum (see [[tokenBudget]]): no single
+    * task ever scans a whole language. */
   def sequencePack(documents: DataFrame, contextTokens: Long = 2048): DataFrame = {
     val est = graft.util.TextNorm.estTokens(col("text"))
-    val before = Window.partitionBy("lang").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    documents
-      .select(col("doc_id"), col("lang"), est.as("est_tokens"))
-      .withColumn("cum_before",
-        coalesce(sum(col("est_tokens")).over(before), lit(0L)))
+    graft.util.PrefixSum.cumSum(
+        documents.select(col("doc_id"), col("lang"), est.as("est_tokens")),
+        Seq("lang"), "doc_id", "est_tokens", "cum_before", inclusive = false)
       .select(col("doc_id"), col("lang"), col("est_tokens"),
         // `div` = exact integer division (long `/` would detour via double)
         expr(s"cum_before div $contextTokens").as("bin_id"),

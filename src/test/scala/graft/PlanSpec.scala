@@ -328,6 +328,57 @@ class PlanSpec extends SparkSpec {
       "txlog data-skipping scan reads pruned column")
   }
 
+  test("budget running sums never window a whole language (blocked prefix sum)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val cases = Seq(
+      "tokenBudget" -> Curation.tokenBudget(Tables.documents(spark, sf)),
+      "sequencePack" -> Curation.sequencePack(Tables.documents(spark, sf)),
+      "curationPipeline" -> Curation.curationPipeline(Tables.documents(spark, sf)),
+      "curationFunnel" -> Curation.curationFunnel(Tables.documents(spark, sf)),
+    )
+    cases.foreach { case (name, df) =>
+      val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+      val running = wins.filter(_.windowExpressions.exists { e =>
+        val s = e.toString.toLowerCase
+        s.contains("unboundedpreceding") && s.contains("sum(")
+      })
+      // a running-sum window over RAW rows must be block-partitioned (the
+      // within-block sum); a running sum partitioned by lang alone is only
+      // legal over the #blocks-row partials frame (an Aggregate below it)
+      running.foreach { w =>
+        val part = w.partitionSpec.flatMap(_.references.map(_.name))
+        val blocked = part.exists(_.contains("__blk"))
+        val overPartials = w.child.collect { case a: Aggregate => a }.nonEmpty
+        assert(blocked || overPartials,
+          s"$name regressed to a full-language running-sum window " +
+            s"(partition=$part)")
+      }
+      assert(running.exists(
+          _.partitionSpec.flatMap(_.references.map(_.name)).exists(_.contains("__blk"))),
+        s"$name lost the block-distributed prefix sum entirely")
+      // the offsets side must come back as a broadcast, never a shuffle of
+      // the docs frame against the block-partials frame
+      assert(explained(df).contains("BroadcastHashJoin"),
+        s"$name block offsets not broadcast")
+    }
+  }
+
+  test("domain quota rank pushes a per-group top-k (WindowGroupLimit)") {
+    // Spark 4.1 inserts WindowGroupLimit below the exchange for a
+    // row_number() <= k filter: a crawl-heavy domain ships <= k rows per
+    // map task, not its full row set. This — not AQE, which only splits
+    // JOIN skew — is what makes the quota window skew-safe; pin it so a
+    // refactor (e.g. losing the filter-adjacent shape) fails here instead
+    // of silently reverting to full per-domain sorts.
+    val df = Curation.domainQuota(Tables.documents(spark, sf))
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("WindowGroupLimit"),
+      s"domainQuota lost the rank-limit pushdown:\n$opt")
+    val phys = explained(df)
+    assert(phys.contains("WindowGroupLimit"),
+      s"no physical WindowGroupLimit in:\n$phys")
+  }
+
   test("deletion vectors cost nothing on vector-free reads; masked reads " +
        "broadcast the vector frame over only the vector'd files") {
     val t = java.nio.file.Files.createTempDirectory("graft_dvplan")
