@@ -74,9 +74,16 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // default to every core: the driver contract is local[32] on a 32-cpu
-    // box; a fixed "4" silently benched on 1/8th of the machine
+    // box; a fixed "4" silently benched on 1/8th of the machine.
+    // "*" is a legitimate master spec (local[*]) but must NORMALIZE here:
+    // it flows into shuffle_partitions (which rejects it) and into the env
+    // JSON unquoted (which would make the whole artifact unparseable —
+    // silently breaking adjudication tooling on a valid input).
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
-      Runtime.getRuntime.availableProcessors.toString)
+      Runtime.getRuntime.availableProcessors.toString) match {
+      case "*" => Runtime.getRuntime.availableProcessors.toString
+      case c => c
+    }
     val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "2").toInt.max(1)
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
@@ -363,12 +370,31 @@ object Bench {
     // Bench environment, recorded IN the artifact: cross-run comparisons
     // previously assumed identical JVMs silently (heap via build.sbt's
     // SPARK_DRIVER_MEM default never landed anywhere a reader could see).
+    // non-numeric env values (a misconfigured override) emit QUOTED so the
+    // artifact stays valid JSON no matter what reached us
+    def jsonNum(v: String): String =
+      if (v.nonEmpty && v.forall(_.isDigit)) v else "\"" + v + "\""
+    val heapMb = Runtime.getRuntime.maxMemory() >> 20
+    // The committed local artifacts (BENCH_r*_local.json) all run at the
+    // build.sbt default heap (8 GiB). GC behavior shifts with heap size,
+    // which contaminates exactly the cross-artifact cpu-per-query
+    // comparisons this artifact exists to support (r11: an 89 GiB driver
+    // heap vs 8 GiB local made one CC-loop query read 3x) — so a run on a
+    // materially different heap carries a LOUD self-describing warning
+    // instead of relying on the reader to cross-check env blocks.
+    val canonicalHeapMb = 8192L
+    val envWarn =
+      if (heapMb > canonicalHeapMb * 5 / 4 || heapMb < canonicalHeapMb * 3 / 4)
+        Seq("env_warn" -> ("\"heap_mb " + heapMb + " differs from the " +
+          "committed-local canonical " + canonicalHeapMb +
+          "; cpu maps are not directly comparable across heaps\""))
+      else Nil
     val envJson = jsonMap(Seq(
-      "heap_mb" -> (Runtime.getRuntime.maxMemory() >> 20).toString,
-      "shuffle_partitions" -> spark.conf.get("spark.sql.shuffle.partitions"),
-      "cpus" -> cpus,
+      "heap_mb" -> heapMb.toString,
+      "shuffle_partitions" -> jsonNum(spark.conf.get("spark.sql.shuffle.partitions")),
+      "cpus" -> jsonNum(cpus),
       "iters" -> iters.toString,
-      "mem_probe_mb" -> (memProbeBytes >> 20).toString))
+      "mem_probe_mb" -> (memProbeBytes >> 20).toString) ++ envWarn)
     // wall≫cpu outliers: a query whose wall is large while its summed
     // executor CPU is a small fraction of it spent its time NOT computing
     // — blocked on disk, driver-side stalls, or scheduler waits. These

@@ -772,7 +772,16 @@ object Dedup {
     * Output: (doc_a, doc_b, shared_windows = distinct shared windows
     * with document frequency ≤ `maxDf` — the boilerplate cap, see the
     * body) — pair-set semantics, no presentation sort (see
-    * [[minhashLsh]]). */
+    * [[minhashLsh]]).
+    *
+    * BEHAVIOR NOTE (r11): `maxDf` defaulted to 100 when the df cap
+    * landed — pairs sharing ONLY corpus-hot windows (df > maxDf, i.e.
+    * boilerplate) no longer emit under the defaults, on both pair paths
+    * and in the oracle, which states the identical cap. Callers who
+    * genuinely want boilerplate-driven pairs must pass a larger
+    * `maxDf` explicitly (`Int.MaxValue` restores the uncapped r10
+    * behavior — and with it the unbounded hot-window aggregation state
+    * the cap exists to prevent). */
   def exactSubstringPairs(documents: DataFrame, minChars: Int = 40,
                           maxDf: Int = 100): DataFrame = {
     // group-by-window instead of a self-join: ONE shuffle keyed by the

@@ -233,11 +233,15 @@ object Multimodal {
           if (e - s < 32) None
           else {
             val ts = be32(s + 20); val d = be64(s + 24)
-            if (ts > 0) Some(d.toDouble / ts) else None
+            // all-ones duration is ISO-BMFF's "unknown" sentinel
+            // (fragmented/streamed MP4s): report 0.0 like the probe's
+            // other unknowns, not a multi-century garbage duration
+            if (ts > 0) Some(if (d == -1L) 0.0 else d.toDouble / ts) else None
           }
         } else {
           val ts = be32(s + 12); val d = be32(s + 16)
-          if (ts > 0) Some(d.toDouble / ts) else None
+          if (ts > 0) Some(if (d == 0xFFFFFFFFL) 0.0 else d.toDouble / ts)
+          else None
         }
       }.getOrElse(0.0)
       val traks = find(ms, me, "trak").map { case (ts, te) =>

@@ -89,13 +89,23 @@ class ApproxSpec extends SparkSpec {
         s"k=$k rsd=$rsd est=$e outside 3·rsd") // 3σ + rounding slack
       assert(e == est(k, rsd), s"k=$k rsd=$rsd nondeterministic")
     }
+    // The data-luck OBSERVATIONS below (some probed k inexact at
+    // rsd=0.005; a larger k exact above the smallest inexact one) pin
+    // register-collision hash luck of the CURRENT Spark version — a
+    // Spark upgrade or hash change can legitimately flip them without
+    // any product bug. They are logged as warnings to re-open the twin
+    // decision, never hard failures: the rsd-bound and determinism
+    // asserts above are the product contract and stay hard.
     val errs = probed.map(k => k -> math.abs(est(k, 0.005) - k))
     val bad = errs.filter(_._2 > 0).map(_._1)
-    assert(bad.nonEmpty, "every probed cardinality exact at rsd=0.005 — " +
-      "an exact regime may exist after all; revisit the twin decision")
-    assert(probed.exists(k => k > bad.min && !bad.contains(k)),
-      s"no larger-but-exact k above inexact k=${bad.min}: $errs — " +
-      "exactness would be a threshold rule, not data luck")
+    if (bad.isEmpty)
+      info("WARN: every probed cardinality exact at rsd=0.005 — an exact " +
+        "regime may exist under this Spark version; revisit the rows-only " +
+        "decision for approx_distinct")
+    else if (!probed.exists(k => k > bad.min && !bad.contains(k)))
+      info(s"WARN: no larger-but-exact k above inexact k=${bad.min}: $errs " +
+        "— exactness looks like a threshold rule under this Spark version; " +
+        "an exact-regime twin may be pinnable after all")
   }
 
   test("approx quantiles within 2% of exact per group") {
