@@ -593,6 +593,15 @@ object OracleSql {
     "multimodal_features_q" ->
       """SELECT doc_id, 'image' AS modality, source, CAST(octet_length(encode(text)) AS INT) AS byte_len, lower(hex(substr(text, 1, 4))) AS header_hex, CAST(64 + octet_length(encode(text)) % 512 AS INT) AS width, CAST(64 + list_sum(list_transform(string_split(text, ''), c -> ascii(c))) % 512 AS INT) AS height FROM documents ORDER BY doc_id""",
 
+    // The MJPEG frames are synthesized from doc_id arithmetic (dims +
+    // mid-bin solid gray), so decoded-pixel facts are restatable as that
+    // same arithmetic: dims must round-trip EXACTLY through the real
+    // JPEG encode→AVI mux→demux→ImageIO decode, dims_match is true by
+    // construction, and the dominant luminance bin is gray div 32 =
+    // doc_id % 7 (solid mid-bin gray survives JPEG loss within its bin)
+    "video_frame_probe" ->
+      """SELECT doc_id, CAST(16 + (doc_id % 8) * 4 AS INT) AS header_w, CAST(16 + (doc_id % 5) * 4 AS INT) AS header_h, CAST(16 + (doc_id % 8) * 4 AS INT) AS frame_w, CAST(16 + (doc_id % 5) * 4 AS INT) AS frame_h, TRUE AS dims_match, CAST(doc_id % 7 AS INT) AS dominant_bin FROM documents WHERE doc_id % 25 = 0 ORDER BY doc_id""",
+
     // Count-Min is EXACT for a word that owns a collision-free row in the
     // d×w grid — a structural fact of the 31-word vocabulary's fixed hash
     // positions (scale-independent: collisions inflate by OTHER words'

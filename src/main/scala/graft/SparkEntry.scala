@@ -750,6 +750,33 @@ object SparkEntry {
         .select("doc_id", "modality", "source", "byte_len", "header_hex",
           "width", "height")
         .orderBy("doc_id")),
+    // REAL video pixel decode, oracle-adjudicated (r12 — the one
+    // codec-free case): synthesize per-doc MJPEG AVIs with
+    // doc_id-derived dims + a mid-bin solid gray (the StreamOps-feed
+    // test-rig pattern — the container ships no media corpus), then
+    // decode the first frame's ACTUAL JPEG bytes through ImageIO. Dims
+    // round-trip exactly and the solid gray stays inside its 32-wide
+    // luminance bin through JPEG loss, so the oracle derives every
+    // output cell from the same doc_id arithmetic — a hash-adjudicated
+    // proof the pixel path decodes real pixels, not header echoes.
+    "video_frame_probe" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      val ids = Tables.documents(s, d).select(col("doc_id"))
+        .filter(col("doc_id") % 25 === 0).as[Long]
+      val media = ids.mapPartitions(_.map { id =>
+        val w = 16 + (id % 8).toInt * 4
+        val h = 16 + (id % 5).toInt * 4
+        val gray = 16 + (id % 7).toInt * 32
+        graft.operators.MediaRow(id, "video",
+          Multimodal.syntheticMjpegAvi(w, h, gray), "synth")
+      }).toDF()
+      Multimodal.videoFrameFeatures(media)
+        .select(col("doc_id"), col("header_w"), col("header_h"),
+          col("frame_w"), col("frame_h"), col("dims_match"),
+          col("dominant_bin"))
+        .orderBy("doc_id")
+    }),
     // Structured Streaming twins (driven with Trigger.AvailableNow)
     "stream_tumbling"   -> ((s, d) => graft.streaming.StreamOps.runTumbling(s, d)),
     "stream_sessionize" -> ((s, d) => graft.streaming.StreamOps.runSessionize(s, d)),

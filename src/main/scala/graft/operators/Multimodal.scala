@@ -26,6 +26,13 @@ case class VideoMeta(container: String, width: Int, height: Int,
 case class VideoMetaRow(doc_id: Long, container: String, width: Int,
                         height: Int, duration_sec: Float, codec: String)
 
+/** Real PIXEL facts for one decoded video frame (the MJPEG path):
+  * container-declared vs decoded dimensions, their cross-check, the
+  * dominant luminance bin, and the 8-bin luminance histogram. */
+case class VideoFrameRow(doc_id: Long, header_w: Int, header_h: Int,
+                         frame_w: Int, frame_h: Int, dims_match: Boolean,
+                         dominant_bin: Int, feat: Array[Float])
+
 /** Multimodal column handling: image/audio/video as opaque `binary` columns
   * with typed metadata, decoded/feature-extracted per partition.
   *
@@ -38,10 +45,12 @@ case class VideoMetaRow(doc_id: Long, container: String, width: Int,
   * feature. WAV audio decodes for real via `javax.sound.sampled` (PCM
   * stats in one fused pass). VIDEO containers (MP4/MKV/AVI) parse for
   * real at the HEADER level — duration/resolution/codec-id via
-  * [[probeVideo]], no codec needed for those facts. Only the video
-  * PIXEL decode falls to the deterministic stub (no codec library in
-  * this container) — swap it for an ffmpeg binding in production;
-  * nothing else changes.
+  * [[probeVideo]], no codec needed for those facts. Video PIXEL decode
+  * is real for the one codec-free case — MJPEG-in-AVI, where each frame
+  * is a plain JPEG the ImageIO path decodes ([[firstMjpegFrame]] +
+  * [[videoFrameFeatures]]); compressed codecs (avc1/VP9/…) genuinely
+  * need a codec binding and fall to the deterministic stub — swap in an
+  * ffmpeg binding in production; nothing else changes.
   */
 object Multimodal {
 
@@ -352,32 +361,43 @@ object Multimodal {
     * frames × µs/frame); the video stream's `LIST strl/strh` carries the
     * codec fourcc in fccHandler when fccType is `vids`. Chunk bodies pad
     * to even offsets per RIFF. */
+  private def riffLe32(p: Array[Byte], o: Int): Long =
+    (p(o) & 0xffL) | ((p(o + 1) & 0xffL) << 8) |
+      ((p(o + 2) & 0xffL) << 16) | ((p(o + 3) & 0xffL) << 24)
+
+  /** Sibling RIFF chunks in [start, end) as (fourcc, bodyStart, bodyEnd) —
+    * bounds-checked, word-aligned, truncation stops the walk (shared by
+    * [[probeAvi]] and [[firstMjpegFrame]]). */
+  private def riffChunks(p: Array[Byte], start: Int, end: Int)
+      : List[(String, Int, Int)] = {
+    val out = List.newBuilder[(String, Int, Int)]
+    var off = start
+    var ok = true
+    while (ok && off + 8 <= end) {
+      val id = fourcc(p, off)
+      val sz = riffLe32(p, off + 4)
+      val bodyEnd = off + 8L + sz
+      if (bodyEnd > end) ok = false
+      else {
+        out += ((id, off + 8, bodyEnd.toInt))
+        off = (bodyEnd + (sz & 1)).toInt
+      }
+    }
+    out.result()
+  }
+
+  private def riffLists(p: Array[Byte], start: Int, end: Int,
+                        listType: String): List[(Int, Int)] =
+    riffChunks(p, start, end).collect {
+      case ("LIST", s, e) if e - s >= 4 && fourcc(p, s) == listType => (s + 4, e)
+    }
+
   private def probeAvi(p: Array[Byte]): Option[VideoMeta] = {
     val n = p.length
-    def le32(o: Int): Long =
-      (p(o) & 0xffL) | ((p(o + 1) & 0xffL) << 8) |
-        ((p(o + 2) & 0xffL) << 16) | ((p(o + 3) & 0xffL) << 24)
+    def le32(o: Int): Long = riffLe32(p, o)
     def cc(o: Int): String = fourcc(p, o)
-    def chunks(start: Int, end: Int): List[(String, Int, Int)] = {
-      val out = List.newBuilder[(String, Int, Int)]
-      var off = start
-      var ok = true
-      while (ok && off + 8 <= end) {
-        val id = cc(off)
-        val sz = le32(off + 4)
-        val bodyEnd = off + 8L + sz
-        if (bodyEnd > end) ok = false
-        else {
-          out += ((id, off + 8, bodyEnd.toInt))
-          off = (bodyEnd + (sz & 1)).toInt
-        }
-      }
-      out.result()
-    }
-    def lists(start: Int, end: Int, listType: String): List[(Int, Int)] =
-      chunks(start, end).collect {
-        case ("LIST", s, e) if e - s >= 4 && cc(s) == listType => (s + 4, e)
-      }
+    def chunks(start: Int, end: Int) = riffChunks(p, start, end)
+    def lists(start: Int, end: Int, lt: String) = riffLists(p, start, end, lt)
     lists(12, n, "hdrl").headOption.flatMap { case (hs, he) =>
       chunks(hs, he).find(_._1 == "avih").collect { case (_, as, ae) if ae - as >= 40 =>
         val usPerFrame = le32(as)
@@ -391,6 +411,47 @@ object Multimodal {
         // ~1.8e19 and wrap a Long negative on adversarial headers
         VideoMeta("avi", le32(as + 32).toInt, le32(as + 36).toInt,
           (usPerFrame.toDouble * totalFrames / 1e6).toFloat, codec)
+      }
+    }
+  }
+
+  /** First video frame bytes of an MJPEG AVI — the ONE codec-free pixel
+    * path a video container offers: MJPEG stores every frame as a plain
+    * JPEG, so the existing [[decodeImage]] ImageIO path decodes it with
+    * zero codec dependencies. Walks the RIFF `movi` list (including
+    * OpenDML `rec ` sub-lists) for the first `##dc`/`##db` chunk, gated
+    * on the video stream's fccHandler actually reading MJPG — any other
+    * codec honestly yields None (compressed-codec pixel decode stays out
+    * of scope). NOTE: some MJPEG-AVI writers omit the JPEG Huffman
+    * tables (the AVI1/OpenDML convention of implied defaults); ImageIO
+    * rejects those frames, and the caller's decode returns None rather
+    * than fabricating pixels — dropped, never faked. */
+  private[operators] def firstMjpegFrame(p: Array[Byte]): Option[Array[Byte]] = {
+    if (!looksLikeAvi(p)) return None
+    val n = p.length
+    val isMjpg = riffLists(p, 12, n, "hdrl").headOption.exists { case (hs, he) =>
+      riffLists(p, hs, he, "strl").exists { case (ss, se) =>
+        riffChunks(p, ss, se).exists { case (id, s, e) =>
+          id == "strh" && e - s >= 8 && fourcc(p, s) == "vids" &&
+            fourcc(p, s + 4).equalsIgnoreCase("mjpg")
+        }
+      }
+    }
+    if (!isMjpg) None
+    else {
+      def firstFrame(start: Int, end: Int): Option[Array[Byte]] =
+        riffChunks(p, start, end).iterator.flatMap {
+          case ("LIST", s, e) if e - s >= 4 && fourcc(p, s) == "rec " =>
+            firstFrame(s + 4, e)
+          case (id, s, e)
+              if e > s && id.length == 4 &&
+                id.charAt(0).isDigit && id.charAt(1).isDigit &&
+                id.charAt(2) == 'd' && (id.charAt(3) == 'c' || id.charAt(3) == 'b') =>
+            Some(java.util.Arrays.copyOfRange(p, s, e))
+          case _ => None
+        }.nextOption()
+      riffLists(p, 12, n, "movi").headOption.flatMap { case (ms, me) =>
+        firstFrame(ms, me)
       }
     }
   }
@@ -411,6 +472,82 @@ object Multimodal {
       })
       .toDF()
       .orderBy("doc_id")
+  }
+
+  /** Real video PIXEL decode over a binary media frame — for the one
+    * codec-free container case (MJPEG-in-AVI; see [[firstMjpegFrame]]):
+    * per payload, extract the first frame's JPEG bytes from the `movi`
+    * list and decode them through the SAME ImageIO path images use,
+    * yielding decoded dimensions (cross-checked against the container
+    * header — a real corpus uses the mismatch bit to flag lying
+    * headers), the dominant luminance bin, and the 8-bin luminance
+    * histogram. Rows whose payload is not MJPEG-AVI, or whose frame
+    * ImageIO cannot decode (e.g. the tables-omitted AVI1 convention),
+    * are DROPPED — pixel facts are only ever emitted from real pixels.
+    * Scan-bound per partition like every decode in this file: no
+    * shuffle before the presentation sort, payload never leaves its
+    * partition. */
+  def videoFrameFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        for {
+          meta <- probeVideo(payload)
+          if meta.container == "avi"
+          frame <- firstMjpegFrame(payload)
+          (w, h, hist) <- decodeImage(frame)
+        } yield {
+          var bin = 0
+          var i = 1
+          while (i < hist.length) { if (hist(i) > hist(bin)) bin = i; i += 1 }
+          VideoFrameRow(id, meta.width, meta.height, w, h,
+            w == meta.width && h == meta.height, bin, hist)
+        }
+      })
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic single-frame MJPEG AVI synthesizer — the TEST RIG for
+    * [[videoFrameFeatures]] (the StreamOps-feed pattern: the container
+    * holds no real media corpus, so driver queries and specs synthesize
+    * payloads with KNOWN facts and adjudicate that the decode recovers
+    * them). The frame is a solid gray-`gray` `w`×`h` JPEG written by the
+    * same JDK ImageIO that will decode it; dimensions round-trip exactly
+    * and a solid mid-bin gray survives JPEG loss well inside its 32-wide
+    * luminance bin, so (dims, dominant bin) are engine-stateable integers
+    * an oracle can derive from the generator's arithmetic. */
+  def syntheticMjpegAvi(w: Int, h: Int, gray: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && gray >= 0 && gray <= 255)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g2 = img.createGraphics()
+    g2.setColor(new java.awt.Color(gray, gray, gray))
+    g2.fillRect(0, 0, w, h)
+    g2.dispose()
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", baos)
+    val jpeg = baos.toByteArray
+    def le32(v: Long): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def cc4(s: String): Array[Byte] = s.getBytes("ISO-8859-1")
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad = if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+      cc4(id) ++ le32(body.length.toLong) ++ body ++ pad
+    }
+    def list(listType: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", cc4(listType) ++ body)
+    val avih = chunk("avih", le32(33333) ++ new Array[Byte](12) ++ le32(1) ++
+      new Array[Byte](12) ++ le32(w.toLong) ++ le32(h.toLong) ++
+      new Array[Byte](16))
+    val strh = chunk("strh", cc4("vids") ++ cc4("MJPG") ++ new Array[Byte](48))
+    val hdrl = list("hdrl", avih ++ list("strl", strh))
+    val movi = list("movi", chunk("00dc", jpeg))
+    val body = cc4("AVI ") ++ hdrl ++ movi
+    cc4("RIFF") ++ le32(body.length.toLong) ++ body
   }
 
   /** Hard ceiling on DECLARED pixel count before any pixel allocates:
@@ -569,12 +706,17 @@ object Multimodal {
             (if (!decodeReal) None
              else if (looksLikeImage(m.payload)) decodeImage(m.payload)
              else if (looksLikeWav(m.payload)) decodeWav(m.payload)
-             // video: header facts only — (w, h) from the container, the
-             // duration in the feature slot (the WAV convention); pixel
-             // decode needs a codec binding and stays with the stub
+             // video: REAL pixels where the container allows it (MJPEG —
+             // each frame is a plain JPEG the image path decodes); any
+             // compressed codec falls back to header facts — (w, h) from
+             // the container, the duration in the feature slot (the WAV
+             // convention) — since pixel decode there needs a codec
+             // binding this container does not ship
              else if (looksLikeVideo(m.payload))
-               probeVideo(m.payload).filter(v => v.width > 0 && v.height > 0)
-                 .map(v => (v.width, v.height, Array(v.duration_sec)))
+               firstMjpegFrame(m.payload).flatMap(decodeImage)
+                 .orElse(probeVideo(m.payload)
+                   .filter(v => v.width > 0 && v.height > 0)
+                   .map(v => (v.width, v.height, Array(v.duration_sec))))
              else None)
               .getOrElse(decodeStub(m.payload))
           val header = m.payload.take(4).map(b => f"${b & 0xff}%02x").mkString
