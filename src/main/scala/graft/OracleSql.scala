@@ -17,6 +17,12 @@ object OracleSql {
 
   private val cents = (c: String) => s"SUM(CAST(ROUND(($c)*100, 0) AS BIGINT))/100.0"
 
+  // the batch containment closed form — shared verbatim by
+  // dedup_containment and containment_inc (whose cold run IS the closed
+  // form; see Dedup.incrementalContainment)
+  private val containmentPairsSql =
+    """WITH w AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents), s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh FROM w WHERE len(ws) >= 3), e AS (SELECT doc_id, unnest(sh) AS sh FROM s), d AS (SELECT sh, COUNT(*) AS df FROM e GROUP BY sh), k AS (SELECT e.doc_id, e.sh, d.df FROM e JOIN d USING (sh) WHERE d.df <= 100), n AS (SELECT doc_id, COUNT(*) AS n_sh FROM k GROUP BY doc_id), p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared FROM k a JOIN k b ON a.sh = b.sh AND a.doc_id < b.doc_id WHERE a.df > 1 GROUP BY 1, 2) SELECT p.doc_a, p.doc_b, p.shared, ROUND(CAST(p.shared AS DOUBLE) / LEAST(na.n_sh, nb.n_sh) * 10000, 0)/10000.0 AS containment FROM p JOIN n na ON na.doc_id = p.doc_a JOIN n nb ON nb.doc_id = p.doc_b WHERE CAST(p.shared AS DOUBLE) / LEAST(na.n_sh, nb.n_sh) >= 0.6 ORDER BY doc_a, doc_b"""
+
   private val revenue = cents("l_extendedprice*(1-l_discount)")
 
   // exact top-k cosine per query vector — shared by ann_topk and the
@@ -206,8 +212,14 @@ object OracleSql {
     // containment over the df<=100 shingle universe (numerator AND
     // denominator count only shingles in <=100 docs — the operator's
     // documented boilerplate trade, stated identically here)
-    "dedup_containment" ->
-      s"""WITH w AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents), s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh FROM w WHERE len(ws) >= 3), e AS (SELECT doc_id, unnest(sh) AS sh FROM s), d AS (SELECT sh, COUNT(*) AS df FROM e GROUP BY sh), k AS (SELECT e.doc_id, e.sh, d.df FROM e JOIN d USING (sh) WHERE d.df <= 100), n AS (SELECT doc_id, COUNT(*) AS n_sh FROM k GROUP BY doc_id), p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared FROM k a JOIN k b ON a.sh = b.sh AND a.doc_id < b.doc_id WHERE a.df > 1 GROUP BY 1, 2) SELECT p.doc_a, p.doc_b, p.shared, ROUND(CAST(p.shared AS DOUBLE) / LEAST(na.n_sh, nb.n_sh) * 10000, 0)/10000.0 AS containment FROM p JOIN n na ON na.doc_id = p.doc_a JOIN n nb ON nb.doc_id = p.doc_b WHERE CAST(p.shared AS DOUBLE) / LEAST(na.n_sh, nb.n_sh) >= 0.6 ORDER BY doc_a, doc_b""",
+    "dedup_containment" -> containmentPairsSql,
+
+    // the incremental screen's COLD single-batch run is the batch closed
+    // form by construction (same F12 aggregate, same capped universe,
+    // same ratio) — the same oracle adjudicates the whole ingest loop:
+    // shingle indexing, bounded merge, size bookkeeping, pair emission,
+    // and the exactly-once appends (the substring_dedup_inc pattern)
+    "containment_inc" -> containmentPairsSql,
 
     // sequential funnel: quota ranks only dedup+quality survivors,
     // budget accumulates only dedup+quality+quota survivors — the

@@ -496,6 +496,14 @@ object SparkEntry {
     // proves over Jaccard edges, adjudicated by a recursive-CTE oracle)
     "containment_clusters" -> ((s, d) =>
       Dedup.clustersFromPairs(sharedContainmentPairs(s, d))),
+    // the growing-corpus containment screen, cold single batch: emitted
+    // pairs ≡ the batch closed form (same F12 aggregate + capped
+    // universe), adjudicating the persisted-index merge, the size
+    // bookkeeping, pair emission, and the exactly-once commits — the
+    // substring_dedup_inc pattern at containment granularity (r12,
+    // completing the dedup-family incremental symmetry)
+    "containment_inc" -> ((s, d) =>
+      graft.streaming.StreamOps.runContainmentIngest(s, d)),
     "dedup_minhash"   -> ((s, d) => sharedMinhashPairs(s, d)),
     // recall-1 MinHash+LSH configuration, oracle-adjudicated against the
     // exact pair SQL (the ann_lsh_r1 pattern): 1 row per band × 48 bands

@@ -338,18 +338,25 @@ object Dedup {
     *
     * Output: (doc_a, doc_b, shared, containment) — pair-set semantics,
     * no presentation sort (see [[minhashLsh]]). */
-  def containmentPairs(documents: DataFrame, threshold: Double = 0.6,
-                       maxDf: Int = 100): DataFrame = {
+  /** (doc_id, sh) — one row per distinct 3-word shingle per doc; the
+    * shared front end of [[containmentPairs]] and
+    * [[incrementalContainment]] (same shingles, same
+    * materialize-the-tokens-first projection boundary as ngramJaccard —
+    * the operators measure the same evidence through different
+    * denominators). */
+  private def shingleFrame(documents: DataFrame): DataFrame = {
     val docs = documents.withColumn("__w", TextNorm.words(col("text")))
     val w = col("__w")
-    // same 3-word shingles (and the same materialize-the-tokens-first
-    // projection boundary) as ngramJaccard — the two operators measure
-    // the same evidence through different denominators
     val sh = when(size(w) >= 3,
       array_distinct(transform(sequence(lit(0), size(w) - 3), i =>
         concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3)))))
       .otherwise(array().cast("array<string>"))
-    val ds = docs.select(col("doc_id"), explode(sh).as("sh"))
+    docs.select(col("doc_id"), explode(sh).as("sh"))
+  }
+
+  def containmentPairs(documents: DataFrame, threshold: Double = 0.6,
+                       maxDf: Int = 100): DataFrame = {
+    val ds = shingleFrame(documents)
     // ONE exchange of the raw shingle frame: the size-bounded aggregate
     // (see exactSubstringPairs — same df-cap trade, same constant-memory
     // buffer) yields the per-shingle doc lists; BOTH the per-doc universe
@@ -381,6 +388,122 @@ object Dedup {
       .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
       .filter(c >= threshold)
       .select(col("doc_a"), col("doc_b"), col("shared"), round4(c).as("containment"))
+  }
+
+  /** Incremental CONTAINMENT screen for a growing corpus — the
+    * D35/D36/D47 pattern at shingle-containment granularity, completing
+    * the dedup-family symmetry (every other family already had its
+    * growing-corpus variant; a real curation loop screens each new
+    * crawl batch against the corpus continuously, it never re-runs the
+    * batch closed form).
+    *
+    * Persisted state (maintained by the caller via upserts, see
+    * [[graft.streaming.StreamOps.containmentIngestBatch]]):
+    *  - `corpusIndex` (sh, ds): the df-capped inverted shingle index —
+    *    EXACTLY the [[containmentPairs]] F12 aggregate output, one row
+    *    per shingle ever seen, `ds` = doc_id-sorted (doc_id, p) structs
+    *    or NULL once the shingle's ALL-TIME df exceeded `maxDf`
+    *    (overflow is absorbing: boilerplate stays boilerplate);
+    *  - `corpusSizes` (doc_id, n_sh): each ingested doc's CURRENT
+    *    capped-universe size — kept exact under the global cap by the
+    *    decrement maintenance below.
+    *
+    * Per batch, everything scales with the batch's shingle density,
+    * never corpus size: the index is probed by a semi-join on the
+    * batch's shingles (index-scan + batch-sized shuffle, the D47
+    * crossDrop shape), touched rows re-aggregate WITH the batch rows
+    * through the same bounded F12 fold (the merge is a set-union by
+    * doc_id, so a crash-replay recompute over half-committed state is
+    * idempotent by construction), and:
+    *  - a shingle crossing `maxDf` THIS batch flips to the overflow
+    *    sentinel and every doc on its old list decrements `n_sh` by 1 —
+    *    so per-doc sizes remain EXACTLY |{shingles of doc with all-time
+    *    df ≤ maxDf}|, the same universe the batch closed form states;
+    *  - batch docs enter `corpusSizes` with their capped counts;
+    *  - pairs emit for batch-linked pairs only (≥ 1 batch side — the
+    *    flag rides the F12 pos slot, corpus = 0 / batch = 1, and the
+    *    min-fold keeps 0 for a replayed doc): shared counts over
+    *    non-overflow touched shingles, sizes from the POST-merge state.
+    *    Earlier batches' pair emissions are never revisited (their
+    *    sizes were as-of their ingest — the same as-of semantics every
+    *    incremental screen in this engine has); with a cap no batch
+    *    ever crosses, the union of per-batch emissions equals the batch
+    *    closed form on the full corpus (spec-proven).
+    *
+    * Cold (empty index) the single-batch run IS [[containmentPairs]] —
+    * same aggregate, same universe, same ratio — which is what lets the
+    * driver's `containment_inc` share `dedup_containment`'s oracle.
+    *
+    * Returns (pairs, indexUpserts, sizeUpserts); the caller commits the
+    * upserts (MERGE on sh / doc_id) and appends the pairs under one
+    * exactly-once tag each. */
+  def incrementalContainment(batch: DataFrame, corpusIndex: DataFrame,
+                             corpusSizes: DataFrame, threshold: Double = 0.6,
+                             maxDf: Int = 100)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val bs = shingleFrame(batch).localCheckpoint(false)
+    val touched = corpusIndex
+      .join(bs.select("sh").distinct(), Seq("sh"), "left_semi")
+      .localCheckpoint(false)
+    val oldLive = touched.filter(col("ds").isNotNull)
+      .select(col("sh"), explode(col("ds")).as("e"))
+      .select(col("sh"), col("e.doc_id").as("doc_id"), lit(0L).as("flag"))
+    val batchRows = bs.select(col("sh"), col("doc_id"), lit(1L).as("flag"))
+    val mergedAgg = oldLive.unionByName(batchRows)
+      .groupBy("sh")
+      .agg(graft.functions.BoundedSetAgg
+        .minPosSet(col("doc_id"), col("flag"), maxDf).as("ds"))
+    // overflow is absorbing: a shingle that ever crossed the cap stays
+    // NULL even if the re-aggregation of its (now-empty) stored list
+    // plus the batch would fit
+    val merged = mergedAgg
+      .join(touched.filter(col("ds").isNull)
+        .select(col("sh"), lit(true).as("__over")), Seq("sh"), "left")
+      .select(col("sh"), when(col("__over"), lit(null)
+        .cast(mergedAgg.schema("ds").dataType)).otherwise(col("ds")).as("ds"))
+      .localCheckpoint(false)
+    // canonical stored form: the batch flag is scratch, reset to 0 so the
+    // index bytes are a pure function of corpus content
+    val indexUpserts = merged.select(col("sh"),
+      transform(col("ds"), e =>
+        struct(e.getField("doc_id").as("doc_id"), lit(0L).as("p"))).as("ds"))
+    val newDocSizes = merged.filter(col("ds").isNotNull)
+      .select(explode(col("ds")).as("e"))
+      .filter(col("e.p") === 1L)
+      .groupBy(col("e.doc_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_sh"))
+    // shingles that crossed the cap THIS batch: every doc on the old
+    // list loses one informative shingle (≤ maxDf rows per shingle,
+    // touched shingles only — batch-density-sized by construction)
+    val dec = merged.filter(col("ds").isNull).select("sh")
+      .join(touched.filter(col("ds").isNotNull), Seq("sh"))
+      .select(explode(col("ds")).as("e"))
+      .groupBy(col("e.doc_id").as("doc_id"))
+      .agg(count(lit(1)).as("__d"))
+    val corpusUpdates = corpusSizes.join(dec, Seq("doc_id"))
+      .select(col("doc_id"), (col("n_sh") - col("__d")).as("n_sh"))
+    val sizeUpserts = newDocSizes.unionByName(corpusUpdates)
+    // POST-merge sizes for the ratio (untouched corpus docs keep theirs)
+    val postSizes = corpusSizes.join(dec, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("n_sh") - coalesce(col("__d"), lit(0L))).as("n_sh"))
+      .unionByName(newDocSizes)
+    val pairFrame = merged
+      .filter(col("ds").isNotNull && size(col("ds")) > 1)
+      .select(posexplode(col("ds")).as(Seq("i", "a")), col("ds"))
+      .select(col("a"), explode(slice(col("ds"), col("i") + 2, size(col("ds")))).as("b"))
+      .filter(col("a.p") === 1L || col("b.p") === 1L)
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      // id-pair stage barrier before the size attach (see containmentPairs)
+      .repartition(col("doc_a"))
+    val c = col("shared").cast("double") / least(col("n_a"), col("n_b"))
+    val pairs = pairFrame
+      .join(postSizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(postSizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .filter(c >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("shared"), round4(c).as("containment"))
+    (pairs, indexUpserts, sizeUpserts)
   }
 
   /** Connected components over an undirected near-dup pair list — the step

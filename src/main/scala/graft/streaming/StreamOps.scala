@@ -724,6 +724,74 @@ object StreamOps {
       TxLogFormat.read(spark, table).select("doc_id").orderBy("doc_id"), tmpRoot)
   }
 
+  /** One micro-batch of the streaming CONTAINMENT-screen ingest loop
+    * (the doc-in-doc sibling of [[substringIngestBatch]], completing the
+    * dedup-family symmetry): the batch probes the persisted df-capped
+    * inverted shingle index + per-doc size table
+    * ([[graft.operators.Dedup.incrementalContainment]] — batch-sized
+    * shuffles only, corpus text never re-read), emitted batch-linked
+    * pairs append to the pairs table, and the index/size state upserts
+    * (MERGE on sh / doc_id) — all three under the SAME exactly-once tag,
+    * so a replayed batch skips each table and a crash between commits
+    * recomputes idempotently (the per-shingle merge is a set-union by
+    * doc_id). Cold start appends (creates) instead of merging. */
+  def containmentIngestBatch(pairsTable: String, indexTable: String,
+                             sizesTable: String, threshold: Double = 0.6,
+                             maxDf: Int = 100)(b: DataFrame, id: Long): Unit = {
+    import graft.sources.TxLogFormat
+    val spark = b.sparkSession
+    val batch = b.select(col("doc_id"), col("text")).localCheckpoint()
+    val cold = TxLogFormat.versions(indexTable).isEmpty
+    val corpusIndex =
+      if (cold) spark.range(0).select(col("id").cast("string").as("sh"),
+        lit(null).cast("array<struct<doc_id:bigint,p:bigint>>").as("ds"))
+      else TxLogFormat.read(spark, indexTable)
+    val corpusSizes =
+      if (cold) spark.range(0).select(col("id").as("doc_id"), col("id").as("n_sh"))
+      else TxLogFormat.read(spark, sizesTable)
+    val (pairs, idxUp, szUp) = graft.operators.Dedup.incrementalContainment(
+      batch, corpusIndex, corpusSizes, threshold, maxDf)
+    val pairsC = pairs.localCheckpoint()
+    val idxC = idxUp.localCheckpoint()
+    val szC = szUp.localCheckpoint()
+    val appId = "graft_containment_ingest"
+    if (cold) {
+      TxLogFormat.appendBatch(idxC, indexTable, appId, id)
+      TxLogFormat.appendBatch(szC, sizesTable, appId, id)
+    } else {
+      TxLogFormat.mergeBatch(spark, indexTable, "sh", idxC, appId, id)
+      TxLogFormat.mergeBatch(spark, sizesTable, "doc_id", szC, appId, id)
+    }
+    TxLogFormat.appendBatch(pairsC, pairsTable, appId, id)
+    ()
+  }
+
+  /** Driver query: AvailableNow over the documents source drives
+    * [[containmentIngestBatch]] from a cold corpus — one batch, so the
+    * emitted pairs equal the batch closed form exactly (same F12
+    * aggregate, same capped universe, same ratio) and
+    * `dedup_containment`'s oracle adjudicates the whole loop; the
+    * spec's 2-batch MemoryStream covers cross-batch pairs, the
+    * cap-crossing size decrements, and replay. */
+  def runContainmentIngest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxLogFormat
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_ctingest_")
+    val pairsTable = tmpRoot.resolve("pairs").toString
+    val indexTable = tmpRoot.resolve("index").toString
+    val sizesTable = tmpRoot.resolve("sizes").toString
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val q = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .select(col("doc_id"), col("text"))
+      .writeStream
+      .foreachBatch(containmentIngestBatch(pairsTable, indexTable, sizesTable) _)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    handoffAndClean(
+      TxLogFormat.read(spark, pairsTable).orderBy("doc_a", "doc_b"), tmpRoot)
+  }
+
   /** One micro-batch of the streaming IVF-index ingest loop — ANN index
     * maintenance for a GROWING vector corpus (the embedding analogue of
     * [[neardupIngestBatch]]'s band index):

@@ -286,6 +286,105 @@ class StreamingSpec extends SparkSpec {
       "replayed batch id must not commit")
   }
 
+  test("streaming CONTAINMENT ingest: cross-batch pairs, cap-crossing " +
+       "decrements, maintained index == hand-derived, replay-safe") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.Row
+    import spark.implicits._
+    import graft.sources.TxLogFormat
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_ctingest_spec")
+    val (pairsT, indexT, sizesT) = (root.resolve("pairs").toString,
+      root.resolve("index").toString, root.resolve("sizes").toString)
+    // 3-word shingles by construction: doc "p q r s t" -> {pqr qrs rst}
+    val b0 = Seq(1L -> "p q r s t", 2L -> "x y z w v", 3L -> "p q r s u")
+    val b1 = Seq(10L -> "x y z w q", // contained-ish in 2: shares xyz yzw
+                 11L -> "p q r a",   // 4th doc on pqr ...
+                 12L -> "p q r b")   // ... 5th: pqr crosses maxDf=3 HERE
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch(
+        StreamOps.containmentIngestBatch(pairsT, indexT, sizesT, 0.6, 3) _)
+      .start()
+    try {
+      input.addData(b0); q.processAllAvailable()
+      // cold single batch == the batch closed form (the driver-query
+      // contract that lets containment_inc share dedup_containment's
+      // oracle): (1,3) share {pqr qrs}, 2/min(3,3) = 0.6667
+      val cold = TxLogFormat.read(spark, pairsT).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      val closed = graft.operators.Dedup.containmentPairs(
+          b0.toDF("doc_id", "text"), 0.6, 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(cold == closed && cold == Set((1L, 3L, 2L, 0.6667)), cold.toString)
+      input.addData(b1); q.processAllAvailable()
+    } finally q.stop()
+    // batch 1 emits ONLY the batch-linked pair (2,10) — (1,3) is
+    // corpus-corpus (not revisited), and every 11/12 overlap rides the
+    // now-overflowed pqr so no pair row can exist for them
+    val pairs = TxLogFormat.read(spark, pairsT).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(pairs == Set((1L, 3L, 2L, 0.6667), (2L, 10L, 2L, 0.6667)),
+      pairs.toString)
+    // maintained index == hand-derived all-time state: pqr hit its 4th
+    // distinct doc this batch -> absorbing overflow (NULL); stored p
+    // slots are canonical 0 (batch flags are scratch, never persisted)
+    val idx = TxLogFormat.read(spark, indexT).collect().map { r =>
+      r.getString(0) -> (if (r.isNullAt(1)) None
+        else Some(r.getSeq[Row](1).map(e => (e.getLong(0), e.getLong(1)))))
+    }.toMap
+    val exp = Map[String, Option[Seq[Long]]](
+      "p q r" -> None, "q r s" -> Some(Seq(1L, 3L)), "r s t" -> Some(Seq(1L)),
+      "r s u" -> Some(Seq(3L)), "x y z" -> Some(Seq(2L, 10L)),
+      "y z w" -> Some(Seq(2L, 10L)), "z w v" -> Some(Seq(2L)),
+      "z w q" -> Some(Seq(10L)), "q r a" -> Some(Seq(11L)),
+      "q r b" -> Some(Seq(12L)))
+      .map { case (k, v) => k -> v.map(_.map(d => (d, 0L))) }
+    assert(idx == exp, idx.toString)
+    // sizes stay EXACTLY |{shingles with all-time df <= maxDf}|: docs 1
+    // and 3 each lost pqr from their universe (3 -> 2) when it crossed
+    val sizes = TxLogFormat.read(spark, sizesT).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes == Map(1L -> 2L, 2L -> 3L, 3L -> 2L, 10L -> 3L,
+                        11L -> 1L, 12L -> 1L), sizes.toString)
+    // replay: a committed batch id is a strict no-op on ALL THREE tables
+    val vs = (TxLogFormat.versions(pairsT).size,
+      TxLogFormat.versions(indexT).size, TxLogFormat.versions(sizesT).size)
+    StreamOps.containmentIngestBatch(pairsT, indexT, sizesT, 0.6, 3)(
+      Seq((99L, "z z z z z")).toDF("doc_id", "text"), 0L)
+    assert((TxLogFormat.versions(pairsT).size,
+      TxLogFormat.versions(indexT).size,
+      TxLogFormat.versions(sizesT).size) == vs, "replay must not commit")
+  }
+
+  test("streaming CONTAINMENT ingest with an uncrossed cap: the union of " +
+       "per-batch emissions equals the batch closed form on the full corpus") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    import graft.sources.TxLogFormat
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_ctingest_spec2")
+    val (pairsT, indexT, sizesT) = (root.resolve("pairs").toString,
+      root.resolve("index").toString, root.resolve("sizes").toString)
+    val b0 = Seq(1L -> "p q r s t", 2L -> "x y z w v", 3L -> "p q r s u")
+    val b1 = Seq(10L -> "x y z w q", 11L -> "p q r a", 12L -> "p q r b")
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch(
+        StreamOps.containmentIngestBatch(pairsT, indexT, sizesT, 0.6, 100) _)
+      .start()
+    try {
+      input.addData(b0); q.processAllAvailable()
+      input.addData(b1); q.processAllAvailable()
+    } finally q.stop()
+    val pairs = TxLogFormat.read(spark, pairsT).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val closed = graft.operators.Dedup.containmentPairs(
+        (b0 ++ b1).toDF("doc_id", "text"), 0.6, 100).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(pairs == closed && pairs.nonEmpty, s"$pairs vs $closed")
+  }
+
   test("streaming IVF ingest: cold build, incremental assign, drift-gated " +
        "retrain, vec_id conservation, replay-safe") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
