@@ -227,6 +227,12 @@ object OracleSql {
     "curation_funnel" ->
       """WITH base AS (SELECT doc_id, lang, source, md5(lower(trim(text))) AS digest, (length(text) >= 100 AND len(string_split(lower(trim(text)), ' ')) >= 20) AS pass_quality, CAST(CEIL(length(text)/4.0) AS BIGINT) AS tok FROM documents), d AS (SELECT *, (ROW_NUMBER() OVER (PARTITION BY digest ORDER BY doc_id) = 1) AS pass_dedup FROM base), q AS (SELECT doc_id, (ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 15) AS pass_quota FROM d WHERE pass_dedup AND pass_quality), dq AS (SELECT d.doc_id, d.lang, d.tok, d.pass_dedup, d.pass_quality, COALESCE(q.pass_quota, FALSE) AS pass_quota FROM d LEFT JOIN q USING (doc_id)), b AS (SELECT doc_id, (SUM(tok) OVER (PARTITION BY lang ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) <= 5000) AS pass_budget FROM dq WHERE pass_dedup AND pass_quality AND pass_quota) SELECT dq.doc_id, dq.pass_dedup, dq.pass_quality, dq.pass_quota, COALESCE(b.pass_budget, FALSE) AS pass_budget, (dq.pass_dedup AND dq.pass_quality AND dq.pass_quota AND COALESCE(b.pass_budget, FALSE)) AS kept FROM dq LEFT JOIN b USING (doc_id) ORDER BY doc_id""",
 
+    // funnel × cascade: the quality stage is the cascade's CASE chain
+    // (quality_cascade's oracle verbatim), nested inside the funnel's
+    // sequential stage CTEs — drops attribute to a stage AND a rule
+    "curation_funnel_cascade" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS word FROM documents), cnt AS (SELECT doc_id, word, COUNT(*) AS c FROM w WHERE word <> '' GROUP BY doc_id, word), ts AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_share FROM cnt GROUP BY doc_id), casc AS (SELECT d.doc_id, CASE WHEN length(d.text) < 100 THEN 'too_short' WHEN len(string_split(lower(trim(d.text)), ' ')) < 20 THEN 'too_few_words' WHEN CAST(length(replace(d.text, ' ', '')) AS DOUBLE) / len(string_split(lower(trim(d.text)), ' ')) < 2.0 OR CAST(length(replace(d.text, ' ', '')) AS DOUBLE) / len(string_split(lower(trim(d.text)), ' ')) > 12.0 THEN 'word_len_out_of_band' WHEN ts.top_share > 0.2 THEN 'repetitive' ELSE NULL END AS ff FROM documents d LEFT JOIN ts ON d.doc_id = ts.doc_id), base AS (SELECT d.doc_id, d.lang, d.source, md5(lower(trim(d.text))) AS digest, (c.ff IS NULL) AS pass_quality, COALESCE(c.ff, '') AS quality_fail_rule, CAST(CEIL(length(d.text)/4.0) AS BIGINT) AS tok FROM documents d JOIN casc c ON d.doc_id = c.doc_id), dd AS (SELECT *, (ROW_NUMBER() OVER (PARTITION BY digest ORDER BY doc_id) = 1) AS pass_dedup FROM base), q AS (SELECT doc_id, (ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 15) AS pass_quota FROM dd WHERE pass_dedup AND pass_quality), dq AS (SELECT dd.doc_id, dd.lang, dd.tok, dd.pass_dedup, dd.pass_quality, dd.quality_fail_rule, COALESCE(q.pass_quota, FALSE) AS pass_quota FROM dd LEFT JOIN q USING (doc_id)), b AS (SELECT doc_id, (SUM(tok) OVER (PARTITION BY lang ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) <= 5000) AS pass_budget FROM dq WHERE pass_dedup AND pass_quality AND pass_quota) SELECT dq.doc_id, dq.pass_dedup, dq.pass_quality, dq.quality_fail_rule, dq.pass_quota, COALESCE(b.pass_budget, FALSE) AS pass_budget, (dq.pass_dedup AND dq.pass_quality AND dq.pass_quota AND COALESCE(b.pass_budget, FALSE)) AS kept FROM dq LEFT JOIN b USING (doc_id) ORDER BY doc_id""",
+
     // bucket thresholds + the 2-hex-char md5 gate stated identically:
     // fixed-length lowercase-hex string compare = exact k/256 sampling
     "quality_sample" ->

@@ -702,6 +702,12 @@ object SparkEntry {
     // judged among prior survivors) — every verdict deterministic
     // integer/hash arithmetic, so the whole funnel is oracle-adjudicated
     "curation_funnel" -> ((s, d) => Curation.curationFunnel(Tables.documents(s, d))),
+    // funnel × cascade composition (r12): the quality stage decomposed by
+    // cascade rule, so drops attribute to a stage AND a rule in one
+    // hash-adjudicated report; the stricter gate reshapes the downstream
+    // quota/budget survivor subsets (composition, not annotation)
+    "curation_funnel_cascade" -> ((s, d) =>
+      Curation.curationFunnelCascade(Tables.documents(s, d))),
     // per-doc OOV screen against the corpus top-V vocab (total-order cut);
     // integer outputs so the compare never meets ratio rounding
     "oov_rate"        -> ((s, d) => TextAnalysis.oovRate(Tables.documents(s, d))),

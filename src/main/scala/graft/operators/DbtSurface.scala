@@ -523,12 +523,52 @@ object Curation {
     * Output: (doc_id, pass_dedup, pass_quality, pass_quota, pass_budget,
     * kept) for EVERY input doc. */
   def curationFunnel(documents: DataFrame, perDomain: Int = 15,
-                     budgetPerLang: Long = 5000): DataFrame = {
-    val base = documents.select(col("doc_id"), col("lang"), col("source"),
-      md5(lower(trim(col("text")))).as("__digest"),
-      (length(col("text")) >= 100 &&
-        size(graft.util.TextNorm.words(col("text"))) >= 20).as("pass_quality"),
-      graft.util.TextNorm.estTokens(col("text")).as("__tok"))
+                     budgetPerLang: Long = 5000): DataFrame =
+    funnelStages(
+      documents.select(col("doc_id"), col("lang"), col("source"),
+        md5(lower(trim(col("text")))).as("__digest"),
+        (length(col("text")) >= 100 &&
+          size(graft.util.TextNorm.words(col("text"))) >= 20).as("pass_quality"),
+        graft.util.TextNorm.estTokens(col("text")).as("__tok")),
+      perDomain, budgetPerLang, extra = Nil)
+
+  /** [[curationFunnel]] with its quality stage decomposed BY RULE — the
+    * funnel × cascade composition (r12): stage-level provenance ACROSS
+    * the pipeline and rule-level provenance WITHIN quality in one
+    * report, so a release note's "31% dropped at quality" further
+    * decomposes into which [[graft.operators.TextAnalysis
+    * .qualityCascade]] rule did it. The quality verdict IS the cascade's
+    * (ordered named predicates, first kill reported) — stricter than the
+    * plain funnel's two-predicate gate, so the quota/budget stages rank
+    * genuinely different survivor subsets (the composition changes the
+    * downstream funnel, it doesn't just annotate it). Both pieces are
+    * deterministic, so the composed report stays hash-adjudicated: the
+    * oracle restates the cascade's CASE chain inside the funnel's stage
+    * CTEs verbatim. One extra (doc, word) shuffle vs the plain funnel —
+    * the cascade's repetition signal needs the doc's own word mode;
+    * verdict columns otherwise ride the same id+metadata frame (text
+    * never crosses an exchange). */
+  def curationFunnelCascade(documents: DataFrame, perDomain: Int = 15,
+                            budgetPerLang: Long = 5000): DataFrame = {
+    val casc = graft.operators.TextAnalysis.qualityCascade(documents)
+      .select(col("doc_id"), col("passed").as("pass_quality"),
+        col("first_fail").as("quality_fail_rule"))
+    funnelStages(
+      documents.select(col("doc_id"), col("lang"), col("source"),
+        md5(lower(trim(col("text")))).as("__digest"),
+        graft.util.TextNorm.estTokens(col("text")).as("__tok"))
+        .join(casc, Seq("doc_id")),
+      perDomain, budgetPerLang, extra = Seq("quality_fail_rule"))
+  }
+
+  /** Stage machinery shared by [[curationFunnel]] and
+    * [[curationFunnelCascade]]: `base` supplies the per-doc quality
+    * verdict (plus any `extra` verdict columns to carry into the report,
+    * placed after pass_quality); the dedup window, md5-order quota rank,
+    * and blocked budget prefix sum are identical in both reports. */
+  private def funnelStages(base: DataFrame, perDomain: Int,
+                           budgetPerLang: Long,
+                           extra: Seq[String]): DataFrame = {
     val byDigest = Window.partitionBy(col("__digest")).orderBy(col("doc_id"))
     val dedup = base.withColumn("pass_dedup",
       row_number().over(byDigest) === 1)
@@ -553,10 +593,10 @@ object Curation {
       .select(col("doc_id"), (col("__cum") <= budgetPerLang).as("pass_budget"))
     withQuota.join(budget, Seq("doc_id"), "left")
       .withColumn("pass_budget", coalesce(col("pass_budget"), lit(false)))
-      .select(col("doc_id"), col("pass_dedup"), col("pass_quality"),
-        col("pass_quota"), col("pass_budget"),
+      .select(Seq(col("doc_id"), col("pass_dedup"), col("pass_quality")) ++
+        extra.map(col) ++ Seq(col("pass_quota"), col("pass_budget"),
         (col("pass_dedup") && col("pass_quality") && col("pass_quota") &&
-          col("pass_budget")).as("kept"))
+          col("pass_budget")).as("kept")): _*)
       .orderBy("doc_id")
   }
 

@@ -399,6 +399,60 @@ class OperatorsSpec extends SparkSpec {
     assert(got.values.exists(v => v._1 && v._2 && v._3 && !v._4), "no budget drop")
   }
 
+  test("curation funnel × cascade: quality drops attribute to the FIRST " +
+       "failing rule, and the stricter gate reshapes the downstream " +
+       "budget (composition, not annotation)") {
+    import spark.implicits._
+    def clean(tag: String): String =
+      (1 to 25).map(i => s"${tag}word$i").mkString(" ") // 25 distinct words
+    val rep = (1 to 25).map(_ => "spam").mkString(" ")  // top_share 1.0
+    val thin = (1 to 60).map(_ => "a").mkString(" ")    // awl 1.0, len >= 100
+    val few = (1 to 10).map(i => s"verylongword$i").mkString(" ") // 10 words
+    val rows = Seq(
+      (1L, rep, "en", "a"),   // passes the PLAIN structural gate (124 chars,
+                              // 25 words) — only the cascade kills it
+      (2L, clean("x"), "en", "a"),
+      (3L, thin, "en", "a"),  // also passes the plain gate; cascade kills
+      (4L, "tiny doc", "en", "a"),
+      (5L, few, "en", "a"),
+      (6L, clean("dup"), "en", "a"), (7L, clean("dup"), "en", "a"))
+    val docs = rows.toDF("doc_id", "text", "lang", "source")
+    val tokOf = rows.map { case (id, t, _, _) =>
+      id -> math.ceil(t.length / 4.0).toLong }.toMap
+    // budget exactly fits the two cascade survivors (docs 2 and 6) —
+    // composition evidence below needs nothing about md5 quota order
+    val budget = tokOf(2L) + tokOf(6L)
+    val got = Curation.curationFunnelCascade(docs, perDomain = 10,
+        budgetPerLang = budget).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2),
+        r.getString(3), r.getBoolean(4), r.getBoolean(5), r.getBoolean(6)))
+      .toMap
+    val want = Map(
+      1L -> (true, false, "repetitive", false, false, false),
+      2L -> (true, true, "", true, true, true),
+      3L -> (true, false, "word_len_out_of_band", false, false, false),
+      4L -> (true, false, "too_short", false, false, false),
+      5L -> (true, false, "too_few_words", false, false, false),
+      6L -> (true, true, "", true, true, true),
+      7L -> (false, true, "", false, false, false))
+    assert(got == want, s"got $got\nwant $want")
+    // COMPOSITION: the plain funnel's weaker gate lets docs 1 and 3
+    // consume budget ahead of doc 6 (doc_id order), so doc 6 busts the
+    // cap there — under the cascade it survives. Same corpus, same cap,
+    // different funnel: the stricter stage reshapes later stages.
+    val plain = Curation.curationFunnel(docs, perDomain = 10,
+        budgetPerLang = budget).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(2), r.getBoolean(4))).toMap
+    assert(plain(1L)._1 && plain(3L)._1, "1/3 must pass the plain gate")
+    assert(!plain(6L)._2, "doc 6 must bust the plain funnel's budget")
+    assert(got(6L)._5, "doc 6 must fit the cascade funnel's budget")
+    // monotone like the plain funnel: later pass implies earlier pass
+    got.values.foreach { case (d, ql, _, qt, b, kept) =>
+      assert(!qt || (d && ql)); assert(!b || qt)
+      assert(kept == (d && ql && qt && b))
+    }
+  }
+
   test("oov rate: hand corpus pins the top-V cut (total-order ties), the " +
        "oov split, and the all-integer output") {
     import spark.implicits._
