@@ -23,6 +23,13 @@ object OracleSql {
   private val containmentPairsSql =
     """WITH w AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents), s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh FROM w WHERE len(ws) >= 3), e AS (SELECT doc_id, unnest(sh) AS sh FROM s), d AS (SELECT sh, COUNT(*) AS df FROM e GROUP BY sh), k AS (SELECT e.doc_id, e.sh, d.df FROM e JOIN d USING (sh) WHERE d.df <= 100), n AS (SELECT doc_id, COUNT(*) AS n_sh FROM k GROUP BY doc_id), p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared FROM k a JOIN k b ON a.sh = b.sh AND a.doc_id < b.doc_id WHERE a.df > 1 GROUP BY 1, 2) SELECT p.doc_a, p.doc_b, p.shared, ROUND(CAST(p.shared AS DOUBLE) / LEAST(na.n_sh, nb.n_sh) * 10000, 0)/10000.0 AS containment FROM p JOIN n na ON na.doc_id = p.doc_a JOIN n nb ON nb.doc_id = p.doc_b WHERE CAST(p.shared AS DOUBLE) / LEAST(na.n_sh, nb.n_sh) >= 0.6 ORDER BY doc_a, doc_b"""
 
+  // the ARRIVAL-order funnel closed form — shared verbatim by
+  // curation_funnel_arrival and curation_funnel_inc (whose cold run IS
+  // the closed form; see Curation.incrementalCurationFunnel). Identical
+  // to curation_funnel's SQL except the quota window orders by doc_id.
+  private val curationFunnelArrivalSql =
+    """WITH base AS (SELECT doc_id, lang, source, md5(lower(trim(text))) AS digest, (length(text) >= 100 AND len(string_split(lower(trim(text)), ' ')) >= 20) AS pass_quality, CAST(CEIL(length(text)/4.0) AS BIGINT) AS tok FROM documents), d AS (SELECT *, (ROW_NUMBER() OVER (PARTITION BY digest ORDER BY doc_id) = 1) AS pass_dedup FROM base), q AS (SELECT doc_id, (ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) <= 15) AS pass_quota FROM d WHERE pass_dedup AND pass_quality), dq AS (SELECT d.doc_id, d.lang, d.tok, d.pass_dedup, d.pass_quality, COALESCE(q.pass_quota, FALSE) AS pass_quota FROM d LEFT JOIN q USING (doc_id)), b AS (SELECT doc_id, (SUM(tok) OVER (PARTITION BY lang ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) <= 5000) AS pass_budget FROM dq WHERE pass_dedup AND pass_quality AND pass_quota) SELECT dq.doc_id, dq.pass_dedup, dq.pass_quality, dq.pass_quota, COALESCE(b.pass_budget, FALSE) AS pass_budget, (dq.pass_dedup AND dq.pass_quality AND dq.pass_quota AND COALESCE(b.pass_budget, FALSE)) AS kept FROM dq LEFT JOIN b USING (doc_id) ORDER BY doc_id"""
+
   private val revenue = cents("l_extendedprice*(1-l_discount)")
 
   // exact top-k cosine per query vector — shared by ann_topk and the
@@ -226,6 +233,19 @@ object OracleSql {
     // subset-window-then-left-join shape both engines state
     "curation_funnel" ->
       """WITH base AS (SELECT doc_id, lang, source, md5(lower(trim(text))) AS digest, (length(text) >= 100 AND len(string_split(lower(trim(text)), ' ')) >= 20) AS pass_quality, CAST(CEIL(length(text)/4.0) AS BIGINT) AS tok FROM documents), d AS (SELECT *, (ROW_NUMBER() OVER (PARTITION BY digest ORDER BY doc_id) = 1) AS pass_dedup FROM base), q AS (SELECT doc_id, (ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 15) AS pass_quota FROM d WHERE pass_dedup AND pass_quality), dq AS (SELECT d.doc_id, d.lang, d.tok, d.pass_dedup, d.pass_quality, COALESCE(q.pass_quota, FALSE) AS pass_quota FROM d LEFT JOIN q USING (doc_id)), b AS (SELECT doc_id, (SUM(tok) OVER (PARTITION BY lang ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) <= 5000) AS pass_budget FROM dq WHERE pass_dedup AND pass_quality AND pass_quota) SELECT dq.doc_id, dq.pass_dedup, dq.pass_quality, dq.pass_quota, COALESCE(b.pass_budget, FALSE) AS pass_budget, (dq.pass_dedup AND dq.pass_quality AND dq.pass_quota AND COALESCE(b.pass_budget, FALSE)) AS kept FROM dq LEFT JOIN b USING (doc_id) ORDER BY doc_id""",
+
+    // the ARRIVAL-order funnel (quota ranks by doc_id, not the md5
+    // draw) — the closed form of the incremental loop, and its oracle:
+    // the only textual difference from curation_funnel is the quota
+    // window's ORDER BY
+    "curation_funnel_arrival" -> curationFunnelArrivalSql,
+
+    // the incremental funnel's COLD single-batch run IS the arrival
+    // closed form (within-batch rank + zero state offsets = the closed
+    // form's windows), so the same oracle adjudicates the whole ingest
+    // loop: the digest index probe, the quota/budget offset arithmetic,
+    // the batch-scoped state reads, and the four exactly-once appends
+    "curation_funnel_inc" -> curationFunnelArrivalSql,
 
     // funnel × cascade: the quality stage is the cascade's CASE chain
     // (quality_cascade's oracle verbatim), nested inside the funnel's

@@ -708,6 +708,16 @@ object SparkEntry {
     // quota/budget survivor subsets (composition, not annotation)
     "curation_funnel_cascade" -> ((s, d) =>
       Curation.curationFunnelCascade(Tables.documents(s, d))),
+    // arrival-order funnel — the incremental loop's closed form (quota
+    // by doc_id: a growing corpus admits slots first-come)
+    "curation_funnel_arrival" -> ((s, d) =>
+      Curation.curationFunnelArrival(Tables.documents(s, d))),
+    // the incremental funnel's cold ingest run ≡ the arrival closed form
+    // (shared oracle adjudicates the digest probe, state offsets,
+    // batch-scoped reads, and the four exactly-once appends) — the
+    // whole-pipeline growing-corpus screen (r12, curation symmetry)
+    "curation_funnel_inc" -> ((s, d) =>
+      graft.streaming.StreamOps.runCurationIngest(s, d)),
     // per-doc OOV screen against the corpus top-V vocab (total-order cut);
     // integer outputs so the compare never meets ratio rounding
     "oov_rate"        -> ((s, d) => TextAnalysis.oovRate(Tables.documents(s, d))),

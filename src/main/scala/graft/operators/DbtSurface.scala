@@ -561,14 +561,132 @@ object Curation {
       perDomain, budgetPerLang, extra = Seq("quality_fail_rule"))
   }
 
-  /** Stage machinery shared by [[curationFunnel]] and
-    * [[curationFunnelCascade]]: `base` supplies the per-doc quality
-    * verdict (plus any `extra` verdict columns to carry into the report,
-    * placed after pass_quality); the dedup window, md5-order quota rank,
-    * and blocked budget prefix sum are identical in both reports. */
+  /** [[curationFunnel]] with ARRIVAL-order (doc_id) quota semantics
+    * instead of the md5 draw — the closed form of the INCREMENTAL
+    * funnel ([[incrementalCurationFunnel]]): a growing-corpus loop
+    * admits per-source slots first-come (it cannot know a future doc's
+    * md5 rank without revising already-published verdicts), so its
+    * batch twin must state the same order. Every stage is prefix-stable
+    * under doc_id-ordered growth — first-occurrence dedup, per-doc
+    * quality, first-k-per-source quota, per-lang running budget — which
+    * is exactly what makes the union of per-batch incremental reports
+    * equal this closed form (spec-proven). Same shuffle budget and
+    * report shape as [[curationFunnel]]. */
+  def curationFunnelArrival(documents: DataFrame, perDomain: Int = 15,
+                            budgetPerLang: Long = 5000): DataFrame =
+    funnelStages(
+      documents.select(col("doc_id"), col("lang"), col("source"),
+        md5(lower(trim(col("text")))).as("__digest"),
+        (length(col("text")) >= 100 &&
+          size(graft.util.TextNorm.words(col("text"))) >= 20).as("pass_quality"),
+        graft.util.TextNorm.estTokens(col("text")).as("__tok")),
+      perDomain, budgetPerLang, extra = Nil, quotaOrder = Seq(col("doc_id")))
+
+  /** One batch of the INCREMENTAL curation funnel — the D35/D36/D47/D49
+    * growing-corpus pattern at whole-pipeline granularity, completing
+    * the family symmetry from the other side: every dedup family has an
+    * incremental screen; this is the incremental screen for the
+    * CURATION pipeline itself (a production loop publishes funnel
+    * verdicts per crawl batch; it never re-runs the corpus closed form).
+    *
+    * Persisted state, all APPEND-ONLY per-batch deltas (the caller
+    * lands each under one exactly-once tag and reads them back
+    * batch-scoped — see [[graft.streaming.StreamOps
+    * .curationIngestBatch]]):
+    *  - `seenDigests` (digest): every digest ever ingested, pass or
+    *    fail (stage 1 is non-cascading exactly like the other
+    *    incremental screens: a doc duplicating a DROPPED doc still
+    *    drops);
+    *  - `quotaCounts` (source, survivors): prior stage-1/2 survivor
+    *    counts — the quota rank offset;
+    *  - `budgetUsed` (lang, used): prior stage-1/2/3 survivors' token
+    *    sum, budget-busters included (the closed form's running sum
+    *    does not stop at the cap — once a lang busts, it stays busted).
+    *
+    * Stage semantics are [[curationFunnelArrival]]'s restricted to the
+    * batch plus broadcast prior offsets: rank-within-batch + prior
+    * count, running-sum-within-batch + prior used. Against doc_id-
+    * ordered batches the union of batch reports EQUALS the arrival
+    * closed form on the concatenated corpus (every stage is
+    * prefix-stable; spec-proven), and the cold single-batch run IS the
+    * closed form — which lets the driver's `curation_funnel_inc` share
+    * `curation_funnel_arrival`'s oracle.
+    *
+    * Scale: per batch everything shuffles batch-sized (digest window,
+    * survivor rank, blocked prefix sum); the corpus-scale read is the
+    * one-column digest probe (the D35 index-scan shape) and the state
+    * offsets are #sources/#langs rows, broadcast. Returns
+    * (report, digestDelta, quotaDelta, budgetDelta). */
+  def incrementalCurationFunnel(batch: DataFrame, seenDigests: DataFrame,
+                                quotaCounts: DataFrame, budgetUsed: DataFrame,
+                                perDomain: Int = 15, budgetPerLang: Long = 5000)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val base = batch.select(col("doc_id"), col("lang"), col("source"),
+      md5(lower(trim(col("text")))).as("__digest"),
+      (length(col("text")) >= 100 &&
+        size(graft.util.TextNorm.words(col("text"))) >= 20).as("pass_quality"),
+      graft.util.TextNorm.estTokens(col("text")).as("__tok"))
+    val byDigest = Window.partitionBy(col("__digest")).orderBy(col("doc_id"))
+    // pass_dedup = first occurrence IN THE BATCH and never seen before —
+    // the probe is a left join on the one-column index (flag, not
+    // filter: failed docs still report), batch-sized on the probe side
+    val dedup = base
+      .withColumn("__first", row_number().over(byDigest) === 1)
+      .join(seenDigests.select(col("digest").as("__digest"))
+        .distinct().withColumn("__seen", lit(true)), Seq("__digest"), "left")
+      .withColumn("pass_dedup", col("__first") && col("__seen").isNull)
+      .drop("__first", "__seen")
+    val surv = dedup.filter(col("pass_dedup") && col("pass_quality"))
+    // quota: within-batch arrival rank + broadcast prior survivor count
+    val bySourceArr = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    val quotaRank = surv.withColumn("__rk", row_number().over(bySourceArr))
+      .join(broadcast(quotaCounts.select(col("source"),
+        col("survivors").as("__prior"))), Seq("source"), "left")
+      .select(col("doc_id"), (coalesce(col("__prior"), lit(0L)) + col("__rk")
+        <= perDomain).as("pass_quota"))
+    val withQuota = dedup.join(quotaRank, Seq("doc_id"), "left")
+      .withColumn("pass_quota", coalesce(col("pass_quota"), lit(false)))
+    // budget: within-batch blocked prefix sum + broadcast prior used
+    val qpass = withQuota
+      .filter(col("pass_dedup") && col("pass_quality") && col("pass_quota"))
+    val budget = graft.util.PrefixSum.cumSum(
+        qpass.select(col("doc_id"), col("lang"), col("__tok")),
+        Seq("lang"), "doc_id", "__tok", "__cum")
+      .join(broadcast(budgetUsed.select(col("lang"), col("used").as("__used"))),
+        Seq("lang"), "left")
+      .select(col("doc_id"), (coalesce(col("__used"), lit(0L)) + col("__cum")
+        <= budgetPerLang).as("pass_budget"))
+    val report = withQuota.join(budget, Seq("doc_id"), "left")
+      .withColumn("pass_budget", coalesce(col("pass_budget"), lit(false)))
+      .select(col("doc_id"), col("pass_dedup"), col("pass_quality"),
+        col("pass_quota"), col("pass_budget"),
+        (col("pass_dedup") && col("pass_quality") && col("pass_quota") &&
+          col("pass_budget")).as("kept"))
+    // deltas: novel digests only (the read side need never distinct a
+    // replayed digest twice); FULL survivor counts and FULL quota-passer
+    // token sums — both uncapped, matching the closed form's windows
+    val digestDelta = base.select(col("__digest").as("digest")).distinct()
+      .join(seenDigests.select(col("digest")), Seq("digest"), "left_anti")
+    val quotaDelta = surv.groupBy("source")
+      .agg(count(lit(1)).as("survivors"))
+    val budgetDelta = qpass.groupBy("lang")
+      .agg(sum(col("__tok")).as("used"))
+    (report, digestDelta, quotaDelta, budgetDelta)
+  }
+
+  /** Stage machinery shared by [[curationFunnel]],
+    * [[curationFunnelCascade]] and [[curationFunnelArrival]]: `base`
+    * supplies the per-doc quality verdict (plus any `extra` verdict
+    * columns to carry into the report, placed after pass_quality) and
+    * `quotaOrder` the within-source quota order (md5 draw by default,
+    * doc_id arrival for the incremental closed form); the dedup window
+    * and blocked budget prefix sum are identical in all reports. */
   private def funnelStages(base: DataFrame, perDomain: Int,
                            budgetPerLang: Long,
-                           extra: Seq[String]): DataFrame = {
+                           extra: Seq[String],
+                           quotaOrder: Seq[org.apache.spark.sql.Column] =
+                             Seq(md5(col("doc_id").cast("string")),
+                                 col("doc_id"))): DataFrame = {
     val byDigest = Window.partitionBy(col("__digest")).orderBy(col("doc_id"))
     val dedup = base.withColumn("pass_dedup",
       row_number().over(byDigest) === 1)
@@ -576,7 +694,7 @@ object Curation {
     // survivors-only window (rank over a filtered self would lose the
     // non-survivor rows, so rank the survivor subset and join it back)
     val bySource = Window.partitionBy(col("source"))
-      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .orderBy(quotaOrder: _*)
     val quotaRank = dedup.filter(col("pass_dedup") && col("pass_quality"))
       .withColumn("__rk", row_number().over(bySource))
       .select(col("doc_id"), (col("__rk") <= perDomain).as("pass_quota"))

@@ -792,6 +792,91 @@ object StreamOps {
       TxLogFormat.read(spark, pairsTable).orderBy("doc_a", "doc_b"), tmpRoot)
   }
 
+  /** One micro-batch of the streaming CURATION-FUNNEL ingest loop — the
+    * whole-pipeline incremental screen ([[graft.operators.DbtSurface
+    * .Curation.incrementalCurationFunnel]]): each crawl batch publishes
+    * its per-doc stage verdicts against the corpus-so-far, maintained
+    * through three APPEND-ONLY state tables (digest index, per-source
+    * survivor-count deltas, per-lang budget-used deltas).
+    *
+    * Crash-replay story (stronger than commit ordering): every state
+    * row carries its batch_id and every READ is batch-scoped
+    * (`batch_id < id`), so a replayed batch recomputes against the
+    * IDENTICAL pre-state no matter which subset of the four commits
+    * survived the crash — the recomputed deltas are bit-equal and the
+    * exactly-once tags skip the already-committed tables. (The merge-
+    * maintained ingest loops get this from idempotent set-union merges;
+    * append-only deltas buy it structurally, and keep the per-batch
+    * write #sources/#langs-sized. A 100 TB deployment compacts old
+    * deltas under a compaction batch's own tag.) */
+  def curationIngestBatch(reportTable: String, digestTable: String,
+                          quotaTable: String, budgetTable: String,
+                          perDomain: Int = 15, budgetPerLang: Long = 5000)
+                         (b: DataFrame, id: Long): Unit = {
+    import graft.sources.TxLogFormat
+    val spark = b.sparkSession
+    val batch = b.select(col("doc_id"), col("text"), col("lang"),
+      col("source")).localCheckpoint()
+    def state(path: String, empty: DataFrame): DataFrame =
+      if (TxLogFormat.versions(path).isEmpty) empty
+      else TxLogFormat.read(spark, path).filter(col("batch_id") < id)
+    val seen = state(digestTable, spark.range(0)
+      .select(col("id").cast("string").as("digest"), col("id").as("batch_id")))
+    val quotaCounts = state(quotaTable, spark.range(0)
+        .select(col("id").cast("string").as("source"),
+          col("id").as("survivors"), col("id").as("batch_id")))
+      .groupBy("source").agg(sum("survivors").as("survivors"))
+    val budgetUsed = state(budgetTable, spark.range(0)
+        .select(col("id").cast("string").as("lang"), col("id").as("used"),
+          col("id").as("batch_id")))
+      .groupBy("lang").agg(sum("used").as("used"))
+    val (report, dDelta, qDelta, bDelta) =
+      graft.operators.Curation.incrementalCurationFunnel(
+        batch, seen.select("digest"), quotaCounts, budgetUsed,
+        perDomain, budgetPerLang)
+    val appId = "graft_curation_ingest"
+    TxLogFormat.appendBatch(report.localCheckpoint(), reportTable, appId, id)
+    TxLogFormat.appendBatch(
+      dDelta.withColumn("batch_id", lit(id)).localCheckpoint(),
+      digestTable, appId, id)
+    TxLogFormat.appendBatch(
+      qDelta.withColumn("batch_id", lit(id)).localCheckpoint(),
+      quotaTable, appId, id)
+    TxLogFormat.appendBatch(
+      bDelta.withColumn("batch_id", lit(id)).localCheckpoint(),
+      budgetTable, appId, id)
+    ()
+  }
+
+  /** Driver query: AvailableNow over the documents source drives
+    * [[curationIngestBatch]] from a cold corpus — one batch with empty
+    * state IS [[graft.operators.DbtSurface.Curation
+    * .curationFunnelArrival]] (within-batch rank + zero offsets = the
+    * closed form's windows), so `curation_funnel_inc` shares
+    * `curation_funnel_arrival`'s oracle; the spec's 2-batch
+    * MemoryStream covers cross-batch dedup/quota/budget carry and
+    * replay. */
+  def runCurationIngest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxLogFormat
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_cfingest_")
+    val reportTable = tmpRoot.resolve("report").toString
+    val digestTable = tmpRoot.resolve("digests").toString
+    val quotaTable = tmpRoot.resolve("quota").toString
+    val budgetTable = tmpRoot.resolve("budget").toString
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val q = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .writeStream
+      .foreachBatch(curationIngestBatch(reportTable, digestTable,
+        quotaTable, budgetTable) _)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    handoffAndClean(
+      TxLogFormat.read(spark, reportTable).orderBy("doc_id"), tmpRoot)
+  }
+
   /** One micro-batch of the streaming IVF-index ingest loop — ANN index
     * maintenance for a GROWING vector corpus (the embedding analogue of
     * [[neardupIngestBatch]]'s band index):

@@ -453,6 +453,34 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("arrival funnel: quota admits first-come by doc_id where the md5 " +
+       "funnel draws — pinned on ids whose md5 order inverts arrival") {
+    import spark.implicits._
+    def clean(tag: String): String =
+      (1 to 25).map(i => s"${tag}word$i").mkString(" ")
+    // md5("4") = a87f… sorts FIRST among {"1","2","4"} (md5("1") = c4ca…,
+    // md5("2") = c81e…): the md5 draw keeps {4, 1}, arrival keeps {1, 2}
+    // — a deterministic divergence, no hash luck
+    val docs = Seq(
+      (1L, clean("a"), "en", "s"), (2L, clean("b"), "en", "s"),
+      (4L, clean("c"), "en", "s")).toDF("doc_id", "text", "lang", "source")
+    def quotaPassers(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.collect().filter(_.getBoolean(3)).map(_.getLong(0)).toSet
+    assert(quotaPassers(Curation.curationFunnelArrival(docs, perDomain = 2,
+      budgetPerLang = 100000)) == Set(1L, 2L))
+    assert(quotaPassers(Curation.curationFunnel(docs, perDomain = 2,
+      budgetPerLang = 100000)) == Set(4L, 1L))
+    // full verdict re-derivation, plain Scala: one source, arrival order
+    val got = Curation.curationFunnelArrival(docs, perDomain = 2,
+        budgetPerLang = 100000).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2),
+        r.getBoolean(3), r.getBoolean(4), r.getBoolean(5))).toMap
+    assert(got == Map(
+      1L -> (true, true, true, true, true),
+      2L -> (true, true, true, true, true),
+      4L -> (true, true, false, false, false)), got.toString)
+  }
+
   test("oov rate: hand corpus pins the top-V cut (total-order ties), the " +
        "oov split, and the all-integer output") {
     import spark.implicits._

@@ -385,6 +385,65 @@ class StreamingSpec extends SparkSpec {
     assert(pairs == closed && pairs.nonEmpty, s"$pairs vs $closed")
   }
 
+  test("streaming CURATION-FUNNEL ingest: cross-batch dedup/quota/budget " +
+       "carry, union == arrival closed form, cold == closed form, " +
+       "replay-safe") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    import graft.sources.TxLogFormat
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_cfingest_spec")
+    val (repT, digT, quoT, budT) = (root.resolve("report").toString,
+      root.resolve("digests").toString, root.resolve("quota").toString,
+      root.resolve("budget").toString)
+    def clean(tag: String): String =
+      (1 to 25).map(i => s"${tag}word$i").mkString(" ")
+    val tok = (t: String) => math.ceil(t.length / 4.0).toLong
+    // budget fits exactly docs 1 and 3 in lang en: batch-1's doc 12 (the
+    // FIRST en quota-passer of its batch) must bust on CARRIED state
+    val cap = tok(clean("a")) + tok(clean("b"))
+    val b0 = Seq((1L, clean("a"), "en", "s1"), (2L, clean("a"), "en", "s1"),
+                 (3L, clean("b"), "en", "s1"))
+    val b1 = Seq((10L, clean("c"), "en", "s1"), // s1 slots full -> quota ✗
+                 (11L, clean("a"), "en", "s2"), // digest carried -> dedup ✗
+                 (12L, clean("d"), "en", "s2")) // quota ✓, budget carried ✗
+    val ingest = StreamOps.curationIngestBatch(repT, digT, quoT, budT,
+      perDomain = 2, budgetPerLang = cap) _
+    val input = MemoryStream[(Long, String, String, String)]
+    val q = input.toDF().toDF("doc_id", "text", "lang", "source")
+      .writeStream.foreachBatch(ingest).start()
+    try {
+      input.addData(b0); q.processAllAvailable()
+      // cold single batch == the arrival closed form (the driver-query
+      // contract that lets curation_funnel_inc share the arrival oracle)
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2),
+          r.getBoolean(3), r.getBoolean(4), r.getBoolean(5))).toMap
+      val cold = rows(TxLogFormat.read(spark, repT))
+      val closed0 = rows(graft.operators.Curation.curationFunnelArrival(
+        b0.toDF("doc_id", "text", "lang", "source"), 2, cap))
+      assert(cold == closed0, s"$cold vs $closed0")
+      assert(cold(2L) == ((false, true, false, false, false)), cold.toString)
+      input.addData(b1); q.processAllAvailable()
+      val got = rows(TxLogFormat.read(spark, repT))
+      // every carried-state verdict lands as constructed
+      assert(got(10L) == ((true, true, false, false, false)), got.toString)
+      assert(got(11L) == ((false, true, false, false, false)), got.toString)
+      assert(got(12L) == ((true, true, true, false, false)), got.toString)
+      // union of per-batch reports == the arrival closed form on the
+      // concatenated corpus (every stage is prefix-stable)
+      val closed = rows(graft.operators.Curation.curationFunnelArrival(
+        (b0 ++ b1).toDF("doc_id", "text", "lang", "source"), 2, cap))
+      assert(got == closed, s"$got vs $closed")
+    } finally q.stop()
+    // replay: a committed batch id is a strict no-op on ALL FOUR tables
+    val vs = Seq(repT, digT, quoT, budT).map(TxLogFormat.versions(_).size)
+    ingest(Seq((99L, clean("z"), "en", "s9"))
+      .toDF("doc_id", "text", "lang", "source"), 0L)
+    assert(Seq(repT, digT, quoT, budT).map(TxLogFormat.versions(_).size) == vs,
+      "replayed batch id must not commit")
+  }
+
   test("streaming IVF ingest: cold build, incremental assign, drift-gated " +
        "retrain, vec_id conservation, replay-safe") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
