@@ -441,6 +441,13 @@ object OracleSql {
 
     // exponent rendered from the same Scala double the operator uses
     // (1 - alpha), so both engines pow() identical inputs
+    // DSIR importance selection: the bucket log-ratio is rounded to
+    // integer micro-nats ONCE per bucket (the only float op, identical
+    // doubles in identical operation order), so per-doc scores are exact
+    // integer sums and the whole report compares with no float seam
+    "dsir_select" ->
+      """WITH t AS (SELECT doc_id, (lang = 'en') AS tgt FROM documents), w AS (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS word FROM documents), b AS (SELECT doc_id, CAST(('0x' || substr(md5(word), 1, 6)) AS BIGINT) % 4096 AS b FROM w WHERE word <> ''), bt AS (SELECT b.doc_id, b.b, t.tgt FROM b JOIN t USING (doc_id)), cnt AS (SELECT b, SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct, COUNT(*) AS cr FROM bt GROUP BY b), tot AS (SELECT SUM(ct) AS nt, SUM(cr) AS nr FROM cnt), wt AS (SELECT b, CAST(ROUND(ln(((ct + 1.0) * (nr + 4096)) / ((cr + 1.0) * (nt + 4096))) * 1000000.0, 0) AS BIGINT) AS w_unats FROM cnt CROSS JOIN tot), s AS (SELECT bt.doc_id, COUNT(*) AS n_words, CAST(SUM(wt.w_unats) AS BIGINT) AS score_unats FROM bt JOIN wt USING (b) WHERE NOT bt.tgt GROUP BY bt.doc_id), r AS (SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, score_unats, CAST(ROW_NUMBER() OVER (ORDER BY score_unats DESC, doc_id) AS BIGINT) AS rank FROM s) SELECT doc_id, n_words, score_unats, rank FROM r WHERE rank <= 100 ORDER BY rank""",
+
     "source_sample_temp" ->
       s"""WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source), m AS (SELECT MIN(n_docs) AS n_min FROM c), r AS (SELECT source, CAST(ROUND(POWER(CAST(n_min AS DOUBLE)/n_docs, ${1 - 0.7})*10000, 0) AS BIGINT) AS rate_bp FROM c, m) SELECT d.doc_id, d.source, r.rate_bp/10000.0 AS keep_rate FROM documents d JOIN r ON d.source = r.source WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6)) AS BIGINT) * 10000 < r.rate_bp * 16777216 ORDER BY d.doc_id""",
 

@@ -722,6 +722,12 @@ object SparkEntry {
     // integer outputs so the compare never meets ratio rounding
     "oov_rate"        -> ((s, d) => TextAnalysis.oovRate(Tables.documents(s, d))),
     "source_sample_temp" -> ((s, d) => Curation.temperatureSample(Tables.documents(s, d))),
+    // DSIR importance selection: top-k non-English-target candidates by
+    // hashed-unigram target-likeness, all-integer scores (micro-nats)
+    "dsir_select" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      Curation.dsirSelect(Tables.documents(s, d), col("lang") === "en")
+    }),
     // explicit data-recipe mixing: target weight parsed from the source id
     // (srcN -> 1 + N%4) so the expression works at every scale factor
     "target_mix_sample" -> ((s, d) => {

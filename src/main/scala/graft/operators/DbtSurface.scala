@@ -893,6 +893,68 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** DSIR-style importance SELECTION (Xie et al. 2023, arXiv:2302.03169
+    * "Data Selection for Language Models via Importance Resampling"):
+    * pick the `k` candidate docs whose hashed-unigram distribution looks
+    * most like a TARGET slice of the corpus — CONTENT-based selection,
+    * where [[temperatureSample]]/[[targetMixSample]] rebalance only by
+    * the source LABEL. The deterministic engine-portable reformulation
+    * of the paper's machinery:
+    *
+    *  - feature hashing: bucket(word) = 24-bit md5 integer (the
+    *    engine's draw convention) mod `numBuckets` — no tokenizer
+    *    state, identical in both engines;
+    *  - bucket log-ratios in integer MICRO-NATS: w(b) = round(1e6 ·
+    *    ln((ct+1)(Nr+B) / ((cr+1)(Nt+B)))) as a long, computed ONCE per
+    *    bucket (B rows), so per-doc scores are exact integer sums —
+    *    associative, partitioning-independent, and oracle-comparable
+    *    with no float-summation seam (the ln itself is the only float
+    *    op, rounded at a fixed scale on identical doubles);
+    *  - selection: top-k candidates (docs NOT in the target — the
+    *    paper's raw pool) under the (score desc, doc_id) TOTAL order —
+    *    a distributed TakeOrderedAndProject, the paper's "top-k
+    *    variant" of gumbel resampling (no RNG state, reproducible).
+    *
+    * Shuffle budget: one B-bucket count aggregate (map-side combined),
+    * a 1-row totals broadcast, a B-row weight broadcast joined back to
+    * the scan-side occurrence frame, one per-doc aggregate, and the
+    * top-k — the corpus text never rides an exchange twice. Wordless
+    * docs have no occurrences and never rank. Output:
+    * (doc_id, n_words, score_unats, rank), all integers. */
+  def dsirSelect(documents: DataFrame,
+                 targetPred: org.apache.spark.sql.Column,
+                 k: Int = 100, numBuckets: Int = 4096): DataFrame = {
+    // the target flag rides the scan (a per-doc predicate, evaluated
+    // before the explode) — no docs-frame join back onto the
+    // occurrence frame
+    val withTgt = documents
+      .select(col("doc_id"), targetPred.as("__tgt"),
+        explode(graft.util.TextNorm.words(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .select(col("doc_id"), col("__tgt"),
+        (conv(substring(md5(col("word")), 1, 6), 16, 10).cast("long")
+          % numBuckets).as("b"))
+    val cnt = withTgt.groupBy("b").agg(
+      sum(when(col("__tgt"), 1L).otherwise(0L)).as("ct"),
+      count(lit(1)).as("cr"))
+    val tot = cnt.agg(sum("ct").as("nt"), sum("cr").as("nr"))
+    // the double products are exact below 2^53 and IEEE-identical above
+    // it (same longs, same operation order in both engines)
+    val weights = cnt.crossJoin(broadcast(tot))
+      .select(col("b"), round(log(
+        ((col("ct") + 1.0) * (col("nr") + numBuckets)) /
+          ((col("cr") + 1.0) * (col("nt") + numBuckets))) * 1e6, 0)
+        .cast("long").as("w_unats"))
+    val scores = withTgt.filter(!col("__tgt"))
+      .join(broadcast(weights), Seq("b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("w_unats")).as("score_unats"))
+    val top = scores.orderBy(col("score_unats").desc, col("doc_id")).limit(k)
+    // rank over k rows only (the limit already cut under the total order)
+    top.withColumn("rank", row_number().over(
+      Window.orderBy(col("score_unats").desc, col("doc_id"))))
+  }
+
   /** Deterministic train/val/test split — the first step of every training
     * pipeline, engine-portable and reshuffle-proof: each doc's 24-bit
     * md5(doc_id) draw lands in [0, 0.8) → train, [0.8, 0.9) → val,

@@ -481,6 +481,51 @@ class OperatorsSpec extends SparkSpec {
       4L -> (true, true, false, false, false)), got.toString)
   }
 
+  test("dsir select: plain-Scala re-derivation of the hashed-bucket " +
+       "micro-nat scores; target-like candidates outrank disjoint ones; " +
+       "wordless docs never rank") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "apple banana cherry", "en", "s"),
+      (2L, "apple apple banana", "en", "s"),
+      (3L, "apple banana", "de", "s"),      // shares the target vocabulary
+      (4L, "xylophone quartz", "de", "s"),  // disjoint from it
+      (5L, "", "de", "s"))                  // wordless: no occurrences
+    val docs = rows.toDF("doc_id", "text", "lang", "source")
+    val B = 4096
+    // the operator's arithmetic, re-derived with no Spark in the loop
+    def bucket(w: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8")).take(3).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d, 16) % B
+    }
+    val occ = rows.flatMap { case (id, t, lang, _) =>
+      t.toLowerCase.trim.split(" ").filter(_.nonEmpty)
+        .map(w => (id, bucket(w), lang == "en")) }
+    val cnt = occ.groupBy(_._2).map { case (b, os) =>
+      b -> (os.count(_._3).toLong, os.size.toLong) }
+    val (nt, nr) = (cnt.values.map(_._1).sum, cnt.values.map(_._2).sum)
+    def unats(ct: Long, cr: Long): Long =
+      BigDecimal(math.log(((ct + 1.0) * (nr + B)) / ((cr + 1.0) * (nt + B)))
+          * 1e6)
+        .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
+    val want = occ.filter(!_._3).groupBy(_._1).map { case (id, os) =>
+      id -> (os.size.toLong,
+        os.map(o => { val (ct, cr) = cnt(o._2); unats(ct, cr) }).sum) }
+      .toSeq.sortBy { case (id, (_, s)) => (-s, id) }.zipWithIndex
+      .map { case ((id, (n, s)), i) => (id, n, s, i + 1) }
+    val got = Curation.dsirSelect(docs, col("lang") === "en").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSeq.sortBy(_._4)
+    assert(got == want, s"$got vs $want")
+    val byId = got.map(g => g._1 -> g).toMap
+    assert(byId(3L)._3 > byId(4L)._3 && byId(3L)._4 == 1,
+      "the target-vocab candidate must outrank the disjoint one")
+    assert(byId(4L)._3 < 0, "a fully-disjoint candidate scores negative")
+    assert(!byId.contains(5L) && !byId.contains(1L) && !byId.contains(2L),
+      "wordless and target docs never rank")
+  }
+
   test("oov rate: hand corpus pins the top-V cut (total-order ties), the " +
        "oov split, and the all-integer output") {
     import spark.implicits._
