@@ -436,6 +436,12 @@ object OracleSql {
     "repetition_score" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS word FROM documents), c AS (SELECT doc_id, word, COUNT(*) AS n FROM w GROUP BY 1, 2), t AS (SELECT doc_id, MAX(n) AS topn, SUM(n) AS total, COUNT(*) AS n_distinct FROM c GROUP BY 1), r AS (SELECT doc_id, ROUND(CAST(topn AS DOUBLE)/total*10000, 0)/10000.0 AS top_word_frac, ROUND((1.0 - CAST(n_distinct AS DOUBLE)/total)*10000, 0)/10000.0 AS dup_word_frac FROM t) SELECT doc_id, top_word_frac, dup_word_frac, CASE WHEN top_word_frac > 0.2 OR dup_word_frac > 0.5 THEN 'repetitive' ELSE 'ok' END AS rep_flag FROM r ORDER BY doc_id""",
 
+    // Gopher n-gram repetition char fractions: top = the (count desc,
+    // gram asc) total-order pick, dup = all grams with count >= 2;
+    // round4'd ratios of exact integers over the normalized-text length
+    "repetition_ngrams" ->
+      """WITH d AS (SELECT doc_id, list_filter(string_split(lower(trim(text)), ' '), x -> x <> '') AS w FROM documents), b AS (SELECT doc_id, w, length(array_to_string(w, ' ')) AS n_chars FROM d), nn AS (SELECT UNNEST([2, 3, 4]) AS n), g AS (SELECT b.doc_id, nn.n, b.n_chars, UNNEST(list_transform(range(1, len(b.w) - nn.n + 2), i -> array_to_string(b.w[i:i+nn.n-1], ' '))) AS gram FROM b CROSS JOIN nn WHERE len(b.w) >= nn.n), c AS (SELECT doc_id, n, n_chars, gram, COUNT(*) AS c FROM g GROUP BY doc_id, n, n_chars, gram), t AS (SELECT doc_id, n, c * length(gram) AS top_chars FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, n ORDER BY c DESC, gram) AS rk FROM c) WHERE rk = 1), dd AS (SELECT doc_id, n, CAST(COALESCE(SUM(CASE WHEN c >= 2 THEN c * length(gram) END), 0) AS BIGINT) AS dup_chars FROM c GROUP BY doc_id, n), u AS (SELECT b.doc_id, nn.n, b.n_chars FROM b CROSS JOIN nn) SELECT u.doc_id, u.n, CASE WHEN u.n_chars > 0 THEN ROUND((CAST(COALESCE(t.top_chars, 0) AS DOUBLE) / u.n_chars) * 10000, 0)/10000.0 ELSE 0.0 END AS top_frac, CASE WHEN u.n_chars > 0 THEN ROUND((CAST(COALESCE(dd.dup_chars, 0) AS DOUBLE) / u.n_chars) * 10000, 0)/10000.0 ELSE 0.0 END AS dup_frac FROM u LEFT JOIN t ON u.doc_id = t.doc_id AND u.n = t.n LEFT JOIN dd ON u.doc_id = dd.doc_id AND u.n = dd.n ORDER BY u.doc_id, u.n""",
+
     "corpus_curation" ->
       """WITH s AS (SELECT doc_id, lang, regexp_replace(regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'), '\+?[0-9][0-9() -]{6,}[0-9]', '<PHONE>', 'g') AS t FROM documents), g AS (SELECT * FROM s WHERE length(t) >= 100 AND len(string_split(lower(trim(t)), ' ')) >= 20), d AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(lower(trim(t))) ORDER BY doc_id) AS rn FROM g), sv AS (SELECT doc_id, lang, CAST(CEIL(length(t)/4.0) AS BIGINT) AS est_tokens FROM d WHERE rn = 1), c AS (SELECT doc_id, lang, est_tokens, SUM(est_tokens) OVER (PARTITION BY lang ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens FROM sv) SELECT doc_id, lang, est_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens FROM c WHERE cum_tokens <= 5000 ORDER BY lang, doc_id""",
 

@@ -689,6 +689,10 @@ object SparkEntry {
     "doc_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
     "pii_scrub"       -> ((s, d) => TextAnalysis.piiScrub(Tables.documents(s, d))),
     "repetition_score" -> ((s, d) => TextAnalysis.repetitionScore(Tables.documents(s, d))),
+    // Gopher n-gram repetition char fractions (top + duplicated n-grams,
+    // n=2..4) — catches looping boilerplate the unigram signals miss
+    "repetition_ngrams" -> ((s, d) =>
+      TextAnalysis.repetitionNgrams(Tables.documents(s, d))),
     "source_mix"      -> ((s, d) => Curation.sourceMix(Tables.documents(s, d))),
     // per-domain cap under a deterministic md5 order (CCNet-style): both
     // engines state the same hash, so the SAMPLE ITSELF is adjudicated,

@@ -242,6 +242,71 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Gopher-style n-gram repetition CHARACTER fractions (Rae et al. 2021
+    * §A1.1, the filter family D18's word-level signals approximate from
+    * above): per doc and per n ∈ `ns`, the fraction of normalized-text
+    * characters covered by (a) the most frequent word n-gram
+    * (`top_frac`, count × chars / n_chars — Gopher's exact definition
+    * for the top 2-4-gram signal) and (b) ALL duplicated n-grams
+    * (`dup_frac`, Σ_{count≥2} count × chars / n_chars — duplicate
+    * n-gram MASS: overlapping occurrences double-count, so it
+    * upper-bounds Gopher's span-union coverage and can exceed 1 on
+    * degenerate loops; the mass form is the associative one — exact
+    * span-union coverage needs order-dependent per-position marking
+    * that doesn't partial-aggregate, and a threshold screen ranks the
+    * same either way). These catch looping boilerplate D18's unigram
+    * view cannot (a doc cycling "click here to subscribe" repeats no
+    * single WORD unusually often). "Top" is the (count desc, gram asc)
+    * TOTAL order, so ties cannot flip chars between engines; fractions
+    * are round4'd ratios of exact integers.
+    *
+    * Shape: the per-n gram frames union into ONE corpus-scale exchange
+    * (groupBy (doc, n, gram) with map-side combine — same budget as
+    * D45's word shuffle, ×|ns| volume), then a second metadata-scale
+    * aggregation folds top and dup per (doc, n): the top pick rides a
+    * `min(struct(-count, gram))` — no window sort, partial-agg
+    * friendly. Every (doc, n) reports (zeros when the doc is shorter
+    * than n words), so the report is a total screen. */
+  def repetitionNgrams(documents: DataFrame,
+                       ns: Seq[Int] = Seq(2, 3, 4)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1))
+    val wNonEmpty = filter(words, w => w =!= "")
+    val base = documents.select(col("doc_id"), wNonEmpty.as("w"))
+      .withColumn("n_chars", length(array_join(col("w"), " ")))
+    val grams = ns.map { n =>
+      base.filter(size(col("w")) >= n)
+        .select(col("doc_id"), lit(n).as("n"), col("n_chars"),
+          explode(transform(sequence(lit(0), size(col("w")) - n), i =>
+            concat_ws(" ", (0 until n).map(j =>
+              element_at(col("w"), i + j + 1)): _*))).as("gram"))
+    }.reduce(_ unionByName _)
+    val counts = grams.groupBy("doc_id", "n", "n_chars", "gram")
+      .agg(count(lit(1)).as("c"))
+    // min(struct(-c, gram)) IS the (c desc, gram asc) argmin — one
+    // partial-aggregable fold instead of a window sort over every gram
+    val agg = counts.groupBy("doc_id", "n", "n_chars").agg(
+      min(struct((-col("c")).as("nc"), col("gram").as("g"))).as("top"),
+      coalesce(sum(when(col("c") >= 2, col("c") * length(col("gram")))),
+        lit(0L)).as("dup_chars"))
+      .select(col("doc_id"), col("n"), col("n_chars"),
+        ((-col("top.nc")) * length(col("top.g"))).as("top_chars"),
+        col("dup_chars"))
+    // every (doc, n) reports — docs shorter than n words score zero
+    val universe = documents.select(col("doc_id"),
+        length(array_join(wNonEmpty, " ")).as("n_chars"))
+      .select(col("doc_id"), col("n_chars"),
+        explode(typedLit(ns)).as("n"))
+    universe.join(agg.drop("n_chars"), Seq("doc_id", "n"), "left")
+      .select(col("doc_id"), col("n").cast("int").as("n"),
+        when(col("n_chars") > 0, round4(
+          coalesce(col("top_chars"), lit(0L)).cast("double") / col("n_chars")))
+          .otherwise(0.0).as("top_frac"),
+        when(col("n_chars") > 0, round4(
+          coalesce(col("dup_chars"), lit(0L)).cast("double") / col("n_chars")))
+          .otherwise(0.0).as("dup_frac"))
+      .orderBy("doc_id", "n")
+  }
+
   /** PII scrubbing: masks emails, IPv4 addresses, and phone-like digit
     * runs with typed placeholders — the standard redaction pass before a
     * corpus ships to training. A chain of three regexp_replace calls →

@@ -526,6 +526,42 @@ class OperatorsSpec extends SparkSpec {
       "wordless and target docs never rank")
   }
 
+  test("repetition ngrams: hand corpus pins the top pick (count desc, " +
+       "gram asc ties), the dup mass, short-doc zeros, and overlap " +
+       "double-count semantics") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a b"), // loop: every signal fires, dup mass > 1
+      (2L, "x y z w"),     // all-distinct: dup 0, top = count-1 pick
+      (3L, "q"),           // shorter than every n: all zeros
+      (4L, ""),            // wordless: n_chars 0 -> zeros, no div-by-0
+      (6L, "a bb ccc"))    // count tie, different gram LENGTHS: asc pick
+      .toDF("doc_id", "text")
+    def r4(x: Double): Double = math.round(x * 10000) / 10000.0
+    val got = TextAnalysis.repetitionNgrams(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    val want = Map(
+      // doc 1: n_chars 11; 2-grams "a b"x3 "b a"x2 -> top 9/11, dup 15/11;
+      // 3-grams "a b a"x2 "b a b"x2 -> top (2,"a b a") 10/11, dup 20/11;
+      // 4-grams "a b a b"x2 "b a b a"x1 -> top 14/11, dup 14/11
+      (1L, 2) -> (r4(9.0 / 11), r4(15.0 / 11)),
+      (1L, 3) -> (r4(10.0 / 11), r4(20.0 / 11)),
+      (1L, 4) -> (r4(14.0 / 11), r4(14.0 / 11)),
+      // doc 2: n_chars 7; ties at count 1 pick "x y" (asc) -> 3/7; dup 0
+      (2L, 2) -> (r4(3.0 / 7), 0.0),
+      (2L, 3) -> (r4(5.0 / 7), 0.0),
+      (2L, 4) -> (1.0, 0.0),
+      (3L, 2) -> (0.0, 0.0), (3L, 3) -> (0.0, 0.0), (3L, 4) -> (0.0, 0.0),
+      (4L, 2) -> (0.0, 0.0), (4L, 3) -> (0.0, 0.0), (4L, 4) -> (0.0, 0.0),
+      // doc 6: n_chars 8; 2-gram tie "a bb"(4) vs "bb ccc"(6): the asc
+      // pick is the SHORT one -> 4/8, not 6/8 (pins the tiebreak)
+      (6L, 2) -> (0.5, 0.0),
+      (6L, 3) -> (1.0, 0.0),
+      (6L, 4) -> (0.0, 0.0))
+    assert(got == want, s"got $got\nwant $want")
+  }
+
   test("oov rate: hand corpus pins the top-V cut (total-order ties), the " +
        "oov split, and the all-integer output") {
     import spark.implicits._

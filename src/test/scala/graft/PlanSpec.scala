@@ -547,4 +547,37 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"vocab membership did not broadcast:\n$plan")
   }
+
+  test("dsir select: candidate filter pushed to the scan, weights " +
+       "broadcast, top-k bounded (TakeOrderedAndProject, no global sort)") {
+    val df = Curation.dsirSelect(Tables.documents(spark, sf),
+      col("lang") === "en")
+    val plan = explained(df)
+    // the NOT-target predicate must reach the candidate-side parquet scan
+    assert(plan.contains("PushedFilters: [IsNotNull(lang), Not(EqualTo(lang,en))]"),
+      s"candidate filter not pushed:\n$plan")
+    // the B-row weight table broadcasts onto the scan-side occurrence
+    // frame; the corpus must never shuffle against it
+    assert(plan.contains("BroadcastHashJoin"),
+      s"weights did not broadcast:\n$plan")
+    // the k-cut is a distributed bounded top-k, not a global sort of
+    // every candidate score
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"selection plans as a global sort:\n$plan")
+  }
+
+  test("incremental curation funnel: state offsets broadcast — the batch " +
+       "never shuffles against the quota/budget tables") {
+    import spark.implicits._
+    val batch = Seq((1L, (1 to 25).map(i => s"w$i").mkString(" "), "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val seen = Seq("d0").toDF("digest")
+    val qc = Seq(("s", 1L)).toDF("source", "survivors")
+    val bu = Seq(("en", 10L)).toDF("lang", "used")
+    val (report, _, _, _) = Curation.incrementalCurationFunnel(
+      batch, seen, qc, bu)
+    val plan = explained(report)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"state offsets did not broadcast:\n$plan")
+  }
 }
