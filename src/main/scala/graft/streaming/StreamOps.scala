@@ -807,8 +807,8 @@ object StreamOps {
     * exactly-once tags skip the already-committed tables. (The merge-
     * maintained ingest loops get this from idempotent set-union merges;
     * append-only deltas buy it structurally, and keep the per-batch
-    * write #sources/#langs-sized. A 100 TB deployment compacts old
-    * deltas under a compaction batch's own tag.) */
+    * write #sources/#langs-sized; [[compactCurationState]] folds old
+    * deltas to one row per key behind the committed watermark.) */
   def curationIngestBatch(reportTable: String, digestTable: String,
                           quotaTable: String, budgetTable: String,
                           perDomain: Int = 15, budgetPerLang: Long = 5000)
@@ -846,6 +846,33 @@ object StreamOps {
       bDelta.withColumn("batch_id", lit(id)).localCheckpoint(),
       budgetTable, appId, id)
     ()
+  }
+
+  /** Compact the incremental funnel's append-only state tables: fold
+    * all committed deltas into ONE row per key (per-key max batch_id —
+    * any value ≤ the committed watermark preserves every future
+    * batch-scoped read, since a batch with id > watermark filters
+    * `batch_id < id` and sums are associative), digests to their
+    * distinct set. Each table flips in one atomic [[graft.sources
+    * .TxLogFormat.replace]] commit, so readers see pre- or
+    * post-compaction state, never a mix — and the NEXT batch's verdicts
+    * are bit-identical either way (spec-proven). Run it BEHIND the
+    * stream's committed watermark (a batch id the checkpoint has
+    * passed): committed ids never re-execute, so no replay can observe
+    * the folded rows under a smaller id. This is what keeps D54's state
+    * metadata-scale FOREVER, not just per-batch: #sources + #langs +
+    * #digests rows after every compaction, however many batches ran. */
+  def compactCurationState(spark: SparkSession, digestTable: String,
+                           quotaTable: String, budgetTable: String): Unit = {
+    import graft.sources.TxLogFormat
+    def fold(path: String)(f: DataFrame => DataFrame): Unit =
+      if (TxLogFormat.versions(path).nonEmpty)
+        TxLogFormat.replace(spark, f(TxLogFormat.read(spark, path)), path)
+    fold(quotaTable)(_.groupBy("source").agg(
+      sum("survivors").as("survivors"), max("batch_id").as("batch_id")))
+    fold(budgetTable)(_.groupBy("lang").agg(
+      sum("used").as("used"), max("batch_id").as("batch_id")))
+    fold(digestTable)(_.groupBy("digest").agg(max("batch_id").as("batch_id")))
   }
 
   /** Driver query: AvailableNow over the documents source drives

@@ -435,6 +435,22 @@ class StreamingSpec extends SparkSpec {
       val closed = rows(graft.operators.Curation.curationFunnelArrival(
         (b0 ++ b1).toDF("doc_id", "text", "lang", "source"), 2, cap))
       assert(got == closed, s"$got vs $closed")
+      // compact BEHIND the committed watermark: state folds to one row
+      // per key, and the NEXT batch's verdicts must be bit-identical
+      StreamOps.compactCurationState(spark, digT, quoT, budT)
+      assert(TxLogFormat.read(spark, quoT).count() == 2)   // s1, s2
+      assert(TxLogFormat.read(spark, budT).count() == 1)   // en
+      assert(TxLogFormat.read(spark, digT).count() == 4)   // a b c d
+      val b2 = Seq((20L, clean("e"), "en", "s2"), // quota ✓ (s2 rank 2),
+                                                  // budget carried ✗
+                   (21L, clean("b"), "de", "s3")) // digest carried ✗
+      input.addData(b2); q.processAllAvailable()
+      val got2 = rows(TxLogFormat.read(spark, repT))
+      assert(got2(20L) == ((true, true, true, false, false)), got2.toString)
+      assert(got2(21L) == ((false, true, false, false, false)), got2.toString)
+      val closed2 = rows(graft.operators.Curation.curationFunnelArrival(
+        (b0 ++ b1 ++ b2).toDF("doc_id", "text", "lang", "source"), 2, cap))
+      assert(got2 == closed2, s"$got2 vs $closed2")
     } finally q.stop()
     // replay: a committed batch id is a strict no-op on ALL FOUR tables
     val vs = Seq(repT, digT, quoT, budT).map(TxLogFormat.versions(_).size)
