@@ -79,11 +79,7 @@ object Bench {
     // it flows into shuffle_partitions (which rejects it) and into the env
     // JSON unquoted (which would make the whole artifact unparseable —
     // silently breaking adjudication tooling on a valid input).
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
-      Runtime.getRuntime.availableProcessors.toString) match {
-      case "*" => Runtime.getRuntime.availableProcessors.toString
-      case c => c
-    }
+    val cpus = graft.util.BenchHarness.cpus(sys.env.get("SPARK_GRAFT_CPUS"))
     val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "2").toInt.max(1)
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
@@ -99,17 +95,8 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // ---- executor CPU accounting (contention-immune metric) ----
-    val cpuNs = new java.util.concurrent.atomic.AtomicLong(0L)
-    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-        val m = te.taskMetrics
-        if (m != null) cpuNs.addAndGet(m.executorCpuTime)
-      }
-    })
-    def cpuSnapshot(): Long = {
-      org.apache.spark.graftbridge.CoreBridge.drainListenerBus(spark.sparkContext)
-      cpuNs.get()
-    }
+    val meter = new graft.util.BenchHarness.CpuMeter(spark.sparkContext)
+    def cpuSnapshot(): Long = meter.snapshot()
 
     // Warm EVERY table (parquet footers, filesystem cache) + codegen paths,
     // so the first timed query pays only for itself.
@@ -372,8 +359,7 @@ object Bench {
     // SPARK_DRIVER_MEM default never landed anywhere a reader could see).
     // non-numeric env values (a misconfigured override) emit QUOTED so the
     // artifact stays valid JSON no matter what reached us
-    def jsonNum(v: String): String =
-      if (v.nonEmpty && v.forall(_.isDigit)) v else "\"" + v + "\""
+    def jsonNum(v: String): String = graft.util.BenchHarness.jsonNum(v)
     val heapMb = Runtime.getRuntime.maxMemory() >> 20
     // The committed local artifacts (BENCH_r*_local.json) all run at the
     // build.sbt default heap (8 GiB). GC behavior shifts with heap size,

@@ -52,11 +52,7 @@ object ScaleDemo {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val workDir = args.lift(1).getOrElse("/tmp/graft_scaledemo")
     val outJson = args.lift(2).getOrElse("SCALE_DEMO_r12.json")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
-      Runtime.getRuntime.availableProcessors.toString) match {
-      case "*" => Runtime.getRuntime.availableProcessors.toString
-      case c => c
-    }
+    val cpus = graft.util.BenchHarness.cpus(sys.env.get("SPARK_GRAFT_CPUS"))
     val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "2").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -65,19 +61,8 @@ object ScaleDemo {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // executor-CPU accounting, the Bench listener verbatim: wall alone
-    // is contention-contaminated on this shared-host box
-    val cpuNs = new java.util.concurrent.atomic.AtomicLong(0L)
-    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-        val m = te.taskMetrics
-        if (m != null) cpuNs.addAndGet(m.executorCpuTime)
-      }
-    })
-    def cpuSnapshot(): Long = {
-      org.apache.spark.graftbridge.CoreBridge.drainListenerBus(spark.sparkContext)
-      cpuNs.get()
-    }
+    val meter = new graft.util.BenchHarness.CpuMeter(spark.sparkContext)
+    def cpuSnapshot(): Long = meter.snapshot()
     def timed(thunk: => Long): (Double, Double, Long) = {
       var bestW = Double.MaxValue; var bestC = Double.MaxValue; var rows = 0L
       (1 to iters).foreach { _ =>
@@ -113,15 +98,20 @@ object ScaleDemo {
     }
     val x1 = materialize("x1", 1)
     val x10 = materialize("x10", 10)
-    // a FRESH batch for the incremental probe: replica tag r99 exists in
-    // neither corpus, headers planted by the same rule so the batch hits
-    // the hot (capped) index rows like a real crawl batch would
+    // a FRESH batch for the incremental probe: the first 500 base docs
+    // by doc_id (deterministic — no unordered limit), word-mutated with
+    // a replica tag neither corpus uses, ids offset into a DISJOINT
+    // range (x10 ids top out at 10·maxBase+9, far below 10_000_000 —
+    // colliding ids would violate incrementalContainment's unique-id
+    // contract), headers planted by the SAME doc_id%10<3 rule so ~30%
+    // of the batch hits the hot capped index rows like a real crawl
+    // batch would
     val batch = {
       val path = s"$workDir/batch"
       val mut = array_join(transform(split(col("text"), " "),
         w => concat(lit("r99x"), w)), " ")
-      base.filter(col("doc_id") % 10 === 0).limit(500)
-        .select((col("doc_id") * 10 + 99).as("doc_id"),
+      base.orderBy("doc_id").limit(500)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
           when(col("doc_id") % 10 < 3, concat(header, lit(" "), mut))
             .otherwise(mut).as("text"), col("lang"), col("source"))
         .write.mode("overwrite").parquet(path)
@@ -205,7 +195,7 @@ object ScaleDemo {
         f""""$k":{"wall":$w%.2f,"cpu":$c%.2f,"rows":$n}""" }.mkString(",")
       s"""{"metric":"scale_demo","sf":"${sfDir.split('/').last}","docs":{"x1":${counts("x1")},"x10":${counts("x10")},"batch":${counts("batch")}},""" +
         s""""uncapped_fanout":{"x1":$fanoutX1,"x10":$fanoutX10},""" +
-        s""""env":{"cpus":$cpus,"iters":$iters,"heap_mb":${Runtime.getRuntime.maxMemory() / (1024 * 1024)}},""" +
+        s""""env":{"cpus":${graft.util.BenchHarness.jsonNum(cpus)},"iters":$iters,"heap_mb":${Runtime.getRuntime.maxMemory() / (1024 * 1024)}},""" +
         s""""measurements":{$rows}}"""
     }
     println(json)

@@ -755,14 +755,25 @@ object StreamOps {
     val idxC = idxUp.localCheckpoint()
     val szC = szUp.localCheckpoint()
     val appId = "graft_containment_ingest"
-    if (cold) {
-      TxLogFormat.appendBatch(idxC, indexTable, appId, id)
-      TxLogFormat.appendBatch(szC, sizesTable, appId, id)
-    } else {
-      TxLogFormat.mergeBatch(spark, indexTable, "sh", idxC, appId, id)
-      TxLogFormat.mergeBatch(spark, sizesTable, "doc_id", szC, appId, id)
-    }
+    // COMMIT ORDER IS LOAD-BEARING (the substringIngestBatch rule,
+    // r12): derived outputs first, the INDEX — the table whose contents
+    // change what a recompute produces AND whose emptiness defines the
+    // cold branch — strictly last. A crash after any prefix of commits
+    // then replays against the identical pre-state: the index is
+    // untouched (so batch docs still fold with the batch flag and the
+    // cold test still reads cold), already-committed tables skip by
+    // tag, and the remaining commits apply the bit-equal recompute.
+    // Index-first committed the min-folded flags to 0 on replay —
+    // permanently losing the batch's sizes, decrements, and pairs, and
+    // wedging a cold restart on the never-created sizes table.
     TxLogFormat.appendBatch(pairsC, pairsTable, appId, id)
+    if (cold) {
+      TxLogFormat.appendBatch(szC, sizesTable, appId, id)
+      TxLogFormat.appendBatch(idxC, indexTable, appId, id)
+    } else {
+      TxLogFormat.mergeBatch(spark, sizesTable, "doc_id", szC, appId, id)
+      TxLogFormat.mergeBatch(spark, indexTable, "sh", idxC, appId, id)
+    }
     ()
   }
 

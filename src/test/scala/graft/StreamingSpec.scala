@@ -357,6 +357,47 @@ class StreamingSpec extends SparkSpec {
       TxLogFormat.versions(sizesT).size) == vs, "replay must not commit")
   }
 
+  test("streaming CONTAINMENT ingest: a crash after a commit PREFIX " +
+       "(pairs+sizes landed, index merge lost) replays to the no-crash " +
+       "state — the derived-first, index-last order is load-bearing") {
+    import spark.implicits._
+    import graft.sources.TxLogFormat
+    val b0 = Seq(1L -> "p q r s t", 2L -> "x y z w v", 3L -> "p q r s u")
+    val b1 = Seq(10L -> "x y z w q", 11L -> "p q r a", 12L -> "p q r b")
+    def tables(tag: String) = {
+      val root = java.nio.file.Files.createTempDirectory(s"graft_ct_$tag")
+      (root.resolve("pairs").toString, root.resolve("index").toString,
+        root.resolve("sizes").toString)
+    }
+    val (cp, ci, cs) = tables("clean")
+    val (xp, xi, xs) = tables("crash")
+    def run(p: String, i: String, s: String, b: Seq[(Long, String)],
+            id: Long): Unit =
+      StreamOps.containmentIngestBatch(p, i, s, 0.6, 3)(
+        b.toDF("doc_id", "text"), id)
+    run(cp, ci, cs, b0, 0); run(cp, ci, cs, b1, 1)     // the no-crash twin
+    run(xp, xi, xs, b0, 0)
+    // simulate the crash: recompute batch 1 exactly as the ingest would
+    // and land ONLY the pairs + sizes commits under the real tag — the
+    // process dies before the index merge (b1 crosses pqr past maxDf=3,
+    // so the lost-index replay must still produce the decrements)
+    val (pf, idxf, szf) = graft.operators.Dedup.incrementalContainment(
+      b1.toDF("doc_id", "text"), TxLogFormat.read(spark, xi),
+      TxLogFormat.read(spark, xs), 0.6, 3)
+    val _ = idxf // the crash loses exactly this commit
+    TxLogFormat.appendBatch(pf.localCheckpoint(), xp,
+      "graft_containment_ingest", 1)
+    TxLogFormat.mergeBatch(spark, xs, "doc_id", szf.localCheckpoint(),
+      "graft_containment_ingest", 1)
+    // restart: the streaming engine replays batch 1 in full
+    run(xp, xi, xs, b1, 1)
+    def dump(path: String): Set[String] =
+      TxLogFormat.read(spark, path).collect().map(_.toString).toSet
+    assert(dump(xp) == dump(cp), s"pairs diverge:\n${dump(xp)}\nvs\n${dump(cp)}")
+    assert(dump(xs) == dump(cs), s"sizes diverge:\n${dump(xs)}\nvs\n${dump(cs)}")
+    assert(dump(xi) == dump(ci), s"index diverges:\n${dump(xi)}\nvs\n${dump(ci)}")
+  }
+
   test("streaming CONTAINMENT ingest with an uncrossed cap: the union of " +
        "per-batch emissions equals the batch closed form on the full corpus") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
