@@ -436,6 +436,11 @@ object OracleSql {
     "repetition_score" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS word FROM documents), c AS (SELECT doc_id, word, COUNT(*) AS n FROM w GROUP BY 1, 2), t AS (SELECT doc_id, MAX(n) AS topn, SUM(n) AS total, COUNT(*) AS n_distinct FROM c GROUP BY 1), r AS (SELECT doc_id, ROUND(CAST(topn AS DOUBLE)/total*10000, 0)/10000.0 AS top_word_frac, ROUND((1.0 - CAST(n_distinct AS DOUBLE)/total)*10000, 0)/10000.0 AS dup_word_frac FROM t) SELECT doc_id, top_word_frac, dup_word_frac, CASE WHEN top_word_frac > 0.2 OR dup_word_frac > 0.5 THEN 'repetitive' ELSE 'ok' END AS rep_flag FROM r ORDER BY doc_id""",
 
+    // the MassiveText gauntlet: every rule a cross-multiplied INTEGER
+    // compare (no float op anywhere), CASE chain in declared order
+    "gopher_quality" ->
+      """WITH d AS (SELECT doc_id, text, list_filter(string_split(lower(trim(text)), ' '), x -> x <> '') AS w FROM documents), m AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words, CAST(length(array_to_string(w, '')) AS BIGINT) AS sum_chars, CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash, CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_ell, CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha, CAST(len(list_filter(w, x -> x IN ('the','be','to','of','and','that','have','with'))) AS BIGINT) AS n_stop FROM d), f AS (SELECT doc_id, n_words, CASE WHEN n_words < 50 THEN 'too_few_words' WHEN n_words > 100000 THEN 'too_many_words' WHEN sum_chars < n_words * 3 OR sum_chars > n_words * 10 THEN 'word_len_out_of_band' WHEN (n_hash + n_ell) * 10 > n_words THEN 'symbol_ratio' WHEN n_alpha * 5 < n_words * 4 THEN 'low_alpha_fraction' WHEN n_stop < 2 THEN 'too_few_stopwords' ELSE NULL END AS ff FROM m) SELECT doc_id, n_words, (ff IS NULL) AS passed, COALESCE(ff, '') AS first_fail FROM f ORDER BY doc_id""",
+
     // Gopher n-gram repetition char fractions: top = the (count desc,
     // gram asc) total-order pick, dup = all grams with count >= 2;
     // round4'd ratios of exact integers over the normalized-text length

@@ -742,6 +742,9 @@ object SparkEntry {
     "perplexity_score" -> ((s, d) => TextAnalysis.perplexityScore(Tables.documents(s, d))),
     "perplexity_bigram" -> ((s, d) => TextAnalysis.perplexityBigram(Tables.documents(s, d))),
     "quality_cascade" -> ((s, d) => TextAnalysis.qualityCascade(Tables.documents(s, d))),
+    // the MassiveText rule set as an all-integer named-rule gate —
+    // scan-bound, no shuffle, not one float op in the verdicts
+    "gopher_quality" -> ((s, d) => TextAnalysis.gopherQuality(Tables.documents(s, d))),
     "corpus_curation" -> ((s, d) => Curation.curationPipeline(Tables.documents(s, d))),
     "rolling_fingerprint" -> ((s, d) => TextAnalysis.rollingFingerprint(Tables.documents(s, d))),
     "verbatim_overlap"    -> ((s, d) => TextAnalysis.verbatimOverlap(Tables.documents(s, d))),

@@ -242,6 +242,51 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** The MassiveText quality gauntlet (Rae et al. 2021 §A1.1 — the
+    * published rule set Gopher/Chinchilla corpora shipped with), as a
+    * named-rule cascade like [[qualityCascade]] but with EVERY rule an
+    * INTEGER comparison — thresholds stated as cross-multiplied exact
+    * integers (mean word length ∈ [3,10] ⇔ 3·n ≤ Σchars ≤ 10·n;
+    * symbol ratio ≤ 0.1 ⇔ 10·symbols ≤ n; alpha fraction ≥ 0.8 ⇔
+    * 5·alpha ≥ 4·n), so the whole report hash-adjudicates with not one
+    * float op (D45's word-length band still divides doubles). Rules in
+    * declared order, first kill reported:
+    *  1. too_few_words      n_words < 50
+    *  2. too_many_words     n_words > 100000
+    *  3. word_len_out_of_band  mean word length outside [3, 10]
+    *  4. symbol_ratio       ('#' chars + "..." occurrences) > 0.1·n_words
+    *  5. low_alpha_fraction words containing a letter < 0.8 of words
+    *  6. too_few_stopwords  < 2 occurrences of the MassiveText stop list
+    *     (the, be, to, of, and, that, have, with)
+    * Entirely scan-bound — every signal is per-row string arithmetic,
+    * NO shuffle at all before the presentation sort (the repetition
+    * rules live in [[qualityCascade]]/[[repetitionNgrams]], which pay
+    * their word shuffles; this is the pure gate). Wordless docs fail
+    * rule 1; nothing divides, so there is no zero-denominator case. */
+  def gopherQuality(documents: DataFrame): DataFrame = {
+    val stopList = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val w = filter(words, x => x =!= "")
+    val nWords = size(w).cast("long")
+    val sumChars = length(array_join(w, "")).cast("long")
+    val nHash = (length(col("text")) -
+      length(regexp_replace(col("text"), "#", ""))).cast("long")
+    val nEllipsis = ((length(col("text")) -
+      length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3).cast("long")
+    val nAlpha = size(filter(w, x => x.rlike("[a-z]"))).cast("long")
+    val nStop = size(filter(w, x => x.isin(stopList: _*))).cast("long")
+    val ff = when(nWords < 50, "too_few_words")
+      .when(nWords > 100000L, "too_many_words")
+      .when(sumChars < nWords * 3 || sumChars > nWords * 10,
+        "word_len_out_of_band")
+      .when((nHash + nEllipsis) * 10 > nWords, "symbol_ratio")
+      .when(nAlpha * 5 < nWords * 4, "low_alpha_fraction")
+      .when(nStop < 2, "too_few_stopwords")
+      .otherwise(null)
+    documents.select(col("doc_id"), nWords.as("n_words"),
+        ff.isNull.as("passed"), coalesce(ff, lit("")).as("first_fail"))
+      .orderBy("doc_id")
+  }
+
   /** Gopher-style n-gram repetition CHARACTER fractions (Rae et al. 2021
     * §A1.1, the filter family D18's word-level signals approximate from
     * above): per doc and per n ∈ `ns`, the fraction of normalized-text

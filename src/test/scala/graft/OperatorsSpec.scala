@@ -526,6 +526,44 @@ class OperatorsSpec extends SparkSpec {
       "wordless and target docs never rank")
   }
 
+  test("gopher quality: every rule fires in declared order, and the " +
+       "integer cross-multiplied boundaries are inclusive exactly where " +
+       "MassiveText's are") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Seq.fill(49)("the").mkString(" ")),          // 49 words
+      (2L, Seq.fill(50)("a").mkString(" ")),            // mean 1 < 3
+      (3L, (Seq.fill(48)("the") :+ "ab######" :+ "cde") // 6 '#' in 50 words
+        .mkString(" ")),                                //  -> 60 > 50
+      (4L, (Seq.fill(48)("the") :+ "ab#####" :+ "cdef") // 5 '#': 50 > 50 is
+        .mkString(" ")),                                //  FALSE -> passes
+      (5L, (Seq.fill(39)("the") ++ Seq.fill(11)("123")).mkString(" ")),
+        // 39/50 alpha: 195 < 200 fires; sum=150=3n proves the LOWER mean
+        // boundary is inclusive (rule 3 did not fire first)
+      (6L, (Seq.fill(49)("cat") :+ "the").mkString(" ")), // 1 stopword
+      (7L, Seq.fill(50)("the").mkString(" ")),            // mean exactly 3
+      (8L, (Seq.fill(47)("abcdefghij") ++
+        Seq("abcdefghijklmnopqrstuv", "that", "have")).mkString(" ")),
+        // sum=500=10n: the UPPER mean boundary is inclusive -> PASS
+      (9L, (Seq.fill(44)("the") ++ Seq.fill(6)("...")).mkString(" ")))
+        // 6 "..." occurrences -> 60 > 50: the ellipsis counter fires
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.gopherQuality(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2),
+        r.getString(3))).toMap
+    val want = Map(
+      1L -> (49L, false, "too_few_words"),
+      2L -> (50L, false, "word_len_out_of_band"),
+      3L -> (50L, false, "symbol_ratio"),
+      4L -> (50L, true, ""),
+      5L -> (50L, false, "low_alpha_fraction"),
+      6L -> (50L, false, "too_few_stopwords"),
+      7L -> (50L, true, ""),
+      8L -> (50L, true, ""),
+      9L -> (50L, false, "symbol_ratio"))
+    assert(got == want, s"got $got\nwant $want")
+  }
+
   test("repetition ngrams: hand corpus pins the top pick (count desc, " +
        "gram asc ties), the dup mass, short-doc zeros, and overlap " +
        "double-count semantics") {
