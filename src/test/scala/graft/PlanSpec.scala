@@ -548,6 +548,18 @@ class PlanSpec extends SparkSpec {
       s"vocab membership did not broadcast:\n$plan")
   }
 
+  test("gopher quality: the gate is scan-bound — no join, no aggregate, " +
+       "no window, no hash exchange (presentation sort only)") {
+    val df = TextAnalysis.gopherQuality(Tables.documents(spark, sf))
+    val plan = explained(df)
+    assert(!plan.contains("Join"), s"gate plans a join:\n$plan")
+    assert(!plan.contains("HashAggregate") && !plan.contains("SortAggregate"),
+      s"gate plans an aggregate:\n$plan")
+    assert(!plan.contains("Window"), s"gate plans a window:\n$plan")
+    assert(!plan.contains("hashpartitioning"),
+      s"gate plans a hash exchange:\n$plan")
+  }
+
   test("dsir select: candidate filter pushed to the scan, weights " +
        "broadcast, top-k bounded (TakeOrderedAndProject, no global sort)") {
     val df = Curation.dsirSelect(Tables.documents(spark, sf),
