@@ -187,6 +187,26 @@ object ScaleDemo {
       val (pairs, _, _) = Dedup.incrementalContainment(batch, idx10, sz10)
       pairs.count()
     }
+    // the SUBSTRING family's incremental probe against the one-column
+    // window-hash index (8 B/window at any corpus size): same claim,
+    // same shape — survivors + index delta forced, corpus text never read
+    def winIndex(name: String, docs: DataFrame): DataFrame = {
+      val path = s"$workDir/$name.winidx"
+      val (_, hashes) = Dedup.incrementalSubstringDedup(docs,
+        spark.range(0).select(col("id").as("h")))
+      hashes.write.mode("overwrite").parquet(path)
+      spark.read.parquet(path)
+    }
+    val win1 = winIndex("x1", x1)
+    val win10 = winIndex("x10", x10)
+    run("ss_inc_probe_vs_x1") {
+      val (docs, _) = Dedup.incrementalSubstringDedup(batch, win1)
+      docs.count()
+    }
+    run("ss_inc_probe_vs_x10") {
+      val (docs, _) = Dedup.incrementalSubstringDedup(batch, win10)
+      docs.count()
+    }
 
     val counts = Map("x1" -> x1.count(), "x10" -> x10.count(),
       "batch" -> batch.count())
