@@ -526,6 +526,25 @@ class OperatorsSpec extends SparkSpec {
       "wordless and target docs never rank")
   }
 
+  test("r12 screens are partition-invariant: dsir ranks, repetition " +
+       "fractions, arrival-funnel verdicts identical at 1/7/13 partitions") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).limit(120).localCheckpoint()
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq.sorted
+    for (op <- Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame](
+        d => Curation.dsirSelect(d, col("lang") === "en", k = 20),
+        d => TextAnalysis.repetitionNgrams(d),
+        d => TextAnalysis.gopherQuality(d),
+        d => Curation.curationFunnelArrival(d, perDomain = 3,
+          budgetPerLang = 2000))) {
+      val base = canon(op(docs.repartition(1)))
+      for (n <- Seq(7, 13))
+        assert(canon(op(docs.repartition(n))) == base,
+          s"partitioning changed an r12 screen's output at $n partitions")
+    }
+  }
+
   test("gopher quality: every rule fires in declared order, and the " +
        "integer cross-multiplied boundaries are inclusive exactly where " +
        "MassiveText's are") {
