@@ -30,6 +30,11 @@ object OracleSql {
   private val curationFunnelArrivalSql =
     """WITH base AS (SELECT doc_id, lang, source, md5(lower(trim(text))) AS digest, (length(text) >= 100 AND len(string_split(lower(trim(text)), ' ')) >= 20) AS pass_quality, CAST(CEIL(length(text)/4.0) AS BIGINT) AS tok FROM documents), d AS (SELECT *, (ROW_NUMBER() OVER (PARTITION BY digest ORDER BY doc_id) = 1) AS pass_dedup FROM base), q AS (SELECT doc_id, (ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) <= 15) AS pass_quota FROM d WHERE pass_dedup AND pass_quality), dq AS (SELECT d.doc_id, d.lang, d.tok, d.pass_dedup, d.pass_quality, COALESCE(q.pass_quota, FALSE) AS pass_quota FROM d LEFT JOIN q USING (doc_id)), b AS (SELECT doc_id, (SUM(tok) OVER (PARTITION BY lang ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) <= 5000) AS pass_budget FROM dq WHERE pass_dedup AND pass_quality AND pass_quota) SELECT dq.doc_id, dq.pass_dedup, dq.pass_quality, dq.pass_quota, COALESCE(b.pass_budget, FALSE) AS pass_budget, (dq.pass_dedup AND dq.pass_quality AND dq.pass_quota AND COALESCE(b.pass_budget, FALSE)) AS kept FROM dq LEFT JOIN b USING (doc_id) ORDER BY doc_id"""
 
+  // DSIR selection closed form — shared verbatim by dsir_select and
+  // dsir_select_inc (whose cold run IS the batch selection)
+  private val dsirSelectSql =
+    """WITH t AS (SELECT doc_id, (lang = 'en') AS tgt FROM documents), w AS (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS word FROM documents), b AS (SELECT doc_id, CAST(('0x' || substr(md5(word), 1, 6)) AS BIGINT) % 4096 AS b FROM w WHERE word <> ''), bt AS (SELECT b.doc_id, b.b, t.tgt FROM b JOIN t USING (doc_id)), cnt AS (SELECT b, SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct, COUNT(*) AS cr FROM bt GROUP BY b), tot AS (SELECT SUM(ct) AS nt, SUM(cr) AS nr FROM cnt), wt AS (SELECT b, CAST(ROUND(ln(((ct + 1.0) * (nr + 4096)) / ((cr + 1.0) * (nt + 4096))) * 1000000.0, 0) AS BIGINT) AS w_unats FROM cnt CROSS JOIN tot), s AS (SELECT bt.doc_id, COUNT(*) AS n_words, CAST(SUM(wt.w_unats) AS BIGINT) AS score_unats FROM bt JOIN wt USING (b) WHERE NOT bt.tgt GROUP BY bt.doc_id), r AS (SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, score_unats, CAST(ROW_NUMBER() OVER (ORDER BY score_unats DESC, doc_id) AS BIGINT) AS rank FROM s) SELECT doc_id, n_words, score_unats, rank FROM r WHERE rank <= 100 ORDER BY rank"""
+
   private val revenue = cents("l_extendedprice*(1-l_discount)")
 
   // exact top-k cosine per query vector — shared by ann_topk and the
@@ -456,9 +461,15 @@ object OracleSql {
     // integer micro-nats ONCE per bucket (the only float op, identical
     // doubles in identical operation order), so per-doc scores are exact
     // integer sums and the whole report compares with no float seam
-    "dsir_select" ->
-      """WITH t AS (SELECT doc_id, (lang = 'en') AS tgt FROM documents), w AS (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS word FROM documents), b AS (SELECT doc_id, CAST(('0x' || substr(md5(word), 1, 6)) AS BIGINT) % 4096 AS b FROM w WHERE word <> ''), bt AS (SELECT b.doc_id, b.b, t.tgt FROM b JOIN t USING (doc_id)), cnt AS (SELECT b, SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct, COUNT(*) AS cr FROM bt GROUP BY b), tot AS (SELECT SUM(ct) AS nt, SUM(cr) AS nr FROM cnt), wt AS (SELECT b, CAST(ROUND(ln(((ct + 1.0) * (nr + 4096)) / ((cr + 1.0) * (nt + 4096))) * 1000000.0, 0) AS BIGINT) AS w_unats FROM cnt CROSS JOIN tot), s AS (SELECT bt.doc_id, COUNT(*) AS n_words, CAST(SUM(wt.w_unats) AS BIGINT) AS score_unats FROM bt JOIN wt USING (b) WHERE NOT bt.tgt GROUP BY bt.doc_id), r AS (SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, score_unats, CAST(ROW_NUMBER() OVER (ORDER BY score_unats DESC, doc_id) AS BIGINT) AS rank FROM s) SELECT doc_id, n_words, score_unats, rank FROM r WHERE rank <= 100 ORDER BY rank""",
+    "dsir_select" -> dsirSelectSql,
 
+    // the streaming loop's COLD single-batch run fits and scores the
+    // whole corpus in one batch, so the re-cut global top-k IS the
+    // batch selection — the same oracle adjudicates the frozen-weight
+    // persist, the bounded candidate appends, and the final cut
+    "dsir_select_inc" -> dsirSelectSql,
+
+    
     "source_sample_temp" ->
       s"""WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source), m AS (SELECT MIN(n_docs) AS n_min FROM c), r AS (SELECT source, CAST(ROUND(POWER(CAST(n_min AS DOUBLE)/n_docs, ${1 - 0.7})*10000, 0) AS BIGINT) AS rate_bp FROM c, m) SELECT d.doc_id, d.source, r.rate_bp/10000.0 AS keep_rate FROM documents d JOIN r ON d.source = r.source WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6)) AS BIGINT) * 10000 < r.rate_bp * 16777216 ORDER BY d.doc_id""",
 

@@ -732,6 +732,12 @@ object SparkEntry {
       import org.apache.spark.sql.functions._
       Curation.dsirSelect(Tables.documents(s, d), col("lang") === "en")
     }),
+    // the streaming DSIR loop, cold single batch ≡ the batch selection
+    // (frozen weights fit on the same corpus) — shares dsir_select's
+    // oracle, adjudicating the fit persist, the bounded per-batch
+    // candidate appends, and the global re-cut
+    "dsir_select_inc" -> ((s, d) =>
+      graft.streaming.StreamOps.runDsirIngest(s, d)),
     // explicit data-recipe mixing: target weight parsed from the source id
     // (srcN -> 1 + N%4) so the expression works at every scale factor
     "target_mix_sample" -> ((s, d) => {

@@ -923,37 +923,67 @@ object Curation {
     * (doc_id, n_words, score_unats, rank), all integers. */
   def dsirSelect(documents: DataFrame,
                  targetPred: org.apache.spark.sql.Column,
-                 k: Int = 100, numBuckets: Int = 4096): DataFrame = {
-    // the target flag rides the scan (a per-doc predicate, evaluated
-    // before the explode) — no docs-frame join back onto the
-    // occurrence frame
-    val withTgt = documents
+                 k: Int = 100, numBuckets: Int = 4096): DataFrame =
+    dsirRank(
+      dsirScore(documents,
+        dsirWeights(documents, targetPred, numBuckets), targetPred,
+        numBuckets),
+      k)
+
+  /** The (doc_id, __tgt, bucket) occurrence frame — the target flag
+    * rides the scan (a per-doc predicate, evaluated before the
+    * explode), no docs-frame join back onto the occurrence frame. */
+  private def dsirOccurrences(documents: DataFrame,
+                              targetPred: org.apache.spark.sql.Column,
+                              numBuckets: Int): DataFrame =
+    documents
       .select(col("doc_id"), targetPred.as("__tgt"),
         explode(graft.util.TextNorm.words(col("text"))).as("word"))
       .filter(col("word") =!= "")
       .select(col("doc_id"), col("__tgt"),
         (conv(substring(md5(col("word")), 1, 6), 16, 10).cast("long")
           % numBuckets).as("b"))
-    val cnt = withTgt.groupBy("b").agg(
-      sum(when(col("__tgt"), 1L).otherwise(0L)).as("ct"),
-      count(lit(1)).as("cr"))
+
+  /** The B-row (b, w_unats) bucket-weight table fit on `documents` —
+    * the DSIR "importance estimator", reusable frozen against later
+    * batches ([[graft.streaming.StreamOps.dsirIngestBatch]]). */
+  def dsirWeights(documents: DataFrame,
+                  targetPred: org.apache.spark.sql.Column,
+                  numBuckets: Int = 4096): DataFrame = {
+    val cnt = dsirOccurrences(documents, targetPred, numBuckets)
+      .groupBy("b").agg(
+        sum(when(col("__tgt"), 1L).otherwise(0L)).as("ct"),
+        count(lit(1)).as("cr"))
     val tot = cnt.agg(sum("ct").as("nt"), sum("cr").as("nr"))
     // the double products are exact below 2^53 and IEEE-identical above
     // it (same longs, same operation order in both engines)
-    val weights = cnt.crossJoin(broadcast(tot))
+    cnt.crossJoin(broadcast(tot))
       .select(col("b"), round(log(
         ((col("ct") + 1.0) * (col("nr") + numBuckets)) /
           ((col("cr") + 1.0) * (col("nt") + numBuckets))) * 1e6, 0)
         .cast("long").as("w_unats"))
-    val scores = withTgt.filter(!col("__tgt"))
+  }
+
+  /** Score `documents`' candidate (non-target) docs against a weight
+    * table: exact integer micro-nat sums, one per-doc aggregate.
+    * Buckets absent from `weights` (words never seen at fit time)
+    * contribute nothing — the inner join drops them, matching the
+    * smoothed estimator's domain. */
+  def dsirScore(documents: DataFrame, weights: DataFrame,
+                targetPred: org.apache.spark.sql.Column,
+                numBuckets: Int = 4096): DataFrame =
+    dsirOccurrences(documents, targetPred, numBuckets)
+      .filter(!col("__tgt"))
       .join(broadcast(weights), Seq("b"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"), sum(col("w_unats")).as("score_unats"))
-    val top = scores.orderBy(col("score_unats").desc, col("doc_id")).limit(k)
-    // rank over k rows only (the limit already cut under the total order)
-    top.withColumn("rank", row_number().over(
-      Window.orderBy(col("score_unats").desc, col("doc_id"))))
-  }
+
+  /** Top-k cut + rank under the (score desc, doc_id) total order; the
+    * rank window runs over the k cut rows only. */
+  def dsirRank(scores: DataFrame, k: Int): DataFrame =
+    scores.orderBy(col("score_unats").desc, col("doc_id")).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score_unats").desc, col("doc_id"))))
 
   /** Deterministic train/val/test split — the first step of every training
     * pipeline, engine-portable and reshuffle-proof: each doc's 24-bit

@@ -859,6 +859,77 @@ object StreamOps {
     ()
   }
 
+  /** One micro-batch of the streaming DSIR selection loop — the
+    * data-SELECTION family's growing-corpus variant (the estimator the
+    * paper fits once and applies to the raw stream): the FIRST batch
+    * fits the B-row bucket-weight table ([[graft.operators.DbtSurface
+    * .Curation.dsirWeights]]) and persists it FROZEN; every batch's
+    * candidate docs score against those weights (scan + broadcast join
+    * + one per-doc agg — batch-sized work, the weight read is B rows at
+    * any corpus size), and only the batch's own top-k rows append to
+    * the candidate table (≤ k rows per batch — state stays bounded).
+    * Frozen weights make every score FINAL at scoring time, so the
+    * running global top-k is exactly the top-k over the appended
+    * batch-top-k rows (a doc outside its batch's top k can never enter
+    * the global top k) — the prefix-stability that lets the cold
+    * single-batch run equal [[graft.operators.DbtSurface.Curation
+    * .dsirSelect]] and share its oracle. Later batches score AS-OF the
+    * fit (the paper's semantics; re-fitting would revise published
+    * scores). Commit order: candidates first, the weights table — which
+    * defines the cold branch and feeds every recompute — strictly last
+    * (the containment-ingest rule). */
+  def dsirIngestBatch(weightsTable: String, candTable: String,
+                      targetPred: org.apache.spark.sql.Column,
+                      k: Int = 100, numBuckets: Int = 4096)
+                     (b: DataFrame, id: Long): Unit = {
+    import graft.sources.TxLogFormat
+    import graft.operators.Curation
+    val spark = b.sparkSession
+    val batch = b.select(col("doc_id"), col("text"), col("lang"))
+      .localCheckpoint()
+    val cold = TxLogFormat.versions(weightsTable).isEmpty
+    val weights =
+      if (cold) Curation.dsirWeights(batch, targetPred, numBuckets)
+        .localCheckpoint()
+      else TxLogFormat.read(spark, weightsTable)
+    val topk = Curation
+      .dsirScore(batch, weights, targetPred, numBuckets)
+      .orderBy(col("score_unats").desc, col("doc_id")).limit(k)
+      .localCheckpoint()
+    val appId = "graft_dsir_ingest"
+    TxLogFormat.appendBatch(topk, candTable, appId, id)
+    if (cold) TxLogFormat.appendBatch(weights, weightsTable, appId, id)
+    ()
+  }
+
+  /** Driver query: AvailableNow over the documents source drives
+    * [[dsirIngestBatch]] from a cold corpus — one batch fits AND scores
+    * the full corpus, so the re-cut global top-k IS the batch
+    * [[graft.operators.DbtSurface.Curation.dsirSelect]] and
+    * `dsir_select_inc` shares `dsir_select`'s oracle; the spec's
+    * 2-batch MemoryStream covers frozen-weight scoring, bounded
+    * candidate state, and replay. */
+  def runDsirIngest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxLogFormat
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_dsiringest_")
+    val weightsTable = tmpRoot.resolve("weights").toString
+    val candTable = tmpRoot.resolve("cand").toString
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val q = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .select(col("doc_id"), col("text"), col("lang"))
+      .writeStream
+      .foreachBatch(dsirIngestBatch(weightsTable, candTable,
+        col("lang") === "en") _)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    handoffAndClean(
+      graft.operators.Curation.dsirRank(
+        TxLogFormat.read(spark, candTable)
+          .select("doc_id", "n_words", "score_unats"), 100), tmpRoot)
+  }
+
   /** Compact the incremental funnel's append-only state tables: fold
     * all committed deltas into ONE row per key (per-key max batch_id —
     * any value ≤ the committed watermark preserves every future

@@ -426,6 +426,67 @@ class StreamingSpec extends SparkSpec {
     assert(pairs == closed && pairs.nonEmpty, s"$pairs vs $closed")
   }
 
+  test("streaming DSIR ingest: cold == batch selection, later batches " +
+       "score under FROZEN weights (fit-unseen words drop), candidate " +
+       "state bounded at k per batch, replay-safe") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    import graft.sources.TxLogFormat
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_dsir_spec")
+    val (wT, cT) = (root.resolve("w").toString, root.resolve("c").toString)
+    val b0 = Seq((1L, "apple banana", "en"), (2L, "apple cherry", "en"),
+                 (3L, "apple banana", "de"), (4L, "quartz apple", "de"),
+                 (5L, "apple apple", "de"))
+    val b1 = Seq((10L, "banana banana", "de"), // both occurrences fit-seen
+                 (11L, "banana zebra", "de"))  // zebra unseen -> drops
+    val ingest = StreamOps.dsirIngestBatch(wT, cT, col("lang") === "en",
+      k = 2) _
+    val input = MemoryStream[(Long, String, String)]
+    val q = input.toDF().toDF("doc_id", "text", "lang")
+      .writeStream.foreachBatch(ingest).start()
+    try {
+      input.addData(b0); q.processAllAvailable()
+      def cand() = TxLogFormat.read(spark, cT).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // cold single batch == the batch selection's top-k (same fit)
+      val closed = graft.operators.Curation.dsirSelect(
+          b0.toDF("doc_id", "text", "lang"), col("lang") === "en", k = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(cand() == closed && cand().size == 2, s"${cand()} vs $closed")
+      input.addData(b1); q.processAllAvailable()
+      // hand-derive b1's scores under the FROZEN b0 weights
+      val B = 4096
+      def bucket(w: String): Long = {
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(w.getBytes("UTF-8")).take(3).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(d, 16) % B
+      }
+      val occ0 = b0.flatMap { case (_, t, lang) =>
+        t.split(" ").map(w => (bucket(w), lang == "en")) }
+      val cnt = occ0.groupBy(_._1).map { case (b, os) =>
+        b -> (os.count(_._2).toLong, os.size.toLong) }
+      val (nt, nr) = (cnt.values.map(_._1).sum, cnt.values.map(_._2).sum)
+      def unats(b: Long): Long = {
+        val (ct, cr) = cnt(b)
+        BigDecimal(math.log(((ct + 1.0) * (nr + B)) /
+            ((cr + 1.0) * (nt + B))) * 1e6)
+          .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
+      }
+      val got = cand()
+      assert(got.contains((10L, 2L, 2 * unats(bucket("banana")))),
+        s"frozen-weight score wrong: $got")
+      assert(got.contains((11L, 1L, unats(bucket("banana")))),
+        s"fit-unseen word must drop from count and score: $got")
+      assert(got.size == 4, s"state must stay <= k per batch: $got")
+    } finally q.stop()
+    // replay: a committed batch id is a no-op on both tables
+    val vs = Seq(wT, cT).map(TxLogFormat.versions(_).size)
+    ingest(Seq((99L, "apple apple", "de")).toDF("doc_id", "text", "lang"), 0L)
+    assert(Seq(wT, cT).map(TxLogFormat.versions(_).size) == vs,
+      "replayed batch id must not commit")
+  }
+
   test("streaming CURATION-FUNNEL ingest: cross-batch dedup/quota/budget " +
        "carry, union == arrival closed form, cold == closed form, " +
        "replay-safe") {
