@@ -63,6 +63,16 @@ object OracleSql {
   private val substringDedupSql =
     s"""$substringWindowsCte, k AS (SELECT sub FROM w GROUP BY sub HAVING COUNT(*) <= 100) SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(DISTINCT a.sub) AS shared_windows FROM w a JOIN w b ON a.doc_id < b.doc_id AND a.sub = b.sub JOIN k ON k.sub = a.sub GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  // image near-dup at radius r: the synthetic corpus's per-doc dHash in
+  // closed form — 60-bit group base from md5 of the group anchor (the
+  // engine's draw convention, '0x'||hex parse ≡ Java parseLong(hex,16)),
+  // per-slot XOR masks of hamming weight {0, 0, 2, 3} — then the plain
+  // all-pairs hamming predicate (the banding is exact at radius ≤ 3, so
+  // this IS the operator's output, not a twin of it)
+  private def dedupHashSql(radius: Int, residue: Int): String =
+    s"""WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 10 = $residue), p AS (SELECT doc_id, xor(CAST(('0x' || substr(md5(CAST(doc_id - doc_id % 40 AS VARCHAR)), 1, 15)) AS BIGINT), CASE (doc_id % 40) // 10 WHEN 2 THEN 3 WHEN 3 THEN 56 ELSE 0 END) AS h FROM ids) SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming FROM p a JOIN p b ON a.doc_id < b.doc_id WHERE bit_count(xor(a.h, b.h)) <= $radius ORDER BY doc_a, doc_b"""
+  private def dedupImageSql(radius: Int): String = dedupHashSql(radius, 0)
+
   // segment-level dedup, shared by the exact and hash-keyed paths
   private val paragraphDedupSql =
     """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), pos AS (SELECT doc_id, w, UNNEST(range(GREATEST(CAST(ceil(len(w) / 10.0) AS BIGINT), 1))) AS pos FROM words), segs AS (SELECT doc_id, CAST(pos AS INT) AS pos, array_to_string(w[(CAST(pos AS INT) * 10 + 1):(CAST(pos AS INT) * 10 + 10)], ' ') AS seg FROM pos), counted AS (SELECT doc_id, pos, seg, COUNT(*) OVER (PARTITION BY doc_id) AS n_segs, ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn FROM segs) SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text_dedup, COUNT(*) AS n_kept, CAST(MIN(n_segs) - COUNT(*) AS BIGINT) AS n_dropped FROM counted WHERE rn = 1 GROUP BY doc_id"""
@@ -396,6 +406,29 @@ object OracleSql {
     "dedup_simhash_x" ->
       s"""WITH d AS (SELECT doc_id, list_sort($docWords) AS ws FROM documents) SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, 0 AS hamming FROM d a JOIN d b ON a.doc_id < b.doc_id AND a.ws = b.ws ORDER BY doc_a, doc_b""",
 
+    // image near-dup (r13): the synthetic corpus's dHash is a KNOWN
+    // doc_id-arithmetic pattern (60-bit md5 group base ⊕ per-slot mask),
+    // and the 4-chunk pigeonhole banding is EXACT at radius ≤ 3 — so the
+    // oracle is the plain cross-join hamming predicate over the identical
+    // md5 arithmetic (no recall bound, the whole decode→hash→band→verify
+    // pipeline hash-adjudicates)
+    "dedup_image" -> dedupImageSql(3),
+
+    // the radius-0 exact twin: identical-pixel pairs ⇔ equal hashes
+    "dedup_image_x" -> dedupImageSql(0),
+
+    // audio near-dup (r13): the same md5-group pattern arithmetic,
+    // realized as a PCM energy envelope on the %10=5 slice and recovered
+    // through the real javax.sound decode — the banding is exact at
+    // radius ≤ 3, so the cross-join hamming predicate IS the output
+    "dedup_audio" -> dedupHashSql(3, 5),
+    "dedup_audio_x" -> dedupHashSql(0, 5),
+
+    // video near-dup (r13): the pattern as a JPEG'd grid frame inside an
+    // MJPEG AVI, recovered through the container walk + pixel decode
+    "dedup_video" -> dedupHashSql(3, 2),
+    "dedup_video_x" -> dedupHashSql(0, 2),
+
     // zero-iteration seeded clustering: centroids are the first 8 vectors
     // by vec_id, assignment is nearest-seed (ties to the lowest cell —
     // the same first-minimum rule Spark's array_position applies), and
@@ -408,6 +441,12 @@ object OracleSql {
     // unblocked pair set at J >= 0.8
     "dedup_minhash_r1" ->
       s"""WITH d AS (SELECT doc_id, $docWords AS w FROM documents WHERE doc_id % 10 = 0) SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, ROUND(CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) / len(list_distinct(list_concat(a.w, b.w))) * 10000, 0)/10000.0 AS jaccard FROM d a JOIN d b ON a.doc_id < b.doc_id WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) / len(list_distinct(list_concat(a.w, b.w))) >= 0.8 ORDER BY doc_a, doc_b""",
+
+    // the streaming near-dup INGEST loop at its recall-1 config: the
+    // whole-loop survivor rule in closed form — a doc survives iff it is
+    // not the greater side of any exact J >= 0.8 pair on the slice
+    "stream_neardup_ingest_r1" ->
+      s"""WITH d AS (SELECT doc_id, $docWords AS w FROM documents WHERE doc_id % 10 = 0), p AS (SELECT b.doc_id AS b FROM d a JOIN d b ON a.doc_id < b.doc_id WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) / len(list_distinct(list_concat(a.w, b.w))) >= 0.8) SELECT doc_id FROM d WHERE doc_id NOT IN (SELECT b FROM p) ORDER BY doc_id""",
 
     // CC over the recall-1 LSH edges ≡ the exact clustering on the slice
     "dedup_clusters_minhash_r1" ->
@@ -455,8 +494,6 @@ object OracleSql {
     "corpus_curation" ->
       """WITH s AS (SELECT doc_id, lang, regexp_replace(regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'), '\+?[0-9][0-9() -]{6,}[0-9]', '<PHONE>', 'g') AS t FROM documents), g AS (SELECT * FROM s WHERE length(t) >= 100 AND len(string_split(lower(trim(t)), ' ')) >= 20), d AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(lower(trim(t))) ORDER BY doc_id) AS rn FROM g), sv AS (SELECT doc_id, lang, CAST(CEIL(length(t)/4.0) AS BIGINT) AS est_tokens FROM d WHERE rn = 1), c AS (SELECT doc_id, lang, est_tokens, SUM(est_tokens) OVER (PARTITION BY lang ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens FROM sv) SELECT doc_id, lang, est_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens FROM c WHERE cum_tokens <= 5000 ORDER BY lang, doc_id""",
 
-    // exponent rendered from the same Scala double the operator uses
-    // (1 - alpha), so both engines pow() identical inputs
     // DSIR importance selection: the bucket log-ratio is rounded to
     // integer micro-nats ONCE per bucket (the only float op, identical
     // doubles in identical operation order), so per-doc scores are exact
@@ -469,7 +506,8 @@ object OracleSql {
     // persist, the bounded candidate appends, and the final cut
     "dsir_select_inc" -> dsirSelectSql,
 
-    
+    // exponent rendered from the same Scala double the operator uses
+    // (1 - alpha), so both engines pow() identical inputs
     "source_sample_temp" ->
       s"""WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source), m AS (SELECT MIN(n_docs) AS n_min FROM c), r AS (SELECT source, CAST(ROUND(POWER(CAST(n_min AS DOUBLE)/n_docs, ${1 - 0.7})*10000, 0) AS BIGINT) AS rate_bp FROM c, m) SELECT d.doc_id, d.source, r.rate_bp/10000.0 AS keep_rate FROM documents d JOIN r ON d.source = r.source WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6)) AS BIGINT) * 10000 < r.rate_bp * 16777216 ORDER BY d.doc_id""",
 
@@ -478,6 +516,13 @@ object OracleSql {
 
     "perplexity_bigram" ->
       """WITH d AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents), b0 AS (SELECT doc_id, UNNEST(range(len(w) - 1)) AS i, w FROM d WHERE len(w) >= 2), b AS (SELECT doc_id, w[CAST(i AS INT) + 1] AS w1, w[CAST(i AS INT) + 2] AS w2 FROM b0), b2 AS (SELECT * FROM b WHERE w1 <> '' AND w2 <> ''), tfb AS (SELECT doc_id, w1, w2, COUNT(*) AS tf FROM b2 GROUP BY doc_id, w1, w2), cb AS (SELECT w1, w2, SUM(tf) AS c12 FROM tfb GROUP BY w1, w2), c1 AS (SELECT w1, SUM(c12) AS c1 FROM cb GROUP BY w1), v AS (SELECT COUNT(*) AS v FROM c1), s AS (SELECT tfb.doc_id, SUM(tfb.tf) AS n_bigrams, SUM(tfb.tf * -ln((cb.c12 + 1.0)/(c1.c1 + v.v))) AS nll FROM tfb JOIN cb ON tfb.w1 = cb.w1 AND tfb.w2 = cb.w2 JOIN c1 ON tfb.w1 = c1.w1 CROSS JOIN v GROUP BY tfb.doc_id), r AS (SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams, ROUND(nll/n_bigrams*10000, 0)/10000.0 AS avg_nll FROM s) SELECT doc_id, n_bigrams, avg_nll, CASE WHEN avg_nll > 3.5 THEN 'high' ELSE 'ok' END AS ppl_flag FROM r""",
+
+    // interpolated Kneser-Ney bigram: each TYPE's -ln P rounds once to
+    // integer micro-nats (explicit doubles, left-associated chain — the
+    // D56 convention), per-doc NLLs are exact integer sums, the flag an
+    // integer cross-multiplication — no float seam anywhere
+    "perplexity_kn" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents), b0 AS (SELECT doc_id, UNNEST(range(len(w) - 1)) AS i, w FROM d WHERE len(w) >= 2), b AS (SELECT doc_id, w[CAST(i AS INT) + 1] AS w1, w[CAST(i AS INT) + 2] AS w2 FROM b0), b2 AS (SELECT * FROM b WHERE w1 <> '' AND w2 <> ''), tfb AS (SELECT doc_id, w1, w2, COUNT(*) AS tf FROM b2 GROUP BY doc_id, w1, w2), cb AS (SELECT w1, w2, SUM(tf) AS c12 FROM tfb GROUP BY w1, w2), ctx AS (SELECT w1, SUM(c12) AS c1, COUNT(*) AS n1w1 FROM cb GROUP BY w1), pre AS (SELECT w2, COUNT(*) AS nprec FROM cb GROUP BY w2), tot AS (SELECT COUNT(*) AS ntypes FROM cb), m AS (SELECT cb.w1, cb.w2, CAST(ROUND(-ln((GREATEST(CAST(cb.c12 AS DOUBLE) - 0.75, 0.0) + 0.75 * CAST(ctx.n1w1 AS DOUBLE) * CAST(pre.nprec AS DOUBLE) / CAST(tot.ntypes AS DOUBLE)) / CAST(ctx.c1 AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS unats FROM cb JOIN ctx USING (w1) JOIN pre USING (w2) CROSS JOIN tot), s AS (SELECT tfb.doc_id, CAST(SUM(tfb.tf) AS BIGINT) AS n_bigrams, CAST(SUM(tfb.tf * m.unats) AS BIGINT) AS nll_unats FROM tfb JOIN m ON tfb.w1 = m.w1 AND tfb.w2 = m.w2 GROUP BY tfb.doc_id) SELECT doc_id, n_bigrams, nll_unats, CASE WHEN nll_unats > 3000000 * n_bigrams THEN 'high' ELSE 'ok' END AS ppl_flag FROM s""",
 
     "quality_cascade" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS word FROM documents), cnt AS (SELECT doc_id, word, COUNT(*) AS c FROM w WHERE word <> '' GROUP BY doc_id, word), ts AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_share FROM cnt GROUP BY doc_id), base AS (SELECT d.doc_id, length(d.text) AS len, len(string_split(lower(trim(d.text)), ' ')) AS nw, CAST(length(replace(d.text, ' ', '')) AS DOUBLE) / len(string_split(lower(trim(d.text)), ' ')) AS awl, ts.top_share FROM documents d LEFT JOIN ts ON d.doc_id = ts.doc_id), r AS (SELECT doc_id, top_share, CASE WHEN len < 100 THEN 'too_short' WHEN nw < 20 THEN 'too_few_words' WHEN awl < 2.0 OR awl > 12.0 THEN 'word_len_out_of_band' WHEN top_share > 0.2 THEN 'repetitive' ELSE NULL END AS ff FROM base) SELECT doc_id, ff IS NULL AS passed, COALESCE(ff, '') AS first_fail, ROUND(top_share * 10000, 0)/10000.0 AS top_share FROM r""",

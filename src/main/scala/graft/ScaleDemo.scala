@@ -40,6 +40,19 @@ import org.apache.spark.sql.functions._
   *     ("per batch everything shuffles batch-sized; corpus size is a
   *     scan-side cost only") shows up as probe wall growing ≪ 10×.
   *
+  * r13 adds the MINHASH family (VERDICT #6 — the engine's top intrinsic
+  * cpu family had plan pins but no measured scale curve): a second
+  * corpus pair (m1/m10) plants a HOT BAND BUCKET — a 100-token header
+  * (≫ the ~23-distinct-token bodies) on 30% of docs, so ~(100/123)⁸ ≈
+  * 19% of header docs land each band's minima entirely inside the
+  * header and share that band's value verbatim, while header-pair
+  * Jaccard ≈ 100/146 stays BELOW the 0.8 threshold (the bucket is pure
+  * false-candidate mass, not intrinsic output). Measured: the uncapped
+  * banded join's hot fan-out grows ~100× on the 10× corpus (counted
+  * exactly), the maxBandDf-capped path (r13, Dedup.minhashLsh) stays
+  * ≲linear with IDENTICAL verified output on this corpus (the dropped
+  * candidates were all below threshold).
+  *
   * Usage: runMain graft.ScaleDemo [sfDir] [workDir] [outJson]
   * Writes one JSON object to stdout and to `outJson`. */
 object ScaleDemo {
@@ -51,7 +64,7 @@ object ScaleDemo {
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val workDir = args.lift(1).getOrElse("/tmp/graft_scaledemo")
-    val outJson = args.lift(2).getOrElse("SCALE_DEMO_r12.json")
+    val outJson = args.lift(2).getOrElse("SCALE_DEMO_r13.json")
     val cpus = graft.util.BenchHarness.cpus(sys.env.get("SPARK_GRAFT_CPUS"))
     val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "2").toInt.max(1)
     val spark = SparkSession.builder()
@@ -208,6 +221,75 @@ object ScaleDemo {
       docs.count()
     }
 
+    // ---- 5. minhash family (r13): planted hot band bucket ----
+    // m-corpus: bodies prefixed with the doc's OWN id (fully disjoint
+    // across docs — the base corpus shares one small vocabulary, so a
+    // shared header would otherwise glue every header pair into a TRUE
+    // near-dup and the hot bucket would be intrinsic output, not noise),
+    // plus a 100-token UNMUTATED header on 30% of docs that out-weighs
+    // the ~23-distinct-token bodies in the minhash minima: each band's
+    // "all minima from the header" bucket collects ~19% of header docs
+    // at one band value, while header-pair Jaccard (~100/146 = 0.68)
+    // stays below the 0.8 threshold — pure false-candidate mass. One doc
+    // in 1000 gets an EXACT TWIN (identical token set, disjoint from
+    // everything else): its body-involved bands are private to the pair
+    // (non-hot), so capped and uncapped VERIFIED outputs must agree —
+    // the twins prove the capped path still emits true pairs, the
+    // equality proves the hot bucket contributed none (asserted below).
+    val mheader = (0 until 100).map(i => s"hdrtok$i").mkString(" ")
+    def mcorpus(name: String, reps: Int): DataFrame = {
+      val path = s"$workDir/$name"
+      val core = (0 until reps).map { r =>
+        base.select((col("doc_id") * 10 + r).as("doc_id"),
+          (col("doc_id") % 10 < 3).as("__hdr"), col("text"))
+      }.reduce(_ unionByName _)
+      // each body word becomes 3 per-doc-unique variants: the shortest
+      // base doc (10 words, ~7 distinct) still carries > 21 distinct
+      // body tokens, so header-pair Jaccard ≤ 100/142 < 0.8 for EVERY
+      // doc length — the hot bucket is provably pure noise
+      val bodied = core.select(col("doc_id"), array_join(flatten(transform(
+          split(col("text"), " "),
+          w => array(concat(lit("d"), col("doc_id"), lit("x"), w),
+                     concat(lit("d"), col("doc_id"), lit("y"), w),
+                     concat(lit("d"), col("doc_id"), lit("z"), w)))), " ").as("body"),
+        col("__hdr"))
+        .select(col("doc_id"),
+          when(col("__hdr"), concat(lit(mheader), lit(" "), col("body")))
+            .otherwise(col("body")).as("text"))
+      val twins = bodied.filter(col("doc_id") % 1000 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+      bodied.unionByName(twins).repartition(32)
+        .write.mode("overwrite").parquet(path)
+      spark.read.parquet(path)
+    }
+    val m1 = mcorpus("m1", 1)
+    val m10 = mcorpus("m10", 10)
+    var mUncapped1 = 0L; var mCapped1 = 0L
+    var mUncapped10 = 0L; var mCapped10 = 0L
+    run("minhash_m1")(
+      { mUncapped1 = Dedup.minhashLsh(m1).count(); mUncapped1 })
+    run("minhash_capped_m1")(
+      { mCapped1 = Dedup.minhashLsh(m1, maxBandDf = 100).count(); mCapped1 })
+    run("minhash_m10")(
+      { mUncapped10 = Dedup.minhashLsh(m10).count(); mUncapped10 })
+    run("minhash_capped_m10")(
+      { mCapped10 = Dedup.minhashLsh(m10, maxBandDf = 100).count(); mCapped10 })
+    // hot-bucket candidate fan-out, counted exactly: the rows the band
+    // join emits from buckets past the cap — the quadratic term the cap
+    // removes (the bucket is below-threshold noise, so output is equal)
+    val bandFanout = (d: DataFrame) =>
+      Dedup.bandedSignatures(d).groupBy("band_idx", "band_hash")
+        .agg(count(lit(1)).as("df")).filter(col("df") > 100)
+        .select(sum((col("df") * (col("df") - 1) / 2).cast("long")))
+        .head().get(0) match { case null => 0L; case n: Long => n }
+    val mFanout1 = bandFanout(m1)
+    val mFanout10 = bandFanout(m10)
+    System.err.println(s"[scaledemo] minhash hot fan-out m1=$mFanout1 m10=$mFanout10" +
+      s" out(uncapped/capped) m1=$mUncapped1/$mCapped1 m10=$mUncapped10/$mCapped10")
+    require(mUncapped1 == mCapped1 && mUncapped10 == mCapped10,
+      "hot-bucket pairs were below threshold by construction — capped and " +
+      "uncapped verified outputs must agree on this corpus")
+
     val counts = Map("x1" -> x1.count(), "x10" -> x10.count(),
       "batch" -> batch.count())
     val json = {
@@ -215,6 +297,7 @@ object ScaleDemo {
         f""""$k":{"wall":$w%.2f,"cpu":$c%.2f,"rows":$n}""" }.mkString(",")
       s"""{"metric":"scale_demo","sf":"${sfDir.split('/').last}","docs":{"x1":${counts("x1")},"x10":${counts("x10")},"batch":${counts("batch")}},""" +
         s""""uncapped_fanout":{"x1":$fanoutX1,"x10":$fanoutX10},""" +
+        s""""minhash_hot_fanout":{"m1":$mFanout1,"m10":$mFanout10},""" +
         s""""env":{"cpus":${graft.util.BenchHarness.jsonNum(cpus)},"iters":$iters,"heap_mb":${Runtime.getRuntime.maxMemory() / (1024 * 1024)}},""" +
         s""""measurements":{$rows}}"""
     }

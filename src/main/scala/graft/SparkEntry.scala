@@ -747,6 +747,10 @@ object SparkEntry {
     }),
     "perplexity_score" -> ((s, d) => TextAnalysis.perplexityScore(Tables.documents(s, d))),
     "perplexity_bigram" -> ((s, d) => TextAnalysis.perplexityBigram(Tables.documents(s, d))),
+    // interpolated Kneser-Ney bigram (r13): the KenLM-style smoothing the
+    // CCNet filter deploys; all-integer report via the micro-nat single
+    // rounding point, so the hash compare has no float-summation seam
+    "perplexity_kn" -> ((s, d) => TextAnalysis.perplexityKn(Tables.documents(s, d))),
     "quality_cascade" -> ((s, d) => TextAnalysis.qualityCascade(Tables.documents(s, d))),
     // the MassiveText rule set as an all-integer named-rule gate —
     // scan-bound, no shuffle, not one float op in the verdicts
@@ -820,6 +824,105 @@ object SparkEntry {
           col("dominant_bin"))
         .orderBy("doc_id")
     }),
+    // IMAGE near-dup dedup (r13 — the LAION/DataComp pHash stage): per-doc
+    // synthetic PNGs whose dHash is a KNOWN doc_id-arithmetic pattern
+    // (md5-derived 60-bit group base ⊕ per-slot mask — see
+    // Multimodal.syntheticImagePattern), decoded and hashed through the
+    // REAL pixel path (ImageIO decode → integer luminance grid →
+    // comparison bits), then paired by the simhash chunk banding — EXACT
+    // at radius ≤ 3 by pigeonhole, so the oracle is the plain cross-join
+    // hamming predicate over the same md5 arithmetic: a hash-adjudicated
+    // proof of the entire decode→hash→band→verify pipeline.
+    "dedup_image" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      val ids = Tables.documents(s, d).select(col("doc_id"))
+        .filter(col("doc_id") % 10 === 0).as[Long]
+      val media = ids.mapPartitions(_.map { id =>
+        graft.operators.MediaRow(id, "image",
+          Multimodal.syntheticGridPng(Multimodal.syntheticImagePattern(id)),
+          "synth")
+      }).toDF()
+      Dedup.imageNearDupPairs(Multimodal.imageHashes(media), maxHamming = 3)
+        .orderBy("doc_a", "doc_b")
+    }),
+    // the radius-0 exact-regime twin (the dedup_simhash_x convention):
+    // identical-pixel pairs ⇔ equal hashes — one per group by mask design
+    "dedup_image_x" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      val ids = Tables.documents(s, d).select(col("doc_id"))
+        .filter(col("doc_id") % 10 === 0).as[Long]
+      val media = ids.mapPartitions(_.map { id =>
+        graft.operators.MediaRow(id, "image",
+          Multimodal.syntheticGridPng(Multimodal.syntheticImagePattern(id)),
+          "synth")
+      }).toDF()
+      Dedup.imageNearDupPairs(Multimodal.imageHashes(media), maxHamming = 0)
+        .orderBy("doc_a", "doc_b")
+    }),
+    // AUDIO near-dup dedup (r13): the image trick on the %10=5 slice —
+    // per-doc synthetic WAVs whose RMS-energy-contour fingerprint is the
+    // SAME md5-group pattern (realized as a ±240 amplitude walk the real
+    // javax.sound decode recovers exactly), paired by the shared chunk
+    // banding; the oracle is again the plain cross-join hamming predicate
+    "dedup_audio" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      val ids = Tables.documents(s, d).select(col("doc_id"))
+        .filter(col("doc_id") % 10 === 5).as[Long]
+      val media = ids.mapPartitions(_.map { id =>
+        graft.operators.MediaRow(id, "audio",
+          Multimodal.syntheticEnvelopeWav(Multimodal.syntheticImagePattern(id)),
+          "synth")
+      }).toDF()
+      Dedup.audioNearDupPairs(Multimodal.audioHashes(media), maxHamming = 3)
+        .orderBy("doc_a", "doc_b")
+    }),
+    "dedup_audio_x" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      val ids = Tables.documents(s, d).select(col("doc_id"))
+        .filter(col("doc_id") % 10 === 5).as[Long]
+      val media = ids.mapPartitions(_.map { id =>
+        graft.operators.MediaRow(id, "audio",
+          Multimodal.syntheticEnvelopeWav(Multimodal.syntheticImagePattern(id)),
+          "synth")
+      }).toDF()
+      Dedup.audioNearDupPairs(Multimodal.audioHashes(media), maxHamming = 0)
+        .orderBy("doc_a", "doc_b")
+    }),
+    // VIDEO near-dup dedup (r13): the third modality on the shared
+    // banding — the md5-group pattern realized as a grid frame, JPEG'd
+    // at q=0.95, muxed into MJPEG AVI, and recovered through the REAL
+    // container walk + pixel decode + dHash; oracle = the cross-join
+    // hamming predicate on the %10=2 slice
+    "dedup_video" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      val ids = Tables.documents(s, d).select(col("doc_id"))
+        .filter(col("doc_id") % 10 === 2).as[Long]
+      val media = ids.mapPartitions(_.map { id =>
+        graft.operators.MediaRow(id, "video",
+          Multimodal.syntheticGridMjpegAvi(Multimodal.syntheticImagePattern(id)),
+          "synth")
+      }).toDF()
+      Dedup.videoNearDupPairs(Multimodal.videoHashes(media), maxHamming = 3)
+        .orderBy("doc_a", "doc_b")
+    }),
+    "dedup_video_x" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      val ids = Tables.documents(s, d).select(col("doc_id"))
+        .filter(col("doc_id") % 10 === 2).as[Long]
+      val media = ids.mapPartitions(_.map { id =>
+        graft.operators.MediaRow(id, "video",
+          Multimodal.syntheticGridMjpegAvi(Multimodal.syntheticImagePattern(id)),
+          "synth")
+      }).toDF()
+      Dedup.videoNearDupPairs(Multimodal.videoHashes(media), maxHamming = 0)
+        .orderBy("doc_a", "doc_b")
+    }),
     // Structured Streaming twins (driven with Trigger.AvailableNow)
     "stream_tumbling"   -> ((s, d) => graft.streaming.StreamOps.runTumbling(s, d)),
     "stream_sessionize" -> ((s, d) => graft.streaming.StreamOps.runSessionize(s, d)),
@@ -839,6 +942,13 @@ object SparkEntry {
     // against a persisted, incrementally-MAINTAINED band index; rows-only
     // (LSH recall not SQL-expressible), spec drives the 2-batch properties
     "stream_neardup_ingest" -> ((s, d) => graft.streaming.StreamOps.runNeardupIngest(s, d)),
+    // the recall-1 adjudication of the SAME loop (r13): cold ingest at
+    // 1 row/band × 48 bands, prefilter off ⇒ survivor set ≡ the exact
+    // batch closed form (not-the-greater-of-any-J≥0.8-pair), which
+    // DuckDB states — commits, index maintenance, and the survivor rule
+    // all inside the oracle hash
+    "stream_neardup_ingest_r1" -> ((s, d) =>
+      graft.streaming.StreamOps.runNeardupIngestR1(s, d)),
     "customer_ltv"      -> ((s, d) => Analytics.customerLtv(Tables.customer(s, d), Tables.orders(s, d))),
   )
 

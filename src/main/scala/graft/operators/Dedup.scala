@@ -219,10 +219,28 @@ object Dedup {
           .as(Seq("band_idx", "band_hash")))
   }
 
+  /** `maxBandDf` (r13) is the minhash analogue of the substring family's
+    * window df cap: a band BUCKET shared by f docs emits f(f−1)/2
+    * candidate rows from the band join — on a real crawl, boilerplate
+    * that dominates a band's minima (a long shared header out-weighing
+    * short bodies) creates buckets of thousands of docs whose pairs are
+    * mostly below-threshold noise the verify then pays for (measured in
+    * SCALE_DEMO_r13: the hot-bucket fan-out grows ~100× on a 10×
+    * corpus). With a finite cap, buckets with > maxBandDf docs drop
+    * BEFORE the join and pair dedup becomes "first agreeing NON-HOT
+    * band" (computable map-side: in an agreeing band both docs share the
+    * band value, hence the same hotness — one doc's hot-band bitmask
+    * decides for the pair). The trade, explicit as everywhere in the df
+    * family: a pair agreeing ONLY in hot buckets drops — which includes
+    * exact-copy mega-clusters (all bands hot past the cap), so run exact
+    * dedup (D1) first, as every production pipeline does; the capped
+    * path's extra exchanges are hot-bucket-sized, never corpus-sized.
+    * Default Int.MaxValue = today's uncapped behavior, bit-for-bit. */
   def minhashLsh(documents: DataFrame, numHashes: Int = 64, bands: Int = 8,
                  threshold: Double = 0.8,
                  payloadJoin: PayloadJoin = PayloadJoin.Auto,
-                 prefilterSlackSd: Double = 2.5): DataFrame = {
+                 prefilterSlackSd: Double = 2.5,
+                 maxBandDf: Int = Int.MaxValue): DataFrame = {
     require(numHashes % bands == 0,
       s"numHashes ($numHashes) must be divisible by bands ($bands)")
     val r = numHashes / bands
@@ -259,12 +277,47 @@ object Dedup {
     // a shuffled join computes the signature subtree once (ReusedExchange);
     // letting AQE broadcast one side would duplicate the whole sig
     // aggregation into the broadcast branch
-    val cand0 = banded.as("x").hint("shuffle_hash").join(banded.as("y"),
+    def selfJoin(side: DataFrame) =
+      side.as("x").hint("shuffle_hash").join(side.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
         col("x.band_hash") === col("y.band_hash") &&
         col("x.doc_id") < col("y.doc_id"))
-      .filter(graft.functions.VectorFunctions.firstEqualBand(
-        col("x.sig"), col("y.sig"), r) === col("x.band_idx"))
+    val cand0 =
+      if (maxBandDf == Int.MaxValue)
+        selfJoin(banded).filter(graft.functions.VectorFunctions.firstEqualBand(
+          col("x.sig"), col("y.sig"), r) === col("x.band_idx"))
+      else {
+        // Hot-bucket cap (scaladoc above). All the cap machinery is
+        // hot-sized: bucket counts aggregate exchange-free on the banded
+        // frame's own partitioning over a 24-B projection; the hot list
+        // (boilerplate buckets only) broadcasts; the per-doc hot-band
+        // bitmask aggregates ONLY rows inside hot buckets (the inner
+        // join drops everything else) and broadcasts back.
+        val slim = banded.select("doc_id", "band_idx", "band_hash")
+        val hot = slim.groupBy("band_idx", "band_hash")
+          .agg(count(lit(1)).as("__df")).filter(col("__df") > maxBandDf)
+          .select("band_idx", "band_hash")
+        val mask = slim.join(broadcast(hot), Seq("band_idx", "band_hash"))
+          .groupBy("doc_id")
+          .agg(sum(expr("shiftleft(1L, cast(band_idx as int))")).as("__hotmask"))
+        val capped = banded
+          .join(broadcast(hot.withColumn("__h", lit(true))),
+            Seq("band_idx", "band_hash"), "left")
+          .filter(col("__h").isNull).drop("__h")
+          .join(broadcast(mask), Seq("doc_id"), "left")
+          .withColumn("__hotmask", coalesce(col("__hotmask"), lit(0L)))
+        // exactly-once rule = first agreeing NON-HOT band, a map-side
+        // when-chain: an agreeing band means equal band values, so x's
+        // hotness bit speaks for the pair; hot bits are consulted only
+        // under bandEq (where they provably match y's)
+        def bandEq(j: Int) =
+          slice(col("x.sig"), j * r + 1, r) === slice(col("y.sig"), j * r + 1, r)
+        def hotBit(j: Int) =
+          shiftright(col("x.__hotmask"), j).bitwiseAND(1L) === 1L
+        val firstOk = (0 until bands).foldRight(lit(-1)) { (j, rest) =>
+          when(bandEq(j) && !hotBit(j), lit(j)).otherwise(rest) }
+        selfJoin(capped).filter(firstOk === col("x.band_idx"))
+      }
     val cand = (if (minAgree == 0) cand0
       else cand0.filter(graft.functions.VectorFunctions.equalPositions(
         col("x.sig"), col("y.sig")) >= minAgree))
@@ -335,6 +388,9 @@ object Dedup {
     * universe — not just the pair emit — keeps the measure a true ratio
     * over informative shingles while bounding the hot-key aggregation
     * row at maxDf and the pair fan-out at maxDf²/2 by construction.
+    * The default (100) therefore CHANGES the measure vs an uncapped
+    * ratio: shingles with df > maxDf count on neither side; pass
+    * `Int.MaxValue` for the uncapped (and unbounded-state) ratio.
     *
     * Output: (doc_a, doc_b, shared, containment) — pair-set semantics,
     * no presentation sort (see [[minhashLsh]]). */
@@ -480,11 +536,24 @@ object Dedup {
       .select(explode(col("ds")).as("e"))
       .groupBy(col("e.doc_id").as("doc_id"))
       .agg(count(lit(1)).as("__d"))
-    val corpusUpdates = corpusSizes.join(dec, Seq("doc_id"))
+    val corpusUpdates = corpusSizes.join(broadcast(dec), Seq("doc_id"))
       .select(col("doc_id"), (col("n_sh") - col("__d")).as("n_sh"))
     val sizeUpserts = newDocSizes.unionByName(corpusUpdates)
+    // STRUCTURALLY corpus-free size attach: only docs that can appear in
+    // a pair — docs on a touched non-overflow list, ≤ maxDf per touched
+    // shingle, batch-density sized by the F12 cap — need sizes. The
+    // corpus sizes table is only SCANNED (a broadcast semi-probe, the
+    // same shape as the digest-index probe); it never enters an
+    // exchange, so "no shuffle scales with corpus size" holds by plan
+    // shape, not by AQE's mood (PlanSpec pins the pairs plan join-free
+    // of any shuffle join)
+    val linkedDocs = merged.filter(col("ds").isNotNull)
+      .select(explode(col("ds")).as("e"))
+      .select(col("e.doc_id").as("doc_id")).distinct()
     // POST-merge sizes for the ratio (untouched corpus docs keep theirs)
-    val postSizes = corpusSizes.join(dec, Seq("doc_id"), "left")
+    val postSizes = corpusSizes
+      .join(broadcast(linkedDocs), Seq("doc_id"), "left_semi")
+      .join(broadcast(dec), Seq("doc_id"), "left")
       .select(col("doc_id"),
         (col("n_sh") - coalesce(col("__d"), lit(0L))).as("n_sh"))
       .unionByName(newDocSizes)
@@ -499,8 +568,10 @@ object Dedup {
       .repartition(col("doc_a"))
     val c = col("shared").cast("double") / least(col("n_a"), col("n_b"))
     val pairs = pairFrame
-      .join(postSizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
-      .join(postSizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .join(broadcast(postSizes
+        .select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"))), "doc_a")
+      .join(broadcast(postSizes
+        .select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"))), "doc_b")
       .filter(c >= threshold)
       .select(col("doc_a"), col("doc_b"), col("shared"), round4(c).as("containment"))
     (pairs, indexUpserts, sizeUpserts)
@@ -850,6 +921,23 @@ object Dedup {
     val tokens = documents.select(col("doc_id"), explode(words).as("t"))
     val sigs = tokens.groupBy(col("doc_id"))
       .agg(graft.functions.MinHashAgg.simhash(col("t")).as("sig"))
+    hammingBandPairs(sigs, maxHamming)
+  }
+
+  /** 16-bit-chunk hamming banding over (doc_id, sig) 64-bit signatures —
+    * the candidate+verify machinery shared by [[simhash]] (text),
+    * [[imageNearDupPairs]] (dHash) and [[audioNearDupPairs]]
+    * (fingerprint): 4 chunks, so by pigeonhole any pair within hamming
+    * ≤ 3 agrees on ≥ 1 chunk — candidates are an EQUI join on
+    * (chunk_idx, chunk) (pairs scale with chunk-bucket density, never
+    * all-pairs), the `bit_count(xor)` verify is exact, and the output is
+    * therefore EXACTLY the hamming-≤-maxHamming pair set for any
+    * maxHamming ≤ 3 (what lets dedup_image state a plain cross-join
+    * oracle rather than a recall bound). */
+  private[graft] def hammingBandPairs(sigs: DataFrame,
+                                      maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3,
+      s"4-chunk pigeonhole banding is exact only for hamming <= 3, got $maxHamming")
     val chunked = sigs.select(col("doc_id"), col("sig"),
       posexplode(array((0 until 4).map(c =>
         shiftright(col("sig"), c * 16).bitwiseAND(0xFFFFL)): _*))
@@ -874,6 +962,39 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
     // no presentation sort — pair-set output, same rationale as minhashLsh
   }
+
+  /** IMAGE near-dup pairs — the LAION/DataComp perceptual-hash dedup
+    * stage, completing the dedup family across modalities (every other
+    * family keys on text): `hashes` = (doc_id, phash) from
+    * [[graft.operators.Multimodal.imageHashes]] (one scan-bound decode
+    * pass, 8 bytes/image out), pairs via the [[simhash]] chunk banding —
+    * EXACT for radius ≤ 3 (pigeonhole), so on a corpus with known hash
+    * arithmetic the whole pipeline is oracle-adjudicable, and on a real
+    * corpus the spec bounds recall against pixel-exact truth under
+    * brightness/noise/upscale perturbation (dHash's invariances).
+    * Output (doc_a, doc_b, hamming), pair-set semantics. */
+  def imageNearDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame =
+    hammingBandPairs(hashes.select(col("doc_id"), col("phash").as("sig")),
+      maxHamming)
+
+  /** AUDIO near-dup pairs — [[imageNearDupPairs]]' audio twin over
+    * [[graft.operators.Multimodal.audioHashes]]' 64-bit RMS-energy-
+    * contour fingerprints (volume-invariant comparison bits, the same
+    * design choice as dHash): identical banding, identical radius-≤-3
+    * exactness, identical oracle story on a synthesized-envelope corpus.
+    * Output (doc_a, doc_b, hamming), pair-set semantics. */
+  def audioNearDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame =
+    hammingBandPairs(hashes.select(col("doc_id"), col("ahash").as("sig")),
+      maxHamming)
+
+  /** VIDEO near-dup pairs over [[graft.operators.Multimodal
+    * .videoHashes]]' first-MJPEG-frame dHashes — the third modality on
+    * the shared banding (a production corpus fingerprints k strided
+    * frames per clip and pairs on any frame match; the machinery is
+    * identical). Output (doc_a, doc_b, hamming), pair-set semantics. */
+  def videoNearDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame =
+    hammingBandPairs(hashes.select(col("doc_id"), col("vhash").as("sig")),
+      maxHamming)
 
   /** Exact substring dedup — the suffix-array method (Lee et al. 2021,
     * "Deduplicating Training Data Makes Language Models Better"): two
@@ -947,7 +1068,11 @@ object Dedup {
     * corpus size). Output ≡ the exact path up to 64-bit hash collisions
     * (≈2⁻⁶⁴ per window pair; a collision can only DROP a window — the
     * verify kills fabrications — so precision is exact and the
-    * equivalence is spec-pinned on real corpora). */
+    * equivalence is spec-pinned on real corpora).
+    *
+    * `maxDf` default 100 (r11): pairs sharing ONLY windows with df >
+    * maxDf (boilerplate) are intentionally dropped; pass `Int.MaxValue`
+    * for the uncapped r10 behavior (see [[exactSubstringPairs]]). */
   def exactSubstringPairsHashed(documents: DataFrame, minChars: Int = 40,
                                 maxDf: Int = 100): DataFrame =
     exactSubstringPairsHashedSharded(documents, minChars, maxDf, numShards = 1)
@@ -962,7 +1087,11 @@ object Dedup {
     * (doc_id, h, p) table. Shards partition the hash space, so every
     * candidate pair occurrence arises in exactly one shard; the union
     * feeds ONE text-verify join and ONE final pair count — output ≡ the
-    * unsharded path for every numShards (spec-pinned). */
+    * unsharded path for every numShards (spec-pinned).
+    *
+    * `maxDf` default 100 (r11): pairs sharing ONLY windows with df >
+    * maxDf (boilerplate) are intentionally dropped; pass `Int.MaxValue`
+    * for the uncapped r10 behavior (see [[exactSubstringPairs]]). */
   def exactSubstringPairsHashedSharded(documents: DataFrame,
                                        minChars: Int = 40, maxDf: Int = 100,
                                        numShards: Int = 4): DataFrame = {

@@ -26,6 +26,16 @@ case class VideoMeta(container: String, width: Int, height: Int,
 case class VideoMetaRow(doc_id: Long, container: String, width: Int,
                         height: Int, duration_sec: Float, codec: String)
 
+/** One image's 64-bit perceptual hash — the 8-byte near-dup signature
+  * the corpus-scale dedup works on. */
+case class ImageHashRow(doc_id: Long, phash: Long)
+
+/** One audio clip's 64-bit energy-contour fingerprint. */
+case class AudioHashRow(doc_id: Long, ahash: Long)
+
+/** One video clip's 64-bit first-frame perceptual hash. */
+case class VideoHashRow(doc_id: Long, vhash: Long)
+
 /** Real PIXEL facts for one decoded video frame (the MJPEG path):
   * container-declared vs decoded dimensions, their cross-check, the
   * dominant luminance bin, and the 8-bin luminance histogram. */
@@ -426,7 +436,7 @@ object Multimodal {
     * tables (the AVI1/OpenDML convention of implied defaults); ImageIO
     * rejects those frames, and the caller's decode returns None rather
     * than fabricating pixels — dropped, never faked. */
-  private[operators] def firstMjpegFrame(p: Array[Byte]): Option[Array[Byte]] = {
+  private[graft] def firstMjpegFrame(p: Array[Byte]): Option[Array[Byte]] = {
     if (!looksLikeAvi(p)) return None
     val n = p.length
     val isMjpg = riffLists(p, 12, n, "hdrl").headOption.exists { case (hs, he) =>
@@ -529,7 +539,13 @@ object Multimodal {
     g2.dispose()
     val baos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "jpg", baos)
-    val jpeg = baos.toByteArray
+    muxMjpegAvi(baos.toByteArray, w, h)
+  }
+
+  /** Mux one JPEG frame into a minimal MJPEG AVI container (RIFF →
+    * hdrl(avih, strl(strh 'vids'/'MJPG')) → movi('00dc')) — the shared
+    * back end of [[syntheticMjpegAvi]] and [[syntheticGridMjpegAvi]]. */
+  private def muxMjpegAvi(jpeg: Array[Byte], w: Int, h: Int): Array[Byte] = {
     def le32(v: Long): Array[Byte] = Array(
       (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
       ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
@@ -550,6 +566,44 @@ object Multimodal {
     cc4("RIFF") ++ le32(body.length.toLong) ++ body
   }
 
+  /** [[syntheticGridPng]]'s VIDEO sibling: the same 18×16 pattern grid,
+    * JPEG-encoded at explicit quality 0.95 (default 0.75 loses ~1 dHash
+    * comparison in ~1% of patterns; at ≥0.9 the ±12-step margins hold —
+    * measured 500/500 exact) and muxed as a one-frame MJPEG AVI, so
+    * encode→mux→demux→decode→hash is an identity on the pattern through
+    * the REAL container walk + pixel decode. */
+  def syntheticGridMjpegAvi(pattern: Long): Array[Byte] = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(syntheticGridPng(pattern)))
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val p = w.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(0.95f)
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    w.setOutput(ios)
+    w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    w.dispose(); ios.close()
+    muxMjpegAvi(baos.toByteArray, img.getWidth, img.getHeight)
+  }
+
+  /** (doc_id, vhash) over a binary media frame — video near-dup's front
+    * end: the first MJPEG frame's [[dHash64]] through the same container
+    * walk + ImageIO path [[videoFrameFeatures]] uses (one scan-bound
+    * pass, 8 bytes/clip out); non-MJPEG-AVI payloads and undecodable
+    * frames drop. A production corpus would key frame k of every clip
+    * the same way (the [[sampleFrames]] stride). */
+  def videoHashes(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        firstMjpegFrame(payload).flatMap(dHash64).map(VideoHashRow(id, _))
+      })
+      .toDF()
+  }
+
   /** Hard ceiling on DECLARED pixel count before any pixel allocates:
     * ImageIO.read materializes the full BufferedImage, so a corrupt or
     * adversarial header declaring 60000×60000 would OOM the task (an
@@ -565,7 +619,8 @@ object Multimodal {
     * max-size image costs ≤ ~64k luminance reads. None when ImageIO
     * cannot decode the bytes (truncated/corrupt/oversized file) — those
     * rows take the deterministic stub. */
-  private[operators] def decodeImage(payload: Array[Byte]): Option[(Int, Int, Array[Float])] =
+  private[operators] def readImage(payload: Array[Byte])
+      : Option[java.awt.image.BufferedImage] =
     try {
       // MemoryCacheImageInputStream, NOT ImageIO.createImageInputStream:
       // the factory defaults to a FileCacheImageInputStream, which writes
@@ -588,8 +643,15 @@ object Multimodal {
             else reader.read(0)
           } finally { reader.dispose(); iis.close() }
         }
-      if (img == null) None
+      Option(img)
+    } catch { case _: Exception => None }
+
+  private[operators] def decodeImage(payload: Array[Byte]): Option[(Int, Int, Array[Float])] =
+    try {
+      val imgOpt = readImage(payload)
+      if (imgOpt.isEmpty) None
       else {
+        val img = imgOpt.get
         val (w, h) = (img.getWidth, img.getHeight)
         val stride = math.max(1, math.toIntExact(
           math.round(math.sqrt(w.toLong * h / 65536.0))))
@@ -610,6 +672,257 @@ object Multimodal {
         Some((w, h, hist.map(_ / math.max(n, 1L))))
       }
     } catch { case _: Exception => None }
+
+  /** 64-bit difference perceptual hash (dHash — the LAION/DataComp-style
+    * image near-dup signature): decode, area-average the luminance plane
+    * onto a 9×8 grid, and set bit r·8+c iff grid(r,c) > grid(r,c+1).
+    * Row-adjacent COMPARISONS rather than absolute values make the hash
+    * invariant to global brightness/contrast shifts and to exact
+    * upscaling, and stable under mild noise (a comparison only flips
+    * when noise crosses the local gradient) — which is exactly why
+    * hamming distance between dHashes is the standard image near-dup
+    * measure. All arithmetic is INTEGER (BT.601 luminance ×1000, block
+    * sums with floor division), so the hash is bit-reproducible across
+    * JVMs/partitionings — the determinism the banding oracle needs.
+    * None when the payload doesn't decode or is smaller than the grid
+    * (no pixels to fabricate facts from — the D12d refusal rule). */
+  private[graft] def dHash64(payload: Array[Byte]): Option[Long] =
+    readImage(payload).flatMap { img =>
+      val (w, h) = (img.getWidth, img.getHeight)
+      if (w < 9 || h < 8) None
+      else {
+        // grid cell (r, c) = mean luminance over pixel block
+        // [r·h/8, (r+1)·h/8) × [c·w/9, (c+1)·w/9) — exact integer bounds,
+        // every pixel in exactly one block, no resampling kernel to
+        // disagree about
+        val grid = Array.ofDim[Long](8, 9)
+        var r = 0
+        while (r < 8) {
+          val y0 = r * h / 8; val y1 = (r + 1) * h / 8
+          var c = 0
+          while (c < 9) {
+            val x0 = c * w / 9; val x1 = (c + 1) * w / 9
+            var sum = 0L
+            var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) {
+                val rgb = img.getRGB(x, y)
+                sum += (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+                  (rgb & 0xff) * 114) / 1000
+                x += 1
+              }
+              y += 1
+            }
+            grid(r)(c) = sum / ((y1 - y0).toLong * (x1 - x0))
+            c += 1
+          }
+          r += 1
+        }
+        var hash = 0L
+        var k = 0
+        while (k < 64) {
+          if (grid(k / 8)(k % 8) > grid(k / 8)(k % 8 + 1)) hash |= (1L << k)
+          k += 1
+        }
+        Some(hash)
+      }
+    }
+
+  /** (doc_id, phash) over a binary media frame — the corpus-scale front
+    * end of image near-dup dedup ([[graft.operators.Dedup
+    * .imageNearDupPairs]]): one scan-bound mapPartitions decode, 8 bytes
+    * per image out (payloads never leave their partition), undecodable /
+    * sub-grid payloads DROP rather than fabricate. At 100 TB this is the
+    * only pass that touches pixels; everything downstream works on the
+    * 8-byte hash column. */
+  def imageHashes(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        dHash64(payload).map(ImageHashRow(id, _))
+      })
+      .toDF()
+  }
+
+  /** Deterministic synthetic image whose [[dHash64]] equals `pattern` —
+    * the TEST RIG for image near-dup (the [[syntheticMjpegAvi]] pattern:
+    * no media corpus ships, so driver queries synthesize payloads with
+    * KNOWN facts and the oracle restates them as doc_id arithmetic).
+    * An 18×16 lossless PNG of 2×2 constant blocks realizes a 9×8
+    * luminance grid EXACTLY (each dHash cell averages one constant
+    * block); within each row grays walk ±12 per step so comparison k
+    * reproduces bit k of `pattern` with margin 12 — dims are multiples
+    * of the grid, PNG is lossless, and the grid arithmetic is integer,
+    * so encode→decode→hash is an identity on the pattern. */
+  def syntheticGridPng(pattern: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      18, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var r = 0
+    while (r < 8) {
+      var g = 128
+      var c = 0
+      while (c < 9) {
+        val rgb = (g << 16) | (g << 8) | g
+        var dy = 0
+        while (dy < 2) {
+          var dx = 0
+          while (dx < 2) { img.setRGB(c * 2 + dx, r * 2 + dy, rgb); dx += 1 }
+          dy += 1
+        }
+        // bit k set ⇔ cell c must exceed cell c+1 ⇔ step DOWN into c+1
+        if (c < 8) g += (if ((pattern >> (r * 8 + c) & 1L) == 1L) -12 else 12)
+        c += 1
+      }
+      r += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** 64-bit audio fingerprint — the RMS-ENERGY-CONTOUR analogue of
+    * [[dHash64]] (the envelope shape is the cheap, robust acoustic
+    * near-dup signal; Shazam-style peak constellations refine it, this
+    * is the corpus-dedup-grade version): decode integer-PCM WAV
+    * (channel 0 only), cut the stream into 65 EQUAL windows (the exact
+    * floor count — equal sizes let energies compare without division),
+    * sum squared samples per window in exact integer arithmetic
+    * (samples normalized to 16-bit range by shifts, so sums stay far
+    * below 2^63 under the 256 MB decode ceiling), and set bit k iff
+    * window k's energy > window k+1's. Comparisons make the hash
+    * invariant to uniform volume scaling and stable under mild noise —
+    * the same reason dHash compares neighbors. None when the payload
+    * is not integer-PCM WAV or has fewer than 65 frames. */
+  private[graft] def audioFingerprint64(payload: Array[Byte]): Option[Long] =
+    try {
+      if (!looksLikeWav(payload)) None
+      else {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val fmt = in.getFormat
+          val channels = fmt.getChannels
+          val bps = math.max(1, fmt.getSampleSizeInBits / 8)
+          val frames = in.getFrameLength
+          val frameSize = math.max(1, fmt.getFrameSize)
+          val isPcm =
+            fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+          if (!isPcm || channels <= 0 || frames < 65 ||
+              frames * frameSize > 256L * 1024 * 1024) None
+          else {
+            val body = in.readAllBytes()
+            val n = body.length / (bps * channels)
+            val win = n / 65
+            if (win < 1) None
+            else {
+              val e = new Array[Long](65)
+              var k = 0
+              while (k < 65) {
+                var sum = 0L
+                var i = k * win
+                val end = i + win
+                while (i < end) {
+                  val off = i * channels * bps // channel 0 of frame i
+                  var v = 0L
+                  var b = 0
+                  while (b < bps) { v |= (body(off + b) & 0xffL) << (8 * b); b += 1 }
+                  val signed =
+                    if (bps == 1) ((v & 0xff) - 128) << 8 // 8-bit unsigned → 16-bit
+                    else {
+                      val s = { val sh = 64 - bps * 8; (v << sh) >> sh }
+                      if (bps == 2) s else s >> (8 * bps - 16) // wider → 16-bit
+                    }
+                  sum += signed * signed
+                  i += 1
+                }
+                e(k) = sum
+                k += 1
+              }
+              var hash = 0L
+              k = 0
+              while (k < 64) {
+                if (e(k) > e(k + 1)) hash |= (1L << k)
+                k += 1
+              }
+              Some(hash)
+            }
+          }
+        } finally in.close()
+      }
+    } catch { case _: Exception => None }
+
+  /** (doc_id, ahash) over a binary media frame — the audio twin of
+    * [[imageHashes]]: one scan-bound mapPartitions decode, 8 bytes per
+    * clip out, non-WAV / sub-65-frame payloads drop. */
+  def audioHashes(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        audioFingerprint64(payload).map(AudioHashRow(id, _))
+      })
+      .toDF()
+  }
+
+  /** Deterministic synthetic WAV whose [[audioFingerprint64]] equals
+    * `pattern` — [[syntheticGridPng]]'s audio sibling: 65 windows of 64
+    * samples of a ±a_k square wave (RMS energy = 64·a_k², exact), the
+    * amplitude walking ±240 from 16000 so comparison k reproduces bit k
+    * with a wide margin and amplitudes stay inside int16 (16000 ±
+    * 64·240 ∈ [640, 31360]). 16-bit mono PCM at 8 kHz through the same
+    * javax.sound writer the decoder reads — encode→decode→fingerprint
+    * is an identity on the pattern. */
+  def syntheticEnvelopeWav(pattern: Long): Array[Byte] = {
+    val win = 64
+    val data = new Array[Byte](65 * win * 2)
+    var a = 16000
+    var k = 0
+    while (k < 65) {
+      var i = 0
+      while (i < win) {
+        val s = if (i % 2 == 0) a else -a
+        val off = (k * win + i) * 2
+        data(off) = (s & 0xff).toByte
+        data(off + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      // bit k set ⇔ window k's energy must exceed window k+1's ⇔ step DOWN
+      if (k < 64) a += (if ((pattern >> k & 1L) == 1L) -240 else 240)
+      k += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, 65L * win)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  /** The driver queries' doc_id-arithmetic hash pattern (both engines
+    * state it): docs in the same 4-slot group (anchor = doc_id − doc_id
+    * % 40 over the %10 slice) share one 60-bit md5-derived base pattern,
+    * XOR'd with a per-slot mask of hamming weight {0, 0, 2, 3} — so
+    * within a group, slot pairs land at hamming {0, 2, 2, 3, 3, 5}:
+    * radius-0 pairs for the exact twin, ≤3 pairs for the near-dup
+    * screen, and one 5-bit pair that must NOT emit; across groups,
+    * independent md5 patterns sit ~30 bits apart. */
+  def syntheticImagePattern(docId: Long): Long = {
+    val anchor = docId - docId % 40
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(anchor.toString.getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString.substring(0, 15)
+    val base = java.lang.Long.parseLong(hex, 16)
+    val mask = ((docId % 40) / 10) match {
+      case 0 => 0L; case 1 => 0L; case 2 => 3L; case _ => 56L
+    }
+    base ^ mask
+  }
 
   /** STUB decoder: deterministic pseudo-features from the raw bytes.
     * The fallback for modalities with no in-container codec (audio/video)

@@ -604,6 +604,81 @@ object TextAnalysis {
               when(avgNll > flagNats, "high").otherwise("ok").as("ppl_flag"))
   }
 
+  /** Interpolated Kneser-Ney bigram perplexity — the rung of the quality
+    * ladder practitioners actually deploy (CCNet's filter is a KenLM
+    * model with modified Kneser-Ney smoothing; [[perplexityBigram]]'s
+    * add-one smoothing over-penalizes rare-but-fluent transitions, KN
+    * replaces it with absolute discounting + a CONTINUATION back-off:
+    * how many distinct contexts a word follows, not how often it
+    * occurs — the "san francisco" correction):
+    *
+    *   P(w2|w1) = (max(c12 − D, 0) + D · n1+(w1·) · Pcont(w2)) / c1,
+    *   Pcont(w2) = n1+(·w2) / n1+(··)
+    *
+    * with D = 0.75 (Chen & Goodman's fixed discount; exactly
+    * representable in binary, so the discounted count is an exact
+    * double), c1 = w1's context total, n1+(w1·) = w1's distinct
+    * continuations, n1+(·w2) = w2's distinct left contexts, n1+(··) =
+    * total distinct bigram types. Interpolation weights make the
+    * conditional sum to exactly 1 over the full continuation vocabulary
+    * (unseen pairs take the pure back-off term; spec-pinned to 1e-9).
+    * Self-scoring only ever evaluates seen pairs, so the model join
+    * stays inner.
+    *
+    * Engine-portability is the D56 micro-nat trick — ONE rounding point:
+    * each distinct bigram TYPE's −ln P rounds once to integer micro-nats
+    * (the only float op, identical doubles in identical operation order
+    * in both engines — every operand explicitly double, products/ratios
+    * left-associated), then per-doc NLLs are EXACT integer sums
+    * (associative, partitioning-independent — no float-summation seam)
+    * and the flag is an integer cross-multiplication
+    * (nll > flagNats · n), so the whole report hash-adjudicates.
+    *
+    * Pipeline shape = [[perplexityBigram]]'s: the corpus tokenizes ONCE
+    * into per-doc bigram frequencies; the model (c12 / context totals /
+    * continuation counts / type count) aggregates FROM those frequencies
+    * (ReusedExchange, PlanSpec-pinned), the two corpus-scale pieces join
+    * on (w1,w2), the 1-row type count broadcasts. Docs under 2 tokens
+    * drop (no bigrams), as in any n-gram scorer. */
+  def perplexityKn(documents: DataFrame, flagNats: Double = 3.0): DataFrame = {
+    val withW = documents.select(col("doc_id"), words.as("__w"))
+    val w = col("__w")
+    val bi = withW.select(col("doc_id"),
+        explode(when(size(w) >= 2,
+          transform(sequence(lit(0), size(w) - 2), i =>
+            struct(element_at(w, i + 1).as("w1"),
+                   element_at(w, i + 2).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .filter(col("w1") =!= "" && col("w2") =!= "")
+    val tfb = bi.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("tf"))
+    // model tables — all derived from the TYPE table cb, which itself
+    // aggregates from tfb (the scoring side's own exchange)
+    val cb = tfb.groupBy("w1", "w2").agg(sum("tf").as("c12"))
+    val ctx = cb.groupBy("w1")
+      .agg(sum("c12").as("c1"), count(lit(1)).as("n1w1"))
+    val pre = cb.groupBy("w2").agg(count(lit(1)).as("nprec"))
+    val tot = cb.agg(count(lit(1)).as("ntypes"))
+    // the single rounding point: every operand an explicit double, the
+    // product/ratio chain left-associated — both engines execute the
+    // identical IEEE op sequence on identical inputs
+    val p = (greatest(col("c12").cast("double") - lit(0.75), lit(0.0)) +
+      lit(0.75) * col("n1w1").cast("double") * col("nprec").cast("double") /
+        col("ntypes").cast("double")) / col("c1").cast("double")
+    val model = cb.join(ctx, Seq("w1")).join(pre, Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"),
+        round(-log(p) * 1e6, 0).cast("long").as("unats"))
+    val flagUnats = math.round(flagNats * 1e6)
+    tfb.join(model, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_bigrams"),
+           sum(col("tf") * col("unats")).as("nll_unats"))
+      .select(col("doc_id"), col("n_bigrams"), col("nll_unats"),
+        when(col("nll_unats") > lit(flagUnats) * col("n_bigrams"), "high")
+          .otherwise("ok").as("ppl_flag"))
+  }
+
   /** Document fingerprinting: full md5 digest, 8-hex prefix bucket, and a
     * 1-permutation minhash (lexicographic-min word md5). */
   def fingerprint(documents: DataFrame): DataFrame =

@@ -566,12 +566,16 @@ object StreamOps {
     * ledger skips its own already-committed half. Exact copies are caught
     * deterministically (J=1 collides in every band); near-copies up to
     * LSH recall (spec-bounded on the batch operator). */
-  def neardupIngestBatch(table: String, indexTable: String)
+  def neardupIngestBatch(table: String, indexTable: String,
+                         numHashes: Int = 64, bands: Int = 8,
+                         threshold: Double = 0.8,
+                         prefilterSlackSd: Double = 2.5)
                         (b: DataFrame, id: Long): Unit = {
     import graft.sources.TxLogFormat
     val spark = b.sparkSession
     val batch = b.select(col("doc_id"), col("text")).localCheckpoint()
-    val intraDrop = graft.operators.Dedup.minhashLsh(batch)
+    val intraDrop = graft.operators.Dedup.minhashLsh(batch,
+        numHashes, bands, threshold, prefilterSlackSd = prefilterSlackSd)
       .select(greatest(col("doc_a"), col("doc_b")).as("doc_id")).distinct()
     val batchKept = batch.join(intraDrop, Seq("doc_id"), "left_anti")
     val kept =
@@ -580,7 +584,8 @@ object StreamOps {
         val corpus = TxLogFormat.read(spark, table)
         val idx = TxLogFormat.read(spark, indexTable)
         val dup = graft.operators.Dedup.incrementalMinhash(corpus, batchKept,
-            corpusIndex = Some(idx))
+            numHashes, bands, threshold, corpusIndex = Some(idx),
+            prefilterSlackSd = prefilterSlackSd)
           .select(col("doc_b").as("doc_id")).distinct()
         batchKept.join(dup, Seq("doc_id"), "left_anti")
       }
@@ -588,7 +593,8 @@ object StreamOps {
     // their band signatures must describe exactly the same docs
     val keptC = kept.localCheckpoint()
     TxLogFormat.appendBatch(keptC, table, "neardup_ingest", id)
-    TxLogFormat.appendBatch(graft.operators.Dedup.bandedSignatures(keptC),
+    TxLogFormat.appendBatch(
+      graft.operators.Dedup.bandedSignatures(keptC, numHashes, bands),
       indexTable, "neardup_ingest", id): Unit
   }
 
@@ -614,6 +620,39 @@ object StreamOps {
       .start()
     q.awaitTermination()
     handoffAndClean(TxLogFormat.read(spark, table).select("doc_id"), tmpRoot)
+  }
+
+  /** The recall-1 adjudication twin of [[runNeardupIngest]] (r13 — the
+    * dedup_minhash_r1 trick applied to the INGEST loop, pinning the last
+    * streaming query without an oracle): cold AvailableNow over the %10
+    * slice at the 1-row/band × 48-band config with the agreement
+    * prefilter OFF — a true pair's all-band miss probability is
+    * (1−J)⁴⁸ ≤ 3e-34 at J ≥ 0.8, so candidates ⊇ the exact pair set,
+    * and the exact-Jaccard verify keeps precision exact. The whole-loop
+    * survivor rule is then a closed form DuckDB states verbatim: a doc
+    * survives iff it is not the GREATER side of any exact J ≥ 0.8 pair
+    * on the slice — the same one-batch semantics the ingest applies,
+    * exactly-once commits and index maintenance included in the hash. */
+  def runNeardupIngestR1(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxLogFormat
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_ndingest1_")
+    val table = tmpRoot.resolve("corpus").toString
+    val indexTable = tmpRoot.resolve("index").toString
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val q = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("text"))
+      .writeStream
+      .foreachBatch(neardupIngestBatch(table, indexTable,
+        numHashes = 48, bands = 48, threshold = 0.8,
+        prefilterSlackSd = Double.PositiveInfinity) _)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    handoffAndClean(
+      TxLogFormat.read(spark, table).select("doc_id").orderBy("doc_id"),
+      tmpRoot)
   }
 
   /** One micro-batch of the streaming SEGMENT-dedup ingest loop — the
@@ -938,18 +977,33 @@ object StreamOps {
     * distinct set. Each table flips in one atomic [[graft.sources
     * .TxLogFormat.replace]] commit, so readers see pre- or
     * post-compaction state, never a mix — and the NEXT batch's verdicts
-    * are bit-identical either way (spec-proven). Run it BEHIND the
-    * stream's committed watermark (a batch id the checkpoint has
-    * passed): committed ids never re-execute, so no replay can observe
-    * the folded rows under a smaller id. This is what keeps D54's state
-    * metadata-scale FOREVER, not just per-batch: #sources + #langs +
-    * #digests rows after every compaction, however many batches ran. */
+    * are bit-identical either way (spec-proven).
+    *
+    * `watermark` ENFORCES the safety contract instead of trusting the
+    * caller's timing: only rows with `batch_id <= watermark` fold —
+    * newer deltas pass through UNTOUCHED. Pass a batch id the stream's
+    * checkpoint has committed; committed ids never re-execute, so no
+    * replay can observe the folded rows under a smaller id. Without the
+    * guard, a compaction racing a batch whose four commits had partially
+    * landed would absorb the partial rows under a smaller batch_id, and
+    * the crash-replay of that batch would read its own half-committed
+    * deltas as PRIOR state — double-counting quota/budget. With it, a
+    * premature or concurrent call is merely less effective (the young
+    * tail stays un-folded), never corrupting. This is what keeps D54's
+    * state metadata-scale FOREVER, not just per-batch: #sources +
+    * #langs + #digests rows (+ any post-watermark deltas) after every
+    * compaction, however many batches ran. */
   def compactCurationState(spark: SparkSession, digestTable: String,
-                           quotaTable: String, budgetTable: String): Unit = {
+                           quotaTable: String, budgetTable: String,
+                           watermark: Long): Unit = {
     import graft.sources.TxLogFormat
     def fold(path: String)(f: DataFrame => DataFrame): Unit =
-      if (TxLogFormat.versions(path).nonEmpty)
-        TxLogFormat.replace(spark, f(TxLogFormat.read(spark, path)), path)
+      if (TxLogFormat.versions(path).nonEmpty) {
+        val all = TxLogFormat.read(spark, path)
+        val merged = f(all.filter(col("batch_id") <= watermark))
+          .unionByName(all.filter(col("batch_id") > watermark))
+        TxLogFormat.replace(spark, merged, path)
+      }
     fold(quotaTable)(_.groupBy("source").agg(
       sum("survivors").as("survivors"), max("batch_id").as("batch_id")))
     fold(budgetTable)(_.groupBy("lang").agg(

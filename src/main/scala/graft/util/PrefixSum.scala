@@ -41,12 +41,29 @@ import org.apache.spark.sql.functions._
   * Requires `valueCol` non-null (sums would silently skip nulls in the
   * window form but poison the offset join here) and a numeric long-safe
   * value; `orderCol` must be integral and unique within `part` for the
-  * order to be total — the same contract the single-window form had. */
+  * order to be total — the same contract the single-window form had.
+  *
+  * ORDER-KEY DENSITY: the "offsets are metadata-scale" claim is a
+  * density claim — #blocks = #distinct floor(orderCol/blockSize) values,
+  * which is rows/blockSize only when keys are DENSE (every current
+  * caller orders by the dense synthetic doc_id). Sparse keys (hashed /
+  * snowflake-style ids spread over the full long range) put ~every row
+  * in its own block, making the offsets frame data-scale — a broadcast
+  * that OOMs the driver at exactly the scale this helper exists for.
+  * Guarded, not just documented: `denseOrderKeys = false` drops the
+  * broadcast HINT and lets AQE pick the join strategy from the offsets
+  * frame's MEASURED runtime size (its aggregate sits above a shuffle
+  * stage AQE can weigh) — small offsets still broadcast, data-scale
+  * offsets degrade to a shuffle join instead of a driver OOM, bit-exact
+  * either way and zero extra passes. Callers with sparse keys should
+  * still prefer pre-ranking to a dense order (`row_number` costs the
+  * same sort the window form paid) or a coarser `blockSize`. */
 object PrefixSum {
   def cumSum(df: DataFrame, partCols: Seq[String], orderCol: String,
              valueCol: String, cumCol: String,
              inclusive: Boolean = true,
-             blockSize: Long = 1L << 20): DataFrame = {
+             blockSize: Long = 1L << 20,
+             denseOrderKeys: Boolean = true): DataFrame = {
     require(blockSize > 0, "blockSize must be positive")
     val part = partCols.map(col) :+ col("__blk")
     // exact signed floor division (see scaladoc): o - pmod(o, B) is an
@@ -67,7 +84,8 @@ object PrefixSum {
     val cum =
       if (inclusive) col("__off") + col("__within")
       else col("__off") + col("__within") - col(valueCol)
-    a.join(broadcast(offsets), partCols :+ "__blk")
+    val offSide = if (denseOrderKeys) broadcast(offsets) else offsets
+    a.join(offSide, partCols :+ "__blk")
       .withColumn(cumCol, cum)
       .select(df.columns.map(col) :+ col(cumCol): _*)
   }

@@ -24,6 +24,61 @@ class ApproxSpec extends SparkSpec {
       s"recall ${found / exact.size} (${approx.size} approx vs ${exact.size} exact)")
   }
 
+  test("minhash band-df cap: uncrossed cap ≡ uncapped bit-for-bit; with a " +
+       "planted hot bucket, output ≡ the derived first-non-hot-band rule " +
+       "and a true pair with a private band survives") {
+    import spark.implicits._
+    // 200-token header shared by a 30-doc group with 3 private tokens
+    // each (pairwise J ≈ 200/206: true near-dups whose agreeing bands
+    // are the header-dominated ones → hot past cap 10), plus TWINS
+    // carrying the header AND a 200-token shared body (their bands mix
+    // body minima → band values private to the pair → non-hot → must
+    // survive), plus unrelated docs
+    val header = (0 until 200).map(i => s"h$i").mkString(" ")
+    val body = (0 until 200).map(i => s"t$i").mkString(" ")
+    val docs = ((0L until 30L).map(i =>
+        (i, s"$header u${i}a u${i}b u${i}c")) ++
+      Seq((100L, s"$header $body"), (101L, s"$header $body")) ++
+      (200L until 205L).map(i => (i, (0 until 30).map(j => s"z${i}w$j").mkString(" "))))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val uncapped = rows(Dedup.minhashLsh(docs,
+      prefilterSlackSd = Double.PositiveInfinity))
+    // an uncrossed cap is bit-for-bit the uncapped path
+    assert(rows(Dedup.minhashLsh(docs, maxBandDf = 1000000,
+      prefilterSlackSd = Double.PositiveInfinity)) == uncapped)
+    val capped = rows(Dedup.minhashLsh(docs, maxBandDf = 10,
+      prefilterSlackSd = Double.PositiveInfinity))
+    // derive the expected capped set with no operator code in the loop:
+    // hot buckets from the banded frame, pair survives iff SOME band has
+    // equal sig slices and a non-hot bucket, then the exact-J verify
+    val banded = Dedup.bandedSignatures(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getLong(3),
+        r.getSeq[Long](1).toVector))
+    val hot = banded.groupBy(b => (b._2, b._3)).filter(_._2.size > 10).keySet
+    val sigs = banded.groupBy(_._1).map { case (id, g) => id -> g.head._4 }
+    val hash = banded.groupBy(_._1).map { case (id, g) =>
+      id -> g.map(b => b._2 -> b._3).toMap }
+    def wordSet(t: String) = t.toLowerCase.trim.split(" ").toSet
+    val words = docs.collect().map(r => r.getLong(0) -> wordSet(r.getString(1))).toMap
+    val ids = words.keys.toSeq.sorted
+    val expected = (for {
+      a <- ids; b <- ids if a < b
+      j = words(a).intersect(words(b)).size.toDouble /
+        words(a).union(words(b)).size
+      if j >= 0.8
+      if (0 until 8).exists(k => sigs(a).slice(k * 8, k * 8 + 8) ==
+        sigs(b).slice(k * 8, k * 8 + 8) && !hot.contains((k, hash(a)(k))))
+    } yield Seq[Any](a, b, math.round(j * 10000) / 10000.0)).toSet
+    assert(capped == expected, s"capped $capped vs derived $expected")
+    // the cap ENGAGED (the header group's pairs dropped)...
+    assert(capped != uncapped && capped.subsetOf(uncapped))
+    // ...and the twins' private body bands carried their pair through
+    assert(capped.exists(r => r(0) == 100L && r(1) == 101L),
+      s"twin pair lost: $capped")
+  }
+
   test("simhash: pairs are ordered, hamming within bound") {
     val out = Dedup.simhash(Tables.documents(spark, sf), 3).collect()
     assert(out.forall(r => r.getLong(0) < r.getLong(1)))

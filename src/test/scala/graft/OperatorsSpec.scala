@@ -526,6 +526,60 @@ class OperatorsSpec extends SparkSpec {
       "wordless and target docs never rank")
   }
 
+  test("kneser-ney bigram: plain-Scala re-derivation of the micro-nat " +
+       "model; the conditional sums to exactly 1 per context; sub-2-token " +
+       "docs drop; discount floor engages on no seen type") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat ate the cat"),
+      (3L, "dog ran dog ran dog"),
+      (4L, "single"),   // 1 token: no bigrams, must drop
+      (5L, ""))         // wordless: must drop
+    val docs = rows.toDF("doc_id", "text")
+    // the operator's arithmetic with no Spark in the loop
+    val bigrams = rows.flatMap { case (id, t) =>
+      t.toLowerCase.trim.split(" ").sliding(2).collect {
+        case Array(a, b) if a.nonEmpty && b.nonEmpty => (id, a, b) } }
+    val tfb = bigrams.groupBy(identity).map { case ((id, a, b), g) =>
+      (id, a, b, g.size.toLong) }.toSeq
+    val cb = tfb.groupBy(r => (r._2, r._3))
+      .map { case (k, g) => k -> g.map(_._4).sum }
+    val ctx = cb.groupBy(_._1._1).map { case (w1, g) =>
+      w1 -> (g.values.sum, g.size.toLong) }
+    val pre = cb.groupBy(_._1._2).map { case (w2, g) => w2 -> g.size.toLong }
+    val ntypes = cb.size.toLong
+    def prob(w1: String, w2: String): Double = {
+      val (c1, n1w1) = ctx(w1)
+      (math.max(cb.getOrElse((w1, w2), 0L).toDouble - 0.75, 0.0) +
+        0.75 * n1w1.toDouble * pre(w2).toDouble / ntypes.toDouble) / c1.toDouble
+    }
+    def unats(w1: String, w2: String): Long =
+      BigDecimal(-math.log(prob(w1, w2)) * 1e6)
+        .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
+    val want = tfb.groupBy(_._1).map { case (id, g) =>
+      (id, g.map(_._4).sum, g.map(r => r._4 * unats(r._2, r._3)).sum) }
+      .toSeq.sortBy(_._1)
+    val got = TextAnalysis.perplexityKn(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sortBy(_._1)
+    assert(got == want, s"$got vs $want")
+    assert(!got.exists(r => r._1 == 4L || r._1 == 5L),
+      "sub-2-token docs must drop")
+    // the KN property the smoothing exists for: discounted seen mass +
+    // redistributed continuation mass = exactly 1 per context over the
+    // FULL continuation vocabulary (unseen pairs take the pure back-off
+    // term — c12 = 0, only the interpolation weight survives)
+    ctx.keys.foreach { w1 =>
+      // .toSeq: mapping a key SET to probabilities would collapse equal
+      // values before the sum
+      val mass = pre.keys.toSeq.map(w2 => prob(w1, w2)).sum
+      assert(math.abs(mass - 1.0) < 1e-9, s"context '$w1' mass $mass != 1")
+    }
+    // repeated-only-bigram context: "dog ran" has c12 large relative to
+    // c1 — probability stays < 1 and unats >= 0 (ln never goes positive)
+    assert(unats("dog", "ran") >= 0L)
+  }
+
   test("r12 screens are partition-invariant: dsir ranks, repetition " +
        "fractions, arrival-funnel verdicts identical at 1/7/13 partitions") {
     import spark.implicits._

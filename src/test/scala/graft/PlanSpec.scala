@@ -468,6 +468,25 @@ class PlanSpec extends SparkSpec {
       s"corpus-sized output globally sorts:\n$plan")
   }
 
+  test("kneser-ney bigram: the bigram exchange is reused at runtime " +
+       "(corpus tokenizes once), aggregation is partial, type count " +
+       "broadcasts, no global sort") {
+    val df = TextAnalysis.perplexityKn(Tables.documents(spark, sf))
+    df.collect() // ReusedExchange appears in the final adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // the model (c12 / context totals / continuation counts / ntypes)
+    // aggregates FROM the scoring side's bigram frequencies — identical
+    // exchange subtrees dedupe at execution
+    assert(plan.contains("ReusedExchange"),
+      s"KN model re-tokenizes the corpus:\n$plan")
+    assert(plan.contains("partial_count"), s"no map-side combine:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"the 1-row type count did not broadcast:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"corpus-sized output globally sorts:\n$plan")
+  }
+
   test("hashed segment dedup: first occurrence reduces map-side over " +
        "8-byte hashes; no global sort") {
     val df = Dedup.segmentDedupHashed(Tables.documents(spark, sf))
@@ -576,6 +595,28 @@ class PlanSpec extends SparkSpec {
     // every candidate score
     assert(plan.contains("TakeOrderedAndProject"),
       s"selection plans as a global sort:\n$plan")
+  }
+
+  test("incremental containment: the size attach never shuffles the corpus " +
+       "sizes table — every join in the batch pair path is broadcast") {
+    import spark.implicits._
+    val batch = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    // corpus-SCALE state stand-ins: what matters is the plan shape, which
+    // is independent of the row counts — the sizes table must appear only
+    // under broadcast semi-probes, never inside a shuffle join
+    val idx = Seq(("alpha beta gamma", Seq((1L, 0L), (2L, 0L))))
+      .toDF("sh", "ds")
+      .select(col("sh"), transform(col("ds"),
+        e => struct(e.getField("_1").as("doc_id"), e.getField("_2").as("p")))
+        .as("ds"))
+    val sizes = Seq((1L, 5L), (2L, 7L)).toDF("doc_id", "n_sh")
+    val (pairs, _, _) = Dedup.incrementalContainment(batch, idx, sizes)
+    val plan = pairs.queryExecution.sparkPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"a corpus-side frame entered a shuffle join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"sizes table not pruned through a broadcast semi-probe:\n$plan")
   }
 
   test("incremental curation funnel: state offsets broadcast — the batch " +

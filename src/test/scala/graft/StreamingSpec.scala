@@ -537,9 +537,17 @@ class StreamingSpec extends SparkSpec {
       val closed = rows(graft.operators.Curation.curationFunnelArrival(
         (b0 ++ b1).toDF("doc_id", "text", "lang", "source"), 2, cap))
       assert(got == closed, s"$got vs $closed")
+      // a PREMATURE compaction (watermark 0: batch 1's deltas must pass
+      // through untouched) folds only the old tail — batch 1's rows keep
+      // their batch_id, so a replay of batch 1 would still read correct
+      // pre-state; state is NOT yet one row per key
+      StreamOps.compactCurationState(spark, digT, quoT, budT, watermark = 0L)
+      assert(TxLogFormat.read(spark, budT)
+        .filter(col("batch_id") > 0L).count() == 1,
+        "batch-1 budget delta must survive a watermark-0 compaction")
       // compact BEHIND the committed watermark: state folds to one row
       // per key, and the NEXT batch's verdicts must be bit-identical
-      StreamOps.compactCurationState(spark, digT, quoT, budT)
+      StreamOps.compactCurationState(spark, digT, quoT, budT, watermark = 1L)
       assert(TxLogFormat.read(spark, quoT).count() == 2)   // s1, s2
       assert(TxLogFormat.read(spark, budT).count() == 1)   // en
       assert(TxLogFormat.read(spark, digT).count() == 4)   // a b c d
