@@ -429,6 +429,17 @@ object OracleSql {
     "dedup_video" -> dedupHashSql(3, 2),
     "dedup_video_x" -> dedupHashSql(0, 2),
 
+    // the image-hash INGEST loop cold: the whole-loop survivor rule in
+    // closed form — survive iff not the greater side of any hamming-≤-3
+    // pair (decode, banding, index commits all inside the hash)
+    "dedup_image_inc" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0), p0 AS (SELECT doc_id, xor(CAST(('0x' || substr(md5(CAST(doc_id - doc_id % 40 AS VARCHAR)), 1, 15)) AS BIGINT), CASE (doc_id % 40) // 10 WHEN 2 THEN 3 WHEN 3 THEN 56 ELSE 0 END) AS h FROM ids), d AS (SELECT b.doc_id FROM p0 a JOIN p0 b ON a.doc_id < b.doc_id WHERE bit_count(xor(a.h, b.h)) <= 3) SELECT doc_id FROM p0 WHERE doc_id NOT IN (SELECT doc_id FROM d) ORDER BY doc_id""",
+
+    // CC over the image-hash edges ≡ the exact recursive-CTE clustering
+    // (the dedup_clusters_minhash_r1 composition, on perceptual hashes)
+    "dedup_image_clusters" ->
+      """WITH RECURSIVE ids AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0), p0 AS (SELECT doc_id, xor(CAST(('0x' || substr(md5(CAST(doc_id - doc_id % 40 AS VARCHAR)), 1, 15)) AS BIGINT), CASE (doc_id % 40) // 10 WHEN 2 THEN 3 WHEN 3 THEN 56 ELSE 0 END) AS h FROM ids), p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM p0 a JOIN p0 b ON a.doc_id < b.doc_id WHERE bit_count(xor(a.h, b.h)) <= 3), e AS (SELECT doc_a AS u, doc_b AS v FROM p UNION SELECT doc_b, doc_a FROM p), reach AS (SELECT u AS id, u AS x FROM e UNION SELECT r.id, e.v AS x FROM reach r JOIN e ON r.x = e.u), cc AS (SELECT id, MIN(x) AS cluster_id FROM reach GROUP BY id) SELECT id AS doc_id, cluster_id, COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size FROM cc ORDER BY doc_id""",
+
     // zero-iteration seeded clustering: centroids are the first 8 vectors
     // by vec_id, assignment is nearest-seed (ties to the lowest cell —
     // the same first-minimum rule Spark's array_position applies), and

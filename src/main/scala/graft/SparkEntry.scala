@@ -892,6 +892,29 @@ object SparkEntry {
       Dedup.audioNearDupPairs(Multimodal.audioHashes(media), maxHamming = 0)
         .orderBy("doc_a", "doc_b")
     }),
+    // image near-dup pairs → the SoCC'14 CC loop → per-doc cluster table
+    // (the composition dedup_clusters/containment_clusters prove over
+    // text edges, now over perceptual-hash edges; the hash arithmetic is
+    // doc_id-closed-form, so the clustering is recursive-CTE-adjudicated)
+    "dedup_image_clusters" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      val ids = Tables.documents(s, d).select(col("doc_id"))
+        .filter(col("doc_id") % 10 === 0).as[Long]
+      val media = ids.mapPartitions(_.map { id =>
+        graft.operators.MediaRow(id, "image",
+          Multimodal.syntheticGridPng(Multimodal.syntheticImagePattern(id)),
+          "synth")
+      }).toDF()
+      Dedup.clustersFromPairs(
+        Dedup.imageNearDupPairs(Multimodal.imageHashes(media), maxHamming = 3))
+    }),
+    // the growing-corpus IMAGE dedup loop, cold single batch (r13):
+    // per-batch decode → intra-batch hamming collapse → persisted chunk-
+    // index probe → exactly-once dual appends; survivors ≡ the
+    // not-the-greater-of-any-hamming≤3-pair closed form DuckDB states
+    "dedup_image_inc" -> ((s, d) =>
+      graft.streaming.StreamOps.runImageDedupIngest(s, d)),
     // VIDEO near-dup dedup (r13): the third modality on the shared
     // banding — the md5-group pattern realized as a grid frame, JPEG'd
     // at q=0.95, muxed into MJPEG AVI, and recovered through the REAL

@@ -987,6 +987,48 @@ object Dedup {
     hammingBandPairs(hashes.select(col("doc_id"), col("ahash").as("sig")),
       maxHamming)
 
+  /** (doc_id, sig, chunk_idx, chunk) — a 64-bit signature exploded into
+    * its four 16-bit pigeonhole chunks: the PERSISTED index row shape of
+    * the incremental hash screen (sig rides so the verify never re-reads
+    * the corpus table) and the probe shape of its batch side. */
+  private[graft] def sigChunks(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"), col("sig"),
+      posexplode(array((0 until 4).map(c =>
+        shiftright(col("sig"), c * 16).bitwiseAND(0xFFFFL)): _*))
+        .as(Seq("chunk_idx", "chunk")))
+
+  /** Asymmetric hamming probe — a batch of 64-bit signatures against the
+    * PERSISTED corpus chunk index (the incrementalMinhash shape at hash
+    * granularity, shared by all three perceptual-hash modalities):
+    * the batch's ≤ 4·|batch| distinct chunk values broadcast as a
+    * semi-join prune, so the corpus index is only SCANNED — the rows
+    * that survive (candidate-density-sized) join the batch chunks,
+    * exactly-once per pair via the first-agreeing-chunk map-side rule,
+    * `bit_count(xor)` verifies. Exact at radius ≤ 3 (pigeonhole), like
+    * the batch operator. Output (doc_c, doc_b, hamming). */
+  def incrementalHammingPairs(batchSigs: DataFrame, corpusChunks: DataFrame,
+                              maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      s"4-chunk pigeonhole banding is exact only for hamming <= 3, got $maxHamming")
+    val bc = sigChunks(batchSigs)
+      .select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
+        col("chunk_idx"), col("chunk"))
+      .repartition(col("chunk_idx"), col("chunk"))
+    val probeKeys = bc.select("chunk_idx", "chunk").distinct()
+    val hits = corpusChunks
+      .join(broadcast(probeKeys), Seq("chunk_idx", "chunk"), "left_semi")
+      .select(col("doc_id").as("doc_c"), col("sig").as("sig_c"),
+        col("chunk_idx"), col("chunk"))
+    val xr = col("sig_c").bitwiseXOR(col("sig_b"))
+    def chunkEq(j: Int) = shiftright(xr, j * 16).bitwiseAND(0xFFFFL) === 0
+    val firstChunk = when(chunkEq(0), 0).when(chunkEq(1), 1)
+      .when(chunkEq(2), 2).otherwise(3)
+    bc.hint("shuffle_hash").join(hits, Seq("chunk_idx", "chunk"))
+      .filter(firstChunk === col("chunk_idx"))
+      .select(col("doc_c"), col("doc_b"), bit_count(xr).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** VIDEO near-dup pairs over [[graft.operators.Multimodal
     * .videoHashes]]' first-MJPEG-frame dHashes — the third modality on
     * the shared banding (a production corpus fingerprints k strided

@@ -655,6 +655,84 @@ object StreamOps {
       tmpRoot)
   }
 
+  /** One micro-batch of the streaming PERCEPTUAL-HASH dedup ingest loop
+    * (r13 — the growing-corpus variant for the image/audio/video
+    * near-dup family, completing the modality side of the incremental
+    * symmetry; modality-agnostic: the input is (doc_id, sig), whatever
+    * decoded it):
+    *  1. intra-batch near-dups collapse via the shared chunk banding
+    *     (min doc_id survives a pair — the C13 rule, non-cascading);
+    *  2. survivors probe the PERSISTED chunk index
+    *     ([[graft.operators.Dedup.incrementalHammingPairs]] — the
+    *     corpus side is only scanned, pruned by a broadcast of the
+    *     batch's ≤ 4·|batch| distinct chunk values);
+    *  3. novel docs append to the corpus table (doc_id, sig) AND their
+    *     four chunk rows to the index table, one exactly-once tag each —
+    *     the index is maintained, never recomputed.
+    * Cold single batch ⇒ survivors = docs that are not the GREATER side
+    * of any hamming-≤-radius pair — a closed form over the synthetic
+    * corpus's hash arithmetic, which is what lets `dedup_image_inc`
+    * state a plain SQL oracle. */
+  def hashIngestBatch(table: String, indexTable: String, maxHamming: Int = 3)
+                     (sigs: DataFrame, id: Long): Unit = {
+    import graft.sources.TxLogFormat
+    val spark = sigs.sparkSession
+    val batch = sigs.select(col("doc_id"), col("sig")).localCheckpoint()
+    val intraDrop = graft.operators.Dedup.hammingBandPairs(batch, maxHamming)
+      .select(greatest(col("doc_a"), col("doc_b")).as("doc_id")).distinct()
+    val batchKept = batch.join(intraDrop, Seq("doc_id"), "left_anti")
+    val kept =
+      if (TxLogFormat.versions(table).isEmpty) batchKept
+      else {
+        val idx = TxLogFormat.read(spark, indexTable)
+        val dup = graft.operators.Dedup
+          .incrementalHammingPairs(batchKept, idx, maxHamming)
+          .select(col("doc_b").as("doc_id")).distinct()
+        batchKept.join(dup, Seq("doc_id"), "left_anti")
+      }
+    val keptC = kept.localCheckpoint()
+    TxLogFormat.appendBatch(keptC, table, "hash_ingest", id)
+    TxLogFormat.appendBatch(graft.operators.Dedup.sigChunks(keptC),
+      indexTable, "hash_ingest", id): Unit
+  }
+
+  /** Driver query: AvailableNow over the %10=0 documents slice,
+    * synthesizing each doc's grid PNG and dHashing it INSIDE the batch
+    * (the decode pass a real loop would run), then [[hashIngestBatch]];
+    * cold single batch ⇒ the not-the-greater-of-any-pair closed form
+    * over the md5-group hash arithmetic, which DuckDB states. */
+  def runImageDedupIngest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxLogFormat
+    import graft.operators.{MediaRow, Multimodal}
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_imgingest_")
+    val table = tmpRoot.resolve("corpus").toString
+    val indexTable = tmpRoot.resolve("index").toString
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    def ingest(b: org.apache.spark.sql.DataFrame, id: Long): Unit = {
+      import b.sparkSession.implicits._
+      val media = b.select(col("doc_id")).as[Long].mapPartitions(_.map { i =>
+        MediaRow(i, "image",
+          Multimodal.syntheticGridPng(Multimodal.syntheticImagePattern(i)),
+          "synth")
+      }).toDF()
+      hashIngestBatch(table, indexTable)(
+        Multimodal.imageHashes(media).select(col("doc_id"),
+          col("phash").as("sig")), id)
+    }
+    val q = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"))
+      .writeStream
+      .foreachBatch(ingest _)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    handoffAndClean(
+      TxLogFormat.read(spark, table).select("doc_id").orderBy("doc_id"),
+      tmpRoot)
+  }
+
   /** One micro-batch of the streaming SEGMENT-dedup ingest loop — the
     * Dolma-BFF paragraph-dedup stage productionized with exact semantics:
     * the batch's segments dedup within the batch and against the

@@ -286,6 +286,53 @@ class StreamingSpec extends SparkSpec {
       "replayed batch id must not commit")
   }
 
+  test("streaming HASH-dedup ingest: intra-batch collapse, cross-batch " +
+       "index probe, maintained index == recomputed, replay-safe") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    import graft.sources.TxLogFormat
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_hashingest_spec")
+    val (corpusT, indexT) = (root.resolve("corpus").toString,
+      root.resolve("index").toString)
+    // hand-built 64-bit sigs: B == A (hamming 0, drops in-batch);
+    // C far from A (no chunk agrees)
+    val sigA = 0x1111222233334444L
+    val sigC = 0x5555666677778888L
+    val b0 = Seq(1L -> sigA, 2L -> sigA, 3L -> sigC)
+    // D == A (must drop against the CORPUS index, not the batch);
+    // E = C with 2 bits flipped inside chunk 0 (3 chunks agree -> found,
+    // hamming 2 -> drops); F far from everything (survives)
+    val b1 = Seq(10L -> sigA, 11L -> (sigC ^ 0x3L), 12L -> 0x9999aaaabbbbccccL)
+    val input = MemoryStream[(Long, Long)]
+    val q = input.toDF().toDF("doc_id", "sig").writeStream
+      .foreachBatch(StreamOps.hashIngestBatch(corpusT, indexT) _)
+      .start()
+    try {
+      input.addData(b0); q.processAllAvailable()
+      assert(TxLogFormat.read(spark, corpusT).select("doc_id")
+        .collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+      input.addData(b1); q.processAllAvailable()
+    } finally q.stop()
+    val corpus = TxLogFormat.read(spark, corpusT).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(corpus.keySet == Set(1L, 3L, 12L), corpus.toString)
+    // maintained index == the survivors' recomputed chunk rows exactly
+    val idx = TxLogFormat.read(spark, indexT).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    val recomputed = graft.operators.Dedup.sigChunks(
+        corpus.toSeq.toDF("doc_id", "sig")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    assert(idx == recomputed, s"$idx vs $recomputed")
+    // replay: a committed batch id is a strict no-op on BOTH tables
+    val vs = (TxLogFormat.versions(corpusT).size,
+      TxLogFormat.versions(indexT).size)
+    StreamOps.hashIngestBatch(corpusT, indexT)(
+      Seq(99L -> 0xdeadL).toDF("doc_id", "sig"), 0L)
+    assert((TxLogFormat.versions(corpusT).size,
+      TxLogFormat.versions(indexT).size) == vs, "replay must not commit")
+  }
+
   test("streaming CONTAINMENT ingest: cross-batch pairs, cap-crossing " +
        "decrements, maintained index == hand-derived, replay-safe") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
