@@ -751,6 +751,10 @@ object SparkEntry {
     // CCNet filter deploys; all-integer report via the micro-nat single
     // rounding point, so the hash compare has no float-summation seam
     "perplexity_kn" -> ((s, d) => TextAnalysis.perplexityKn(Tables.documents(s, d))),
+    // modified KN (KenLM's default): count-class discounts estimated
+    // from the corpus's count-of-counts, clamped for exact mass
+    "perplexity_kn_mod" -> ((s, d) =>
+      TextAnalysis.perplexityKnMod(Tables.documents(s, d))),
     "quality_cascade" -> ((s, d) => TextAnalysis.qualityCascade(Tables.documents(s, d))),
     // the MassiveText rule set as an all-integer named-rule gate —
     // scan-bound, no shuffle, not one float op in the verdicts

@@ -679,6 +679,86 @@ object TextAnalysis {
           .otherwise("ok").as("ppl_flag"))
   }
 
+  /** MODIFIED Kneser-Ney bigram perplexity — KenLM's default smoothing
+    * (Chen & Goodman 1998 §3, the config CCNet's filter actually ships):
+    * [[perplexityKn]] with the single discount D replaced by
+    * count-class discounts D₁/D₂/D₃₊ ESTIMATED from the corpus's
+    * count-of-counts (n_k = #bigram types with count k):
+    *
+    *   Y = n₁/(n₁+2n₂);  D₁ = 1 − 2Y·n₂/n₁;  D₂ = 2 − 3Y·n₃/n₂;
+    *   D₃₊ = 3 − 4Y·n₄/n₃
+    *
+    * each CLAMPED into [0, k] — the clamp (KenLM floors at 0 too) is
+    * what makes the conditional sum to EXACTLY 1 over the continuation
+    * vocabulary unconditionally: (c − D(c)) can never go negative, so
+    * the interpolation weight γ(w1) = (D₁N₁ + D₂N₂ + D₃₊N₃₊)/c1 is
+    * exactly the discounted mass (N_k = w1's continuations in class k).
+    * Degenerate count-of-counts (a tiny corpus with no singleton or no
+    * 4-count types) fall back to the fixed 0.75 — estimation needs the
+    * classes it estimates from.
+    *
+    * Same engine-portability contract as [[perplexityKn]]: the discount
+    * estimation adds three more double expressions, but every float op
+    * still sits in ONE chain per bigram type (explicit doubles,
+    * left-associated, clamps via GREATEST/LEAST — both engines execute
+    * the identical IEEE sequence) rounded ONCE to micro-nats; per-doc
+    * NLLs are exact integer sums, the flag an integer
+    * cross-multiplication. Same ReusedExchange plan shape. */
+  def perplexityKnMod(documents: DataFrame, flagNats: Double = 3.0): DataFrame = {
+    val withW = documents.select(col("doc_id"), words.as("__w"))
+    val w = col("__w")
+    val bi = withW.select(col("doc_id"),
+        explode(when(size(w) >= 2,
+          transform(sequence(lit(0), size(w) - 2), i =>
+            struct(element_at(w, i + 1).as("w1"),
+                   element_at(w, i + 2).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .filter(col("w1") =!= "" && col("w2") =!= "")
+    val tfb = bi.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("tf"))
+    val cb = tfb.groupBy("w1", "w2").agg(sum("tf").as("c12"))
+    def cls(k: Column => Column, name: String) =
+      sum(when(k(col("c12")), 1L).otherwise(0L)).as(name)
+    val ctx = cb.groupBy("w1").agg(sum("c12").as("c1"),
+      cls(_ === 1, "k1"), cls(_ === 2, "k2"), cls(_ >= 3, "k3"))
+    val pre = cb.groupBy("w2").agg(count(lit(1)).as("nprec"))
+    val tot = cb.agg(count(lit(1)).as("ntypes"),
+      cls(_ === 1, "n1"), cls(_ === 2, "n2"),
+      cls(_ === 3, "n3"), cls(_ === 4, "n4"))
+    // estimated discounts, clamped into [0, k]; fixed 0.75 when any
+    // count-of-count class is empty (both engines state the same CASE)
+    val haveCls = col("n1") > 0 && col("n2") > 0 && col("n3") > 0 && col("n4") > 0
+    val y = col("n1").cast("double") / (col("n1") + lit(2.0) * col("n2"))
+    def clamp(d: Column, k: Double) = least(greatest(d, lit(0.0)), lit(k))
+    val d1 = clamp(when(haveCls,
+      lit(1.0) - lit(2.0) * y * (col("n2").cast("double") / col("n1")))
+      .otherwise(lit(0.75)), 1.0)
+    val d2 = clamp(when(haveCls,
+      lit(2.0) - lit(3.0) * y * (col("n3").cast("double") / col("n2")))
+      .otherwise(lit(0.75)), 2.0)
+    val d3 = clamp(when(haveCls,
+      lit(3.0) - lit(4.0) * y * (col("n4").cast("double") / col("n3")))
+      .otherwise(lit(0.75)), 3.0)
+    val dOfC = when(col("c12") === 1, d1).when(col("c12") === 2, d2)
+      .otherwise(d3)
+    val gamma = d1 * col("k1") + d2 * col("k2") + d3 * col("k3")
+    val p = (greatest(col("c12").cast("double") - dOfC, lit(0.0)) +
+      gamma * col("nprec").cast("double") / col("ntypes").cast("double")) /
+      col("c1").cast("double")
+    val model = cb.join(ctx, Seq("w1")).join(pre, Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"),
+        round(-log(p) * 1e6, 0).cast("long").as("unats"))
+    val flagUnats = math.round(flagNats * 1e6)
+    tfb.join(model, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_bigrams"),
+           sum(col("tf") * col("unats")).as("nll_unats"))
+      .select(col("doc_id"), col("n_bigrams"), col("nll_unats"),
+        when(col("nll_unats") > lit(flagUnats) * col("n_bigrams"), "high")
+          .otherwise("ok").as("ppl_flag"))
+  }
+
   /** Document fingerprinting: full md5 digest, 8-hex prefix bucket, and a
     * 1-permutation minhash (lexicographic-min word md5). */
   def fingerprint(documents: DataFrame): DataFrame =

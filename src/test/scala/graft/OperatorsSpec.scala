@@ -580,6 +580,67 @@ class OperatorsSpec extends SparkSpec {
     assert(unats("dog", "ran") >= 0L)
   }
 
+  test("modified kneser-ney: plain-Scala re-derivation with estimated " +
+       "count-class discounts; clamped mass sums to exactly 1; degenerate " +
+       "count-of-counts fall back to interpolated KN bit-for-bit") {
+    import spark.implicits._
+    // count classes engineered: (p,q)x3 (q,p)x2 (r,s)x4 (s,r)x3 (x,y)x5
+    // (y,x)x4 + three singletons -> n1=3 n2=1 n3=2 n4=2, all nonzero
+    val rows = Seq(
+      (1L, "p q p q p q"),
+      (2L, "r s r s r s r s"),
+      (3L, "t u v w"),
+      (4L, "x y x y x y x y x y"))
+    val docs = rows.toDF("doc_id", "text")
+    val bigrams = rows.flatMap { case (id, t) =>
+      t.toLowerCase.trim.split(" ").sliding(2).collect {
+        case Array(a, b) if a.nonEmpty && b.nonEmpty => (id, a, b) } }
+    val tfb = bigrams.groupBy(identity).map { case ((id, a, b), g) =>
+      (id, a, b, g.size.toLong) }.toSeq
+    val cb = tfb.groupBy(r => (r._2, r._3)).map { case (k, g) => k -> g.map(_._4).sum }
+    val ctx = cb.groupBy(_._1._1).map { case (w1, g) =>
+      w1 -> (g.values.sum, g.values.count(_ == 1L).toLong,
+        g.values.count(_ == 2L).toLong, g.values.count(_ >= 3L).toLong) }
+    val pre = cb.groupBy(_._1._2).map { case (w2, g) => w2 -> g.size.toLong }
+    val ntypes = cb.size.toLong
+    val Seq(n1, n2, n3, n4) =
+      Seq(1L, 2L, 3L, 4L).map(k => cb.values.count(_ == k).toLong)
+    assert(n1 > 0 && n2 > 0 && n3 > 0 && n4 > 0, s"classes $n1 $n2 $n3 $n4")
+    val y = n1.toDouble / (n1 + 2.0 * n2)
+    def clamp(d: Double, k: Double) = math.min(math.max(d, 0.0), k)
+    val d1 = clamp(1.0 - 2.0 * y * (n2.toDouble / n1), 1.0)
+    val d2 = clamp(2.0 - 3.0 * y * (n3.toDouble / n2), 2.0)
+    val d3 = clamp(3.0 - 4.0 * y * (n4.toDouble / n3), 3.0)
+    def prob(w1: String, w2: String): Double = {
+      val (c1, k1, k2, k3) = ctx(w1)
+      val c = cb.getOrElse((w1, w2), 0L)
+      val d = if (c == 1) d1 else if (c == 2) d2 else d3
+      (math.max(c.toDouble - d, 0.0) +
+        (d1 * k1 + d2 * k2 + d3 * k3) * pre(w2).toDouble / ntypes.toDouble) /
+        c1.toDouble
+    }
+    def unats(w1: String, w2: String): Long =
+      BigDecimal(-math.log(prob(w1, w2)) * 1e6)
+        .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
+    val want = tfb.groupBy(_._1).map { case (id, g) =>
+      (id, g.map(_._4).sum, g.map(r => r._4 * unats(r._2, r._3)).sum) }
+      .toSeq.sortBy(_._1)
+    val got = TextAnalysis.perplexityKnMod(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sortBy(_._1)
+    assert(got == want, s"$got vs $want")
+    // the clamp's guarantee: exact mass conservation, unconditionally
+    ctx.keys.foreach { w1 =>
+      val mass = pre.keys.toSeq.map(w2 => prob(w1, w2)).sum
+      assert(math.abs(mass - 1.0) < 1e-9, s"context '$w1' mass $mass != 1")
+    }
+    // degenerate count-of-counts (all-singleton corpus: n2 = 0) fall
+    // back to the fixed 0.75 for every class — which IS interpolated KN
+    val flat = Seq((1L, "a b c d"), (2L, "e f g h")).toDF("doc_id", "text")
+    val mod = TextAnalysis.perplexityKnMod(flat).collect().map(_.toSeq).toSet
+    val kn = TextAnalysis.perplexityKn(flat).collect().map(_.toSeq).toSet
+    assert(mod == kn, s"degenerate fallback diverged: $mod vs $kn")
+  }
+
   test("r12 screens are partition-invariant: dsir ranks, repetition " +
        "fractions, arrival-funnel verdicts identical at 1/7/13 partitions") {
     import spark.implicits._
