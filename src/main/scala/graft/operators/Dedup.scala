@@ -287,6 +287,8 @@ object Dedup {
         selfJoin(banded).filter(graft.functions.VectorFunctions.firstEqualBand(
           col("x.sig"), col("y.sig"), r) === col("x.band_idx"))
       else {
+        require(bands <= 64,
+          s"the hot-band bitmask is a Long — maxBandDf needs bands <= 64, got $bands")
         // Hot-bucket cap (scaladoc above). All the cap machinery is
         // hot-sized: bucket counts aggregate exchange-free on the banded
         // frame's own partitioning over a 24-B projection; the hot list

@@ -619,6 +619,24 @@ class PlanSpec extends SparkSpec {
       s"sizes table not pruned through a broadcast semi-probe:\n$plan")
   }
 
+  test("incremental hamming probe: the corpus chunk index is scanned, " +
+       "never shuffled — the batch's chunk values broadcast as the prune") {
+    import spark.implicits._
+    val batch = Seq((10L, 0x1111222233334444L)).toDF("doc_id", "sig")
+    val idx = graft.operators.Dedup.sigChunks(
+      Seq((1L, 0x1111222233334444L), (2L, 0x5555666677778888L))
+        .toDF("doc_id", "sig"))
+    val pairs = Dedup.incrementalHammingPairs(batch, idx)
+    val plan = pairs.queryExecution.sparkPlan.toString
+    // the semi-prune must be a broadcast join (corpus side streams
+    // through a scan); the only shuffle join allowed is the hit-sized
+    // chunk join the explicit repartition feeds
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"chunk-value prune is not a broadcast semi-join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a corpus-sized frame entered a sort-merge join:\n$plan")
+  }
+
   test("incremental curation funnel: state offsets broadcast — the batch " +
        "never shuffles against the quota/budget tables") {
     import spark.implicits._
