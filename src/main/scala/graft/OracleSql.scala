@@ -542,6 +542,12 @@ object OracleSql {
     "perplexity_kn_mod" ->
       """WITH d AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents), b0 AS (SELECT doc_id, UNNEST(range(len(w) - 1)) AS i, w FROM d WHERE len(w) >= 2), b AS (SELECT doc_id, w[CAST(i AS INT) + 1] AS w1, w[CAST(i AS INT) + 2] AS w2 FROM b0), b2 AS (SELECT * FROM b WHERE w1 <> '' AND w2 <> ''), tfb AS (SELECT doc_id, w1, w2, COUNT(*) AS tf FROM b2 GROUP BY doc_id, w1, w2), cb AS (SELECT w1, w2, SUM(tf) AS c12 FROM tfb GROUP BY w1, w2), ctx AS (SELECT w1, SUM(c12) AS c1, SUM(CASE WHEN c12 = 1 THEN 1 ELSE 0 END) AS k1, SUM(CASE WHEN c12 = 2 THEN 1 ELSE 0 END) AS k2, SUM(CASE WHEN c12 >= 3 THEN 1 ELSE 0 END) AS k3 FROM cb GROUP BY w1), pre AS (SELECT w2, COUNT(*) AS nprec FROM cb GROUP BY w2), tot AS (SELECT COUNT(*) AS ntypes, SUM(CASE WHEN c12 = 1 THEN 1 ELSE 0 END) AS n1, SUM(CASE WHEN c12 = 2 THEN 1 ELSE 0 END) AS n2, SUM(CASE WHEN c12 = 3 THEN 1 ELSE 0 END) AS n3, SUM(CASE WHEN c12 = 4 THEN 1 ELSE 0 END) AS n4 FROM cb), dd AS (SELECT ntypes, LEAST(GREATEST(CASE WHEN n1 > 0 AND n2 > 0 AND n3 > 0 AND n4 > 0 THEN 1.0 - 2.0 * (CAST(n1 AS DOUBLE) / (n1 + 2.0 * n2)) * (CAST(n2 AS DOUBLE) / n1) ELSE 0.75 END, 0.0), 1.0) AS d1, LEAST(GREATEST(CASE WHEN n1 > 0 AND n2 > 0 AND n3 > 0 AND n4 > 0 THEN 2.0 - 3.0 * (CAST(n1 AS DOUBLE) / (n1 + 2.0 * n2)) * (CAST(n3 AS DOUBLE) / n2) ELSE 0.75 END, 0.0), 2.0) AS d2, LEAST(GREATEST(CASE WHEN n1 > 0 AND n2 > 0 AND n3 > 0 AND n4 > 0 THEN 3.0 - 4.0 * (CAST(n1 AS DOUBLE) / (n1 + 2.0 * n2)) * (CAST(n4 AS DOUBLE) / n3) ELSE 0.75 END, 0.0), 3.0) AS d3 FROM tot), m AS (SELECT cb.w1, cb.w2, CAST(ROUND(-ln((GREATEST(CAST(cb.c12 AS DOUBLE) - (CASE WHEN cb.c12 = 1 THEN dd.d1 WHEN cb.c12 = 2 THEN dd.d2 ELSE dd.d3 END), 0.0) + (dd.d1 * ctx.k1 + dd.d2 * ctx.k2 + dd.d3 * ctx.k3) * CAST(pre.nprec AS DOUBLE) / CAST(dd.ntypes AS DOUBLE)) / CAST(ctx.c1 AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS unats FROM cb JOIN ctx USING (w1) JOIN pre USING (w2) CROSS JOIN dd), s AS (SELECT tfb.doc_id, CAST(SUM(tfb.tf) AS BIGINT) AS n_bigrams, CAST(SUM(tfb.tf * m.unats) AS BIGINT) AS nll_unats FROM tfb JOIN m ON tfb.w1 = m.w1 AND tfb.w2 = m.w2 GROUP BY tfb.doc_id) SELECT doc_id, n_bigrams, nll_unats, CASE WHEN nll_unats > 3000000 * n_bigrams THEN 'high' ELSE 'ok' END AS ppl_flag FROM s""",
 
+    // cross-corpus KN: model on the even-id half, score the odd-id half;
+    // the CASE chain states seen-pair / unseen-pair-seen-context /
+    // unseen-context, add-one-smoothed open-vocabulary continuation
+    "perplexity_kn_cross" ->
+      """WITH dt AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents WHERE doc_id % 2 = 0), ds AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents WHERE doc_id % 2 = 1), bt0 AS (SELECT doc_id, UNNEST(range(len(w) - 1)) AS i, w FROM dt WHERE len(w) >= 2), bt AS (SELECT doc_id, w[CAST(i AS INT) + 1] AS w1, w[CAST(i AS INT) + 2] AS w2 FROM bt0), bt2 AS (SELECT * FROM bt WHERE w1 <> '' AND w2 <> ''), tfbt AS (SELECT doc_id, w1, w2, COUNT(*) AS tf FROM bt2 GROUP BY doc_id, w1, w2), cb AS (SELECT w1, w2, SUM(tf) AS c12 FROM tfbt GROUP BY w1, w2), ctx AS (SELECT w1, SUM(c12) AS c1, COUNT(*) AS n1w1 FROM cb GROUP BY w1), pre AS (SELECT w2, COUNT(*) AS nprec FROM cb GROUP BY w2), tot AS (SELECT SUM(nprec) AS ntypes, COUNT(*) AS vcont FROM pre), bs0 AS (SELECT doc_id, UNNEST(range(len(w) - 1)) AS i, w FROM ds WHERE len(w) >= 2), bs AS (SELECT doc_id, w[CAST(i AS INT) + 1] AS w1, w[CAST(i AS INT) + 2] AS w2 FROM bs0), bs2 AS (SELECT * FROM bs WHERE w1 <> '' AND w2 <> ''), tfbs AS (SELECT doc_id, w1, w2, COUNT(*) AS tf FROM bs2 GROUP BY doc_id, w1, w2), st AS (SELECT DISTINCT w1, w2 FROM tfbs), m0 AS (SELECT st.w1, st.w2, cb.c12, ctx.c1, ctx.n1w1, pre.nprec, tot.ntypes, tot.vcont FROM st LEFT JOIN cb ON st.w1 = cb.w1 AND st.w2 = cb.w2 LEFT JOIN ctx ON st.w1 = ctx.w1 LEFT JOIN pre ON st.w2 = pre.w2 CROSS JOIN tot), m1 AS (SELECT w1, w2, c12, c1, n1w1, CAST(COALESCE(nprec, 0) + 1 AS DOUBLE) / CAST(ntypes + vcont + 1 AS DOUBLE) AS pcont FROM m0), m AS (SELECT w1, w2, CAST(ROUND(-ln(CASE WHEN c1 IS NOT NULL THEN (GREATEST(CAST(COALESCE(c12, 0) AS DOUBLE) - 0.75, 0.0) + 0.75 * CAST(n1w1 AS DOUBLE) * pcont) / CAST(c1 AS DOUBLE) ELSE pcont END) * 1000000.0, 0) AS BIGINT) AS unats FROM m1), s AS (SELECT tfbs.doc_id, CAST(SUM(tfbs.tf) AS BIGINT) AS n_bigrams, CAST(SUM(tfbs.tf * m.unats) AS BIGINT) AS nll_unats FROM tfbs JOIN m ON tfbs.w1 = m.w1 AND tfbs.w2 = m.w2 GROUP BY tfbs.doc_id) SELECT doc_id, n_bigrams, nll_unats, CASE WHEN nll_unats > 3000000 * n_bigrams THEN 'high' ELSE 'ok' END AS ppl_flag FROM s""",
+
     "quality_cascade" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS word FROM documents), cnt AS (SELECT doc_id, word, COUNT(*) AS c FROM w WHERE word <> '' GROUP BY doc_id, word), ts AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_share FROM cnt GROUP BY doc_id), base AS (SELECT d.doc_id, length(d.text) AS len, len(string_split(lower(trim(d.text)), ' ')) AS nw, CAST(length(replace(d.text, ' ', '')) AS DOUBLE) / len(string_split(lower(trim(d.text)), ' ')) AS awl, ts.top_share FROM documents d LEFT JOIN ts ON d.doc_id = ts.doc_id), r AS (SELECT doc_id, top_share, CASE WHEN len < 100 THEN 'too_short' WHEN nw < 20 THEN 'too_few_words' WHEN awl < 2.0 OR awl > 12.0 THEN 'word_len_out_of_band' WHEN top_share > 0.2 THEN 'repetitive' ELSE NULL END AS ff FROM base) SELECT doc_id, ff IS NULL AS passed, COALESCE(ff, '') AS first_fail, ROUND(top_share * 10000, 0)/10000.0 AS top_share FROM r""",
 

@@ -755,6 +755,16 @@ object SparkEntry {
     // from the corpus's count-of-counts, clamped for exact mass
     "perplexity_kn_mod" -> ((s, d) =>
       TextAnalysis.perplexityKnMod(Tables.documents(s, d))),
+    // the DEPLOYMENT shape: fit on the even-id half (the clean reference
+    // corpus), score the odd-id half (the crawl) — exercises the unseen-
+    // bigram / unseen-context / OOV paths self-scoring never reaches
+    "perplexity_kn_cross" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, d)
+      TextAnalysis.perplexityKnCross(
+        docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0))
+    }),
     "quality_cascade" -> ((s, d) => TextAnalysis.qualityCascade(Tables.documents(s, d))),
     // the MassiveText rule set as an all-integer named-rule gate —
     // scan-bound, no shuffle, not one float op in the verdicts

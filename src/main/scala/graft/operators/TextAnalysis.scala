@@ -759,6 +759,78 @@ object TextAnalysis {
           .otherwise("ok").as("ppl_flag"))
   }
 
+  /** CROSS-corpus Kneser-Ney scoring — the deployment shape the
+    * perplexity family exists for (CCNet fits its LM on clean Wikipedia
+    * and scores the CRAWL; self-scoring never exercises the open-
+    * vocabulary paths): the interpolated-KN bigram model fits on `train`
+    * and scores `score`, handling the three cases self-scoring cannot
+    * produce, all inside one CASE chain:
+    *
+    *  - seen bigram:      ((c12−D)⁺ + D·n1+(w1·)·Pcont'(w2)) / c1
+    *  - unseen bigram,    the SAME expression with c12 = 0 — the
+    *    seen context:     discounted term vanishes, the continuation
+    *                      back-off carries (that graceful degradation is
+    *                      WHY KN interpolates);
+    *  - unseen context:   Pcont'(w2) alone (nothing to interpolate);
+    *
+    * with the continuation distribution add-one smoothed over an OPEN
+    * vocabulary — Pcont'(w2) = (n1+(·w2)+1) / (n1+(··)+V+1), V = the
+    * train continuation vocabulary — so an OOV w2 scores the floor
+    * 1/(n1+(··)+V+1) instead of −ln 0 = ∞ (mass is reserved for unseen
+    * words; the conditional therefore sums to < 1 by design — an open
+    * vocabulary is not a closed one).
+    *
+    * Engine-portability unchanged: one float chain per distinct SCORED
+    * bigram type, rounded once to micro-nats; per-doc NLLs exact integer
+    * sums; flag an integer cross-multiplication. The model tables are
+    * train-vocabulary-scale; the score side pays one (doc,w1,w2)
+    * exchange and three left joins against them. */
+  def perplexityKnCross(score: DataFrame, train: DataFrame,
+                        flagNats: Double = 3.0): DataFrame = {
+    def bigramTf(documents: DataFrame): DataFrame = {
+      val withW = documents.select(col("doc_id"), words.as("__w"))
+      val w = col("__w")
+      withW.select(col("doc_id"),
+          explode(when(size(w) >= 2,
+            transform(sequence(lit(0), size(w) - 2), i =>
+              struct(element_at(w, i + 1).as("w1"),
+                     element_at(w, i + 2).as("w2"))))
+            .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .filter(col("w1") =!= "" && col("w2") =!= "")
+        .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("tf"))
+    }
+    val tfbS = bigramTf(score)
+    val cb = bigramTf(train).groupBy("w1", "w2").agg(sum("tf").as("c12"))
+    val ctx = cb.groupBy("w1")
+      .agg(sum("c12").as("c1"), count(lit(1)).as("n1w1"))
+    val pre = cb.groupBy("w2").agg(count(lit(1)).as("nprec"))
+    val tot = pre.agg(sum("nprec").as("ntypes"), count(lit(1)).as("vcont"))
+    // one rounded value per distinct SCORED type (the usual discipline)
+    val st = tfbS.select("w1", "w2").distinct()
+      .join(cb, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(pre, Seq("w2"), "left")
+      .crossJoin(broadcast(tot))
+    val pcont = (coalesce(col("nprec"), lit(0L)) + lit(1L)).cast("double") /
+      (col("ntypes") + col("vcont") + lit(1L)).cast("double")
+    val p = when(col("c1").isNotNull,
+      (greatest(coalesce(col("c12"), lit(0L)).cast("double") - lit(0.75),
+        lit(0.0)) + lit(0.75) * col("n1w1").cast("double") * pcont) /
+        col("c1").cast("double"))
+      .otherwise(pcont)
+    val model = st.select(col("w1"), col("w2"),
+      round(-log(p) * 1e6, 0).cast("long").as("unats"))
+    val flagUnats = math.round(flagNats * 1e6)
+    tfbS.join(model, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_bigrams"),
+           sum(col("tf") * col("unats")).as("nll_unats"))
+      .select(col("doc_id"), col("n_bigrams"), col("nll_unats"),
+        when(col("nll_unats") > lit(flagUnats) * col("n_bigrams"), "high")
+          .otherwise("ok").as("ppl_flag"))
+  }
+
   /** Document fingerprinting: full md5 digest, 8-hex prefix bucket, and a
     * 1-permutation minhash (lexicographic-min word md5). */
   def fingerprint(documents: DataFrame): DataFrame =

@@ -641,6 +641,51 @@ class OperatorsSpec extends SparkSpec {
     assert(mod == kn, s"degenerate fallback diverged: $mod vs $kn")
   }
 
+  test("cross-corpus kneser-ney: the three open-vocabulary paths score " +
+       "as re-derived — seen pair, unseen pair under a seen context, " +
+       "unseen context / OOV floor") {
+    import spark.implicits._
+    val train = Seq((0L, "the cat sat on the mat"),
+                    (2L, "the cat ate the cat")).toDF("doc_id", "text")
+    // score doc exercises all three paths: (the,cat)=seen pair;
+    // (cat,ran)=unseen pair under seen context 'cat'; (ran,zebra)=unseen
+    // context AND OOV continuation (the floor)
+    val score = Seq((1L, "the cat ran zebra")).toDF("doc_id", "text")
+    // re-derive from the train corpus with no operator code in the loop
+    val tb = Seq("the cat sat on the mat", "the cat ate the cat")
+      .flatMap(_.split(" ").sliding(2).map { case Array(a, b) => (a, b) })
+    val cb = tb.groupBy(identity).map { case (k, g) => k -> g.size.toLong }
+    val ctx = cb.groupBy(_._1._1).map { case (w1, g) =>
+      w1 -> (g.values.sum, g.size.toLong) }
+    val pre = cb.groupBy(_._1._2).map { case (w2, g) => w2 -> g.size.toLong }
+    val ntypes = cb.size.toLong
+    val vcont = pre.size.toLong
+    def pcont(w2: String): Double =
+      (pre.getOrElse(w2, 0L) + 1L).toDouble / (ntypes + vcont + 1L).toDouble
+    def prob(w1: String, w2: String): Double = ctx.get(w1) match {
+      case Some((c1, n1w1)) =>
+        (math.max(cb.getOrElse((w1, w2), 0L).toDouble - 0.75, 0.0) +
+          0.75 * n1w1.toDouble * pcont(w2)) / c1.toDouble
+      case None => pcont(w2)
+    }
+    def unats(w1: String, w2: String): Long =
+      BigDecimal(-math.log(prob(w1, w2)) * 1e6)
+        .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
+    val want = (3L,
+      unats("the", "cat") + unats("cat", "ran") + unats("ran", "zebra"))
+    val got = TextAnalysis.perplexityKnCross(score, train).collect()
+    assert(got.length == 1 &&
+      (got(0).getLong(1), got(0).getLong(2)) == want,
+      s"${got.toSeq} vs $want")
+    // the seen pair is the cheapest of the three paths (the unseen
+    // paths' relative order depends on c1 — backoff under a seen
+    // context divides by it, so no general ladder exists beyond this)
+    assert(unats("the", "cat") < unats("cat", "ran") &&
+      unats("the", "cat") < unats("ran", "zebra"))
+    // the floor is finite: an OOV continuation never scores -ln 0
+    assert(prob("ran", "zebra") > 0.0)
+  }
+
   test("r12 screens are partition-invariant: dsir ranks, repetition " +
        "fractions, arrival-funnel verdicts identical at 1/7/13 partitions") {
     import spark.implicits._
