@@ -646,6 +646,11 @@ object OracleSql {
 
     // recall-1 LSH config on the 20% slice must reproduce the exact
     // greedy-survivor set (same SQL as dedup_semantic, restricted)
+    // the streaming semantic-ingest loop cold at the same recall-1
+    // config shares this closed form verbatim
+    "dedup_semantic_inc_r1" ->
+      """WITH e AS (SELECT * FROM embeddings WHERE vec_id % 5 = 0), p AS (SELECT x.vec_id AS a, y.vec_id AS b, (SELECT SUM(CAST(xe AS DOUBLE) * CAST(ye AS DOUBLE)) FROM (SELECT unnest(x.embedding) AS xe, unnest(y.embedding) AS ye)) / (sqrt((SELECT SUM(CAST(xe AS DOUBLE) * CAST(xe AS DOUBLE)) FROM (SELECT unnest(x.embedding) AS xe))) * sqrt((SELECT SUM(CAST(ye AS DOUBLE) * CAST(ye AS DOUBLE)) FROM (SELECT unnest(y.embedding) AS ye)))) AS cos FROM e x JOIN e y ON x.vec_id < y.vec_id), removed AS (SELECT DISTINCT b FROM p WHERE ROUND(cos * 10000, 0)/10000.0 >= 0.35) SELECT vec_id, label FROM e WHERE vec_id NOT IN (SELECT b FROM removed) ORDER BY vec_id""",
+
     "dedup_semantic_lsh_r1" ->
       """WITH e AS (SELECT * FROM embeddings WHERE vec_id % 5 = 0), p AS (SELECT x.vec_id AS a, y.vec_id AS b, (SELECT SUM(CAST(xe AS DOUBLE) * CAST(ye AS DOUBLE)) FROM (SELECT unnest(x.embedding) AS xe, unnest(y.embedding) AS ye)) / (sqrt((SELECT SUM(CAST(xe AS DOUBLE) * CAST(xe AS DOUBLE)) FROM (SELECT unnest(x.embedding) AS xe))) * sqrt((SELECT SUM(CAST(ye AS DOUBLE) * CAST(ye AS DOUBLE)) FROM (SELECT unnest(y.embedding) AS ye)))) AS cos FROM e x JOIN e y ON x.vec_id < y.vec_id), removed AS (SELECT DISTINCT b FROM p WHERE ROUND(cos * 10000, 0)/10000.0 >= 0.35) SELECT vec_id, label FROM e WHERE vec_id NOT IN (SELECT b FROM removed) ORDER BY vec_id""",
 

@@ -666,6 +666,12 @@ object SparkEntry {
         Tables.embeddings(s, d).filter(col("vec_id") % 5 === 0),
         nTables = 40, planesPerTable = 1)
     }),
+    // the semantic family's GROWING-corpus loop at the same recall-1
+    // config, cold (r13): intra-batch greedy collapse + persisted bucket
+    // index probe + exactly-once dual appends ≡ the exact greedy closed
+    // form — shares dedup_semantic_lsh_r1's oracle verbatim
+    "dedup_semantic_inc_r1" -> ((s, d) =>
+      graft.streaming.StreamOps.runSemanticIngestR1(s, d)),
     // the PAIR-set twin at the same recall-1 configuration: the LSH
     // candidate generator's (vec_a, vec_b, cos_sim) output is
     // oracle-adjudicated against the exact cross-pair SQL

@@ -583,10 +583,15 @@ object Similarity {
     * path; tune planesPerTable up for higher-similarity corpora).
     * At 100 TB the (table, bucket) pair is the shuffle key — candidate
     * generation is a hash join, never n², and a hot bucket can be salted. */
-  def lshCandidates(embeddings: DataFrame, nTables: Int = 16,
-                    planesPerTable: Int = 4, dim: Int = 64,
-                    minCos: Double = 0.4,
-                    payloadJoin: PayloadJoin = PayloadJoin.Auto): DataFrame = {
+  /** (vec_id, bks, table_idx, bucket) — every vector's per-table
+    * sign-bucket rows under the FIXED seeded hyperplanes, shared by
+    * [[lshCandidates]] and the incremental screen ([[incrementalLsh
+    * Candidates]]): determinism of the planes is what lets a PERSISTED
+    * index built in one ingest generation be probed by every later
+    * batch. The nTables bucket ids ride as `bks` so exactly-once pair
+    * emission stays a map-side first-agreeing-table filter. */
+  private[graft] def lshBuckets(embeddings: DataFrame, nTables: Int,
+                                planesPerTable: Int, dim: Int): DataFrame = {
     // Fixed hyperplanes from a seeded LCG — reproducible across runs/engines.
     var state = 42L
     def next(): Double = {
@@ -605,6 +610,15 @@ object Similarity {
           shiftleft(lit(1L), i)).otherwise(0L)
       }.reduce(_.bitwiseOR(_))
     }
+    embeddings.select(col("vec_id"), array(buckets: _*).as("bks"))
+      .select(col("vec_id"), col("bks"),
+        posexplode(col("bks")).as(Seq("table_idx", "bucket")))
+  }
+
+  def lshCandidates(embeddings: DataFrame, nTables: Int = 16,
+                    planesPerTable: Int = 4, dim: Int = 64,
+                    minCos: Double = 0.4,
+                    payloadJoin: PayloadJoin = PayloadJoin.Auto): DataFrame = {
     // Candidate generation on (vec_id, bucket-id array, table, bucket) —
     // embeddings never ride the pair shuffle; they re-attach only for the
     // exactly-once pairs. The nTables bucket ids (8 B each) ride the hashed
@@ -612,9 +626,7 @@ object Similarity {
     // first-agreeing-table filter (FirstEqualBand with width 1) — the
     // former dropDuplicates re-shuffled the RAW pair set (see
     // Dedup.minhashLsh, same finding).
-    val hashed = embeddings.select(col("vec_id"), array(buckets: _*).as("bks"))
-      .select(col("vec_id"), col("bks"),
-        posexplode(col("bks")).as(Seq("table_idx", "bucket")))
+    val hashed = lshBuckets(embeddings, nTables, planesPerTable, dim)
       // pin the emit stage's task count (see Dedup.minhashLsh: AQE
       // byte-based coalescing is blind to join-output amplification)
       .repartition(col("table_idx"), col("bucket"))
@@ -638,6 +650,49 @@ object Similarity {
     // no presentation sort: pair-set output; a global orderBy would
     // range-sample the plan and re-execute the verify stage (see
     // Dedup.minhashLsh)
+  }
+
+  /** Asymmetric LSH probe — a batch of vectors against the PERSISTED
+    * bucket index (the incrementalMinhash/incrementalHammingPairs shape
+    * for the SEMANTIC family): `corpusIndex` = the [[lshBuckets]] rows
+    * ever ingested (vec_id, bks, table_idx, bucket), `corpusVecs` =
+    * (vec_id, embedding). The batch's distinct (table_idx, bucket)
+    * values broadcast as a semi-join prune, so the corpus index is only
+    * SCANNED; surviving rows (candidate-density-sized) join the batch's
+    * bucket rows, exactly-once per pair via the first-agreeing-table
+    * filter (both `bks` arrays ride), and corpus embeddings load ONLY
+    * for candidates (a vec_id join sized by dup density). Output
+    * (vec_c, vec_b, cos_sim) at cos ≥ minCos — recall is the LSH
+    * table/plane trade exactly as in [[lshCandidates]]; at the
+    * recall-1 config (1 plane × many tables) the probe is exhaustive
+    * and the ingest loop's cold run becomes a closed form. */
+  def incrementalLshCandidates(batch: DataFrame, corpusIndex: DataFrame,
+                               corpusVecs: DataFrame,
+                               nTables: Int = 16, planesPerTable: Int = 4,
+                               dim: Int = 64, minCos: Double = 0.4): DataFrame = {
+    val bb = lshBuckets(batch, nTables, planesPerTable, dim)
+      .select(col("vec_id").as("vec_b"), col("bks").as("bks_b"),
+        col("table_idx"), col("bucket"))
+      .repartition(col("table_idx"), col("bucket"))
+    val probeKeys = bb.select("table_idx", "bucket").distinct()
+    val hits = corpusIndex
+      .join(broadcast(probeKeys), Seq("table_idx", "bucket"), "left_semi")
+      .select(col("vec_id").as("vec_c"), col("bks").as("bks_c"),
+        col("table_idx"), col("bucket"))
+    val cand = bb.hint("shuffle_hash").join(hits, Seq("table_idx", "bucket"))
+      .filter(graft.functions.VectorFunctions.firstEqualBand(
+        col("bks_c"), col("bks_b"), 1) === col("table_idx"))
+      .select(col("vec_c"), col("vec_b"))
+      // stage barrier before the verify (the lshCandidates finding)
+      .repartition(col("vec_b"))
+    cand
+      .join(batch.select(col("vec_id").as("vec_b"), col("embedding").as("eb")),
+        "vec_b")
+      .join(corpusVecs.select(col("vec_id").as("vec_c"), col("embedding").as("ec")),
+        "vec_c")
+      .select(col("vec_c"), col("vec_b"),
+        round4(cosine(col("ec"), col("eb"))).as("cos_sim"))
+      .filter(col("cos_sim") >= minCos)
   }
 
   /** Per-vector int8 scalar quantization — the storage/bandwidth lever for

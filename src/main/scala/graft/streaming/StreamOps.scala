@@ -733,6 +733,77 @@ object StreamOps {
       tmpRoot)
   }
 
+  /** One micro-batch of the streaming SEMANTIC-dedup ingest loop (r13 —
+    * the growing-corpus variant for the embedding family, the last
+    * dedup family without one): per batch, SemDeDup's greedy rule runs
+    * intra-batch first ([[graft.operators.Similarity.lshCandidates]] on
+    * the batch alone, min vec_id survives a pair), survivors probe the
+    * PERSISTED bucket index ([[graft.operators.Similarity
+    * .incrementalLshCandidates]] — the corpus side is scanned through a
+    * broadcast semi-prune, corpus EMBEDDINGS load only for candidates),
+    * and novel vectors append to the corpus table AND their bucket rows
+    * to the index under one exactly-once tag each. The fixed seeded
+    * hyperplanes are what make an index built in one generation
+    * probe-compatible with every later batch. */
+  def semanticIngestBatch(table: String, indexTable: String,
+                          minCos: Double = 0.35, nTables: Int = 16,
+                          planesPerTable: Int = 4, dim: Int = 64)
+                         (b: DataFrame, id: Long): Unit = {
+    import graft.sources.TxLogFormat
+    import graft.operators.Similarity
+    val spark = b.sparkSession
+    val batch = b.select(col("vec_id"), col("embedding"), col("label"))
+      .localCheckpoint()
+    val intraDrop = Similarity.lshCandidates(batch, nTables, planesPerTable,
+        dim, minCos)
+      .select(greatest(col("vec_a"), col("vec_b")).as("vec_id")).distinct()
+    val batchKept = batch.join(intraDrop, Seq("vec_id"), "left_anti")
+    val kept =
+      if (TxLogFormat.versions(table).isEmpty) batchKept
+      else {
+        val corpus = TxLogFormat.read(spark, table)
+        val idx = TxLogFormat.read(spark, indexTable)
+        val dup = Similarity.incrementalLshCandidates(batchKept, idx,
+            corpus.select("vec_id", "embedding"),
+            nTables, planesPerTable, dim, minCos)
+          .select(col("vec_b").as("vec_id")).distinct()
+        batchKept.join(dup, Seq("vec_id"), "left_anti")
+      }
+    val keptC = kept.localCheckpoint()
+    TxLogFormat.appendBatch(keptC, table, "semantic_ingest", id)
+    TxLogFormat.appendBatch(
+      Similarity.lshBuckets(keptC, nTables, planesPerTable, dim),
+      indexTable, "semantic_ingest", id): Unit
+  }
+
+  /** Driver query: the recall-1 adjudication of the semantic ingest loop
+    * (the dedup_semantic_lsh_r1 config as a STREAM): cold AvailableNow
+    * over the %5 embeddings slice at 1 plane × 40 tables — a threshold
+    * pair's all-tables miss ≈ 3e-17, exact cosine verify keeps precision
+    * exact — so the whole-loop survivor set ≡ the exact greedy closed
+    * form (not the greater side of any cos ≥ 0.35 pair), which is
+    * dedup_semantic_lsh_r1's oracle verbatim. */
+  def runSemanticIngestR1(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxLogFormat
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_semingest_")
+    val table = tmpRoot.resolve("corpus").toString
+    val indexTable = tmpRoot.resolve("index").toString
+    val schema = spark.read.parquet(s"$dir/embeddings.parquet").schema
+    val q = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+      .filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .writeStream
+      .foreachBatch(semanticIngestBatch(table, indexTable,
+        minCos = 0.35, nTables = 40, planesPerTable = 1) _)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    handoffAndClean(
+      TxLogFormat.read(spark, table).select("vec_id", "label")
+        .orderBy("vec_id"), tmpRoot)
+  }
+
   /** One micro-batch of the streaming SEGMENT-dedup ingest loop — the
     * Dolma-BFF paragraph-dedup stage productionized with exact semantics:
     * the batch's segments dedup within the batch and against the

@@ -333,6 +333,57 @@ class StreamingSpec extends SparkSpec {
       TxLogFormat.versions(indexT).size) == vs, "replay must not commit")
   }
 
+  test("streaming SEMANTIC ingest: intra-batch greedy collapse, " +
+       "cross-batch index probe with candidate-only embedding loads, " +
+       "maintained index == recomputed, replay-safe") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    import graft.sources.TxLogFormat
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_semingest_spec")
+    val (corpusT, indexT) = (root.resolve("corpus").toString,
+      root.resolve("index").toString)
+    // dim-4 vectors with engineered cosines; recall-1 config (1 plane ×
+    // 40 tables) makes every cos ≥ 0.9 pair a deterministic candidate
+    def v(a: Float, b: Float, c: Float, d: Float) = Array(a, b, c, d)
+    val b0 = Seq((1L, v(1, 0, 0, 0), "x"),
+                 (2L, v(1, 0.01f, 0, 0), "x"),   // ≈1: drops in-batch vs 1
+                 (3L, v(0, 1, 0, 0), "y"))       // orthogonal: survives
+    val b1 = Seq((10L, v(0.99f, 0, 0.01f, 0), "x"), // ≈1 vs CORPUS doc 1
+                 (11L, v(0, 0.98f, 0, 0.02f), "y"), // ≈1 vs CORPUS doc 3
+                 (12L, v(0, 0, 1, 0), "z"))         // survives
+    val ingest = StreamOps.semanticIngestBatch(corpusT, indexT,
+      minCos = 0.9, nTables = 40, planesPerTable = 1, dim = 4) _
+    val input = MemoryStream[(Long, Array[Float], String)]
+    val q = input.toDF().toDF("vec_id", "embedding", "label").writeStream
+      .foreachBatch(ingest).start()
+    try {
+      input.addData(b0); q.processAllAvailable()
+      assert(TxLogFormat.read(spark, corpusT).select("vec_id")
+        .collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+      input.addData(b1); q.processAllAvailable()
+    } finally q.stop()
+    val corpus = TxLogFormat.read(spark, corpusT)
+    assert(corpus.select("vec_id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 3L, 12L), corpus.collect().mkString(","))
+    // maintained index == the survivors' recomputed bucket rows exactly
+    val idx = TxLogFormat.read(spark, indexT)
+      .select("vec_id", "table_idx", "bucket").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val recomputed = graft.operators.Similarity.lshBuckets(
+        corpus.select("vec_id", "embedding"), 40, 1, 4)
+      .select("vec_id", "table_idx", "bucket").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(idx == recomputed, s"index drifted from the survivor set")
+    // replay: a committed batch id is a strict no-op on BOTH tables
+    val vs = (TxLogFormat.versions(corpusT).size,
+      TxLogFormat.versions(indexT).size)
+    ingest(Seq((99L, v(0.5f, 0.5f, 0.5f, 0.5f), "w"))
+      .toDF("vec_id", "embedding", "label"), 0L)
+    assert((TxLogFormat.versions(corpusT).size,
+      TxLogFormat.versions(indexT).size) == vs, "replay must not commit")
+  }
+
   test("streaming CONTAINMENT ingest: cross-batch pairs, cap-crossing " +
        "decrements, maintained index == hand-derived, replay-safe") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
