@@ -694,7 +694,14 @@ object Multimodal {
         // grid cell (r, c) = mean luminance over pixel block
         // [r·h/8, (r+1)·h/8) × [c·w/9, (c+1)·w/9) — exact integer bounds,
         // every pixel in exactly one block, no resampling kernel to
-        // disagree about
+        // disagree about. Within a block the mean is STRIDE-SAMPLED past
+        // ~1k pixels (the decodeImage convention): a 64 MP payload would
+        // otherwise cost 64M getRGB calls PER ROW in the one
+        // pixel-touching pass — the stride is a pure function of the
+        // dimensions, so the hash stays bit-reproducible; small images
+        // (every driver/spec corpus) have stride 1 and average exactly
+        val stride = math.max(1, math.toIntExact(
+          math.round(math.sqrt((w.toLong * h) / (72 * 1024.0)))))
         val grid = Array.ofDim[Long](8, 9)
         var r = 0
         while (r < 8) {
@@ -703,6 +710,7 @@ object Multimodal {
           while (c < 9) {
             val x0 = c * w / 9; val x1 = (c + 1) * w / 9
             var sum = 0L
+            var n = 0L
             var y = y0
             while (y < y1) {
               var x = x0
@@ -710,11 +718,12 @@ object Multimodal {
                 val rgb = img.getRGB(x, y)
                 sum += (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
                   (rgb & 0xff) * 114) / 1000
-                x += 1
+                n += 1
+                x += stride
               }
-              y += 1
+              y += stride
             }
-            grid(r)(c) = sum / ((y1 - y0).toLong * (x1 - x0))
+            grid(r)(c) = sum / math.max(n, 1L)
             c += 1
           }
           r += 1
