@@ -683,13 +683,23 @@ object Similarity {
       .filter(graft.functions.VectorFunctions.firstEqualBand(
         col("bks_c"), col("bks_b"), 1) === col("table_idx"))
       .select(col("vec_c"), col("vec_b"))
-      // stage barrier before the verify (the lshCandidates finding)
+      // stage barrier before the verify (the lshCandidates finding);
+      // the lazy checkpoint stops the probe join re-executing for the
+      // corpus-prune reference below
       .repartition(col("vec_b"))
+      .localCheckpoint(false)
+    // STRUCTURALLY corpus-free embedding attach (the r12 containment
+    // finding): prune the corpus vectors to the candidate-linked ids
+    // through a broadcast semi-probe — the corpus table is only SCANNED,
+    // never enters a shuffle join, by plan shape rather than AQE's mood
+    val vecsPruned = corpusVecs
+      .join(broadcast(cand.select(col("vec_c").as("vec_id")).distinct()),
+        Seq("vec_id"), "left_semi")
+      .select(col("vec_id").as("vec_c"), col("embedding").as("ec"))
     cand
       .join(batch.select(col("vec_id").as("vec_b"), col("embedding").as("eb")),
         "vec_b")
-      .join(corpusVecs.select(col("vec_id").as("vec_c"), col("embedding").as("ec")),
-        "vec_c")
+      .join(broadcast(vecsPruned), "vec_c")
       .select(col("vec_c"), col("vec_b"),
         round4(cosine(col("ec"), col("eb"))).as("cos_sim"))
       .filter(col("cos_sim") >= minCos)

@@ -637,6 +637,26 @@ class PlanSpec extends SparkSpec {
       s"a corpus-sized frame entered a sort-merge join:\n$plan")
   }
 
+  test("incremental LSH probe: the corpus bucket index AND the corpus " +
+       "vectors are scanned, never shuffled — prunes are broadcast semi-joins") {
+    import spark.implicits._
+    val batch = Seq((10L, Array.fill(8)(0.5f), "x"))
+      .toDF("vec_id", "embedding", "label")
+    val corpus = Seq((1L, Array.fill(8)(0.5f), "x"),
+                     (2L, Array.fill(8)(-0.5f), "y"))
+      .toDF("vec_id", "embedding", "label")
+    val idx = Similarity.lshBuckets(corpus, nTables = 4, planesPerTable = 2,
+      dim = 8)
+    val pairs = Similarity.incrementalLshCandidates(batch, idx,
+      corpus.select("vec_id", "embedding"), nTables = 4, planesPerTable = 2,
+      dim = 8)
+    val plan = pairs.queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"corpus sides not pruned through broadcast semi-probes:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a corpus-sized frame entered a sort-merge join:\n$plan")
+  }
+
   test("incremental curation funnel: state offsets broadcast — the batch " +
        "never shuffles against the quota/budget tables") {
     import spark.implicits._
