@@ -535,6 +535,13 @@ object OracleSql {
     "perplexity_kn" ->
       """WITH d AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents), b0 AS (SELECT doc_id, UNNEST(range(len(w) - 1)) AS i, w FROM d WHERE len(w) >= 2), b AS (SELECT doc_id, w[CAST(i AS INT) + 1] AS w1, w[CAST(i AS INT) + 2] AS w2 FROM b0), b2 AS (SELECT * FROM b WHERE w1 <> '' AND w2 <> ''), tfb AS (SELECT doc_id, w1, w2, COUNT(*) AS tf FROM b2 GROUP BY doc_id, w1, w2), cb AS (SELECT w1, w2, SUM(tf) AS c12 FROM tfb GROUP BY w1, w2), ctx AS (SELECT w1, SUM(c12) AS c1, COUNT(*) AS n1w1 FROM cb GROUP BY w1), pre AS (SELECT w2, COUNT(*) AS nprec FROM cb GROUP BY w2), tot AS (SELECT COUNT(*) AS ntypes FROM cb), m AS (SELECT cb.w1, cb.w2, CAST(ROUND(-ln((GREATEST(CAST(cb.c12 AS DOUBLE) - 0.75, 0.0) + 0.75 * CAST(ctx.n1w1 AS DOUBLE) * CAST(pre.nprec AS DOUBLE) / CAST(tot.ntypes AS DOUBLE)) / CAST(ctx.c1 AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS unats FROM cb JOIN ctx USING (w1) JOIN pre USING (w2) CROSS JOIN tot), s AS (SELECT tfb.doc_id, CAST(SUM(tfb.tf) AS BIGINT) AS n_bigrams, CAST(SUM(tfb.tf * m.unats) AS BIGINT) AS nll_unats FROM tfb JOIN m ON tfb.w1 = m.w1 AND tfb.w2 = m.w2 GROUP BY tfb.doc_id) SELECT doc_id, n_bigrams, nll_unats, CASE WHEN nll_unats > 3000000 * n_bigrams THEN 'high' ELSE 'ok' END AS ppl_flag FROM s""",
 
+    // interpolated KN TRIGRAM with the textbook recursion: raw counts at
+    // the top order, continuation counts at the middle, bigram-type
+    // continuation at the bottom; the whole two-level float chain per
+    // trigram type rounds once to micro-nats
+    "perplexity_kn3" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents), t0 AS (SELECT doc_id, UNNEST(range(len(w) - 2)) AS i, w FROM d WHERE len(w) >= 3), t AS (SELECT doc_id, w[CAST(i AS INT) + 1] AS w1, w[CAST(i AS INT) + 2] AS w2, w[CAST(i AS INT) + 3] AS w3 FROM t0), t2 AS (SELECT * FROM t WHERE w1 <> '' AND w2 <> '' AND w3 <> ''), tfb3 AS (SELECT doc_id, w1, w2, w3, COUNT(*) AS tf FROM t2 GROUP BY doc_id, w1, w2, w3), cb3 AS (SELECT w1, w2, w3, SUM(tf) AS c123 FROM tfb3 GROUP BY w1, w2, w3), ctx3 AS (SELECT w1, w2, SUM(c123) AS c12, COUNT(*) AS n3 FROM cb3 GROUP BY w1, w2), mnum AS (SELECT w2, w3, COUNT(*) AS mnum FROM cb3 GROUP BY w2, w3), mid AS (SELECT w2, SUM(mnum) AS mden, COUNT(*) AS mn1 FROM mnum GROUP BY w2), b0 AS (SELECT doc_id, UNNEST(range(len(w) - 1)) AS i, w FROM d WHERE len(w) >= 2), b AS (SELECT w[CAST(i AS INT) + 1] AS w1, w[CAST(i AS INT) + 2] AS w2 FROM b0), cb2 AS (SELECT DISTINCT w1, w2 FROM b WHERE w1 <> '' AND w2 <> ''), pre2 AS (SELECT w2, COUNT(*) AS nprec2 FROM cb2 GROUP BY w2), tot2 AS (SELECT SUM(nprec2) AS ntypes2 FROM pre2), m AS (SELECT cb3.w1, cb3.w2, cb3.w3, CAST(ROUND(-ln((GREATEST(CAST(cb3.c123 AS DOUBLE) - 0.75, 0.0) + 0.75 * CAST(ctx3.n3 AS DOUBLE) * ((GREATEST(CAST(mnum.mnum AS DOUBLE) - 0.75, 0.0) + 0.75 * CAST(mid.mn1 AS DOUBLE) * (CAST(pre2.nprec2 AS DOUBLE) / CAST(tot2.ntypes2 AS DOUBLE))) / CAST(mid.mden AS DOUBLE))) / CAST(ctx3.c12 AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS unats FROM cb3 JOIN ctx3 ON cb3.w1 = ctx3.w1 AND cb3.w2 = ctx3.w2 JOIN mnum ON cb3.w2 = mnum.w2 AND cb3.w3 = mnum.w3 JOIN mid ON cb3.w2 = mid.w2 JOIN pre2 ON cb3.w3 = pre2.w2 CROSS JOIN tot2), s AS (SELECT tfb3.doc_id, CAST(SUM(tfb3.tf) AS BIGINT) AS n_trigrams, CAST(SUM(tfb3.tf * m.unats) AS BIGINT) AS nll_unats FROM tfb3 JOIN m ON tfb3.w1 = m.w1 AND tfb3.w2 = m.w2 AND tfb3.w3 = m.w3 GROUP BY tfb3.doc_id) SELECT doc_id, n_trigrams, nll_unats, CASE WHEN nll_unats > 3000000 * n_trigrams THEN 'high' ELSE 'ok' END AS ppl_flag FROM s""",
+
     // MODIFIED Kneser-Ney (KenLM's default): count-class discounts
     // D1/D2/D3+ estimated from the count-of-counts, clamped into [0,k]
     // (exact mass conservation), fixed 0.75 when a class is empty; the

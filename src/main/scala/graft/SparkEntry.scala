@@ -761,6 +761,10 @@ object SparkEntry {
     // from the corpus's count-of-counts, clamped for exact mass
     "perplexity_kn_mod" -> ((s, d) =>
       TextAnalysis.perplexityKnMod(Tables.documents(s, d))),
+    // the order-3 rung with the textbook KN recursion (continuation
+    // counts at the middle level — the structure KenLM builds)
+    "perplexity_kn3" -> ((s, d) =>
+      TextAnalysis.perplexityKn3(Tables.documents(s, d))),
     // the DEPLOYMENT shape: fit on the even-id half (the clean reference
     // corpus), score the odd-id half (the crawl) — exercises the unseen-
     // bigram / unseen-context / OOV paths self-scoring never reaches

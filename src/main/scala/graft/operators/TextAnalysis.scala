@@ -831,6 +831,86 @@ object TextAnalysis {
           .otherwise("ok").as("ppl_flag"))
   }
 
+  /** Interpolated Kneser-Ney TRIGRAM perplexity — the order-3 rung with
+    * the TEXTBOOK recursion (Chen & Goodman: raw counts at the top
+    * order, CONTINUATION counts below — the structure KenLM builds at
+    * every order):
+    *
+    *   P₃(w3|w1w2) = (max(c123 − D, 0) + D · N1+(w1w2·) · P₂(w3|w2)) / c12
+    *   P₂(w3|w2)   = (max(N1+(·w2w3) − D, 0)
+    *                  + D · N1+(w2·) · Pcont(w3)) / N1+(·w2·)
+    *   Pcont(w3)   = N1+(·w3) / N1+(··)          (over BIGRAM types)
+    *
+    * — the middle level asks "in how many contexts was (w2,w3) a novel
+    * continuation", not "how often did it occur": the same correction
+    * the bigram KN makes, applied recursively. D = 0.75 at both levels;
+    * self-scoring keeps every count ≥ 1 so no back-off path degenerates
+    * and the conditional sums to exactly 1 at both levels (spec-pinned).
+    *
+    * Engine-portability: the ENTIRE two-level float chain per distinct
+    * trigram type — P₂ feeding P₃ unrounded — rounds ONCE to
+    * micro-nats; per-doc NLLs exact integer sums; integer flag. Plan:
+    * the corpus tokenizes once into per-doc trigram frequencies, every
+    * model table (trigram counts, order-2 contexts, mid-level
+    * continuation tables, bigram-type continuation counts) aggregates
+    * from type tables, the 1-row bigram-type total broadcasts. Docs
+    * under 3 tokens drop, as in any n-gram scorer. */
+  def perplexityKn3(documents: DataFrame, flagNats: Double = 3.0): DataFrame = {
+    val withW = documents.select(col("doc_id"), words.as("__w"))
+    val w = col("__w")
+    val tri = withW.select(col("doc_id"),
+        explode(when(size(w) >= 3,
+          transform(sequence(lit(0), size(w) - 3), i =>
+            struct(element_at(w, i + 1).as("w1"),
+                   element_at(w, i + 2).as("w2"),
+                   element_at(w, i + 3).as("w3"))))
+          .otherwise(array()
+            .cast("array<struct<w1:string,w2:string,w3:string>>"))).as("t"))
+      .select(col("doc_id"), col("t.w1").as("w1"), col("t.w2").as("w2"),
+        col("t.w3").as("w3"))
+      .filter(col("w1") =!= "" && col("w2") =!= "" && col("w3") =!= "")
+    val tfb3 = tri.groupBy("doc_id", "w1", "w2", "w3")
+      .agg(count(lit(1)).as("tf"))
+    val cb3 = tfb3.groupBy("w1", "w2", "w3").agg(sum("tf").as("c123"))
+    val ctx3 = cb3.groupBy("w1", "w2")
+      .agg(sum("c123").as("c12"), count(lit(1)).as("n3"))
+    // mid level: continuation counts over TRIGRAM types
+    val mnum = cb3.groupBy("w2", "w3").agg(count(lit(1)).as("mnum"))
+    val mid = mnum.groupBy("w2")
+      .agg(sum("mnum").as("mden"), count(lit(1)).as("mn1"))
+    // bottom level: continuation counts over corpus BIGRAM types
+    val bi = withW.select(col("doc_id"),
+        explode(when(size(w) >= 2,
+          transform(sequence(lit(0), size(w) - 2), i =>
+            struct(element_at(w, i + 1).as("w1"),
+                   element_at(w, i + 2).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .filter(col("w1") =!= "" && col("w2") =!= "")
+      .distinct()
+    val pre2 = bi.groupBy("w2").agg(count(lit(1)).as("nprec2"))
+    val tot2 = pre2.agg(sum("nprec2").as("ntypes2"))
+    val pcont = col("nprec2").cast("double") / col("ntypes2").cast("double")
+    val p2 = (greatest(col("mnum").cast("double") - lit(0.75), lit(0.0)) +
+      lit(0.75) * col("mn1").cast("double") * pcont) / col("mden").cast("double")
+    val p3 = (greatest(col("c123").cast("double") - lit(0.75), lit(0.0)) +
+      lit(0.75) * col("n3").cast("double") * p2) / col("c12").cast("double")
+    val model = cb3.join(ctx3, Seq("w1", "w2")).join(mnum, Seq("w2", "w3"))
+      .join(mid, Seq("w2"))
+      .join(pre2.withColumnRenamed("w2", "w3"), Seq("w3"))
+      .crossJoin(broadcast(tot2))
+      .select(col("w1"), col("w2"), col("w3"),
+        round(-log(p3) * 1e6, 0).cast("long").as("unats"))
+    val flagUnats = math.round(flagNats * 1e6)
+    tfb3.join(model, Seq("w1", "w2", "w3"))
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_trigrams"),
+           sum(col("tf") * col("unats")).as("nll_unats"))
+      .select(col("doc_id"), col("n_trigrams"), col("nll_unats"),
+        when(col("nll_unats") > lit(flagUnats) * col("n_trigrams"), "high")
+          .otherwise("ok").as("ppl_flag"))
+  }
+
   /** Document fingerprinting: full md5 digest, 8-hex prefix bucket, and a
     * 1-permutation minhash (lexicographic-min word md5). */
   def fingerprint(documents: DataFrame): DataFrame =

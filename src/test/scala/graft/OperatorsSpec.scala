@@ -686,6 +686,71 @@ class OperatorsSpec extends SparkSpec {
     assert(prob("ran", "zebra") > 0.0)
   }
 
+  test("trigram kneser-ney: plain-Scala re-derivation of the two-level " +
+       "recursion (continuation counts at the middle); mass sums to 1 at " +
+       "both levels; sub-3-token docs drop") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat ate the cat food"),
+      (3L, "dog ran dog ran dog"),
+      (4L, "two words"),  // no trigrams: drops
+      (5L, "one"))        // drops
+    val docs = rows.toDF("doc_id", "text")
+    def toks(t: String) = t.toLowerCase.trim.split(" ").filter(_ => true)
+    val tris = rows.flatMap { case (id, t) =>
+      toks(t).sliding(3).collect {
+        case Array(a, b, c) if a.nonEmpty && b.nonEmpty && c.nonEmpty =>
+          (id, a, b, c) } }
+    val tfb3 = tris.groupBy(identity).map { case ((id, a, b, c), g) =>
+      (id, a, b, c, g.size.toLong) }.toSeq
+    val cb3 = tfb3.groupBy(r => (r._2, r._3, r._4))
+      .map { case (k, g) => k -> g.map(_._5).sum }
+    val ctx3 = cb3.groupBy(k => (k._1._1, k._1._2)).map { case (k, g) =>
+      k -> (g.values.sum, g.size.toLong) }
+    val mnum = cb3.keys.groupBy(k => (k._2, k._3))
+      .map { case (k, g) => k -> g.size.toLong }
+    val mid = mnum.groupBy(_._1._1).map { case (w2, g) =>
+      w2 -> (g.values.sum, g.size.toLong) }
+    val cb2 = rows.flatMap { case (_, t) => toks(t).sliding(2).collect {
+      case Array(a, b) if a.nonEmpty && b.nonEmpty => (a, b) } }.toSet
+    val pre2 = cb2.toSeq.groupBy(_._2).map { case (w2, g) => w2 -> g.size.toLong }
+    val ntypes2 = cb2.size.toLong
+    def pcont(w3: String) =
+      pre2.getOrElse(w3, 0L).toDouble / ntypes2.toDouble
+    def p2(w2: String, w3: String): Double = {
+      val (mden, mn1) = mid(w2)
+      (math.max(mnum.getOrElse((w2, w3), 0L).toDouble - 0.75, 0.0) +
+        0.75 * mn1.toDouble * pcont(w3)) / mden.toDouble
+    }
+    def p3(w1: String, w2: String, w3: String): Double = {
+      val (c12, n3) = ctx3((w1, w2))
+      (math.max(cb3.getOrElse((w1, w2, w3), 0L).toDouble - 0.75, 0.0) +
+        0.75 * n3.toDouble * p2(w2, w3)) / c12.toDouble
+    }
+    def unats(a: String, b: String, c: String): Long =
+      BigDecimal(-math.log(p3(a, b, c)) * 1e6)
+        .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
+    val want = tfb3.groupBy(_._1).map { case (id, g) =>
+      (id, g.map(_._5).sum, g.map(r => r._5 * unats(r._2, r._3, r._4)).sum) }
+      .toSeq.sortBy(_._1)
+    val got = TextAnalysis.perplexityKn3(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sortBy(_._1)
+    assert(got == want, s"$got vs $want")
+    assert(!got.exists(r => r._1 == 4L || r._1 == 5L), "sub-3-token docs drop")
+    // mass conservation at BOTH levels over the bigram-continuation
+    // vocabulary (.toSeq — a key SET would collapse equal probabilities)
+    val contVocab = pre2.keys.toSeq
+    mid.keys.foreach { w2 =>
+      val m2 = contVocab.map(w3 => p2(w2, w3)).sum
+      assert(math.abs(m2 - 1.0) < 1e-9, s"P2 mass for '$w2' = $m2")
+    }
+    ctx3.keys.foreach { case (w1, w2) =>
+      val m3 = contVocab.map(w3 => p3(w1, w2, w3)).sum
+      assert(math.abs(m3 - 1.0) < 1e-9, s"P3 mass for '$w1 $w2' = $m3")
+    }
+  }
+
   test("r12 screens are partition-invariant: dsir ranks, repetition " +
        "fractions, arrival-funnel verdicts identical at 1/7/13 partitions") {
     import spark.implicits._
