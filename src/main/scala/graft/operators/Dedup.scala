@@ -290,32 +290,48 @@ object Dedup {
         require(bands <= 64,
           s"the hot-band bitmask is a Long — maxBandDf needs bands <= 64, got $bands")
         // Hot-bucket cap (scaladoc above). All the cap machinery is
-        // hot-sized: bucket counts aggregate exchange-free on the banded
-        // frame's own partitioning over a 24-B projection; the hot list
-        // (boilerplate buckets only) broadcasts; the per-doc hot-band
-        // bitmask aggregates ONLY rows inside hot buckets (the inner
-        // join drops everything else) and broadcasts back.
-        val slim = banded.select("doc_id", "band_idx", "band_hash")
-        val hot = slim.groupBy("band_idx", "band_hash")
+        // hot-sized: the hot list (boilerplate buckets only) broadcasts;
+        // the per-doc hot-band bitmask aggregates ONLY rows inside hot
+        // buckets (the inner join drops everything else) and broadcasts
+        // back. The LAZY checkpoint is the compute-once barrier for the
+        // four consumers (bucket counts, mask, both self-join sides):
+        // without it, column pruning specializes the band exchange per
+        // consumer — five non-canonical exchanges, the signature
+        // aggregation re-executing behind each (measured; ReusedExchange
+        // only dedupes IDENTICAL subtrees). Above the barrier the cheap
+        // consumers re-cluster from checkpointed rows (AQE plans a lazy
+        // checkpoint as UnknownPartitioning: the hot-count exchange is
+        // post-partial-agg, bucket-count-sized; the mask exchange is
+        // hot-rows-only) and the two SELF-JOIN sides are kept plan-
+        // IDENTICAL so the one full-width band exchange materializes
+        // once and the other side is a ReusedExchange (PlanSpec-pinned).
+        val bandedC = banded.localCheckpoint(false)
+        val hot = bandedC.groupBy("band_idx", "band_hash")
           .agg(count(lit(1)).as("__df")).filter(col("__df") > maxBandDf)
           .select("band_idx", "band_hash")
-        val mask = slim.join(broadcast(hot), Seq("band_idx", "band_hash"))
+        val mask = bandedC.join(broadcast(hot), Seq("band_idx", "band_hash"))
           .groupBy("doc_id")
           .agg(sum(expr("shiftleft(1L, cast(band_idx as int))")).as("__hotmask"))
-        val capped = banded
+        val capped = bandedC
           .join(broadcast(hot.withColumn("__h", lit(true))),
             Seq("band_idx", "band_hash"), "left")
           .filter(col("__h").isNull).drop("__h")
           .join(broadcast(mask), Seq("doc_id"), "left")
           .withColumn("__hotmask", coalesce(col("__hotmask"), lit(0L)))
         // exactly-once rule = first agreeing NON-HOT band, a map-side
-        // when-chain: an agreeing band means equal band values, so x's
-        // hotness bit speaks for the pair; hot bits are consulted only
-        // under bandEq (where they provably match y's)
+        // when-chain: an agreeing band means equal band values, so
+        // either doc's hotness bit speaks for the pair — hot bits are
+        // consulted only under bandEq, where x's and y's provably
+        // match, so OR-ing them is semantically x's bit alone. The OR
+        // is there for the PLAN, not the semantics: referencing both
+        // masks keeps the two join sides column-identical (x-only left
+        // y's mask dead, and the pruned y subtree no longer matched
+        // x's exchange — the full-width band shuffle ran twice).
         def bandEq(j: Int) =
           slice(col("x.sig"), j * r + 1, r) === slice(col("y.sig"), j * r + 1, r)
         def hotBit(j: Int) =
-          shiftright(col("x.__hotmask"), j).bitwiseAND(1L) === 1L
+          shiftright(col("x.__hotmask").bitwiseOR(col("y.__hotmask")), j)
+            .bitwiseAND(1L) === 1L
         val firstOk = (0 until bands).foldRight(lit(-1)) { (j, rest) =>
           when(bandEq(j) && !hotBit(j), lit(j)).otherwise(rest) }
         selfJoin(capped).filter(firstOk === col("x.band_idx"))

@@ -120,8 +120,17 @@ object Multimodal {
           // handled sample-wise; other encodings keep the header facts
           // but zero the envelope.
           val body = in.readAllBytes()
-          val isPcm = fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
-                      fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+          // same layout gate as audioFingerprint64: the sample loop assumes
+          // little-endian bytes and unsigned 8-bit — other valid layouts
+          // keep the header facts but zero the envelope (the non-PCM rule)
+          // rather than folding garbage sample values into the stats
+          val enc = fmt.getEncoding
+          val isPcm =
+            (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+             enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED) &&
+            !fmt.isBigEndian &&
+            (bytesPerSample > 1 ||
+             enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED)
           val n = if (isPcm) body.length / (bytesPerSample * channels) else 0
           val full = (1L << (bytesPerSample * 8 - 1)).toDouble
           var sumSq = 0.0; var peak = 0.0; var crossings = 0L
@@ -817,9 +826,19 @@ object Multimodal {
           val bps = math.max(1, fmt.getSampleSizeInBits / 8)
           val frames = in.getFrameLength
           val frameSize = math.max(1, fmt.getFrameSize)
+          // layout gate (drop-never-fabricate): the sample loop below
+          // assumes LITTLE-endian bytes and UNSIGNED 8-bit samples — the
+          // overwhelming WAV convention, but a valid extensible-format
+          // file can declare big-endian, and PCM_SIGNED 8-bit exists.
+          // Such layouts would decode to wrong window energies and a
+          // wrong-but-deterministic fingerprint; they must return None
+          // like any other unsupported payload, not a fabricated hash.
+          val enc = fmt.getEncoding
           val isPcm =
-            fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
-            fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+            (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+             enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED) &&
+            !fmt.isBigEndian &&
+            (bps > 1 || enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED)
           if (!isPcm || channels <= 0 || frames < 65 ||
               frames * frameSize > 256L * 1024 * 1024) None
           else {

@@ -805,7 +805,13 @@ object TextAnalysis {
     val ctx = cb.groupBy("w1")
       .agg(sum("c12").as("c1"), count(lit(1)).as("n1w1"))
     val pre = cb.groupBy("w2").agg(count(lit(1)).as("nprec"))
-    val tot = pre.agg(sum("nprec").as("ntypes"), count(lit(1)).as("vcont"))
+    // coalesce the empty-model aggregate: a train corpus with no bigrams
+    // (empty, or all docs under 2 tokens) yields sum(NULL)=NULL ntypes,
+    // which would NULL every scored unats and report ok-flagged NULL
+    // NLLs; with ntypes=0 the open-vocabulary floor 1/(0+0+1) applies
+    // uniformly instead (every bigram is OOV against an empty model)
+    val tot = pre.agg(coalesce(sum("nprec"), lit(0L)).as("ntypes"),
+      count(lit(1)).as("vcont"))
     // one rounded value per distinct SCORED type (the usual discipline)
     val st = tfbS.select("w1", "w2").distinct()
       .join(cb, Seq("w1", "w2"), "left")

@@ -308,6 +308,25 @@ object StreamOps {
     out
   }
 
+  /** Free the block-manager storage behind a batch's eager
+    * localCheckpoints once its commits have landed. The checkpoints
+    * exist for replay-stable plans and compute-once fan-out WITHIN one
+    * micro-batch; after the batch's appends they are dead weight that a
+    * long-running stream would otherwise hold until the plan objects
+    * happen to be GC'd — executor storage across batches should be
+    * bounded by construction, not by collector timing. A checkpointed
+    * Dataset's analyzed plan is the `LogicalRDD` over the persisted
+    * blocks, so the release is one non-blocking unpersist per frame;
+    * non-checkpoint frames pass through as a no-op. */
+  private def freeCheckpoints(dfs: DataFrame*): Unit =
+    dfs.foreach { df =>
+      df.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false); ()
+        case _ => ()
+      }
+    }
+
   /** Streaming → ACID txlog sink: each micro-batch lands in ONE commit
     * tagged `appId:batchId` ([[graft.sources.TxLogFormat.appendBatch]]);
     * a REPLAYED batch is skipped by its tag — transactional exactly-once
@@ -595,7 +614,8 @@ object StreamOps {
     TxLogFormat.appendBatch(keptC, table, "neardup_ingest", id)
     TxLogFormat.appendBatch(
       graft.operators.Dedup.bandedSignatures(keptC, numHashes, bands),
-      indexTable, "neardup_ingest", id): Unit
+      indexTable, "neardup_ingest", id)
+    freeCheckpoints(batch, keptC)
   }
 
   /** Driver wrapper: AvailableNow over the documents source through
@@ -693,7 +713,8 @@ object StreamOps {
     val keptC = kept.localCheckpoint()
     TxLogFormat.appendBatch(keptC, table, "hash_ingest", id)
     TxLogFormat.appendBatch(graft.operators.Dedup.sigChunks(keptC),
-      indexTable, "hash_ingest", id): Unit
+      indexTable, "hash_ingest", id)
+    freeCheckpoints(batch, keptC)
   }
 
   /** Driver query: AvailableNow over the %10=0 documents slice,
@@ -773,7 +794,8 @@ object StreamOps {
     TxLogFormat.appendBatch(keptC, table, "semantic_ingest", id)
     TxLogFormat.appendBatch(
       Similarity.lshBuckets(keptC, nTables, planesPerTable, dim),
-      indexTable, "semantic_ingest", id): Unit
+      indexTable, "semantic_ingest", id)
+    freeCheckpoints(batch, keptC)
   }
 
   /** Driver query: the recall-1 adjudication of the semantic ingest loop
@@ -832,7 +854,7 @@ object StreamOps {
     val hashesC = newHashes.localCheckpoint()
     TxLogFormat.appendBatch(docsC, table, "graft_seg_ingest", id)
     TxLogFormat.appendBatch(hashesC, indexTable, "graft_seg_ingest", id)
-    ()
+    freeCheckpoints(batch, docsC, hashesC)
   }
 
   /** Driver query: AvailableNow over the documents source drives
@@ -885,7 +907,7 @@ object StreamOps {
     val hashesC = newHashes.localCheckpoint()
     TxLogFormat.appendBatch(docsC, table, "graft_substr_ingest", id)
     TxLogFormat.appendBatch(hashesC, indexTable, "graft_substr_ingest", id)
-    ()
+    freeCheckpoints(batch, docsC, hashesC)
   }
 
   /** Driver query: AvailableNow over the documents source drives
@@ -962,7 +984,7 @@ object StreamOps {
       TxLogFormat.mergeBatch(spark, sizesTable, "doc_id", szC, appId, id)
       TxLogFormat.mergeBatch(spark, indexTable, "sh", idxC, appId, id)
     }
-    ()
+    freeCheckpoints(batch, pairsC, idxC, szC)
   }
 
   /** Driver query: AvailableNow over the documents source drives
@@ -1034,17 +1056,15 @@ object StreamOps {
         batch, seen.select("digest"), quotaCounts, budgetUsed,
         perDomain, budgetPerLang)
     val appId = "graft_curation_ingest"
-    TxLogFormat.appendBatch(report.localCheckpoint(), reportTable, appId, id)
-    TxLogFormat.appendBatch(
-      dDelta.withColumn("batch_id", lit(id)).localCheckpoint(),
-      digestTable, appId, id)
-    TxLogFormat.appendBatch(
-      qDelta.withColumn("batch_id", lit(id)).localCheckpoint(),
-      quotaTable, appId, id)
-    TxLogFormat.appendBatch(
-      bDelta.withColumn("batch_id", lit(id)).localCheckpoint(),
-      budgetTable, appId, id)
-    ()
+    val reportC = report.localCheckpoint()
+    val dC = dDelta.withColumn("batch_id", lit(id)).localCheckpoint()
+    val qC = qDelta.withColumn("batch_id", lit(id)).localCheckpoint()
+    val bC = bDelta.withColumn("batch_id", lit(id)).localCheckpoint()
+    TxLogFormat.appendBatch(reportC, reportTable, appId, id)
+    TxLogFormat.appendBatch(dC, digestTable, appId, id)
+    TxLogFormat.appendBatch(qC, quotaTable, appId, id)
+    TxLogFormat.appendBatch(bC, budgetTable, appId, id)
+    freeCheckpoints(batch, reportC, dC, qC, bC)
   }
 
   /** One micro-batch of the streaming DSIR selection loop — the
@@ -1087,7 +1107,7 @@ object StreamOps {
     val appId = "graft_dsir_ingest"
     TxLogFormat.appendBatch(topk, candTable, appId, id)
     if (cold) TxLogFormat.appendBatch(weights, weightsTable, appId, id)
-    ()
+    freeCheckpoints(batch, topk, weights)
   }
 
   /** Driver query: AvailableNow over the documents source drives
@@ -1242,7 +1262,8 @@ object StreamOps {
       TxLogFormat.appendBatch(
         ledgerRow(retrained = true, idx.centroidValues, idx.buildMeanDist,
           n, idx.buildMeanDist * n),
-        indexTable, "ivf_ingest", id): Unit
+        indexTable, "ivf_ingest", id)
+      freeCheckpoints(batch, assignedC)
     } else {
       val latest = TxLogFormat.read(spark, indexTable)
         .orderBy(col("batch_id").desc).limit(1).collect()(0)
@@ -1273,10 +1294,12 @@ object StreamOps {
           val reassigned = idx2.assigned.localCheckpoint()
           val rn = reassigned.count()
           TxLogFormat.write(reassigned, cellsTable)
+          freeCheckpoints(reassigned)
           ledgerRow(retrained = true, idx2.centroidValues, idx2.buildMeanDist,
             rn, idx2.buildMeanDist * rn)
         } else ledgerRow(retrained = false, centroids, baseline, n2, sum2)
-      TxLogFormat.appendBatch(entry, indexTable, "ivf_ingest", id): Unit
+      TxLogFormat.appendBatch(entry, indexTable, "ivf_ingest", id)
+      freeCheckpoints(batch, assignedB)
     }
   }
 

@@ -126,6 +126,30 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("capped minhash computes the banded-signature exchange once " +
+       "(hot counts, hot mask, and the self-join all reuse it)") {
+    // the maxBandDf path references the expensive banded subtree from
+    // FOUR plans (bucket df counts, per-doc hot-band bitmask, both
+    // self-join sides); correctness never depended on compute-once, but
+    // cost does — column pruning specializes the band exchange per
+    // consumer, so without a barrier the signature aggregation
+    // re-executed behind five non-canonical exchanges (measured, r14).
+    // Pin the fixed shape: the signature pipeline sits entirely BEHIND
+    // the lazy checkpoint (no minhash aggregate above it), and the one
+    // full-width band exchange materializes once — the other self-join
+    // side reads it as a ReusedExchange carrying the sig column.
+    val df = Dedup.minhashLsh(Tables.documents(spark, sf), maxBandDf = 3)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("ExistingRDD"),
+      s"capped path lost its banded checkpoint barrier:\n$plan")
+    assert(!plan.contains("graft_minhash"),
+      s"signature aggregation re-executes outside the barrier:\n$plan")
+    assert("ReusedExchange \\[[^\\]]*sig".r.findFirstIn(plan).nonEmpty,
+      s"self-join sides diverged — full-width band exchange ran twice:\n$plan")
+  }
+
   test("minhash band shuffle carries no token arrays on the pair join") {
     // the candidate self-join's inputs must not contain the word payload —
     // it re-attaches only after pair generation + prefilter. The bounded

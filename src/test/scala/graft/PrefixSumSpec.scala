@@ -55,6 +55,39 @@ class PrefixSumSpec extends SparkSpec {
     }
   }
 
+  test("sparse order keys: denseOrderKeys=false is bit-identical and " +
+       "drops the broadcast hint (AQE sizes the offsets join)") {
+    import spark.implicits._
+    // snowflake-style ids scattered over the long range: at the default
+    // block size ~every row is its own block, so the offsets frame is
+    // data-scale — the regime where a forced broadcast OOMs the driver
+    // at exactly the scale the helper exists for. The guarded form must
+    // stay bit-identical (the join key and arithmetic are unchanged) and
+    // must NOT carry the broadcast hint, so AQE picks the strategy from
+    // the offsets frame's measured size.
+    val df = (0L until 200L)
+      .map(i => (i * 2654435761L + 12345L, if (i % 2 == 0) "x" else "y", i % 7 + 1))
+      .toDF("doc_id", "lang", "v")
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = rows(df.withColumn("cum", sum(col("v")).over(w))
+      .orderBy("lang", "doc_id"))
+    def hasBroadcastHint(d: org.apache.spark.sql.DataFrame): Boolean =
+      d.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j.hint
+      }.exists(h => h.leftHint.exists(_.strategy.nonEmpty) ||
+                    h.rightHint.exists(_.strategy.nonEmpty))
+    val sparse = PrefixSum.cumSum(df, Seq("lang"), "doc_id", "v", "cum",
+      denseOrderKeys = false)
+    assert(rows(sparse.orderBy("lang", "doc_id")) == want,
+      "sparse-key (shuffle-join) branch diverged from the single-window form")
+    assert(!hasBroadcastHint(sparse),
+      "denseOrderKeys=false still forces a broadcast of the offsets frame")
+    val dense = PrefixSum.cumSum(df, Seq("lang"), "doc_id", "v", "cum")
+    assert(hasBroadcastHint(dense),
+      "the dense-key default lost its offsets broadcast hint")
+  }
+
   test("result is invariant to the input partitioning") {
     val want = rows(PrefixSum.cumSum(docsFrame, Seq("lang"), "doc_id", "v",
       "cum", blockSize = 16).orderBy("lang", "doc_id"))
