@@ -73,6 +73,23 @@ object OracleSql {
     s"""WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 10 = $residue), p AS (SELECT doc_id, xor(CAST(('0x' || substr(md5(CAST(doc_id - doc_id % 40 AS VARCHAR)), 1, 15)) AS BIGINT), CASE (doc_id % 40) // 10 WHEN 2 THEN 3 WHEN 3 THEN 56 ELSE 0 END) AS h FROM ids) SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming FROM p a JOIN p b ON a.doc_id < b.doc_id WHERE bit_count(xor(a.h, b.h)) <= $radius ORDER BY doc_a, doc_b"""
   private def dedupImageSql(radius: Int): String = dedupHashSql(radius, 0)
 
+  // the hash INGEST loops cold (image %10=0, audio %10=5, video %10=2 —
+  // one definition, the decode paths differ but the survivor rule and
+  // the md5-group hash arithmetic are identical): survive iff not the
+  // greater side of any hamming-≤-3 pair on the slice
+  private def dedupHashIncSql(residue: Int): String =
+    s"""WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 10 = $residue), p0 AS (SELECT doc_id, xor(CAST(('0x' || substr(md5(CAST(doc_id - doc_id % 40 AS VARCHAR)), 1, 15)) AS BIGINT), CASE (doc_id % 40) // 10 WHEN 2 THEN 3 WHEN 3 THEN 56 ELSE 0 END) AS h FROM ids), d AS (SELECT b.doc_id FROM p0 a JOIN p0 b ON a.doc_id < b.doc_id WHERE bit_count(xor(a.h, b.h)) <= 3) SELECT doc_id FROM p0 WHERE doc_id NOT IN (SELECT doc_id FROM d) ORDER BY doc_id"""
+
+  // MULTI-frame video near-dup (r14): the per-frame pattern arithmetic
+  // of Multimodal.syntheticVideoFramePatterns restated verbatim — 3
+  // frames per clip, P(x) = md5-60-bit of (anchor + x), slot 1 = slot 0
+  // re-cut by one frame, masks 3/59/56 placing the h∈{0,2,3,3} pairs and
+  // the h=5 must-not-emit margin — then the any-frame rule in closed
+  // form: pair on ANY frame combo within radius, hamming = MIN over
+  // qualifying combos, n_slot_matches = the combo count
+  private def dedupVideoMultiSql(radius: Int): String =
+    s"""WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 7), fr AS (SELECT doc_id, (doc_id % 40) // 10 AS slot, doc_id - doc_id % 40 AS a, UNNEST([0, 1, 2]) AS fi FROM ids), f AS (SELECT doc_id, xor(CAST(('0x' || substr(md5(CAST(a + CASE WHEN slot = 0 THEN fi WHEN slot = 1 THEN fi + 1 WHEN slot = 2 THEN (CASE WHEN fi = 0 THEN 0 ELSE fi + 9 END) ELSE (CASE WHEN fi = 0 THEN 0 WHEN fi = 1 THEN 12 ELSE 3 END) END AS VARCHAR)), 1, 15)) AS BIGINT), CASE WHEN slot = 2 AND fi = 0 THEN 3 WHEN slot = 3 AND fi = 0 THEN 59 WHEN slot = 3 AND fi = 2 THEN 56 ELSE 0 END) AS h FROM fr), m AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, bit_count(xor(x.h, y.h)) AS hm FROM f x JOIN f y ON x.doc_id < y.doc_id WHERE bit_count(xor(x.h, y.h)) <= $radius) SELECT doc_a, doc_b, CAST(MIN(hm) AS BIGINT) AS hamming, COUNT(*) AS n_slot_matches FROM m GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b"""
+
   // segment-level dedup, shared by the exact and hash-keyed paths
   private val paragraphDedupSql =
     """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), pos AS (SELECT doc_id, w, UNNEST(range(GREATEST(CAST(ceil(len(w) / 10.0) AS BIGINT), 1))) AS pos FROM words), segs AS (SELECT doc_id, CAST(pos AS INT) AS pos, array_to_string(w[(CAST(pos AS INT) * 10 + 1):(CAST(pos AS INT) * 10 + 10)], ' ') AS seg FROM pos), counted AS (SELECT doc_id, pos, seg, COUNT(*) OVER (PARTITION BY doc_id) AS n_segs, ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn FROM segs) SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text_dedup, COUNT(*) AS n_kept, CAST(MIN(n_segs) - COUNT(*) AS BIGINT) AS n_dropped FROM counted WHERE rn = 1 GROUP BY doc_id"""
@@ -429,11 +446,30 @@ object OracleSql {
     "dedup_video" -> dedupHashSql(3, 2),
     "dedup_video_x" -> dedupHashSql(0, 2),
 
+    // multi-frame video near-dup (r14): per-frame patterns + the
+    // any-frame min/count closed form; the _x twin keeps only the re-cut
+    // pair (two bit-identical frame matches)
+    "dedup_video_multi" -> dedupVideoMultiSql(3),
+    "dedup_video_multi_x" -> dedupVideoMultiSql(0),
+
+    // the audio/video ingest loops (r14): the image closed form on their
+    // slices — full incremental symmetry across the modality families
+    "dedup_audio_inc" -> dedupHashIncSql(5),
+    "dedup_video_inc" -> dedupHashIncSql(2),
+
+    // shift-robust audio (r14): the trimmed clip's strided fingerprints
+    // are its source's shifted one slot, so the pair set is STRUCTURAL —
+    // exactly one (full, trimmed) pair per complete 2-doc group, h=0,
+    // four shared slots (5 fingerprints on the 97-window clip, 4 on the
+    // 89-window trim, intersecting in 4) — no fingerprint arithmetic
+    // needed, but the count is only right through the real pipeline
+    "dedup_audio_shift" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 9), g AS (SELECT doc_id - doc_id % 20 AS a, COUNT(*) AS n FROM ids GROUP BY 1) SELECT a + 9 AS doc_a, a + 19 AS doc_b, CAST(0 AS BIGINT) AS hamming, CAST(4 AS BIGINT) AS n_slot_matches FROM g WHERE n = 2 ORDER BY doc_a, doc_b""",
+
     // the image-hash INGEST loop cold: the whole-loop survivor rule in
     // closed form — survive iff not the greater side of any hamming-≤-3
     // pair (decode, banding, index commits all inside the hash)
-    "dedup_image_inc" ->
-      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0), p0 AS (SELECT doc_id, xor(CAST(('0x' || substr(md5(CAST(doc_id - doc_id % 40 AS VARCHAR)), 1, 15)) AS BIGINT), CASE (doc_id % 40) // 10 WHEN 2 THEN 3 WHEN 3 THEN 56 ELSE 0 END) AS h FROM ids), d AS (SELECT b.doc_id FROM p0 a JOIN p0 b ON a.doc_id < b.doc_id WHERE bit_count(xor(a.h, b.h)) <= 3) SELECT doc_id FROM p0 WHERE doc_id NOT IN (SELECT doc_id FROM d) ORDER BY doc_id""",
+    "dedup_image_inc" -> dedupHashIncSql(0),
 
     // CC over the image-hash edges ≡ the exact recursive-CTE clustering
     // (the dedup_clusters_minhash_r1 composition, on perceptual hashes)

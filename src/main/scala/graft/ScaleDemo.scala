@@ -53,6 +53,14 @@ import org.apache.spark.sql.functions._
   * ≲linear with IDENTICAL verified output on this corpus (the dropped
   * candidates were all below threshold).
   *
+  * r14 adds the HAMMING BANDING crowding demo (VERDICT #2): a planted
+  * birthday-crowded chunk bucket (30% of sigs share one 16-bit chunk
+  * value) makes the default 4×16 banding's candidate fan-out quadratic
+  * in corpus size, while the 5-chunk PAIR banding (10 bands of 25–26
+  * bits, exact at the same radius 3) spreads the crowd ~2¹⁰ ways —
+  * fan-out counted exactly per config, walls measured at 1× and 10×,
+  * verified outputs required equal (both configs are exact).
+  *
   * Usage: runMain graft.ScaleDemo [sfDir] [workDir] [outJson]
   * Writes one JSON object to stdout and to `outJson`. */
 object ScaleDemo {
@@ -64,7 +72,7 @@ object ScaleDemo {
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val workDir = args.lift(1).getOrElse("/tmp/graft_scaledemo")
-    val outJson = args.lift(2).getOrElse("SCALE_DEMO_r13.json")
+    val outJson = args.lift(2).getOrElse("SCALE_DEMO_r14.json")
     val cpus = graft.util.BenchHarness.cpus(sys.env.get("SPARK_GRAFT_CPUS"))
     val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "2").toInt.max(1)
     val spark = SparkSession.builder()
@@ -290,6 +298,60 @@ object ScaleDemo {
       "hot-bucket pairs were below threshold by construction — capped and " +
       "uncapped verified outputs must agree on this corpus")
 
+    // ---- 6. hamming banding (r14): planted birthday-crowded bucket ----
+    // h-corpus: deterministic 64-bit sigs (xxhash64 of the id); 30% of
+    // items get their LOW 16 BITS CLEARED — under the default 4×16
+    // single-chunk banding they all land in band 0's bucket 0, the
+    // planted analogue of the uniform birthday crowding a >4M-item
+    // corpus hits (0.3n items in one 2¹⁶-bucket band ⇒ C(0.3n,2)
+    // candidate rows, quadratic in n). Under the 5-chunk PAIR banding
+    // (10 bands of 25–26 bits) every band key still carries ≥10 random
+    // bits for these items, so the crowd spreads ~2¹⁰ ways and the
+    // fan-out collapses. High bits stay independent draws (pair hamming
+    // ~24), so the crowd contributes NO true pairs — every 100th item
+    // gets a 2-bit-flipped twin (flips at bits 20/45, outside the
+    // cleared range) so both configs must emit exactly the twin pairs:
+    // radius-3 exactness says the outputs are EQUAL, asserted below.
+    def hcorpus(name: String, n: Long): DataFrame = {
+      val path = s"$workDir/$name"
+      val sig0 = xxhash64(col("id"))
+      val sigc = when(col("id") % 10 < 3,
+        sig0.bitwiseAND(lit(~0xFFFFL))).otherwise(sig0)
+      val baseSigs = spark.range(n).select(col("id").as("doc_id"), sigc.as("sig"))
+      val twins = baseSigs.filter(col("doc_id") % 100 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          col("sig").bitwiseXOR(lit((1L << 20) | (1L << 45))).as("sig"))
+      baseSigs.unionByName(twins).repartition(32)
+        .write.mode("overwrite").parquet(path)
+      spark.read.parquet(path)
+    }
+    val h1 = hcorpus("h1", 20000)
+    val h10 = hcorpus("h10", 200000)
+    var h4c1 = 0L; var hp1 = 0L; var h4c10 = 0L; var hp10 = 0L
+    run("hamming_4x16_h1")(
+      { h4c1 = Dedup.hammingBandPairs(h1, 3).count(); h4c1 })
+    run("hamming_pair5_h1")(
+      { hp1 = Dedup.hammingBandPairs(h1, 3, nChunks = 5,
+          pairBands = true).count(); hp1 })
+    run("hamming_4x16_h10")(
+      { h4c10 = Dedup.hammingBandPairs(h10, 3).count(); h4c10 })
+    run("hamming_pair5_h10")(
+      { hp10 = Dedup.hammingBandPairs(h10, 3, nChunks = 5,
+          pairBands = true).count(); hp10 })
+    require(h4c1 == hp1 && h4c10 == hp10,
+      "both configs are exact at radius 3 — outputs must agree")
+    // bucket fan-out Σ C(m,2), counted exactly per config: the candidate
+    // row count the band join emits before any verify
+    val hFanout = (d: DataFrame, nChunks: Int, pair: Boolean) =>
+      Dedup.bandKeyFrame(d, nChunks, pair).groupBy("chunk_idx", "chunk")
+        .agg(count(lit(1)).as("m"))
+        .select(sum((col("m") * (col("m") - 1) / 2).cast("long")))
+        .head().get(0) match { case null => 0L; case n: Long => n }
+    val hf1s = hFanout(h1, 4, false); val hf1p = hFanout(h1, 5, true)
+    val hf10s = hFanout(h10, 4, false); val hf10p = hFanout(h10, 5, true)
+    System.err.println(s"[scaledemo] hamming fan-out 4x16 h1=$hf1s h10=$hf10s" +
+      s" pair5 h1=$hf1p h10=$hf10p")
+
     val counts = Map("x1" -> x1.count(), "x10" -> x10.count(),
       "batch" -> batch.count())
     val json = {
@@ -298,6 +360,7 @@ object ScaleDemo {
       s"""{"metric":"scale_demo","sf":"${sfDir.split('/').last}","docs":{"x1":${counts("x1")},"x10":${counts("x10")},"batch":${counts("batch")}},""" +
         s""""uncapped_fanout":{"x1":$fanoutX1,"x10":$fanoutX10},""" +
         s""""minhash_hot_fanout":{"m1":$mFanout1,"m10":$mFanout10},""" +
+        s""""hamming_fanout":{"h1_4x16":$hf1s,"h10_4x16":$hf10s,"h1_pair5":$hf1p,"h10_pair5":$hf10p},""" +
         s""""env":{"cpus":${graft.util.BenchHarness.jsonNum(cpus)},"iters":$iters,"heap_mb":${Runtime.getRuntime.maxMemory() / (1024 * 1024)}},""" +
         s""""measurements":{$rows}}"""
     }

@@ -939,6 +939,14 @@ object SparkEntry {
     // not-the-greater-of-any-hamming≤3-pair closed form DuckDB states
     "dedup_image_inc" -> ((s, d) =>
       graft.streaming.StreamOps.runImageDedupIngest(s, d)),
+    // the AUDIO and VIDEO growing-corpus loops (r14, VERDICT #3): the
+    // same modality-agnostic ingest loop fed by the real PCM / container
+    // decode paths — full incremental symmetry across all three hash
+    // modalities, each with the same survivor closed-form oracle
+    "dedup_audio_inc" -> ((s, d) =>
+      graft.streaming.StreamOps.runAudioDedupIngest(s, d)),
+    "dedup_video_inc" -> ((s, d) =>
+      graft.streaming.StreamOps.runVideoDedupIngest(s, d)),
     // VIDEO near-dup dedup (r13): the third modality on the shared
     // banding — the md5-group pattern realized as a grid frame, JPEG'd
     // at q=0.95, muxed into MJPEG AVI, and recovered through the REAL
@@ -968,6 +976,70 @@ object SparkEntry {
           "synth")
       }).toDF()
       Dedup.videoNearDupPairs(Multimodal.videoHashes(media), maxHamming = 0)
+        .orderBy("doc_a", "doc_b")
+    }),
+    // SHIFT-robust audio near-dup (r14, VERDICT #5): 2-doc groups on the
+    // %10=9 slice — the full clip (97 md5-derived windows) and its
+    // one-stride-trimmed groupmate; strided fixed-window fingerprints
+    // shift exactly one slot, so the any-match pair is a STRUCTURAL
+    // closed form (h=0, 4 slot matches per group) the oracle states
+    // without the fingerprint arithmetic — the match count is still only
+    // right if the whole decode→window→stride→band pipeline is
+    "dedup_audio_shift" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      val ids = Tables.documents(s, d).select(col("doc_id"))
+        .filter(col("doc_id") % 10 === 9).as[Long]
+      val media = ids.mapPartitions(_.map { id =>
+        val amps = Multimodal.syntheticShiftAmps(id - id % 20)
+        graft.operators.MediaRow(id, "audio",
+          Multimodal.syntheticEnvelopeWavAmps(
+            if (id % 20 == 9) amps else amps.drop(8)),
+          "synth")
+      }).toDF()
+      Dedup.audioNearDupPairsMulti(Multimodal.audioHashesStrided(media),
+          maxHamming = 3)
+        .orderBy("doc_a", "doc_b")
+    }),
+    // MULTI-frame video near-dup (r14, VERDICT #1 — the production
+    // shape): 3-frame synthetic MJPEG AVIs whose per-frame dHashes are
+    // KNOWN doc_id-arithmetic patterns (slot 1 is slot 0 re-cut by one
+    // frame, so the clips match at DIFFERENT frame slots — the case the
+    // any-frame rule exists for), strided-hashed through the REAL
+    // container walk + pixel decode, paired on ANY frame match with
+    // min-hamming + match-count per clip pair; the oracle restates the
+    // per-frame md5 arithmetic and the any-frame min/count closed form
+    "dedup_video_multi" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      val ids = Tables.documents(s, d).select(col("doc_id"))
+        .filter(col("doc_id") % 10 === 7).as[Long]
+      val media = ids.mapPartitions(_.map { id =>
+        graft.operators.MediaRow(id, "video",
+          Multimodal.syntheticMultiMjpegAvi(
+            Multimodal.syntheticVideoFramePatterns(id)),
+          "synth")
+      }).toDF()
+      Dedup.videoNearDupPairsMulti(Multimodal.videoHashesStrided(media, 3),
+          maxHamming = 3)
+        .orderBy("doc_a", "doc_b")
+    }),
+    // the radius-0 exact twin: only the re-cut pair survives (its two
+    // frame matches are bit-identical), proving the cross-slot pairing
+    // and the match COUNT at the strictest threshold
+    "dedup_video_multi_x" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      val ids = Tables.documents(s, d).select(col("doc_id"))
+        .filter(col("doc_id") % 10 === 7).as[Long]
+      val media = ids.mapPartitions(_.map { id =>
+        graft.operators.MediaRow(id, "video",
+          Multimodal.syntheticMultiMjpegAvi(
+            Multimodal.syntheticVideoFramePatterns(id)),
+          "synth")
+      }).toDF()
+      Dedup.videoNearDupPairsMulti(Multimodal.videoHashesStrided(media, 3),
+          maxHamming = 0)
         .orderBy("doc_a", "doc_b")
     }),
     // Structured Streaming twins (driven with Trigger.AvailableNow)

@@ -933,52 +933,145 @@ object Dedup {
   }
 
   /** SimHash near-dup: 64-bit signature (sign of per-bit vote over token
-    * hashes), candidates via 16-bit chunk bands (hamming ≤ 3 ⇒ ≥1 equal
-    * chunk by pigeonhole over 4 chunks), verified with bit_count(xor). */
+    * hashes), candidates via chunk bands (hamming ≤ nChunks−1 ⇒ ≥1 equal
+    * chunk by pigeonhole), verified with bit_count(xor). The default
+    * 4×16-bit banding serves radius ≤ 3 bit-for-bit as before (r13
+    * contract); LARGER radii now fall back to more, narrower chunks
+    * (nChunks = maxHamming+1) instead of throwing — the pigeonhole
+    * guarantee holds at any radius ≤ 63, the trade being narrower
+    * buckets (more candidates to verify). */
   def simhash(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 63,
+      s"a 64-bit signature supports radii 0..63, got $maxHamming")
     val tokens = documents.select(col("doc_id"), explode(words).as("t"))
     val sigs = tokens.groupBy(col("doc_id"))
       .agg(graft.functions.MinHashAgg.simhash(col("t")).as("sig"))
-    hammingBandPairs(sigs, maxHamming)
+    hammingBandPairs(sigs, maxHamming, nChunks = math.max(4, maxHamming + 1))
   }
 
-  /** 16-bit-chunk hamming banding over (doc_id, sig) 64-bit signatures —
+  /** Chunk spans (shift offset, bit width) cutting a 64-bit signature
+    * into `nChunks` contiguous pieces, widths differing by at most one —
+    * the pigeonhole argument needs a disjoint cover, not equal widths,
+    * so 64 % nChunks ≠ 0 (e.g. the 5-chunk pair-banding config) is
+    * perfectly sound. */
+  private def chunkSpans(nChunks: Int): IndexedSeq[(Int, Int)] = {
+    val q = 64 / nChunks
+    val r = 64 % nChunks
+    val widths = IndexedSeq.tabulate(nChunks)(i => if (i < r) q + 1 else q)
+    widths.scanLeft(0)(_ + _).zip(widths)
+  }
+
+  private def spanMask(width: Int): Long =
+    if (width >= 64) -1L else (1L << width) - 1
+
+  /** Pigeonhole hamming banding over (doc_id, sig) 64-bit signatures —
     * the candidate+verify machinery shared by [[simhash]] (text),
-    * [[imageNearDupPairs]] (dHash) and [[audioNearDupPairs]]
-    * (fingerprint): 4 chunks, so by pigeonhole any pair within hamming
-    * ≤ 3 agrees on ≥ 1 chunk — candidates are an EQUI join on
-    * (chunk_idx, chunk) (pairs scale with chunk-bucket density, never
+    * [[imageNearDupPairs]] (dHash), [[audioNearDupPairs]] (fingerprint)
+    * and [[videoNearDupPairs]]: candidates are an EQUI join on
+    * (chunk_idx, chunk) (pairs scale with band-bucket density, never
     * all-pairs), the `bit_count(xor)` verify is exact, and the output is
-    * therefore EXACTLY the hamming-≤-maxHamming pair set for any
-    * maxHamming ≤ 3 (what lets dedup_image state a plain cross-join
-    * oracle rather than a recall bound). */
-  private[graft] def hammingBandPairs(sigs: DataFrame,
-                                      maxHamming: Int): DataFrame = {
-    require(maxHamming <= 3,
-      s"4-chunk pigeonhole banding is exact only for hamming <= 3, got $maxHamming")
-    val chunked = sigs.select(col("doc_id"), col("sig"),
-      posexplode(array((0 until 4).map(c =>
-        shiftright(col("sig"), c * 16).bitwiseAND(0xFFFFL)): _*))
+    * therefore EXACTLY the hamming-≤-maxHamming pair set whenever
+    * maxHamming is within the config's pigeonhole radius — what lets
+    * dedup_image state a plain cross-join oracle rather than a recall
+    * bound.
+    *
+    * Two configs on the SAME join (the SURVEY §4 "config change, not new
+    * machinery" promise, made executable in r14):
+    *  - `pairBands = false` (default): nChunks single-chunk bands of
+    *    ~64/nChunks bits; ≤ maxHamming errors hit ≤ maxHamming chunks,
+    *    so exact for maxHamming ≤ nChunks−1. nChunks=4 is the r13
+    *    16-bit banding bit-for-bit.
+    *  - `pairBands = true`: C(nChunks, 2) bands keyed on PAIRS of
+    *    chunks (combined into one long — injective given fixed widths);
+    *    ≤ maxHamming errors leave ≥ 2 clean chunks iff maxHamming ≤
+    *    nChunks−2, so exact for maxHamming ≤ nChunks−2 — and the key
+    *    space grows from 2^(64/n) to ~2^(2·64/n) per band, which is the
+    *    answer to the >4M-item BIRTHDAY-crowding regime: at radius 3
+    *    use nChunks=5 (10 bands of 25–26 bits, ~10⁸ buckets) instead of
+    *    4 chunks of 16 bits (4 bands of 65536 buckets whose uniform
+    *    load crosses quadratically past ~4M items). More bands, each
+    *    exponentially sparser — candidate volume drops, exactness keeps.
+    *
+    * Exactly-once per pair WITHOUT re-shuffling the raw pair set: both
+    * sigs ride the join, so "is this the FIRST band the pair agrees on"
+    * is a map-side when-chain over the XOR's chunk pieces — fully
+    * codegen'd, no exchange. */
+  private[graft] def hammingBandPairs(sigs: DataFrame, maxHamming: Int,
+                                      nChunks: Int = 4,
+                                      pairBands: Boolean = false): DataFrame =
+    bandedPairFrame(sigs, maxHamming, nChunks, pairBands)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+    // no presentation sort — pair-set output, same rationale as minhashLsh
+
+  /** The shared body of [[hammingBandPairs]] (one (doc_id, sig) row per
+    * item, so row pairs ARE item pairs) and [[anyMatchNearDupPairs]]
+    * (multiple sig rows per item, re-aggregated per ITEM pair): emits
+    * exactly one verified row per qualifying (row_a, row_b) signature
+    * pair — the first-agreeing-band rule is per ROW pair, so
+    * multi-signature items still count every matching combination. */
+  /** The band descriptor set for a config: per band, the chunk pieces
+    * whose agreement defines it. */
+  private def bandPieceSets(nChunks: Int, pairBands: Boolean): IndexedSeq[Seq[Int]] =
+    if (pairBands)
+      (for { i <- 0 until nChunks; j <- i + 1 until nChunks } yield Seq(i, j))
+        .toIndexedSeq
+    else IndexedSeq.tabulate(nChunks)(Seq(_))
+
+  private def sigPiece(spans: IndexedSeq[(Int, Int)])(c: Column, i: Int): Column = {
+    val (off, w) = spans(i)
+    shiftright(c, off).bitwiseAND(lit(spanMask(w)))
+  }
+
+  /** (doc_id, sig, chunk_idx, chunk) under a banding config — one row
+    * per band, chunk = the band's key (the single chunk value, or the
+    * injectively combined chunk pair). Factored so ScaleDemo can count
+    * bucket fan-out Σ C(m,2) exactly per config. */
+  private[graft] def bandKeyFrame(sigs: DataFrame, nChunks: Int,
+                                  pairBands: Boolean): DataFrame = {
+    val spans = chunkSpans(nChunks)
+    val piece = sigPiece(spans) _
+    val bands = bandPieceSets(nChunks, pairBands)
+    def bandKey(b: Int): Column = bands(b) match {
+      case Seq(i) => piece(col("sig"), i)
+      case Seq(i, j) =>
+        shiftleft(piece(col("sig"), i), spans(j)._2)
+          .bitwiseOR(piece(col("sig"), j))
+    }
+    sigs.select(col("doc_id"), col("sig"),
+      posexplode(array(bands.indices.map(bandKey): _*))
         .as(Seq("chunk_idx", "chunk")))
+  }
+
+  private def bandedPairFrame(sigs: DataFrame, maxHamming: Int,
+                              nChunks: Int, pairBands: Boolean): DataFrame = {
+    require(nChunks >= (if (pairBands) 3 else 2) && nChunks <= 64,
+      s"need ${if (pairBands) 3 else 2} <= nChunks <= 64, got $nChunks")
+    val exactRadius = if (pairBands) nChunks - 2 else nChunks - 1
+    require(maxHamming >= 0 && maxHamming <= exactRadius,
+      s"${if (pairBands) "pair-" else ""}banding over $nChunks chunks is " +
+        s"exact only for hamming <= $exactRadius, got $maxHamming")
+    val spans = chunkSpans(nChunks)
+    val piece = sigPiece(spans) _
+    val bandPieces = bandPieceSets(nChunks, pairBands)
+    // clean(b) ⟺ both sides' band keys equal (piece extraction is a
+    // bijection onto disjoint bit ranges, the pair key injective)
+    def clean(x: Column, b: Int): Column =
+      bandPieces(b).map(piece(x, _) === 0).reduce(_ && _)
+    val chunked = bandKeyFrame(sigs, nChunks, pairBands)
       // pin the emit stage's task count (see minhashLsh: AQE byte-based
       // coalescing is blind to join-output amplification)
       .repartition(col("chunk_idx"), col("chunk"))
-    // exactly-once per pair WITHOUT re-shuffling the raw pair set (the old
-    // dropDuplicates did — see minhashLsh): both sigs ride the join, so
-    // "is this the FIRST chunk the pair agrees on" is a map-side when-chain
-    // over the XOR's 16-bit chunks — fully codegen'd, no exchange
     val xr = col("x.sig").bitwiseXOR(col("y.sig"))
-    def chunkEq(j: Int) = shiftright(xr, j * 16).bitwiseAND(0xFFFFL) === 0
-    val firstChunk = when(chunkEq(0), 0).when(chunkEq(1), 1)
-      .when(chunkEq(2), 2).otherwise(3)
+    val firstBand = (1 until bandPieces.size - 1)
+      .foldLeft(when(clean(xr, 0), 0))((acc, b) => acc.when(clean(xr, b), b))
+      .otherwise(bandPieces.size - 1)
     chunked.as("x").hint("shuffle_hash").join(chunked.as("y"),
         col("x.chunk_idx") === col("y.chunk_idx") &&
         col("x.chunk") === col("y.chunk") && col("x.doc_id") < col("y.doc_id"))
-      .filter(firstChunk === col("x.chunk_idx"))
+      .filter(firstBand === col("x.chunk_idx"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-              bit_count(xr).as("hamming"))
+        bit_count(xr).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-    // no presentation sort — pair-set output, same rationale as minhashLsh
   }
 
   /** IMAGE near-dup pairs — the LAION/DataComp perceptual-hash dedup
@@ -1006,29 +1099,39 @@ object Dedup {
       maxHamming)
 
   /** (doc_id, sig, chunk_idx, chunk) — a 64-bit signature exploded into
-    * its four 16-bit pigeonhole chunks: the PERSISTED index row shape of
-    * the incremental hash screen (sig rides so the verify never re-reads
-    * the corpus table) and the probe shape of its batch side. */
-  private[graft] def sigChunks(sigs: DataFrame): DataFrame =
+    * its `nChunks` pigeonhole chunks (default the r13 4×16-bit layout):
+    * the PERSISTED index row shape of the incremental hash screen (sig
+    * rides so the verify never re-reads the corpus table) and the probe
+    * shape of its batch side. An index is probe-compatible only with
+    * the SAME nChunks it was built at — past the ~4M-item birthday
+    * crowding point, re-chunk (rebuild) at a larger nChunks and probe
+    * with the matching parameter. */
+  private[graft] def sigChunks(sigs: DataFrame, nChunks: Int = 4): DataFrame = {
+    val spans = chunkSpans(nChunks)
     sigs.select(col("doc_id"), col("sig"),
-      posexplode(array((0 until 4).map(c =>
-        shiftright(col("sig"), c * 16).bitwiseAND(0xFFFFL)): _*))
-        .as(Seq("chunk_idx", "chunk")))
+      posexplode(array(spans.map { case (off, w) =>
+        shiftright(col("sig"), off).bitwiseAND(lit(spanMask(w)))
+      }: _*)).as(Seq("chunk_idx", "chunk")))
+  }
 
   /** Asymmetric hamming probe — a batch of 64-bit signatures against the
     * PERSISTED corpus chunk index (the incrementalMinhash shape at hash
     * granularity, shared by all three perceptual-hash modalities):
-    * the batch's ≤ 4·|batch| distinct chunk values broadcast as a
+    * the batch's ≤ nChunks·|batch| distinct chunk values broadcast as a
     * semi-join prune, so the corpus index is only SCANNED — the rows
     * that survive (candidate-density-sized) join the batch chunks,
     * exactly-once per pair via the first-agreeing-chunk map-side rule,
-    * `bit_count(xor)` verifies. Exact at radius ≤ 3 (pigeonhole), like
-    * the batch operator. Output (doc_c, doc_b, hamming). */
+    * `bit_count(xor)` verifies. Exact at radius ≤ nChunks−1 (pigeonhole),
+    * like the batch operator; `nChunks` must match the index build
+    * (see [[sigChunks]]). Output (doc_c, doc_b, hamming). */
   def incrementalHammingPairs(batchSigs: DataFrame, corpusChunks: DataFrame,
-                              maxHamming: Int = 3): DataFrame = {
-    require(maxHamming <= 3,
-      s"4-chunk pigeonhole banding is exact only for hamming <= 3, got $maxHamming")
-    val bc = sigChunks(batchSigs)
+                              maxHamming: Int = 3,
+                              nChunks: Int = 4): DataFrame = {
+    require(nChunks >= 2 && nChunks <= 64, s"need 2 <= nChunks <= 64, got $nChunks")
+    require(maxHamming >= 0 && maxHamming <= nChunks - 1,
+      s"$nChunks-chunk pigeonhole banding is exact only for hamming <= ${nChunks - 1}, got $maxHamming")
+    val spans = chunkSpans(nChunks)
+    val bc = sigChunks(batchSigs, nChunks)
       .select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
         col("chunk_idx"), col("chunk"))
       .repartition(col("chunk_idx"), col("chunk"))
@@ -1038,14 +1141,42 @@ object Dedup {
       .select(col("doc_id").as("doc_c"), col("sig").as("sig_c"),
         col("chunk_idx"), col("chunk"))
     val xr = col("sig_c").bitwiseXOR(col("sig_b"))
-    def chunkEq(j: Int) = shiftright(xr, j * 16).bitwiseAND(0xFFFFL) === 0
-    val firstChunk = when(chunkEq(0), 0).when(chunkEq(1), 1)
-      .when(chunkEq(2), 2).otherwise(3)
+    def chunkEq(j: Int) = {
+      val (off, w) = spans(j)
+      shiftright(xr, off).bitwiseAND(lit(spanMask(w))) === 0
+    }
+    val firstChunk = (1 until nChunks - 1)
+      .foldLeft(when(chunkEq(0), 0))((acc, j) => acc.when(chunkEq(j), j))
+      .otherwise(nChunks - 1)
     bc.hint("shuffle_hash").join(hits, Seq("chunk_idx", "chunk"))
       .filter(firstChunk === col("chunk_idx"))
       .select(col("doc_c"), col("doc_b"), bit_count(xr).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** ANY-MATCH near-dup pairs over MULTI-signature items (r14, VERDICT
+    * #1 — the production multi-frame video / multi-offset audio shape):
+    * input (doc_id, slot, sig) with k signatures per item (strided video
+    * frames, strided audio offsets), two ITEMS pair when ANY of their
+    * signature pairs sits within `maxHamming` — which is what catches a
+    * re-cut clip (its frames match at DIFFERENT slots) or a trimmed
+    * audio stream. Candidates ride the same pigeonhole banding as
+    * [[hammingBandPairs]] (same nChunks/pairBands configs, same
+    * exactness guarantee per SIGNATURE pair), exactly-once per signature
+    * pair via the map-side first-agreeing-band rule; the doc-level
+    * collapse is then ONE aggregation over the VERIFIED pair set (tiny —
+    * matches, not candidates): hamming = min over matching signature
+    * pairs, n_slot_matches = how many signature pairs matched. Items
+    * never self-pair. Output (doc_a, doc_b, hamming, n_slot_matches),
+    * pair-set semantics. */
+  def anyMatchNearDupPairs(slotSigs: DataFrame, maxHamming: Int = 3,
+                           nChunks: Int = 4,
+                           pairBands: Boolean = false): DataFrame =
+    bandedPairFrame(slotSigs.select(col("doc_id"), col("sig")),
+        maxHamming, nChunks, pairBands)
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(min(col("hamming")).as("hamming"),
+           count(lit(1)).as("n_slot_matches"))
 
   /** VIDEO near-dup pairs over [[graft.operators.Multimodal
     * .videoHashes]]' first-MJPEG-frame dHashes — the third modality on
@@ -1055,6 +1186,31 @@ object Dedup {
   def videoNearDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame =
     hammingBandPairs(hashes.select(col("doc_id"), col("vhash").as("sig")),
       maxHamming)
+
+  /** MULTI-frame video near-dup pairs (r14 — the production shape
+    * [[videoNearDupPairs]]' scaladoc promised): over
+    * [[graft.operators.Multimodal.videoHashesStrided]]' (doc_id,
+    * frame_slot, vhash) rows, two clips pair when ANY of their strided
+    * frames sit within `maxHamming` — the rule that catches a re-cut
+    * clip, whose content matches at DIFFERENT frame slots. Machinery =
+    * [[anyMatchNearDupPairs]]. Output (doc_a, doc_b, hamming = min over
+    * matching frame pairs, n_slot_matches). */
+  def videoNearDupPairsMulti(frameHashes: DataFrame,
+                             maxHamming: Int = 3): DataFrame =
+    anyMatchNearDupPairs(frameHashes.select(col("doc_id"),
+      col("frame_slot").as("slot"), col("vhash").as("sig")), maxHamming)
+
+  /** SHIFT-robust audio near-dup pairs (r14 — [[videoNearDupPairsMulti]]'
+    * audio analogue) over [[graft.operators.Multimodal
+    * .audioHashesStrided]]' per-offset fingerprints: clips pair when ANY
+    * offset fingerprints sit within `maxHamming`, which recovers a clip
+    * trimmed by a stride multiple (its fingerprints are its source's,
+    * shifted one slot). Output (doc_a, doc_b, hamming, n_slot_matches),
+    * pair-set semantics. */
+  def audioNearDupPairsMulti(offsetHashes: DataFrame,
+                             maxHamming: Int = 3): DataFrame =
+    anyMatchNearDupPairs(offsetHashes.select(col("doc_id"),
+      col("off_slot").as("slot"), col("ahash").as("sig")), maxHamming)
 
   /** Exact substring dedup — the suffix-array method (Lee et al. 2021,
     * "Deduplicating Training Data Makes Language Models Better"): two

@@ -717,32 +717,28 @@ object StreamOps {
     freeCheckpoints(batch, keptC)
   }
 
-  /** Driver query: AvailableNow over the %10=0 documents slice,
-    * synthesizing each doc's grid PNG and dHashing it INSIDE the batch
-    * (the decode pass a real loop would run), then [[hashIngestBatch]];
-    * cold single batch ⇒ the not-the-greater-of-any-pair closed form
-    * over the md5-group hash arithmetic, which DuckDB states. */
-  def runImageDedupIngest(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared driver-query body of the three MODALITY ingest loops (r14 —
+    * the loop itself was already modality-agnostic; this makes the
+    * driver wrappers so too): AvailableNow over a documents slice,
+    * synthesizing each doc's payload and decoding→hashing it INSIDE the
+    * batch (the decode pass a real loop would run), then
+    * [[hashIngestBatch]]; cold single batch ⇒ the
+    * not-the-greater-of-any-pair closed form over the md5-group hash
+    * arithmetic, which DuckDB states per residue. `toSigs` maps the
+    * batch's doc_id column to (doc_id, sig) through the REAL decode
+    * path of its modality. */
+  private def runHashIngest(spark: SparkSession, dir: String, residue: Int,
+      toSigs: DataFrame => DataFrame): DataFrame = {
     import graft.sources.TxLogFormat
-    import graft.operators.{MediaRow, Multimodal}
-    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_imgingest_")
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_hashingest_")
     val table = tmpRoot.resolve("corpus").toString
     val indexTable = tmpRoot.resolve("index").toString
     val schema = spark.read.parquet(s"$dir/documents.parquet").schema
-    def ingest(b: org.apache.spark.sql.DataFrame, id: Long): Unit = {
-      import b.sparkSession.implicits._
-      val media = b.select(col("doc_id")).as[Long].mapPartitions(_.map { i =>
-        MediaRow(i, "image",
-          Multimodal.syntheticGridPng(Multimodal.syntheticImagePattern(i)),
-          "synth")
-      }).toDF()
-      hashIngestBatch(table, indexTable)(
-        Multimodal.imageHashes(media).select(col("doc_id"),
-          col("phash").as("sig")), id)
-    }
+    def ingest(b: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      hashIngestBatch(table, indexTable)(toSigs(b), id)
     val q = spark.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet").parquet(dir)
-      .filter(col("doc_id") % 10 === 0)
+      .filter(col("doc_id") % 10 === residue)
       .select(col("doc_id"))
       .writeStream
       .foreachBatch(ingest _)
@@ -752,6 +748,54 @@ object StreamOps {
     handoffAndClean(
       TxLogFormat.read(spark, table).select("doc_id").orderBy("doc_id"),
       tmpRoot)
+  }
+
+  /** Synthesize one media payload per batch doc_id and run it through a
+    * real decode→hash pass, yielding the (doc_id, sig) frame
+    * [[hashIngestBatch]] takes. */
+  private def synthSigs(synth: Long => graft.operators.MediaRow,
+      hash: DataFrame => DataFrame, sigCol: String)
+      (b: DataFrame): DataFrame = {
+    import b.sparkSession.implicits._
+    val media = b.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(synth)).toDF()
+    hash(media).select(col("doc_id"), col(sigCol).as("sig"))
+  }
+
+  /** Driver query: the IMAGE ingest loop on the %10=0 slice (grid PNGs
+    * through the real ImageIO decode + dHash). */
+  def runImageDedupIngest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{MediaRow, Multimodal}
+    runHashIngest(spark, dir, 0, synthSigs(
+      i => MediaRow(i, "image",
+        Multimodal.syntheticGridPng(Multimodal.syntheticImagePattern(i)),
+        "synth"),
+      Multimodal.imageHashes, "phash"))
+  }
+
+  /** Driver query: the AUDIO ingest loop on the %10=5 slice — the same
+    * md5-group patterns realized as PCM energy envelopes and recovered
+    * through the real javax.sound decode, riding the identical
+    * modality-agnostic loop (r14, VERDICT #3). */
+  def runAudioDedupIngest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{MediaRow, Multimodal}
+    runHashIngest(spark, dir, 5, synthSigs(
+      i => MediaRow(i, "audio",
+        Multimodal.syntheticEnvelopeWav(Multimodal.syntheticImagePattern(i)),
+        "synth"),
+      Multimodal.audioHashes, "ahash"))
+  }
+
+  /** Driver query: the VIDEO ingest loop on the %10=2 slice — the
+    * patterns as JPEG'd grid frames inside MJPEG AVIs, recovered through
+    * the real container walk + pixel decode (r14, VERDICT #3). */
+  def runVideoDedupIngest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{MediaRow, Multimodal}
+    runHashIngest(spark, dir, 2, synthSigs(
+      i => MediaRow(i, "video",
+        Multimodal.syntheticGridMjpegAvi(Multimodal.syntheticImagePattern(i)),
+        "synth"),
+      Multimodal.videoHashes, "vhash"))
   }
 
   /** One micro-batch of the streaming SEMANTIC-dedup ingest loop (r13 —

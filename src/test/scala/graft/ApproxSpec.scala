@@ -85,6 +85,112 @@ class ApproxSpec extends SparkSpec {
     assert(out.forall(r => r.getInt(2) >= 0 && r.getInt(2) <= 3))
   }
 
+  // deterministic 64-bit signature corpus with PLANTED near-pairs (i ≡ 0
+  // mod 10 gets a radius-(i/10 mod 5) twin at i+1) over otherwise-random
+  // draws — the shared rig for the banding-config equivalence tests
+  private def plantedSigs(n: Int): Seq[(Long, Long)] = {
+    val rnd = new java.util.Random(0xBADC0FFEL)
+    val base = Array.fill(n)(rnd.nextLong())
+    (0 until n).map { i =>
+      val sig =
+        if (i % 10 == 1) {
+          // flip (i/10 mod 5) DISTINCT bit positions of the anchor sig
+          val flips = (i / 10) % 5
+          (0 until flips).foldLeft(base(i - 1))((s, j) => s ^ (1L << (j * 7 + 2)))
+        } else base(i)
+      (i.toLong, sig)
+    }
+  }
+
+  test("hamming banding configs agree (r14): 4x16 single-chunk, 8-chunk " +
+       "single, and 5-chunk PAIR banding all reproduce the brute-force " +
+       "radius-3 pair set — the SURVEY §4 'config change' is executable") {
+    import spark.implicits._
+    val data = plantedSigs(300)
+    val truth = (for {
+      (a, sa) <- data; (b, sb) <- data if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (a, b, h)).toSet
+    assert(truth.nonEmpty && truth.exists(_._3 == 2) && truth.exists(_._3 == 3),
+      s"rig must plant pairs at radii 0..3: $truth")
+    val sigs = data.toDF("doc_id", "sig")
+    def run(nChunks: Int, pairBands: Boolean) =
+      Dedup.hammingBandPairs(sigs, 3, nChunks, pairBands).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(run(4, pairBands = false) == truth)
+    assert(run(8, pairBands = false) == truth)
+    // the birthday-crowding config: 10 bands of 25-26 bits, radius <= 3
+    assert(run(5, pairBands = true) == truth)
+    // uneven widths (64 % 5 != 0) are covered above; also a wide config
+    assert(run(16, pairBands = false) == truth)
+    // pigeonhole bounds enforced: pair banding over n chunks is exact
+    // only to n-2 — asking past it must refuse, not silently lose recall
+    intercept[IllegalArgumentException] {
+      Dedup.hammingBandPairs(sigs, 4, nChunks = 5, pairBands = true)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.hammingBandPairs(sigs, 4, nChunks = 4)
+    }
+  }
+
+  test("simhash radius > 3 falls back to more chunks (r14, the ADVICE " +
+       "contract note made behavior): maxHamming=5 returns EXACTLY the " +
+       "brute-force pair set over the same signatures") {
+    val docs = Tables.documents(spark, sf)
+    val out = Dedup.simhash(docs, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // ground truth from the same signature aggregation, brute-forced
+    val sigs = docs.select(col("doc_id"),
+        explode(graft.util.TextNorm.distinctWords(col("text"))).as("t"))
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.MinHashAgg.simhash(col("t")).as("sig"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val truth = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 5
+    } yield (a, b, h)).toSet
+    assert(out == truth, s"${out.size} vs ${truth.size}")
+    assert(out.exists(_._3 > 3), "rig should exercise radii past the old cap")
+  }
+
+  test("incrementalHammingPairs at nChunks=8 probes an 8-chunk index and " +
+       "matches the 4-chunk result (index/probe re-chunking round-trip)") {
+    import spark.implicits._
+    val corpusData = plantedSigs(200)
+    val corpus = corpusData.toDF("doc_id", "sig")
+    // batch = 50 corpus sigs re-keyed, exact (i%3==0) or 2-bit-flipped
+    val batch = corpusData.take(50).map { case (i, s) =>
+      (i + 1000L, if (i % 3 == 0) s else s ^ ((1L << 11) | (1L << 37)))
+    }.toDF("doc_id", "sig")
+    def run(nChunks: Int) = Dedup.incrementalHammingPairs(batch,
+        Dedup.sigChunks(corpus, nChunks), 3, nChunks).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val got4 = run(4)
+    assert(got4 == run(8))
+    assert(got4.nonEmpty, "rig should produce cross pairs")
+  }
+
+  test("anyMatchNearDupPairs: items pair on ANY slot match — min hamming, " +
+       "match count, no self pairs") {
+    import spark.implicits._
+    val p = Seq(0x0123456789ABCDEFL, 0x0FEDCBA987654321L, 0x1111222233334444L,
+      0x5555666677778888L)
+    val slotSigs = Seq(
+      (1L, 0, p(0)), (1L, 1, p(1)), (1L, 2, p(2)),        // clip A
+      (2L, 0, p(1)), (2L, 1, p(2)), (2L, 2, p(3)),        // A re-cut by one
+      (3L, 0, p(0) ^ 7L), (3L, 1, p(3) ^ (1L << 40)),     // near A slot0 (h3)
+                                                          // and B slot2 (h1)
+      (4L, 0, ~p(0)), (4L, 1, ~p(1))                      // far from everything
+    ).toDF("doc_id", "slot", "sig")
+    val got = Dedup.anyMatchNearDupPairs(slotSigs, maxHamming = 3).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getInt(2), r.getLong(3)))).toMap
+    assert(got.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L)), s"$got")
+    // re-cut: two bit-identical frame matches at DIFFERENT slots
+    assert(got((1L, 2L)) == ((0, 2L)), s"${got((1L, 2L))}")
+    assert(got((1L, 3L)) == ((3, 1L)))
+    assert(got((2L, 3L)) == ((1, 1L)))
+  }
+
   test("ann_lsh: recall >= 0.6 vs brute-force pairs at cos >= 0.4") {
     val emb = Tables.embeddings(spark, sf)
     val e = emb.select(col("vec_id"), col("embedding"))
