@@ -765,6 +765,12 @@ object SparkEntry {
     // counts at the middle level — the structure KenLM builds)
     "perplexity_kn3" -> ((s, d) =>
       TextAnalysis.perplexityKn3(Tables.documents(s, d))),
+    // COUNT-PRUNED KN (r14, VERDICT stretch #8 — KenLM's --prune, the
+    // model-size lever production ships): singleton bigram types leave
+    // the model, their mass joins the interpolation weight exactly, and
+    // self-scoring exercises the back-off-only path in-corpus
+    "perplexity_kn_pruned" -> ((s, d) =>
+      TextAnalysis.perplexityKnPruned(Tables.documents(s, d))),
     // the DEPLOYMENT shape: fit on the even-id half (the clean reference
     // corpus), score the odd-id half (the crawl) — exercises the unseen-
     // bigram / unseen-context / OOV paths self-scoring never reaches

@@ -759,6 +759,83 @@ object TextAnalysis {
           .otherwise("ok").as("ppl_flag"))
   }
 
+  /** COUNT-PRUNED interpolated Kneser-Ney — the model-size lever
+    * production KenLM actually ships (`--prune`: n-gram types at or
+    * below a count threshold are dropped from the model; CCNet's
+    * published models prune singletons at the higher orders — at web
+    * scale the singleton tail IS most of the type table, so pruning is
+    * what makes the model fit in memory): bigram types with
+    * c12 ≤ `prune` leave the model, and their probability mass joins
+    * the context's interpolation weight EXACTLY —
+    *
+    *   P(w2|w1) = ( [c12 − D if surviving else 0]
+    *                + (D·n1s(w1) + s1(w1)) · Pcont(w2) ) / c1
+    *
+    * where n1s(w1) = w1's SURVIVING distinct continuations, s1(w1) =
+    * the summed counts of w1's PRUNED types, c1 = w1's full context
+    * total, and Pcont stays the UNPRUNED continuation distribution
+    * (n1+(·w2)/n1+(··) — the lower order keeps its full vocabulary, as
+    * KenLM builds lower orders from pre-pruning adjusted counts). The
+    * conditional sums to EXACTLY 1 per context: the surviving mass is
+    * (c1 − s1 − D·n1s)/c1 and the redistributed weight is
+    * (D·n1s + s1)/c1 — spec-pinned to 1e-9, including contexts whose
+    * continuations are ALL pruned (n1s = 0 ⇒ pure continuation). With
+    * `prune` ≥ 1 every surviving count is ≥ 2 > D, so no clamp is even
+    * needed — the discounted term is positive by construction.
+    *
+    * Self-scoring now exercises the BACK-OFF-ONLY path in-corpus (a
+    * pruned type scores λ(w1)·Pcont(w2) — before r14 only the
+    * cross-corpus op reached it), which is exactly what deployment does:
+    * most of a crawl's bigrams are singletons the pruned model never
+    * stored. Engine-portability unchanged: ONE float chain per distinct
+    * scored type (explicit doubles, left-associated, the pruned/
+    * surviving split a CASE both engines state), rounded once to
+    * micro-nats; per-doc NLLs exact integer sums; flag an integer
+    * cross-multiplication. Same one-corpus-exchange ReusedExchange
+    * shape — the pruning adds two integer aggregates to the context
+    * table, no new pass. */
+  def perplexityKnPruned(documents: DataFrame, prune: Long = 1,
+                         flagNats: Double = 3.0): DataFrame = {
+    require(prune >= 1, s"prune >= 1 keeps surviving counts > D, got $prune")
+    val withW = documents.select(col("doc_id"), words.as("__w"))
+    val w = col("__w")
+    val bi = withW.select(col("doc_id"),
+        explode(when(size(w) >= 2,
+          transform(sequence(lit(0), size(w) - 2), i =>
+            struct(element_at(w, i + 1).as("w1"),
+                   element_at(w, i + 2).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .filter(col("w1") =!= "" && col("w2") =!= "")
+    val tfb = bi.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("tf"))
+    val cb = tfb.groupBy("w1", "w2").agg(sum("tf").as("c12"))
+    val surv = col("c12") > prune
+    val ctx = cb.groupBy("w1").agg(sum("c12").as("c1"),
+      sum(when(surv, 1L).otherwise(0L)).as("n1s"),
+      sum(when(surv, 0L).otherwise(col("c12"))).as("s1"))
+    val pre = cb.groupBy("w2").agg(count(lit(1)).as("nprec"))
+    val tot = cb.agg(count(lit(1)).as("ntypes"))
+    // the single rounding point (the perplexityKn discipline): pruned
+    // types keep only the redistributed term — same chain, CASE'd
+    val p = (when(surv, col("c12").cast("double") - lit(0.75))
+        .otherwise(lit(0.0)) +
+      (lit(0.75) * col("n1s").cast("double") + col("s1").cast("double")) *
+        col("nprec").cast("double") / col("ntypes").cast("double")) /
+      col("c1").cast("double")
+    val model = cb.join(ctx, Seq("w1")).join(pre, Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"),
+        round(-log(p) * 1e6, 0).cast("long").as("unats"))
+    val flagUnats = math.round(flagNats * 1e6)
+    tfb.join(model, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_bigrams"),
+           sum(col("tf") * col("unats")).as("nll_unats"))
+      .select(col("doc_id"), col("n_bigrams"), col("nll_unats"),
+        when(col("nll_unats") > lit(flagUnats) * col("n_bigrams"), "high")
+          .otherwise("ok").as("ppl_flag"))
+  }
+
   /** CROSS-corpus Kneser-Ney scoring — the deployment shape the
     * perplexity family exists for (CCNet fits its LM on clean Wikipedia
     * and scores the CRAWL; self-scoring never exercises the open-

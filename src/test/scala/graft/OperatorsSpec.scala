@@ -580,6 +580,70 @@ class OperatorsSpec extends SparkSpec {
     assert(unats("dog", "ran") >= 0L)
   }
 
+  test("count-pruned kneser-ney (r14): plain-Scala re-derivation; the " +
+       "pruned mass joins the interpolation weight exactly (sum 1 per " +
+       "context, incl. an all-pruned context); pruned types score the " +
+       "back-off-only term") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat ate the cat the cat sat"),  // 'the cat' survives x4
+      (3L, "solo duo"),                          // all-pruned context
+      (4L, ""))                                  // wordless: drops
+    val docs = rows.toDF("doc_id", "text")
+    val bigrams = rows.flatMap { case (id, t) =>
+      t.toLowerCase.trim.split(" ").sliding(2).collect {
+        case Array(a, b) if a.nonEmpty && b.nonEmpty => (id, a, b) } }
+    val tfb = bigrams.groupBy(identity).map { case ((id, a, b), g) =>
+      (id, a, b, g.size.toLong) }.toSeq
+    val cb = tfb.groupBy(r => (r._2, r._3))
+      .map { case (k, g) => k -> g.map(_._4).sum }
+    val ctx = cb.groupBy(_._1._1).map { case (w1, g) =>
+      w1 -> (g.values.sum,                         // c1
+        g.values.count(_ > 1).toLong,              // n1s (surviving)
+        g.values.filter(_ <= 1).sum) }             // s1 (pruned mass)
+    val pre = cb.groupBy(_._1._2).map { case (w2, g) => w2 -> g.size.toLong }
+    val ntypes = cb.size.toLong
+    def prob(w1: String, w2: String): Double = {
+      val (c1, n1s, s1) = ctx(w1)
+      val c12 = cb.getOrElse((w1, w2), 0L)
+      ((if (c12 > 1) c12.toDouble - 0.75 else 0.0) +
+        (0.75 * n1s.toDouble + s1.toDouble) * pre(w2).toDouble /
+          ntypes.toDouble) / c1.toDouble
+    }
+    def unats(w1: String, w2: String): Long =
+      BigDecimal(-math.log(prob(w1, w2)) * 1e6)
+        .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
+    val want = tfb.groupBy(_._1).map { case (id, g) =>
+      (id, g.map(_._4).sum, g.map(r => r._4 * unats(r._2, r._3)).sum) }
+      .toSeq.sortBy(_._1)
+    val got = TextAnalysis.perplexityKnPruned(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sortBy(_._1)
+    assert(got == want, s"$got vs $want")
+    assert(!got.exists(_._1 == 4L), "wordless doc must drop")
+    // the rig actually has both classes: surviving and pruned types
+    assert(cb.values.exists(_ > 1) && cb.values.exists(_ == 1))
+    // EXACT mass conservation per context over the full continuation
+    // vocabulary — the pruned counts joined the interpolation weight,
+    // they did not leak
+    ctx.keys.foreach { w1 =>
+      val mass = pre.keys.toSeq.map(w2 => prob(w1, w2)).sum
+      assert(math.abs(mass - 1.0) < 1e-9, s"context '$w1' mass $mass != 1")
+    }
+    // all-pruned context: 'solo' has no surviving continuation, so its
+    // distribution is PURE continuation — p(duo|solo) = nprec/ntypes
+    val (c1s, n1sS, s1S) = ctx("solo")
+    assert(n1sS == 0L && s1S == c1s)
+    assert(math.abs(prob("solo", "duo") -
+      pre("duo").toDouble / ntypes.toDouble) < 1e-15)
+    // pruned type under a MIXED context scores back-off only: same
+    // expression with the discounted term zeroed
+    val (c1t, n1sT, s1T) = ctx("the")
+    assert(cb(("the", "mat")) == 1L)
+    assert(math.abs(prob("the", "mat") -
+      (0.75 * n1sT + s1T.toDouble) * pre("mat") / ntypes / c1t) < 1e-15)
+  }
+
   test("modified kneser-ney: plain-Scala re-derivation with estimated " +
        "count-class discounts; clamped mass sums to exactly 1; degenerate " +
        "count-of-counts fall back to interpolated KN bit-for-bit") {

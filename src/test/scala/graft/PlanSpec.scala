@@ -511,6 +511,22 @@ class PlanSpec extends SparkSpec {
       s"corpus-sized output globally sorts:\n$plan")
   }
 
+  test("count-pruned kneser-ney keeps the KN plan shape: bigram exchange " +
+       "reused, partial aggregation, type count broadcasts, no global " +
+       "sort (the pruning aggregates ride the existing context table)") {
+    val df = TextAnalysis.perplexityKnPruned(Tables.documents(spark, sf))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("ReusedExchange"),
+      s"pruned-KN model re-tokenizes the corpus:\n$plan")
+    assert(plan.contains("partial_count"), s"no map-side combine:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"the 1-row type count did not broadcast:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"corpus-sized output globally sorts:\n$plan")
+  }
+
   test("hashed segment dedup: first occurrence reduces map-side over " +
        "8-byte hashes; no global sort") {
     val df = Dedup.segmentDedupHashed(Tables.documents(spark, sf))
@@ -659,6 +675,30 @@ class PlanSpec extends SparkSpec {
       s"chunk-value prune is not a broadcast semi-join:\n$plan")
     assert(!plan.contains("SortMergeJoin"),
       s"a corpus-sized frame entered a sort-merge join:\n$plan")
+  }
+
+  test("any-match near-dup (r14): the doc-level collapse aggregates the " +
+       "VERIFIED match set, not candidates — the hamming filter sits " +
+       "under the aggregation, the band join is the one shuffle join") {
+    import spark.implicits._
+    val slotSigs = Seq((1L, 0, 0x1111222233334444L),
+      (2L, 0, 0x1111222233334444L)).toDF("doc_id", "slot", "sig")
+    val pairs = Dedup.anyMatchNearDupPairs(slotSigs)
+    val plan = pairs.queryExecution.sparkPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      s"band join lost its shuffle-hash hint:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Cartesian"),
+      s"unexpected join strategy:\n$plan")
+    // partial_min/partial_count: the min-hamming collapse combines
+    // map-side — only verified matches reach the exchange
+    assert(plan.contains("partial_min"),
+      s"doc-pair collapse is not a partial aggregate:\n$plan")
+    // the hamming <= r filter must be INSIDE the join output, before the
+    // aggregation exchange (candidates never shuffle as candidates)
+    val aggIdx = plan.indexOf("partial_min")
+    val filtIdx = plan.lastIndexOf("bit_count")
+    assert(filtIdx > aggIdx,
+      s"verify filter does not precede the collapse in the plan tree:\n$plan")
   }
 
   test("incremental LSH probe: the corpus bucket index AND the corpus " +
