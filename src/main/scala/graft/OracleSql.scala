@@ -188,6 +188,20 @@ object OracleSql {
     "sequence_pack" ->
       """WITH t AS (SELECT doc_id, lang, CAST(CEIL(length(text)/4.0) AS BIGINT) AS est_tokens FROM documents), c AS (SELECT doc_id, lang, est_tokens, CAST(COALESCE(SUM(est_tokens) OVER (PARTITION BY lang ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before FROM t) SELECT doc_id, lang, est_tokens, cum_before // 2048 AS bin_id, cum_before % 2048 AS bin_offset, ((cum_before + est_tokens - 1) // 2048) > (cum_before // 2048) AS spans_boundary FROM c ORDER BY lang, doc_id""",
 
+    // BM25 top-k (r14): tf/dl/df/N from the %50<>0 corpus, each
+    // (term, doc) weight one double chain rounded once to micro-units,
+    // per-(query, doc) integer sums, top-5 under the total order
+    // (score desc, doc_id)
+    "bm25_topk" ->
+      """WITH tf0 AS (SELECT doc_id, UNNEST(list_filter(string_split(lower(trim(text)), ' '), x -> x <> '')) AS t FROM documents WHERE doc_id % 50 <> 0), tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tf0 GROUP BY doc_id, t), dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id), st AS (SELECT COUNT(*) AS nd, SUM(dl) AS toklen FROM dl), dft AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t), w AS (SELECT tf.t, tf.doc_id, CAST(ROUND(ln((CAST(st.nd AS DOUBLE) - CAST(dft.df AS DOUBLE) + 0.5) / (CAST(dft.df AS DOUBLE) + 0.5) + 1.0) * (CAST(tf.tf AS DOUBLE) * 2.2) / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) * CAST(st.nd AS DOUBLE) / CAST(st.toklen AS DOUBLE))) * 1000000.0, 0) AS BIGINT) AS w_micro FROM tf JOIN dl USING (doc_id) JOIN dft USING (t) CROSS JOIN st), q AS (SELECT doc_id AS query_id, UNNEST(list_distinct(list_filter(string_split(lower(trim(text)), ' '), x -> x <> ''))) AS t FROM documents WHERE doc_id % 50 = 0), s AS (SELECT q.query_id, w.doc_id, CAST(SUM(w.w_micro) AS BIGINT) AS score_micro FROM q JOIN w USING (t) GROUP BY q.query_id, w.doc_id), r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS rank FROM s) SELECT query_id, doc_id, score_micro, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    // span-level packing (r14): sequence_pack's stream (per-lang,
+    // est_tokens, doc_id order) decomposed into per-(doc, sequence)
+    // spans — exclusive window cumsum, one generate_series per doc over
+    // the sequences it touches, pure integer span arithmetic
+    "sequence_pack_spans" ->
+      """WITH t AS (SELECT doc_id, lang, CAST(CEIL(length(text)/4.0) AS BIGINT) AS n FROM documents), c AS (SELECT doc_id, lang, n, CAST(COALESCE(SUM(n) OVER (PARTITION BY lang ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s FROM t), e AS (SELECT doc_id, lang, n, s, UNNEST(range(s // 64, (s + n - 1) // 64 + 1)) AS seq_id FROM c WHERE n > 0) SELECT doc_id, lang, CAST(seq_id AS BIGINT) AS seq_id, CAST(GREATEST(s, seq_id * 64) - s AS BIGINT) AS doc_off, CAST(GREATEST(s, seq_id * 64) - seq_id * 64 AS BIGINT) AS seq_off, CAST(LEAST(s + n, (seq_id + 1) * 64) - GREATEST(s, seq_id * 64) AS BIGINT) AS n_toks FROM e""",
+
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, ${cents("l_extendedprice")} AS sum_base_price, $revenue AS sum_disc_price, $revenue/COUNT(*) AS avg_disc_price, COUNT(*) AS count_order FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
 

@@ -765,6 +765,23 @@ object SparkEntry {
     // counts at the middle level — the structure KenLM builds)
     "perplexity_kn3" -> ((s, d) =>
       TextAnalysis.perplexityKn3(Tables.documents(s, d))),
+    // BM25 top-k retrieval (r14): each eval doc (the decontaminate %50
+    // slice) retrieves its 5 nearest training docs by Okapi BM25 —
+    // retrieval-based contamination auditing; micro-unit weights make
+    // the ranking hash-adjudicable
+    "bm25_topk" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, d)
+      TextAnalysis.bm25TopK(docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0))
+    }),
+    // SPAN-level sequence packing (r14 — sequence_pack's refinement):
+    // the full (doc, sequence) overlap table with both offsets, one row
+    // per span; same per-lang stream, offsets ride the distributed
+    // two-phase prefix sum. Small context (64) so sf0.01 docs actually
+    // span boundaries and the multi-span path is exercised.
+    "sequence_pack_spans" -> ((s, d) =>
+      Curation.sequencePackSpans(Tables.documents(s, d), contextTokens = 64)),
     // COUNT-PRUNED KN (r14, VERDICT stretch #8 — KenLM's --prune, the
     // model-size lever production ships): singleton bigram types leave
     // the model, their mass joins the interpolation weight exactly, and

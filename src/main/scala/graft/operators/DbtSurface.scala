@@ -431,6 +431,54 @@ object Curation {
       .orderBy("lang", "doc_id")
   }
 
+  /** SPAN-level sequence packing (r14 — [[sequencePack]]'s refinement:
+    * that op assigns each doc its STARTING bin and flags boundary
+    * spanners; this one emits the full (document, sequence) overlap
+    * decomposition a trainer actually consumes — an attention-mask
+    * builder needs exactly these spans to reset attention at doc
+    * boundaries, and a sequence materializer needs both offsets to
+    * place each doc slice without re-deriving global positions):
+    *
+    *   (doc_id, lang, seq_id, doc_off, seq_off, n_toks)
+    *
+    * per overlapped sequence — doc_off = the first packed token's
+    * offset within the DOC, seq_off = within the SEQUENCE, n_toks = the
+    * span length. Same stream definition as [[sequencePack]] (per-lang
+    * concatenation in doc_id order, estTokens lengths), so the two ops
+    * are mutually checking: a doc's first span sits at (bin_id,
+    * bin_offset), it has >1 span iff spans_boundary, and its spans'
+    * n_toks sum to its token count (spec-pinned).
+    *
+    * The per-lang token offsets ride [[graft.util.PrefixSum]]'s
+    * two-phase exchange (never a whole-language serial window); every
+    * span is then per-row integer arithmetic exploded over the
+    * ≤ n/seqLen+1 sequences a doc touches. No presentation sort
+    * (corpus-sized output, the sequencePack sort is its own
+    * presentation choice). Exactly SQL-expressible — the oracle states
+    * the window cumsum + span arithmetic verbatim. */
+  def sequencePackSpans(documents: DataFrame,
+                        contextTokens: Long = 2048): DataFrame = {
+    require(contextTokens >= 1, s"contextTokens must be positive, got $contextTokens")
+    val est = graft.util.TextNorm.estTokens(col("text"))
+    val withS = graft.util.PrefixSum.cumSum(
+      documents.select(col("doc_id"), col("lang"), est.as("n")),
+      Seq("lang"), "doc_id", "n", "s", inclusive = false)
+    val L = lit(contextTokens)
+    val spanStart = greatest(col("s"), col("seq_id") * L)
+    // n = 0 docs (empty text) occupy no tokens and emit no span — the
+    // filter sits AFTER the prefix sum, where they contributed 0, so
+    // offsets stay aligned with sequencePack's
+    withS.filter(col("n") > 0)
+      .select(col("doc_id"), col("lang"), col("n"), col("s"),
+        explode(sequence(expr(s"s div ${contextTokens}L"),
+          expr(s"(s + n - 1) div ${contextTokens}L"))).as("seq_id"))
+      .select(col("doc_id"), col("lang"), col("seq_id"),
+        (spanStart - col("s")).as("doc_off"),
+        (spanStart - col("seq_id") * L).as("seq_off"),
+        (least(col("s") + col("n"), (col("seq_id") + 1) * L) - spanStart)
+          .as("n_toks"))
+  }
+
   /** Per-domain quota sampling (the CCNet/RefinedWeb cap that stops one
     * crawl-heavy domain from dominating the mix): keep at most
     * `perDomain` documents per source, chosen by a DETERMINISTIC hash

@@ -560,6 +560,72 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** BM25 top-k retrieval (r14 — the inverted-index ranking every
+    * retrieval-shaped curation step leans on: test-set mining /
+    * retrieval-based contamination checks score each eval document
+    * against the training corpus and audit its nearest neighbors, which
+    * is exactly this op with `queries` = the eval slice; RAG corpus
+    * QA uses the same shape): for each query document, the top-k corpus
+    * documents by Okapi BM25 —
+    *
+    *   score(q, d) = Σ_{t ∈ q} ln(1 + (N − df + ½)/(df + ½)) ·
+    *                 tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *
+    * with the standard k1 = 1.2, b = 0.75 (both literals parse to the
+    * same doubles in both engines). Engine-portable by the micro-unit
+    * single-rounding-point discipline: each (term, doc) WEIGHT — one
+    * left-associated double chain over integer inputs (tf, df, dl, N,
+    * total tokens; avgdl never materializes as a float: dl/avgdl is
+    * written dl·N/toklen) — rounds ONCE to integer micro-units, per-
+    * (query, doc) scores are exact integer sums, and the top-k order
+    * (score desc, doc_id asc) is total.
+    *
+    * Shape at scale: tf/dl/df aggregate from one corpus tokenization
+    * (the weighted postings table is corpus-token-scale, 16 B/posting);
+    * the 1-row stats and the vocabulary-sized df table broadcast;
+    * query terms join the postings on term — the classic inverted-index
+    * probe, costing Σ_{t ∈ queries} df(t) rows. `maxDf` is the stop-term
+    * cap (the F12 df-cap stance at retrieval granularity): a term in
+    * half the corpus contributes ~zero idf but df(t) join rows, so
+    * production retrieval drops it — the cap states the same trade as
+    * every other df cap here (default uncapped; the oracle states the
+    * identical filter). Per-query top-k rides the bounded-heap
+    * [[graft.plans.TopKPerKey]] node (no full per-query sort); the rank
+    * window runs on the surviving k·|queries| rows. Output
+    * (query_id, doc_id, score_micro, rank). */
+  def bm25TopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+               maxDf: Long = Long.MaxValue): DataFrame = {
+    val toks = corpus.select(col("doc_id"), explode(words).as("t"))
+      .filter(col("t") =!= "")
+    val tf = toks.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("nd"), sum("dl").as("toklen"))
+    val dft = tf.groupBy("t").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    // ONE double chain per (term, doc), rounded once to micro-units
+    val idf = log((col("nd").cast("double") - col("df").cast("double") +
+      lit(0.5)) / (col("df").cast("double") + lit(0.5)) + lit(1.0))
+    val denom = col("tf").cast("double") + lit(1.2) * (lit(0.25) +
+      lit(0.75) * col("dl").cast("double") * col("nd").cast("double") /
+        col("toklen").cast("double"))
+    val wtd = tf.join(dl, Seq("doc_id")).join(broadcast(dft), Seq("t"))
+      .crossJoin(broadcast(stats))
+      .select(col("t"), col("doc_id"),
+        round(idf * (col("tf").cast("double") * lit(2.2)) / denom * 1e6, 0)
+          .cast("long").as("w_micro"))
+    val qt = queries.select(col("doc_id").as("query_id"),
+        explode(distinctWords).as("t"))
+      .filter(col("t") =!= "")
+    val scored = qt.join(wtd, Seq("t"))
+      .groupBy("query_id", "doc_id").agg(sum("w_micro").as("score_micro"))
+    val top = graft.plans.TopKPerGroup(scored, Seq("query_id"),
+      Seq("score_micro" -> false, "doc_id" -> true), k)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score_micro").desc, col("doc_id"))
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Bigram-LM mean negative log-likelihood per doc — the next rung of
     * the KenLM-style quality ladder above [[perplexityScore]]'s unigram:
     * fluent text is distinguished by LIKELY TRANSITIONS, not just likely

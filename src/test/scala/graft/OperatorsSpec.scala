@@ -177,6 +177,113 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("bm25 top-k (r14): plain-Scala re-derivation of the micro-unit " +
+       "weights and ranking; a verbatim copy of a corpus doc retrieves " +
+       "it at rank 1; the stop-term cap drops hot terms from scoring") {
+    import spark.implicits._
+    val corpusRows = Seq(
+      (1L, "spark shuffle join optimizer"),
+      (2L, "spark window aggregate state"),
+      (3L, "parquet scan pushdown filter pushdown"),
+      (4L, "the the the the spark"))
+    val queryRows = Seq(
+      (100L, "spark shuffle join optimizer"),    // verbatim copy of doc 1
+      (150L, "pushdown filter"))
+    val corpus = corpusRows.toDF("doc_id", "text")
+    val queries = queryRows.toDF("doc_id", "text")
+    // the operator's arithmetic with no Spark in the loop
+    val tf = corpusRows.flatMap { case (id, t) =>
+      t.split(" ").filter(_.nonEmpty).map(id -> _) }
+      .groupBy(identity).map { case ((id, t), g) => (id, t) -> g.size.toLong }
+    val dl = tf.groupBy(_._1._1).map { case (id, g) => id -> g.values.sum }
+    val (nd, toklen) = (dl.size.toLong, dl.values.sum)
+    val dft = tf.groupBy(_._1._2).map { case (t, g) => t -> g.size.toLong }
+    def wMicro(id: Long, t: String): Long = {
+      val f = tf((id, t)).toDouble
+      val idf = math.log((nd.toDouble - dft(t).toDouble + 0.5) /
+        (dft(t).toDouble + 0.5) + 1.0)
+      val denom = f + 1.2 * (0.25 + 0.75 * dl(id).toDouble * nd.toDouble /
+        toklen.toDouble)
+      BigDecimal(idf * (f * 2.2) / denom * 1e6)
+        .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    val want = (for {
+      (qid, qt) <- queryRows
+      term = qt.split(" ").filter(_.nonEmpty).distinct
+      (did, _) <- corpusRows
+      s = term.collect { case t if tf.contains((did, t)) => wMicro(did, t) }
+      if s.nonEmpty
+    } yield (qid, did, s.sum))
+      .groupBy(_._1).flatMap { case (_, g) =>
+        g.sortBy(r => (-r._3, r._2)).zipWithIndex.map { case ((q, d, s), i) =>
+          (q, d, s, i + 1L) } }.toSet
+    val got = TextAnalysis.bm25TopK(corpus, queries, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want, s"$got vs $want")
+    // the retrieval property: the verbatim copy's source ranks first
+    assert(got.exists(r => r._1 == 100L && r._2 == 1L && r._4 == 1L),
+      s"verbatim source not at rank 1: $got")
+    // stop-term cap: 'spark' sits in 3 of 4 docs; capping df <= 2 must
+    // remove its contribution — doc 4 (spark-only) stops matching the
+    // spark-heavy query terms it only shared via 'spark'
+    val capped = TextAnalysis.bm25TopK(corpus, queries, k = 5, maxDf = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!capped.contains((100L, 4L)),
+      s"hot-term-only match survived the df cap: $capped")
+    assert(capped.contains((150L, 3L)), "rare-term match must survive the cap")
+  }
+
+  test("sequence pack spans (r14): per-doc spans tile the doc exactly, " +
+       "sequences fill to the context length, and the span table agrees " +
+       "with sequencePack's bin/offset/boundary row for every doc") {
+    import graft.operators.Curation
+    val ctx = 64L
+    val docs = Tables.documents(spark, sf)
+    val spans = Curation.sequencePackSpans(docs, ctx).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val byDoc = spans.groupBy(s => (s._1, s._2))
+    assert(spans.nonEmpty && byDoc.exists(_._2.length > 1),
+      "rig must exercise boundary-spanning docs")
+    val est = docs.select(col("doc_id"),
+        ceil(length(col("text")) / 4.0).cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byDoc.foreach { case ((id, _), ss) =>
+      val sorted = ss.sortBy(_._3).toSeq
+      // the spans TILE the doc: offsets contiguous from 0, lengths sum
+      // to the doc's token count, sequence ids contiguous, and every
+      // non-first span starts a fresh sequence
+      assert(sorted.map(_._6).sum == est(id), s"doc $id span lengths")
+      sorted.foldLeft(0L) { (exp, s) =>
+        assert(s._4 == exp, s"doc $id doc_off gap at $s"); exp + s._6 }
+      assert(sorted.map(_._3) == (sorted.head._3 to sorted.last._3),
+        s"doc $id seq ids not contiguous")
+      sorted.tail.foreach(s =>
+        assert(s._5 == 0L, s"doc $id continuation span not at seq start: $s"))
+    }
+    // the spans TILE each sequence: every sequence but a language's last
+    // fills to exactly ctx tokens
+    spans.groupBy(_._2).foreach { case (lang, ss) =>
+      val maxSeq = ss.map(_._3).max
+      ss.groupBy(_._3).foreach { case (seq, g) =>
+        val fill = g.map(_._6).sum
+        if (seq < maxSeq) assert(fill == ctx, s"$lang seq $seq fill $fill")
+        else assert(fill > 0 && fill <= ctx, s"$lang last seq fill $fill")
+      }
+    }
+    // cross-op consistency: sequencePack's doc-level row IS the first
+    // span + the spans-boundary flag
+    val packed = Curation.sequencePack(docs, ctx).collect()
+      .map(r => (r.getLong(0), (r.getLong(3), r.getLong(4), r.getBoolean(5))))
+      .toMap
+    byDoc.foreach { case ((id, _), ss) =>
+      val first = ss.minBy(_._3)
+      val (bin, off, boundary) = packed(id)
+      assert(first._3 == bin && first._5 == off && (ss.length > 1) == boundary,
+        s"doc $id: spans ${ss.toSeq} vs packed ${packed(id)}")
+    }
+  }
+
   test("verbatim overlap: long shared runs detected, disjoint docs produce no pairs") {
     import spark.implicits._
     val run = "the quick brown fox jumps over the lazy dog again and again"

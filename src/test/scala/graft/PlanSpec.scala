@@ -357,6 +357,7 @@ class PlanSpec extends SparkSpec {
     val cases = Seq(
       "tokenBudget" -> Curation.tokenBudget(Tables.documents(spark, sf)),
       "sequencePack" -> Curation.sequencePack(Tables.documents(spark, sf)),
+      "sequencePackSpans" -> Curation.sequencePackSpans(Tables.documents(spark, sf)),
       "curationPipeline" -> Curation.curationPipeline(Tables.documents(spark, sf)),
       "curationFunnel" -> Curation.curationFunnel(Tables.documents(spark, sf)),
     )
