@@ -80,6 +80,14 @@ object OracleSql {
   private def dedupHashIncSql(residue: Int): String =
     s"""WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 10 = $residue), p0 AS (SELECT doc_id, xor(CAST(('0x' || substr(md5(CAST(doc_id - doc_id % 40 AS VARCHAR)), 1, 15)) AS BIGINT), CASE (doc_id % 40) // 10 WHEN 2 THEN 3 WHEN 3 THEN 56 ELSE 0 END) AS h FROM ids), d AS (SELECT b.doc_id FROM p0 a JOIN p0 b ON a.doc_id < b.doc_id WHERE bit_count(xor(a.h, b.h)) <= 3) SELECT doc_id FROM p0 WHERE doc_id NOT IN (SELECT doc_id FROM d) ORDER BY doc_id"""
 
+  // span-level packing (r14): sequence_pack's stream (per-lang,
+  // est_tokens, doc_id order) decomposed into per-(doc, sequence)
+  // spans — exclusive window cumsum, one generate_series per doc over
+  // the sequences it touches, pure integer span arithmetic; shared by
+  // the batch op and the cold ingest loop
+  private val sequencePackSpansSql =
+    """WITH t AS (SELECT doc_id, lang, CAST(CEIL(length(text)/4.0) AS BIGINT) AS n FROM documents), c AS (SELECT doc_id, lang, n, CAST(COALESCE(SUM(n) OVER (PARTITION BY lang ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s FROM t), e AS (SELECT doc_id, lang, n, s, UNNEST(range(s // 64, (s + n - 1) // 64 + 1)) AS seq_id FROM c WHERE n > 0) SELECT doc_id, lang, CAST(seq_id AS BIGINT) AS seq_id, CAST(GREATEST(s, seq_id * 64) - s AS BIGINT) AS doc_off, CAST(GREATEST(s, seq_id * 64) - seq_id * 64 AS BIGINT) AS seq_off, CAST(LEAST(s + n, (seq_id + 1) * 64) - GREATEST(s, seq_id * 64) AS BIGINT) AS n_toks FROM e"""
+
   // MULTI-frame video near-dup (r14): the per-frame pattern arithmetic
   // of Multimodal.syntheticVideoFramePatterns restated verbatim — 3
   // frames per clip, P(x) = md5-60-bit of (anchor + x), slot 1 = slot 0
@@ -199,8 +207,11 @@ object OracleSql {
     // est_tokens, doc_id order) decomposed into per-(doc, sequence)
     // spans — exclusive window cumsum, one generate_series per doc over
     // the sequences it touches, pure integer span arithmetic
-    "sequence_pack_spans" ->
-      """WITH t AS (SELECT doc_id, lang, CAST(CEIL(length(text)/4.0) AS BIGINT) AS n FROM documents), c AS (SELECT doc_id, lang, n, CAST(COALESCE(SUM(n) OVER (PARTITION BY lang ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s FROM t), e AS (SELECT doc_id, lang, n, s, UNNEST(range(s // 64, (s + n - 1) // 64 + 1)) AS seq_id FROM c WHERE n > 0) SELECT doc_id, lang, CAST(seq_id AS BIGINT) AS seq_id, CAST(GREATEST(s, seq_id * 64) - s AS BIGINT) AS doc_off, CAST(GREATEST(s, seq_id * 64) - seq_id * 64 AS BIGINT) AS seq_off, CAST(LEAST(s + n, (seq_id + 1) * 64) - GREATEST(s, seq_id * 64) AS BIGINT) AS n_toks FROM e""",
+    "sequence_pack_spans" -> sequencePackSpansSql,
+
+    // the packing ingest loop cold: one AvailableNow batch ≡ the batch
+    // op — one definition (the substringDedupSql convention)
+    "sequence_pack_inc" -> sequencePackSpansSql,
 
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, ${cents("l_extendedprice")} AS sum_base_price, $revenue AS sum_disc_price, $revenue/COUNT(*) AS avg_disc_price, COUNT(*) AS count_order FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",

@@ -782,6 +782,11 @@ object SparkEntry {
     // span boundaries and the multi-span path is exercised.
     "sequence_pack_spans" -> ((s, d) =>
       Curation.sequencePackSpans(Tables.documents(s, d), contextTokens = 64)),
+    // the GROWING-corpus packing loop, cold single batch (r14): per-lang
+    // running token totals are the only cross-batch state, so sequences
+    // continue across batches; cold ≡ the batch op's closed form
+    "sequence_pack_inc" -> ((s, d) =>
+      graft.streaming.StreamOps.runPackIngest(s, d)),
     // COUNT-PRUNED KN (r14, VERDICT stretch #8 — KenLM's --prune, the
     // model-size lever production ships): singleton bigram types leave
     // the model, their mass joins the interpolation weight exactly, and

@@ -463,11 +463,20 @@ object Curation {
     val withS = graft.util.PrefixSum.cumSum(
       documents.select(col("doc_id"), col("lang"), est.as("n")),
       Seq("lang"), "doc_id", "n", "s", inclusive = false)
+    spanRows(withS, contextTokens)
+  }
+
+  /** The span arithmetic shared by [[sequencePackSpans]] and the
+    * streaming packing ingest loop: a (doc_id, lang, n, s) frame — n =
+    * token count, s = the doc's EXCLUSIVE global token offset within
+    * its language stream — exploded into per-(doc, sequence) spans.
+    * n = 0 docs (empty text) occupy no tokens and emit no span — the
+    * filter sits AFTER the offsets were computed, where they
+    * contributed 0, so positions stay aligned with [[sequencePack]]'s. */
+  private[graft] def spanRows(withS: DataFrame,
+                              contextTokens: Long): DataFrame = {
     val L = lit(contextTokens)
     val spanStart = greatest(col("s"), col("seq_id") * L)
-    // n = 0 docs (empty text) occupy no tokens and emit no span — the
-    // filter sits AFTER the prefix sum, where they contributed 0, so
-    // offsets stay aligned with sequencePack's
     withS.filter(col("n") > 0)
       .select(col("doc_id"), col("lang"), col("n"), col("s"),
         explode(sequence(expr(s"s div ${contextTokens}L"),

@@ -798,6 +798,80 @@ object StreamOps {
       Multimodal.videoHashes, "vhash"))
   }
 
+  /** One micro-batch of the streaming SEQUENCE-PACKING ingest loop
+    * (r14 — packing's growing-corpus variant: a training pipeline packs
+    * data AS IT LANDS, appending to the last partial sequence of each
+    * language stream rather than re-packing the corpus): the only
+    * cross-batch state is the per-language RUNNING TOKEN TOTAL — a
+    * metadata-scale table (one row per language per batch, summed on
+    * read) — so the loop costs batch-sized work regardless of how large
+    * the packed corpus has grown. Per batch:
+    *  1. batch docs take per-lang exclusive offsets via the PrefixSum
+    *     two-phase exchange (doc_id order within the batch);
+    *  2. offsets shift by the language's stored prior total (broadcast
+    *     left join, 0 when the language is new) — sequences continue
+    *     across batches: a batch's first doc lands mid-sequence if the
+    *     previous batch ended one;
+    *  3. span rows ([[graft.operators.Curation.spanRows]] — the SAME
+    *     arithmetic the batch op uses) append to the span table AND the
+    *     per-lang batch token sums append to the totals table, one
+    *     exactly-once tag each.
+    * Stream semantics = ARRIVAL order (batch order, doc_id within a
+    * batch): for id-ordered batches — and in particular a COLD
+    * AvailableNow run, one batch — the result is the batch op verbatim,
+    * which is what lets `sequence_pack_inc` reuse the
+    * sequence_pack_spans closed-form oracle. */
+  def packIngestBatch(table: String, totalsTable: String,
+                      contextTokens: Long = 64)
+                     (b: DataFrame, id: Long): Unit = {
+    import graft.sources.TxLogFormat
+    val spark = b.sparkSession
+    val est = graft.util.TextNorm.estTokens(col("text"))
+    val toks = b.select(col("doc_id"), col("lang"), est.as("n"))
+      .localCheckpoint()
+    val withS0 = graft.util.PrefixSum.cumSum(toks, Seq("lang"), "doc_id",
+      "n", "s0", inclusive = false)
+    val prior =
+      if (TxLogFormat.versions(totalsTable).isEmpty)
+        spark.range(0).select(col("id").cast("string").as("lang"),
+          col("id").as("prior"))
+      else TxLogFormat.read(spark, totalsTable)
+        .groupBy("lang").agg(sum("toks").as("prior"))
+    val withS = withS0.join(broadcast(prior), Seq("lang"), "left")
+      .select(col("doc_id"), col("lang"), col("n"),
+        (coalesce(col("prior"), lit(0L)) + col("s0")).as("s"))
+    TxLogFormat.appendBatch(
+      graft.operators.Curation.spanRows(withS, contextTokens),
+      table, "pack_ingest", id)
+    TxLogFormat.appendBatch(
+      toks.groupBy("lang").agg(sum("n").as("toks")),
+      totalsTable, "pack_ingest", id)
+    freeCheckpoints(toks)
+  }
+
+  /** Driver query: the packing ingest loop cold — AvailableNow over the
+    * documents table in one batch ⇒ the batch op's closed form (the
+    * sequence_pack_spans oracle verbatim at ctx = 64). */
+  def runPackIngest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxLogFormat
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_packingest_")
+    val table = tmpRoot.resolve("spans").toString
+    val totalsTable = tmpRoot.resolve("totals").toString
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val q = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .writeStream
+      .foreachBatch(packIngestBatch(table, totalsTable, contextTokens = 64) _)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    handoffAndClean(
+      TxLogFormat.read(spark, table)
+        .select("doc_id", "lang", "seq_id", "doc_off", "seq_off", "n_toks"),
+      tmpRoot)
+  }
+
   /** One micro-batch of the streaming SEMANTIC-dedup ingest loop (r13 —
     * the growing-corpus variant for the embedding family, the last
     * dedup family without one): per batch, SemDeDup's greedy rule runs

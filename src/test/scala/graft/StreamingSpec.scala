@@ -333,6 +333,57 @@ class StreamingSpec extends SparkSpec {
       TxLogFormat.versions(indexT).size) == vs, "replay must not commit")
   }
 
+  test("streaming PACKING ingest (r14): sequences continue across " +
+       "batches (id-ordered batches == the batch op on the union), a " +
+       "sequence stitches across the batch boundary, replay-safe") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    import graft.sources.TxLogFormat
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_packingest_spec")
+    val (spansT, totalsT) = (root.resolve("spans").toString,
+      root.resolve("totals").toString)
+    // est tokens = ceil(len/4): doc 1 -> 10, doc 2 -> 3, doc 3 -> 7,
+    // doc 4 -> 5; ctx = 8 so batch 0 ('en': 10+3 = 13 tokens) ends
+    // sequence 1 MID-sequence at offset 5 and batch 1's doc 3 must
+    // stitch into it; 'de' starts fresh in batch 1
+    def txt(n: Int) = "x" * (n * 4)
+    val b0 = Seq((1L, "en", txt(10)), (2L, "en", txt(3)))
+    val b1 = Seq((3L, "en", txt(7)), (4L, "de", txt(5)))
+    val input = MemoryStream[(Long, String, String)]
+    val q = input.toDF().toDF("doc_id", "lang", "text").writeStream
+      .foreachBatch(StreamOps.packIngestBatch(spansT, totalsT, 8) _)
+      .start()
+    try {
+      input.addData(b0); q.processAllAvailable()
+      input.addData(b1); q.processAllAvailable()
+    } finally q.stop()
+    val got = TxLogFormat.read(spark, spansT).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    // id-ordered batches == the batch operator on the union
+    val want = graft.operators.Curation.sequencePackSpans(
+        (b0 ++ b1).toDF("doc_id", "lang", "text"), 8).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got == want, s"$got vs $want")
+    // the boundary stitch: doc 3 (batch 1) STARTS inside sequence 1 at
+    // seq_off 5 (batch 0 left 13 tokens = seq 1 filled to 5)
+    assert(got.contains((3L, "en", 1L, 0L, 5L, 3L)), got.toString)
+    // totals state is per-lang running sums
+    val totals = TxLogFormat.read(spark, totalsT).collect()
+      .groupBy(_.getString(0)).map { case (l, rs) =>
+        l -> rs.map(_.getLong(1)).sum }
+    assert(totals == Map("en" -> 20L, "de" -> 5L), totals.toString)
+    // replay: a committed batch id is a strict no-op on BOTH tables
+    val vs = (TxLogFormat.versions(spansT).size,
+      TxLogFormat.versions(totalsT).size)
+    StreamOps.packIngestBatch(spansT, totalsT, 8)(
+      Seq((99L, "en", txt(2))).toDF("doc_id", "lang", "text"), 0L)
+    assert((TxLogFormat.versions(spansT).size,
+      TxLogFormat.versions(totalsT).size) == vs, "replay must not commit")
+  }
+
   test("streaming SEMANTIC ingest: intra-batch greedy collapse, " +
        "cross-batch index probe with candidate-only embedding loads, " +
        "maintained index == recomputed, replay-safe") {
