@@ -95,8 +95,13 @@ object OracleSql {
   // the h=5 must-not-emit margin — then the any-frame rule in closed
   // form: pair on ANY frame combo within radius, hamming = MIN over
   // qualifying combos, n_slot_matches = the combo count
+  // the multi-frame corpus's per-frame pattern CTE, shared by the pair
+  // queries and the ingest loop's survivor closed form
+  private val videoMultiFramesCte =
+    """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 7), fr AS (SELECT doc_id, (doc_id % 40) // 10 AS slot, doc_id - doc_id % 40 AS a, UNNEST([0, 1, 2]) AS fi FROM ids), f AS (SELECT doc_id, xor(CAST(('0x' || substr(md5(CAST(a + CASE WHEN slot = 0 THEN fi WHEN slot = 1 THEN fi + 1 WHEN slot = 2 THEN (CASE WHEN fi = 0 THEN 0 ELSE fi + 9 END) ELSE (CASE WHEN fi = 0 THEN 0 WHEN fi = 1 THEN 12 ELSE 3 END) END AS VARCHAR)), 1, 15)) AS BIGINT), CASE WHEN slot = 2 AND fi = 0 THEN 3 WHEN slot = 3 AND fi = 0 THEN 59 WHEN slot = 3 AND fi = 2 THEN 56 ELSE 0 END) AS h FROM fr)"""
+
   private def dedupVideoMultiSql(radius: Int): String =
-    s"""WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 7), fr AS (SELECT doc_id, (doc_id % 40) // 10 AS slot, doc_id - doc_id % 40 AS a, UNNEST([0, 1, 2]) AS fi FROM ids), f AS (SELECT doc_id, xor(CAST(('0x' || substr(md5(CAST(a + CASE WHEN slot = 0 THEN fi WHEN slot = 1 THEN fi + 1 WHEN slot = 2 THEN (CASE WHEN fi = 0 THEN 0 ELSE fi + 9 END) ELSE (CASE WHEN fi = 0 THEN 0 WHEN fi = 1 THEN 12 ELSE 3 END) END AS VARCHAR)), 1, 15)) AS BIGINT), CASE WHEN slot = 2 AND fi = 0 THEN 3 WHEN slot = 3 AND fi = 0 THEN 59 WHEN slot = 3 AND fi = 2 THEN 56 ELSE 0 END) AS h FROM fr), m AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, bit_count(xor(x.h, y.h)) AS hm FROM f x JOIN f y ON x.doc_id < y.doc_id WHERE bit_count(xor(x.h, y.h)) <= $radius) SELECT doc_a, doc_b, CAST(MIN(hm) AS BIGINT) AS hamming, COUNT(*) AS n_slot_matches FROM m GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b"""
+    s"""$videoMultiFramesCte, m AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, bit_count(xor(x.h, y.h)) AS hm FROM f x JOIN f y ON x.doc_id < y.doc_id WHERE bit_count(xor(x.h, y.h)) <= $radius) SELECT doc_a, doc_b, CAST(MIN(hm) AS BIGINT) AS hamming, COUNT(*) AS n_slot_matches FROM m GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b"""
 
   // segment-level dedup, shared by the exact and hash-keyed paths
   private val paragraphDedupSql =
@@ -481,6 +486,12 @@ object OracleSql {
     // slices — full incremental symmetry across the modality families
     "dedup_audio_inc" -> dedupHashIncSql(5),
     "dedup_video_inc" -> dedupHashIncSql(2),
+
+    // the multi-frame video ingest loop cold (r14): the whole-loop
+    // survivor rule over the per-frame arithmetic — survive iff not the
+    // greater side of any ANY-FRAME hamming-<=-3 pair on the slice
+    "dedup_video_multi_inc" ->
+      s"""$videoMultiFramesCte, p AS (SELECT y.doc_id AS b FROM f x JOIN f y ON x.doc_id < y.doc_id WHERE bit_count(xor(x.h, y.h)) <= 3) SELECT doc_id FROM ids WHERE doc_id NOT IN (SELECT b FROM p) ORDER BY doc_id""",
 
     // shift-robust audio (r14): the trimmed clip's strided fingerprints
     // are its source's shifted one slot, so the pair set is STRUCTURAL —

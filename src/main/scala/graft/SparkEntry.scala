@@ -967,6 +967,12 @@ object SparkEntry {
     // not-the-greater-of-any-hamming≤3-pair closed form DuckDB states
     "dedup_image_inc" -> ((s, d) =>
       graft.streaming.StreamOps.runImageDedupIngest(s, d)),
+    // the MULTI-FRAME video growing-corpus loop (r14): any-match at
+    // ingest granularity — intra-batch any-frame collapse, persisted
+    // chunk-index probe over all slot signatures, exactly-once dual
+    // appends; cold ≡ the not-the-greater-of-any-any-frame-pair rule
+    "dedup_video_multi_inc" -> ((s, d) =>
+      graft.streaming.StreamOps.runVideoMultiDedupIngest(s, d)),
     // the AUDIO and VIDEO growing-corpus loops (r14, VERDICT #3): the
     // same modality-agnostic ingest loop fed by the real PCM / container
     // decode paths — full incremental symmetry across all three hash

@@ -1099,20 +1099,18 @@ object Dedup {
       maxHamming)
 
   /** (doc_id, sig, chunk_idx, chunk) — a 64-bit signature exploded into
-    * its `nChunks` pigeonhole chunks (default the r13 4×16-bit layout):
-    * the PERSISTED index row shape of the incremental hash screen (sig
-    * rides so the verify never re-reads the corpus table) and the probe
-    * shape of its batch side. An index is probe-compatible only with
-    * the SAME nChunks it was built at — past the ~4M-item birthday
-    * crowding point, re-chunk (rebuild) at a larger nChunks and probe
-    * with the matching parameter. */
-  private[graft] def sigChunks(sigs: DataFrame, nChunks: Int = 4): DataFrame = {
-    val spans = chunkSpans(nChunks)
-    sigs.select(col("doc_id"), col("sig"),
-      posexplode(array(spans.map { case (off, w) =>
-        shiftright(col("sig"), off).bitwiseAND(lit(spanMask(w)))
-      }: _*)).as(Seq("chunk_idx", "chunk")))
-  }
+    * its pigeonhole band keys (default the r13 4×16-bit single-chunk
+    * layout; `pairBands` switches to the C(nChunks,2) combined-pair
+    * keys, the birthday-crowding config): the PERSISTED index row shape
+    * of the incremental hash screen (sig rides so the verify never
+    * re-reads the corpus table) and the probe shape of its batch side.
+    * An index is probe-compatible only with the SAME (nChunks,
+    * pairBands) it was built at — past the ~4M-item crowding point,
+    * re-chunk (rebuild) at the pair-banding config and probe with the
+    * matching parameters. */
+  private[graft] def sigChunks(sigs: DataFrame, nChunks: Int = 4,
+                               pairBands: Boolean = false): DataFrame =
+    bandKeyFrame(sigs.select(col("doc_id"), col("sig")), nChunks, pairBands)
 
   /** Asymmetric hamming probe — a batch of 64-bit signatures against the
     * PERSISTED corpus chunk index (the incrementalMinhash shape at hash
@@ -1125,13 +1123,18 @@ object Dedup {
     * like the batch operator; `nChunks` must match the index build
     * (see [[sigChunks]]). Output (doc_c, doc_b, hamming). */
   def incrementalHammingPairs(batchSigs: DataFrame, corpusChunks: DataFrame,
-                              maxHamming: Int = 3,
-                              nChunks: Int = 4): DataFrame = {
-    require(nChunks >= 2 && nChunks <= 64, s"need 2 <= nChunks <= 64, got $nChunks")
-    require(maxHamming >= 0 && maxHamming <= nChunks - 1,
-      s"$nChunks-chunk pigeonhole banding is exact only for hamming <= ${nChunks - 1}, got $maxHamming")
+                              maxHamming: Int = 3, nChunks: Int = 4,
+                              pairBands: Boolean = false): DataFrame = {
+    require(nChunks >= (if (pairBands) 3 else 2) && nChunks <= 64,
+      s"need ${if (pairBands) 3 else 2} <= nChunks <= 64, got $nChunks")
+    val exactRadius = if (pairBands) nChunks - 2 else nChunks - 1
+    require(maxHamming >= 0 && maxHamming <= exactRadius,
+      s"${if (pairBands) "pair-" else ""}banding over $nChunks chunks is " +
+        s"exact only for hamming <= $exactRadius, got $maxHamming")
     val spans = chunkSpans(nChunks)
-    val bc = sigChunks(batchSigs, nChunks)
+    val piece = sigPiece(spans) _
+    val bands = bandPieceSets(nChunks, pairBands)
+    val bc = sigChunks(batchSigs, nChunks, pairBands)
       .select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
         col("chunk_idx"), col("chunk"))
       .repartition(col("chunk_idx"), col("chunk"))
@@ -1141,18 +1144,36 @@ object Dedup {
       .select(col("doc_id").as("doc_c"), col("sig").as("sig_c"),
         col("chunk_idx"), col("chunk"))
     val xr = col("sig_c").bitwiseXOR(col("sig_b"))
-    def chunkEq(j: Int) = {
-      val (off, w) = spans(j)
-      shiftright(xr, off).bitwiseAND(lit(spanMask(w))) === 0
-    }
-    val firstChunk = (1 until nChunks - 1)
-      .foldLeft(when(chunkEq(0), 0))((acc, j) => acc.when(chunkEq(j), j))
-      .otherwise(nChunks - 1)
+    def clean(b: Int): Column =
+      bands(b).map(piece(xr, _) === 0).reduce(_ && _)
+    val firstBand = (1 until bands.size - 1)
+      .foldLeft(when(clean(0), 0))((acc, b) => acc.when(clean(b), b))
+      .otherwise(bands.size - 1)
     bc.hint("shuffle_hash").join(hits, Seq("chunk_idx", "chunk"))
-      .filter(firstChunk === col("chunk_idx"))
+      .filter(firstBand === col("chunk_idx"))
       .select(col("doc_c"), col("doc_b"), bit_count(xr).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Asymmetric ANY-MATCH probe (r14 — [[incrementalHammingPairs]] at
+    * multi-signature granularity, for the multi-frame-video ingest
+    * loop): a batch of (doc_id, slot, sig) rows against a PERSISTED
+    * corpus chunk index built from the corpus items' slot signatures
+    * ([[sigChunks]] over (doc_id, sig) rows, one per slot). Same
+    * broadcast semi-prune + first-agreeing-band exactly-once per
+    * SIGNATURE pair, then one aggregation over the VERIFIED matches:
+    * (doc_c, doc_b, hamming = min over matching signature pairs,
+    * n_slot_matches). */
+  def incrementalAnyMatchPairs(batchSlotSigs: DataFrame,
+                               corpusChunks: DataFrame,
+                               maxHamming: Int = 3, nChunks: Int = 4,
+                               pairBands: Boolean = false): DataFrame =
+    incrementalHammingPairs(
+        batchSlotSigs.select(col("doc_id"), col("sig")),
+        corpusChunks, maxHamming, nChunks, pairBands)
+      .groupBy(col("doc_c"), col("doc_b"))
+      .agg(min(col("hamming")).as("hamming"),
+           count(lit(1)).as("n_slot_matches"))
 
   /** ANY-MATCH near-dup pairs over MULTI-signature items (r14, VERDICT
     * #1 — the production multi-frame video / multi-offset audio shape):

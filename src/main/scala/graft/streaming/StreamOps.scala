@@ -798,6 +798,91 @@ object StreamOps {
       Multimodal.videoHashes, "vhash"))
   }
 
+  /** One micro-batch of the streaming MULTI-SIGNATURE dedup ingest loop
+    * (r14 — the growing-corpus variant for the ANY-MATCH family:
+    * multi-frame video clips, strided audio offsets): input
+    * (doc_id, slot, sig) with k signatures per item;
+    *  1. intra-batch: items collapse when ANY signature pair sits
+    *     within radius ([[graft.operators.Dedup.anyMatchNearDupPairs]],
+    *     min doc_id survives — the C13 non-cascading rule);
+    *  2. survivors' signatures probe the PERSISTED chunk index via
+    *     [[graft.operators.Dedup.incrementalAnyMatchPairs]] (broadcast
+    *     semi-prune — the corpus index is scanned, never shuffled);
+    *  3. novel items append ALL their slot signatures to the corpus
+    *     table and their chunk rows to the index, one exactly-once tag
+    *     each.
+    * Cold single batch ⇒ survivors = items that are not the GREATER
+    * side of any any-match pair — the closed form
+    * `dedup_video_multi_inc` states over the per-frame md5 arithmetic. */
+  def multiHashIngestBatch(table: String, indexTable: String,
+                           maxHamming: Int = 3)
+                          (slotSigs: DataFrame, id: Long): Unit = {
+    import graft.sources.TxLogFormat
+    val spark = slotSigs.sparkSession
+    val batch = slotSigs.select(col("doc_id"), col("slot"), col("sig"))
+      .localCheckpoint()
+    val intraDrop = graft.operators.Dedup
+      .anyMatchNearDupPairs(batch, maxHamming)
+      .select(greatest(col("doc_a"), col("doc_b")).as("doc_id")).distinct()
+    val batchKept = batch.join(intraDrop, Seq("doc_id"), "left_anti")
+    val kept =
+      if (TxLogFormat.versions(table).isEmpty) batchKept
+      else {
+        val idx = TxLogFormat.read(spark, indexTable)
+        val dup = graft.operators.Dedup
+          .incrementalAnyMatchPairs(batchKept, idx, maxHamming)
+          .select(col("doc_b").as("doc_id")).distinct()
+        batchKept.join(dup, Seq("doc_id"), "left_anti")
+      }
+    val keptC = kept.localCheckpoint()
+    TxLogFormat.appendBatch(keptC, table, "multihash_ingest", id)
+    TxLogFormat.appendBatch(
+      graft.operators.Dedup.sigChunks(
+        keptC.select(col("doc_id"), col("sig"))),
+      indexTable, "multihash_ingest", id)
+    freeCheckpoints(batch, keptC)
+  }
+
+  /** Driver query: the MULTI-FRAME VIDEO ingest loop cold — per batch,
+    * synthesize each %10=7 doc's 3-frame AVI, stride-hash it through
+    * the real container walk + pixel decode, then
+    * [[multiHashIngestBatch]]; cold single batch ⇒ the
+    * not-the-greater-of-any-ANY-FRAME-pair closed form over the
+    * per-frame md5 arithmetic. */
+  def runVideoMultiDedupIngest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxLogFormat
+    import graft.operators.{MediaRow, Multimodal}
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_vmingest_")
+    val table = tmpRoot.resolve("corpus").toString
+    val indexTable = tmpRoot.resolve("index").toString
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    def ingest(b: org.apache.spark.sql.DataFrame, id: Long): Unit = {
+      import b.sparkSession.implicits._
+      val media = b.select(col("doc_id")).as[Long].mapPartitions(_.map { i =>
+        MediaRow(i, "video",
+          Multimodal.syntheticMultiMjpegAvi(
+            Multimodal.syntheticVideoFramePatterns(i)),
+          "synth")
+      }).toDF()
+      multiHashIngestBatch(table, indexTable)(
+        Multimodal.videoHashesStrided(media, 3).select(col("doc_id"),
+          col("frame_slot").as("slot"), col("vhash").as("sig")), id)
+    }
+    val q = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .filter(col("doc_id") % 10 === 7)
+      .select(col("doc_id"))
+      .writeStream
+      .foreachBatch(ingest _)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    handoffAndClean(
+      TxLogFormat.read(spark, table).select("doc_id").distinct()
+        .orderBy("doc_id"),
+      tmpRoot)
+  }
+
   /** One micro-batch of the streaming SEQUENCE-PACKING ingest loop
     * (r14 — packing's growing-corpus variant: a training pipeline packs
     * data AS IT LANDS, appending to the last partial sequence of each

@@ -162,11 +162,15 @@ class ApproxSpec extends SparkSpec {
     val batch = corpusData.take(50).map { case (i, s) =>
       (i + 1000L, if (i % 3 == 0) s else s ^ ((1L << 11) | (1L << 37)))
     }.toDF("doc_id", "sig")
-    def run(nChunks: Int) = Dedup.incrementalHammingPairs(batch,
-        Dedup.sigChunks(corpus, nChunks), 3, nChunks).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    def run(nChunks: Int, pairBands: Boolean = false) =
+      Dedup.incrementalHammingPairs(batch,
+        Dedup.sigChunks(corpus, nChunks, pairBands), 3, nChunks, pairBands)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     val got4 = run(4)
     assert(got4 == run(8))
+    // the crowding config also round-trips through a PERSISTED-shape
+    // index: 5-chunk PAIR bands, exact at the same radius 3
+    assert(got4 == run(5, pairBands = true))
     assert(got4.nonEmpty, "rig should produce cross pairs")
   }
 

@@ -333,6 +333,56 @@ class StreamingSpec extends SparkSpec {
       TxLogFormat.versions(indexT).size) == vs, "replay must not commit")
   }
 
+  test("streaming MULTI-SIGNATURE ingest (r14): any-frame collapse " +
+       "in-batch, cross-batch drop at a SHIFTED slot against the index, " +
+       "maintained index == recomputed, replay-safe") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    import graft.sources.TxLogFormat
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_vmingest_spec")
+    val (corpusT, indexT) = (root.resolve("corpus").toString,
+      root.resolve("index").toString)
+    val (p0, p1, p2, p3) = (0x0123456789ABCDEFL, 0x0FEDCBA987654321L,
+      0x1111222233334444L, 0x5555666677778888L)
+    // batch 0: clip 1 = [p0, p1]; clip 2 = [p1, p3] — any-frame match
+    // via p1 at DIFFERENT slots, greater id drops in-batch
+    val b0 = Seq((1L, 0, p0), (1L, 1, p1), (2L, 0, p1), (2L, 1, p3))
+    // batch 1: clip 10 = [p2, p0^3] — must drop against the CORPUS
+    // index (its slot-1 frame near clip 1's slot-0 frame, hamming 2);
+    // clip 11 = [p3, ~p0] — p3 matched only the DROPPED clip 2, which
+    // never indexed, so 11 survives (non-cascading across batches)
+    val b1 = Seq((10L, 0, p2), (10L, 1, p0 ^ 3L), (11L, 0, p3), (11L, 1, ~p0))
+    val input = MemoryStream[(Long, Int, Long)]
+    val q = input.toDF().toDF("doc_id", "slot", "sig").writeStream
+      .foreachBatch(StreamOps.multiHashIngestBatch(corpusT, indexT) _)
+      .start()
+    try {
+      input.addData(b0); q.processAllAvailable()
+      assert(TxLogFormat.read(spark, corpusT).select("doc_id")
+        .collect().map(_.getLong(0)).toSet == Set(1L))
+      input.addData(b1); q.processAllAvailable()
+    } finally q.stop()
+    val corpus = TxLogFormat.read(spark, corpusT).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(corpus.map(_._1).toSet == Set(1L, 11L), corpus.toString)
+    // every SURVIVOR slot signature indexed — maintained == recomputed
+    val idx = TxLogFormat.read(spark, indexT).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    val recomputed = graft.operators.Dedup.sigChunks(
+        corpus.toSeq.toDF("doc_id", "slot", "sig")
+          .select(col("doc_id"), col("sig"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    assert(idx == recomputed, s"$idx vs $recomputed")
+    // replay no-op on both tables
+    val vs = (TxLogFormat.versions(corpusT).size,
+      TxLogFormat.versions(indexT).size)
+    StreamOps.multiHashIngestBatch(corpusT, indexT)(
+      Seq((99L, 0, 0xdeadL)).toDF("doc_id", "slot", "sig"), 0L)
+    assert((TxLogFormat.versions(corpusT).size,
+      TxLogFormat.versions(indexT).size) == vs, "replay must not commit")
+  }
+
   test("streaming PACKING ingest (r14): sequences continue across " +
        "batches (id-ordered batches == the batch op on the union), a " +
        "sequence stitches across the batch boundary, replay-safe") {
