@@ -201,6 +201,14 @@ object OracleSql {
     "sequence_pack" ->
       """WITH t AS (SELECT doc_id, lang, CAST(CEIL(length(text)/4.0) AS BIGINT) AS est_tokens FROM documents), c AS (SELECT doc_id, lang, est_tokens, CAST(COALESCE(SUM(est_tokens) OVER (PARTITION BY lang ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before FROM t) SELECT doc_id, lang, est_tokens, cum_before // 2048 AS bin_id, cum_before % 2048 AS bin_offset, ((cum_before + est_tokens - 1) // 2048) > (cum_before // 2048) AS spans_boundary FROM c ORDER BY lang, doc_id""",
 
+    // WARC ingestion (r14): the synthetic crawl file's three records in
+    // closed form — warcinfo (fixed fields), request (the HTTP request
+    // line rebuilt with explicit CRLFs), response (status 200,
+    // text/plain, body = the document text byte-for-byte through
+    // gzip + WARC framing + HTTP header parsing)
+    "warc_ingest" ->
+      """WITH u AS (SELECT doc_id, 'https://example.com/doc/' || doc_id AS url, text FROM documents WHERE doc_id % 10 = 4) SELECT * FROM (SELECT doc_id, 0 AS rec_idx, 'warcinfo' AS warc_type, '' AS url, '' AS warc_date, 0 AS http_status, 'application/warc-fields' AS mime, 'software: graft-synth' || chr(13) || chr(10) AS body_text FROM u UNION ALL SELECT doc_id, 1, 'request', url, '2024-01-01T00:00:00Z', 0, 'application/http;msgtype=request', 'GET ' || url || ' HTTP/1.1' || chr(13) || chr(10) || 'Host: example' || chr(13) || chr(10) || chr(13) || chr(10) FROM u UNION ALL SELECT doc_id, 2, 'response', url, '2024-01-01T00:00:00Z', 200, 'text/plain', text FROM u) ORDER BY doc_id, rec_idx""",
+
     // BM25 top-k (r14): tf/dl/df/N from the %50<>0 corpus, each
     // (term, doc) weight one double chain rounded once to micro-units,
     // per-(query, doc) integer sums, top-5 under the total order

@@ -765,6 +765,27 @@ object SparkEntry {
     // counts at the middle level — the structure KenLM builds)
     "perplexity_kn3" -> ((s, d) =>
       TextAnalysis.perplexityKn3(Tables.documents(s, d))),
+    // WARC crawl ingestion (r14, E9): per doc, a crawl-shaped
+    // warcinfo+request+response WARC with per-record gzip members (the
+    // CommonCrawl layout), parsed back through the real record walk +
+    // multi-member gunzip + HTTP layer — every header field and body
+    // byte is a closed form over the documents table
+    "warc_ingest" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      val ids = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 10 === 4).as[(Long, String)]
+      val warcs = ids.mapPartitions(_.map { case (id, text) =>
+        (id, graft.sources.Warc.syntheticWarc(
+          s"https://example.com/doc/$id", "2024-01-01T00:00:00Z",
+          text.getBytes("UTF-8"), gzipped = true))
+      }).toDF("doc_id", "payload")
+      graft.sources.Warc.readWarc(warcs)
+        .select(col("doc_id"), col("rec_idx"), col("warc_type"), col("url"),
+          col("warc_date"), col("http_status"), col("mime"),
+          col("body").cast("string").as("body_text"))
+        .orderBy("doc_id", "rec_idx")
+    }),
     // BM25 top-k retrieval (r14): each eval doc (the decontaminate %50
     // slice) retrieves its 5 nearest training docs by Okapi BM25 —
     // retrieval-based contamination auditing; micro-unit weights make

@@ -1,0 +1,183 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** One parsed WARC record: the container fields a crawl-ingest stage
+  * keys on (type, target URI, date), the HTTP layer of response
+  * records (status, Content-Type), and the payload body bytes. */
+case class WarcRecordRow(doc_id: Long, rec_idx: Int, warc_type: String,
+                         url: String, warc_date: String, http_status: Int,
+                         mime: String, body: Array[Byte])
+
+/** WARC (ISO 28500) reader — the format crawl corpora actually arrive
+  * in (CommonCrawl ships `.warc.gz`): parse WARC/1.0 records from a
+  * binary payload column, per partition, with the per-record-gzip-
+  * member convention handled natively (each record its own gzip
+  * member, members concatenated — `GZIPInputStream` reads concatenated
+  * members, so a `.warc.gz` payload inflates in one pass with no
+  * per-record framing needed).
+  *
+  * Honesty rules (the D12 refusal discipline): parsing STOPS at the
+  * first malformed record (bad magic, missing/invalid Content-Length,
+  * truncated block) and returns the records parsed so far — never a
+  * fabricated record; a response record whose block is not an HTTP
+  * response keeps status 0 and its raw block as the body. The HTTP
+  * layer is parsed only for `response` records: status from the
+  * status line, `Content-Type` header, body = bytes after the header
+  * terminator.
+  *
+  * Scale shape: one scan-bound `mapPartitions` pass, payloads never
+  * leave their partition — identical to the media decodes. Reference
+  * surface note: the dbt template ingests already-tabular sources;
+  * WARC ingestion is part of the LLM-pipeline brief (a 100 TB text
+  * corpus starts as crawl archives, not parquet). */
+object Warc {
+
+  private val GzipMagic = Array(0x1f.toByte, 0x8b.toByte)
+
+  private def isGzip(p: Array[Byte]): Boolean =
+    p.length >= 2 && p(0) == GzipMagic(0) && p(1) == GzipMagic(1)
+
+  private def gunzipAll(p: Array[Byte]): Option[Array[Byte]] =
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(p))
+      try Some(in.readAllBytes()) finally in.close()
+    } catch { case _: Exception => None }
+
+  /** Index of the CRLFCRLF terminator starting at/after `from`, or -1. */
+  private def headerEnd(p: Array[Byte], from: Int): Int = {
+    var i = from
+    while (i + 3 < p.length) {
+      if (p(i) == '\r' && p(i + 1) == '\n' && p(i + 2) == '\r' &&
+          p(i + 3) == '\n') return i
+      i += 1
+    }
+    -1
+  }
+
+  private def headerMap(text: String): Map[String, String] =
+    text.split("\r\n").iterator.drop(1) // drop the version/status line
+      .flatMap { line =>
+        val c = line.indexOf(':')
+        if (c <= 0) None
+        else Some(line.substring(0, c).trim.toLowerCase ->
+          line.substring(c + 1).trim)
+      }.toMap
+
+  /** All records of one (possibly per-record-gzipped) WARC payload, in
+    * file order. Malformed input stops the walk — prefix-honest. */
+  private[graft] def parseWarc(payload: Array[Byte]): Vector[(String, String, String, Int, String, Array[Byte])] = {
+    val bytes =
+      if (isGzip(payload)) gunzipAll(payload).getOrElse(return Vector.empty)
+      else payload
+    val out = Vector.newBuilder[(String, String, String, Int, String, Array[Byte])]
+    var off = 0
+    var ok = true
+    while (ok && off < bytes.length) {
+      val he = headerEnd(bytes, off)
+      val version = if (he < 0) "" else new String(bytes, off,
+        math.min(8, bytes.length - off), "ISO-8859-1")
+      if (he < 0 || version != "WARC/1.0") ok = false
+      else {
+        val hdrs = headerMap(new String(bytes, off, he - off, "ISO-8859-1"))
+        hdrs.get("content-length").flatMap(_.toLongOption) match {
+          case Some(len) if he + 4 + len <= bytes.length =>
+            val blockStart = he + 4
+            val block = java.util.Arrays.copyOfRange(
+              bytes, blockStart, (blockStart + len).toInt)
+            val wtype = hdrs.getOrElse("warc-type", "")
+            val url = hdrs.getOrElse("warc-target-uri", "")
+            val date = hdrs.getOrElse("warc-date", "")
+            // the HTTP layer, response records only
+            val (status, mime, body) =
+              if (wtype != "response") (0, hdrs.getOrElse("content-type", ""), block)
+              else {
+                val hhe = headerEnd(block, 0)
+                val statusLine = new String(block, 0,
+                  math.min(block.length, if (hhe < 0) block.length else hhe),
+                  "ISO-8859-1").split("\r\n").headOption.getOrElse("")
+                val st = statusLine.split(" ").lift(1)
+                  .flatMap(_.toIntOption)
+                if (hhe < 0 || !statusLine.startsWith("HTTP/") || st.isEmpty)
+                  (0, hdrs.getOrElse("content-type", ""), block)
+                else {
+                  val httpHdrs = headerMap(
+                    new String(block, 0, hhe, "ISO-8859-1"))
+                  (st.get, httpHdrs.getOrElse("content-type", ""),
+                    java.util.Arrays.copyOfRange(block, hhe + 4, block.length))
+                }
+              }
+            out += ((wtype, url, date, status, mime, body))
+            // records terminate with CRLFCRLF; tolerate its absence at EOF
+            val next = blockStart + len.toInt
+            off = if (next + 4 <= bytes.length && bytes(next) == '\r')
+              next + 4 else next
+          case _ => ok = false
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** (doc_id, rec_idx, warc_type, url, warc_date, http_status, mime,
+    * body) over a binary frame of WARC payloads — one scan-bound parse
+    * pass, records in file order per payload. */
+  def readWarc(warcs: DataFrame): DataFrame = {
+    val spark = warcs.sparkSession
+    import spark.implicits._
+    warcs.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, p) =>
+        parseWarc(p).zipWithIndex.map {
+          case ((t, u, d, s, m, b), i) => WarcRecordRow(id, i, t, u, d, s, m, b)
+        }
+      })
+      .toDF()
+  }
+
+  // ---- synthetic writers (the test/driver rig — no crawl data ships) ----
+
+  private def crlfJoin(lines: Seq[String]): Array[Byte] =
+    (lines.mkString("\r\n") + "\r\n\r\n").getBytes("ISO-8859-1")
+
+  /** One WARC/1.0 record with the given block, CRLFCRLF-terminated. */
+  private def warcRecord(headers: Seq[(String, String)],
+                         block: Array[Byte]): Array[Byte] = {
+    val hdr = crlfJoin("WARC/1.0" +:
+      (headers :+ ("Content-Length" -> block.length.toString))
+        .map { case (k, v) => s"$k: $v" })
+    hdr ++ block ++ "\r\n\r\n".getBytes("ISO-8859-1")
+  }
+
+  private def gzipMember(p: Array[Byte]): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(baos)
+    gz.write(p); gz.close()
+    baos.toByteArray
+  }
+
+  /** A deterministic crawl-shaped WARC for one page: warcinfo + request
+    * + response (HTTP 200, text/plain, `body`), each record its OWN
+    * gzip member when `gzipped` (the CommonCrawl layout). */
+  def syntheticWarc(url: String, date: String, body: Array[Byte],
+                    gzipped: Boolean = false): Array[Byte] = {
+    val info = warcRecord(
+      Seq("WARC-Type" -> "warcinfo", "Content-Type" -> "application/warc-fields"),
+      "software: graft-synth\r\n".getBytes("ISO-8859-1"))
+    val req = warcRecord(
+      Seq("WARC-Type" -> "request", "WARC-Target-URI" -> url,
+        "WARC-Date" -> date, "Content-Type" -> "application/http;msgtype=request"),
+      s"GET $url HTTP/1.1\r\nHost: example\r\n\r\n".getBytes("ISO-8859-1"))
+    val httpBlock = crlfJoin(Seq("HTTP/1.1 200 OK",
+      "Content-Type: text/plain",
+      s"Content-Length: ${body.length}")) ++ body
+    val resp = warcRecord(
+      Seq("WARC-Type" -> "response", "WARC-Target-URI" -> url,
+        "WARC-Date" -> date, "Content-Type" -> "application/http;msgtype=response"),
+      httpBlock)
+    if (gzipped) gzipMember(info) ++ gzipMember(req) ++ gzipMember(resp)
+    else info ++ req ++ resp
+  }
+}

@@ -1258,4 +1258,44 @@ class FormatSpec extends SparkSpec {
         s"model $n diverged")
     }
   }
+
+  test("WARC source (r14): plain == per-record-gzip parse, HTTP layer " +
+       "recovered, truncated/malformed input is prefix-honest") {
+    import spark.implicits._
+    import graft.sources.Warc
+    val body = "hello warc world".getBytes("UTF-8")
+    val plain = Warc.syntheticWarc("https://x/1", "2024-01-01T00:00:00Z", body)
+    val gz = Warc.syntheticWarc("https://x/1", "2024-01-01T00:00:00Z", body,
+      gzipped = true)
+    def parsed(p: Array[Byte]) = Warc.parseWarc(p)
+      .map { case (t, u, d, s, m, b) => (t, u, d, s, m, new String(b, "UTF-8")) }
+    // the gzip path inflates multi-member streams to the SAME records
+    assert(parsed(plain) == parsed(gz))
+    val recs = parsed(plain)
+    assert(recs.map(_._1) == Vector("warcinfo", "request", "response"))
+    val resp = recs(2)
+    assert(resp._2 == "https://x/1" && resp._4 == 200 &&
+      resp._5 == "text/plain" && resp._6 == "hello warc world")
+    assert(recs(0)._4 == 0 && recs(1)._4 == 0,
+      "non-response records carry no HTTP status")
+    // prefix honesty: truncating inside the LAST record's block keeps
+    // the earlier records and drops the broken one — never fabricates
+    val cut = java.util.Arrays.copyOfRange(plain, 0, plain.length - body.length)
+    assert(parsed(cut).map(_._1) == Vector("warcinfo", "request"))
+    // garbage refuses entirely (bad magic / bad gzip)
+    assert(Warc.parseWarc("not a warc".getBytes("UTF-8")).isEmpty)
+    assert(Warc.parseWarc(Array[Byte](0x1f, 0x8b.toByte, 0, 0)).isEmpty)
+    // a response whose block is NOT an http message keeps status 0 and
+    // the raw block as body
+    val raw = ("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: u\r\n" +
+      "Content-Length: 3\r\n\r\nxyz\r\n\r\n").getBytes("ISO-8859-1")
+    val nr = parsed(raw)
+    assert(nr == Vector(("response", "u", "", 0, "", "xyz")), nr.toString)
+    // the DataFrame reader keys records by payload and file order
+    val df = Warc.readWarc(Seq((7L, gz)).toDF("doc_id", "payload"))
+      .select("doc_id", "rec_idx", "warc_type").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(df == Set((7L, 0, "warcinfo"), (7L, 1, "request"),
+      (7L, 2, "response")))
+  }
 }

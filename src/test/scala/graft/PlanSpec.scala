@@ -678,6 +678,21 @@ class PlanSpec extends SparkSpec {
       s"a corpus-sized frame entered a sort-merge join:\n$plan")
   }
 
+  test("bm25 top-k (r14): vocab df + 1-row stats broadcast, the custom " +
+       "bounded-heap node plans, no sort-merge join anywhere") {
+    val docs = Tables.documents(spark, sf)
+    val df = TextAnalysis.bm25TopK(
+      docs.filter(col("doc_id") % 50 =!= 0),
+      docs.filter(col("doc_id") % 50 === 0))
+    val plan = df.queryExecution.sparkPlan.toString
+    assert(plan.contains("TopKPerKey"),
+      s"per-query top-k is not the bounded-heap node:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"vocab df table did not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a corpus-scale frame entered a sort-merge join:\n$plan")
+  }
+
   test("any-match near-dup (r14): the doc-level collapse aggregates the " +
        "VERIFIED match set, not candidates — the hamming filter sits " +
        "under the aggregation, the band join is the one shuffle join") {
