@@ -201,6 +201,12 @@ object OracleSql {
     "sequence_pack" ->
       """WITH t AS (SELECT doc_id, lang, CAST(CEIL(length(text)/4.0) AS BIGINT) AS est_tokens FROM documents), c AS (SELECT doc_id, lang, est_tokens, CAST(COALESCE(SUM(est_tokens) OVER (PARTITION BY lang ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before FROM t) SELECT doc_id, lang, est_tokens, cum_before // 2048 AS bin_id, cum_before % 2048 AS bin_offset, ((cum_before + est_tokens - 1) // 2048) > (cum_before // 2048) AS spans_boundary FROM c ORDER BY lang, doc_id""",
 
+    // URL dedup (r14): the messy per-slot URL synth + the normalization
+    // chain (fragment strip, lowercase scheme://authority, default-port
+    // drop, tracking-param drop + param sort) + first-doc-per-canonical
+    "url_dedup" ->
+      """WITH d AS (SELECT doc_id, CAST(doc_id - doc_id % 40 AS VARCHAR) AS a FROM documents WHERE doc_id % 10 = 6), u0 AS (SELECT doc_id, CASE doc_id % 40 WHEN 6 THEN 'https://news-site.com/Articles/' || a || '?id=1&ref=home' WHEN 16 THEN 'HTTPS://News-Site.COM:443/Articles/' || a || '?ref=home&utm_source=feed&id=1' WHEN 26 THEN 'https://news-site.com/Articles/' || a || '?id=1&ref=home#section-2' ELSE 'https://news-site.com/Articles/' || a || '?id=2&ref=home' END AS url FROM d), s1 AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS base FROM u0), s2 AS (SELECT *, regexp_extract(base, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?]*', 0) AS pre FROM s1), s3 AS (SELECT *, regexp_replace(lower(pre), ':(80|443)$', '') AS pren, substr(base, length(pre) + 1) AS tail FROM s2), s4 AS (SELECT *, regexp_replace(tail, '\?.*$', '') AS path, regexp_extract(tail, '\?(.*)$', 1) AS query FROM s3), s5 AS (SELECT *, list_sort(list_filter(string_split(query, '&'), p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|gclid|fbclid)(=|$)'))) AS params FROM s4), c AS (SELECT doc_id, url, CASE WHEN pre = '' THEN base ELSE pren || path || (CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&') ELSE '' END) END AS url_canonical FROM s5) SELECT doc_id, url, url_canonical, doc_id = MIN(doc_id) OVER (PARTITION BY url_canonical) AS keep FROM c ORDER BY doc_id""",
+
     // WARC ingestion (r14): the synthetic crawl file's three records in
     // closed form — warcinfo (fixed fields), request (the HTTP request
     // line rebuilt with explicit CRLFs), response (status 200,

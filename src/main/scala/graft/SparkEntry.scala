@@ -765,6 +765,31 @@ object SparkEntry {
     // counts at the middle level — the structure KenLM builds)
     "perplexity_kn3" -> ((s, d) =>
       TextAnalysis.perplexityKn3(Tables.documents(s, d))),
+    // URL dedup (r14 — the crawl pipeline's FIRST dedup key): per-doc
+    // messy URL variants (casing, :443, fragment, utm params, shuffled
+    // param order) that canonicalize into per-group collisions; the
+    // keep rule is first-doc-per-canonical — both the normalization and
+    // the decision are closed forms the oracle restates
+    "url_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(s, d).filter(col("doc_id") % 10 === 6)
+      val a = (col("doc_id") - col("doc_id") % 40).cast("string")
+      val url = when(col("doc_id") % 40 === 6,
+          concat(lit("https://news-site.com/Articles/"), a,
+            lit("?id=1&ref=home")))
+        .when(col("doc_id") % 40 === 16,
+          concat(lit("HTTPS://News-Site.COM:443/Articles/"), a,
+            lit("?ref=home&utm_source=feed&id=1")))
+        .when(col("doc_id") % 40 === 26,
+          concat(lit("https://news-site.com/Articles/"), a,
+            lit("?id=1&ref=home#section-2")))
+        .otherwise(
+          concat(lit("https://news-site.com/Articles/"), a,
+            lit("?id=2&ref=home")))
+      Curation.urlDedup(docs.select(col("doc_id"), url.as("url")))
+        .select("doc_id", "url", "url_canonical", "keep")
+        .orderBy("doc_id")
+    }),
     // WARC crawl ingestion (r14, E9): per doc, a crawl-shaped
     // warcinfo+request+response WARC with per-record gzip members (the
     // CommonCrawl layout), parsed back through the real record walk +

@@ -488,6 +488,47 @@ object Curation {
           .as("n_toks"))
   }
 
+  /** URL canonicalization (r14 — the FIRST dedup key of a crawl
+    * pipeline: Dolma/FineWeb drop refetches by URL before any content
+    * hashing, and a crawl reaches the same page under casing/port/
+    * fragment/tracking-param variants): a deterministic, engine-
+    * portable normalization both engines state identically —
+    *  1. strip the fragment (`#…` never reaches the server);
+    *  2. lowercase scheme + authority (host names are case-insensitive;
+    *     the PATH is not — it stays untouched);
+    *  3. drop default ports `:80`/`:443`;
+    *  4. drop tracking params (`utm_*`, `gclid`, `fbclid`) and SORT the
+    *     surviving query params (param order is not semantic).
+    * Non-hierarchical inputs (no `scheme://authority`) pass through
+    * unchanged — refuse-to-guess, not a fabricated canonical form. */
+  def canonicalUrl(u: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val base = regexp_replace(u, "#.*$", "")
+    val pre = regexp_extract(base, "^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?]*", 0)
+    val preN = regexp_replace(lower(pre), ":(80|443)$", "")
+    val tail = substring(base, length(pre) + 1, lit(1000000))
+    val path = regexp_replace(tail, "\\?.*$", "")
+    val query = regexp_extract(tail, "\\?(.*)$", 1)
+    val params = array_sort(filter(split(query, "&"), p =>
+      p =!= "" && !p.rlike("^(utm_[^=]*|gclid|fbclid)(=|$)")))
+    when(pre === "", base).otherwise(
+      concat(preN, path,
+        when(size(params) > 0, concat(lit("?"), array_join(params, "&")))
+          .otherwise(lit(""))))
+  }
+
+  /** URL-level dedup over a (…, `urlCol`) frame: attach the canonical
+    * form and the keep decision (first doc_id per canonical URL — the
+    * refetch-drop rule). One shuffle on the canonical key; the
+    * normalization itself is scan-bound string arithmetic. Output =
+    * input columns + (url_canonical, keep). */
+  def urlDedup(documents: DataFrame, urlCol: String = "url"): DataFrame = {
+    val canon = documents.withColumn("url_canonical",
+      canonicalUrl(col(urlCol)))
+    canon.withColumn("keep",
+      col("doc_id") === min(col("doc_id"))
+        .over(Window.partitionBy(col("url_canonical"))))
+  }
+
   /** Per-domain quota sampling (the CCNet/RefinedWeb cap that stops one
     * crawl-heavy domain from dominating the mix): keep at most
     * `perDomain` documents per source, chosen by a DETERMINISTIC hash

@@ -177,6 +177,40 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("url canonicalization (r14): variants collapse, semantics are " +
+       "preserved — case-sensitive path, non-default ports, non-tracking " +
+       "params; non-hierarchical inputs pass through") {
+    import spark.implicits._
+    def canon(us: String*): Seq[String] =
+      us.toDF("u").select(graft.operators.Curation.canonicalUrl(col("u")))
+        .collect().map(_.getString(0)).toSeq
+    // the collapse set: casing/port/fragment/tracking/param order
+    assert(canon(
+      "https://Example.COM/A/b?x=1&y=2",
+      "HTTPS://example.com:443/A/b?y=2&x=1&utm_campaign=z#frag",
+      "https://example.com/A/b?gclid=abc&x=1&fbclid=q&y=2"
+    ).distinct.size == 1)
+    // semantics preserved: PATH case matters, :8080 is not a default
+    // port, a non-tracking param distinguishes, utm alone -> no query
+    assert(canon("https://e.com/A", "https://e.com/a").distinct.size == 2)
+    assert(canon("https://e.com:8080/p") == Seq("https://e.com:8080/p"))
+    assert(canon("https://e.com/p?x=1", "https://e.com/p?x=2").distinct.size == 2)
+    assert(canon("https://e.com/p?utm_source=a") == Seq("https://e.com/p"))
+    // http default port
+    assert(canon("HTTP://E.com:80/p") == Seq("http://e.com/p"))
+    // refuse-to-guess: non-hierarchical strings pass through untouched
+    assert(canon("mailto:a@b.c", "not a url") ==
+      Seq("mailto:a@b.c", "not a url"))
+    // dedup keep rule: first doc per canonical
+    val dd = graft.operators.Curation.urlDedup(Seq(
+        (1L, "https://e.com/p?a=1&b=2"),
+        (2L, "https://E.COM/p?b=2&a=1&utm_x=9"),
+        (3L, "https://e.com/q")).toDF("doc_id", "url"))
+      .select("doc_id", "keep").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(dd == Map(1L -> true, 2L -> false, 3L -> true), dd.toString)
+  }
+
   test("bm25 top-k (r14): plain-Scala re-derivation of the micro-unit " +
        "weights and ranking; a verbatim copy of a corpus doc retrieves " +
        "it at rank 1; the stop-term cap drops hot terms from scoring") {
