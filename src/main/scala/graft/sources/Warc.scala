@@ -39,11 +39,28 @@ object Warc {
   private def isGzip(p: Array[Byte]): Boolean =
     p.length >= 2 && p(0) == GzipMagic(0) && p(1) == GzipMagic(1)
 
+  /** Hard ceiling on INFLATED bytes per payload: a hostile gzip member
+    * can expand ~1000×, so an unbounded readAllBytes is a decompression
+    * bomb (the media decoders' 256 MB per-row discipline applies here
+    * too — an Error no fallback catch makes safe). Payloads inflating
+    * past the cap refuse entirely: a silent truncation would look like
+    * a valid shorter WARC. */
+  private val MaxInflatedBytes = 256 * 1024 * 1024
+
   private def gunzipAll(p: Array[Byte]): Option[Array[Byte]] =
     try {
       val in = new java.util.zip.GZIPInputStream(
         new java.io.ByteArrayInputStream(p))
-      try Some(in.readAllBytes()) finally in.close()
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](64 * 1024)
+        var n = in.read(buf)
+        while (n >= 0 && out.size() <= MaxInflatedBytes) {
+          out.write(buf, 0, n)
+          n = in.read(buf)
+        }
+        if (out.size() > MaxInflatedBytes) None else Some(out.toByteArray)
+      } finally in.close()
     } catch { case _: Exception => None }
 
   /** Index of the CRLFCRLF terminator starting at/after `from`, or -1. */
