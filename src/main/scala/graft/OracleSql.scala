@@ -201,6 +201,12 @@ object OracleSql {
     "sequence_pack" ->
       """WITH t AS (SELECT doc_id, lang, CAST(CEIL(length(text)/4.0) AS BIGINT) AS est_tokens FROM documents), c AS (SELECT doc_id, lang, est_tokens, CAST(COALESCE(SUM(est_tokens) OVER (PARTITION BY lang ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before FROM t) SELECT doc_id, lang, est_tokens, cum_before // 2048 AS bin_id, cum_before % 2048 AS bin_offset, ((cum_before + est_tokens - 1) // 2048) > (cum_before // 2048) AS spans_boundary FROM c ORDER BY lang, doc_id""",
 
+    // HTML extraction (r14): script/style/comment blocks vanish with
+    // their content, tags strip, entities decode, whitespace collapses —
+    // the synthetic page's visible text in closed form
+    "html_extract" ->
+      """SELECT doc_id, 'Doc ' || doc_id || ' Doc ' || doc_id || ' ' || text || ' & more' AS text FROM documents WHERE doc_id % 10 = 8 ORDER BY doc_id""",
+
     // URL dedup (r14): the messy per-slot URL synth + the normalization
     // chain (fragment strip, lowercase scheme://authority, default-port
     // drop, tracking-param drop + param sort) + first-doc-per-canonical

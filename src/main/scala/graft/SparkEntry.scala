@@ -765,6 +765,24 @@ object SparkEntry {
     // counts at the middle level — the structure KenLM builds)
     "perplexity_kn3" -> ((s, d) =>
       TextAnalysis.perplexityKn3(Tables.documents(s, d))),
+    // HTML text extraction (r14 — between the crawl archive and every
+    // text op): per-doc synthetic pages (title, style/script blocks
+    // that must vanish WITH content, comments, entities) whose visible
+    // text is a closed form over the documents table
+    "html_extract" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(s, d).filter(col("doc_id") % 10 === 8)
+      val html = concat(
+        lit("<html><!-- generated\npage --><head><title>Doc "),
+        col("doc_id"), lit("</title><style type=\"text/css\">p { color: red; }</style>"),
+        lit("</head><body><script>var x = 1 < 2;</script><h1>Doc "),
+        col("doc_id"), lit("</h1>\n<p>"), col("text"),
+        lit(" &amp; more</p></body></html>"))
+      TextAnalysis.htmlToText(
+          docs.select(col("doc_id"), html.as("html")))
+        .select(col("doc_id"), col("text"))
+        .orderBy("doc_id")
+    }),
     // URL dedup (r14 — the crawl pipeline's FIRST dedup key): per-doc
     // messy URL variants (casing, :443, fragment, utm params, shuffled
     // param order) that canonicalize into per-group collisions; the

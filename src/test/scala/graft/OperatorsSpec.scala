@@ -177,6 +177,31 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("html extraction (r14): script/style vanish with content at any " +
+       "case, comments span lines, entities decode once and never " +
+       "re-parse as tags, plain text is a fixed point") {
+    import spark.implicits._
+    def x(h: String*): Seq[String] =
+      h.toDF("h").select(TextAnalysis.extractHtmlText(col("h")))
+        .collect().map(_.getString(0)).toSeq
+    assert(x("<p>a</p><SCRIPT src='x'>if (1 < 2) alert('&');</SCRIPT><p>b</p>")
+      == Seq("a b"), "uppercase script must vanish with its content")
+    assert(x("<style>p{}</style>t<STYLE media=\"all\">q{}</STYLE>") == Seq("t"))
+    assert(x("a<!-- multi\nline\ncomment -->b") == Seq("a b"))
+    // entity discipline: decode AFTER the strip (an encoded tag stays
+    // text) and &amp; LAST (&amp;lt; means the literal string "&lt;")
+    assert(x("&lt;script&gt;evil()&lt;/script&gt;") == Seq("<script>evil()</script>"))
+    assert(x("Tom &amp; Jerry, 5 &lt; 6, &quot;q&quot;, it&#39;s, a&nbsp;b")
+      == Seq("Tom & Jerry, 5 < 6, \"q\", it's, a b"))
+    assert(x("&amp;lt;") == Seq("&lt;"))
+    // whitespace collapse + trim; plain text is a fixed point
+    assert(x("  a\n\n  <p> b </p>\tc  ") == Seq("a b c"))
+    assert(x("plain words only") == Seq("plain words only"))
+    // the STATED limitation, asserted so the scaladoc can't drift: a
+    // literal '>' in an attribute value ends the tag early
+    assert(x("<a title=\"x > y\">t</a>") == Seq("y\">t"))
+  }
+
   test("url canonicalization (r14): variants collapse, semantics are " +
        "preserved — case-sensitive path, non-default ports, non-tracking " +
        "params; non-hierarchical inputs pass through") {
