@@ -88,6 +88,17 @@ object OracleSql {
   private val sequencePackSpansSql =
     """WITH t AS (SELECT doc_id, lang, CAST(CEIL(length(text)/4.0) AS BIGINT) AS n FROM documents), c AS (SELECT doc_id, lang, n, CAST(COALESCE(SUM(n) OVER (PARTITION BY lang ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s FROM t), e AS (SELECT doc_id, lang, n, s, UNNEST(range(s // 64, (s + n - 1) // 64 + 1)) AS seq_id FROM c WHERE n > 0) SELECT doc_id, lang, CAST(seq_id AS BIGINT) AS seq_id, CAST(GREATEST(s, seq_id * 64) - s AS BIGINT) AS doc_off, CAST(GREATEST(s, seq_id * 64) - seq_id * 64 AS BIGINT) AS seq_off, CAST(LEAST(s + n, (seq_id + 1) * 64) - GREATEST(s, seq_id * 64) AS BIGINT) AS n_toks FROM e"""
 
+  // the URL canonicalization chain (r14), shared by url_dedup and the
+  // crawl funnel: expects a CTE `u0` carrying (doc_id, url, …) — extra
+  // columns ride the SELECT *s through to `c`
+  private val urlCanonStages =
+    """s1 AS (SELECT *, regexp_replace(url, '#.*$', '') AS base FROM u0), s2 AS (SELECT *, regexp_extract(base, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?]*', 0) AS pre FROM s1), s3 AS (SELECT *, regexp_replace(lower(pre), ':(80|443)$', '') AS pren, substr(base, length(pre) + 1) AS tail FROM s2), s4 AS (SELECT *, regexp_replace(tail, '\?.*$', '') AS path, regexp_extract(tail, '\?(.*)$', 1) AS query FROM s3), s5 AS (SELECT *, list_sort(list_filter(string_split(query, '&'), p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|gclid|fbclid)(=|$)'))) AS params FROM s4), c AS (SELECT *, CASE WHEN pre = '' THEN base ELSE pren || path || (CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&') ELSE '' END) END AS url_canonical FROM s5)"""
+
+  // the per-slot messy URL variants (r14), parameterized on the slice
+  // residue so url_dedup and the crawl funnel state the same synth
+  private def urlVariantCase(residue: Int): String =
+    s"""CASE doc_id % 40 WHEN $residue THEN 'https://news-site.com/Articles/' || a || '?id=1&ref=home' WHEN ${residue + 10} THEN 'HTTPS://News-Site.COM:443/Articles/' || a || '?ref=home&utm_source=feed&id=1' WHEN ${residue + 20} THEN 'https://news-site.com/Articles/' || a || '?id=1&ref=home#section-2' ELSE 'https://news-site.com/Articles/' || a || '?id=2&ref=home' END"""
+
   // MULTI-frame video near-dup (r14): the per-frame pattern arithmetic
   // of Multimodal.syntheticVideoFramePatterns restated verbatim — 3
   // frames per clip, P(x) = md5-60-bit of (anchor + x), slot 1 = slot 0
@@ -201,6 +212,12 @@ object OracleSql {
     "sequence_pack" ->
       """WITH t AS (SELECT doc_id, lang, CAST(CEIL(length(text)/4.0) AS BIGINT) AS est_tokens FROM documents), c AS (SELECT doc_id, lang, est_tokens, CAST(COALESCE(SUM(est_tokens) OVER (PARTITION BY lang ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before FROM t) SELECT doc_id, lang, est_tokens, cum_before // 2048 AS bin_id, cum_before % 2048 AS bin_offset, ((cum_before + est_tokens - 1) // 2048) > (cum_before // 2048) AS spans_boundary FROM c ORDER BY lang, doc_id""",
 
+    // the crawl funnel (r14): WARC → HTML extraction → URL dedup in one
+    // closed form — the per-slot URL synth (residue 3), the extracted
+    // visible text, the canonicalization chain, first-doc-per-canonical
+    "crawl_funnel" ->
+      s"""WITH d0 AS (SELECT doc_id, CAST(doc_id - doc_id % 40 AS VARCHAR) AS a, text AS t0 FROM documents WHERE doc_id % 10 = 3), u0 AS (SELECT doc_id, ${urlVariantCase(3)} AS url, 'Doc ' || doc_id || ' Doc ' || doc_id || ' ' || t0 || ' & more' AS text FROM d0), $urlCanonStages SELECT doc_id, url_canonical, doc_id = MIN(doc_id) OVER (PARTITION BY url_canonical) AS keep, text FROM c ORDER BY doc_id""",
+
     // HTML extraction (r14): script/style/comment blocks vanish with
     // their content, tags strip, entities decode, whitespace collapses —
     // the synthetic page's visible text in closed form
@@ -211,7 +228,7 @@ object OracleSql {
     // chain (fragment strip, lowercase scheme://authority, default-port
     // drop, tracking-param drop + param sort) + first-doc-per-canonical
     "url_dedup" ->
-      """WITH d AS (SELECT doc_id, CAST(doc_id - doc_id % 40 AS VARCHAR) AS a FROM documents WHERE doc_id % 10 = 6), u0 AS (SELECT doc_id, CASE doc_id % 40 WHEN 6 THEN 'https://news-site.com/Articles/' || a || '?id=1&ref=home' WHEN 16 THEN 'HTTPS://News-Site.COM:443/Articles/' || a || '?ref=home&utm_source=feed&id=1' WHEN 26 THEN 'https://news-site.com/Articles/' || a || '?id=1&ref=home#section-2' ELSE 'https://news-site.com/Articles/' || a || '?id=2&ref=home' END AS url FROM d), s1 AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS base FROM u0), s2 AS (SELECT *, regexp_extract(base, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?]*', 0) AS pre FROM s1), s3 AS (SELECT *, regexp_replace(lower(pre), ':(80|443)$', '') AS pren, substr(base, length(pre) + 1) AS tail FROM s2), s4 AS (SELECT *, regexp_replace(tail, '\?.*$', '') AS path, regexp_extract(tail, '\?(.*)$', 1) AS query FROM s3), s5 AS (SELECT *, list_sort(list_filter(string_split(query, '&'), p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|gclid|fbclid)(=|$)'))) AS params FROM s4), c AS (SELECT doc_id, url, CASE WHEN pre = '' THEN base ELSE pren || path || (CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&') ELSE '' END) END AS url_canonical FROM s5) SELECT doc_id, url, url_canonical, doc_id = MIN(doc_id) OVER (PARTITION BY url_canonical) AS keep FROM c ORDER BY doc_id""",
+      s"""WITH d AS (SELECT doc_id, CAST(doc_id - doc_id % 40 AS VARCHAR) AS a FROM documents WHERE doc_id % 10 = 6), u0 AS (SELECT doc_id, ${urlVariantCase(6)} AS url FROM d), $urlCanonStages SELECT doc_id, url, url_canonical, doc_id = MIN(doc_id) OVER (PARTITION BY url_canonical) AS keep FROM c ORDER BY doc_id""",
 
     // WARC ingestion (r14): the synthetic crawl file's three records in
     // closed form — warcinfo (fixed fields), request (the HTTP request

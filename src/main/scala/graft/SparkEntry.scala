@@ -765,6 +765,38 @@ object SparkEntry {
     // counts at the middle level — the structure KenLM builds)
     "perplexity_kn3" -> ((s, d) =>
       TextAnalysis.perplexityKn3(Tables.documents(s, d))),
+    // the CRAWL FUNNEL (r14 capstone — the new pieces composed the way
+    // a real pipeline runs them): per-doc synthetic .warc.gz crawl
+    // files (messy per-slot URLs, HTML bodies) → WARC parse (response
+    // records) → HTML text extraction → URL canonicalization + dedup;
+    // every stage's output is a closed form, so ONE oracle adjudicates
+    // the whole archive-to-corpus chain
+    "crawl_funnel" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      val rows = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 10 === 3).as[(Long, String)]
+      val warcs = rows.mapPartitions(_.map { case (id, text) =>
+        val a = id - id % 40
+        val url = (id % 40) match {
+          case 3  => s"https://news-site.com/Articles/$a?id=1&ref=home"
+          case 13 => s"HTTPS://News-Site.COM:443/Articles/$a?ref=home&utm_source=feed&id=1"
+          case 23 => s"https://news-site.com/Articles/$a?id=1&ref=home#section-2"
+          case _  => s"https://news-site.com/Articles/$a?id=2&ref=home"
+        }
+        val html = s"""<html><!-- generated
+page --><head><title>Doc $id</title><style type="text/css">p { color: red; }</style></head><body><script>var x = 1 < 2;</script><h1>Doc $id</h1>
+<p>$text &amp; more</p></body></html>"""
+        (id, graft.sources.Warc.syntheticWarc(url, "2024-01-01T00:00:00Z",
+          html.getBytes("UTF-8"), gzipped = true))
+      }).toDF("doc_id", "payload")
+      val pages = graft.sources.Warc.readWarc(warcs)
+        .filter(col("warc_type") === "response")
+        .select(col("doc_id"), col("url"), col("body").cast("string").as("html"))
+      Curation.urlDedup(TextAnalysis.htmlToText(pages))
+        .select("doc_id", "url_canonical", "keep", "text")
+        .orderBy("doc_id")
+    }),
     // HTML text extraction (r14 — between the crawl archive and every
     // text op): per-doc synthetic pages (title, style/script blocks
     // that must vanish WITH content, comments, entities) whose visible
