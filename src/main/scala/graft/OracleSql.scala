@@ -92,7 +92,7 @@ object OracleSql {
   // crawl funnel: expects a CTE `u0` carrying (doc_id, url, …) — extra
   // columns ride the SELECT *s through to `c`
   private val urlCanonStages =
-    """s1 AS (SELECT *, regexp_replace(url, '#.*$', '') AS base FROM u0), s2 AS (SELECT *, regexp_extract(base, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?]*', 0) AS pre FROM s1), s3 AS (SELECT *, regexp_replace(lower(pre), ':(80|443)$', '') AS pren, substr(base, length(pre) + 1) AS tail FROM s2), s4 AS (SELECT *, regexp_replace(tail, '\?.*$', '') AS path, regexp_extract(tail, '\?(.*)$', 1) AS query FROM s3), s5 AS (SELECT *, list_sort(list_filter(string_split(query, '&'), p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|gclid|fbclid)(=|$)'))) AS params FROM s4), c AS (SELECT *, CASE WHEN pre = '' THEN base ELSE pren || path || (CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&') ELSE '' END) END AS url_canonical FROM s5)"""
+    """s1 AS (SELECT *, regexp_replace(url, '#.*$', '') AS base FROM u0), s2 AS (SELECT *, regexp_extract(base, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?]*', 0) AS pre FROM s1), s3 AS (SELECT *, regexp_replace(regexp_replace(lower(pre), '^(http://[^/?]*):80$', '\1'), '^(https://[^/?]*):443$', '\1') AS pren, substr(base, length(pre) + 1) AS tail FROM s2), s4 AS (SELECT *, regexp_replace(tail, '\?.*$', '') AS path, regexp_extract(tail, '\?(.*)$', 1) AS query FROM s3), s5 AS (SELECT *, list_sort(list_filter(string_split(query, '&'), p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|gclid|fbclid)(=|$)'))) AS params FROM s4), c AS (SELECT *, CASE WHEN pre = '' THEN base ELSE pren || path || (CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&') ELSE '' END) END AS url_canonical FROM s5)"""
 
   // the per-slot messy URL variants (r14), parameterized on the slice
   // residue so url_dedup and the crawl funnel state the same synth

@@ -496,7 +496,11 @@ object Curation {
     *  1. strip the fragment (`#…` never reaches the server);
     *  2. lowercase scheme + authority (host names are case-insensitive;
     *     the PATH is not — it stays untouched);
-    *  3. drop default ports `:80`/`:443`;
+    *  3. drop the scheme's OWN default port — `:80` only under `http`,
+    *     `:443` only under `https` (r15 ADVICE: an unconditional strip
+    *     merged `http://host:443/p` with `http://host/p`, a genuinely
+    *     different origin — a false-positive merge urlDedup would then
+    *     DROP a distinct document on);
     *  4. drop tracking params (`utm_*`, `gclid`, `fbclid`) and SORT the
     *     surviving query params (param order is not semantic).
     * Non-hierarchical inputs (no `scheme://authority`) pass through
@@ -504,7 +508,8 @@ object Curation {
   def canonicalUrl(u: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val base = regexp_replace(u, "#.*$", "")
     val pre = regexp_extract(base, "^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?]*", 0)
-    val preN = regexp_replace(lower(pre), ":(80|443)$", "")
+    val preN = regexp_replace(regexp_replace(lower(pre),
+      "^(http://[^/?]*):80$", "$1"), "^(https://[^/?]*):443$", "$1")
     val tail = substring(base, length(pre) + 1, lit(1000000))
     val path = regexp_replace(tail, "\\?.*$", "")
     val query = regexp_extract(tail, "\\?(.*)$", 1)
@@ -518,15 +523,26 @@ object Curation {
 
   /** URL-level dedup over a (…, `urlCol`) frame: attach the canonical
     * form and the keep decision (first doc_id per canonical URL — the
-    * refetch-drop rule). One shuffle on the canonical key; the
-    * normalization itself is scan-bound string arithmetic. Output =
-    * input columns + (url_canonical, keep). */
+    * refetch-drop rule). The normalization itself is scan-bound string
+    * arithmetic. Output = input columns + (url_canonical, keep).
+    *
+    * Skew shape (r15 — was `min().over(partitionBy(url_canonical))`):
+    * crawl refetch counts are heavy-tailed — one hot URL refetched 10⁷
+    * times would land in ONE window task. The keep rule is instead a
+    * map-side-combinable `groupBy(canonical).min` (partial aggregation
+    * shrinks the hot key to one row per input partition BEFORE the
+    * exchange) joined back on the canonical key — same semantics, no
+    * single-task hot partition; both sides share the one canonical-key
+    * exchange. PlanSpec pins the shape (partial agg, no Window). */
   def urlDedup(documents: DataFrame, urlCol: String = "url"): DataFrame = {
     val canon = documents.withColumn("url_canonical",
       canonicalUrl(col(urlCol)))
-    canon.withColumn("keep",
-      col("doc_id") === min(col("doc_id"))
-        .over(Window.partitionBy(col("url_canonical"))))
+    val firstSeen = canon.groupBy("url_canonical")
+      .agg(min(col("doc_id")).as("__first_doc"))
+    canon.join(firstSeen, Seq("url_canonical"))
+      .withColumn("keep", col("doc_id") === col("__first_doc"))
+      .select((documents.columns.toSeq :+ "url_canonical" :+ "keep")
+        .map(col): _*)
   }
 
   /** Per-domain quota sampling (the CCNet/RefinedWeb cap that stops one

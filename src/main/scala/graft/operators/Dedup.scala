@@ -1003,12 +1003,6 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
     // no presentation sort — pair-set output, same rationale as minhashLsh
 
-  /** The shared body of [[hammingBandPairs]] (one (doc_id, sig) row per
-    * item, so row pairs ARE item pairs) and [[anyMatchNearDupPairs]]
-    * (multiple sig rows per item, re-aggregated per ITEM pair): emits
-    * exactly one verified row per qualifying (row_a, row_b) signature
-    * pair — the first-agreeing-band rule is per ROW pair, so
-    * multi-signature items still count every matching combination. */
   /** The band descriptor set for a config: per band, the chunk pieces
     * whose agreement defines it. */
   private def bandPieceSets(nChunks: Int, pairBands: Boolean): IndexedSeq[Seq[Int]] =
@@ -1042,6 +1036,12 @@ object Dedup {
         .as(Seq("chunk_idx", "chunk")))
   }
 
+  /** The shared body of [[hammingBandPairs]] (one (doc_id, sig) row per
+    * item, so row pairs ARE item pairs) and [[anyMatchNearDupPairs]]
+    * (multiple sig rows per item, re-aggregated per ITEM pair): emits
+    * exactly one verified row per qualifying (row_a, row_b) signature
+    * pair — the first-agreeing-band rule is per ROW pair, so
+    * multi-signature items still count every matching combination. */
   private def bandedPairFrame(sigs: DataFrame, maxHamming: Int,
                               nChunks: Int, pairBands: Boolean): DataFrame = {
     require(nChunks >= (if (pairBands) 3 else 2) && nChunks <= 64,

@@ -127,10 +127,16 @@ object Warc {
                 }
               }
             out += ((wtype, url, date, status, mime, body))
-            // records terminate with CRLFCRLF; tolerate its absence at EOF
-            val next = blockStart + len.toInt
-            off = if (next + 4 <= bytes.length && bytes(next) == '\r')
-              next + 4 else next
+            // records terminate with CRLFCRLF; tolerate its absence at
+            // EOF and a non-conforming lone CRLF (r15 ADVICE: checking
+            // only the first byte then skipping 4 swallowed the start
+            // of the next header on a lone-CRLF file) — skip exactly
+            // the run of CR/LF framing bytes (a WARC header never
+            // starts with either), never content
+            var next = blockStart + len.toInt
+            while (next < bytes.length &&
+                   (bytes(next) == '\r' || bytes(next) == '\n')) next += 1
+            off = next
           case _ => ok = false
         }
       }

@@ -221,8 +221,12 @@ class OperatorsSpec extends SparkSpec {
     assert(canon("https://e.com:8080/p") == Seq("https://e.com:8080/p"))
     assert(canon("https://e.com/p?x=1", "https://e.com/p?x=2").distinct.size == 2)
     assert(canon("https://e.com/p?utm_source=a") == Seq("https://e.com/p"))
-    // http default port
+    // default ports strip ONLY under their own scheme (r15 ADVICE: an
+    // unconditional strip merged http://host:443 with http://host —
+    // distinct origins, a false-positive urlDedup drop)
     assert(canon("HTTP://E.com:80/p") == Seq("http://e.com/p"))
+    assert(canon("http://e.com:443/p") == Seq("http://e.com:443/p"))
+    assert(canon("https://e.com:80/p") == Seq("https://e.com:80/p"))
     // refuse-to-guess: non-hierarchical strings pass through untouched
     assert(canon("mailto:a@b.c", "not a url") ==
       Seq("mailto:a@b.c", "not a url"))

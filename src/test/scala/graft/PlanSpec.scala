@@ -751,4 +751,17 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"state offsets did not broadcast:\n$plan")
   }
+
+  test("url dedup (r15): the keep rule is a map-side-combinable groupBy " +
+       "min + join back, never a Window on the canonical key — a hot URL " +
+       "refetched 10^7 times must not become one straggler task") {
+    import spark.implicits._
+    val df = Curation.urlDedup(Seq((1L, "https://e.com/p?a=1"))
+      .toDF("doc_id", "url"))
+    val plan = explained(df)
+    assert(plan.contains("partial_min"),
+      s"first-seen rule lost its map-side combine:\n$plan")
+    assert(!plan.contains("Window"),
+      s"keep rule still runs as a hot-key window:\n$plan")
+  }
 }
