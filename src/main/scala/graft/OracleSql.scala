@@ -238,6 +238,13 @@ object OracleSql {
     "warc_ingest" ->
       """WITH u AS (SELECT doc_id, 'https://example.com/doc/' || doc_id AS url, text FROM documents WHERE doc_id % 10 = 4) SELECT * FROM (SELECT doc_id, 0 AS rec_idx, 'warcinfo' AS warc_type, '' AS url, '' AS warc_date, 0 AS http_status, 'application/warc-fields' AS mime, 'software: graft-synth' || chr(13) || chr(10) AS body_text FROM u UNION ALL SELECT doc_id, 1, 'request', url, '2024-01-01T00:00:00Z', 0, 'application/http;msgtype=request', 'GET ' || url || ' HTTP/1.1' || chr(13) || chr(10) || 'Host: example' || chr(13) || chr(10) || chr(13) || chr(10) FROM u UNION ALL SELECT doc_id, 2, 'response', url, '2024-01-01T00:00:00Z', 200, 'text/plain', text FROM u) ORDER BY doc_id, rec_idx""",
 
+    // FILE-scale WARC ingestion (r15): 8 multi-page archives, pages in
+    // doc_id order per file — so a page's record indexes are the closed
+    // form 3·(its rank within its file) + {0,1,2}; the per-record
+    // WARC-Record-ID provenance stamp is stated verbatim
+    "warc_file_ingest" ->
+      """WITH u AS (SELECT doc_id, (doc_id // 10) % 8 AS file_id, 3 * (ROW_NUMBER() OVER (PARTITION BY (doc_id // 10) % 8 ORDER BY doc_id) - 1) AS base_idx, 'https://example.com/doc/' || doc_id AS url, text FROM documents WHERE doc_id % 10 = 2) SELECT * FROM (SELECT doc_id, file_id, base_idx AS rec_idx, '<urn:graft:doc:' || doc_id || ':warcinfo>' AS rec_id, 'warcinfo' AS warc_type, '' AS url, '' AS warc_date, 0 AS http_status, 'application/warc-fields' AS mime, 'software: graft-synth' || chr(13) || chr(10) AS body_text FROM u UNION ALL SELECT doc_id, file_id, base_idx + 1, '<urn:graft:doc:' || doc_id || ':request>', 'request', url, '2024-01-01T00:00:00Z', 0, 'application/http;msgtype=request', 'GET ' || url || ' HTTP/1.1' || chr(13) || chr(10) || 'Host: example' || chr(13) || chr(10) || chr(13) || chr(10) FROM u UNION ALL SELECT doc_id, file_id, base_idx + 2, '<urn:graft:doc:' || doc_id || ':response>', 'response', url, '2024-01-01T00:00:00Z', 200, 'text/plain', text FROM u) ORDER BY doc_id, rec_idx""",
+
     // BM25 top-k (r14): tf/dl/df/N from the %50<>0 corpus, each
     // (term, doc) weight one double chain rounded once to micro-units,
     // per-(query, doc) integer sums, top-5 under the total order

@@ -25,6 +25,11 @@ object SparkEntry {
     *    dedup_semantic_lsh (0.35). */
   private val memo =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** Drop a rig's scratch directory once its result is checkpointed. */
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
+  }
   private def shared(s: SparkSession, d: String, tag: String)
                     (build: => DataFrame): DataFrame =
     memo.getOrElseUpdate(s"${s.sparkContext.applicationId}|$d|$tag",
@@ -765,37 +770,53 @@ object SparkEntry {
     // counts at the middle level — the structure KenLM builds)
     "perplexity_kn3" -> ((s, d) =>
       TextAnalysis.perplexityKn3(Tables.documents(s, d))),
-    // the CRAWL FUNNEL (r14 capstone — the new pieces composed the way
-    // a real pipeline runs them): per-doc synthetic .warc.gz crawl
-    // files (messy per-slot URLs, HTML bodies) → WARC parse (response
-    // records) → HTML text extraction → URL canonicalization + dedup;
-    // every stage's output is a closed form, so ONE oracle adjudicates
-    // the whole archive-to-corpus chain
+    // the CRAWL FUNNEL (r14 capstone, re-based r15 on the FILE-scale
+    // source — the pieces composed the way a real pipeline runs them):
+    // the %3-slice docs become messy-URL HTML pages written as 8
+    // multi-page .warc.gz archive FILES → record-streamed WARC
+    // ingestion (response records, page identity from WARC-Record-ID)
+    // → HTML text extraction → URL canonicalization + dedup; every
+    // stage's output is a closed form, so ONE oracle adjudicates the
+    // whole archive-file-to-corpus chain
     "crawl_funnel" -> ((s, d) => {
-      import s.implicits._
       import org.apache.spark.sql.functions._
-      val rows = Tables.documents(s, d).select(col("doc_id"), col("text"))
-        .filter(col("doc_id") % 10 === 3).as[(Long, String)]
-      val warcs = rows.mapPartitions(_.map { case (id, text) =>
-        val a = id - id % 40
-        val url = (id % 40) match {
-          case 3  => s"https://news-site.com/Articles/$a?id=1&ref=home"
-          case 13 => s"HTTPS://News-Site.COM:443/Articles/$a?ref=home&utm_source=feed&id=1"
-          case 23 => s"https://news-site.com/Articles/$a?id=1&ref=home#section-2"
-          case _  => s"https://news-site.com/Articles/$a?id=2&ref=home"
-        }
-        val html = s"""<html><!-- generated
-page --><head><title>Doc $id</title><style type="text/css">p { color: red; }</style></head><body><script>var x = 1 < 2;</script><h1>Doc $id</h1>
-<p>$text &amp; more</p></body></html>"""
-        (id, graft.sources.Warc.syntheticWarc(url, "2024-01-01T00:00:00Z",
-          html.getBytes("UTF-8"), gzipped = true))
-      }).toDF("doc_id", "payload")
-      val pages = graft.sources.Warc.readWarc(warcs)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_crawlfun_")
+      val a = (col("doc_id") - col("doc_id") % 40).cast("string")
+      val url = when(col("doc_id") % 40 === 3,
+          concat(lit("https://news-site.com/Articles/"), a,
+            lit("?id=1&ref=home")))
+        .when(col("doc_id") % 40 === 13,
+          concat(lit("HTTPS://News-Site.COM:443/Articles/"), a,
+            lit("?ref=home&utm_source=feed&id=1")))
+        .when(col("doc_id") % 40 === 23,
+          concat(lit("https://news-site.com/Articles/"), a,
+            lit("?id=1&ref=home#section-2")))
+        .otherwise(
+          concat(lit("https://news-site.com/Articles/"), a,
+            lit("?id=2&ref=home")))
+      val html = concat(
+        lit("<html><!-- generated\npage --><head><title>Doc "),
+        col("doc_id"), lit("</title><style type=\"text/css\">p { color: red; }</style>"),
+        lit("</head><body><script>var x = 1 < 2;</script><h1>Doc "),
+        col("doc_id"), lit("</h1>\n<p>"), col("text"),
+        lit(" &amp; more</p></body></html>"))
+      graft.sources.Warc.writeArchives(
+        Tables.documents(s, d).filter(col("doc_id") % 10 === 3)
+          .select(expr("(doc_id div 10) % 8").as("file_id"), col("doc_id"),
+            url.as("url"), html.as("text")),
+        tmp.toString)
+      val pages = graft.sources.Warc.readWarcFiles(s, tmp.toString)
         .filter(col("warc_type") === "response")
-        .select(col("doc_id"), col("url"), col("body").cast("string").as("html"))
-      Curation.urlDedup(TextAnalysis.htmlToText(pages))
+        .select(
+          regexp_extract(col("rec_id"), "urn:graft:doc:(\\d+)", 1)
+            .cast("long").as("doc_id"),
+          col("url"), col("body").cast("string").as("html"))
+      val out = Curation.urlDedup(TextAnalysis.htmlToText(pages))
         .select("doc_id", "url_canonical", "keep", "text")
         .orderBy("doc_id")
+        .localCheckpoint()
+      rmTree(tmp.toFile)
+      out
     }),
     // HTML text extraction (r14 — between the crawl archive and every
     // text op): per-doc synthetic pages (title, style/script blocks
@@ -860,6 +881,37 @@ page --><head><title>Doc $id</title><style type="text/css">p { color: red; }</st
           col("warc_date"), col("http_status"), col("mime"),
           col("body").cast("string").as("body_text"))
         .orderBy("doc_id", "rec_idx")
+    }),
+    // FILE-scale WARC ingestion (r15, VERDICT #1 — the difference
+    // between "parses WARC" and "ingests a crawl"): the %2-slice docs
+    // are written as 8 multi-page .warc.gz archive FILES (pages in
+    // doc_id order, per-record gzip members — the CommonCrawl segment
+    // layout), then ingested back through the record-STREAMED source,
+    // whose memory is bounded per RECORD so archive size is unbounded.
+    // Every field — record order within each file included — is a
+    // closed form over the documents table.
+    "warc_file_ingest" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_warcfiles_")
+      graft.sources.Warc.writeArchives(
+        Tables.documents(s, d).filter(col("doc_id") % 10 === 2)
+          .select(expr("(doc_id div 10) % 8").as("file_id"), col("doc_id"),
+            concat(lit("https://example.com/doc/"), col("doc_id")).as("url"),
+            col("text")),
+        tmp.toString)
+      val parsed = graft.sources.Warc.readWarcFiles(s, tmp.toString)
+        .select(
+          regexp_extract(col("rec_id"), "urn:graft:doc:(\\d+)", 1)
+            .cast("long").as("doc_id"),
+          regexp_extract(col("path"), "part-(\\d+)\\.warc\\.gz", 1)
+            .cast("long").as("file_id"),
+          col("rec_idx"), col("rec_id"), col("warc_type"), col("url"),
+          col("warc_date"), col("http_status"), col("mime"),
+          col("body").cast("string").as("body_text"))
+        .orderBy("doc_id", "rec_idx")
+        .localCheckpoint() // materialize so the rig files can go away
+      rmTree(tmp.toFile)
+      parsed
     }),
     // BM25 top-k retrieval (r14): each eval doc (the decontaminate %50
     // slice) retrieves its 5 nearest training docs by Okapi BM25 —

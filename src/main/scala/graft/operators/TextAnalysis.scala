@@ -621,19 +621,35 @@ object TextAnalysis {
     *
     * Shape at scale: tf/dl/df aggregate from one corpus tokenization
     * (the weighted postings table is corpus-token-scale, 16 B/posting);
-    * the 1-row stats and the vocabulary-sized df table broadcast;
-    * query terms join the postings on term — the classic inverted-index
-    * probe, costing Σ_{t ∈ queries} df(t) rows. `maxDf` is the stop-term
-    * cap (the F12 df-cap stance at retrieval granularity): a term in
-    * half the corpus contributes ~zero idf but df(t) join rows, so
-    * production retrieval drops it — the cap states the same trade as
-    * every other df cap here (default uncapped; the oracle states the
-    * identical filter). Per-query top-k rides the bounded-heap
-    * [[graft.plans.TopKPerKey]] node (no full per-query sort); the rank
-    * window runs on the surviving k·|queries| rows. Output
+    * the 1-row stats broadcast; query terms join the postings on term —
+    * the classic inverted-index probe, costing Σ_{t ∈ queries} df(t)
+    * rows. `maxDf` is the stop-term cap (the F12 df-cap stance at
+    * retrieval granularity): a term in half the corpus contributes
+    * ~zero idf but df(t) join rows, so production retrieval drops it —
+    * the cap states the same trade as every other df cap here (default
+    * uncapped; the oracle states the identical filter).
+    *
+    * The vocabulary-sized df table joins the postings under a BUDGET
+    * (r15 — an unconditional `broadcast(dft)` was a driver OOM, not a
+    * slow plan, on a web-scale corpus with 10⁸–10⁹ distinct terms):
+    * `dfBroadcastBudget` = the max df-table row count that may
+    * broadcast. The default (MaxValue) broadcasts unconditionally with
+    * NO extra job — today's plan, right whenever the vocabulary is
+    * known bounded. A finite budget pays ONE count job over the
+    * already-term-keyed df lineage (trivially parallel, once per
+    * retrieval build) and falls back to the shuffle join on `t` when
+    * the vocabulary exceeds it — the t-exchange is already paid by the
+    * df aggregation itself, and AQE still upgrades the shuffle join to
+    * broadcast at runtime if the surviving vocabulary turns out small.
+    * PlanSpec pins BOTH shapes.
+    *
+    * Per-query top-k rides the bounded-heap [[graft.plans.TopKPerKey]]
+    * node (no full per-query sort); the rank window runs on the
+    * surviving k·|queries| rows. Output
     * (query_id, doc_id, score_micro, rank). */
   def bm25TopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
-               maxDf: Long = Long.MaxValue): DataFrame = {
+               maxDf: Long = Long.MaxValue,
+               dfBroadcastBudget: Long = Long.MaxValue): DataFrame = {
     val toks = corpus.select(col("doc_id"), explode(words).as("t"))
       .filter(col("t") =!= "")
     val tf = toks.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
@@ -647,7 +663,11 @@ object TextAnalysis {
     val denom = col("tf").cast("double") + lit(1.2) * (lit(0.25) +
       lit(0.75) * col("dl").cast("double") * col("nd").cast("double") /
         col("toklen").cast("double"))
-    val wtd = tf.join(dl, Seq("doc_id")).join(broadcast(dft), Seq("t"))
+    val dftSized =
+      if (dfBroadcastBudget == Long.MaxValue ||
+          dft.count() <= dfBroadcastBudget) broadcast(dft)
+      else dft
+    val wtd = tf.join(dl, Seq("doc_id")).join(dftSized, Seq("t"))
       .crossJoin(broadcast(stats))
       .select(col("t"), col("doc_id"),
         round(idf * (col("tf").cast("double") * lit(2.2)) / denom * 1e6, 0)

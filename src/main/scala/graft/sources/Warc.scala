@@ -10,6 +10,15 @@ case class WarcRecordRow(doc_id: Long, rec_idx: Int, warc_type: String,
                          url: String, warc_date: String, http_status: Int,
                          mime: String, body: Array[Byte])
 
+/** One parsed record from a WARC archive FILE (the file-scale source
+  * [[Warc.readWarcFiles]]): `path` names the archive, `rec_idx` the
+  * record's position within it, `rec_id` the WARC-Record-ID header —
+  * the provenance key real archives carry per record. */
+case class WarcFileRecordRow(path: String, rec_idx: Int, rec_id: String,
+                             warc_type: String, url: String,
+                             warc_date: String, http_status: Int,
+                             mime: String, body: Array[Byte])
+
 /** WARC (ISO 28500) reader — the format crawl corpora actually arrive
   * in (CommonCrawl ships `.warc.gz`): parse WARC/1.0 records from a
   * binary payload column, per partition, with the per-record-gzip-
@@ -83,6 +92,28 @@ object Warc {
           line.substring(c + 1).trim)
       }.toMap
 
+  /** The HTTP layer of one record block, parsed only for `response`
+    * records: (status, Content-Type, body after the header terminator).
+    * A response block that is not an HTTP message keeps status 0 and
+    * the raw block as the body — never a fabricated status. */
+  private def httpLayer(wtype: String, hdrs: Map[String, String],
+                        block: Array[Byte]): (Int, String, Array[Byte]) =
+    if (wtype != "response") (0, hdrs.getOrElse("content-type", ""), block)
+    else {
+      val hhe = headerEnd(block, 0)
+      val statusLine = new String(block, 0,
+        math.min(block.length, if (hhe < 0) block.length else hhe),
+        "ISO-8859-1").split("\r\n").headOption.getOrElse("")
+      val st = statusLine.split(" ").lift(1).flatMap(_.toIntOption)
+      if (hhe < 0 || !statusLine.startsWith("HTTP/") || st.isEmpty)
+        (0, hdrs.getOrElse("content-type", ""), block)
+      else {
+        val httpHdrs = headerMap(new String(block, 0, hhe, "ISO-8859-1"))
+        (st.get, httpHdrs.getOrElse("content-type", ""),
+          java.util.Arrays.copyOfRange(block, hhe + 4, block.length))
+      }
+    }
+
   /** All records of one (possibly per-record-gzipped) WARC payload, in
     * file order. Malformed input stops the walk — prefix-honest. */
   private[graft] def parseWarc(payload: Array[Byte]): Vector[(String, String, String, Int, String, Array[Byte])] = {
@@ -107,25 +138,7 @@ object Warc {
             val wtype = hdrs.getOrElse("warc-type", "")
             val url = hdrs.getOrElse("warc-target-uri", "")
             val date = hdrs.getOrElse("warc-date", "")
-            // the HTTP layer, response records only
-            val (status, mime, body) =
-              if (wtype != "response") (0, hdrs.getOrElse("content-type", ""), block)
-              else {
-                val hhe = headerEnd(block, 0)
-                val statusLine = new String(block, 0,
-                  math.min(block.length, if (hhe < 0) block.length else hhe),
-                  "ISO-8859-1").split("\r\n").headOption.getOrElse("")
-                val st = statusLine.split(" ").lift(1)
-                  .flatMap(_.toIntOption)
-                if (hhe < 0 || !statusLine.startsWith("HTTP/") || st.isEmpty)
-                  (0, hdrs.getOrElse("content-type", ""), block)
-                else {
-                  val httpHdrs = headerMap(
-                    new String(block, 0, hhe, "ISO-8859-1"))
-                  (st.get, httpHdrs.getOrElse("content-type", ""),
-                    java.util.Arrays.copyOfRange(block, hhe + 4, block.length))
-                }
-              }
+            val (status, mime, body) = httpLayer(wtype, hdrs, block)
             out += ((wtype, url, date, status, mime, body))
             // records terminate with CRLFCRLF; tolerate its absence at
             // EOF and a non-conforming lone CRLF (r15 ADVICE: checking
@@ -160,6 +173,128 @@ object Warc {
       .toDF()
   }
 
+  // ---- file-scale streamed ingestion (r15) ----
+
+  /** Bound on one record's header bytes in the streamed path — a WARC
+    * header is a few hundred bytes; 64 KB of headers without a
+    * terminator is malformed input, not a big record. */
+  private val MaxHeaderBytes = 64 * 1024
+
+  /** Lazy record walk over a streamed (already-inflated) WARC input:
+    * yields (warc headers, block bytes) record-at-a-time, reading the
+    * bounded header then EXACTLY Content-Length block bytes — memory is
+    * bounded per RECORD (the whole-payload path's 256 MB inflated
+    * ceiling moved down one level, so an archive of ANY size walks).
+    * Prefix-honest like [[parseWarc]]: bad magic, a missing/over-cap
+    * Content-Length, a truncated block, or an I/O/decompression error
+    * mid-stream all STOP the walk at the last good record — never a
+    * fabricated or silently-skipped record. Inter-record CR/LF framing
+    * runs are skipped (a header never starts with either byte). */
+  private[graft] def recordIterator(
+      in: java.io.InputStream): Iterator[(Map[String, String], Array[Byte])] =
+    new Iterator[(Map[String, String], Array[Byte])] {
+      private var nextRec: (Map[String, String], Array[Byte]) = _
+      private var done = false
+      private def stop(): Unit = { done = true; nextRec = null }
+      private def advance(): Unit = {
+        nextRec = null
+        try {
+          // skip inter-record CR/LF framing; EOF here is a clean end
+          var b = in.read()
+          while (b == '\r' || b == '\n') b = in.read()
+          if (b < 0) { done = true; return }
+          // header bytes up to CRLFCRLF, bounded
+          val hb = new java.io.ByteArrayOutputStream(512)
+          hb.write(b)
+          var tail = 0L // last 4 bytes, rolling
+          while (tail != 0x0d0a0d0aL && hb.size() < MaxHeaderBytes) {
+            val c = in.read()
+            if (c < 0) { stop(); return }
+            hb.write(c)
+            tail = ((tail << 8) | c) & 0xffffffffL
+          }
+          if (tail != 0x0d0a0d0aL) { stop(); return }
+          val text = new String(hb.toByteArray, 0, hb.size() - 4, "ISO-8859-1")
+          if (!text.startsWith("WARC/1.0")) { stop(); return }
+          val hdrs = headerMap(text)
+          hdrs.get("content-length").flatMap(_.toLongOption) match {
+            case Some(len) if len >= 0 && len <= MaxInflatedBytes =>
+              val block = in.readNBytes(len.toInt)
+              if (block.length < len) stop()
+              else nextRec = (hdrs, block)
+            case _ => stop()
+          }
+        } catch { case _: java.io.IOException => stop() }
+      }
+      advance()
+      override def hasNext: Boolean = !done && nextRec != null
+      override def next(): (Map[String, String], Array[Byte]) = {
+        val r = nextRec; advance(); r
+      }
+    }
+
+  /** File-scale WARC ingestion (r15 — the gap between "parses WARC" and
+    * "ingests a crawl"): a production CommonCrawl segment is ~1 GB
+    * gzipped / 3–5 GB inflated, so the one-archive-per-row path
+    * ([[readWarc]], whose decompression-bomb ceiling refuses payloads
+    * past 256 MB inflated) can never ingest a real archive. This source
+    * lists `.warc` / `.warc.gz` archive FILES under `dir` and parses
+    * each record-at-a-time from the streamed input ([[recordIterator]]
+    * — the warcio pattern), so per-task memory is bounded by one RECORD
+    * regardless of archive size. `GZIPInputStream` reads concatenated
+    * members transparently, covering both the per-record-member
+    * CommonCrawl layout and whole-file compression in one code path.
+    *
+    * Scale shape: one task per archive file — the crawl segment is the
+    * natural work unit (a CommonCrawl crawl ships ~90k ~1 GB segments,
+    * saturating any cluster on files, never needing sub-file splits;
+    * gzip is not splittable anyway); the listing is file-NAME-scale
+    * driver work through the Hadoop FileSystem API, so the same call
+    * reads local, HDFS, or object-store paths. Prefix-honest PER FILE:
+    * malformed input stops that file's walk at its last good record,
+    * other files are unaffected.
+    *
+    * Output: one row per record — (path, rec_idx, rec_id, warc_type,
+    * url, warc_date, http_status, mime, body), rec_id = the record's
+    * WARC-Record-ID (the field real WARCs key provenance on). */
+  def readWarcFiles(spark: org.apache.spark.sql.SparkSession,
+                    dir: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val paths = fs.listStatus(root).filter(_.isFile)
+      .map(_.getPath.toString)
+      .filter(p => p.endsWith(".warc") || p.endsWith(".warc.gz"))
+      .sorted.toSeq
+    val rdd = spark.sparkContext
+      .parallelize(paths, math.max(1, paths.size))
+      .flatMap { p =>
+        val path = new org.apache.hadoop.fs.Path(p)
+        val pfs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val raw = new java.io.BufferedInputStream(pfs.open(path), 1 << 16)
+        val in =
+          if (p.endsWith(".gz"))
+            new java.util.zip.GZIPInputStream(raw, 1 << 16)
+          else raw
+        val recs = recordIterator(in).zipWithIndex.map {
+          case ((hdrs, block), i) =>
+            val wtype = hdrs.getOrElse("warc-type", "")
+            val (status, mime, body) = httpLayer(wtype, hdrs, block)
+            WarcFileRecordRow(p, i, hdrs.getOrElse("warc-record-id", ""),
+              wtype, hdrs.getOrElse("warc-target-uri", ""),
+              hdrs.getOrElse("warc-date", ""), status, mime, body)
+        }
+        new Iterator[WarcFileRecordRow] { // close at end-of-walk
+          override def hasNext: Boolean = {
+            val h = recs.hasNext
+            if (!h) in.close()
+            h
+          }
+          override def next(): WarcFileRecordRow = recs.next()
+        }
+      }
+    spark.createDataFrame(rdd)
+  }
+
   // ---- synthetic writers (the test/driver rig — no crawl data ships) ----
 
   private def crlfJoin(lines: Seq[String]): Array[Byte] =
@@ -183,24 +318,81 @@ object Warc {
 
   /** A deterministic crawl-shaped WARC for one page: warcinfo + request
     * + response (HTTP 200, text/plain, `body`), each record its OWN
-    * gzip member when `gzipped` (the CommonCrawl layout). */
+    * gzip member when `gzipped` (the CommonCrawl layout). A non-empty
+    * `recordIdBase` stamps each record's WARC-Record-ID as
+    * `<recordIdBase:warc-type>` — the provenance key the file-scale
+    * source surfaces, letting multi-page archive rigs recover which
+    * page a record came from without trusting row order. */
   def syntheticWarc(url: String, date: String, body: Array[Byte],
-                    gzipped: Boolean = false): Array[Byte] = {
+                    gzipped: Boolean = false,
+                    recordIdBase: String = ""): Array[Byte] = {
+    def rid(kind: String): Seq[(String, String)] =
+      if (recordIdBase.isEmpty) Seq.empty
+      else Seq("WARC-Record-ID" -> s"<$recordIdBase:$kind>")
     val info = warcRecord(
-      Seq("WARC-Type" -> "warcinfo", "Content-Type" -> "application/warc-fields"),
+      rid("warcinfo") ++ Seq("WARC-Type" -> "warcinfo",
+        "Content-Type" -> "application/warc-fields"),
       "software: graft-synth\r\n".getBytes("ISO-8859-1"))
     val req = warcRecord(
-      Seq("WARC-Type" -> "request", "WARC-Target-URI" -> url,
+      rid("request") ++ Seq("WARC-Type" -> "request", "WARC-Target-URI" -> url,
         "WARC-Date" -> date, "Content-Type" -> "application/http;msgtype=request"),
       s"GET $url HTTP/1.1\r\nHost: example\r\n\r\n".getBytes("ISO-8859-1"))
     val httpBlock = crlfJoin(Seq("HTTP/1.1 200 OK",
       "Content-Type: text/plain",
       s"Content-Length: ${body.length}")) ++ body
     val resp = warcRecord(
-      Seq("WARC-Type" -> "response", "WARC-Target-URI" -> url,
+      rid("response") ++ Seq("WARC-Type" -> "response", "WARC-Target-URI" -> url,
         "WARC-Date" -> date, "Content-Type" -> "application/http;msgtype=response"),
       httpBlock)
     if (gzipped) gzipMember(info) ++ gzipMember(req) ++ gzipMember(resp)
     else info ++ req ++ resp
+  }
+
+  /** Write a (file_id, doc_id, url, text) frame as one multi-page
+    * per-record-gzipped archive per file_id under `dir` — each task
+    * streams ITS archives page-at-a-time through
+    * [[writeSyntheticArchive]] (bounded memory: never more than one
+    * page's bytes held), mirroring how a crawler writes segments.
+    * Record IDs stamp `urn:graft:doc:<doc_id>` so readers recover page
+    * identity from the archive itself. Test/driver rig only. */
+  def writeArchives(docs: DataFrame, dir: String): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("file_id").cast("long"), col("doc_id"),
+        col("url"), col("text"))
+      .as[(Long, Long, String, String)]
+      .repartition(col("file_id"))
+      .sortWithinPartitions("file_id", "doc_id")
+      .foreachPartition { (it: Iterator[(Long, Long, String, String)]) =>
+        val buf = it.buffered
+        while (buf.hasNext) {
+          val fid = buf.head._1
+          val pages = new Iterator[(String, String, Array[Byte])] {
+            override def hasNext: Boolean =
+              buf.hasNext && buf.head._1 == fid
+            override def next(): (String, String, Array[Byte]) = {
+              val (_, id, url, text) = buf.next()
+              (s"urn:graft:doc:$id", url, text.getBytes("UTF-8"))
+            }
+          }
+          writeSyntheticArchive(dir, f"part-$fid%05d.warc.gz", pages)
+        }
+      }
+  }
+
+  /** Write one synthetic multi-page archive FILE: the pages' per-record
+    * gzip members concatenated into `<dir>/<name>` through the Hadoop
+    * filesystem (so the rig writes wherever the source reads). Each
+    * page is (recordIdBase, url, body). Test/driver rig only. */
+  def writeSyntheticArchive(dir: String, name: String,
+                            pages: Iterator[(String, String, Array[Byte])],
+                            date: String = "2024-01-01T00:00:00Z"): Unit = {
+    val path = new org.apache.hadoop.fs.Path(dir, name)
+    val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val out = fs.create(path, true)
+    try pages.foreach { case (base, url, body) =>
+      out.write(syntheticWarc(url, date, body, gzipped = true,
+        recordIdBase = base))
+    } finally out.close()
   }
 }

@@ -1298,4 +1298,57 @@ class FormatSpec extends SparkSpec {
     assert(df == Set((7L, 0, "warcinfo"), (7L, 1, "request"),
       (7L, 2, "response")))
   }
+
+  test("WARC file source (r15): an archive OVER the whole-payload " +
+       "inflated cap parses record-streamed; per-record provenance ids " +
+       "surface; mid-archive garbage is prefix-honest per FILE") {
+    import graft.sources.Warc
+    val dir = java.nio.file.Files.createTempDirectory("graft_warcspec_")
+    try {
+      // 300 pages x ~1 MB bodies = ~300 MB inflated — past the 256 MB
+      // whole-payload ceiling, yet tiny gzipped (compressible bodies)
+      val body = new Array[Byte](1024 * 1024) // zeros compress ~1000x
+      Warc.writeSyntheticArchive(dir.toString, "big.warc.gz",
+        (0 until 300).iterator.map(i =>
+          (s"urn:graft:doc:$i", s"https://x/$i", body)))
+      val bytes = java.nio.file.Files.readAllBytes(dir.resolve("big.warc.gz"))
+      assert(Warc.parseWarc(bytes).isEmpty,
+        "whole-payload path must refuse a >256MB-inflated archive")
+      // a second, small file proves per-file isolation + field recovery
+      Warc.writeSyntheticArchive(dir.toString, "small.warc.gz",
+        Iterator(("urn:graft:doc:900", "https://x/900",
+          "tiny page".getBytes("UTF-8"))))
+      val rows = Warc.readWarcFiles(spark, dir.toString)
+      val perFile = rows.groupBy("path").count().collect()
+        .map(r => (r.getString(0).split("/").last, r.getLong(1))).toMap
+      assert(perFile == Map("big.warc.gz" -> 900L, "small.warc.gz" -> 3L),
+        perFile.toString)
+      val resp = rows.filter(col("warc_type") === "response" &&
+          col("rec_id") === "<urn:graft:doc:900:response>")
+        .select("rec_idx", "url", "http_status", "mime").collect()
+      assert(resp.length == 1 && resp(0).getInt(0) == 2 &&
+        resp(0).getString(1) == "https://x/900" &&
+        resp(0).getInt(2) == 200 && resp(0).getString(3) == "text/plain")
+      // record indexes within the big file follow archive order exactly
+      val idx17 = rows.filter(col("rec_id") === "<urn:graft:doc:17:response>")
+        .select("rec_idx").collect()
+      assert(idx17.map(_.getInt(0)).toSeq == Seq(17 * 3 + 2))
+      // mid-archive garbage: the walk keeps the records BEFORE it and
+      // stops — never fabricates, never skips-and-continues
+      val out = new java.io.FileOutputStream(
+        dir.resolve("broken.warc.gz").toFile)
+      out.write(java.nio.file.Files.readAllBytes(dir.resolve("small.warc.gz")))
+      out.write("this is not a gzip member".getBytes("UTF-8"))
+      out.close()
+      val broken = Warc.readWarcFiles(spark, dir.toString)
+        .filter(col("path").endsWith("broken.warc.gz"))
+      assert(broken.count() == 3,
+        "prefix-honest: the 3 records before the garbage survive")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir.toFile)
+    }
+  }
 }

@@ -693,6 +693,31 @@ class PlanSpec extends SparkSpec {
       s"a corpus-scale frame entered a sort-merge join:\n$plan")
   }
 
+  test("bm25 top-k (r15): a vocabulary OVER the broadcast budget falls " +
+       "back to the shuffle join on t — a web-scale term table must " +
+       "never be a forced driver-side broadcast") {
+    val docs = Tables.documents(spark, sf)
+    // the sf0.001 frames sit under autoBroadcastJoinThreshold, so the
+    // planner broadcasts from SIZE stats with or without a hint —
+    // disable that to observe the hint itself
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = TextAnalysis.bm25TopK(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0),
+        dfBroadcastBudget = 0L)
+      val plan = df.queryExecution.sparkPlan.toString
+      // the t-join plans as an exchange-backed join (AQE may still
+      // upgrade it at runtime if the vocab proves small — that's the
+      // point of the budget: a HINT, not a forced driver materialize)
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"over-budget vocab still forced a broadcast:\n$plan")
+      assert(!plan.contains("BroadcastHashJoin [t#"),
+        s"the df table still broadcast-joins on t over budget:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
+
   test("any-match near-dup (r14): the doc-level collapse aggregates the " +
        "VERIFIED match set, not candidates — the hamming filter sits " +
        "under the aggregation, the band join is the one shuffle join") {
