@@ -224,6 +224,21 @@ object OracleSql {
     "html_extract" ->
       """SELECT doc_id, 'Doc ' || doc_id || ' Doc ' || doc_id || ' ' || text || ' & more' AS text FROM documents WHERE doc_id % 10 = 8 ORDER BY doc_id""",
 
+    // the full crawl-curation pipeline (r15 capstone): archive files →
+    // streamed WARC → boilerplate removal (body verbatim, chrome gone)
+    // → URL dedup → exact-content dedup (the planted syndicated copy
+    // at a distinct canonical URL) → lang-ID → Gopher gauntlet; one
+    // per-document fate table restating every stage's closed form
+    "crawl_curation" ->
+      s"""WITH sl AS (SELECT doc_id, doc_id - doc_id % 40 AS grp, text FROM documents WHERE doc_id % 10 = 9), an AS (SELECT doc_id - doc_id % 40 AS grp, text AS atext FROM documents WHERE doc_id % 40 = 9), b AS (SELECT sl.doc_id, CAST(sl.grp AS VARCHAR) AS a, CASE WHEN sl.doc_id % 40 = 39 THEN COALESCE(an.atext, sl.text) ELSE sl.text END AS text FROM sl LEFT JOIN an ON sl.grp = an.grp), u0 AS (SELECT doc_id, text, ${urlVariantCase(9)} AS url FROM b), $urlCanonStages, uk AS (SELECT doc_id, text, url_canonical, doc_id = MIN(doc_id) OVER (PARTITION BY url_canonical) AS ukeep FROM c), ek AS (SELECT doc_id, doc_id = MIN(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS ckeep FROM uk WHERE ukeep), h AS (SELECT doc_id, len(list_intersect($docWords, ['der','die','das','und','ist','nicht','mit','ein'])) AS hits_de, len(list_intersect($docWords, ['the','a','of','and','is','not','with','to'])) AS hits_en, len(list_intersect($docWords, ['el','la','de','y','es','no','con','un'])) AS hits_es, len(list_intersect($docWords, ['le','la','de','et','est','pas','avec','un'])) AS hits_fr FROM uk), lng AS (SELECT doc_id, CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'und' WHEN hits_de = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'de' WHEN hits_en = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'en' WHEN hits_es = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'es' ELSE 'fr' END AS predicted_lang FROM h), mw AS (SELECT doc_id, list_filter(string_split(lower(trim(text)), ' '), x -> x <> '') AS w, text FROM uk), m AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words, CAST(length(array_to_string(w, '')) AS BIGINT) AS sum_chars, CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash, CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_ell, CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha, CAST(len(list_filter(w, x -> x IN ('the','be','to','of','and','that','have','with'))) AS BIGINT) AS n_stop FROM mw), f AS (SELECT doc_id, n_words, CASE WHEN n_words < 50 THEN 'too_few_words' WHEN n_words > 100000 THEN 'too_many_words' WHEN sum_chars < n_words * 3 OR sum_chars > n_words * 10 THEN 'word_len_out_of_band' WHEN (n_hash + n_ell) * 10 > n_words THEN 'symbol_ratio' WHEN n_alpha * 5 < n_words * 4 THEN 'low_alpha_fraction' WHEN n_stop < 2 THEN 'too_few_stopwords' ELSE NULL END AS ff FROM m) SELECT uk.doc_id, uk.url_canonical, lng.predicted_lang, f.n_words, CASE WHEN NOT uk.ukeep THEN 'url_dup' WHEN NOT ek.ckeep THEN 'exact_dup' WHEN f.ff IS NOT NULL THEN f.ff ELSE 'kept' END AS fate FROM uk LEFT JOIN ek ON uk.doc_id = ek.doc_id JOIN lng ON uk.doc_id = lng.doc_id JOIN f ON uk.doc_id = f.doc_id ORDER BY uk.doc_id""",
+
+    // block-level boilerplate removal (r15): the planted chrome — nav
+    // menu, cookie banner, heading, read-more row, link-dense footer —
+    // classifies out on the integer length + link-density gate; only
+    // the body paragraph survives, verbatim
+    "boilerplate_extract" ->
+      """SELECT doc_id, 'Doc ' || doc_id || ' body text: ' || text || ' and more tail words' AS text FROM documents WHERE doc_id % 10 = 7 ORDER BY doc_id""",
+
     // URL dedup (r14): the messy per-slot URL synth + the normalization
     // chain (fragment strip, lowercase scheme://authority, default-port
     // drop, tracking-param drop + param sort) + first-doc-per-canonical

@@ -836,6 +836,118 @@ object SparkEntry {
         .select(col("doc_id"), col("text"))
         .orderBy("doc_id")
     }),
+    // the FULL CRAWL-CURATION pipeline (r15 capstone, VERDICT stretch
+    // #8 — the FineWeb shape at production composition depth): archive
+    // FILES → record-streamed WARC ingestion → block-level boilerplate
+    // removal → URL dedup → exact-content dedup → lang-ID → Gopher
+    // gauntlet, reported as ONE per-document fate table a single
+    // oracle adjudicates. The rig plants every fate: refetch URL
+    // variants (url_dup), a syndicated copy of the group anchor's body
+    // at a DIFFERENT canonical URL (exact_dup — the case URL dedup
+    // structurally cannot catch), and bodies that pass or fail the
+    // gauntlet on their own text.
+    "crawl_curation" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_crawlcur_")
+      val docs = Tables.documents(s, d)
+      val slice = docs.filter(col("doc_id") % 10 === 9)
+        .select(col("doc_id"), (col("doc_id") - col("doc_id") % 40).as("grp"),
+          col("text"))
+      val anchors = docs.filter(col("doc_id") % 40 === 9)
+        .select((col("doc_id") - col("doc_id") % 40).as("grp"),
+          col("text").as("atext"))
+      val withBody = slice.join(broadcast(anchors), Seq("grp"), "left")
+        .select(col("doc_id"), col("grp"),
+          when(col("doc_id") % 40 === 39, coalesce(col("atext"), col("text")))
+            .otherwise(col("text")).as("body"))
+      val a = col("grp").cast("string")
+      val url = when(col("doc_id") % 40 === 9,
+          concat(lit("https://news-site.com/Articles/"), a,
+            lit("?id=1&ref=home")))
+        .when(col("doc_id") % 40 === 19,
+          concat(lit("HTTPS://News-Site.COM:443/Articles/"), a,
+            lit("?ref=home&utm_source=feed&id=1")))
+        .when(col("doc_id") % 40 === 29,
+          concat(lit("https://news-site.com/Articles/"), a,
+            lit("?id=1&ref=home#section-2")))
+        .otherwise(
+          concat(lit("https://news-site.com/Articles/"), a,
+            lit("?id=2&ref=home")))
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id"),
+        lit("</title></head><body><nav><a href=\"/\">Home</a> " +
+          "<a href=\"/about\">About</a> <a href=\"/contact\">Contact</a>" +
+          "</nav><div class=\"cookie\">Accept cookies</div><p>"),
+        col("body"),
+        lit("</p><footer><a href=\"/terms\">Terms</a> " +
+          "<a href=\"/privacy\">Privacy</a> " +
+          "<a href=\"/imprint\">Imprint</a> 2024</footer></body></html>"))
+      graft.sources.Warc.writeArchives(
+        withBody.select(expr("(doc_id div 10) % 8").as("file_id"),
+          col("doc_id"), url.as("url"), html.as("text")),
+        tmp.toString)
+      val pages = graft.sources.Warc.readWarcFiles(s, tmp.toString)
+        .filter(col("warc_type") === "response")
+        .select(
+          regexp_extract(col("rec_id"), "urn:graft:doc:(\\d+)", 1)
+            .cast("long").as("doc_id"),
+          col("url"), col("body").cast("string").as("html"))
+      val ext = TextAnalysis.htmlToMainText(pages) // doc_id, url, text
+      val ud = Curation.urlDedup(ext)              // + url_canonical, keep
+      // exact-content dedup among URL survivors — Dedup.exact's digest +
+      // first-seen rule in the skew-safe groupBy-min shape
+      val survivors = ud.filter(col("keep"))
+        .select(col("doc_id"), md5(lower(trim(col("text")))).as("digest"))
+      val firstSeen = survivors.groupBy("digest")
+        .agg(min("doc_id").as("__first"))
+      val contentKeep = survivors.join(firstSeen, Seq("digest"))
+        .select(col("doc_id"),
+          (col("doc_id") === col("__first")).as("content_keep"))
+      val lang = TextAnalysis.langId(ext.select("doc_id", "text"))
+        .select(col("doc_id"), col("predicted_lang"))
+      val gq = TextAnalysis.gopherQuality(ext.select("doc_id", "text"))
+        .select(col("doc_id"), col("n_words"), col("first_fail"))
+      val out = ud.select("doc_id", "url_canonical", "keep")
+        .join(contentKeep, Seq("doc_id"), "left")
+        .join(lang, Seq("doc_id"))
+        .join(gq, Seq("doc_id"))
+        .select(col("doc_id"), col("url_canonical"), col("predicted_lang"),
+          col("n_words"),
+          when(!col("keep"), lit("url_dup"))
+            .when(!col("content_keep"), lit("exact_dup"))
+            .when(col("first_fail") =!= "", col("first_fail"))
+            .otherwise(lit("kept")).as("fate"))
+        .orderBy("doc_id")
+        .localCheckpoint()
+      rmTree(tmp.toFile)
+      out
+    }),
+    // block-level boilerplate removal (r15, VERDICT #2 — the C4/CCNet
+    // step plain html_extract lacks): per-doc pages planted with the
+    // chrome every crawl page shares — a nav menu, a cookie banner, a
+    // short heading, a read-more row, a link-dense footer — around one
+    // body paragraph built from the doc text; the all-integer
+    // length + link-density gate keeps exactly the body, so the
+    // expected text is a closed form
+    "boilerplate_extract" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(s, d).filter(col("doc_id") % 10 === 7)
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id"),
+        lit("</title></head><body><nav><a href=\"/\">Home</a> " +
+          "<a href=\"/about\">About</a> <a href=\"/contact\">Contact</a>" +
+          "</nav><div class=\"cookie\">Accept cookies</div><h1>Doc "),
+        col("doc_id"),
+        lit("</h1><p>Doc "), col("doc_id"), lit(" body text: "), col("text"),
+        lit(" and more tail words</p><div><a href=\"/x\">Read more</a>" +
+          "</div><footer><a href=\"/terms\">Terms</a> " +
+          "<a href=\"/privacy\">Privacy</a> " +
+          "<a href=\"/imprint\">Imprint</a> 2024</footer></body></html>"))
+      TextAnalysis.htmlToMainText(
+          docs.select(col("doc_id"), html.as("html")))
+        .select(col("doc_id"), col("text"))
+        .orderBy("doc_id")
+    }),
     // URL dedup (r14 — the crawl pipeline's FIRST dedup key): per-doc
     // messy URL variants (casing, :443, fragment, utm params, shuffled
     // param order) that canonicalize into per-group collisions; the

@@ -581,18 +581,94 @@ object TextAnalysis {
     * C4-grade extractor — a literal '>' inside an attribute value ends
     * the tag early, and no DOM/boilerplate heuristics run (trafilatura-
     * class extraction is a library seam, like the media codecs). */
-  def extractHtmlText(html: Column): Column = {
-    val noScript = regexp_replace(
+  def extractHtmlText(html: Column): Column =
+    visibleText(dropScriptStyleComments(html))
+
+  /** Stages 1–2 of [[extractHtmlText]]: script/style elements WITH
+    * their content, then comments. Shared with [[htmlMainText]], which
+    * must run them BEFORE block segmentation (a commented-out block tag
+    * is not a block boundary). */
+  private def dropScriptStyleComments(html: Column): Column =
+    regexp_replace(regexp_replace(
       regexp_replace(html, "(?is)<script\\b[^>]*>.*?</script\\s*>", " "),
-      "(?is)<style\\b[^>]*>.*?</style\\s*>", " ")
-    val noComment = regexp_replace(noScript, "(?s)<!--.*?-->", " ")
-    val noTags = regexp_replace(noComment, "(?s)<[^>]*>", " ")
+      "(?is)<style\\b[^>]*>.*?</style\\s*>", " "),
+      "(?s)<!--.*?-->", " ")
+
+  /** Stages 3–5 of [[extractHtmlText]] (tag strip, entity decode,
+    * whitespace collapse) — the per-FRAGMENT visible text, reused per
+    * block by [[htmlMainText]]. */
+  private def visibleText(frag: Column): Column = {
+    val noTags = regexp_replace(frag, "(?s)<[^>]*>", " ")
     val ent = regexp_replace(regexp_replace(regexp_replace(
       regexp_replace(regexp_replace(regexp_replace(noTags,
         "&lt;", "<"), "&gt;", ">"), "&quot;", "\""), "&#39;", "'"),
       "&nbsp;", " "), "&amp;", "&")
     trim(regexp_replace(ent, "\\s+", " "))
   }
+
+  /** The block-level tags a text-density extractor segments on — the
+    * jusText/trafilatura block vocabulary (inline tags like a/span/b
+    * stay inside their block). */
+  private val blockTagAlt =
+    "(?:p|div|h[1-6]|li|ul|ol|dl|dt|dd|nav|footer|header|aside|section" +
+      "|article|main|table|thead|tbody|tr|td|th|blockquote|form|pre)"
+
+  /** Block-level boilerplate removal (r15 — the C4/CCNet step between
+    * raw HTML and every text op: [[extractHtmlText]] keeps nav menus,
+    * footers, and cookie banners, the chrome every page shares — text
+    * that poisons downstream dedup and quality scores). jusText-style
+    * classification, all-integer (the D58 discipline — no floats, so
+    * the verdict is engine-portable bit-for-bit):
+    *
+    *  1. segment on block-level tags (lookahead split — each block
+    *     starts at its opening tag; script/style/comments dropped
+    *     FIRST so a commented-out `<div` is not a boundary);
+    *  2. per block, over its VISIBLE text: word count `nw`, char count
+    *     `nc`, and the chars of anchor-enclosed visible text `la`
+    *     (the jusText link-density numerator);
+    *  3. a block survives iff `nw >= minWords` (chrome is short: nav
+    *     items, cookie buttons, headings) AND
+    *     `la * 100 <= nc * maxLinkDensityPct` (chrome is link-dense:
+    *     menus, footers, read-more rows) AND — only when a stopword
+    *     list is supplied — `stop-count * 100 >= nw * minStopwordPct`
+    *     (jusText's full gate; corpus-dependent, so OFF by default);
+    *  4. surviving blocks' visible text joins with single spaces.
+    *
+    * Everything is one codegen'd scan: split + higher-order filter/
+    * transform over the block array — no explode, no shuffle, no UDF.
+    * STATED LIMITATION: the same C4-grade HTML caveats as
+    * [[extractHtmlText]] (a literal '>' inside an attribute ends the
+    * tag early); thresholds are the classifier, not a DOM parse. */
+  def htmlMainText(html: Column, maxLinkDensityPct: Int = 20,
+                   minWords: Int = 4, minStopwordPct: Int = 0,
+                   stopwords: Seq[String] = Nil): Column = {
+    require(maxLinkDensityPct >= 0 && maxLinkDensityPct <= 100,
+      s"maxLinkDensityPct must be a percentage, got $maxLinkDensityPct")
+    val blocks = split(dropScriptStyleComments(html),
+      s"(?i)(?=<$blockTagAlt\\b)")
+    val kept = filter(blocks, b => {
+      val vis = visibleText(b)
+      val ws = filter(split(vis, " "), w => w =!= "")
+      val nw = size(ws)
+      val linkVis = visibleText(array_join(
+        regexp_extract_all(b, lit("(?is)<a\\b[^>]*>(.*?)</a\\s*>"), lit(1)),
+        " "))
+      val lengthOk = nw >= minWords
+      val linkOk = length(linkVis) * 100 <= length(vis) * maxLinkDensityPct
+      val stopOk =
+        if (stopwords.isEmpty || minStopwordPct <= 0) lit(true)
+        else size(filter(ws, w => lower(w).isInCollection(stopwords))) *
+          100 >= nw * minStopwordPct
+      lengthOk && linkOk && stopOk
+    })
+    trim(regexp_replace(
+      array_join(transform(kept, b => visibleText(b)), " "), "\\s+", " "))
+  }
+
+  /** (doc_id, text) projection of [[htmlMainText]] over a crawl frame —
+    * the boilerplate-free sibling of [[htmlToText]]. */
+  def htmlToMainText(pages: DataFrame, htmlCol: String = "html"): DataFrame =
+    pages.withColumn("text", htmlMainText(col(htmlCol))).drop(htmlCol)
 
   /** (doc_id, text) from a crawl frame's HTML payload column — the
     * scan-bound projection that feeds the rest of the pipeline. */

@@ -202,6 +202,50 @@ class OperatorsSpec extends SparkSpec {
     assert(x("<a title=\"x > y\">t</a>") == Seq("y\">t"))
   }
 
+  test("boilerplate removal (r15): planted nav/footer/cookie chrome " +
+       "drops, body text survives verbatim; the link-density and " +
+       "stopword gates classify on exact integer thresholds") {
+    import spark.implicits._
+    def main(html: String, stopPct: Int = 0, stops: Seq[String] = Nil): String =
+      Seq(html).toDF("h")
+        .select(graft.operators.TextAnalysis.htmlMainText(col("h"),
+          minStopwordPct = stopPct, stopwords = stops))
+        .collect().head.getString(0)
+    // the full planted page: every chrome block drops, body survives
+    val page = """<html><head><title>Doc 7</title></head><body>
+      <nav><a href="/">Home</a> <a href="/a">About</a> <a href="/c">Contact</a></nav>
+      <div class="cookie">Accept cookies</div>
+      <h1>Doc 7</h1>
+      <p>the quick brown fox jumps over the lazy dog today</p>
+      <div><a href="/x">Read more</a></div>
+      <footer><a href="/t">Terms</a> <a href="/p">Privacy</a> <a href="/i">Imprint</a> 2024</footer>
+      </body></html>"""
+    assert(main(page) == "the quick brown fox jumps over the lazy dog today")
+    // a LONG all-links block (passes min-words) still drops: link density
+    val linkFarm = "<p>intro words here okay</p><ul>" +
+      (1 to 12).map(i => s"""<li><a href="/$i">category number $i</a></li>""").mkString +
+      "</ul>"
+    assert(main(linkFarm) == "intro words here okay")
+    // link density is an exact integer boundary: 1 of 5 visible chars
+    // linked = 20% passes at the default 20, 21% would not — pin via a
+    // block whose link chars are exactly at / just past the threshold
+    assert(main("<p>abcd efgh ijkl mnop <a>qrst</a></p>") // 4/23 < 20%
+      == "abcd efgh ijkl mnop qrst")
+    assert(main("<p>ab cd ef gh <a>ijklmnopq</a></p>") // 9/20 = 45% drops
+      == "")
+    // comments/scripts cannot fabricate block boundaries or text
+    assert(main("<p>real body text here</p><!-- <div>fake chrome</div> -->" +
+      "<script>var x = '<p>not text</p>';</script>")
+      == "real body text here")
+    // the optional jusText stopword gate: with a list, a block below the
+    // density drops even when long and link-free
+    val stops = Seq("the", "a", "of", "and", "to", "in", "is")
+    assert(main("<p>the engine is a part of the fleet</p>" +
+        "<p>colorless ideas sleep furiously tonight</p>",
+        stopPct = 30, stops = stops)
+      == "the engine is a part of the fleet")
+  }
+
   test("url canonicalization (r14): variants collapse, semantics are " +
        "preserved — case-sensitive path, non-default ports, non-tracking " +
        "params; non-hierarchical inputs pass through") {

@@ -620,6 +620,24 @@ class PlanSpec extends SparkSpec {
       s"gate plans a hash exchange:\n$plan")
   }
 
+  test("boilerplate removal (r15): the block classifier is scan-bound " +
+       "higher-order string arithmetic — no join, no aggregate, no " +
+       "window, no hash exchange, no explode") {
+    val df = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        TextAnalysis.htmlMainText(concat(lit("<p>"), col("text"),
+          lit("</p><nav><a href='/'>Home</a></nav>"))).as("text"))
+    val plan = explained(df)
+    assert(!plan.contains("Join"), s"classifier plans a join:\n$plan")
+    assert(!plan.contains("HashAggregate") && !plan.contains("SortAggregate"),
+      s"classifier plans an aggregate:\n$plan")
+    assert(!plan.contains("Window"), s"classifier plans a window:\n$plan")
+    assert(!plan.contains("hashpartitioning"),
+      s"classifier plans a hash exchange:\n$plan")
+    assert(!plan.contains("Generate"),
+      s"blocks explode instead of staying array-valued:\n$plan")
+  }
+
   test("dsir select: candidate filter pushed to the scan, weights " +
        "broadcast, top-k bounded (TakeOrderedAndProject, no global sort)") {
     val df = Curation.dsirSelect(Tables.documents(spark, sf),
