@@ -273,6 +273,13 @@ object OracleSql {
     // the sequences it touches, pure integer span arithmetic
     "sequence_pack_spans" -> sequencePackSpansSql,
 
+    // packed-sequence materializer (r15): the span closed form grouped
+    // per sequence — seq_off-ordered slice and reset strings, exact
+    // integer counts (SUM cast back to BIGINT: DuckDB widens to
+    // HUGEINT, which the typed hash compare rejects)
+    "sequence_pack_mat" ->
+      s"""WITH spans AS ($sequencePackSpansSql) SELECT lang, seq_id, CAST(COUNT(*) AS BIGINT) AS n_spans, CAST(SUM(n_toks) AS BIGINT) AS n_toks, string_agg(doc_id || ':' || doc_off || ':' || n_toks, ';' ORDER BY seq_off) AS slices, string_agg(seq_off, ',' ORDER BY seq_off) AS resets FROM spans GROUP BY lang, seq_id ORDER BY lang, seq_id""",
+
     // the packing ingest loop cold: one AvailableNow batch ≡ the batch
     // op — one definition (the substringDedupSql convention)
     "sequence_pack_inc" -> sequencePackSpansSql,
@@ -560,6 +567,15 @@ object OracleSql {
     // needed, but the count is only right through the real pipeline
     "dedup_audio_shift" ->
       """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 9), g AS (SELECT doc_id - doc_id % 20 AS a, COUNT(*) AS n FROM ids GROUP BY 1) SELECT a + 9 AS doc_a, a + 19 AS doc_b, CAST(0 AS BIGINT) AS hamming, CAST(4 AS BIGINT) AS n_slot_matches FROM g WHERE n = 2 ORDER BY doc_a, doc_b""",
+
+    // constellation audio dedup (r15): the half-window-trimmed
+    // groupmate pairs its source at hamming 0 through peak-anchored
+    // fingerprints — structural per 2-doc group (match count varies
+    // with each group's peak layout, so the report carries pair +
+    // min-hamming only); getting each pair right still requires the
+    // whole decode→hopped-energy→peak→contour→band pipeline
+    "dedup_audio_const" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 5), g AS (SELECT doc_id - doc_id % 20 AS a, COUNT(*) AS n FROM ids GROUP BY 1) SELECT a + 5 AS doc_a, a + 15 AS doc_b, CAST(0 AS BIGINT) AS hamming FROM g WHERE n = 2 ORDER BY doc_a, doc_b""",
 
     // the image-hash INGEST loop cold: the whole-loop survivor rule in
     // closed form — survive iff not the greater side of any hamming-≤-3

@@ -488,6 +488,39 @@ object Curation {
           .as("n_toks"))
   }
 
+  /** Packed-sequence MATERIALIZER (r15 — the consumer step
+    * [[sequencePackSpans]]'s spans exist for): one row per packed
+    * sequence with what a trainer's collator needs to assemble the
+    * batch — the ordered token-slice list (which doc, from which doc
+    * offset, how many tokens) and the attention-reset boundary list
+    * (each span's start offset within the sequence: attention must not
+    * cross document boundaries inside a packed sequence). Pure integer
+    * arithmetic over the span table + ONE groupBy(lang, seq_id).
+    *
+    * The lists render as canonical STRINGS ("doc:doc_off:n_toks;…" /
+    * "off,off,…"), ordered by seq_off: the cross-engine hash compare
+    * lexsorts rows and hashes cell values, so nested arrays (pandas-
+    * side unhashable ndarrays) can't adjudicate — the string closed
+    * form is engine-portable and total-ordered. collect_list is
+    * bounded by construction: a sequence holds at most contextTokens
+    * spans (each span ≥ 1 token), so no group outgrows memory at any
+    * corpus size; the offsets already rode the distributed prefix sum.
+    * No presentation sort (corpus-token-scale output). */
+  def packedSequences(documents: DataFrame,
+                      contextTokens: Long = 2048): DataFrame = {
+    val spans = sequencePackSpans(documents, contextTokens)
+    val sorted = array_sort(collect_list(struct(
+      col("seq_off"), col("doc_id"), col("doc_off"), col("n_toks"))))
+    spans.groupBy("lang", "seq_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum("n_toks").as("n_toks"),
+        array_join(transform(sorted, s => concat_ws(":",
+          s.getField("doc_id"), s.getField("doc_off"),
+          s.getField("n_toks"))), ";").as("slices"),
+        array_join(transform(sorted, s =>
+          s.getField("seq_off").cast("string")), ",").as("resets"))
+  }
+
   /** URL canonicalization (r14 — the FIRST dedup key of a crawl
     * pipeline: Dolma/FineWeb drop refetches by URL before any content
     * hashing, and a crawl reaches the same page under casing/port/

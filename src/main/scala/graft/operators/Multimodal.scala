@@ -918,9 +918,17 @@ object Multimodal {
     * WAV convention, but a valid extensible-format file can declare
     * big-endian, and PCM_SIGNED 8-bit exists. Such layouts would decode
     * to wrong window energies and a wrong-but-deterministic fingerprint;
-    * they return None like any other unsupported payload. */
+    * they return None like any other unsupported payload.
+    *
+    * `hopDiv` (r15): window START spacing = win/hopDiv frames — hopDiv
+    * = 1 keeps the original non-overlapping tiling; hopDiv = 2 is the
+    * 50%-overlap hop the constellation fingerprints anchor on (the
+    * spectrogram-hop convention in the time domain). Each window still
+    * spans `win` frames; cost scales by hopDiv on the same one-pass
+    * scan. */
   private def pcmWindowEnergies(payload: Array[Byte], winOf: Int => Int,
-                                minHeaderFrames: Long): Option[Array[Long]] =
+                                minHeaderFrames: Long,
+                                hopDiv: Int = 1): Option[Array[Long]] =
     try {
       if (!looksLikeWav(payload)) None
       else {
@@ -944,14 +952,15 @@ object Multimodal {
             val body = in.readAllBytes()
             val n = body.length / (bps * channels)
             val win = winOf(n)
+            val hop = if (win >= 1) math.max(1, win / math.max(1, hopDiv)) else 1
             if (win < 1 || n / win < 1) None
             else {
-              val m = n / win
+              val m = (n - win) / hop + 1
               val e = new Array[Long](m)
               var k = 0
               while (k < m) {
                 var sum = 0L
-                var i = k * win
+                var i = k * hop
                 val end = i + win
                 while (i < end) {
                   val off = i * channels * bps // channel 0 of frame i
@@ -1002,9 +1011,11 @@ object Multimodal {
     * honestly: a trim that is NOT a multiple of the window length
     * shifts every window boundary and re-fingerprints the clip — the
     * production refinement is overlap-hopped windows or a Shazam-style
-    * peak constellation, which slot this same (doc_id, slot, sig) shape
-    * unchanged. Returns Nil when the payload is not integer-PCM WAV or
-    * is shorter than 65 fixed windows. */
+    * peak constellation — shipped r15 as [[audioFingerprintsPeaks]],
+    * which slots this same (doc_id, slot, sig) shape unchanged and
+    * recovers hop-multiple sub-window trims. Returns Nil when the
+    * payload is not integer-PCM WAV or is shorter than 65 fixed
+    * windows. */
   private[graft] def audioFingerprintsStrided(payload: Array[Byte],
       winSamples: Int = 64, slotStride: Int = 8,
       maxSlots: Int = 8): Seq[(Int, Long)] = {
@@ -1018,6 +1029,65 @@ object Multimodal {
           .zipWithIndex.map { case (t, slot) => (slot, contourBits(e, t)) }
           .toSeq
     }
+  }
+
+  /** CONSTELLATION audio fingerprints (r15 — closes the r14 stated
+    * limitation: [[audioFingerprintsStrided]]'s fixed grid misses any
+    * trim that is not a multiple of the window length): the Shazam
+    * idea in the time domain — anchor fingerprints on SIGNAL FEATURES
+    * instead of absolute positions, so alignment survives trimming.
+    *
+    *  1. window energies on an OVERLAPPED hop (win/hopDiv frames —
+    *     default 50% overlap, the spectrogram-hop convention);
+    *  2. anchors = strict local energy PEAKS (e(p) > both neighbors —
+    *     strict on both sides, so plateaus anchor nothing and the
+    *     peak set is deterministic);
+    *  3. per anchor (time order, ≤ maxSlots, needing 65 energies of
+    *     lookahead), sig = the 64-bit energy contour FROM the peak —
+    *     every bit is relative to the anchor, so a surviving peak
+    *     carries an IDENTICAL signature in source and trimmed clip;
+    *  4. slot = anchor ordinal; [[graft.operators.Dedup
+    *     .anyMatchNearDupPairs]] is slot-agnostic across items, so
+    *     dropped leading anchors only shift ordinals.
+    *
+    * Trim granularity is now the HOP (win/hopDiv samples, e.g. 32),
+    * not slotStride·win (512): any hop-multiple trim leaves interior
+    * peaks and their contours bit-identical. STATED LIMITATION: a trim
+    * that is not a hop multiple still re-fingerprints — finer
+    * invariance needs phase-independent features (the FFT-peak
+    * constellation proper), same seam as the media codecs. */
+  private[graft] def audioFingerprintsPeaks(payload: Array[Byte],
+      winSamples: Int = 64, hopDiv: Int = 2,
+      maxSlots: Int = 8): Seq[(Int, Long)] = {
+    require(winSamples >= 1 && hopDiv >= 1 && maxSlots >= 1)
+    pcmWindowEnergies(payload, _ => winSamples,
+        minHeaderFrames = 65L * winSamples, hopDiv = hopDiv) match {
+      case None => Nil
+      case Some(e) =>
+        (1 until e.length - 1).iterator
+          .filter(p => e(p) > e(p - 1) && e(p) > e(p + 1) &&
+            p + 65 <= e.length)
+          .take(maxSlots)
+          .zipWithIndex.map { case (p, slot) => (slot, contourBits(e, p)) }
+          .toSeq
+    }
+  }
+
+  /** (doc_id, off_slot, ahash) over a binary media frame — the
+    * peak-anchored twin of [[audioHashesStrided]]: one scan-bound
+    * decode pass, ≤ 8·maxSlots bytes/clip out, same any-match
+    * downstream. */
+  def audioHashesPeaks(media: DataFrame, winSamples: Int = 64,
+      hopDiv: Int = 2, maxSlots: Int = 8): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        audioFingerprintsPeaks(payload, winSamples, hopDiv, maxSlots)
+          .map { case (slot, h) => AudioSlotHashRow(id, slot, h) }
+      })
+      .toDF()
   }
 
   /** (doc_id, off_slot, ahash) over a binary media frame — the strided
@@ -1075,27 +1145,31 @@ object Multimodal {
     * 64-sample ±amps(k) square-wave window per entry (RMS energy
     * 64·amps(k)², exact), 16-bit mono PCM at 8 kHz — the rig for the
     * strided/trimmed-clip fingerprint specs, which need clips longer
-    * than one fingerprint span with fully controlled window energies. */
-  def syntheticEnvelopeWavAmps(amps: Seq[Int]): Array[Byte] = {
+    * than one fingerprint span with fully controlled window energies.
+    * `dropSamples` (r15) trims that many RAW samples off the front
+    * before encoding — the SUB-window trim the peak-constellation
+    * fingerprints exist to recover (a multiple of 64 reduces to
+    * `amps.drop`). */
+  def syntheticEnvelopeWavAmps(amps: Seq[Int],
+                               dropSamples: Int = 0): Array[Byte] = {
     require(amps.forall(a => a >= 0 && a <= 32767), "amps must fit int16")
+    require(dropSamples >= 0 && dropSamples < amps.length * 64,
+      s"dropSamples out of range: $dropSamples")
     val win = 64
-    val data = new Array[Byte](amps.length * win * 2)
-    var k = 0
-    while (k < amps.length) {
-      val a = amps(k)
-      var i = 0
-      while (i < win) {
-        val s = if (i % 2 == 0) a else -a
-        val off = (k * win + i) * 2
-        data(off) = (s & 0xff).toByte
-        data(off + 1) = ((s >> 8) & 0xff).toByte
-        i += 1
-      }
-      k += 1
+    val n = amps.length * win - dropSamples
+    val data = new Array[Byte](n * 2)
+    var j = 0
+    while (j < n) {
+      val i = j + dropSamples // position in the untrimmed stream
+      val a = amps(i / win)
+      val s = if (i % 2 == 0) a else -a
+      data(j * 2) = (s & 0xff).toByte
+      data(j * 2 + 1) = ((s >> 8) & 0xff).toByte
+      j += 1
     }
     val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
     val ais = new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(data), fmt, amps.length.toLong * win)
+      new java.io.ByteArrayInputStream(data), fmt, n.toLong)
     val baos = new java.io.ByteArrayOutputStream()
     javax.sound.sampled.AudioSystem.write(ais,
       javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)

@@ -391,6 +391,36 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("packed-sequence materializer (r15): slices tile each sequence " +
+       "contiguously in reset order, resets are exactly the span starts, " +
+       "and every cell re-derives from the span table") {
+    import graft.operators.Curation
+    val ctx = 64L
+    val docs = Tables.documents(spark, sf)
+    val mat = Curation.packedSequences(docs, ctx).collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))).toMap
+    val spans = Curation.sequencePackSpans(docs, ctx).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(0), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(mat.nonEmpty && mat.values.exists(_._1 > 1),
+      "rig must exercise multi-span (packed) sequences")
+    assert(mat.keySet == spans.map(s => (s._1, s._2)).toSet,
+      "one materialized row per (lang, seq)")
+    spans.groupBy(s => (s._1, s._2)).foreach { case (key, ss) =>
+      val sorted = ss.sortBy(_._5).toSeq // by seq_off
+      val (nSpans, nToks, slices, resets) = mat(key)
+      assert(nSpans == ss.length && nToks == ss.map(_._6).sum, s"$key counts")
+      assert(slices ==
+        sorted.map(s => s"${s._3}:${s._4}:${s._6}").mkString(";"), s"$key slices")
+      assert(resets == sorted.map(_._5).mkString(","), s"$key resets")
+      // slices tile: each span starts where the previous ended
+      sorted.foldLeft(sorted.head._5) { (exp, s) =>
+        assert(s._5 == exp, s"$key slice gap at $s"); exp + s._6 }
+      ()
+    }
+  }
+
   test("verbatim overlap: long shared runs detected, disjoint docs produce no pairs") {
     import spark.implicits._
     val run = "the quick brown fox jumps over the lazy dog again and again"
