@@ -88,6 +88,12 @@ object OracleSql {
   private val sequencePackSpansSql =
     """WITH t AS (SELECT doc_id, lang, CAST(CEIL(length(text)/4.0) AS BIGINT) AS n FROM documents), c AS (SELECT doc_id, lang, n, CAST(COALESCE(SUM(n) OVER (PARTITION BY lang ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s FROM t), e AS (SELECT doc_id, lang, n, s, UNNEST(range(s // 64, (s + n - 1) // 64 + 1)) AS seq_id FROM c WHERE n > 0) SELECT doc_id, lang, CAST(seq_id AS BIGINT) AS seq_id, CAST(GREATEST(s, seq_id * 64) - s AS BIGINT) AS doc_off, CAST(GREATEST(s, seq_id * 64) - seq_id * 64 AS BIGINT) AS seq_off, CAST(LEAST(s + n, (seq_id + 1) * 64) - GREATEST(s, seq_id * 64) AS BIGINT) AS n_toks FROM e"""
 
+  // file-scale WARC ingestion (r15), shared by the batch op and the
+  // archive ingest loop's cold run: 8 multi-page archives, pages in
+  // doc_id order per file, record indexes 3·(rank within file)+{0,1,2}
+  private val warcFileIngestSql =
+    """WITH u AS (SELECT doc_id, (doc_id // 10) % 8 AS file_id, 3 * (ROW_NUMBER() OVER (PARTITION BY (doc_id // 10) % 8 ORDER BY doc_id) - 1) AS base_idx, 'https://example.com/doc/' || doc_id AS url, text FROM documents WHERE doc_id % 10 = 2) SELECT * FROM (SELECT doc_id, file_id, base_idx AS rec_idx, '<urn:graft:doc:' || doc_id || ':warcinfo>' AS rec_id, 'warcinfo' AS warc_type, '' AS url, '' AS warc_date, 0 AS http_status, 'application/warc-fields' AS mime, 'software: graft-synth' || chr(13) || chr(10) AS body_text FROM u UNION ALL SELECT doc_id, file_id, base_idx + 1, '<urn:graft:doc:' || doc_id || ':request>', 'request', url, '2024-01-01T00:00:00Z', 0, 'application/http;msgtype=request', 'GET ' || url || ' HTTP/1.1' || chr(13) || chr(10) || 'Host: example' || chr(13) || chr(10) || chr(13) || chr(10) FROM u UNION ALL SELECT doc_id, file_id, base_idx + 2, '<urn:graft:doc:' || doc_id || ':response>', 'response', url, '2024-01-01T00:00:00Z', 200, 'text/plain', text FROM u) ORDER BY doc_id, rec_idx"""
+
   // the URL canonicalization chain (r14), shared by url_dedup and the
   // crawl funnel: expects a CTE `u0` carrying (doc_id, url, …) — extra
   // columns ride the SELECT *s through to `c`
@@ -257,8 +263,13 @@ object OracleSql {
     // doc_id order per file — so a page's record indexes are the closed
     // form 3·(its rank within its file) + {0,1,2}; the per-record
     // WARC-Record-ID provenance stamp is stated verbatim
-    "warc_file_ingest" ->
-      """WITH u AS (SELECT doc_id, (doc_id // 10) % 8 AS file_id, 3 * (ROW_NUMBER() OVER (PARTITION BY (doc_id // 10) % 8 ORDER BY doc_id) - 1) AS base_idx, 'https://example.com/doc/' || doc_id AS url, text FROM documents WHERE doc_id % 10 = 2) SELECT * FROM (SELECT doc_id, file_id, base_idx AS rec_idx, '<urn:graft:doc:' || doc_id || ':warcinfo>' AS rec_id, 'warcinfo' AS warc_type, '' AS url, '' AS warc_date, 0 AS http_status, 'application/warc-fields' AS mime, 'software: graft-synth' || chr(13) || chr(10) AS body_text FROM u UNION ALL SELECT doc_id, file_id, base_idx + 1, '<urn:graft:doc:' || doc_id || ':request>', 'request', url, '2024-01-01T00:00:00Z', 0, 'application/http;msgtype=request', 'GET ' || url || ' HTTP/1.1' || chr(13) || chr(10) || 'Host: example' || chr(13) || chr(10) || chr(13) || chr(10) FROM u UNION ALL SELECT doc_id, file_id, base_idx + 2, '<urn:graft:doc:' || doc_id || ':response>', 'response', url, '2024-01-01T00:00:00Z', 200, 'text/plain', text FROM u) ORDER BY doc_id, rec_idx""",
+    "warc_file_ingest" -> warcFileIngestSql,
+
+    // the archive ingest loop cold (r15): single batch ⇒ the landing
+    // dir holds exactly the batch's archives ⇒ the batch op's closed
+    // form — one oracle adjudicates listing diff + streamed parse +
+    // exactly-once appends
+    "warc_file_ingest_inc" -> warcFileIngestSql,
 
     // BM25 top-k (r14): tf/dl/df/N from the %50<>0 corpus, each
     // (term, doc) weight one double chain rounded once to micro-units,

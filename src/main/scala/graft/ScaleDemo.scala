@@ -53,6 +53,13 @@ import org.apache.spark.sql.functions._
   * ≲linear with IDENTICAL verified output on this corpus (the dropped
   * candidates were all below threshold).
   *
+  * r15 adds the WARC FILE-SCALE demo (§7): an archive 5× the
+  * whole-payload path's 256 MB inflated ceiling (the CommonCrawl
+  * segment size class) is refused wholesale by the one-row path and
+  * fully parsed by the record-streamed file source — the measured form
+  * of "parses WARC" vs "ingests a crawl" — plus the 8-way file-split
+  * run measuring the one-task-per-archive parallel axis.
+  *
   * r14 adds the HAMMING BANDING crowding demo (VERDICT #2): a planted
   * birthday-crowded chunk bucket (30% of sigs share one 16-bit chunk
   * value) makes the default 4×16 banding's candidate fan-out quadratic
@@ -72,7 +79,7 @@ object ScaleDemo {
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val workDir = args.lift(1).getOrElse("/tmp/graft_scaledemo")
-    val outJson = args.lift(2).getOrElse("SCALE_DEMO_r14.json")
+    val outJson = args.lift(2).getOrElse("SCALE_DEMO_r15.json")
     val cpus = graft.util.BenchHarness.cpus(sys.env.get("SPARK_GRAFT_CPUS"))
     val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "2").toInt.max(1)
     val spark = SparkSession.builder()
@@ -352,6 +359,46 @@ object ScaleDemo {
     System.err.println(s"[scaledemo] hamming fan-out 4x16 h1=$hf1s h10=$hf10s" +
       s" pair5 h1=$hf1p h10=$hf10p")
 
+    // ---- 7. WARC file-scale ingestion (r15): past the payload cap ----
+    // One archive FIVE TIMES the whole-payload path's 256 MB inflated
+    // ceiling (2500 pages x 512 KB bodies ≈ 1.28 GB inflated — the
+    // CommonCrawl-segment size class), written page-streamed: the
+    // one-row path MUST refuse it wholesale (decompression-bomb
+    // discipline), the record-streamed file source parses every record
+    // with per-RECORD bounded memory. The same pages split across 8
+    // archives measure the file-parallel scaling axis (one task per
+    // archive — the segment is the crawl's natural work unit).
+    val warcDir1 = s"$workDir/warc1"; val warcDir8 = s"$workDir/warc8"
+    val pageBody = new Array[Byte](512 * 1024) // zeros: fast gzip, honest inflate
+    val nPages = 2500
+    def warcPages(ids: Range): Iterator[(String, String, Array[Byte])] =
+      ids.iterator.map(i =>
+        (s"urn:graft:doc:$i", s"https://example.com/doc/$i", pageBody))
+    locally {
+      new java.io.File(warcDir1).mkdirs(); new java.io.File(warcDir8).mkdirs()
+      graft.sources.Warc.writeSyntheticArchive(warcDir1, "seg.warc.gz",
+        warcPages(0 until nPages))
+      (0 until 8).foreach(f => graft.sources.Warc.writeSyntheticArchive(
+        warcDir8, f"part-$f.warc.gz",
+        warcPages(f * (nPages / 8) until
+          (if (f == 7) nPages else (f + 1) * (nPages / 8)))))
+    }
+    val segBytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$warcDir1/seg.warc.gz"))
+    require(graft.sources.Warc.parseWarc(segBytes).isEmpty,
+      "the whole-payload path must refuse a 1.28 GB-inflated archive")
+    var warc1 = 0L; var warc8 = 0L
+    run("warc_stream_1file")(
+      { warc1 = graft.sources.Warc.readWarcFiles(spark, warcDir1).count(); warc1 })
+    run("warc_stream_8files")(
+      { warc8 = graft.sources.Warc.readWarcFiles(spark, warcDir8).count(); warc8 })
+    require(warc1 == 3L * nPages && warc8 == 3L * nPages,
+      s"every record of the over-cap archives must parse: $warc1/$warc8")
+    val warcInflatedMb = nPages.toLong * pageBody.length / (1024 * 1024)
+    val warcGzMb = segBytes.length / (1024.0 * 1024)
+    System.err.println(f"[scaledemo] warc inflated=${warcInflatedMb}MB " +
+      f"gz=$warcGzMb%.1fMB records=$warc1 (whole-payload path refused)")
+
     val counts = Map("x1" -> x1.count(), "x10" -> x10.count(),
       "batch" -> batch.count())
     val json = {
@@ -361,6 +408,7 @@ object ScaleDemo {
         s""""uncapped_fanout":{"x1":$fanoutX1,"x10":$fanoutX10},""" +
         s""""minhash_hot_fanout":{"m1":$mFanout1,"m10":$mFanout10},""" +
         s""""hamming_fanout":{"h1_4x16":$hf1s,"h10_4x16":$hf10s,"h1_pair5":$hf1p,"h10_pair5":$hf10p},""" +
+        f""""warc":{"inflated_mb":$warcInflatedMb,"gz_mb":$warcGzMb%.1f,"records":$warc1,"whole_payload_refused":true},""" +
         s""""env":{"cpus":${graft.util.BenchHarness.jsonNum(cpus)},"iters":$iters,"heap_mb":${Runtime.getRuntime.maxMemory() / (1024 * 1024)}},""" +
         s""""measurements":{$rows}}"""
     }

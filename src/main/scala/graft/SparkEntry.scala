@@ -1025,6 +1025,14 @@ object SparkEntry {
       rmTree(tmp.toFile)
       parsed
     }),
+    // the GROWING-crawl archive ingest loop, cold single batch (r15 —
+    // warc_file_ingest's incremental twin, completing the E-family's
+    // streaming symmetry): new .warc.gz segments land, the listing
+    // diffs against the persisted processed-file table, only NEW
+    // archives parse, records append exactly-once; cold ≡ the batch
+    // op's closed form, so the same oracle adjudicates the whole loop
+    "warc_file_ingest_inc" -> ((s, d) =>
+      graft.streaming.StreamOps.runWarcFileIngest(s, d)),
     // BM25 top-k retrieval (r14): each eval doc (the decontaminate %50
     // slice) retrieves its 5 nearest training docs by Okapi BM25 —
     // retrieval-based contamination auditing; micro-unit weights make

@@ -258,13 +258,28 @@ object Warc {
     * url, warc_date, http_status, mime, body), rec_id = the record's
     * WARC-Record-ID (the field real WARCs key provenance on). */
   def readWarcFiles(spark: org.apache.spark.sql.SparkSession,
-                    dir: String): DataFrame = {
+                    dir: String): DataFrame =
+    readWarcPaths(spark, listWarcFiles(spark, dir))
+
+  /** The archive FILES under `dir` (non-recursive), sorted — the
+    * listing half of [[readWarcFiles]], exposed so an ingest loop can
+    * diff it against its processed-file state and parse only NEW
+    * arrivals. File-NAME-scale driver work. */
+  def listWarcFiles(spark: org.apache.spark.sql.SparkSession,
+                    dir: String): Seq[String] = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val paths = fs.listStatus(root).filter(_.isFile)
+    fs.listStatus(root).filter(_.isFile)
       .map(_.getPath.toString)
       .filter(p => p.endsWith(".warc") || p.endsWith(".warc.gz"))
       .sorted.toSeq
+  }
+
+  /** Record-streamed parse of an EXPLICIT archive-file list — the
+    * parsing half of [[readWarcFiles]] (one task per file, bounded
+    * per-record memory, prefix-honest per file). */
+  def readWarcPaths(spark: org.apache.spark.sql.SparkSession,
+                    paths: Seq[String]): DataFrame = {
     val rdd = spark.sparkContext
       .parallelize(paths, math.max(1, paths.size))
       .flatMap { p =>
@@ -354,8 +369,11 @@ object Warc {
     * [[writeSyntheticArchive]] (bounded memory: never more than one
     * page's bytes held), mirroring how a crawler writes segments.
     * Record IDs stamp `urn:graft:doc:<doc_id>` so readers recover page
-    * identity from the archive itself. Test/driver rig only. */
-  def writeArchives(docs: DataFrame, dir: String): Unit = {
+    * identity from the archive itself. `namePrefix` scopes archive
+    * names (e.g. per ingest batch, so later arrivals never collide
+    * with earlier segments). Test/driver rig only. */
+  def writeArchives(docs: DataFrame, dir: String,
+                    namePrefix: String = ""): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("file_id").cast("long"), col("doc_id"),
@@ -375,7 +393,8 @@ object Warc {
               (s"urn:graft:doc:$id", url, text.getBytes("UTF-8"))
             }
           }
-          writeSyntheticArchive(dir, f"part-$fid%05d.warc.gz", pages)
+          writeSyntheticArchive(dir, f"${namePrefix}part-$fid%05d.warc.gz",
+            pages)
         }
       }
   }

@@ -957,6 +957,81 @@ object StreamOps {
       tmpRoot)
   }
 
+  /** One micro-batch of the streaming WARC ARCHIVE ingest loop (r15 —
+    * the growing-crawl variant of the file-scale source: in production,
+    * new `.warc.gz` segments LAND in the archive directory and only
+    * they should parse): the batch's docs are written as this batch's
+    * archive files (the rig half — a real deployment skips straight to
+    * the diff), then the landing listing is diffed against the
+    * PERSISTED processed-file table and only NEW archives parse —
+    * record-streamed, one task per file — appending their records and
+    * their paths under one exactly-once tag each. Files already
+    * ingested never re-parse, however often the listing repeats them;
+    * a replayed batch is skipped whole by the txn tag. Listing and
+    * diff are file-NAME-scale; parsing is bounded per record.
+    * Cold single batch ⇒ the landing dir holds exactly this batch's
+    * archives ⇒ the batch op's closed form (`warc_file_ingest`'s
+    * oracle verbatim). */
+  def warcFileIngestBatch(landing: String, table: String,
+                          processedTable: String)
+                         (b: DataFrame, id: Long): Unit = {
+    import graft.sources.{TxLogFormat, Warc}
+    val spark = b.sparkSession
+    import spark.implicits._
+    Warc.writeArchives(
+      b.select(expr("(doc_id div 10) % 8").as("file_id"), col("doc_id"),
+        concat(lit("https://example.com/doc/"), col("doc_id")).as("url"),
+        col("text")),
+      landing, namePrefix = f"b$id%05d-")
+    val all = Warc.listWarcFiles(spark, landing)
+    val done =
+      if (TxLogFormat.versions(processedTable).isEmpty) Set.empty[String]
+      else TxLogFormat.read(spark, processedTable)
+        .select("path").as[String].collect().toSet
+    val fresh = all.filterNot(done)
+    if (fresh.nonEmpty) {
+      TxLogFormat.appendBatch(Warc.readWarcPaths(spark, fresh),
+        table, "warc_file_ingest", id)
+      TxLogFormat.appendBatch(fresh.toDF("path"),
+        processedTable, "warc_file_ingest", id)
+      ()
+    }
+  }
+
+  /** Driver query: the WARC archive ingest loop cold — AvailableNow
+    * over the %2-slice docs in one batch, reported in the batch
+    * query's column shape so `warc_file_ingest`'s oracle adjudicates
+    * the landing diff, the streamed parse, and the ACID appends. */
+  def runWarcFileIngest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxLogFormat
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_warcingest_")
+    val landing = tmpRoot.resolve("landing").toString
+    val table = tmpRoot.resolve("records").toString
+    val processed = tmpRoot.resolve("processed").toString
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val q = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .filter(col("doc_id") % 10 === 2)
+      .select(col("doc_id"), col("text"))
+      .writeStream
+      .foreachBatch(warcFileIngestBatch(landing, table, processed) _)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    handoffAndClean(
+      TxLogFormat.read(spark, table)
+        .select(
+          regexp_extract(col("rec_id"), "urn:graft:doc:(\\d+)", 1)
+            .cast("long").as("doc_id"),
+          regexp_extract(col("path"), "part-(\\d+)\\.warc\\.gz", 1)
+            .cast("long").as("file_id"),
+          col("rec_idx"), col("rec_id"), col("warc_type"), col("url"),
+          col("warc_date"), col("http_status"), col("mime"),
+          col("body").cast("string").as("body_text"))
+        .orderBy("doc_id", "rec_idx"),
+      tmpRoot)
+  }
+
   /** One micro-batch of the streaming SEMANTIC-dedup ingest loop (r13 —
     * the growing-corpus variant for the embedding family, the last
     * dedup family without one): per batch, SemDeDup's greedy rule runs

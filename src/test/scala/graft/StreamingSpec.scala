@@ -434,6 +434,58 @@ class StreamingSpec extends SparkSpec {
       TxLogFormat.versions(totalsT).size) == vs, "replay must not commit")
   }
 
+  test("streaming WARC-ARCHIVE ingest (r15): only NEW archive files " +
+       "parse per batch, earlier segments never re-parse however often " +
+       "the listing repeats them, replay-safe") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    import graft.sources.{TxLogFormat, Warc}
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_warcingest_spec")
+    val landing = root.resolve("landing").toString
+    val (recT, procT) = (root.resolve("records").toString,
+      root.resolve("processed").toString)
+    val b0 = Seq((2L, "first page body"), (12L, "second page body"))
+    val b1 = Seq((22L, "third page body"))
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch(StreamOps.warcFileIngestBatch(landing, recT, procT) _)
+      .start()
+    try {
+      input.addData(b0); q.processAllAvailable()
+      input.addData(b1); q.processAllAvailable()
+    } finally q.stop()
+    // batch 0 wrote archives for docs 2+12 (files b00000-*), batch 1 for
+    // doc 22 — the landing dir lists ALL of them in batch 1, but only
+    // the new file parses: the record table holds each page exactly once
+    val recs = TxLogFormat.read(spark, recT)
+      .select("rec_id", "warc_type", "path").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(recs.length == 9, s"3 pages x 3 records, got ${recs.length}")
+    assert(recs.map(_._1).distinct.length == 9, "no record parsed twice")
+    val respByDoc = recs.filter(_._2 == "response")
+      .map(r => r._1 -> r._3.split("/").last).toMap
+    assert(respByDoc.keySet == Set("<urn:graft:doc:2:response>",
+      "<urn:graft:doc:12:response>", "<urn:graft:doc:22:response>"))
+    // batch-scoped archive names: doc 22's record came from a b00001 file
+    assert(respByDoc("<urn:graft:doc:22:response>").startsWith("b00001-"),
+      respByDoc.toString)
+    assert(respByDoc("<urn:graft:doc:2:response>").startsWith("b00000-"),
+      respByDoc.toString)
+    // processed-file state holds each archive path exactly once
+    val procd = TxLogFormat.read(spark, procT).select("path").collect()
+      .map(_.getString(0))
+    assert(procd.length == procd.distinct.length &&
+      procd.toSet == Warc.listWarcFiles(spark, landing).toSet, procd.toSeq)
+    // replay: a committed batch id is a strict no-op on BOTH tables
+    val vs = (TxLogFormat.versions(recT).size,
+      TxLogFormat.versions(procT).size)
+    StreamOps.warcFileIngestBatch(landing, recT, procT)(
+      Seq((99L, "replayed")).toDF("doc_id", "text"), 0L)
+    assert((TxLogFormat.versions(recT).size,
+      TxLogFormat.versions(procT).size) == vs, "replay must not commit")
+  }
+
   test("streaming SEMANTIC ingest: intra-batch greedy collapse, " +
        "cross-batch index probe with candidate-only embedding loads, " +
        "maintained index == recomputed, replay-safe") {
