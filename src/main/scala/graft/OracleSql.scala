@@ -265,6 +265,13 @@ object OracleSql {
     // WARC-Record-ID provenance stamp is stated verbatim
     "warc_file_ingest" -> warcFileIngestSql,
 
+    // HTTP body decoding (r15): chunk framing (and gzip under it on
+    // half the pages) must vanish — the recovered body IS the document
+    // text, byte-for-byte through gzip members, WARC framing, HTTP
+    // headers, chunk de-framing, and content gunzip
+    "warc_http_decode" ->
+      """SELECT doc_id, 200 AS http_status, 'text/plain' AS mime, text AS body_text FROM documents WHERE doc_id % 10 = 1 ORDER BY doc_id""",
+
     // the archive ingest loop cold (r15): single batch ⇒ the landing
     // dir holds exactly the batch's archives ⇒ the batch op's closed
     // form — one oracle adjudicates listing diff + streamed parse +

@@ -1025,6 +1025,28 @@ object SparkEntry {
       rmTree(tmp.toFile)
       parsed
     }),
+    // HTTP body decoding (r15 — the wire shapes real CommonCrawl
+    // responses carry): every page's response body is chunk-framed,
+    // and every other page's is ALSO content-gzipped under the
+    // framing; the reader must undo both to recover the text, so
+    // body_text == the document text IS the adjudication
+    "warc_http_decode" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      val ids = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 10 === 1).as[(Long, String)]
+      val warcs = ids.mapPartitions(_.map { case (id, text) =>
+        (id, graft.sources.Warc.syntheticWarc(
+          s"https://example.com/doc/$id", "2024-01-01T00:00:00Z",
+          text.getBytes("UTF-8"), gzipped = true,
+          httpChunked = true, httpGzip = id % 20 == 11))
+      }).toDF("doc_id", "payload")
+      graft.sources.Warc.readWarc(warcs)
+        .filter(col("warc_type") === "response")
+        .select(col("doc_id"), col("http_status"), col("mime"),
+          col("body").cast("string").as("body_text"))
+        .orderBy("doc_id")
+    }),
     // the GROWING-crawl archive ingest loop, cold single batch (r15 —
     // warc_file_ingest's incremental twin, completing the E-family's
     // streaming symmetry): new .warc.gz segments land, the listing

@@ -632,7 +632,13 @@ object TextAnalysis {
     *     menus, footers, read-more rows) AND — only when a stopword
     *     list is supplied — `stop-count * 100 >= nw * minStopwordPct`
     *     (jusText's full gate; corpus-dependent, so OFF by default);
-    *  4. surviving blocks' visible text joins with single spaces.
+    *  4. optionally (jusText's "short heading near good" promotion,
+    *     `promoteHeadings`): a `<h1>`–`<h6>` block too SHORT to pass
+    *     on its own survives when the immediately FOLLOWING block is
+    *     good — titles and section headings belong to the content they
+    *     head. The link-density and stopword gates still apply (a
+    *     link-farm heading is chrome whatever follows it);
+    *  5. surviving blocks' visible text joins with single spaces.
     *
     * Everything is one codegen'd scan: split + higher-order filter/
     * transform over the block array — no explode, no shuffle, no UDF.
@@ -641,12 +647,13 @@ object TextAnalysis {
     * tag early); thresholds are the classifier, not a DOM parse. */
   def htmlMainText(html: Column, maxLinkDensityPct: Int = 20,
                    minWords: Int = 4, minStopwordPct: Int = 0,
-                   stopwords: Seq[String] = Nil): Column = {
+                   stopwords: Seq[String] = Nil,
+                   promoteHeadings: Boolean = false): Column = {
     require(maxLinkDensityPct >= 0 && maxLinkDensityPct <= 100,
       s"maxLinkDensityPct must be a percentage, got $maxLinkDensityPct")
     val blocks = split(dropScriptStyleComments(html),
       s"(?i)(?=<$blockTagAlt\\b)")
-    val kept = filter(blocks, b => {
+    def gates(b: Column): (Column, Column, Column) = {
       val vis = visibleText(b)
       val ws = filter(split(vis, " "), w => w =!= "")
       val nw = size(ws)
@@ -659,8 +666,26 @@ object TextAnalysis {
         if (stopwords.isEmpty || minStopwordPct <= 0) lit(true)
         else size(filter(ws, w => lower(w).isInCollection(stopwords))) *
           100 >= nw * minStopwordPct
+      (lengthOk, linkOk, stopOk)
+    }
+    def good(b: Column): Column = {
+      val (lengthOk, linkOk, stopOk) = gates(b)
       lengthOk && linkOk && stopOk
-    })
+    }
+    val kept =
+      if (!promoteHeadings) filter(blocks, good _)
+      else {
+        // goodness materialized once per block; the promotion rule reads
+        // its right neighbor via the index-taking filter lambda (get()
+        // null-pads past the end — the last block has no successor)
+        val goodArr = transform(blocks, good _)
+        filter(blocks, (b, i) => {
+          val (_, linkOk, stopOk) = gates(b)
+          get(goodArr, i) ||
+            (b.rlike(s"(?is)^<h[1-6]\\b") && linkOk && stopOk &&
+              coalesce(get(goodArr, i + 1), lit(false)))
+        })
+      }
     trim(regexp_replace(
       array_join(transform(kept, b => visibleText(b)), " "), "\\s+", " "))
   }

@@ -92,8 +92,55 @@ object Warc {
           line.substring(c + 1).trim)
       }.toMap
 
+  /** De-frame an HTTP/1.1 `Transfer-Encoding: chunked` body: hex size
+    * line CRLF, `size` bytes, CRLF, …, `0` terminator (trailers
+    * ignored). None on any framing violation — the caller falls back
+    * to the raw bytes (the truth on disk), never a partial decode. */
+  private def dechunk(body: Array[Byte]): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(body.length)
+    var off = 0
+    while (true) {
+      var eol = off
+      while (eol + 1 < body.length &&
+             !(body(eol) == '\r' && body(eol + 1) == '\n')) eol += 1
+      if (eol + 1 >= body.length) return None // no CRLF after a size line
+      val sizeStr = new String(body, off, eol - off, "ISO-8859-1")
+        .split(";").head.trim // chunk extensions are legal; ignore them
+      val size = try java.lang.Long.parseLong(sizeStr, 16)
+        catch { case _: NumberFormatException => return None }
+      if (size < 0 || size > MaxInflatedBytes - out.size()) return None
+      if (size == 0) return Some(out.toByteArray) // terminator (trailers dropped)
+      val dataStart = eol + 2
+      val dataEnd = dataStart + size.toInt
+      if (dataEnd + 2 > body.length ||
+          body(dataEnd) != '\r' || body(dataEnd + 1) != '\n') return None
+      out.write(body, dataStart, size.toInt)
+      off = dataEnd + 2
+    }
+    None // unreachable
+  }
+
+  /** Decode an HTTP response body to its content bytes: de-chunk
+    * `Transfer-Encoding: chunked` framing, then inflate
+    * `Content-Encoding: gzip` — both real CommonCrawl response shapes.
+    * Honesty rule: a body whose declared encoding fails to decode
+    * keeps its RAW bytes (the truth on disk) — never a fabricated or
+    * partial decode; inflation rides [[gunzipAll]]'s bomb ceiling. */
+  private def decodeHttpBody(httpHdrs: Map[String, String],
+                             body: Array[Byte]): Array[Byte] = {
+    val te = httpHdrs.getOrElse("transfer-encoding", "").toLowerCase
+    val deChunked =
+      if (te.contains("chunked")) dechunk(body).getOrElse(return body)
+      else body
+    val ce = httpHdrs.getOrElse("content-encoding", "").toLowerCase
+    if (ce == "gzip" || ce == "x-gzip")
+      gunzipAll(deChunked).getOrElse(deChunked)
+    else deChunked
+  }
+
   /** The HTTP layer of one record block, parsed only for `response`
-    * records: (status, Content-Type, body after the header terminator).
+    * records: (status, Content-Type, body after the header terminator,
+    * transfer/content encodings decoded — [[decodeHttpBody]]).
     * A response block that is not an HTTP message keeps status 0 and
     * the raw block as the body — never a fabricated status. */
   private def httpLayer(wtype: String, hdrs: Map[String, String],
@@ -110,7 +157,8 @@ object Warc {
       else {
         val httpHdrs = headerMap(new String(block, 0, hhe, "ISO-8859-1"))
         (st.get, httpHdrs.getOrElse("content-type", ""),
-          java.util.Arrays.copyOfRange(block, hhe + 4, block.length))
+          decodeHttpBody(httpHdrs,
+            java.util.Arrays.copyOfRange(block, hhe + 4, block.length)))
       }
     }
 
@@ -258,20 +306,25 @@ object Warc {
     * url, warc_date, http_status, mime, body), rec_id = the record's
     * WARC-Record-ID (the field real WARCs key provenance on). */
   def readWarcFiles(spark: org.apache.spark.sql.SparkSession,
-                    dir: String): DataFrame =
-    readWarcPaths(spark, listWarcFiles(spark, dir))
+                    dir: String, recursive: Boolean = false): DataFrame =
+    readWarcPaths(spark, listWarcFiles(spark, dir, recursive))
 
-  /** The archive FILES under `dir` (non-recursive), sorted — the
-    * listing half of [[readWarcFiles]], exposed so an ingest loop can
-    * diff it against its processed-file state and parse only NEW
-    * arrivals. File-NAME-scale driver work. */
+  /** The archive FILES under `dir`, sorted — the listing half of
+    * [[readWarcFiles]], exposed so an ingest loop can diff it against
+    * its processed-file state and parse only NEW arrivals.
+    * `recursive` walks subdirectories (crawls organize segments under
+    * date/segment prefixes). File-NAME-scale driver work. */
   def listWarcFiles(spark: org.apache.spark.sql.SparkSession,
-                    dir: String): Seq[String] = {
+                    dir: String, recursive: Boolean = false): Seq[String] = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(root).filter(_.isFile)
-      .map(_.getPath.toString)
-      .filter(p => p.endsWith(".warc") || p.endsWith(".warc.gz"))
+    val names = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = fs.listFiles(root, recursive)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile) names += st.getPath.toString
+    }
+    names.filter(p => p.endsWith(".warc") || p.endsWith(".warc.gz"))
       .sorted.toSeq
   }
 
@@ -340,7 +393,9 @@ object Warc {
     * page a record came from without trusting row order. */
   def syntheticWarc(url: String, date: String, body: Array[Byte],
                     gzipped: Boolean = false,
-                    recordIdBase: String = ""): Array[Byte] = {
+                    recordIdBase: String = "",
+                    httpChunked: Boolean = false,
+                    httpGzip: Boolean = false): Array[Byte] = {
     def rid(kind: String): Seq[(String, String)] =
       if (recordIdBase.isEmpty) Seq.empty
       else Seq("WARC-Record-ID" -> s"<$recordIdBase:$kind>")
@@ -352,9 +407,21 @@ object Warc {
       rid("request") ++ Seq("WARC-Type" -> "request", "WARC-Target-URI" -> url,
         "WARC-Date" -> date, "Content-Type" -> "application/http;msgtype=request"),
       s"GET $url HTTP/1.1\r\nHost: example\r\n\r\n".getBytes("ISO-8859-1"))
-    val httpBlock = crlfJoin(Seq("HTTP/1.1 200 OK",
-      "Content-Type: text/plain",
-      s"Content-Length: ${body.length}")) ++ body
+    // the HTTP wire body: optionally content-gzipped then chunk-framed
+    // (deterministic 16-byte chunks + one hex-size line each) — the
+    // real CommonCrawl response shapes the reader must undo
+    val content = if (httpGzip) gzipMember(body) else body
+    val wire =
+      if (!httpChunked) content
+      else content.grouped(16).foldLeft(Array.emptyByteArray) { (acc, c) =>
+        acc ++ s"${c.length.toHexString}\r\n".getBytes("ISO-8859-1") ++
+          c ++ "\r\n".getBytes("ISO-8859-1")
+      } ++ "0\r\n\r\n".getBytes("ISO-8859-1")
+    val httpHeaders = Seq("HTTP/1.1 200 OK", "Content-Type: text/plain") ++
+      (if (httpGzip) Seq("Content-Encoding: gzip") else Nil) ++
+      (if (httpChunked) Seq("Transfer-Encoding: chunked")
+       else Seq(s"Content-Length: ${wire.length}"))
+    val httpBlock = crlfJoin(httpHeaders) ++ wire
     val resp = warcRecord(
       rid("response") ++ Seq("WARC-Type" -> "response", "WARC-Target-URI" -> url,
         "WARC-Date" -> date, "Content-Type" -> "application/http;msgtype=response"),

@@ -1299,6 +1299,44 @@ class FormatSpec extends SparkSpec {
       (7L, 2, "response")))
   }
 
+  test("WARC HTTP body decoding (r15): chunked framing and content-gzip " +
+       "undo to the exact original bytes; declared-but-broken encodings " +
+       "keep the raw wire bytes — never a partial or fabricated decode") {
+    import graft.sources.Warc
+    val body = ("the quick brown fox jumps over the lazy dog " * 3)
+      .getBytes("UTF-8") // 132 bytes -> 9 chunks, hex sizes two digits
+    def respBody(p: Array[Byte]): String = {
+      val r = Warc.parseWarc(p).find(_._1 == "response").get
+      new String(r._6, "UTF-8")
+    }
+    val want = new String(body, "UTF-8")
+    // chunked alone, gzip alone, both stacked — all recover the bytes
+    assert(respBody(Warc.syntheticWarc("u", "d", body,
+      httpChunked = true)) == want)
+    assert(respBody(Warc.syntheticWarc("u", "d", body,
+      httpGzip = true)) == want)
+    assert(respBody(Warc.syntheticWarc("u", "d", body,
+      httpChunked = true, httpGzip = true)) == want)
+    // per-record gzip members stack on top of the HTTP-layer encodings
+    assert(respBody(Warc.syntheticWarc("u", "d", body, gzipped = true,
+      httpChunked = true, httpGzip = true)) == want)
+    // hand-rolled records (Content-Length computed, not hand-counted)
+    def rawResp(block: String): Array[Byte] =
+      (s"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: " +
+        s"${block.getBytes("ISO-8859-1").length}\r\n\r\n" + block)
+        .getBytes("ISO-8859-1")
+    // chunk extensions after the hex size are legal and ignored
+    assert(respBody(rawResp("HTTP/1.1 200 OK\r\n" +
+      "Transfer-Encoding: chunked\r\n\r\n5;x=1\r\nhello\r\n0\r\n\r\n")) == "hello")
+    // honesty: a BROKEN chunk size line keeps the raw wire bytes
+    assert(respBody(rawResp("HTTP/1.1 200 OK\r\n" +
+      "Transfer-Encoding: chunked\r\n\r\nZZ\r\nhello\r\n0\r\n\r\n"))
+      == "ZZ\r\nhello\r\n0\r\n\r\n")
+    // honesty: gzip declared but not gzip keeps the raw bytes
+    assert(respBody(rawResp("HTTP/1.1 200 OK\r\n" +
+      "Content-Encoding: gzip\r\n\r\nnot gzip")) == "not gzip")
+  }
+
   test("WARC file source (r15): an archive OVER the whole-payload " +
        "inflated cap parses record-streamed; per-record provenance ids " +
        "surface; mid-archive garbage is prefix-honest per FILE") {
@@ -1344,6 +1382,18 @@ class FormatSpec extends SparkSpec {
         .filter(col("path").endsWith("broken.warc.gz"))
       assert(broken.count() == 3,
         "prefix-honest: the 3 records before the garbage survive")
+      // recursive listing (r15): crawls nest segments under prefixes
+      val sub = dir.resolve("seg-2024").resolve("part-a")
+      java.nio.file.Files.createDirectories(sub)
+      Warc.writeSyntheticArchive(sub.toString, "nested.warc.gz",
+        Iterator(("urn:graft:doc:901", "https://x/901",
+          "nested page".getBytes("UTF-8"))))
+      assert(!Warc.listWarcFiles(spark, dir.toString)
+        .exists(_.contains("nested")), "non-recursive stays flat")
+      val rec = Warc.listWarcFiles(spark, dir.toString, recursive = true)
+      assert(rec.exists(_.endsWith("nested.warc.gz")), rec.toString)
+      assert(Warc.readWarcFiles(spark, dir.toString, recursive = true)
+        .filter(col("rec_id") === "<urn:graft:doc:901:response>").count() == 1)
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()

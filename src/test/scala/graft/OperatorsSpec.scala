@@ -244,6 +244,23 @@ class OperatorsSpec extends SparkSpec {
         "<p>colorless ideas sleep furiously tonight</p>",
         stopPct = 30, stops = stops)
       == "the engine is a part of the fleet")
+    // heading promotion (r15, opt-in): a short heading survives iff the
+    // block RIGHT AFTER it is good; a heading over chrome stays chrome,
+    // and a link-farm heading never promotes
+    def mainH(html: String): String =
+      Seq(html).toDF("h")
+        .select(graft.operators.TextAnalysis.htmlMainText(col("h"),
+          promoteHeadings = true))
+        .collect().head.getString(0)
+    val headed = """<h1>Section Title</h1><p>good body words here okay</p>
+      <h2>Orphan Heading</h2><nav><a href="/">Home</a></nav>"""
+    assert(main(headed) == "good body words here okay")
+    assert(mainH(headed) == "Section Title good body words here okay")
+    assert(mainH("""<h1><a href="/">Linked Title</a></h1><p>good body words here</p>""")
+      == "good body words here", "a link-farm heading never promotes")
+    // a trailing heading has no successor: no promotion off the end
+    assert(mainH("<p>good body words here</p><h2>The End</h2>")
+      == "good body words here")
   }
 
   test("url canonicalization (r14): variants collapse, semantics are " +
