@@ -265,6 +265,12 @@ object OracleSql {
     // WARC-Record-ID provenance stamp is stated verbatim
     "warc_file_ingest" -> warcFileIngestSql,
 
+    // mojibake repair (r15): the planted corruptions recover to the
+    // stated clean string; ASCII doc text is a fixed point of the
+    // repair, so the expected output is pure concatenation
+    "fix_mojibake" ->
+      """SELECT doc_id, text || ' Café — naïve ’s' AS text FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id""",
+
     // HTTP body decoding (r15): chunk framing (and gzip under it on
     // half the pages) must vanish — the recovered body IS the document
     // text, byte-for-byte through gzip members, WARC framing, HTTP

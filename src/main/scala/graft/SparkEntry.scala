@@ -1025,6 +1025,23 @@ object SparkEntry {
       rmTree(tmp.toFile)
       parsed
     }),
+    // mojibake repair (r15 — the ftfy fix_encoding core, the C4/Dolma
+    // fix_text step): UTF-8 text decoded as cp1252 somewhere upstream
+    // ("cafÃ©", "â€™") maps back to bytes and strictly re-decodes;
+    // doc text rides through untouched (pure ASCII), the planted
+    // latin1-range and cp1252-window corruptions recover, and the
+    // expected string is a closed form the oracle states verbatim
+    // (the repair is whole-string atomic — the spec covers the
+    // uniformly double-corrupted case that needs two rounds)
+    "fix_mojibake" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(s, d).filter(col("doc_id") % 10 === 0)
+      docs.select(col("doc_id"),
+          graft.functions.TextFunctions.fixMojibake(
+            concat(col("text"), lit(" CafÃ© â€” naÃ¯ve â€™s")))
+            .as("text"))
+        .orderBy("doc_id")
+    }),
     // HTTP body decoding (r15 — the wire shapes real CommonCrawl
     // responses carry): every page's response body is chunk-framed,
     // and every other page's is ALSO content-gzipped under the

@@ -467,6 +467,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ArrayKMin(children.head, litInt("graft_array_kmin", children(1)))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_fix_mojibake"),
+      new ExpressionInfo(classOf[FixMojibake].getName, "graft_fix_mojibake"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          s"graft_fix_mojibake requires exactly 1 argument, got ${children.size}")
+        FixMojibake(children.head)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_equal_positions"),
       new ExpressionInfo(classOf[EqualPositions].getName, "graft_equal_positions"),
       (children: Seq[Expression]) => {

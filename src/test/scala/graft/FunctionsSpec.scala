@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.functions.VectorFunctions
+import graft.functions.{TextFunctions, VectorFunctions}
 import graft.sources.Tables
 
 class FunctionsSpec extends SparkSpec {
@@ -113,6 +113,43 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("mojibake repair (r15): corrupted text recovers byte-exactly, clean " +
+       "text is a fixed point, the repair stays inside whole-stage codegen") {
+    import spark.implicits._
+    def fix(ss: String*): Seq[String] =
+      ss.toDF("t").select(TextFunctions.fixMojibake(col("t")))
+        .collect().map(_.getString(0)).toSeq
+    // the canonical corruptions: latin1-range (Ã©), cp1252-window
+    // (â€™/â€œ), and a DOUBLE corruption needing two repair rounds —
+    // inputs built by the exact upstream bug (utf8 bytes read as cp1252)
+    def corrupt(clean: String): String =
+      new String(clean.getBytes("UTF-8"), "windows-1252")
+    val cleans = Seq("café", "I’m — “quoted naïve", "déjà vu €9")
+    assert(fix(cleans.map(corrupt): _*) == cleans)
+    assert(fix(corrupt(corrupt("café"))) == Seq("café"), "double corruption")
+    // the 5 cp1252-undefined bytes (0x81/8D/8F/90/9D): a WHATWG-style
+    // upstream decodes them to C1 controls (Java's strict decoder
+    // instead destroys them to U+FFFD — that text is honestly
+    // unrecoverable and stays put); '”' = E2 80 9D exercises the path
+    assert(fix("quoted â€ end") == Seq("quoted ” end"))
+    assert(fix("destroyed â€� end")
+      == Seq("destroyed â€� end"), "U+FFFD is unrecoverable")
+    // fixed points: ASCII, CORRECT accented text (not valid utf8 when
+    // re-read as bytes), and text cp1252 cannot carry at all
+    val fixed = Seq("plain ascii words", "correct café text", "中文 text",
+      "mixed café — correct punctuation")
+    assert(fix(fixed: _*) == fixed)
+    // whole-stage codegen: the kernel call sits inside a codegen span
+    // (a real scan — a local Seq plans as LocalTableScan, no codegen)
+    val df = Tables.documents(spark, sf)
+      .select(TextFunctions.fixMojibake(col("text")).as("t"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WholeStageCodegen") ||
+      "\\*\\(\\d+\\) Project \\[graft_fix_mojibake".r.findFirstIn(plan).isDefined,
+      s"no codegen span:\n$plan")
+  }
+
   test("GraftExtensions' SQL functions resolve and evaluate through the injection path") {
     // A shared-session suite can't exercise builder.withExtensions (the
     // builder returns the existing session and drops them), and a silent
@@ -142,6 +179,10 @@ class FunctionsSpec extends SparkSpec {
       "SELECT graft_theta(w, 16) AS sk FROM VALUES ('x'),('y'),('x'),('z') t(w)")
       .head.getSeq[Long](0)
     assert(th.length == 3, s"theta: $th")
+    // mojibake repair resolves by SQL name and repairs (r15)
+    val fm = fresh.sql("SELECT graft_fix_mojibake('CafÃ©') AS t")
+      .head.getString(0)
+    assert(fm == "Café", s"graft_fix_mojibake: $fm")
   }
 
   test("theta UNION aggregate: identical array to the collect-then-trim " +
