@@ -53,6 +53,12 @@ import org.apache.spark.sql.functions._
   * ≲linear with IDENTICAL verified output on this corpus (the dropped
   * candidates were all below threshold).
   *
+  * r15 also adds the URL-DEDUP SKEW demo (§8): a hot URL refetched
+  * 200k/2M times (each refetch with different utm tracking, so the
+  * skew appears only after canonicalization) measured through BOTH
+  * keep-rule shapes — the r14 window (whole hot key in one task) vs
+  * the r15 map-side-combined groupBy-min — outputs required equal.
+  *
   * r15 adds the WARC FILE-SCALE demo (§7): an archive 5× the
   * whole-payload path's 256 MB inflated ceiling (the CommonCrawl
   * segment size class) is refused wholesale by the one-row path and
@@ -399,6 +405,80 @@ object ScaleDemo {
     System.err.println(f"[scaledemo] warc inflated=${warcInflatedMb}MB " +
       f"gz=$warcGzMb%.1fMB records=$warc1 (whole-payload path refused)")
 
+    // ---- 8. urlDedup skew (r15): the hot-URL refetch storm ----
+    // Crawl refetch counts are heavy-tailed: one viral page fetched
+    // millions of times (each refetch with DIFFERENT utm tracking, so
+    // the skew materializes only AFTER canonicalization — exactly where
+    // a pre-shuffle fix can't see it), and every refetch row carries
+    // its PAGE PAYLOAD. The r14 keep rule
+    // (min().over(partitionBy(url_canonical))) drags every hot-key
+    // payload through ONE window task's sort buffer; the r15 shape
+    // (map-side-combined groupBy-min + SHUFFLE_HASH join back) never
+    // sorts the payload side — rows stream past a distinct-URL-sized
+    // build table, and AQE can skew-split the hash join's hot
+    // partition where a window is structurally unsplittable. Both
+    // forms measured on the same payload-bearing corpora, outputs
+    // required identical. (The first attempt of this fix used the
+    // default join and planned a sort-merge join — the payload sort
+    // came BACK, 3× worse than the window; the hint is load-bearing
+    // and this demo is what caught it.)
+    def ucorpus(name: String, n: Long): DataFrame = {
+      val path = s"$workDir/$name"
+      spark.range(n).select(col("id").as("doc_id"),
+          when(col("id") % 10 < 4,
+            concat(lit("https://news.example/hot-story?utm_source=s"),
+              col("id") % 97, lit("&id=1")))
+            .otherwise(concat(lit("https://news.example/p/"), col("id")))
+            .as("url"),
+          // ~1 KB deterministic page payload per refetch row
+          concat(lit("p"), col("id"), lit(" "),
+            repeat(concat(lit("w"), col("id") % 1000, lit(" ")), 180))
+            .as("text"))
+        .repartition(32).write.mode("overwrite").parquet(path)
+      spark.read.parquet(path)
+    }
+    val u1 = ucorpus("u1", 200000)    // hot key: 80k payload rows
+    val u10 = ucorpus("u10", 2000000) // hot key: 800k payload rows
+    def windowKeep(d: DataFrame): Long = {
+      val canon = d.withColumn("url_canonical",
+        graft.operators.Curation.canonicalUrl(col("url")))
+      canon.withColumn("keep", col("doc_id") ===
+          min(col("doc_id")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("url_canonical"))))
+        .filter(col("keep")).agg(count(lit(1)), sum(length(col("text"))))
+        .head().getLong(0)
+    }
+    def aggKeep(d: DataFrame): Long =
+      graft.operators.Curation.urlDedup(d).filter(col("keep"))
+        .agg(count(lit(1)), sum(length(col("text")))).head().getLong(0)
+    var uw1 = 0L; var ua1 = 0L; var uw10 = 0L; var ua10 = 0L
+    run("urldedup_window_u1")({ uw1 = windowKeep(u1); uw1 })
+    run("urldedup_agg_u1")({ ua1 = aggKeep(u1); ua1 })
+    run("urldedup_window_u10")({ uw10 = windowKeep(u10); uw10 })
+    run("urldedup_agg_u10")({ ua10 = aggKeep(u10); ua10 })
+    require(uw1 == ua1 && uw10 == ua10,
+      s"keep semantics must be identical: $uw1/$ua1, $uw10/$ua10")
+    // the SKEW metric itself, measured: the hot task's memory footprint
+    // (peakExecutionMemory + spill, max over tasks) and total spill.
+    // The window must BUFFER every hot-key payload row in one task —
+    // its footprint grows with the hot key; the hash-join probe
+    // streams them past a distinct-URL-sized build table — its
+    // footprint does not. Wall alone understates this on a machine
+    // with fast local disk and a hot key that still fits in memory;
+    // the footprint is what decides survival at 10^7 refetches.
+    def memProfile(thunk: => Long): (Long, Long) = {
+      meter.taskPeakSnapshotAndReset()
+      val s0 = meter.spillSnapshot()
+      thunk
+      (meter.spillSnapshot() - s0, meter.taskPeakSnapshotAndReset())
+    }
+    val (uwSpill, uwPeak) = memProfile(windowKeep(u10))
+    val (uaSpill, uaPeak) = memProfile(aggKeep(u10))
+    System.err.println(
+      f"[scaledemo] urldedup u10 hot-task footprint: window " +
+        f"taskPeak=${uwPeak / 1e6}%.0fMB spill=${uwSpill / 1e6}%.0fMB; " +
+        f"agg taskPeak=${uaPeak / 1e6}%.0fMB spill=${uaSpill / 1e6}%.0fMB")
+
     val counts = Map("x1" -> x1.count(), "x10" -> x10.count(),
       "batch" -> batch.count())
     val json = {
@@ -409,6 +489,7 @@ object ScaleDemo {
         s""""minhash_hot_fanout":{"m1":$mFanout1,"m10":$mFanout10},""" +
         s""""hamming_fanout":{"h1_4x16":$hf1s,"h10_4x16":$hf10s,"h1_pair5":$hf1p,"h10_pair5":$hf10p},""" +
         f""""warc":{"inflated_mb":$warcInflatedMb,"gz_mb":$warcGzMb%.1f,"records":$warc1,"whole_payload_refused":true},""" +
+        f""""urldedup_u10_hot_task":{"window_peak_mb":${uwPeak / 1e6}%.0f,"window_spill_mb":${uwSpill / 1e6}%.0f,"agg_peak_mb":${uaPeak / 1e6}%.0f,"agg_spill_mb":${uaSpill / 1e6}%.0f},""" +
         s""""env":{"cpus":${graft.util.BenchHarness.jsonNum(cpus)},"iters":$iters,"heap_mb":${Runtime.getRuntime.maxMemory() / (1024 * 1024)}},""" +
         s""""measurements":{$rows}}"""
     }

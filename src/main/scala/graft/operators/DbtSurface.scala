@@ -561,18 +561,29 @@ object Curation {
     *
     * Skew shape (r15 — was `min().over(partitionBy(url_canonical))`):
     * crawl refetch counts are heavy-tailed — one hot URL refetched 10⁷
-    * times would land in ONE window task. The keep rule is instead a
-    * map-side-combinable `groupBy(canonical).min` (partial aggregation
-    * shrinks the hot key to one row per input partition BEFORE the
-    * exchange) joined back on the canonical key — same semantics, no
-    * single-task hot partition; both sides share the one canonical-key
-    * exchange. PlanSpec pins the shape (partial agg, no Window). */
+    * times would land in ONE window task, and real crawl rows carry
+    * their full payload through that window's exchange + SORT (the
+    * sort is the killer: the hot task must buffer/spill every hot
+    * row). The keep rule is instead:
+    *  1. a map-side-combinable `groupBy(canonical).min` — partial
+    *     aggregation shrinks the hot key to one (canonical, min) pair
+    *     per input partition BEFORE the exchange, so the min table is
+    *     distinct-URL-sized however hot the key;
+    *  2. joined back under a SHUFFLE_HASH hint — no sort on the
+    *     payload side (rows stream past a small per-partition build
+    *     table), and AQE's skew-join split applies to shuffled hash
+    *     joins, so the hot partition CAN be split at runtime — a
+    *     window never can. AQE still upgrades to broadcast when the
+    *     min table is small.
+    * Same semantics, measured in SCALE_DEMO_r15 §8 on a planted
+    * 40%-hot refetch storm with payload-bearing rows. PlanSpec pins
+    * the shape (partial agg, hash join, no Window, no sort). */
   def urlDedup(documents: DataFrame, urlCol: String = "url"): DataFrame = {
     val canon = documents.withColumn("url_canonical",
       canonicalUrl(col(urlCol)))
     val firstSeen = canon.groupBy("url_canonical")
       .agg(min(col("doc_id")).as("__first_doc"))
-    canon.join(firstSeen, Seq("url_canonical"))
+    canon.join(firstSeen.hint("shuffle_hash"), Seq("url_canonical"))
       .withColumn("keep", col("doc_id") === col("__first_doc"))
       .select((documents.columns.toSeq :+ "url_canonical" :+ "keep")
         .map(col): _*)

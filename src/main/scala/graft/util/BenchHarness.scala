@@ -35,16 +35,40 @@ object BenchHarness {
     * every artifact. */
   final class CpuMeter(sc: SparkContext) {
     private val cpuNs = new java.util.concurrent.atomic.AtomicLong(0L)
+    private val spill = new java.util.concurrent.atomic.AtomicLong(0L)
+    private val taskPeak = new java.util.concurrent.atomic.AtomicLong(0L)
     sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(
           te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
         val m = te.taskMetrics
-        if (m != null) cpuNs.addAndGet(m.executorCpuTime): Unit
+        if (m != null) {
+          cpuNs.addAndGet(m.executorCpuTime)
+          spill.addAndGet(m.memoryBytesSpilled)
+          // the skew signature: the largest single task's execution
+          // memory + spill footprint (a hot-key buffer shows up here
+          // whether or not it spilled)
+          val peak = m.peakExecutionMemory + m.memoryBytesSpilled
+          var cur = taskPeak.get()
+          while (peak > cur && !taskPeak.compareAndSet(cur, peak))
+            cur = taskPeak.get()
+          (): Unit
+        }
       }
     })
     def snapshot(): Long = {
       org.apache.spark.graftbridge.CoreBridge.drainListenerBus(sc)
       cpuNs.get()
+    }
+    /** Cumulative memoryBytesSpilled across all tasks so far. */
+    def spillSnapshot(): Long = {
+      org.apache.spark.graftbridge.CoreBridge.drainListenerBus(sc)
+      spill.get()
+    }
+    /** Max single-task (peakExecutionMemory + spill) so far; reset per
+      * measurement to attribute the peak to one run. */
+    def taskPeakSnapshotAndReset(): Long = {
+      org.apache.spark.graftbridge.CoreBridge.drainListenerBus(sc)
+      taskPeak.getAndSet(0L)
     }
   }
 }

@@ -806,5 +806,10 @@ class PlanSpec extends SparkSpec {
       s"first-seen rule lost its map-side combine:\n$plan")
     assert(!plan.contains("Window"),
       s"keep rule still runs as a hot-key window:\n$plan")
+    // the join back must never SORT the payload side (the window's
+    // failure mode reappearing as SMJ) — shuffled hash streams it,
+    // and AQE can skew-split a hash join's hot partition
+    assert(!plan.contains("SortMergeJoin"),
+      s"keep attach sorts the payload side:\n$plan")
   }
 }

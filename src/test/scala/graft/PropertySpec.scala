@@ -222,4 +222,65 @@ class PropertySpec extends AnyFunSuite {
         s"cuts=$cuts texts=${texts.mkString("|")} got=$got want=$expected")
     }
   }
+
+  test("WARC kernels (r15): arbitrary binary pages — bodies containing " +
+       "CRLF runs, fake headers, any HTTP encoding combo — round-trip " +
+       "through both parse paths; every truncation point is prefix-honest") {
+    import graft.sources.Warc
+    val pageGen = for {
+      n <- Gen.chooseNum(1, 5)
+      pages <- Gen.listOfN(n, for {
+        tag <- Gen.alphaNumStr.map(_.take(8))
+        len <- Gen.chooseNum(0, 300)
+        body <- Gen.listOfN(len, Gen.chooseNum(0, 255).map(_.toByte))
+        chunked <- Gen.oneOf(true, false)
+        gz <- Gen.oneOf(true, false)
+      } yield (s"https://x/$tag", body.toArray, chunked, gz))
+    } yield pages
+    forAllSampled(pageGen, 8) { pages =>
+      def archive(gzipped: Boolean): Array[Byte] =
+        pages.flatMap { case (u, b, c, g) =>
+          Warc.syntheticWarc(u, "2024-01-01T00:00:00Z", b,
+            gzipped = gzipped, httpChunked = c, httpGzip = g)
+        }.toArray
+      val plain = archive(false)
+      val recs = Warc.parseWarc(plain)
+      assert(recs.length == 3 * pages.length, s"${recs.length} records")
+      // responses carry the EXACT body bytes in page order, whatever
+      // the wire encoding stack was
+      val resps = recs.filter(_._1 == "response")
+      resps.zip(pages).foreach { case ((_, u, _, st, mime, body), p) =>
+        assert(u == p._1 && st == 200 && mime == "text/plain" &&
+          java.util.Arrays.equals(body, p._2), s"page $u")
+      }
+      // the per-record-gzip layout parses to the same records, and the
+      // STREAMED iterator walks the same count with length-true blocks
+      val gzArch = archive(true)
+      val gzRecs = Warc.parseWarc(gzArch)
+      assert(gzRecs.length == recs.length &&
+        gzRecs.zip(recs).forall { case (a, b) =>
+          a._1 == b._1 && a._2 == b._2 && a._4 == b._4 &&
+            java.util.Arrays.equals(a._6, b._6) })
+      val streamed = Warc.recordIterator(new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(gzArch))).toVector
+      assert(streamed.length == recs.length)
+      streamed.foreach { case (hdrs, block) =>
+        assert(hdrs("content-length").toInt == block.length) }
+      assert(streamed.map(_._1.getOrElse("warc-target-uri", "")).filter(_.nonEmpty)
+        == recs.map(_._2).filter(_.nonEmpty))
+      // prefix honesty at EVERY 13th byte: the truncated parse is always
+      // an exact prefix of the full record list — never a fabricated or
+      // altered record, whatever the cut lands inside (header, block,
+      // terminator, or a body byte that LOOKS like framing)
+      (1 until plain.length by 13).foreach { k =>
+        val pre = Warc.parseWarc(java.util.Arrays.copyOfRange(plain, 0, k))
+        assert(pre.length <= recs.length, s"cut $k grew the record list")
+        pre.zip(recs).foreach { case (a, b) =>
+          assert(a._1 == b._1 && a._2 == b._2 && a._4 == b._4 &&
+            java.util.Arrays.equals(a._6, b._6),
+            s"cut $k altered record: $a vs $b")
+        }
+      }
+    }
+  }
 }
