@@ -265,6 +265,12 @@ object OracleSql {
     // WARC-Record-ID provenance stamp is stated verbatim
     "warc_file_ingest" -> warcFileIngestSql,
 
+    // NFC normalization (r15): the decomposed plants compose to the
+    // precomposed closed form; the ligature survives (canonical, not
+    // compatibility, folding); ASCII text is a fixed point
+    "nfc_normalize" ->
+      """SELECT doc_id, text || ' café Å ñ ﬁn' AS text FROM documents WHERE doc_id % 10 = 5 ORDER BY doc_id""",
+
     // mojibake repair (r15): the planted corruptions recover to the
     // stated clean string; ASCII doc text is a fixed point of the
     // repair, so the expected output is pure concatenation

@@ -1025,6 +1025,22 @@ object SparkEntry {
       rmTree(tmp.toFile)
       parsed
     }),
+    // Unicode NFC normalization (r15 — fix_mojibake's companion: the
+    // SAME visible text arrives precomposed or decomposed, and every
+    // byte-level stage treats the forms as different documents): the
+    // planted decomposed sequences (e+combining-acute, A+ring,
+    // n+tilde) compose; the ligature stays (NFC is canonical, not
+    // NFKC); ASCII doc text is a fixed point — the expected string is
+    // a precomposed closed form
+    "nfc_normalize" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(s, d).filter(col("doc_id") % 10 === 5)
+      docs.select(col("doc_id"),
+          graft.functions.TextFunctions.nfc(
+            concat(col("text"), lit(" cafe\u0301 A\u030A n\u0303 \uFB01n")))
+            .as("text"))
+        .orderBy("doc_id")
+    }),
     // mojibake repair (r15 — the ftfy fix_encoding core, the C4/Dolma
     // fix_text step): UTF-8 text decoded as cp1252 somewhere upstream
     // ("cafÃ©", "â€™") maps back to bytes and strictly re-decodes;

@@ -111,8 +111,56 @@ case class FixMojibake(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** The NFC kernel behind [[NfcNormalize]] — static for the same
+  * monomorphic-codegen reason as [[MojibakeKernel]]. Fast path:
+  * `Normalizer.isNormalized` (a scan, no allocation) skips the rebuild
+  * for the overwhelmingly-common already-NFC input. */
+object NfcKernel {
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str,
+        java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(java.text.Normalizer.normalize(str,
+      java.text.Normalizer.Form.NFC))
+  }
+}
+
+/** `graft_nfc(text)` — Unicode NFC normalization (canonical
+  * composition), the text-cleanup companion of [[FixMojibake]]: the
+  * SAME visible text arrives from different sources precomposed
+  * ("é" = U+00E9) or decomposed ("e" + U+0301) — macOS filenames,
+  * some OCR and PDF extractors emit NFD — and every byte-level stage
+  * (exact-dedup digests, shingles, substring windows, tokenizer
+  * merges) treats the two as different documents. NFC is canonical
+  * (visible text unchanged, unlike NFKC's compatibility folding —
+  * ligatures and superscripts stay). Native codegen'd expression,
+  * one static call, no UDF boxing. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${dt.simpleString}")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_nfc"
+
+  override def nullSafeEval(v: Any): Any =
+    NfcKernel.nfc(v.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NfcKernel.nfc($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextFunctions {
   /** Column API for [[FixMojibake]]. */
   def fixMojibake(c: Column): Column =
     Bridge.column(FixMojibake(Bridge.expression(c)))
+
+  /** Column API for [[NfcNormalize]]. */
+  def nfc(c: Column): Column =
+    Bridge.column(NfcNormalize(Bridge.expression(c)))
 }

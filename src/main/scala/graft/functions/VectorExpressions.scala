@@ -475,6 +475,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FixMojibake(children.head)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          s"graft_nfc requires exactly 1 argument, got ${children.size}")
+        NfcNormalize(children.head)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_equal_positions"),
       new ExpressionInfo(classOf[EqualPositions].getName, "graft_equal_positions"),
       (children: Seq[Expression]) => {

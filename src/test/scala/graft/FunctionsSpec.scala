@@ -183,6 +183,30 @@ class FunctionsSpec extends SparkSpec {
     val fm = fresh.sql("SELECT graft_fix_mojibake('CafÃ©') AS t")
       .head.getString(0)
     assert(fm == "Café", s"graft_fix_mojibake: $fm")
+    // NFC resolves by SQL name and composes (r15)
+    val nf = fresh.sql("SELECT graft_nfc('café') AS t").head.getString(0)
+    assert(nf == "café", s"graft_nfc: $nf")
+  }
+
+  test("NFC normalization (r15): decomposed sequences compose, composed " +
+       "and ASCII text are fixed points, ligatures stay (canonical not " +
+       "compatibility), and the kernel matches java.text.Normalizer") {
+    import spark.implicits._
+    val inputs = Seq("café", "Å ñ", "café done",
+      "plain ascii", "ﬁn ligature stays", "mixed café café")
+    val got = inputs.toDF("t")
+      .select(TextFunctions.nfc(col("t"))).collect().map(_.getString(0)).toSeq
+    val want = inputs.map(java.text.Normalizer.normalize(_,
+      java.text.Normalizer.Form.NFC))
+    assert(got == want, s"$got vs $want")
+    assert(got(0) == "caf\u00E9" && got(1) == "\u00C5 \u00F1" &&
+      got(4) == "\uFB01n ligature stays")
+    // the byte-level consequence the op exists for: the two forms of
+    // the same visible text share an exact-dedup digest only after NFC
+    val digests = Seq("café", "café").toDF("text")
+      .select(md5(lower(trim(TextFunctions.nfc(col("text")))))).collect()
+      .map(_.getString(0))
+    assert(digests(0) == digests(1), "NFC must unify the dedup key")
   }
 
   test("theta UNION aggregate: identical array to the collect-then-trim " +
