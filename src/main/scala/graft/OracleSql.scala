@@ -277,12 +277,14 @@ object OracleSql {
     "fix_mojibake" ->
       """SELECT doc_id, text || ' Café — naïve ’s' AS text FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id""",
 
-    // HTTP body decoding (r15): chunk framing (and gzip under it on
-    // half the pages) must vanish — the recovered body IS the document
-    // text, byte-for-byte through gzip members, WARC framing, HTTP
-    // headers, chunk de-framing, and content gunzip
+    // HTTP body decoding (r15; TE-layer gzip + decoded flag r16): chunk
+    // framing, gzip under it on half the pages, and a TE-layer gzip
+    // ("Transfer-Encoding: gzip, chunked") on a quarter must all
+    // vanish — the recovered body IS the document text, byte-for-byte,
+    // and every planted stack decodes, so the flag is TRUE across the
+    // board
     "warc_http_decode" ->
-      """SELECT doc_id, 200 AS http_status, 'text/plain' AS mime, text AS body_text FROM documents WHERE doc_id % 10 = 1 ORDER BY doc_id""",
+      """SELECT doc_id, 200 AS http_status, 'text/plain' AS mime, text AS body_text, TRUE AS body_decoded FROM documents WHERE doc_id % 10 = 1 ORDER BY doc_id""",
 
     // the archive ingest loop cold (r15): single batch ⇒ the landing
     // dir holds exactly the batch's archives ⇒ the batch op's closed

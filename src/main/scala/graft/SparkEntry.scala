@@ -1060,9 +1060,12 @@ object SparkEntry {
     }),
     // HTTP body decoding (r15 — the wire shapes real CommonCrawl
     // responses carry): every page's response body is chunk-framed,
-    // and every other page's is ALSO content-gzipped under the
-    // framing; the reader must undo both to recover the text, so
-    // body_text == the document text IS the adjudication
+    // every other page's is ALSO content-gzipped under the framing,
+    // and every fourth page's rides a TE-LAYER gzip instead
+    // ("Transfer-Encoding: gzip, chunked" — RFC 7230-legal, seen in
+    // real crawls; r16): the reader must undo each stack to recover
+    // the text, so body_text == the document text IS the
+    // adjudication, and body_decoded must report true on all of them
     "warc_http_decode" -> ((s, d) => {
       import s.implicits._
       import org.apache.spark.sql.functions._
@@ -1072,12 +1075,14 @@ object SparkEntry {
         (id, graft.sources.Warc.syntheticWarc(
           s"https://example.com/doc/$id", "2024-01-01T00:00:00Z",
           text.getBytes("UTF-8"), gzipped = true,
-          httpChunked = true, httpGzip = id % 20 == 11))
+          httpChunked = true, httpGzip = id % 20 == 11,
+          httpTeGzip = id % 40 == 21))
       }).toDF("doc_id", "payload")
       graft.sources.Warc.readWarc(warcs)
         .filter(col("warc_type") === "response")
         .select(col("doc_id"), col("http_status"), col("mime"),
-          col("body").cast("string").as("body_text"))
+          col("body").cast("string").as("body_text"),
+          col("body_decoded"))
         .orderBy("doc_id")
     }),
     // the GROWING-crawl archive ingest loop, cold single batch (r15 —

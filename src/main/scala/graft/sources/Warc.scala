@@ -5,19 +5,28 @@ import org.apache.spark.sql.functions._
 
 /** One parsed WARC record: the container fields a crawl-ingest stage
   * keys on (type, target URI, date), the HTTP layer of response
-  * records (status, Content-Type), and the payload body bytes. */
+  * records (status, Content-Type), and the payload body bytes.
+  * `body_decoded` is the honesty flag for the body column: true when
+  * the bytes ARE the decoded content (every declared transfer/content
+  * encoding undone, or none declared); false when some layer could not
+  * be undone — the bytes are then the raw truth on disk, and a text
+  * stage should filter on the flag instead of scoring compressed bytes
+  * as text (r15 ADVICE). */
 case class WarcRecordRow(doc_id: Long, rec_idx: Int, warc_type: String,
                          url: String, warc_date: String, http_status: Int,
-                         mime: String, body: Array[Byte])
+                         mime: String, body: Array[Byte],
+                         body_decoded: Boolean)
 
 /** One parsed record from a WARC archive FILE (the file-scale source
   * [[Warc.readWarcFiles]]): `path` names the archive, `rec_idx` the
   * record's position within it, `rec_id` the WARC-Record-ID header —
-  * the provenance key real archives carry per record. */
+  * the provenance key real archives carry per record. `body_decoded`
+  * as in [[WarcRecordRow]]. */
 case class WarcFileRecordRow(path: String, rec_idx: Int, rec_id: String,
                              warc_type: String, url: String,
                              warc_date: String, http_status: Int,
-                             mime: String, body: Array[Byte])
+                             mime: String, body: Array[Byte],
+                             body_decoded: Boolean)
 
 /** WARC (ISO 28500) reader — the format crawl corpora actually arrive
   * in (CommonCrawl ships `.warc.gz`): parse WARC/1.0 records from a
@@ -120,32 +129,58 @@ object Warc {
     None // unreachable
   }
 
+  /** Comma-separated header value → trimmed lowercase tokens. */
+  private def hdrTokens(v: String): Seq[String] =
+    v.toLowerCase.split(",").iterator.map(_.trim).filter(_.nonEmpty).toSeq
+
   /** Decode an HTTP response body to its content bytes: de-chunk
-    * `Transfer-Encoding: chunked` framing, then inflate
-    * `Content-Encoding: gzip` — both real CommonCrawl response shapes.
-    * Honesty rule: a body whose declared encoding fails to decode
-    * keeps its RAW bytes (the truth on disk) — never a fabricated or
-    * partial decode; inflation rides [[gunzipAll]]'s bomb ceiling. */
+    * `Transfer-Encoding: chunked` framing, inflate a TE-layer gzip
+    * (`Transfer-Encoding: gzip, chunked` is legal per RFC 7230 §3.3.1
+    * and seen in real crawls — the sender gzipped THEN chunked, so the
+    * receiver de-chunks then gunzips), then inflate
+    * `Content-Encoding: gzip` — the real CommonCrawl response shapes.
+    * Honesty rule: a body whose declared encoding fails to decode — or
+    * declares a coding this reader has no codec for (deflate, br,
+    * compress) — keeps its RAW bytes (the truth on disk) with the
+    * returned flag FALSE, so downstream text stages can filter
+    * undecoded bodies instead of scoring compressed bytes as text
+    * (r15 ADVICE); never a fabricated or partial decode. Inflation
+    * rides [[gunzipAll]]'s bomb ceiling. Returns (bytes, decoded). */
   private def decodeHttpBody(httpHdrs: Map[String, String],
-                             body: Array[Byte]): Array[Byte] = {
-    val te = httpHdrs.getOrElse("transfer-encoding", "").toLowerCase
+                             body: Array[Byte]): (Array[Byte], Boolean) = {
+    val te = hdrTokens(httpHdrs.getOrElse("transfer-encoding", ""))
     val deChunked =
-      if (te.contains("chunked")) dechunk(body).getOrElse(return body)
+      if (te.contains("chunked")) dechunk(body).getOrElse(return (body, false))
       else body
-    val ce = httpHdrs.getOrElse("content-encoding", "").toLowerCase
-    if (ce == "gzip" || ce == "x-gzip")
-      gunzipAll(deChunked).getOrElse(deChunked)
-    else deChunked
+    val deTe =
+      if (te.exists(t => t == "gzip" || t == "x-gzip"))
+        gunzipAll(deChunked).getOrElse(return (deChunked, false))
+      else deChunked
+    if (te.exists(t => t != "chunked" && t != "gzip" && t != "x-gzip" &&
+          t != "identity"))
+      return (deTe, false) // a transfer coding with no codec here
+    val ce = hdrTokens(httpHdrs.getOrElse("content-encoding", ""))
+      .filter(_ != "identity")
+    ce match {
+      case Nil => (deTe, true)
+      case Seq(g) if g == "gzip" || g == "x-gzip" =>
+        gunzipAll(deTe).map((_, true)).getOrElse((deTe, false))
+      case _ => (deTe, false) // deflate/br/stacked codings: flagged raw
+    }
   }
 
   /** The HTTP layer of one record block, parsed only for `response`
     * records: (status, Content-Type, body after the header terminator,
-    * transfer/content encodings decoded — [[decodeHttpBody]]).
-    * A response block that is not an HTTP message keeps status 0 and
-    * the raw block as the body — never a fabricated status. */
+    * body-decoded flag — [[decodeHttpBody]]). A response block that is
+    * not an HTTP message keeps status 0, the raw block as the body, and
+    * decoded = false (the bytes were never adjudicated against their
+    * declared encodings) — never a fabricated status; non-response
+    * records carry their block verbatim with decoded = true (a WARC
+    * block IS the content for warcinfo/request/metadata records). */
   private def httpLayer(wtype: String, hdrs: Map[String, String],
-                        block: Array[Byte]): (Int, String, Array[Byte]) =
-    if (wtype != "response") (0, hdrs.getOrElse("content-type", ""), block)
+                        block: Array[Byte]): (Int, String, Array[Byte], Boolean) =
+    if (wtype != "response")
+      (0, hdrs.getOrElse("content-type", ""), block, true)
     else {
       val hhe = headerEnd(block, 0)
       val statusLine = new String(block, 0,
@@ -153,22 +188,22 @@ object Warc {
         "ISO-8859-1").split("\r\n").headOption.getOrElse("")
       val st = statusLine.split(" ").lift(1).flatMap(_.toIntOption)
       if (hhe < 0 || !statusLine.startsWith("HTTP/") || st.isEmpty)
-        (0, hdrs.getOrElse("content-type", ""), block)
+        (0, hdrs.getOrElse("content-type", ""), block, false)
       else {
         val httpHdrs = headerMap(new String(block, 0, hhe, "ISO-8859-1"))
-        (st.get, httpHdrs.getOrElse("content-type", ""),
-          decodeHttpBody(httpHdrs,
-            java.util.Arrays.copyOfRange(block, hhe + 4, block.length)))
+        val (body, decoded) = decodeHttpBody(httpHdrs,
+          java.util.Arrays.copyOfRange(block, hhe + 4, block.length))
+        (st.get, httpHdrs.getOrElse("content-type", ""), body, decoded)
       }
     }
 
   /** All records of one (possibly per-record-gzipped) WARC payload, in
     * file order. Malformed input stops the walk — prefix-honest. */
-  private[graft] def parseWarc(payload: Array[Byte]): Vector[(String, String, String, Int, String, Array[Byte])] = {
+  private[graft] def parseWarc(payload: Array[Byte]): Vector[(String, String, String, Int, String, Array[Byte], Boolean)] = {
     val bytes =
       if (isGzip(payload)) gunzipAll(payload).getOrElse(return Vector.empty)
       else payload
-    val out = Vector.newBuilder[(String, String, String, Int, String, Array[Byte])]
+    val out = Vector.newBuilder[(String, String, String, Int, String, Array[Byte], Boolean)]
     var off = 0
     var ok = true
     while (ok && off < bytes.length) {
@@ -186,8 +221,8 @@ object Warc {
             val wtype = hdrs.getOrElse("warc-type", "")
             val url = hdrs.getOrElse("warc-target-uri", "")
             val date = hdrs.getOrElse("warc-date", "")
-            val (status, mime, body) = httpLayer(wtype, hdrs, block)
-            out += ((wtype, url, date, status, mime, body))
+            val (status, mime, body, decoded) = httpLayer(wtype, hdrs, block)
+            out += ((wtype, url, date, status, mime, body, decoded))
             // records terminate with CRLFCRLF; tolerate its absence at
             // EOF and a non-conforming lone CRLF (r15 ADVICE: checking
             // only the first byte then skipping 4 swallowed the start
@@ -215,7 +250,8 @@ object Warc {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, p) =>
         parseWarc(p).zipWithIndex.map {
-          case ((t, u, d, s, m, b), i) => WarcRecordRow(id, i, t, u, d, s, m, b)
+          case ((t, u, d, s, m, b, dec), i) =>
+            WarcRecordRow(id, i, t, u, d, s, m, b, dec)
         }
       })
       .toDF()
@@ -328,33 +364,59 @@ object Warc {
       .sorted.toSeq
   }
 
+  /** Streams this JVM currently holds open in [[readWarcPaths]] tasks —
+    * observability for the close-on-every-task-outcome contract (the
+    * leak spec asserts it returns to its baseline after an abandoned
+    * iterator). Test seam only; never read by the operators. */
+  private[graft] val openStreams =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** Record-streamed parse of an EXPLICIT archive-file list — the
     * parsing half of [[readWarcFiles]] (one task per file, bounded
-    * per-record memory, prefix-honest per file). */
+    * per-record memory, prefix-honest per file). The DRIVER session's
+    * Hadoop configuration ships into the tasks
+    * ([[graft.util.SerializableHadoopConf]]), so `spark.hadoop.*`
+    * object-store credentials/endpoints reach the executor-side
+    * `FileSystem` — a fresh executor `Configuration()` would silently
+    * drop them (r15 VERDICT #1). Each task's input stream closes on
+    * TASK COMPLETION (success, kill, or downstream abandonment alike —
+    * a `limit(1)` must not leak a file handle + native Inflater until
+    * GC), with the end-of-walk close kept as the happy-path early
+    * release. */
   def readWarcPaths(spark: org.apache.spark.sql.SparkSession,
                     paths: Seq[String]): DataFrame = {
+    val conf = new graft.util.SerializableHadoopConf(
+      spark.sparkContext.hadoopConfiguration)
     val rdd = spark.sparkContext
       .parallelize(paths, math.max(1, paths.size))
       .flatMap { p =>
         val path = new org.apache.hadoop.fs.Path(p)
-        val pfs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val pfs = path.getFileSystem(conf.value)
         val raw = new java.io.BufferedInputStream(pfs.open(path), 1 << 16)
         val in =
           if (p.endsWith(".gz"))
             new java.util.zip.GZIPInputStream(raw, 1 << 16)
           else raw
+        openStreams.incrementAndGet()
+        val closed = new java.util.concurrent.atomic.AtomicBoolean(false)
+        def closeOnce(): Unit =
+          if (closed.compareAndSet(false, true)) {
+            try in.close() finally openStreams.decrementAndGet()
+          }
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
         val recs = recordIterator(in).zipWithIndex.map {
           case ((hdrs, block), i) =>
             val wtype = hdrs.getOrElse("warc-type", "")
-            val (status, mime, body) = httpLayer(wtype, hdrs, block)
+            val (status, mime, body, decoded) = httpLayer(wtype, hdrs, block)
             WarcFileRecordRow(p, i, hdrs.getOrElse("warc-record-id", ""),
               wtype, hdrs.getOrElse("warc-target-uri", ""),
-              hdrs.getOrElse("warc-date", ""), status, mime, body)
+              hdrs.getOrElse("warc-date", ""), status, mime, body, decoded)
         }
         new Iterator[WarcFileRecordRow] { // close at end-of-walk
           override def hasNext: Boolean = {
             val h = recs.hasNext
-            if (!h) in.close()
+            if (!h) closeOnce()
             h
           }
           override def next(): WarcFileRecordRow = recs.next()
@@ -395,7 +457,8 @@ object Warc {
                     gzipped: Boolean = false,
                     recordIdBase: String = "",
                     httpChunked: Boolean = false,
-                    httpGzip: Boolean = false): Array[Byte] = {
+                    httpGzip: Boolean = false,
+                    httpTeGzip: Boolean = false): Array[Byte] = {
     def rid(kind: String): Seq[(String, String)] =
       if (recordIdBase.isEmpty) Seq.empty
       else Seq("WARC-Record-ID" -> s"<$recordIdBase:$kind>")
@@ -407,19 +470,23 @@ object Warc {
       rid("request") ++ Seq("WARC-Type" -> "request", "WARC-Target-URI" -> url,
         "WARC-Date" -> date, "Content-Type" -> "application/http;msgtype=request"),
       s"GET $url HTTP/1.1\r\nHost: example\r\n\r\n".getBytes("ISO-8859-1"))
-    // the HTTP wire body: optionally content-gzipped then chunk-framed
-    // (deterministic 16-byte chunks + one hex-size line each) — the
-    // real CommonCrawl response shapes the reader must undo
+    // the HTTP wire body: optionally content-gzipped, optionally
+    // TE-layer-gzipped ("Transfer-Encoding: gzip, chunked" — sender
+    // gzips THEN chunk-frames), then chunk-framed (deterministic
+    // 16-byte chunks + one hex-size line each) — the real CommonCrawl
+    // response shapes the reader must undo
     val content = if (httpGzip) gzipMember(body) else body
+    val teContent = if (httpTeGzip) gzipMember(content) else content
     val wire =
-      if (!httpChunked) content
-      else content.grouped(16).foldLeft(Array.emptyByteArray) { (acc, c) =>
+      if (!httpChunked && !httpTeGzip) teContent
+      else teContent.grouped(16).foldLeft(Array.emptyByteArray) { (acc, c) =>
         acc ++ s"${c.length.toHexString}\r\n".getBytes("ISO-8859-1") ++
           c ++ "\r\n".getBytes("ISO-8859-1")
       } ++ "0\r\n\r\n".getBytes("ISO-8859-1")
     val httpHeaders = Seq("HTTP/1.1 200 OK", "Content-Type: text/plain") ++
       (if (httpGzip) Seq("Content-Encoding: gzip") else Nil) ++
-      (if (httpChunked) Seq("Transfer-Encoding: chunked")
+      (if (httpTeGzip) Seq("Transfer-Encoding: gzip, chunked")
+       else if (httpChunked) Seq("Transfer-Encoding: chunked")
        else Seq(s"Content-Length: ${wire.length}"))
     val httpBlock = crlfJoin(httpHeaders) ++ wire
     val resp = warcRecord(
@@ -443,6 +510,11 @@ object Warc {
                     namePrefix: String = ""): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // ship the session conf so the executor-side writer resolves `dir`
+    // exactly like the driver-side listing will (same credentials,
+    // same custom fs bindings)
+    val conf = new graft.util.SerializableHadoopConf(
+      spark.sparkContext.hadoopConfiguration)
     docs.select(col("file_id").cast("long"), col("doc_id"),
         col("url"), col("text"))
       .as[(Long, Long, String, String)]
@@ -461,7 +533,7 @@ object Warc {
             }
           }
           writeSyntheticArchive(dir, f"${namePrefix}part-$fid%05d.warc.gz",
-            pages)
+            pages, conf = conf.value)
         }
       }
   }
@@ -469,16 +541,39 @@ object Warc {
   /** Write one synthetic multi-page archive FILE: the pages' per-record
     * gzip members concatenated into `<dir>/<name>` through the Hadoop
     * filesystem (so the rig writes wherever the source reads). Each
-    * page is (recordIdBase, url, body). Test/driver rig only. */
+    * page is (recordIdBase, url, body). `conf` should be the session's
+    * Hadoop configuration when available (a bare `Configuration()`
+    * drops in-memory `spark.hadoop.*` settings); the null default keeps
+    * local-filesystem callers working unchanged. Test/driver rig
+    * only. */
   def writeSyntheticArchive(dir: String, name: String,
                             pages: Iterator[(String, String, Array[Byte])],
-                            date: String = "2024-01-01T00:00:00Z"): Unit = {
+                            date: String = "2024-01-01T00:00:00Z",
+                            conf: org.apache.hadoop.conf.Configuration = null)
+      : Unit = {
     val path = new org.apache.hadoop.fs.Path(dir, name)
-    val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = path.getFileSystem(
+      if (conf != null) conf else new org.apache.hadoop.conf.Configuration())
     val out = fs.create(path, true)
     try pages.foreach { case (base, url, body) =>
       out.write(syntheticWarc(url, date, body, gzipped = true,
         recordIdBase = base))
     } finally out.close()
+  }
+
+  /** Engine-side landing diff: the entries of a landing LISTING not yet
+    * present in the persisted `processed` table — a left-anti join, so
+    * the corpus-lifetime processed set never collects to the driver
+    * (r15 VERDICT #2: collecting it per micro-batch grows driver work
+    * linearly in every archive EVER ingested — 10⁵–10⁶ paths at a
+    * CommonCrawl lifetime); only the FRESH result, batch-scale by
+    * definition, comes back. The listing itself is the batch's
+    * driver-side input (file-NAME-scale, how any FileSystem listing
+    * arrives). */
+  def landingDiff(spark: org.apache.spark.sql.SparkSession,
+                  listed: Seq[String], processed: DataFrame): DataFrame = {
+    import spark.implicits._
+    listed.toDF("path")
+      .join(processed.select("path"), Seq("path"), "left_anti")
   }
 }

@@ -983,12 +983,16 @@ object StreamOps {
         concat(lit("https://example.com/doc/"), col("doc_id")).as("url"),
         col("text")),
       landing, namePrefix = f"b$id%05d-")
+    // the landing-vs-processed diff stays IN THE ENGINE (left-anti
+    // join, [[Warc.landingDiff]]): only the FRESH names — batch-scale
+    // by definition — collect; the corpus-lifetime processed table
+    // never does (r15 VERDICT #2)
     val all = Warc.listWarcFiles(spark, landing)
-    val done =
-      if (TxLogFormat.versions(processedTable).isEmpty) Set.empty[String]
-      else TxLogFormat.read(spark, processedTable)
-        .select("path").as[String].collect().toSet
-    val fresh = all.filterNot(done)
+    val fresh =
+      if (TxLogFormat.versions(processedTable).isEmpty) all
+      else Warc.landingDiff(spark, all,
+          TxLogFormat.read(spark, processedTable))
+        .as[String].collect().toSeq.sorted
     if (fresh.nonEmpty) {
       TxLogFormat.appendBatch(Warc.readWarcPaths(spark, fresh),
         table, "warc_file_ingest", id)

@@ -1268,7 +1268,8 @@ class FormatSpec extends SparkSpec {
     val gz = Warc.syntheticWarc("https://x/1", "2024-01-01T00:00:00Z", body,
       gzipped = true)
     def parsed(p: Array[Byte]) = Warc.parseWarc(p)
-      .map { case (t, u, d, s, m, b) => (t, u, d, s, m, new String(b, "UTF-8")) }
+      .map { case (t, u, d, s, m, b, _) =>
+        (t, u, d, s, m, new String(b, "UTF-8")) }
     // the gzip path inflates multi-member streams to the SAME records
     assert(parsed(plain) == parsed(gz))
     val recs = parsed(plain)
@@ -1291,6 +1292,8 @@ class FormatSpec extends SparkSpec {
       "Content-Length: 3\r\n\r\nxyz\r\n\r\n").getBytes("ISO-8859-1")
     val nr = parsed(raw)
     assert(nr == Vector(("response", "u", "", 0, "", "xyz")), nr.toString)
+    assert(!Warc.parseWarc(raw).head._7,
+      "a non-HTTP response block is flagged undecoded")
     // the DataFrame reader keys records by payload and file order
     val df = Warc.readWarc(Seq((7L, gz)).toDF("doc_id", "payload"))
       .select("doc_id", "rec_idx", "warc_type").collect()
@@ -1335,6 +1338,35 @@ class FormatSpec extends SparkSpec {
     // honesty: gzip declared but not gzip keeps the raw bytes
     assert(respBody(rawResp("HTTP/1.1 200 OK\r\n" +
       "Content-Encoding: gzip\r\n\r\nnot gzip")) == "not gzip")
+
+    // ---- r16: TE-layer gzip + the body_decoded honesty flag ----
+    def respFlag(p: Array[Byte]): Boolean =
+      Warc.parseWarc(p).find(_._1 == "response").get._7
+    // "Transfer-Encoding: gzip, chunked" (RFC 7230-legal, seen in real
+    // crawls): de-chunk, then gunzip the TE layer — r15 left the TE
+    // gzip in place, handing compressed bytes downstream as text
+    val teGz = Warc.syntheticWarc("u", "d", body, httpTeGzip = true)
+    assert(respBody(teGz) == want && respFlag(teGz))
+    // TE gzip stacked over a CE gzip: both layers undone
+    val teCeGz = Warc.syntheticWarc("u", "d", body,
+      httpTeGzip = true, httpGzip = true)
+    assert(respBody(teCeGz) == want && respFlag(teCeGz))
+    // decoded flag: true on every undone stack, false wherever raw
+    // bytes pass through (broken framing, codec-less coding)
+    assert(respFlag(Warc.syntheticWarc("u", "d", body, httpChunked = true,
+      httpGzip = true)))
+    assert(!respFlag(rawResp("HTTP/1.1 200 OK\r\n" +
+      "Transfer-Encoding: chunked\r\n\r\nZZ\r\nhello\r\n0\r\n\r\n")))
+    assert(!respFlag(rawResp("HTTP/1.1 200 OK\r\n" +
+      "Content-Encoding: gzip\r\n\r\nnot gzip")))
+    // deflate/br have no codec here: raw passthrough, flagged — a text
+    // stage filters on the flag instead of scoring compressed bytes
+    val br = rawResp("HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\nBRBYTES")
+    assert(respBody(br) == "BRBYTES" && !respFlag(br))
+    // identity tokens are not a coding; plain responses stay true
+    assert(respFlag(rawResp("HTTP/1.1 200 OK\r\n" +
+      "Content-Encoding: identity\r\n\r\nplain")))
+    assert(respFlag(Warc.syntheticWarc("u", "d", body)))
   }
 
   test("WARC file source (r15): an archive OVER the whole-payload " +
@@ -1400,5 +1432,95 @@ class FormatSpec extends SparkSpec {
       }
       rm(dir.toFile)
     }
+  }
+
+  test("WARC file source (r16): the DRIVER session's Hadoop conf reaches " +
+       "executor-side FileSystems — a scheme bound only via a session " +
+       "conf key round-trips through write, list, and streamed read") {
+    import graft.sources.Warc
+    val dir = java.nio.file.Files.createTempDirectory("graft_warcconf_")
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.grafttest.impl", classOf[GraftTestFileSystem].getName)
+    try {
+      val gdir = s"grafttest://$dir"
+      // write path: writeArchives' executor tasks create files under the
+      // session-conf-only scheme (a fresh executor Configuration() would
+      // throw UnsupportedFileSystemException here)
+      import spark.implicits._
+      Warc.writeArchives(
+        Seq((0L, 1L, "https://x/1", "page one"),
+            (0L, 2L, "https://x/2", "page two"))
+          .toDF("file_id", "doc_id", "url", "text"),
+        gdir)
+      // read path: the streamed per-file parse OPENS through the same
+      // shipped conf (explicit paths — the listing is driver-side work
+      // on the session conf already, and RawLocalFileSystem's
+      // permission probe can't status a foreign scheme)
+      val names = new java.io.File(dir.toString).list().toSeq
+        .filter(_.endsWith(".warc.gz")).sorted
+      assert(names == Seq("part-00000.warc.gz"), names.toString)
+      val rows = Warc.readWarcPaths(spark, names.map(n => s"$gdir/$n"))
+      assert(rows.count() == 6, "2 pages x (warcinfo, request, response)")
+      assert(rows.filter(col("rec_id") === "<urn:graft:doc:2:response>")
+        .select("url").collect().map(_.getString(0)).toSeq ==
+        Seq("https://x/2"))
+      assert(rows.select("path").distinct().collect()
+        .forall(_.getString(0).startsWith("grafttest:")))
+    } finally {
+      hc.unset("fs.grafttest.impl")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir.toFile)
+    }
+  }
+
+  test("WARC file source (r16): the input stream closes on TASK " +
+       "completion — an abandoned iterator (limit) releases its file " +
+       "handle, not just a drained one") {
+    import graft.sources.Warc
+    val dir = java.nio.file.Files.createTempDirectory("graft_warcclose_")
+    try {
+      Warc.writeSyntheticArchive(dir.toString, "many.warc.gz",
+        (0 until 50).iterator.map(i =>
+          (s"urn:graft:doc:$i", s"https://x/$i", s"body $i".getBytes("UTF-8"))))
+      val path = dir.resolve("many.warc.gz").toString
+      val base = Warc.openStreams.get()
+      // limit(1) takes one row and abandons the record iterator mid-file:
+      // only the task-completion listener can close the stream
+      assert(Warc.readWarcPaths(spark, Seq(path)).limit(1).count() == 1)
+      assert(Warc.openStreams.get() == base,
+        "abandoned iterator leaked its input stream")
+      // happy path: a full drain also returns to baseline (and the
+      // double-close guard means the listener firing after is a no-op)
+      assert(Warc.readWarcPaths(spark, Seq(path)).count() == 150)
+      assert(Warc.openStreams.get() == base)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir.toFile)
+    }
+  }
+
+  test("WARC ingest loop (r16): the landing-vs-processed diff runs " +
+       "ENGINE-side — a left-anti join against the processed-table " +
+       "SCAN; only the fresh (batch-scale) names ever collect") {
+    import graft.sources.Warc
+    val t = tmp()
+    import spark.implicits._
+    TxLogFormat.appendBatch(
+      Seq("f/a.warc.gz", "f/b.warc.gz").toDF("path"), t, "spec", 0L)
+    val diff = Warc.landingDiff(spark,
+      Seq("f/a.warc.gz", "f/b.warc.gz", "f/c.warc.gz", "f/d.warc.gz"),
+      TxLogFormat.read(spark, t))
+    assert(diff.as[String].collect().toSet ==
+      Set("f/c.warc.gz", "f/d.warc.gz"))
+    // plan pin: the diff is a LeftAnti JOIN whose processed side is the
+    // txlog's parquet scan — the corpus-lifetime table never collects
+    val plan = diff.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), plan)
+    assert(plan.toLowerCase.contains("parquet"),
+      s"processed side must enter as a file scan, not collected rows:\n$plan")
   }
 }

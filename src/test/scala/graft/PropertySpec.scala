@@ -249,9 +249,9 @@ class PropertySpec extends AnyFunSuite {
       // responses carry the EXACT body bytes in page order, whatever
       // the wire encoding stack was
       val resps = recs.filter(_._1 == "response")
-      resps.zip(pages).foreach { case ((_, u, _, st, mime, body), p) =>
+      resps.zip(pages).foreach { case ((_, u, _, st, mime, body, dec), p) =>
         assert(u == p._1 && st == 200 && mime == "text/plain" &&
-          java.util.Arrays.equals(body, p._2), s"page $u")
+          java.util.Arrays.equals(body, p._2) && dec, s"page $u")
       }
       // the per-record-gzip layout parses to the same records, and the
       // STREAMED iterator walks the same count with length-true blocks
