@@ -581,9 +581,21 @@ object Curation {
   def urlDedup(documents: DataFrame, urlCol: String = "url"): DataFrame = {
     val canon = documents.withColumn("url_canonical",
       canonicalUrl(col(urlCol)))
-    val firstSeen = canon.groupBy("url_canonical")
+      // a NULL url has no canonical identity to dedup on — but SQL null
+      // never equals null, so a join keyed on url_canonical alone would
+      // silently DROP null-url rows the r14 window kept (r15 ADVICE).
+      // The join key is a struct giving each null-key row its own
+      // doc_id-distinguished key: trivially first-seen, keep = true,
+      // url_canonical stays NULL in the output. Collision-proof by
+      // type, not by sentinel-string luck: non-null rows carry n = -1,
+      // null rows their doc_id ≥ 0.
+      .withColumn("__url_key", struct(
+        coalesce(col("url_canonical"), lit("")).as("u"),
+        when(col("url_canonical").isNull, col("doc_id"))
+          .otherwise(lit(-1L)).as("n")))
+    val firstSeen = canon.groupBy("__url_key")
       .agg(min(col("doc_id")).as("__first_doc"))
-    canon.join(firstSeen.hint("shuffle_hash"), Seq("url_canonical"))
+    canon.join(firstSeen.hint("shuffle_hash"), Seq("__url_key"))
       .withColumn("keep", col("doc_id") === col("__first_doc"))
       .select((documents.columns.toSeq :+ "url_canonical" :+ "keep")
         .map(col): _*)

@@ -299,6 +299,21 @@ class OperatorsSpec extends SparkSpec {
       .select("doc_id", "keep").collect()
       .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     assert(dd == Map(1L -> true, 2L -> false, 3L -> true), dd.toString)
+    // NULL urls survive with keep = true and a NULL canonical (r15
+    // ADVICE: the inner join on url_canonical silently dropped them —
+    // null never equals null — where the r14 window kept them); an
+    // EMPTY url is a real non-null key and still groups normally
+    val withNull = graft.operators.Curation.urlDedup(Seq(
+        (1L, Some("https://e.com/p")),
+        (2L, None), (3L, None),
+        (4L, Some("")), (5L, Some(""))).toDF("doc_id", "url"))
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(2)), r.getBoolean(3)))).toMap
+    assert(withNull == Map(
+      1L -> ((Some("https://e.com/p"), true)),
+      2L -> ((None, true)), 3L -> ((None, true)),
+      4L -> ((Some(""), true)), 5L -> ((Some(""), false))),
+      withNull.toString)
   }
 
   test("bm25 top-k (r14): plain-Scala re-derivation of the micro-unit " +
