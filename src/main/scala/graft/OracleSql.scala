@@ -855,6 +855,33 @@ object OracleSql {
     "lang_id" ->
       s"""WITH d AS (SELECT doc_id, $docWords AS w FROM documents), h AS (SELECT doc_id, len(list_intersect(w, ['der','die','das','und','ist','nicht','mit','ein'])) AS hits_de, len(list_intersect(w, ['the','a','of','and','is','not','with','to'])) AS hits_en, len(list_intersect(w, ['el','la','de','y','es','no','con','un'])) AS hits_es, len(list_intersect(w, ['le','la','de','et','est','pas','avec','un'])) AS hits_fr FROM d) SELECT doc_id, hits_de, hits_en, hits_es, hits_fr, CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'und' WHEN hits_de = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'de' WHEN hits_en = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'en' WHEN hits_es = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'es' ELSE 'fr' END AS predicted_lang FROM h ORDER BY doc_id""",
 
+    // TRAINED language ID (r16): the oracle restates the WHOLE model —
+    // planted corpus (shared word pools, words by doc_id arithmetic),
+    // char-bigram Laplace-smoothed NB training on the md5-gated split,
+    // and micro-nat scoring (one ln + one ROUND per (lang, bigram)
+    // TYPE — the D56 single-rounding-point discipline — then exact
+    // BIGINT sums and an argmax total-ordered by score desc, lang asc)
+    "lang_id_model" -> {
+      val pools = graft.operators.TextAnalysis.langIdRigPools
+      val langList = pools.map(p => s"'${p._1}'").mkString("[", ", ", "]")
+      val poolsList = pools.map(_._2.map(w => s"'$w'")
+        .mkString("[", ", ", "]")).mkString("[", ", ", "]")
+      s"""WITH base AS (SELECT doc_id, CAST(doc_id % 5 AS INT) AS li, CAST(doc_id % 6 + 5 AS INT) AS n FROM documents),
+         docs AS (SELECT doc_id, $langList[li + 1] AS lang, array_to_string(list_transform(range(0, n), i -> $poolsList[li + 1][CAST((doc_id * 7 + i * 11) % 12 AS INT) + 1]), ' ') AS t, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'd' AS tr FROM base),
+         grams AS (SELECT doc_id, lang, tr, unnest(list_transform(range(1, len(t)), i -> substr(t, CAST(i AS INT), 2))) AS gram FROM docs),
+         tf AS (SELECT doc_id, gram, COUNT(*) AS tf FROM grams GROUP BY 1, 2),
+         cg AS (SELECT lang AS cand, gram, COUNT(*) AS c FROM grams WHERE tr GROUP BY 1, 2),
+         totals AS (SELECT cand, CAST(SUM(c) AS BIGINT) AS n FROM cg GROUP BY 1),
+         vocab AS (SELECT COUNT(DISTINCT gram) AS v FROM cg),
+         model AS (SELECT cand, gram, CAST(ROUND(ln((CAST(c AS DOUBLE) + 1.0) / (CAST(n AS DOUBLE) + CAST(v AS DOUBLE))) * 1000000.0, 0) AS BIGINT) AS unats FROM cg JOIN totals USING (cand) CROSS JOIN vocab),
+         defaults AS (SELECT cand, CAST(ROUND(ln(1.0 / (CAST(n AS DOUBLE) + CAST(v AS DOUBLE))) * 1000000.0, 0) AS BIGINT) AS d_unats FROM totals CROSS JOIN vocab),
+         priors AS (SELECT lang AS cand, CAST(ROUND(ln(CAST(COUNT(*) AS DOUBLE) / CAST((SELECT COUNT(*) FROM docs WHERE tr) AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS prior_unats FROM docs WHERE tr GROUP BY 1),
+         gs AS (SELECT tf.doc_id, cs.cand, CAST(SUM(tf.tf * COALESCE(m.unats, df.d_unats)) AS BIGINT) AS g FROM tf CROSS JOIN (SELECT cand FROM priors) cs LEFT JOIN model m ON m.cand = cs.cand AND m.gram = tf.gram JOIN defaults df ON df.cand = cs.cand GROUP BY 1, 2),
+         scored AS (SELECT d.doc_id, d.lang, d.tr, p.cand, CAST(p.prior_unats + COALESCE(g.g, 0) AS BIGINT) AS total FROM docs d CROSS JOIN priors p LEFT JOIN gs g ON g.doc_id = d.doc_id AND g.cand = p.cand),
+         best AS (SELECT doc_id, lang, tr, cand, total, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY total DESC, cand ASC) AS rk FROM scored)
+         SELECT doc_id, lang, cand AS predicted_lang, total AS score_unats, tr AS is_train FROM best WHERE rk = 1 ORDER BY doc_id"""
+    },
+
     "quality_score" -> {
       val nWords = "len(string_split(lower(trim(text)), ' '))"
       val stopwords = "['der','die','das','und','ist','nicht','mit','ein','the','a','of','and','is','not','with','to','el','la','de','y','es','no','con','un','le','et','est','pas','avec']"

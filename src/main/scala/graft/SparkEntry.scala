@@ -688,6 +688,29 @@ object SparkEntry {
     }),
     "multimodal_frames" -> ((s, d) => Multimodal.sampleFrames(Tables.documents(s, d))),
     "lang_id"         -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
+    // TRAINED language ID (r16): a char-bigram multinomial NB fit on a
+    // PLANTED 5-language corpus (per-language word pools, words chosen
+    // by doc_id arithmetic — the rig convention: the oracle restates
+    // structure, training included, not the implementation). The md5
+    // gate holds out ~3/16 of docs; every doc is scored; Italian has
+    // NO lexicon, so the model provably out-names the heuristic there
+    // (spec-asserted); scores are integer micro-nats end-to-end
+    "lang_id_model" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val pools = TextAnalysis.langIdRigPools
+      val poolArr = array(pools.map { case (_, ws) =>
+        array(ws.map(lit): _*) }: _*)
+      val langArr = array(pools.map(p => lit(p._1)): _*)
+      val li = (col("doc_id") % 5).cast("int")
+      val n = (col("doc_id") % 6 + 5).cast("int")
+      val rig = Tables.documents(s, d).select(col("doc_id"),
+        element_at(langArr, li + 1).as("lang"),
+        array_join(transform(sequence(lit(0), n - 1), i =>
+          element_at(element_at(poolArr, li + 1),
+            ((col("doc_id") * 7 + i * 11) % 12).cast("int") + 1)), " ")
+          .as("text"))
+      TextAnalysis.langIdModel(rig)
+    }),
     "quality_score"   -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
     "token_count"     -> ((s, d) => TextAnalysis.tokenCount(Tables.documents(s, d))),
     "heavy_hitters"   -> ((s, d) => TextAnalysis.heavyHitters(Tables.documents(s, d))),

@@ -40,6 +40,122 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Per-language word pools for the TRAINED lang-ID rig (public
+    * function words; shared by the driver query, its DuckDB oracle, and
+    * the accuracy spec so the planted corpus can never drift between
+    * them). Italian is deliberately a language [[lexicons]] does NOT
+    * cover: the lexicon heuristic structurally cannot name it (it
+    * answers from a fixed 4-language menu), while the trained model
+    * learns it from labels alone — the measurable gap the model
+    * exists to close (a real crawl is mostly languages any hand
+    * lexicon misses; CCNet/fastText cover 170+ the same way). */
+  val langIdRigPools: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein",
+      "auch", "wenn", "aber", "zeit"),
+    "en" -> Seq("the", "a", "of", "and", "is", "not", "with", "to",
+      "also", "when", "but", "time"),
+    "es" -> Seq("el", "la", "de", "y", "es", "no", "con", "un",
+      "tambien", "cuando", "pero", "tiempo"),
+    "fr" -> Seq("le", "la", "de", "et", "est", "pas", "avec", "un",
+      "aussi", "quand", "mais", "temps"),
+    "it" -> Seq("il", "lo", "di", "e", "che", "non", "con", "un",
+      "anche", "quando", "ma", "tempo"),
+  )
+
+  /** TRAINED language ID (r16 — [[langId]]'s lexicon intersection is a
+    * driver-query signal, not a production classifier: it can only
+    * answer from its hand-listed languages, and a real crawl is mostly
+    * languages no lexicon covers): a multinomial Naive Bayes over
+    * character BIGRAMS — langid.py's published design (Lui & Baldwin
+    * 2012: char/byte n-gram counts under NB are the classic standalone
+    * langid baseline; fastText's langid uses the same feature family
+    * under a linear model). Training needs only a labeled frame
+    * (`labelCol`) — fixture corpora, or [[langId]]'s own confident
+    * rows as weak supervision — gated to the `trainGate` split; every
+    * doc (train and held-out alike) is scored.
+    *
+    * Engine portability is the D56 micro-nat discipline — ONE rounding
+    * point: each (language, bigram TYPE)'s Laplace-smoothed log
+    * probability ln((c+1)/(N_lang+V)) (V = distinct train bigrams;
+    * unseen bigrams take the ln(1/(N_lang+V)) default; class priors
+    * ln(docs_lang/docs_train)) rounds once to integer micro-nats —
+    * every operand an explicit double, the ratio left-associated —
+    * then per-(doc, language) scores are EXACT integer sums
+    * (tf · unats, associative, partitioning-independent) and argmax
+    * breaks ties on language asc: the whole report hash-adjudicates.
+    *
+    * Scale shape: training is two gram-scale aggregations (doc-term
+    * and class-term counts — the model table is vocabulary-scale,
+    * |bigram types| × |languages|); scoring joins the per-doc bigram
+    * frequencies against the model per candidate language, never
+    * collecting anything corpus-scale (the only driver-visible object
+    * is the plan). The candidate set is the labels seen in training —
+    * at this layout scoring costs |doc-bigram rows| × L; a 170-language
+    * deployment would pivot the model to one unats-vector per bigram
+    * (same math, one join instead of L), the documented next rung.
+    * Output: (doc_id, <labelCol>, predicted_lang, score_unats,
+    * is_train) for every document. */
+  def langIdModel(documents: DataFrame, labelCol: String = "lang",
+                  trainGate: Column =
+                    substring(md5(col("doc_id").cast("string")), 1, 1)
+                      < lit("d")): DataFrame = {
+    val docs = documents.select(col("doc_id"), col(labelCol).as("lang"),
+      lower(col("text")).as("__t"), trainGate.as("__train"))
+    val t = col("__t")
+    val grams = docs.select(col("doc_id"), col("lang"), col("__train"),
+      explode(when(length(t) >= 2,
+          transform(sequence(lit(1), length(t) - 1),
+            i => t.substr(i, lit(2))))
+        .otherwise(array().cast("array<string>"))).as("gram"))
+    val tf = grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("tf"))
+    // model tables, train split only
+    val cg = grams.filter(col("__train"))
+      .groupBy(col("lang").as("cand"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+    val totals = cg.groupBy("cand").agg(sum("c").as("n"))
+    val vocab = cg.agg(countDistinct("gram").as("v"))
+    // the single rounding point: explicit doubles, left-associated
+    // ratio, one ln, one round to micro-nats — identical IEEE sequence
+    // in both engines
+    def unatsOf(num: Column, den: Column): Column =
+      round(log(num / den) * 1e6, 0).cast("long")
+    val model = cg.join(totals, Seq("cand")).crossJoin(broadcast(vocab))
+      .select(col("cand"), col("gram"),
+        unatsOf(col("c").cast("double") + lit(1.0),
+          col("n").cast("double") + col("v").cast("double")).as("unats"))
+    val defaults = totals.crossJoin(broadcast(vocab))
+      .select(col("cand"),
+        unatsOf(lit(1.0),
+          col("n").cast("double") + col("v").cast("double")).as("d_unats"))
+    val trainDocs = docs.filter(col("__train"))
+    val priors = trainDocs.groupBy(col("lang").as("cand"))
+      .agg(count(lit(1)).as("dl"))
+      .crossJoin(broadcast(trainDocs.agg(count(lit(1)).as("dt"))))
+      .select(col("cand"),
+        unatsOf(col("dl").cast("double"), col("dt").cast("double"))
+          .as("prior_unats"))
+    val cands = priors.select("cand")
+    // score: per-doc bigram frequencies x candidate set, unseen grams
+    // on the per-language default; exact integer sums throughout
+    val gs = tf.crossJoin(broadcast(cands))
+      .join(model, Seq("cand", "gram"), "left")
+      .join(broadcast(defaults), Seq("cand"))
+      .groupBy("doc_id", "cand")
+      .agg(sum(col("tf") * coalesce(col("unats"), col("d_unats"))).as("g"))
+    val scored = docs.select(col("doc_id"), col("lang"), col("__train"))
+      .crossJoin(broadcast(priors))
+      .join(gs, Seq("doc_id", "cand"), "left")
+      .select(col("doc_id"), col("lang"), col("__train"), col("cand"),
+        (col("prior_unats") + coalesce(col("g"), lit(0L))).as("total"))
+    scored.groupBy("doc_id", "lang", "__train")
+      .agg(min(struct((-col("total")).as("ns"), col("cand"))).as("b"))
+      .select(col("doc_id"), col("lang"),
+        col("b.cand").as("predicted_lang"),
+        (-col("b.ns")).as("score_unats"),
+        col("__train").as("is_train"))
+      .orderBy("doc_id")
+  }
+
   /** Quality scoring: structural ratios + a low-quality flag. */
   def qualityScore(documents: DataFrame): DataFrame = {
     val len = length(col("text"))

@@ -316,6 +316,59 @@ class OperatorsSpec extends SparkSpec {
       withNull.toString)
   }
 
+  test("trained lang-ID (r16): char-bigram NB beats the lexicon " +
+       "heuristic on held-out docs — including a language the lexicons " +
+       "don't cover at all — and drops into the curation lang stage") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // plain-Scala replant of the rig (same arithmetic as the driver
+    // query, no Spark in the loop) over 400 synthetic docs
+    val pools = TextAnalysis.langIdRigPools
+    val rows = (0L until 400L).map { d =>
+      val (lang, ws) = pools((d % 5).toInt)
+      val n = (d % 6 + 5).toInt
+      (d, lang, (0 until n).map(i => ws(((d * 7 + i * 11) % 12).toInt))
+        .mkString(" "))
+    }
+    val df = rows.toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.langIdModel(df).collect()
+    assert(out.length == 400, "every doc is scored, held-out included")
+    val truth = rows.map(r => r._1 -> r._2).toMap
+    val held = out.filter(!_.getAs[Boolean]("is_train"))
+    assert(held.length > 40 && held.length < 160, s"${held.length} held out")
+    val accModel = held.count(r => r.getString(2) == truth(r.getLong(0)))
+      .toDouble / held.length
+    val heur = TextAnalysis.langId(df.select("doc_id", "text"))
+      .select("doc_id", "predicted_lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val heldIds = held.map(_.getLong(0))
+    val accHeur = heldIds.count(id => heur(id) == truth(id))
+      .toDouble / heldIds.length
+    assert(accModel > accHeur,
+      s"model $accModel must beat lexicon heuristic $accHeur")
+    assert(accModel >= 0.95, s"held-out accuracy $accModel")
+    // Italian: absent from the lexicons, so the heuristic structurally
+    // cannot name it; the trained model learns it from labels alone
+    val itHeld = heldIds.filter(id => truth(id) == "it")
+    assert(itHeld.nonEmpty)
+    assert(itHeld.forall(id => heur(id) != "it"),
+      "rig invariant: the heuristic has no 'it' to answer")
+    val predicted = out.map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(itHeld.count(id => predicted(id) == "it") == itHeld.length,
+      "the model names the lexicon-less language on held-out docs")
+    // drop-in: the output carries langId's (doc_id, predicted_lang)
+    // shape, so crawl_curation's lang stage swaps heuristic -> model
+    // with a select — no pipeline surgery
+    val stage = TextAnalysis.langIdModel(df)
+      .select("doc_id", "predicted_lang")
+    assert(stage.columns.toSeq ==
+      TextAnalysis.langId(df.select("doc_id", "text"))
+        .select("doc_id", "predicted_lang").columns.toSeq)
+    // deterministic: a rerun reproduces every score bit-for-bit
+    val again = TextAnalysis.langIdModel(df).collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("bm25 top-k (r14): plain-Scala re-derivation of the micro-unit " +
        "weights and ranking; a verbatim copy of a corpus doc retrieves " +
        "it at rank 1; the stop-term cap drops hot terms from scoring") {
