@@ -923,6 +923,20 @@ object OracleSql {
     "bpe_pair_counts" ->
       """WITH w AS (SELECT unnest(string_split(lower(trim(text)), ' ')) AS w FROM documents), p AS (SELECT substr(w, CAST(p AS INT), 2) AS pair FROM (SELECT w, unnest(range(1, len(w))) AS p FROM w WHERE len(w) >= 2)) SELECT pair, COUNT(*) AS n FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 20""",
 
+    // corpus-scale BPE apply (r16): real 2-merge training on the rig
+    // provably lands on (a,b) then (ab,ab) — strict margins by the
+    // repetition weights — so per-family token counts and the sorted
+    // final-token ids (ab=0, abab=1, b=2, c=3) are the planted closed
+    // form; the id sequence is each family's fixed pattern repeated
+    "bpe_tokenize" ->
+      """SELECT doc_id, CAST(CASE doc_id % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END AS BIGINT) AS n_words, CAST(CASE doc_id % 4 WHEN 0 THEN 8 WHEN 1 THEN 8 WHEN 2 THEN 4 ELSE 2 END AS BIGINT) AS n_tokens, CASE doc_id % 4 WHEN 0 THEN '1,1,1,1,1,1,1,1' WHEN 1 THEN '0,3,0,3,0,3,0,3' WHEN 2 THEN '3,3,3,3' ELSE '2,1' END AS token_ids FROM documents ORDER BY doc_id""",
+
+    // tokenize -> pack (r16): sequence_pack_spans' cumsum + span
+    // arithmetic verbatim, but n = the REAL BPE token count (the
+    // planted family closed form) instead of the estTokens proxy
+    "tokenize_pack" ->
+      """WITH t AS (SELECT doc_id, lang, CAST(CASE doc_id % 4 WHEN 0 THEN 8 WHEN 1 THEN 8 WHEN 2 THEN 4 ELSE 2 END AS BIGINT) AS n FROM documents), c AS (SELECT doc_id, lang, n, CAST(COALESCE(SUM(n) OVER (PARTITION BY lang ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s FROM t), e AS (SELECT doc_id, lang, n, s, UNNEST(range(s // 64, (s + n - 1) // 64 + 1)) AS seq_id FROM c WHERE n > 0) SELECT doc_id, lang, CAST(seq_id AS BIGINT) AS seq_id, CAST(GREATEST(s, seq_id * 64) - s AS BIGINT) AS doc_off, CAST(GREATEST(s, seq_id * 64) - seq_id * 64 AS BIGINT) AS seq_off, CAST(LEAST(s + n, (seq_id + 1) * 64) - GREATEST(s, seq_id * 64) AS BIGINT) AS n_toks FROM e""",
+
     "heavy_hitters_per_lang_exact" ->
       """WITH t AS (SELECT lang, unnest(string_split(lower(trim(text)), ' ')) AS word FROM documents), c AS (SELECT lang, word, COUNT(*) AS n FROM t WHERE word <> '' GROUP BY lang, word), r AS (SELECT lang, word, n, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, word) AS rk FROM c) SELECT lang, word, n FROM r WHERE rk <= 5 ORDER BY lang, word""",
 

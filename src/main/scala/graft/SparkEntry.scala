@@ -30,6 +30,26 @@ object SparkEntry {
   private def rmTree(f: java.io.File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
   }
+
+  /** The BPE tokenize/pack rig (r16): each doc's text is ONE word
+    * family repeated — family by doc_id % 4, repetition weights
+    * (8, 4, 2, 1) — so 2-round merge training has STRICT margins at
+    * every SF (round 1: pair (a,b) leads by > 2x; round 2: (ab,ab)'s
+    * 8·N₀ + N₃ beats (ab,c)'s 4·N₁ because mod-4 counts differ by at
+    * most 1). Training/tokenization run for REAL on this corpus; the
+    * oracle states the planted closed form — tokens per family
+    * (abab -> 1, abc -> 2, cc -> 2, babab -> 2), ids by the sorted
+    * final-token order (ab=0, abab=1, b=2, c=3). The real `lang`
+    * column rides through so packing exercises per-lang streams. */
+  private def bpeRig(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val wordArr = array(lit("abab"), lit("abc"), lit("cc"), lit("babab"))
+    val repArr = array(lit(8), lit(4), lit(2), lit(1))
+    val j = (col("doc_id") % 4).cast("int")
+    Tables.documents(s, d).select(col("doc_id"), col("lang"),
+      array_join(array_repeat(element_at(wordArr, j + 1),
+        element_at(repArr, j + 1)), " ").as("text"))
+  }
   private def shared(s: SparkSession, d: String, tag: String)
                     (build: => DataFrame): DataFrame =
     memo.getOrElseUpdate(s"${s.sparkContext.applicationId}|$d|$tag",
@@ -717,6 +737,27 @@ object SparkEntry {
     // tokenizer-training primitive: corpus-wide adjacent-char-pair counts
     // inside words (BPE iteration 0) — exact counts, total-order cut
     "bpe_pair_counts" -> ((s, d) => TextAnalysis.bpePairCounts(Tables.documents(s, d))),
+    // corpus-scale tokenizer APPLY (r16): REAL merge training on the
+    // planted 4-word-family rig (repetition weights 8/4/2/1 give both
+    // merge rounds strict margins at any SF, so training provably
+    // lands on (a,b) then (ab,ab)), then every doc tokenizes via the
+    // distinct-word join — ids, counts, and the per-doc id sequence
+    // are the planted closed form the oracle states verbatim
+    "bpe_tokenize" -> ((s, d) => {
+      val rig = bpeRig(s, d)
+      TextAnalysis.bpeTokenizeDocs(rig,
+        TextAnalysis.trainBpeMerges(rig, nMerges = 2))
+    }),
+    // tokenize -> pack end-to-end (r16): the span table derived from
+    // REAL BPE token counts instead of estTokens proxies — same
+    // prefix-sum + span arithmetic, honest n; the rig's families make
+    // BPE and estTokens provably disagree (spec-asserted), so this
+    // oracle pins the real-token path specifically
+    "tokenize_pack" -> ((s, d) => {
+      val rig = bpeRig(s, d)
+      Curation.tokenizePack(rig,
+        TextAnalysis.trainBpeMerges(rig, nMerges = 2), contextTokens = 64)
+    }),
     "heavy_hitters_approx" -> ((s, d) => TextAnalysis.heavyHittersApprox(Tables.documents(s, d))),
     "word_freq_cms"   -> ((s, d) => TextAnalysis.wordFreqCms(Tables.documents(s, d))),
     "tfidf_topterms"  -> ((s, d) => TextAnalysis.tfidfTopTerms(Tables.documents(s, d))),

@@ -521,6 +521,32 @@ object Curation {
           s.getField("seq_off").cast("string")), ",").as("resets"))
   }
 
+  /** End-to-end tokenize → pack (r16 — the composition a training
+    * pipeline actually ships, closing the estTokens proxy gap: every
+    * packing op so far measured documents in word-count proxies, which
+    * a real trainer never sees): the corpus tokenizes with TRAINED
+    * merge rules ([[TextAnalysis.bpeTokenizeDocs]] — the fold priced
+    * per corpus-distinct word, occurrences riding a join) and the
+    * REAL per-doc token counts feed the same per-lang concatenated
+    * stream as [[sequencePackSpans]] (distributed prefix sum, integer
+    * span arithmetic — no new shuffle shape, only the honest n).
+    * Wordless docs occupy no tokens and emit no span, exactly as the
+    * n = 0 drop there. Output shape = the span table's:
+    * (doc_id, lang, seq_id, doc_off, seq_off, n_toks). */
+  def tokenizePack(documents: DataFrame,
+                   merges: Seq[(Int, String, String)],
+                   contextTokens: Long = 2048): DataFrame = {
+    require(contextTokens >= 1,
+      s"contextTokens must be positive, got $contextTokens")
+    val toks = TextAnalysis.bpeTokenizeDocs(documents, merges)
+      .select(col("doc_id"), col("n_tokens").as("n"))
+    val withN = documents.select(col("doc_id"), col("lang"))
+      .join(toks, Seq("doc_id"))
+    val withS = graft.util.PrefixSum.cumSum(
+      withN, Seq("lang"), "doc_id", "n", "s", inclusive = false)
+    spanRows(withS, contextTokens)
+  }
+
   /** URL canonicalization (r14 — the FIRST dedup key of a crawl
     * pipeline: Dolma/FineWeb drop refetches by URL before any content
     * hashing, and a crawl reaches the same page under casing/port/

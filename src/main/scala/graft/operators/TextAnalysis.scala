@@ -1459,4 +1459,69 @@ object TextAnalysis {
            sum(tokensOf(col("w")) * col("occ")).as("n_tokens"))
       .orderBy("doc_id")
   }
+
+  /** Corpus BPE VOCABULARY (r16 — the apply table between trained merge
+    * rules and a tokenized corpus): one row per corpus-DISTINCT word,
+    * with its final token strings (the [[mergeIn]] fold over the rules
+    * in rank order — priced ONCE per distinct word, the documented
+    * per-distinct-word UDF exception [[bpeTokenCounts]] established)
+    * and its token IDS under a deterministic corpus-wide assignment:
+    * the distinct final tokens sorted ascending, 0-based — the id any
+    * re-run, re-partitioning, or second engine reproduces.
+    *
+    * The token-id table is TOKEN-vocabulary-scale by construction —
+    * every final token is either a corpus character or one of the
+    * |merges| minted pair strings — so collecting it to build the
+    * lookup literal is the same bounded-vocab exception class as the
+    * trainer's word-frequency collect (and strictly smaller).
+    * Output: (w, tokens, token_ids, n_tokens). */
+  def bpeVocab(documents: DataFrame,
+               merges: Seq[(Int, String, String)]): DataFrame = {
+    val rules = merges.sortBy(_._1).map(m => (m._2, m._3))
+    val tokensOf = udf { (w: String) =>
+      rules.foldLeft(w.map(_.toString).toList)(mergeIn)
+    }
+    val vocabWords = documents
+      .select(explode(TextNorm.words(col("text"))).as("w"))
+      .filter(length(col("w")) > 0).distinct()
+      .withColumn("tokens", tokensOf(col("w")))
+    val tokenIds: Map[String, Int] = vocabWords
+      .select(explode(col("tokens")).as("t")).distinct()
+      .collect().map(_.getString(0)).sorted.zipWithIndex.toMap
+    val idMap = typedlit(tokenIds)
+    vocabWords.select(col("w"), col("tokens"),
+      transform(col("tokens"), t => element_at(idMap, t)).as("token_ids"),
+      size(col("tokens")).cast("long").as("n_tokens"))
+  }
+
+  /** Corpus-scale tokenizer APPLY (r16 — the step between "trains real
+    * merge rules" and "a training pipeline ships": tokenize EVERY
+    * document with the trained vocabulary and emit real token ids and
+    * counts, so packing runs on what the trainer will actually see
+    * instead of estTokens word-count proxies). The fold runs once per
+    * corpus-distinct word ([[bpeVocab]]); documents join the vocabulary
+    * on the word — occurrences ride the join, never re-fold — and each
+    * doc's id sequence reassembles in word-position order (bounded
+    * per-doc collect; the list renders as a canonical comma-joined
+    * string, the engine-portable form). Docs with no words emit no row
+    * (they occupy no tokens, as in [[sequencePackSpans]]'s n = 0 drop).
+    * Output: (doc_id, n_words, n_tokens, token_ids). */
+  def bpeTokenizeDocs(documents: DataFrame,
+                      merges: Seq[(Int, String, String)]): DataFrame = {
+    val vocab = bpeVocab(documents, merges)
+      .select(col("w"), col("token_ids"), col("n_tokens").as("__nt"))
+    val pos = documents
+      .select(col("doc_id"),
+        posexplode(TextNorm.words(col("text"))).as(Seq("pos", "w")))
+      .filter(length(col("w")) > 0)
+    pos.join(vocab, Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum("__nt").as("n_tokens"),
+        array_join(transform(flatten(transform(
+            array_sort(collect_list(struct(col("pos"), col("token_ids")))),
+            s => s.getField("token_ids"))),
+          i => i.cast("string")), ",").as("token_ids"))
+      .orderBy("doc_id")
+  }
 }

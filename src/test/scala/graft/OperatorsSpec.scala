@@ -622,6 +622,66 @@ class OperatorsSpec extends SparkSpec {
         minFreq = 1L, maxVocab = Int.MaxValue))
   }
 
+  test("BPE corpus apply + tokenize_pack (r16): the distinct-word join " +
+       "agrees with the per-doc fold; ids are the sorted-token order; " +
+       "real-token spans provably differ from the estTokens proxy and " +
+       "sum back to each doc's count") {
+    import spark.implicits._
+    // arbitrary text (not the rig): bpeTokenizeDocs' join pipeline must
+    // reproduce bpeTokenCounts' per-(doc, distinct-word) fold exactly
+    val docs = Seq((1L, "en", "low low lower lowest"),
+                   (2L, "en", "slow slower low"),
+                   (3L, "fr", "lowest slowest lowest"))
+      .toDF("doc_id", "lang", "text")
+    val merges = TextAnalysis.trainBpeMerges(docs, nMerges = 4)
+    val viaJoin = TextAnalysis.bpeTokenizeDocs(docs, merges)
+      .select("doc_id", "n_words", "n_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaFold = TextAnalysis.bpeTokenCounts(docs, merges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaJoin == viaFold, s"$viaJoin vs $viaFold")
+    // token ids: sorted distinct final tokens, 0-based, and each doc's
+    // id sequence decodes back to its token strings in word order
+    val vocab = TextAnalysis.bpeVocab(docs, merges).collect()
+      .map(r => r.getString(0) ->
+        (r.getSeq[String](1), r.getSeq[Int](2))).toMap
+    val allTokens = vocab.values.flatMap(_._1).toSeq.distinct.sorted
+    vocab.foreach { case (w, (toks, ids)) =>
+      assert(ids == toks.map(allTokens.indexOf), s"ids of $w")
+    }
+    // the rig: BPE counts (8,8,4,2 by family) differ from estTokens
+    // ceil(len/4) (10,4,2,2) on three of four families, so the packed
+    // span tables CANNOT coincide — the real-token path is load-bearing
+    val rigRows = (0L until 200L).map { d =>
+      val j = (d % 4).toInt
+      val w = Seq("abab", "abc", "cc", "babab")(j)
+      (d, if (d % 2 == 0) "en" else "fr",
+        Seq.fill(Seq(8, 4, 2, 1)(j))(w).mkString(" "))
+    }
+    val rig = rigRows.toDF("doc_id", "lang", "text")
+    val rigMerges = TextAnalysis.trainBpeMerges(rig, nMerges = 2)
+    assert(rigMerges == Seq((0, "a", "b"), (1, "ab", "ab")), rigMerges)
+    val real = Curation.tokenizePack(rig, rigMerges, contextTokens = 64)
+    val proxy = Curation.sequencePackSpans(rig, contextTokens = 64)
+    assert(rows(real.orderBy("doc_id", "seq_id")) !=
+           rows(proxy.orderBy("doc_id", "seq_id")),
+      "rig families must separate the real-token and proxy span tables")
+    // mutual check: each doc's spans sum to its REAL token count
+    val spanSums = real.groupBy("doc_id")
+      .agg(sum("n_toks").as("t")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val counts = TextAnalysis.bpeTokenizeDocs(rig, rigMerges)
+      .select("doc_id", "n_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(spanSums == counts)
+    // and the id sequences are the planted family patterns
+    val idSeqs = TextAnalysis.bpeTokenizeDocs(rig, rigMerges)
+      .select("doc_id", "token_ids").collect()
+      .map(r => (r.getLong(0) % 4, r.getString(1))).distinct.sorted.toSeq
+    assert(idSeqs == Seq((0L, "1,1,1,1,1,1,1,1"), (1L, "0,3,0,3,0,3,0,3"),
+      (2L, "3,3,3,3"), (3L, "2,1")), idSeqs.toString)
+  }
+
   test("domain quota: the md5 order is the deterministic sample a plain " +
        "Scala reference predicts; partitioning never changes the pick") {
     import spark.implicits._
