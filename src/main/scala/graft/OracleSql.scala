@@ -245,6 +245,13 @@ object OracleSql {
     "boilerplate_extract" ->
       """SELECT doc_id, 'Doc ' || doc_id || ' body text: ' || text || ' and more tail words' AS text FROM documents WHERE doc_id % 10 = 7 ORDER BY doc_id""",
 
+    // DOM-grade boilerplate removal (r16): the same closed form — a
+    // quoted '>' in the body tag's attribute must NOT leak into the
+    // text (the regex twin would emit 'y">Doc …'), and the chrome
+    // still drops; passing this oracle requires the quote-aware parse
+    "dom_main_text" ->
+      """SELECT doc_id, 'Doc ' || doc_id || ' body text: ' || text || ' and more tail words' AS text FROM documents WHERE doc_id % 10 = 7 ORDER BY doc_id""",
+
     // URL dedup (r14): the messy per-slot URL synth + the normalization
     // chain (fragment strip, lowercase scheme://authority, default-port
     // drop, tracking-param drop + param sort) + first-doc-per-canonical

@@ -1012,6 +1012,33 @@ object SparkEntry {
         .select(col("doc_id"), col("text"))
         .orderBy("doc_id")
     }),
+    // DOM-grade boilerplate removal (r16 — htmlMainText's stated
+    // limitation closed): the SAME planted chrome page as
+    // boilerplate_extract, but the body paragraph's tag carries a
+    // literal '>' inside a quoted attribute — the regex chain would
+    // end the tag early and leak 'y">' into the kept text, so the
+    // clean closed-form oracle passes ONLY through the quote-aware
+    // tag-stack tokenizer; the chrome must still classify out
+    "dom_main_text" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(s, d).filter(col("doc_id") % 10 === 7)
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id"),
+        lit("</title></head><body><nav><a href=\"/\">Home</a> " +
+          "<a href=\"/about\">About</a> <a href=\"/contact\">Contact</a>" +
+          "</nav><div class=\"cookie\">Accept cookies</div><h1>Doc "),
+        col("doc_id"),
+        lit("</h1><p data-note=\"x > y\">Doc "), col("doc_id"),
+        lit(" body text: "), col("text"),
+        lit(" and more tail words</p><div><a href=\"/x\">Read more</a>" +
+          "</div><footer><a href=\"/terms\">Terms</a> " +
+          "<a href=\"/privacy\">Privacy</a> " +
+          "<a href=\"/imprint\">Imprint</a> 2024</footer></body></html>"))
+      TextAnalysis.domToMainText(
+          docs.select(col("doc_id"), html.as("html")))
+        .select(col("doc_id"), col("text"))
+        .orderBy("doc_id")
+    }),
     // URL dedup (r14 — the crawl pipeline's FIRST dedup key): per-doc
     // messy URL variants (casing, :443, fragment, utm params, shuffled
     // param order) that canonicalize into per-group collisions; the

@@ -155,6 +155,226 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** The tag-stack HTML tokenizer behind [[HtmlBlocks]] — the DOM-grade
+  * rung above the C4-grade regex chain ([[graft.operators.TextAnalysis
+  * .extractHtmlText]]/`htmlMainText`), whose stated limitation this
+  * closes: the regexes are QUOTE-BLIND, so a literal '>' inside an
+  * attribute value (`<p data-note="x > y">`) ends the tag early and
+  * leaks `y">` into the visible text — real on messy crawl HTML. This
+  * kernel walks characters once, tracking attribute-quote state, so a
+  * tag ends only at a '>' OUTSIDE quotes; everything else matches the
+  * regex chain's semantics on well-formed HTML (the agreeing subdomain
+  * the regex twin oracles): script/style elements vanish WITH content,
+  * comments vanish, the five basic entities + `&amp;` decode in one
+  * non-rescanning pass (so `&amp;lt;` is the literal `&lt;`),
+  * whitespace runs collapse, blocks segment at the jusText block-tag
+  * vocabulary, anchors never span blocks, and a lone `<` before a
+  * non-letter is TEXT (where the quote-blind strip would eat to the
+  * next '>' — the other half of the same defect).
+  *
+  * Emits one row per block: (visible text, anchor-visible char count —
+  * the jusText link-density numerator — and a heading flag), so the
+  * classification gates stay DECLARATIVE over the array (filter /
+  * transform, no UDF): the kernel is pure tokenization, one static
+  * monomorphic call inside whole-stage codegen. Deterministic,
+  * single-pass, allocation bounded by the input length. Malformed-
+  * input stances (documented divergences from the regex twin, which
+  * has no coherent stance on them): an unclosed comment comments out
+  * the rest of the input; an unclosed script/style tag strips the open
+  * tag and treats the content as text; a tagless trailing `<abc` is
+  * text. */
+object HtmlKernel {
+  private val blockTags = Set("p", "div", "h1", "h2", "h3", "h4", "h5",
+    "h6", "li", "ul", "ol", "dl", "dt", "dd", "nav", "footer", "header",
+    "aside", "section", "article", "main", "table", "thead", "tbody",
+    "tr", "td", "th", "blockquote", "form", "pre")
+
+  // the java-regex \s set (the twin collapses with "\\s+")
+  private def isSpace(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' ||
+      c == '\r'
+
+  private def isAsciiLetter(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+
+  private def isAsciiLetterOrDigit(c: Char): Boolean =
+    isAsciiLetter(c) || (c >= '0' && c <= '9')
+
+  /** Whitespace-collapsed, trimmed copy (== regexp_replace \s+ -> " "
+    * then trim). */
+  private def collapse(sb: CharSequence): String = {
+    val out = new java.lang.StringBuilder(sb.length)
+    var pending = false
+    var i = 0
+    while (i < sb.length) {
+      val c = sb.charAt(i)
+      if (isSpace(c)) pending = true
+      else {
+        if (pending && out.length > 0) out.append(' ')
+        out.append(c)
+        pending = false
+      }
+      i += 1
+    }
+    out.toString
+  }
+
+  /** Decoded char + consumed length for an entity at `i`, or 0 when the
+    * '&' is literal. One forward pass, never re-scanned — `&amp;lt;`
+    * decodes to the literal "&lt;", exactly the twin's pass order. */
+  private def entityAt(s: String, i: Int): Int = {
+    if (s.startsWith("&lt;", i)) ('<' << 8) | 4
+    else if (s.startsWith("&gt;", i)) ('>' << 8) | 4
+    else if (s.startsWith("&quot;", i)) ('"' << 8) | 6
+    else if (s.startsWith("&#39;", i)) ('\'' << 8) | 5
+    else if (s.startsWith("&nbsp;", i)) (' ' << 8) | 6
+    else if (s.startsWith("&amp;", i)) ('&' << 8) | 5
+    else 0
+  }
+
+  /** Index just past `</name[\s]*>` at/after `from`, case-insensitive,
+    * or -1. */
+  private def indexOfClose(s: String, from: Int, name: String): Int = {
+    val target = "</" + name
+    val n = s.length
+    var i = from
+    while (i + target.length <= n) {
+      if (s.regionMatches(true, i, target, 0, target.length)) {
+        var j = i + target.length
+        while (j < n && isSpace(s.charAt(j))) j += 1
+        if (j < n && s.charAt(j) == '>') return j + 1
+      }
+      i += 1
+    }
+    -1
+  }
+
+  def blocks(input: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    val s = input.toString
+    val n = s.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+    var txt = new java.lang.StringBuilder
+    var anchors = List.empty[String] // reversed; per-block
+    var anchorBuf: java.lang.StringBuilder = null // non-null inside <a>
+    var heading = false
+
+    def flush(nextHeading: Boolean): Unit = {
+      // an anchor never spans blocks: the twin's per-block capture
+      // needs open AND close inside one block, so a dangling open
+      // contributes nothing
+      anchorBuf = null
+      val la = collapse(anchors.reverse.mkString(" ")).length
+      out += InternalRow(UTF8String.fromString(collapse(txt)), la, heading)
+      txt = new java.lang.StringBuilder
+      anchors = Nil
+      heading = nextHeading
+    }
+    def emit(c: Char): Unit = {
+      txt.append(c)
+      if (anchorBuf != null) anchorBuf.append(c)
+    }
+
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '&') {
+        val e = entityAt(s, i)
+        if (e == 0) { emit('&'); i += 1 }
+        else { emit((e >> 8).toChar); i += e & 0xff }
+      } else if (c != '<') { emit(c); i += 1 }
+      else if (s.startsWith("<!--", i)) {
+        val e = s.indexOf("-->", i + 4)
+        emit(' ')
+        i = if (e >= 0) e + 3 else n
+      } else {
+        val closing = i + 1 < n && s.charAt(i + 1) == '/'
+        val ns = i + (if (closing) 2 else 1)
+        val first = if (ns < n) s.charAt(ns) else ' '
+        if (!closing && ns < n && (first == '!' || first == '?')) {
+          // doctype / markup declaration / PI: to the next '>'
+          val e = s.indexOf('>', ns)
+          emit(' ')
+          i = if (e >= 0) e + 1 else n
+        } else if (ns >= n || !isAsciiLetter(first)) {
+          emit('<'); i += 1 // "5 < 6": a lone '<' is text, not a tag
+        } else {
+          var ne = ns + 1
+          while (ne < n && isAsciiLetterOrDigit(s.charAt(ne))) ne += 1
+          val name = s.substring(ns, ne).toLowerCase(java.util.Locale.ROOT)
+          // THE fix: the tag ends at '>' OUTSIDE attribute quotes
+          var j = ne
+          var q = 0.toChar
+          var end = -1
+          while (j < n && end < 0) {
+            val ch = s.charAt(j)
+            if (q != 0) { if (ch == q) q = 0 }
+            else if (ch == '"' || ch == '\'') q = ch
+            else if (ch == '>') end = j
+            j += 1
+          }
+          if (end < 0) { emit('<'); i += 1 } // never closes: text
+          else if (!closing && (name == "script" || name == "style")) {
+            val close = indexOfClose(s, end + 1, name)
+            emit(' ')
+            i = if (close >= 0) close else end + 1
+          } else {
+            if (!closing && blockTags.contains(name))
+              flush(name.length == 2 && name.charAt(0) == 'h' &&
+                name.charAt(1) >= '1' && name.charAt(1) <= '6')
+            if (name == "a" && !closing) {
+              txt.append(' ')
+              // a nested open inside an anchor is inner markup (the
+              // twin's non-greedy capture keeps it, tag-stripped)
+              if (anchorBuf == null) anchorBuf = new java.lang.StringBuilder
+              else anchorBuf.append(' ')
+            } else if (name == "a" && closing) {
+              if (anchorBuf != null) {
+                anchors = anchorBuf.toString :: anchors
+                anchorBuf = null
+              }
+              txt.append(' ')
+            } else emit(' ')
+            i = end + 1
+          }
+        }
+      }
+    }
+    flush(false)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+}
+
+/** `graft_html_blocks(html)` — tokenize HTML into classification-ready
+  * blocks ([[HtmlKernel]]): array of (txt = visible text, la =
+  * anchor-visible chars, hd = heading). Native codegen'd expression —
+  * one static kernel call in the scan, gates stay declarative over the
+  * returned array. */
+case class HtmlBlocks(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, BooleanType, IntegerType, StructField, StructType}
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${dt.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("txt", StringType, nullable = false),
+    StructField("la", IntegerType, nullable = false),
+    StructField("hd", BooleanType, nullable = false))), containsNull = false)
+  override def prettyName: String = "graft_html_blocks"
+
+  override def nullSafeEval(v: Any): Any =
+    HtmlKernel.blocks(v.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HtmlKernel.blocks($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextFunctions {
   /** Column API for [[FixMojibake]]. */
   def fixMojibake(c: Column): Column =
@@ -163,4 +383,8 @@ object TextFunctions {
   /** Column API for [[NfcNormalize]]. */
   def nfc(c: Column): Column =
     Bridge.column(NfcNormalize(Bridge.expression(c)))
+
+  /** Column API for [[HtmlBlocks]]. */
+  def htmlBlocks(c: Column): Column =
+    Bridge.column(HtmlBlocks(Bridge.expression(c)))
 }

@@ -811,6 +811,72 @@ object TextAnalysis {
   def htmlToMainText(pages: DataFrame, htmlCol: String = "html"): DataFrame =
     pages.withColumn("text", htmlMainText(col(htmlCol))).drop(htmlCol)
 
+  /** DOM-grade block-level boilerplate removal (r16 — the rung above
+    * [[htmlMainText]], closing its stated limitation): blocks come from
+    * the quote-aware tag-stack tokenizer
+    * ([[graft.functions.HtmlKernel]] — a literal '>' inside an
+    * attribute value no longer ends the tag early and leaks `y">` into
+    * visible text, and a lone '<' before a non-letter is text), while
+    * the CLASSIFICATION — the jusText length / link-density / stopword
+    * gates and the heading promotion, thresholds identical to
+    * [[htmlMainText]] — stays declarative over the returned block
+    * array: filter/transform on (txt, la, hd) structs, no UDF, the
+    * kernel one static call in the scan. On well-formed HTML the two
+    * rungs agree block-for-block (spec-pinned), so the regex chain
+    * remains the oracle twin on that subdomain; on quoted-'>' crawl
+    * HTML only this one is right. */
+  def domMainText(html: Column, maxLinkDensityPct: Int = 20,
+                  minWords: Int = 4, minStopwordPct: Int = 0,
+                  stopwords: Seq[String] = Nil,
+                  promoteHeadings: Boolean = false): Column = {
+    require(maxLinkDensityPct >= 0 && maxLinkDensityPct <= 100,
+      s"maxLinkDensityPct must be a percentage, got $maxLinkDensityPct")
+    val blocks = graft.functions.TextFunctions.htmlBlocks(html)
+    def gates(b: Column): (Column, Column, Column) = {
+      val vis = b.getField("txt")
+      val ws = filter(split(vis, " "), w => w =!= "")
+      val nw = size(ws)
+      val lengthOk = nw >= minWords
+      val linkOk = b.getField("la") * 100 <= length(vis) * maxLinkDensityPct
+      val stopOk =
+        if (stopwords.isEmpty || minStopwordPct <= 0) lit(true)
+        else size(filter(ws, w => lower(w).isInCollection(stopwords))) *
+          100 >= nw * minStopwordPct
+      (lengthOk, linkOk, stopOk)
+    }
+    def good(b: Column): Column = {
+      val (lengthOk, linkOk, stopOk) = gates(b)
+      lengthOk && linkOk && stopOk
+    }
+    val kept =
+      if (!promoteHeadings) filter(blocks, good _)
+      else {
+        val goodArr = transform(blocks, good _)
+        filter(blocks, (b, i) => {
+          val (_, linkOk, stopOk) = gates(b)
+          get(goodArr, i) ||
+            (b.getField("hd") && linkOk && stopOk &&
+              coalesce(get(goodArr, i + 1), lit(false)))
+        })
+      }
+    trim(regexp_replace(
+      array_join(transform(kept, b => b.getField("txt")), " "),
+      "\\s+", " "))
+  }
+
+  /** DOM-grade visible-text extraction — [[extractHtmlText]]'s sibling
+    * on the [[graft.functions.HtmlKernel]] tokenizer: every block's
+    * text, boilerplate kept (the extract step, not the classify step).
+    * Same quote-awareness upgrade as [[domMainText]]. */
+  def domText(html: Column): Column =
+    trim(regexp_replace(
+      array_join(transform(graft.functions.TextFunctions.htmlBlocks(html),
+        b => b.getField("txt")), " "), "\\s+", " "))
+
+  /** (doc_id, text) projection of [[domMainText]] over a crawl frame. */
+  def domToMainText(pages: DataFrame, htmlCol: String = "html"): DataFrame =
+    pages.withColumn("text", domMainText(col(htmlCol))).drop(htmlCol)
+
   /** (doc_id, text) from a crawl frame's HTML payload column — the
     * scan-bound projection that feeds the rest of the pipeline. */
   def htmlToText(pages: DataFrame, htmlCol: String = "html"): DataFrame =

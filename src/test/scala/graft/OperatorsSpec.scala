@@ -197,9 +197,105 @@ class OperatorsSpec extends SparkSpec {
     // whitespace collapse + trim; plain text is a fixed point
     assert(x("  a\n\n  <p> b </p>\tc  ") == Seq("a b c"))
     assert(x("plain words only") == Seq("plain words only"))
-    // the STATED limitation, asserted so the scaladoc can't drift: a
-    // literal '>' in an attribute value ends the tag early
+    // the STATED limitation of the regex twin, asserted so its scaladoc
+    // can't drift: a literal '>' in an attribute value ends the tag
+    // early — and the r16 DOM rung FIXES exactly this case
     assert(x("<a title=\"x > y\">t</a>") == Seq("y\">t"))
+    def dom(h: String*): Seq[String] =
+      h.toDF("h").select(TextAnalysis.domText(col("h")))
+        .collect().map(_.getString(0)).toSeq
+    assert(dom("<a title=\"x > y\">t</a>") == Seq("t"),
+      "the quote-aware tokenizer must not end the tag at a quoted '>'")
+    // and the other half of the quote-blind defect: a lone '<' in text
+    // is TEXT for the DOM rung (the regex strip eats to the next '>')
+    assert(x("5 < 6 and x > y") == Seq("5 y"))
+    assert(dom("5 < 6 and x > y") == Seq("5 < 6 and x > y"))
+  }
+
+  test("DOM-grade HTML rung (r16): agrees with the regex twin " +
+       "case-for-case on well-formed HTML — script/style, comments, " +
+       "entities, whitespace, link density, stopword gate, heading " +
+       "promotion — and fixes the quoted-'>' poison the twin leaks") {
+    import spark.implicits._
+    def both(h: String): (String, String) = {
+      val r = Seq(h).toDF("h").select(
+        TextAnalysis.extractHtmlText(col("h")).as("rx"),
+        TextAnalysis.domText(col("h")).as("dm")).collect().head
+      (r.getString(0), r.getString(1))
+    }
+    // the agreeing subdomain: every extractHtmlText spec case
+    Seq(
+      "<p>a</p><SCRIPT src='x'>if (1 < 2) alert('&');</SCRIPT><p>b</p>",
+      "<style>p{}</style>t<STYLE media=\"all\">q{}</STYLE>",
+      "a<!-- multi\nline\ncomment -->b",
+      "&lt;script&gt;evil()&lt;/script&gt;",
+      "Tom &amp; Jerry, 5 &lt; 6, &quot;q&quot;, it&#39;s, a&nbsp;b",
+      "&amp;lt;", "  a\n\n  <p> b </p>\tc  ", "plain words only",
+      "<!DOCTYPE html><html><body><p>doc typed</p></body></html>",
+      "<ul><li>one</li><li>two</li></ul><div>tail</div>",
+    ).foreach { h =>
+      val (rx, dm) = both(h)
+      assert(rx == dm, s"twins diverged on well-formed input: $h")
+    }
+    // main-text gates agree on the planted chrome page and the
+    // threshold/promotion pins from the boilerplate spec
+    def mainBoth(h: String, promote: Boolean = false,
+                 stopPct: Int = 0, stops: Seq[String] = Nil): (String, String) = {
+      val r = Seq(h).toDF("h").select(
+        TextAnalysis.htmlMainText(col("h"), promoteHeadings = promote,
+          minStopwordPct = stopPct, stopwords = stops).as("rx"),
+        TextAnalysis.domMainText(col("h"), promoteHeadings = promote,
+          minStopwordPct = stopPct, stopwords = stops).as("dm"))
+        .collect().head
+      (r.getString(0), r.getString(1))
+    }
+    val page = """<html><head><title>Doc 7</title></head><body>
+      <nav><a href="/">Home</a> <a href="/a">About</a> <a href="/c">Contact</a></nav>
+      <div class="cookie">Accept cookies</div>
+      <h1>Doc 7</h1>
+      <p>the quick brown fox jumps over the lazy dog today</p>
+      <div><a href="/x">Read more</a></div>
+      <footer><a href="/t">Terms</a> <a href="/p">Privacy</a> <a href="/i">Imprint</a> 2024</footer>
+      </body></html>"""
+    val headed = """<h1>Section Title</h1><p>good body words here okay</p>
+      <h2>Orphan Heading</h2><nav><a href="/">Home</a></nav>"""
+    for ((h, promote) <- Seq((page, false), (page, true),
+        (headed, false), (headed, true),
+        ("<p>abcd efgh ijkl mnop <a>qrst</a></p>", false),
+        ("<p>ab cd ef gh <a>ijklmnopq</a></p>", false),
+        ("""<h1><a href="/">Linked Title</a></h1><p>good body words here</p>""", true))) {
+      val (rx, dm) = mainBoth(h, promote)
+      assert(rx == dm, s"main-text twins diverged (promote=$promote): $h")
+    }
+    val stops = Seq("the", "a", "of", "and", "to", "in", "is")
+    val (rxs, dms) = mainBoth("<p>the engine is a part of the fleet</p>" +
+      "<p>colorless ideas sleep furiously tonight</p>",
+      stopPct = 30, stops = stops)
+    assert(rxs == dms && rxs == "the engine is a part of the fleet")
+    // the disagreeing subdomain, where only the DOM rung is right: the
+    // quoted '>' poison on the BODY tag — the twin leaks 'y">' into the
+    // kept text, the tokenizer keeps the body clean and still drops
+    // the link-dense chrome around it
+    val poisoned = """<nav><a href="/">Home</a> <a href="/a">About</a></nav>
+      <p data-note="x > y">clean body words survive here</p>
+      <footer><a href="/t">Terms</a> <a href="/p">Privacy</a></footer>"""
+    val (rxp, dmp) = mainBoth(poisoned)
+    assert(dmp == "clean body words survive here", dmp)
+    assert(rxp != dmp, "rig invariant: the twin must still leak here")
+    // kernel block anatomy: text, link chars, heading flag
+    val blk = Seq("""<h2>Head</h2><p>body <a href="/x">link text</a> tail</p>""")
+      .toDF("h")
+      .select(graft.functions.TextFunctions.htmlBlocks(col("h")).as("b"))
+      .selectExpr("inline(b)").collect()
+    // block 0 is the (empty) preamble — the same leading element the
+    // regex twin's lookahead split produces, so promotion's i+1
+    // neighbor indexing stays aligned between the rungs
+    assert(blk.length == 3)
+    assert(blk(0).getString(0) == "" && !blk(0).getBoolean(2))
+    assert(blk(1).getString(0) == "Head" && blk(1).getInt(1) == 0 &&
+      blk(1).getBoolean(2))
+    assert(blk(2).getString(0) == "body link text tail" &&
+      blk(2).getInt(1) == "link text".length && !blk(2).getBoolean(2))
   }
 
   test("boilerplate removal (r15): planted nav/footer/cookie chrome " +

@@ -638,6 +638,30 @@ class PlanSpec extends SparkSpec {
       s"blocks explode instead of staying array-valued:\n$plan")
   }
 
+  test("DOM-grade boilerplate removal (r16): same scan-bound shape as " +
+       "the regex twin — the tokenizer is one expression in the scan, " +
+       "gates stay declarative; no join/aggregate/window/exchange/" +
+       "explode, and the kernel call sits in the projection") {
+    val df = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        TextAnalysis.domMainText(concat(lit("<p>"), col("text"),
+          lit("</p><nav><a href='/'>Home</a></nav>"))).as("text"))
+    val plan = explained(df)
+    assert(!plan.contains("Join"), s"classifier plans a join:\n$plan")
+    assert(!plan.contains("HashAggregate") && !plan.contains("SortAggregate"),
+      s"classifier plans an aggregate:\n$plan")
+    assert(!plan.contains("Window"), s"classifier plans a window:\n$plan")
+    assert(!plan.contains("hashpartitioning"),
+      s"classifier plans a hash exchange:\n$plan")
+    assert(!plan.contains("Generate"),
+      s"blocks explode instead of staying array-valued:\n$plan")
+    // the tokenizer runs ONCE per row as a plain projection expression
+    // (the declarative gates around it are Spark's higher-order
+    // functions — the same evaluation class as the regex twin's)
+    assert(plan.contains("graft_html_blocks"),
+      s"the kernel expression left the scan projection:\n$plan")
+  }
+
   test("dsir select: candidate filter pushed to the scan, weights " +
        "broadcast, top-k bounded (TakeOrderedAndProject, no global sort)") {
     val df = Curation.dsirSelect(Tables.documents(spark, sf),
