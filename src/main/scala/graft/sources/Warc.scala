@@ -11,22 +11,26 @@ import org.apache.spark.sql.functions._
   * encoding undone, or none declared); false when some layer could not
   * be undone — the bytes are then the raw truth on disk, and a text
   * stage should filter on the flag instead of scoring compressed bytes
-  * as text (r15 ADVICE). */
+  * as text (r15 ADVICE). `payload_digest` is the record's
+  * WARC-Payload-Digest header verbatim ('' when absent) — CommonCrawl
+  * stamps it on responses and on `revisit` records (refetched-unchanged
+  * pages whose payload bytes do NOT travel), so URL/content dedup can
+  * consume fetch-time dedup info instead of re-hashing (r16). */
 case class WarcRecordRow(doc_id: Long, rec_idx: Int, warc_type: String,
                          url: String, warc_date: String, http_status: Int,
                          mime: String, body: Array[Byte],
-                         body_decoded: Boolean)
+                         body_decoded: Boolean, payload_digest: String)
 
 /** One parsed record from a WARC archive FILE (the file-scale source
   * [[Warc.readWarcFiles]]): `path` names the archive, `rec_idx` the
   * record's position within it, `rec_id` the WARC-Record-ID header —
   * the provenance key real archives carry per record. `body_decoded`
-  * as in [[WarcRecordRow]]. */
+  * and `payload_digest` as in [[WarcRecordRow]]. */
 case class WarcFileRecordRow(path: String, rec_idx: Int, rec_id: String,
                              warc_type: String, url: String,
                              warc_date: String, http_status: Int,
                              mime: String, body: Array[Byte],
-                             body_decoded: Boolean)
+                             body_decoded: Boolean, payload_digest: String)
 
 /** WARC (ISO 28500) reader — the format crawl corpora actually arrive
   * in (CommonCrawl ships `.warc.gz`): parse WARC/1.0 records from a
@@ -199,11 +203,11 @@ object Warc {
 
   /** All records of one (possibly per-record-gzipped) WARC payload, in
     * file order. Malformed input stops the walk — prefix-honest. */
-  private[graft] def parseWarc(payload: Array[Byte]): Vector[(String, String, String, Int, String, Array[Byte], Boolean)] = {
+  private[graft] def parseWarc(payload: Array[Byte]): Vector[(String, String, String, Int, String, Array[Byte], Boolean, String)] = {
     val bytes =
       if (isGzip(payload)) gunzipAll(payload).getOrElse(return Vector.empty)
       else payload
-    val out = Vector.newBuilder[(String, String, String, Int, String, Array[Byte], Boolean)]
+    val out = Vector.newBuilder[(String, String, String, Int, String, Array[Byte], Boolean, String)]
     var off = 0
     var ok = true
     while (ok && off < bytes.length) {
@@ -222,7 +226,8 @@ object Warc {
             val url = hdrs.getOrElse("warc-target-uri", "")
             val date = hdrs.getOrElse("warc-date", "")
             val (status, mime, body, decoded) = httpLayer(wtype, hdrs, block)
-            out += ((wtype, url, date, status, mime, body, decoded))
+            out += ((wtype, url, date, status, mime, body, decoded,
+              hdrs.getOrElse("warc-payload-digest", "")))
             // records terminate with CRLFCRLF; tolerate its absence at
             // EOF and a non-conforming lone CRLF (r15 ADVICE: checking
             // only the first byte then skipping 4 swallowed the start
@@ -250,8 +255,8 @@ object Warc {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, p) =>
         parseWarc(p).zipWithIndex.map {
-          case ((t, u, d, s, m, b, dec), i) =>
-            WarcRecordRow(id, i, t, u, d, s, m, b, dec)
+          case ((t, u, d, s, m, b, dec, dig), i) =>
+            WarcRecordRow(id, i, t, u, d, s, m, b, dec, dig)
         }
       })
       .toDF()
@@ -411,7 +416,8 @@ object Warc {
             val (status, mime, body, decoded) = httpLayer(wtype, hdrs, block)
             WarcFileRecordRow(p, i, hdrs.getOrElse("warc-record-id", ""),
               wtype, hdrs.getOrElse("warc-target-uri", ""),
-              hdrs.getOrElse("warc-date", ""), status, mime, body, decoded)
+              hdrs.getOrElse("warc-date", ""), status, mime, body, decoded,
+              hdrs.getOrElse("warc-payload-digest", ""))
         }
         new Iterator[WarcFileRecordRow] { // close at end-of-walk
           override def hasNext: Boolean = {
@@ -444,6 +450,26 @@ object Warc {
     val gz = new java.util.zip.GZIPOutputStream(baos)
     gz.write(p); gz.close()
     baos.toByteArray
+  }
+
+  private val B32 = "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567"
+
+  /** CommonCrawl's payload digest form: SHA-1 in unpadded RFC 4648
+    * base32 (160 bits = exactly 32 chars), "sha1:"-prefixed. */
+  private[graft] def sha1Base32(data: Array[Byte]): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-1").digest(data)
+    val sb = new java.lang.StringBuilder(32)
+    var buf = 0L
+    var bits = 0
+    d.foreach { b =>
+      buf = (buf << 8) | (b & 0xffL)
+      bits += 8
+      while (bits >= 5) {
+        bits -= 5
+        sb.append(B32(((buf >> bits) & 31L).toInt))
+      }
+    }
+    "sha1:" + sb.toString
   }
 
   /** A deterministic crawl-shaped WARC for one page: warcinfo + request
@@ -491,10 +517,38 @@ object Warc {
     val httpBlock = crlfJoin(httpHeaders) ++ wire
     val resp = warcRecord(
       rid("response") ++ Seq("WARC-Type" -> "response", "WARC-Target-URI" -> url,
-        "WARC-Date" -> date, "Content-Type" -> "application/http;msgtype=response"),
+        "WARC-Date" -> date,
+        // the digest CommonCrawl stamps per response: SHA-1/base32 of
+        // the DECODED payload (what the body recovers to), not the wire
+        "WARC-Payload-Digest" -> sha1Base32(body),
+        "Content-Type" -> "application/http;msgtype=response"),
       httpBlock)
     if (gzipped) gzipMember(info) ++ gzipMember(req) ++ gzipMember(resp)
     else info ++ req ++ resp
+  }
+
+  /** One WARC/1.0 `revisit` record — CommonCrawl's refetched-unchanged
+    * marker: the payload bytes do NOT travel again; the
+    * WARC-Payload-Digest header carries the content identity (and
+    * WARC-Refers-To the original record), so a dedup stage consumes
+    * fetch-time dedup info by joining digests instead of re-hashing
+    * bodies it never received. Block = empty (the profile permits the
+    * response headers only or nothing). Test/driver rig only. */
+  def syntheticRevisit(url: String, date: String, payloadDigest: String,
+                       refersTo: String = "", recordIdBase: String = "",
+                       gzipped: Boolean = false): Array[Byte] = {
+    val rec = warcRecord(
+      (if (recordIdBase.isEmpty) Seq.empty[(String, String)]
+       else Seq("WARC-Record-ID" -> s"<$recordIdBase:revisit>")) ++
+      Seq("WARC-Type" -> "revisit", "WARC-Target-URI" -> url,
+        "WARC-Date" -> date,
+        "WARC-Payload-Digest" -> payloadDigest,
+        "WARC-Profile" ->
+          "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest") ++
+      (if (refersTo.isEmpty) Seq.empty[(String, String)]
+       else Seq("WARC-Refers-To" -> refersTo)),
+      Array.emptyByteArray)
+    if (gzipped) gzipMember(rec) else rec
   }
 
   /** Write a (file_id, doc_id, url, text) frame as one multi-page

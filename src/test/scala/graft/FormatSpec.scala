@@ -1268,7 +1268,7 @@ class FormatSpec extends SparkSpec {
     val gz = Warc.syntheticWarc("https://x/1", "2024-01-01T00:00:00Z", body,
       gzipped = true)
     def parsed(p: Array[Byte]) = Warc.parseWarc(p)
-      .map { case (t, u, d, s, m, b, _) =>
+      .map { case (t, u, d, s, m, b, _, _) =>
         (t, u, d, s, m, new String(b, "UTF-8")) }
     // the gzip path inflates multi-member streams to the SAME records
     assert(parsed(plain) == parsed(gz))
@@ -1495,6 +1495,56 @@ class FormatSpec extends SparkSpec {
       // double-close guard means the listener firing after is a no-op)
       assert(Warc.readWarcPaths(spark, Seq(path)).count() == 150)
       assert(Warc.openStreams.get() == base)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir.toFile)
+    }
+  }
+
+  test("WARC revisit records (r16): refetched-unchanged pages surface " +
+       "their payload digest, so dedup joins fetch-time identity " +
+       "instead of re-hashing bodies that never travelled") {
+    import graft.sources.Warc
+    val dir = java.nio.file.Files.createTempDirectory("graft_warcrev_")
+    try {
+      val body = "original page body".getBytes("UTF-8")
+      val digest = Warc.sha1Base32(body)
+      // fetch 1: the full response; fetch 2 (a day later): CommonCrawl
+      // writes a revisit record — digest only, no payload bytes
+      val archive =
+        Warc.syntheticWarc("https://x/page", "2024-01-01T00:00:00Z", body,
+          gzipped = true, recordIdBase = "urn:graft:doc:1") ++
+        Warc.syntheticRevisit("https://x/page", "2024-01-02T00:00:00Z",
+          digest, refersTo = "<urn:graft:doc:1:response>",
+          recordIdBase = "urn:graft:doc:1b", gzipped = true)
+      java.nio.file.Files.write(dir.resolve("rev.warc.gz"), archive)
+      val rows = Warc.readWarcFiles(spark, dir.toString)
+      assert(rows.count() == 4) // warcinfo, request, response, revisit
+      // responses now carry CommonCrawl's sha1/base32 payload digest
+      val resp = rows.filter(col("warc_type") === "response").collect().head
+      assert(resp.getAs[String]("payload_digest") == digest)
+      assert(digest.startsWith("sha1:") && digest.length == 5 + 32)
+      // the revisit row: type + digest surface, no payload travels
+      val rev = rows.filter(col("warc_type") === "revisit").collect().head
+      assert(rev.getAs[String]("url") == "https://x/page" &&
+        rev.getAs[String]("warc_date") == "2024-01-02T00:00:00Z" &&
+        rev.getAs[String]("payload_digest") == digest &&
+        rev.getAs[Int]("http_status") == 0 &&
+        rev.getAs[Array[Byte]]("body").isEmpty)
+      // consumption shape: digest-equality joins the refetch to its
+      // original — content dedup without touching body bytes
+      val dup = rows.filter(col("warc_type").isin("response", "revisit"))
+        .groupBy("payload_digest").count().collect()
+      assert(dup.length == 1 && dup.head.getLong(1) == 2)
+      // the per-payload reader surfaces the same column
+      import spark.implicits._
+      val viaPayload = Warc.readWarc(
+          Seq((1L, archive)).toDF("doc_id", "payload"))
+        .filter(col("warc_type") === "revisit")
+        .select("payload_digest").collect()
+      assert(viaPayload.map(_.getString(0)).toSeq == Seq(digest))
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()

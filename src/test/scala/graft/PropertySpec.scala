@@ -249,7 +249,7 @@ class PropertySpec extends AnyFunSuite {
       // responses carry the EXACT body bytes in page order, whatever
       // the wire encoding stack was
       val resps = recs.filter(_._1 == "response")
-      resps.zip(pages).foreach { case ((_, u, _, st, mime, body, dec), p) =>
+      resps.zip(pages).foreach { case ((_, u, _, st, mime, body, dec, _), p) =>
         assert(u == p._1 && st == 200 && mime == "text/plain" &&
           java.util.Arrays.equals(body, p._2) && dec, s"page $u")
       }
