@@ -616,6 +616,14 @@ object OracleSql {
     "dedup_audio_const" ->
       """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 5), g AS (SELECT doc_id - doc_id % 20 AS a, COUNT(*) AS n FROM ids GROUP BY 1) SELECT a + 5 AS doc_a, a + 15 AS doc_b, CAST(0 AS BIGINT) AS hamming FROM g WHERE n = 2 ORDER BY doc_a, doc_b""",
 
+    // spectral constellation dedup (r16): the 13-sample (non-hop-
+    // multiple) trimmed groupmate pairs its source at hamming 0 through
+    // FFT bin-set signatures — structural per 2-doc group; injective
+    // per-group tone quadruples guarantee NO cross-group pair, so the
+    // absence of extra rows is as load-bearing as the presence of these
+    "dedup_audio_fft" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 8), g AS (SELECT doc_id - doc_id % 20 AS a, COUNT(*) AS n FROM ids GROUP BY 1) SELECT a + 8 AS doc_a, a + 18 AS doc_b, CAST(0 AS BIGINT) AS hamming FROM g WHERE n = 2 ORDER BY doc_a, doc_b""",
+
     // the image-hash INGEST loop cold: the whole-loop survivor rule in
     // closed form — survive iff not the greater side of any hamming-≤-3
     // pair (decode, banding, index commits all inside the hash)

@@ -926,9 +926,11 @@ object Multimodal {
     * spectrogram-hop convention in the time domain). Each window still
     * spans `win` frames; cost scales by hopDiv on the same one-pass
     * scan. */
-  private def pcmWindowEnergies(payload: Array[Byte], winOf: Int => Int,
-                                minHeaderFrames: Long,
-                                hopDiv: Int = 1): Option[Array[Long]] =
+  /** Channel-0 samples normalized to 16-bit range — the decode shared
+    * by [[pcmWindowEnergies]] and the spectral fingerprints (r16
+    * factoring; gates and layout rules unchanged). */
+  private def pcmSamples16(payload: Array[Byte],
+                           minHeaderFrames: Long): Option[Array[Long]] =
     try {
       if (!looksLikeWav(payload)) None
       else {
@@ -951,40 +953,52 @@ object Multimodal {
           else {
             val body = in.readAllBytes()
             val n = body.length / (bps * channels)
-            val win = winOf(n)
-            val hop = if (win >= 1) math.max(1, win / math.max(1, hopDiv)) else 1
-            if (win < 1 || n / win < 1) None
-            else {
-              val m = (n - win) / hop + 1
-              val e = new Array[Long](m)
-              var k = 0
-              while (k < m) {
-                var sum = 0L
-                var i = k * hop
-                val end = i + win
-                while (i < end) {
-                  val off = i * channels * bps // channel 0 of frame i
-                  var v = 0L
-                  var b = 0
-                  while (b < bps) { v |= (body(off + b) & 0xffL) << (8 * b); b += 1 }
-                  val signed =
-                    if (bps == 1) ((v & 0xff) - 128) << 8 // 8-bit unsigned → 16-bit
-                    else {
-                      val s = { val sh = 64 - bps * 8; (v << sh) >> sh }
-                      if (bps == 2) s else s >> (8 * bps - 16) // wider → 16-bit
-                    }
-                  sum += signed * signed
-                  i += 1
+            val out = new Array[Long](n)
+            var i = 0
+            while (i < n) {
+              val off = i * channels * bps // channel 0 of frame i
+              var v = 0L
+              var b = 0
+              while (b < bps) { v |= (body(off + b) & 0xffL) << (8 * b); b += 1 }
+              out(i) =
+                if (bps == 1) ((v & 0xff) - 128) << 8 // 8-bit unsigned → 16-bit
+                else {
+                  val s = { val sh = 64 - bps * 8; (v << sh) >> sh }
+                  if (bps == 2) s else s >> (8 * bps - 16) // wider → 16-bit
                 }
-                e(k) = sum
-                k += 1
-              }
-              Some(e)
+              i += 1
             }
+            Some(out)
           }
         } finally in.close()
       }
     } catch { case _: Exception => None }
+
+  private def pcmWindowEnergies(payload: Array[Byte], winOf: Int => Int,
+                                minHeaderFrames: Long,
+                                hopDiv: Int = 1): Option[Array[Long]] =
+    pcmSamples16(payload, minHeaderFrames) match {
+      case None => None
+      case Some(sm) =>
+        val n = sm.length
+        val win = winOf(n)
+        val hop = if (win >= 1) math.max(1, win / math.max(1, hopDiv)) else 1
+        if (win < 1 || n / win < 1) None
+        else {
+          val m = (n - win) / hop + 1
+          val e = new Array[Long](m)
+          var k = 0
+          while (k < m) {
+            var sum = 0L
+            var i = k * hop
+            val end = i + win
+            while (i < end) { sum += sm(i) * sm(i); i += 1 }
+            e(k) = sum
+            k += 1
+          }
+          Some(e)
+        }
+    }
 
   /** The 64 comparison bits over windows [t, t+65): bit k ⇔
     * e(t+k) > e(t+k+1). Caller guarantees t+65 ≤ e.length. */
@@ -1054,8 +1068,11 @@ object Multimodal {
     * not slotStride·win (512): any hop-multiple trim leaves interior
     * peaks and their contours bit-identical. STATED LIMITATION: a trim
     * that is not a hop multiple still re-fingerprints — finer
-    * invariance needs phase-independent features (the FFT-peak
-    * constellation proper), same seam as the media codecs. */
+    * invariance needs phase-independent features, shipped r16 as
+    * [[audioFingerprintsSpectral]] (the FFT-peak constellation proper:
+    * gated frequency-bin sets, invariant under ANY-amount trims inside
+    * stationary segments; this time-domain rung stays the cheaper
+    * FFT-free variant for envelope-shaped signals). */
   private[graft] def audioFingerprintsPeaks(payload: Array[Byte],
       winSamples: Int = 64, hopDiv: Int = 2,
       maxSlots: Int = 8): Seq[(Int, Long)] = {
@@ -1085,6 +1102,144 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, payload) =>
         audioFingerprintsPeaks(payload, winSamples, hopDiv, maxSlots)
+          .map { case (slot, h) => AudioSlotHashRow(id, slot, h) }
+      })
+      .toDF()
+  }
+
+  /** In-place iterative radix-2 FFT (Cooley-Tukey) over a real input —
+    * returns SQUARED magnitudes for bins 0..n/2. Plain deterministic
+    * double arithmetic (fixed operation order, no library seam); the
+    * spectral fingerprints never compare magnitudes across engines,
+    * only gate them with ~10⁷× margins, so ulp-level noise is
+    * irrelevant. */
+  private def fftMagSq(re: Array[Double]): Array[Double] = {
+    val n = re.length
+    require((n & (n - 1)) == 0 && n >= 2, s"FFT size must be a power of 2: $n")
+    val im = new Array[Double](n)
+    var j = 0
+    var i = 1
+    while (i < n) { // bit-reversal permutation
+      var bit = n >> 1
+      while ((j & bit) != 0) { j ^= bit; bit >>= 1 }
+      j |= bit
+      if (i < j) { val t = re(i); re(i) = re(j); re(j) = t }
+      i += 1
+    }
+    var len = 2
+    while (len <= n) {
+      val ang = -2.0 * math.Pi / len
+      val wr = math.cos(ang)
+      val wi = math.sin(ang)
+      var base = 0
+      while (base < n) {
+        var cr = 1.0
+        var ci = 0.0
+        var k = 0
+        while (k < len / 2) {
+          val a = base + k
+          val b = a + len / 2
+          val vr = re(b) * cr - im(b) * ci
+          val vi = re(b) * ci + im(b) * cr
+          re(b) = re(a) - vr; im(b) = im(a) - vi
+          re(a) = re(a) + vr; im(a) = im(a) + vi
+          val ncr = cr * wr - ci * wi
+          ci = cr * wi + ci * wr
+          cr = ncr
+          k += 1
+        }
+        base += len
+      }
+      len <<= 1
+    }
+    val out = new Array[Double](n / 2 + 1)
+    var k = 0
+    while (k <= n / 2) { out(k) = re(k) * re(k) + im(k) * im(k); k += 1 }
+    out
+  }
+
+  /** SPECTRAL constellation fingerprints (r16 — closes
+    * [[audioFingerprintsPeaks]]' stated residual: its time-domain
+    * energy anchors survive only HOP-MULTIPLE trims, because a
+    * fractional-hop trim re-sums every window's energy): the Shazam
+    * constellation proper, on the FFT. Per hopped window, the 64-point
+    * magnitude spectrum GATES tone bins at 1/64 of the window's
+    * strongest bin — the signature is the gated bin ID SET (≤ 8 lowest
+    * bins, packed ascending 8 bits each), integer frequency indices
+    * that are PHASE-INDEPENDENT: a window anywhere inside a stationary
+    * tone segment sees the same magnitudes up to ulps (vs the gate's
+    * ~10⁷× margin), so a trim of ANY sample count leaves interior
+    * windows' signatures bit-identical. Consecutive equal signatures
+    * collapse to runs and one fingerprint emits per run of length ≥ 2
+    * (a boundary-straddling window's one-off mixture signature never
+    * emits); slot = run ordinal, and the any-match rule is
+    * slot-agnostic, so dropped leading runs only shift ordinals.
+    * All-quiet windows (no bin above zero) emit nothing. Match at
+    * maxHamming = 0: signatures are bin-ID sets, where hamming
+    * distance is not a similarity scale. */
+  private[graft] def audioFingerprintsSpectral(payload: Array[Byte],
+      winSamples: Int = 64, hopDiv: Int = 2,
+      maxSlots: Int = 8): Seq[(Int, Long)] = {
+    require(winSamples >= 2 && (winSamples & (winSamples - 1)) == 0 &&
+      hopDiv >= 1 && maxSlots >= 1)
+    pcmSamples16(payload, minHeaderFrames = 2L * winSamples) match {
+      case None => Nil
+      case Some(sm) if sm.length < winSamples => Nil
+      case Some(sm) =>
+        val win = winSamples
+        val hop = math.max(1, win / hopDiv)
+        val m = (sm.length - win) / hop + 1
+        val sigs = new Array[Long](m)
+        var p = 0
+        while (p < m) {
+          val re = new Array[Double](win)
+          var i = 0
+          while (i < win) { re(i) = sm(p * hop + i).toDouble; i += 1 }
+          val mag = fftMagSq(re)
+          var mx = 0.0
+          var k = 1
+          while (k < win / 2) { if (mag(k) > mx) mx = mag(k); k += 1 }
+          var sig = 0L
+          var cnt = 0
+          k = 1
+          while (k < win / 2 && cnt < 8) {
+            if (mx > 0.0 && mag(k) * 64.0 >= mx) {
+              sig |= k.toLong << (8 * cnt)
+              cnt += 1
+            }
+            k += 1
+          }
+          sigs(p) = if (cnt == 0) -1L else sig
+          p += 1
+        }
+        val out = Seq.newBuilder[(Int, Long)]
+        var slot = 0
+        var i = 0
+        while (i < m && slot < maxSlots) {
+          var j = i
+          while (j < m && sigs(j) == sigs(i)) j += 1
+          if (j - i >= 2 && sigs(i) >= 0L) {
+            out += ((slot, sigs(i)))
+            slot += 1
+          }
+          i = j
+        }
+        out.result()
+    }
+  }
+
+  /** (doc_id, off_slot, ahash) over a binary media frame — the
+    * spectral twin of [[audioHashesPeaks]]: one scan-bound decode+FFT
+    * pass, ≤ 8·maxSlots bytes/clip out, any-match downstream at
+    * maxHamming = 0 (bin-set signatures). */
+  def audioHashesSpectral(media: DataFrame, winSamples: Int = 64,
+      hopDiv: Int = 2, maxSlots: Int = 8): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        audioFingerprintsSpectral(payload, winSamples, hopDiv, maxSlots)
           .map { case (slot, h) => AudioSlotHashRow(id, slot, h) }
       })
       .toDF()
@@ -1163,6 +1318,53 @@ object Multimodal {
       val i = j + dropSamples // position in the untrimmed stream
       val a = amps(i / win)
       val s = if (i % 2 == 0) a else -a
+      data(j * 2) = (s & 0xff).toByte
+      data(j * 2 + 1) = ((s >> 8) & 0xff).toByte
+      j += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  /** Tone-segment WAV for the SPECTRAL fingerprint rigs (r16): three
+    * stationary segments of `winsPerSeg` 64-sample windows each. Every
+    * segment carries the group's INJECTIVE 4-tone quadruple — bins
+    * (1 + u%6, 8 + (u/6)%6, 15 + (u/36)%8, 23 + (u/288)%6), disjoint
+    * digit ranges, collision-free for u < 1728 (far past the driver
+    * SFs' ~250 group indexes), so no two groups can ever share a
+    * signature — plus a per-segment marker bin {29, 30, 31} that
+    * separates the segments in time. All frequencies are bin-aligned
+    * (integer cycles per 64-sample window), so the sample stream is
+    * EXACTLY 64-periodic inside a segment: a window at any offset is a
+    * circular shift of the same 64 values, and spectral bin sets are
+    * trim-invariant by construction. Amplitude 6000 × 5 tones stays
+    * far inside int16. `dropSamples` trims raw samples off the front —
+    * including the NON-hop-multiple trims the time-domain
+    * constellation honestly misses. Test/driver rig only. */
+  def syntheticToneWav(u: Long, winsPerSeg: Int = 8,
+                       dropSamples: Int = 0): Array[Byte] = {
+    require(u >= 0 && winsPerSeg >= 2, s"bad rig params ($u, $winsPerSeg)")
+    val quad = Seq(1 + u % 6, 8 + (u / 6) % 6, 15 + (u / 36) % 8,
+      23 + (u / 288) % 6).map(_.toInt)
+    val markers = Seq(29, 30, 31)
+    val win = 64
+    val segLen = winsPerSeg * win
+    val total = 3 * segLen
+    require(dropSamples >= 0 && dropSamples < total, s"trim $dropSamples")
+    val n = total - dropSamples
+    val data = new Array[Byte](n * 2)
+    var j = 0
+    while (j < n) {
+      val g = j + dropSamples
+      val bins = quad :+ markers(g / segLen)
+      var v = 0.0
+      bins.foreach(b => v += 6000.0 * math.sin(2.0 * math.Pi * b * g / win))
+      val s = math.round(v).toInt
       data(j * 2) = (s & 0xff).toByte
       data(j * 2 + 1) = ((s >> 8) & 0xff).toByte
       j += 1
