@@ -59,6 +59,12 @@ import org.apache.spark.sql.functions._
   * keep-rule shapes — the r14 window (whole hot key in one task) vs
   * the r15 map-side-combined groupBy-min — outputs required equal.
   *
+  * r16 adds the LANDING-DIFF demo (§9): the archive ingest loop's
+  * landing-vs-processed diff at a 10⁵-file processed lifetime — the
+  * old per-batch collect of the WHOLE processed table (driver rows
+  * linear in lifetime, forever) vs the engine-side left-anti diff
+  * (driver rows = the batch's fresh files), fresh sets required equal.
+  *
   * r15 adds the WARC FILE-SCALE demo (§7): an archive 5× the
   * whole-payload path's 256 MB inflated ceiling (the CommonCrawl
   * segment size class) is refused wholesale by the one-row path and
@@ -85,7 +91,7 @@ object ScaleDemo {
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val workDir = args.lift(1).getOrElse("/tmp/graft_scaledemo")
-    val outJson = args.lift(2).getOrElse("SCALE_DEMO_r15.json")
+    val outJson = args.lift(2).getOrElse("SCALE_DEMO_r16.json")
     val cpus = graft.util.BenchHarness.cpus(sys.env.get("SPARK_GRAFT_CPUS"))
     val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "2").toInt.max(1)
     val spark = SparkSession.builder()
@@ -479,6 +485,61 @@ object ScaleDemo {
         f"taskPeak=${uwPeak / 1e6}%.0fMB spill=${uwSpill / 1e6}%.0fMB; " +
         f"agg taskPeak=${uaPeak / 1e6}%.0fMB spill=${uaSpill / 1e6}%.0fMB")
 
+    // ---- 9. WARC ingest landing diff (r16): the 10^5-file lifetime ----
+    // The archive ingest loop runs forever: its processed-file table
+    // grows with every archive EVER ingested (a CommonCrawl lifetime is
+    // ~10^5-10^6 segment paths) while one micro-batch lands a handful of
+    // new files. The r15 loop collected the WHOLE processed table to the
+    // driver EVERY batch to diff names — per-batch driver work linear in
+    // corpus lifetime, forever. The r16 shape keeps the diff in the
+    // engine (Warc.landingDiff's left-anti join against the table SCAN)
+    // and collects only the FRESH names — batch-scale by definition.
+    // Both shapes measured on a 10^5-path processed table with 20 fresh
+    // arrivals; fresh sets required identical. (The landing LISTING
+    // itself is inherently driver-side file-name-scale — how any
+    // FileSystem listing arrives, Spark's own file stream source
+    // included; what must NOT scale with lifetime is the per-batch
+    // COLLECT.)
+    val procTable = s"$workDir/processed_paths"
+    val lifetime = 100000L
+    def segName(i: Long): String =
+      f"s3://crawl/segments/part-$i%07d.warc.gz"
+    locally {
+      graft.sources.TxLogFormat.appendBatch(
+        spark.range(lifetime)
+          .select(concat(lit("s3://crawl/segments/part-"),
+            lpad(col("id").cast("string"), 7, "0"), lit(".warc.gz"))
+            .as("path")),
+        procTable, "scaledemo", 0L)
+    }
+    val expectedFresh = (lifetime until lifetime + 20).map(segName).toSet
+    val landing: Seq[String] = // the batch's dir listing: all + 20 new
+      (0L until lifetime + 20).map(segName)
+    var oldDriverRows = 0L
+    var newDriverRows = 0L
+    run("landing_diff_collect_all") {
+      import spark.implicits._
+      val done = graft.sources.TxLogFormat.read(spark, procTable)
+        .select("path").as[String].collect().toSet
+      val fresh = landing.filterNot(done)
+      require(fresh.toSet == expectedFresh, "old shape lost a fresh name")
+      oldDriverRows = done.size.toLong
+      oldDriverRows
+    }
+    run("landing_diff_engine") {
+      import spark.implicits._
+      val fresh = graft.sources.Warc.landingDiff(spark, landing,
+          graft.sources.TxLogFormat.read(spark, procTable))
+        .as[String].collect()
+      require(fresh.toSet == expectedFresh, "engine shape lost a fresh name")
+      newDriverRows = fresh.length.toLong
+      newDriverRows
+    }
+    System.err.println(
+      s"[scaledemo] landing diff at $lifetime-file lifetime: " +
+        s"driver rows collected/batch old=$oldDriverRows (linear in " +
+        s"lifetime) vs engine=$newDriverRows (batch-scale)")
+
     val counts = Map("x1" -> x1.count(), "x10" -> x10.count(),
       "batch" -> batch.count())
     val json = {
@@ -490,6 +551,7 @@ object ScaleDemo {
         s""""hamming_fanout":{"h1_4x16":$hf1s,"h10_4x16":$hf10s,"h1_pair5":$hf1p,"h10_pair5":$hf10p},""" +
         f""""warc":{"inflated_mb":$warcInflatedMb,"gz_mb":$warcGzMb%.1f,"records":$warc1,"whole_payload_refused":true},""" +
         f""""urldedup_u10_hot_task":{"window_peak_mb":${uwPeak / 1e6}%.0f,"window_spill_mb":${uwSpill / 1e6}%.0f,"agg_peak_mb":${uaPeak / 1e6}%.0f,"agg_spill_mb":${uaSpill / 1e6}%.0f},""" +
+        s""""landing_diff":{"lifetime_files":$lifetime,"fresh_files":20,"driver_rows_per_batch_old":$oldDriverRows,"driver_rows_per_batch_engine":$newDriverRows},""" +
         s""""env":{"cpus":${graft.util.BenchHarness.jsonNum(cpus)},"iters":$iters,"heap_mb":${Runtime.getRuntime.maxMemory() / (1024 * 1024)}},""" +
         s""""measurements":{$rows}}"""
     }
