@@ -819,6 +819,37 @@ class PlanSpec extends SparkSpec {
       s"state offsets did not broadcast:\n$plan")
   }
 
+  test("trained lang-ID (r16): the candidate fan-out and model tables " +
+       "ride broadcasts — no CartesianProduct, no Window, nothing " +
+       "corpus-scale on the driver") {
+    import spark.implicits._
+    val docs = Seq((1L, "en", "the cat sat"), (2L, "fr", "le chat assis"),
+      (3L, "en", "a dog ran"), (4L, "fr", "un chien")).toDF("doc_id", "lang", "text")
+    val df = TextAnalysis.langIdModel(docs)
+    df.collect()
+    val plan = explained(df)
+    assert(!plan.contains("CartesianProduct"),
+      s"candidate fan-out planned cartesian:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"the docs x candidates cross must ride a broadcast:\n$plan")
+    assert(!plan.contains("Window"), s"argmax planned a window:\n$plan")
+  }
+
+  test("tokenize_pack (r16): the vocabulary apply joins (never " +
+       "re-folds per occurrence), doc counts partial-aggregate, and " +
+       "no cartesian appears anywhere") {
+    import spark.implicits._
+    val docs = Seq((1L, "en", "ab ab abc"), (2L, "en", "cc babab"),
+      (3L, "fr", "abab cc")).toDF("doc_id", "lang", "text")
+    val merges = TextAnalysis.trainBpeMerges(docs, nMerges = 2)
+    val df = Curation.tokenizePack(docs, merges, contextTokens = 8)
+    df.collect()
+    val plan = explained(df)
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+    assert(plan.contains("partial_sum"),
+      s"doc token counts lost their map-side combine:\n$plan")
+  }
+
   test("url dedup (r15): the keep rule is a map-side-combinable groupBy " +
        "min + join back, never a Window on the canonical key — a hot URL " +
        "refetched 10^7 times must not become one straggler task") {
