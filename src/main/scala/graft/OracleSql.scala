@@ -88,6 +88,12 @@ object OracleSql {
   private val sequencePackSpansSql =
     """WITH t AS (SELECT doc_id, lang, CAST(CEIL(length(text)/4.0) AS BIGINT) AS n FROM documents), c AS (SELECT doc_id, lang, n, CAST(COALESCE(SUM(n) OVER (PARTITION BY lang ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s FROM t), e AS (SELECT doc_id, lang, n, s, UNNEST(range(s // 64, (s + n - 1) // 64 + 1)) AS seq_id FROM c WHERE n > 0) SELECT doc_id, lang, CAST(seq_id AS BIGINT) AS seq_id, CAST(GREATEST(s, seq_id * 64) - s AS BIGINT) AS doc_off, CAST(GREATEST(s, seq_id * 64) - seq_id * 64 AS BIGINT) AS seq_off, CAST(LEAST(s + n, (seq_id + 1) * 64) - GREATEST(s, seq_id * 64) AS BIGINT) AS n_toks FROM e"""
 
+  // tokenize -> pack (r16), shared by the batch op and the
+  // frozen-tokenizer ingest loop's cold run: the span arithmetic over
+  // the planted REAL BPE token counts
+  private val tokenizePackSql =
+    """WITH t AS (SELECT doc_id, lang, CAST(CASE doc_id % 4 WHEN 0 THEN 8 WHEN 1 THEN 8 WHEN 2 THEN 4 ELSE 2 END AS BIGINT) AS n FROM documents), c AS (SELECT doc_id, lang, n, CAST(COALESCE(SUM(n) OVER (PARTITION BY lang ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s FROM t), e AS (SELECT doc_id, lang, n, s, UNNEST(range(s // 64, (s + n - 1) // 64 + 1)) AS seq_id FROM c WHERE n > 0) SELECT doc_id, lang, CAST(seq_id AS BIGINT) AS seq_id, CAST(GREATEST(s, seq_id * 64) - s AS BIGINT) AS doc_off, CAST(GREATEST(s, seq_id * 64) - seq_id * 64 AS BIGINT) AS seq_off, CAST(LEAST(s + n, (seq_id + 1) * 64) - GREATEST(s, seq_id * 64) AS BIGINT) AS n_toks FROM e"""
+
   // file-scale WARC ingestion (r15), shared by the batch op and the
   // archive ingest loop's cold run: 8 multi-page archives, pages in
   // doc_id order per file, record indexes 3·(rank within file)+{0,1,2}
@@ -948,9 +954,18 @@ object OracleSql {
 
     // tokenize -> pack (r16): sequence_pack_spans' cumsum + span
     // arithmetic verbatim, but n = the REAL BPE token count (the
-    // planted family closed form) instead of the estTokens proxy
-    "tokenize_pack" ->
-      """WITH t AS (SELECT doc_id, lang, CAST(CASE doc_id % 4 WHEN 0 THEN 8 WHEN 1 THEN 8 WHEN 2 THEN 4 ELSE 2 END AS BIGINT) AS n FROM documents), c AS (SELECT doc_id, lang, n, CAST(COALESCE(SUM(n) OVER (PARTITION BY lang ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s FROM t), e AS (SELECT doc_id, lang, n, s, UNNEST(range(s // 64, (s + n - 1) // 64 + 1)) AS seq_id FROM c WHERE n > 0) SELECT doc_id, lang, CAST(seq_id AS BIGINT) AS seq_id, CAST(GREATEST(s, seq_id * 64) - s AS BIGINT) AS doc_off, CAST(GREATEST(s, seq_id * 64) - seq_id * 64 AS BIGINT) AS seq_off, CAST(LEAST(s + n, (seq_id + 1) * 64) - GREATEST(s, seq_id * 64) AS BIGINT) AS n_toks FROM e""",
+    // planted family closed form) instead of the estTokens proxy;
+    // shared by the batch op and the frozen-tokenizer ingest loop's
+    // cold run
+    "tokenize_pack" -> tokenizePackSql,
+    "tokenize_pack_inc" -> tokenizePackSql,
+
+    // packed TOKEN sequences (r16): each doc's planted id LIST rebuilds
+    // from its family pattern, every span slices it with the shared
+    // span arithmetic, and the sequence's ids/resets string-aggregate
+    // in seq_off order — one row per training sequence, ids verbatim
+    "tokenize_pack_mat" ->
+      """WITH t AS (SELECT doc_id, lang, CAST(CASE doc_id % 4 WHEN 0 THEN 8 WHEN 1 THEN 8 WHEN 2 THEN 4 ELSE 2 END AS BIGINT) AS n, flatten(list_transform(range(0, CASE doc_id % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END), x -> CASE doc_id % 4 WHEN 0 THEN [1] WHEN 1 THEN [0, 3] WHEN 2 THEN [3, 3] ELSE [2, 1] END)) AS ids FROM documents), c AS (SELECT doc_id, lang, n, ids, CAST(COALESCE(SUM(n) OVER (PARTITION BY lang ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s FROM t), e AS (SELECT doc_id, lang, n, s, ids, UNNEST(range(s // 64, (s + n - 1) // 64 + 1)) AS seq_id FROM c WHERE n > 0), sp AS (SELECT lang, CAST(seq_id AS BIGINT) AS seq_id, CAST(GREATEST(s, seq_id * 64) - seq_id * 64 AS BIGINT) AS seq_off, CAST(LEAST(s + n, (seq_id + 1) * 64) - GREATEST(s, seq_id * 64) AS BIGINT) AS n_toks, list_slice(ids, CAST(GREATEST(s, seq_id * 64) - s + 1 AS BIGINT), CAST(GREATEST(s, seq_id * 64) - s + (LEAST(s + n, (seq_id + 1) * 64) - GREATEST(s, seq_id * 64)) AS BIGINT)) AS sl FROM e) SELECT lang, seq_id, CAST(COUNT(*) AS BIGINT) AS n_spans, CAST(SUM(n_toks) AS BIGINT) AS n_toks, string_agg(array_to_string(sl, ','), ',' ORDER BY seq_off) AS token_ids, string_agg(seq_off, ',' ORDER BY seq_off) AS resets FROM sp GROUP BY lang, seq_id ORDER BY lang, seq_id""",
 
     "heavy_hitters_per_lang_exact" ->
       """WITH t AS (SELECT lang, unnest(string_split(lower(trim(text)), ' ')) AS word FROM documents), c AS (SELECT lang, word, COUNT(*) AS n FROM t WHERE word <> '' GROUP BY lang, word), r AS (SELECT lang, word, n, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, word) AS rk FROM c) SELECT lang, word, n FROM r WHERE rk <= 5 ORDER BY lang, word""",

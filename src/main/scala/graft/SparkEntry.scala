@@ -41,14 +41,19 @@ object SparkEntry {
     * (abab -> 1, abc -> 2, cc -> 2, babab -> 2), ids by the sorted
     * final-token order (ab=0, abab=1, b=2, c=3). The real `lang`
     * column rides through so packing exercises per-lang streams. */
-  private def bpeRig(s: SparkSession, d: String): DataFrame = {
+  private def bpeRigText: org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
     val wordArr = array(lit("abab"), lit("abc"), lit("cc"), lit("babab"))
     val repArr = array(lit(8), lit(4), lit(2), lit(1))
     val j = (col("doc_id") % 4).cast("int")
+    array_join(array_repeat(element_at(wordArr, j + 1),
+      element_at(repArr, j + 1)), " ")
+  }
+
+  private def bpeRig(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
     Tables.documents(s, d).select(col("doc_id"), col("lang"),
-      array_join(array_repeat(element_at(wordArr, j + 1),
-        element_at(repArr, j + 1)), " ").as("text"))
+      bpeRigText.as("text"))
   }
   private def shared(s: SparkSession, d: String, tag: String)
                     (build: => DataFrame): DataFrame =
@@ -757,6 +762,28 @@ object SparkEntry {
       val rig = bpeRig(s, d)
       Curation.tokenizePack(rig,
         TextAnalysis.trainBpeMerges(rig, nMerges = 2), contextTokens = 64)
+    }),
+    // packed TOKEN sequences (r16 — the trainer-ready artifact: one row
+    // IS one training sequence, its actual token ids assembled from the
+    // packed doc slices in seq_off order, reset boundaries alongside);
+    // the oracle rebuilds each doc's planted id list, slices it with
+    // the shared span arithmetic, and string-aggregates in order
+    "tokenize_pack_mat" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val rig = bpeRig(s, d)
+      Curation.packedTokenSequences(rig,
+        TextAnalysis.trainBpeMerges(rig, nMerges = 2), contextTokens = 64)
+        .orderBy(col("lang"), col("seq_id"))
+    }),
+    // the GROWING-corpus tokenize-pack loop, cold single batch (r16 —
+    // tokenize_pack's incremental twin: the tokenizer is FROZEN —
+    // trained once up front — while batches arrive; per-lang token
+    // totals persist the stream offsets): cold ≡ the batch closed
+    // form, so tokenize_pack's oracle adjudicates the whole loop
+    "tokenize_pack_inc" -> ((s, d) => {
+      val merges = TextAnalysis.trainBpeMerges(bpeRig(s, d), nMerges = 2)
+      graft.streaming.StreamOps.runTokenizePackIngest(s, d, bpeRigText,
+        merges)
     }),
     "heavy_hitters_approx" -> ((s, d) => TextAnalysis.heavyHittersApprox(Tables.documents(s, d))),
     "word_freq_cms"   -> ((s, d) => TextAnalysis.wordFreqCms(Tables.documents(s, d))),

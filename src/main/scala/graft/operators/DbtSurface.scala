@@ -547,6 +547,48 @@ object Curation {
     spanRows(withS, contextTokens)
   }
 
+  /** Packed TOKEN sequences (r16 — the trainer-ready artifact the whole
+    * tokenize → pack chain exists to produce: [[packedSequences]] tells
+    * a collator WHERE each slice lives; this materializes the slices'
+    * actual token IDS, so one row IS one training sequence): spans come
+    * from [[tokenizePack]]'s real-count stream, each span slices its
+    * doc's id array ([doc_off, doc_off + n_toks)), and the sequence
+    * reassembles in seq_off order — token ids as the canonical
+    * comma-joined string, attention-reset boundaries as in
+    * [[packedSequences]]. One groupBy(lang, seq_id); the per-sequence
+    * collect is bounded by contextTokens TOKENS (the slices tile the
+    * sequence), so no group outgrows memory at any corpus size. The
+    * ids-by-doc join adds one doc_id-keyed exchange over the tokenized
+    * table — the data being materialized; nothing corpus-scale ever
+    * leaves the engine. */
+  def packedTokenSequences(documents: DataFrame,
+                           merges: Seq[(Int, String, String)],
+                           contextTokens: Long = 2048): DataFrame = {
+    require(contextTokens >= 1,
+      s"contextTokens must be positive, got $contextTokens")
+    val tok = TextAnalysis.bpeTokenizeArr(documents, merges)
+      .select(col("doc_id"), col("n_tokens").as("n"), col("ids"))
+    val withN = documents.select(col("doc_id"), col("lang"))
+      .join(tok.select("doc_id", "n"), Seq("doc_id"))
+    val withS = graft.util.PrefixSum.cumSum(
+      withN, Seq("lang"), "doc_id", "n", "s", inclusive = false)
+    val spans = spanRows(withS, contextTokens)
+    val sliced = spans.join(tok.select("doc_id", "ids"), Seq("doc_id"))
+      .withColumn("__slice",
+        slice(col("ids"), (col("doc_off") + 1).cast("int"),
+          col("n_toks").cast("int")))
+    val sorted = array_sort(collect_list(struct(
+      col("seq_off"), col("__slice"))))
+    sliced.groupBy("lang", "seq_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum("n_toks").as("n_toks"),
+        array_join(transform(flatten(transform(sorted,
+            s => s.getField("__slice"))), i => i.cast("string")), ",")
+          .as("token_ids"),
+        array_join(transform(sorted,
+          s => s.getField("seq_off").cast("string")), ",").as("resets"))
+  }
+
   /** URL canonicalization (r14 — the FIRST dedup key of a crawl
     * pipeline: Dolma/FineWeb drop refetches by URL before any content
     * hashing, and a crawl reaches the same page under casing/port/

@@ -1573,7 +1573,19 @@ object TextAnalysis {
     * (they occupy no tokens, as in [[sequencePackSpans]]'s n = 0 drop).
     * Output: (doc_id, n_words, n_tokens, token_ids). */
   def bpeTokenizeDocs(documents: DataFrame,
-                      merges: Seq[(Int, String, String)]): DataFrame = {
+                      merges: Seq[(Int, String, String)]): DataFrame =
+    bpeTokenizeArr(documents, merges)
+      .select(col("doc_id"), col("n_words"), col("n_tokens"),
+        array_join(transform(col("ids"), i => i.cast("string")), ",")
+          .as("token_ids"))
+      .orderBy("doc_id")
+
+  /** [[bpeTokenizeDocs]] with the id sequence as an ARRAY column —
+    * the slice-able form [[Curation.packedTokenSequences]] consumes:
+    * (doc_id, n_words, n_tokens, ids). Same vocabulary join, same
+    * bounded per-doc reassembly. */
+  private[graft] def bpeTokenizeArr(documents: DataFrame,
+      merges: Seq[(Int, String, String)]): DataFrame = {
     val vocab = bpeVocab(documents, merges)
       .select(col("w"), col("token_ids"), col("n_tokens").as("__nt"))
     val pos = documents
@@ -1584,10 +1596,8 @@ object TextAnalysis {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"),
         sum("__nt").as("n_tokens"),
-        array_join(transform(flatten(transform(
-            array_sort(collect_list(struct(col("pos"), col("token_ids")))),
-            s => s.getField("token_ids"))),
-          i => i.cast("string")), ",").as("token_ids"))
-      .orderBy("doc_id")
+        flatten(transform(
+          array_sort(collect_list(struct(col("pos"), col("token_ids")))),
+          s => s.getField("token_ids"))).as("ids"))
   }
 }

@@ -957,6 +957,77 @@ object StreamOps {
       tmpRoot)
   }
 
+  /** One micro-batch of the streaming TOKENIZE-pack ingest loop (r16 —
+    * `tokenize_pack`'s growing-corpus twin: in production the TOKENIZER
+    * IS FROZEN — trained once, shipped with the run — while the corpus
+    * grows batch by batch): each batch tokenizes ITS docs with the
+    * fixed merge rules ([[graft.operators.TextAnalysis.bpeTokenizeArr]]
+    * — the same distinct-word-priced apply, per batch) and packs on
+    * the REAL counts, with persisted per-lang token totals carrying
+    * the stream offsets across batches exactly as [[packIngestBatch]]'s
+    * estTokens loop does; spans and totals append under one
+    * exactly-once tag each. Cold single batch ≡ the batch op's closed
+    * form (`tokenize_pack`'s oracle verbatim). */
+  def tokenizePackIngestBatch(table: String, totalsTable: String,
+                              merges: Seq[(Int, String, String)],
+                              contextTokens: Long = 64)
+                             (b: DataFrame, id: Long): Unit = {
+    import graft.sources.TxLogFormat
+    val spark = b.sparkSession
+    val counts = graft.operators.TextAnalysis.bpeTokenizeArr(b, merges)
+      .select(col("doc_id"), col("n_tokens").as("n"))
+    val toks = b.select(col("doc_id"), col("lang"))
+      .join(counts, Seq("doc_id"))
+      .localCheckpoint()
+    val withS0 = graft.util.PrefixSum.cumSum(toks, Seq("lang"), "doc_id",
+      "n", "s0", inclusive = false)
+    val prior =
+      if (TxLogFormat.versions(totalsTable).isEmpty)
+        spark.range(0).select(col("id").cast("string").as("lang"),
+          col("id").as("prior"))
+      else TxLogFormat.read(spark, totalsTable)
+        .groupBy("lang").agg(sum("toks").as("prior"))
+    val withS = withS0.join(broadcast(prior), Seq("lang"), "left")
+      .select(col("doc_id"), col("lang"), col("n"),
+        (coalesce(col("prior"), lit(0L)) + col("s0")).as("s"))
+    TxLogFormat.appendBatch(
+      graft.operators.Curation.spanRows(withS, contextTokens),
+      table, "tokenize_pack_ingest", id)
+    TxLogFormat.appendBatch(
+      toks.groupBy("lang").agg(sum("n").as("toks")),
+      totalsTable, "tokenize_pack_ingest", id)
+    freeCheckpoints(toks)
+  }
+
+  /** Driver query: the tokenize-pack ingest loop cold — AvailableNow
+    * over the documents table (with the rig's text expression applied
+    * stream-side and the PRE-TRAINED merges frozen into the loop) in
+    * one batch ⇒ the batch op's closed form (`tokenize_pack`'s oracle
+    * verbatim at ctx = 64). */
+  def runTokenizePackIngest(spark: SparkSession, dir: String,
+      textExpr: org.apache.spark.sql.Column,
+      merges: Seq[(Int, String, String)]): DataFrame = {
+    import graft.sources.TxLogFormat
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_tokpack_")
+    val table = tmpRoot.resolve("spans").toString
+    val totalsTable = tmpRoot.resolve("totals").toString
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val q = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .select(col("doc_id"), col("lang"), textExpr.as("text"))
+      .writeStream
+      .foreachBatch(
+        tokenizePackIngestBatch(table, totalsTable, merges,
+          contextTokens = 64) _)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    handoffAndClean(
+      TxLogFormat.read(spark, table)
+        .select("doc_id", "lang", "seq_id", "doc_off", "seq_off", "n_toks"),
+      tmpRoot)
+  }
+
   /** One micro-batch of the streaming WARC ARCHIVE ingest loop (r15 —
     * the growing-crawl variant of the file-scale source: in production,
     * new `.warc.gz` segments LAND in the archive directory and only

@@ -778,6 +778,56 @@ class OperatorsSpec extends SparkSpec {
       (2L, "3,3,3,3"), (3L, "2,1")), idSeqs.toString)
   }
 
+  test("packed token sequences (r16): one row per TRAINING SEQUENCE — " +
+       "per lang, concatenating rows in seq_id order reproduces the " +
+       "docs' id streams exactly; non-final sequences are full; " +
+       "resets mark every slice start") {
+    import spark.implicits._
+    val rigRows = (0L until 120L).map { d =>
+      val j = (d % 4).toInt
+      val w = Seq("abab", "abc", "cc", "babab")(j)
+      (d, if (d % 2 == 0) "en" else "fr",
+        Seq.fill(Seq(8, 4, 2, 1)(j))(w).mkString(" "))
+    }
+    val rig = rigRows.toDF("doc_id", "lang", "text")
+    val merges = TextAnalysis.trainBpeMerges(rig, nMerges = 2)
+    val mat = Curation.packedTokenSequences(rig, merges, contextTokens = 64)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5)))
+    // the trainer-stream identity: ids concatenated across sequences in
+    // seq_id order == the docs' planted id patterns in doc_id order
+    val pattern = Map(0 -> Seq.fill(8)(1), 1 -> Seq(0, 3, 0, 3, 0, 3, 0, 3),
+      2 -> Seq(3, 3, 3, 3), 3 -> Seq(2, 1))
+    for (lang <- Seq("en", "fr")) {
+      val wantStream = rigRows.filter(_._2 == lang).sortBy(_._1)
+        .flatMap(r => pattern((r._1 % 4).toInt))
+      val rows = mat.filter(_._1 == lang).sortBy(_._2)
+      val gotStream = rows.flatMap(_._5.split(",").map(_.toInt)).toSeq
+      assert(gotStream == wantStream, s"$lang stream diverged")
+      // packing tiles: every sequence but the last holds exactly 64 ids
+      rows.dropRight(1).foreach { r =>
+        assert(r._4 == 64L && r._5.split(",").length == 64, r.toString) }
+      rows.foreach { r =>
+        assert(r._5.split(",").length.toLong == r._4, "ids != n_toks")
+        val resets = r._6.split(",").map(_.toLong)
+        assert(resets.length.toLong == r._3, "one reset per span")
+        assert(resets.head == 0L || r._2 == rows.head._2,
+          "a non-first sequence starts at offset 0")
+      }
+    }
+    // cross-check against the span materializer: same grouping keys,
+    // same counts, same resets (the ids are the only new column)
+    val spansMat = Curation.packedSequences(rig, contextTokens = 64)
+    val viaSpans = Curation.tokenizePack(rig, merges, contextTokens = 64)
+      .groupBy("lang", "seq_id").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    mat.foreach { r =>
+      assert(viaSpans((r._1, r._2)) == r._3, s"span count mismatch at $r") }
+    assert(spansMat.columns.toSeq ==
+      Seq("lang", "seq_id", "n_spans", "n_toks", "slices", "resets"))
+  }
+
   test("domain quota: the md5 order is the deterministic sample a plain " +
        "Scala reference predicts; partitioning never changes the pick") {
     import spark.implicits._

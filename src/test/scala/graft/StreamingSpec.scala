@@ -434,6 +434,61 @@ class StreamingSpec extends SparkSpec {
       TxLogFormat.versions(totalsT).size) == vs, "replay must not commit")
   }
 
+  test("streaming TOKENIZE-pack ingest (r16): the FROZEN tokenizer " +
+       "packs real counts across batches — id-ordered batches == the " +
+       "batch op on the union, a sequence stitches across the " +
+       "boundary, replay-safe") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    import graft.sources.TxLogFormat
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_tokpack_spec")
+    val (spansT, totalsT) = (root.resolve("spans").toString,
+      root.resolve("totals").toString)
+    // the tokenizer trains ONCE on the full corpus (production freezes
+    // it before the stream starts), then batches arrive; BPE counts
+    // (merges (a,b),(ab,ab): abab->1/word, abc->2, babab->2) make the
+    // per-doc n differ from estTokens, so the stitch is over REAL
+    // counts: batch 0 'en' = 3+4 = 7 tokens, ctx 8 -> doc 3 stitches
+    // into sequence 0 at seq_off 7
+    val all = Seq(
+      (1L, "en", "abab abab abab"),     // 3 tokens
+      (2L, "en", "abc abc"),            // 4 tokens
+      (3L, "en", "babab abab babab"),   // 5 tokens, starts at s=7
+      (4L, "de", "abab abc"))           // 3 tokens, fresh lang
+    val merges = graft.operators.TextAnalysis.trainBpeMerges(
+      all.toDF("doc_id", "lang", "text"), nMerges = 2)
+    assert(merges == Seq((0, "a", "b"), (1, "ab", "ab")), merges.toString)
+    val (b0, b1) = (all.take(2), all.drop(2))
+    val input = MemoryStream[(Long, String, String)]
+    val q = input.toDF().toDF("doc_id", "lang", "text").writeStream
+      .foreachBatch(
+        StreamOps.tokenizePackIngestBatch(spansT, totalsT, merges, 8) _)
+      .start()
+    try {
+      input.addData(b0); q.processAllAvailable()
+      input.addData(b1); q.processAllAvailable()
+    } finally q.stop()
+    val got = TxLogFormat.read(spark, spansT).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    val want = graft.operators.Curation.tokenizePack(
+        all.toDF("doc_id", "lang", "text"), merges, 8).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got == want, s"$got vs $want")
+    // the boundary stitch on REAL counts: doc 3 starts in sequence 0
+    // at seq_off 7 (batch 0 left 7 of 8 tokens filled)
+    assert(got.contains((3L, "en", 0L, 0L, 7L, 1L)), got.toString)
+    // replay: a committed batch id is a strict no-op on BOTH tables
+    val vs = (TxLogFormat.versions(spansT).size,
+      TxLogFormat.versions(totalsT).size)
+    StreamOps.tokenizePackIngestBatch(spansT, totalsT, merges, 8)(
+      Seq((99L, "en", "abab")).toDF("doc_id", "lang", "text"), 0L)
+    assert((TxLogFormat.versions(spansT).size,
+      TxLogFormat.versions(totalsT).size) == vs, "replay must not commit")
+  }
+
   test("streaming WARC-ARCHIVE ingest (r15): only NEW archive files " +
        "parse per batch, earlier segments never re-parse however often " +
        "the listing repeats them, replay-safe") {
