@@ -94,6 +94,30 @@ object OracleSql {
   private val tokenizePackSql =
     """WITH t AS (SELECT doc_id, lang, CAST(CASE doc_id % 4 WHEN 0 THEN 8 WHEN 1 THEN 8 WHEN 2 THEN 4 ELSE 2 END AS BIGINT) AS n FROM documents), c AS (SELECT doc_id, lang, n, CAST(COALESCE(SUM(n) OVER (PARTITION BY lang ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s FROM t), e AS (SELECT doc_id, lang, n, s, UNNEST(range(s // 64, (s + n - 1) // 64 + 1)) AS seq_id FROM c WHERE n > 0) SELECT doc_id, lang, CAST(seq_id AS BIGINT) AS seq_id, CAST(GREATEST(s, seq_id * 64) - s AS BIGINT) AS doc_off, CAST(GREATEST(s, seq_id * 64) - seq_id * 64 AS BIGINT) AS seq_off, CAST(LEAST(s + n, (seq_id + 1) * 64) - GREATEST(s, seq_id * 64) AS BIGINT) AS n_toks FROM e"""
 
+  // TRAINED language ID (r16), shared by the narrow and WIDE-layout
+  // twins (identical report): the whole model restated in SQL —
+  // planted corpus, char-bigram NB training, micro-nat scoring
+  private val langIdModelSql: String = {
+      val pools = graft.operators.TextAnalysis.langIdRigPools
+      val langList = pools.map(p => s"'${p._1}'").mkString("[", ", ", "]")
+      val poolsList = pools.map(_._2.map(w => s"'$w'")
+        .mkString("[", ", ", "]")).mkString("[", ", ", "]")
+      s"""WITH base AS (SELECT doc_id, CAST(doc_id % 5 AS INT) AS li, CAST(doc_id % 6 + 5 AS INT) AS n FROM documents),
+         docs AS (SELECT doc_id, $langList[li + 1] AS lang, array_to_string(list_transform(range(0, n), i -> $poolsList[li + 1][CAST((doc_id * 7 + i * 11) % 12 AS INT) + 1]), ' ') AS t, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'd' AS tr FROM base),
+         grams AS (SELECT doc_id, lang, tr, unnest(list_transform(range(1, len(t)), i -> substr(t, CAST(i AS INT), 2))) AS gram FROM docs),
+         tf AS (SELECT doc_id, gram, COUNT(*) AS tf FROM grams GROUP BY 1, 2),
+         cg AS (SELECT lang AS cand, gram, COUNT(*) AS c FROM grams WHERE tr GROUP BY 1, 2),
+         totals AS (SELECT cand, CAST(SUM(c) AS BIGINT) AS n FROM cg GROUP BY 1),
+         vocab AS (SELECT COUNT(DISTINCT gram) AS v FROM cg),
+         model AS (SELECT cand, gram, CAST(ROUND(ln((CAST(c AS DOUBLE) + 1.0) / (CAST(n AS DOUBLE) + CAST(v AS DOUBLE))) * 1000000.0, 0) AS BIGINT) AS unats FROM cg JOIN totals USING (cand) CROSS JOIN vocab),
+         defaults AS (SELECT cand, CAST(ROUND(ln(1.0 / (CAST(n AS DOUBLE) + CAST(v AS DOUBLE))) * 1000000.0, 0) AS BIGINT) AS d_unats FROM totals CROSS JOIN vocab),
+         priors AS (SELECT lang AS cand, CAST(ROUND(ln(CAST(COUNT(*) AS DOUBLE) / CAST((SELECT COUNT(*) FROM docs WHERE tr) AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS prior_unats FROM docs WHERE tr GROUP BY 1),
+         gs AS (SELECT tf.doc_id, cs.cand, CAST(SUM(tf.tf * COALESCE(m.unats, df.d_unats)) AS BIGINT) AS g FROM tf CROSS JOIN (SELECT cand FROM priors) cs LEFT JOIN model m ON m.cand = cs.cand AND m.gram = tf.gram JOIN defaults df ON df.cand = cs.cand GROUP BY 1, 2),
+         scored AS (SELECT d.doc_id, d.lang, d.tr, p.cand, CAST(p.prior_unats + COALESCE(g.g, 0) AS BIGINT) AS total FROM docs d CROSS JOIN priors p LEFT JOIN gs g ON g.doc_id = d.doc_id AND g.cand = p.cand),
+         best AS (SELECT doc_id, lang, tr, cand, total, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY total DESC, cand ASC) AS rk FROM scored)
+         SELECT doc_id, lang, cand AS predicted_lang, total AS score_unats, tr AS is_train FROM best WHERE rk = 1 ORDER BY doc_id"""
+    }
+
   // file-scale WARC ingestion (r15), shared by the batch op and the
   // archive ingest loop's cold run: 8 multi-page archives, pages in
   // doc_id order per file, record indexes 3·(rank within file)+{0,1,2}
@@ -882,26 +906,10 @@ object OracleSql {
     // and micro-nat scoring (one ln + one ROUND per (lang, bigram)
     // TYPE — the D56 single-rounding-point discipline — then exact
     // BIGINT sums and an argmax total-ordered by score desc, lang asc)
-    "lang_id_model" -> {
-      val pools = graft.operators.TextAnalysis.langIdRigPools
-      val langList = pools.map(p => s"'${p._1}'").mkString("[", ", ", "]")
-      val poolsList = pools.map(_._2.map(w => s"'$w'")
-        .mkString("[", ", ", "]")).mkString("[", ", ", "]")
-      s"""WITH base AS (SELECT doc_id, CAST(doc_id % 5 AS INT) AS li, CAST(doc_id % 6 + 5 AS INT) AS n FROM documents),
-         docs AS (SELECT doc_id, $langList[li + 1] AS lang, array_to_string(list_transform(range(0, n), i -> $poolsList[li + 1][CAST((doc_id * 7 + i * 11) % 12 AS INT) + 1]), ' ') AS t, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'd' AS tr FROM base),
-         grams AS (SELECT doc_id, lang, tr, unnest(list_transform(range(1, len(t)), i -> substr(t, CAST(i AS INT), 2))) AS gram FROM docs),
-         tf AS (SELECT doc_id, gram, COUNT(*) AS tf FROM grams GROUP BY 1, 2),
-         cg AS (SELECT lang AS cand, gram, COUNT(*) AS c FROM grams WHERE tr GROUP BY 1, 2),
-         totals AS (SELECT cand, CAST(SUM(c) AS BIGINT) AS n FROM cg GROUP BY 1),
-         vocab AS (SELECT COUNT(DISTINCT gram) AS v FROM cg),
-         model AS (SELECT cand, gram, CAST(ROUND(ln((CAST(c AS DOUBLE) + 1.0) / (CAST(n AS DOUBLE) + CAST(v AS DOUBLE))) * 1000000.0, 0) AS BIGINT) AS unats FROM cg JOIN totals USING (cand) CROSS JOIN vocab),
-         defaults AS (SELECT cand, CAST(ROUND(ln(1.0 / (CAST(n AS DOUBLE) + CAST(v AS DOUBLE))) * 1000000.0, 0) AS BIGINT) AS d_unats FROM totals CROSS JOIN vocab),
-         priors AS (SELECT lang AS cand, CAST(ROUND(ln(CAST(COUNT(*) AS DOUBLE) / CAST((SELECT COUNT(*) FROM docs WHERE tr) AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS prior_unats FROM docs WHERE tr GROUP BY 1),
-         gs AS (SELECT tf.doc_id, cs.cand, CAST(SUM(tf.tf * COALESCE(m.unats, df.d_unats)) AS BIGINT) AS g FROM tf CROSS JOIN (SELECT cand FROM priors) cs LEFT JOIN model m ON m.cand = cs.cand AND m.gram = tf.gram JOIN defaults df ON df.cand = cs.cand GROUP BY 1, 2),
-         scored AS (SELECT d.doc_id, d.lang, d.tr, p.cand, CAST(p.prior_unats + COALESCE(g.g, 0) AS BIGINT) AS total FROM docs d CROSS JOIN priors p LEFT JOIN gs g ON g.doc_id = d.doc_id AND g.cand = p.cand),
-         best AS (SELECT doc_id, lang, tr, cand, total, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY total DESC, cand ASC) AS rk FROM scored)
-         SELECT doc_id, lang, cand AS predicted_lang, total AS score_unats, tr AS is_train FROM best WHERE rk = 1 ORDER BY doc_id"""
-    },
+    "lang_id_model" -> langIdModelSql,
+    // the WIDE-layout twin computes the identical report
+    "lang_id_model_w" -> langIdModelSql,
+
 
     "quality_score" -> {
       val nWords = "len(string_split(lower(trim(text)), ' '))"

@@ -41,6 +41,26 @@ object SparkEntry {
     * (abab -> 1, abc -> 2, cc -> 2, babab -> 2), ids by the sorted
     * final-token order (ab=0, abab=1, b=2, c=3). The real `lang`
     * column rides through so packing exercises per-lang streams. */
+  /** The trained-lang-ID rig (r16): planted 5-language word-pool corpus
+    * — words by doc_id arithmetic, pools shared with the oracle and the
+    * accuracy spec ([[TextAnalysis.langIdRigPools]]), Italian
+    * deliberately lexicon-less. */
+  private def langIdRig(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val pools = TextAnalysis.langIdRigPools
+    val poolArr = array(pools.map { case (_, ws) =>
+      array(ws.map(lit): _*) }: _*)
+    val langArr = array(pools.map(p => lit(p._1)): _*)
+    val li = (col("doc_id") % 5).cast("int")
+    val n = (col("doc_id") % 6 + 5).cast("int")
+    Tables.documents(s, d).select(col("doc_id"),
+      element_at(langArr, li + 1).as("lang"),
+      array_join(transform(sequence(lit(0), n - 1), i =>
+        element_at(element_at(poolArr, li + 1),
+          ((col("doc_id") * 7 + i * 11) % 12).cast("int") + 1)), " ")
+        .as("text"))
+  }
+
   private def bpeRigText: org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
     val wordArr = array(lit("abab"), lit("abc"), lit("cc"), lit("babab"))
@@ -720,22 +740,13 @@ object SparkEntry {
     // gate holds out ~3/16 of docs; every doc is scored; Italian has
     // NO lexicon, so the model provably out-names the heuristic there
     // (spec-asserted); scores are integer micro-nats end-to-end
-    "lang_id_model" -> ((s, d) => {
-      import org.apache.spark.sql.functions._
-      val pools = TextAnalysis.langIdRigPools
-      val poolArr = array(pools.map { case (_, ws) =>
-        array(ws.map(lit): _*) }: _*)
-      val langArr = array(pools.map(p => lit(p._1)): _*)
-      val li = (col("doc_id") % 5).cast("int")
-      val n = (col("doc_id") % 6 + 5).cast("int")
-      val rig = Tables.documents(s, d).select(col("doc_id"),
-        element_at(langArr, li + 1).as("lang"),
-        array_join(transform(sequence(lit(0), n - 1), i =>
-          element_at(element_at(poolArr, li + 1),
-            ((col("doc_id") * 7 + i * 11) % 12).cast("int") + 1)), " ")
-          .as("text"))
-      TextAnalysis.langIdModel(rig)
-    }),
+    "lang_id_model" -> ((s, d) => TextAnalysis.langIdModel(langIdRig(s, d))),
+    // the WIDE model layout (r16 — the 170-language rung): one
+    // micro-nat VECTOR per bigram, scoring joins each doc-bigram once
+    // instead of fanning the tf table xL through the model join; same
+    // math bit-for-bit, so it shares lang_id_model's oracle verbatim
+    "lang_id_model_w" -> ((s, d) =>
+      TextAnalysis.langIdModelWide(langIdRig(s, d))),
     "quality_score"   -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
     "token_count"     -> ((s, d) => TextAnalysis.tokenCount(Tables.documents(s, d))),
     "heavy_hitters"   -> ((s, d) => TextAnalysis.heavyHitters(Tables.documents(s, d))),

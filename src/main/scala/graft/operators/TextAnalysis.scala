@@ -156,6 +156,100 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** [[langIdModel]] at the WIDE model layout — the 170-language rung
+    * that row's scaladoc names: the model pivots to ONE micro-nat
+    * VECTOR per bigram (candidate languages in sorted order, the
+    * vector index), so scoring joins each doc-bigram row ONCE instead
+    * of fanning the tf table ×L through the model join; the per-index
+    * expansion happens AFTER the join, map-side, and the partial
+    * aggregate shrinks it to |docs|·L before the only exchange. The
+    * math is bit-identical (the driver twin `lang_id_model_w` shares
+    * `lang_id_model`'s oracle verbatim; the spec asserts row equality
+    * with the narrow layout). Candidate labels, totals, and priors are
+    * LABEL-scale (≤ a few hundred) and collect into literals — the
+    * centroid-seed exception class, never corpus-scale. */
+  def langIdModelWide(documents: DataFrame, labelCol: String = "lang",
+                      trainGate: Column =
+                        substring(md5(col("doc_id").cast("string")), 1, 1)
+                          < lit("d")): DataFrame = {
+    val docs = documents.select(col("doc_id"), col(labelCol).as("lang"),
+      lower(col("text")).as("__t"), trainGate.as("__train"))
+    val t = col("__t")
+    val grams = docs.select(col("doc_id"), col("lang"), col("__train"),
+      explode(when(length(t) >= 2,
+          transform(sequence(lit(1), length(t) - 1),
+            i => t.substr(i, lit(2))))
+        .otherwise(array().cast("array<string>"))).as("gram"))
+    val tf = grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("tf"))
+    val cg = grams.filter(col("__train"))
+      .groupBy(col("lang").as("cand"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+    // label-scale driver constants: totals/vocab/priors (bounded by the
+    // language count, the documented collect exception class)
+    val totals: Map[String, Long] = cg.groupBy("cand").agg(sum("c").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val v: Long = cg.agg(countDistinct("gram")).collect()(0).getLong(0)
+    val trainDocs = docs.filter(col("__train"))
+    val dl: Map[String, Long] = trainDocs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dt: Long = dl.values.sum
+    val cands: Seq[String] = totals.keys.toSeq.sorted
+    // the driver-side twin of the engine chain: same IEEE ops, same
+    // HALF_UP rounding (Spark's round(x, 0) semantics)
+    def unatsOf(num: Double, den: Double): Long =
+      BigDecimal(math.log(num / den) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val defaults: Seq[Long] =
+      cands.map(c => unatsOf(1.0, totals(c).toDouble + v.toDouble))
+    val priors: Seq[Long] =
+      cands.map(c => unatsOf(dl(c).toDouble, dt.toDouble))
+    val candsLit = typedlit(cands)
+    val defaultsLit = typedlit(defaults)
+    val priorsLit = typedlit(priors)
+    // the single rounding point stays engine-side for the per-(cand,
+    // gram) table — identical chain to the narrow layout
+    val unats = round(log((col("c").cast("double") + lit(1.0)) /
+      (col("__n").cast("double") + lit(v).cast("double"))) * 1e6, 0)
+      .cast("long")
+    val gramVecs = cg
+      .withColumn("__n",
+        element_at(typedlit(cands.map(totals)),
+          array_position(candsLit, col("cand")).cast("int")))
+      .withColumn("__u", unats)
+      .groupBy("gram")
+      .agg(map_from_entries(collect_list(struct(col("cand"), col("__u"))))
+        .as("m"))
+      .select(col("gram"),
+        transform(sequence(lit(1), lit(cands.length)), i =>
+          coalesce(element_at(col("m"), element_at(candsLit, i)),
+            element_at(defaultsLit, i))).as("vec"))
+    // one gram-keyed join; the ×L expansion is map-side AFTER it and
+    // partial-aggregates to |docs|·L before the exchange
+    val contrib = tf.join(gramVecs, Seq("gram"), "left")
+      .select(col("doc_id"), col("tf"),
+        coalesce(col("vec"), defaultsLit).as("vec"))
+      .select(col("doc_id"),
+        posexplode(transform(col("vec"), u => u * col("tf")))
+          .as(Seq("idx", "gs")))
+    // every doc compares every candidate (a gram-less doc still argmaxes
+    // the priors) — a map-side explode of L indexes, never a join fan-out
+    val byDocIdx = docs.select(col("doc_id"), col("lang"), col("__train"))
+      .withColumn("idx", explode(sequence(lit(0), lit(cands.length - 1))))
+    val withTotal = byDocIdx
+      .join(contrib.groupBy("doc_id", "idx").agg(sum("gs").as("g")),
+        Seq("doc_id", "idx"), "left")
+      .select(col("doc_id"), col("lang"), col("__train"), col("idx"),
+        (element_at(priorsLit, col("idx") + 1) + coalesce(col("g"), lit(0L)))
+          .as("total"))
+    withTotal.groupBy("doc_id", "lang", "__train")
+      .agg(min(struct((-col("total")).as("ns"), col("idx"))).as("b"))
+      .select(col("doc_id"), col("lang"),
+        element_at(candsLit, col("b.idx") + 1).as("predicted_lang"),
+        (-col("b.ns")).as("score_unats"),
+        col("__train").as("is_train"))
+      .orderBy("doc_id")
+  }
+
   /** Quality scoring: structural ratios + a low-quality flag. */
   def qualityScore(documents: DataFrame): DataFrame = {
     val len = length(col("text"))

@@ -463,6 +463,13 @@ class OperatorsSpec extends SparkSpec {
     // deterministic: a rerun reproduces every score bit-for-bit
     val again = TextAnalysis.langIdModel(df).collect()
     assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    // the WIDE layout (one unats-vector per bigram — the 170-language
+    // rung: scoring joins each doc-bigram once instead of fanning the
+    // tf table xL through the model join) computes the identical
+    // report row-for-row, scores included
+    val wide = TextAnalysis.langIdModelWide(df).collect()
+    assert(out.map(_.toSeq).toSeq == wide.map(_.toSeq).toSeq,
+      "wide layout diverged from the narrow one")
   }
 
   test("bm25 top-k (r14): plain-Scala re-derivation of the micro-unit " +
