@@ -282,6 +282,18 @@ object OracleSql {
     "dom_main_text" ->
       """SELECT doc_id, 'Doc ' || doc_id || ' body text: ' || text || ' and more tail words' AS text FROM documents WHERE doc_id % 10 = 7 ORDER BY doc_id""",
 
+    // URL host / registered domain / blocklist (r16): every planted
+    // variant's host, eTLD+1 under the suffix subset, and registrant
+    // verdict are literal closed forms by slot
+    "url_host_domain" ->
+      """SELECT doc_id, CASE doc_id % 50 WHEN 6 THEN 'https://User:pw@WWW.News-Site.CO.UK:443/p/a?x=1' WHEN 16 THEN 'http://blog' || CAST(doc_id % 3 AS VARCHAR) || '.Example.COM:8080/x' WHEN 26 THEN 'https://192.168.1.9:8443/admin' WHEN 36 THEN 'http://localhost/dev' ELSE 'mailto:a@b.c' END AS url, CASE doc_id % 50 WHEN 6 THEN 'www.news-site.co.uk' WHEN 16 THEN 'blog' || CAST(doc_id % 3 AS VARCHAR) || '.example.com' WHEN 26 THEN '192.168.1.9' WHEN 36 THEN 'localhost' ELSE NULL END AS host, CASE doc_id % 50 WHEN 6 THEN 'news-site.co.uk' WHEN 16 THEN 'example.com' WHEN 26 THEN '192.168.1.9' WHEN 36 THEN 'localhost' ELSE NULL END AS reg_domain, CASE doc_id % 50 WHEN 16 THEN TRUE WHEN 26 THEN TRUE ELSE FALSE END AS blocked FROM documents WHERE doc_id % 10 = 6 ORDER BY doc_id""",
+
+    // packing-efficiency report (r16): the shared span stream at ctx=64
+    // aggregated per lang — docs / sequences / real vs pad tokens /
+    // integer-ppm utilization / boundary-split docs, all exact BIGINTs
+    "pack_efficiency" ->
+      s"""WITH spans AS ($sequencePackSpansSql), pd AS (SELECT lang, doc_id, COUNT(*) AS k, SUM(n_toks) AS t FROM spans GROUP BY 1, 2), da AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(t) AS BIGINT) AS n_toks, CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT) AS split_docs FROM pd GROUP BY 1), sa AS (SELECT lang, CAST(MAX(seq_id) + 1 AS BIGINT) AS n_seqs FROM spans GROUP BY 1) SELECT lang, n_docs, n_seqs, n_toks, CAST(n_seqs * 64 - n_toks AS BIGINT) AS pad_toks, CAST(n_toks * 1000000 // (n_seqs * 64) AS BIGINT) AS util_ppm, split_docs FROM da JOIN sa USING (lang) ORDER BY lang""",
+
     // URL dedup (r14): the messy per-slot URL synth + the normalization
     // chain (fragment strip, lowercase scheme://authority, default-port
     // drop, tracking-param drop + param sort) + first-doc-per-canonical

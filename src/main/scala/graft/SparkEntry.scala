@@ -1077,6 +1077,34 @@ object SparkEntry {
         .select(col("doc_id"), col("text"))
         .orderBy("doc_id")
     }),
+    // URL host + registered domain + blocklist gate (r16 — the domain
+    // unit every crawl quota/blocklist groups on, from RAW urls):
+    // planted variants exercise userinfo/port strip, casing, the
+    // public-suffix subset (co.uk), IP literals, single-label hosts,
+    // and the non-hierarchical refuse-to-guess NULL; the blocklist
+    // blocks a registrant (and thereby its subdomains)
+    "url_host_domain" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(s, d).filter(col("doc_id") % 10 === 6)
+      val url = when(col("doc_id") % 50 === 6,
+          lit("https://User:pw@WWW.News-Site.CO.UK:443/p/a?x=1"))
+        .when(col("doc_id") % 50 === 16,
+          concat(lit("http://blog"), (col("doc_id") % 3).cast("string"),
+            lit(".Example.COM:8080/x")))
+        .when(col("doc_id") % 50 === 26, lit("https://192.168.1.9:8443/admin"))
+        .when(col("doc_id") % 50 === 36, lit("http://localhost/dev"))
+        .otherwise(lit("mailto:a@b.c"))
+      Curation.urlDomains(
+          docs.select(col("doc_id"), url.as("url")),
+          blocklist = Seq("example.com", "192.168.1.9"))
+        .orderBy("doc_id")
+    }),
+    // packing-efficiency report (r16 — the number a packing run
+    // publishes): per lang over the shared span stream at ctx=64 —
+    // docs, sequences, real vs pad tokens, integer-ppm utilization,
+    // boundary-split doc count; all exact integers
+    "pack_efficiency" -> ((s, d) =>
+      Curation.packEfficiency(Tables.documents(s, d), contextTokens = 64)),
     // URL dedup (r14 — the crawl pipeline's FIRST dedup key): per-doc
     // messy URL variants (casing, :443, fragment, utm params, shuffled
     // param order) that canonicalize into per-group collisions; the

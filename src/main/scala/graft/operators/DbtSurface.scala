@@ -669,6 +669,101 @@ object Curation {
         .map(col): _*)
   }
 
+  /** Host of a hierarchical URL (r16 — the key every domain-level
+    * curation step needs from RAW crawl URLs: quotas, blocklists,
+    * per-site stats all group on it): the authority lowercased, minus
+    * userinfo and port. Non-hierarchical inputs yield NULL — refusing
+    * to guess, unlike [[canonicalUrl]]'s passthrough, because a host
+    * column with free text in it poisons every downstream groupBy.
+    * Bracketed IPv6 literals keep their brackets (the port strip stops
+    * at the bracket). Scan-bound, RE2-compatible. */
+  def urlHost(u: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val auth = regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)", 1)
+    val host = lower(regexp_replace(regexp_replace(auth, "^[^@]*@", ""),
+      ":[0-9]*$", ""))
+    when(auth === "" || auth.isNull, lit(null).cast("string"))
+      .otherwise(host)
+  }
+
+  /** The two-label public suffixes this build recognizes — a documented
+    * SUBSET of the Mozilla Public Suffix List (the full PSL is a data
+    * file; the zero-egress build ships the mechanism plus the common
+    * entries, and unknown multi-label suffixes fall back honestly to
+    * last-two-labels). Swap in the full list for production. */
+  val twoLabelSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "net.uk",
+    "com.au", "net.au", "org.au", "co.jp", "ne.jp", "or.jp", "ac.jp",
+    "com.br", "com.cn", "com.mx", "co.in", "co.za", "com.ar", "com.tr",
+    "co.kr", "com.sg", "com.hk", "co.nz", "com.tw")
+
+  /** Registered domain (eTLD+1) of a host under [[twoLabelSuffixes]]:
+    * the unit crawl pipelines quota and block on (every subdomain of
+    * one registrant is one "domain"). IP literals and single-label
+    * hosts pass through whole. NULL host → NULL. */
+  def registeredDomain(host: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val parts = split(host, "\\.")
+    val n = size(parts)
+    val last2 = concat_ws(".", element_at(parts, -2), element_at(parts, -1))
+    val last3 = concat_ws(".", element_at(parts, -3),
+      element_at(parts, -2), element_at(parts, -1))
+    val isIp = host.rlike("^[0-9.]+$") || host.startsWith("[")
+    when(host.isNull, lit(null).cast("string"))
+      .when(isIp || n <= 2, host)
+      .when(last2.isInCollection(twoLabelSuffixes), last3)
+      .otherwise(last2)
+  }
+
+  /** URL → (host, registered domain, blocklist verdict) — the domain
+    * gate of a crawl front end (Dolma/RefinedWeb drop blocklisted
+    * registrants before any content work; [[domainQuota]] then caps
+    * the survivors). Output = input columns + (host, reg_domain,
+    * blocked); the blocklist is registrant-level (a blocked domain
+    * blocks every subdomain) and NULL-host rows are blocked = false —
+    * they carry no domain to judge, and a later stage decides their
+    * fate explicitly. Scan-bound string arithmetic, no shuffle. */
+  def urlDomains(documents: DataFrame, urlCol: String = "url",
+                 blocklist: Seq[String] = Nil): DataFrame = {
+    val host = urlHost(col(urlCol))
+    val dom = registeredDomain(host)
+    documents
+      .withColumn("host", host)
+      .withColumn("reg_domain", dom)
+      .withColumn("blocked",
+        if (blocklist.isEmpty) lit(false)
+        else coalesce(col("reg_domain").isInCollection(blocklist),
+          lit(false)))
+  }
+
+  /** Packing-efficiency report (r16 — the number a packing run
+    * publishes: how much of every context window is real signal): per
+    * language over the [[sequencePackSpans]] stream — documents, filled
+    * sequences, real tokens, pad tokens (the tail of the LAST sequence;
+    * interior sequences are full by construction), utilization in exact
+    * integer parts-per-million (n_toks·10⁶ div n_seqs·ctx — integer
+    * division, no float seam), and how many documents SPLIT across a
+    * sequence boundary (the attention-reset cost knob: a bigger ctx
+    * splits fewer docs but pads more). Two aggregations, both
+    * map-side-combinable. */
+  def packEfficiency(documents: DataFrame,
+                     contextTokens: Long = 2048): DataFrame = {
+    val spans = sequencePackSpans(documents, contextTokens)
+    val perDoc = spans.groupBy("lang", "doc_id")
+      .agg(count(lit(1)).as("k"), sum("n_toks").as("t"))
+    val docsAgg = perDoc.groupBy("lang").agg(
+      count(lit(1)).as("n_docs"),
+      sum("t").as("n_toks"),
+      sum(when(col("k") > 1, 1L).otherwise(0L)).as("split_docs"))
+    val seqAgg = spans.groupBy("lang")
+      .agg((max("seq_id") + 1).as("n_seqs"))
+    docsAgg.join(seqAgg, Seq("lang"))
+      .select(col("lang"), col("n_docs"), col("n_seqs"), col("n_toks"),
+        (col("n_seqs") * contextTokens - col("n_toks")).as("pad_toks"),
+        expr(s"n_toks * 1000000L div (n_seqs * ${contextTokens}L)")
+          .as("util_ppm"),
+        col("split_docs"))
+      .orderBy("lang")
+  }
+
   /** Per-domain quota sampling (the CCNet/RefinedWeb cap that stops one
     * crawl-heavy domain from dominating the mix): keep at most
     * `perDomain` documents per source, chosen by a DETERMINISTIC hash

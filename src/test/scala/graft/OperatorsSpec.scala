@@ -835,6 +835,63 @@ class OperatorsSpec extends SparkSpec {
       Seq("lang", "seq_id", "n_spans", "n_toks", "slices", "resets"))
   }
 
+  test("url host + registered domain (r16): userinfo/port/case strip, " +
+       "the public-suffix subset, IP and single-label passthrough, " +
+       "refuse-to-guess NULL, and registrant-level blocking") {
+    import spark.implicits._
+    import graft.operators.Curation
+    def hd(urls: String*): Seq[(Option[String], Option[String])] =
+      urls.zipWithIndex.map { case (u, i) => (i.toLong, u) }
+        .toDF("doc_id", "url")
+        .select(Curation.urlHost(col("url")).as("h"))
+        .withColumn("d", Curation.registeredDomain(col("h")))
+        .collect().map(r => (Option(r.getString(0)), Option(r.getString(1))))
+        .toSeq
+    assert(hd("https://User:pw@WWW.News-Site.CO.UK:443/p?x=1") ==
+      Seq((Some("www.news-site.co.uk"), Some("news-site.co.uk"))))
+    assert(hd("http://a.b.blog.example.com:8080/x") ==
+      Seq((Some("a.b.blog.example.com"), Some("example.com"))))
+    // unknown multi-label suffixes fall back to last-two-labels —
+    // documented subset semantics, not a guess at the full PSL
+    assert(hd("http://shop.example.pvt.k12.ma.us/") ==
+      Seq((Some("shop.example.pvt.k12.ma.us"), Some("ma.us"))))
+    assert(hd("https://192.168.1.9:8443/admin") ==
+      Seq((Some("192.168.1.9"), Some("192.168.1.9"))))
+    assert(hd("http://[2001:db8::1]:8080/x") ==
+      Seq((Some("[2001:db8::1]"), Some("[2001:db8::1]"))))
+    assert(hd("http://localhost/dev") ==
+      Seq((Some("localhost"), Some("localhost"))))
+    assert(hd("mailto:a@b.c", "not a url") == Seq((None, None), (None, None)))
+    // blocklist: blocking a registrant blocks its subdomains; NULL
+    // hosts are not silently blocked
+    val out = Curation.urlDomains(Seq(
+        (1L, "http://news.example.com/a"),
+        (2L, "http://example.com/b"),
+        (3L, "http://other.org/c"),
+        (4L, "mailto:x@y.z")).toDF("doc_id", "url"),
+        blocklist = Seq("example.com"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(out == Map(1L -> true, 2L -> true, 3L -> false, 4L -> false), out)
+  }
+
+  test("pack efficiency (r16): every cell re-derives by hand on a " +
+       "corpus with boundary splits and a padded tail") {
+    import spark.implicits._
+    import graft.operators.Curation
+    // estTokens = ceil(len/4): docs of 10, 3, 7 tokens; ctx 8 ->
+    // doc1 spans seq0+seq1, doc3 spans seq1+seq2, seq2 holds 4 of 8
+    def txt(n: Int) = "x" * (n * 4)
+    val docs = Seq((1L, "en", txt(10)), (2L, "en", txt(3)),
+      (3L, "en", txt(7)), (4L, "de", txt(8))).toDF("doc_id", "lang", "text")
+    val got = Curation.packEfficiency(docs, contextTokens = 8).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(got("en") == ((3L, 3L, 20L, 4L, 20L * 1000000 / 24, 2L)),
+      got("en").toString)
+    // de: one doc exactly fills one sequence — zero pad, ppm exactly 1e6
+    assert(got("de") == ((1L, 1L, 8L, 0L, 1000000L, 0L)), got("de").toString)
+  }
+
   test("domain quota: the md5 order is the deterministic sample a plain " +
        "Scala reference predicts; partitioning never changes the pick") {
     import spark.implicits._
