@@ -314,6 +314,13 @@ object OracleSql {
     // WARC-Record-ID provenance stamp is stated verbatim
     "warc_file_ingest" -> warcFileIngestSql,
 
+    // revisit-record dedup (r16): originals keep, revisits resolve
+    // their group original via the digest join — structural per 2-doc
+    // group (the anchor-existence LEFT JOIN keeps the orphan path
+    // honest even though the contiguous-id corpora never exercise it)
+    "crawl_revisit_dedup" ->
+      """WITH ids AS (SELECT doc_id, doc_id - doc_id % 20 AS a FROM documents WHERE doc_id % 10 = 9), anch AS (SELECT DISTINCT doc_id - doc_id % 20 AS a FROM documents WHERE doc_id % 20 = 9) SELECT i.doc_id, CASE WHEN i.doc_id % 20 = 9 THEN 'response' ELSE 'revisit' END AS warc_type, CASE WHEN i.doc_id % 20 = 9 THEN 'kept' WHEN n.a IS NOT NULL THEN 'revisit_dup' ELSE 'revisit_orphan' END AS fate, CASE WHEN i.doc_id % 20 = 19 AND n.a IS NOT NULL THEN i.a + 9 ELSE NULL END AS dup_of FROM ids i LEFT JOIN anch n ON i.a = n.a ORDER BY i.doc_id""",
+
     // NFC normalization (r15): the decomposed plants compose to the
     // precomposed closed form; the ligature survives (canonical, not
     // compatibility, folding); ASCII text is a fixed point

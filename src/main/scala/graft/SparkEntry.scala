@@ -1130,6 +1130,56 @@ object SparkEntry {
         .select("doc_id", "url", "url_canonical", "keep")
         .orderBy("doc_id")
     }),
+    // revisit-record dedup (r16 — fetch-time dedup info CONSUMED, not
+    // just surfaced: CommonCrawl writes a refetched-unchanged page as a
+    // revisit record whose payload never travels; content identity is
+    // the digest header): 2-doc groups — the original response page and
+    // its later-fetch revisit record, written into real archives via the
+    // mixed writer — and the revisit resolves its original by a DIGEST
+    // JOIN (no byte re-hash, the body isn't even there to hash); the
+    // fate/dup_of table is the per-group structural closed form
+    "crawl_revisit_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_crawlrv_")
+      val docs = Tables.documents(s, d)
+      val slice = docs.filter(col("doc_id") % 10 === 9)
+        .select(col("doc_id"), (col("doc_id") - col("doc_id") % 20).as("grp"),
+          col("text"))
+      val anchors = docs.filter(col("doc_id") % 20 === 9)
+        .select((col("doc_id") - col("doc_id") % 20).as("grp"),
+          col("text").as("atext"))
+      val withBody = slice.join(broadcast(anchors), Seq("grp"), "left")
+        .select(col("doc_id"), col("grp"),
+          coalesce(col("atext"), col("text")).as("body"),
+          (col("doc_id") % 20 === 19).as("rv"))
+      graft.sources.Warc.writeArchives(
+        withBody.select(expr("(doc_id div 10) % 8").as("file_id"),
+          col("doc_id"),
+          concat(lit("https://example.com/page/"),
+            col("grp").cast("string")).as("url"),
+          col("body").as("text"), col("rv").as("revisit")),
+        tmp.toString, revisitCol = "revisit")
+      val recs = graft.sources.Warc.readWarcFiles(s, tmp.toString)
+        .filter(col("warc_type").isin("response", "revisit"))
+        .select(
+          regexp_extract(col("rec_id"), "urn:graft:doc:(\\d+)", 1)
+            .cast("long").as("doc_id"),
+          col("warc_type"), col("payload_digest"))
+        .localCheckpoint()
+      rmTree(tmp.toFile)
+      val responses = recs.filter(col("warc_type") === "response")
+        .select(col("payload_digest"), col("doc_id").as("dup_of"))
+      recs.filter(col("warc_type") === "revisit")
+        .join(responses, Seq("payload_digest"), "left")
+        .select(col("doc_id"), col("warc_type"),
+          when(col("dup_of").isNotNull, "revisit_dup")
+            .otherwise("revisit_orphan").as("fate"),
+          col("dup_of"))
+        .unionByName(recs.filter(col("warc_type") === "response")
+          .select(col("doc_id"), col("warc_type"),
+            lit("kept").as("fate"), lit(null).cast("long").as("dup_of")))
+        .orderBy("doc_id")
+    }),
     // WARC crawl ingestion (r14, E9): per doc, a crawl-shaped
     // warcinfo+request+response WARC with per-record gzip members (the
     // CommonCrawl layout), parsed back through the real record walk +

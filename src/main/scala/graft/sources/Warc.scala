@@ -561,7 +561,8 @@ object Warc {
     * names (e.g. per ingest batch, so later arrivals never collide
     * with earlier segments). Test/driver rig only. */
   def writeArchives(docs: DataFrame, dir: String,
-                    namePrefix: String = ""): Unit = {
+                    namePrefix: String = "",
+                    revisitCol: String = ""): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
     // ship the session conf so the executor-side writer resolves `dir`
@@ -570,24 +571,27 @@ object Warc {
     val conf = new graft.util.SerializableHadoopConf(
       spark.sparkContext.hadoopConfiguration)
     docs.select(col("file_id").cast("long"), col("doc_id"),
-        col("url"), col("text"))
-      .as[(Long, Long, String, String)]
+        col("url"), col("text"),
+        (if (revisitCol.isEmpty) lit(false) else col(revisitCol)).as("rv"))
+      .as[(Long, Long, String, String, Boolean)]
       .repartition(col("file_id"))
       .sortWithinPartitions("file_id", "doc_id")
-      .foreachPartition { (it: Iterator[(Long, Long, String, String)]) =>
+      .foreachPartition {
+        (it: Iterator[(Long, Long, String, String, Boolean)]) =>
         val buf = it.buffered
         while (buf.hasNext) {
           val fid = buf.head._1
-          val pages = new Iterator[(String, String, Array[Byte])] {
+          val pages = new Iterator[(String, String, Array[Byte], Boolean)] {
             override def hasNext: Boolean =
               buf.hasNext && buf.head._1 == fid
-            override def next(): (String, String, Array[Byte]) = {
-              val (_, id, url, text) = buf.next()
-              (s"urn:graft:doc:$id", url, text.getBytes("UTF-8"))
+            override def next(): (String, String, Array[Byte], Boolean) = {
+              val (_, id, url, text, rv) = buf.next()
+              (s"urn:graft:doc:$id", url, text.getBytes("UTF-8"), rv)
             }
           }
-          writeSyntheticArchive(dir, f"${namePrefix}part-$fid%05d.warc.gz",
-            pages, conf = conf.value)
+          writeSyntheticArchiveMixed(dir,
+            f"${namePrefix}part-$fid%05d.warc.gz", pages,
+            conf = conf.value)
         }
       }
   }
@@ -604,14 +608,29 @@ object Warc {
                             pages: Iterator[(String, String, Array[Byte])],
                             date: String = "2024-01-01T00:00:00Z",
                             conf: org.apache.hadoop.conf.Configuration = null)
-      : Unit = {
+      : Unit =
+    writeSyntheticArchiveMixed(dir, name,
+      pages.map(p => (p._1, p._2, p._3, false)), date, conf)
+
+  /** [[writeSyntheticArchive]] with per-page record KIND: a page whose
+    * flag is true writes a `revisit` record instead of the
+    * warcinfo+request+response triple — its digest computed from the
+    * body that does NOT travel (exactly how a crawler emits a
+    * refetched-unchanged page). Test/driver rig only. */
+  def writeSyntheticArchiveMixed(dir: String, name: String,
+      pages: Iterator[(String, String, Array[Byte], Boolean)],
+      date: String = "2024-01-01T00:00:00Z",
+      conf: org.apache.hadoop.conf.Configuration = null): Unit = {
     val path = new org.apache.hadoop.fs.Path(dir, name)
     val fs = path.getFileSystem(
       if (conf != null) conf else new org.apache.hadoop.conf.Configuration())
     val out = fs.create(path, true)
-    try pages.foreach { case (base, url, body) =>
-      out.write(syntheticWarc(url, date, body, gzipped = true,
-        recordIdBase = base))
+    try pages.foreach { case (base, url, body, rv) =>
+      out.write(
+        if (rv) syntheticRevisit(url, date, sha1Base32(body),
+          recordIdBase = base, gzipped = true)
+        else syntheticWarc(url, date, body, gzipped = true,
+          recordIdBase = base))
     } finally out.close()
   }
 

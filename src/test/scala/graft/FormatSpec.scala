@@ -1545,6 +1545,33 @@ class FormatSpec extends SparkSpec {
         .filter(col("warc_type") === "revisit")
         .select("payload_digest").collect()
       assert(viaPayload.map(_.getString(0)).toSeq == Seq(digest))
+      // the MIXED distributed writer (r16): revisit pages write revisit
+      // records whose digest comes from the body that does NOT travel;
+      // the digest join resolves the dup — and an orphan (its original
+      // in some other segment) resolves to nothing, never a fabricated
+      // original
+      val mdir = dir.resolve("mixed").toString
+      Warc.writeArchives(Seq(
+          (0L, 1L, "https://m/1", "original body", false),
+          (0L, 2L, "https://m/1", "original body", true), // dup of 1
+          (0L, 3L, "https://m/2", "elsewhere body", true)) // orphan
+        .toDF("file_id", "doc_id", "url", "text", "rv"),
+        mdir, revisitCol = "rv")
+      val mixed = Warc.readWarcFiles(spark, mdir)
+        .filter(col("warc_type").isin("response", "revisit"))
+        .select(regexp_extract(col("rec_id"), "urn:graft:doc:(\\d+)", 1)
+          .cast("long").as("id"), col("warc_type"), col("payload_digest"))
+      val origs = mixed.filter(col("warc_type") === "response")
+        .select(col("payload_digest"), col("id").as("dup_of"))
+      val fates = mixed.filter(col("warc_type") === "revisit")
+        .join(origs, Seq("payload_digest"), "left")
+        .collect().map(r => r.getAs[Long]("id") ->
+          Option(r.getAs[java.lang.Long]("dup_of")).map(_.toLong)).toMap
+      assert(fates == Map(2L -> Some(1L), 3L -> None), fates.toString)
+      // revisit records carry no body bytes in the archive
+      assert(Warc.readWarcFiles(spark, mdir)
+        .filter(col("warc_type") === "revisit")
+        .collect().forall(_.getAs[Array[Byte]]("body").isEmpty))
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
