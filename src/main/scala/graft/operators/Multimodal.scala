@@ -1113,7 +1113,7 @@ object Multimodal {
     * spectral fingerprints never compare magnitudes across engines,
     * only gate them with ~10⁷× margins, so ulp-level noise is
     * irrelevant. */
-  private def fftMagSq(re: Array[Double]): Array[Double] = {
+  private[graft] def fftMagSq(re: Array[Double]): Array[Double] = {
     val n = re.length
     require((n & (n - 1)) == 0 && n >= 2, s"FFT size must be a power of 2: $n")
     val im = new Array[Double](n)

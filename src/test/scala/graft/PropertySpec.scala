@@ -283,4 +283,84 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("fftMagSq equals the naive O(n^2) DFT on random inputs, at " +
+       "several power-of-2 sizes, to float tolerance") {
+    import graft.operators.Multimodal
+    def naiveMagSq(x: Array[Double]): Array[Double] = {
+      val n = x.length
+      (0 to n / 2).map { k =>
+        var re = 0.0; var im = 0.0
+        var t = 0
+        while (t < n) {
+          val ang = -2.0 * math.Pi * k * t / n
+          re += x(t) * math.cos(ang)
+          im += x(t) * math.sin(ang)
+          t += 1
+        }
+        re * re + im * im
+      }.toArray
+    }
+    val gen = for {
+      logN <- Gen.oneOf(3, 5, 6, 7) // 8, 32, 64, 128
+      xs <- Gen.listOfN(1 << logN, Gen.chooseNum(-30000.0, 30000.0))
+    } yield xs.toArray
+    forAllSampled(gen, 8) { xs =>
+      val got = Multimodal.fftMagSq(xs.clone()) // in-place: keep the input
+      val want = naiveMagSq(xs)
+      assert(got.length == want.length)
+      // relative-to-scale tolerance: DFT magnitudes of n values up to
+      // 3e4 reach ~1e13; float error accumulates ~ulps of that scale
+      val scale = math.max(want.max, 1.0)
+      got.zip(want).zipWithIndex.foreach { case ((g, w), k) =>
+        assert(math.abs(g - w) <= 1e-9 * scale,
+          s"bin $k: $g vs $w (scale $scale)")
+      }
+    }
+  }
+
+  test("DOM and regex HTML rungs agree on GENERATED well-formed pages — " +
+       "extract and main-text alike, across random thresholds") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta words", "x1",
+      "Tom &amp; Jerry", "a&nbsp;b", "it&#39;s", "5 &lt; 6")
+    val textGen = Gen.listOfN(6, word).map(_.mkString(" "))
+    val inline = for {
+      t <- textGen
+      kind <- Gen.oneOf(0, 1, 2, 3)
+    } yield kind match {
+      case 0 => t
+      case 1 => s"""<a href="/x" title="safe attr">$t</a>"""
+      case 2 => s"<b>$t</b>"
+      case _ => s"<!-- $t -->"
+    }
+    val block = for {
+      tag <- Gen.oneOf("p", "div", "li", "h2", "blockquote", "td")
+      inner <- Gen.listOfN(3, inline).map(_.mkString(" "))
+      deco <- Gen.oneOf("", " class='c1'", " id=\"b2\" data-k='v'")
+    } yield s"<$tag$deco>$inner</$tag>"
+    val pageGen = for {
+      pre <- Gen.oneOf("", "preamble text ", "<script>var x = 1;</script>")
+      blocks <- Gen.listOfN(5, block)
+      style <- Gen.oneOf("", "<style>p { color: red; }</style>")
+    } yield pre + style + blocks.mkString("\n")
+    forAllSampled(pageGen, 12) { page =>
+      val r = Seq(page).toDF("h").select(
+        TextAnalysis.extractHtmlText(col("h")).as("rx"),
+        TextAnalysis.domText(col("h")).as("dm"),
+        TextAnalysis.htmlMainText(col("h"), minWords = 3).as("rxm"),
+        TextAnalysis.domMainText(col("h"), minWords = 3).as("dmm"),
+        TextAnalysis.htmlMainText(col("h"), maxLinkDensityPct = 35,
+          promoteHeadings = true).as("rxp"),
+        TextAnalysis.domMainText(col("h"), maxLinkDensityPct = 35,
+          promoteHeadings = true).as("dmp")).collect().head
+      assert(r.getString(0) == r.getString(1),
+        s"extract twins diverged on:\n$page")
+      assert(r.getString(2) == r.getString(3),
+        s"main-text twins diverged on:\n$page")
+      assert(r.getString(4) == r.getString(5),
+        s"promotion twins diverged on:\n$page")
+    }
+  }
 }
