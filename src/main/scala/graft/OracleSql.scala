@@ -292,7 +292,7 @@ object OracleSql {
     // aggregated per lang — docs / sequences / real vs pad tokens /
     // integer-ppm utilization / boundary-split docs, all exact BIGINTs
     "pack_efficiency" ->
-      s"""WITH spans AS ($sequencePackSpansSql), pd AS (SELECT lang, doc_id, COUNT(*) AS k, SUM(n_toks) AS t FROM spans GROUP BY 1, 2), da AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(t) AS BIGINT) AS n_toks, CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT) AS split_docs FROM pd GROUP BY 1), sa AS (SELECT lang, CAST(MAX(seq_id) + 1 AS BIGINT) AS n_seqs FROM spans GROUP BY 1) SELECT lang, n_docs, n_seqs, n_toks, CAST(n_seqs * 64 - n_toks AS BIGINT) AS pad_toks, CAST(n_toks * 1000000 // (n_seqs * 64) AS BIGINT) AS util_ppm, split_docs FROM da JOIN sa USING (lang) ORDER BY lang""",
+      s"""WITH spans AS ($sequencePackSpansSql), pd AS (SELECT lang, doc_id, COUNT(*) AS k, SUM(n_toks) AS t FROM spans GROUP BY 1, 2), da AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(t) AS BIGINT) AS n_toks, CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT) AS split_docs FROM pd GROUP BY 1), sa AS (SELECT lang, CAST(MAX(seq_id) + 1 AS BIGINT) AS n_seqs FROM spans GROUP BY 1) SELECT lang, n_docs, n_seqs, n_toks, CAST(n_seqs * 64 - n_toks AS BIGINT) AS pad_toks, CAST(CAST(n_toks AS HUGEINT) * 1000000 // (CAST(n_seqs AS HUGEINT) * 64) AS BIGINT) AS util_ppm, split_docs FROM da JOIN sa USING (lang) ORDER BY lang""",
 
     // URL dedup (r14): the messy per-slot URL synth + the normalization
     // chain (fragment strip, lowercase scheme://authority, default-port

@@ -740,7 +740,11 @@ object Curation {
     * sequences, real tokens, pad tokens (the tail of the LAST sequence;
     * interior sequences are full by construction), utilization in exact
     * integer parts-per-million (n_toks·10⁶ div n_seqs·ctx — integer
-    * division, no float seam), and how many documents SPLIT across a
+    * division, no float seam; the product routes through DECIMAL(38,0)
+    * because a per-lang token total past ~9.2·10¹² overflows Long when
+    * scaled by 10⁶ — in range for a 100 TB corpus — and the oracle
+    * computes the identical widened form, r16 ADVICE), and how many
+    * documents SPLIT across a
     * sequence boundary (the attention-reset cost knob: a bigger ctx
     * splits fewer docs but pads more). Two aggregations, both
     * map-side-combinable. */
@@ -758,7 +762,8 @@ object Curation {
     docsAgg.join(seqAgg, Seq("lang"))
       .select(col("lang"), col("n_docs"), col("n_seqs"), col("n_toks"),
         (col("n_seqs") * contextTokens - col("n_toks")).as("pad_toks"),
-        expr(s"n_toks * 1000000L div (n_seqs * ${contextTokens}L)")
+        expr("CAST(CAST(n_toks AS DECIMAL(38,0)) * 1000000 div " +
+            s"(CAST(n_seqs AS DECIMAL(38,0)) * ${contextTokens}L) AS BIGINT)")
           .as("util_ppm"),
         col("split_docs"))
       .orderBy("lang")

@@ -143,33 +143,38 @@ object Warc {
     * and seen in real crawls — the sender gzipped THEN chunked, so the
     * receiver de-chunks then gunzips), then inflate
     * `Content-Encoding: gzip` — the real CommonCrawl response shapes.
-    * Honesty rule: a body whose declared encoding fails to decode — or
-    * declares a coding this reader has no codec for (deflate, br,
-    * compress) — keeps its RAW bytes (the truth on disk) with the
+    * Honesty rule: a body whose declared encoding stack cannot be
+    * FULLY undone — a layer fails to decode, or any layer declares a
+    * coding this reader has no codec for (deflate, br, compress) —
+    * keeps its ORIGINAL raw bytes (the truth on disk) with the
     * returned flag FALSE, so downstream text stages can filter
     * undecoded bodies instead of scoring compressed bytes as text
-    * (r15 ADVICE); never a fabricated or partial decode. Inflation
-    * rides [[gunzipAll]]'s bomb ceiling. Returns (bytes, decoded). */
+    * (r15 ADVICE); never a fabricated or PARTIAL decode — a
+    * half-undone stack (e.g. de-chunked but still br-compressed under
+    * `Transfer-Encoding: br, chunked`) is neither the wire truth nor
+    * content, so it never escapes this function (r16 ADVICE).
+    * Inflation rides [[gunzipAll]]'s bomb ceiling.
+    * Returns (bytes, decoded). */
   private def decodeHttpBody(httpHdrs: Map[String, String],
                              body: Array[Byte]): (Array[Byte], Boolean) = {
     val te = hdrTokens(httpHdrs.getOrElse("transfer-encoding", ""))
+    if (te.exists(t => t != "chunked" && t != "gzip" && t != "x-gzip" &&
+          t != "identity"))
+      return (body, false) // a transfer coding with no codec here: raw
     val deChunked =
       if (te.contains("chunked")) dechunk(body).getOrElse(return (body, false))
       else body
     val deTe =
       if (te.exists(t => t == "gzip" || t == "x-gzip"))
-        gunzipAll(deChunked).getOrElse(return (deChunked, false))
+        gunzipAll(deChunked).getOrElse(return (body, false))
       else deChunked
-    if (te.exists(t => t != "chunked" && t != "gzip" && t != "x-gzip" &&
-          t != "identity"))
-      return (deTe, false) // a transfer coding with no codec here
     val ce = hdrTokens(httpHdrs.getOrElse("content-encoding", ""))
       .filter(_ != "identity")
     ce match {
       case Nil => (deTe, true)
       case Seq(g) if g == "gzip" || g == "x-gzip" =>
-        gunzipAll(deTe).map((_, true)).getOrElse((deTe, false))
-      case _ => (deTe, false) // deflate/br/stacked codings: flagged raw
+        gunzipAll(deTe).map((_, true)).getOrElse((body, false))
+      case _ => (body, false) // deflate/br/stacked codings: flagged raw
     }
   }
 
@@ -398,18 +403,30 @@ object Warc {
         val path = new org.apache.hadoop.fs.Path(p)
         val pfs = path.getFileSystem(conf.value)
         val raw = new java.io.BufferedInputStream(pfs.open(path), 1 << 16)
-        val in =
-          if (p.endsWith(".gz"))
-            new java.util.zip.GZIPInputStream(raw, 1 << 16)
-          else raw
+        // Track + register the close BEFORE any wrapper construction:
+        // GZIPInputStream's constructor reads the gzip header and can
+        // throw on a truncated/corrupt .gz — the raw FSDataInputStream
+        // must already be owned by the task-completion listener (and
+        // visible to the leak-check seam) when that happens, or it
+        // leaks until GC (r16 ADVICE). `toClose` upgrades to the
+        // wrapper once it exists; closing the wrapper closes raw.
         openStreams.incrementAndGet()
+        @volatile var toClose: java.io.InputStream = raw
         val closed = new java.util.concurrent.atomic.AtomicBoolean(false)
         def closeOnce(): Unit =
           if (closed.compareAndSet(false, true)) {
-            try in.close() finally openStreams.decrementAndGet()
+            try toClose.close() finally openStreams.decrementAndGet()
           }
         Option(org.apache.spark.TaskContext.get())
           .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
+        val in =
+          if (p.endsWith(".gz"))
+            try {
+              val g = new java.util.zip.GZIPInputStream(raw, 1 << 16)
+              toClose = g
+              g
+            } catch { case e: Throwable => closeOnce(); throw e }
+          else raw
         val recs = recordIterator(in).zipWithIndex.map {
           case ((hdrs, block), i) =>
             val wtype = hdrs.getOrElse("warc-type", "")

@@ -1363,6 +1363,13 @@ class FormatSpec extends SparkSpec {
     // stage filters on the flag instead of scoring compressed bytes
     val br = rawResp("HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\nBRBYTES")
     assert(respBody(br) == "BRBYTES" && !respFlag(br))
+    // r17 (r16 ADVICE): a codec-less coding STACKED over chunked keeps
+    // the ORIGINAL wire bytes — never the half-undone de-chunked form,
+    // which is neither the truth on disk nor the content
+    val brCh = rawResp("HTTP/1.1 200 OK\r\n" +
+      "Transfer-Encoding: br, chunked\r\n\r\n5\r\nBRBYT\r\n0\r\n\r\n")
+    assert(respBody(brCh) == "5\r\nBRBYT\r\n0\r\n\r\n" && !respFlag(brCh),
+      "partial decode escaped: expected the raw chunk-framed wire bytes")
     // identity tokens are not a coding; plain responses stay true
     assert(respFlag(rawResp("HTTP/1.1 200 OK\r\n" +
       "Content-Encoding: identity\r\n\r\nplain")))
@@ -1495,6 +1502,17 @@ class FormatSpec extends SparkSpec {
       // double-close guard means the listener firing after is a no-op)
       assert(Warc.readWarcPaths(spark, Seq(path)).count() == 150)
       assert(Warc.openStreams.get() == base)
+      // r17 (r16 ADVICE): a .gz whose HEADER is garbage — the gzip
+      // wrapper's CONSTRUCTOR throws while reading the header, and the
+      // raw stream must already be owned by the completion listener
+      // (and counted), or it leaks invisibly until GC
+      val bad = dir.resolve("corrupt.warc.gz")
+      java.nio.file.Files.write(bad, "this is no gzip header".getBytes)
+      intercept[org.apache.spark.SparkException] {
+        Warc.readWarcPaths(spark, Seq(bad.toString)).count()
+      }
+      assert(Warc.openStreams.get() == base,
+        "corrupt-header gzip leaked the raw input stream")
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()

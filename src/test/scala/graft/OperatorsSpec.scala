@@ -890,6 +890,16 @@ class OperatorsSpec extends SparkSpec {
       got("en").toString)
     // de: one doc exactly fills one sequence — zero pad, ppm exactly 1e6
     assert(got("de") == ((1L, 1L, 8L, 0L, 1000000L, 0L)), got("de").toString)
+    // r17 (r16 ADVICE): util_ppm routes the n_toks·10⁶ product through
+    // DECIMAL(38,0) — a per-lang token total past ~9.2e12 (in range for
+    // a 100 TB corpus) overflows the old Long product; the widened form
+    // stays exact. Asserted on the expression seam itself: the same
+    // SQL packEfficiency emits, at a provably Long-overflowing total.
+    val big = spark.sql(
+      "SELECT CAST(CAST(10000000000000 AS DECIMAL(38,0)) * 1000000 div " +
+        "(CAST(5000000000 AS DECIMAL(38,0)) * 2048) AS BIGINT) AS ppm")
+      .collect().head.getLong(0)
+    assert(big == 976562L, big.toString) // 1e13·1e6 div (5e9·2048), exact
   }
 
   test("domain quota: the md5 order is the deterministic sample a plain " +
