@@ -560,7 +560,18 @@ object Curation {
     * sequence), so no group outgrows memory at any corpus size. The
     * ids-by-doc join adds one doc_id-keyed exchange over the tokenized
     * table — the data being materialized; nothing corpus-scale ever
-    * leaves the engine. */
+    * leaves the engine.
+    *
+    * Hot-doc shape (r16 What's-wrong #2 — the r16 form joined the SPAN
+    * table against the tokenized table and sliced after the join, so a
+    * length-L doc's full `ids` array materialized once PER SPAN:
+    * O(L²/ctx) transient bytes, ~500 full-array copies for a 1M-token
+    * doc at ctx 2048): spans first group per doc (bounded by L/ctx
+    * rows), the ids join then sees ONE row per doc, and every slice is
+    * cut from that single array materialization in one in-row
+    * `transform` — O(L) bytes per doc however long the doc. Slices
+    * still explode BEFORE the groupBy exchange, so shuffle volume is
+    * unchanged (the tokens being materialized, exactly once). */
   def packedTokenSequences(documents: DataFrame,
                            merges: Seq[(Int, String, String)],
                            contextTokens: Long = 2048): DataFrame = {
@@ -573,10 +584,20 @@ object Curation {
     val withS = graft.util.PrefixSum.cumSum(
       withN, Seq("lang"), "doc_id", "n", "s", inclusive = false)
     val spans = spanRows(withS, contextTokens)
-    val sliced = spans.join(tok.select("doc_id", "ids"), Seq("doc_id"))
-      .withColumn("__slice",
-        slice(col("ids"), (col("doc_off") + 1).cast("int"),
-          col("n_toks").cast("int")))
+    val perDoc = spans.groupBy("doc_id", "lang")
+      .agg(collect_list(struct(col("seq_id"), col("doc_off"),
+        col("seq_off"), col("n_toks"))).as("__sp"))
+    val sliced = perDoc.join(tok.select("doc_id", "ids"), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"),
+        explode(transform(col("__sp"), sp => struct(
+          sp.getField("seq_id").as("seq_id"),
+          sp.getField("seq_off").as("seq_off"),
+          sp.getField("n_toks").as("n_toks"),
+          slice(col("ids"), (sp.getField("doc_off") + 1).cast("int"),
+            sp.getField("n_toks").cast("int")).as("__slice")))).as("__e"))
+      .select(col("doc_id"), col("lang"), col("__e.seq_id").as("seq_id"),
+        col("__e.seq_off").as("seq_off"), col("__e.n_toks").as("n_toks"),
+        col("__e.__slice").as("__slice"))
     val sorted = array_sort(collect_list(struct(
       col("seq_off"), col("__slice"))))
     sliced.groupBy("lang", "seq_id")

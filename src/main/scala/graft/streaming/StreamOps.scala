@@ -1656,37 +1656,39 @@ object StreamOps {
     }
   }
 
-  /** Driver query: three MemoryStream batches (60/20/20 split of the
-    * embeddings table by vec_id) drive [[ivfIngestBatch]] — a cold build
-    * then two incremental assignment batches — and the result is the
-    * maintained cell table's vec_id set. Oracle-exact: whatever k-means
-    * and drift do, the loop must preserve the vector set bit-for-bit
-    * (no loss on append, no loss/dup across a re-train), and THAT is
-    * plain SQL. Assignment quality is spec-bounded (recall vs a fresh
-    * rebuild) where SQL can't reach. */
+  /** Driver query: three micro-batches (60/20/20 split of the
+    * embeddings table by vec_id rank) drive [[ivfIngestBatch]] — a cold
+    * build then two incremental assignment batches — and the result is
+    * the maintained cell table's vec_id set. The rig hands the SAME
+    * foreachBatch body a production `writeStream` binds three
+    * ENGINE-SIDE slice frames with explicit batch ids: the only
+    * driver-visible values are the two rank-cut vec_ids (two 1-row
+    * aggregates), never the table — the r16 rig collected the whole
+    * embeddings table as a MemoryStream feed, the one rig whose driver
+    * heap grew with the corpus (r16 What's-wrong #1). Oracle-exact:
+    * whatever k-means and drift do, the loop must preserve the vector
+    * set bit-for-bit (no loss on append, no loss/dup across a
+    * re-train), and THAT is plain SQL. Assignment quality is
+    * spec-bounded (recall vs a fresh rebuild) where SQL can't reach. */
   def runIvfIngest(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.TxLogFormat
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_ivfingest_")
     val tmpRoot = root
     val cells = root.resolve("cells").toString
     val index = root.resolve("index").toString
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
-      .as[(Long, Array[Float])].collect().sortBy(_._1)
-    val cut1 = emb.length * 3 / 5
-    val cut2 = emb.length * 4 / 5
-    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val ms = MemoryStream[(Long, Array[Float])]
-    val q = ms.toDF().toDF("vec_id", "embedding")
-      .writeStream
-      .foreachBatch(ivfIngestBatch(cells, index) _)
-      .start()
-    try {
-      Seq(emb.slice(0, cut1), emb.slice(cut1, cut2), emb.slice(cut2, emb.length))
-        .foreach { chunk => ms.addData(chunk.toSeq); q.processAllAvailable() }
-    } finally q.stop()
+    val n = emb.count()
+    def cutId(k: Long): Long = emb.select(col("vec_id"))
+      .orderBy("vec_id").limit(k.toInt).agg(max("vec_id"))
+      .collect()(0).getLong(0)
+    val c1 = cutId(n * 3 / 5)
+    val c2 = cutId(n * 4 / 5)
+    Seq(emb.filter(col("vec_id") <= c1),
+        emb.filter(col("vec_id") > c1 && col("vec_id") <= c2),
+        emb.filter(col("vec_id") > c2))
+      .zipWithIndex
+      .foreach { case (b, id) => ivfIngestBatch(cells, index)(b, id.toLong) }
     handoffAndClean(
       TxLogFormat.read(spark, cells).select("vec_id").orderBy("vec_id"), tmpRoot)
   }

@@ -833,6 +833,27 @@ class OperatorsSpec extends SparkSpec {
       assert(viaSpans((r._1, r._2)) == r._3, s"span count mismatch at $r") }
     assert(spansMat.columns.toSeq ==
       Seq("lang", "seq_id", "n_spans", "n_toks", "slices", "resets"))
+    // r17 hot-doc shape (r16 What's-wrong #2): a 4096-token doc at
+    // ctx 512 spans 8 sequences, and every slice cuts from ONE per-doc
+    // array materialization (spans group per doc BEFORE the ids join) —
+    // the old join-then-slice form copied the full array once per span.
+    // Identity and tiling must hold on the long doc exactly as on
+    // short ones.
+    val hotRig = Seq(
+      (1000L, "xx", Seq.fill(4096)("abab").mkString(" ")),
+      (1001L, "xx", "abab")).toDF("doc_id", "lang", "text")
+    val hotMerges = TextAnalysis.trainBpeMerges(hotRig, nMerges = 2)
+    assert(hotMerges == Seq((0, "a", "b"), (1, "ab", "ab")), hotMerges)
+    val hot = Curation.packedTokenSequences(hotRig, hotMerges,
+        contextTokens = 512).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4),
+        r.getString(5))).sortBy(_._1)
+    assert(hot.length == 9, s"4097 tokens at ctx 512 -> 9 sequences: $hot")
+    hot.take(8).foreach { r => // the hot doc tiles 8 FULL sequences
+      assert(r._2 == 1L && r._3 == 512L && r._5 == "0", r.toString)
+      assert(r._4.split(",").toSeq == Seq.fill(512)("0"), "ids diverged")
+    }
+    assert(hot(8) == ((8L, 1L, 1L, "0", "0")), hot(8).toString)
   }
 
   test("url host + registered domain (r16): userinfo/port/case strip, " +
