@@ -268,25 +268,42 @@ object OracleSql {
     "crawl_curation" ->
       s"""WITH sl AS (SELECT doc_id, doc_id - doc_id % 40 AS grp, text FROM documents WHERE doc_id % 10 = 9), an AS (SELECT doc_id - doc_id % 40 AS grp, text AS atext FROM documents WHERE doc_id % 40 = 9), b AS (SELECT sl.doc_id, CAST(sl.grp AS VARCHAR) AS a, CASE WHEN sl.doc_id % 40 = 39 THEN COALESCE(an.atext, sl.text) ELSE sl.text END AS text FROM sl LEFT JOIN an ON sl.grp = an.grp), u0 AS (SELECT doc_id, text, ${urlVariantCase(9)} AS url FROM b), $urlCanonStages, uk AS (SELECT doc_id, text, url_canonical, doc_id = MIN(doc_id) OVER (PARTITION BY url_canonical) AS ukeep FROM c), ek AS (SELECT doc_id, doc_id = MIN(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS ckeep FROM uk WHERE ukeep), h AS (SELECT doc_id, len(list_intersect($docWords, ['der','die','das','und','ist','nicht','mit','ein'])) AS hits_de, len(list_intersect($docWords, ['the','a','of','and','is','not','with','to'])) AS hits_en, len(list_intersect($docWords, ['el','la','de','y','es','no','con','un'])) AS hits_es, len(list_intersect($docWords, ['le','la','de','et','est','pas','avec','un'])) AS hits_fr FROM uk), lng AS (SELECT doc_id, CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'und' WHEN hits_de = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'de' WHEN hits_en = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'en' WHEN hits_es = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'es' ELSE 'fr' END AS predicted_lang FROM h), mw AS (SELECT doc_id, list_filter(string_split(lower(trim(text)), ' '), x -> x <> '') AS w, text FROM uk), m AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words, CAST(length(array_to_string(w, '')) AS BIGINT) AS sum_chars, CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash, CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_ell, CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha, CAST(len(list_filter(w, x -> x IN ('the','be','to','of','and','that','have','with'))) AS BIGINT) AS n_stop FROM mw), f AS (SELECT doc_id, n_words, CASE WHEN n_words < 50 THEN 'too_few_words' WHEN n_words > 100000 THEN 'too_many_words' WHEN sum_chars < n_words * 3 OR sum_chars > n_words * 10 THEN 'word_len_out_of_band' WHEN (n_hash + n_ell) * 10 > n_words THEN 'symbol_ratio' WHEN n_alpha * 5 < n_words * 4 THEN 'low_alpha_fraction' WHEN n_stop < 2 THEN 'too_few_stopwords' ELSE NULL END AS ff FROM m) SELECT uk.doc_id, uk.url_canonical, lng.predicted_lang, f.n_words, CASE WHEN NOT uk.ukeep THEN 'url_dup' WHEN NOT ek.ckeep THEN 'exact_dup' WHEN f.ff IS NOT NULL THEN f.ff ELSE 'kept' END AS fate FROM uk LEFT JOIN ek ON uk.doc_id = ek.doc_id JOIN lng ON uk.doc_id = lng.doc_id JOIN f ON uk.doc_id = f.doc_id ORDER BY uk.doc_id""",
 
-    // block-level boilerplate removal (r15): the planted chrome — nav
-    // menu, cookie banner, heading, read-more row, link-dense footer —
-    // classifies out on the integer length + link-density gate; only
-    // the body paragraph survives, verbatim
+    // block-level boilerplate removal (r15; numeric refs r17): the
+    // planted chrome — nav menu, cookie banner, heading, read-more row,
+    // link-dense footer — classifies out on the integer
+    // length + link-density gate; only the body paragraph survives,
+    // with its planted &#233;/&#x2014; DECODED (chr(233), em-dash) and
+    // the invalid &#xD800; surrogate kept literal
     "boilerplate_extract" ->
-      """SELECT doc_id, 'Doc ' || doc_id || ' body text: ' || text || ' and more tail words' AS text FROM documents WHERE doc_id % 10 = 7 ORDER BY doc_id""",
+      """SELECT doc_id, 'Doc ' || doc_id || ' caf' || chr(233) || ' ' || chr(8212) || ' &#xD800; body text: ' || text || ' and more tail words' AS text FROM documents WHERE doc_id % 10 = 7 ORDER BY doc_id""",
 
-    // DOM-grade boilerplate removal (r16): the same closed form — a
-    // quoted '>' in the body tag's attribute must NOT leak into the
-    // text (the regex twin would emit 'y">Doc …'), and the chrome
-    // still drops; passing this oracle requires the quote-aware parse
+    // DOM-grade boilerplate removal (r16; numeric refs r17): the same
+    // closed form — a quoted '>' in the body tag's attribute must NOT
+    // leak into the text (the regex twin would emit 'y">Doc …'), and
+    // the chrome still drops; passing this oracle requires the
+    // quote-aware parse AND the bounded numeric-reference decode
     "dom_main_text" ->
-      """SELECT doc_id, 'Doc ' || doc_id || ' body text: ' || text || ' and more tail words' AS text FROM documents WHERE doc_id % 10 = 7 ORDER BY doc_id""",
+      """SELECT doc_id, 'Doc ' || doc_id || ' caf' || chr(233) || ' ' || chr(8212) || ' &#xD800; body text: ' || text || ' and more tail words' AS text FROM documents WHERE doc_id % 10 = 7 ORDER BY doc_id""",
 
     // URL host / registered domain / blocklist (r16): every planted
     // variant's host, eTLD+1 under the suffix subset, and registrant
     // verdict are literal closed forms by slot
     "url_host_domain" ->
       """SELECT doc_id, CASE doc_id % 50 WHEN 6 THEN 'https://User:pw@WWW.News-Site.CO.UK:443/p/a?x=1' WHEN 16 THEN 'http://blog' || CAST(doc_id % 3 AS VARCHAR) || '.Example.COM:8080/x' WHEN 26 THEN 'https://192.168.1.9:8443/admin' WHEN 36 THEN 'http://localhost/dev' ELSE 'mailto:a@b.c' END AS url, CASE doc_id % 50 WHEN 6 THEN 'www.news-site.co.uk' WHEN 16 THEN 'blog' || CAST(doc_id % 3 AS VARCHAR) || '.example.com' WHEN 26 THEN '192.168.1.9' WHEN 36 THEN 'localhost' ELSE NULL END AS host, CASE doc_id % 50 WHEN 6 THEN 'news-site.co.uk' WHEN 16 THEN 'example.com' WHEN 26 THEN '192.168.1.9' WHEN 36 THEN 'localhost' ELSE NULL END AS reg_domain, CASE doc_id % 50 WHEN 16 THEN TRUE WHEN 26 THEN TRUE ELSE FALSE END AS blocked FROM documents WHERE doc_id % 10 = 6 ORDER BY doc_id""",
+
+    // LOADED Public Suffix List (r17): every planted slot's host,
+    // eTLD+1 under the loaded rule set, and block verdict are literal
+    // closed forms — exception (www.ck), wildcard one-label extension
+    // (foo.bar.ck), longest exact (act.edu.au), bare-suffix NULL
+    // (co.uk), default `*` rule (tld.zz); example.co.uk is blocked
+    "url_host_domain_psl" ->
+      """SELECT doc_id, CASE doc_id % 50 WHEN 6 THEN 'https://WWW.CK/about' WHEN 16 THEN 'http://shop.foo.bar.ck/x' WHEN 26 THEN 'https://sub.Example.CO.UK:8443/p' WHEN 36 THEN 'http://a.act.edu.au/x' WHEN 46 THEN 'https://co.uk/' ELSE 'https://unknown.tld.zz/x' END AS url, CASE doc_id % 50 WHEN 6 THEN 'www.ck' WHEN 16 THEN 'shop.foo.bar.ck' WHEN 26 THEN 'sub.example.co.uk' WHEN 36 THEN 'a.act.edu.au' WHEN 46 THEN 'co.uk' ELSE 'unknown.tld.zz' END AS host, CASE doc_id % 50 WHEN 6 THEN 'www.ck' WHEN 16 THEN 'foo.bar.ck' WHEN 26 THEN 'example.co.uk' WHEN 36 THEN 'a.act.edu.au' WHEN 46 THEN NULL ELSE 'tld.zz' END AS reg_domain, CASE doc_id % 50 WHEN 26 THEN TRUE ELSE FALSE END AS blocked FROM documents WHERE doc_id % 10 = 6 ORDER BY doc_id""",
+
+    // per-domain quota under the loaded eTLD+1 (r17): the gate keeps
+    // the four unblocked registrants, and the md5-order keep rule is
+    // domain_quota's closed form over them
+    "domain_quota_psl" ->
+      """WITH g AS (SELECT doc_id, CASE doc_id % 50 WHEN 6 THEN 'www.ck' WHEN 16 THEN 'foo.bar.ck' WHEN 36 THEN 'a.act.edu.au' WHEN 46 THEN NULL WHEN 26 THEN NULL ELSE 'tld.zz' END AS source FROM documents WHERE doc_id % 10 = 6) SELECT doc_id, source, rk FROM (SELECT doc_id, source, ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk FROM g WHERE source IS NOT NULL) WHERE rk <= 3 ORDER BY doc_id""",
 
     // packing-efficiency report (r16): the shared span stream at ctx=64
     // aggregated per lang — docs / sequences / real vs pad tokens /
@@ -979,12 +996,26 @@ object OracleSql {
     "bpe_tokenize" ->
       """SELECT doc_id, CAST(CASE doc_id % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END AS BIGINT) AS n_words, CAST(CASE doc_id % 4 WHEN 0 THEN 8 WHEN 1 THEN 8 WHEN 2 THEN 4 ELSE 2 END AS BIGINT) AS n_tokens, CASE doc_id % 4 WHEN 0 THEN '1,1,1,1,1,1,1,1' WHEN 1 THEN '0,3,0,3,0,3,0,3' WHEN 2 THEN '3,3,3,3' ELSE '2,1' END AS token_ids FROM documents ORDER BY doc_id""",
 
+    // BYTE-level BPE (r17): the byte rig's planted closed form — per
+    // family, words 'éé'/'éc'/'cc'/'bé' at reps 8/4/2/1 tokenize to
+    // 1/1/2/2 tokens under the 3 trained merges; ids by sorted hex
+    // (62=0, 63=1, c3a9=2, c3a963=3, c3a9c3a9=4)
+    "bpe_tokenize_bytes" ->
+      """SELECT doc_id, CAST(CASE doc_id % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END AS BIGINT) AS n_words, CAST(CASE doc_id % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 4 ELSE 2 END AS BIGINT) AS n_tokens, CASE doc_id % 4 WHEN 0 THEN '4,4,4,4,4,4,4,4' WHEN 1 THEN '3,3,3,3' WHEN 2 THEN '1,1,1,1' ELSE '0,2' END AS token_ids FROM documents ORDER BY doc_id""",
+
     // tokenize -> pack (r16): sequence_pack_spans' cumsum + span
     // arithmetic verbatim, but n = the REAL BPE token count (the
     // planted family closed form) instead of the estTokens proxy;
     // shared by the batch op and the frozen-tokenizer ingest loop's
     // cold run
     "tokenize_pack" -> tokenizePackSql,
+
+    // tokenize -> pack on the BYTE tokenizer (r17): identical span
+    // arithmetic, the byte rig's per-family real counts (8, 4, 4, 2)
+    "tokenize_pack_bytes" ->
+      tokenizePackSql.replace(
+        "CASE doc_id % 4 WHEN 0 THEN 8 WHEN 1 THEN 8 WHEN 2 THEN 4 ELSE 2 END",
+        "CASE doc_id % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 4 ELSE 2 END"),
     "tokenize_pack_inc" -> tokenizePackSql,
 
     // packed TOKEN sequences (r16): each doc's planted id LIST rebuilds

@@ -165,7 +165,9 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
   * tag ends only at a '>' OUTSIDE quotes; everything else matches the
   * regex chain's semantics on well-formed HTML (the agreeing subdomain
   * the regex twin oracles): script/style elements vanish WITH content,
-  * comments vanish, the five basic entities + `&amp;` decode in one
+  * comments vanish, the five basic entities + `&amp;` and bounded
+  * NUMERIC character references (`&#233;`/`&#xE9;`, r17 — invalid or
+  * out-of-range codepoints stay literal) decode in one
   * non-rescanning pass (so `&amp;lt;` is the literal `&lt;`),
   * whitespace runs collapse, blocks segment at the jusText block-tag
   * vocabulary, anchors never span blocks, and a lone `<` before a
@@ -232,6 +234,44 @@ object HtmlKernel {
     else 0
   }
 
+  /** Numeric character reference at `i` (r17 — `&#233;` / `&#xE9;`,
+    * ubiquitous in non-English crawl HTML): packed
+    * (codepoint << 4 | consumed length), or 0 when the text at `i` is
+    * not a VALID bounded reference — digits capped at 7 decimal / 6 hex
+    * (enough for every Unicode scalar, so `&#99999999999;` is literal
+    * text, not an overflow), terminator `;` required, and codepoints
+    * that are 0, surrogates (U+D800–DFFF), or past U+10FFFF pass
+    * through literally — the twin regex stage states the same bounds.
+    * Length ≤ 12 fits the 4 packed bits; codepoint ≤ 0x10FFFF the
+    * remaining 21. Tried BEFORE [[entityAt]], so `&#39;` keeps its
+    * historical decode and `&amp;#233;` (the & is an entity, the rest
+    * text) still resolves through the named path. */
+  private def numericAt(s: String, i: Int): Int = {
+    val n = s.length
+    if (i + 2 >= n || s.charAt(i) != '&' || s.charAt(i + 1) != '#') return 0
+    val hex = s.charAt(i + 2) == 'x' || s.charAt(i + 2) == 'X'
+    val d0 = i + (if (hex) 3 else 2)
+    var j = d0
+    var cp = 0L
+    val maxDigits = if (hex) 6 else 7
+    while (j < n && j - d0 < maxDigits + 1 && {
+      val c = s.charAt(j)
+      if (hex) (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') ||
+        (c >= 'A' && c <= 'F')
+      else c >= '0' && c <= '9'
+    }) {
+      val c = s.charAt(j)
+      val d = if (c <= '9') c - '0'
+        else if (c <= 'F') c - 'A' + 10 else c - 'a' + 10
+      cp = cp * (if (hex) 16 else 10) + d
+      j += 1
+    }
+    if (j == d0 || j - d0 > maxDigits) return 0 // no digits, or unbounded
+    if (j >= n || s.charAt(j) != ';') return 0
+    if (cp == 0 || cp > 0x10FFFF || (cp >= 0xD800 && cp <= 0xDFFF)) return 0
+    ((cp.toInt) << 4) | (j + 1 - i)
+  }
+
   /** Index just past `</name[\s]*>` at/after `from`, case-insensitive,
     * or -1. */
   private def indexOfClose(s: String, from: Int, name: String): Int = {
@@ -274,14 +314,22 @@ object HtmlKernel {
       txt.append(c)
       if (anchorBuf != null) anchorBuf.append(c)
     }
+    def emitCp(cp: Int): Unit = { // astral refs need a surrogate pair
+      txt.appendCodePoint(cp)
+      if (anchorBuf != null) anchorBuf.appendCodePoint(cp)
+    }
 
     var i = 0
     while (i < n) {
       val c = s.charAt(i)
       if (c == '&') {
-        val e = entityAt(s, i)
-        if (e == 0) { emit('&'); i += 1 }
-        else { emit((e >> 8).toChar); i += e & 0xff }
+        val nr = numericAt(s, i)
+        if (nr != 0) { emitCp(nr >>> 4); i += nr & 0xf }
+        else {
+          val e = entityAt(s, i)
+          if (e == 0) { emit('&'); i += 1 }
+          else { emit((e >> 8).toChar); i += e & 0xff }
+        }
       } else if (c != '<') { emit(c); i += 1 }
       else if (s.startsWith("<!--", i)) {
         val e = s.indexOf("-->", i + 4)

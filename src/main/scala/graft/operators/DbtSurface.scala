@@ -532,13 +532,19 @@ object Curation {
     * span arithmetic — no new shuffle shape, only the honest n).
     * Wordless docs occupy no tokens and emit no span, exactly as the
     * n = 0 drop there. Output shape = the span table's:
-    * (doc_id, lang, seq_id, doc_off, seq_off, n_toks). */
+    * (doc_id, lang, seq_id, doc_off, seq_off, n_toks). `byteLevel`
+    * packs on the BYTE tokenizer's counts instead (r17 — the chain
+    * accepts either trained tokenizer; rules from
+    * [[TextAnalysis.trainBpeBytesMerges]]). */
   def tokenizePack(documents: DataFrame,
                    merges: Seq[(Int, String, String)],
-                   contextTokens: Long = 2048): DataFrame = {
+                   contextTokens: Long = 2048,
+                   byteLevel: Boolean = false): DataFrame = {
     require(contextTokens >= 1,
       s"contextTokens must be positive, got $contextTokens")
-    val toks = TextAnalysis.bpeTokenizeDocs(documents, merges)
+    val toks = (if (byteLevel)
+        TextAnalysis.bpeTokenizeDocsBytes(documents, merges)
+      else TextAnalysis.bpeTokenizeDocs(documents, merges))
       .select(col("doc_id"), col("n_tokens").as("n"))
     val withN = documents.select(col("doc_id"), col("lang"))
       .join(toks, Seq("doc_id"))
@@ -574,10 +580,11 @@ object Curation {
     * unchanged (the tokens being materialized, exactly once). */
   def packedTokenSequences(documents: DataFrame,
                            merges: Seq[(Int, String, String)],
-                           contextTokens: Long = 2048): DataFrame = {
+                           contextTokens: Long = 2048,
+                           byteLevel: Boolean = false): DataFrame = {
     require(contextTokens >= 1,
       s"contextTokens must be positive, got $contextTokens")
-    val tok = TextAnalysis.bpeTokenizeArr(documents, merges)
+    val tok = TextAnalysis.bpeTokenizeArr(documents, merges, byteLevel)
       .select(col("doc_id"), col("n_tokens").as("n"), col("ids"))
     val withN = documents.select(col("doc_id"), col("lang"))
       .join(tok.select("doc_id", "n"), Seq("doc_id"))
@@ -734,6 +741,96 @@ object Curation {
       .otherwise(last2)
   }
 
+  /** A parsed Public Suffix List rule set (r17 — the loadable mechanism
+    * [[twoLabelSuffixes]] is the zero-input default of: real crawl
+    * quotas and blocklists key on eTLD+1 under the full Mozilla PSL,
+    * ~9k rules including wildcard `*.ck` and exception `!www.ck`
+    * forms, and an unknown multi-label suffix under the subset
+    * silently merges distinct registrants). Rules are grouped by label
+    * count so each membership probe compares same-arity suffixes, and
+    * `wildcard` stores the PARENT suffix (the labels after `*.`).
+    * The set is reference data, bounded by the published list — the
+    * broadcast-literal exception class, never corpus-scale. */
+  final case class PslRules(exact: Map[Int, Set[String]],
+                            wildcard: Map[Int, Set[String]],
+                            exception: Map[Int, Set[String]]) {
+    /** Longest rule, in labels, counting the wildcard's `*`. */
+    private[graft] def maxLabels: Int =
+      (exact.keys ++ wildcard.keys.map(_ + 1) ++ exception.keys ++
+        Seq(1)).max
+  }
+
+  object PslRules {
+    private def labelsOf(r: String): Int = r.count(_ == '.') + 1
+
+    /** Parse PSL-format lines: `//` comments and blank lines drop, a
+      * rule is the text up to the first whitespace (the published file
+      * carries trailing annotations), `!rule` is an exception,
+      * `*.rule` a wildcard (stored by its parent), anything else
+      * exact. Case-insensitive per the spec. */
+    def parse(lines: IterableOnce[String]): PslRules = {
+      val rules = lines.iterator.map(_.trim)
+        .filter(l => l.nonEmpty && !l.startsWith("//"))
+        .map(_.takeWhile(!_.isWhitespace).toLowerCase(java.util.Locale.ROOT))
+        .filter(_.nonEmpty).toSeq
+      def bySize(rs: Seq[String]): Map[Int, Set[String]] =
+        rs.groupBy(labelsOf).view.mapValues(_.toSet).toMap
+      PslRules(
+        exact = bySize(rules.filterNot(r =>
+          r.startsWith("!") || r.startsWith("*."))),
+        wildcard = bySize(rules.filter(_.startsWith("*."))
+          .map(_.drop(2)).filter(_.nonEmpty)),
+        exception = bySize(rules.filter(_.startsWith("!")).map(_.drop(1))))
+    }
+
+    /** Load a PSL data file through the session's Hadoop-aware reader
+      * (object stores included). The collect is the published list —
+      * bounded reference data, not corpus data. */
+    def load(spark: org.apache.spark.sql.SparkSession, path: String): PslRules =
+      parse(spark.read.textFile(path).collect())
+  }
+
+  /** Registered domain (eTLD+1) of a host under a LOADED rule set —
+    * the publicsuffix.org algorithm, declaratively: for each candidate
+    * tail of `k` labels, an exception match prevails with public-suffix
+    * length k−1; otherwise the longest exact (length k) or wildcard
+    * (parent match at k labels → length k+1) rule wins; nothing
+    * matching falls to the default `*` rule (length 1). The registered
+    * domain is the public suffix plus one label; a host that IS a
+    * public suffix (or shorter) has no registrant → NULL — stricter
+    * than [[twoLabelSuffixes]]'s pass-through default, because under a
+    * real rule set "no registrant" is a fact, not a guess. IP literals
+    * keep the whole-host identity. Every membership test is an `InSet`
+    * hash probe over the broadcast-literal rule set — scan-bound, no
+    * join, no shuffle, O(rule-depth) probes per row. */
+  def registeredDomain(host: org.apache.spark.sql.Column,
+                       rules: PslRules): org.apache.spark.sql.Column = {
+    val parts = split(host, "\\.")
+    val n = size(parts)
+    def cand(k: Int) = array_join(slice(parts, -k, k), ".")
+    def inSet(k: Int, m: Map[Int, Set[String]]) =
+      m.get(k).filter(_.nonEmpty)
+        .map(s => n >= k && cand(k).isInCollection(s))
+        .getOrElse(lit(false))
+    val maxK = rules.maxLabels
+    // exceptions prevail; otherwise the LONGEST exact/wildcard match
+    val excLen = (maxK to 1 by -1).foldLeft(lit(null).cast("int")) {
+      (acc, k) => when(inSet(k, rules.exception), lit(k - 1)).otherwise(acc)
+    }
+    val ruleLen = (1 to maxK).foldLeft(lit(1)) { (acc, k) =>
+      val hit = when(inSet(k, rules.exact), lit(k))
+      val wild = when(inSet(k, rules.wildcard) && n >= k + 1, lit(k + 1))
+      greatest(acc, coalesce(hit, lit(1)), coalesce(wild, lit(1)))
+    }
+    val psLen = coalesce(excLen, ruleLen)
+    val isIp = host.rlike("^[0-9.]+$") || host.startsWith("[")
+    when(host.isNull, lit(null).cast("string"))
+      .when(isIp, host)
+      .when(n > psLen,
+        array_join(slice(parts, -(psLen + 1), psLen + 1), "."))
+      .otherwise(lit(null).cast("string"))
+  }
+
   /** URL → (host, registered domain, blocklist verdict) — the domain
     * gate of a crawl front end (Dolma/RefinedWeb drop blocklisted
     * registrants before any content work; [[domainQuota]] then caps
@@ -743,17 +840,28 @@ object Curation {
     * they carry no domain to judge, and a later stage decides their
     * fate explicitly. Scan-bound string arithmetic, no shuffle. */
   def urlDomains(documents: DataFrame, urlCol: String = "url",
-                 blocklist: Seq[String] = Nil): DataFrame = {
-    val host = urlHost(col(urlCol))
-    val dom = registeredDomain(host)
+                 blocklist: Seq[String] = Nil): DataFrame =
+    urlDomainsWith(documents, urlCol, blocklist,
+      registeredDomain(urlHost(col(urlCol))))
+
+  /** [[urlDomains]] under a LOADED Public Suffix List rule set (r17) —
+    * same output shape, eTLD+1 from the PslRules overload of
+    * registeredDomain. */
+  def urlDomains(documents: DataFrame, urlCol: String,
+                 blocklist: Seq[String], rules: PslRules): DataFrame =
+    urlDomainsWith(documents, urlCol, blocklist,
+      registeredDomain(urlHost(col(urlCol)), rules))
+
+  private def urlDomainsWith(documents: DataFrame, urlCol: String,
+                             blocklist: Seq[String],
+                             dom: org.apache.spark.sql.Column): DataFrame =
     documents
-      .withColumn("host", host)
+      .withColumn("host", urlHost(col(urlCol)))
       .withColumn("reg_domain", dom)
       .withColumn("blocked",
         if (blocklist.isEmpty) lit(false)
         else coalesce(col("reg_domain").isInCollection(blocklist),
           lit(false)))
-  }
 
   /** Packing-efficiency report (r16 — the number a packing run
     * publishes: how much of every context window is real signal): per

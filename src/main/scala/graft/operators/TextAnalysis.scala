@@ -782,7 +782,9 @@ object TextAnalysis {
     *     insensitive, dot-matches-newline, non-greedy);
     *  2. drop comments;
     *  3. strip remaining tags;
-    *  4. decode the basic entities (&lt; &gt; &quot; &#39; &nbsp;,
+    *  4. decode numeric character references (&#233; / &#xE9;,
+    *     bounded digits, invalid codepoints literal — r17), then the
+    *     basic entities (&lt; &gt; &quot; &#39; &nbsp;,
     *     then &amp; LAST so "&amp;lt;" decodes to the literal "&lt;",
     *     not a second round) — decoding AFTER the tag strip, so an
     *     encoded "&lt;script&gt;" can never become a live element;
@@ -804,13 +806,53 @@ object TextAnalysis {
       "(?is)<style\\b[^>]*>.*?</style\\s*>", " "),
       "(?s)<!--.*?-->", " ")
 
-  /** Stages 3–5 of [[extractHtmlText]] (tag strip, entity decode,
+  /** One Unicode codepoint as a string, from its integer value — the
+    * declarative `chr()` the numeric-reference decode needs (Spark's
+    * `chr` is ASCII/Latin-1 only): the codepoint rendered as 4
+    * big-endian bytes and decoded as UTF-32. Caller guarantees a valid
+    * scalar value (the reference stage gates 0 < cp ≤ 0x10FFFF,
+    * non-surrogate) — UTF-32 decode of a gated value cannot fail. */
+  private def chrCodepoint(cp: Column): Column =
+    decode(unhex(lpad(hex(cp), 8, "0")), "UTF-32")
+
+  /** Numeric character references (`&#233;` / `&#xE9;`, r17 — decimal
+    * capped at 7 digits, hex at 6: enough for every Unicode scalar, so
+    * an unbounded digit run is literal text, not an overflow), decoded
+    * declaratively: split keeps each candidate at a piece start
+    * (lookahead — nothing is consumed), each piece decodes its own
+    * leading reference or stays verbatim, and pieces re-join. Invalid
+    * codepoints — 0, surrogates, past U+10FFFF — pass through
+    * literally, the [[graft.functions.HtmlKernel]] twin's exact
+    * stance. Runs BEFORE the named-entity passes so `&amp;#233;`
+    * (no literal `&#` anywhere in it) keeps decoding to the text
+    * `&#233;`, never to `é`. */
+  private def decodeNumericRefs(c: Column): Column = {
+    val pieces = split(c, "(?=&#)")
+    array_join(transform(pieces, p => {
+      val dec = regexp_extract(p, "^&#([0-9]{1,7});", 1)
+      val hx = regexp_extract(p, "^&#[xX]([0-9a-fA-F]{1,6});", 1)
+      val cp = when(dec =!= "", dec.cast("long"))
+        .when(hx =!= "", conv(hx, 16, 10).cast("long"))
+      val valid = cp.isNotNull && cp > 0 && cp <= 0x10FFFF &&
+        !(cp >= 0xD800 && cp <= 0xDFFF)
+      val refLen = when(dec =!= "", length(dec) + lit(3))
+        .otherwise(length(hx) + lit(4))
+      when(valid,
+          concat(chrCodepoint(cp),
+            p.substr(refLen + 1, length(p))))
+        .otherwise(p)
+    }), "")
+  }
+
+  /** Stages 3–5 of [[extractHtmlText]] (tag strip, entity decode —
+    * numeric references first, named entities after, `&amp;` last —
     * whitespace collapse) — the per-FRAGMENT visible text, reused per
     * block by [[htmlMainText]]. */
   private def visibleText(frag: Column): Column = {
     val noTags = regexp_replace(frag, "(?s)<[^>]*>", " ")
+    val num = decodeNumericRefs(noTags)
     val ent = regexp_replace(regexp_replace(regexp_replace(
-      regexp_replace(regexp_replace(regexp_replace(noTags,
+      regexp_replace(regexp_replace(regexp_replace(num,
         "&lt;", "<"), "&gt;", ">"), "&quot;", "\""), "&#39;", "'"),
       "&nbsp;", " "), "&amp;", "&")
     trim(regexp_replace(ent, "\\s+", " "))
@@ -1591,6 +1633,64 @@ object TextAnalysis {
     merges.result()
   }
 
+  /** A word as character symbols — [[trainBpeMerges]]' alphabet. */
+  private def charSyms(w: String): List[String] = w.map(_.toString).toList
+
+  /** A word as UTF-8 BYTE symbols, each rendered as 2 lowercase hex
+    * digits — the byte-level alphabet ([[trainBpeBytesMerges]]): ids
+    * and merges are over bytes, so any Unicode word tokenizes with a
+    * 256-cap base alphabet and multi-byte codepoints can merge back
+    * together from their bytes (the GPT-2/LLaMA-family convention).
+    * Hex keeps every symbol a plain ASCII string — engine-portable,
+    * total-ordered, and losslessly invertible (unhex of the
+    * concatenated final tokens is the word's UTF-8, spec-pinned). */
+  private def byteSyms(w: String): List[String] =
+    w.getBytes(java.nio.charset.StandardCharsets.UTF_8).toList
+      .map(b => f"${b & 0xff}%02x")
+
+  /** Byte-level BPE training to a VOCABULARY-SIZE target (r17 —
+    * [[trainBpeMerges]] is word-internal character BPE with a merge
+    * COUNT; production tokenizers are byte-level and train until the
+    * vocabulary reaches |V|): same single corpus-scale word-frequency
+    * aggregation, same bounded driver-side merge loop, same
+    * total-order tie-breaks — only the alphabet ([[byteSyms]]) and the
+    * stop rule differ. The vocabulary is (base byte symbols present in
+    * the corpus) + (minted merges), so the loop runs
+    * vocabSize − |base| merges — or stops early when no pair repeats,
+    * exactly the merge-exhaustion honesty of the char trainer. */
+  def trainBpeBytesMerges(documents: DataFrame, vocabSize: Int,
+                          minFreq: Long = 1L,
+                          maxVocab: Int = 1 << 20): Seq[(Int, String, String)] = {
+    var vocab: Map[List[String], Long] = documents
+      .select(explode(TextNorm.words(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").count()
+      .filter(col("count") >= minFreq)
+      .orderBy(col("count").desc, col("w"))
+      .limit(maxVocab)
+      .collect()
+      .map(r => byteSyms(r.getString(0)) -> r.getLong(1)).toMap
+    val base: Int = vocab.keysIterator.flatten.toSet.size
+    val merges = Seq.newBuilder[(Int, String, String)]
+    var rank = 0
+    var more = true
+    while (base + rank < vocabSize && more) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      vocab.foreach { case (syms, f) =>
+        syms.lazyZip(syms.tail).foreach((a, b) =>
+          counts((a, b)) = counts.getOrElse((a, b), 0L) + f)
+      }
+      if (counts.isEmpty) more = false
+      else {
+        val best = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }._1
+        merges += ((rank, best._1, best._2))
+        vocab = vocab.groupMapReduce(kv => mergeIn(kv._1, best))(_._2)(_ + _)
+        rank += 1
+      }
+    }
+    merges.result()
+  }
+
   /** Apply trained merge rules to tokenize text — the read side of
     * [[trainBpeMerges]], a deterministic fold over the rules in rank
     * order via the SAME [[mergeIn]] the trainer uses (they must agree
@@ -1636,10 +1736,22 @@ object TextAnalysis {
     * trainer's word-frequency collect (and strictly smaller).
     * Output: (w, tokens, token_ids, n_tokens). */
   def bpeVocab(documents: DataFrame,
-               merges: Seq[(Int, String, String)]): DataFrame = {
+               merges: Seq[(Int, String, String)]): DataFrame =
+    bpeVocabSyms(documents, merges, charSyms)
+
+  /** [[bpeVocab]] under the BYTE alphabet (r17) — final tokens are hex
+    * strings of merged UTF-8 bytes; ids by the same sorted-ascending
+    * corpus-wide assignment. */
+  def bpeVocabBytes(documents: DataFrame,
+                    merges: Seq[(Int, String, String)]): DataFrame =
+    bpeVocabSyms(documents, merges, byteSyms)
+
+  private def bpeVocabSyms(documents: DataFrame,
+                           merges: Seq[(Int, String, String)],
+                           syms: String => List[String]): DataFrame = {
     val rules = merges.sortBy(_._1).map(m => (m._2, m._3))
     val tokensOf = udf { (w: String) =>
-      rules.foldLeft(w.map(_.toString).toList)(mergeIn)
+      rules.foldLeft(syms(w))(mergeIn)
     }
     val vocabWords = documents
       .select(explode(TextNorm.words(col("text"))).as("w"))
@@ -1668,8 +1780,17 @@ object TextAnalysis {
     * Output: (doc_id, n_words, n_tokens, token_ids). */
   def bpeTokenizeDocs(documents: DataFrame,
                       merges: Seq[(Int, String, String)]): DataFrame =
-    bpeTokenizeArr(documents, merges)
-      .select(col("doc_id"), col("n_words"), col("n_tokens"),
+    tokenizeDocsFrom(bpeTokenizeArr(documents, merges))
+
+  /** [[bpeTokenizeDocs]] under the BYTE alphabet (r17) — same
+    * per-distinct-word pricing, same output shape; the merges come
+    * from [[trainBpeBytesMerges]]. */
+  def bpeTokenizeDocsBytes(documents: DataFrame,
+                           merges: Seq[(Int, String, String)]): DataFrame =
+    tokenizeDocsFrom(bpeTokenizeArr(documents, merges, byteLevel = true))
+
+  private def tokenizeDocsFrom(arr: DataFrame): DataFrame =
+    arr.select(col("doc_id"), col("n_words"), col("n_tokens"),
         array_join(transform(col("ids"), i => i.cast("string")), ",")
           .as("token_ids"))
       .orderBy("doc_id")
@@ -1677,10 +1798,14 @@ object TextAnalysis {
   /** [[bpeTokenizeDocs]] with the id sequence as an ARRAY column —
     * the slice-able form [[Curation.packedTokenSequences]] consumes:
     * (doc_id, n_words, n_tokens, ids). Same vocabulary join, same
-    * bounded per-doc reassembly. */
+    * bounded per-doc reassembly. `byteLevel` swaps in the byte
+    * alphabet (r17) — tokenize → pack accepts either tokenizer. */
   private[graft] def bpeTokenizeArr(documents: DataFrame,
-      merges: Seq[(Int, String, String)]): DataFrame = {
-    val vocab = bpeVocab(documents, merges)
+      merges: Seq[(Int, String, String)],
+      byteLevel: Boolean = false): DataFrame = {
+    val vocab =
+      (if (byteLevel) bpeVocabBytes(documents, merges)
+       else bpeVocab(documents, merges))
       .select(col("w"), col("token_ids"), col("n_tokens").as("__nt"))
     val pos = documents
       .select(col("doc_id"),

@@ -194,6 +194,17 @@ class OperatorsSpec extends SparkSpec {
     assert(x("Tom &amp; Jerry, 5 &lt; 6, &quot;q&quot;, it&#39;s, a&nbsp;b")
       == Seq("Tom & Jerry, 5 < 6, \"q\", it's, a b"))
     assert(x("&amp;lt;") == Seq("&lt;"))
+    // r17: numeric character references — decimal, hex (any case), and
+    // astral codepoints decode; the references the HTML spec calls
+    // invalid (zero, surrogate range, past U+10FFFF, unbounded digit
+    // runs, missing ';') stay LITERAL text, never a fabricated char;
+    // and &amp;#233; decodes the & LAST, so the result is the literal
+    // reference text — one forward pass, never re-scanned
+    assert(x("caf&#233; &#x2014; &#X2014; ok") == Seq("café — — ok"))
+    assert(x("a &#x1F600; b") == Seq("a 😀 b"))
+    assert(x("&#0; &#xD800; &#1114112; &#99999999; &#; &#233")
+      == Seq("&#0; &#xD800; &#1114112; &#99999999; &#; &#233"))
+    assert(x("&amp;#233;") == Seq("&#233;"))
     // whitespace collapse + trim; plain text is a fixed point
     assert(x("  a\n\n  <p> b </p>\tc  ") == Seq("a b c"))
     assert(x("plain words only") == Seq("plain words only"))
@@ -233,6 +244,11 @@ class OperatorsSpec extends SparkSpec {
       "&amp;lt;", "  a\n\n  <p> b </p>\tc  ", "plain words only",
       "<!DOCTYPE html><html><body><p>doc typed</p></body></html>",
       "<ul><li>one</li><li>two</li></ul><div>tail</div>",
+      // r17: numeric refs — valid decimal/hex/astral decode, the
+      // invalid family stays literal, in BOTH rungs identically
+      "caf&#233; &#x2014; &#X2014; <p>a &#x1F600; b</p>",
+      "&#0; &#xD800; &#1114112; &#99999999; &#; &#233",
+      "&amp;#233; <p>it&#39;s</p>",
     ).foreach { h =>
       val (rx, dm) = both(h)
       assert(rx == dm, s"twins diverged on well-formed input: $h")
@@ -725,6 +741,53 @@ class OperatorsSpec extends SparkSpec {
         minFreq = 1L, maxVocab = Int.MaxValue))
   }
 
+  test("byte-level BPE (r17): trains to a VOCAB-SIZE target over UTF-8 " +
+       "bytes — multi-byte letters re-form from their bytes, every " +
+       "word round-trips through unhex, exhaustion stops honestly, " +
+       "and the pack chain accepts the byte tokenizer") {
+    import spark.implicits._
+    import graft.operators.Curation
+    val rigRows = (0L until 120L).map { d =>
+      val j = (d % 4).toInt
+      val w = Seq("éé", "éc", "cc", "bé")(j)
+      (d, if (d % 2 == 0) "en" else "fr",
+        Seq.fill(Seq(8, 4, 2, 1)(j))(w).mkString(" "))
+    }
+    val rig = rigRows.toDF("doc_id", "lang", "text")
+    // vocabSize 7 = 4 base bytes {62,63,a9,c3} + exactly 3 merges; the
+    // first merge re-forms 'é' (c3 a9) from its UTF-8 bytes
+    val merges = TextAnalysis.trainBpeBytesMerges(rig, vocabSize = 7)
+    assert(merges == Seq((0, "c3", "a9"), (1, "c3a9", "c3a9"),
+      (2, "c3a9", "63")), merges)
+    // a target at (or under) the base alphabet trains nothing
+    assert(TextAnalysis.trainBpeBytesMerges(rig, vocabSize = 4).isEmpty)
+    assert(TextAnalysis.trainBpeBytesMerges(rig, vocabSize = 2).isEmpty)
+    // a target past exhaustion stops when no pair is left: every word
+    // collapses to one symbol after 5 merges (the 3 above + cc + bé)
+    val all = TextAnalysis.trainBpeBytesMerges(rig, vocabSize = 100)
+    assert(all.size == 5 && all.drop(3) ==
+      Seq((3, "63", "63"), (4, "62", "c3a9")), all)
+    // round trip: for EVERY distinct word, unhex of the concatenated
+    // final-token hex is the word's exact UTF-8 bytes
+    val voc = TextAnalysis.bpeVocabBytes(rig, merges)
+      .select("w", "tokens").collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1))
+    assert(voc.length == 4)
+    voc.foreach { case (w, toks) =>
+      val bytes = toks.mkString("").grouped(2)
+        .map(Integer.parseInt(_, 16).toByte).toArray
+      assert(new String(bytes, "UTF-8") == w, s"round trip broke on $w")
+    }
+    assert(voc.toMap.apply("éé") == Seq("c3a9c3a9"))
+    // the pack chain accepts the byte tokenizer: spans sum to the
+    // byte-token counts (8/4/4/2 per family — NOT the char rig's n)
+    val spans = Curation.tokenizePack(rig, merges, contextTokens = 64,
+      byteLevel = true)
+    val sums = spans.groupBy("doc_id").agg(sum("n_toks").as("t"))
+      .collect().map(r => (r.getLong(0) % 4, r.getLong(1))).distinct.sorted
+    assert(sums.toSeq == Seq((0L, 8L), (1L, 4L), (2L, 4L), (3L, 2L)), sums)
+  }
+
   test("BPE corpus apply + tokenize_pack (r16): the distinct-word join " +
        "agrees with the per-doc fold; ids are the sorted-token order; " +
        "real-token spans provably differ from the estTokens proxy and " +
@@ -893,6 +956,70 @@ class OperatorsSpec extends SparkSpec {
         blocklist = Seq("example.com"))
       .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
     assert(out == Map(1L -> true, 2L -> true, 3L -> false, 4L -> false), out)
+  }
+
+  test("loadable PSL (r17): parse handles comments/annotations/case, " +
+       "and the publicsuffix.org algorithm holds — exception beats " +
+       "wildcard, wildcard consumes exactly one label, longest exact " +
+       "wins, bare suffixes have no registrant, unknown TLDs take the " +
+       "default rule") {
+    import spark.implicits._
+    import graft.operators.Curation
+    // parse: comments drop, trailing annotations strip, case folds,
+    // wildcard stores its parent, exception strips the bang
+    val rules = Curation.PslRules.parse(Seq(
+      "// the test list", "", "  CK extra annotation", "*.ck", "!www.ck",
+      "uk", "co.uk", "au", "edu.au", "act.edu.au"))
+    assert(rules.exact(1) == Set("ck", "uk", "au"))
+    assert(rules.exact(2) == Set("co.uk", "edu.au"))
+    assert(rules.exact(3) == Set("act.edu.au"))
+    assert(rules.wildcard(1) == Set("ck"))
+    assert(rules.exception(2) == Set("www.ck"))
+    def reg(hosts: String*): Seq[Option[String]] =
+      hosts.toDF("h")
+        .select(Curation.registeredDomain(col("h"), rules))
+        .collect().map(r => Option(r.getString(0))).toSeq
+    // exception !www.ck: public suffix shrinks to ck, registrant www.ck
+    // — for the bare host AND any depth under it
+    assert(reg("www.ck", "foo.www.ck", "a.b.www.ck") ==
+      Seq(Some("www.ck"), Some("www.ck"), Some("www.ck")))
+    // wildcard *.ck: any OTHER label under ck is itself a public
+    // suffix, so the registrant sits one deeper; the bare wildcard
+    // match has no registrant
+    assert(reg("foo.bar.ck", "shop.foo.bar.ck", "bar.ck") ==
+      Seq(Some("foo.bar.ck"), Some("foo.bar.ck"), None))
+    // longest exact wins: act.edu.au over edu.au over au
+    assert(reg("a.act.edu.au", "x.a.act.edu.au", "b.edu.au", "c.au") ==
+      Seq(Some("a.act.edu.au"), Some("a.act.edu.au"), Some("b.edu.au"),
+        Some("c.au")))
+    // a host that IS a public suffix (or above one) has no registrant
+    assert(reg("co.uk", "uk", "ck", "act.edu.au") ==
+      Seq(None, None, None, None))
+    // unknown TLD: the default `*` rule — last label is the suffix
+    assert(reg("unknown.tld.zz", "tld.zz") ==
+      Seq(Some("tld.zz"), Some("tld.zz")))
+    // single unknown label / IP literals / NULL
+    assert(reg("localhost") == Seq(None))
+    assert(reg("192.168.1.9") == Seq(Some("192.168.1.9")))
+    assert(Seq(Option.empty[String]).toDF("h")
+      .select(Curation.registeredDomain(col("h"), rules))
+      .collect().map(r => Option(r.getString(0))).toSeq == Seq(None))
+    // the data-file path: load() reads the PSL-format file the rig and
+    // a production deployment hand it
+    val dir = java.nio.file.Files.createTempDirectory("graft_pslspec_")
+    try {
+      val f = dir.resolve("psl.dat")
+      java.nio.file.Files.write(f,
+        "// list\n*.ck\n!www.ck\nco.uk\n".getBytes("UTF-8"))
+      val loaded = Curation.PslRules.load(spark, f.toString)
+      assert(loaded == Curation.PslRules.parse(Seq(
+        "*.ck", "!www.ck", "co.uk")))
+    } finally {
+      def rm(x: java.io.File): Unit = {
+        Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
+      }
+      rm(dir.toFile)
+    }
   }
 
   test("pack efficiency (r16): every cell re-derives by hand on a " +

@@ -324,7 +324,13 @@ class PropertySpec extends AnyFunSuite {
     import spark.implicits._
     import graft.operators.TextAnalysis
     val word = Gen.oneOf("alpha", "beta", "gamma", "delta words", "x1",
-      "Tom &amp; Jerry", "a&nbsp;b", "it&#39;s", "5 &lt; 6")
+      "Tom &amp; Jerry", "a&nbsp;b", "it&#39;s", "5 &lt; 6",
+      // r17: numeric character references — valid (decimal, hex,
+      // astral) and invalid-stays-literal (surrogate, out-of-range,
+      // digitless) forms must agree across the rungs wherever the
+      // generator plants them
+      "caf&#233;", "x&#x2014;y", "&#x1F600;", "&#xD800;", "&#1114112;",
+      "&#;", "&amp;#233;")
     val textGen = Gen.listOfN(6, word).map(_.mkString(" "))
     val inline = for {
       t <- textGen
