@@ -94,14 +94,37 @@ object OracleSql {
   private val tokenizePackSql =
     """WITH t AS (SELECT doc_id, lang, CAST(CASE doc_id % 4 WHEN 0 THEN 8 WHEN 1 THEN 8 WHEN 2 THEN 4 ELSE 2 END AS BIGINT) AS n FROM documents), c AS (SELECT doc_id, lang, n, CAST(COALESCE(SUM(n) OVER (PARTITION BY lang ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s FROM t), e AS (SELECT doc_id, lang, n, s, UNNEST(range(s // 64, (s + n - 1) // 64 + 1)) AS seq_id FROM c WHERE n > 0) SELECT doc_id, lang, CAST(seq_id AS BIGINT) AS seq_id, CAST(GREATEST(s, seq_id * 64) - s AS BIGINT) AS doc_off, CAST(GREATEST(s, seq_id * 64) - seq_id * 64 AS BIGINT) AS seq_off, CAST(LEAST(s + n, (seq_id + 1) * 64) - GREATEST(s, seq_id * 64) AS BIGINT) AS n_toks FROM e"""
 
+  // the 5-language rig pools as DuckDB list literals — shared by the
+  // trained-lang-ID oracle and (r17) the crawl-curation funnel's
+  // weak-NB lang stage
+  private val rigPools = graft.operators.TextAnalysis.langIdRigPools
+  private val rigPoolsList = rigPools.map(_._2.map(w => s"'$w'")
+    .mkString("[", ", ", "]")).mkString("[", ", ", "]")
+
+  // the weak-NB scoring chain (r17): given CTEs `lbl` (doc_id, t =
+  // lower(text), lang = weak label or NULL, tr = lang IS NOT NULL),
+  // produce `nbbest` (doc_id, predicted_lang) — langIdModelSql's exact
+  // training + micro-nat scoring, parameterized on the label source
+  private val weakNbStages =
+    """grams AS (SELECT doc_id, lang, tr, unnest(list_transform(range(1, len(t)), i -> substr(t, CAST(i AS INT), 2))) AS gram FROM lbl WHERE len(t) >= 2),
+       nbtf AS (SELECT doc_id, gram, COUNT(*) AS tf FROM grams GROUP BY 1, 2),
+       cg AS (SELECT lang AS cand, gram, COUNT(*) AS c FROM grams WHERE tr GROUP BY 1, 2),
+       totals AS (SELECT cand, CAST(SUM(c) AS BIGINT) AS nn FROM cg GROUP BY 1),
+       vocab AS (SELECT COUNT(DISTINCT gram) AS v FROM cg),
+       model AS (SELECT cand, gram, CAST(ROUND(ln((CAST(c AS DOUBLE) + 1.0) / (CAST(nn AS DOUBLE) + CAST(v AS DOUBLE))) * 1000000.0, 0) AS BIGINT) AS unats FROM cg JOIN totals USING (cand) CROSS JOIN vocab),
+       defaults AS (SELECT cand, CAST(ROUND(ln(1.0 / (CAST(nn AS DOUBLE) + CAST(v AS DOUBLE))) * 1000000.0, 0) AS BIGINT) AS d_unats FROM totals CROSS JOIN vocab),
+       priors AS (SELECT lang AS cand, CAST(ROUND(ln(CAST(COUNT(*) AS DOUBLE) / CAST((SELECT COUNT(*) FROM lbl WHERE tr) AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS prior_unats FROM lbl WHERE tr GROUP BY 1),
+       gsum AS (SELECT nbtf.doc_id, cs.cand, CAST(SUM(nbtf.tf * COALESCE(m.unats, df.d_unats)) AS BIGINT) AS g FROM nbtf CROSS JOIN (SELECT cand FROM priors) cs LEFT JOIN model m ON m.cand = cs.cand AND m.gram = nbtf.gram JOIN defaults df ON df.cand = cs.cand GROUP BY 1, 2),
+       nbscored AS (SELECT d.doc_id, p.cand, CAST(p.prior_unats + COALESCE(g.g, 0) AS BIGINT) AS total FROM lbl d CROSS JOIN priors p LEFT JOIN gsum g ON g.doc_id = d.doc_id AND g.cand = p.cand),
+       nbbest AS (SELECT doc_id, cand AS predicted_lang FROM (SELECT doc_id, cand, total, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY total DESC, cand ASC) AS rk FROM nbscored) WHERE rk = 1)"""
+
   // TRAINED language ID (r16), shared by the narrow and WIDE-layout
   // twins (identical report): the whole model restated in SQL —
   // planted corpus, char-bigram NB training, micro-nat scoring
   private val langIdModelSql: String = {
       val pools = graft.operators.TextAnalysis.langIdRigPools
       val langList = pools.map(p => s"'${p._1}'").mkString("[", ", ", "]")
-      val poolsList = pools.map(_._2.map(w => s"'$w'")
-        .mkString("[", ", ", "]")).mkString("[", ", ", "]")
+      val poolsList = rigPoolsList
       s"""WITH base AS (SELECT doc_id, CAST(doc_id % 5 AS INT) AS li, CAST(doc_id % 6 + 5 AS INT) AS n FROM documents),
          docs AS (SELECT doc_id, $langList[li + 1] AS lang, array_to_string(list_transform(range(0, n), i -> $poolsList[li + 1][CAST((doc_id * 7 + i * 11) % 12 AS INT) + 1]), ' ') AS t, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'd' AS tr FROM base),
          grams AS (SELECT doc_id, lang, tr, unnest(list_transform(range(1, len(t)), i -> substr(t, CAST(i AS INT), 2))) AS gram FROM docs),
@@ -260,13 +283,19 @@ object OracleSql {
     "html_extract" ->
       """SELECT doc_id, 'Doc ' || doc_id || ' Doc ' || doc_id || ' ' || text || ' & more' AS text FROM documents WHERE doc_id % 10 = 8 ORDER BY doc_id""",
 
-    // the full crawl-curation pipeline (r15 capstone): archive files →
-    // streamed WARC → boilerplate removal (body verbatim, chrome gone)
-    // → URL dedup → exact-content dedup (the planted syndicated copy
-    // at a distinct canonical URL) → lang-ID → Gopher gauntlet; one
-    // per-document fate table restating every stage's closed form
+    // the full crawl-curation pipeline (r15 capstone; r17: the lang
+    // stage is the weak-supervised TRAINED model and slot 29 arrives
+    // as a REVISIT record): archive files → streamed WARC (responses
+    // AND revisits) → revisit digest fate (closed form: the anchor's
+    // page is always in-batch, so every revisit is revisit_dup) →
+    // boilerplate removal (body = pool-word prefix + doc text,
+    // verbatim; chrome gone) → URL dedup → exact-content dedup (the
+    // syndicated copy at a distinct canonical URL) → weak-NB lang ID
+    // (lexicon-confident rows label, the NB chain scores everyone) →
+    // Gopher gauntlet; one per-document fate table restating every
+    // stage's closed form
     "crawl_curation" ->
-      s"""WITH sl AS (SELECT doc_id, doc_id - doc_id % 40 AS grp, text FROM documents WHERE doc_id % 10 = 9), an AS (SELECT doc_id - doc_id % 40 AS grp, text AS atext FROM documents WHERE doc_id % 40 = 9), b AS (SELECT sl.doc_id, CAST(sl.grp AS VARCHAR) AS a, CASE WHEN sl.doc_id % 40 = 39 THEN COALESCE(an.atext, sl.text) ELSE sl.text END AS text FROM sl LEFT JOIN an ON sl.grp = an.grp), u0 AS (SELECT doc_id, text, ${urlVariantCase(9)} AS url FROM b), $urlCanonStages, uk AS (SELECT doc_id, text, url_canonical, doc_id = MIN(doc_id) OVER (PARTITION BY url_canonical) AS ukeep FROM c), ek AS (SELECT doc_id, doc_id = MIN(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS ckeep FROM uk WHERE ukeep), h AS (SELECT doc_id, len(list_intersect($docWords, ['der','die','das','und','ist','nicht','mit','ein'])) AS hits_de, len(list_intersect($docWords, ['the','a','of','and','is','not','with','to'])) AS hits_en, len(list_intersect($docWords, ['el','la','de','y','es','no','con','un'])) AS hits_es, len(list_intersect($docWords, ['le','la','de','et','est','pas','avec','un'])) AS hits_fr FROM uk), lng AS (SELECT doc_id, CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'und' WHEN hits_de = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'de' WHEN hits_en = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'en' WHEN hits_es = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'es' ELSE 'fr' END AS predicted_lang FROM h), mw AS (SELECT doc_id, list_filter(string_split(lower(trim(text)), ' '), x -> x <> '') AS w, text FROM uk), m AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words, CAST(length(array_to_string(w, '')) AS BIGINT) AS sum_chars, CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash, CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_ell, CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha, CAST(len(list_filter(w, x -> x IN ('the','be','to','of','and','that','have','with'))) AS BIGINT) AS n_stop FROM mw), f AS (SELECT doc_id, n_words, CASE WHEN n_words < 50 THEN 'too_few_words' WHEN n_words > 100000 THEN 'too_many_words' WHEN sum_chars < n_words * 3 OR sum_chars > n_words * 10 THEN 'word_len_out_of_band' WHEN (n_hash + n_ell) * 10 > n_words THEN 'symbol_ratio' WHEN n_alpha * 5 < n_words * 4 THEN 'low_alpha_fraction' WHEN n_stop < 2 THEN 'too_few_stopwords' ELSE NULL END AS ff FROM m) SELECT uk.doc_id, uk.url_canonical, lng.predicted_lang, f.n_words, CASE WHEN NOT uk.ukeep THEN 'url_dup' WHEN NOT ek.ckeep THEN 'exact_dup' WHEN f.ff IS NOT NULL THEN f.ff ELSE 'kept' END AS fate FROM uk LEFT JOIN ek ON uk.doc_id = ek.doc_id JOIN lng ON uk.doc_id = lng.doc_id JOIN f ON uk.doc_id = f.doc_id ORDER BY uk.doc_id""",
+      s"""WITH sl AS (SELECT doc_id, doc_id - doc_id % 40 AS grp, text FROM documents WHERE doc_id % 10 = 9), an AS (SELECT doc_id - doc_id % 40 AS grp, text AS atext FROM documents WHERE doc_id % 40 = 9), b AS (SELECT sl.doc_id, sl.grp, CAST(sl.grp AS VARCHAR) AS a, array_to_string(list_transform(range(0, (sl.grp // 40) % 6 + 5), i -> $rigPoolsList[CAST((sl.grp // 40) % 5 AS INT) + 1][CAST((sl.grp * 7 + i * 11) % 12 AS INT) + 1]), ' ') || ' ' || CASE WHEN sl.doc_id % 40 IN (29, 39) THEN COALESCE(an.atext, sl.text) ELSE sl.text END AS text FROM sl LEFT JOIN an ON sl.grp = an.grp), u0 AS (SELECT doc_id, text, CASE doc_id % 40 WHEN 19 THEN 'HTTPS://News-Site.COM:443/Articles/' || a || '?ref=home&utm_source=feed&id=1' WHEN 39 THEN 'https://news-site.com/Articles/' || a || '?id=2&ref=home' ELSE 'https://news-site.com/Articles/' || a || '?id=1&ref=home' END AS url FROM b WHERE doc_id % 40 <> 29), $urlCanonStages, uk AS (SELECT doc_id, text, url_canonical, doc_id = MIN(doc_id) OVER (PARTITION BY url_canonical) AS ukeep FROM c), ek AS (SELECT doc_id, doc_id = MIN(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS ckeep FROM uk WHERE ukeep), hh AS (SELECT doc_id, text, len(list_intersect($docWords, ['der','die','das','und','ist','nicht','mit','ein'])) AS hits_de, len(list_intersect($docWords, ['the','a','of','and','is','not','with','to'])) AS hits_en, len(list_intersect($docWords, ['el','la','de','y','es','no','con','un'])) AS hits_es, len(list_intersect($docWords, ['le','la','de','et','est','pas','avec','un'])) AS hits_fr FROM uk), lb0 AS (SELECT doc_id, lower(text) AS t, CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) >= 3 THEN CASE WHEN hits_de = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'de' WHEN hits_en = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'en' WHEN hits_es = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'es' ELSE 'fr' END END AS lang FROM hh), lbl AS (SELECT doc_id, t, lang, lang IS NOT NULL AS tr FROM lb0), $weakNbStages, mw AS (SELECT doc_id, list_filter(string_split(lower(trim(text)), ' '), x -> x <> '') AS w, text FROM uk), m AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words, CAST(length(array_to_string(w, '')) AS BIGINT) AS sum_chars, CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash, CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_ell, CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha, CAST(len(list_filter(w, x -> x IN ('the','be','to','of','and','that','have','with'))) AS BIGINT) AS n_stop FROM mw), f AS (SELECT doc_id, n_words, CASE WHEN n_words < 50 THEN 'too_few_words' WHEN n_words > 100000 THEN 'too_many_words' WHEN sum_chars < n_words * 3 OR sum_chars > n_words * 10 THEN 'word_len_out_of_band' WHEN (n_hash + n_ell) * 10 > n_words THEN 'symbol_ratio' WHEN n_alpha * 5 < n_words * 4 THEN 'low_alpha_fraction' WHEN n_stop < 2 THEN 'too_few_stopwords' ELSE NULL END AS ff FROM m) SELECT uk.doc_id, uk.url_canonical, nb.predicted_lang, f.n_words, CASE WHEN NOT uk.ukeep THEN 'url_dup' WHEN NOT ek.ckeep THEN 'exact_dup' WHEN f.ff IS NOT NULL THEN f.ff ELSE 'kept' END AS fate FROM uk LEFT JOIN ek ON uk.doc_id = ek.doc_id JOIN nbbest nb ON uk.doc_id = nb.doc_id JOIN f ON uk.doc_id = f.doc_id UNION ALL SELECT doc_id, 'https://news-site.com/Articles/' || a || '?id=1&ref=home' AS url_canonical, CAST(NULL AS VARCHAR) AS predicted_lang, CAST(NULL AS BIGINT) AS n_words, 'revisit_dup' AS fate FROM b WHERE doc_id % 40 = 29 ORDER BY doc_id""",
 
     // block-level boilerplate removal (r15; numeric refs r17): the
     // planted chrome — nav menu, cookie banner, heading, read-more row,

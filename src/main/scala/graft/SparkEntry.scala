@@ -1018,16 +1018,23 @@ object SparkEntry {
         .select(col("doc_id"), col("text"))
         .orderBy("doc_id")
     }),
-    // the FULL CRAWL-CURATION pipeline (r15 capstone, VERDICT stretch
-    // #8 — the FineWeb shape at production composition depth): archive
-    // FILES → record-streamed WARC ingestion → block-level boilerplate
-    // removal → URL dedup → exact-content dedup → lang-ID → Gopher
+    // the FULL CRAWL-CURATION pipeline (r15 capstone; r17: the lang
+    // stage is the TRAINED weak-supervised model and refetched pages
+    // arrive as REVISIT records — VERDICT #1 + stretch #8): archive
+    // FILES → record-streamed WARC ingestion (responses AND revisits)
+    // → revisit digest-join fate → block-level boilerplate removal →
+    // URL dedup → exact-content dedup → weak-NB lang ID → Gopher
     // gauntlet, reported as ONE per-document fate table a single
-    // oracle adjudicates. The rig plants every fate: refetch URL
-    // variants (url_dup), a syndicated copy of the group anchor's body
-    // at a DIFFERENT canonical URL (exact_dup — the case URL dedup
-    // structurally cannot catch), and bodies that pass or fail the
-    // gauntlet on their own text.
+    // oracle adjudicates (the weak labeling + NB training + micro-nat
+    // scoring restated in SQL end-to-end). The rig plants every fate:
+    // a refetch URL variant (url_dup), a REVISIT record of the group
+    // anchor's page (revisit_dup — fetch-time identity, no body
+    // travels), a syndicated copy at a DIFFERENT canonical URL
+    // (exact_dup), and bodies that pass or fail the gauntlet. Each
+    // group's body carries a 5-language pool-word prefix (grp-closed
+    // forms, pools shared with the oracle), so the weak stage has
+    // real labels to bootstrap from and classifies sub-threshold docs
+    // the heuristic would call 'und'.
     "crawl_curation" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val tmp = java.nio.file.Files.createTempDirectory("graft_crawlcur_")
@@ -1038,25 +1045,40 @@ object SparkEntry {
       val anchors = docs.filter(col("doc_id") % 40 === 9)
         .select((col("doc_id") - col("doc_id") % 40).as("grp"),
           col("text").as("atext"))
+      // per-GROUP language-pool prefix: pool and length are closed
+      // forms of grp, so the anchor, its syndicated copy, and its
+      // revisit all share one body byte-for-byte
+      val pools = TextAnalysis.langIdRigPools
+      val poolArr = array(pools.map { case (_, ws) =>
+        array(ws.map(lit): _*) }: _*)
+      val li = expr("(grp div 40) % 5").cast("int")
+      val n = expr("(grp div 40) % 6 + 5").cast("int")
+      val prefix = array_join(transform(sequence(lit(0), n - 1), i =>
+        element_at(element_at(poolArr, li + 1),
+          ((col("grp") * 7 + i * 11) % 12).cast("int") + 1)), " ")
       val withBody = slice.join(broadcast(anchors), Seq("grp"), "left")
         .select(col("doc_id"), col("grp"),
-          when(col("doc_id") % 40 === 39, coalesce(col("atext"), col("text")))
-            .otherwise(col("text")).as("body"))
+          concat(prefix, lit(" "),
+            when(col("doc_id") % 40 === 39 || col("doc_id") % 40 === 29,
+              coalesce(col("atext"), col("text")))
+              .otherwise(col("text"))).as("body"),
+          (col("doc_id") % 40 === 29).as("rv"))
       val a = col("grp").cast("string")
-      val url = when(col("doc_id") % 40 === 9,
-          concat(lit("https://news-site.com/Articles/"), a,
-            lit("?id=1&ref=home")))
-        .when(col("doc_id") % 40 === 19,
+      // slot 29 is the anchor page REFETCHED: same URL, and the page
+      // content (below) is the anchor's, so its payload digest matches
+      val url = when(col("doc_id") % 40 === 19,
           concat(lit("HTTPS://News-Site.COM:443/Articles/"), a,
             lit("?ref=home&utm_source=feed&id=1")))
-        .when(col("doc_id") % 40 === 29,
-          concat(lit("https://news-site.com/Articles/"), a,
-            lit("?id=1&ref=home#section-2")))
-        .otherwise(
+        .when(col("doc_id") % 40 === 39,
           concat(lit("https://news-site.com/Articles/"), a,
             lit("?id=2&ref=home")))
+        .otherwise(
+          concat(lit("https://news-site.com/Articles/"), a,
+            lit("?id=1&ref=home")))
+      val pageDocId = when(col("doc_id") % 40 === 29, col("grp") + 9)
+        .otherwise(col("doc_id"))
       val html = concat(
-        lit("<html><head><title>Doc "), col("doc_id"),
+        lit("<html><head><title>Doc "), pageDocId,
         lit("</title></head><body><nav><a href=\"/\">Home</a> " +
           "<a href=\"/about\">About</a> <a href=\"/contact\">Contact</a>" +
           "</nav><div class=\"cookie\">Accept cookies</div><p>"),
@@ -1066,43 +1088,19 @@ object SparkEntry {
           "<a href=\"/imprint\">Imprint</a> 2024</footer></body></html>"))
       graft.sources.Warc.writeArchives(
         withBody.select(expr("(doc_id div 10) % 8").as("file_id"),
-          col("doc_id"), url.as("url"), html.as("text")),
-        tmp.toString)
-      val pages = graft.sources.Warc.readWarcFiles(s, tmp.toString)
-        .filter(col("warc_type") === "response")
+          col("doc_id"), url.as("url"), html.as("text"),
+          col("rv").as("revisit")),
+        tmp.toString, revisitCol = "revisit")
+      val recs = graft.sources.Warc.readWarcFiles(s, tmp.toString)
+        .filter(col("warc_type").isin("response", "revisit"))
         .select(
           regexp_extract(col("rec_id"), "urn:graft:doc:(\\d+)", 1)
             .cast("long").as("doc_id"),
-          col("url"), col("body").cast("string").as("html"))
-      val ext = TextAnalysis.htmlToMainText(pages) // doc_id, url, text
-      val ud = Curation.urlDedup(ext)              // + url_canonical, keep
-      // exact-content dedup among URL survivors — Dedup.exact's digest +
-      // first-seen rule in the skew-safe groupBy-min shape
-      val survivors = ud.filter(col("keep"))
-        .select(col("doc_id"), md5(lower(trim(col("text")))).as("digest"))
-      val firstSeen = survivors.groupBy("digest")
-        .agg(min("doc_id").as("__first"))
-      val contentKeep = survivors.join(firstSeen, Seq("digest"))
-        .select(col("doc_id"),
-          (col("doc_id") === col("__first")).as("content_keep"))
-      val lang = TextAnalysis.langId(ext.select("doc_id", "text"))
-        .select(col("doc_id"), col("predicted_lang"))
-      val gq = TextAnalysis.gopherQuality(ext.select("doc_id", "text"))
-        .select(col("doc_id"), col("n_words"), col("first_fail"))
-      val out = ud.select("doc_id", "url_canonical", "keep")
-        .join(contentKeep, Seq("doc_id"), "left")
-        .join(lang, Seq("doc_id"))
-        .join(gq, Seq("doc_id"))
-        .select(col("doc_id"), col("url_canonical"), col("predicted_lang"),
-          col("n_words"),
-          when(!col("keep"), lit("url_dup"))
-            .when(!col("content_keep"), lit("exact_dup"))
-            .when(col("first_fail") =!= "", col("first_fail"))
-            .otherwise(lit("kept")).as("fate"))
-        .orderBy("doc_id")
+          col("warc_type"), col("url"), col("payload_digest"),
+          col("body").cast("string").as("html"))
         .localCheckpoint()
       rmTree(tmp.toFile)
-      out
+      Curation.crawlCurate(recs).orderBy("doc_id")
     }),
     // block-level boilerplate removal (r15, VERDICT #2 — the C4/CCNet
     // step plain html_extract lacks): per-doc pages planted with the

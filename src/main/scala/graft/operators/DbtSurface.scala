@@ -697,6 +697,93 @@ object Curation {
         .map(col): _*)
   }
 
+  /** The default lang stage of [[crawlCurate]]: the weak-supervised
+    * trained model ([[TextAnalysis.langIdWeak]] — heuristic-confident
+    * rows label, the NB model scores everyone), projected to the
+    * (doc_id, predicted_lang) drop-in shape. */
+  def weakLangStage(docs: DataFrame): DataFrame =
+    TextAnalysis.langIdWeak(docs).select("doc_id", "predicted_lang")
+
+  /** The FULL crawl-curation pipeline (r15 capstone; r17 makes the
+    * lang stage PLUGGABLE with the trained model as the default, and
+    * adds the revisit fate): ingested crawl records — `(doc_id,
+    * warc_type, url, payload_digest, html)`, responses AND revisits —
+    * flow through
+    *  1. revisit resolution FIRST (the CommonCrawl shortcut D91
+    *     proved): a `revisit` record carries no payload, so its fate
+    *     decides by a digest join against the batch's responses —
+    *     `revisit_dup` when the original is present, `revisit_orphan`
+    *     when it lives in another segment; refetched-unchanged pages
+    *     never reach text extraction at all;
+    *  2. block-level boilerplate removal (htmlToMainText);
+    *  3. URL dedup (canonical first-seen, skew-safe groupBy-min);
+    *  4. exact-content dedup among URL survivors;
+    *  5. the LANG STAGE — any `(doc_id, text) => (doc_id,
+    *     predicted_lang)` frame function; default = the trained
+    *     weak-supervised model ([[weakLangStage]]) — a labeled-fixture
+    *     [[TextAnalysis.langIdModel]] plugs in to name languages no
+    *     lexicon covers (spec-exercised), and [[TextAnalysis.langId]]
+    *     remains available as the heuristic twin;
+    *  6. the Gopher gauntlet.
+    * Output: ONE per-document fate table (doc_id, url_canonical,
+    * predicted_lang, n_words, fate) over every record — fates
+    * url_dup / exact_dup / revisit_dup / revisit_orphan / the
+    * gauntlet's first_fail / kept; revisit rows carry NULL lang and
+    * n_words (there is no body to analyze — stating that honestly
+    * beats fabricating columns). Stage costs: scan-bound until the
+    * canonical-key and digest exchanges; the digest join's response
+    * side aggregates to (digest, first doc) before joining, so a
+    * syndicated-digest storm cannot fan the revisit side out. */
+  def crawlCurate(recs: DataFrame,
+                  langStage: DataFrame => DataFrame = weakLangStage)
+      : DataFrame = {
+    val responses = recs.filter(col("warc_type") === "response")
+    val revisits = recs.filter(col("warc_type") === "revisit")
+    // extraction is the funnel's compute-heavy step and EVERY later
+    // stage re-reads its output — URL dedup, the content digest, the
+    // NB lang stage's ~6 plan branches (tf/model/priors/scoring), the
+    // gauntlet. Materialize it once (lazy local checkpoint, same
+    // pattern as Dedup's banded reuse): per ingest batch the extracted
+    // text is the working set every stage scans anyway, and without
+    // this each branch re-runs the HTML kernel over the batch.
+    val ext = graft.operators.TextAnalysis.htmlToMainText(
+      responses.select("doc_id", "url", "html")).localCheckpoint(false)
+    val ud = urlDedup(ext)
+    val survivors = ud.filter(col("keep"))
+      .select(col("doc_id"), md5(lower(trim(col("text")))).as("digest"))
+    val firstSeen = survivors.groupBy("digest")
+      .agg(min("doc_id").as("__first"))
+    val contentKeep = survivors.join(firstSeen, Seq("digest"))
+      .select(col("doc_id"),
+        (col("doc_id") === col("__first")).as("content_keep"))
+    val lang = langStage(ext.select("doc_id", "text"))
+      .select("doc_id", "predicted_lang")
+    val gq = graft.operators.TextAnalysis.gopherQuality(
+        ext.select("doc_id", "text"))
+      .select(col("doc_id"), col("n_words"), col("first_fail"))
+    val respFates = ud.select("doc_id", "url_canonical", "keep")
+      .join(contentKeep, Seq("doc_id"), "left")
+      .join(lang, Seq("doc_id"))
+      .join(gq, Seq("doc_id"))
+      .select(col("doc_id"), col("url_canonical"), col("predicted_lang"),
+        col("n_words"),
+        when(!col("keep"), lit("url_dup"))
+          .when(!col("content_keep"), lit("exact_dup"))
+          .when(col("first_fail") =!= "", col("first_fail"))
+          .otherwise(lit("kept")).as("fate"))
+    val respDigests = responses
+      .groupBy("payload_digest").agg(min("doc_id").as("__orig"))
+    val revFates = revisits
+      .select(col("doc_id"), col("url"), col("payload_digest"))
+      .join(respDigests, Seq("payload_digest"), "left")
+      .select(col("doc_id"), canonicalUrl(col("url")).as("url_canonical"),
+        lit(null).cast("string").as("predicted_lang"),
+        lit(null).cast("long").as("n_words"),
+        when(col("__orig").isNotNull, "revisit_dup")
+          .otherwise("revisit_orphan").as("fate"))
+    respFates.unionByName(revFates)
+  }
+
   /** Host of a hierarchical URL (r16 — the key every domain-level
     * curation step needs from RAW crawl URLs: quotas, blocklists,
     * per-site stats all group on it): the authority lowercased, minus

@@ -156,6 +156,41 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** WEAK-SUPERVISED trained language ID (r17, VERDICT #1 — the
+    * bootstrap that lets the SHIPPED pipeline run the trained model
+    * with no labeled data, the way `quality_classifier` bootstraps
+    * from heuristic gates): the lexicon heuristic's CONFIDENT calls
+    * become training labels — a doc labels as [[langId]]'s argmax when
+    * its best distinct-hit count reaches `minHits` (ties break in
+    * lexicon order, exactly the heuristic's chain) — and
+    * [[langIdModel]] trains on those rows and scores EVERY doc. The
+    * model then classifies docs the heuristic cannot call (zero or
+    * sub-threshold hits → 'und' under the heuristic) from their
+    * character bigrams; what it cannot do is NAME a language no
+    * lexicon labels — that needs a labeled frame through
+    * [[langIdModel]] directly, the pluggable-stage path the curation
+    * funnel exposes. Same determinism as D83 (micro-nat single
+    * rounding point, exact integer sums, total-order argmax), so the
+    * whole weak chain hash-adjudicates. Scale: the labeling pass is
+    * scan-bound; everything after is [[langIdModel]]'s two gram-scale
+    * aggregations + broadcast-model scoring. */
+  def langIdWeak(documents: DataFrame, minHits: Int = 3): DataFrame = {
+    val hitCols = lexicons.map { case (l, lex) =>
+      size(array_intersect(distinctWords, array(lex.map(lit): _*)))
+        .as(s"hits_$l")
+    }
+    val best = greatest(lexicons.map { case (l, _) => col(s"hits_$l") }: _*)
+    val chain = lexicons.reverse.foldLeft(lit("und"): Column) {
+      case (e, (l, _)) => when(col(s"hits_$l") === best && best > 0, l)
+        .otherwise(e)
+    }
+    val labeled = documents
+      .select(col("doc_id") +: col("text") +: hitCols: _*)
+      .withColumn("__lbl", when(best >= minHits, chain))
+      .select(col("doc_id"), col("text"), col("__lbl"))
+    langIdModel(labeled, "__lbl", trainGate = col("__lbl").isNotNull)
+  }
+
   /** [[langIdModel]] at the WIDE model layout — the 170-language rung
     * that row's scaladoc names: the model pivots to ONE micro-nat
     * VECTOR per bigram (candidate languages in sorted order, the

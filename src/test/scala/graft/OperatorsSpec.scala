@@ -488,6 +488,80 @@ class OperatorsSpec extends SparkSpec {
       "wide layout diverged from the narrow one")
   }
 
+  test("crawl curation (r17): the weak-supervised model stage classifies " +
+       "a zero-hit doc the heuristic calls 'und', revisits resolve by " +
+       "digest with no body, and a labeled model stage names a " +
+       "lexicon-less language the heuristic structurally cannot") {
+    import spark.implicits._
+    val lex = TextAnalysis.lexicons.toMap
+    def body(ws: Seq[String]): String =
+      Iterator.continually(ws).flatten.take(60).mkString(" ")
+    def page(b: String) = s"<html><body><p>$b</p></body></html>"
+    val deB = body(lex("de"))
+    val enB = body(lex("en"))
+    // zero lexicon hits in ANY language (the heuristic must answer
+    // 'und'), but the char bigrams are unmistakably German
+    val subB = body(Seq("derart", "undsoweiter", "mitunter", "einig",
+      "nichts", "zeiten"))
+    // Italian from the rig pool: 'con'/'un' graze the es lexicon (2
+    // distinct hits < minHits 3) so the weak stage leaves it UNLABELED
+    val itB = body(Seq("il", "lo", "di", "e", "che", "non", "con", "un",
+      "anche", "quando", "ma", "tempo"))
+    val recs = Seq(
+      (1L, "response", "https://example.com/a?x=1", "d-de", page(deB)),
+      (2L, "response", "https://example.com/b?x=1", "d-en", page(enB)),
+      (3L, "response", "https://example.com/c?x=1", "d-sub", page(subB)),
+      // url_dup of doc 1 after canonicalization (case + default port)
+      (4L, "response", "HTTPS://Example.COM:443/a?x=1", "d-de2",
+        page(body(lex("de").reverse))),
+      // exact_dup: doc 1's page verbatim at a distinct canonical URL
+      (5L, "response", "https://example.com/e?x=1", "d-de", page(deB)),
+      (8L, "response", "https://example.com/i?x=1", "d-it", page(itB)),
+      // revisits carry a digest and NO body: 6 refetches doc 1's page
+      // (in-batch original -> revisit_dup), 7's original lives in
+      // another segment (revisit_orphan)
+      (6L, "revisit", "https://example.com/a?x=1", "d-de", ""),
+      (7L, "revisit", "https://example.com/z?x=1", "d-gone", ""),
+    ).toDF("doc_id", "warc_type", "url", "payload_digest", "html")
+    val fates = Curation.crawlCurate(recs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(fates(4).getString(4) == "url_dup")
+    assert(fates(5).getString(4) == "exact_dup")
+    assert(fates(6).getString(4) == "revisit_dup" &&
+      fates(6).isNullAt(2) && fates(6).isNullAt(3),
+      "a revisit resolves by digest alone: no lang, no word count")
+    assert(fates(7).getString(4) == "revisit_orphan")
+    assert(fates(6).getString(1) == fates(1).getString(1),
+      "the revisit's canonical URL matches its original's")
+    // the default weak stage: heuristic-confident rows (1, 2, 4, 5)
+    // bootstrap the NB model, which then classifies the zero-hit doc
+    val heur = TextAnalysis.langId(
+        TextAnalysis.htmlToMainText(recs.filter($"warc_type" === "response")
+          .select($"doc_id", $"html")).select("doc_id", "text"))
+      .select("doc_id", "predicted_lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(heur(3L) == "und", "rig invariant: zero hits everywhere")
+    assert(fates(1).getString(2) == "de" && fates(2).getString(2) == "en")
+    assert(fates(3).getString(2) == "de",
+      "the trained stage classifies what the heuristic cannot call")
+    // the PLUGGABLE stage: a labeled frame through langIdModel names
+    // Italian — a language no lexicon covers, so the heuristic answers
+    // from its fixed menu ('es' on the grazing hits) and can never say
+    // 'it'; the funnel with the model stage does
+    val labels = Seq((1L, "de"), (2L, "en"), (4L, "de"), (5L, "de"),
+      (8L, "it")).toDF("doc_id", "lbl")
+    val staged = Curation.crawlCurate(recs, ext =>
+        TextAnalysis.langIdModel(ext.join(labels, Seq("doc_id"), "left"),
+            "lbl", trainGate = col("lbl").isNotNull)
+          .select("doc_id", "predicted_lang")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(heur(8L) != "it" && staged(8L).getString(2) == "it",
+      "the model-staged funnel names the lexicon-less language")
+    assert(staged.keySet == fates.keySet &&
+      staged.forall { case (k, r) => r.getString(4) == fates(k).getString(4) },
+      "swapping the lang stage changes no fate")
+  }
+
   test("bm25 top-k (r14): plain-Scala re-derivation of the micro-unit " +
        "weights and ranking; a verbatim copy of a corpus doc retrieves " +
        "it at rank 1; the stop-term cap drops hot terms from scoring") {
