@@ -116,7 +116,7 @@ object OracleSql {
        priors AS (SELECT lang AS cand, CAST(ROUND(ln(CAST(COUNT(*) AS DOUBLE) / CAST((SELECT COUNT(*) FROM lbl WHERE tr) AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS prior_unats FROM lbl WHERE tr GROUP BY 1),
        gsum AS (SELECT nbtf.doc_id, cs.cand, CAST(SUM(nbtf.tf * COALESCE(m.unats, df.d_unats)) AS BIGINT) AS g FROM nbtf CROSS JOIN (SELECT cand FROM priors) cs LEFT JOIN model m ON m.cand = cs.cand AND m.gram = nbtf.gram JOIN defaults df ON df.cand = cs.cand GROUP BY 1, 2),
        nbscored AS (SELECT d.doc_id, p.cand, CAST(p.prior_unats + COALESCE(g.g, 0) AS BIGINT) AS total FROM lbl d CROSS JOIN priors p LEFT JOIN gsum g ON g.doc_id = d.doc_id AND g.cand = p.cand),
-       nbbest AS (SELECT doc_id, cand AS predicted_lang FROM (SELECT doc_id, cand, total, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY total DESC, cand ASC) AS rk FROM nbscored) WHERE rk = 1)"""
+       nbbest AS (SELECT doc_id, cand AS predicted_lang, total AS score_unats FROM (SELECT doc_id, cand, total, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY total DESC, cand ASC) AS rk FROM nbscored) WHERE rk = 1)"""
 
   // TRAINED language ID (r16), shared by the narrow and WIDE-layout
   // twins (identical report): the whole model restated in SQL —
@@ -972,6 +972,16 @@ object OracleSql {
     // TYPE — the D56 single-rounding-point discipline — then exact
     // BIGINT sums and an argmax total-ordered by score desc, lang asc)
     "lang_id_model" -> langIdModelSql,
+
+    // WEAK-SUPERVISED lang ID standalone (r17, D95's default funnel
+    // stage on its own rig): the same planted 5-pool corpus with NO
+    // given labels — the lexicon heuristic's confident calls (>= 3
+    // distinct hits, ties in lexicon order) label, the factored NB
+    // chain trains on those rows and scores everyone. Italian can
+    // never train (no lexicon names it) yet classifies
+    // deterministically from its bigrams.
+    "lang_id_weak" ->
+      s"""WITH base AS (SELECT doc_id, CAST(doc_id % 5 AS INT) AS li, CAST(doc_id % 6 + 5 AS INT) AS n FROM documents), docs AS (SELECT doc_id, array_to_string(list_transform(range(0, n), i -> $rigPoolsList[li + 1][CAST((doc_id * 7 + i * 11) % 12 AS INT) + 1]), ' ') AS text FROM base), hh AS (SELECT doc_id, text, len(list_intersect($docWords, ['der','die','das','und','ist','nicht','mit','ein'])) AS hits_de, len(list_intersect($docWords, ['the','a','of','and','is','not','with','to'])) AS hits_en, len(list_intersect($docWords, ['el','la','de','y','es','no','con','un'])) AS hits_es, len(list_intersect($docWords, ['le','la','de','et','est','pas','avec','un'])) AS hits_fr FROM docs), lb0 AS (SELECT doc_id, lower(text) AS t, CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) >= 3 THEN CASE WHEN hits_de = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'de' WHEN hits_en = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'en' WHEN hits_es = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'es' ELSE 'fr' END END AS lang FROM hh), lbl AS (SELECT doc_id, t, lang, lang IS NOT NULL AS tr FROM lb0), $weakNbStages SELECT l.doc_id, l.lang, n.predicted_lang, n.score_unats, l.tr AS is_train FROM lbl l JOIN nbbest n USING (doc_id) ORDER BY l.doc_id""",
     // the WIDE-layout twin computes the identical report
     "lang_id_model_w" -> langIdModelSql,
 

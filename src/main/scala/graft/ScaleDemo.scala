@@ -59,6 +59,17 @@ import org.apache.spark.sql.functions._
   * keep-rule shapes — the r14 window (whole hot key in one task) vs
   * the r15 map-side-combined groupBy-min — outputs required equal.
   *
+  * r17 adds the BPE APPLY-PRICING demo (§10): the claim "the tokenizer
+  * fold is priced per corpus-DISTINCT word, never per occurrence"
+  * (TextAnalysis.bpeVocab's distinct-word join) gets a number — the
+  * fold stage measured on the base corpus, on a typo-injected corpus
+  * with ~10× the VOCABULARY at the same occurrence count (a web-scale
+  * typo/hash vocabulary is exactly this shape), and on a replicated
+  * corpus with 10× the OCCURRENCES over the same vocabulary. Distinct
+  * pricing predicts: cost tracks the first axis and stays flat on the
+  * second; the full apply on the 10×-occurrence corpus then shows the
+  * occurrence axis riding the join scan, not the fold.
+  *
   * r16 adds the LANDING-DIFF demo (§9): the archive ingest loop's
   * landing-vs-processed diff at a 10⁵-file processed lifetime — the
   * old per-batch collect of the WHOLE processed table (driver rows
@@ -91,7 +102,7 @@ object ScaleDemo {
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val workDir = args.lift(1).getOrElse("/tmp/graft_scaledemo")
-    val outJson = args.lift(2).getOrElse("SCALE_DEMO_r16.json")
+    val outJson = args.lift(2).getOrElse("SCALE_DEMO_r17.json")
     val cpus = graft.util.BenchHarness.cpus(sys.env.get("SPARK_GRAFT_CPUS"))
     val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "2").toInt.max(1)
     val spark = SparkSession.builder()
@@ -540,6 +551,82 @@ object ScaleDemo {
         s"driver rows collected/batch old=$oldDriverRows (linear in " +
         s"lifetime) vs engine=$newDriverRows (batch-scale)")
 
+    // ---- 10. BPE apply pricing (r17): distinct words, not occurrences ----
+    // bpeVocab folds the merge rules once per corpus-DISTINCT word and
+    // bpeTokenizeDocs joins occurrences against that table. Two 10×
+    // corpora separate the axes: v10 typo-injects a per-occurrence
+    // variant suffix (vocabulary ~×10, occurrence count UNCHANGED —
+    // the web-scale typo/hash-fragment vocabulary shape) and o10
+    // replicates every doc under fresh ids (occurrences ×10,
+    // vocabulary unchanged). Distinct pricing predicts the fold stage
+    // tracks v10 and stays flat on o10; the full apply on o10 pays
+    // scan+join+groupBy for the extra occurrences but never re-folds.
+    import graft.operators.TextAnalysis
+    val v10 = {
+      val path = s"$workDir/v10"
+      x1.select(col("doc_id"),
+          array_join(transform(split(col("text"), " "),
+            (w, i) => concat(w, lit("q"),
+              ((col("doc_id") + i) % 10).cast("string"))), " ").as("text"),
+          col("lang"), col("source"))
+        .repartition(32).write.mode("overwrite").parquet(path)
+      spark.read.parquet(path)
+    }
+    val o10 = {
+      val path = s"$workDir/o10"
+      (0 until 10).map { r =>
+        x1.select((col("doc_id") * 10 + r).as("doc_id"), col("text"),
+          col("lang"), col("source"))
+      }.reduce(_ unionByName _)
+        .repartition(32).write.mode("overwrite").parquet(path)
+      spark.read.parquet(path)
+    }
+    // the synthetic corpus draws from a ~10² word pool, so ×10 barely
+    // moves the fold count; vX salts per-occurrence (%1000) for a
+    // ~10³× vocabulary at the SAME occurrence count — the regime where
+    // the fold price is visible and the per-word price derives
+    val vX = {
+      val path = s"$workDir/vX"
+      x1.select(col("doc_id"),
+          array_join(transform(split(col("text"), " "),
+            (w, i) => concat(w, lit("q"),
+              ((col("doc_id") * 31 + i) % 1000).cast("string"))), " ")
+            .as("text"),
+          col("lang"), col("source"))
+        .repartition(32).write.mode("overwrite").parquet(path)
+      spark.read.parquet(path)
+    }
+    def wordStats(d: DataFrame): (Long, Long) = {
+      val w = d.select(explode(split(lower(trim(col("text"))), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+      (w.distinct().count(), w.count())
+    }
+    val (dwX1, ocX1) = wordStats(x1)
+    val (dwV10, ocV10) = wordStats(v10)
+    val (dwO10, ocO10) = wordStats(o10)
+    val (dwVX, ocVX) = wordStats(vX)
+    require(ocV10 == ocX1 && ocVX == ocX1,
+      "vocabulary corpora must keep the occurrence count")
+    require(dwO10 == dwX1, "o10 must keep the vocabulary")
+    val bpeMerges = TextAnalysis.trainBpeMerges(x1, nMerges = 10)
+    run("bpe_vocab_x1")(TextAnalysis.bpeVocab(x1, bpeMerges).count())
+    run("bpe_vocab_v10")(TextAnalysis.bpeVocab(v10, bpeMerges).count())
+    run("bpe_vocab_o10")(TextAnalysis.bpeVocab(o10, bpeMerges).count())
+    run("bpe_vocab_vX")(TextAnalysis.bpeVocab(vX, bpeMerges).count())
+    run("bpe_apply_x1")(TextAnalysis.bpeTokenizeDocs(x1, bpeMerges).count())
+    run("bpe_apply_o10")(TextAnalysis.bpeTokenizeDocs(o10, bpeMerges).count())
+    run("bpe_apply_vX")(TextAnalysis.bpeTokenizeDocs(vX, bpeMerges).count())
+    // the number the claim owes: cpu delta between the salted-vocab and
+    // base corpora (same occurrence count — everything but the fold
+    // count cancels) divided by the extra distinct words
+    val foldPriceUs =
+      (results("bpe_vocab_vX")._2 - results("bpe_vocab_x1")._2) * 1e6 /
+        (dwVX - dwX1).toDouble
+    System.err.println(
+      s"[scaledemo] bpe pricing: distinct words x1=$dwX1 v10=$dwV10 " +
+        s"o10=$dwO10 vX=$dwVX; occurrences x1=$ocX1 (=v10=vX) " +
+        f"o10=$ocO10; fold price ≈ $foldPriceUs%.1f µs/distinct word")
+
     val counts = Map("x1" -> x1.count(), "x10" -> x10.count(),
       "batch" -> batch.count())
     val json = {
@@ -552,6 +639,7 @@ object ScaleDemo {
         f""""warc":{"inflated_mb":$warcInflatedMb,"gz_mb":$warcGzMb%.1f,"records":$warc1,"whole_payload_refused":true},""" +
         f""""urldedup_u10_hot_task":{"window_peak_mb":${uwPeak / 1e6}%.0f,"window_spill_mb":${uwSpill / 1e6}%.0f,"agg_peak_mb":${uaPeak / 1e6}%.0f,"agg_spill_mb":${uaSpill / 1e6}%.0f},""" +
         s""""landing_diff":{"lifetime_files":$lifetime,"fresh_files":20,"driver_rows_per_batch_old":$oldDriverRows,"driver_rows_per_batch_engine":$newDriverRows},""" +
+        f""""bpe_pricing":{"distinct_words":{"x1":$dwX1,"v10":$dwV10,"o10":$dwO10,"vX":$dwVX},"occurrences":{"x1":$ocX1,"v10":$ocV10,"o10":$ocO10,"vX":$ocVX},"fold_price_us_per_distinct_word":$foldPriceUs%.2f},""" +
         s""""env":{"cpus":${graft.util.BenchHarness.jsonNum(cpus)},"iters":$iters,"heap_mb":${Runtime.getRuntime.maxMemory() / (1024 * 1024)}},""" +
         s""""measurements":{$rows}}"""
     }

@@ -806,6 +806,16 @@ object SparkEntry {
     // math bit-for-bit, so it shares lang_id_model's oracle verbatim
     "lang_id_model_w" -> ((s, d) =>
       TextAnalysis.langIdModelWide(langIdRig(s, d))),
+    // WEAK-SUPERVISED trained lang ID (r17 — D95's default funnel
+    // stage adjudicated on its own rig, outside the funnel): the same
+    // planted 5-pool corpus but NO labels given — the lexicon
+    // heuristic's confident calls (>= 3 distinct hits) become the
+    // training labels and the NB model scores every doc. Italian docs
+    // can never train (no lexicon names them) yet classify
+    // deterministically from their bigrams; the oracle restates
+    // labeling + training + micro-nat scoring end-to-end
+    "lang_id_weak" -> ((s, d) =>
+      TextAnalysis.langIdWeak(langIdRig(s, d).select("doc_id", "text"))),
     "quality_score"   -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
     "token_count"     -> ((s, d) => TextAnalysis.tokenCount(Tables.documents(s, d))),
     "heavy_hitters"   -> ((s, d) => TextAnalysis.heavyHitters(Tables.documents(s, d))),

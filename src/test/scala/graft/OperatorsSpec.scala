@@ -488,6 +488,45 @@ class OperatorsSpec extends SparkSpec {
       "wide layout diverged from the narrow one")
   }
 
+  test("weak-supervised lang-ID (r17): labels come only from confident " +
+       "lexicon calls, every doc is scored, and the weak chain recovers " +
+       "the lexicon languages without a single given label") {
+    import spark.implicits._
+    val pools = TextAnalysis.langIdRigPools
+    val rows = (0L until 400L).map { d =>
+      val (lang, ws) = pools((d % 5).toInt)
+      val n = (d % 6 + 5).toInt
+      (d, lang, (0 until n).map(i => ws(((d * 7 + i * 11) % 12).toInt))
+        .mkString(" "))
+    }
+    val out = TextAnalysis.langIdWeak(
+        rows.toDF("doc_id", "lang", "text").select("doc_id", "text"))
+      .collect()
+    assert(out.length == 400, "every doc is scored, unlabeled included")
+    val truth = rows.map(r => r._1 -> r._2).toMap
+    val lexLangs = TextAnalysis.lexicons.map(_._1).toSet
+    out.foreach { r =>
+      val lbl = Option(r.getString(1))
+      assert(lbl.forall(lexLangs), s"weak label outside the lexicons: $lbl")
+      assert(r.getBoolean(4) == lbl.isDefined, "is_train != labeled")
+      assert(r.getString(2) != null, "every doc gets a prediction")
+    }
+    // Italian structurally cannot label (no lexicon reaches minHits on
+    // its pool), so 'it' never trains — but every it-pool doc still
+    // classifies deterministically from its bigrams
+    val itDocs = out.filter(r => truth(r.getLong(0)) == "it")
+    assert(itDocs.nonEmpty && itDocs.forall(_.isNullAt(1)))
+    // the weak chain recovers the four lexicon languages with no given
+    // labels: accuracy on their docs (labeled AND sub-threshold)
+    val lexDocs = out.filter(r => truth(r.getLong(0)) != "it")
+    val acc = lexDocs.count(r => r.getString(2) == truth(r.getLong(0)))
+      .toDouble / lexDocs.length
+    assert(acc >= 0.9, s"weak-supervised accuracy $acc on lexicon languages")
+    val unlabeled = lexDocs.filter(_.isNullAt(1))
+    assert(unlabeled.nonEmpty,
+      "rig invariant: some lexicon-language docs fall below minHits")
+  }
+
   test("crawl curation (r17): the weak-supervised model stage classifies " +
        "a zero-hit doc the heuristic calls 'und', revisits resolve by " +
        "digest with no body, and a labeled model stage names a " +
