@@ -61,6 +61,88 @@ object SparkEntry {
         .as("text"))
   }
 
+  /** The crawl-curation rig (r15; r17 adds the revisit slot and the
+    * per-group language-pool prefix): planted multi-page WARC archives
+    * on disk → record-streamed ingestion → crawl records `(doc_id,
+    * warc_type, url, payload_digest, html)`, localCheckpointed so the
+    * archive tmp dir can be removed. The rig plants every fate — a
+    * refetch URL variant (slot 19 → url_dup), a REVISIT record of the
+    * group anchor's page (slot 29 — same URL, digest of the anchor's
+    * byte-identical page, no body travels), a syndicated copy at a
+    * DIFFERENT canonical URL (slot 39 → exact_dup), and bodies that
+    * pass or fail the gauntlet on their own text; each group's body
+    * carries a 5-language pool-word prefix (grp-closed forms, pools
+    * shared with the oracle) so the weak lang stage has real labels to
+    * bootstrap from. Shared by `crawl_curation` and its streaming
+    * twin. */
+  private def crawlRecsRig(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_crawlcur_")
+    val docs = Tables.documents(s, d)
+    val slice = docs.filter(col("doc_id") % 10 === 9)
+      .select(col("doc_id"), (col("doc_id") - col("doc_id") % 40).as("grp"),
+        col("text"))
+    val anchors = docs.filter(col("doc_id") % 40 === 9)
+      .select((col("doc_id") - col("doc_id") % 40).as("grp"),
+        col("text").as("atext"))
+    // per-GROUP language-pool prefix: pool and length are closed
+    // forms of grp, so the anchor, its syndicated copy, and its
+    // revisit all share one body byte-for-byte
+    val pools = TextAnalysis.langIdRigPools
+    val poolArr = array(pools.map { case (_, ws) =>
+      array(ws.map(lit): _*) }: _*)
+    val li = expr("(grp div 40) % 5").cast("int")
+    val n = expr("(grp div 40) % 6 + 5").cast("int")
+    val prefix = array_join(transform(sequence(lit(0), n - 1), i =>
+      element_at(element_at(poolArr, li + 1),
+        ((col("grp") * 7 + i * 11) % 12).cast("int") + 1)), " ")
+    val withBody = slice.join(broadcast(anchors), Seq("grp"), "left")
+      .select(col("doc_id"), col("grp"),
+        concat(prefix, lit(" "),
+          when(col("doc_id") % 40 === 39 || col("doc_id") % 40 === 29,
+            coalesce(col("atext"), col("text")))
+            .otherwise(col("text"))).as("body"),
+        (col("doc_id") % 40 === 29).as("rv"))
+    val a = col("grp").cast("string")
+    // slot 29 is the anchor page REFETCHED: same URL, and the page
+    // content (below) is the anchor's, so its payload digest matches
+    val url = when(col("doc_id") % 40 === 19,
+        concat(lit("HTTPS://News-Site.COM:443/Articles/"), a,
+          lit("?ref=home&utm_source=feed&id=1")))
+      .when(col("doc_id") % 40 === 39,
+        concat(lit("https://news-site.com/Articles/"), a,
+          lit("?id=2&ref=home")))
+      .otherwise(
+        concat(lit("https://news-site.com/Articles/"), a,
+          lit("?id=1&ref=home")))
+    val pageDocId = when(col("doc_id") % 40 === 29, col("grp") + 9)
+      .otherwise(col("doc_id"))
+    val html = concat(
+      lit("<html><head><title>Doc "), pageDocId,
+      lit("</title></head><body><nav><a href=\"/\">Home</a> " +
+        "<a href=\"/about\">About</a> <a href=\"/contact\">Contact</a>" +
+        "</nav><div class=\"cookie\">Accept cookies</div><p>"),
+      col("body"),
+      lit("</p><footer><a href=\"/terms\">Terms</a> " +
+        "<a href=\"/privacy\">Privacy</a> " +
+        "<a href=\"/imprint\">Imprint</a> 2024</footer></body></html>"))
+    graft.sources.Warc.writeArchives(
+      withBody.select(expr("(doc_id div 10) % 8").as("file_id"),
+        col("doc_id"), url.as("url"), html.as("text"),
+        col("rv").as("revisit")),
+      tmp.toString, revisitCol = "revisit")
+    val recs = graft.sources.Warc.readWarcFiles(s, tmp.toString)
+      .filter(col("warc_type").isin("response", "revisit"))
+      .select(
+        regexp_extract(col("rec_id"), "urn:graft:doc:(\\d+)", 1)
+          .cast("long").as("doc_id"),
+        col("warc_type"), col("url"), col("payload_digest"),
+        col("body").cast("string").as("html"))
+      .localCheckpoint()
+    rmTree(tmp.toFile)
+    recs
+  }
+
   /** The PSL rig (r17): a real PSL-FORMAT data file — comments,
     * wildcard, exception, multi-label exact rules — written once per
     * session and loaded through [[graft.operators.Curation.PslRules
@@ -1045,73 +1127,15 @@ object SparkEntry {
     // forms, pools shared with the oracle), so the weak stage has
     // real labels to bootstrap from and classifies sub-threshold docs
     // the heuristic would call 'und'.
-    "crawl_curation" -> ((s, d) => {
-      import org.apache.spark.sql.functions._
-      val tmp = java.nio.file.Files.createTempDirectory("graft_crawlcur_")
-      val docs = Tables.documents(s, d)
-      val slice = docs.filter(col("doc_id") % 10 === 9)
-        .select(col("doc_id"), (col("doc_id") - col("doc_id") % 40).as("grp"),
-          col("text"))
-      val anchors = docs.filter(col("doc_id") % 40 === 9)
-        .select((col("doc_id") - col("doc_id") % 40).as("grp"),
-          col("text").as("atext"))
-      // per-GROUP language-pool prefix: pool and length are closed
-      // forms of grp, so the anchor, its syndicated copy, and its
-      // revisit all share one body byte-for-byte
-      val pools = TextAnalysis.langIdRigPools
-      val poolArr = array(pools.map { case (_, ws) =>
-        array(ws.map(lit): _*) }: _*)
-      val li = expr("(grp div 40) % 5").cast("int")
-      val n = expr("(grp div 40) % 6 + 5").cast("int")
-      val prefix = array_join(transform(sequence(lit(0), n - 1), i =>
-        element_at(element_at(poolArr, li + 1),
-          ((col("grp") * 7 + i * 11) % 12).cast("int") + 1)), " ")
-      val withBody = slice.join(broadcast(anchors), Seq("grp"), "left")
-        .select(col("doc_id"), col("grp"),
-          concat(prefix, lit(" "),
-            when(col("doc_id") % 40 === 39 || col("doc_id") % 40 === 29,
-              coalesce(col("atext"), col("text")))
-              .otherwise(col("text"))).as("body"),
-          (col("doc_id") % 40 === 29).as("rv"))
-      val a = col("grp").cast("string")
-      // slot 29 is the anchor page REFETCHED: same URL, and the page
-      // content (below) is the anchor's, so its payload digest matches
-      val url = when(col("doc_id") % 40 === 19,
-          concat(lit("HTTPS://News-Site.COM:443/Articles/"), a,
-            lit("?ref=home&utm_source=feed&id=1")))
-        .when(col("doc_id") % 40 === 39,
-          concat(lit("https://news-site.com/Articles/"), a,
-            lit("?id=2&ref=home")))
-        .otherwise(
-          concat(lit("https://news-site.com/Articles/"), a,
-            lit("?id=1&ref=home")))
-      val pageDocId = when(col("doc_id") % 40 === 29, col("grp") + 9)
-        .otherwise(col("doc_id"))
-      val html = concat(
-        lit("<html><head><title>Doc "), pageDocId,
-        lit("</title></head><body><nav><a href=\"/\">Home</a> " +
-          "<a href=\"/about\">About</a> <a href=\"/contact\">Contact</a>" +
-          "</nav><div class=\"cookie\">Accept cookies</div><p>"),
-        col("body"),
-        lit("</p><footer><a href=\"/terms\">Terms</a> " +
-          "<a href=\"/privacy\">Privacy</a> " +
-          "<a href=\"/imprint\">Imprint</a> 2024</footer></body></html>"))
-      graft.sources.Warc.writeArchives(
-        withBody.select(expr("(doc_id div 10) % 8").as("file_id"),
-          col("doc_id"), url.as("url"), html.as("text"),
-          col("rv").as("revisit")),
-        tmp.toString, revisitCol = "revisit")
-      val recs = graft.sources.Warc.readWarcFiles(s, tmp.toString)
-        .filter(col("warc_type").isin("response", "revisit"))
-        .select(
-          regexp_extract(col("rec_id"), "urn:graft:doc:(\\d+)", 1)
-            .cast("long").as("doc_id"),
-          col("warc_type"), col("url"), col("payload_digest"),
-          col("body").cast("string").as("html"))
-        .localCheckpoint()
-      rmTree(tmp.toFile)
-      Curation.crawlCurate(recs).orderBy("doc_id")
-    }),
+    "crawl_curation" -> ((s, d) =>
+      Curation.crawlCurate(crawlRecsRig(s, d)).orderBy("doc_id")),
+    // the SAME funnel as a STREAMING ingest loop (r17 — C23): the
+    // identical rig's records drive crawlCurateIngestBatch cold, and a
+    // cold single batch with empty indexes IS the batch funnel (same
+    // code path, empty priors), so the query shares crawl_curation's
+    // oracle; cross-batch carry is the spec's 2-batch MemoryStream
+    "crawl_curation_inc" -> ((s, d) =>
+      graft.streaming.StreamOps.runCrawlCurateIngest(s, crawlRecsRig(s, d))),
     // block-level boilerplate removal (r15, VERDICT #2 — the C4/CCNet
     // step plain html_extract lacks): per-doc pages planted with the
     // chrome every crawl page shares — a nav menu, a cookie banner, a

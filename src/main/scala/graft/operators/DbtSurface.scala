@@ -732,11 +732,50 @@ object Curation {
     * n_words (there is no body to analyze — stating that honestly
     * beats fabricating columns). Stage costs: scan-bound until the
     * canonical-key and digest exchanges; the digest join's response
-    * side aggregates to (digest, first doc) before joining, so a
+    * side reduces to its distinct digests before joining, so a
     * syndicated-digest storm cannot fan the revisit side out. */
   def crawlCurate(recs: DataFrame,
                   langStage: DataFrame => DataFrame = weakLangStage)
       : DataFrame = {
+    val s = recs.sparkSession
+    def none(c: String): DataFrame =
+      s.range(0).select(col("id").cast("string").as(c))
+    crawlCurateIncremental(recs, none("url_canonical"), none("digest"),
+      none("payload_digest"), langStage)._1
+  }
+
+  /** [[crawlCurate]] against PRIOR state — the core the streaming
+    * ingest loop ([[graft.streaming.StreamOps.crawlCurateIngestBatch]])
+    * drives batch after batch, and that [[crawlCurate]] runs with
+    * empty priors (cold single batch ≡ the batch funnel by
+    * construction — they are the same code path). The three prior
+    * frames extend each first-seen rule across batches:
+    *  - `priorUrls` (url_canonical): a canonical seen in ANY earlier
+    *    batch makes this batch's arrivals `url_dup` (within-batch
+    *    first-seen still breaks ties by min doc_id);
+    *  - `priorDigests` (digest): a content digest already claimed by
+    *    an earlier batch's URL survivor makes a later syndicated copy
+    *    `exact_dup` even at a fresh URL;
+    *  - `priorRespDigests` (payload_digest): a revisit whose original
+    *    response arrived in an EARLIER batch still resolves
+    *    `revisit_dup` — the cross-segment case the batch funnel
+    *    cannot see.
+    * Returns (report, urlDelta, digestDelta, respDelta): the fate
+    * table plus this batch's distinct new keys for each index — the
+    * caller appends them so state grows by at most the batch's key
+    * count. The lang stage trains per batch (the weak bootstrap needs
+    * no carried model; a deployment wanting frozen scores would
+    * persist the model table, the dsirIngest pattern). Scale: every
+    * prior join keys the BATCH side against the index side on a
+    * single column; at a crawl-lifetime index size the index wants
+    * bucketing by its key so only the batch side shuffles — the same
+    * shape as the neardup band-index probe. NULL canonicals never
+    * match a prior (SQL null inequality), so null-URL rows keep their
+    * r16 keep-with-NULL verdict across batches. */
+  def crawlCurateIncremental(recs: DataFrame, priorUrls: DataFrame,
+      priorDigests: DataFrame, priorRespDigests: DataFrame,
+      langStage: DataFrame => DataFrame = weakLangStage)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val responses = recs.filter(col("warc_type") === "response")
     val revisits = recs.filter(col("warc_type") === "revisit")
     // extraction is the funnel's compute-heavy step and EVERY later
@@ -748,22 +787,32 @@ object Curation {
     // this each branch re-runs the HTML kernel over the batch.
     val ext = graft.operators.TextAnalysis.htmlToMainText(
       responses.select("doc_id", "url", "html")).localCheckpoint(false)
-    val ud = urlDedup(ext)
+    val priorU = priorUrls.select("url_canonical").distinct()
+      .withColumn("__pu", lit(true))
+    val ud = urlDedup(ext).join(priorU, Seq("url_canonical"), "left")
+      .withColumn("keep", col("keep") && col("__pu").isNull)
     val survivors = ud.filter(col("keep"))
       .select(col("doc_id"), md5(lower(trim(col("text")))).as("digest"))
     val firstSeen = survivors.groupBy("digest")
       .agg(min("doc_id").as("__first"))
+    val priorD = priorDigests.select("digest").distinct()
+      .withColumn("__pd", lit(true))
     val contentKeep = survivors.join(firstSeen, Seq("digest"))
+      .join(priorD, Seq("digest"), "left")
       .select(col("doc_id"),
-        (col("doc_id") === col("__first")).as("content_keep"))
+        (col("doc_id") === col("__first") && col("__pd").isNull)
+          .as("content_keep"))
     val lang = langStage(ext.select("doc_id", "text"))
       .select("doc_id", "predicted_lang")
     val gq = graft.operators.TextAnalysis.gopherQuality(
         ext.select("doc_id", "text"))
       .select(col("doc_id"), col("n_words"), col("first_fail"))
     val respFates = ud.select("doc_id", "url_canonical", "keep")
+      // LEFT: a degenerate batch with zero confident weak labels has
+      // no trained model — its docs report a NULL lang, they do not
+      // vanish from the fate table
       .join(contentKeep, Seq("doc_id"), "left")
-      .join(lang, Seq("doc_id"))
+      .join(lang, Seq("doc_id"), "left")
       .join(gq, Seq("doc_id"))
       .select(col("doc_id"), col("url_canonical"), col("predicted_lang"),
         col("n_words"),
@@ -771,17 +820,23 @@ object Curation {
           .when(!col("content_keep"), lit("exact_dup"))
           .when(col("first_fail") =!= "", col("first_fail"))
           .otherwise(lit("kept")).as("fate"))
-    val respDigests = responses
-      .groupBy("payload_digest").agg(min("doc_id").as("__orig"))
+    val respSeen = responses.select("payload_digest")
+      .unionByName(priorRespDigests.select("payload_digest"))
+      .distinct().withColumn("__orig", lit(true))
     val revFates = revisits
       .select(col("doc_id"), col("url"), col("payload_digest"))
-      .join(respDigests, Seq("payload_digest"), "left")
+      .join(respSeen, Seq("payload_digest"), "left")
       .select(col("doc_id"), canonicalUrl(col("url")).as("url_canonical"),
         lit(null).cast("string").as("predicted_lang"),
         lit(null).cast("long").as("n_words"),
         when(col("__orig").isNotNull, "revisit_dup")
           .otherwise("revisit_orphan").as("fate"))
-    respFates.unionByName(revFates)
+    val report = respFates.unionByName(revFates)
+    val urlDelta = ud.filter(col("url_canonical").isNotNull)
+      .select("url_canonical").distinct()
+    val digestDelta = survivors.select("digest").distinct()
+    val respDelta = responses.select("payload_digest").distinct()
+    (report, urlDelta, digestDelta, respDelta)
   }
 
   /** Host of a hierarchical URL (r16 — the key every domain-level

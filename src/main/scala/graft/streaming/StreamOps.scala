@@ -1562,6 +1562,85 @@ object StreamOps {
       TxLogFormat.read(spark, reportTable).orderBy("doc_id"), tmpRoot)
   }
 
+  /** One micro-batch of the streaming CRAWL-CURATION loop (r17 — the
+    * FULL funnel as an ingest loop: archives land, their records flow
+    * through revisit resolution → extraction → URL dedup → content
+    * dedup → the weak-NB lang stage → the Gopher gauntlet, and every
+    * first-seen rule carries ACROSS batches): [[graft.operators
+    * .DbtSurface.Curation.crawlCurateIncremental]] runs against the
+    * three persisted key indexes — canonical URLs, content digests of
+    * URL survivors, response payload digests — each read AS OF prior
+    * batches (`batch_id < id`, so a crash-replay recomputes from
+    * exactly the pre-state it first saw, even if some of its own
+    * commits landed) and appended only this batch's distinct new keys
+    * (state grows by batch key count, never corpus-rescanned). All
+    * four appends carry one txn tag: replayed appends are strict
+    * no-ops table by table. The lang model trains per batch on the
+    * batch's weak labels (cold batch ≡ the batch funnel; a deployment
+    * wanting frozen cross-batch scores would persist the model table,
+    * the dsirIngest pattern). Index tables are append-only key sets —
+    * compaction is a per-key distinct fold, safe behind any committed
+    * watermark like [[compactCurationState]]. */
+  def crawlCurateIngestBatch(reportTable: String, urlTable: String,
+                             digestTable: String, respTable: String)
+                            (b: DataFrame, id: Long): Unit = {
+    import graft.sources.TxLogFormat
+    val spark = b.sparkSession
+    val batch = b.select(col("doc_id"), col("warc_type"), col("url"),
+      col("payload_digest"), col("html")).localCheckpoint()
+    def state(path: String, c: String): DataFrame =
+      if (TxLogFormat.versions(path).isEmpty)
+        spark.range(0).select(col("id").cast("string").as(c))
+      else TxLogFormat.read(spark, path)
+        .filter(col("batch_id") < id).select(c)
+    val (report, uDelta, dDelta, rDelta) =
+      graft.operators.Curation.crawlCurateIncremental(batch,
+        state(urlTable, "url_canonical"), state(digestTable, "digest"),
+        state(respTable, "payload_digest"))
+    val appId = "graft_crawlcur_ingest"
+    val repC = report.localCheckpoint()
+    val uC = uDelta.withColumn("batch_id", lit(id)).localCheckpoint()
+    val dC = dDelta.withColumn("batch_id", lit(id)).localCheckpoint()
+    val rC = rDelta.withColumn("batch_id", lit(id)).localCheckpoint()
+    TxLogFormat.appendBatch(repC, reportTable, appId, id)
+    TxLogFormat.appendBatch(uC, urlTable, appId, id)
+    TxLogFormat.appendBatch(dC, digestTable, appId, id)
+    TxLogFormat.appendBatch(rC, respTable, appId, id)
+    freeCheckpoints(batch, repC, uC, dC, rC)
+  }
+
+  /** Driver query: AvailableNow over the ingested crawl records drives
+    * [[crawlCurateIngestBatch]] from a cold corpus — one batch with
+    * empty indexes IS [[graft.operators.DbtSurface.Curation
+    * .crawlCurate]] (the same code path with empty priors), so
+    * `crawl_curation_inc` shares `crawl_curation`'s oracle; the spec's
+    * 2-batch MemoryStream covers cross-batch URL/content/revisit
+    * carry, the degenerate unlabeled batch, and replay. */
+  def runCrawlCurateIngest(spark: SparkSession, recs: DataFrame)
+      : DataFrame = {
+    import graft.sources.TxLogFormat
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_ccur_inc_")
+    val srcDir = tmpRoot.resolve("src").toString
+    recs.write.parquet(srcDir)
+    val reportTable = tmpRoot.resolve("report").toString
+    val urlTable = tmpRoot.resolve("urls").toString
+    val digestTable = tmpRoot.resolve("digests").toString
+    val respTable = tmpRoot.resolve("resp_digests").toString
+    val schema = spark.read.parquet(srcDir).schema
+    val q = spark.readStream.schema(schema).parquet(srcDir)
+      .writeStream
+      .foreachBatch(crawlCurateIngestBatch(reportTable, urlTable,
+        digestTable, respTable) _)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    handoffAndClean(
+      TxLogFormat.read(spark, reportTable)
+        .select("doc_id", "url_canonical", "predicted_lang", "n_words",
+          "fate")
+        .orderBy("doc_id"), tmpRoot)
+  }
+
   /** One micro-batch of the streaming IVF-index ingest loop — ANN index
     * maintenance for a GROWING vector corpus (the embedding analogue of
     * [[neardupIngestBatch]]'s band index):

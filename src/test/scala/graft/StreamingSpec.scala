@@ -876,6 +876,82 @@ class StreamingSpec extends SparkSpec {
       "replayed batch id must not commit")
   }
 
+  test("streaming CRAWL-CURATION ingest (r17): cross-batch URL/content/" +
+       "revisit carry, a degenerate unlabeled batch keeps its rows with " +
+       "NULL lang, cold == the batch funnel, replay-safe") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    import graft.sources.TxLogFormat
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_ccuringest_spec")
+    val (repT, uT, dT, rT) = (root.resolve("report").toString,
+      root.resolve("urls").toString, root.resolve("digests").toString,
+      root.resolve("resp").toString)
+    val lex = graft.operators.TextAnalysis.lexicons.toMap
+    def body(ws: Seq[String]): String =
+      Iterator.continually(ws).flatten.take(60).mkString(" ")
+    def page(b: String) = s"<html><body><p>$b</p></body></html>"
+    val deB = body(lex("de"))
+    val enB = body(lex("en"))
+    val zeroB = body(Seq("qqq", "www", "zzz"))   // zero lexicon hits
+    val zeroB2 = body(Seq("rrr", "sss", "ttt"))  // zero hits, new digest
+    val b0 = Seq(
+      (1L, "response", "https://example.com/a?x=1", "d-de", page(deB)),
+      (2L, "response", "https://example.com/b?x=1", "d-en", page(enB)),
+      (3L, "response", "https://example.com/e?x=1", "d-z0", page(zeroB)))
+    // batch 1: EVERY verdict decided by carried state, and the batch
+    // itself has zero confident labels (no trainable doc)
+    val b1 = Seq(
+      // same canonical as doc 1 after case + default-port folding
+      (10L, "response", "HTTPS://Example.COM:443/a?x=1", "d-n1", page(zeroB2)),
+      // fresh URL, but doc 3's content digest carried from batch 0
+      (11L, "response", "https://example.com/c?x=1", "d-n2", page(zeroB)),
+      // fresh URL, fresh content: the degenerate-batch survivor
+      (12L, "response", "https://example.com/d?x=1", "d-n3", page(zeroB2)),
+      // revisit of doc 2's page: the original arrived one batch EARLIER
+      (13L, "revisit", "https://example.com/b?x=1", "d-en", ""),
+      (14L, "revisit", "https://example.com/y?x=1", "d-gone", ""))
+    val ingest = StreamOps.crawlCurateIngestBatch(repT, uT, dT, rT) _
+    val input = MemoryStream[(Long, String, String, String, String)]
+    val q = input.toDF()
+      .toDF("doc_id", "warc_type", "url", "payload_digest", "html")
+      .writeStream.foreachBatch(ingest).start()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (Option(r.getString(1)),
+        Option(r.getString(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        r.getString(4))).toMap
+    try {
+      input.addData(b0); q.processAllAvailable()
+      // cold single batch through the stream + TxLog roundtrip == the
+      // batch funnel (the driver-query contract: shared oracle)
+      val cold = rows(TxLogFormat.read(spark, repT))
+      val closed = rows(graft.operators.Curation.crawlCurate(
+        b0.toDF("doc_id", "warc_type", "url", "payload_digest", "html")))
+      assert(cold == closed, s"$cold vs $closed")
+      assert(cold(1L)._2.contains("de") && cold(2L)._2.contains("en"))
+      input.addData(b1); q.processAllAvailable()
+      val got = rows(TxLogFormat.read(spark, repT))
+      assert(got(10L)._4 == "url_dup", got.toString)
+      assert(got(11L)._4 == "exact_dup", got.toString)
+      assert(got(13L)._4 == "revisit_dup",
+        "the original response arrived one batch earlier: " + got)
+      assert(got(14L)._4 == "revisit_orphan", got.toString)
+      // the degenerate batch trains no model: its rows survive with an
+      // honest NULL lang instead of vanishing from the fate table
+      assert(Seq(10L, 11L, 12L).forall(got(_)._2.isEmpty),
+        "no trainable doc in batch 1 -> NULL lang, rows kept: " + got)
+      assert(got(12L)._4 != "url_dup" && got(12L)._4 != "exact_dup")
+    } finally q.stop()
+    // replay: a committed batch id is a strict no-op on ALL FOUR tables
+    val vs = Seq(repT, uT, dT, rT).map(TxLogFormat.versions(_).size)
+    ingest(Seq((99L, "response", "https://example.com/q?x=1", "d-q",
+        page(deB)))
+      .toDF("doc_id", "warc_type", "url", "payload_digest", "html"), 0L)
+    assert(Seq(repT, uT, dT, rT).map(TxLogFormat.versions(_).size) == vs,
+      "replayed batch id must not commit")
+  }
+
   test("streaming IVF ingest: cold build, incremental assign, drift-gated " +
        "retrain, vec_id conservation, replay-safe") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
