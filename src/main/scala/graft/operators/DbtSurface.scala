@@ -761,9 +761,10 @@ object Curation {
     *    `revisit_dup` — the cross-segment case the batch funnel
     *    cannot see.
     * Returns (report, urlDelta, digestDelta, respDelta): the fate
-    * table plus this batch's distinct new keys for each index — the
-    * caller appends them so state grows by at most the batch's key
-    * count. The lang stage trains per batch (the weak bootstrap needs
+    * table plus the keys each index does NOT yet hold (anti-joined
+    * against the prior — the index stays ONE row per key forever, so
+    * the flag joins never fan out and no lifetime-sized distinct runs
+    * per batch). The lang stage trains per batch (the weak bootstrap needs
     * no carried model; a deployment wanting frozen scores would
     * persist the model table, the dsirIngest pattern). Scale: every
     * prior join keys the BATCH side against the index side on a
@@ -787,7 +788,10 @@ object Curation {
     // this each branch re-runs the HTML kernel over the batch.
     val ext = graft.operators.TextAnalysis.htmlToMainText(
       responses.select("doc_id", "url", "html")).localCheckpoint(false)
-    val priorU = priorUrls.select("url_canonical").distinct()
+    // prior indexes hold each key ONCE (deltas below are anti-joined
+    // before appending), so the flag joins cannot fan out and no
+    // per-batch distinct over a lifetime-sized index is ever needed
+    val priorU = priorUrls.select("url_canonical")
       .withColumn("__pu", lit(true))
     val ud = urlDedup(ext).join(priorU, Seq("url_canonical"), "left")
       .withColumn("keep", col("keep") && col("__pu").isNull)
@@ -795,8 +799,7 @@ object Curation {
       .select(col("doc_id"), md5(lower(trim(col("text")))).as("digest"))
     val firstSeen = survivors.groupBy("digest")
       .agg(min("doc_id").as("__first"))
-    val priorD = priorDigests.select("digest").distinct()
-      .withColumn("__pd", lit(true))
+    val priorD = priorDigests.select("digest").withColumn("__pd", lit(true))
     val contentKeep = survivors.join(firstSeen, Seq("digest"))
       .join(priorD, Seq("digest"), "left")
       .select(col("doc_id"),
@@ -820,22 +823,36 @@ object Curation {
           .when(!col("content_keep"), lit("exact_dup"))
           .when(col("first_fail") =!= "", col("first_fail"))
           .otherwise(lit("kept")).as("fate"))
+    // revisit resolution by SEMI/ANTI join — existence is the question,
+    // so neither side needs a distinct and a syndicated-digest storm
+    // (or a lifetime-sized prior index) cannot fan the revisit side out
     val respSeen = responses.select("payload_digest")
       .unionByName(priorRespDigests.select("payload_digest"))
-      .distinct().withColumn("__orig", lit(true))
-    val revFates = revisits
-      .select(col("doc_id"), col("url"), col("payload_digest"))
-      .join(respSeen, Seq("payload_digest"), "left")
-      .select(col("doc_id"), canonicalUrl(col("url")).as("url_canonical"),
+    val revKeyed = revisits.select(col("doc_id"), col("url"),
+      col("payload_digest"))
+    def revFate(rows: DataFrame, fate: String): DataFrame =
+      rows.select(col("doc_id"), canonicalUrl(col("url")).as("url_canonical"),
         lit(null).cast("string").as("predicted_lang"),
-        lit(null).cast("long").as("n_words"),
-        when(col("__orig").isNotNull, "revisit_dup")
-          .otherwise("revisit_orphan").as("fate"))
+        lit(null).cast("long").as("n_words"), lit(fate).as("fate"))
+    val revFates = revFate(
+        revKeyed.join(respSeen, Seq("payload_digest"), "left_semi"),
+        "revisit_dup")
+      .unionByName(revFate(
+        revKeyed.join(respSeen, Seq("payload_digest"), "left_anti"),
+        "revisit_orphan"))
     val report = respFates.unionByName(revFates)
+    // deltas carry only keys the index does NOT already hold, so the
+    // index stays one row per key forever and per-batch append volume
+    // is bounded by the batch's NEW keys, not its arrivals
     val urlDelta = ud.filter(col("url_canonical").isNotNull)
       .select("url_canonical").distinct()
+      .join(priorUrls.select("url_canonical"), Seq("url_canonical"),
+        "left_anti")
     val digestDelta = survivors.select("digest").distinct()
+      .join(priorDigests.select("digest"), Seq("digest"), "left_anti")
     val respDelta = responses.select("payload_digest").distinct()
+      .join(priorRespDigests.select("payload_digest"),
+        Seq("payload_digest"), "left_anti")
     (report, urlDelta, digestDelta, respDelta)
   }
 

@@ -850,6 +850,35 @@ class PlanSpec extends SparkSpec {
       s"doc token counts lost their map-side combine:\n$plan")
   }
 
+  test("crawl-curation incremental (r17): revisit resolution is a " +
+       "LeftSemi/LeftAnti pair (existence, never a fan-out join) and " +
+       "every index delta anti-joins the prior — no lifetime-sized " +
+       "distinct, no cartesian anywhere") {
+    import spark.implicits._
+    val recs = Seq(
+      (1L, "response", "https://e.com/a?x=1", "d1",
+        "<html><body><p>the cat sat on the mat</p></body></html>"),
+      (2L, "revisit", "https://e.com/a?x=1", "d1", ""),
+      (3L, "revisit", "https://e.com/z?x=1", "dz", ""))
+      .toDF("doc_id", "warc_type", "url", "payload_digest", "html")
+    val prior = (c: String) => Seq("k1").toDF(c)
+    val (report, uD, dD, rD) = Curation.crawlCurateIncremental(recs,
+      prior("url_canonical"), prior("digest"), prior("payload_digest"))
+    report.collect()
+    val plan = explained(report)
+    assert(plan.contains("LeftSemi"),
+      s"revisit_dup must resolve by semi join:\n$plan")
+    assert(plan.contains("LeftAnti"),
+      s"revisit_orphan must resolve by anti join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+    Seq(uD, dD, rD).foreach { d =>
+      d.collect()
+      val p = explained(d)
+      assert(p.contains("LeftAnti"),
+        s"index delta must anti-join the prior:\n$p")
+    }
+  }
+
   test("url dedup (r15): the keep rule is a map-side-combinable groupBy " +
        "min + join back, never a Window on the canonical key — a hot URL " +
        "refetched 10^7 times must not become one straggler task") {

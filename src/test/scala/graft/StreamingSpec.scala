@@ -942,6 +942,15 @@ class StreamingSpec extends SparkSpec {
       assert(Seq(10L, 11L, 12L).forall(got(_)._2.isEmpty),
         "no trainable doc in batch 1 -> NULL lang, rows kept: " + got)
       assert(got(12L)._4 != "url_dup" && got(12L)._4 != "exact_dup")
+      // deltas are anti-joined: an index holds each key ONCE however
+      // many batches re-see it (doc 10 re-saw doc 1's canonical; doc
+      // 11 re-saw doc 3's digest; batch 1 re-saw nothing fresh there)
+      Seq(uT -> "url_canonical", dT -> "digest", rT -> "payload_digest")
+        .foreach { case (t, k) =>
+          val idx = TxLogFormat.read(spark, t)
+          assert(idx.count() == idx.select(k).distinct().count(),
+            s"$k index must stay one row per key")
+        }
     } finally q.stop()
     // replay: a committed batch id is a strict no-op on ALL FOUR tables
     val vs = Seq(repT, uT, dT, rT).map(TxLogFormat.versions(_).size)
