@@ -307,6 +307,10 @@ object OracleSql {
     // indexes = the batch funnel (same code path) -> same oracle
     "crawl_curation_inc" -> crawlCurationSql,
 
+    // the end-to-end landing loop cold: every archive lands before the
+    // single tick -> one cold funnel batch = the batch funnel
+    "crawl_curation_e2e" -> crawlCurationSql,
+
     // block-level boilerplate removal (r15; numeric refs r17): the
     // planted chrome — nav menu, cookie banner, heading, read-more row,
     // link-dense footer — classifies out on the integer

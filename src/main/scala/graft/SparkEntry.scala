@@ -76,8 +76,19 @@ object SparkEntry {
     * bootstrap from. Shared by `crawl_curation` and its streaming
     * twin. */
   private def crawlRecsRig(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.functions._
     val tmp = java.nio.file.Files.createTempDirectory("graft_crawlcur_")
+    writeCrawlArchives(s, d, tmp.toString)
+    val recs = readCrawlRecs(s, tmp.toString).localCheckpoint()
+    rmTree(tmp.toFile)
+    recs
+  }
+
+  /** The archive-WRITING half of [[crawlRecsRig]] — planted multi-page
+    * WARC files (responses + the slot-29 revisit) landed under `dir`,
+    * so the end-to-end landing loop can watch a real directory. */
+  private def writeCrawlArchives(s: SparkSession, d: String,
+                                 dir: String): Unit = {
+    import org.apache.spark.sql.functions._
     val docs = Tables.documents(s, d)
     val slice = docs.filter(col("doc_id") % 10 === 9)
       .select(col("doc_id"), (col("doc_id") - col("doc_id") % 40).as("grp"),
@@ -130,17 +141,23 @@ object SparkEntry {
       withBody.select(expr("(doc_id div 10) % 8").as("file_id"),
         col("doc_id"), url.as("url"), html.as("text"),
         col("rv").as("revisit")),
-      tmp.toString, revisitCol = "revisit")
-    val recs = graft.sources.Warc.readWarcFiles(s, tmp.toString)
+      dir, revisitCol = "revisit")
+  }
+
+  /** The record-READING half of [[crawlRecsRig]]: streamed archive
+    * ingestion → crawl records `(doc_id, warc_type, url,
+    * payload_digest, html)` — identity recovered from the stamped
+    * record ids, the provenance convention every WARC reader here
+    * follows. */
+  private def readCrawlRecs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.sources.Warc.readWarcFiles(s, dir)
       .filter(col("warc_type").isin("response", "revisit"))
       .select(
         regexp_extract(col("rec_id"), "urn:graft:doc:(\\d+)", 1)
           .cast("long").as("doc_id"),
         col("warc_type"), col("url"), col("payload_digest"),
         col("body").cast("string").as("html"))
-      .localCheckpoint()
-    rmTree(tmp.toFile)
-    recs
   }
 
   /** The PSL rig (r17): a real PSL-FORMAT data file — comments,
@@ -1136,6 +1153,20 @@ object SparkEntry {
     // oracle; cross-batch carry is the spec's 2-batch MemoryStream
     "crawl_curation_inc" -> ((s, d) =>
       graft.streaming.StreamOps.runCrawlCurateIngest(s, crawlRecsRig(s, d))),
+    // the END-TO-END loop (r17): the rig's archives LAND in a watched
+    // directory and one loop turns them into fates — landing diff →
+    // fresh-only record-streamed parse → the funnel against carried
+    // state. Cold: everything lands before the single tick, so the
+    // funnel runs one cold batch ≡ crawl_curation (third query on the
+    // shared oracle; batch / record stream / landing watch)
+    "crawl_curation_e2e" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ccur_land_")
+      writeCrawlArchives(s, d, tmp.toString)
+      val out = graft.streaming.StreamOps.runCrawlLandingIngest(s,
+        tmp.toString)
+      rmTree(tmp.toFile)
+      out
+    }),
     // block-level boilerplate removal (r15, VERDICT #2 — the C4/CCNet
     // step plain html_extract lacks): per-doc pages planted with the
     // chrome every crawl page shares — a nav menu, a cookie banner, a

@@ -1609,6 +1609,121 @@ object StreamOps {
     freeCheckpoints(batch, repC, uC, dC, rC)
   }
 
+  /** One tick of the END-TO-END crawl loop (r17 — C21's landing watch
+    * CHAINED into C23's funnel: archives land in a directory, and one
+    * loop turns them into per-document fates):
+    *  1. the landing listing diffs against the persisted processed
+    *     table IN THE ENGINE ([[graft.sources.Warc.landingDiff]]'s
+    *     left-anti join — only the FRESH names, batch-scale by
+    *     definition, ever collect);
+    *  2. fresh archives parse record-streamed
+    *     ([[graft.sources.Warc.readWarcPaths]]), identity recovered
+    *     from the stamped record ids;
+    *  3. the records run [[crawlCurateIngestBatch]] against the
+    *     carried funnel state (URL/content/revisit first-seen rules
+    *     across every archive ever landed);
+    *  4. the fresh paths append to the processed table LAST, under
+    *     the same txn tag — a crash anywhere replays into a recompute
+    *     from the identical pre-state (funnel tables skip their
+    *     committed halves; un-marked files simply parse again to the
+    *     same rows).
+    * A tick with nothing fresh commits nothing. Files already
+    * processed never re-parse, however often the listing repeats
+    * them. */
+  def crawlLandingTick(spark: SparkSession, landing: String,
+                       processedTable: String, reportTable: String,
+                       urlTable: String, digestTable: String,
+                       respTable: String)(id: Long): Unit = {
+    import graft.sources.{TxLogFormat, Warc}
+    import spark.implicits._
+    val all = Warc.listWarcFiles(spark, landing)
+    val fresh =
+      if (TxLogFormat.versions(processedTable).isEmpty) all
+      else Warc.landingDiff(spark, all,
+          TxLogFormat.read(spark, processedTable))
+        .as[String].collect().toSeq.sorted
+    if (fresh.nonEmpty) {
+      val recs = Warc.readWarcPaths(spark, fresh)
+        .filter(col("warc_type").isin("response", "revisit"))
+        .select(
+          regexp_extract(col("rec_id"), "urn:graft:doc:(\\d+)", 1)
+            .cast("long").as("doc_id"),
+          col("warc_type"), col("url"), col("payload_digest"),
+          col("body").cast("string").as("html"))
+      crawlCurateIngestBatch(reportTable, urlTable, digestTable,
+        respTable)(recs, id)
+      TxLogFormat.appendBatch(fresh.toDF("path"), processedTable,
+        "graft_crawlcur_ingest", id)
+      ()
+    }
+  }
+
+  /** Driver query: the end-to-end loop cold — every rig archive
+    * already in the landing when the single AvailableNow pulse fires,
+    * so tick 0 parses everything and the funnel runs one cold batch ≡
+    * [[graft.operators.DbtSurface.Curation.crawlCurate]] — the third
+    * query on `crawl_curation`'s oracle, each exercising a different
+    * loop (batch / record stream / landing watch). */
+  def runCrawlLandingIngest(spark: SparkSession, landing: String)
+      : DataFrame = {
+    import graft.sources.TxLogFormat
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_ccur_e2e_")
+    val processedTable = tmpRoot.resolve("processed").toString
+    val reportTable = tmpRoot.resolve("report").toString
+    val urlTable = tmpRoot.resolve("urls").toString
+    val digestTable = tmpRoot.resolve("digests").toString
+    val respTable = tmpRoot.resolve("resp_digests").toString
+    // a 1-row parquet pulse guarantees exactly one cold tick under
+    // AvailableNow (in production any scheduler — or the landing
+    // store's notifications — drives crawlLandingTick directly)
+    val pulseDir = tmpRoot.resolve("pulse").toString
+    spark.range(1).write.parquet(pulseDir)
+    val q = spark.readStream
+      .schema(spark.read.parquet(pulseDir).schema).parquet(pulseDir)
+      .writeStream
+      .foreachBatch { (_: DataFrame, id: Long) =>
+        crawlLandingTick(spark, landing, processedTable, reportTable,
+          urlTable, digestTable, respTable)(id)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    handoffAndClean(
+      TxLogFormat.read(spark, reportTable)
+        .select("doc_id", "url_canonical", "predicted_lang", "n_words",
+          "fate")
+        .orderBy("doc_id"), tmpRoot)
+  }
+
+  /** Compact the streaming crawl-funnel's three append-only KEY
+    * indexes: fold every committed delta at or below `watermark` into
+    * one rewrite. Keys are already unique across batches (deltas
+    * anti-join before appending), so the fold is a per-key
+    * max(batch_id) that collapses the TxLog version chain and its
+    * file count, never the key set; deltas newer than the watermark
+    * pass through untouched — the same safety contract as
+    * [[compactCurationState]] (a replayed batch with id > watermark
+    * still reads its `batch_id < id` pre-state correctly, because
+    * folded rows keep a batch_id ≤ watermark < id). Each table flips
+    * in one atomic replace; the NEXT batch's verdicts are
+    * bit-identical either way (spec). */
+  def compactCrawlCurateState(spark: SparkSession, urlTable: String,
+                              digestTable: String, respTable: String,
+                              watermark: Long): Unit = {
+    import graft.sources.TxLogFormat
+    def fold(path: String, key: String): Unit =
+      if (TxLogFormat.versions(path).nonEmpty) {
+        val all = TxLogFormat.read(spark, path)
+        val merged = all.filter(col("batch_id") <= watermark)
+          .groupBy(key).agg(max("batch_id").as("batch_id"))
+          .unionByName(all.filter(col("batch_id") > watermark))
+        TxLogFormat.replace(spark, merged, path)
+      }
+    fold(urlTable, "url_canonical")
+    fold(digestTable, "digest")
+    fold(respTable, "payload_digest")
+  }
+
   /** Driver query: AvailableNow over the ingested crawl records drives
     * [[crawlCurateIngestBatch]] from a cold corpus — one batch with
     * empty indexes IS [[graft.operators.DbtSurface.Curation

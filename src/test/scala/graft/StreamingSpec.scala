@@ -951,6 +951,28 @@ class StreamingSpec extends SparkSpec {
           assert(idx.count() == idx.select(k).distinct().count(),
             s"$k index must stay one row per key")
         }
+      // compaction behind the committed watermark collapses the version
+      // chain without touching the key sets, and the NEXT batch's
+      // carried-state verdicts are identical against the folded indexes
+      val keysBefore = Seq(uT -> "url_canonical", dT -> "digest",
+        rT -> "payload_digest").map { case (t, k) =>
+        TxLogFormat.read(spark, t).select(k).collect().map(_.getString(0)).toSet
+      }
+      StreamOps.compactCrawlCurateState(spark, uT, dT, rT, watermark = 1L)
+      val keysAfter = Seq(uT -> "url_canonical", dT -> "digest",
+        rT -> "payload_digest").map { case (t, k) =>
+        TxLogFormat.read(spark, t).select(k).collect().map(_.getString(0)).toSet
+      }
+      assert(keysBefore == keysAfter, "compaction must not change a key set")
+      val b2 = Seq(
+        (20L, "response", "https://example.com/a?x=1", "d-n4", page(zeroB2)),
+        (21L, "revisit", "https://example.com/e?x=1", "d-z0", ""))
+      input.addData(b2); q.processAllAvailable()
+      val got2 = rows(TxLogFormat.read(spark, repT))
+      assert(got2(20L)._4 == "url_dup",
+        "carried canonical must survive compaction: " + got2)
+      assert(got2(21L)._4 == "revisit_dup",
+        "carried response digest must survive compaction: " + got2)
     } finally q.stop()
     // replay: a committed batch id is a strict no-op on ALL FOUR tables
     val vs = Seq(repT, uT, dT, rT).map(TxLogFormat.versions(_).size)
@@ -959,6 +981,62 @@ class StreamingSpec extends SparkSpec {
       .toDF("doc_id", "warc_type", "url", "payload_digest", "html"), 0L)
     assert(Seq(repT, uT, dT, rT).map(TxLogFormat.versions(_).size) == vs,
       "replayed batch id must not commit")
+  }
+
+  test("end-to-end crawl landing loop (r17): fresh archives only parse " +
+       "once per tick, funnel state carries across landings, an empty " +
+       "tick commits nothing") {
+    import graft.sources.{TxLogFormat, Warc}
+    val root = java.nio.file.Files.createTempDirectory("graft_ccur_land_spec")
+    val landing = root.resolve("landing").toString
+    val (procT, repT, uT, dT, rT) = (root.resolve("proc").toString,
+      root.resolve("report").toString, root.resolve("urls").toString,
+      root.resolve("digests").toString, root.resolve("resp").toString)
+    val lex = graft.operators.TextAnalysis.lexicons.toMap
+    def body(ws: Seq[String]): String =
+      Iterator.continually(ws).flatten.take(60).mkString(" ")
+    def page(b: String): Array[Byte] =
+      s"<html><body><p>$b</p></body></html>".getBytes("UTF-8")
+    val deB = body(lex("de")); val enB = body(lex("en"))
+    val zeroB = body(Seq("qqq", "www", "zzz"))
+    val zeroB2 = body(Seq("rrr", "sss", "ttt"))
+    Warc.writeSyntheticArchiveMixed(landing, "seg-00000.warc.gz", Iterator(
+      ("urn:graft:doc:1", "https://example.com/a?x=1", page(deB), false),
+      ("urn:graft:doc:2", "https://example.com/b?x=1", page(enB), false)))
+    val tick = StreamOps.crawlLandingTick(spark, landing, procT, repT,
+      uT, dT, rT) _
+    tick(0L)
+    def fates() = TxLogFormat.read(spark, repT).collect()
+      .map(r => r.getLong(0) -> (Option(r.getString(2)), r.getString(4)))
+      .toMap
+    assert(fates()(1L)._1.contains("de") && fates()(2L)._1.contains("en"))
+    // a tick with nothing fresh commits to NO table
+    def versions() =
+      Seq(procT, repT, uT, dT, rT).map(TxLogFormat.versions(_).size)
+    val v0 = versions()
+    tick(1L)
+    assert(versions() == v0, "an empty tick must be a strict no-op")
+    // a later landing: a refetch URL variant of archive-0's page, a
+    // revisit whose ORIGINAL landed in archive 0, and an orphan
+    Warc.writeSyntheticArchiveMixed(landing, "seg-00001.warc.gz", Iterator(
+      ("urn:graft:doc:10", "HTTPS://Example.COM:443/a?x=1", page(zeroB),
+        false),
+      ("urn:graft:doc:13", "https://example.com/b?x=1", page(enB), true),
+      ("urn:graft:doc:14", "https://example.com/y?x=1", page(zeroB2),
+        true)))
+    tick(2L)
+    val got = fates()
+    assert(got(10L)._2 == "url_dup",
+      "canonical carried across landings: " + got)
+    assert(got(13L)._2 == "revisit_dup",
+      "original landed in an earlier archive: " + got)
+    assert(got(14L)._2 == "revisit_orphan", got.toString)
+    assert(TxLogFormat.read(spark, procT).count() == 2,
+      "both archives processed exactly once")
+    // re-ticking changes nothing: both files are marked processed
+    val v2 = versions()
+    tick(2L); tick(3L)
+    assert(versions() == v2, "processed archives must never re-parse")
   }
 
   test("streaming IVF ingest: cold build, incremental assign, drift-gated " +
