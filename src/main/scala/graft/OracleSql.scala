@@ -182,7 +182,7 @@ object OracleSql {
   // streaming twin (cold single batch with empty indexes is the SAME
   // code path as the batch funnel, so the oracle is one statement)
   private val crawlCurationSql: String =
-    s"""WITH sl AS (SELECT doc_id, doc_id - doc_id % 40 AS grp, text FROM documents WHERE doc_id % 10 = 9), an AS (SELECT doc_id - doc_id % 40 AS grp, text AS atext FROM documents WHERE doc_id % 40 = 9), b AS (SELECT sl.doc_id, sl.grp, CAST(sl.grp AS VARCHAR) AS a, array_to_string(list_transform(range(0, (sl.grp // 40) % 6 + 5), i -> $rigPoolsList[CAST((sl.grp // 40) % 5 AS INT) + 1][CAST((sl.grp * 7 + i * 11) % 12 AS INT) + 1]), ' ') || ' ' || CASE WHEN sl.doc_id % 40 IN (29, 39) THEN COALESCE(an.atext, sl.text) ELSE sl.text END AS text FROM sl LEFT JOIN an ON sl.grp = an.grp), u0 AS (SELECT doc_id, text, CASE doc_id % 40 WHEN 19 THEN 'HTTPS://News-Site.COM:443/Articles/' || a || '?ref=home&utm_source=feed&id=1' WHEN 39 THEN 'https://news-site.com/Articles/' || a || '?id=2&ref=home' ELSE 'https://news-site.com/Articles/' || a || '?id=1&ref=home' END AS url FROM b WHERE doc_id % 40 <> 29), $urlCanonStages, uk AS (SELECT doc_id, text, url_canonical, doc_id = MIN(doc_id) OVER (PARTITION BY url_canonical) AS ukeep FROM c), ek AS (SELECT doc_id, doc_id = MIN(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS ckeep FROM uk WHERE ukeep), hh AS (SELECT doc_id, text, len(list_intersect($docWords, ['der','die','das','und','ist','nicht','mit','ein'])) AS hits_de, len(list_intersect($docWords, ['the','a','of','and','is','not','with','to'])) AS hits_en, len(list_intersect($docWords, ['el','la','de','y','es','no','con','un'])) AS hits_es, len(list_intersect($docWords, ['le','la','de','et','est','pas','avec','un'])) AS hits_fr FROM uk), lb0 AS (SELECT doc_id, lower(text) AS t, CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) >= 3 THEN CASE WHEN hits_de = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'de' WHEN hits_en = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'en' WHEN hits_es = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'es' ELSE 'fr' END END AS lang FROM hh), lbl AS (SELECT doc_id, t, lang, lang IS NOT NULL AS tr FROM lb0), $weakNbStages, mw AS (SELECT doc_id, list_filter(string_split(lower(trim(text)), ' '), x -> x <> '') AS w, text FROM uk), m AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words, CAST(length(array_to_string(w, '')) AS BIGINT) AS sum_chars, CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash, CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_ell, CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha, CAST(len(list_filter(w, x -> x IN ('the','be','to','of','and','that','have','with'))) AS BIGINT) AS n_stop FROM mw), f AS (SELECT doc_id, n_words, CASE WHEN n_words < 50 THEN 'too_few_words' WHEN n_words > 100000 THEN 'too_many_words' WHEN sum_chars < n_words * 3 OR sum_chars > n_words * 10 THEN 'word_len_out_of_band' WHEN (n_hash + n_ell) * 10 > n_words THEN 'symbol_ratio' WHEN n_alpha * 5 < n_words * 4 THEN 'low_alpha_fraction' WHEN n_stop < 2 THEN 'too_few_stopwords' ELSE NULL END AS ff FROM m) SELECT uk.doc_id, uk.url_canonical, nb.predicted_lang, f.n_words, CASE WHEN NOT uk.ukeep THEN 'url_dup' WHEN NOT ek.ckeep THEN 'exact_dup' WHEN f.ff IS NOT NULL THEN f.ff ELSE 'kept' END AS fate FROM uk LEFT JOIN ek ON uk.doc_id = ek.doc_id LEFT JOIN nbbest nb ON uk.doc_id = nb.doc_id JOIN f ON uk.doc_id = f.doc_id UNION ALL SELECT doc_id, 'https://news-site.com/Articles/' || a || '?id=1&ref=home' AS url_canonical, CAST(NULL AS VARCHAR) AS predicted_lang, CAST(NULL AS BIGINT) AS n_words, 'revisit_dup' AS fate FROM b WHERE doc_id % 40 = 29 ORDER BY doc_id"""
+    s"""WITH sl AS (SELECT doc_id, doc_id - doc_id % 40 AS grp, text FROM documents WHERE doc_id % 10 = 9), an AS (SELECT doc_id - doc_id % 40 AS grp, text AS atext FROM documents WHERE doc_id % 40 = 9), b AS (SELECT sl.doc_id, sl.grp, CAST(sl.grp AS VARCHAR) AS a, (sl.grp // 40) % 7 = 3 AS bg, CASE WHEN (sl.grp // 40) % 7 = 3 THEN 'spam-mirror.net' ELSE 'news-site.com' END AS h, array_to_string(list_transform(range(0, (sl.grp // 40) % 6 + 5), i -> $rigPoolsList[CAST((sl.grp // 40) % 5 AS INT) + 1][CAST((sl.grp * 7 + i * 11) % 12 AS INT) + 1]), ' ') || ' ' || CASE WHEN sl.doc_id % 40 IN (29, 39) THEN COALESCE(an.atext, sl.text) ELSE sl.text END AS text FROM sl LEFT JOIN an ON sl.grp = an.grp), u0 AS (SELECT doc_id, text, bg, CASE doc_id % 40 WHEN 19 THEN 'HTTPS://' || (CASE WHEN bg THEN 'Spam-Mirror.NET' ELSE 'News-Site.COM' END) || ':443/Articles/' || a || '?ref=home&utm_source=feed&id=1' WHEN 39 THEN 'https://' || h || '/Articles/' || a || '?id=2&ref=home' ELSE 'https://' || h || '/Articles/' || a || '?id=1&ref=home' END AS url FROM b WHERE doc_id % 40 <> 29), $urlCanonStages, uk AS (SELECT doc_id, text, url_canonical, doc_id = MIN(doc_id) OVER (PARTITION BY url_canonical) AS ukeep FROM c WHERE NOT bg), ek AS (SELECT doc_id, doc_id = MIN(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS ckeep FROM uk WHERE ukeep), hh AS (SELECT doc_id, text, len(list_intersect($docWords, ['der','die','das','und','ist','nicht','mit','ein'])) AS hits_de, len(list_intersect($docWords, ['the','a','of','and','is','not','with','to'])) AS hits_en, len(list_intersect($docWords, ['el','la','de','y','es','no','con','un'])) AS hits_es, len(list_intersect($docWords, ['le','la','de','et','est','pas','avec','un'])) AS hits_fr FROM uk), lb0 AS (SELECT doc_id, lower(text) AS t, CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) >= 3 THEN CASE WHEN hits_de = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'de' WHEN hits_en = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'en' WHEN hits_es = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'es' ELSE 'fr' END END AS lang FROM hh), lbl AS (SELECT doc_id, t, lang, lang IS NOT NULL AS tr FROM lb0), $weakNbStages, mw AS (SELECT doc_id, list_filter(string_split(lower(trim(text)), ' '), x -> x <> '') AS w, text FROM uk), m AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words, CAST(length(array_to_string(w, '')) AS BIGINT) AS sum_chars, CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash, CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_ell, CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha, CAST(len(list_filter(w, x -> x IN ('the','be','to','of','and','that','have','with'))) AS BIGINT) AS n_stop FROM mw), f AS (SELECT doc_id, n_words, CASE WHEN n_words < 50 THEN 'too_few_words' WHEN n_words > 100000 THEN 'too_many_words' WHEN sum_chars < n_words * 3 OR sum_chars > n_words * 10 THEN 'word_len_out_of_band' WHEN (n_hash + n_ell) * 10 > n_words THEN 'symbol_ratio' WHEN n_alpha * 5 < n_words * 4 THEN 'low_alpha_fraction' WHEN n_stop < 2 THEN 'too_few_stopwords' ELSE NULL END AS ff FROM m) SELECT uk.doc_id, uk.url_canonical, nb.predicted_lang, f.n_words, CASE WHEN NOT uk.ukeep THEN 'url_dup' WHEN NOT ek.ckeep THEN 'exact_dup' WHEN f.ff IS NOT NULL THEN f.ff ELSE 'kept' END AS fate FROM uk LEFT JOIN ek ON uk.doc_id = ek.doc_id LEFT JOIN nbbest nb ON uk.doc_id = nb.doc_id JOIN f ON uk.doc_id = f.doc_id UNION ALL SELECT doc_id, 'https://' || h || '/Articles/' || a || '?id=1&ref=home' AS url_canonical, CAST(NULL AS VARCHAR) AS predicted_lang, CAST(NULL AS BIGINT) AS n_words, 'revisit_dup' AS fate FROM b WHERE doc_id % 40 = 29 UNION ALL SELECT doc_id, url_canonical, CAST(NULL AS VARCHAR) AS predicted_lang, CAST(NULL AS BIGINT) AS n_words, 'domain_blocked' AS fate FROM c WHERE bg ORDER BY doc_id"""
 
   val all: Map[String, String] = Map(
 

@@ -83,6 +83,11 @@ object SparkEntry {
     recs
   }
 
+  /** The registrant the rig's gated groups live on — the funnel
+    * queries pass it as their blocklist so the domain gate's fate is
+    * exercised at every SF. */
+  private val crawlRigBlocklist = Seq("spam-mirror.net")
+
   /** The archive-WRITING half of [[crawlRecsRig]] — planted multi-page
     * WARC files (responses + the slot-29 revisit) landed under `dir`,
     * so the end-to-end landing loop can watch a real directory. */
@@ -115,16 +120,23 @@ object SparkEntry {
             .otherwise(col("text"))).as("body"),
         (col("doc_id") % 40 === 29).as("rv"))
     val a = col("grp").cast("string")
+    // r17: groups with (grp div 40) % 7 = 3 live on a BLOCKED
+    // registrant (the funnel's domain gate must refuse their
+    // responses before extraction); the host varies, the slot
+    // structure does not
+    val bg = expr("(grp div 40) % 7 = 3")
+    val host = when(bg, lit("spam-mirror.net")).otherwise(lit("news-site.com"))
+    val hostV = when(bg, lit("Spam-Mirror.NET")).otherwise(lit("News-Site.COM"))
     // slot 29 is the anchor page REFETCHED: same URL, and the page
     // content (below) is the anchor's, so its payload digest matches
     val url = when(col("doc_id") % 40 === 19,
-        concat(lit("HTTPS://News-Site.COM:443/Articles/"), a,
+        concat(lit("HTTPS://"), hostV, lit(":443/Articles/"), a,
           lit("?ref=home&utm_source=feed&id=1")))
       .when(col("doc_id") % 40 === 39,
-        concat(lit("https://news-site.com/Articles/"), a,
+        concat(lit("https://"), host, lit("/Articles/"), a,
           lit("?id=2&ref=home")))
       .otherwise(
-        concat(lit("https://news-site.com/Articles/"), a,
+        concat(lit("https://"), host, lit("/Articles/"), a,
           lit("?id=1&ref=home")))
     val pageDocId = when(col("doc_id") % 40 === 29, col("grp") + 9)
       .otherwise(col("doc_id"))
@@ -1145,14 +1157,16 @@ object SparkEntry {
     // real labels to bootstrap from and classifies sub-threshold docs
     // the heuristic would call 'und'.
     "crawl_curation" -> ((s, d) =>
-      Curation.crawlCurate(crawlRecsRig(s, d)).orderBy("doc_id")),
+      Curation.crawlCurate(crawlRecsRig(s, d),
+        blockedDomains = crawlRigBlocklist).orderBy("doc_id")),
     // the SAME funnel as a STREAMING ingest loop (r17 — C23): the
     // identical rig's records drive crawlCurateIngestBatch cold, and a
     // cold single batch with empty indexes IS the batch funnel (same
     // code path, empty priors), so the query shares crawl_curation's
     // oracle; cross-batch carry is the spec's 2-batch MemoryStream
     "crawl_curation_inc" -> ((s, d) =>
-      graft.streaming.StreamOps.runCrawlCurateIngest(s, crawlRecsRig(s, d))),
+      graft.streaming.StreamOps.runCrawlCurateIngest(s, crawlRecsRig(s, d),
+        blockedDomains = crawlRigBlocklist)),
     // the END-TO-END loop (r17): the rig's archives LAND in a watched
     // directory and one loop turns them into fates — landing diff →
     // fresh-only record-streamed parse → the funnel against carried
@@ -1163,7 +1177,7 @@ object SparkEntry {
       val tmp = java.nio.file.Files.createTempDirectory("graft_ccur_land_")
       writeCrawlArchives(s, d, tmp.toString)
       val out = graft.streaming.StreamOps.runCrawlLandingIngest(s,
-        tmp.toString)
+        tmp.toString, blockedDomains = crawlRigBlocklist)
       rmTree(tmp.toFile)
       out
     }),

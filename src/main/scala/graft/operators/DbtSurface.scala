@@ -715,33 +715,38 @@ object Curation {
     *     `revisit_dup` when the original is present, `revisit_orphan`
     *     when it lives in another segment; refetched-unchanged pages
     *     never reach text extraction at all;
-    *  2. block-level boilerplate removal (htmlToMainText);
-    *  3. URL dedup (canonical first-seen, skew-safe groupBy-min);
-    *  4. exact-content dedup among URL survivors;
-    *  5. the LANG STAGE — any `(doc_id, text) => (doc_id,
+    *  2. the DOMAIN GATE (r17, optional `blockedDomains`): eTLD+1 of
+    *     the URL against the blocklist, URL-ONLY and before
+    *     extraction — blocked registrants' pages never pay the HTML
+    *     kernel or any later stage (`domain_blocked`);
+    *  3. block-level boilerplate removal (htmlToMainText);
+    *  4. URL dedup (canonical first-seen, skew-safe groupBy-min);
+    *  5. exact-content dedup among URL survivors;
+    *  6. the LANG STAGE — any `(doc_id, text) => (doc_id,
     *     predicted_lang)` frame function; default = the trained
     *     weak-supervised model ([[weakLangStage]]) — a labeled-fixture
     *     [[TextAnalysis.langIdModel]] plugs in to name languages no
     *     lexicon covers (spec-exercised), and [[TextAnalysis.langId]]
     *     remains available as the heuristic twin;
-    *  6. the Gopher gauntlet.
+    *  7. the Gopher gauntlet.
     * Output: ONE per-document fate table (doc_id, url_canonical,
     * predicted_lang, n_words, fate) over every record — fates
-    * url_dup / exact_dup / revisit_dup / revisit_orphan / the
-    * gauntlet's first_fail / kept; revisit rows carry NULL lang and
-    * n_words (there is no body to analyze — stating that honestly
-    * beats fabricating columns). Stage costs: scan-bound until the
+    * domain_blocked / url_dup / exact_dup / revisit_dup /
+    * revisit_orphan / the gauntlet's first_fail / kept; revisit and
+    * blocked rows carry NULL lang and n_words (there is no analyzed
+    * body — stating that honestly beats fabricating columns). Stage costs: scan-bound until the
     * canonical-key and digest exchanges; the digest join's response
     * side reduces to its distinct digests before joining, so a
     * syndicated-digest storm cannot fan the revisit side out. */
   def crawlCurate(recs: DataFrame,
-                  langStage: DataFrame => DataFrame = weakLangStage)
+                  langStage: DataFrame => DataFrame = weakLangStage,
+                  blockedDomains: Seq[String] = Nil)
       : DataFrame = {
     val s = recs.sparkSession
     def none(c: String): DataFrame =
       s.range(0).select(col("id").cast("string").as(c))
     crawlCurateIncremental(recs, none("url_canonical"), none("digest"),
-      none("payload_digest"), langStage)._1
+      none("payload_digest"), langStage, blockedDomains)._1
   }
 
   /** [[crawlCurate]] against PRIOR state — the core the streaming
@@ -775,10 +780,34 @@ object Curation {
     * r16 keep-with-NULL verdict across batches. */
   def crawlCurateIncremental(recs: DataFrame, priorUrls: DataFrame,
       priorDigests: DataFrame, priorRespDigests: DataFrame,
-      langStage: DataFrame => DataFrame = weakLangStage)
+      langStage: DataFrame => DataFrame = weakLangStage,
+      blockedDomains: Seq[String] = Nil)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val responses = recs.filter(col("warc_type") === "response")
+    val allResponses = recs.filter(col("warc_type") === "response")
     val revisits = recs.filter(col("warc_type") === "revisit")
+    // the DOMAIN GATE decides URL-only and FIRST among response
+    // stages (the CCNet/RefinedWeb blocklist, keyed on eTLD+1): a
+    // blocked registrant's pages never pay the HTML kernel, the dedup
+    // exchanges, or the model — at crawl scale the gate is a literal
+    // scan filter, and the blocklist's job is precisely to make the
+    // expensive stages never see those bytes. Applies to responses
+    // (it exists to stop extraction and keeps); a revisit's fate
+    // stays fetch-time identity — the blocked-ness of its original
+    // is visible on the original's own row. Non-hierarchical URLs
+    // (NULL host) pass the gate: refuse-to-guess, the r16 null-URL
+    // stance.
+    val gate: org.apache.spark.sql.Column =
+      if (blockedDomains.isEmpty) lit(false)
+      else coalesce(
+        registeredDomain(urlHost(col("url"))).isin(blockedDomains: _*),
+        lit(false))
+    val gated = allResponses.withColumn("__blocked", gate)
+    val responses = gated.filter(!col("__blocked")).drop("__blocked")
+    val blockedFates = gated.filter(col("__blocked"))
+      .select(col("doc_id"), canonicalUrl(col("url")).as("url_canonical"),
+        lit(null).cast("string").as("predicted_lang"),
+        lit(null).cast("long").as("n_words"),
+        lit("domain_blocked").as("fate"))
     // extraction is the funnel's compute-heavy step and EVERY later
     // stage re-reads its output — URL dedup, the content digest, the
     // NB lang stage's ~6 plan branches (tf/model/priors/scoring), the
@@ -825,8 +854,9 @@ object Curation {
           .otherwise(lit("kept")).as("fate"))
     // revisit resolution by SEMI/ANTI join — existence is the question,
     // so neither side needs a distinct and a syndicated-digest storm
-    // (or a lifetime-sized prior index) cannot fan the revisit side out
-    val respSeen = responses.select("payload_digest")
+    // (or a lifetime-sized prior index) cannot fan the revisit side out.
+    // Fetch-time digest identity covers EVERY response, blocked included.
+    val respSeen = allResponses.select("payload_digest")
       .unionByName(priorRespDigests.select("payload_digest"))
     val revKeyed = revisits.select(col("doc_id"), col("url"),
       col("payload_digest"))
@@ -840,17 +870,19 @@ object Curation {
       .unionByName(revFate(
         revKeyed.join(respSeen, Seq("payload_digest"), "left_anti"),
         "revisit_orphan"))
-    val report = respFates.unionByName(revFates)
+    val report = respFates.unionByName(revFates).unionByName(blockedFates)
     // deltas carry only keys the index does NOT already hold, so the
     // index stays one row per key forever and per-batch append volume
-    // is bounded by the batch's NEW keys, not its arrivals
+    // is bounded by the batch's NEW keys, not its arrivals. Blocked
+    // URLs never claim first-seen (they never compete for a keep);
+    // their payload digests DO persist (fetch-time identity).
     val urlDelta = ud.filter(col("url_canonical").isNotNull)
       .select("url_canonical").distinct()
       .join(priorUrls.select("url_canonical"), Seq("url_canonical"),
         "left_anti")
     val digestDelta = survivors.select("digest").distinct()
       .join(priorDigests.select("digest"), Seq("digest"), "left_anti")
-    val respDelta = responses.select("payload_digest").distinct()
+    val respDelta = allResponses.select("payload_digest").distinct()
       .join(priorRespDigests.select("payload_digest"),
         Seq("payload_digest"), "left_anti")
     (report, urlDelta, digestDelta, respDelta)

@@ -1582,7 +1582,8 @@ object StreamOps {
     * compaction is a per-key distinct fold, safe behind any committed
     * watermark like [[compactCurationState]]. */
   def crawlCurateIngestBatch(reportTable: String, urlTable: String,
-                             digestTable: String, respTable: String)
+                             digestTable: String, respTable: String,
+                             blockedDomains: Seq[String] = Nil)
                             (b: DataFrame, id: Long): Unit = {
     import graft.sources.TxLogFormat
     val spark = b.sparkSession
@@ -1596,7 +1597,8 @@ object StreamOps {
     val (report, uDelta, dDelta, rDelta) =
       graft.operators.Curation.crawlCurateIncremental(batch,
         state(urlTable, "url_canonical"), state(digestTable, "digest"),
-        state(respTable, "payload_digest"))
+        state(respTable, "payload_digest"),
+        blockedDomains = blockedDomains)
     val appId = "graft_crawlcur_ingest"
     val repC = report.localCheckpoint()
     val uC = uDelta.withColumn("batch_id", lit(id)).localCheckpoint()
@@ -1633,7 +1635,9 @@ object StreamOps {
   def crawlLandingTick(spark: SparkSession, landing: String,
                        processedTable: String, reportTable: String,
                        urlTable: String, digestTable: String,
-                       respTable: String)(id: Long): Unit = {
+                       respTable: String,
+                       blockedDomains: Seq[String] = Nil)
+                      (id: Long): Unit = {
     import graft.sources.{TxLogFormat, Warc}
     import spark.implicits._
     val all = Warc.listWarcFiles(spark, landing)
@@ -1651,7 +1655,7 @@ object StreamOps {
           col("warc_type"), col("url"), col("payload_digest"),
           col("body").cast("string").as("html"))
       crawlCurateIngestBatch(reportTable, urlTable, digestTable,
-        respTable)(recs, id)
+        respTable, blockedDomains)(recs, id)
       TxLogFormat.appendBatch(fresh.toDF("path"), processedTable,
         "graft_crawlcur_ingest", id)
       ()
@@ -1664,7 +1668,8 @@ object StreamOps {
     * [[graft.operators.DbtSurface.Curation.crawlCurate]] — the third
     * query on `crawl_curation`'s oracle, each exercising a different
     * loop (batch / record stream / landing watch). */
-  def runCrawlLandingIngest(spark: SparkSession, landing: String)
+  def runCrawlLandingIngest(spark: SparkSession, landing: String,
+                            blockedDomains: Seq[String] = Nil)
       : DataFrame = {
     import graft.sources.TxLogFormat
     val tmpRoot = java.nio.file.Files.createTempDirectory("graft_ccur_e2e_")
@@ -1683,7 +1688,7 @@ object StreamOps {
       .writeStream
       .foreachBatch { (_: DataFrame, id: Long) =>
         crawlLandingTick(spark, landing, processedTable, reportTable,
-          urlTable, digestTable, respTable)(id)
+          urlTable, digestTable, respTable, blockedDomains)(id)
       }
       .trigger(Trigger.AvailableNow())
       .start()
@@ -1731,7 +1736,8 @@ object StreamOps {
     * `crawl_curation_inc` shares `crawl_curation`'s oracle; the spec's
     * 2-batch MemoryStream covers cross-batch URL/content/revisit
     * carry, the degenerate unlabeled batch, and replay. */
-  def runCrawlCurateIngest(spark: SparkSession, recs: DataFrame)
+  def runCrawlCurateIngest(spark: SparkSession, recs: DataFrame,
+                           blockedDomains: Seq[String] = Nil)
       : DataFrame = {
     import graft.sources.TxLogFormat
     val tmpRoot = java.nio.file.Files.createTempDirectory("graft_ccur_inc_")
@@ -1745,7 +1751,7 @@ object StreamOps {
     val q = spark.readStream.schema(schema).parquet(srcDir)
       .writeStream
       .foreachBatch(crawlCurateIngestBatch(reportTable, urlTable,
-        digestTable, respTable) _)
+        digestTable, respTable, blockedDomains) _)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()

@@ -599,6 +599,27 @@ class OperatorsSpec extends SparkSpec {
     assert(staged.keySet == fates.keySet &&
       staged.forall { case (k, r) => r.getString(4) == fates(k).getString(4) },
       "swapping the lang stage changes no fate")
+    // the DOMAIN GATE (r17): a blocked registrant's response is
+    // refused URL-only — NULL lang and word count prove it never
+    // reached extraction or the model — while a revisit whose
+    // original lives on the blocked domain keeps its fetch-time
+    // fate, and every other verdict is untouched by the gate
+    val blockedRecs = recs.unionByName(Seq(
+      (30L, "response", "https://sub.evil-mirror.org/x?p=1", "d-ev",
+        page(deB)),
+      (31L, "revisit", "https://sub.evil-mirror.org/x?p=1", "d-ev", ""))
+      .toDF("doc_id", "warc_type", "url", "payload_digest", "html"))
+    val gatedOut = Curation.crawlCurate(blockedRecs,
+        blockedDomains = Seq("evil-mirror.org")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(gatedOut(30L).getString(4) == "domain_blocked" &&
+      gatedOut(30L).isNullAt(2) && gatedOut(30L).isNullAt(3),
+      "blocked pages never extract: " + gatedOut(30L))
+    assert(gatedOut(31L).getString(4) == "revisit_dup",
+      "a revisit's fate stays fetch-time identity: " + gatedOut(31L))
+    assert(fates.forall { case (k, r) =>
+      gatedOut(k).getString(4) == r.getString(4) },
+      "the gate must not disturb unblocked verdicts")
   }
 
   test("bm25 top-k (r14): plain-Scala re-derivation of the micro-unit " +
