@@ -104,14 +104,19 @@ object Dedup {
                          threshold: Double = 0.8,
                          corpusIndex: Option[DataFrame] = None,
                          payloadJoin: PayloadJoin = PayloadJoin.Auto,
-                         prefilterSlackSd: Double = 2.5): DataFrame = {
+                         prefilterSlackSd: Double = 2.5,
+                         batchBanded: Option[DataFrame] = None): DataFrame = {
     val r = numHashes / bands
     val idx = corpusIndex.getOrElse(bandedSignatures(corpus, numHashes, bands))
       .select(col("doc_id").as("doc_c"), col("sig").as("sig_c"),
         col("band_idx"), col("band_hash"))
     // explicit repartition pins the emit stage's parallelism (AQE would
-    // coalesce the KB-scale band exchange under the pair-amplifying join)
-    val bb = bandedSignatures(batch, numHashes, bands)
+    // coalesce the KB-scale band exchange under the pair-amplifying join).
+    // `batchBanded` (r17): the ingest loop already computed the batch's
+    // band frame for its intra-batch pass and index append — reuse it
+    // instead of re-running the token-scale signature aggregation.
+    val bb = batchBanded
+      .getOrElse(bandedSignatures(batch, numHashes, bands))
       .select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
         col("band_idx"), col("band_hash"))
       .repartition(col("band_idx"), col("band_hash"))
@@ -240,7 +245,8 @@ object Dedup {
                  threshold: Double = 0.8,
                  payloadJoin: PayloadJoin = PayloadJoin.Auto,
                  prefilterSlackSd: Double = 2.5,
-                 maxBandDf: Int = Int.MaxValue): DataFrame = {
+                 maxBandDf: Int = Int.MaxValue,
+                 precomputedBanded: Option[DataFrame] = None): DataFrame = {
     require(numHashes % bands == 0,
       s"numHashes ($numHashes) must be divisible by bands ($bands)")
     val r = numHashes / bands
@@ -261,7 +267,14 @@ object Dedup {
     // serially (measured 2x on the sf0.1 corpus). A user-specified
     // repartition is never coalesced, and it co-partitions the equi-join
     // key as a bonus.
-    val banded = bandedSignatures(documents, numHashes, bands)
+    // `precomputedBanded` (r17): a caller that also persists/appends the
+    // band index (the ingest loop) passes its already-checkpointed
+    // [[bandedSignatures]] frame so the signature aggregation — the
+    // token-scale explode + 64-hash MinHash, the most expensive stage of
+    // the pipeline — runs once per batch, not once per consumer. The
+    // frame must be exactly bandedSignatures(documents, numHashes, bands).
+    val banded = precomputedBanded
+      .getOrElse(bandedSignatures(documents, numHashes, bands))
       .repartition(col("band_idx"), col("band_hash"))
     // Prefilter: with k hashes the agreement fraction estimates J with sd
     // sqrt(J(1-J)/k) (~0.05 at k=64, J=0.8); 2.5 sd of slack keeps the miss
@@ -619,51 +632,122 @@ object Dedup {
     // dedup_clusters_minhash). nodes is checkpointed too: it feeds both sym
     // and labels, and each use would otherwise redo the distinct shuffle.
     val e = pairs.select(col(aCol).as("u"), col(bCol).as("v")).localCheckpoint()
-    val nodes = e.select(col("u")).unionAll(e.select(col("v"))).distinct()
-      .localCheckpoint()
-    // symmetric edges + a self-loop per node: "min over neighbours" then
-    // subsumes "min with own label", keeping the loop body to ONE join +
-    // ONE partial-agg groupBy (no per-round union). NO dedup of the edge
-    // list: min-label propagation is insensitive to duplicate edges, so a
-    // distinct here would shuffle the largest frame in the loop for nothing.
-    val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
-      .unionAll(nodes.select(col("u"), col("u").as("v")))
-      .localCheckpoint()
-    var labels = nodes.select(col("u").as("id"), col("u").as("label"))
-    // Labels only DECREASE round-over-round (min over neighbours including
-    // self; pointer jumping maps a label through another label, itself a
-    // min), so the label SUM is a fixed-point witness: unchanged sum ⟺
-    // converged. One scalar aggregate per round replaces the former
-    // join-the-two-generations row diff. decimal(38,0) so huge 64-bit ids
-    // can never overflow the sum at corpus scale.
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
-    var prevSum = labelSum(labels)
-    var converged = false
-    var iter = 0
-    while (!converged && iter < maxIter) {
-      // (a) propagate: min over the labels of self (self-loop) + neighbours
-      val minLbl = sym
-        .join(labels.select(col("id").as("v"), col("label")), "v")
-        .groupBy(col("u")).agg(min("label").as("label"))
-        .select(col("u").as("id"), col("label"))
-      // (b) pointer-jump: label := label(label) — labels are node ids, so
-      // the lookup is a self-join; left+coalesce guards the fixed points
-      val jumped = minLbl.as("n")
-        .join(minLbl.select(col("id").as("pid"), col("label").as("plabel")),
-          col("n.label") === col("pid"), "left")
-        .select(col("n.id").as("id"),
-          coalesce(col("plabel"), col("n.label")).as("label"))
+    // Scale-adaptive loop parallelism (guide §2.2/§2.4: derive the
+    // partitioning from the data, never from a constant): every exchange
+    // inside the iterative loop is edge/node-scale, the loop runs O(log D)
+    // rounds of several stages each, and AQE's coalescing leaves the width
+    // at the session default (parallelismFirst). At the session's full
+    // width a SMALL pair set pays the loop's cost in per-task fixed
+    // overhead (task setup, hash-table init, shuffle bookkeeping) times
+    // rounds × stages × partitions — executor CPU that dwarfs the actual
+    // label arithmetic (measured at sf0.1: dedup_clusters_minhash burned
+    // ~20 executor-cpu-s in the loop over a 26 k-edge graph). One count
+    // over the already-checkpointed edges prices the loop: ~4 M edge rows
+    // (~64 MB at 16 B/row) per partition, clamped to the session default
+    // so a 100 TB edge set still fans out to the full configured width.
+    // Label propagation is partition-count-invariant (min is commutative/
+    // associative), so the result is bit-identical at any width.
+    val spark = pairs.sparkSession
+    val defaultSp = spark.conf.get("spark.sql.shuffle.partitions")
+    val nEdges = e.count()
+    // ~256k edge rows (~4 MB at 16 B/row) per partition: measured at sf0.1
+    // (2.63 M minhash edges, 4 rounds) — 32 partitions 7.2 s, 8-16
+    // partitions 3.2-3.8 s, 1 partition 6.3 s; the fixed per-task cost and
+    // the serial floor bracket the optimum, and the target sits at its
+    // bottom while clamping to the session width for genuinely big graphs.
+    val loopParts = math.max(1L, math.min(defaultSp.toLong.max(1L),
+      nEdges / (256L << 10) + 1)).toInt
+    spark.conf.set("spark.sql.shuffle.partitions", loopParts)
+    try {
+      val nodes = e.select(col("u")).unionAll(e.select(col("v"))).distinct()
         .localCheckpoint()
-      labels = jumped
-      val s = labelSum(labels)
-      // null-safe: an empty edge set sums to null on both sides
-      converged = java.util.Objects.equals(s, prevSum)
-      prevSum = s
-      iter += 1
-    }
-    labels
+      // symmetric edges + a self-loop per node: "min over neighbours" then
+      // subsumes "min with own label", keeping the loop body to ONE join +
+      // ONE partial-agg groupBy (no per-round union). NO dedup of the edge
+      // list: min-label propagation is insensitive to duplicate edges, so a
+      // distinct here would shuffle the largest frame in the loop for nothing.
+      val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+        .unionAll(nodes.select(col("u"), col("u").as("v")))
+        .localCheckpoint()
+      var labels = nodes.select(col("u").as("id"), col("u").as("label"))
+      // Deliberate join strategy for the loop (guide §3.1): the label table
+      // is ALWAYS node-scale (16 B/row) while sym is edge-scale, so when the
+      // node count provably fits a broadcast (≤4M rows ≈ 64 MB built), ship
+      // labels to the edges and the propagate pass reads the cached sym with
+      // NO edge-scale exchange in any round — the planner cannot know this
+      // (a lazy-checkpointed frame has no stats until after the first round).
+      // Past the cap the loop keeps the shuffle join, the 100 TB shape.
+      val nNodes = nodes.count()
+      def maybeBroadcast(df: DataFrame): DataFrame =
+        if (nNodes <= 4000000L) broadcast(df) else df
+      // Labels only DECREASE round-over-round (min over neighbours including
+      // self; pointer jumping maps a label through another label, itself a
+      // min), so the label SUM is a fixed-point witness: unchanged sum ⟺
+      // converged. One scalar aggregate per round replaces the former
+      // join-the-two-generations row diff. decimal(38,0) so huge 64-bit ids
+      // can never overflow the sum at corpus scale.
+      def labelSum(df: DataFrame): java.math.BigDecimal =
+        df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+      var prevSum = labelSum(labels)
+      var converged = false
+      var iter = 0
+      var prevGen: DataFrame = null
+      var prevMin: DataFrame = null
+      while (!converged && iter < maxIter) {
+        // (a) propagate: min over the labels of self (self-loop) + neighbours.
+        // LAZY checkpoint: minLbl feeds BOTH sides of the pointer-jump
+        // self-join below — without a barrier the edge-scale join + partial
+        // aggregation executes once per side (the propagate pass is the
+        // loop's only edge-scale work, so that doubled the whole loop;
+        // measured at sf0.1: 3.2 s → 1.9 s for the 4-round loop). The
+        // labelSum action materializes the cache as a side effect — still
+        // one job per round.
+        val minLbl = sym
+          .join(maybeBroadcast(labels.select(col("id").as("v"), col("label"))),
+            "v")
+          .groupBy(col("u")).agg(min("label").as("label"))
+          .select(col("u").as("id"), col("label"))
+          .localCheckpoint(false)
+        // (b) pointer-jump: label := label(label) — labels are node ids, so
+        // the lookup is a self-join; left+coalesce guards the fixed points.
+        val jumped = minLbl.as("n")
+          .join(maybeBroadcast(
+            minLbl.select(col("id").as("pid"), col("label").as("plabel"))),
+            col("n.label") === col("pid"), "left")
+          .select(col("n.id").as("id"),
+            coalesce(col("plabel"), col("n.label")).as("label"))
+          .localCheckpoint(false)
+        labels = jumped
+        val s = labelSum(labels)
+        // the superseded generation's cached blocks are dead the moment the
+        // new one is materialized — free them so a long loop on a big graph
+        // holds two generations, not `iter` of them
+        if (prevGen ne null) freeLocalCheckpoint(prevGen)
+        if (prevMin ne null) freeLocalCheckpoint(prevMin)
+        prevGen = jumped
+        prevMin = minLbl
+        // null-safe: an empty edge set sums to null on both sides
+        converged = java.util.Objects.equals(s, prevSum)
+        prevSum = s
+        iter += 1
+      }
+      // loop scratch is dead once the final labels generation is
+      // materialized: free the edge-scale checkpoints so a bench/pipeline
+      // running many CC consumers does not accumulate their blocks
+      if (prevMin ne null) freeLocalCheckpoint(prevMin)
+      freeLocalCheckpoint(nodes); freeLocalCheckpoint(sym)
+      labels
+    } finally spark.conf.set("spark.sql.shuffle.partitions", defaultSp)
   }
+
+  /** Drop a materialized localCheckpoint's cached blocks (the frame must
+    * never be recomputed afterwards — lineage is truncated). */
+  private def freeLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false); ()
+      case _ => ()
+    }
 
   /** Near-dup clusters from ANY pair source: connected components over the
     * (doc_a, doc_b) edges, then per-doc cluster id + size. Downstream dedup

@@ -593,10 +593,23 @@ object StreamOps {
     import graft.sources.TxLogFormat
     val spark = b.sparkSession
     val batch = b.select(col("doc_id"), col("text")).localCheckpoint()
+    // ONE signature aggregation per batch (r17): the band frame — the
+    // token-scale explode + 64-hash MinHash, the loop's most expensive
+    // stage — used to run three times per batch (intra-batch LSH, the
+    // cross-batch probe, and the index append each re-derived it from
+    // text). Compute it once, checkpoint it, and slice it per consumer:
+    // signatures are a pure function of (doc_id, text), so every slice is
+    // bit-identical to the frame that consumer derived itself.
+    val bandedAll = graft.operators.Dedup
+      .bandedSignatures(batch, numHashes, bands).localCheckpoint()
     val intraDrop = graft.operators.Dedup.minhashLsh(batch,
-        numHashes, bands, threshold, prefilterSlackSd = prefilterSlackSd)
+        numHashes, bands, threshold, prefilterSlackSd = prefilterSlackSd,
+        precomputedBanded = Some(bandedAll))
       .select(greatest(col("doc_a"), col("doc_b")).as("doc_id")).distinct()
     val batchKept = batch.join(intraDrop, Seq("doc_id"), "left_anti")
+      .localCheckpoint(false)
+    val bandedKept = bandedAll
+      .join(batchKept.select("doc_id"), Seq("doc_id"), "left_semi")
     val kept =
       if (TxLogFormat.versions(table).isEmpty) batchKept
       else {
@@ -604,7 +617,8 @@ object StreamOps {
         val idx = TxLogFormat.read(spark, indexTable)
         val dup = graft.operators.Dedup.incrementalMinhash(corpus, batchKept,
             numHashes, bands, threshold, corpusIndex = Some(idx),
-            prefilterSlackSd = prefilterSlackSd)
+            prefilterSlackSd = prefilterSlackSd,
+            batchBanded = Some(bandedKept))
           .select(col("doc_b").as("doc_id")).distinct()
         batchKept.join(dup, Seq("doc_id"), "left_anti")
       }
@@ -613,9 +627,9 @@ object StreamOps {
     val keptC = kept.localCheckpoint()
     TxLogFormat.appendBatch(keptC, table, "neardup_ingest", id)
     TxLogFormat.appendBatch(
-      graft.operators.Dedup.bandedSignatures(keptC, numHashes, bands),
+      bandedAll.join(keptC.select("doc_id"), Seq("doc_id"), "left_semi"),
       indexTable, "neardup_ingest", id)
-    freeCheckpoints(batch, keptC)
+    freeCheckpoints(batch, bandedAll, batchKept, keptC)
   }
 
   /** Driver wrapper: AvailableNow over the documents source through
