@@ -796,13 +796,21 @@ object Curation {
     // is visible on the original's own row. Non-hierarchical URLs
     // (NULL host) pass the gate: refuse-to-guess, the r16 null-URL
     // stance.
-    val gate: org.apache.spark.sql.Column =
-      if (blockedDomains.isEmpty) lit(false)
-      else coalesce(
-        registeredDomain(urlHost(col("url"))).isin(blockedDomains: _*),
-        lit(false))
-    val gated = allResponses.withColumn("__blocked", gate)
-    val responses = gated.filter(!col("__blocked")).drop("__blocked")
+    // the gate reads a PROJECTED host column (the urlDomainsWith rule):
+    // registeredDomain references host ~a dozen times, and re-deriving
+    // urlHost(url) at each reference blew the generated method past the
+    // JIT compile threshold (measured on domain_quota_psl)
+    val gated = allResponses
+      .withColumn("__host",
+        if (blockedDomains.isEmpty) lit(null).cast("string")
+        else urlHost(col("url")))
+      .withColumn("__blocked",
+        if (blockedDomains.isEmpty) lit(false)
+        else coalesce(
+          registeredDomain(col("__host")).isin(blockedDomains: _*),
+          lit(false)))
+    val responses = gated.filter(!col("__blocked"))
+      .drop("__blocked", "__host")
     val blockedFates = gated.filter(col("__blocked"))
       .select(col("doc_id"), canonicalUrl(col("url")).as("url_canonical"),
         lit(null).cast("string").as("predicted_lang"),
@@ -1032,8 +1040,7 @@ object Curation {
     * fate explicitly. Scan-bound string arithmetic, no shuffle. */
   def urlDomains(documents: DataFrame, urlCol: String = "url",
                  blocklist: Seq[String] = Nil): DataFrame =
-    urlDomainsWith(documents, urlCol, blocklist,
-      registeredDomain(urlHost(col(urlCol))))
+    urlDomainsWith(documents, urlCol, blocklist, registeredDomain(_))
 
   /** [[urlDomains]] under a LOADED Public Suffix List rule set (r17) —
     * same output shape, eTLD+1 from the PslRules overload of
@@ -1041,14 +1048,32 @@ object Curation {
   def urlDomains(documents: DataFrame, urlCol: String,
                  blocklist: Seq[String], rules: PslRules): DataFrame =
     urlDomainsWith(documents, urlCol, blocklist,
-      registeredDomain(urlHost(col(urlCol)), rules))
+      registeredDomain(_, rules))
 
+  // reg_domain consumes the PROJECTED host column, never a re-derived
+  // urlHost(url) subtree (r17): registeredDomain references its host
+  // argument ~a dozen times, and with the full regexp url→host chain
+  // inlined at every reference the single-stage expression tree blew the
+  // generated method past the JIT's compile threshold — whole-stage
+  // codegen ran as interpreted bytecode, ~2s per 500-row run (measured;
+  // codegen OFF was 2x faster). Staged projections keep each generated
+  // method small AND evaluate the regexp chain once per row at any scale
+  // (CollapseProject will not re-inline a non-cheap multi-referenced
+  // alias).
   private def urlDomainsWith(documents: DataFrame, urlCol: String,
                              blocklist: Seq[String],
-                             dom: org.apache.spark.sql.Column): DataFrame =
+                             domOfHost: org.apache.spark.sql.Column =>
+                               org.apache.spark.sql.Column): DataFrame =
     documents
       .withColumn("host", urlHost(col(urlCol)))
-      .withColumn("reg_domain", dom)
+      // EvalOnce fence: a consumer filtering on reg_domain/blocked (the
+      // quota and gate queries do) would otherwise push its predicate
+      // below this projection by INLINING the whole host→registrant tree
+      // into the predicate — every row then pays the tree twice and the
+      // fused predicate method grows past what the JIT compiles (measured
+      // ~4 ms/row on domain_quota_psl, scan-bound after the fence)
+      .withColumn("reg_domain",
+        graft.functions.EvalOnce(domOfHost(col("host"))))
       .withColumn("blocked",
         if (blocklist.isEmpty) lit(false)
         else coalesce(col("reg_domain").isInCollection(blocklist),
