@@ -409,8 +409,113 @@ case class SlidingMin(child: Expression, width: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** All sliding-window xxhash64 fingerprints of a string in ONE pass —
+  * out(i) = xxhash64(substr(text, i+1, window)) for every full window,
+  * bit-identical to the composable
+  * `transform(sequence(1, len-window+1), i => xxhash64(substr(text,i,w)))`
+  * (spec-pinned): xxhash64 of a substring depends only on its BYTES, so
+  * hashing each window's byte range in place over the parent string's
+  * buffer gives the same 64-bit values with ZERO per-window allocation —
+  * the composable form copies `window` chars into a fresh UTF8String per
+  * position (O(len·window) bytes of garbage per document; the dominant
+  * per-task cost of the fingerprint family at corpus scale). One
+  * code-point offset walk handles multi-byte UTF-8 exactly like
+  * `substr`'s code-point addressing. Strings shorter than `window`
+  * yield an empty array (the callers' `length >= window` filter makes
+  * that unreachable, but the kernel states it anyway). */
+case class WindowHashes(child: Expression, window: Int)
+    extends UnaryExpression {
+  require(window >= 1 && window <= (1 << 20),
+    s"graft_window_hashes: window must be in [1, 2^20], got $window")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${dt.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_window_hashes"
+
+  override def nullSafeEval(a: Any): Any = {
+    val s = a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val nb = s.numBytes()
+    val nc = s.numChars()
+    if (nc < window) UnsafeArrayData.fromPrimitiveArray(new Array[Long](0))
+    else {
+      // byte offset of each code-point start (+ the end sentinel), the
+      // same walk numChars()/substringSQL take
+      val starts = new Array[Int](nc + 1)
+      var ci = 0
+      var bi = 0
+      while (bi < nb && ci < nc) {
+        starts(ci) = bi
+        bi += org.apache.spark.unsafe.types.UTF8String.numBytesForFirstByte(
+          org.apache.spark.unsafe.Platform.getByte(base, off + bi))
+        ci += 1
+      }
+      while (ci <= nc) { starts(ci) = nb; ci += 1 }
+      val nw = nc - window + 1
+      val out = new Array[Long](nw)
+      var i = 0
+      while (i < nw) {
+        out(i) = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(base, off + starts(i),
+            starts(i + window) - starts(i), 42L)
+        i += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(out)
+    }
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val base = ctx.freshName("base"); val off = ctx.freshName("off")
+      val nb = ctx.freshName("nb"); val nc = ctx.freshName("nc")
+      val starts = ctx.freshName("starts"); val ci = ctx.freshName("ci")
+      val bi = ctx.freshName("bi"); val nw = ctx.freshName("nw")
+      val out = ctx.freshName("out"); val i = ctx.freshName("i")
+      s"""
+        Object $base = $a.getBaseObject();
+        long $off = $a.getBaseOffset();
+        int $nb = $a.numBytes();
+        int $nc = $a.numChars();
+        long[] $out;
+        if ($nc < $window) {
+          $out = new long[0];
+        } else {
+          int[] $starts = new int[$nc + 1];
+          int $ci = 0;
+          int $bi = 0;
+          while ($bi < $nb && $ci < $nc) {
+            $starts[$ci] = $bi;
+            $bi += org.apache.spark.unsafe.types.UTF8String.numBytesForFirstByte(
+              org.apache.spark.unsafe.Platform.getByte($base, $off + $bi));
+            $ci++;
+          }
+          while ($ci <= $nc) { $starts[$ci] = $nb; $ci++; }
+          int $nw = $nc - $window + 1;
+          $out = new long[$nw];
+          for (int $i = 0; $i < $nw; $i++) {
+            $out[$i] = org.apache.spark.sql.catalyst.expressions.XXH64
+              .hashUnsafeBytes($base, $off + $starts[$i],
+                $starts[$i + $window] - $starts[$i], 42L);
+          }
+        }
+        ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-API entry points for the graft native expressions. */
 object VectorFunctions {
+  def windowHashes(text: Column, window: Int): Column =
+    Bridge.column(WindowHashes(Bridge.expression(text), window))
+
   def cosine(a: Column, b: Column): Column =
     Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
 

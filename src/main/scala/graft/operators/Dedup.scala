@@ -1417,8 +1417,7 @@ object Dedup {
                                        minChars: Int = 40, maxDf: Int = 100,
                                        numShards: Int = 4): DataFrame = {
     require(numShards >= 1, s"numShards must be >= 1, got $numShards")
-    val raw = substringWindows(documents, minChars)
-      .select(col("doc_id"), col("p"), xxhash64(col("sub")).as("h"))
+    val raw = hashedSubstringWindows(documents, minChars)
     // numShards > 1 re-reads the window frame once per shard — pin it
     // with a local checkpoint so the explode computes once (the 100 TB
     // deployment persists this (doc_id, p, h) table anyway; shards then
@@ -1479,9 +1478,17 @@ object Dedup {
   def incrementalSubstringDedup(batch: DataFrame, corpusIndex: DataFrame,
                                 minChars: Int = 40)
       : (DataFrame, DataFrame) = {
-    val wins = substringWindows(batch, minChars)
-      .select(col("doc_id"), xxhash64(col("sub")).as("h"))
-      .distinct()
+    // NO distinct here (r17): every consumer absorbs duplicate
+    // (doc_id, h) rows — the intra-batch rule is a per-h min (duplicate
+    // rows cannot change a min), the cross-batch probe is a left-semi
+    // (existence), and both the drop sets and the index delta are
+    // distinct'd at their own (much smaller) outputs. The removed
+    // distinct was a full extra exchange + hash aggregation of the
+    // window frame — the largest frame in the query — per batch.
+    // Repeated windows within one doc (real crawl text repeats) make
+    // the checkpoint marginally larger; they were never semantic.
+    val wins = hashedSubstringWindows(batch, minChars)
+      .select(col("doc_id"), col("h"))
       .localCheckpoint(false)
     // intra-batch: shares a window with a lower-id batch doc. The drop
     // predicate never needs PAIRS — "shares a window with a lower-id
@@ -1525,6 +1532,21 @@ object Dedup {
         col("text"))
       .select(col("doc_id"), col("p"),
         col("text").substr(col("p").cast("int"), lit(minChars)).as("sub"))
+
+  /** The hashed twin of [[substringWindows]]: (doc_id, p 1-based, h =
+    * xxhash64 of the window) via the one-pass [[graft.functions
+    * .WindowHashes]] kernel — bit-identical hashes to
+    * `xxhash64(substr(text, p, minChars))` (spec-pinned) with zero
+    * per-window UTF8String copies, which were the dominant per-task cost
+    * of the scale paths (every character position used to allocate a
+    * `minChars`-char substring just to hash it). */
+  private def hashedSubstringWindows(documents: DataFrame,
+                                     minChars: Int): DataFrame =
+    documents.filter(length(col("text")) >= minChars)
+      .select(col("doc_id"),
+        posexplode(graft.functions.VectorFunctions.windowHashes(
+          col("text"), minChars)).as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).as("p"), col("h"))
 
   /** Exact-regime twin of [[simhash]]: run the FULL banding pipeline at
     * radius 0 and restrict the output to pairs with equal distinct-word

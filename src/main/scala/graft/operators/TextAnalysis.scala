@@ -380,10 +380,12 @@ object TextAnalysis {
     // O(n log n) sort-and-copy of every window hash per row. A custom
     // `hasher` (the md5 oracle twin) takes the generic sort path — its
     // hashes are strings.
+    // r17: the default path's window hashes come from the one-pass
+    // WindowHashes kernel — bit-identical to transform+substr+xxhash64
+    // (spec-pinned) with zero per-window UTF8String copies
     val kmin = hasher match {
       case None => graft.functions.VectorFunctions.arrayKMin(
-        transform(sequence(lit(1), len - window + 1),
-          i => xxhash64(col("text").substr(i, lit(window)))), k)
+        graft.functions.VectorFunctions.windowHashes(col("text"), window), k)
       case Some(h) => slice(array_sort(transform(sequence(lit(1), len - window + 1),
         i => h(col("text").substr(i, lit(window))))), 1, k)
     }
@@ -431,10 +433,16 @@ object TextAnalysis {
     // long-typed SlidingMin kernel, lexicographic min) — the documented
     // slower shape, acceptable on the twin's corpus slice.
     val h = hasher.getOrElse((c: Column) => xxhash64(c))
+    // r17: default path hashes every window in one WindowHashes pass
+    // (bit-identical to transform+substr+xxhash64, no per-window copies)
     val fp = documents.filter(len >= window + winnow - 1)
       .select(col("doc_id"),
-        transform(sequence(lit(1), len - window + 1),
-          i => h(col("text").substr(i, lit(window)))).as("hraw"))
+        (hasher match {
+          case None => graft.functions.VectorFunctions.windowHashes(
+            col("text"), window)
+          case Some(_) => transform(sequence(lit(1), len - window + 1),
+            i => h(col("text").substr(i, lit(window))))
+        }).as("hraw"))
       .select(col("doc_id"),
         explode(array_distinct(hasher match {
           case None => graft.functions.VectorFunctions.slidingMin(col("hraw"), winnow)

@@ -93,6 +93,32 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("window-hash kernel is bit-identical to transform+substr+xxhash64, " +
+       "multi-byte UTF-8 included") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val ascii = (1 to 200).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val cases = Seq(
+      "", "a", "short", ascii,
+      "café déjà vu " * 10,           // 2-byte chars
+      "你好世界 " * 15,              // 3-byte chars
+      "mixed 😀 emoji é text " * 8)   // 4-byte surrogate pairs
+    for (w <- Seq(1, 2, 8, 40); s <- cases) {
+      val df = Seq(s).toDF("text")
+      val got = df.select(
+        VectorFunctions.windowHashes(col("text"), w).as("h"))
+        .head.getSeq[Long](0)
+      val expected = df.select(
+        when(length(col("text")) >= w,
+          transform(sequence(lit(1), length(col("text")) - (w - 1)),
+            i => xxhash64(col("text").substr(i, lit(w)))))
+          .otherwise(array().cast("array<bigint>")).as("h"))
+        .head.getSeq[Long](0)
+      assert(got == expected,
+        s"window $w over ${s.take(12)}... (${got.take(4)} vs ${expected.take(4)})")
+    }
+  }
+
   test("first-equal-band and equal-positions kernels match brute force") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
