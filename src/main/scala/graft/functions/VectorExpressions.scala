@@ -154,6 +154,83 @@ case class JaccardSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Set-Jaccard over two SORTED `array<bigint>` columns (duplicates
+  * allowed — the merge walk counts each distinct value once): the verify
+  * kernel of the minhash family at its 100 TB shape. [[JaccardSimilarity]]
+  * over word strings builds two hash sets and hashes every word PER PAIR
+  * — with millions of candidate pairs each word string is re-hashed
+  * millions of times. Hashing each document's words ONCE (xxhash64 per
+  * word, sorted) turns the per-pair verify into a branch-predictable
+  * O(|a|+|b|) merge walk over primitive longs, no allocation, no
+  * hashing. Jaccard over the hashed word sets equals Jaccard over the
+  * word sets themselves unless two distinct words of a pair collide in
+  * 64 bits (~2⁻⁶⁴ per vocabulary pair — the same collision class every
+  * hashed candidate path here already accepts; the oracle gate
+  * re-verifies the emitted values at both SFs). Null elements throw —
+  * upstream word hashes are never null. */
+case class JaccardSortedLongs(left: Expression, right: Expression)
+    extends BinaryExpression with BinaryTypedInputs {
+
+  override def expectedElementType: DataType = LongType
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_jaccard_sorted"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements(); val m = y.numElements()
+    var i = 0; var j = 0
+    var inter = 0; var union = 0
+    var last = 0L; var hasLast = false
+    while (i < n || j < m) {
+      val takeA = j >= m || (i < n && x.getLong(i) <= y.getLong(j))
+      val v = if (takeA) x.getLong(i) else y.getLong(j)
+      if (!hasLast || v != last) {
+        val inA = i < n && x.getLong(i) == v
+        val inB = j < m && y.getLong(j) == v
+        union += 1
+        if (inA && inB) inter += 1
+        last = v; hasLast = true
+      }
+      if (takeA) i += 1 else j += 1
+    }
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val inter = ctx.freshName("inter"); val union = ctx.freshName("union")
+      val last = ctx.freshName("last"); val hasLast = ctx.freshName("hasLast")
+      val takeA = ctx.freshName("takeA"); val v = ctx.freshName("v")
+      val inA = ctx.freshName("inA"); val inB = ctx.freshName("inB")
+      s"""
+        int $n = $a.numElements(); int $m = $b.numElements();
+        int $i = 0; int $j = 0;
+        int $inter = 0; int $union = 0;
+        long $last = 0L; boolean $hasLast = false;
+        while ($i < $n || $j < $m) {
+          boolean $takeA = $j >= $m || ($i < $n && $a.getLong($i) <= $b.getLong($j));
+          long $v = $takeA ? $a.getLong($i) : $b.getLong($j);
+          if (!$hasLast || $v != $last) {
+            boolean $inA = $i < $n && $a.getLong($i) == $v;
+            boolean $inB = $j < $m && $b.getLong($j) == $v;
+            $union++;
+            if ($inA && $inB) $inter++;
+            $last = $v; $hasLast = true;
+          }
+          if ($takeA) $i++; else $j++;
+        }
+        ${ev.value} = ($union == 0) ? 0.0 : ((double) $inter) / $union;
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Index of the first length-`width` aligned block ("band") on which the two
   * `array<bigint>` MinHash signatures agree on EVERY position; -1 if none.
   *
@@ -521,6 +598,9 @@ object VectorFunctions {
 
   def jaccard(a: Column, b: Column): Column =
     Bridge.column(JaccardSimilarity(Bridge.expression(a), Bridge.expression(b)))
+
+  def jaccardSortedLongs(a: Column, b: Column): Column =
+    Bridge.column(JaccardSortedLongs(Bridge.expression(a), Bridge.expression(b)))
 
   def slidingMin(a: Column, width: Int): Column =
     Bridge.column(SlidingMin(Bridge.expression(a), width))

@@ -18,6 +18,16 @@ object Dedup {
 
   private val words = TextNorm.distinctWords(col("text"))
 
+  /** The minhash family's verify payload (r17): each doc's distinct words
+    * hashed ONCE (xxhash64) and sorted, so the per-pair set-Jaccard is a
+    * primitive merge walk ([[graft.functions.JaccardSortedLongs]]) instead
+    * of re-hashing every word string per candidate pair — with millions of
+    * candidates each word was hashed millions of times. Values equal the
+    * word-set Jaccard up to 64-bit collisions (the hashed-candidate
+    * collision class; oracle-reverified). */
+  private val hashedWordSet =
+    sort_array(transform(words, w => xxhash64(w)))
+
   /** Exact dedup: md5 of normalized text → survivor = min(doc_id). */
   def exact(documents: DataFrame): DataFrame =
     documents
@@ -135,12 +145,13 @@ object Dedup {
       // id-pair stage barrier before the payload verify (same finding as
       // minhashLsh: fused, the verify rides the pair-amplifying iterator)
       .repartition(col("doc_b"))
-    val bw = batch.select(col("doc_id").as("doc_b"), words.as("wb"))
-    val cw = corpus.select(col("doc_id").as("doc_c"), words.as("wc"))
+    val bw = batch.select(col("doc_id").as("doc_b"), hashedWordSet.as("wb"))
+    val cw = corpus.select(col("doc_id").as("doc_c"), hashedWordSet.as("wc"))
     cand
       .join(payloadJoin.hint(bw), "doc_b")
       .join(payloadJoin.hint(cw), "doc_c")
-      .withColumn("jaccard", jaccard(col("wb"), col("wc")))
+      .withColumn("jaccard",
+        graft.functions.VectorFunctions.jaccardSortedLongs(col("wb"), col("wc")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_b"), col("doc_c"), round4(col("jaccard")).as("jaccard"))
     // no presentation sort: pair-set output (see minhashLsh)
@@ -362,11 +373,12 @@ object Dedup {
     // The docs side is usually tiny next to millions of candidate pairs, but
     // the choice is the caller's PayloadJoin strategy (default: AQE decides),
     // never a hardcoded hint that would OOM at corpus scale.
-    val docsW = documents.select(col("doc_id"), words.as("w"))
+    val docsW = documents.select(col("doc_id"), hashedWordSet.as("w"))
     cand
       .join(payloadJoin.hint(docsW.select(col("doc_id").as("doc_a"), col("w").as("wa"))), "doc_a")
       .join(payloadJoin.hint(docsW.select(col("doc_id").as("doc_b"), col("w").as("wb"))), "doc_b")
-      .withColumn("jaccard", jaccard(col("wa"), col("wb")))
+      .withColumn("jaccard",
+        graft.functions.VectorFunctions.jaccardSortedLongs(col("wa"), col("wb")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round4(col("jaccard")).as("jaccard"))
     // NO presentation sort: the output is a pair SET, and a global orderBy

@@ -119,6 +119,30 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("sorted-long jaccard equals string-set jaccard on hashed word sets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    def doc(n: Int) = (1 to n).map(_ => s"w${rnd.nextInt(40)}").distinct
+    val cases = Seq(
+      (Seq.empty[String], Seq.empty[String]),
+      (Seq("a"), Seq.empty[String]),
+      (Seq("a", "b", "c"), Seq("b", "c", "d")),
+      (doc(60), doc(60)), (doc(5), doc(80)))
+    for ((a, b) <- cases) {
+      val df = Seq((a, b)).toDF("a", "b")
+      val viaStrings = df.select(
+        VectorFunctions.jaccard(col("a"), col("b"))).head.getDouble(0)
+      val viaHashes = df.select(VectorFunctions.jaccardSortedLongs(
+        sort_array(transform(col("a"), w => xxhash64(w))),
+        sort_array(transform(col("b"), w => xxhash64(w))))).head.getDouble(0)
+      assert(viaHashes == viaStrings, s"$a vs $b: $viaHashes != $viaStrings")
+    }
+    // duplicates in the sorted input count once (set semantics)
+    val dup = Seq((Seq(1L, 5L, 5L, 9L), Seq(5L, 9L, 9L))).toDF("a", "b")
+    assert(dup.select(VectorFunctions.jaccardSortedLongs(col("a"), col("b")))
+      .head.getDouble(0) == 2.0 / 3.0)
+  }
+
   test("first-equal-band and equal-positions kernels match brute force") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
