@@ -16,6 +16,21 @@ object TextAnalysis {
   private val words = TextNorm.words(col("text"))
   private val distinctWords = TextNorm.distinctWords(col("text"))
 
+  /** (doc_id, w1…wn, tf) — per-doc n-gram frequencies via the in-row
+    * kernel (r18, [[graft.functions.NGramCounts]]): every occurrence of
+    * a doc's n-gram lives in the same input row, so the former
+    * explode → filter(non-empty sides) → groupBy(doc_id, w…).count()
+    * opening — a full token-scale Exchange shared by BM25, the
+    * perplexity ladder, and TF-IDF — is a per-row count. Bit-equal
+    * frequencies (spec-pinned); grams with an empty side skip, rows
+    * under n tokens yield nothing, exactly the old guards. */
+  private def ngramTf(documents: DataFrame, n: Int): DataFrame = {
+    val fields = (1 to n).map(i => col(s"e.w$i").as(s"w$i"))
+    documents.select(col("doc_id"),
+        explode(graft.functions.TermFunctions.ngramCounts(words, n)).as("e"))
+      .select(col("doc_id") +: fields :+ col("e.tf").as("tf"): _*)
+  }
+
   /** Tiny per-language function-word lexicons for the n-gram/stopword
     * heuristic. Classifier = argmax of distinct-word overlap, ties broken
     * by language-name order. */
@@ -102,16 +117,22 @@ object TextAnalysis {
     val docs = documents.select(col("doc_id"), col(labelCol).as("lang"),
       lower(col("text")).as("__t"), trainGate.as("__train"))
     val t = col("__t")
-    val grams = docs.select(col("doc_id"), col("lang"), col("__train"),
-      explode(when(length(t) >= 2,
-          transform(sequence(lit(1), length(t) - 1),
-            i => t.substr(i, lit(2))))
-        .otherwise(array().cast("array<string>"))).as("gram"))
-    val tf = grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("tf"))
+    // r18: per-doc char-bigram frequencies in-row (graft_ngram_counts
+    // over the gram array) — the (doc, gram) token-scale Exchange is
+    // gone, and the class-gram counts aggregate one row per DISTINCT
+    // (doc, gram), summing tf (bit-equal to counting occurrences).
+    val gramArr = when(length(t) >= 2,
+        transform(sequence(lit(1), length(t) - 1), i => t.substr(i, lit(2))))
+      .otherwise(array().cast("array<string>"))
+    val counted = docs.select(col("doc_id"), col("lang"), col("__train"),
+        explode(graft.functions.TermFunctions.ngramCounts(gramArr, 1)).as("e"))
+      .select(col("doc_id"), col("lang"), col("__train"),
+        col("e.w1").as("gram"), col("e.tf").as("tf"))
+    val tf = counted.select("doc_id", "gram", "tf")
     // model tables, train split only
-    val cg = grams.filter(col("__train"))
+    val cg = counted.filter(col("__train"))
       .groupBy(col("lang").as("cand"), col("gram"))
-      .agg(count(lit(1)).as("c"))
+      .agg(sum("tf").as("c"))
     val totals = cg.groupBy("cand").agg(sum("c").as("n"))
     val vocab = cg.agg(countDistinct("gram").as("v"))
     // the single rounding point: explicit doubles, left-associated
@@ -210,15 +231,19 @@ object TextAnalysis {
     val docs = documents.select(col("doc_id"), col(labelCol).as("lang"),
       lower(col("text")).as("__t"), trainGate.as("__train"))
     val t = col("__t")
-    val grams = docs.select(col("doc_id"), col("lang"), col("__train"),
-      explode(when(length(t) >= 2,
-          transform(sequence(lit(1), length(t) - 1),
-            i => t.substr(i, lit(2))))
-        .otherwise(array().cast("array<string>"))).as("gram"))
-    val tf = grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("tf"))
-    val cg = grams.filter(col("__train"))
+    // r18: in-row char-bigram counts (see langIdModel) — same kernel,
+    // same bit-equal frequencies, no (doc, gram) exchange
+    val gramArr = when(length(t) >= 2,
+        transform(sequence(lit(1), length(t) - 1), i => t.substr(i, lit(2))))
+      .otherwise(array().cast("array<string>"))
+    val counted = docs.select(col("doc_id"), col("lang"), col("__train"),
+        explode(graft.functions.TermFunctions.ngramCounts(gramArr, 1)).as("e"))
+      .select(col("doc_id"), col("lang"), col("__train"),
+        col("e.w1").as("gram"), col("e.tf").as("tf"))
+    val tf = counted.select("doc_id", "gram", "tf")
+    val cg = counted.filter(col("__train"))
       .groupBy(col("lang").as("cand"), col("gram"))
-      .agg(count(lit(1)).as("c"))
+      .agg(sum("tf").as("c"))
     // label-scale driver constants: totals/vocab/priors (bounded by the
     // language count, the documented collect exception class)
     val totals: Map[String, Long] = cg.groupBy("cand").agg(sum("c").as("n"))
@@ -314,21 +339,22 @@ object TextAnalysis {
     * is undebuggable at corpus scale). Rules here are the structural
     * signals [[qualityScore]] exposes (length, word count, mean word
     * length band, top-word repetition); thresholds are illustrative and
-    * the mechanism is the point — all scan-bound codegen, no shuffle for
-    * the verdicts (the top-word share needs the doc's own word mode: the
-    * one groupBy, on (doc, word)). */
+    * the mechanism is the point — all scan-bound codegen, no shuffle at
+    * all (r18: the top-word share needs only the doc's OWN word mode, so
+    * it reduces over the in-row counts array — the former (doc, word)
+    * groupBy pair is gone from the plan). */
   def qualityCascade(documents: DataFrame): DataFrame = {
     val len = length(col("text"))
     val nWords = size(words)
     val awl = length(regexp_replace(col("text"), " ", "")).cast("double") /
       nWords
-    // per-doc top-word share (the Gopher repetition signal)
-    val topShare = documents
-      .select(col("doc_id"), explode(words).as("w"))
-      .filter(col("w") =!= "")
-      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id").agg((max(col("c")).cast("double") /
-        sum(col("c"))).as("top_share"))
+    // per-doc top-word share (the Gopher repetition signal); NULL when the
+    // doc has no non-empty words — exactly the old left-join miss, so such
+    // a doc still reports (it necessarily fails a structural rule)
+    val tc = col("__tc")
+    val topShare = when(size(tc) > 0,
+      array_max(transform(tc, e => e.getField("tf"))).cast("double") /
+        aggregate(tc, lit(0L), (a, e) => a + e.getField("tf")))
     val rules: Seq[(String, Column)] = Seq(
       "too_short" -> (len < 100),
       "too_few_words" -> (nWords < 20),
@@ -337,10 +363,9 @@ object TextAnalysis {
     val firstFail = rules.reverse.foldLeft(lit(null).cast("string")) {
       case (acc, (name, cond)) => when(cond, lit(name)).otherwise(acc)
     }
-    // LEFT join: a doc with no non-empty words has no top_share row, but
-    // it must still REPORT (it necessarily fails a structural rule) — an
-    // inner join would silently drop exactly the worst documents
-    documents.join(topShare, Seq("doc_id"), "left")
+    documents
+      .withColumn("__tc", graft.functions.TermFunctions.ngramCounts(words, 1))
+      .withColumn("top_share", topShare)
       .select(col("doc_id"),
         firstFail.isNull.as("passed"),
         coalesce(firstFail, lit("")).as("first_fail"),
@@ -478,12 +503,18 @@ object TextAnalysis {
     * map-side-combined shuffles, NOT a per-row O(len²) higher-order scan,
     * so million-token documents cost the same per token as short ones. */
   def repetitionScore(documents: DataFrame): DataFrame = {
-    val counts = documents
-      .select(col("doc_id"), explode(words).as("word"))
-      .groupBy("doc_id", "word").agg(count(lit(1)).as("n"))
-    counts.groupBy("doc_id").agg(
-        max("n").as("topn"), sum("n").as("total"),
-        count(lit(1)).as("n_distinct"))
+    // r18: both "shuffles" were counting duplicates that live in one
+    // row — the whole signal is now a per-row reduction over the in-row
+    // counts array (skipEmpty = false: "" is a countable word here, as
+    // the unfiltered explode had it). Zero exchanges.
+    val counted = documents.select(col("doc_id"),
+      graft.functions.TermFunctions.ngramCounts(words, 1, skipEmpty = false)
+        .as("__tc"))
+    counted.select(col("doc_id"),
+        array_max(transform(col("__tc"), e => e.getField("tf"))).as("topn"),
+        aggregate(col("__tc"), lit(0L), (a, e) => a + e.getField("tf"))
+          .as("total"),
+        size(col("__tc")).cast("long").as("n_distinct"))
       .select(col("doc_id"),
         round4(col("topn").cast("double") / col("total")).as("top_word_frac"),
         round4(lit(1.0) - col("n_distinct").cast("double") / col("total"))
@@ -653,19 +684,21 @@ object TextAnalysis {
     * two corpus shuffles total (word freq, per-doc agg). Integer outputs
     * only (n_words, n_oov): ratio rounding never enters the compare. */
   def oovRate(documents: DataFrame, vocabSize: Int = 1000): DataFrame = {
-    val docWords = documents
-      .select(col("doc_id"), explode(words).as("word"))
-      .filter(col("word") =!= "")
+    // r18: per-doc term frequencies in-row — the vocab cut aggregates and
+    // the per-doc screen groups one row per DISTINCT (doc, word) instead
+    // of one per token; counts ride `tf` so the values are unchanged
+    val docWords = ngramTf(documents, 1).withColumnRenamed("w1", "word")
     val vocab = docWords
-      .groupBy("word").agg(count(lit(1)).as("n"))
+      .groupBy("word").agg(sum("tf").as("n"))
       .orderBy(col("n").desc, col("word"))
       .limit(vocabSize)
       .select(col("word"), lit(1).as("in_vocab"))
     docWords
       .join(broadcast(vocab), Seq("word"), "left")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_words"),
-           count(when(col("in_vocab").isNull, 1)).as("n_oov"))
+      .agg(sum("tf").as("n_words"),
+           coalesce(sum(when(col("in_vocab").isNull, col("tf"))), lit(0L))
+             .as("n_oov"))
       .orderBy("doc_id")
   }
 
@@ -759,10 +792,7 @@ object TextAnalysis {
     * Ranking happens on the ROUNDED score (round4) so both engines break
     * ties identically; word asc is the final tiebreak. */
   def tfidfTopTerms(documents: DataFrame, k: Int = 3): DataFrame = {
-    val tok = documents
-      .select(col("doc_id"), explode(words).as("word"))
-      .filter(col("word") =!= "")
-    val tf = tok.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val tf = ngramTf(documents, 1).withColumnRenamed("w1", "word")
     val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val n = documents.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("word"))
@@ -795,10 +825,7 @@ object TextAnalysis {
     * High `avg_nll` = improbable text (gibberish, boilerplate soup); the
     * flag thresholds on the ROUNDED score so both engines flag identically. */
   def perplexityScore(documents: DataFrame, flagNats: Double = 7.0): DataFrame = {
-    val tok = documents
-      .select(col("doc_id"), explode(words).as("word"))
-      .filter(col("word") =!= "")
-    val tf = tok.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val tf = ngramTf(documents, 1).withColumnRenamed("w1", "word")
     val cw = tf.groupBy("word").agg(sum("tf").as("c"))
     val tot = cw.agg(sum("c").as("n"), count(lit(1)).as("v"))
     val avgNll = round4(col("nll") / col("n_tokens"))
@@ -1112,11 +1139,28 @@ object TextAnalysis {
   def bm25TopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
                maxDf: Long = Long.MaxValue,
                dfBroadcastBudget: Long = Long.MaxValue): DataFrame = {
-    val toks = corpus.select(col("doc_id"), explode(words).as("t"))
-      .filter(col("t") =!= "")
-    val tf = toks.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
-    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-    val stats = dl.agg(count(lit(1)).as("nd"), sum("dl").as("toklen"))
+    // r18: the (doc, term) frequency table computes IN-ROW (one
+    // graft_ngram_counts pass over the words array — every occurrence of
+    // a term lives in the same input row, so counting it never needed an
+    // exchange) instead of explode → groupBy(doc_id, t). The token-scale
+    // (doc, term) Exchange disappears from the plan, dl = Σ tf rides the
+    // same counted array as a per-row sum (the dl aggregation + join are
+    // gone too), and dft aggregates one row per DISTINCT (doc, term).
+    // tf/df/dl values are bit-equal to the explode form (spec-pinned),
+    // so every weight and the oracle hash are unchanged.
+    val counted = corpus.select(col("doc_id"),
+        graft.functions.TermFunctions.ngramCounts(words, 1).as("__tc"))
+      .select(col("doc_id"),
+        aggregate(col("__tc"), lit(0L), (acc, e) => acc + e.getField("tf"))
+          .as("dl"),
+        col("__tc"))
+    val tf = counted.select(col("doc_id"), col("dl"),
+        explode(col("__tc")).as("e"))
+      .select(col("doc_id"), col("dl"), col("e.w1").as("t"), col("e.tf").as("tf"))
+    // docs with zero non-empty tokens have no postings and never counted
+    // toward nd/toklen in the explode form either
+    val stats = counted.filter(col("dl") > 0)
+      .agg(count(lit(1)).as("nd"), sum("dl").as("toklen"))
     val dft = tf.groupBy("t").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
     // ONE double chain per (term, doc), rounded once to micro-units
@@ -1129,7 +1173,7 @@ object TextAnalysis {
       if (dfBroadcastBudget == Long.MaxValue ||
           dft.count() <= dfBroadcastBudget) broadcast(dft)
       else dft
-    val wtd = tf.join(dl, Seq("doc_id")).join(dftSized, Seq("t"))
+    val wtd = tf.join(dftSized, Seq("t"))
       .crossJoin(broadcast(stats))
       .select(col("t"), col("doc_id"),
         round(idf * (col("tf").cast("double") * lit(2.2)) / denom * 1e6, 0)
@@ -1163,20 +1207,7 @@ object TextAnalysis {
     * Determinism contract: round4'd mean so both engines flag
     * identically; no presentation sort on the corpus-sized output. */
   def perplexityBigram(documents: DataFrame, flagNats: Double = 3.5): DataFrame = {
-    // words materialized in their own projection: the transform lambda
-    // below reads the array twice per position (no subexpression
-    // elimination inside HOF lambdas)
-    val withW = documents.select(col("doc_id"), words.as("__w"))
-    val w = col("__w")
-    val bi = withW.select(col("doc_id"),
-        explode(when(size(w) >= 2,
-          transform(sequence(lit(0), size(w) - 2), i =>
-            struct(element_at(w, i + 1).as("w1"),
-                   element_at(w, i + 2).as("w2"))))
-          .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
-      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-      .filter(col("w1") =!= "" && col("w2") =!= "")
-    val tfb = bi.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("tf"))
+    val tfb = ngramTf(documents, 2)
     val cb = tfb.groupBy("w1", "w2").agg(sum("tf").as("c12"))
     val c1 = cb.groupBy("w1").agg(sum("c12").as("c1"))
     val vrow = c1.agg(count(lit(1)).as("v"))
@@ -1228,17 +1259,7 @@ object TextAnalysis {
     * on (w1,w2), the 1-row type count broadcasts. Docs under 2 tokens
     * drop (no bigrams), as in any n-gram scorer. */
   def perplexityKn(documents: DataFrame, flagNats: Double = 3.0): DataFrame = {
-    val withW = documents.select(col("doc_id"), words.as("__w"))
-    val w = col("__w")
-    val bi = withW.select(col("doc_id"),
-        explode(when(size(w) >= 2,
-          transform(sequence(lit(0), size(w) - 2), i =>
-            struct(element_at(w, i + 1).as("w1"),
-                   element_at(w, i + 2).as("w2"))))
-          .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
-      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-      .filter(col("w1") =!= "" && col("w2") =!= "")
-    val tfb = bi.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("tf"))
+    val tfb = ngramTf(documents, 2)
     // model tables — all derived from the TYPE table cb, which itself
     // aggregates from tfb (the scoring side's own exchange)
     val cb = tfb.groupBy("w1", "w2").agg(sum("tf").as("c12"))
@@ -1292,17 +1313,7 @@ object TextAnalysis {
     * NLLs are exact integer sums, the flag an integer
     * cross-multiplication. Same ReusedExchange plan shape. */
   def perplexityKnMod(documents: DataFrame, flagNats: Double = 3.0): DataFrame = {
-    val withW = documents.select(col("doc_id"), words.as("__w"))
-    val w = col("__w")
-    val bi = withW.select(col("doc_id"),
-        explode(when(size(w) >= 2,
-          transform(sequence(lit(0), size(w) - 2), i =>
-            struct(element_at(w, i + 1).as("w1"),
-                   element_at(w, i + 2).as("w2"))))
-          .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
-      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-      .filter(col("w1") =!= "" && col("w2") =!= "")
-    val tfb = bi.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("tf"))
+    val tfb = ngramTf(documents, 2)
     val cb = tfb.groupBy("w1", "w2").agg(sum("tf").as("c12"))
     def cls(k: Column => Column, name: String) =
       sum(when(k(col("c12")), 1L).otherwise(0L)).as(name)
@@ -1384,17 +1395,7 @@ object TextAnalysis {
   def perplexityKnPruned(documents: DataFrame, prune: Long = 1,
                          flagNats: Double = 3.0): DataFrame = {
     require(prune >= 1, s"prune >= 1 keeps surviving counts > D, got $prune")
-    val withW = documents.select(col("doc_id"), words.as("__w"))
-    val w = col("__w")
-    val bi = withW.select(col("doc_id"),
-        explode(when(size(w) >= 2,
-          transform(sequence(lit(0), size(w) - 2), i =>
-            struct(element_at(w, i + 1).as("w1"),
-                   element_at(w, i + 2).as("w2"))))
-          .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
-      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-      .filter(col("w1") =!= "" && col("w2") =!= "")
-    val tfb = bi.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("tf"))
+    val tfb = ngramTf(documents, 2)
     val cb = tfb.groupBy("w1", "w2").agg(sum("tf").as("c12"))
     val surv = col("c12") > prune
     val ctx = cb.groupBy("w1").agg(sum("c12").as("c1"),
@@ -1451,19 +1452,7 @@ object TextAnalysis {
     * exchange and three left joins against them. */
   def perplexityKnCross(score: DataFrame, train: DataFrame,
                         flagNats: Double = 3.0): DataFrame = {
-    def bigramTf(documents: DataFrame): DataFrame = {
-      val withW = documents.select(col("doc_id"), words.as("__w"))
-      val w = col("__w")
-      withW.select(col("doc_id"),
-          explode(when(size(w) >= 2,
-            transform(sequence(lit(0), size(w) - 2), i =>
-              struct(element_at(w, i + 1).as("w1"),
-                     element_at(w, i + 2).as("w2"))))
-            .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
-        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-        .filter(col("w1") =!= "" && col("w2") =!= "")
-        .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("tf"))
-    }
+    def bigramTf(documents: DataFrame): DataFrame = ngramTf(documents, 2)
     val tfbS = bigramTf(score)
     val cb = bigramTf(train).groupBy("w1", "w2").agg(sum("tf").as("c12"))
     val ctx = cb.groupBy("w1")
@@ -1526,21 +1515,7 @@ object TextAnalysis {
     * from type tables, the 1-row bigram-type total broadcasts. Docs
     * under 3 tokens drop, as in any n-gram scorer. */
   def perplexityKn3(documents: DataFrame, flagNats: Double = 3.0): DataFrame = {
-    val withW = documents.select(col("doc_id"), words.as("__w"))
-    val w = col("__w")
-    val tri = withW.select(col("doc_id"),
-        explode(when(size(w) >= 3,
-          transform(sequence(lit(0), size(w) - 3), i =>
-            struct(element_at(w, i + 1).as("w1"),
-                   element_at(w, i + 2).as("w2"),
-                   element_at(w, i + 3).as("w3"))))
-          .otherwise(array()
-            .cast("array<struct<w1:string,w2:string,w3:string>>"))).as("t"))
-      .select(col("doc_id"), col("t.w1").as("w1"), col("t.w2").as("w2"),
-        col("t.w3").as("w3"))
-      .filter(col("w1") =!= "" && col("w2") =!= "" && col("w3") =!= "")
-    val tfb3 = tri.groupBy("doc_id", "w1", "w2", "w3")
-      .agg(count(lit(1)).as("tf"))
+    val tfb3 = ngramTf(documents, 3)
     val cb3 = tfb3.groupBy("w1", "w2", "w3").agg(sum("tf").as("c123"))
     val ctx3 = cb3.groupBy("w1", "w2")
       .agg(sum("c123").as("c12"), count(lit(1)).as("n3"))
@@ -1549,15 +1524,7 @@ object TextAnalysis {
     val mid = mnum.groupBy("w2")
       .agg(sum("mnum").as("mden"), count(lit(1)).as("mn1"))
     // bottom level: continuation counts over corpus BIGRAM types
-    val bi = withW.select(col("doc_id"),
-        explode(when(size(w) >= 2,
-          transform(sequence(lit(0), size(w) - 2), i =>
-            struct(element_at(w, i + 1).as("w1"),
-                   element_at(w, i + 2).as("w2"))))
-          .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
-      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
-      .filter(col("w1") =!= "" && col("w2") =!= "")
-      .distinct()
+    val bi = ngramTf(documents, 2).select("w1", "w2").distinct()
     val pre2 = bi.groupBy("w2").agg(count(lit(1)).as("nprec2"))
     val tot2 = pre2.agg(sum("nprec2").as("ntypes2"))
     val pcont = col("nprec2").cast("double") / col("ntypes2").cast("double")
