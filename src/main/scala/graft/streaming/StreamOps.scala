@@ -85,44 +85,72 @@ object StreamOps {
         .withColumn("ts_s", unix_timestamp(date_trunc("second", col("ts"))))
   }
 
-  /** Runs `body` with the RocksDB state store provider (off-heap state that
-    * spills to disk — scales past executor memory), restoring the previous
-    * provider afterwards so the shared session is not permanently mutated.
-    * Used where state cardinality is genuinely large (per-event dedup keys);
-    * the small-state queries (windows, per-user sessions, 5-group enrich)
-    * keep the default in-memory provider — RocksDB's native-store init is
-    * pure overhead below ~100k state rows. */
-  private def withRocksDb[T](spark: SparkSession)(body: => T): T = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
+  /** Cloned session for a KB-scale-STATE streaming query, its
+    * shuffle/state width sized to the state instead of the core count.
+    * Stateful streaming queries size their STATE STORE count from
+    * `spark.sql.shuffle.partitions` at first run — one store instance
+    * per partition per stateful operator side, each paying
+    * open/commit/snapshot PER MICRO-BATCH. Inheriting the CPU-sized
+    * batch default (32 here) means a stream-stream join opens ~128
+    * stores per batch to hold KBs of state; sizing partitions to the
+    * state (not the cores) is the same decision a 100 TB deployment
+    * makes in the opposite direction — thousands of partitions for
+    * TB-scale state, few for KB-scale. `rocksDb` additionally selects
+    * the RocksDB provider (off-heap state that spills to disk) where
+    * state cardinality is genuinely large (per-event dedup keys); the
+    * small-state queries keep the in-memory provider — RocksDB's
+    * native-store init is pure overhead below ~100k state rows.
+    *
+    * r18: a CLONE (newSession shares the SparkContext, owns its conf)
+    * replaces the former set/try/finally-restore on the SHARED session
+    * — any query planned concurrently could observe the narrowed width
+    * or the foreign state provider, and interleaved save/restore could
+    * leave either behind permanently (the CC-loop hazard, VERDICT r17
+    * What's-wrong #1, closed the same way everywhere). */
+  private def stateSession(spark: SparkSession, n: Int = 8,
+                           rocksDb: Boolean = false): SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    if (rocksDb) s.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try body
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
+    s
   }
 
-  /** Runs `body` with `spark.sql.shuffle.partitions` overridden, restoring
-    * it afterwards. Stateful streaming queries size their STATE STORE
-    * count from this conf at first run — one store instance per partition
-    * per stateful operator side, each paying open/commit/snapshot PER
-    * MICRO-BATCH. Inheriting the CPU-sized batch default (32 here) means
-    * a stream-stream join opens ~128 stores per batch to hold KBs of
-    * state; sizing partitions to the state (not the cores) is the same
-    * decision a 100 TB deployment makes in the opposite direction —
-    * thousands of partitions for TB-scale state, few for KB-scale. */
-  private def withStatePartitions[T](spark: SparkSession, n: Int = 8)
-                                    (body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, n.toString)
-    try body
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
+  /** Cloned session for a foreachBatch INGEST rig, its shuffle/state
+    * width derived from the SOURCE data (guide §2.2/§2.4: partitioning
+    * from the data, never a core-count constant). An ingest micro-batch
+    * runs ~5-15 small stages (dedup joins, bounded aggregates, index
+    * probes, ACID commits); at the session's CPU-sized width every stage
+    * pays (task setup + hash-table init + shuffle bookkeeping) × width,
+    * which DOMINATES batch-scale work — the r17 driver measured
+    * crawl_curation_inc at 38.9 executor-cpu-s on 32 cores vs 5.8 on 8
+    * for identical results (fixed cost × stages × partitions × batches).
+    * Width = source bytes / `graft.ingest.bytesPerPartition` (default
+    * 128 KiB — compressed columnar source bytes fan out 1-2 orders of
+    * magnitude into the shuffled working set: text → tokens → shingles/
+    * bands), clamped to the session width, so a 100 TB backfill still
+    * fans out to the full configured parallelism while a KB-scale batch
+    * stops paying per-core fixed cost. A production deployment tunes the
+    * one knob upward (64-256 MiB) to land shuffle partitions in the
+    * guide's 100 MB-1 GB band. Results are width-invariant (every loop
+    * is built on commutative aggregates / order-stated windows; the
+    * oracle re-adjudicates at both SFs). */
+  private def ingestSession(spark: SparkSession, srcPaths: String*)
+      : SparkSession = {
+    val bytes = srcPaths.map { sp =>
+      try {
+        val p = new org.apache.hadoop.fs.Path(sp)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+      } catch { case _: Throwable => 0L }
+    }.sum
+    val per = spark.conf.get("graft.ingest.bytesPerPartition",
+      (128L << 10).toString).toLong.max(1L)
+    val width = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val parts = math.max(1L, math.min(width.toLong.max(1L), bytes / per + 1)).toInt
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    s
   }
 
   /** Tumbling event-time window aggregation. In continuous operation this
@@ -150,8 +178,8 @@ object StreamOps {
     * (`recentProgress` retains ~100 progress events — plenty for an
     * AvailableNow backfill; a long-lived production query harvests the
     * same rows from a `StreamingQueryListener` instead.) */
-  def runObserved(spark: SparkSession, dir: String): DataFrame =
-      withStatePartitions(spark) {
+  def runObserved(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = stateSession(spark0)
     import spark.implicits._
     val observed = eventsStream(spark, dir)
       .observe("ingest", count(lit(1)).as("n_rows"),
@@ -171,8 +199,8 @@ object StreamOps {
 
   /** Runs [[tumblingAgg]] over the parquet source to completion and returns
     * the final result (memory sink, complete mode). */
-  def runTumbling(spark: SparkSession, dir: String): DataFrame =
-      withStatePartitions(spark) {
+  def runTumbling(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = stateSession(spark0)
     val name = s"stream_tumbling_${System.identityHashCode(spark)}"
     val q = tumblingAgg(eventsStream(spark, dir)).writeStream
       .format("memory").queryName(name)
@@ -193,9 +221,9 @@ object StreamOps {
     * unsuitable here only because a bounded backfill's final watermark
     * stops short of the last events, which would hold back the tail
     * sessions. */
-  def runSessionWindow(spark: SparkSession, dir: String,
-                       gapSeconds: Long = 1800): DataFrame =
-      withStatePartitions(spark) {
+  def runSessionWindow(spark0: SparkSession, dir: String,
+                       gapSeconds: Long = 1800): DataFrame = {
+    val spark = stateSession(spark0)
     val name = s"stream_session_window_${System.identityHashCode(spark)}"
     val q = eventsStream(spark, dir)
       .withWatermark("event_time", "2 hours")
@@ -219,8 +247,8 @@ object StreamOps {
     * at-least-once replay) unioned, deduplicated by key in state, then
     * aggregated — run to completion the counts equal the batch counts
     * (shares the batch oracle). */
-  def runDedup(spark: SparkSession, dir: String): DataFrame =
-      withStatePartitions(spark) { withRocksDb(spark) {
+  def runDedup(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = stateSession(spark0, rocksDb = true)
     val name = s"stream_dedup_${System.identityHashCode(spark)}"
     val once = eventsStream(spark, dir)
     val twice = once.unionByName(eventsStream(spark, dir))
@@ -240,13 +268,14 @@ object StreamOps {
       .start()
     q.awaitTermination()
     spark.table(name).orderBy("event_type")
-  } }
+  }
 
   /** Stream-static enrichment: the event stream joins a broadcast static
     * dimension (the canonical streaming star-join; the static side is
     * re-read per micro-batch, so dim updates flow in). Aggregated counts
     * equal the batch join — shares a batch oracle. */
-  def runEnrich(spark: SparkSession, dir: String): DataFrame = {
+  def runEnrich(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = stateSession(spark0)
     val name = s"stream_enrich_${System.identityHashCode(spark)}"
     val customers = spark.read.parquet(s"$dir/customer.parquet")
       .select(col("c_custkey"), col("c_mktsegment"))
@@ -335,7 +364,8 @@ object StreamOps {
     * TWICE over the same source with the same app id and batch ids, so
     * the oracle itself adjudicates replay idempotence: one duplicated
     * append and every count doubles. */
-  def runTxLogSink(spark: SparkSession, dir: String): DataFrame = {
+  def runTxLogSink(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = ingestSession(spark0, s"$dir/events.parquet")
     import graft.sources.TxLogFormat
     val tmpRoot = java.nio.file.Files.createTempDirectory("graft_txsink")
     val target = tmpRoot.resolve("t").toString
@@ -376,7 +406,8 @@ object StreamOps {
     * mark itself stays distributed). The driver query streams the
     * requests TWICE with the same app id and batch ids, so replay
     * idempotence is part of what the oracle hashes. */
-  def runRetentionIngest(spark: SparkSession, dir: String): DataFrame = {
+  def runRetentionIngest(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = ingestSession(spark0, s"$dir/documents.parquet")
     import graft.sources.TxLogFormat
     val tmpRoot = java.nio.file.Files.createTempDirectory("graft_retention")
     val table = tmpRoot.resolve("t").toString
@@ -421,7 +452,8 @@ object StreamOps {
     * price updates double — replay idempotence sits inside the oracle
     * hash (shares txlog_merge's oracle: same transformation, same
     * result). */
-  def runCdcUpsert(spark: SparkSession, dir: String): DataFrame = {
+  def runCdcUpsert(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = ingestSession(spark0, s"$dir/orders.parquet")
     import graft.sources.TxLogFormat
     val tmpRoot = java.nio.file.Files.createTempDirectory("graft_cdc_upsert")
     val t = tmpRoot.resolve("t").toString
@@ -460,8 +492,8 @@ object StreamOps {
   /** Runs [[RunningTotalsProcessor]] over the parquet source to completion.
     * transformWithState requires the RocksDB state store provider (its
     * changelog-checkpointing state machine is built on it). */
-  def runRunningTotals(spark: SparkSession, dir: String): DataFrame =
-      withStatePartitions(spark) { withRocksDb(spark) {
+  def runRunningTotals(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = stateSession(spark0, rocksDb = true)
     import spark.implicits._
     import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode}
     val name = s"stream_totals_${System.identityHashCode(spark)}"
@@ -478,7 +510,7 @@ object StreamOps {
       .start()
     q.awaitTermination()
     spark.table(name).orderBy("user_id")
-  } }
+  }
 
   /** Stream-stream event-time interval join: each signup joins the same
     * user's purchases with purchase time in [signup, signup + window] —
@@ -490,9 +522,9 @@ object StreamOps {
     * run. Driven AvailableNow the inner join emits every qualifying pair;
     * aggregated per user it equals the batch interval join (shared DuckDB
     * oracle). */
-  def runIntervalJoin(spark: SparkSession, dir: String,
-                      windowSeconds: Long = 3600): DataFrame =
-      withStatePartitions(spark) {
+  def runIntervalJoin(spark0: SparkSession, dir: String,
+                      windowSeconds: Long = 3600): DataFrame = {
+    val spark = stateSession(spark0)
     val name = s"stream_join_${System.identityHashCode(spark)}"
     val signups = eventsStream(spark, dir)
       .filter(col("event_type") === "signup")
@@ -550,7 +582,8 @@ object StreamOps {
     * a batch). Returns the corpus table after the run; driven AvailableNow
     * over one source file this is a single batch, so the result equals the
     * batch exact-dedup survivor set (the DuckDB oracle). */
-  def runDedupIngest(spark: SparkSession, dir: String): DataFrame = {
+  def runDedupIngest(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = ingestSession(spark0, s"$dir/documents.parquet")
     import graft.sources.TxLogFormat
     val tmpRoot = java.nio.file.Files.createTempDirectory("graft_ingest_")
     val table = tmpRoot.resolve("t").toString
@@ -638,7 +671,8 @@ object StreamOps {
     * driver (LSH recall is not SQL-expressible); the spec drives a
     * 2-batch MemoryStream for the cross-batch + index-maintenance
     * properties. */
-  def runNeardupIngest(spark: SparkSession, dir: String): DataFrame = {
+  def runNeardupIngest(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = ingestSession(spark0, s"$dir/documents.parquet")
     import graft.sources.TxLogFormat
     val root = java.nio.file.Files.createTempDirectory("graft_ndingest_")
     val tmpRoot = root
@@ -667,7 +701,8 @@ object StreamOps {
     * survives iff it is not the GREATER side of any exact J ≥ 0.8 pair
     * on the slice — the same one-batch semantics the ingest applies,
     * exactly-once commits and index maintenance included in the hash. */
-  def runNeardupIngestR1(spark: SparkSession, dir: String): DataFrame = {
+  def runNeardupIngestR1(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = ingestSession(spark0, s"$dir/documents.parquet")
     import graft.sources.TxLogFormat
     val tmpRoot = java.nio.file.Files.createTempDirectory("graft_ndingest1_")
     val table = tmpRoot.resolve("corpus").toString
@@ -741,8 +776,9 @@ object StreamOps {
     * arithmetic, which DuckDB states per residue. `toSigs` maps the
     * batch's doc_id column to (doc_id, sig) through the REAL decode
     * path of its modality. */
-  private def runHashIngest(spark: SparkSession, dir: String, residue: Int,
+  private def runHashIngest(spark0: SparkSession, dir: String, residue: Int,
       toSigs: DataFrame => DataFrame): DataFrame = {
+    val spark = ingestSession(spark0, s"$dir/documents.parquet")
     import graft.sources.TxLogFormat
     val tmpRoot = java.nio.file.Files.createTempDirectory("graft_hashingest_")
     val table = tmpRoot.resolve("corpus").toString
@@ -863,7 +899,8 @@ object StreamOps {
     * [[multiHashIngestBatch]]; cold single batch ⇒ the
     * not-the-greater-of-any-ANY-FRAME-pair closed form over the
     * per-frame md5 arithmetic. */
-  def runVideoMultiDedupIngest(spark: SparkSession, dir: String): DataFrame = {
+  def runVideoMultiDedupIngest(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = ingestSession(spark0, s"$dir/documents.parquet")
     import graft.sources.TxLogFormat
     import graft.operators.{MediaRow, Multimodal}
     val tmpRoot = java.nio.file.Files.createTempDirectory("graft_vmingest_")
@@ -951,7 +988,8 @@ object StreamOps {
   /** Driver query: the packing ingest loop cold — AvailableNow over the
     * documents table in one batch ⇒ the batch op's closed form (the
     * sequence_pack_spans oracle verbatim at ctx = 64). */
-  def runPackIngest(spark: SparkSession, dir: String): DataFrame = {
+  def runPackIngest(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = ingestSession(spark0, s"$dir/documents.parquet")
     import graft.sources.TxLogFormat
     val tmpRoot = java.nio.file.Files.createTempDirectory("graft_packingest_")
     val table = tmpRoot.resolve("spans").toString
@@ -1018,9 +1056,10 @@ object StreamOps {
     * stream-side and the PRE-TRAINED merges frozen into the loop) in
     * one batch ⇒ the batch op's closed form (`tokenize_pack`'s oracle
     * verbatim at ctx = 64). */
-  def runTokenizePackIngest(spark: SparkSession, dir: String,
+  def runTokenizePackIngest(spark0: SparkSession, dir: String,
       textExpr: org.apache.spark.sql.Column,
       merges: Seq[(Int, String, String)]): DataFrame = {
+    val spark = ingestSession(spark0, s"$dir/documents.parquet")
     import graft.sources.TxLogFormat
     val tmpRoot = java.nio.file.Files.createTempDirectory("graft_tokpack_")
     val table = tmpRoot.resolve("spans").toString
@@ -1091,7 +1130,8 @@ object StreamOps {
     * over the %2-slice docs in one batch, reported in the batch
     * query's column shape so `warc_file_ingest`'s oracle adjudicates
     * the landing diff, the streamed parse, and the ACID appends. */
-  def runWarcFileIngest(spark: SparkSession, dir: String): DataFrame = {
+  def runWarcFileIngest(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = ingestSession(spark0, s"$dir/documents.parquet")
     import graft.sources.TxLogFormat
     val tmpRoot = java.nio.file.Files.createTempDirectory("graft_warcingest_")
     val landing = tmpRoot.resolve("landing").toString
@@ -1172,7 +1212,8 @@ object StreamOps {
     * exact — so the whole-loop survivor set ≡ the exact greedy closed
     * form (not the greater side of any cos ≥ 0.35 pair), which is
     * dedup_semantic_lsh_r1's oracle verbatim. */
-  def runSemanticIngestR1(spark: SparkSession, dir: String): DataFrame = {
+  def runSemanticIngestR1(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = ingestSession(spark0, s"$dir/embeddings.parquet")
     import graft.sources.TxLogFormat
     val tmpRoot = java.nio.file.Files.createTempDirectory("graft_semingest_")
     val table = tmpRoot.resolve("corpus").toString
@@ -1230,7 +1271,8 @@ object StreamOps {
     * paragraph_dedup oracle adjudicates the whole loop (the spec's
     * 2-batch MemoryStream covers cross-batch segment drops, index
     * maintenance, and replay). */
-  def runSegmentIngest(spark: SparkSession, dir: String): DataFrame = {
+  def runSegmentIngest(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = ingestSession(spark0, s"$dir/documents.parquet")
     import graft.sources.TxLogFormat
     val root = java.nio.file.Files.createTempDirectory("graft_segingest_")
     val tmpRoot = root
@@ -1283,7 +1325,8 @@ object StreamOps {
     * ≥40-char run with any lower doc_id) that DuckDB states directly;
     * the spec's 2-batch MemoryStream covers cross-batch drops, the
     * dropped-doc-still-indexes property, and replay. */
-  def runSubstringIngest(spark: SparkSession, dir: String): DataFrame = {
+  def runSubstringIngest(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = ingestSession(spark0, s"$dir/documents.parquet")
     import graft.sources.TxLogFormat
     val tmpRoot = java.nio.file.Files.createTempDirectory("graft_ssingest_")
     val table = tmpRoot.resolve("corpus").toString
@@ -1365,7 +1408,8 @@ object StreamOps {
     * `dedup_containment`'s oracle adjudicates the whole loop; the
     * spec's 2-batch MemoryStream covers cross-batch pairs, the
     * cap-crossing size decrements, and replay. */
-  def runContainmentIngest(spark: SparkSession, dir: String): DataFrame = {
+  def runContainmentIngest(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = ingestSession(spark0, s"$dir/documents.parquet")
     import graft.sources.TxLogFormat
     val tmpRoot = java.nio.file.Files.createTempDirectory("graft_ctingest_")
     val pairsTable = tmpRoot.resolve("pairs").toString
@@ -1488,7 +1532,8 @@ object StreamOps {
     * `dsir_select_inc` shares `dsir_select`'s oracle; the spec's
     * 2-batch MemoryStream covers frozen-weight scoring, bounded
     * candidate state, and replay. */
-  def runDsirIngest(spark: SparkSession, dir: String): DataFrame = {
+  def runDsirIngest(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = ingestSession(spark0, s"$dir/documents.parquet")
     import graft.sources.TxLogFormat
     val tmpRoot = java.nio.file.Files.createTempDirectory("graft_dsiringest_")
     val weightsTable = tmpRoot.resolve("weights").toString
@@ -1559,7 +1604,8 @@ object StreamOps {
     * `curation_funnel_arrival`'s oracle; the spec's 2-batch
     * MemoryStream covers cross-batch dedup/quota/budget carry and
     * replay. */
-  def runCurationIngest(spark: SparkSession, dir: String): DataFrame = {
+  def runCurationIngest(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = ingestSession(spark0, s"$dir/documents.parquet")
     import graft.sources.TxLogFormat
     val tmpRoot = java.nio.file.Files.createTempDirectory("graft_cfingest_")
     val reportTable = tmpRoot.resolve("report").toString
@@ -1686,10 +1732,11 @@ object StreamOps {
     * [[graft.operators.DbtSurface.Curation.crawlCurate]] — the third
     * query on `crawl_curation`'s oracle, each exercising a different
     * loop (batch / record stream / landing watch). */
-  def runCrawlLandingIngest(spark: SparkSession, landing: String,
+  def runCrawlLandingIngest(spark0: SparkSession, landing: String,
                             blockedDomains: Seq[String] = Nil)
       : DataFrame = {
     import graft.sources.TxLogFormat
+    val spark = ingestSession(spark0, landing)
     val tmpRoot = java.nio.file.Files.createTempDirectory("graft_ccur_e2e_")
     val processedTable = tmpRoot.resolve("processed").toString
     val reportTable = tmpRoot.resolve("report").toString
@@ -1754,13 +1801,14 @@ object StreamOps {
     * `crawl_curation_inc` shares `crawl_curation`'s oracle; the spec's
     * 2-batch MemoryStream covers cross-batch URL/content/revisit
     * carry, the degenerate unlabeled batch, and replay. */
-  def runCrawlCurateIngest(spark: SparkSession, recs: DataFrame,
+  def runCrawlCurateIngest(spark0: SparkSession, recs: DataFrame,
                            blockedDomains: Seq[String] = Nil)
       : DataFrame = {
     import graft.sources.TxLogFormat
     val tmpRoot = java.nio.file.Files.createTempDirectory("graft_ccur_inc_")
     val srcDir = tmpRoot.resolve("src").toString
     recs.write.parquet(srcDir)
+    val spark = ingestSession(spark0, srcDir)
     val reportTable = tmpRoot.resolve("report").toString
     val urlTable = tmpRoot.resolve("urls").toString
     val digestTable = tmpRoot.resolve("digests").toString
@@ -1888,7 +1936,8 @@ object StreamOps {
     * set bit-for-bit (no loss on append, no loss/dup across a
     * re-train), and THAT is plain SQL. Assignment quality is
     * spec-bounded (recall vs a fresh rebuild) where SQL can't reach. */
-  def runIvfIngest(spark: SparkSession, dir: String): DataFrame = {
+  def runIvfIngest(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = ingestSession(spark0, s"$dir/embeddings.parquet")
     import graft.sources.TxLogFormat
     val root = java.nio.file.Files.createTempDirectory("graft_ivfingest_")
     val tmpRoot = root
@@ -1983,8 +2032,8 @@ object StreamOps {
     * over the source — metadata-cheap at any scale. In continuous operation
     * the sentinel is simply never written and sessions emit as watermarks
     * pass them, so the operator itself is deployment-unchanged. */
-  def runSessionize(spark: SparkSession, dir: String): DataFrame =
-      withStatePartitions(spark) {
+  def runSessionize(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = stateSession(spark0)
     import spark.implicits._
     implicit val s: SparkSession = spark
     val name = s"stream_sessions_${System.identityHashCode(spark)}"
