@@ -657,12 +657,19 @@ object Dedup {
     // jumped generation (labels would otherwise still derive from the
     // freed nodes checkpoint and fail with lost-block errors on use).
     require(maxIter >= 1, s"connectedComponents needs maxIter >= 1, got $maxIter")
-    // Checkpoint the RAW EDGES FIRST: e is referenced by nodes, sym, and the
-    // labels init — without this the (possibly expensive) pair source would
-    // re-execute once per reference (measured 4x the minhash pipeline on
-    // dedup_clusters_minhash). nodes is checkpointed too: it feeds both sym
-    // and labels, and each use would otherwise redo the distinct shuffle.
-    val e0 = pairs.select(col(aCol).as("u"), col(bCol).as("v")).localCheckpoint()
+    // Checkpoint the RAW EDGES FIRST: e is referenced by the labels init and
+    // twice per round — without this the (possibly expensive) pair source
+    // would re-execute once per reference (measured 4x the minhash pipeline
+    // on dedup_clusters_minhash). When the caller already hands us a
+    // checkpointed frame (the memoized shared pair builds), re-copying its
+    // 16 B/row cache through the block manager measured 2-5 executor-cpu-s
+    // at sf0.1 for nothing — the cheap projection over the existing cached
+    // blocks serves every reference.
+    val eSel = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+    val e0 =
+      if (pairs.queryExecution.analyzed
+          .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]) eSel
+      else eSel.localCheckpoint()
     // Scale-adaptive loop parallelism (guide §2.2/§2.4: derive the
     // partitioning from the data, never from a constant): every exchange
     // inside the iterative loop is edge/node-scale, the loop runs O(log D)
@@ -704,25 +711,38 @@ object Dedup {
       org.apache.spark.sql.graftbridge.Bridge.ofRows(to, df.queryExecution.analyzed)
     val e = rebind(e0, spark)
     locally {
-      val nodes = e.select(col("u")).unionAll(e.select(col("v"))).distinct()
+      // Undirected view of the edges: two cheap scans of the cached edge
+      // blocks per use — NEVER materialized. The r17 shape stored a
+      // symmetric+self-loop edge list (`sym`) plus a `nodes` distinct as
+      // separate localCheckpoints; probed at sf0.1 (2.63 M edges / 3 850
+      // nodes) those E-scale prep passes — the 2E-row block-manager write,
+      // the 2E distinct, and the first propagate over the fresh cache —
+      // burned ~30 of the loop's ~38 executor-cpu-s while every
+      // steady-state round cost ~1. NO dedup of the edge list: min-label
+      // propagation is insensitive to duplicate edges.
+      val undirected = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      // FUSED init (r18): node discovery + the first propagate round are
+      // ONE aggregation over the raw edges — each endpoint of every edge
+      // receives least(u, v), so min(received) per node = min over
+      // {self} ∪ N(node), exactly the old round-1 propagate from identity
+      // labels (and its key set IS the node set, so the former `nodes`
+      // distinct is free). The fixed point is unchanged: min-label
+      // propagation converges to the unique component-minimum labeling
+      // from ANY labeling that is pointwise ≤ identity and ≥ the fixpoint.
+      var labels = undirected
+        .select(col("u"), least(col("u"), col("v")).as("label"))
+        .groupBy(col("u")).agg(min("label").as("label"))
+        .select(col("u").as("id"), col("label"))
         .localCheckpoint()
-      // symmetric edges + a self-loop per node: "min over neighbours" then
-      // subsumes "min with own label", keeping the loop body to ONE join +
-      // ONE partial-agg groupBy (no per-round union). NO dedup of the edge
-      // list: min-label propagation is insensitive to duplicate edges, so a
-      // distinct here would shuffle the largest frame in the loop for nothing.
-      val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
-        .unionAll(nodes.select(col("u"), col("u").as("v")))
-        .localCheckpoint()
-      var labels = nodes.select(col("u").as("id"), col("u").as("label"))
+      val init = labels
       // Deliberate join strategy for the loop (guide §3.1): the label table
-      // is ALWAYS node-scale (16 B/row) while sym is edge-scale, so when the
-      // node count provably fits a broadcast (≤4M rows ≈ 64 MB built), ship
-      // labels to the edges and the propagate pass reads the cached sym with
-      // NO edge-scale exchange in any round — the planner cannot know this
-      // (a lazy-checkpointed frame has no stats until after the first round).
-      // Past the cap the loop keeps the shuffle join, the 100 TB shape.
-      val nNodes = nodes.count()
+      // is ALWAYS node-scale (16 B/row) while the edge view is edge-scale,
+      // so when the node count provably fits a broadcast (≤4M rows ≈ 64 MB
+      // built), ship labels to the edges and the propagate pass reads the
+      // cached edges with NO edge-scale exchange in any round — the planner
+      // cannot know this (a checkpointed frame has no stats). Past the cap
+      // the loop keeps the shuffle join, the 100 TB shape.
+      val nNodes = labels.count()
       def maybeBroadcast(df: DataFrame): DataFrame =
         if (nNodes <= 4000000L) broadcast(df) else df
       // Labels only DECREASE round-over-round (min over neighbours including
@@ -739,17 +759,21 @@ object Dedup {
       var prevGen: DataFrame = null
       var prevMin: DataFrame = null
       while (!converged && iter < maxIter) {
-        // (a) propagate: min over the labels of self (self-loop) + neighbours.
-        // LAZY checkpoint: minLbl feeds BOTH sides of the pointer-jump
-        // self-join below — without a barrier the edge-scale join + partial
-        // aggregation executes once per side (the propagate pass is the
-        // loop's only edge-scale work, so that doubled the whole loop;
-        // measured at sf0.1: 3.2 s → 1.9 s for the 4-round loop). The
-        // labelSum action materializes the cache as a side effect — still
-        // one job per round.
-        val minLbl = sym
+        // (a) propagate: min over the labels of self + neighbours — the
+        // neighbour labels come from joining the undirected edge view, the
+        // SELF label unions in as a node-scale row set (no materialized
+        // self-loop edges). LAZY checkpoint: minLbl feeds BOTH sides of the
+        // pointer-jump self-join below — without a barrier the edge-scale
+        // join + partial aggregation executes once per side (the propagate
+        // pass is the loop's only edge-scale work, so that doubled the
+        // whole loop; measured at sf0.1: 3.2 s → 1.9 s for the 4-round
+        // loop). The labelSum action materializes the cache as a side
+        // effect — still one job per round.
+        val minLbl = undirected
           .join(maybeBroadcast(labels.select(col("id").as("v"), col("label"))),
             "v")
+          .select(col("u"), col("label"))
+          .unionAll(labels.select(col("id").as("u"), col("label")))
           .groupBy(col("u")).agg(min("label").as("label"))
           .select(col("u").as("id"), col("label"))
           .localCheckpoint(false)
@@ -777,10 +801,12 @@ object Dedup {
         iter += 1
       }
       // loop scratch is dead once the final labels generation is
-      // materialized: free the edge-scale checkpoints so a bench/pipeline
-      // running many CC consumers does not accumulate their blocks
+      // materialized: free the superseded checkpoints so a bench/pipeline
+      // running many CC consumers does not accumulate their blocks (the
+      // loop always runs ≥ 1 round — require above — so `labels` never
+      // still IS `init` here)
       if (prevMin ne null) freeLocalCheckpoint(prevMin)
-      freeLocalCheckpoint(nodes); freeLocalCheckpoint(sym)
+      if (labels ne init) freeLocalCheckpoint(init)
       // hand the final (checkpointed) labels back on the CALLER's session
       // so downstream plans use the caller's width, not the loop's
       rebind(labels, callerSession)
