@@ -166,8 +166,13 @@ case class JaccardSimilarity(left: Expression, right: Expression)
   * word sets themselves unless two distinct words of a pair collide in
   * 64 bits (~2⁻⁶⁴ per vocabulary pair — the same collision class every
   * hashed candidate path here already accepts; the oracle gate
-  * re-verifies the emitted values at both SFs). Null elements throw —
-  * upstream word hashes are never null. */
+  * re-verifies the emitted values at both SFs). NULL ELEMENTS ARE
+  * UNDEFINED BEHAVIOR: getLong on a null slot reads whatever bits sit
+  * there (it does not throw), so a containsNull input yields silently
+  * wrong similarities — callers must feed arrays built from non-null
+  * hashes (sort_array(transform(words, xxhash64)) and
+  * graft_ngram_hashes both are, even though their static type carries
+  * containsNull=true, which is why the type check cannot enforce it). */
 case class JaccardSortedLongs(left: Expression, right: Expression)
     extends BinaryExpression with BinaryTypedInputs {
 
@@ -695,6 +700,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"graft_sliding_min: width must be an int literal, got $e")
         }
         SlidingMin(children.head, w)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_ngram_counts"),
+      new ExpressionInfo(classOf[NGramCounts].getName, "graft_ngram_counts"),
+      (children: Seq[Expression]) => {
+        arity2("graft_ngram_counts", children)
+        NGramCounts(children.head, litInt("graft_ngram_counts", children(1)))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_ngram_hashes"),
+      new ExpressionInfo(classOf[NGramHashes].getName, "graft_ngram_hashes"),
+      (children: Seq[Expression]) => {
+        arity2("graft_ngram_hashes", children)
+        NGramHashes(children.head, litInt("graft_ngram_hashes", children(1)))
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_heavy_hitters"),

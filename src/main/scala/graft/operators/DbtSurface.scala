@@ -796,19 +796,24 @@ object Curation {
     // is visible on the original's own row. Non-hierarchical URLs
     // (NULL host) pass the gate: refuse-to-guess, the r16 null-URL
     // stance.
-    // the gate reads a PROJECTED host column (the urlDomainsWith rule):
-    // registeredDomain references host ~a dozen times, and re-deriving
-    // urlHost(url) at each reference blew the generated method past the
-    // JIT compile threshold (measured on domain_quota_psl)
+    // the gate's host and verdict are EvalOnce-fenced (the urlDomainsWith
+    // rule, r18 — a plain deterministic projection does NOT stop pushdown
+    // substitution: the r17 plans showed the filters re-inlining the whole
+    // url→host→registrant tree, 10 regexp sites, __host collapsed away):
+    // registeredDomain references host ~a dozen times and BOTH fates
+    // filter on the verdict, so unfenced each filter re-derived
+    // urlHost(url) per reference — the generated predicate that outgrew
+    // the JIT on domain_quota_psl. Fenced, urlHost and the registrant
+    // chain evaluate once per response row.
     val gated = allResponses
       .withColumn("__host",
         if (blockedDomains.isEmpty) lit(null).cast("string")
-        else urlHost(col("url")))
+        else graft.functions.EvalOnce(urlHost(col("url"))))
       .withColumn("__blocked",
         if (blockedDomains.isEmpty) lit(false)
-        else coalesce(
+        else graft.functions.EvalOnce(coalesce(
           registeredDomain(col("__host")).isin(blockedDomains: _*),
-          lit(false)))
+          lit(false))))
     val responses = gated.filter(!col("__blocked"))
       .drop("__blocked", "__host")
     val blockedFates = gated.filter(col("__blocked"))

@@ -26,6 +26,42 @@ class ClusterSpec extends SparkSpec {
     assert(Dedup.connectedComponents(empty).isEmpty)
   }
 
+  test("connected components never narrow the caller session's width: a " +
+       "concurrently planned aggregation keeps the default shuffle " +
+       "partitions (r18 — the loop runs on a cloned session)") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val default = spark.conf.get("spark.sql.shuffle.partitions")
+    // a path long enough for several pointer-jump rounds
+    val edges = (0L until 512L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val cc = Future(Dedup.connectedComponents(edges, maxIter = 25).count())
+    var checks = 0
+    while (!cc.isCompleted) {
+      // plan (never execute) an unrelated aggregation on the CALLER session
+      // mid-loop: its exchange must stay at the session default width
+      val plan = spark.range(1000).groupBy(col("id") % 7).count()
+        .queryExecution.executedPlan.toString
+      assert(s"hashpartitioning\\([^()]*, $default\\)".r
+          .findFirstIn(plan).isDefined,
+        s"concurrent plan lost the default width ($default):\n$plan")
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == default,
+        "CC loop mutated the caller session's shuffle partitions")
+      checks += 1
+    }
+    assert(Await.result(cc, 120.seconds) == 513L)
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == default)
+    assert(checks > 0, "loop finished before any concurrent plan was checked")
+  }
+
+  test("connected components require maxIter >= 1 (loop-scratch frees " +
+       "assume one materialized round)") {
+    val edges = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(edges, maxIter = 0)
+    }
+  }
+
   test("connected components: 64-node path converges via pointer jumping") {
     // a path needs O(diameter) rounds under plain propagation; pointer
     // jumping must close a 64-hop chain well inside maxIter=10

@@ -309,4 +309,78 @@ class FunctionsSpec extends SparkSpec {
     // the serialize/deserialize hop for each partial
     for (p <- Seq(1, 3, 12)) assert(run(p) == want, s"partitions=$p")
   }
+
+  test("in-row n-gram counts are bit-equal to explode+filter+groupBy, " +
+       "n = 1/2/3, empty tokens and short rows included") {
+    import spark.implicits._
+    import graft.functions.TermFunctions
+    val rnd = new scala.util.Random(31)
+    def doc(n: Int) = (1 to n).map(_ => rnd.nextInt(8) match {
+      case 0 => "" // split() yields empty tokens on doubled spaces
+      case k => s"w$k"
+    })
+    val docs = (Seq(Seq.empty[String], Seq(""), Seq("a"), Seq("a", "b"),
+      Seq("你好", "café", "你好", "café", "你好")) ++
+      (1 to 20).map(i => doc(3 + rnd.nextInt(60))))
+      .zipWithIndex.map { case (ws, i) => (i.toLong, ws) }
+      .toDF("doc_id", "ws")
+    for (n <- Seq(1, 2, 3)) {
+      val viaKernel = docs.select(col("doc_id"),
+          explode(TermFunctions.ngramCounts(col("ws"), n)).as("e"))
+        .select(col("doc_id") +: (1 to n).map(j => col(s"e.w$j")) :+ col("e.tf"): _*)
+        .collect().map(_.toSeq).toSet
+      val gram = transform(sequence(lit(0), size(col("ws")) - n), i =>
+        struct((1 to n).map(j => element_at(col("ws"), i + j).as(s"w$j")): _*))
+      val nonEmpty = (1 to n).map(j => col(s"g.w$j") =!= "").reduce(_ && _)
+      val viaExplode = docs.filter(size(col("ws")) >= n)
+        .select(col("doc_id"), explode(gram).as("g"))
+        .filter(nonEmpty)
+        .groupBy(col("doc_id") +: (1 to n).map(j => col(s"g.w$j").as(s"w$j")): _*)
+        .agg(count(lit(1)).as("tf"))
+        .collect().map(_.toSeq).toSet
+      assert(viaKernel == viaExplode, s"n=$n")
+    }
+    // skipEmpty = false: "" is a countable word (repetitionScore semantics)
+    val withEmpties = Seq((0L, Seq("", "a", "", "a"))).toDF("doc_id", "ws")
+    val got = withEmpties.select(
+        explode(TermFunctions.ngramCounts(col("ws"), 1, skipEmpty = false)).as("e"))
+      .select(col("e.w1"), col("e.tf"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("" -> 2L, "a" -> 2L))
+  }
+
+  test("in-row n-gram hashes equal the distinct concat_ws shingle keys: " +
+       "same count, same xxhash64 chain values, sorted ascending") {
+    import spark.implicits._
+    import graft.functions.TermFunctions
+    val rnd = new scala.util.Random(37)
+    def doc(n: Int) = (1 to n).map(_ => s"w${rnd.nextInt(12)}")
+    val docs = (Seq(Seq.empty[String], Seq("a"), Seq("a", "b"),
+      Seq("a", "b", "a", "b", "a")) ++ (1 to 15).map(_ => doc(3 + rnd.nextInt(50))))
+      .zipWithIndex.map { case (ws, i) => (i.toLong, ws) }.toDF("doc_id", "ws")
+    val n = 3
+    // value pin: each window's hash is the xxhash64 seed chain over its
+    // tokens — exactly xxhash64(w1, w2, w3)
+    val winHashes = when(size(col("ws")) >= n,
+        array_distinct(transform(sequence(lit(0), size(col("ws")) - n), i =>
+          xxhash64((1 to n).map(j => element_at(col("ws"), i + j)): _*))))
+      .otherwise(array().cast("array<bigint>"))
+    val rows = docs.select(col("doc_id"),
+        TermFunctions.ngramHashes(col("ws"), n).as("k"),
+        sort_array(winHashes).as("c")).collect()
+    rows.foreach { r =>
+      val k = r.getSeq[Long](1); val c = r.getSeq[Long](2)
+      assert(k == c, s"doc ${r.getLong(0)}: kernel $k vs composable $c")
+      assert(k == k.distinct.sorted, "not sorted-distinct")
+    }
+    // distinctness matches shingle STRING distinctness (single-space split
+    // tokens make the triple <-> joined-string map a bijection)
+    val viaStrings = docs.select(col("doc_id"), size(array_distinct(
+        when(size(col("ws")) >= n,
+          transform(sequence(lit(0), size(col("ws")) - n), i =>
+            concat_ws(" ", (1 to n).map(j => element_at(col("ws"), i + j)): _*)))
+          .otherwise(array().cast("array<string>")))).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach(r => assert(r.getSeq[Long](1).size == viaStrings(r.getLong(0))))
+  }
 }
