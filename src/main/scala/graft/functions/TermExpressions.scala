@@ -149,7 +149,7 @@ object NGramCounts {
   * LEGAL gram members (the string form kept them too); null tokens
   * throw. Rows with fewer than `n` tokens yield an empty array. */
 case class NGramHashes(child: Expression, n: Int) extends UnaryExpression {
-  require(n >= 1 && n <= 8, s"graft_ngram_hashes: n must be in [1,8], got $n")
+  require(n >= 1 && n <= 16, s"graft_ngram_hashes: n must be in [1,16], got $n")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess

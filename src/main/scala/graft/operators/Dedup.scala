@@ -913,18 +913,14 @@ object Dedup {
     * One corpus-side shuffle on the shingle hash, nothing O(n²). */
   def decontaminate(corpus: DataFrame, eval: DataFrame, n: Int = 13,
                     minOverlap: Int = 1): DataFrame = {
-    def shingleHashes(df: DataFrame): DataFrame = {
-      // words materialized in their own projection: the lambda below reads
-      // the array 13x per shingle position — inlined, split() would re-run
-      // per element_at (no subexpression elimination inside HOF lambdas)
-      val withW = df.select(col("doc_id"), TextNorm.words(col("text")).as("__w"))
-      val w = col("__w")
-      val sh = when(size(w) >= n,
-        array_distinct(transform(sequence(lit(0), size(w) - n), i =>
-          xxhash64(concat_ws(" ", (0 until n).map(j => element_at(w, i + j + 1)): _*)))))
-        .otherwise(array().cast("array<bigint>"))
-      withW.select(col("doc_id"), explode(sh).as("sh"))
-    }
+    // r18: the in-row [[graft.functions.NGramHashes]] kernel — one pass,
+    // no per-position 13-word string building; both sides key on the same
+    // hash, so the overlap counts are unchanged up to the same 64-bit
+    // collision class the old concat_ws+xxhash64 keys already carried
+    def shingleHashes(df: DataFrame): DataFrame =
+      df.select(col("doc_id"),
+        explode(graft.functions.TermFunctions.ngramHashes(
+          TextNorm.words(col("text")), n)).as("sh"))
     val evalSh = shingleHashes(eval).select("sh").distinct()
     val overlap = shingleHashes(corpus).join(evalSh, "sh")
       .groupBy("doc_id").agg(count(lit(1)).as("n_overlapping_ngrams"))
