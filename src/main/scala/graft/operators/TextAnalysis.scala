@@ -602,15 +602,19 @@ object TextAnalysis {
     val wNonEmpty = filter(words, w => w =!= "")
     val base = documents.select(col("doc_id"), wNonEmpty.as("w"))
       .withColumn("n_chars", length(array_join(col("w"), " ")))
-    val grams = ns.map { n =>
+    // r18: per-(doc, n) gram frequencies in-row (graft_ngram_counts) —
+    // the gram-scale groupBy exchange is gone; the gram STRING (the
+    // top-pick tie-break and the char arithmetic need it) reconstructs
+    // from the counted tuple, bit-equal to the exploded concat_ws form
+    val counts = ns.map { n =>
       base.filter(size(col("w")) >= n)
         .select(col("doc_id"), lit(n).as("n"), col("n_chars"),
-          explode(transform(sequence(lit(0), size(col("w")) - n), i =>
-            concat_ws(" ", (0 until n).map(j =>
-              element_at(col("w"), i + j + 1)): _*))).as("gram"))
+          explode(graft.functions.TermFunctions.ngramCounts(col("w"), n))
+            .as("e"))
+        .select(col("doc_id"), col("n"), col("n_chars"),
+          concat_ws(" ", (1 to n).map(j => col(s"e.w$j")): _*).as("gram"),
+          col("e.tf").as("c"))
     }.reduce(_ unionByName _)
-    val counts = grams.groupBy("doc_id", "n", "n_chars", "gram")
-      .agg(count(lit(1)).as("c"))
     // min(struct(-c, gram)) IS the (c desc, gram asc) argmin — one
     // partial-aggregable fold instead of a window sort over every gram
     val agg = counts.groupBy("doc_id", "n", "n_chars").agg(
